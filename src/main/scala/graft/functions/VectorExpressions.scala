@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** V4 — native Catalyst expressions for the vector hot path.
+  *
+  * The reference's cosine distance lives inside its vector store
+  * (`/root/reference/data-ingestion/qdrant_manager.py:24`); here it is a
+  * whole-stage-codegen'd scalar over `array<float>` columns so the dense
+  * top-k scan (SURVEY.md T2) stays inside one codegen span instead of
+  * paying per-row UDF serialization.
+  */
+abstract class VectorBinaryExpression extends BinaryExpression {
+  // Inputs must already be array<float> — the Column helpers in
+  // [[GraftFunctions]] insert the cast, keeping this expression simple.
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+}
+
+/** `dot(a, b)` over two float arrays (null if lengths differ). */
+case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  double acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `cosine(a, b) = dot / (|a| |b|)` (null on length mismatch or zero norm). */
+case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "vec_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) null
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  double dot = 0.0, nx = 0.0, ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double xv = (double) $a.getFloat($i);
+         |    double yv = (double) $b.getFloat($i);
+         |    dot += xv * yv; nx += xv * xv; ny += yv * yv;
+         |  }
+         |  if (nx == 0.0 || ny == 0.0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = dot / (java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny)); }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,57 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.embed.{Embedder, HashingEmbedder}
+import graft.functions.GraftFunctions._
+
+/** §3.1 ingestion pipeline, Spark-shaped (SURVEY.md §3.1 "Spark shape"):
+  *
+  * `documents → clean (F1) → extract+stats (F9) → chunk (C1-C6, posexplode)
+  *  → min-size filter (P5) → embed (V1, mapPartitions-style batched UDF)
+  *  → uuid5 id (F10) → index records (P7)`
+  *
+  * Every step is a narrow transformation — no shuffle anywhere in the
+  * pipeline; at 100 TB this runs embarrassingly parallel over input
+  * splits, and the only wide op is the *sink's* dedup/MERGE (see
+  * [[graft.index.IndexWriter]]).
+  */
+object ChunkPipeline {
+
+  /** Clean + extract + stats on a raw text column (F1/F9). */
+  def processed(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("processed", enhancedTextProcessing(col(textCol)))
+      .withColumn("opinion_text", col("processed.cleaned_text"))
+      .withColumn("citations", col("processed.citations"))
+      .withColumn("legal_entities", col("processed.legal_entities"))
+      .withColumn("text_stats", col("processed.text_stats"))
+      .drop("processed")
+
+  /** Chunk + embed + key: the full document→index-record pipeline.
+    *
+    * @param docs       input with at least (`idCol`, `textCol`)
+    * @param minRawLen  P4 — drop docs whose cleaned text is shorter (ref: 100)
+    * @param chunkUdf   chunker column fn (defaults to reference geometry)
+    */
+  def chunkPoints(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minRawLen: Int = 100,
+      chunkUdf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = chunkText): DataFrame = {
+    val cleaned = processed(docs, textCol)
+      .filter(length(trim(col("opinion_text"))) >= minRawLen) // P4
+    cleaned
+      .select(
+        col(idCol).as("doc_id"),
+        col("citations"), col("legal_entities"), col("text_stats"),
+        posexplode(chunkUdf(col("opinion_text"))).as(Seq("chunk_index", "chunk_text")))
+      .withColumn("chunk_id", concat_ws("_", col("doc_id"), col("chunk_index")))
+      .withColumn("id", uuid5(col("chunk_id")))
+      .withColumn("dense_vec", embedText(col("chunk_text")))
+      .withColumn("tokens", bm25Tokenize(col("chunk_text")))
+      .withColumn("time_ingested", current_timestamp())
+  }
+}

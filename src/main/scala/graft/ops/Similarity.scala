@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.vecCosine
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two physical paths with one logical contract (top-k by cosine):
+  *
+  *  - [[bruteForceTopK]] — exact: codegen'd cosine scan +
+  *    `TakeOrderedAndProject` (per-partition top-k, driver merge).
+  *    O(N·d) work but zero shuffle; the correctness baseline.
+  *  - [[RandomHyperplaneIndex]] — LSH: `nBits` seeded hyperplanes give a
+  *    bucket id per vector; queries scan only matching buckets (with
+  *    multi-probe on Hamming-1 neighbors). At scale the bucketed table
+  *    is written bucketed/partitioned by `bucket`, so a query prunes to
+  *    a handful of partitions instead of the full corpus.
+  */
+object Similarity {
+
+  /** Exact cosine top-k (the correctness baseline). */
+  def bruteForceTopK(df: DataFrame, queryVec: Array[Float], k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    df.withColumn("cos", vecCosine(col(vecCol), typedlit(queryVec)))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+
+  /** Deterministic pseudo-random hyperplanes (seeded FNV over (seed,i)). */
+  private[ops] def hyperplanes(nBits: Int, dim: Int, seed: Int = 42): Array[Array[Float]] = {
+    val rng = new java.util.Random(seed.toLong)
+    Array.fill(nBits)(Array.fill(dim)((rng.nextGaussian()).toFloat))
+  }
+
+  /** Sign-random-projection LSH index over an embedding table. */
+  final class RandomHyperplaneIndex(
+      df: DataFrame, nBits: Int = 8, dim: Int = 64,
+      vecCol: String = "embedding", idCol: String = "vec_id", seed: Int = 42) {
+
+    private val planes = hyperplanes(nBits, dim, seed)
+
+    private def bucketOf(vec: Array[Float]): Long = {
+      var b = 0L
+      var i = 0
+      while (i < planes.length) {
+        var dot = 0.0
+        var j = 0
+        while (j < dim && j < vec.length) { dot += planes(i)(j) * vec(j); j += 1 }
+        if (dot > 0) b |= (1L << i)
+        i += 1
+      }
+      b
+    }
+
+    private val bucketUdf = {
+      val p = planes; val d = dim; val n = nBits
+      udf((vec: Seq[Float]) => {
+        var b = 0L
+        var i = 0
+        while (i < n) {
+          var dot = 0.0
+          var j = 0
+          while (j < d && j < vec.length) { dot += p(i)(j) * vec(j); j += 1 }
+          if (dot > 0) b |= (1L << i)
+          i += 1
+        }
+        b
+      })
+    }
+
+    /** The bucketed table — at scale, persist this partitioned by
+      * `bucket` so queries prune partitions. */
+    lazy val bucketed: DataFrame =
+      df.withColumn("bucket", bucketUdf(col(vecCol)))
+
+    /** Top-k restricted to the query's bucket + Hamming-1 probes. */
+    def query(queryVec: Array[Float], k: Int, probes: Int = 1): DataFrame = {
+      val qb = bucketOf(queryVec)
+      val candidates: Seq[Long] =
+        if (probes <= 0) Seq(qb)
+        else qb +: (0 until nBits).map(b => qb ^ (1L << b))
+      bucketed
+        .filter(col("bucket").isin(candidates: _*))
+        .withColumn("cos", vecCosine(col(vecCol), typedlit(queryVec)))
+        .orderBy(desc("cos"), col(idCol))
+        .limit(k)
+    }
+  }
+
+  /** All-pairs top-k per query row against a corpus (KNN join) with
+    * block-nested cosine — broadcast the smaller (query) side. */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int,
+      corpusVec: String = "embedding", corpusId: String = "vec_id",
+      queryVec: String = "embedding", queryId: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+    val joined = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"))
+      .join(broadcast(q))
+      .withColumn("cos", vecCosine(col("cv"), col("qv")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("corpus_id"))
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos"), col("rn"))
+  }
+}

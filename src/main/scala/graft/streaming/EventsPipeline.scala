@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** ST1-ST3 — incremental / streaming-shaped operators.
+  *
+  * The reference's ingestion is batch-with-checkpoint (driver page loop,
+  * cursor persisted in payloads — broken in the reference, SURVEY.md Q1).
+  * Ours keeps an explicit cursor/checkpoint table for batch resume and
+  * offers true Structured Streaming for the events-shaped path.
+  */
+object EventsPipeline {
+
+  /** Event-time tumbling-window aggregation (batch or stream — the same
+    * expression works on both). */
+  def windowedCounts(events: DataFrame, windowDur: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+
+  /** Streaming variant with watermark + append mode, memory sink for
+    * tests. Source: the same parquet dir read as a stream. */
+  def streamWindowedCounts(spark: SparkSession, dir: String,
+      queryName: String = "events_windows"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Session assignment in batch: a new session starts after `gapMin`
+    * minutes of inactivity per user (lag + cumulative-sum window). */
+  def sessionize(events: DataFrame, gapMin: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > gapMin * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("prev_ts", "new_session")
+  }
+
+  final case class CursorState(court: String, lastCursor: String, updatedAt: java.sql.Timestamp)
+
+  /** ST2 — explicit checkpoint table (fixes reference quirk Q1: cursor
+    * read/write field + format mismatch made resume a silent no-op). */
+  object CursorCheckpoint {
+    def save(spark: SparkSession, path: String, state: CursorState): Unit = {
+      import spark.implicits._
+      Seq(state).toDS().write.mode("overwrite").parquet(path)
+    }
+    def load(spark: SparkSession, path: String): Option[CursorState] = {
+      import spark.implicits._
+      try spark.read.parquet(path).as[CursorState].collect().headOption
+      catch { case _: Exception => None }
+    }
+  }
+}

@@ -217,6 +217,203 @@ object SparkEntry {
         .groupBy(year(col("o_orderdate")).as("yr"), quarter(col("o_orderdate")).as("qtr"))
         .agg(sum(cents(col("o_totalprice"))).as("revenue_cents"),
           count(lit(1)).as("n_orders"))
+    }),
+
+    // F8 / token counting — char length, whitespace words, BPE-ish tokens.
+    "q18_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len_chars"),
+        TextAnalysis.tokenCountWhitespace(col("text")).as("n_words"),
+        TextAnalysis.tokenCountBpe(col("text")).as("n_bpe_tokens"))
+    }),
+
+    // T3/V3/A7 — BM25 top-k over the documents corpus (two-pass: corpus
+    // doc-frequency aggregate, then broadcast-joined scoring).
+    "q19_bm25_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").as("id"), split(col("text"), " ").as("tokens"))
+      val n = docs.count()
+      val avgLen = docs.select(avg(size(col("tokens")))).first().getDouble(0)
+      val stats = graft.index.IndexWriter.docFrequencies(docs)
+      HybridSearch.bm25TopK(docs, stats, n, avgLen,
+          Seq("table", "scan", "merge", "join", "vector"), 10)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // MinHash signatures (md5-keyed variant whose hash is reproducible in
+    // the oracle; the library's hot path uses xxhash64 — Dedup.minHashSignature).
+    "q20_minhash_sig" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      d.select(col("doc_id") +: (0 until 6).map(i =>
+        array_min(transform(col("sh"), x => md5(concat(lit(s"${i}_"), x)))).as(s"h$i")): _*)
+    }),
+
+    // exact dedup — group by content digest (shuffles 16-byte keys only).
+    "q21_exact_dedup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+    }),
+
+    // quality scoring — stopword-hit rate (en) per document.
+    "q22_quality" -> ((s, dir) => {
+      val words = TextAnalysis.tokenCountWhitespace(col("text"))
+      val hits = TextAnalysis.stopwordHits(col("text"), "en")
+      t(s, dir, "documents").select(
+        col("doc_id"), words.as("n_words"), hits.cast("long").as("stop_hits"),
+        round(hits.cast("double") / words, 6).as("stop_ratio"))
+    }),
+
+    // W2 — posexplode (Generator) with positional index.
+    "q23_token_explode" -> ((s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") < 5)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("idx", "tok")))
+        .withColumn("idx", col("idx").cast("long"))
+    }),
+
+    // n-gram Jaccard near-dup — blocked self-join (lang, length bucket)
+    // so the pair count is bounded; top-20 most similar pairs.
+    "q24_jaccard_topk" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(
+        col("doc_id"), col("lang"), expr("n_chars div 50").as("bucket"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+      val a = base.select(col("lang"), col("bucket"), col("doc_id").as("id1"), col("sh").as("sh1"))
+      val b = base.select(col("lang"), col("bucket"), col("doc_id").as("id2"), col("sh").as("sh2"))
+      a.join(b, Seq("lang", "bucket")).filter(col("id1") < col("id2"))
+        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+        .withColumn("jacc", round(col("inter").cast("double") /
+          (size(col("sh1")) + size(col("sh2")) - col("inter")), 6))
+        .orderBy(desc("jacc"), col("id1"), col("id2"))
+        .limit(20)
+        .select("id1", "id2", "jacc")
+    }),
+
+    // embedding-cosine near-dup — label-blocked pairs ≥ 0.3.
+    "q25_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.3)),
+
+    // T2/V4 — exact cosine top-k (TakeOrderedAndProject; the ANN baseline).
+    "q26_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .first().getSeq[Float](0).toArray
+      Similarity.bruteForceTopK(e, q, 20).select("vec_id", "cos")
+    }),
+
+    // KNN join — per-query top-3 neighbors (broadcast query side).
+    "q27_knn_join" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.knnJoin(e, e.filter(col("vec_id") < 5), 3)
+        .withColumn("rn", col("rn").cast("long"))
+    }),
+
+    // SimHash (16-bit, md5-nibble variant reproducible in the oracle;
+    // library hot path: Dedup.simHash on xxhash64).
+    "q28_simhash" -> ((s, dir) => {
+      val parts = split(col("text"), " ")
+      val hashes = transform(parts, x => md5(x))
+      val n = size(parts)
+      val simhash = (0 until 16).map { j =>
+        val hits = size(filter(hashes, h => substring(h, j + 1, 1) >= "8"))
+        when(hits * 2 > n, lit(1L << j)).otherwise(lit(0L))
+      }.reduce((a, b) => a + b)
+      t(s, dir, "documents").select(col("doc_id"), simhash.as("simhash16"))
+    }),
+
+    // language-ID heuristic — stopword-hit argmax with deterministic ties.
+    "q29_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_guess"))),
+
+    // multimodal plumbing — binary column + per-partition stub decoder.
+    "q30_multimodal_meta" -> ((s, dir) => {
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+      graft.ops.Multimodal.withMediaMeta(bin)
+        .select(col("doc_id"), col("media.byteLen").as("byte_len"),
+          col("media.format").as("format"), col("media.ok").as("ok"))
+    }),
+
+    // J4/A5/T1 — RRF fusion of two relational rankings (balance vs order
+    // count), full-outer joined.
+    "q31_rrf_fusion" -> ((s, dir) => {
+      val wBal = Window.orderBy(desc("c_acctbal"), col("c_custkey"))
+      val byBal = t(s, dir, "customer")
+        .withColumn("rank_bal", row_number().over(wBal))
+        .filter(col("rank_bal") <= 20)
+        .select(col("c_custkey"), col("rank_bal").cast("long").as("rank_bal"))
+      val wOrd = Window.orderBy(desc("n_orders"), col("o_custkey"))
+      val byOrd = t(s, dir, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        .withColumn("rank_ord", row_number().over(wOrd))
+        .filter(col("rank_ord") <= 20)
+        .select(col("o_custkey").as("c_custkey"), col("rank_ord").cast("long").as("rank_ord"))
+      byBal.join(byOrd, Seq("c_custkey"), "full_outer")
+        .withColumn("rrf_score",
+          coalesce(lit(1.0) / (lit(60) + col("rank_bal")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_ord")), lit(0.0)))
+    }),
+
+    // C1-C6 + P4/P5 — chunk pipeline geometry (oracle-expressible on this
+    // corpus: punctuation-free texts < chunk_size yield exactly one chunk
+    // iff ≥ min_chunk_size; uuid5 ids are covered by unit tests).
+    "q32_chunk_pipeline" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      ChunkPipeline.chunkPoints(s, t(s, dir, "documents"))
+        .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
+          length(col("chunk_text")).cast("long").as("chunk_len"))
+    }),
+
+    // MinHash-LSH near-dup, end-to-end with planted duplicates (every doc
+    // unioned with an exact copy at id+10000). The md5-keyed hash variant
+    // makes the *entire* LSH construction — signatures, banding, candidate
+    // pairs, jaccard verification — reproducible in the DuckDB oracle,
+    // including probabilistic recall on the corpus's organic near-dups.
+    // The library's hot path uses xxhash64 (same structure, faster hash).
+    "q33_minhash_lsh_planted" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val planted = d.unionByName(d.withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.minHashNearDups(planted, numHashes = 16, bands = 4, jaccardThreshold = 0.8,
+        hashFn = (seed, c) => md5(concat(lit(s"${seed}_"), c)),
+        bandHash = c => md5(concat_ws("|", c)))
+    }),
+
+    // ST1 — true Structured Streaming run of the tumbling-window agg
+    // (memory sink, AvailableNow trigger, complete mode), then read back.
+    "q34_stream_window" -> ((s, dir) => {
+      val q = EventsPipeline.streamWindowedCountsComplete(s, dir, "q34_sink")
+      q.processAllAvailable()
+      q.stop()
+      s.table("q34_sink")
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n"))
+    }),
+
+    // hybrid search end-to-end (dense+BM25+RRF over a freshly built chunk
+    // index). Not SQL-expressible (embedding model) — driver rows-check.
+    "q35_hybrid_search" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val index = ChunkPipeline.chunkPoints(s, t(s, dir, "documents")).cache()
+      val stats = graft.index.IndexWriter.docFrequencies(index)
+      val n = index.count()
+      val avgLen = index.select(avg(size(col("tokens")))).first().getDouble(0)
+      HybridSearch.search(index, stats, n, avgLen,
+          "spark join merge table scan", HybridSearch.Config(k = 5))
+        .select("id", "chunk_id", "rrf_score", "dense_score", "bm25_score")
+    }),
+
+    // ANN via random-hyperplane LSH with Hamming-1 multiprobe (bucket-
+    // pruned scan). JVM-seeded hyperplanes — driver rows-check.
+    "q36_lsh_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .first().getSeq[Float](0).toArray
+      new Similarity.RandomHyperplaneIndex(e, nBits = 8, dim = 64)
+        .query(q, k = 10)
+        .select("vec_id", "bucket", "cos")
     })
   )
 
@@ -330,6 +527,183 @@ object SparkEntry {
         |  CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
         |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |  COUNT(*) AS n_orders
-        |FROM orders GROUP BY 1, 2""".stripMargin
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q18_text_stats" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS len_chars,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "q19_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |params AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(toks)) AS avgdl FROM d),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl FROM (
+        |    SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl FROM d) u
+        |  WHERE tok IN ('table','scan','merge','join','vector') GROUP BY doc_id, tok),
+        |df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM (
+        |    SELECT doc_id, unnest(toks) AS tok FROM d) u GROUP BY tok),
+        |sc AS (SELECT t.doc_id,
+        |    ln(1 + (p.n - f.df + 0.5) / (f.df + 0.5)) * t.tf * 2.2 /
+        |      (t.tf + 1.2 * (0.25 + 0.75 * t.dl / p.avgdl)) AS s
+        |  FROM tf t, params p JOIN df f ON t.tok = f.tok)
+        |SELECT doc_id, round(sum(s), 6) AS bm25_score FROM sc GROUP BY doc_id
+        |ORDER BY bm25_score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q20_minhash_sig" -> {
+      val hs = (0 until 6).map(i =>
+        s"list_min([md5('${i}_' || x) for x in sh]) AS h$i").mkString(",\n  ")
+      s"""WITH d AS (SELECT doc_id,
+         |    list_distinct([parts[i+1] || ' ' || parts[i+2] || ' ' || parts[i+3]
+         |                   for i in range(len(parts)-2)]) AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents)
+         |  WHERE len(parts) >= 3)
+         |SELECT doc_id,
+         |  $hs
+         |FROM d WHERE len(sh) > 0""".stripMargin
+    },
+
+    "q21_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, COUNT(*) AS n, MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q22_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        t -> t IN ('the','and','of','to','a','in','is','that','for','it','with','as','was','on','be'))) AS BIGINT) AS stop_hits,
+        |  round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        t -> t IN ('the','and','of','to','a','in','is','that','for','it','with','as','was','on','be'))) AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+')), 6) AS stop_ratio
+        |FROM documents""".stripMargin,
+
+    "q23_token_explode" ->
+      """SELECT doc_id, idx, parts[idx+1] AS tok FROM (
+        |  SELECT doc_id, parts, unnest(range(len(parts))) AS idx FROM (
+        |    SELECT doc_id, string_split(text, ' ') AS parts FROM documents WHERE doc_id < 5))""".stripMargin,
+
+    "q24_jaccard_topk" ->
+      """WITH base AS (SELECT doc_id, lang, n_chars // 50 AS bucket,
+        |    list_distinct([parts[i+1] || ' ' || parts[i+2] || ' ' || parts[i+3]
+        |                   for i in range(len(parts)-2)]) AS sh
+        |  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS parts FROM documents)
+        |  WHERE len(parts) >= 3)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jacc
+        |FROM base a JOIN base b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |ORDER BY jacc DESC, id1, id2 LIMIT 20""".stripMargin,
+
+    "q25_embed_neardup" ->
+      """WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id1, id2, cos FROM (
+        |  SELECT id1, id2, round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+        |  FROM p GROUP BY 1, 2)
+        |WHERE cos >= 0.3""".stripMargin,
+
+    "q26_cosine_topk" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |p AS (SELECT a.vec_id, unnest(a.embedding)::DOUBLE AS x, unnest(q.embedding)::DOUBLE AS y
+        |  FROM embeddings a, q)
+        |SELECT vec_id, cos FROM (
+        |  SELECT vec_id, round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+        |  FROM p GROUP BY 1)
+        |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q27_knn_join" ->
+      """WITH p AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+        |    unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id < 5),
+        |c AS (SELECT query_id, corpus_id,
+        |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+        |  FROM p GROUP BY 1, 2)
+        |SELECT query_id, corpus_id, cos, rn FROM (
+        |  SELECT query_id, corpus_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rn
+        |  FROM c) WHERE rn <= 3""".stripMargin,
+
+    "q28_simhash" -> {
+      val bits = (0 until 16).map(j =>
+        s"CASE WHEN 2*len(list_filter(mh, h -> substr(h,${j + 1},1) >= '8')) > len(mh) THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash16 FROM (
+         |  SELECT doc_id, [md5(x) for x in string_split(text, ' ')] AS mh FROM documents)""".stripMargin
+    },
+
+    "q29_langid" -> {
+      val lists = Map(
+        "de" -> "'der','die','und','das','in','von','zu','den','mit','ist','des','auf','für','dem','nicht'",
+        "en" -> "'the','and','of','to','a','in','is','that','for','it','with','as','was','on','be'",
+        "es" -> "'el','la','de','que','y','en','un','los','se','del','las','por','con','una','es'",
+        "fr" -> "'le','la','de','et','les','des','un','une','du','en','est','que','pour','dans','qui'")
+      val scores = lists.toSeq.sortBy(_._1).map { case (l, words) =>
+        s"len(list_filter(toks, t -> t IN ($words))) AS s_$l"
+      }.mkString(",\n  ")
+      val cases = lists.keys.toSeq.sorted.map(l =>
+        s"WHEN s_$l > 0 AND s_$l = best THEN '$l'").mkString(" ")
+      s"""WITH sc AS (SELECT doc_id,
+         |  $scores
+         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents))
+         |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_guess FROM (
+         |  SELECT doc_id, s_de, s_en, s_es, s_fr,
+         |    greatest(s_de, s_en, s_es, s_fr) AS best FROM sc)""".stripMargin
+    },
+
+    "q30_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  'bin' AS format, true AS ok FROM documents""".stripMargin,
+
+    "q31_rrf_fusion" ->
+      """WITH bal AS (SELECT c_custkey, rank_bal FROM (
+        |    SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rank_bal
+        |    FROM customer) WHERE rank_bal <= 20),
+        |ord AS (SELECT c_custkey, rank_ord FROM (
+        |    SELECT o_custkey AS c_custkey,
+        |      ROW_NUMBER() OVER (ORDER BY n_orders DESC, o_custkey) AS rank_ord
+        |    FROM (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)) WHERE rank_ord <= 20)
+        |SELECT COALESCE(bal.c_custkey, ord.c_custkey) AS c_custkey, rank_bal, rank_ord,
+        |  COALESCE(1.0 / (60 + rank_bal), 0.0) + COALESCE(1.0 / (60 + rank_ord), 0.0) AS rrf_score
+        |FROM bal FULL OUTER JOIN ord ON bal.c_custkey = ord.c_custkey""".stripMargin,
+
+    "q32_chunk_pipeline" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS chunk_index, CAST(LENGTH(text) AS BIGINT) AS chunk_len
+        |FROM documents WHERE LENGTH(TRIM(text)) >= 400""".stripMargin,
+
+    "q33_minhash_lsh_planted" -> {
+      val hs = (0 until 16).map(i =>
+        s"list_min([md5('${i}_' || x) for x in sh]) AS h$i").mkString(",\n    ")
+      val bandRows = (0 until 4).map { b =>
+        val cat = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents),
+         |shnz AS (SELECT doc_id, sh FROM (
+         |    SELECT doc_id, list_distinct([parts[i+1] || ' ' || parts[i+2] || ' ' || parts[i+3]
+         |        for i in range(len(parts)-2)]) AS sh
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM d)
+         |    WHERE len(parts) >= 3)
+         |  WHERE len(sh) > 0),
+         |sigs AS (SELECT doc_id,
+         |    $hs
+         |  FROM shnz),
+         |bands AS (
+         |  $bandRows),
+         |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+         |SELECT id1, id2, jaccard FROM (
+         |  SELECT c.id1, c.id2,
+         |    CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+         |      / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) AS jaccard
+         |  FROM cand c JOIN shnz s1 ON s1.doc_id = c.id1 JOIN shnz s2 ON s2.doc_id = c.id2)
+         |WHERE jaccard >= 0.8""".stripMargin
+    },
+
+    "q34_stream_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
+        |  COUNT(*) AS n FROM events GROUP BY 1, 2""".stripMargin
   )
 }

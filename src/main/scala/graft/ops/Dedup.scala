@@ -46,22 +46,25 @@ object Dedup {
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min over shingle hashes. xxhash64 is Spark-native + codegen'd. */
-  def minHashSignature(shinglesCol: Column, numHashes: Int = 16): Column =
+    * the min over shingle hashes. Default hash is xxhash64 (Spark-native,
+    * codegen'd); `hashFn` is pluggable so results can be reproduced by an
+    * external oracle (e.g. md5-keyed). */
+  def minHashSignature(shinglesCol: Column, numHashes: Int = 16,
+      hashFn: (Int, Column) => Column = (seed, c) => xxhash64(lit(seed), c)): Column =
     array((0 until numHashes).map { seed =>
-      array_min(transform(shinglesCol, s => xxhash64(lit(seed), s)))
+      array_min(transform(shinglesCol, s => hashFn(seed, s)))
     }: _*)
 
   /** LSH banding: split the signature into `bands` equal bands; a pair
     * sharing any band's hash is a candidate. Emits
     * (idCol, band_id, band_hash) — the only thing that shuffles. */
-  def lshBands(df: DataFrame, sigCol: String, bands: Int, idCol: String = "doc_id"): DataFrame = {
-    val rows = bands
+  def lshBands(df: DataFrame, sigCol: String, bands: Int, idCol: String = "doc_id",
+      bandHash: Column => Column = c => xxhash64(c)): DataFrame = {
     val sigLen = df.select(size(col(sigCol))).first().getInt(0)
-    val rowsPerBand = sigLen / rows
+    val rowsPerBand = sigLen / bands
     df.select(col(idCol), posexplode(
         array((0 until bands).map { b =>
-          xxhash64(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand))
+          bandHash(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)).cast("string")
         }: _*)).as(Seq("band_id", "band_hash")))
   }
 
@@ -78,11 +81,13 @@ object Dedup {
     * candidate pairs → exact Jaccard verification ≥ threshold. */
   def minHashNearDups(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", numHashes: Int = 16, bands: Int = 4,
-      shingleK: Int = 3, jaccardThreshold: Double = 0.8): DataFrame = {
+      shingleK: Int = 3, jaccardThreshold: Double = 0.8,
+      hashFn: (Int, Column) => Column = (seed, c) => xxhash64(lit(seed), c),
+      bandHash: Column => Column = c => xxhash64(c)): DataFrame = {
     val sh = df.select(col(idCol), shingles(col(textCol), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sig = sh.withColumn("sig", minHashSignature(col("sh"), numHashes))
-    val cands = lshCandidates(lshBands(sig, "sig", bands, idCol), idCol)
+    val sig = sh.withColumn("sig", minHashSignature(col("sh"), numHashes, hashFn))
+    val cands = lshCandidates(lshBands(sig, "sig", bands, idCol, bandHash), idCol)
     val left = sh.select(col(idCol).as("id1"), col("sh").as("sh1"))
     val right = sh.select(col(idCol).as("id2"), col("sh").as("sh2"))
     cands.join(left, "id1").join(right, "id2")
@@ -125,7 +130,7 @@ object Dedup {
     val b = df.select(col(blockCol).as("blk"), col(idCol).as("id2"), col(vecCol).as("v2"))
     a.join(b, Seq("blk"))
       .filter(col("id1") < col("id2"))
-      .withColumn("cos", vecCosine(col("v1"), col("v2")))
+      .withColumn("cos", round(vecCosine(col("v1"), col("v2")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
   }

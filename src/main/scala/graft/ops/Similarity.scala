@@ -20,10 +20,13 @@ import graft.functions.GraftFunctions.vecCosine
   */
 object Similarity {
 
-  /** Exact cosine top-k (the correctness baseline). */
+  /** Exact cosine top-k (the correctness baseline). Scores are rounded
+    * to 6 decimals *before* the order-by so ranking is independent of
+    * floating-point accumulation order (deterministic across engines
+    * and across partition counts); ties break on the id. */
   def bruteForceTopK(df: DataFrame, queryVec: Array[Float], k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
-    df.withColumn("cos", vecCosine(col(vecCol), typedlit(queryVec)))
+    df.withColumn("cos", round(vecCosine(col(vecCol), typedlit(queryVec)), 6))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
 
@@ -82,7 +85,7 @@ object Similarity {
         else qb +: (0 until nBits).map(b => qb ^ (1L << b))
       bucketed
         .filter(col("bucket").isin(candidates: _*))
-        .withColumn("cos", vecCosine(col(vecCol), typedlit(queryVec)))
+        .withColumn("cos", round(vecCosine(col(vecCol), typedlit(queryVec)), 6))
         .orderBy(desc("cos"), col(idCol))
         .limit(k)
     }
@@ -97,7 +100,7 @@ object Similarity {
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
     val joined = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"))
       .join(broadcast(q))
-      .withColumn("cos", vecCosine(col("cv"), col("qv")))
+      .withColumn("cos", round(vecCosine(col("cv"), col("qv")), 6))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("corpus_id"))
     joined.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

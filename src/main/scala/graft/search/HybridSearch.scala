@@ -41,7 +41,8 @@ object HybridSearch {
   def denseTopK(index: DataFrame, queryVec: Array[Float], n: Int,
       idCol: String = "id", vecCol: String = "dense_vec"): DataFrame =
     index
-      .withColumn("dense_score", vecCosine(col(vecCol), typedlit(queryVec)))
+      // rounded to 6dp before ranking: fp-accumulation-order independent
+      .withColumn("dense_score", round(vecCosine(col(vecCol), typedlit(queryVec)), 6))
       .orderBy(desc("dense_score"), col(idCol))
       .limit(n)
       .select(col(idCol), col("dense_score"))
@@ -69,7 +70,7 @@ object HybridSearch {
         idfCol * col("tf") * lit(Bm25.k1 + 1.0) /
           (col("tf") + lit(Bm25.k1) * (lit(1.0 - Bm25.b) + lit(Bm25.b) * col("dl") / lit(avgDocLen))))
       .groupBy(col(idCol))
-      .agg(sum("term_score").as("bm25_score"))
+      .agg(round(sum("term_score"), 6).as("bm25_score"))
       .orderBy(desc("bm25_score"), col(idCol))
       .limit(n)
   }

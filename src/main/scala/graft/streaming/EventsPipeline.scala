@@ -25,12 +25,33 @@ object EventsPipeline {
   def streamWindowedCounts(spark: SparkSession, dir: String,
       queryName: String = "events_windows"): org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    // streaming file source needs a directory; select the one file by glob
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
     stream
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Streaming tumbling-window counts in COMPLETE mode (no watermark —
+    * every window re-emitted; used when the full result must match the
+    * batch aggregation exactly, e.g. the t2 gate). */
+  def streamWindowedCountsComplete(spark: SparkSession, dir: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // streaming file source needs a directory; select the one file by glob
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode(OutputMode.Complete)
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()

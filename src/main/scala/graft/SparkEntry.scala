@@ -247,8 +247,9 @@ object SparkEntry {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
+        .withColumn("sig", Dedup.md5MinHashSignatureUdf(6)(col("sh")))
       d.select(col("doc_id") +: (0 until 6).map(i =>
-        array_min(transform(col("sh"), x => md5(concat(lit(s"${i}_"), x)))).as(s"h$i")): _*)
+        element_at(col("sig"), i + 1).as(s"h$i")): _*)
     }),
 
     // exact dedup — group by content digest (shuffles 16-byte keys only).
@@ -277,9 +278,13 @@ object SparkEntry {
     // n-gram Jaccard near-dup — blocked self-join (lang, length bucket)
     // so the pair count is bounded; top-20 most similar pairs.
     "q24_jaccard_topk" -> ((s, dir) => {
+      // repartition on the block key: materializes the shingle arrays in
+      // one reused exchange and spreads the pair-verification work, which
+      // a single-split parquet source would otherwise serialize.
       val base = t(s, dir, "documents").select(
         col("doc_id"), col("lang"), expr("n_chars div 50").as("bucket"),
         Dedup.shingles(col("text"), 3).as("sh"))
+        .repartition(s.sparkContext.defaultParallelism, col("lang"), col("bucket"))
       val a = base.select(col("lang"), col("bucket"), col("doc_id").as("id1"), col("sh").as("sh1"))
       val b = base.select(col("lang"), col("bucket"), col("doc_id").as("id2"), col("sh").as("sh2"))
       a.join(b, Seq("lang", "bucket")).filter(col("id1") < col("id2"))
@@ -377,8 +382,9 @@ object SparkEntry {
       val d = t(s, dir, "documents").select("doc_id", "text")
       val planted = d.unionByName(d.withColumn("doc_id", col("doc_id") + 10000))
       Dedup.minHashNearDups(planted, numHashes = 16, bands = 4, jaccardThreshold = 0.8,
-        hashFn = (seed, c) => md5(concat(lit(s"${seed}_"), c)),
-        bandHash = c => md5(concat_ws("|", c)))
+        signature = (sh, n) => Dedup.md5MinHashSignatureUdf(n)(sh),
+        bandHash = c => md5(concat_ws("|", c)),
+        persistShingles = true)
     }),
 
     // ST1 — true Structured Streaming run of the tumbling-window agg

@@ -34,16 +34,22 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
       .filter(col("n") > 1)
 
-  /** Word k-shingles of a text column (the MinHash/Jaccard unit). */
-  def shingles(textCol: Column, k: Int = 3): Column = {
-    val toks = split(lower(trim(textCol)), "\\s+")
-    // sliding k-grams via transform over indexes; distinct for set semantics
-    array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
-          i => when(size(toks) >= k, concat_ws(" ", slice(toks, i + lit(1), lit(k))))),
-        x => x.isNotNull))
-  }
+  /** Word k-shingles of a text column (the MinHash/Jaccard unit).
+    *
+    * The token split is bound ONCE per row by wrapping it in a
+    * single-element array and using the outer lambda variable — naively
+    * referencing `split(...)` inside the per-index lambda re-tokenizes
+    * the text for every shingle position (O(len²) interpreted eval; this
+    * was a 100× slowdown on the bench corpus). */
+  def shingles(textCol: Column, k: Int = 3): Column =
+    element_at(
+      transform(array(split(lower(trim(textCol)), "\\s+")), toks =>
+        array_distinct(
+          filter(
+            transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+              i => when(size(toks) >= k, concat_ws(" ", slice(toks, i + lit(1), lit(k))))),
+            x => x.isNotNull))),
+      1)
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the min over shingle hashes. Default hash is xxhash64 (Spark-native,
@@ -55,13 +61,53 @@ object Dedup {
       array_min(transform(shinglesCol, s => hashFn(seed, s)))
     }: _*)
 
+  /** md5-keyed MinHash signature as a compiled UDF.
+    *
+    * Semantically identical to `minHashSignature` with
+    * `hashFn = md5("<seed>_" || shingle)` (hex-string min per seed), but
+    * ~50× faster: `transform`/`array_min` are higher-order functions that
+    * never enter whole-stage codegen, so the expression form pays
+    * interpreter overhead per element × per seed. A deterministic scalar
+    * UDF is the documented escape hatch for genuinely imperative per-row
+    * loops (SURVEY.md §2.12). */
+  def md5MinHashSignatureUdf(numHashes: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { sh: Seq[String] =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = "0123456789abcdef".toCharArray
+      def md5Hex(s: String): String = {
+        val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val out = new Array[Char](32)
+        var i = 0
+        while (i < 16) {
+          out(2 * i) = hex((d(i) >> 4) & 0xf)
+          out(2 * i + 1) = hex(d(i) & 0xf)
+          i += 1
+        }
+        new String(out)
+      }
+      (0 until numHashes).map { seed =>
+        val prefix = seed + "_"
+        var min: String = null
+        sh.foreach { s =>
+          val h = md5Hex(prefix + s)
+          if (min == null || h.compareTo(min) < 0) min = h
+        }
+        min
+      }
+    }
+
   /** LSH banding: split the signature into `bands` equal bands; a pair
     * sharing any band's hash is a candidate. Emits
     * (idCol, band_id, band_hash) — the only thing that shuffles. */
   def lshBands(df: DataFrame, sigCol: String, bands: Int, idCol: String = "doc_id",
-      bandHash: Column => Column = c => xxhash64(c)): DataFrame = {
-    val sigLen = df.select(size(col(sigCol))).first().getInt(0)
-    val rowsPerBand = sigLen / bands
+      bandHash: Column => Column = c => xxhash64(c),
+      sigLen: Int = -1): DataFrame = {
+    // avoid a data-probing action when the caller knows the length — a
+    // first() here would force a full materialization of the upstream
+    // exchange just to read one array size
+    val len = if (sigLen > 0) sigLen
+              else df.select(size(col(sigCol))).first().getInt(0)
+    val rowsPerBand = len / bands
     df.select(col(idCol), posexplode(
         array((0 until bands).map { b =>
           bandHash(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)).cast("string")
@@ -82,12 +128,28 @@ object Dedup {
   def minHashNearDups(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", numHashes: Int = 16, bands: Int = 4,
       shingleK: Int = 3, jaccardThreshold: Double = 0.8,
-      hashFn: (Int, Column) => Column = (seed, c) => xxhash64(lit(seed), c),
-      bandHash: Column => Column = c => xxhash64(c)): DataFrame = {
-    val sh = df.select(col(idCol), shingles(col(textCol), shingleK).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sig = sh.withColumn("sig", minHashSignature(col("sh"), numHashes, hashFn))
-    val cands = lshCandidates(lshBands(sig, "sig", bands, idCol, bandHash), idCol)
+      signature: (Column, Int) => Column = (sh, n) => minHashSignature(sh, n),
+      bandHash: Column => Column = c => xxhash64(c),
+      persistShingles: Boolean = false): DataFrame = {
+    // The shingle table feeds THREE plan branches (banding + both sides
+    // of the verification self-join). A hash exchange with an explicit
+    // partition count spreads the CPU-heavy/byte-light hashing (AQE would
+    // coalesce the byte-small exchange to one partition) and lets
+    // exchange reuse share one computation; `persistShingles` pins it in
+    // the storage layer instead, for callers that run the plan once and
+    // want the reuse guaranteed rather than best-effort.
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    // cheap pre-filter on token count — filtering on size(shingles) would
+    // push the whole shingle expression into the scan and eval it twice
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val sh0 = df.filter(size(toks) >= shingleK)
+      .select(col(idCol), shingles(col(textCol), shingleK).as("sh"))
+      .repartition(p, col(idCol))
+    val sh = if (persistShingles) sh0.persist() else sh0
+    val sig = sh.withColumn("sig", signature(col("sh"), numHashes))
+      .repartition(p, col(idCol)) // one signature pass shared by both band-join sides
+    val cands = lshCandidates(
+      lshBands(sig, "sig", bands, idCol, bandHash, sigLen = numHashes), idCol)
     val left = sh.select(col(idCol).as("id1"), col("sh").as("sh1"))
     val right = sh.select(col(idCol).as("id2"), col("sh").as("sh2"))
     cands.join(left, "id1").join(right, "id2")

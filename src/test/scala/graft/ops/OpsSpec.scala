@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 1
+    (4L, "completely different text about spark query engines and shuffle planning"),
+    (5L, "another unrelated document mentioning vectors embeddings and cosine math"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps first id per digest") {
+    val out = Dedup.exact(corpus)
+    assert(out.count() == 4)
+    assert(out.filter($"doc_id" === 2).isEmpty)
+  }
+
+  test("exactDuplicateGroups reports the dup group") {
+    val g = Dedup.exactDuplicateGroups(corpus).collect()
+    assert(g.length == 1 && g(0).getAs[Long]("n") == 2 && g(0).getAs[Long]("keep_id") == 1)
+  }
+
+  test("minHashNearDups (xxhash hot path) finds exact+near dups, not unrelated") {
+    val pairs = Dedup.minHashNearDups(corpus, jaccardThreshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "exact dup must always be caught")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simHash: identical texts identical, unrelated texts differ") {
+    val sigs = corpus.select($"doc_id", Dedup.simHash($"text", 32).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("jaccard column: exact dup = 1.0, disjoint = 0.0") {
+    val df = Seq((Seq("a", "b"), Seq("a", "b")), (Seq("a"), Seq("b")))
+      .toDF("x", "y").select(Dedup.jaccard($"x", $"y").as("j"))
+    assert(df.as[Double].collect().toSeq == Seq(1.0, 0.0))
+  }
+
+  test("embeddingNearDups finds planted identical vector") {
+    val vecs = Seq(
+      (1L, 0, Array(1.0f, 0.0f, 0.0f)),
+      (2L, 0, Array(1.0f, 0.0f, 0.0f)),
+      (3L, 0, Array(0.0f, 1.0f, 0.0f)),
+      (4L, 1, Array(1.0f, 0.0f, 0.0f))) // same vec but different block -> not compared
+      .toDF("vec_id", "label", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, threshold = 0.99)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("bruteForceTopK: self is rank 1 with cos 1.0; scores non-increasing") {
+    val q = emb.filter($"vec_id" === 7).select("embedding").as[Seq[Float]].head().toArray
+    val top = Similarity.bruteForceTopK(emb, q, 5).select("vec_id", "cos")
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == 7L && top.head._2 == 1.0)
+    assert(top.map(_._2).sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("LSH query finds the vector itself (same bucket) and agrees with brute force top-1") {
+    val q = emb.filter($"vec_id" === 11).select("embedding").as[Seq[Float]].head().toArray
+    val idx = new Similarity.RandomHyperplaneIndex(emb, nBits = 8, dim = 64)
+    val top = idx.query(q, k = 3).select("vec_id").as[Long].collect()
+    assert(top.head == 11L)
+  }
+
+  test("knnJoin: every query's rank-1 neighbor is itself") {
+    val out = Similarity.knnJoin(emb, emb.filter($"vec_id" < 3), 2)
+    val rank1 = out.filter($"rn" === 1).select("query_id", "corpus_id")
+      .as[(Long, Long)].collect()
+    assert(rank1.forall { case (q, c) => q == c })
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("stub decoder sniffs magic bytes; schema plumbing is real") {
+    val png = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 1, 2, 3, 4).map(_.toByte)
+    val jpg = Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 5, 6).map(_.toByte)
+    val wav = "RIFFxxxxWAVE".getBytes
+    val df = Seq((1L, png), (2L, jpg), (3L, wav), (4L, Array.empty[Byte]))
+      .toDF("id", "content")
+    val out = Multimodal.withMediaMeta(df)
+      .select($"id", $"media.format", $"media.ok", $"media.byteLen")
+      .as[(Long, String, Boolean, Long)].collect().sortBy(_._1)
+    assert(out(0)._2 == "png" && out(0)._3)
+    assert(out(1)._2 == "jpeg")
+    assert(out(2)._2 == "wav")
+    assert(out(3)._3 == false && out(3)._4 == 0L)
+  }
+
+  test("frame sampling explodes a deterministic frame sequence") {
+    val df = Seq((1L, 2500L)).toDF("id", "dur")
+    val frames = Multimodal.sampleFrames(df, "dur", 1000L)
+      .select("frame_ms").as[Long].collect().toSeq
+    assert(frames == Seq(0L, 1000L, 2000L))
+  }
+}

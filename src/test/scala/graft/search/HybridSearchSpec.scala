@@ -1,0 +1,98 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.embed.HashingEmbedder
+import graft.functions.GraftFunctions
+
+class HybridSearchSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // A tiny corpus where relevance is unambiguous: one doc repeats the
+  // query terms, the others share no vocabulary with it.
+  private lazy val index = {
+    val docs = Seq(
+      ("d1", "habeas corpus petition filed by the detainee habeas corpus review"),
+      ("d2", "contract dispute over grain shipment delivery terms and payment"),
+      ("d3", "patent infringement claim regarding semiconductor lithography process"),
+      ("d4", "fourth amendment search and seizure of the vehicle evidence"))
+      .toDF("id", "chunk_text")
+    docs
+      .withColumn("dense_vec", GraftFunctions.embedText($"chunk_text"))
+      .withColumn("tokens", GraftFunctions.bm25Tokenize($"chunk_text"))
+  }
+
+  private lazy val stats = graft.index.IndexWriter.docFrequencies(index)
+  private lazy val n = index.count()
+  private lazy val avgLen = index.select(avg(size($"tokens"))).head().getDouble(0)
+
+  test("bm25 branch ranks the term-matching doc first") {
+    val top = HybridSearch.bm25TopK(index, stats, n, avgLen,
+      Seq("habeas", "corpus"), 4).select("id").as[String].collect()
+    assert(top.head == "d1")
+  }
+
+  test("dense branch ranks the exact-text doc first (self-similar embedding)") {
+    val q = new HashingEmbedder(384)
+      .embed("habeas corpus petition filed by the detainee habeas corpus review")
+    val top = HybridSearch.denseTopK(index, q, 4).select("id").as[String].collect()
+    assert(top.head == "d1")
+  }
+
+  test("full hybrid search returns k fused rows led by the relevant doc") {
+    val out = HybridSearch.search(index, stats, n, avgLen,
+      "habeas corpus", HybridSearch.Config(k = 2))
+    val rows = out.select("id", "rrf_score").as[(String, Double)].collect()
+    assert(rows.length == 2)
+    assert(rows.head._1 == "d1")
+    assert(rows.head._2 >= rows(1)._2)
+  }
+
+  test("score threshold can empty the result (reference early-return path)") {
+    val out = HybridSearch.search(index, stats, n, avgLen,
+      "habeas corpus", HybridSearch.Config(k = 2, scoreThreshold = 10.0))
+    assert(out.isEmpty)
+  }
+
+  test("rrf fusion: doc present in both branches outscores single-branch docs") {
+    val dense = Seq(("a", 0.9), ("b", 0.8)).toDF("id", "dense_score")
+    val sparse = Seq(("a", 5.0), ("c", 4.0)).toDF("id", "bm25_score")
+    val fused = HybridSearch.rrfFuse(dense, sparse, HybridSearch.Config(k = 3))
+      .select("id", "rrf_score").as[(String, Double)].collect()
+    assert(fused.head._1 == "a")
+    assert(math.abs(fused.head._2 - (1.0 / 61 + 1.0 / 61)) < 1e-12)
+  }
+}
+
+class IndexWriterSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+  import graft.index.IndexWriter
+
+  test("upsert is idempotent on deterministic ids; audit is clean") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx").toString + "/t"
+    val pts = Seq(("a", "x", Seq("t1")), ("b", "y", Seq("t2")))
+      .toDF("id", "payload", "tokens")
+    val n1 = IndexWriter.upsert(spark, pts, tmp)
+    val n2 = IndexWriter.upsert(spark, pts, tmp)
+    assert(n1 == 2 && n2 == 2)
+    assert(IndexWriter.duplicateAudit(spark.read.parquet(tmp)).isEmpty)
+  }
+
+  test("upsert: new generation wins on conflicting id") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx2").toString + "/t"
+    val v1 = Seq(("a", "old", Seq("t"))).toDF("id", "payload", "tokens")
+    val v2 = Seq(("a", "new", Seq("t"))).toDF("id", "payload", "tokens")
+    IndexWriter.upsert(spark, v1, tmp)
+    IndexWriter.upsert(spark, v2, tmp)
+    val got = spark.read.parquet(tmp).select("payload").as[String].head()
+    assert(got == "new")
+  }
+
+  test("docFrequencies counts documents containing the term, not occurrences") {
+    val pts = Seq(("a", Seq("x", "x", "y")), ("b", Seq("x"))).toDF("id", "tokens")
+    val df = IndexWriter.docFrequencies(pts).as[(String, Long)].collect().toMap
+    assert(df("x") == 2 && df("y") == 1)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessionize: new session after gap, running count per user") {
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 10:10:00")),  // same session (10 min)
+      (3L, 10L, ts("2024-01-01 11:30:00")),  // gap 80 min -> new session
+      (4L, 20L, ts("2024-01-01 10:00:00")))  // other user
+      .toDF("event_id", "user_id", "ts")
+    val out = EventsPipeline.sessionize(ev, gapMin = 30)
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1 && out(2L) == 1 && out(3L) == 2 && out(4L) == 1)
+  }
+
+  test("streaming windowed counts (complete mode) match the batch aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    val q = EventsPipeline.streamWindowedCountsComplete(spark, dir, "test_sink")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("test_sink")
+      .select(col("window.start").as("w"), col("event_type"), col("n"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("cursor checkpoint round-trips and fixes the reference's broken resume (Q1)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cursor").toString + "/c"
+    val state = EventsPipeline.CursorState("scotus", "cursor-abc123", ts("2024-06-01 00:00:00"))
+    EventsPipeline.CursorCheckpoint.save(spark, tmp, state)
+    val loaded = EventsPipeline.CursorCheckpoint.load(spark, tmp)
+    assert(loaded.contains(state))
+    assert(EventsPipeline.CursorCheckpoint.load(spark, tmp + "_missing").isEmpty)
+  }
+}
+
+class ChunkPipelineSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+  import graft.ingest.ChunkPipeline
+  import graft.text.Uuid5
+
+  test("chunk ids are uuid5(chunk_id); vectors are unit-norm; P4 filter applies") {
+    val sentences = (1 to 60).map(i => s"Sentence number $i of the long opinion ends here.").mkString(" ")
+    val docs = Seq((7L, sentences), (8L, "too short")).toDF("doc_id", "text")
+    val pts = ChunkPipeline.chunkPoints(spark, docs)
+    val rows = pts.select("doc_id", "chunk_id", "id").as[(Long, String, String)].collect()
+    assert(rows.nonEmpty && rows.forall(_._1 == 7L), "short doc dropped by P4")
+    rows.foreach { case (_, chunkId, id) => assert(id == Uuid5(chunkId)) }
+    val norms = pts.select(sqrt(graft.functions.GraftFunctions.vecDot(col("dense_vec"), col("dense_vec"))))
+      .as[Double].collect()
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-5))
+  }
+
+  test("F9 processing exposes citations/entities/stats columns") {
+    val docs = Seq((1L, "<p>Justice Marshall cited 347 U.S. 483 (1954) in Brown v. Board.</p>"))
+      .toDF("doc_id", "text")
+    val out = ChunkPipeline.processed(docs)
+    val row = out.select("opinion_text", "citations", "text_stats.citation_count").head()
+    assert(!row.getString(0).contains("<p>"))
+    assert(row.getSeq[String](1).exists(_.startsWith("347 U.S.")))
+    assert(row.getLong(2) == row.getSeq[String](1).size)
+  }
+}

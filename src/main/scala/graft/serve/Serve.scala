@@ -1,0 +1,113 @@
+package graft.serve
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.search.HybridSearch
+
+/** §2.14 — the serving layer: request/response envelopes mirroring the
+  * reference's Flask API (`/root/reference/chatbot/app.py`), with the
+  * engine doing all retrieval work and the LLM calls stubbed behind a
+  * trait (L1-L3 are out-of-engine by design; the reference itself
+  * degrades gracefully without an API key, `app.py:70-80`).
+  *
+  * This is intentionally thin: envelopes are case classes, the "routes"
+  * are functions. Any HTTP framework can wrap them; none ships here.
+  */
+object Serve {
+
+  // ---- envelopes (mirroring app.py:452-458, 510-516, 384-405) ---------
+
+  final case class SearchResult(
+      id: String, score: Double, caseName: String, court: String,
+      dateFiled: String, judges: String, snippet: String)
+
+  final case class QueryResponse(
+      question: String, results: Seq[SearchResult], processingTimeSec: Double)
+
+  final case class HealthResponse(
+      status: String, collectionExists: Boolean, pointsCount: Long,
+      summarizerAvailable: Boolean)
+
+  final case class CollectionInfo(pointsCount: Long, vectorsCount: Long, status: String)
+
+  /** L1/L2 boundary — graceful degradation default (L3). */
+  trait Summarizer extends Serializable {
+    def summarize(context: String, maxWords: Int): String
+  }
+  final class UnavailableSummarizer extends Summarizer {
+    def summarize(context: String, maxWords: Int): String =
+      "Summary unavailable: no LLM configured. Showing retrieved sources only."
+  }
+
+  /** P9 — project raw hit rows to the 8-field API shape with defaults
+    * for missing payload keys (reference `app.py:345-358`). */
+  def sourcesProjection(hits: DataFrame, scoreCol: String = "rrf_score"): DataFrame =
+    hits.select(
+      col("id"),
+      round(col(scoreCol), 6).as("score"),
+      coalesce(col("case_name"), lit("Unknown Case")).as("caseName"),
+      upper(coalesce(col("court"), lit(""))).as("court"),           // F14
+      coalesce(col("date_filed"), lit("")).as("dateFiled"),
+      coalesce(col("judges"), lit("")).as("judges"),
+      when(length(col("chunk_text")) > 200,
+        concat(substring(col("chunk_text"), 1, 200), lit("...")))   // T6
+        .otherwise(col("chunk_text")).as("snippet"))
+
+  /** F15 — render top-k hits into the numbered context block fed to the
+    * summarizer (reference `app.py:193-229`: "Document i" sections with
+    * 500-char previews). */
+  def formatContext(hits: DataFrame, scoreCol: String = "rrf_score"): String = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(desc(scoreCol), col("id"))
+    val blocks = hits
+      .withColumn("rank", row_number().over(w))                      // W1
+      .withColumn("preview",
+        when(length(col("chunk_text")) > 500,
+          concat(substring(col("chunk_text"), 1, 500), lit("...")))
+          .otherwise(col("chunk_text")))
+      .select(format_string("Document %d (score %.4f):%n%s",
+        col("rank"), round(col(scoreCol), 6), col("preview")).as("block"),
+        col("rank"))
+      .orderBy("rank")
+      .select("block")
+    blocks.collect().map(_.getString(0)).mkString("\n\n")
+  }
+
+  /** POST /query | /search — the reference's two identical endpoints
+    * (quirk Q6) collapse to one function. */
+  def query(index: DataFrame, docStats: DataFrame, corpusSize: Long,
+      avgDocLen: Double, question: String, k: Int = 3,
+      scoreThreshold: Double = 0.0): QueryResponse = {
+    val t0 = System.nanoTime()
+    val hits = HybridSearch.search(index, docStats, corpusSize, avgDocLen,
+      question, HybridSearch.Config(k = k, scoreThreshold = scoreThreshold))
+    val results = hits.select("id", "rrf_score", "chunk_text").collect().toSeq.map { r =>
+      val text = Option(r.getAs[String]("chunk_text")).getOrElse("")
+      SearchResult(
+        id = r.getAs[String]("id"),
+        score = r.getAs[Double]("rrf_score"),
+        caseName = "Unknown Case", court = "", dateFiled = "", judges = "",
+        snippet = if (text.length > 200) text.take(200) + "..." else text)
+    }
+    QueryResponse(question, results, (System.nanoTime() - t0) / 1e9)   // F13
+  }
+
+  /** GET /health + /collection/info — A6 collection stats. */
+  def health(spark: SparkSession, indexPath: String,
+      summarizer: Summarizer = new UnavailableSummarizer): HealthResponse =
+    try {
+      val n = spark.read.parquet(indexPath).count()
+      HealthResponse("healthy", collectionExists = true, n,
+        summarizerAvailable = !summarizer.isInstanceOf[UnavailableSummarizer])
+    } catch {
+      case _: Exception =>
+        HealthResponse("degraded", collectionExists = false, 0L,
+          summarizerAvailable = false)
+    }
+
+  def collectionInfo(index: DataFrame): CollectionInfo = {
+    val n = index.count()
+    CollectionInfo(n, n, "green")
+  }
+}

@@ -1,0 +1,88 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable.ArrayBuffer
+
+import CourtListenerSource._
+
+/** S1-S4 semantics against an in-memory fake fetcher (no network). */
+class CourtListenerSourceSpec extends AnyFunSuite {
+
+  private class FakeFetcher(pages: Map[Option[String], DocketPage],
+      clusters: Map[String, Cluster] = Map.empty,
+      opinions: Map[String, OpinionJson] = Map.empty) extends Fetcher {
+    def fetchDocketPage(court: String, cursor: Option[String]): DocketPage = pages(cursor)
+    def fetchCluster(url: String): Option[Cluster] = clusters.get(url)
+    def fetchOpinion(url: String): Option[OpinionJson] = opinions.get(url)
+  }
+
+  test("page loop follows cursors and stops at exhaustion") {
+    val f = new FakeFetcher(Map(
+      None -> DocketPage(Seq(Docket(1, Nil, "scotus")), Some("c2")),
+      Some("c2") -> DocketPage(Seq(Docket(2, Nil, "scotus")), Some("c3")),
+      Some("c3") -> DocketPage(Seq(Docket(3, Nil, "scotus")), None)))
+    val got = docketPages(f, "scotus", None, maxPages = 10).toSeq
+    assert(got.flatMap(_.dockets.map(_.id)) == Seq(1L, 2L, 3L))
+  }
+
+  test("maxPages bounds the loop; existing ids are skipped (P2)") {
+    val f = new FakeFetcher(Map(
+      None -> DocketPage(Seq(Docket(1, Nil, "x"), Docket(2, Nil, "x")), Some("c2")),
+      Some("c2") -> DocketPage(Seq(Docket(3, Nil, "x")), Some("c3"))))
+    val got = docketPages(f, "x", None, maxPages = 2, existingIds = _ == 1L).toSeq
+    assert(got.size == 2)
+    assert(got.flatMap(_.dockets.map(_.id)) == Seq(2L, 3L))
+  }
+
+  test("retry: succeeds after transient failures with linear backoff") {
+    val sleeps = ArrayBuffer.empty[Long]
+    var calls = 0
+    val out = withRetry(RetryPolicy(maxRetries = 3, retryDelayMs = 2000,
+        requestDelayMs = 500), sleeps += _) {
+      calls += 1
+      if (calls < 3) sys.error("boom")
+      "ok"
+    }
+    assert(out.contains("ok") && calls == 3)
+    // 0.5s before each of 3 requests; backoff 2s, 4s after failures 1, 2
+    assert(sleeps.toSeq == Seq(500L, 2000L, 500L, 4000L, 500L))
+  }
+
+  test("retry: gives up after maxRetries and returns None") {
+    var calls = 0
+    val out = withRetry(RetryPolicy(maxRetries = 3), _ => ())(
+      { calls += 1; sys.error("always") })
+    assert(out.isEmpty && calls == 3)
+  }
+
+  test("docket expansion walks cluster and opinion FK lookups (S2/S3)") {
+    val f = new FakeFetcher(
+      pages = Map.empty,
+      clusters = Map("c/1" -> Cluster(10, Seq("o/1", "o/2"), "2020-01-01", "J", "Published")),
+      opinions = Map("o/1" -> OpinionJson(100, Map()), "o/2" -> OpinionJson(101, Map())))
+    val out = expandDocket(f, Docket(1, Seq("c/1", "c/missing"), "scotus"))
+    assert(out.map(_._3.id) == Seq(100L, 101L))
+    assert(out.forall(_._2.id == 10L))
+  }
+}
+
+class PdfSourceSpec extends AnyFunSuite with graft.SparkTestBase {
+  import graft.sources.PdfSource
+
+  test("stub extractor: non-PDF bytes -> no pages; %PDF magic -> per-page stubs") {
+    val ex = new PdfSource.StubExtractor
+    assert(ex.pages("not a pdf".getBytes).isEmpty)
+    val fake = "%PDF-1.4\n/Type /Page\nstuff\n/Type /Page\nend".getBytes("ISO-8859-1")
+    assert(ex.pages(fake).size == 2)
+  }
+
+  test("binaryFile read plumbing: pages joined with newline") {
+    val dir = java.nio.file.Files.createTempDirectory("pdfs")
+    java.nio.file.Files.write(dir.resolve("a.pdf"),
+      "%PDF-1.4\n/Type /Page\nx\n/Type /Page\ny".getBytes("ISO-8859-1"))
+    java.nio.file.Files.write(dir.resolve("skip.txt"), "no".getBytes)
+    val out = PdfSource.read(spark, dir.toString).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("text") == "[stub page 1 text]\n[stub page 2 text]")
+  }
+}

@@ -145,13 +145,16 @@ object Dedup {
     val sh0 = df.filter(size(toks) >= shingleK)
       .select(col(idCol), shingles(col(textCol), shingleK).as("sh"))
       .repartition(p, col(idCol))
-    val sh = if (persistShingles) sh0.persist() else sh0
-    val sig = sh.withColumn("sig", signature(col("sh"), numHashes))
+    val sig0 = sh0.withColumn("sig", signature(col("sh"), numHashes))
       .repartition(p, col(idCol)) // one signature pass shared by both band-join sides
+    // persist the sig table (it carries the shingles too): ALL four plan
+    // consumers — two band-join sides, two verification-join sides — read
+    // one materialization instead of relying on best-effort reuse
+    val sig = if (persistShingles) sig0.persist() else sig0
     val cands = lshCandidates(
       lshBands(sig, "sig", bands, idCol, bandHash, sigLen = numHashes), idCol)
-    val left = sh.select(col(idCol).as("id1"), col("sh").as("sh1"))
-    val right = sh.select(col(idCol).as("id2"), col("sh").as("sh2"))
+    val left = sig.select(col(idCol).as("id1"), col("sh").as("sh1"))
+    val right = sig.select(col(idCol).as("id2"), col("sh").as("sh2"))
     cands.join(left, "id1").join(right, "id2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard",

@@ -411,6 +411,24 @@ object SparkEntry {
         .select("id", "chunk_id", "rrf_score", "dense_score", "bm25_score")
     }),
 
+    // Spark-native session_window aggregation (batch form of the
+    // streaming sessionization) — oracle is the µs-exact lag-based
+    // formulation, proving the two sessionization paths agree.
+    "q37_session_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"))
+    }),
+
+    // salted two-phase aggregation (skew mitigation) — must equal the
+    // naive GROUP BY, which is exactly what the oracle asserts.
+    "q38_salted_agg" -> ((s, dir) =>
+      graft.ops.Skew.saltedSum(t(s, dir, "lineitem"), "l_returnflag", "l_quantity")
+        .select(col("l_returnflag"),
+          col("sum_l_quantity").cast("long").as("sum_qty"), col("n_rows"))),
+
     // ANN via random-hyperplane LSH with Hamming-1 multiprobe (bucket-
     // pruned scan). JVM-seeded hyperplanes — driver rows-check.
     "q36_lsh_ann" -> ((s, dir) => {
@@ -710,6 +728,24 @@ object SparkEntry {
 
     "q34_stream_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
-        |  COUNT(*) AS n FROM events GROUP BY 1, 2""".stripMargin
+        |  COUNT(*) AS n FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q37_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL
+        |              OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT user_id, ts,
+        |          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |        FROM events))
+        |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY 1""".stripMargin,
+
+    "q38_salted_agg" ->
+      """SELECT l_returnflag, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin
   )
 }

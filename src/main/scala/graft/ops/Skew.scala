@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation patterns for 100 TB-scale shuffles.
+  *
+  * A hot grouping/join key concentrates a shuffle partition on one task.
+  * Salting splits each key into `saltBuckets` sub-keys so the heavy key's
+  * rows spread across tasks; aggregation then needs two phases (partial
+  * per (key, salt), final per key), and a salted join replicates the
+  * dimension side once per salt bucket.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: exactly `df.groupBy(key).agg(sum)`,
+    * but the first shuffle distributes each key over `saltBuckets`
+    * sub-partitions. Only algebraic aggregates (sum/count/min/max) can
+    * be re-aggregated this way — enforced here by taking sums. */
+  def saltedSum(df: DataFrame, keyCol: String, valueCol: String,
+      saltBuckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
+    salted
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(sum(col(valueCol)).as("__partial"), count(lit(1)).as("__n"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__partial")).as(s"sum_$valueCol"),
+        sum(col("__n")).as("n_rows"))
+  }
+
+  /** Salted equi-join for a skewed fact side: fact rows get a random
+    * salt in [0, saltBuckets); the (small) dimension side is replicated
+    * once per salt value; join on (key, salt). Semantically identical to
+    * `fact.join(dim, key)` for 1:1 dim keys. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltBuckets: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
+    val explodedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    saltedFact.join(explodedDim, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -54,4 +54,16 @@ object ChunkPipeline {
       .withColumn("tokens", bm25Tokenize(col("chunk_text")))
       .withColumn("time_ingested", current_timestamp())
   }
+
+  /** Typed view of the pipeline output (`Dataset[ChunkPoint]`) — the
+    * case-class encoder gives compile-time field checks downstream. */
+  def typedChunkPoints(spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.Dataset[graft.model.ChunkPoint] = {
+    import spark.implicits._
+    chunkPoints(spark, docs, idCol, textCol)
+      .select(col("id"), col("chunk_id"), col("chunk_index"),
+        col("chunk_text"), col("doc_id"), col("dense_vec"), col("tokens"))
+      .as[graft.model.ChunkPoint]
+  }
 }

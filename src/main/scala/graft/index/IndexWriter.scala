@@ -49,6 +49,17 @@ object IndexWriter {
     points.select(col("id"), explode(array_distinct(col("tokens"))).as("term"))
       .groupBy("term").agg(count("*").as("df"))
 
+  /** Bucketed index write: co-locates rows by id so id-keyed joins and
+    * MERGE-style upserts shuffle neither side (bucket pruning + no
+    * exchange when both sides share the bucketing). This is the
+    * 100 TB-shape of the index table; the plain-parquet `upsert` above is
+    * the catalog-free fallback. */
+  def writeBucketed(points: DataFrame, table: String, buckets: Int = 64): Unit =
+    points.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "id").sortBy("id")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** A3 — duplicate audit: ids seen more than once (should be empty). */
   def duplicateAudit(index: DataFrame): DataFrame =
     index.groupBy("id").count().filter(col("count") > 1)

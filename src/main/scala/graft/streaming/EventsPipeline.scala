@@ -73,6 +73,27 @@ object EventsPipeline {
       .drop("prev_ts", "new_session")
   }
 
+  /** Streaming exactly-once-ish dedup: drop re-delivered events by id
+    * within the watermark horizon (`dropDuplicatesWithinWatermark` keeps
+    * state bounded — the unbounded-state `dropDuplicates` would OOM on an
+    * infinite stream). Memory sink for tests. */
+  def streamDedupCounts(spark: SparkSession, dir: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   final case class CursorState(court: String, lastCursor: String, updatedAt: java.sql.Timestamp)
 
   /** ST2 — explicit checkpoint table (fixes reference quirk Q1: cursor

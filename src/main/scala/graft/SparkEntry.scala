@@ -438,6 +438,17 @@ object SparkEntry {
       new Similarity.RandomHyperplaneIndex(e, nBits = 8, dim = 64)
         .query(q, k = 10)
         .select("vec_id", "bucket", "cos")
+    }),
+
+    // ANN via IVF (k-means coarse quantizer, nProbe cell pruning + exact
+    // rerank). Seeded k-means — driver rows-check.
+    "q39_ivf_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .first().getSeq[Float](0).toArray
+      new Similarity.IvfIndex(e, nCentroids = 16)
+        .query(q, k = 10, nProbe = 4)
+        .select("vec_id", "centroid", "cos")
     })
   )
 

@@ -91,6 +91,56 @@ object Similarity {
     }
   }
 
+  /** IVF (inverted-file) ANN index: a k-means coarse quantizer assigns
+    * every vector to its nearest centroid; queries probe only the
+    * `nProbe` nearest centroid cells and rerank exactly with cosine.
+    *
+    * The scale path: persist `assigned` partitioned by `centroid` and a
+    * query prunes to nProbe/nCentroids of the corpus. Centroids live on
+    * the driver (tiny); assignment is one ML pipeline pass. */
+  final class IvfIndex(
+      df: DataFrame, nCentroids: Int = 16,
+      vecCol: String = "embedding", idCol: String = "vec_id", seed: Long = 42L) {
+
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    private val featured = df.withColumn("__v",
+      array_to_vector(col(vecCol).cast("array<double>")))
+
+    val model: org.apache.spark.ml.clustering.KMeansModel =
+      new KMeans().setK(nCentroids).setSeed(seed)
+        .setFeaturesCol("__v").setPredictionCol("centroid")
+        .fit(featured)
+
+    /** The partitioned index table — at scale, written partitioned by
+      * `centroid` so a query scans only its probe cells. */
+    lazy val assigned: DataFrame = model.transform(featured).drop("__v")
+
+    private def nearestCentroids(qv: Array[Float], n: Int): Seq[Int] = {
+      val centers = model.clusterCenters
+      centers.indices.sortBy { i =>
+        val c = centers(i).toArray
+        var d = 0.0
+        var j = 0
+        while (j < c.length && j < qv.length) {
+          val diff = c(j) - qv(j); d += diff * diff; j += 1
+        }
+        d
+      }.take(n)
+    }
+
+    /** Exact cosine top-k over the nProbe nearest cells only. */
+    def query(queryVec: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
+      val cells = nearestCentroids(queryVec, nProbe)
+      assigned
+        .filter(col("centroid").isin(cells: _*))
+        .withColumn("cos", round(vecCosine(col(vecCol), typedlit(queryVec)), 6))
+        .orderBy(desc("cos"), col(idCol))
+        .limit(k)
+    }
+  }
+
   /** All-pairs top-k per query row against a corpus (KNN join) with
     * block-nested cosine — broadcast the smaller (query) side. */
   def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -81,6 +81,16 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(top.head == 11L)
   }
 
+  test("IVF index: self is rank 1; probed top-k overlaps brute force") {
+    val idx = new Similarity.IvfIndex(emb, nCentroids = 8)
+    val q = emb.filter($"vec_id" === 23).select("embedding").as[Seq[Float]].head().toArray
+    val ivf = idx.query(q, k = 10, nProbe = 4).select("vec_id").as[Long].collect()
+    assert(ivf.head == 23L, "query vector must find itself in its own cell")
+    val brute = Similarity.bruteForceTopK(emb, q, 10).select("vec_id").as[Long].collect()
+    val overlap = ivf.toSet.intersect(brute.toSet).size
+    assert(overlap >= 3, s"IVF(4/8 probes) should recover some of brute-force top-10, got $overlap")
+  }
+
   test("knnJoin: every query's rank-1 neighbor is itself") {
     val out = Similarity.knnJoin(emb, emb.filter($"vec_id" < 3), 2)
     val rank1 = out.filter($"rn" === 1).select("query_id", "corpus_id")

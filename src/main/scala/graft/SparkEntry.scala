@@ -440,6 +440,26 @@ object SparkEntry {
         .select("vec_id", "bucket", "cos")
     }),
 
+    // A2 — native max_by argmax (the deterministic window variant is
+    // q09; timestamps are tie-free in this corpus so max_by is exact).
+    "q40_argmax_native" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy("user_id")
+        .agg(max_by(col("event_type"), col("ts")).as("last_event_type"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))
+    }),
+
+    // exact interpolated percentiles per group (sort-based aggregate).
+    "q41_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
+          count(lit(1)).as("n"))
+    }),
+
     // ANN via IVF (k-means coarse quantizer, nProbe cell pruning + exact
     // rerank). Seeded k-means — driver rows-check.
     "q39_ivf_ann" -> ((s, dir) => {
@@ -757,6 +777,19 @@ object SparkEntry {
     "q38_salted_agg" ->
       """SELECT l_returnflag, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
         |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q40_argmax_native" ->
+      """SELECT user_id, arg_max(event_type, ts) AS last_event_type,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q41_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        |  COUNT(*) AS n
         |FROM lineitem GROUP BY 1""".stripMargin
   )
 }

@@ -40,6 +40,21 @@ object SparkEntry {
 
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
+  /** Aux tables for the ANN/hybrid oracles (q35/q36/q39): the query
+    * materializes its *index-side* artifacts (bucket/centroid
+    * assignments, dense-branch scores) here, and the DuckDB oracle
+    * re-derives the *query side* — candidate pruning, cosine/BM25/RRF
+    * arithmetic in independent double math, top-k ordering — from them.
+    * Keyed by the sf-dir basename so a bench run at another SF can't
+    * clobber the artifacts the correctness gate reads; `oracleSql` refers
+    * to them via the `__AUX__` placeholder that [[Verify]] substitutes
+    * when dumping oracle_sql.json. */
+  def auxPath(sfDir: String): String =
+    "/tmp/graft_oracle_aux/" + new java.io.File(sfDir).getName
+
+  private def writeAux(df: DataFrame, sfDir: String, name: String): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(s"${auxPath(sfDir)}/$name")
+
   // ---------------------------------------------------------------------
   // Flagship: the §7.2 end-to-end slice — clean → chunk → embed → index →
   // hybrid (dense+BM25+RRF) top-3 on sf0.001 documents.
@@ -183,14 +198,15 @@ object SparkEntry {
           col("sum_qty"), col("n"))
     }),
 
-    // set ops — INTERSECT / EXCEPT of user sets by behavior.
+    // set ops — (signup ∩ error) EXCEPT purchase: users who signed up and
+    // hit an error but never purchased.
     "q14_set_ops" -> ((s, dir) => {
       val ev = events(s, dir)
       val signups = ev.filter(col("event_type") === "signup").select("user_id").distinct()
       val errors = ev.filter(col("event_type") === "error").select("user_id").distinct()
       val purchases = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
-      signups.intersect(errors).except(purchases.limit(0)) // except kept trivially true
-        .withColumn("cohort", lit("signup_and_error"))
+      signups.intersect(errors).except(purchases)
+        .withColumn("cohort", lit("signup_error_no_purchase"))
     }),
 
     // P3 — text-field coalesce with source_field tracking.
@@ -316,17 +332,11 @@ object SparkEntry {
     }),
 
     // SimHash (16-bit, md5-nibble variant reproducible in the oracle;
-    // library hot path: Dedup.simHash on xxhash64).
-    "q28_simhash" -> ((s, dir) => {
-      val parts = split(col("text"), " ")
-      val hashes = transform(parts, x => md5(x))
-      val n = size(parts)
-      val simhash = (0 until 16).map { j =>
-        val hits = size(filter(hashes, h => substring(h, j + 1, 1) >= "8"))
-        when(hits * 2 > n, lit(1L << j)).otherwise(lit(0L))
-      }.reduce((a, b) => a + b)
-      t(s, dir, "documents").select(col("doc_id"), simhash.as("simhash16"))
-    }),
+    // library hot path: Dedup.simHash on xxhash64). Compiled UDF — the
+    // transform/filter HOF form never entered codegen (19 s at sf0.1).
+    "q28_simhash" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        Dedup.md5SimHash16Udf(col("text")).as("simhash16"))),
 
     // language-ID heuristic — stopword-hit argmax with deterministic ties.
     "q29_langid" -> ((s, dir) =>
@@ -345,16 +355,20 @@ object SparkEntry {
     // J4/A5/T1 — RRF fusion of two relational rankings (balance vs order
     // count), full-outer joined.
     "q31_rrf_fusion" -> ((s, dir) => {
+      // top-20 via orderBy().limit() → TakeOrderedAndProject (per-partition
+      // top-k + driver merge); the global row_number window — which would
+      // funnel an unbounded input through ONE task — ranks only the 20
+      // surviving rows. Same result, scale-safe plan.
       val wBal = Window.orderBy(desc("c_acctbal"), col("c_custkey"))
       val byBal = t(s, dir, "customer")
+        .orderBy(desc("c_acctbal"), col("c_custkey")).limit(20)
         .withColumn("rank_bal", row_number().over(wBal))
-        .filter(col("rank_bal") <= 20)
         .select(col("c_custkey"), col("rank_bal").cast("long").as("rank_bal"))
       val wOrd = Window.orderBy(desc("n_orders"), col("o_custkey"))
       val byOrd = t(s, dir, "orders")
         .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        .orderBy(desc("n_orders"), col("o_custkey")).limit(20)
         .withColumn("rank_ord", row_number().over(wOrd))
-        .filter(col("rank_ord") <= 20)
         .select(col("o_custkey").as("c_custkey"), col("rank_ord").cast("long").as("rank_ord"))
       byBal.join(byOrd, Seq("c_custkey"), "full_outer")
         .withColumn("rrf_score",
@@ -399,15 +413,23 @@ object SparkEntry {
     }),
 
     // hybrid search end-to-end (dense+BM25+RRF over a freshly built chunk
-    // index). Not SQL-expressible (embedding model) — driver rows-check.
+    // index). The embedding model isn't SQL-expressible, so the dense
+    // branch scores + the index (id, chunk_id, tokens) are materialized as
+    // aux tables and the oracle re-derives the ENTIRE query side — BM25
+    // branch, both ranks, RRF fusion, threshold, final top-k — in DuckDB.
     "q35_hybrid_search" -> ((s, dir) => {
       GraftFunctions.register(s)
       val index = ChunkPipeline.chunkPoints(s, t(s, dir, "documents")).cache()
       val stats = graft.index.IndexWriter.docFrequencies(index)
       val n = index.count()
       val avgLen = index.select(avg(size(col("tokens")))).first().getDouble(0)
+      val cfg = HybridSearch.Config(k = 5)
+      writeAux(index.select("id", "chunk_id", "tokens"), dir, "q35_index")
+      val qVec = graft.embed.HashingEmbedder.default.embedQuery("spark join merge table scan")
+      writeAux(HybridSearch.denseTopK(index, qVec, cfg.k * cfg.prefetchMultiplier),
+        dir, "q35_dense")
       HybridSearch.search(index, stats, n, avgLen,
-          "spark join merge table scan", HybridSearch.Config(k = 5))
+          "spark join merge table scan", cfg)
         .select("id", "chunk_id", "rrf_score", "dense_score", "bm25_score")
     }),
 
@@ -430,13 +452,19 @@ object SparkEntry {
           col("sum_l_quantity").cast("long").as("sum_qty"), col("n_rows"))),
 
     // ANN via random-hyperplane LSH with Hamming-1 multiprobe (bucket-
-    // pruned scan). JVM-seeded hyperplanes — driver rows-check.
+    // pruned scan). The hyperplanes are JVM-seeded, so the bucket
+    // assignment + probed-bucket set are materialized as aux tables and
+    // the oracle re-derives the pruned scan, cosine math, and top-k in
+    // DuckDB (full 8-bucket multiprobe).
     "q36_lsh_ann" -> ((s, dir) => {
+      import s.implicits._
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0).select("embedding")
         .first().getSeq[Float](0).toArray
-      new Similarity.RandomHyperplaneIndex(e, nBits = 8, dim = 64)
-        .query(q, k = 10)
+      val idx = new Similarity.RandomHyperplaneIndex(e, nBits = 8, dim = 64)
+      writeAux(idx.bucketed.select("vec_id", "bucket"), dir, "q36_buckets")
+      writeAux(idx.probeBuckets(q, probes = 8).toDF("bucket"), dir, "q36_probes")
+      idx.query(q, k = 10, probes = 8)
         .select("vec_id", "bucket", "cos")
     }),
 
@@ -461,13 +489,18 @@ object SparkEntry {
     }),
 
     // ANN via IVF (k-means coarse quantizer, nProbe cell pruning + exact
-    // rerank). Seeded k-means — driver rows-check.
+    // rerank). The k-means assignment + probed-cell set are materialized
+    // as aux tables and the oracle re-derives the pruned scan, cosine
+    // math, and top-k in DuckDB.
     "q39_ivf_ann" -> ((s, dir) => {
+      import s.implicits._
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0).select("embedding")
         .first().getSeq[Float](0).toArray
-      new Similarity.IvfIndex(e, nCentroids = 16)
-        .query(q, k = 10, nProbe = 4)
+      val idx = new Similarity.IvfIndex(e, nCentroids = 16)
+      writeAux(idx.assigned.select("vec_id", "centroid"), dir, "q39_assigned")
+      writeAux(idx.probeCells(q, nProbe = 4).toDF("centroid"), dir, "q39_probes")
+      idx.query(q, k = 10, nProbe = 4)
         .select("vec_id", "centroid", "cos")
     })
   )
@@ -559,10 +592,13 @@ object SparkEntry {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
     "q14_set_ops" ->
-      """SELECT user_id, 'signup_and_error' AS cohort FROM (
-        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
-        |  INTERSECT
-        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')""".stripMargin,
+      """SELECT user_id, 'signup_error_no_purchase' AS cohort FROM (
+        |  SELECT user_id FROM (
+        |    SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+        |    INTERSECT
+        |    SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        |  EXCEPT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')""".stripMargin,
 
     "q15_coalesce_source" ->
       """SELECT doc_id,
@@ -790,6 +826,66 @@ object SparkEntry {
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
         |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
         |  COUNT(*) AS n
-        |FROM lineitem GROUP BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // --- ANN/hybrid gates (aux-table oracles; __AUX__ → Verify's dump
+    // path). The Spark side materializes only the *index* artifacts;
+    // everything the QUERY does — candidate pruning, cosine in double
+    // math, BM25, rank windows, RRF fusion, top-k — is re-derived here.
+
+    "q35_hybrid_search" ->
+      """WITH idx AS (SELECT * FROM '__AUX__/q35_index/*.parquet'),
+        |dense AS (SELECT * FROM '__AUX__/q35_dense/*.parquet'),
+        |params AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(tokens)) AS avgdl FROM idx),
+        |tf AS (SELECT id, tok, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl FROM (
+        |    SELECT id, unnest(tokens) AS tok, len(tokens) AS dl FROM idx) u
+        |  WHERE tok IN ('spark','join','merge','table','scan') GROUP BY id, tok),
+        |df AS (SELECT tok, CAST(count(DISTINCT id) AS DOUBLE) AS df FROM (
+        |    SELECT id, unnest(tokens) AS tok FROM idx) u GROUP BY tok),
+        |sc AS (SELECT t.id,
+        |    ln(1 + (p.n - f.df + 0.5) / (f.df + 0.5)) * t.tf * 2.2 /
+        |      (t.tf + 1.2 * (0.25 + 0.75 * t.dl / p.avgdl)) AS s
+        |  FROM tf t, params p JOIN df f ON t.tok = f.tok),
+        |bm AS (SELECT id, round(sum(s), 6) AS bm25_score FROM sc GROUP BY id
+        |  ORDER BY bm25_score DESC, id LIMIT 25),
+        |dr AS (SELECT id, dense_score,
+        |    ROW_NUMBER() OVER (ORDER BY dense_score DESC, id) AS dense_rank FROM dense),
+        |br AS (SELECT id, bm25_score,
+        |    ROW_NUMBER() OVER (ORDER BY bm25_score DESC, id) AS bm25_rank FROM bm),
+        |fused AS (SELECT COALESCE(dr.id, br.id) AS id, dr.dense_score, br.bm25_score,
+        |    COALESCE(1.0 / (60 + dr.dense_rank), 0.0)
+        |      + COALESCE(1.0 / (60 + br.bm25_rank), 0.0) AS rrf_score
+        |  FROM dr FULL OUTER JOIN br ON dr.id = br.id),
+        |top AS (SELECT * FROM fused ORDER BY rrf_score DESC, id LIMIT 5)
+        |SELECT top.id, idx.chunk_id, top.rrf_score, top.dense_score, top.bm25_score
+        |FROM top JOIN idx ON idx.id = top.id""".stripMargin,
+
+    "q36_lsh_ann" ->
+      """WITH b AS (SELECT * FROM '__AUX__/q36_buckets/*.parquet'),
+        |p AS (SELECT * FROM '__AUX__/q36_probes/*.parquet'),
+        |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |cand AS (SELECT e.vec_id, b.bucket, e.embedding
+        |  FROM embeddings e JOIN b ON e.vec_id = b.vec_id
+        |  WHERE b.bucket IN (SELECT bucket FROM p)),
+        |c AS (SELECT vec_id, bucket,
+        |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+        |  FROM (SELECT cand.vec_id, cand.bucket, unnest(cand.embedding)::DOUBLE AS x,
+        |               unnest(q.embedding)::DOUBLE AS y FROM cand, q)
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, bucket, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q39_ivf_ann" ->
+      """WITH a AS (SELECT * FROM '__AUX__/q39_assigned/*.parquet'),
+        |p AS (SELECT * FROM '__AUX__/q39_probes/*.parquet'),
+        |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |cand AS (SELECT e.vec_id, a.centroid, e.embedding
+        |  FROM embeddings e JOIN a ON e.vec_id = a.vec_id
+        |  WHERE a.centroid IN (SELECT centroid FROM p)),
+        |c AS (SELECT vec_id, centroid,
+        |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+        |  FROM (SELECT cand.vec_id, cand.centroid, unnest(cand.embedding)::DOUBLE AS x,
+        |               unnest(q.embedding)::DOUBLE AS y FROM cand, q)
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, centroid, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
   )
 }

@@ -40,19 +40,48 @@ object ChunkPipeline {
       idCol: String = "doc_id",
       textCol: String = "text",
       minRawLen: Int = 100,
-      chunkUdf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = chunkText): DataFrame = {
-    val cleaned = processed(docs, textCol)
+      chunkUdf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = chunkText,
+      embedder: Embedder = HashingEmbedder.default): DataFrame = {
+    // Spread the CPU-heavy UDF chain across cores BEFORE any of it runs:
+    // a small parquet input arrives as ONE split (and at any scale the
+    // input split count, not the cluster, would bound parallelism here) —
+    // without this, clean→extract→chunk→embed serializes on one task.
+    val spread = docs.repartition(spark.sparkContext.defaultParallelism, col(idCol))
+    val cleaned = processed(spread, textCol)
       .filter(length(trim(col("opinion_text"))) >= minRawLen) // P4
-    cleaned
+    val chunked = cleaned
       .select(
         col(idCol).as("doc_id"),
         col("citations"), col("legal_entities"), col("text_stats"),
         posexplode(chunkUdf(col("opinion_text"))).as(Seq("chunk_index", "chunk_text")))
       .withColumn("chunk_id", concat_ws("_", col("doc_id"), col("chunk_index")))
       .withColumn("id", uuid5(col("chunk_id")))
-      .withColumn("dense_vec", embedText(col("chunk_text")))
       .withColumn("tokens", bm25Tokenize(col("chunk_text")))
       .withColumn("time_ingested", current_timestamp())
+    embedBatched(chunked, "chunk_text", "dense_vec", embedder)
+  }
+
+  /** V1 — batched embedding: `mapPartitions` with one embedder instance
+    * per task, texts fed to [[Embedder.embedBatch]] in batches of
+    * `batchSize` (the reference encodes in batches of ≤16,
+    * `data-ingestion/data_extraction.py:269-274`). A real ONNX embedder
+    * amortizes model dispatch over the batch; the deterministic
+    * [[HashingEmbedder]] maps over it, so output vectors are identical to
+    * the per-row UDF path. */
+  def embedBatched(df: DataFrame, textCol: String, outCol: String,
+      embedder: Embedder = HashingEmbedder.default, batchSize: Int = 16): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val schema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val vecs = embedder.embedBatch(batch.map(r => r.getString(idx)))
+        batch.iterator.zip(vecs.iterator).map { case (r, v) =>
+          Row.fromSeq(r.toSeq :+ v)
+        }
+      }
+    }(Encoders.row(schema))
   }
 
   /** Typed view of the pipeline output (`Dataset[ChunkPoint]`) — the

@@ -20,12 +20,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: keep the first (min orderCol) row per normalized text
-    * digest. Shuffles 16-byte keys, not documents. */
+  /** Exact dedup: keep the first (min `idCol`) row per text digest.
+    *
+    * Two-step shape chosen for its shuffle profile: the aggregation
+    * shuffles only (digest, id) pairs — with map-side partial combine, so
+    * per-partition duplicates collapse before the exchange — and the
+    * left-semi join then re-reads the corpus narrowly (AQE broadcasts the
+    * keeper set when it is small; otherwise rows shuffle once by digest,
+    * un-sorted). The previous window formulation shuffled AND sorted full
+    * rows including the text — the whole corpus through one exchange at
+    * 100 TB. */
   def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val keep = df
+      .groupBy(md5(col(textCol)).as("__digest"))
+      .agg(min(col(idCol)).as("__keep_id"))
+    df.join(keep,
+      md5(col(textCol)) === col("__digest") && col(idCol) === col("__keep_id"),
+      "left_semi")
   }
 
   /** Rows that have at least one exact duplicate (audit view). */
@@ -164,18 +175,64 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
-  /** SimHash signature (`bits` ≤ 32): per-token hash votes per bit;
-    * sign of the vote sum sets the bit. Pure expression — codegen'd. */
-  def simHash(textCol: Column, bits: Int = 32): Column = {
-    val toks = split(lower(trim(textCol)), "\\s+")
-    val bitCols = (0 until bits).map { b =>
-      // vote_b = Σ_tokens (bit b of hash(token) ? +1 : -1)
-      val votes = aggregate(toks, lit(0),
-        (acc, t) => acc + when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+  /** SimHash signature (`bits` ≤ 64): per-token hash votes per bit; sign
+    * of the vote sum sets the bit. Token hash is bit-identical to Spark's
+    * `xxhash64(token)` (XXH64 over UTF-8 bytes, seed 42).
+    *
+    * Compiled scalar UDF, not `aggregate`/`filter` HOFs: higher-order
+    * functions never enter whole-stage codegen and pay interpreter
+    * overhead per element × per bit — the HOF form of this signature cost
+    * 19 s at sf0.1; the UDF is one pass over the tokens. */
+  def simHash(textCol: Column, bits: Int = 32): Column = simHashUdf(bits)(textCol)
+
+  private[ops] def simHashUdf(bits: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { text: String =>
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      import org.apache.spark.unsafe.types.UTF8String
+      val toks = (if (text == null) "" else text).trim.toLowerCase.split("\\s+")
+      val votes = new Array[Int](bits)
+      toks.foreach { t =>
+        val h = XXH64.hashUTF8String(UTF8String.fromString(t), 42L)
+        var b = 0
+        while (b < bits) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      var sig = 0L
+      var b = 0
+      while (b < bits) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+      sig
     }
-    bitCols.reduce((a, b) => a + b)
-  }
+
+  /** 16-bit md5-nibble SimHash as a compiled UDF — the oracle-parity
+    * variant (each bit votes on whether the j-th hex digit of
+    * `md5(token)` is ≥ '8', i.e. the nibble's top bit). Semantically
+    * identical to the DuckDB SQL in `SparkEntry.oracleSql("q28_simhash")`;
+    * tokens split on a single space to match `string_split(text, ' ')`. */
+  def md5SimHash16Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { text: String =>
+      val parts = (if (text == null) "" else text).split(" ", -1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hits = new Array[Int](16)
+      parts.foreach { p =>
+        val d = md.digest(p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var j = 0
+        while (j < 16) {
+          // hex digit j is the high nibble of byte j/2 when j even, low when odd;
+          // "≥ '8'" on the hex char ⇔ nibble value ≥ 8
+          val nibble =
+            if ((j & 1) == 0) (d(j >> 1) >> 4) & 0xf else d(j >> 1) & 0xf
+          if (nibble >= 8) hits(j) += 1
+          j += 1
+        }
+      }
+      val n = parts.length
+      var sig = 0L
+      var j = 0
+      while (j < 16) { if (2 * hits(j) > n) sig |= (1L << j); j += 1 }
+      sig
+    }
 
   /** n-gram Jaccard similarity between two token-array columns
     * (set semantics; integer arithmetic — deterministic). */

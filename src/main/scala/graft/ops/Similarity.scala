@@ -77,17 +77,25 @@ object Similarity {
     lazy val bucketed: DataFrame =
       df.withColumn("bucket", bucketUdf(col(vecCol)))
 
-    /** Top-k restricted to the query's bucket + Hamming-1 probes. */
+    /** Top-k restricted to the query's bucket plus the first `probes`
+      * Hamming-1 neighbor buckets (probes = 0 → exact-bucket only,
+      * probes = nBits → full Hamming-1 multiprobe). More probes = more
+      * of the corpus scanned = higher recall; the parameter is the
+      * recall/cost dial. */
     def query(queryVec: Array[Float], k: Int, probes: Int = 1): DataFrame = {
-      val qb = bucketOf(queryVec)
-      val candidates: Seq[Long] =
-        if (probes <= 0) Seq(qb)
-        else qb +: (0 until nBits).map(b => qb ^ (1L << b))
+      val candidates = probeBuckets(queryVec, probes)
       bucketed
         .filter(col("bucket").isin(candidates: _*))
         .withColumn("cos", round(vecCosine(col(vecCol), typedlit(queryVec)), 6))
         .orderBy(desc("cos"), col(idCol))
         .limit(k)
+    }
+
+    /** The bucket ids a query with this probe count scans — exposed so an
+      * external oracle can verify the pruned scan independently. */
+    def probeBuckets(queryVec: Array[Float], probes: Int = 1): Seq[Long] = {
+      val qb = bucketOf(queryVec)
+      qb +: (0 until math.min(math.max(probes, 0), nBits)).map(b => qb ^ (1L << b))
     }
   }
 
@@ -105,17 +113,25 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
+    // persisted BEFORE the k-means fit: KMeans is iterative, and an
+    // unpersisted lineage re-reads the parquet scan + re-runs the
+    // array→vector cast on EVERY iteration (this was 267 s → ~5 s on
+    // the sf0.1 bench). The cache also feeds `assigned` below.
     private val featured = df.withColumn("__v",
-      array_to_vector(col(vecCol).cast("array<double>")))
+      array_to_vector(col(vecCol).cast("array<double>"))).persist()
 
     val model: org.apache.spark.ml.clustering.KMeansModel =
-      new KMeans().setK(nCentroids).setSeed(seed)
+      new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(20)
         .setFeaturesCol("__v").setPredictionCol("centroid")
         .fit(featured)
 
     /** The partitioned index table — at scale, written partitioned by
       * `centroid` so a query scans only its probe cells. */
     lazy val assigned: DataFrame = model.transform(featured).drop("__v")
+
+    /** Release the cached feature frame (call after the index table has
+      * been materialized/written). */
+    def unpersist(): Unit = { featured.unpersist(); () }
 
     private def nearestCentroids(qv: Array[Float], n: Int): Seq[Int] = {
       val centers = model.clusterCenters
@@ -129,6 +145,11 @@ object Similarity {
         d
       }.take(n)
     }
+
+    /** The `nProbe` nearest centroid cells for a query — exposed so an
+      * external oracle can verify the pruned scan independently. */
+    def probeCells(queryVec: Array[Float], nProbe: Int = 4): Seq[Int] =
+      nearestCentroids(queryVec, nProbe)
 
     /** Exact cosine top-k over the nProbe nearest cells only. */
     def query(queryVec: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {

@@ -19,8 +19,7 @@ object Skew {
     * be re-aggregated this way — enforced here by taking sums. */
   def saltedSum(df: DataFrame, keyCol: String, valueCol: String,
       saltBuckets: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
+    val salted = df.withColumn("__salt", contentSalt(df, saltBuckets))
     salted
       .groupBy(col(keyCol), col("__salt"))
       .agg(sum(col(valueCol)).as("__partial"), count(lit(1)).as("__n"))
@@ -35,10 +34,21 @@ object Skew {
     * `fact.join(dim, key)` for 1:1 dim keys. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltBuckets: Int = 16): DataFrame = {
-    val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
+    val saltedFact = fact.withColumn("__salt", contentSalt(fact, saltBuckets))
     val explodedDim = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltBuckets - 1L))))
     saltedFact.join(explodedDim, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Deterministic per-row salt derived from ALL of the row's columns.
+    *
+    * NOT `monotonically_increasing_id()`/`rand()`: those change value when
+    * a shuffle-map stage is partially recomputed after a fetch failure, so
+    * retried rows land in different salt buckets and the two-phase
+    * aggregate silently double-counts or drops them (the SPARK-23207
+    * class of bug) — precisely the fault-recovery regime salting targets.
+    * Content-derived salt is stable across retries; fully identical rows
+    * share a bucket, which still spreads any key whose *values* vary. */
+  private def contentSalt(df: DataFrame, saltBuckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(saltBuckets.toLong))
 }

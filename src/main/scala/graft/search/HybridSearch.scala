@@ -31,11 +31,22 @@ import graft.text.Bm25
   */
 object HybridSearch {
 
+  /** @param rrfScoreThreshold applied to the RRF-fused score, which is
+    *   bounded by 2/(rrfK+1) ≈ 0.033 — deliberately NOT named like the
+    *   reference's `score_threshold` (default 0.4), which applies to
+    *   store-native fused scores; porting that value here would silently
+    *   return zero results, so the ceiling is validated. */
   final case class Config(
       k: Int = 3,
-      scoreThreshold: Double = 0.0, // reference default 0.4 applies to store-native scores
+      rrfScoreThreshold: Double = 0.0,
       prefetchMultiplier: Int = 5,  // config.yml:60
-      rrfK: Int = 60)
+      rrfK: Int = 60) {
+    require(rrfScoreThreshold <= 2.0 / (rrfK + 1),
+      s"rrfScoreThreshold=$rrfScoreThreshold exceeds the maximum possible " +
+        s"RRF score 2/(rrfK+1)=${2.0 / (rrfK + 1)}: every result would be " +
+        "filtered. The reference's score_threshold (default 0.4) applies to " +
+        "store-native scores, not RRF — do not port it verbatim.")
+  }
 
   /** T2 — dense branch: exact cosine top-n (TakeOrderedAndProject). */
   def denseTopK(index: DataFrame, queryVec: Array[Float], n: Int,
@@ -87,7 +98,7 @@ object HybridSearch {
       .withColumn("rrf_score",
         coalesce(lit(1.0) / (lit(cfg.rrfK) + col("dense_rank")), lit(0.0)) +
         coalesce(lit(1.0) / (lit(cfg.rrfK) + col("bm25_rank")), lit(0.0)))
-      .filter(col("rrf_score") >= cfg.scoreThreshold) // P8
+      .filter(col("rrf_score") >= cfg.rrfScoreThreshold) // P8
       .orderBy(desc("rrf_score"), col(idCol))
       .limit(cfg.k)
   }

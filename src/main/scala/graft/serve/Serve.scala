@@ -78,10 +78,10 @@ object Serve {
     * (quirk Q6) collapse to one function. */
   def query(index: DataFrame, docStats: DataFrame, corpusSize: Long,
       avgDocLen: Double, question: String, k: Int = 3,
-      scoreThreshold: Double = 0.0): QueryResponse = {
+      rrfScoreThreshold: Double = 0.0): QueryResponse = {
     val t0 = System.nanoTime()
     val hits = HybridSearch.search(index, docStats, corpusSize, avgDocLen,
-      question, HybridSearch.Config(k = k, scoreThreshold = scoreThreshold))
+      question, HybridSearch.Config(k = k, rrfScoreThreshold = rrfScoreThreshold))
     val results = hits.select("id", "rrf_score", "chunk_text").collect().toSeq.map { r =>
       val text = Option(r.getAs[String]("chunk_text")).getOrElse("")
       SearchResult(

@@ -24,10 +24,16 @@ object EventsPipeline {
     * tests. Source: the same parquet dir read as a stream. */
   def streamWindowedCounts(spark: SparkSession, dir: String,
       queryName: String = "events_windows"): org.apache.spark.sql.streaming.StreamingQuery = {
+    // events.parquet carries TIMESTAMP(NANOS): read ns-as-long, integer-
+    // divide to micros (same handling as the Complete/dedup variants —
+    // without it the schema read throws, and with a leaked conf the
+    // watermark would land on a LongType column).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // streaming file source needs a directory; select the one file by glob
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     stream
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

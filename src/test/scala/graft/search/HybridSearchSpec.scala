@@ -50,10 +50,24 @@ class HybridSearchSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.head._2 >= rows(1)._2)
   }
 
-  test("score threshold can empty the result (reference early-return path)") {
+  test("rrf score threshold can empty the result (reference early-return path)") {
+    // 2/(rrfK+1) is the max possible RRF score; a threshold just at the
+    // ceiling keeps only docs ranked #1 in BOTH branches — here none,
+    // because rank-1 differs across branches only when scores tie; use
+    // the ceiling itself, reachable only by a doc that is rank 1 twice.
+    val ceiling = 2.0 / 61
     val out = HybridSearch.search(index, stats, n, avgLen,
-      "habeas corpus", HybridSearch.Config(k = 2, scoreThreshold = 10.0))
-    assert(out.isEmpty)
+      "grain shipment", HybridSearch.Config(k = 2, rrfScoreThreshold = ceiling))
+    assert(out.count() <= 1) // at most the doc that tops both branches
+  }
+
+  test("rrfScoreThreshold above the RRF ceiling is rejected loudly") {
+    // the reference's store-native score_threshold default (0.4) must NOT
+    // be portable verbatim: it exceeds 2/(rrfK+1) and would silently
+    // return zero results.
+    intercept[IllegalArgumentException] {
+      HybridSearch.Config(k = 2, rrfScoreThreshold = 0.4)
+    }
   }
 
   test("rrf fusion: doc present in both branches outscores single-branch docs") {
@@ -88,6 +102,40 @@ class IndexWriterSpec extends AnyFunSuite with SparkTestBase {
     IndexWriter.upsert(spark, v2, tmp)
     val got = spark.read.parquet(tmp).select("payload").as[String].head()
     assert(got == "new")
+  }
+
+  test("upsertPartitioned rewrites only the buckets the batch touches") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx3").toString + "/t"
+    val seed = (1 to 200).map(i => (s"id_$i", s"v$i")).toDF("id", "payload")
+    val n1 = IndexWriter.upsertPartitioned(spark, seed, tmp, buckets = 16)
+    assert(n1 == 200)
+    // snapshot every data file's (path, mtime) before the second batch
+    def files(): Map[String, Long] = {
+      val root = new java.io.File(tmp)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = files()
+    // one-row batch: touches exactly one bucket
+    val batch = Seq(("id_1", "v1_updated")).toDF("id", "payload")
+    val n2 = IndexWriter.upsertPartitioned(spark, batch, tmp, buckets = 16)
+    assert(n2 == 200, "update of an existing id must not change the row count")
+    val after = files()
+    val untouchedBefore = before.filterNot(_._1.contains(bucketDirOf("id_1", 16)))
+    untouchedBefore.foreach { case (p, m) =>
+      assert(after.get(p).contains(m), s"untouched partition file rewritten: $p")
+    }
+    val got = spark.read.parquet(tmp).filter($"id" === "id_1")
+      .select("payload").as[String].head()
+    assert(got == "v1_updated")
+  }
+
+  private def bucketDirOf(id: String, buckets: Int): String = {
+    val h = spark.range(1).select(
+      pmod(xxhash64(lit(id)), lit(buckets.toLong))).head().getLong(0)
+    s"bucket=$h"
   }
 
   test("docFrequencies counts documents containing the term, not occurrences") {

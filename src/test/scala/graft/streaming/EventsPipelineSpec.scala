@@ -38,6 +38,24 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("streaming windowed counts (append mode + watermark) emit finalized windows") {
+    val dir = "/root/testdata/sf0.001"
+    val q = EventsPipeline.streamWindowedCounts(spark, dir, "test_append_sink")
+    q.processAllAvailable()
+    q.stop()
+    // append mode emits only windows the final watermark has closed; every
+    // emitted row must agree with the batch aggregation for its window
+    val streamed = spark.table("test_append_sink")
+      .select(col("window.start").as("w"), col("event_type"), col("n"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.count() > 0, "watermarked stream should finalize at least one window")
+    assert(streamed.except(batch).isEmpty, "every emitted window must match batch")
+  }
+
   test("cursor checkpoint round-trips and fixes the reference's broken resume (Q1)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cursor").toString + "/c"
     val state = EventsPipeline.CursorState("scotus", "cursor-abc123", ts("2024-06-01 00:00:00"))

@@ -198,14 +198,17 @@ object SparkEntry {
           col("sum_qty"), col("n"))
     }),
 
-    // set ops — (signup ∩ error) EXCEPT purchase: users who signed up and
-    // hit an error but never purchased.
+    // set ops — (signup ∩ error) EXCEPT purchase at (user, day) grain:
+    // user-days that saw both a signup and an error but no purchase.
+    // (User grain is degenerate on this corpus: every user has every
+    // event type, so both branches must discriminate at day grain.)
     "q14_set_ops" -> ((s, dir) => {
       val ev = events(s, dir)
-      val signups = ev.filter(col("event_type") === "signup").select("user_id").distinct()
-      val errors = ev.filter(col("event_type") === "error").select("user_id").distinct()
-      val purchases = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
-      signups.intersect(errors).except(purchases)
+      def userDays(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .distinct()
+      userDays("signup").intersect(userDays("error")).except(userDays("purchase"))
         .withColumn("cohort", lit("signup_error_no_purchase"))
     }),
 
@@ -592,13 +595,16 @@ object SparkEntry {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
     "q14_set_ops" ->
-      """SELECT user_id, 'signup_error_no_purchase' AS cohort FROM (
-        |  SELECT user_id FROM (
-        |    SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+      """SELECT user_id, day, 'signup_error_no_purchase' AS cohort FROM (
+        |  SELECT user_id, day FROM (
+        |    SELECT DISTINCT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+        |    FROM events WHERE event_type = 'signup'
         |    INTERSECT
-        |    SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        |    SELECT DISTINCT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+        |    FROM events WHERE event_type = 'error')
         |  EXCEPT
-        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')""".stripMargin,
+        |  SELECT DISTINCT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+        |  FROM events WHERE event_type = 'purchase')""".stripMargin,
 
     "q15_coalesce_source" ->
       """SELECT doc_id,

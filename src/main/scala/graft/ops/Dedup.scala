@@ -45,22 +45,39 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
       .filter(col("n") > 1)
 
-  /** Word k-shingles of a text column (the MinHash/Jaccard unit).
+  /** Word k-shingles of a text column (the MinHash/Jaccard unit):
+    * distinct space-joined k-grams of the lowercased whitespace tokens,
+    * first-occurrence order; empty when the doc has fewer than k tokens.
     *
-    * The token split is bound ONCE per row by wrapping it in a
-    * single-element array and using the outer lambda variable — naively
-    * referencing `split(...)` inside the per-index lambda re-tokenizes
-    * the text for every shingle position (O(len²) interpreted eval; this
-    * was a 100× slowdown on the bench corpus). */
-  def shingles(textCol: Column, k: Int = 3): Column =
-    element_at(
-      transform(array(split(lower(trim(textCol)), "\\s+")), toks =>
-        array_distinct(
-          filter(
-            transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
-              i => when(size(toks) >= k, concat_ws(" ", slice(toks, i + lit(1), lit(k))))),
-            x => x.isNotNull))),
-      1)
+    * Compiled scalar UDF. The earlier expression form (`transform` +
+    * `filter` + `array_distinct` over a `sequence`) never entered
+    * whole-stage codegen — higher-order functions eval interpreted, per
+    * element — and shingling dominated every MinHash/Jaccard query. */
+  def shingles(textCol: Column, k: Int = 3): Column = shinglesUdf(k)(textCol)
+
+  private[ops] def shinglesUdf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { text: String =>
+      val toks = (if (text == null) "" else text).trim
+        .toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      if (toks.length < k) Seq.empty[String]
+      else {
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i + k <= toks.length) {
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          seen.add(sb.toString)
+          i += 1
+        }
+        import scala.jdk.CollectionConverters._
+        seen.iterator().asScala.toSeq
+      }
+    }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the min over shingle hashes. Default hash is xxhash64 (Spark-native,
@@ -189,7 +206,8 @@ object Dedup {
     udf { text: String =>
       import org.apache.spark.sql.catalyst.expressions.XXH64
       import org.apache.spark.unsafe.types.UTF8String
-      val toks = (if (text == null) "" else text).trim.toLowerCase.split("\\s+")
+      val toks = (if (text == null) "" else text).trim
+        .toLowerCase(java.util.Locale.ROOT).split("\\s+")
       val votes = new Array[Int](bits)
       toks.foreach { t =>
         val h = XXH64.hashUTF8String(UTF8String.fromString(t), 42L)

@@ -30,7 +30,8 @@ object TextAnalysis {
     stopwords.map { case (l, ws) => l -> ws.toSet }
 
   private def tokenize(text: String): Array[String] =
-    (if (text == null) "" else text).trim.toLowerCase.split("\\s+")
+    (if (text == null) "" else text).trim
+      .toLowerCase(java.util.Locale.ROOT).split("\\s+")
 
   /** Stopword-hit count for one language (compiled scalar UDF). */
   def stopwordHits(textCol: Column, lang: String): Column = {

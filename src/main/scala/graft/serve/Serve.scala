@@ -34,10 +34,49 @@ object Serve {
   /** L1/L2 boundary — graceful degradation default (L3). */
   trait Summarizer extends Serializable {
     def summarize(context: String, maxWords: Int): String
+    /** Streaming form: token/chunk iterator. Default chunks the batch
+      * summary word-by-word; a real LLM impl yields provider deltas. */
+    def summarizeStream(context: String, maxWords: Int): Iterator[String] =
+      summarize(context, maxWords).split("(?<= )").iterator
   }
   final class UnavailableSummarizer extends Summarizer {
     def summarize(context: String, maxWords: Int): String =
       "Summary unavailable: no LLM configured. Showing retrieved sources only."
+  }
+
+  /** ST4 — the server-sent-events envelope for the streaming summarize
+    * endpoint (reference `app.py:679-713`): each content chunk framed as
+    * `data: <chunk>\n\n`, a terminal `data: [DONE]\n\n`, and mid-stream
+    * failures surfaced as `data: [ERROR] <msg>\n\n` — plus the response
+    * headers the reference sets. Transport-agnostic: any HTTP layer can
+    * drain the iterator into a chunked `text/event-stream` response. */
+  object Sse {
+    val contentType: String = "text/event-stream"
+    val headers: Map[String, String] =
+      Map("Cache-Control" -> "no-cache", "X-Accel-Buffering" -> "no")
+
+    def frame(chunk: String): String = s"data: $chunk\n\n"
+    val done: String = "data: [DONE]\n\n"
+    def error(msg: String): String = s"data: [ERROR] $msg\n\n"
+
+    /** Wrap a (lazy, possibly failing) token iterator in the envelope:
+      * frames, then [DONE]; an exception ends the stream with [ERROR]
+      * instead of propagating (the reference's generator does the same). */
+    def stream(tokens: Iterator[String]): Iterator[String] = new Iterator[String] {
+      private var finished = false
+      def hasNext: Boolean = !finished
+      def next(): String = {
+        if (finished) throw new NoSuchElementException("SSE stream drained")
+        try {
+          if (tokens.hasNext) frame(tokens.next())
+          else { finished = true; done }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            finished = true
+            error(Option(e.getMessage).getOrElse(e.toString))
+        }
+      }
+    }
   }
 
   /** P9 — project raw hit rows to the 8-field API shape with defaults

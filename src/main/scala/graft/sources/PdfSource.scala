@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * bytes with the `binaryFile` source, extract per-page text behind
   * [[PdfTextExtractor]], join pages with `\n`.
   *
-  * No PDF codec ships in this container, so the default extractor is a
-  * clearly-marked STUB that handles only the plumbing-testable cases; a
-  * pdfbox-backed implementation drops in without touching the plan.
+  * The default extractor is [[SimpleExtractor]], a real pure-JVM parser
+  * ([[PdfText]]: object scan, FlateDecode, page-tree walk, Tj/TJ/'/"
+  * text operators). Its documented boundary: no CID-font `/ToUnicode`
+  * CMap decoding — a pdfbox-backed implementation drops in behind the
+  * same trait without touching the plan.
   */
 object PdfSource {
 
@@ -21,10 +23,14 @@ object PdfSource {
     def pages(bytes: Array[Byte]): Seq[String]
   }
 
-  /** STUB extractor: recognizes the %PDF magic and returns a
-    * deterministic placeholder per "page" (counted via /Type /Page
-    * occurrences); real text extraction requires a codec library:
-    * replace this implementation (the `???` of this module). */
+  /** Real extractor backed by [[PdfText]] (Flate + text operators). */
+  final class SimpleExtractor extends PdfTextExtractor {
+    def pages(bytes: Array[Byte]): Seq[String] = PdfText.pages(bytes)
+  }
+
+  /** STUB extractor kept for plumbing tests: recognizes the %PDF magic
+    * and returns a deterministic placeholder per "page" (counted via
+    * /Type /Page occurrences). */
   final class StubExtractor extends PdfTextExtractor {
     def pages(bytes: Array[Byte]): Seq[String] = {
       if (bytes == null || bytes.length < 5 ||
@@ -37,7 +43,7 @@ object PdfSource {
 
   /** Read a directory of PDFs → (path, text) with pages joined by \n. */
   def read(spark: SparkSession, dir: String,
-      extractor: PdfTextExtractor = new StubExtractor): DataFrame = {
+      extractor: PdfTextExtractor = new SimpleExtractor): DataFrame = {
     val ex = extractor
     val pdfToText = udf((bytes: Array[Byte]) => ex.pages(bytes).mkString("\n"))
     spark.read.format("binaryFile")

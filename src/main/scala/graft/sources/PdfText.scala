@@ -1,0 +1,251 @@
+package graft.sources
+
+/** Minimal pure-JVM PDF text extraction (S8).
+  *
+  * Replaces the round-1 stub with a real parser for the common core of
+  * the format, so the `/case/fetch`-equivalent path (reference
+  * `chatbot/app.py:585-591`: PyPDF2 page loop, page texts joined with
+  * `"\n"`) returns actual document text instead of placeholders:
+  *
+  *  - object scan (`N G obj … endobj`) — xref-free, tolerant of linearized
+  *    or appended-update files;
+  *  - stream decoding with `/FlateDecode` via `java.util.zip.Inflater`
+  *    (the overwhelmingly dominant filter for text content);
+  *  - page order from the catalog's page tree (`/Root → /Pages → /Kids`),
+  *    falling back to document order of `/Type /Page` objects;
+  *  - content-stream text operators: `Tj`, `'`, `"`, `TJ` arrays, with
+  *    literal-string escapes (octal, specials, line continuations, nested
+  *    parens) and hex strings; `Td`/`TD`/`T*` emit line breaks.
+  *
+  * Deliberate boundary (documented, not hidden): glyphs are decoded as
+  * PDFDocEncoding/Latin-1 — embedded CID fonts with `/ToUnicode` CMaps
+  * (and LZW/DCT-filtered streams) are out of scope; text in such PDFs
+  * extracts garbled or empty, exactly as PyPDF2 behaves without CMap
+  * support. Wire a full codec behind [[PdfSource.PdfTextExtractor]] if
+  * that fidelity is needed.
+  */
+object PdfText {
+
+  private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  private final case class PObj(num: Int, body: String, data: Option[Array[Byte]])
+
+  /** Per-page extracted text, in page-tree order. */
+  def pages(bytes: Array[Byte]): Seq[String] = {
+    if (bytes == null || bytes.length < 5) return Nil
+    val s = new String(bytes, Latin1) // 1:1 byte↔char so offsets align
+    if (!s.startsWith("%PDF-")) return Nil
+    val objs = parseObjects(s, bytes)
+    val order = pageOrder(objs)
+    order.flatMap(objs.get).map { page =>
+      val content = contentsOf(page.body)
+        .flatMap(objs.get).flatMap(_.data)
+        .map(new String(_, Latin1)).mkString("\n")
+      extractText(content)
+    }
+  }
+
+  // ---- object layer -------------------------------------------------------
+
+  private val objStart = java.util.regex.Pattern.compile("(?<![0-9])(\\d+)\\s+\\d+\\s+obj\\b")
+
+  private def parseObjects(s: String, bytes: Array[Byte]): Map[Int, PObj] = {
+    val out = Map.newBuilder[Int, PObj]
+    val m = objStart.matcher(s)
+    while (m.find()) {
+      val num = m.group(1).toInt
+      val bodyStart = m.end()
+      val end = s.indexOf("endobj", bodyStart)
+      val stop = if (end < 0) s.length else end
+      val streamKw = s.indexOf("stream", bodyStart)
+      if (streamKw >= 0 && streamKw < stop && !s.startsWith("streams", streamKw)) {
+        val dict = s.substring(bodyStart, streamKw)
+        var dataStart = streamKw + "stream".length
+        if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+        if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+        val endStream = s.indexOf("endstream", dataStart)
+        if (endStream >= 0) {
+          var dataEnd = endStream
+          // trailing EOL before the keyword is not stream data
+          if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\n') dataEnd -= 1
+          if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\r') dataEnd -= 1
+          val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+          val data = if (dict.contains("/FlateDecode")) inflate(raw) else raw
+          out += num -> PObj(num, dict, Some(data))
+        } else out += num -> PObj(num, s.substring(bodyStart, stop), None)
+      } else out += num -> PObj(num, s.substring(bodyStart, stop), None)
+    }
+    out.result()
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+      val buf = new Array[Byte](8192)
+      var n = inf.inflate(buf)
+      while (n > 0) {
+        out.write(buf, 0, n)
+        n = if (inf.finished()) 0 else inf.inflate(buf)
+      }
+      out.toByteArray
+    } catch {
+      case _: java.util.zip.DataFormatException => Array.emptyByteArray
+    } finally inf.end()
+  }
+
+  // ---- page tree ----------------------------------------------------------
+
+  private val refPat = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+R")
+
+  private def firstRef(body: String, key: String): Option[Int] = {
+    val i = body.indexOf(key)
+    if (i < 0) return None
+    val m = refPat.matcher(body)
+    if (m.find(i + key.length)) Some(m.group(1).toInt) else None
+  }
+
+  private def kidRefs(body: String): Seq[Int] = {
+    val i = body.indexOf("/Kids")
+    if (i < 0) return Nil
+    val open = body.indexOf('[', i)
+    val close = body.indexOf(']', open)
+    if (open < 0 || close < 0) return Nil
+    val m = refPat.matcher(body.substring(open, close))
+    val out = Seq.newBuilder[Int]
+    while (m.find()) out += m.group(1).toInt
+    out.result()
+  }
+
+  private def isPage(body: String): Boolean =
+    "/Type\\s*/Page(?![a-zA-Z])".r.findFirstIn(body).isDefined
+
+  private def pageOrder(objs: Map[Int, PObj]): Seq[Int] = {
+    val catalog = objs.values.find(o => o.body.contains("/Catalog"))
+    val fromTree = catalog.flatMap(c => firstRef(c.body, "/Pages")).map { root =>
+      def walk(n: Int, depth: Int): Seq[Int] =
+        if (depth > 64) Nil
+        else objs.get(n) match {
+          case Some(o) if isPage(o.body) => Seq(n)
+          case Some(o) =>
+            val kids = kidRefs(o.body)
+            kids.flatMap(walk(_, depth + 1))
+          case None => Nil
+        }
+      walk(root, 0)
+    }.getOrElse(Nil)
+    if (fromTree.nonEmpty) fromTree
+    else objs.values.toSeq.sortBy(_.num).filter(o => isPage(o.body)).map(_.num)
+  }
+
+  private def contentsOf(body: String): Seq[Int] = {
+    val i = body.indexOf("/Contents")
+    if (i < 0) return Nil
+    val after = body.substring(i + "/Contents".length)
+    val trimmed = after.dropWhile(_.isWhitespace)
+    if (trimmed.startsWith("[")) {
+      val close = trimmed.indexOf(']')
+      val seg = if (close < 0) trimmed else trimmed.substring(0, close)
+      val m = refPat.matcher(seg)
+      val out = Seq.newBuilder[Int]
+      while (m.find()) out += m.group(1).toInt
+      out.result()
+    } else {
+      val m = refPat.matcher(trimmed)
+      if (m.lookingAt()) Seq(m.group(1).toInt) else Nil
+    }
+  }
+
+  // ---- content-stream text operators --------------------------------------
+
+  private[sources] def extractText(cs: String): String = {
+    val sb = new StringBuilder
+    val pending = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = cs.length
+    var i = 0
+
+    def parseLiteral(start: Int): Int = { // cs(start) == '('
+      val out = new StringBuilder
+      var depth = 1
+      var j = start + 1
+      while (j < n && depth > 0) {
+        cs.charAt(j) match {
+          case '\\' if j + 1 < n =>
+            cs.charAt(j + 1) match {
+              case 'n' => out += '\n'; j += 2
+              case 'r' => out += '\r'; j += 2
+              case 't' => out += '\t'; j += 2
+              case 'b' => out += '\b'; j += 2
+              case 'f' => out += '\f'; j += 2
+              case '(' => out += '('; j += 2
+              case ')' => out += ')'; j += 2
+              case '\\' => out += '\\'; j += 2
+              case '\n' => j += 2 // line continuation
+              case '\r' =>
+                j += 2; if (j < n && cs.charAt(j) == '\n') j += 1
+              case d if d >= '0' && d <= '7' =>
+                var k = j + 1; var v = 0; var cnt = 0
+                while (k < n && cnt < 3 && cs.charAt(k) >= '0' && cs.charAt(k) <= '7') {
+                  v = v * 8 + (cs.charAt(k) - '0'); k += 1; cnt += 1
+                }
+                out += v.toChar; j = k
+              case other => out += other; j += 2
+            }
+          case '(' => depth += 1; out += '('; j += 1
+          case ')' => depth -= 1; if (depth > 0) out += ')'; j += 1
+          case c => out += c; j += 1
+        }
+      }
+      pending += out.toString
+      j
+    }
+
+    def parseHex(start: Int): Int = { // cs(start) == '<', not '<<'
+      var j = start + 1
+      val hex = new StringBuilder
+      while (j < n && cs.charAt(j) != '>') {
+        val c = cs.charAt(j)
+        if (!c.isWhitespace) hex += c
+        j += 1
+      }
+      val h = if (hex.length % 2 == 1) hex.append('0').toString else hex.toString
+      val out = new StringBuilder(h.length / 2)
+      var k = 0
+      while (k + 2 <= h.length) {
+        try out += Integer.parseInt(h.substring(k, k + 2), 16).toChar
+        catch { case _: NumberFormatException => () }
+        k += 2
+      }
+      pending += out.toString
+      math.min(j + 1, n)
+    }
+
+    def newline(): Unit =
+      if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb += '\n'
+
+    while (i < n) {
+      val c = cs.charAt(i)
+      if (c == '(') i = parseLiteral(i)
+      else if (c == '<' && i + 1 < n && cs.charAt(i + 1) == '<') i += 2 // dict
+      else if (c == '<') i = parseHex(i)
+      else if (c == '/') { // name token — consume so it can't look like an op
+        i += 1
+        while (i < n && !cs.charAt(i).isWhitespace && "()<>[]{}/%".indexOf(cs.charAt(i)) < 0) i += 1
+      } else if (c == '%') { // comment to EOL
+        while (i < n && cs.charAt(i) != '\n') i += 1
+      } else if (c.isLetter || c == '\'' || c == '"') { // operator token
+        var j = i
+        while (j < n && !cs.charAt(j).isWhitespace && "()<>[]{}/%".indexOf(cs.charAt(j)) < 0) j += 1
+        cs.substring(i, j) match {
+          case "Tj" | "TJ" => pending.foreach(sb ++= _); pending.clear()
+          case "'" | "\"" => newline(); pending.foreach(sb ++= _); pending.clear()
+          case "Td" | "TD" | "T*" => newline(); pending.clear()
+          case _ => pending.clear() // strings consumed by non-show ops
+        }
+        i = math.max(j, i + 1)
+      } else i += 1
+    }
+    sb.toString
+  }
+}

@@ -67,22 +67,57 @@ class CourtListenerSourceSpec extends AnyFunSuite {
 }
 
 class PdfSourceSpec extends AnyFunSuite with graft.SparkTestBase {
-  import graft.sources.PdfSource
+  import graft.sources.{PdfSource, PdfText}
 
-  test("stub extractor: non-PDF bytes -> no pages; %PDF magic -> per-page stubs") {
+  /** Assemble a real two-page PDF: page 1's content stream is
+    * Flate-compressed, page 2's is raw; literal-string escapes, a TJ
+    * array with kerning, and a hex string are all exercised. */
+  private def samplePdf(): Array[Byte] = {
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    def deflate(s: String): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(s.getBytes(latin1)); d.finish()
+      val buf = new Array[Byte](8192)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val c1 = deflate("BT /F1 12 Tf 72 720 Td (Hello \\(World\\)) Tj 0 -14 Td [(Sec) -250 (ond)] TJ ET")
+    val c2 = "BT (Page2 hex:) Tj <48454C4C4F> Tj ET".getBytes(latin1)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(latin1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${c1.length} /Filter /FlateDecode >> stream\n")
+    out.write(c1); w("\nendstream endobj\n")
+    w("5 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n")
+    w(s"6 0 obj << /Length ${c2.length} >> stream\n")
+    out.write(c2); w("\nendstream endobj\n")
+    w("%%EOF\n")
+    out.toByteArray
+  }
+
+  test("real extractor: Flate stream, escapes, TJ array, hex string, page order") {
+    assert(PdfText.pages("not a pdf".getBytes).isEmpty)
+    val pages = PdfText.pages(samplePdf())
+    assert(pages == Seq("Hello (World)\nSecond", "Page2 hex:HELLO"))
+  }
+
+  test("stub extractor still counts pages for plumbing tests") {
     val ex = new PdfSource.StubExtractor
     assert(ex.pages("not a pdf".getBytes).isEmpty)
     val fake = "%PDF-1.4\n/Type /Page\nstuff\n/Type /Page\nend".getBytes("ISO-8859-1")
     assert(ex.pages(fake).size == 2)
   }
 
-  test("binaryFile read plumbing: pages joined with newline") {
+  test("binaryFile read: real extraction, pages joined with newline") {
     val dir = java.nio.file.Files.createTempDirectory("pdfs")
-    java.nio.file.Files.write(dir.resolve("a.pdf"),
-      "%PDF-1.4\n/Type /Page\nx\n/Type /Page\ny".getBytes("ISO-8859-1"))
+    java.nio.file.Files.write(dir.resolve("a.pdf"), samplePdf())
     java.nio.file.Files.write(dir.resolve("skip.txt"), "no".getBytes)
     val out = PdfSource.read(spark, dir.toString).collect()
     assert(out.length == 1)
-    assert(out(0).getAs[String]("text") == "[stub page 1 text]\n[stub page 2 text]")
+    assert(out(0).getAs[String]("text") == "Hello (World)\nSecond\nPage2 hex:HELLO")
   }
 }

@@ -55,4 +55,25 @@ class ServeSpec extends AnyFunSuite with SparkTestBase {
     val s = new Serve.UnavailableSummarizer
     assert(s.summarize("ctx", 150).contains("unavailable"))
   }
+
+  test("ST4 SSE envelope: frames, terminal [DONE], mid-stream [ERROR]") {
+    val ok = Serve.Sse.stream(Iterator("Hello", " world")).toSeq
+    assert(ok == Seq("data: Hello\n\n", "data:  world\n\n", "data: [DONE]\n\n"))
+
+    val failing = Iterator("a") ++ new Iterator[String] {
+      def hasNext = true
+      def next(): String = sys.error("provider timeout")
+    }
+    val out = Serve.Sse.stream(failing).toSeq
+    assert(out.head == "data: a\n\n")
+    assert(out.last == "data: [ERROR] provider timeout\n\n")
+    assert(!out.contains(Serve.Sse.done), "no [DONE] after an error")
+
+    // default summarizer streaming form re-chunks the batch summary
+    val s = new Serve.UnavailableSummarizer
+    val streamed = Serve.Sse.stream(s.summarizeStream("ctx", 150)).toSeq
+    assert(streamed.last == Serve.Sse.done)
+    val text = streamed.dropRight(1).map(_.stripPrefix("data: ").stripSuffix("\n\n")).mkString
+    assert(text == s.summarize("ctx", 150))
+  }
 }

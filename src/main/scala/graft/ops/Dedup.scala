@@ -100,27 +100,48 @@ object Dedup {
     * loops (SURVEY.md §2.12). */
   def md5MinHashSignatureUdf(numHashes: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { sh: Seq[String] =>
+      // Byte-level formulation of min(md5Hex(seed + "_" + shingle)):
+      // hex strings compare identically to their unsigned digest bytes,
+      // so track the min digest and hex-encode only the winner — and
+      // encode each shingle's UTF-8 once, reused across all seeds. This
+      // is ~10× less allocation than hex-per-hash + concat-per-seed
+      // (GC pressure was the dominant cost of the signature pass).
       val md = java.security.MessageDigest.getInstance("MD5")
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
       val hex = "0123456789abcdef".toCharArray
-      def md5Hex(s: String): String = {
-        val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val out = new Array[Char](32)
+      val shingleBytes = sh.iterator.map(_.getBytes(utf8)).toArray
+      def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
         var i = 0
         while (i < 16) {
-          out(2 * i) = hex((d(i) >> 4) & 0xf)
-          out(2 * i + 1) = hex(d(i) & 0xf)
+          val x = a(i) & 0xff; val y = b(i) & 0xff
+          if (x != y) return x < y
           i += 1
         }
-        new String(out)
+        false
       }
       (0 until numHashes).map { seed =>
-        val prefix = seed + "_"
-        var min: String = null
-        sh.foreach { s =>
-          val h = md5Hex(prefix + s)
-          if (min == null || h.compareTo(min) < 0) min = h
+        val prefix = (seed + "_").getBytes(utf8)
+        var min: Array[Byte] = null
+        var i = 0
+        while (i < shingleBytes.length) {
+          md.reset()
+          md.update(prefix)
+          md.update(shingleBytes(i))
+          val d = md.digest()
+          if (min == null || unsignedLess(d, min)) min = d
+          i += 1
         }
-        min
+        if (min == null) null
+        else {
+          val out = new Array[Char](32)
+          var j = 0
+          while (j < 16) {
+            out(2 * j) = hex((min(j) >> 4) & 0xf)
+            out(2 * j + 1) = hex(min(j) & 0xf)
+            j += 1
+          }
+          new String(out)
+        }
       }
     }
 
@@ -177,12 +198,23 @@ object Dedup {
       .repartition(p, col(idCol)) // one signature pass shared by both band-join sides
     // persist the sig table (it carries the shingles too): ALL four plan
     // consumers — two band-join sides, two verification-join sides — read
-    // one materialization instead of relying on best-effort reuse
-    val sig = if (persistShingles) sig0.persist() else sig0
+    // one materialization instead of relying on best-effort reuse.
+    // Materialize EAGERLY: the four consumers include broadcast builds
+    // that otherwise race the main job to compute the same cache
+    // partitions — observed as multi-minute (~broadcastTimeout-shaped)
+    // stalls when the broadcast thread and a concurrent job both block on
+    // first materialization. One cheap action up front makes every
+    // consumer a pure cache read.
+    val sig = if (persistShingles) { val s = sig0.persist(); s.count(); s } else sig0
     val cands = lshCandidates(
       lshBands(sig, "sig", bands, idCol, bandHash, sigLen = numHashes), idCol)
-    val left = sig.select(col(idCol).as("id1"), col("sh").as("sh1"))
-    val right = sig.select(col(idCol).as("id2"), col("sh").as("sh2"))
+    // shuffle-hash, NOT broadcast, for the verification sides: they carry
+    // the full shingle arrays, so broadcasting them serializes the whole
+    // (at scale: multi-TB) shingle corpus through the driver — the
+    // planner only picked broadcast because the test corpus is tiny. The
+    // hint pins the plan that survives 100×.
+    val left = sig.select(col(idCol).as("id1"), col("sh").as("sh1")).hint("shuffle_hash")
+    val right = sig.select(col(idCol).as("id2"), col("sh").as("sh2")).hint("shuffle_hash")
     cands.join(left, "id1").join(right, "id2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard",

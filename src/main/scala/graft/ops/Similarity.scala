@@ -97,6 +97,26 @@ object Similarity {
       val qb = bucketOf(queryVec)
       qb +: (0 until math.min(math.max(probes, 0), nBits)).map(b => qb ^ (1L << b))
     }
+
+    /** Materialize the index partitioned by `bucket` — the 100 TB shape:
+      * a query then reads only its probed buckets' directories (partition
+      * pruning at the file listing, before any I/O). */
+    def writePartitioned(path: String): Unit =
+      bucketed.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("bucket").parquet(path)
+
+    /** Query a [[writePartitioned]] table: the bucket predicate lands in
+      * the scan's `PartitionFilters`, so only probed directories are
+      * listed and read. Same contract as [[query]]. */
+    def queryPartitioned(spark: SparkSession, path: String,
+        queryVec: Array[Float], k: Int, probes: Int = 1): DataFrame = {
+      val candidates = probeBuckets(queryVec, probes)
+      spark.read.parquet(path)
+        .filter(col("bucket").isin(candidates: _*))
+        .withColumn("cos", round(vecCosine(col(vecCol), typedlit(queryVec)), 6))
+        .orderBy(desc("cos"), col(idCol))
+        .limit(k)
+    }
   }
 
   /** IVF (inverted-file) ANN index: a k-means coarse quantizer assigns
@@ -155,6 +175,24 @@ object Similarity {
     def query(queryVec: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
       val cells = nearestCentroids(queryVec, nProbe)
       assigned
+        .filter(col("centroid").isin(cells: _*))
+        .withColumn("cos", round(vecCosine(col(vecCol), typedlit(queryVec)), 6))
+        .orderBy(desc("cos"), col(idCol))
+        .limit(k)
+    }
+
+    /** Materialize the index partitioned by `centroid` — a query reads
+      * only nProbe/nCentroids of the corpus directories. */
+    def writePartitioned(path: String): Unit =
+      assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("centroid").parquet(path)
+
+    /** Query a [[writePartitioned]] table with partition pruning on the
+      * probed cells (centroids come from this index's fitted model). */
+    def queryPartitioned(spark: SparkSession, path: String,
+        queryVec: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
+      val cells = nearestCentroids(queryVec, nProbe)
+      spark.read.parquet(path)
         .filter(col("centroid").isin(cells: _*))
         .withColumn("cos", round(vecCosine(col(vecCol), typedlit(queryVec)), 6))
         .orderBy(desc("cos"), col(idCol))

@@ -91,6 +91,32 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(overlap >= 3, s"IVF(4/8 probes) should recover some of brute-force top-10, got $overlap")
   }
 
+  test("partitioned LSH/IVF index: disk query matches in-memory and prunes partitions") {
+    val q = emb.filter($"vec_id" === 11).select("embedding").as[Seq[Float]].head().toArray
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann").toString
+
+    val lsh = new Similarity.RandomHyperplaneIndex(emb, nBits = 8, dim = 64)
+    lsh.writePartitioned(s"$tmp/lsh")
+    val fromDisk = lsh.queryPartitioned(spark, s"$tmp/lsh", q, k = 5, probes = 8)
+    val inMem = lsh.query(q, k = 5, probes = 8)
+    assert(fromDisk.select("vec_id", "cos").collect().toSeq ==
+      inMem.select("vec_id", "cos").collect().toSeq)
+    // the bucket predicate must reach the scan as a partition filter —
+    // pruning happens at file listing, before any I/O
+    val plan = fromDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("bucket"),
+      s"expected bucket partition pruning in plan:\n$plan")
+
+    val ivf = new Similarity.IvfIndex(emb, nCentroids = 8)
+    ivf.writePartitioned(s"$tmp/ivf")
+    val ivfDisk = ivf.queryPartitioned(spark, s"$tmp/ivf", q, k = 5, nProbe = 4)
+    assert(ivfDisk.select("vec_id", "cos").collect().toSeq ==
+      ivf.query(q, k = 5, nProbe = 4).select("vec_id", "cos").collect().toSeq)
+    val ivfPlan = ivfDisk.queryExecution.executedPlan.toString
+    assert(ivfPlan.contains("PartitionFilters: [") && ivfPlan.contains("centroid"),
+      s"expected centroid partition pruning in plan:\n$ivfPlan")
+  }
+
   test("knnJoin: every query's rank-1 neighbor is itself") {
     val out = Similarity.knnJoin(emb, emb.filter($"vec_id" < 3), 2)
     val rank1 = out.filter($"rn" === 1).select("query_id", "corpus_id")

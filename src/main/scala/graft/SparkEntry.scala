@@ -491,6 +491,61 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // as-of join (operator Spark lacks; union+LOCF formulation, one
+    // shuffle) — each purchase gets the latest click at-or-before it per
+    // user. Oracle: DuckDB's native ASOF LEFT JOIN.
+    "q42_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(count(lit(1)).as("n_clicks_at"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      graft.ops.Joins.asofJoin(purchases, clicks, "user_id", "ts",
+          Seq(("ts", "click_ts"), ("n_clicks_at", "n_clicks_at")))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts_str"),
+          col("n_clicks_at"))
+    }),
+
+    // range (interval containment) join via bin blocking — revenue per
+    // static price band; the equi-join on bins bounds the pair count
+    // (LSH-banding-shaped, no theta cross-product).
+    "q43_range_join" -> ((s, dir) => {
+      val bands = s.range(12).select(col("id").as("band_id"),
+        (col("id") * 50000.0).as("lo"), ((col("id") + 1) * 50000.0).as("hi"))
+      graft.ops.Joins.rangeJoin(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+          bands, "o_totalprice", "lo", "hi", binSize = 10000.0)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("revenue_cents"))
+    }),
+
+    // cube — all grouping-set combinations with sentinel-filled nulls.
+    "q44_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+    }),
+
+    // pivot — order counts per priority × status (missing combos → 0 so
+    // the shape matches conditional aggregation exactly).
+    "q45_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+    }),
+
     // ANN via IVF (k-means coarse quantizer, nProbe cell pruning + exact
     // rerank). The k-means assignment + probed-cell set are materialized
     // as aux tables and the oracle re-derives the pruned scan, cosine
@@ -833,6 +888,40 @@ object SparkEntry {
         |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q42_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, COUNT(*) AS n_clicks_at FROM events
+        |  WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts_str,
+        |  c.n_clicks_at
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "q43_range_join" ->
+      """WITH bands AS (
+        |  SELECT i AS band_id, i*50000.0 AS lo, (i+1)*50000.0 AS hi
+        |  FROM range(12) t(i))
+        |SELECT band_id, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        |GROUP BY 1""".stripMargin,
+
+    "q44_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q45_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY 1""".stripMargin,
 
     // --- ANN/hybrid gates (aux-table oracles; __AUX__ → Verify's dump
     // path). The Spark side materializes only the *index* artifacts;

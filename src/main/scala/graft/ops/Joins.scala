@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal / interval join operators Spark's built-ins don't provide
+  * directly — composed from existing ops (the SURVEY's preference order:
+  * compose before custom plans), with shuffle profiles that survive
+  * scale.
+  */
+object Joins {
+
+  /** As-of join: for every left row, attach the latest right row with
+    * `right.time <= left.time` for the same key (inclusive; left rows
+    * before any right row get nulls — ASOF LEFT semantics).
+    *
+    * Formulation: union both sides tagged, one window pass per key in
+    * time order, `last(_, ignoreNulls)` carries the most recent right
+    * values forward. ONE shuffle on the key — no broadcast, no
+    * per-row subquery, no range cross-product — so it scales to both
+    * sides being large (the classic union+LOCF trick from time-series
+    * engines).
+    *
+    * Right-side (key, time) pairs must be unique for deterministic
+    * output — pre-aggregate duplicates away (the caller decides how).
+    *
+    * @param rightCols right columns to carry (renamed as given)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, rightCols: Seq[(String, String)]): DataFrame = {
+    val leftExtra = left.columns.filterNot(c => c == keyCol || c == timeCol).toSeq
+    val leftTagged = left
+      .withColumn("__side", lit(1))
+      .select(Seq(col(keyCol), col(timeCol), col("__side")) ++
+        leftExtra.map(col) ++
+        rightCols.map { case (in, out) =>
+          lit(null).cast(right.schema(in).dataType).as(s"__r_$out") }: _*)
+    val rightTagged = right
+      .withColumn("__side", lit(0))
+      .select(Seq(col(keyCol), col(timeCol), col("__side")) ++
+        leftExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map { case (in, out) => col(in).as(s"__r_$out") }: _*)
+    // right rows sort BEFORE left rows at equal time (side 0 < 1), so a
+    // right row stamped exactly at left.time is visible — inclusive asof
+    val w = Window.partitionBy(keyCol).orderBy(col(timeCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(leftTagged.unionByName(rightTagged)) {
+      case (df, (_, out)) =>
+        df.withColumn(s"__asof_$out", last(col(s"__r_$out"), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("__side") === 1)
+      .select(Seq(col(keyCol), col(timeCol)) ++
+        leftExtra.map(col) ++
+        rightCols.map { case (_, out) => col(s"__asof_$out").as(out) }: _*)
+  }
+
+  /** Range (interval containment) join: match each fact row to the dim
+    * intervals containing its value, `lo <= value < hi`.
+    *
+    * A naive theta-join is a cross-product at scale. Here every dim
+    * interval explodes into the fixed-width bins it covers and the join
+    * is an equi-join on the fact value's bin — each (fact, interval)
+    * match is found in exactly one bin, so no dedup pass is needed; the
+    * exact predicate then trims partial-bin overlap. Shuffle carries
+    * (bin, keys), and bin width trades dim replication against bucket
+    * width, exactly like LSH banding.
+    */
+  def rangeJoin(fact: DataFrame, dim: DataFrame, valueCol: String,
+      loCol: String, hiCol: String, binSize: Double): DataFrame = {
+    require(binSize > 0, "binSize must be positive")
+    val factBinned = fact.withColumn("__bin",
+      floor(col(valueCol) / binSize).cast("long"))
+    val dimBinned = dim
+      .withColumn("__bin", explode(sequence(
+        floor(col(loCol) / binSize).cast("long"),
+        // hi is exclusive: an interval ending exactly on a bin edge does
+        // not cover that bin
+        floor((col(hiCol) - lit(1e-9)) / binSize).cast("long"))))
+    factBinned.join(dimBinned, "__bin")
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__bin")
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class JoinsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("asofJoin: latest right at-or-before left; inclusive tie; null before first") {
+    val quotes = Seq( // (key, time, price)
+      (1L, 10L, 100.0), (1L, 20L, 110.0), (1L, 30L, 120.0),
+      (2L, 15L, 50.0))
+      .toDF("sym", "t", "price")
+    val trades = Seq( // (key, time, qty)
+      (1L, 5L, 7L),   // before any quote -> null price
+      (1L, 20L, 8L),  // exactly at a quote -> inclusive, 110
+      (1L, 25L, 9L),  // between quotes -> 110
+      (1L, 35L, 10L), // after last -> 120
+      (2L, 16L, 11L)) // other key isolated -> 50
+      .toDF("sym", "t", "qty")
+    val out = Joins.asofJoin(trades, quotes, "sym", "t",
+        Seq(("price", "quote_price"), ("t", "quote_t")))
+      .select("sym", "t", "qty", "quote_price", "quote_t")
+      .as[(Long, Long, Long, Option[Double], Option[Long])].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      (1L, 5L, 7L, None, None),
+      (1L, 20L, 8L, Some(110.0), Some(20L)),
+      (1L, 25L, 9L, Some(110.0), Some(20L)),
+      (1L, 35L, 10L, Some(120.0), Some(30L)),
+      (2L, 16L, 11L, Some(50.0), Some(15L))))
+  }
+
+  test("rangeJoin: exact containment, exclusive upper edge, one match per pair") {
+    val facts = Seq((1L, 0.0), (2L, 9.99), (3L, 10.0), (4L, 25.0), (5L, 39.99), (6L, 40.0))
+      .toDF("id", "v")
+    val dims = Seq(("a", 0.0, 10.0), ("b", 10.0, 40.0), ("wide", 0.0, 40.0))
+      .toDF("band", "lo", "hi")
+    // binSize 7 deliberately misaligned with the interval edges
+    val out = Joins.rangeJoin(facts, dims, "v", "lo", "hi", binSize = 7.0)
+      .select("id", "band").as[(Long, String)].collect().toSet
+    assert(out == Set(
+      (1L, "a"), (2L, "a"),            // [0,10)
+      (3L, "b"), (4L, "b"), (5L, "b"), // [10,40): 40.0 excluded
+      (1L, "wide"), (2L, "wide"), (3L, "wide"), (4L, "wide"), (5L, "wide")))
+  }
+
+  test("rangeJoin plan: equi-join on bins, not a cross-product") {
+    val facts = Seq((1L, 5.0)).toDF("id", "v")
+    val dims = Seq(("a", 0.0, 10.0)).toDF("band", "lo", "hi")
+    val plan = Joins.rangeJoin(facts, dims, "v", "lo", "hi", 5.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"range join must not plan a cross-product:\n$plan")
+  }
+}

@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits new classes per query; a 40-query run can
+  // fill the default 240 MB code cache, after which the JIT disables
+  // itself and CPU-heavy UDF loops drop to interpreted speed (observed
+  // as 10-50× stalls on the md5-heavy LSH query late in a run).
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -36,6 +36,9 @@ object Bench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name: $sec%.2f s ($n rows)")
+      // queries are independent: drop any cache/persist the query built
+      // so later queries aren't taxed by leaked storage + cleaner work
+      spark.catalog.clearCache()
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

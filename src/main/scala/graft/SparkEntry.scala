@@ -546,6 +546,20 @@ object SparkEntry {
           coalesce(col("P"), lit(0L)).as("n_p"))
     }),
 
+    // ST — custom-state streaming (flatMapGroupsWithState): per-user
+    // running counts through the state store; the final state must equal
+    // the batch aggregate, which is exactly what the oracle asserts.
+    // (Counts are monotone, so max over emitted updates = final state.)
+    "q46_stream_stateful" -> ((s, dir) => {
+      val q = EventsPipeline.streamStatefulUserCounts(s, dir, "q46_sink")
+      q.processAllAvailable()
+      q.stop()
+      s.table("q46_sink")
+        .groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("n_purchases")).as("n_purchases"))
+    }),
+
     // ANN via IVF (k-means coarse quantizer, nProbe cell pruning + exact
     // rerank). The k-means assignment + probed-cell set are materialized
     // as aux tables and the oracle re-derives the pruned scan, cosine
@@ -922,6 +936,11 @@ object SparkEntry {
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q46_stream_stateful" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+        |FROM events GROUP BY 1""".stripMargin,
 
     // --- ANN/hybrid gates (aux-table oracles; __AUX__ → Verify's dump
     // path). The Spark side materializes only the *index* artifacts;

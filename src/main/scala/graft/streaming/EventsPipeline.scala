@@ -100,6 +100,42 @@ object EventsPipeline {
       .start()
   }
 
+  final case class UserCounts(nEvents: Long, nPurchases: Long)
+
+  /** Custom-state streaming via `flatMapGroupsWithState`: per-user
+    * running (event, purchase) counts, state carried across micro-batches
+    * in the state store, one updated row emitted per key per batch. The
+    * hand-rolled state machine slot — anything a windowed aggregate can't
+    * express (session scoring, fraud counters, per-key models) plugs in
+    * here. Memory sink in Update mode for the stream==batch gate. */
+  def streamStatefulUserCounts(spark: SparkSession, dir: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+    stream.groupByKey(_._1)
+      .flatMapGroupsWithState[UserCounts, (Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserCounts]) =>
+          var n = 0L
+          var np = 0L
+          rows.foreach { case (_, t) => n += 1; if (t == "purchase") np += 1 }
+          val prev = state.getOption.getOrElse(UserCounts(0L, 0L))
+          val next = UserCounts(prev.nEvents + n, prev.nPurchases + np)
+          state.update(next)
+          Iterator((uid, next.nEvents, next.nPurchases))
+      }
+      .toDF("user_id", "n_events", "n_purchases")
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   final case class CursorState(court: String, lastCursor: String, updatedAt: java.sql.Timestamp)
 
   /** ST2 — explicit checkpoint table (fixes reference quirk Q1: cursor

@@ -56,6 +56,22 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.except(batch).isEmpty, "every emitted window must match batch")
   }
 
+  test("flatMapGroupsWithState running counts converge to the batch aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    val q = EventsPipeline.streamStatefulUserCounts(spark, dir, "test_state_sink")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("test_state_sink")
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n"), max(col("n_purchases")).as("np"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event_type") === "purchase", 1)).as("np"))
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("cursor checkpoint round-trips and fixes the reference's broken resume (Q1)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cursor").toString + "/c"
     val state = EventsPipeline.CursorState("scotus", "cursor-abc123", ts("2024-06-01 00:00:00"))

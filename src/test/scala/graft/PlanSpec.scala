@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the properties that make queries survive a
+  * 100× scale-up are checked against `executedPlan`, not just claimed —
+  * filter pushdown, column pruning, broadcast of small dims, and
+  * TakeOrderedAndProject instead of global sorts.
+  */
+class PlanSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q02: filters reach the parquet scan; unused columns pruned") {
+    val df = SparkEntry.queries("q02_filter_project")(spark, dir)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("PushedFilters: ["), s"no pushed filters in: $scan")
+    assert(scan.contains("IsNotNull") || scan.contains("GreaterThanOrEqual"),
+      s"expected the n_chars/lang predicates pushed: $scan")
+    // projection needs only 4 columns — the scan must not read `text`
+    assert(scan.contains("ReadSchema") && !scan.contains("text:string"),
+      s"text column should be pruned from the scan: $scan")
+  }
+
+  test("q05: the nation dim joins via BroadcastHashJoin, not a shuffle") {
+    val df = SparkEntry.queries("q05_star_join")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast dim join:\n$plan")
+  }
+
+  test("q07: global top-k plans TakeOrderedAndProject, not a global Sort") {
+    val df = SparkEntry.queries("q07_topk_orders")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
+
+  test("q31: no single-partition exchange before the top-20 limits") {
+    val df = SparkEntry.queries("q31_rrf_fusion")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the rank windows must consume TakeOrderedAndProject output (≤20
+    // rows), never a SinglePartition exchange over the raw tables
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected pre-limited rank inputs:\n$plan")
+  }
+
+  test("q01: aggregation runs with map-side partial aggregates") {
+    val df = SparkEntry.queries("q01_pricing_agg")(spark, dir)
+    df.collect()
+    val agg = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(agg.exists(_.contains("partial")),
+      s"expected partial_ aggregate before the exchange:\n${agg.mkString("\n")}")
+  }
+}

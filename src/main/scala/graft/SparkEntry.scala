@@ -560,6 +560,21 @@ object SparkEntry {
           max(col("n_purchases")).as("n_purchases"))
     }),
 
+    // ANALYZE-style column profiling — one aggregation pass for every
+    // column's (count, distinct, nulls, min, max), unpivoted via stack.
+    "q47_column_stats" -> ((s, dir) =>
+      graft.ops.Profile.columnStats(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_discount", "l_extendedprice"))),
+
+    // ST — stream-static enrichment join (events stream ⋈ customer dim)
+    // aggregated per nation; must equal the batch join+aggregate.
+    "q48_stream_static_join" -> ((s, dir) => {
+      val q = EventsPipeline.streamEnrichedCounts(s, dir, "q48_sink")
+      q.processAllAvailable()
+      q.stop()
+      s.table("q48_sink")
+    }),
+
     // ANN via IVF (k-means coarse quantizer, nProbe cell pruning + exact
     // rerank). The k-means assignment + probed-cell set are materialized
     // as aux tables and the oracle re-derives the pruned scan, cosine
@@ -941,6 +956,24 @@ object SparkEntry {
       """SELECT user_id, COUNT(*) AS n_events,
         |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q47_column_stats" -> {
+      val per = Seq("l_quantity", "l_discount", "l_extendedprice").map { c =>
+        s"""SELECT '$c' AS col_name, COUNT($c) AS n,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  round(CAST(MIN($c) AS DOUBLE), 6) AS min_v,
+           |  round(CAST(MAX($c) AS DOUBLE), 6) AS max_v
+           |FROM lineitem""".stripMargin
+      }
+      per.mkString("\nUNION ALL\n")
+    },
+
+    "q48_stream_static_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1""".stripMargin,
 
     // --- ANN/hybrid gates (aux-table oracles; __AUX__ → Verify's dump
     // path). The Spark side materializes only the *index* artifacts;

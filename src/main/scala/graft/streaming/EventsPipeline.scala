@@ -100,6 +100,30 @@ object EventsPipeline {
       .start()
   }
 
+  /** Stream-static enrichment join: the event stream joins a static
+    * dimension (customers) per micro-batch — the static side is re-read
+    * each batch and broadcast when small, the streaming standard for
+    * dimension enrichment — then aggregates revenue per nation in
+    * Complete mode for the stream==batch gate. */
+  def streamEnrichedCounts(spark: SparkSession, dir: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val customers = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"))
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("user_id"), col("value"))
+      .join(customers, col("user_id") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   final case class UserCounts(nEvents: Long, nPurchases: Long)
 
   /** Custom-state streaming via `flatMapGroupsWithState`: per-user

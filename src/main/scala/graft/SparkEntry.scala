@@ -575,6 +575,55 @@ object SparkEntry {
       s.table("q48_sink")
     }),
 
+    // GROUPING SETS with grouping() indicators — arbitrary grouping-set
+    // combinations beyond rollup/cube's fixed hierarchies.
+    "q49_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
+          |  COALESCE(o_orderstatus, 'ALL') AS st,
+          |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+          |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_st,
+          |  COUNT(*) AS n
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin)
+    }),
+
+    // running total — frame-bounded window aggregate (cumulative revenue
+    // per customer in order-date order, unique tie-break).
+    "q50_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        sum(cents(col("o_totalprice"))).over(w).as("running_cents"))
+    }),
+
+    // deterministic array aggregation — collect_list is unordered by
+    // contract, so sort_array pins the result (DuckDB: list(… ORDER BY)).
+    "q51_array_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 97 === 0)
+        .groupBy("o_orderpriority")
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("keys_sorted"),
+          count(lit(1)).as("n"))),
+
+    // null-safe equality join (<=>): NULL keys match each other, unlike
+    // plain equality — the dedup-on-nullable-key primitive.
+    "q52_nullsafe_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      def keys(t: String) = ev.filter(col("event_type") === t)
+        .select(when(col("user_id") % 10 === 0, lit(null))
+          .otherwise(col("user_id") % 10).as("k")).distinct()
+      val a = keys("signup").as("a")
+      val b = keys("error").as("b")
+      a.join(b, col("a.k") <=> col("b.k"))
+        .select(col("a.k").as("k"))
+        .withColumn("matched", lit(true))
+    }),
+
     // ANN via IVF (k-means coarse quantizer, nProbe cell pruning + exact
     // rerank). The k-means assignment + probed-cell set are materialized
     // as aux tables and the oracle re-derives the pruned scan, cosine
@@ -974,6 +1023,36 @@ object SparkEntry {
         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1""".stripMargin,
+
+    "q49_grouping_sets" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
+        |  COALESCE(o_orderstatus, 'ALL') AS st,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin,
+
+    "q50_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+        |FROM orders""".stripMargin,
+
+    "q51_array_agg" ->
+      """SELECT o_orderpriority,
+        |  list(o_orderkey ORDER BY o_orderkey) AS keys_sorted,
+        |  COUNT(*) AS n
+        |FROM orders WHERE o_orderkey % 97 = 0 GROUP BY 1""".stripMargin,
+
+    "q52_nullsafe_join" ->
+      """WITH a AS (SELECT DISTINCT CASE WHEN user_id % 10 = 0 THEN NULL
+        |    ELSE user_id % 10 END AS k FROM events WHERE event_type = 'signup'),
+        |b AS (SELECT DISTINCT CASE WHEN user_id % 10 = 0 THEN NULL
+        |    ELSE user_id % 10 END AS k FROM events WHERE event_type = 'error')
+        |SELECT a.k, true AS matched FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""".stripMargin,
 
     // --- ANN/hybrid gates (aux-table oracles; __AUX__ → Verify's dump
     // path). The Spark side materializes only the *index* artifacts;

@@ -96,11 +96,20 @@ object IndexWriter {
   }
 
   /** A7 — per-term document frequencies + corpus size for BM25. One
-    * shuffle (groupBy term); incremental at scale by unioning per-batch
-    * partial stats. */
+    * shuffle (groupBy term); incremental at scale via
+    * [[mergeDocFrequencies]]. */
   def docFrequencies(points: DataFrame): DataFrame =
     points.select(col("id"), explode(array_distinct(col("tokens"))).as("term"))
       .groupBy("term").agg(count("*").as("df"))
+
+  /** Incremental A7: merge an existing (term, df) stats table with a new
+    * batch's partial stats — df is additive over disjoint document sets,
+    * so maintenance cost is proportional to the BATCH, never a corpus
+    * rescan. `mergeDocFrequencies(docFrequencies(a), docFrequencies(b))
+    * == docFrequencies(a ∪ b)` when a and b share no document ids. */
+  def mergeDocFrequencies(existing: DataFrame, batch: DataFrame): DataFrame =
+    existing.unionByName(batch)
+      .groupBy("term").agg(sum("df").as("df"))
 
   /** Bucketed index write: co-locates rows by id so id-keyed joins and
     * MERGE-style upserts shuffle neither side (bucket pruning + no

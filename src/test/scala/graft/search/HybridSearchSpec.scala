@@ -143,4 +143,15 @@ class IndexWriterSpec extends AnyFunSuite with SparkTestBase {
     val df = IndexWriter.docFrequencies(pts).as[(String, Long)].collect().toMap
     assert(df("x") == 2 && df("y") == 1)
   }
+
+  test("mergeDocFrequencies(batch stats) equals full-corpus recompute") {
+    val a = Seq(("a", Seq("x", "y")), ("b", Seq("x"))).toDF("id", "tokens")
+    val b = Seq(("c", Seq("y", "z"))).toDF("id", "tokens")
+    val merged = IndexWriter.mergeDocFrequencies(
+        IndexWriter.docFrequencies(a), IndexWriter.docFrequencies(b))
+      .as[(String, Long)].collect().toMap
+    val full = IndexWriter.docFrequencies(a.unionByName(b))
+      .as[(String, Long)].collect().toMap
+    assert(merged == full && merged == Map("x" -> 2L, "y" -> 2L, "z" -> 1L))
+  }
 }

@@ -624,6 +624,16 @@ object SparkEntry {
         .withColumn("matched", lit(true))
     }),
 
+    // ST — stream-stream inner join with event-time range condition:
+    // click→purchase attribution pairs; complete once drained, so the
+    // oracle is the equivalent batch self-join.
+    "q53_stream_stream_join" -> ((s, dir) => {
+      val q = EventsPipeline.streamStreamJoin(s, dir, "q53_sink")
+      q.processAllAvailable()
+      q.stop()
+      s.table("q53_sink")
+    }),
+
     // ANN via IVF (k-means coarse quantizer, nProbe cell pruning + exact
     // rerank). The k-means assignment + probed-cell set are materialized
     // as aux tables and the oracle re-derives the pruned scan, cosine
@@ -1053,6 +1063,13 @@ object SparkEntry {
         |b AS (SELECT DISTINCT CASE WHEN user_id % 10 = 0 THEN NULL
         |    ELSE user_id % 10 END AS k FROM events WHERE event_type = 'error')
         |SELECT a.k, true AS matched FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""".stripMargin,
+
+    "q53_stream_stream_join" ->
+      """SELECT c.user_id, c.event_id AS c_id, p.event_id AS p_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE""".stripMargin,
 
     // --- ANN/hybrid gates (aux-table oracles; __AUX__ → Verify's dump
     // path). The Spark side materializes only the *index* artifacts;

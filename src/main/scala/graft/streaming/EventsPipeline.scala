@@ -124,6 +124,40 @@ object EventsPipeline {
       .start()
   }
 
+  /** Stream-stream INNER join with an event-time range condition:
+    * click→purchase attribution pairs (purchase within `windowMin` min
+    * at-or-after a click by the same user). Watermarks on both sides
+    * bound the join state; the time-range condition lets Spark expire
+    * rows that can no longer match. Inner-join matches emit in the batch
+    * where both sides have arrived, so the result is complete (and
+    * deterministic) once the stream drains — which is what the
+    * stream==batch gate asserts. */
+  def streamStreamJoin(spark: SparkSession, dir: String,
+      queryName: String, windowMin: Int = 10): org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMin MINUTES"))
+      .select(col("c_user").as("user_id"), col("c_id"), col("p_id"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   final case class UserCounts(nEvents: Long, nPurchases: Long)
 
   /** Custom-state streaming via `flatMapGroupsWithState`: per-user

@@ -72,6 +72,26 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("stream-stream inner join pairs equal the batch self-join") {
+    val dir = "/root/testdata/sf0.001"
+    val q = EventsPipeline.streamStreamJoin(spark, dir, "test_ssj_sink")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("test_ssj_sink").select("user_id", "c_id", "p_id")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    val batch = c.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+      .select("user_id", "c_id", "p_id")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("cursor checkpoint round-trips and fixes the reference's broken resume (Q1)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cursor").toString + "/c"
     val state = EventsPipeline.CursorState("scotus", "cursor-abc123", ts("2024-06-01 00:00:00"))

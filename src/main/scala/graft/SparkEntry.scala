@@ -52,8 +52,50 @@ object SparkEntry {
   def auxPath(sfDir: String): String =
     "/tmp/graft_oracle_aux/" + new java.io.File(sfDir).getName
 
-  private def writeAux(df: DataFrame, sfDir: String, name: String): Unit =
-    df.coalesce(1).write.mode("overwrite").parquet(s"${auxPath(sfDir)}/$name")
+  /** Aux dumps exist solely for the DuckDB oracle, so they run only when
+    * [[Verify]] flips this on. Bench must never pay for them: round 2's
+    * q35/q36/q39 bench regressions (e.g. 18.8 → 68.9 s) were exactly
+    * these `coalesce(1)` writes being timed inside the query body. */
+  @volatile var auxEnabled: Boolean = false
+
+  private def writeAux(df: => DataFrame, sfDir: String, name: String): Unit =
+    if (auxEnabled)
+      df.coalesce(1).write.mode("overwrite").parquet(s"${auxPath(sfDir)}/$name")
+
+  /** Prebuilt hybrid-index fixture (chunk index + df stats + corpus
+    * params, one per sf dir). q35 pays the full build per query — that
+    * number is the INDEXING cost; q54 queries this prebuilt fixture, so
+    * its bench time is the per-request latency, the number comparable to
+    * the reference's query path (`/root/reference/chatbot/app.py:444-450`
+    * queries a Qdrant collection indexed long before). [[Bench]] builds
+    * the fixture during untimed warm-up; version-stamped so a pipeline
+    * change invalidates stale /tmp fixtures from an earlier build. */
+  private val PrebuiltVersion = "v1"
+  def prebuiltPath(sfDir: String): String =
+    "/tmp/graft_prebuilt/" + new java.io.File(sfDir).getName
+
+  def ensureHybridIndex(s: SparkSession, dir: String): String = {
+    val base = prebuiltPath(dir)
+    val marker = java.nio.file.Paths.get(base, "_BUILT")
+    val current = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker)).trim == PrebuiltVersion
+    if (!current) {
+      GraftFunctions.register(s)
+      val index = ChunkPipeline.chunkPoints(s, t(s, dir, "documents")).cache()
+      val n = index.count()
+      val avgLen = index.select(avg(size(col("tokens")))).first().getDouble(0)
+      index.select("id", "chunk_id", "doc_id", "chunk_index", "chunk_text",
+          "tokens", "dense_vec")
+        .write.mode("overwrite").parquet(s"$base/chunks")
+      graft.index.IndexWriter.docFrequencies(index)
+        .write.mode("overwrite").parquet(s"$base/stats")
+      s.range(1).select(lit(n).as("n"), lit(avgLen).as("avgdl"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/params")
+      index.unpersist()
+      java.nio.file.Files.write(marker, PrebuiltVersion.getBytes)
+    }
+    base
+  }
 
   // ---------------------------------------------------------------------
   // Flagship: the §7.2 end-to-end slice — clean → chunk → embed → index →
@@ -407,9 +449,9 @@ object SparkEntry {
     // ST1 — true Structured Streaming run of the tumbling-window agg
     // (memory sink, AvailableNow trigger, complete mode), then read back.
     "q34_stream_window" -> ((s, dir) => {
-      val q = EventsPipeline.streamWindowedCountsComplete(s, dir, "q34_sink")
-      q.processAllAvailable()
-      q.stop()
+      EventsPipeline.drained(s) {
+        EventsPipeline.streamWindowedCountsComplete(s, dir, "q34_sink")
+      }
       s.table("q34_sink")
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
           col("event_type"), col("n"))
@@ -551,9 +593,9 @@ object SparkEntry {
     // the batch aggregate, which is exactly what the oracle asserts.
     // (Counts are monotone, so max over emitted updates = final state.)
     "q46_stream_stateful" -> ((s, dir) => {
-      val q = EventsPipeline.streamStatefulUserCounts(s, dir, "q46_sink")
-      q.processAllAvailable()
-      q.stop()
+      EventsPipeline.drained(s) {
+        EventsPipeline.streamStatefulUserCounts(s, dir, "q46_sink")
+      }
       s.table("q46_sink")
         .groupBy("user_id")
         .agg(max(col("n_events")).as("n_events"),
@@ -569,9 +611,9 @@ object SparkEntry {
     // ST — stream-static enrichment join (events stream ⋈ customer dim)
     // aggregated per nation; must equal the batch join+aggregate.
     "q48_stream_static_join" -> ((s, dir) => {
-      val q = EventsPipeline.streamEnrichedCounts(s, dir, "q48_sink")
-      q.processAllAvailable()
-      q.stop()
+      EventsPipeline.drained(s) {
+        EventsPipeline.streamEnrichedCounts(s, dir, "q48_sink")
+      }
       s.table("q48_sink")
     }),
 
@@ -602,12 +644,14 @@ object SparkEntry {
     }),
 
     // deterministic array aggregation — collect_list is unordered by
-    // contract, so sort_array pins the result (DuckDB: list(… ORDER BY)).
+    // contract, so sort_array pins the order; the result is emitted as a
+    // comma-joined string (the oracle harness can't sort/hash list cells).
     "q51_array_agg" -> ((s, dir) =>
       t(s, dir, "orders")
         .filter(col("o_orderkey") % 97 === 0)
         .groupBy("o_orderpriority")
-        .agg(sort_array(collect_list(col("o_orderkey"))).as("keys_sorted"),
+        .agg(array_join(sort_array(collect_list(col("o_orderkey")))
+            .cast("array<string>"), ",").as("keys_sorted"),
           count(lit(1)).as("n"))),
 
     // null-safe equality join (<=>): NULL keys match each other, unlike
@@ -628,10 +672,31 @@ object SparkEntry {
     // click→purchase attribution pairs; complete once drained, so the
     // oracle is the equivalent batch self-join.
     "q53_stream_stream_join" -> ((s, dir) => {
-      val q = EventsPipeline.streamStreamJoin(s, dir, "q53_sink")
-      q.processAllAvailable()
-      q.stop()
+      EventsPipeline.drained(s) {
+        EventsPipeline.streamStreamJoin(s, dir, "q53_sink")
+      }
       s.table("q53_sink")
+    }),
+
+    // T1 over a PREBUILT index — the per-request latency shape (q35 is
+    // the same operator paying full index build per query). Fixture
+    // built once per sf by ensureHybridIndex (Bench prebuilds untimed);
+    // same aux-table oracle scheme as q35.
+    "q54_hybrid_prebuilt" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val base = ensureHybridIndex(s, dir)
+      val index = s.read.parquet(s"$base/chunks")
+      val stats = s.read.parquet(s"$base/stats")
+      val p = s.read.parquet(s"$base/params").first()
+      val (n, avgLen) = (p.getLong(0), p.getDouble(1))
+      val cfg = HybridSearch.Config(k = 5)
+      val queryText = "filter predicate pushdown scan"
+      writeAux(index.select("id", "chunk_id", "tokens"), dir, "q54_index")
+      val qVec = graft.embed.HashingEmbedder.default.embedQuery(queryText)
+      writeAux(HybridSearch.denseTopK(index, qVec, cfg.k * cfg.prefetchMultiplier),
+        dir, "q54_dense")
+      HybridSearch.search(index, stats, n, avgLen, queryText, cfg)
+        .select("id", "chunk_id", "rrf_score", "dense_score", "bm25_score")
     }),
 
     // ANN via IVF (k-means coarse quantizer, nProbe cell pruning + exact
@@ -1046,14 +1111,14 @@ object SparkEntry {
     "q50_running_total" ->
       """SELECT o_custkey, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-        |  SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
         |FROM orders""".stripMargin,
 
     "q51_array_agg" ->
       """SELECT o_orderpriority,
-        |  list(o_orderkey ORDER BY o_orderkey) AS keys_sorted,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys_sorted,
         |  COUNT(*) AS n
         |FROM orders WHERE o_orderkey % 97 = 0 GROUP BY 1""".stripMargin,
 
@@ -1083,6 +1148,33 @@ object SparkEntry {
         |tf AS (SELECT id, tok, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl FROM (
         |    SELECT id, unnest(tokens) AS tok, len(tokens) AS dl FROM idx) u
         |  WHERE tok IN ('spark','join','merge','table','scan') GROUP BY id, tok),
+        |df AS (SELECT tok, CAST(count(DISTINCT id) AS DOUBLE) AS df FROM (
+        |    SELECT id, unnest(tokens) AS tok FROM idx) u GROUP BY tok),
+        |sc AS (SELECT t.id,
+        |    ln(1 + (p.n - f.df + 0.5) / (f.df + 0.5)) * t.tf * 2.2 /
+        |      (t.tf + 1.2 * (0.25 + 0.75 * t.dl / p.avgdl)) AS s
+        |  FROM tf t, params p JOIN df f ON t.tok = f.tok),
+        |bm AS (SELECT id, round(sum(s), 6) AS bm25_score FROM sc GROUP BY id
+        |  ORDER BY bm25_score DESC, id LIMIT 25),
+        |dr AS (SELECT id, dense_score,
+        |    ROW_NUMBER() OVER (ORDER BY dense_score DESC, id) AS dense_rank FROM dense),
+        |br AS (SELECT id, bm25_score,
+        |    ROW_NUMBER() OVER (ORDER BY bm25_score DESC, id) AS bm25_rank FROM bm),
+        |fused AS (SELECT COALESCE(dr.id, br.id) AS id, dr.dense_score, br.bm25_score,
+        |    COALESCE(1.0 / (60 + dr.dense_rank), 0.0)
+        |      + COALESCE(1.0 / (60 + br.bm25_rank), 0.0) AS rrf_score
+        |  FROM dr FULL OUTER JOIN br ON dr.id = br.id),
+        |top AS (SELECT * FROM fused ORDER BY rrf_score DESC, id LIMIT 5)
+        |SELECT top.id, idx.chunk_id, top.rrf_score, top.dense_score, top.bm25_score
+        |FROM top JOIN idx ON idx.id = top.id""".stripMargin,
+
+    "q54_hybrid_prebuilt" ->
+      """WITH idx AS (SELECT * FROM '__AUX__/q54_index/*.parquet'),
+        |dense AS (SELECT * FROM '__AUX__/q54_dense/*.parquet'),
+        |params AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(tokens)) AS avgdl FROM idx),
+        |tf AS (SELECT id, tok, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl FROM (
+        |    SELECT id, unnest(tokens) AS tok, len(tokens) AS dl FROM idx) u
+        |  WHERE tok IN ('filter','predicate','pushdown','scan') GROUP BY id, tok),
         |df AS (SELECT tok, CAST(count(DISTINCT id) AS DOUBLE) AS df FROM (
         |    SELECT id, unnest(tokens) AS tok FROM idx) u GROUP BY tok),
         |sc AS (SELECT t.id,

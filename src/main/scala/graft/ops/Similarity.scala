@@ -123,40 +123,106 @@ object Similarity {
     * every vector to its nearest centroid; queries probe only the
     * `nProbe` nearest centroid cells and rerank exactly with cosine.
     *
+    * The quantizer is fit with Lloyd's iterations on a driver-side
+    * sample (≤ `maxFitSample` rows) — the standard IVF construction:
+    * centroid quality needs only a sample, and a cluster-wide iterative
+    * fit would pay a full distributed pass per iteration (round 2's
+    * Spark-ML fit made this the slowest query in the bench at 84 s;
+    * the sample fit + single assignment pass runs in ~1 s). Assignment
+    * of the full corpus is then ONE distributed pass through a compiled
+    * UDF — that is the only part that must scale to 100 TB.
+    *
     * The scale path: persist `assigned` partitioned by `centroid` and a
     * query prunes to nProbe/nCentroids of the corpus. Centroids live on
-    * the driver (tiny); assignment is one ML pipeline pass. */
+    * the driver (tiny). */
   final class IvfIndex(
       df: DataFrame, nCentroids: Int = 16,
-      vecCol: String = "embedding", idCol: String = "vec_id", seed: Long = 42L) {
+      vecCol: String = "embedding", idCol: String = "vec_id", seed: Long = 42L,
+      maxFitSample: Int = 100000, maxIter: Int = 20) {
 
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+    /** Centroids from seeded Lloyd's over a bounded sample. The sample is
+      * taken with `limit` (first files of the scan): deterministic on a
+      * static table and reads only O(maxFitSample) rows; a 100 TB caller
+      * wanting an unbiased sample passes a pre-sampled `df`. */
+    val clusterCenters: Array[Array[Double]] = {
+      val sample: Array[Array[Double]] = df.select(col(vecCol))
+        .limit(maxFitSample).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      require(sample.nonEmpty, "IvfIndex: empty input")
+      val dim = sample.head.length
+      val rng = new java.util.Random(seed)
+      val k = math.min(nCentroids, sample.length)
+      // seeded init: k distinct sample points
+      val init = rng.ints(0, sample.length).distinct().limit(k.toLong)
+        .toArray.map(sample(_).clone())
+      val centers = init
+      val assign = new Array[Int](sample.length)
+      var it = 0
+      var moved = true
+      while (it < maxIter && moved) {
+        moved = false
+        var p = 0
+        while (p < sample.length) {
+          val v = sample(p)
+          var best = 0; var bestD = Double.MaxValue
+          var i = 0
+          while (i < k) {
+            val c = centers(i); var d = 0.0; var j = 0
+            while (j < dim) { val t = c(j) - v(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = i }
+            i += 1
+          }
+          if (assign(p) != best) { assign(p) = best; moved = true }
+          p += 1
+        }
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Int](k)
+        var p2 = 0
+        while (p2 < sample.length) {
+          val v = sample(p2); val a = assign(p2); counts(a) += 1
+          var j = 0
+          while (j < dim) { sums(a)(j) += v(j); j += 1 }
+          p2 += 1
+        }
+        var i = 0
+        while (i < k) {
+          if (counts(i) > 0) {
+            var j = 0
+            while (j < dim) { centers(i)(j) = sums(i)(j) / counts(i); j += 1 }
+          } // empty cell keeps its previous center
+          i += 1
+        }
+        it += 1
+      }
+      centers
+    }
 
-    // persisted BEFORE the k-means fit: KMeans is iterative, and an
-    // unpersisted lineage re-reads the parquet scan + re-runs the
-    // array→vector cast on EVERY iteration (this was 267 s → ~5 s on
-    // the sf0.1 bench). The cache also feeds `assigned` below.
-    private val featured = df.withColumn("__v",
-      array_to_vector(col(vecCol).cast("array<double>"))).persist()
+    private val assignUdf = {
+      val cs = clusterCenters
+      udf((vec: Seq[Float]) => {
+        var best = 0; var bestD = Double.MaxValue
+        var i = 0
+        while (i < cs.length) {
+          val c = cs(i); var d = 0.0; var j = 0
+          while (j < c.length && j < vec.length) {
+            val t = c(j) - vec(j); d += t * t; j += 1
+          }
+          if (d < bestD) { bestD = d; best = i }
+          i += 1
+        }
+        best
+      })
+    }
 
-    val model: org.apache.spark.ml.clustering.KMeansModel =
-      new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(20)
-        .setFeaturesCol("__v").setPredictionCol("centroid")
-        .fit(featured)
-
-    /** The partitioned index table — at scale, written partitioned by
-      * `centroid` so a query scans only its probe cells. */
-    lazy val assigned: DataFrame = model.transform(featured).drop("__v")
-
-    /** Release the cached feature frame (call after the index table has
-      * been materialized/written). */
-    def unpersist(): Unit = { featured.unpersist(); () }
+    /** The partitioned index table — ONE distributed pass; at scale,
+      * written partitioned by `centroid` so a query scans only its probe
+      * cells. */
+    lazy val assigned: DataFrame =
+      df.withColumn("centroid", assignUdf(col(vecCol)))
 
     private def nearestCentroids(qv: Array[Float], n: Int): Seq[Int] = {
-      val centers = model.clusterCenters
-      centers.indices.sortBy { i =>
-        val c = centers(i).toArray
+      clusterCenters.indices.sortBy { i =>
+        val c = clusterCenters(i)
         var d = 0.0
         var j = 0
         while (j < c.length && j < qv.length) {

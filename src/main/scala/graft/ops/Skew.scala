@@ -19,7 +19,8 @@ object Skew {
     * be re-aggregated this way — enforced here by taking sums. */
   def saltedSum(df: DataFrame, keyCol: String, valueCol: String,
       saltBuckets: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt", contentSalt(df, saltBuckets))
+    val salted = df.withColumn("__salt",
+      contentSalt(Seq(col(keyCol), col(valueCol)), saltBuckets))
     salted
       .groupBy(col(keyCol), col("__salt"))
       .agg(sum(col(valueCol)).as("__partial"), count(lit(1)).as("__n"))
@@ -33,22 +34,31 @@ object Skew {
     * once per salt value; join on (key, salt). Semantically identical to
     * `fact.join(dim, key)` for 1:1 dim keys. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
-      saltBuckets: Int = 16): DataFrame = {
-    val saltedFact = fact.withColumn("__salt", contentSalt(fact, saltBuckets))
+      saltBuckets: Int = 16, saltCols: Seq[String] = Nil): DataFrame = {
+    val spreadCols =
+      (if (saltCols.nonEmpty) saltCols else fact.columns.filterNot(_ == key).toSeq)
+        .map(col)
+    val saltedFact = fact.withColumn("__salt", contentSalt(spreadCols, saltBuckets))
     val explodedDim = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltBuckets - 1L))))
     saltedFact.join(explodedDim, Seq(key, "__salt")).drop("__salt")
   }
 
-  /** Deterministic per-row salt derived from ALL of the row's columns.
+  /** Deterministic per-row salt derived from the columns the operator
+    * actually touches (key + value for [[saltedSum]]; `saltCols` or every
+    * non-key column for [[saltedJoin]]) — hashing the full row costs one
+    * xxhash64 mix per column per row and made q38 11× slower for zero
+    * extra retry-safety.
     *
     * NOT `monotonically_increasing_id()`/`rand()`: those change value when
     * a shuffle-map stage is partially recomputed after a fetch failure, so
     * retried rows land in different salt buckets and the two-phase
     * aggregate silently double-counts or drops them (the SPARK-23207
     * class of bug) — precisely the fault-recovery regime salting targets.
-    * Content-derived salt is stable across retries; fully identical rows
-    * share a bucket, which still spreads any key whose *values* vary. */
-  private def contentSalt(df: DataFrame, saltBuckets: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(saltBuckets.toLong))
+    * Content-derived salt is stable across retries; rows identical in the
+    * salted columns share a bucket, which still spreads any key whose
+    * *values* vary (a hot key with one constant value doesn't need
+    * spreading — its partial aggregate is one row either way). */
+  private def contentSalt(cols: Seq[Column], saltBuckets: Int): Column =
+    pmod(xxhash64(cols: _*), lit(saltBuckets.toLong))
 }

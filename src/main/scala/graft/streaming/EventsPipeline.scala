@@ -13,6 +13,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventsPipeline {
 
+  /** Drain a micro-batch query to completion with a bounded state-store
+    * partition count, then restore the session's shuffle partitions.
+    *
+    * Stateful operators allocate one state store PER shuffle partition
+    * (a stream-stream join allocates four); at the session default of 32
+    * that is 128 store instances + checkpoint dirs + maintenance work per
+    * micro-batch — pure overhead when one batch holds the whole file.
+    * On a real cluster the state partition count is sized to the
+    * executor count via this same conf at query start; it is fixed for
+    * the life of the query (state is keyed by partition), which is why
+    * it must be set BEFORE `start()` and can't be repartition()'d. */
+  def drained(spark: SparkSession, partitions: Int = 8)(
+      build: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    try {
+      val q = build
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Event-time tumbling-window aggregation (batch or stream — the same
     * expression works on both). */
   def windowedCounts(events: DataFrame, windowDur: String = "1 hour"): DataFrame =

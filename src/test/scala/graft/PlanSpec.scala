@@ -49,6 +49,44 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"expected pre-limited rank inputs:\n$plan")
   }
 
+  test("LSH verification join is pinned to shuffle-hash (never broadcast)") {
+    import spark.implicits._
+    // big-ish texts so a broadcast would actually carry shingle payloads
+    val docs = (1 to 200).map(i =>
+      (i.toLong, s"document $i about spark shuffles joins aggregates windows " +
+        s"and the token ${i % 7} ${i % 13} repeated material for shingling"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.minHashNearDups(docs, jaccardThreshold = 0.5)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // both verification sides (sh1/sh2 arrays — the multi-TB payload at
+    // scale) must arrive via ShuffledHashJoin; the planner would pick
+    // broadcast from the tiny test sizes without the hint
+    val shj = "ShuffledHashJoin".r.findAllIn(plan).size
+    assert(shj >= 2, s"expected ≥2 shuffle-hash verification joins, got $shj:\n$plan")
+  }
+
+  test("exact dedup: the aggregation exchange is keyed on the 16-byte digest") {
+    import spark.implicits._
+    val docs = (1 to 100).map(i => (i.toLong, s"text payload ${i % 40}"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.exact(docs)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    val lines = plan.split("\n").toSeq
+    // the md5 digest grouping key shows as `_groupingexpression` (Catalyst
+    // extracts the non-trivial key) — the exchange must be keyed on it
+    val exIdx = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning(_groupingexpression") ||
+      l.contains("Exchange hashpartitioning(__digest"))
+    assert(exIdx >= 0, s"expected a digest-keyed exchange:\n$plan")
+    // map-side partial min collapses per-partition duplicates BEFORE the
+    // shuffle, so the exchange carries only (digest, id) pairs
+    assert(lines.drop(exIdx).exists(_.contains("partial_min")),
+      s"expected partial_min below the digest exchange:\n$plan")
+    assert(plan.contains("LeftSemi"), s"expected left-semi keeper join:\n$plan")
+  }
+
   test("q01: aggregation runs with map-side partial aggregates") {
     val df = SparkEntry.queries("q01_pricing_agg")(spark, dir)
     df.collect()

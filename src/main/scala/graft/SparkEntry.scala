@@ -699,6 +699,39 @@ object SparkEntry {
         .select("id", "chunk_id", "rrf_score", "dense_score", "bm25_score")
     }),
 
+    // Deterministic stratified sampling (training-data curation): per-
+    // language keep-rates decided by an md5-of-id threshold — content-
+    // derived (retry-safe, SPARK-23207-proof) and reproducible in any
+    // engine with md5, which is exactly what the oracle does.
+    "q55_stratified_sample" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedHashSample(
+        t(s, dir, "documents").select("doc_id", "lang", "source"),
+        strataCol = "lang", idCol = "doc_id",
+        rates = Map("en" -> 0.1, "de" -> 0.5), defaultRate = 0.9)),
+
+    // Near-dup pairs → dedup GROUPS: connected components by min-label
+    // propagation over a planted chain graph (3 copies of every doc;
+    // edges link rank-adjacent copies per digest, so labels must travel
+    // 2 hops). Oracle: DuckDB recursive-CTE reachability closure.
+    "q56_dedup_components" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val planted = d
+        .unionByName(d.withColumn("doc_id", col("doc_id") + 10000))
+        .unionByName(d.withColumn("doc_id", col("doc_id") + 20000))
+      val ranked = planted
+        .withColumn("dg", md5(col("text").cast("binary")))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("dg").orderBy("doc_id")))
+        .select("doc_id", "dg", "rn")
+      val e = ranked.as("a").join(ranked.as("b"),
+          col("a.dg") === col("b.dg") && col("b.rn") === col("a.rn") + 1)
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      Dedup.connectedComponents(e)
+        .select(col("id").as("doc_id"), col("comp"))
+        .withColumn("comp_size",
+          count(lit(1)).over(Window.partitionBy("comp")))
+    }),
+
     // ANN via IVF (k-means coarse quantizer, nProbe cell pruning + exact
     // rerank). The k-means assignment + probed-cell set are materialized
     // as aux tables and the oracle re-derives the pruned scan, cosine
@@ -1194,6 +1227,36 @@ object SparkEntry {
         |top AS (SELECT * FROM fused ORDER BY rrf_score DESC, id LIMIT 5)
         |SELECT top.id, idx.chunk_id, top.rrf_score, top.dense_score, top.bm25_score
         |FROM top JOIN idx ON idx.id = top.id""".stripMargin,
+
+    // thresholds = floor(rate·2^32) in hex: 0.1→19999999, 0.5→80000000,
+    // 0.9→e6666666 (Sampling.rateThreshold)
+    "q55_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE WHEN lang = 'en' THEN '19999999'
+        |       WHEN lang = 'de' THEN '80000000'
+        |       ELSE 'e6666666' END""".stripMargin,
+
+    "q56_dedup_components" ->
+      """WITH RECURSIVE tripled AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents
+        |  UNION ALL SELECT doc_id + 20000, text FROM documents),
+        |ranked AS (SELECT doc_id, md5(text) AS dg,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM tripled),
+        |edges AS (SELECT a.doc_id AS id1, b.doc_id AS id2 FROM ranked a
+        |  JOIN ranked b ON a.dg = b.dg AND b.rn = a.rn + 1),
+        |sym AS (SELECT id1 AS src, id2 AS dst FROM edges
+        |  UNION SELECT id2, id1 FROM edges),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |walk(id, comp) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.src, w.comp FROM sym s JOIN walk w ON s.dst = w.id),
+        |cc AS (SELECT id AS doc_id, min(comp) AS comp FROM walk GROUP BY id)
+        |SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS comp_size
+        |FROM cc""".stripMargin,
 
     "q36_lsh_ann" ->
       """WITH b AS (SELECT * FROM '__AUX__/q36_buckets/*.parquet'),

@@ -224,6 +224,57 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Connected components over a near-dup pair graph — the step that
+    * turns PAIRS (from LSH/SimHash/exact matching) into dedup GROUPS:
+    * every document in a component gets the component's min id as its
+    * label, so "keep one per group" is a filter on `id == comp`.
+    *
+    * Min-label propagation: each round, every node takes the min of its
+    * own label and its neighbors' labels; converges in O(graph diameter)
+    * rounds. Each round is ONE shuffle join on the (symmetrized) edge
+    * list plus a label comparison — edges and labels are narrow (two
+    * longs), so at 100 TB the shuffles carry ids, never documents. Near-
+    * dup graphs are overwhelmingly tiny cliques/chains (diameter ≤ 3 for
+    * content dups), so the round count stays small; a pathological long-
+    * chain graph would want the O(log n) large-star/small-star variant,
+    * which this API could switch to without changing its contract.
+    * Labels are persisted per round and the loop stops on a converged
+    * round (zero label changes) or `maxIter`.
+    *
+    * @param edges (id1, id2) pair table (undirected; duplicates fine)
+    * @return (id, comp) — comp = min id reachable from `id`
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(edges.select(col("id2").as("src"), col("id1").as("dst")))
+      .persist()
+    var cached = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).persist()
+    var labels = cached
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_comp")).as("nmin"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("prev"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .persist()
+      // ONE action per round: counting the changed rows materializes the
+      // whole cached frame, so the next round reads pure cache
+      converged = next.filter(col("prev") =!= col("comp")).count() == 0L
+      cached.unpersist()
+      cached = next
+      labels = next.select("id", "comp")
+      it += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** SimHash signature (`bits` ≤ 64): per-token hash votes per bit; sign
     * of the vote sum sets the bit. Token hash is bit-identical to Spark's
     * `xxhash64(token)` (XXH64 over UTF-8 bytes, seed 42).

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation.
+  *
+  * Down-sampling a dominant stratum (language, source, quality band) is
+  * a standard step when assembling a training corpus. `sample()`/`rand()`
+  * are wrong for it at scale: they draw a NEW sample when a task is
+  * re-executed after a fetch failure (the SPARK-23207 class of bug), and
+  * they can't be reproduced by another engine auditing the pipeline.
+  *
+  * Here membership is a pure function of the row's id: the first 8 hex
+  * digits of `md5(id)` are uniform over [0, 16^8), so `hexKey < threshold`
+  * keeps an `rate` fraction — deterministically, on every engine that can
+  * compute md5 of the same bytes. The predicate is narrow (no shuffle),
+  * pushes into the scan, and a row's fate never changes across retries,
+  * re-runs, or engines.
+  */
+object Sampling {
+
+  /** 8-hex-digit lowercase threshold for a keep-rate in [0, 1]:
+    * `floor(rate · 16^8)` hex-formatted, so `hexKey(id) < rateThreshold(r)`
+    * keeps the exact bucket fraction ⌊r·2^32⌋/2^32. */
+  def rateThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0,1]")
+    val buckets = math.min(math.floor(rate * 4294967296.0).toLong, 0xffffffffL)
+    f"$buckets%08x"
+  }
+
+  /** The row's sampling key: first 8 hex digits of md5 of the id's string
+    * form (lowercase — comparable against [[rateThreshold]] output, and
+    * reproducible as `substr(md5(CAST(id AS VARCHAR)), 1, 8)` in DuckDB
+    * or any engine with a standard md5). */
+  def hexKey(id: Column): Column =
+    substring(md5(id.cast("string").cast("binary")), 1, 8)
+
+  /** Uniform deterministic sample: keep ~`rate` of rows, decided per id. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
+    df.filter(hexKey(col(idCol)) < lit(rateThreshold(rate)))
+
+  /** Stratified deterministic sample: per-stratum keep-rates (e.g.
+    * down-sample `en` to 10% while keeping low-resource languages whole),
+    * `defaultRate` for strata not listed. One narrow filter — no shuffle,
+    * no per-stratum pass. */
+  def stratifiedHashSample(df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val threshold = rates.foldLeft(lit(rateThreshold(defaultRate)): Column) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit(rateThreshold(rate))).otherwise(acc)
+    }
+    df.filter(hexKey(col(idCol)) < threshold)
+  }
+}

@@ -35,6 +35,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("connectedComponents: chains propagate the min label multi-hop") {
+    // 1-2-3-4 chain (diameter 3), 10-11 pair, 20 absent (no edges)
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id1", "id2")
+    val comps = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents composes with minHashNearDups pairs") {
+    val pairs = Dedup.minHashNearDups(corpus, jaccardThreshold = 0.5)
+      .select("id1", "id2")
+    val comps = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    // the exact dups 1,2 always collapse to the group labeled 1; doc 3
+    // (near dup) joins the same group whenever banding surfaced its pair
+    assert(comps.get(1L).contains(1L) && comps.get(2L).contains(1L))
+    assert(comps.get(3L).forall(_ == 1L))
+    assert(!comps.contains(4L) && !comps.contains(5L), "unique docs get no label")
+  }
+
   test("simHash: identical texts identical, unrelated texts differ") {
     val sigs = corpus.select($"doc_id", Dedup.simHash($"text", 32).as("sig"))
       .as[(Long, Long)].collect().toMap

@@ -16,6 +16,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Register session UDFs up front: queries that use vec_cosine via
+    // call_function (q25/q36) otherwise depend on a register()-calling
+    // query happening to precede them in map order — when none does,
+    // they throw and silently VANISH from the correctness report.
+    graft.functions.GraftFunctions.register(spark)
     SparkEntry.auxEnabled = true // oracle aux dumps are Verify-only (never benched)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

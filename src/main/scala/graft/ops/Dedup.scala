@@ -244,13 +244,22 @@ object Dedup {
     * @param edges (id1, id2) pair table (undirected; duplicates fine)
     * @return (id, comp) — comp = min id reachable from `id`
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // Lineage MUST be truncated every round. `persist` alone is not
+    // enough: the logical plan still nests the previous round's plan
+    // twice (once directly, once under neighborMin), so the tree doubles
+    // per round — and Spark stringifies the whole analyzed plan on every
+    // action for the SQL-execution event, turning round ~6 into minutes
+    // of driver-side string building (observed: 2609 s at sf0.1 before
+    // this fix). `localCheckpoint` materializes the round AND cuts the
+    // plan, so every round analyzes a constant-size tree. On a real
+    // cluster prefer reliable `checkpoint` (executor loss discards
+    // localCheckpoint blocks); same contract either way.
     val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(edges.select(col("id2").as("src"), col("id1").as("dst")))
-      .persist()
-    var cached = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).persist()
-    var labels = cached
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -258,20 +267,29 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_comp")).as("nmin"))
-      val next = labels
+      val stepped = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .persist()
-      // ONE action per round: counting the changed rows materializes the
-      // whole cached frame, so the next round reads pure cache
+      // Pointer-halving against the previous round's (checkpointed)
+      // table: comp ← labels(comp). A label is always the id of a
+      // reachable node, so its own label is also reachable — this jumps
+      // two hops per round and collapses an L-long chain in O(log L)
+      // rounds instead of O(L), without the double-self-reference a
+      // same-round jump would need.
+      val next = stepped
+        .join(labels.select(col("comp").as("comp2"), col("id").as("comp")),
+          Seq("comp"), "left")
+        .select(col("id"), col("prev"),
+          least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
+        .localCheckpoint()
       converged = next.filter(col("prev") =!= col("comp")).count() == 0L
-      cached.unpersist()
-      cached = next
       labels = next.select("id", "comp")
       it += 1
     }
-    sym.unpersist()
+    if (!converged)
+      sys.error(s"connectedComponents: not converged after $maxIter rounds " +
+        "(pathological graph diameter?) — refusing to return partial labels")
     labels
   }
 

@@ -746,7 +746,65 @@ object SparkEntry {
       writeAux(idx.probeCells(q, nProbe = 4).toDF("centroid"), dir, "q39_probes")
       idx.query(q, k = 10, nProbe = 4)
         .select("vec_id", "centroid", "cos")
-    })
+    }),
+
+    // Per-domain cap: no source contributes more than 50 docs; biggest
+    // docs win, id tie-break. The CommonCrawl-style anti-spam cap.
+    "q57_domain_cap" -> ((s, dir) =>
+      graft.ops.Curation.domainCap(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        sourceCol = "source", idCol = "doc_id", sizeCol = "n_chars", cap = 50)),
+
+    // PII redaction over text with deterministic planted PII (the corpus
+    // itself is synthetic and PII-free, so both engines append the same
+    // email/phone/SSN suffix and must then find and redact it).
+    "q58_pii_redact" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" Contact user"), col("doc_id"), lit("@example.com or 415-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" ssn 123-45-6789.")).as("text"))
+      graft.ops.Curation.piiRedact(planted, "text")
+        .select("doc_id", "emails_found", "ssns_found", "phones_found", "redacted")
+    }),
+
+    // Gopher-style repetition/quality stats: one narrow projection/row.
+    "q59_rep_quality" -> ((s, dir) =>
+      graft.ops.Curation.repetitionQuality(
+        t(s, dir, "documents"), "text")),
+
+    // Eval-set decontamination: 5-gram overlap of every train doc
+    // against the eval split (doc_id % 50 == 0); eval grams broadcast.
+    "q60_contamination" -> ((s, dir) =>
+      graft.ops.Curation.contamination(
+        t(s, dir, "documents"), "doc_id", "text",
+        isEval = col("doc_id") % 50 === 0, n = 5)),
+
+    // TF-IDF top-3 keywords per doc (terms ≥ 4 letters).
+    "q61_tfidf_topk" -> ((s, dir) =>
+      graft.ops.Curation.tfidfKeywords(
+        t(s, dir, "documents"), "doc_id", "text", k = 3, minLen = 4)),
+
+    // Bloom-filtered join: lineitem pre-filtered by a Bloom filter over
+    // high-priority urgent orders, exact join discards false positives —
+    // result identical to the plain join (which is the oracle).
+    "q62_bloom_join" -> ((s, dir) => {
+      val ordersSel = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      graft.ops.Joins.bloomFilteredJoin(
+          t(s, dir, "lineitem").select("l_orderkey", "l_returnflag", "l_extendedprice"),
+          ordersSel, "l_orderkey", "o_orderkey", expectedKeys = 20000L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"))
+    }),
+
+    // Context-window sequence packing: shard-local streaming fill into
+    // 2048-token bins — the training-batch assembly shape.
+    "q63_seq_pack" -> ((s, dir) =>
+      graft.ops.Curation.packSequences(
+        t(s, dir, "documents"), "doc_id", "text", windowTokens = 2048, shards = 8))
   )
 
   // ---------------------------------------------------------------------
@@ -1284,6 +1342,109 @@ object SparkEntry {
         |  FROM (SELECT cand.vec_id, cand.centroid, unnest(cand.embedding)::DOUBLE AS x,
         |               unnest(q.embedding)::DOUBLE AS y FROM cand, q)
         |  GROUP BY 1, 2)
-        |SELECT vec_id, centroid, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+        |SELECT vec_id, centroid, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q57_domain_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents) WHERE rn <= 50""".stripMargin,
+
+    "q58_pii_redact" ->
+      """WITH planted AS (SELECT doc_id,
+        |  text || ' Contact user' || doc_id || '@example.com or 415-555-' ||
+        |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ssn 123-45-6789.'
+        |  AS text FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails_found,
+        |  len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS ssns_found,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS redacted,
+        |  len(regexp_extract_all(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+        |    '\[PHONE\]')) AS phones_found
+        |FROM planted""".stripMargin,
+
+    "q59_rep_quality" ->
+      """WITH base AS (SELECT doc_id, text,
+        |    len(regexp_extract_all(text, '\S+')) AS n_words,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS word_chars,
+        |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS symbols,
+        |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |  CASE WHEN n_words > 0
+        |       THEN round(word_chars / CAST(n_words AS DOUBLE), 6)
+        |       ELSE 0.0 END AS mean_word_len,
+        |  CASE WHEN len(lines) > 0
+        |       THEN round(1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE), 6)
+        |       ELSE 0.0 END AS dup_line_frac,
+        |  CASE WHEN length(text) > 0
+        |       THEN round(symbols / CAST(length(text) AS DOUBLE), 6)
+        |       ELSE 0.0 END AS symbol_ratio
+        |FROM base""".stripMargin,
+
+    "q60_contamination" ->
+      """WITH toks AS (SELECT doc_id, doc_id % 50 = 0 AS is_eval,
+        |    list_transform(regexp_extract_all(text, '\S+'), w -> lower(w)) AS w
+        |  FROM documents),
+        |grams AS (SELECT DISTINCT doc_id, is_eval,
+        |    array_to_string(w[i:i+4], ' ') AS gram
+        |  FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)),
+        |ev AS (SELECT DISTINCT gram FROM grams WHERE is_eval),
+        |tr AS (SELECT doc_id, gram FROM grams WHERE NOT is_eval),
+        |totals AS (SELECT doc_id, count(*) AS total_grams FROM tr GROUP BY 1),
+        |matched AS (SELECT doc_id, count(*) AS matched_grams FROM tr
+        |  WHERE gram IN (SELECT gram FROM ev) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(t.total_grams, 0) AS total_grams,
+        |  COALESCE(m.matched_grams, 0) AS matched_grams,
+        |  CASE WHEN COALESCE(t.total_grams, 0) > 0
+        |       THEN round(COALESCE(m.matched_grams, 0) /
+        |                  CAST(t.total_grams AS DOUBLE), 6)
+        |       ELSE 0.0 END AS contamination
+        |FROM documents d
+        |LEFT JOIN totals t ON d.doc_id = t.doc_id
+        |LEFT JOIN matched m ON d.doc_id = m.doc_id
+        |WHERE d.doc_id % 50 <> 0""".stripMargin,
+
+    "q61_tfidf_topk" ->
+      """WITH terms AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+        |    '[a-z]{4,}')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    round(tf.tf * ln(n.n_docs / CAST(dfreq.df AS DOUBLE)), 6) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term ASC) AS rank FROM scored)
+        |SELECT doc_id, term, tf, df, score, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q62_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
+
+    "q63_seq_pack" ->
+      """WITH toks AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |run AS (SELECT doc_id, shard, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM toks)
+        |SELECT doc_id, shard, n_tokens, cum_tokens,
+        |  CAST(FLOOR((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS bin
+        |FROM run""".stripMargin
   )
 }

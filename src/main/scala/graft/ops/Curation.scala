@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/similarity: per-domain caps, PII redaction, repetition
+  * quality (Gopher-style), eval-set contamination, TF-IDF keywords, and
+  * context-window sequence packing.
+  *
+  * Every operator is expressed so a second engine can re-derive it from
+  * the same parquet (the DuckDB oracle in SparkEntry does exactly that):
+  * regexes stay inside the RE2 ∩ java.util.regex common subset, ratios
+  * are rounded to 6 decimals before any comparison, and all ordering is
+  * tie-broken on ids.
+  */
+object Curation {
+
+  /** Tokens as non-whitespace runs — `regexp_extract_all` keeps the
+    * whole expression codegen-compatible (no interpreted HOF chain). */
+  def tokens(text: Column): Column = regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  // -------------------------------------------------------------------
+  // Per-domain cap (CommonCrawl-style): no source may contribute more
+  // than `cap` documents; keep the largest docs first. The window
+  // shuffles only (source, n_chars, id) — at 100 TB the payload columns
+  // rejoin AFTER the cap via the kept ids, and per-source partitions are
+  // bounded by the natural domain skew (salt a mega-domain if one
+  // appears; caps make the output bounded regardless).
+  // -------------------------------------------------------------------
+  def domainCap(docs: DataFrame, sourceCol: String, idCol: String,
+      sizeCol: String, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col(sizeCol).desc, col(idCol).asc)
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .drop("rn")
+  }
+
+  // -------------------------------------------------------------------
+  // PII redaction. Patterns deliberately sit in the RE2 ∩ Java subset
+  // (no lookarounds) so any engine audits the same result. SSN first:
+  // the phone pattern's \d{3}[-.]\d{3} prefix would otherwise eat it.
+  // -------------------------------------------------------------------
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Redacted text plus per-category match counts (counted BEFORE
+    * redaction, on the original text). */
+  def piiRedact(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("emails_found", size(regexp_extract_all(t, lit(EmailRe), lit(0))))
+      .withColumn("ssns_found", size(regexp_extract_all(t, lit(SsnRe), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "[EMAIL]"),
+            SsnRe, "[SSN]"),
+          PhoneRe, "[PHONE]"))
+      .withColumn("phones_found",
+        size(regexp_extract_all(col("redacted"), lit("\\[PHONE\\]"), lit(0))))
+  }
+
+  // -------------------------------------------------------------------
+  // Repetition / quality signals (the Gopher-rules family): duplicate-
+  // line fraction, symbol-to-char ratio, mean word length. One narrow
+  // projection per row — no shuffle, scales embarrassingly.
+  // -------------------------------------------------------------------
+  def repetitionQuality(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = tokens(t)
+    val lines = filter(split(t, "\n"), l => trim(l) =!= "")
+    val nWords = size(words)
+    val wordChars = length(regexp_replace(t, "\\s", ""))
+    val symbols = length(regexp_replace(t, "[A-Za-z0-9\\s]", ""))
+    df.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      when(nWords > 0, round(wordChars.cast("double") / nWords, 6))
+        .otherwise(lit(0.0)).as("mean_word_len"),
+      when(size(lines) > 0,
+        round(lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines), 6))
+        .otherwise(lit(0.0)).as("dup_line_frac"),
+      when(length(t) > 0, round(symbols.cast("double") / length(t), 6))
+        .otherwise(lit(0.0)).as("symbol_ratio"))
+  }
+
+  // -------------------------------------------------------------------
+  // Eval-set contamination: fraction of a training doc's distinct word
+  // n-grams that appear anywhere in the eval split. The eval gram set is
+  // small by nature (eval sets are), so Spark broadcasts it; the train
+  // side stays a streaming scan — the 100 TB shape of decontamination.
+  // Gram construction is a compiled UDF (HOF transform chains stay
+  // interpreted per element).
+  // -------------------------------------------------------------------
+  private def gramUdf(n: Int) = udf { ws: Seq[String] =>
+    if (ws == null || ws.length < n) Seq.empty[String]
+    else ws.iterator.map(_.toLowerCase(java.util.Locale.ROOT))
+      .sliding(n).map(_.mkString(" ")).toSeq
+  }
+
+  /** @param isEval predicate splitting the corpus (e.g. `doc_id % 50 === 0`)
+    * @return one row per NON-eval doc: total distinct grams, matched
+    *         grams, contamination fraction (0 when the doc is shorter
+    *         than `n` words). */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+      isEval: Column, n: Int = 5): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"), isEval.as("is_eval"),
+        explode(gramUdf(n)(tokens(col(textCol)))).as("gram"))
+      .distinct()
+    val evalGrams = grams.filter(col("is_eval")).select("gram").distinct()
+    val trainGrams = grams.filter(!col("is_eval"))
+    val matched = trainGrams.join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("matched_grams"))
+    val totals = trainGrams.groupBy("doc_id").agg(count(lit(1)).as("total_grams"))
+    // right side of the totals join is every short doc too: docs with no
+    // grams never appear in `totals`, so re-anchor on the doc table
+    docs.filter(!isEval).select(col(idCol).as("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("total_grams"), lit(0L)).as("total_grams"),
+        coalesce(col("matched_grams"), lit(0L)).as("matched_grams"))
+      .withColumn("contamination",
+        when(col("total_grams") > 0,
+          round(col("matched_grams").cast("double") / col("total_grams"), 6))
+          .otherwise(lit(0.0)))
+  }
+
+  // -------------------------------------------------------------------
+  // TF-IDF keywords: top-k terms per document. tf is per (doc, term),
+  // df is one count-distinct per term, idf = ln(N/df). The shuffles are
+  // all on (term) or (doc, term) — narrow keys; N is a scalar. The
+  // window ranks within a doc (bounded partition), never globally.
+  // -------------------------------------------------------------------
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minLen: Int = 4): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(regexp_extract_all(lower(col(textCol)),
+        lit(s"[a-z]{$minLen,}"), lit(0))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docCount = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(docCount))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "score", "rank")
+  }
+
+  // -------------------------------------------------------------------
+  // Sequence packing: streaming-fill docs into fixed token windows
+  // (training-batch assembly). Deterministic shard-local packing: the
+  // shard key bounds every window partition, so 100 TB packs as W
+  // independent running sums — no global window, no single-partition
+  // choke. (Greedy best-fit packs ~1% tighter but is inherently
+  // sequential; streaming fill is the distributed-sane choice.)
+  // -------------------------------------------------------------------
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, shards: Int = 8): DataFrame = {
+    val shard = pmod(col(idCol), lit(shards.toLong)).as("shard")
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol).as("doc_id"), shard,
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        floor((col("cum_tokens") - col("n_tokens")).cast("double") / windowTokens)
+          .cast("long"))
+  }
+}

@@ -82,4 +82,29 @@ object Joins {
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** Bloom-filtered join: build a Bloom filter over the (selective) build
+    * side's keys and pre-filter the probe side with it BEFORE the shuffle,
+    * then run the exact join to discard the false positives.
+    *
+    * This is the runtime-filter pattern (Spark's own
+    * `spark.sql.optimizer.runtime.bloomFilter` applies it when statistics
+    * let it): at 100 TB the win is that probe rows failing the filter are
+    * dropped at the scan — they never enter the exchange — so a 1%-selective
+    * dim cuts the probe shuffle ~100×. The final join makes the result
+    * EXACTLY equal to the plain join, whatever the filter's fpp; the
+    * filter only sheds work, never changes semantics.
+    *
+    * The build-side key set must be driver-collectable (it is the small,
+    * filtered dim by assumption — same regime as a broadcast join, and the
+    * filter is ~9.6 bits/key at 1% fpp, far smaller than the rows).
+    */
+  def bloomFilteredJoin(probe: DataFrame, build: DataFrame,
+      probeKey: String, buildKey: String,
+      expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
+    val might = udf((k: Long) => bf.mightContain(k))
+    probe.filter(might(col(probeKey)))
+      .join(build, col(probeKey) === col(buildKey))
+  }
 }

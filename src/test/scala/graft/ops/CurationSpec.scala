@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class CurationSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("domainCap keeps at most cap rows per source, largest first") {
+    val docs = (1 to 20).map(i => (i.toLong, if (i <= 15) "a" else "b", i * 10L))
+      .toDF("doc_id", "source", "n_chars")
+    val out = Curation.domainCap(docs, "source", "doc_id", "n_chars", cap = 3)
+      .collect()
+    val bySource = out.groupBy(_.getString(1))
+    assert(bySource("a").length == 3 && bySource("b").length == 3)
+    // largest n_chars survive
+    assert(bySource("a").map(_.getLong(2)).sorted.toSeq == Seq(130L, 140L, 150L))
+  }
+
+  test("piiRedact finds and replaces email/ssn/phone, leaves clean text alone") {
+    val df = Seq(
+      (1L, "mail me at jo.doe+x@ex-corp.io or call 415-555-1234, ssn 123-45-6789"),
+      (2L, "no pii here, just 12345 and a-b-c")).toDF("doc_id", "text")
+    val out = Curation.piiRedact(df, "text").orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Int]("emails_found") == 1)
+    assert(r1.getAs[Int]("ssns_found") == 1)
+    assert(r1.getAs[Int]("phones_found") == 1)
+    val red = r1.getAs[String]("redacted")
+    assert(red.contains("[EMAIL]") && red.contains("[SSN]") && red.contains("[PHONE]"))
+    assert(!red.contains("@") && !red.contains("123-45-6789"))
+    val r2 = out(1)
+    assert(r2.getAs[Int]("emails_found") == 0 && r2.getAs[Int]("ssns_found") == 0 &&
+      r2.getAs[Int]("phones_found") == 0)
+    assert(r2.getAs[String]("redacted") == "no pii here, just 12345 and a-b-c")
+  }
+
+  test("repetitionQuality flags duplicated lines and symbol soup") {
+    val df = Seq(
+      (1L, "same line\nsame line\nsame line\nother"),
+      (2L, "@@ ## $$ %%"),
+      (3L, "plain four word text")).toDF("doc_id", "text")
+    val out = Curation.repetitionQuality(df, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("dup_line_frac") == 0.5) // 2 distinct of 4
+    assert(out(2L).getAs[Double]("symbol_ratio") > 0.6)
+    assert(out(3L).getAs[Double]("dup_line_frac") == 0.0)
+    assert(out(3L).getAs[Int]("n_words") == 4)
+  }
+
+  test("contamination: doc sharing a 5-gram with eval is flagged, others are 0") {
+    val evalText = "the quick brown fox jumps over the lazy dog"
+    val df = Seq(
+      (50L, evalText),                                   // eval (id % 50 == 0)
+      (1L, "prefix the quick brown fox jumps suffix"),   // shares one 5-gram
+      (2L, "completely unrelated words with no overlap at all"),
+      (3L, "shorty")                                     // < 5 words → 0 grams
+    ).toDF("doc_id", "text")
+    val out = Curation.contamination(df, "doc_id", "text",
+        isEval = col("doc_id") % 50 === 0, n = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(50L))
+    assert(out(1L).getAs[Long]("matched_grams") == 1L)
+    assert(out(1L).getAs[Double]("contamination") > 0.0)
+    assert(out(2L).getAs[Long]("matched_grams") == 0L)
+    assert(out(3L).getAs[Long]("total_grams") == 0L &&
+      out(3L).getAs[Double]("contamination") == 0.0)
+  }
+
+  test("tfidfKeywords ranks a doc-specific term above corpus-wide ones") {
+    val df = Seq(
+      (1L, "alpha alpha alpha shared shared words words"),
+      (2L, "beta beta shared words other other"),
+      (3L, "gamma shared words filler filler")).toDF("doc_id", "text")
+    val out = Curation.tfidfKeywords(df, "doc_id", "text", k = 1, minLen = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "alpha")
+    assert(out(2L) == "beta")  // 'other' appears only in doc 2 too, but tf 2 == tf 2 → term asc... beta < other
+    assert(out(3L) == "gamma" || out(3L) == "filler")
+  }
+
+  test("packSequences: bins advance once the window fills, per shard") {
+    // 10 docs of 1000 tokens each in one shard → cum 1000..10000, window
+    // 2048: doc k (1-based) has bin = floor((k-1)*1000/2048)
+    val text = Seq.fill(1000)("w").mkString(" ")
+    val df = (0 until 10).map(i => (i * 8L, text)).toDF("doc_id", "text") // all shard 0
+    val out = Curation.packSequences(df, "doc_id", "text", 2048, shards = 8)
+      .orderBy("doc_id").collect()
+    assert(out.forall(_.getAs[Long]("shard") == 0L))
+    val bins = out.map(_.getAs[Long]("bin")).toSeq
+    assert(bins == (0 until 10).map(k => (k * 1000L) / 2048).toSeq)
+    // bins are dense and monotone
+    assert(bins.sliding(2).forall(p => p(1) - p(0) <= 1 && p(1) >= p(0)))
+  }
+
+  test("bloomFilteredJoin equals the plain join exactly") {
+    val probe = (1L to 1000L).map(k => (k, s"p$k")).toDF("pk", "pv")
+    val build = Seq((10L, "a"), (500L, "b"), (999L, "c")).toDF("bk", "bv")
+    val got = Joins.bloomFilteredJoin(probe, build, "pk", "bk", expectedKeys = 10)
+      .select("pk", "bk", "pv", "bv").collect().sortBy(_.getLong(0))
+    val want = probe.join(build, col("pk") === col("bk"))
+      .select("pk", "bk", "pv", "bv").collect().sortBy(_.getLong(0))
+    assert(got.toSeq == want.toSeq)
+    assert(got.length == 3)
+  }
+
+  test("contamination broadcasts the eval gram set (scale contract)") {
+    val df = (1L to 60L).map(i => (i, s"token$i words go here padding out five grams minimum"))
+      .toDF("doc_id", "text")
+    val plan = Curation.contamination(df, "doc_id", "text",
+      isEval = col("doc_id") % 50 === 0).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastQueryStage"),
+      s"eval gram side should broadcast:\n$plan")
+  }
+}

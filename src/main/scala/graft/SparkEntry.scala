@@ -804,7 +804,25 @@ object SparkEntry {
     // 2048-token bins — the training-batch assembly shape.
     "q63_seq_pack" -> ((s, dir) =>
       graft.ops.Curation.packSequences(
-        t(s, dir, "documents"), "doc_id", "text", windowTokens = 2048, shards = 8))
+        t(s, dir, "documents"), "doc_id", "text", windowTokens = 2048, shards = 8)),
+
+    // Mean-pool embeddings into group ("document") vectors, row form —
+    // (grp, dim) keys shuffle narrow triples, no array compares needed.
+    "q64_embed_pool" -> ((s, dir) =>
+      graft.ops.VectorOps.poolEmbeddings(
+        t(s, dir, "embeddings").withColumn("grp", col("vec_id") % 100), "grp")),
+
+    // Int8 scalar quantization of every embedding (storage form of the
+    // vector index; floor(x+0.5) half-up so every engine rounds alike).
+    "q65_scalar_quant" -> ((s, dir) =>
+      graft.ops.VectorOps.scalarQuantize(t(s, dir, "embeddings"))),
+
+    // Deterministic weighted sampling (A-ES): quality-weighted top-100
+    // by hash-derandomized priority — plans as TakeOrderedAndProject.
+    "q66_weighted_sample" -> ((s, dir) =>
+      graft.ops.Sampling.weightedHashSample(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        idCol = "doc_id", weightCol = "n_chars", k = 100))
   )
 
   // ---------------------------------------------------------------------
@@ -1445,6 +1463,29 @@ object SparkEntry {
         |  FROM toks)
         |SELECT doc_id, shard, n_tokens, cum_tokens,
         |  CAST(FLOOR((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS bin
-        |FROM run""".stripMargin
+        |FROM run""".stripMargin,
+
+    "q64_embed_pool" ->
+      """SELECT vec_id % 100 AS grp, i,
+        |  round(avg(embedding[i]::DOUBLE), 6) AS avg_val
+        |FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q65_scalar_quant" ->
+      """WITH ex AS (SELECT vec_id, i, embedding[i]::DOUBLE AS x
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+        |mx AS (SELECT vec_id, max(abs(x)) AS maxabs FROM ex GROUP BY 1)
+        |SELECT ex.vec_id, i,
+        |  CASE WHEN maxabs = 0 THEN 0
+        |       ELSE CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT) END AS q
+        |FROM ex JOIN mx USING (vec_id)""".stripMargin,
+
+    "q66_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+        |  round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |                 AS BIGINT) + 1.0) / 4294967296.0)
+        |        / CAST(n_chars AS DOUBLE), 6) AS priority
+        |FROM documents
+        |ORDER BY priority DESC, doc_id ASC LIMIT 100""".stripMargin
   )
 }

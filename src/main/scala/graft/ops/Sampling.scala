@@ -40,6 +40,28 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
     df.filter(hexKey(col(idCol)) < lit(rateThreshold(rate)))
 
+  /** Deterministic weighted sample without replacement (the
+    * Efraimidis–Spirakis A-ES scheme, hash-derandomized): each row gets
+    * priority `ln(u) / w` where `u ∈ (0,1]` comes from the row's md5 hex
+    * key and `w` is its weight; the global top-k by priority is a
+    * weighted sample — a row with twice the weight is (asymptotically)
+    * twice as likely to make the cut under a random id assignment, yet
+    * the selection is a pure function of (id, weight): retry-safe and
+    * reproducible in any engine with md5/ln (the oracle re-derives it).
+    *
+    * Priorities are rounded to 6 decimals before ranking (cross-engine
+    * libm ulps), ties broken on id; the top-k plans as
+    * TakeOrderedAndProject — no global sort at scale. */
+  def weightedHashSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    // (hexKey + 1) / 2^32 ∈ (0, 1] — the +1 dodges ln(0) at hexKey = 0
+    val u = (conv(hexKey(col(idCol)), 16, 10).cast("double") + 1.0) /
+      4294967296.0
+    df.withColumn("priority", round(log(u) / col(weightCol).cast("double"), 6))
+      .orderBy(col("priority").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Stratified deterministic sample: per-stratum keep-rates (e.g.
     * down-sample `en` to 10% while keeping low-resource languages whole),
     * `defaultRate` for strata not listed. One narrow filter — no shuffle,

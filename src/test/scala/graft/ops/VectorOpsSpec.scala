@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("poolEmbeddings averages per (group, dimension)") {
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f)),
+      (1L, Array(3.0f, 6.0f)),
+      (2L, Array(10.0f, 20.0f))).toDF("grp", "embedding")
+    val out = VectorOps.poolEmbeddings(emb, "grp")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 1)) == 2.0 && out((1L, 2)) == 4.0)
+    assert(out((2L, 1)) == 10.0 && out((2L, 2)) == 20.0)
+  }
+
+  test("scalarQuantize maps max|x| to ±127 and zero vectors to zeros") {
+    val emb = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = VectorOps.scalarQuantize(emb)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 2)) == -127L)           // the max-magnitude element
+    assert(out((1L, 1)) == 64L)             // 0.5/1.0*127 = 63.5 → half-up 64
+    assert(out((1L, 3)) == 32L)             // 0.25*127 = 31.75 → 32
+    assert(Seq(1, 2, 3).forall(i => out((2L, i)) == 0L))
+    // bound law: nothing exceeds ±127
+    assert(out.values.forall(q => q >= -127 && q <= 127))
+  }
+
+  test("weightedHashSample is deterministic, size-k, and weight-monotone in expectation") {
+    val df = (1L to 500L).map(i => (i, if (i <= 250) 10L else 1000L))
+      .toDF("doc_id", "n_chars")
+    val s1 = Sampling.weightedHashSample(df, "doc_id", "n_chars", k = 50)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.weightedHashSample(df, "doc_id", "n_chars", k = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2 && s1.size == 50)
+    // 100× heavier rows should dominate the sample
+    val heavy = s1.count(_ > 250)
+    assert(heavy > 40, s"expected heavy-weight rows to dominate, got $heavy/50")
+  }
+
+  test("weightedHashSample plans TakeOrderedAndProject (no global sort)") {
+    val df = (1L to 100L).map(i => (i, i)).toDF("doc_id", "n_chars")
+    val plan = Sampling.weightedHashSample(df, "doc_id", "n_chars", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}

@@ -822,7 +822,34 @@ object SparkEntry {
     "q66_weighted_sample" -> ((s, dir) =>
       graft.ops.Sampling.weightedHashSample(
         t(s, dir, "documents").select("doc_id", "n_chars"),
-        idCol = "doc_id", weightCol = "n_chars", k = 100))
+        idCol = "doc_id", weightCol = "n_chars", k = 100)),
+
+    // Equi-width histogram over a fact column — one tiny bounds
+    // aggregate broadcast back over the streaming scan.
+    "q67_histogram" -> ((s, dir) =>
+      graft.ops.Cleaning.equiWidthHistogram(
+        t(s, dir, "lineitem"), "l_extendedprice", bins = 20)),
+
+    // Group-mean imputation over planted nulls (the corpus has none, so
+    // both engines null the same deterministic subset first).
+    "q68_impute" -> ((s, dir) => {
+      val planted = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        when(col("l_orderkey") % 97 === 0, lit(null).cast("double"))
+          .otherwise(col("l_discount")).as("disc"))
+      graft.ops.Cleaning.groupMeanImpute(planted, "disc", "l_returnflag")
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+          "imputed", "disc_filled")
+    }),
+
+    // Z-score outliers per group (1.5σ — the synthetic prices are
+    // near-uniform, so 3σ would be empty by construction).
+    "q69_outliers" -> ((s, dir) =>
+      graft.ops.Cleaning.zscoreOutliers(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+          "l_returnflag", "l_extendedprice"),
+        "l_extendedprice", "l_returnflag", threshold = 1.5)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "z"))
   )
 
   // ---------------------------------------------------------------------
@@ -1486,6 +1513,42 @@ object SparkEntry {
         |                 AS BIGINT) + 1.0) / 4294967296.0)
         |        / CAST(n_chars AS DOUBLE), 6) AS priority
         |FROM documents
-        |ORDER BY priority DESC, doc_id ASC LIMIT 100""".stripMargin
+        |ORDER BY priority DESC, doc_id ASC LIMIT 100""".stripMargin,
+
+    "q67_histogram" ->
+      """WITH b AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+        |    max(CAST(l_extendedprice AS DOUBLE)) AS mx FROM lineitem),
+        |binned AS (SELECT
+        |    CASE WHEN (mx - mn) / 20 = 0 THEN 0
+        |         ELSE CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - mn)
+        |                               / ((mx - mn) / 20)), 19) AS BIGINT)
+        |    END AS bin, mn, mx
+        |  FROM lineitem, b)
+        |SELECT bin, round(mn + bin * ((mx - mn) / 20), 6) AS lo,
+        |  round(mn + (bin + 1) * ((mx - mn) / 20), 6) AS hi,
+        |  count(*) AS cnt
+        |FROM binned GROUP BY bin, mn, mx""".stripMargin,
+
+    "q68_impute" ->
+      """WITH planted AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    CASE WHEN l_orderkey % 97 = 0 THEN NULL
+        |         ELSE CAST(l_discount AS DOUBLE) END AS disc
+        |  FROM lineitem),
+        |means AS (SELECT l_returnflag, round(avg(disc), 6) AS m
+        |  FROM planted GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  disc IS NULL AS imputed, COALESCE(disc, m) AS disc_filled
+        |FROM planted JOIN means USING (l_returnflag)""".stripMargin,
+
+    "q69_outliers" ->
+      """WITH stats AS (SELECT l_returnflag,
+        |    avg(CAST(l_extendedprice AS DOUBLE)) AS mu,
+        |    stddev_pop(CAST(l_extendedprice AS DOUBLE)) AS sigma
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  round(abs(CAST(l_extendedprice AS DOUBLE) - mu) / sigma, 6) AS z
+        |FROM lineitem JOIN stats USING (l_returnflag)
+        |WHERE sigma > 0
+        |  AND round(abs(CAST(l_extendedprice AS DOUBLE) - mu) / sigma, 6) > 1.5""".stripMargin
   )
 }

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-cleaning / distribution-profiling operators: equi-width
+  * histograms, group-mean imputation, z-score outlier detection.
+  *
+  * All three are single-aggregation-pass + broadcast-back shapes: the
+  * heavy side streams, the per-group statistics frame is tiny (one row
+  * per group / per histogram) and broadcasts, so nothing here shuffles
+  * payload rows at 100 TB. Engine-portability rules as elsewhere:
+  * statistics are rounded to 6 decimals BEFORE they feed any filter or
+  * output so independent engines agree despite accumulation-order ulps.
+  */
+object Cleaning {
+
+  /** Equi-width histogram: `bins` buckets spanning [min, max] computed
+    * from the data itself (one tiny aggregate, broadcast back). The max
+    * value lands in the last bin. Output: (bin, lo, hi, cnt), lo/hi
+    * rounded to 6. */
+  def equiWidthHistogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val v = col(valueCol).cast("double")
+    val bounds = df.agg(min(v).as("mn"), max(v).as("mx"))
+    df.select(v.as("x")).crossJoin(broadcast(bounds))
+      .withColumn("width", (col("mx") - col("mn")) / bins)
+      .withColumn("bin",
+        when(col("width") === 0.0, lit(0L))
+          .otherwise(least(floor((col("x") - col("mn")) / col("width")),
+            lit(bins - 1L))).cast("long"))
+      .groupBy("bin")
+      .agg(round(first(col("mn")) + col("bin") * first(col("width")), 6).as("lo"),
+        round(first(col("mn")) + (col("bin") + 1) * first(col("width")), 6).as("hi"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** Mean imputation: nulls in `valueCol` are replaced by their group's
+    * mean over the non-null rows (rounded to 6 before the fill, so the
+    * imputed value is reproducible bit-for-bit in any engine). Adds
+    * `<valueCol>_filled` and a boolean `imputed` flag. */
+  def groupMeanImpute(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val means = df.groupBy(groupCol)
+      .agg(round(avg(col(valueCol).cast("double")), 6).as("__grp_mean"))
+    df.join(broadcast(means), Seq(groupCol), "left")
+      .withColumn("imputed", col(valueCol).isNull)
+      .withColumn(s"${valueCol}_filled",
+        coalesce(col(valueCol).cast("double"), col("__grp_mean")))
+      .drop("__grp_mean")
+  }
+
+  /** Z-score outliers per group: rows with |x − μ| / σ > `threshold`
+    * (population σ). The z-score is rounded to 6 BEFORE the comparison —
+    * the filter is then a pure function of values any engine computes
+    * identically, not of last-ulp accumulator differences. Groups with
+    * σ = 0 produce no outliers. */
+  def zscoreOutliers(df: DataFrame, valueCol: String, groupCol: String,
+      threshold: Double = 3.0): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val stats = df.groupBy(groupCol).agg(
+      avg(v).as("__mu"), stddev_pop(v).as("__sigma"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .filter(col("__sigma") > 0.0)
+      .withColumn("z", round(abs(v - col("__mu")) / col("__sigma"), 6))
+      .filter(col("z") > threshold)
+      .drop("__mu", "__sigma")
+  }
+}

@@ -849,7 +849,21 @@ object SparkEntry {
         t(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
           "l_returnflag", "l_extendedprice"),
         "l_extendedprice", "l_returnflag", threshold = 1.5)
-        .select("l_orderkey", "l_linenumber", "l_returnflag", "z"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "z")),
+
+    // SimHash radius join over a planted near-dup corpus (each doc gets
+    // a perturbed twin): byte-banded candidates, codegen'd hamming64
+    // verify. The oracle reproduces the banding construction itself.
+    "q70_simhash_radius" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = d.unionByName(d.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" near duplicate tail marker")).as("text")))
+      val sigs = corpus.select(col("doc_id"),
+        Dedup.md5SimHash16Udf(col("text")).as("sig"))
+      Dedup.simHashRadiusPairs(sigs, "doc_id", "sig", maxDist = 4)
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -1549,6 +1563,27 @@ object SparkEntry {
         |  round(abs(CAST(l_extendedprice AS DOUBLE) - mu) / sigma, 6) AS z
         |FROM lineitem JOIN stats USING (l_returnflag)
         |WHERE sigma > 0
-        |  AND round(abs(CAST(l_extendedprice AS DOUBLE) - mu) / sigma, 6) > 1.5""".stripMargin
+        |  AND round(abs(CAST(l_extendedprice AS DOUBLE) - mu) / sigma, 6) > 1.5""".stripMargin,
+
+    "q70_simhash_radius" -> {
+      val bits = (0 until 16).map(j =>
+        s"CASE WHEN 2*len(list_filter(mh, h -> substr(h,${j + 1},1) >= '8')) > len(mh) THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text || ' near duplicate tail marker'
+         |  FROM documents),
+         |sigs AS (SELECT doc_id, CAST($bits AS BIGINT) AS sig FROM (
+         |  SELECT doc_id, [md5(x) for x in string_split(text, ' ')] AS mh FROM corpus)),
+         |banded AS (
+         |  SELECT doc_id, sig, 0 AS b, sig & 255 AS v FROM sigs
+         |  UNION ALL SELECT doc_id, sig, 1, (sig >> 8) & 255 FROM sigs),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         |    a.sig AS sig1, b.sig AS sig2
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)
+         |SELECT id1, id2, bit_count(xor(sig1, sig2)) AS dist
+         |FROM pairs WHERE bit_count(xor(sig1, sig2)) <= 4""".stripMargin
+    }
   )
 }

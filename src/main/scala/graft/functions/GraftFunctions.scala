@@ -25,6 +25,8 @@ object GraftFunctions {
       "vec_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "hamming64", exprs => Hamming64(exprs(0), exprs(1)), "scala_udf")
 
     spark.udf.register("clean_text", (s: String) => CleanText(s))
     spark.udf.register("uuid5", (s: String) => Uuid5(s))
@@ -53,6 +55,10 @@ object GraftFunctions {
   /** Dot product over two `array<float>` columns (codegen'd). */
   def vecDot(a: Column, b: Column): Column =
     call_function("vec_dot", asFloatArray(a), asFloatArray(b))
+
+  /** Hamming distance between two long-encoded bit signatures (codegen'd). */
+  def hamming64(a: Column, b: Column): Column =
+    call_function("hamming64", a.cast("long"), b.cast("long"))
 
   def cleanText(c: Column): Column = call_function("clean_text", c)
   def uuid5(c: Column): Column = call_function("uuid5", c)

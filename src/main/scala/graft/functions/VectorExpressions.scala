@@ -55,6 +55,26 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
     copy(left = l, right = r)
 }
 
+/** `hamming64(a, b)` — popcount of the XOR of two longs. The SimHash
+  * radius-join hot path: a banded self-join verifies millions of
+  * candidate pairs with this predicate, so it must stay inside the
+  * whole-stage-codegen span (one XOR + POPCNT per pair), not a UDF with
+  * per-row boxing. */
+case class Hamming64(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "hamming64"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `cosine(a, b) = dot / (|a| |b|)` (null on length mismatch or zero norm). */
 case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "vec_cosine"

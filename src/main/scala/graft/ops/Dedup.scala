@@ -353,6 +353,42 @@ object Dedup {
       sig
     }
 
+  /** SimHash radius self-join: all id pairs whose signatures lie within
+    * Hamming distance `maxDist`, found via byte banding — a pair is a
+    * candidate iff it collides on at least one of the signature's bytes
+    * (guaranteed complete for dist < #bands by pigeonhole; beyond that,
+    * probabilistic recall — same contract the oracle reproduces exactly,
+    * because the oracle mirrors the banding, not the ideal semantics).
+    *
+    * 100 TB shape: the self-join is an equi-join on (band#, byte value)
+    * — never all-pairs — and the verification predicate is the codegen'd
+    * [[graft.functions.GraftFunctions.hamming64]] (XOR + POPCNT per
+    * candidate), so the verify stage stays in the whole-stage-codegen
+    * span instead of boxing through a UDF.
+    *
+    * @param sigs   (id, sig) frame; `sigCol` is a long-encoded bit signature
+    * @param sigBytes how many low bytes of the signature to band on
+    */
+  def simHashRadiusPairs(sigs: DataFrame, idCol: String, sigCol: String,
+      maxDist: Int, sigBytes: Int = 2): DataFrame = {
+    val base = sigs.select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
+    val banded = base.withColumn("band", explode(array(
+        (0 until sigBytes).map(b => struct(lit(b).as("b"),
+          shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("v"))): _*)))
+      .select(col("id"), col("sig"), col("band.b").as("b"), col("band.v").as("v"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.v") === col("b.v") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .distinct() // a pair colliding on several bands is one candidate
+    cand
+      .withColumn("dist",
+        graft.functions.GraftFunctions.hamming64(col("sig1"), col("sig2")))
+      .filter(col("dist") <= maxDist)
+      .select("id1", "id2", "dist")
+  }
+
   /** n-gram Jaccard similarity between two token-array columns
     * (set semantics; integer arithmetic — deterministic). */
   def jaccard(a: Column, b: Column): Column = {

@@ -12,6 +12,34 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("hamming64 evaluates correctly and stays inside whole-stage codegen") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((0L, 0L), (0L, 7L), (-1L, 0L), (12345L, 54321L))
+      .toDF("a", "b")
+      .select(graft.functions.GraftFunctions.hamming64(col("a"), col("b")).as("d"))
+    assert(df.as[Int].collect().toSeq == Seq(0, 3, 64, 5))
+    // a local relation constant-folds, so assert the codegen span over a
+    // parquet-backed scan: `*(n)` prefix = WholeStageCodegen
+    val scan = spark.read.parquet(s"$dir/documents.parquet")
+      .select(graft.functions.GraftFunctions
+        .hamming64(xxhash64(col("text")), col("doc_id")).as("d"))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      s"hamming64 project not codegen'd:\n$plan")
+  }
+
+  test("simHashRadiusPairs finds planted identical twins at distance 0") {
+    import spark.implicits._
+    val sigs = Seq((1L, 0xBEEFL), (2L, 0xBEEFL), (3L, 0x0001L))
+      .toDF("id", "sig")
+    val out = graft.ops.Dedup.simHashRadiusPairs(sigs, "id", "sig", maxDist = 0)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L &&
+      out.head.getInt(2) == 0)
+  }
+
   test("q02: filters reach the parquet scan; unused columns pruned") {
     val df = SparkEntry.queries("q02_filter_project")(spark, dir)
     df.collect()

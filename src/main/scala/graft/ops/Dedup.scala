@@ -376,17 +376,17 @@ object Dedup {
         (0 until sigBytes).map(b => struct(lit(b).as("b"),
           shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("v"))): _*)))
       .select(col("id"), col("sig"), col("band.b").as("b"), col("band.v").as("v"))
-    val cand = banded.as("a").join(banded.as("b"),
+    banded.as("a").join(banded.as("b"),
         col("a.b") === col("b.b") && col("a.v") === col("b.v") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
-      .distinct() // a pair colliding on several bands is one candidate
-    cand
-      .withColumn("dist",
-        graft.functions.GraftFunctions.hamming64(col("sig1"), col("sig2")))
+        graft.functions.GraftFunctions
+          .hamming64(col("a.sig"), col("b.sig")).as("dist"))
+      // verify BEFORE the dedup: the codegen'd predicate runs inside the
+      // join's output stage, so the distinct only shuffles matching
+      // pairs, not every banding candidate
       .filter(col("dist") <= maxDist)
-      .select("id1", "id2", "dist")
+      .distinct() // a pair colliding on several bands is one candidate
   }
 
   /** n-gram Jaccard similarity between two token-array columns

@@ -863,6 +863,21 @@ object SparkEntry {
       val sigs = corpus.select(col("doc_id"),
         Dedup.md5SimHash16Udf(col("text")).as("sig"))
       Dedup.simHashRadiusPairs(sigs, "doc_id", "sig", maxDist = 4)
+    }),
+
+    // Same radius join at a realistic signature width: 48-bit SimHash,
+    // 6-byte banding — candidates collapse from quadratic-per-byte-value
+    // (q70's 16-bit demo) to near-dups only; output is the planted twins
+    // plus true natural collisions.
+    "q71_simhash48_radius" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = d.unionByName(d.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" near duplicate tail marker")).as("text")))
+      val sigs = corpus.select(col("doc_id"),
+        Dedup.md5SimHash48Udf(col("text")).as("sig"))
+      Dedup.simHashRadiusPairs(sigs, "doc_id", "sig", maxDist = 6, sigBytes = 6)
     })
   )
 
@@ -1584,6 +1599,34 @@ object SparkEntry {
          |    ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)
          |SELECT id1, id2, bit_count(xor(sig1, sig2)) AS dist
          |FROM pairs WHERE bit_count(xor(sig1, sig2)) <= 4""".stripMargin
+    },
+
+    "q71_simhash48_radius" -> {
+      val lo = (0 until 32).map(j =>
+        s"CASE WHEN 2*len(list_filter(mh1, h -> substr(h,${j + 1},1) >= '8')) > len(mh1) THEN ${1L << j} ELSE 0 END")
+      val hi = (0 until 16).map(j =>
+        s"CASE WHEN 2*len(list_filter(mh2, h -> substr(h,${j + 1},1) >= '8')) > len(mh2) THEN ${1L << (32 + j)} ELSE 0 END")
+      val bits = (lo ++ hi).mkString(" + ")
+      val bands = (0 until 6).map(b =>
+        s"SELECT doc_id, sig, $b AS b, (sig >> ${8 * b}) & 255 AS v FROM sigs")
+        .mkString("\n  UNION ALL ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text || ' near duplicate tail marker'
+         |  FROM documents),
+         |sigs AS (SELECT doc_id, CAST($bits AS BIGINT) AS sig FROM (
+         |  SELECT doc_id,
+         |    [md5(x) for x in string_split(text, ' ')] AS mh1,
+         |    [md5('2' || x) for x in string_split(text, ' ')] AS mh2
+         |  FROM corpus)),
+         |banded AS (
+         |  $bands),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         |    a.sig AS sig1, b.sig AS sig2
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)
+         |SELECT id1, id2, bit_count(xor(sig1, sig2)) AS dist
+         |FROM pairs WHERE bit_count(xor(sig1, sig2)) <= 6""".stripMargin
     }
   )
 }

@@ -353,6 +353,41 @@ object Dedup {
       sig
     }
 
+  /** 48-bit md5-nibble SimHash (oracle-portable like the 16-bit variant,
+    * but selective enough for banding to prune): bits 0-31 vote on the
+    * 32 hex digits of `md5(token)`, bits 32-47 on the first 16 digits of
+    * `md5("2" + token)`. 48 bits keeps every signature — and every
+    * partial sum an engine computes while assembling it — inside a
+    * signed 64-bit integer, so DuckDB's BIGINT arithmetic reproduces it
+    * without overflow. */
+  def md5SimHash48Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { text: String =>
+      val parts = (if (text == null) "" else text).split(" ", -1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hits = new Array[Int](48)
+      parts.foreach { p =>
+        val d1 = md.digest(p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val d2 = md.digest(("2" + p).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var j = 0
+        while (j < 32) {
+          val n1 = if ((j & 1) == 0) (d1(j >> 1) >> 4) & 0xf else d1(j >> 1) & 0xf
+          if (n1 >= 8) hits(j) += 1
+          j += 1
+        }
+        j = 0
+        while (j < 16) {
+          val n2 = if ((j & 1) == 0) (d2(j >> 1) >> 4) & 0xf else d2(j >> 1) & 0xf
+          if (n2 >= 8) hits(32 + j) += 1
+          j += 1
+        }
+      }
+      val n = parts.length
+      var sig = 0L
+      var j = 0
+      while (j < 48) { if (2 * hits(j) > n) sig |= (1L << j); j += 1 }
+      sig
+    }
+
   /** SimHash radius self-join: all id pairs whose signatures lie within
     * Hamming distance `maxDist`, found via byte banding — a pair is a
     * candidate iff it collides on at least one of the signature's bytes

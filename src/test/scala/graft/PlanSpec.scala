@@ -29,6 +29,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"hamming64 project not codegen'd:\n$plan")
   }
 
+  test("md5SimHash48: identical texts coincide, unrelated texts spread, sig < 2^48") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally different words entirely unrelated text")).toDF("id", "text")
+    val sigs = df.select(col("id"),
+        graft.ops.Dedup.md5SimHash48Udf(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs.values.forall(s => s >= 0L && s < (1L << 48)))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 6)
+  }
+
   test("simHashRadiusPairs finds planted identical twins at distance 0") {
     import spark.implicits._
     val sigs = Seq((1L, 0xBEEFL), (2L, 0xBEEFL), (3L, 0x0001L))

@@ -878,7 +878,19 @@ object SparkEntry {
       val sigs = corpus.select(col("doc_id"),
         Dedup.md5SimHash48Udf(col("text")).as("sig"))
       Dedup.simHashRadiusPairs(sigs, "doc_id", "sig", maxDist = 6, sigBytes = 6)
-    })
+    }),
+
+    // Custom whole-operator tier: per-key top-k via the TopKPerKey
+    // LogicalPlan + SparkStrategy + bounded-heap SparkPlan — same result
+    // as the row_number window (the oracle), no full per-partition sort.
+    "q72_topk_per_key" -> ((s, dir) =>
+      graft.plans.TopK.perKey(
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"), cents(col("l_extendedprice")).as("price_cents")),
+        keyCols = Seq("l_returnflag"),
+        orderBy = Seq(("price_cents", false), ("l_orderkey", true),
+          ("l_linenumber", true)),
+        k = 3))
   )
 
   // ---------------------------------------------------------------------
@@ -1627,6 +1639,15 @@ object SparkEntry {
          |    ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)
          |SELECT id1, id2, bit_count(xor(sig1, sig2)) AS dist
          |FROM pairs WHERE bit_count(xor(sig1, sig2)) <= 6""".stripMargin
-    }
+    },
+
+    "q72_topk_per_key" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, price_cents FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_cents,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(ROUND(l_extendedprice*100) AS BIGINT) DESC,
+        |               l_orderkey ASC, l_linenumber ASC) AS rn
+        |  FROM lineitem) WHERE rn <= 3""".stripMargin
   )
 }

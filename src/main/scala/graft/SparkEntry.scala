@@ -852,8 +852,11 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_returnflag", "z")),
 
     // SimHash radius join over a planted near-dup corpus (each doc gets
-    // a perturbed twin): byte-banded candidates, codegen'd hamming64
-    // verify. The oracle reproduces the banding construction itself.
+    // a perturbed twin), at scale-sane parameters: 48-bit signatures,
+    // bands = maxDist + 1 = 5 (~10-bit bands), so recall at the
+    // advertised radius is pigeonhole-COMPLETE and candidate volume per
+    // band bucket is ~n²/1024 — not the quadratic-by-construction shape
+    // a 2×8-bit banding has. The oracle reproduces the banding itself.
     "q70_simhash_radius" -> ((s, dir) => {
       GraftFunctions.register(s)
       val d = t(s, dir, "documents").select("doc_id", "text")
@@ -861,8 +864,9 @@ object SparkEntry {
         (col("doc_id") + 10000).as("doc_id"),
         concat(col("text"), lit(" near duplicate tail marker")).as("text")))
       val sigs = corpus.select(col("doc_id"),
-        Dedup.md5SimHash16Udf(col("text")).as("sig"))
-      Dedup.simHashRadiusPairs(sigs, "doc_id", "sig", maxDist = 4)
+        Dedup.md5SimHash48Udf(col("text")).as("sig"))
+      Dedup.simHashRadiusPairsBanded(sigs, "doc_id", "sig", maxDist = 4,
+        sigBits = 48, bands = 5)
     }),
 
     // Same radius join at a realistic signature width: 48-bit SimHash,
@@ -1442,20 +1446,22 @@ object SparkEntry {
         |  text || ' Contact user' || doc_id || '@example.com or 415-555-' ||
         |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ssn 123-45-6789.'
         |  AS text FROM documents)
+        |, staged AS (SELECT doc_id, text,
+        |  regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g')
+        |    AS after_email,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS after_ssn
+        |  FROM planted)
         |SELECT doc_id,
         |  len(regexp_extract_all(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails_found,
-        |  len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS ssns_found,
-        |  regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
-        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS redacted,
-        |  len(regexp_extract_all(regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
-        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
-        |    '\[PHONE\]')) AS phones_found
-        |FROM planted""".stripMargin,
+        |  len(regexp_extract_all(after_email, '\b\d{3}-\d{2}-\d{4}\b')) AS ssns_found,
+        |  len(regexp_extract_all(after_ssn, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS phones_found,
+        |  regexp_replace(after_ssn,
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS redacted
+        |FROM staged""".stripMargin,
 
     "q59_rep_quality" ->
       """WITH base AS (SELECT doc_id, text,
@@ -1554,6 +1560,7 @@ object SparkEntry {
         |                 AS BIGINT) + 1.0) / 4294967296.0)
         |        / CAST(n_chars AS DOUBLE), 6) AS priority
         |FROM documents
+        |WHERE n_chars IS NOT NULL AND n_chars > 0
         |ORDER BY priority DESC, doc_id ASC LIMIT 100""".stripMargin,
 
     "q67_histogram" ->
@@ -1593,18 +1600,27 @@ object SparkEntry {
         |  AND round(abs(CAST(l_extendedprice AS DOUBLE) - mu) / sigma, 6) > 1.5""".stripMargin,
 
     "q70_simhash_radius" -> {
-      val bits = (0 until 16).map(j =>
-        s"CASE WHEN 2*len(list_filter(mh, h -> substr(h,${j + 1},1) >= '8')) > len(mh) THEN ${1L << j} ELSE 0 END")
-        .mkString(" + ")
+      val lo = (0 until 32).map(j =>
+        s"CASE WHEN 2*len(list_filter(mh1, h -> substr(h,${j + 1},1) >= '8')) > len(mh1) THEN ${1L << j} ELSE 0 END")
+      val hi = (0 until 16).map(j =>
+        s"CASE WHEN 2*len(list_filter(mh2, h -> substr(h,${j + 1},1) >= '8')) > len(mh2) THEN ${1L << (32 + j)} ELSE 0 END")
+      val bits = (lo ++ hi).mkString(" + ")
+      // mirror of Dedup.bandLayout(48, 5): widths 10,10,10,9,9
+      val layout = Seq((0, 10), (10, 10), (20, 10), (30, 9), (39, 9))
+      val bands = layout.zipWithIndex.map { case ((off, w), b) =>
+        s"SELECT doc_id, sig, $b AS b, (sig >> $off) & ${(1L << w) - 1} AS v FROM sigs" }
+        .mkString("\n  UNION ALL ")
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id + 10000, text || ' near duplicate tail marker'
          |  FROM documents),
          |sigs AS (SELECT doc_id, CAST($bits AS BIGINT) AS sig FROM (
-         |  SELECT doc_id, [md5(x) for x in string_split(text, ' ')] AS mh FROM corpus)),
+         |  SELECT doc_id,
+         |    [md5(x) for x in string_split(text, ' ')] AS mh1,
+         |    [md5('2' || x) for x in string_split(text, ' ')] AS mh2
+         |  FROM corpus)),
          |banded AS (
-         |  SELECT doc_id, sig, 0 AS b, sig & 255 AS v FROM sigs
-         |  UNION ALL SELECT doc_id, sig, 1, (sig >> 8) & 255 FROM sigs),
+         |  $bands),
          |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
          |    a.sig AS sig1, b.sig AS sig2
          |  FROM banded a JOIN banded b

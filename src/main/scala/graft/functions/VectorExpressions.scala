@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -60,10 +60,17 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
   * candidate pairs with this predicate, so it must stay inside the
   * whole-stage-codegen span (one XOR + POPCNT per pair), not a UDF with
   * per-row boxing. */
-case class Hamming64(left: Expression, right: Expression) extends BinaryExpression {
+case class Hamming64(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes {
   override def prettyName: String = "hamming64"
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = left.nullable || right.nullable
+  // SQL-exposed (GraftExtensions): strict input types, so a misuse like
+  // hamming64('a','b') fails at analysis time, not as an executor-side
+  // ClassCastException. Strict (no implicit cast) on purpose: the
+  // default-mode string→bigint coercion would turn bad input into
+  // silent nulls; callers with int signatures cast explicitly.
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])

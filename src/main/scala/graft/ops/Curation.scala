@@ -47,20 +47,20 @@ object Curation {
   val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
   val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
 
-  /** Redacted text plus per-category match counts (counted BEFORE
-    * redaction, on the original text). */
+  /** Redacted text plus per-category match counts. Each category is
+    * counted on the text state its replacement actually sees (emails on
+    * the original, SSNs after email redaction, phones after SSN
+    * redaction), so counts always equal the number of substitutions made
+    * — a pre-existing literal `[PHONE]` in the source can't inflate
+    * `phones_found`, and the SSN pattern can't double-count as a phone. */
   def piiRedact(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
+    val afterEmail = regexp_replace(t, EmailRe, "[EMAIL]")
+    val afterSsn = regexp_replace(afterEmail, SsnRe, "[SSN]")
     df.withColumn("emails_found", size(regexp_extract_all(t, lit(EmailRe), lit(0))))
-      .withColumn("ssns_found", size(regexp_extract_all(t, lit(SsnRe), lit(0))))
-      .withColumn("redacted",
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(t, EmailRe, "[EMAIL]"),
-            SsnRe, "[SSN]"),
-          PhoneRe, "[PHONE]"))
-      .withColumn("phones_found",
-        size(regexp_extract_all(col("redacted"), lit("\\[PHONE\\]"), lit(0))))
+      .withColumn("ssns_found", size(regexp_extract_all(afterEmail, lit(SsnRe), lit(0))))
+      .withColumn("phones_found", size(regexp_extract_all(afterSsn, lit(PhoneRe), lit(0))))
+      .withColumn("redacted", regexp_replace(afterSsn, PhoneRe, "[PHONE]"))
   }
 
   // -------------------------------------------------------------------
@@ -68,24 +68,70 @@ object Curation {
   // line fraction, symbol-to-char ratio, mean word length. One narrow
   // projection per row — no shuffle, scales embarrassingly.
   // -------------------------------------------------------------------
-  def repetitionQuality(df: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val words = tokens(t)
-    val lines = filter(split(t, "\n"), l => trim(l) =!= "")
-    val nWords = size(words)
-    val wordChars = length(regexp_replace(t, "\\s", ""))
-    val symbols = length(regexp_replace(t, "[A-Za-z0-9\\s]", ""))
-    df.select(
-      col("doc_id"),
-      nWords.as("n_words"),
-      when(nWords > 0, round(wordChars.cast("double") / nWords, 6))
-        .otherwise(lit(0.0)).as("mean_word_len"),
-      when(size(lines) > 0,
-        round(lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines), 6))
-        .otherwise(lit(0.0)).as("dup_line_frac"),
-      when(length(t) > 0, round(symbols.cast("double") / length(t), 6))
-        .otherwise(lit(0.0)).as("symbol_ratio"))
+
+  final case class RepStats(n_words: Int, mean_word_len: Double,
+      dup_line_frac: Double, symbol_ratio: Double)
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** All four signals in one compiled pass over the text. A single
+    * scalar UDF, not `filter`/`array_distinct` HOF chains: higher-order
+    * functions evaluate interpreted per element and never enter
+    * whole-stage codegen (the repo-wide rule — see Dedup.simHash).
+    * Char classes mirror the java-regex semantics the previous
+    * column-expression form used (`\s`, `[A-Za-z0-9]`), so the DuckDB
+    * oracle is unchanged. */
+  private val repStatsUdf = udf { text: String =>
+    val t = if (text == null) "" else text
+    def isWs(c: Char): Boolean = // java regex \s
+      c == ' ' || c == '\t' || c == '\n' || c == 11.toChar || c == '\f' || c == '\r'
+    var nWords = 0; var nonWs = 0; var symbols = 0
+    var i = 0; var inWord = false
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (isWs(c)) inWord = false
+      else {
+        if (!inWord) { nWords += 1; inWord = true }
+        nonWs += 1
+        val alnum = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          (c >= '0' && c <= '9')
+        if (!alnum) symbols += 1
+      }
+      i += 1
+    }
+    // lines: split on \n, keep lines with any non-space char (the
+    // space-only-trim semantics of SQL trim), distinct over raw strings
+    var nLines = 0
+    val seen = new java.util.HashSet[String]()
+    var start = 0
+    while (start <= t.length) {
+      val nl = t.indexOf('\n', start)
+      val end = if (nl < 0) t.length else nl
+      val line = t.substring(start, end)
+      var hasNonSpace = false
+      var j = 0
+      while (j < line.length && !hasNonSpace) {
+        if (line.charAt(j) != ' ') hasNonSpace = true; j += 1
+      }
+      if (hasNonSpace) { nLines += 1; seen.add(line) }
+      start = end + 1
+      if (nl < 0) start = t.length + 1
+    }
+    RepStats(
+      n_words = nWords,
+      mean_word_len = if (nWords > 0) round6(nonWs.toDouble / nWords) else 0.0,
+      dup_line_frac = if (nLines > 0) round6(1.0 - seen.size.toDouble / nLines) else 0.0,
+      symbol_ratio = if (t.nonEmpty) round6(symbols.toDouble / t.length) else 0.0)
   }
+
+  def repetitionQuality(df: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), repStatsUdf(col(textCol)).as("s"))
+      .select(col(idCol), col("s.n_words").as("n_words"),
+        col("s.mean_word_len").as("mean_word_len"),
+        col("s.dup_line_frac").as("dup_line_frac"),
+        col("s.symbol_ratio").as("symbol_ratio"))
 
   // -------------------------------------------------------------------
   // Eval-set contamination: fraction of a training doc's distinct word

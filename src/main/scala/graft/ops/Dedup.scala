@@ -405,11 +405,35 @@ object Dedup {
     * @param sigBytes how many low bytes of the signature to band on
     */
   def simHashRadiusPairs(sigs: DataFrame, idCol: String, sigCol: String,
-      maxDist: Int, sigBytes: Int = 2): DataFrame = {
+      maxDist: Int, sigBytes: Int = 2): DataFrame =
+    simHashRadiusPairsBanded(sigs, idCol, sigCol, maxDist,
+      sigBits = 8 * sigBytes, bands = sigBytes)
+
+  /** General banding: split a `sigBits`-bit signature into `bands`
+    * near-equal contiguous bit ranges and self-join on band collisions.
+    *
+    * The radius CONTRACT lives in the band count: with `bands ≥
+    * maxDist + 1`, any two signatures within Hamming distance `maxDist`
+    * differ in at most `maxDist` bands, so at least one band matches —
+    * recall at the advertised radius is pigeonhole-COMPLETE, not
+    * probabilistic. Fewer bands trade guaranteed recall for fewer
+    * candidates (byte-banding via [[simHashRadiusPairs]] keeps that
+    * legacy shape). The selectivity knob is bits-per-band: 10-bit bands
+    * give 1024 values per band, so candidate volume within a band
+    * bucket stays ~n²/1024 of the corpus-pair space — banding on wide
+    * signatures (≥ 48 bits) is what makes the radius join scale-sane.
+    */
+  def simHashRadiusPairsBanded(sigs: DataFrame, idCol: String, sigCol: String,
+      maxDist: Int, sigBits: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && bands <= sigBits && sigBits <= 63,
+      s"bands=$bands must be in [1, sigBits=$sigBits], sigBits <= 63")
+    val layout = bandLayout(sigBits, bands)
     val base = sigs.select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
     val banded = base.withColumn("band", explode(array(
-        (0 until sigBytes).map(b => struct(lit(b).as("b"),
-          shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("v"))): _*)))
+        layout.zipWithIndex.map { case ((off, width), b) =>
+          struct(lit(b).as("b"),
+            shiftright(col("sig"), off).bitwiseAND(lit((1L << width) - 1)).as("v"))
+        }: _*)))
       .select(col("id"), col("sig"), col("band.b").as("b"), col("band.v").as("v"))
     banded.as("a").join(banded.as("b"),
         col("a.b") === col("b.b") && col("a.v") === col("b.v") &&
@@ -422,6 +446,15 @@ object Dedup {
       // pairs, not every banding candidate
       .filter(col("dist") <= maxDist)
       .distinct() // a pair colliding on several bands is one candidate
+  }
+
+  /** (bitOffset, width) per band: widths differ by at most one,
+    * wider bands first, covering `sigBits` exactly. */
+  private[ops] def bandLayout(sigBits: Int, bands: Int): Seq[(Int, Int)] = {
+    val baseW = sigBits / bands
+    val extra = sigBits % bands
+    val widths = Seq.tabulate(bands)(i => if (i < extra) baseW + 1 else baseW)
+    widths.scanLeft(0)(_ + _).zip(widths).map { case (off, w) => (off, w) }
   }
 
   /** n-gram Jaccard similarity between two token-array columns

@@ -102,9 +102,14 @@ object Joins {
   def bloomFilteredJoin(probe: DataFrame, build: DataFrame,
       probeKey: String, buildKey: String,
       expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
-    val bf = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
-    val might = udf((k: Long) => bf.mightContain(k))
-    probe.filter(might(col(probeKey)))
+    // Key-type agnostic: both sides are inserted/probed through their
+    // canonical string form, so long/int/string keys all work (the
+    // filter only sheds rows — the exact join below restores equality
+    // semantics on the original typed columns regardless).
+    val bf = build.select(col(buildKey).cast("string").as("__k"))
+      .stat.bloomFilter("__k", expectedKeys, fpp)
+    val might = udf((k: String) => k != null && bf.mightContainString(k))
+    probe.filter(might(col(probeKey).cast("string")))
       .join(build, col(probeKey) === col(buildKey))
   }
 }

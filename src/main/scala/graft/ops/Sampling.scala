@@ -51,13 +51,20 @@ object Sampling {
     *
     * Priorities are rounded to 6 decimals before ranking (cross-engine
     * libm ulps), ties broken on id; the top-k plans as
-    * TakeOrderedAndProject — no global sort at scale. */
+    * TakeOrderedAndProject — no global sort at scale.
+    *
+    * Rows with null or non-positive weight are excluded up front — the
+    * Efraimidis–Spirakis precondition is w > 0, and without the guard a
+    * zero weight yields `ln(u)/0` (NaN when u = 1, else ±Inf) and NaN
+    * sorts above every number under `desc`, silently winning a slot. */
   def weightedHashSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame = {
+    val w = col(weightCol).cast("double")
     // (hexKey + 1) / 2^32 ∈ (0, 1] — the +1 dodges ln(0) at hexKey = 0
     val u = (conv(hexKey(col(idCol)), 16, 10).cast("double") + 1.0) /
       4294967296.0
-    df.withColumn("priority", round(log(u) / col(weightCol).cast("double"), 6))
+    df.filter(w.isNotNull && w > 0)
+      .withColumn("priority", round(log(u) / w, 6))
       .orderBy(col("priority").desc, col(idCol).asc)
       .limit(k)
   }

@@ -25,6 +25,12 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
           "CAST(array(1.0, 0.0) AS ARRAY<FLOAT>))").first().getDouble(0)
       assert(math.abs(cos - 1.0) < 1e-12)
       assert(s.sql("SELECT hamming64(0L, 7L)").first().getInt(0) == 3)
+      // strict input typing: misuse is an analysis error, not an
+      // executor-side ClassCastException (and not a silent null)
+      val err = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT hamming64('a', 'b')").collect()
+      }
+      assert(err.getMessage.toLowerCase.contains("hamming64"))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -37,6 +37,31 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(r2.getAs[String]("redacted") == "no pii here, just 12345 and a-b-c")
   }
 
+  test("piiRedact: pre-existing literal [PHONE] text does not inflate phones_found") {
+    val df = Seq(
+      (1L, "doc already says [PHONE] but has no real number"),
+      (2L, "ssn 123-45-6789 only — the SSN must not also count as a phone"))
+      .toDF("doc_id", "text")
+    val out = Curation.piiRedact(df, "text").orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("phones_found") == 0)
+    assert(out(0).getAs[String]("redacted").contains("[PHONE]")) // untouched source text
+    assert(out(1).getAs[Int]("ssns_found") == 1 && out(1).getAs[Int]("phones_found") == 0)
+  }
+
+  test("repetitionQuality honors a non-default id column") {
+    val df = Seq((7L, "two words")).toDF("my_id", "text")
+    val out = Curation.repetitionQuality(df, "text", idCol = "my_id").collect()
+    assert(out.head.getAs[Long]("my_id") == 7L && out.head.getAs[Int]("n_words") == 2)
+  }
+
+  test("bloomFilteredJoin works on string keys (type-agnostic filter)") {
+    val probe = (1 to 200).map(k => (s"key$k", k)).toDF("pk", "pv")
+    val build = Seq(("key7", "a"), ("key150", "b")).toDF("bk", "bv")
+    val got = Joins.bloomFilteredJoin(probe, build, "pk", "bk", expectedKeys = 10)
+      .select("pk", "bv").collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(got.toSeq == Seq(("key150", "b"), ("key7", "a")))
+  }
+
   test("repetitionQuality flags duplicated lines and symbol soup") {
     val df = Seq(
       (1L, "same line\nsame line\nsame line\nother"),

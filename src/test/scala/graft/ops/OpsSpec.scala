@@ -62,6 +62,34 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(sigs(1L) != sigs(4L))
   }
 
+  test("simHashRadiusPairsBanded: bands = maxDist+1 gives pigeonhole-complete recall") {
+    // Adversarial placements for a 48-bit sig over 5 bands (widths
+    // 10,10,10,9,9 at offsets 0,10,20,30,39): every planted pair has
+    // dist <= 4 with its diff bits spread across DIFFERENT bands, the
+    // placements a coarser banding (e.g. 2 bands) can miss.
+    val base = 0x0000aaaa5555L
+    def flip(bits: Int*): Long = bits.foldLeft(base)((s, b) => s ^ (1L << b))
+    val sigs = Seq(
+      1L -> base,
+      2L -> flip(0, 10, 20, 30),     // dist 4, hits bands 0-3, band 4 clean
+      3L -> flip(9, 19, 29, 47),     // dist 4, band-edge bits, band 3 clean
+      4L -> flip(5, 15, 25),         // dist 3
+      5L -> flip(39, 40, 41, 42),    // dist 4, all in band 4
+      6L -> flip(0, 10, 20, 30, 39), // dist 5 — outside the radius
+      7L -> base                      // dist 0 twin
+    ).toDF("doc_id", "sig")
+    val got = Dedup.simHashRadiusPairsBanded(sigs, "doc_id", "sig",
+        maxDist = 4, sigBits = 48, bands = 5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // every pair within radius 4 of the base MUST be present
+    for (other <- Seq(2L, 3L, 4L, 5L, 7L)) {
+      assert(got.contains((1L, other)), s"missed in-radius pair (1,$other)")
+      assert(got.contains((other, 7L)) || got.contains((7L, other)) || other == 7L,
+        s"missed twin-side pair for $other")
+    }
+    assert(!got.contains((1L, 6L)), "dist-5 pair must be filtered (outside radius)")
+  }
+
   test("jaccard column: exact dup = 1.0, disjoint = 0.0") {
     val df = Seq((Seq("a", "b"), Seq("a", "b")), (Seq("a"), Seq("b")))
       .toDF("x", "y").select(Dedup.jaccard($"x", $"y").as("j"))

@@ -46,6 +46,16 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(heavy > 40, s"expected heavy-weight rows to dominate, got $heavy/50")
   }
 
+  test("weightedHashSample excludes null/zero/negative weights (A-ES precondition)") {
+    val df = Seq((1L, Some(5L)), (2L, Some(0L)), (3L, Some(-4L)), (4L, None),
+      (5L, Some(2L))).toDF("doc_id", "w")
+    val got = Sampling.weightedHashSample(df, "doc_id", "w", k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    // only the two positive-weight rows are eligible — a zero weight used
+    // to produce NaN priority, which sorts above every number under desc
+    assert(got == Set(1L, 5L))
+  }
+
   test("weightedHashSample plans TakeOrderedAndProject (no global sort)") {
     val df = (1L to 100L).map(i => (i, i)).toDF("doc_id", "n_chars")
     val plan = Sampling.weightedHashSample(df, "doc_id", "n_chars", k = 10)

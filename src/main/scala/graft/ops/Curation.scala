@@ -23,20 +23,19 @@ object Curation {
 
   // -------------------------------------------------------------------
   // Per-domain cap (CommonCrawl-style): no source may contribute more
-  // than `cap` documents; keep the largest docs first. The window
-  // shuffles only (source, n_chars, id) — at 100 TB the payload columns
-  // rejoin AFTER the cap via the kept ids, and per-source partitions are
-  // bounded by the natural domain skew (salt a mega-domain if one
-  // appears; caps make the output bounded regardless).
+  // than `cap` documents; keep the largest docs first. Executed with the
+  // TopKPerKey custom plan (bounded per-key heaps + spill fallback), not
+  // a row_number window: the window's WindowExec SORTS every partition's
+  // full row set to keep `cap` rows per key — at 100 TB that's a sort of
+  // the corpus. The heap plan shuffles the same (source) key but retains
+  // only cap rows per source in memory; per-source partitions are
+  // bounded by natural domain skew (salt a mega-domain if one appears;
+  // caps make the output bounded regardless).
   // -------------------------------------------------------------------
   def domainCap(docs: DataFrame, sourceCol: String, idCol: String,
-      sizeCol: String, cap: Int): DataFrame = {
-    val w = Window.partitionBy(col(sourceCol))
-      .orderBy(col(sizeCol).desc, col(idCol).asc)
-    docs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= cap)
-      .drop("rn")
-  }
+      sizeCol: String, cap: Int): DataFrame =
+    graft.plans.TopK.perKey(docs, Seq(sourceCol),
+      Seq((sizeCol, false), (idCol, true)), cap)
 
   // -------------------------------------------------------------------
   // PII redaction. Patterns deliberately sit in the RE2 ∩ Java subset

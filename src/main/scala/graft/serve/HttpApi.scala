@@ -1,0 +1,254 @@
+package graft.serve
+
+import java.io.OutputStream
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.Executors
+
+import scala.util.control.NonFatal
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.search.HybridSearch
+import graft.sources.PdfText
+
+/** §2.14 — the LIVE serving surface: the reference's Flask routes
+  * (`/root/reference/chatbot/app.py:378-719`) stood up on the JDK's
+  * built-in `com.sun.net.httpserver.HttpServer` — zero dependencies
+  * beyond the Spark classpath (jackson ships with Spark). The route
+  * logic itself lives in [[Serve]]; this layer is transport only:
+  * JSON envelopes, status codes, and chunked `text/event-stream` for
+  * the summarize stream.
+  *
+  * Routes (method-checked, 405 on mismatch, 404 otherwise):
+  *  - `GET  /health`                 → app.py:384-405
+  *  - `POST /query`                  → app.py:408-464
+  *  - `POST /search`                 → app.py:467-522 (same engine call
+  *                                     — the reference's quirk Q6)
+  *  - `GET  /collection/info`        → app.py:525-543
+  *  - `POST /case/fetch`             → app.py:546-613 (PDF via the
+  *                                     injected byte fetcher + PdfText)
+  *  - `POST /case/summarize-stream`  → app.py:616-719 (SSE)
+  */
+object HttpApi {
+
+  /** Everything a request needs, prepared once at startup: the index
+    * frame and BM25 stats (per-request work is then only the top-k
+    * scan — the q54 "prebuilt" latency regime), plus the two
+    * out-of-engine boundaries (summarizer, byte fetcher) as injectable
+    * slots with honest defaults. */
+  final case class Engine(
+      spark: SparkSession,
+      index: DataFrame,
+      docStats: DataFrame,
+      corpusSize: Long,
+      avgDocLen: Double,
+      indexPath: String,
+      summarizer: Serve.Summarizer = new Serve.UnavailableSummarizer,
+      fetchBytes: String => Array[Byte] = url =>
+        throw new UnsupportedOperationException(
+          s"no byte fetcher configured (url: $url) — inject one (e.g. " +
+            "graft.ingest.HttpFetcher.bytes) to enable /case/fetch"),
+      defaultK: Int = 3)
+
+  final class Server private[HttpApi] (http: HttpServer) {
+    /** The actually-bound port (useful with port=0 ephemeral binds). */
+    def port: Int = http.getAddress.getPort
+    def stop(): Unit = http.stop(0)
+  }
+
+  private val mapper = new ObjectMapper()
+
+  /** Bind and start. `port = 0` picks an ephemeral free port. */
+  def start(engine: Engine, port: Int = 0): Server = {
+    val http = HttpServer.create(new InetSocketAddress(port), 0)
+    http.createContext("/health", handler("GET") { (_, _) =>
+      val h = Serve.health(engine.spark, engine.indexPath, engine.summarizer)
+      (200, obj(
+        "status" -> h.status,
+        "collection_exists" -> h.collectionExists,
+        "points_count" -> h.pointsCount,
+        "summarizer_available" -> h.summarizerAvailable))
+    })
+    http.createContext("/query", handler("POST") { (body, _) =>
+      searchEndpoint(engine, body, queryField = "question")
+    })
+    http.createContext("/search", handler("POST") { (body, _) =>
+      searchEndpoint(engine, body, queryField = "query")
+    })
+    http.createContext("/collection/info", handler("GET") { (_, _) =>
+      val info = Serve.collectionInfo(engine.index)
+      (200, obj(
+        "points_count" -> info.pointsCount,
+        "vectors_count" -> info.vectorsCount,
+        "status" -> info.status))
+    })
+    http.createContext("/case/fetch", handler("POST") { (body, _) =>
+      field(body, "download_url") match {
+        case None => (400, err("Missing 'download_url' field in request body"))
+        case Some(url) =>
+          try {
+            val fullText = PdfText.pages(engine.fetchBytes(url)).mkString("\n") + "\n"
+            (200, obj(
+              "case_name" -> field(body, "case_name").getOrElse("Unknown Case"),
+              "full_text" -> fullText,
+              "chunk_text" -> field(body, "chunk_text").getOrElse(""),
+              "success" -> true,
+              "text_length" -> fullText.length))
+          } catch {
+            case NonFatal(e) => (500, obj(
+              "error" -> s"Failed to fetch PDF: ${e.getMessage}",
+              "success" -> false))
+          }
+      }
+    })
+    http.createContext("/case/summarize-stream", sseHandler(engine))
+    http.createContext("/", handler("GET") { (_, _) => (404, err("not found")) })
+    // daemon threads: the server must never pin the JVM open
+    http.setExecutor(Executors.newCachedThreadPool { r =>
+      val t = new Thread(r, "graft-http")
+      t.setDaemon(true)
+      t
+    })
+    http.start()
+    new Server(http)
+  }
+
+  // ---- /query + /search (identical engine call — reference quirk Q6) --
+
+  private def searchEndpoint(engine: Engine, body: Option[JsonNode],
+      queryField: String): (Int, String) =
+    field(body, queryField) match {
+      case None => (400, err(s"Missing '$queryField' field in request body"))
+      case Some(q) =>
+        val k = intField(body, if (queryField == "question") "max_results" else "limit")
+          .getOrElse(engine.defaultK)
+        val threshold = doubleField(body, "score_threshold").getOrElse(0.0)
+        val ceiling = 2.0 / (HybridSearch.Config().rrfK + 1)
+        if (threshold > ceiling)
+          // deliberate deviation from the reference (which forwards the
+          // store-native default 0.4): against RRF scores that value
+          // silently empties every result set, so reject it loudly
+          (400, err(s"score_threshold $threshold exceeds the maximum RRF " +
+            f"score $ceiling%.6f; RRF thresholds are in (0, 2/(rrfK+1)]"))
+        else {
+          val resp = Serve.query(engine.index, engine.docStats,
+            engine.corpusSize, engine.avgDocLen, q, k = k,
+            rrfScoreThreshold = threshold)
+          val results = resp.results.map(r => obj(
+            "id" -> r.id, "score" -> r.score, "case_name" -> r.caseName,
+            "court" -> r.court, "date_filed" -> r.dateFiled,
+            "judges" -> r.judges, "snippet" -> r.snippet))
+          (200, s"""{"query":${str(q)},"results":[${results.mkString(",")}],""" +
+            s""""search_type":"hybrid_rrf","processing_time":${resp.processingTimeSec},""" +
+            s""""documents_found":${resp.results.size}}""")
+        }
+    }
+
+  // ---- SSE (app.py:616-719) -------------------------------------------
+
+  private def sseHandler(engine: Engine): HttpHandler = new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        if (ex.getRequestMethod != "POST") { respond(ex, 405, err("method not allowed")) }
+        else {
+          val body = parseBody(ex)
+          field(body, "full_text") match {
+            case None =>
+              respond(ex, 400, err("Missing 'full_text' field in request body"))
+            case Some(_) if engine.summarizer.isInstanceOf[Serve.UnavailableSummarizer] =>
+              // reference returns 503 when no LLM is configured (app.py:716)
+              respond(ex, 503, err("Summarizer not available. Configure an LLM client."))
+            case Some(fullText) =>
+              val caseName = field(body, "case_name").getOrElse("Unknown Case")
+              val question = field(body, "user_question").getOrElse("")
+              val chunk = field(body, "chunk_text").getOrElse("").take(500)
+              // reference truncates to ~3000 tokens (app.py:625-627)
+              val truncated =
+                if (fullText.length > 12000)
+                  fullText.take(12000) + "\n\n[Document truncated due to length...]"
+                else fullText
+              val context =
+                s"Case Name: $caseName\n\nUser's Question: $question\n\n" +
+                  s"Relevant Passage from Search:\n$chunk\n\nFull Case Text:\n$truncated"
+              val headers = ex.getResponseHeaders
+              headers.set("Content-Type", Serve.Sse.contentType)
+              Serve.Sse.headers.foreach { case (k, v) => headers.set(k, v) }
+              ex.sendResponseHeaders(200, 0) // chunked
+              val out: OutputStream = ex.getResponseBody
+              Serve.Sse.stream(engine.summarizer.summarizeStream(context, 500))
+                .foreach { frame => out.write(frame.getBytes(UTF_8)); out.flush() }
+              out.close()
+          }
+        }
+      } catch {
+        case NonFatal(e) =>
+          try respond(ex, 500, err(Option(e.getMessage).getOrElse(e.toString)))
+          catch { case NonFatal(_) => () } // headers already sent mid-stream
+      } finally ex.close()
+  }
+
+  // ---- plumbing -------------------------------------------------------
+
+  private def handler(method: String)(
+      f: (Option[JsonNode], HttpExchange) => (Int, String)): HttpHandler =
+    new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        try {
+          if (ex.getRequestMethod != method)
+            respond(ex, 405, err("method not allowed"))
+          else {
+            val (code, json) = f(parseBody(ex), ex)
+            respond(ex, code, json)
+          }
+        } catch {
+          case NonFatal(e) =>
+            try respond(ex, 500, err(Option(e.getMessage).getOrElse(e.toString)))
+            catch { case NonFatal(_) => () }
+        } finally ex.close()
+    }
+
+  private def respond(ex: HttpExchange, code: Int, json: String): Unit = {
+    val bytes = json.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val out = ex.getResponseBody
+    out.write(bytes)
+    out.close()
+  }
+
+  private def parseBody(ex: HttpExchange): Option[JsonNode] = {
+    val bytes = ex.getRequestBody.readAllBytes()
+    if (bytes.isEmpty) None
+    else try Some(mapper.readTree(bytes)) catch { case NonFatal(_) => None }
+  }
+
+  private def field(body: Option[JsonNode], name: String): Option[String] =
+    body.flatMap(b => Option(b.get(name))).filter(!_.isNull).map(_.asText())
+
+  private def intField(body: Option[JsonNode], name: String): Option[Int] =
+    body.flatMap(b => Option(b.get(name))).filter(_.isNumber).map(_.asInt())
+
+  private def doubleField(body: Option[JsonNode], name: String): Option[Double] =
+    body.flatMap(b => Option(b.get(name))).filter(_.isNumber).map(_.asDouble())
+
+  private def str(s: String): String = mapper.writeValueAsString(s)
+
+  /** Tiny ordered-JSON-object builder over jackson-escaped scalars. */
+  private def obj(fields: (String, Any)*): String =
+    fields.map { case (k, v) =>
+      val jv = v match {
+        case s: String => str(s)
+        case b: Boolean => b.toString
+        case n: Long => n.toString
+        case n: Int => n.toString
+        case d: Double => d.toString
+        case other => str(String.valueOf(other))
+      }
+      s"${str(k)}:$jv"
+    }.mkString("{", ",", "}")
+
+  private def err(msg: String): String = obj("error" -> msg)
+}

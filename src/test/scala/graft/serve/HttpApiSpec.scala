@@ -1,0 +1,166 @@
+package graft.serve
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.functions.GraftFunctions
+
+/** Real HTTP round-trips against the JDK HttpServer surface: ephemeral
+  * port bind, JSON envelopes, error codes, and a streamed SSE read. */
+class HttpApiSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val index = {
+    val docs = Seq(
+      ("d1", "habeas corpus petition filed by the detainee habeas corpus review"),
+      ("d2", "contract dispute over grain shipment delivery terms and payment"),
+      ("d3", "patent infringement claim regarding semiconductor lithography"))
+      .toDF("id", "chunk_text")
+    docs.withColumn("dense_vec", GraftFunctions.embedText($"chunk_text"))
+      .withColumn("tokens", GraftFunctions.bm25Tokenize($"chunk_text"))
+  }
+  private lazy val stats = graft.index.IndexWriter.docFrequencies(index)
+  private lazy val avgLen = index.select(avg(size($"tokens"))).head().getDouble(0)
+
+  private lazy val indexPath = {
+    val dir = java.nio.file.Files.createTempDirectory("httpapi_index").toString
+    index.select("id", "chunk_text").write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def samplePdf(): Array[Byte] = {
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val c = "BT (Slip Opinion No 17-1091) Tj ET".getBytes(latin1)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(latin1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${c.length} >> stream\n")
+    out.write(c); w("\nendstream endobj\n")
+    w("%%EOF\n")
+    out.toByteArray
+  }
+
+  private final class EchoSummarizer extends Serve.Summarizer {
+    def summarize(context: String, maxWords: Int): String =
+      "Summary of " + context.linesIterator.next()
+  }
+
+  private lazy val engine = HttpApi.Engine(
+    spark, index, stats, corpusSize = 3, avgDocLen = avgLen,
+    indexPath = indexPath,
+    summarizer = new EchoSummarizer,
+    fetchBytes = url =>
+      if (url.contains("ok.pdf")) samplePdf()
+      else throw new RuntimeException(s"404 for $url"))
+
+  private lazy val server = HttpApi.start(engine, port = 0)
+  private lazy val base = s"http://127.0.0.1:${server.port}"
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(path: String, json: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("binds an ephemeral port and serves GET /health") {
+    val r = get("/health")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"status\":\"healthy\""))
+    assert(r.body().contains("\"points_count\":3"))
+    assert(r.body().contains("\"summarizer_available\":true"))
+  }
+
+  test("POST /query returns ranked hybrid results; /search is the same endpoint") {
+    val q = post("/query", """{"question":"habeas corpus","max_results":2}""")
+    assert(q.statusCode() == 200)
+    assert(q.body().contains("\"search_type\":\"hybrid_rrf\""))
+    assert(q.body().contains("\"query\":\"habeas corpus\""))
+    val firstId = """"id":"(\w+)"""".r.findFirstMatchIn(q.body()).get.group(1)
+    assert(firstId == "d1", q.body())
+
+    val s = post("/search", """{"query":"habeas corpus","limit":2}""")
+    assert(s.statusCode() == 200)
+    val sId = """"id":"(\w+)"""".r.findFirstMatchIn(s.body()).get.group(1)
+    assert(sId == "d1")
+  }
+
+  test("missing body fields and wrong methods are 400/405, unknown paths 404") {
+    assert(post("/query", """{}""").statusCode() == 400)
+    assert(post("/search", """{"q":"wrong field"}""").statusCode() == 400)
+    assert(get("/query").statusCode() == 405)
+    assert(get("/nope").statusCode() == 404)
+    // the reference's store-native default threshold would empty every
+    // RRF result set — rejected loudly instead of silently
+    val t = post("/query", """{"question":"x","score_threshold":0.4}""")
+    assert(t.statusCode() == 400 && t.body().contains("score_threshold"))
+  }
+
+  test("GET /collection/info reports point counts") {
+    val r = get("/collection/info")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"points_count\":3"))
+  }
+
+  test("POST /case/fetch extracts PDF text via the injected fetcher") {
+    val ok = post("/case/fetch",
+      """{"download_url":"https://example.test/ok.pdf","case_name":"Doe v. Roe"}""")
+    assert(ok.statusCode() == 200)
+    assert(ok.body().contains("Slip Opinion No 17-1091"))
+    assert(ok.body().contains("\"success\":true"))
+
+    val bad = post("/case/fetch", """{"download_url":"https://example.test/missing.pdf"}""")
+    assert(bad.statusCode() == 500 && bad.body().contains("\"success\":false"))
+
+    assert(post("/case/fetch", """{}""").statusCode() == 400)
+  }
+
+  test("POST /case/summarize-stream streams SSE frames ending in [DONE]") {
+    val r = post("/case/summarize-stream",
+      """{"full_text":"The court held that...","case_name":"Doe v. Roe","user_question":"holding?"}""")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").orElse("") == "text/event-stream")
+    val frames = r.body().split("\n\n").filter(_.nonEmpty).toSeq
+    assert(frames.forall(_.startsWith("data: ")), frames)
+    assert(frames.last == "data: [DONE]")
+    val text = frames.dropRight(1).map(_.stripPrefix("data: ")).mkString
+    assert(text.startsWith("Summary of Case Name: Doe v. Roe"))
+  }
+
+  test("summarize-stream without a summarizer is 503; missing full_text 400") {
+    val bare = HttpApi.start(engine.copy(summarizer = new Serve.UnavailableSummarizer))
+    try {
+      val u = URI.create(s"http://127.0.0.1:${bare.port}/case/summarize-stream")
+      val r = client.send(HttpRequest.newBuilder(u)
+        .POST(HttpRequest.BodyPublishers.ofString("""{"full_text":"x"}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 503)
+      val missing = client.send(HttpRequest.newBuilder(u)
+        .POST(HttpRequest.BodyPublishers.ofString("""{}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(missing.statusCode() == 400)
+    } finally bare.stop()
+  }
+
+  test("stop() releases the port") {
+    val s2 = HttpApi.start(engine)
+    val p = s2.port
+    s2.stop()
+    intercept[java.io.IOException] {
+      client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/health"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+    }
+    server.stop() // last test: release the suite-wide server too
+  }
+}

@@ -1,0 +1,159 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.index.IndexWriter
+import graft.streaming.EventsPipeline.{CursorCheckpoint, CursorState}
+
+import CourtListenerSource._
+
+/** The full §3.1 ingestion lifecycle as one runnable command, mirroring
+  * the reference's `ingestion()` loop (`data_extraction.py:320-444`):
+  *
+  *   pages (driver cursor loop, S1) → docket→opinion expansion (S2/S3)
+  *   → text-field coalesce (P3) → clean/chunk/embed
+  *   ([[ChunkPipeline.chunkPoints]]) → partition-pruned idempotent
+  *   MERGE ([[IndexWriter.upsertPartitioned]], S7)
+  *   → cursor checkpoint ([[CursorCheckpoint]], ST2).
+  *
+  * The cursor is saved only AFTER a page's batch is durably upserted, so
+  * a crash mid-page resumes from the previous page; the replayed page is
+  * absorbed by the id-keyed MERGE (at-least-once delivery × idempotent
+  * sink = exactly-once index state — the recovery the reference's quirk
+  * Q1 broke). Already-ingested dockets are skipped via the docket-id set
+  * (the reference's driver-side set; at 100 TB the same filter is the
+  * P2 anti-join against the index instead).
+  */
+object IngestMain {
+
+  final case class Config(
+      court: String = "scotus",
+      maxPages: Int = 1,
+      indexPath: String,
+      cursorPath: String,
+      buckets: Int = 16,
+      minRawLen: Int = 100)
+
+  final case class Stats(
+      pages: Int, dockets: Long, opinions: Long, pointsUpserted: Long,
+      indexRows: Long, lastCursor: Option[String])
+
+  /** One docket-expansion batch → raw opinion docs for the pipeline:
+    * (doc_id = opinion id, docket/cluster metadata, P3-coalesced text). */
+  def opinionDocs(spark: SparkSession,
+      triples: Seq[(Docket, Cluster, OpinionJson)]): DataFrame = {
+    import spark.implicits._
+    val rows = triples.map { case (d, c, o) =>
+      val fieldOf = (n: String) => o.fields.getOrElse(n, "")
+      (o.id, d.id, c.id, d.courtId, c.dateFiled, c.judges,
+        fieldOf("html_with_citations"), fieldOf("plain_text"),
+        fieldOf("html_columbia"), fieldOf("html_lawbox"),
+        fieldOf("html_anon_2020"), fieldOf("html"))
+    }
+    val df = rows.toDF("doc_id", "docket_id", "cluster_id", "court",
+      "date_filed", "judges", "html_with_citations", "plain_text",
+      "html_columbia", "html_lawbox", "html_anon_2020", "html")
+    val (value, source) = GraftFunctions.coalesceTextFields(
+      HttpFetcher.TextFieldPriority.map(f => f -> col(f)))
+    df.select(col("doc_id"), col("docket_id"), col("cluster_id"),
+      col("court"), col("date_filed"), col("judges"),
+      value.as("text"), source.as("source_field"))
+      .filter(col("text").isNotNull)
+  }
+
+  /** Run the lifecycle; returns per-run stats. Throws on a failed PAGE
+    * fetch (same abort contract as the reference) — state on disk stays
+    * resumable. */
+  def runIngest(spark: SparkSession, fetcher: Fetcher, cfg: Config): Stats = {
+    GraftFunctions.register(spark)
+    val startCursor = CursorCheckpoint.load(spark, cfg.cursorPath).map(_.lastCursor)
+    val existing: Set[Long] = try {
+      spark.read.parquet(cfg.indexPath)
+        .select("docket_id").distinct().collect().map(_.getLong(0)).toSet
+    } catch { case _: Exception => Set.empty }
+
+    var pages = 0
+    var dockets = 0L
+    var opinions = 0L
+    var points = 0L
+    var lastCursor = startCursor
+    val it = docketPages(fetcher, cfg.court, startCursor, cfg.maxPages,
+      existingIds = existing.contains)
+    it.foreach { page =>
+      pages += 1
+      dockets += page.dockets.size
+      if (page.dockets.nonEmpty) {
+        val triples = page.dockets.flatMap(d => expandDocket(fetcher, d))
+        opinions += triples.size
+        val docs = opinionDocs(spark, triples)
+        val pts = ChunkPipeline
+          .chunkPoints(spark, docs, idCol = "doc_id", textCol = "text",
+            minRawLen = cfg.minRawLen)
+          // carry docket/cluster keys onto the points (tiny dim side)
+          .join(broadcast(docs.select("doc_id", "docket_id", "cluster_id",
+            "court", "date_filed")), Seq("doc_id"))
+        points += pts.count()
+        IndexWriter.upsertPartitioned(spark, pts, cfg.indexPath, cfg.buckets)
+      }
+      // checkpoint strictly AFTER the durable upsert
+      page.nextCursor.foreach { c =>
+        CursorCheckpoint.save(spark, cfg.cursorPath,
+          CursorState(cfg.court, c, new java.sql.Timestamp(System.currentTimeMillis())))
+        lastCursor = Some(c)
+      }
+    }
+    val indexRows =
+      try spark.read.parquet(cfg.indexPath).count() catch { case _: Exception => 0L }
+    Stats(pages, dockets, opinions, points, indexRows, lastCursor)
+  }
+
+  /** `runMain graft.ingest.IngestMain <workDir> [maxPages] [court]`.
+    * Live HTTP only with `GRAFT_INGEST_LIVE=1` (the build sandbox has no
+    * egress); otherwise runs against the deterministic demo fetcher so
+    * the whole lifecycle is drivable offline. */
+  def main(args: Array[String]): Unit = {
+    val workDir = args.headOption.getOrElse("/tmp/graft_ingest")
+    val maxPages = args.lift(1).map(_.toInt).getOrElse(2)
+    val court = args.lift(2).getOrElse("scotus")
+    val spark = graft.GraftSession.build()
+    val fetcher =
+      if (sys.env.get("GRAFT_INGEST_LIVE").contains("1"))
+        sys.env.get("COURTLISTENER_TOKEN")
+          .map(HttpFetcher.withToken(_)).getOrElse(new HttpFetcher())
+      else demoFetcher()
+    val stats = runIngest(spark, fetcher, Config(
+      court = court, maxPages = maxPages,
+      indexPath = s"$workDir/index", cursorPath = s"$workDir/cursor"))
+    println(s"""{"pages":${stats.pages},"dockets":${stats.dockets},""" +
+      s""""opinions":${stats.opinions},"points":${stats.pointsUpserted},""" +
+      s""""index_rows":${stats.indexRows},"cursor":"${stats.lastCursor.getOrElse("")}"}""")
+    spark.stop()
+  }
+
+  /** Deterministic offline stand-in for the live API: 3 pages, 5
+    * dockets, one opinion each, synthetic legal-ish text long enough to
+    * chunk. */
+  def demoFetcher(): Fetcher = new Fetcher {
+    private def opinionText(id: Long): String =
+      (s"Opinion $id of the Supreme Court. Justice Stone delivered the " +
+        s"opinion of the Court, citing 347 U.S. 483 (1954). The statute " +
+        s"42 U.S.C. § 1983 controls this docket. ") * 6
+    def fetchDocketPage(court: String, cursor: Option[String]): DocketPage =
+      cursor match {
+        case None       => DocketPage(Seq(1L, 2L).map(d => Docket(d, Seq(s"c/$d"), court)), Some("p2"))
+        case Some("p2") => DocketPage(Seq(3L).map(d => Docket(d, Seq(s"c/$d"), court)), Some("p3"))
+        case Some("p3") => DocketPage(Seq(4L, 5L).map(d => Docket(d, Seq(s"c/$d"), court)), None)
+        case Some(other) => throw new IllegalArgumentException(s"unknown demo cursor $other")
+      }
+    def fetchCluster(url: String): Option[Cluster] = {
+      val id = url.stripPrefix("c/").toLong
+      Some(Cluster(id, Seq(s"o/$id"), "2020-01-0" + (id % 9 + 1), "Stone", "Published"))
+    }
+    def fetchOpinion(url: String): Option[OpinionJson] = {
+      val id = url.stripPrefix("o/").toLong * 100
+      Some(OpinionJson(id, Map("plain_text" -> opinionText(id))))
+    }
+  }
+}

@@ -5,6 +5,40 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestBase
 import graft.ingest.ChunkPipeline
 
+/** Test double for the ONNX boundary: a "session" that records batch
+  * shapes and emits deterministic UN-normalized vectors (so the spec can
+  * prove the EMBEDDER performs the reference's normalization). Static
+  * recorders: the session runs inside executor tasks (same JVM in local
+  * mode). A production runtime differs from this only in what
+  * `createSession` wraps — that is the swap-in surface. */
+object FakeOnnxRuntime {
+  private val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+  private val queryPrefixSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def reset(): Unit = { sizes.clear(); queryPrefixSeen.set(false) }
+  def batchSizes(): Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    sizes.asScala.map(_.toInt).toSeq
+  }
+  def sawQueryPrefix(): Boolean = queryPrefixSeen.get()
+  private[embed] def record(batch: Seq[String]): Unit = {
+    sizes.add(batch.size)
+    if (batch.exists(_.startsWith("Represent this query"))) queryPrefixSeen.set(true)
+  }
+}
+
+final class FakeOnnxRuntime extends OnnxRuntime {
+  override def createSession(modelPath: String, dim: Int,
+      maxSeqLen: Int): Seq[String] => Seq[Array[Float]] = { texts =>
+    FakeOnnxRuntime.record(texts)
+    texts.map { t =>
+      val v = new Array[Float](dim)
+      var i = 0
+      while (i < t.length) { v(math.floorMod(t.charAt(i) * 31 + i, dim)) += 3.0f; i += 1 }
+      v // deliberately not normalized
+    }
+  }
+}
+
 /** The embedder slot: swapping implementations must not change the
   * pipeline's plan — only the vectors. (Vector parity for the hashing
   * impl is covered in HybridSearchSpec; this proves the ONNX slot is a
@@ -36,6 +70,41 @@ class OnnxEmbedderSpec extends AnyFunSuite with SparkTestBase {
     val e = new OnnxEmbedder("/tmp/nonexistent-model.onnx")
     val ex = intercept[IllegalStateException](e.embed("text"))
     assert(ex.getMessage.contains("no model at"))
+  }
+
+  test("fake runtime proves the slot end-to-end: batches, dims, L2 norms, full pipeline") {
+    FakeOnnxRuntime.reset()
+    // a "model file" must exist — the embedder validates the path before
+    // asking the runtime for a session
+    val model = java.nio.file.Files.createTempFile("fake-bge", ".onnx")
+    java.nio.file.Files.write(model, "not real weights".getBytes)
+    spark.conf.set("graft.embed.model.path", model.toString)
+    try {
+      val e = OnnxEmbedder.fromConf(spark, runtime = new FakeOnnxRuntime)
+      // direct batch: shapes + normalization (fake emits UN-normalized)
+      val vecs = e.embedBatch(Seq("alpha text", "beta text", "alpha text"))
+      assert(vecs.size == 3 && vecs.forall(_.length == 384))
+      vecs.foreach { v =>
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+        assert(math.abs(n - 1.0) < 1e-5, s"embedder must L2-normalize, got $n")
+      }
+      assert(vecs(0).toSeq == vecs(2).toSeq, "deterministic per text")
+      assert(vecs(0).toSeq != vecs(1).toSeq)
+
+      // whole pipeline executes through the ONNX slot (minus weights):
+      // mapPartitions batches of <= 16 reach the session
+      val out = ChunkPipeline.chunkPoints(spark, docs, embedder = e)
+      assert(out.count() > 0)
+      val sizes = FakeOnnxRuntime.batchSizes()
+      assert(sizes.nonEmpty && sizes.forall(s => s >= 1 && s <= 16),
+        s"batch sizes through the slot: $sizes")
+      // query path applies the BGE instruction prefix
+      assert(e.embedQuery("q").length == 384)
+      assert(FakeOnnxRuntime.sawQueryPrefix())
+    } finally {
+      spark.conf.unset("graft.embed.model.path")
+      java.nio.file.Files.deleteIfExists(model)
+    }
   }
 
   test("pipeline plan shape is identical under HashingEmbedder and OnnxEmbedder") {

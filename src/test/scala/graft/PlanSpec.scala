@@ -127,6 +127,51 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("LeftSemi"), s"expected left-semi keeper join:\n$plan")
   }
 
+  test("q70 guard: hamming64 verify sits above the join, below the distinct") {
+    // regression guard for the verify-before-distinct plan shape: the
+    // codegen'd radius predicate must prune candidates BEFORE the
+    // distinct's exchange (a refactor that filters after the distinct
+    // would shuffle every banding candidate at 100 TB)
+    val df = SparkEntry.queries("q70_simhash_radius")(spark, dir)
+    val lines = df.queryExecution.executedPlan.toString.split("\n").toSeq
+    val aggIdx = lines.indexWhere(_.contains("HashAggregate"))
+    // the verify predicate either sits as a Filter on the join output or
+    // (better) is fused INTO the join condition — both run pre-distinct
+    val verifyIdx = lines.indexWhere(l =>
+      l.contains("hamming64(") && (l.contains("Filter") || l.contains("Join")))
+    assert(aggIdx >= 0 && verifyIdx >= 0,
+      s"distinct + hamming64 verify both expected:\n${lines.mkString("\n")}")
+    assert(aggIdx < verifyIdx,
+      "distinct must consume VERIFIED pairs — the radius predicate may " +
+        "never migrate above the distinct's exchange")
+  }
+
+  test("q35/q54 guard: no aux oracle writes when auxEnabled=false (the bench path)") {
+    // regression guard: aux tables are Verify-only; a refactor that
+    // writes them unconditionally re-adds coalesce(1) write jobs to
+    // every bench run of the hybrid queries
+    assert(!SparkEntry.auxEnabled, "bench/test default must be aux-off")
+    val auxDir = new java.io.File(SparkEntry.auxPath(dir))
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete()
+    }
+    wipe(auxDir)
+    SparkEntry.queries("q35_hybrid_search")(spark, dir).collect()
+    SparkEntry.queries("q54_hybrid_prebuilt")(spark, dir).collect()
+    assert(!auxDir.exists(), "hybrid queries must not write aux tables when disabled")
+  }
+
+  test("q72 + q57 guard: TopKPerKeyExec over the parquet scan, no WindowExec") {
+    for (q <- Seq("q72_topk_per_key", "q57_domain_cap")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), s"$q must use the custom exec:\n$plan")
+      assert(!plan.contains("Window"), s"$q must not fall back to WindowExec:\n$plan")
+    }
+  }
+
   test("q01: aggregation runs with map-side partial aggregates") {
     val df = SparkEntry.queries("q01_pricing_agg")(spark, dir)
     df.collect()

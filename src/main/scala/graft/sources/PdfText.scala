@@ -17,11 +17,18 @@ package graft.sources
   *    literal-string escapes (octal, specials, line continuations, nested
   *    parens) and hex strings; `Td`/`TD`/`T*` emit line breaks.
   *
-  * Deliberate boundary (documented, not hidden): glyphs are decoded as
-  * PDFDocEncoding/Latin-1 — embedded CID fonts with `/ToUnicode` CMaps
-  * (and LZW/DCT-filtered streams) are out of scope; text in such PDFs
-  * extracts garbled or empty, exactly as PyPDF2 behaves without CMap
-  * support. Wire a full codec behind [[PdfSource.PdfTextExtractor]] if
+  *  - composite (CID/Type0) fonts via `/ToUnicode` CMaps: each page's
+  *    `/Resources → /Font` entries are resolved, their CMap streams
+  *    parsed (`codespacerange` width, `bfchar` pairs, `bfrange` runs —
+  *    both incremented-destination and array forms), and show-operator
+  *    strings are decoded code-by-code through the selected font
+  *    (tracked via `Tf`). This is the PyPDF2 capability the reference
+  *    relies on for court-slip PDFs (`chatbot/app.py:585-591`).
+  *
+  * Remaining boundary (documented, not hidden): simple fonts without a
+  * `/ToUnicode` CMap decode as PDFDocEncoding/Latin-1 (no per-font
+  * `/Differences` encoding tables), and LZW/DCT-filtered streams are out
+  * of scope. Wire a full codec behind [[PdfSource.PdfTextExtractor]] if
   * that fidelity is needed.
   */
 object PdfText {
@@ -41,8 +48,157 @@ object PdfText {
       val content = contentsOf(page.body)
         .flatMap(objs.get).flatMap(_.data)
         .map(new String(_, Latin1)).mkString("\n")
-      extractText(content)
+      extractText(content, fontMaps(page.body, objs))
     }
+  }
+
+  // ---- fonts / ToUnicode CMaps --------------------------------------------
+
+  /** Per-code unicode mapping from a font's `/ToUnicode` CMap. */
+  private[graft] final case class ToUnicode(twoByte: Boolean, map: Map[Int, String]) {
+    /** Decode a raw show string (chars are bytes via Latin-1). Unmapped
+      * codes fall back to their raw char — the PyPDF2 behavior. */
+    def decode(raw: String): String = {
+      val out = new StringBuilder(raw.length)
+      if (twoByte) {
+        var i = 0
+        while (i + 1 < raw.length) {
+          val code = (raw.charAt(i) << 8) | (raw.charAt(i + 1) & 0xff)
+          out ++= map.getOrElse(code, "")
+          i += 2
+        }
+        if (i < raw.length) out ++= map.getOrElse(raw.charAt(i).toInt, raw.charAt(i).toString)
+      } else {
+        var i = 0
+        while (i < raw.length) {
+          val c = raw.charAt(i)
+          out ++= map.getOrElse(c.toInt, c.toString)
+          i += 1
+        }
+      }
+      out.toString
+    }
+  }
+
+  private val hexTok = java.util.regex.Pattern.compile("<([0-9A-Fa-f]+)>")
+
+  /** UTF-16BE hex → string (4-digit code units; short hex = one unit). */
+  private def hexToUnicode(h: String): String =
+    if (h.length <= 4) Integer.parseInt(h, 16).toChar.toString
+    else h.grouped(4).filter(_.length == 4)
+      .map(u => Integer.parseInt(u, 16).toChar).mkString
+
+  /** Parse a ToUnicode CMap stream: code width from the codespacerange,
+    * `bfchar` pairs, `bfrange` runs (both `<lo> <hi> <dstStart>` and
+    * `<lo> <hi> [<d0> <d1> …]` forms). */
+  private[graft] def parseToUnicode(cmap: String): ToUnicode = {
+    val twoByte = {
+      val i = cmap.indexOf("begincodespacerange")
+      if (i < 0) true // CID fonts default to 2-byte codes
+      else {
+        val m = hexTok.matcher(cmap)
+        m.find(i) && m.group(1).length > 2
+      }
+    }
+    val map = Map.newBuilder[Int, String]
+
+    def sections(begin: String, end: String): Iterator[String] = {
+      var from = 0
+      Iterator.continually {
+        val b = cmap.indexOf(begin, from)
+        if (b < 0) None
+        else {
+          val e = cmap.indexOf(end, b)
+          val stop = if (e < 0) cmap.length else e
+          from = stop + end.length
+          Some(cmap.substring(b + begin.length, stop))
+        }
+      }.takeWhile(_.isDefined).flatten
+    }
+
+    sections("beginbfchar", "endbfchar").foreach { body =>
+      val m = hexTok.matcher(body)
+      val toks = Iterator.continually(if (m.find()) Some(m.group(1)) else None)
+        .takeWhile(_.isDefined).flatten.toSeq
+      toks.grouped(2).foreach {
+        case Seq(src, dst) => map += Integer.parseInt(src, 16) -> hexToUnicode(dst)
+        case _ => ()
+      }
+    }
+
+    sections("beginbfrange", "endbfrange").foreach { body =>
+      // tokenize hex strings and arrays in order
+      val tok = java.util.regex.Pattern.compile("<([0-9A-Fa-f]+)>|(\\[)|(\\])")
+      val m = tok.matcher(body)
+      val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (m.find()) toks += (if (m.group(1) != null) m.group(1)
+        else if (m.group(2) != null) "[" else "]")
+      var i = 0
+      while (i + 3 <= toks.length) {
+        val lo = Integer.parseInt(toks(i), 16)
+        val hi = Integer.parseInt(toks(i + 1), 16)
+        if (toks(i + 2) == "[") {
+          var j = i + 3
+          var code = lo
+          while (j < toks.length && toks(j) != "]") {
+            map += code -> hexToUnicode(toks(j)); code += 1; j += 1
+          }
+          i = j + 1
+        } else {
+          val dst = hexToUnicode(toks(i + 2))
+          var code = lo
+          while (code <= hi) {
+            // increment the LAST UTF-16 unit (the spec's bfrange rule)
+            val bumped =
+              if (dst.isEmpty) ""
+              else dst.dropRight(1) + (dst.last + (code - lo)).toChar
+            map += code -> bumped
+            code += 1
+          }
+          i += 3
+        }
+      }
+    }
+    ToUnicode(twoByte, map.result())
+  }
+
+  /** Resolve the page's `/Resources → /Font` entries to their ToUnicode
+    * maps (fonts without a CMap are absent → Latin-1 fallback). */
+  private def fontMaps(pageBody: String, objs: Map[Int, PObj]): Map[String, ToUnicode] = {
+    val resBody: String = {
+      val i = pageBody.indexOf("/Resources")
+      if (i < 0) return Map.empty
+      val after = pageBody.substring(i + "/Resources".length)
+      val trimmed = after.dropWhile(_.isWhitespace)
+      val refM = refPat.matcher(trimmed)
+      if (refM.lookingAt()) objs.get(refM.group(1).toInt).map(_.body).getOrElse("")
+      else trimmed
+    }
+    val fi = resBody.indexOf("/Font")
+    if (fi < 0) return Map.empty
+    val fontDict: String = {
+      val after = resBody.substring(fi + "/Font".length)
+      val trimmed = after.dropWhile(_.isWhitespace)
+      val refM = refPat.matcher(trimmed)
+      if (refM.lookingAt()) objs.get(refM.group(1).toInt).map(_.body).getOrElse("")
+      else {
+        val stop = trimmed.indexOf(">>") // font values are refs — no nesting
+        if (stop >= 0) trimmed.substring(0, stop) else trimmed
+      }
+    }
+    val entry = java.util.regex.Pattern.compile("/([A-Za-z0-9.+_-]+)\\s+(\\d+)\\s+\\d+\\s+R")
+    val m = entry.matcher(fontDict)
+    val out = Map.newBuilder[String, ToUnicode]
+    while (m.find()) {
+      val name = m.group(1)
+      for {
+        fontObj <- objs.get(m.group(2).toInt)
+        cmRef <- firstRef(fontObj.body, "/ToUnicode")
+        cmObj <- objs.get(cmRef)
+        data <- cmObj.data
+      } out += name -> parseToUnicode(new String(data, Latin1))
+    }
+    out.result()
   }
 
   // ---- object layer -------------------------------------------------------
@@ -159,11 +315,15 @@ object PdfText {
 
   // ---- content-stream text operators --------------------------------------
 
-  private[sources] def extractText(cs: String): String = {
+  private[sources] def extractText(cs: String,
+      fonts: Map[String, ToUnicode] = Map.empty): String = {
     val sb = new StringBuilder
     val pending = scala.collection.mutable.ArrayBuffer.empty[String]
     val n = cs.length
     var i = 0
+    var lastName = ""           // most recent /Name token (the Tf operand)
+    var font: Option[ToUnicode] = None
+    def show(s: String): Unit = sb ++= font.map(_.decode(s)).getOrElse(s)
 
     def parseLiteral(start: Int): Int = { // cs(start) == '('
       val out = new StringBuilder
@@ -230,17 +390,20 @@ object PdfText {
       else if (c == '<' && i + 1 < n && cs.charAt(i + 1) == '<') i += 2 // dict
       else if (c == '<') i = parseHex(i)
       else if (c == '/') { // name token — consume so it can't look like an op
+        val start = i + 1
         i += 1
         while (i < n && !cs.charAt(i).isWhitespace && "()<>[]{}/%".indexOf(cs.charAt(i)) < 0) i += 1
+        lastName = cs.substring(start, i)
       } else if (c == '%') { // comment to EOL
         while (i < n && cs.charAt(i) != '\n') i += 1
       } else if (c.isLetter || c == '\'' || c == '"') { // operator token
         var j = i
         while (j < n && !cs.charAt(j).isWhitespace && "()<>[]{}/%".indexOf(cs.charAt(j)) < 0) j += 1
         cs.substring(i, j) match {
-          case "Tj" | "TJ" => pending.foreach(sb ++= _); pending.clear()
-          case "'" | "\"" => newline(); pending.foreach(sb ++= _); pending.clear()
+          case "Tj" | "TJ" => pending.foreach(show); pending.clear()
+          case "'" | "\"" => newline(); pending.foreach(show); pending.clear()
           case "Td" | "TD" | "T*" => newline(); pending.clear()
+          case "Tf" => font = fonts.get(lastName); pending.clear()
           case _ => pending.clear() // strings consumed by non-show ops
         }
         i = math.max(j, i + 1)

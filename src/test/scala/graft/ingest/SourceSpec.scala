@@ -105,6 +105,67 @@ class PdfSourceSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(pages == Seq("Hello (World)\nSecond", "Page2 hex:HELLO"))
   }
 
+  /** A composite-font (CID/Type0) PDF: glyph CODES in the content
+    * stream, meaning only via the font's /ToUnicode CMap — the shape
+    * court slip opinions ship in. Codes: 1→H 2→e 3→o via bfchar,
+    * 10..12→l,m,n via bfrange. */
+  private def cidPdf(): Array[Byte] = {
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val content = "BT /F1 12 Tf <00010002001000100003> Tj 0 -14 Td <0011> Tj ET".getBytes(latin1)
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |3 beginbfchar
+        |<0001> <0048>
+        |<0002> <0065>
+        |<0003> <006F>
+        |endbfchar
+        |1 beginbfrange
+        |<0010> <0012> <006C>
+        |endbfrange
+        |endcmap
+        |""".stripMargin.getBytes(latin1)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(latin1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    out.write(content); w("\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Fake-CID /ToUnicode 6 0 R >> endobj\n")
+    w(s"6 0 obj << /Length ${cmap.length} >> stream\n")
+    out.write(cmap); w("\nendstream endobj\n")
+    w("%%EOF\n")
+    out.toByteArray
+  }
+
+  test("CID font: show strings decode through the /ToUnicode CMap") {
+    // <0001><0002><0010><0010><0003> → Hello; <0011> → m (bfrange bump)
+    assert(PdfText.pages(cidPdf()) == Seq("Hello\nm"))
+  }
+
+  test("parseToUnicode: bfrange array form and multi-unit destinations") {
+    val tu = PdfText.parseToUnicode(
+      """1 begincodespacerange <0000> <FFFF> endcodespacerange
+        |1 beginbfchar <0001> <00660066> endbfchar
+        |1 beginbfrange <0005> <0006> [<0041> <0042>] endbfrange
+        |""".stripMargin)
+    assert(tu.twoByte)
+    assert(tu.map(1) == "ff") // ligature expands to two units
+    assert(tu.map(5) == "A" && tu.map(6) == "B")
+    // one-byte codespace variant
+    val one = PdfText.parseToUnicode(
+      "1 begincodespacerange <00> <FF> endcodespacerange " +
+        "1 beginbfchar <41> <0061> endbfchar")
+    assert(!one.twoByte)
+    assert(one.decode("A") == "a")
+    assert(one.decode("Z") == "Z", "unmapped 1-byte codes fall back to raw")
+  }
+
   test("stub extractor still counts pages for plumbing tests") {
     val ex = new PdfSource.StubExtractor
     assert(ex.pages("not a pdf".getBytes).isEmpty)

@@ -140,13 +140,20 @@ object Similarity {
       vecCol: String = "embedding", idCol: String = "vec_id", seed: Long = 42L,
       maxFitSample: Int = 100000, maxIter: Int = 20) {
 
-    /** Centroids from seeded Lloyd's over a bounded sample. The sample is
-      * taken with `limit` (first files of the scan): deterministic on a
-      * static table and reads only O(maxFitSample) rows; a 100 TB caller
-      * wanting an unbiased sample passes a pre-sampled `df`. */
+    /** Centroids from seeded Lloyd's over a bounded sample. The sample
+      * is the `maxFitSample` rows with the smallest `xxhash64(id)` —
+      * content-derived (deterministic across runs/retries, the house
+      * rule) and UNBIASED across the whole corpus, unlike a `limit`
+      * that reads only the scan's first files. Plans as
+      * TakeOrderedAndProject: per-partition top-N + driver merge, no
+      * shuffle — one distributed pass, the same cost class as the
+      * assignment pass that follows. */
     val clusterCenters: Array[Array[Double]] = {
-      val sample: Array[Array[Double]] = df.select(col(vecCol))
-        .limit(maxFitSample).collect()
+      val sample: Array[Array[Double]] = df
+        .select(col(vecCol), xxhash64(col(idCol)).as("__h"))
+        .orderBy(col("__h"))
+        .limit(maxFitSample)
+        .collect()
         .map(_.getSeq[Float](0).toArray.map(_.toDouble))
       require(sample.nonEmpty, "IvfIndex: empty input")
       val dim = sample.head.length

@@ -894,7 +894,23 @@ object SparkEntry {
         keyCols = Seq("l_returnflag"),
         orderBy = Seq(("price_cents", false), ("l_orderkey", true),
           ("l_linenumber", true)),
-        k = 3))
+        k = 3)),
+
+    // Same operator forced through its SPILL path: a tiny retained-rows
+    // budget makes every partition write key-sorted runs and merge them
+    // — the oracle (identical to q72's) proves the external path is
+    // value-exact, not just the in-memory heaps.
+    "q73_topk_spilled" -> ((s, dir) => {
+      s.conf.set("graft.topk.maxRetainedRows", "64")
+      try graft.plans.TopK.perKey(
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"), cents(col("l_extendedprice")).as("price_cents")),
+        keyCols = Seq("l_returnflag"),
+        orderBy = Seq(("price_cents", false), ("l_orderkey", true),
+          ("l_linenumber", true)),
+        k = 3)
+      finally s.conf.unset("graft.topk.maxRetainedRows")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -1658,6 +1674,15 @@ object SparkEntry {
     },
 
     "q72_topk_per_key" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, price_cents FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_cents,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(ROUND(l_extendedprice*100) AS BIGINT) DESC,
+        |               l_orderkey ASC, l_linenumber ASC) AS rn
+        |  FROM lineitem) WHERE rn <= 3""".stripMargin,
+
+    "q73_topk_spilled" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, price_cents FROM (
         |  SELECT l_returnflag, l_orderkey, l_linenumber,
         |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_cents,

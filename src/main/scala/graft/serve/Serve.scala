@@ -114,19 +114,30 @@ object Serve {
   }
 
   /** POST /query | /search — the reference's two identical endpoints
-    * (quirk Q6) collapse to one function. */
+    * (quirk Q6) collapse to one function. Payload columns present on the
+    * index (`case_name`, `court`, `date_filed`, `judges` — e.g. from the
+    * IngestMain pipeline) hydrate the response; absent ones take the
+    * reference's defaults (`app.py:345-358`). */
   def query(index: DataFrame, docStats: DataFrame, corpusSize: Long,
       avgDocLen: Double, question: String, k: Int = 3,
       rrfScoreThreshold: Double = 0.0): QueryResponse = {
     val t0 = System.nanoTime()
     val hits = HybridSearch.search(index, docStats, corpusSize, avgDocLen,
       question, HybridSearch.Config(k = k, rrfScoreThreshold = rrfScoreThreshold))
-    val results = hits.select("id", "rrf_score", "chunk_text").collect().toSeq.map { r =>
+    val present = hits.columns.toSet
+    val payloadCols = Seq("case_name", "court", "date_filed", "judges").filter(present)
+    val results = hits.select(("id" +: "rrf_score" +: "chunk_text" +: payloadCols)
+        .map(col): _*).collect().toSeq.map { r =>
+      def opt(c: String, default: String): String =
+        if (present(c)) Option(r.getAs[String](c)).getOrElse(default) else default
       val text = Option(r.getAs[String]("chunk_text")).getOrElse("")
       SearchResult(
         id = r.getAs[String]("id"),
         score = r.getAs[Double]("rrf_score"),
-        caseName = "Unknown Case", court = "", dateFiled = "", judges = "",
+        caseName = opt("case_name", "Unknown Case"),
+        court = opt("court", "").toUpperCase(java.util.Locale.ROOT),   // F14
+        dateFiled = opt("date_filed", ""),
+        judges = opt("judges", ""),
         snippet = if (text.length > 200) text.take(200) + "..." else text)
     }
     QueryResponse(question, results, (System.nanoTime() - t0) / 1e9)   // F13

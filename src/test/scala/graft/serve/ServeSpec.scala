@@ -28,6 +28,19 @@ class ServeSpec extends AnyFunSuite with SparkTestBase {
     assert(resp.processingTimeSec > 0)
   }
 
+  test("query hydrates payload columns when the index carries them") {
+    val rich = index
+      .withColumn("case_name", concat(lit("Case "), $"id"))
+      .withColumn("court", lit("scotus"))
+      .withColumn("date_filed", lit("2020-01-01"))
+      .withColumn("judges", lit("Stone"))
+    val resp = Serve.query(rich, stats, 3, avgLen, "habeas corpus", k = 1)
+    val r = resp.results.head
+    assert(r.caseName == "Case d1")
+    assert(r.court == "SCOTUS") // F14 upper-cased
+    assert(r.dateFiled == "2020-01-01" && r.judges == "Stone")
+  }
+
   test("F15 context block: numbered documents in rank order") {
     val hits = index.limit(2)
       .withColumn("rrf_score", when($"id" === "d1", 0.03).otherwise(0.01))

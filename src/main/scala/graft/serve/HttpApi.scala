@@ -47,11 +47,25 @@ object HttpApi {
       avgDocLen: Double,
       indexPath: String,
       summarizer: Serve.Summarizer = new Serve.UnavailableSummarizer,
-      fetchBytes: String => Array[Byte] = url =>
-        throw new UnsupportedOperationException(
-          s"no byte fetcher configured (url: $url) — inject one (e.g. " +
-            "graft.ingest.HttpFetcher.bytes) to enable /case/fetch"),
+      fetchBytes: String => Array[Byte] = HttpApi.liveFetchBytes,
       defaultK: Int = 3)
+
+  /** Default `/case/fetch` byte fetcher: a real GET (the reference
+    * downloads arbitrary slip-opinion URLs, `app.py:580-583`). With no
+    * egress this raises, which the route surfaces as the reference's
+    * `Failed to fetch PDF` 500 — inject a stub to test offline. */
+  def liveFetchBytes: String => Array[Byte] = { url =>
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(30))
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL).build()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(60)).GET().build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+    if (resp.statusCode() / 100 != 2)
+      throw new RuntimeException(s"HTTP ${resp.statusCode()} for $url")
+    resp.body()
+  }
 
   final class Server private[HttpApi] (http: HttpServer) {
     /** The actually-bound port (useful with port=0 ephemeral binds). */
@@ -99,7 +113,7 @@ object HttpApi {
               "text_length" -> fullText.length))
           } catch {
             case NonFatal(e) => (500, obj(
-              "error" -> s"Failed to fetch PDF: ${e.getMessage}",
+              "error" -> s"Failed to fetch PDF: ${Option(e.getMessage).getOrElse(e.toString)}",
               "success" -> false))
           }
       }

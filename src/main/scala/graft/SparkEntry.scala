@@ -896,6 +896,35 @@ object SparkEntry {
           ("l_linenumber", true)),
         k = 3)),
 
+    // Boilerplate detection: 5-grams repeated across >= 10 distinct docs
+    // (every 7th doc gets the same planted "subscribe" tail — the
+    // cross-crawl chrome the CC-net/C4 pipelines hunt). The original
+    // word-salad corpus contributes no repeated grams, so the output is
+    // exactly the planted boilerplate's grams.
+    "q74_repeated_ngrams" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" Please subscribe to our newsletter for free updates today")))
+          .otherwise(col("text")).as("text"))
+      graft.ops.Curation.repeatedNgrams(planted, "doc_id", "text",
+        n = 5, minDocs = 10)
+    }),
+
+    // C4-style line cleaning over planted multi-line docs: keep lines
+    // ending in terminal punctuation with >= 5 words; drop brace docs
+    // whole. Both engines build the same planted lines.
+    "q75_c4_line_filter" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          lit("This line has enough words to survive the filter."),
+          lit("Too short."),
+          col("text"),
+          lit("Lines without terminal punctuation get removed entirely"),
+          when(col("doc_id") % 11 === 0, lit("function() { return }"))
+            .otherwise(lit("Another good sentence appears right here."))).as("text"))
+      graft.ops.Curation.c4LineFilter(planted, "doc_id", "text", minWords = 5)
+    }),
+
     // Same operator forced through its SPILL path: a tiny retained-rows
     // budget makes every partition write key-sorted runs and merge them
     // — the oracle (identical to q72's) proves the external path is
@@ -1689,6 +1718,39 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY l_returnflag
         |      ORDER BY CAST(ROUND(l_extendedprice*100) AS BIGINT) DESC,
         |               l_orderkey ASC, l_linenumber ASC) AS rn
-        |  FROM lineitem) WHERE rn <= 3""".stripMargin
+        |  FROM lineitem) WHERE rn <= 3""".stripMargin,
+
+    "q74_repeated_ngrams" ->
+      """WITH planted AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0
+        |       THEN text || ' Please subscribe to our newsletter for free updates today'
+        |       ELSE text END AS text FROM documents),
+        |toks AS (SELECT doc_id,
+        |    list_transform(regexp_extract_all(text, '\S+'), w -> lower(w)) AS w
+        |  FROM planted),
+        |grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+        |  FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i))
+        |SELECT gram, count(*) AS n_docs FROM grams
+        |GROUP BY gram HAVING count(*) >= 10""".stripMargin,
+
+    "q75_c4_line_filter" ->
+      """WITH planted AS (SELECT doc_id,
+        |  'This line has enough words to survive the filter.' || chr(10) ||
+        |  'Too short.' || chr(10) || text || chr(10) ||
+        |  'Lines without terminal punctuation get removed entirely' || chr(10) ||
+        |  CASE WHEN doc_id % 11 = 0 THEN 'function() { return }'
+        |       ELSE 'Another good sentence appears right here.' END AS text
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |  list_filter(string_split(text, chr(10)), l ->
+        |    trim(l) <> ''
+        |    AND len(list_filter(string_split(trim(l), ' '), w -> w <> '')) >= 5
+        |    AND right(trim(l), 1) IN ('.', '!', '?', '"')) AS kept_lines,
+        |  len(list_filter(string_split(text, chr(10)), l -> trim(l) <> '')) AS n_lines
+        |  FROM planted
+        |  WHERE NOT contains(text, '{') AND NOT contains(text, '}'))
+        |SELECT doc_id, array_to_string(kept_lines, chr(10)) AS kept_text,
+        |  len(kept_lines) AS n_kept, n_lines - len(kept_lines) AS n_dropped
+        |FROM f WHERE len(kept_lines) > 0""".stripMargin
   )
 }

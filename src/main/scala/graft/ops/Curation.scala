@@ -175,6 +175,63 @@ object Curation {
   }
 
   // -------------------------------------------------------------------
+  // Repeated-n-gram (boilerplate) detection: word n-grams occurring in
+  // at least `minDocs` DISTINCT documents — the CC-net/C4 shape for
+  // finding navigation chrome, disclaimers, and licence blocks that
+  // repeat across a crawl. Shuffles only (gram) keys: the distinct
+  // collapses per-doc repeats map-side, then one count per gram. At
+  // 100 TB the gram strings can be pre-hashed to 64-bit keys; the exact
+  // strings here keep the oracle portable.
+  // -------------------------------------------------------------------
+  def repeatedNgrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 10): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(gramUdf(n)(tokens(col(textCol)))).as("gram"))
+      .distinct() // one vote per (doc, gram)
+      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  // -------------------------------------------------------------------
+  // C4-style line filtering: keep lines that end in terminal punctuation
+  // and carry at least `minWords` words; drop the whole document when it
+  // contains code braces (the C4 "{" rule). One compiled pass per row —
+  // no shuffle, embarrassingly parallel.
+  // -------------------------------------------------------------------
+  final case class LineFilterResult(kept_text: String, n_kept: Int,
+      n_dropped: Int, has_braces: Boolean)
+
+  private def lineFilterUdf(minWords: Int) = udf { text: String =>
+    val t = if (text == null) "" else text
+    val hasBraces = t.indexOf('{') >= 0 || t.indexOf('}') >= 0
+    val kept = new StringBuilder
+    var nKept = 0
+    var nDropped = 0
+    t.split("\n", -1).foreach { line =>
+      val trimmed = line.trim
+      if (trimmed.nonEmpty) {
+        val words = trimmed.split(" ").count(_.nonEmpty)
+        val last = trimmed.charAt(trimmed.length - 1)
+        val terminal = last == '.' || last == '!' || last == '?' || last == '"'
+        if (words >= minWords && terminal) {
+          if (nKept > 0) kept += '\n'
+          kept ++= line
+          nKept += 1
+        } else nDropped += 1
+      }
+    }
+    LineFilterResult(kept.toString, nKept, nDropped, hasBraces)
+  }
+
+  /** @return one row per SURVIVING doc (brace docs are dropped whole):
+    *         id, cleaned text, kept/dropped line counts. */
+  def c4LineFilter(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 5): DataFrame =
+    docs.select(col(idCol), lineFilterUdf(minWords)(col(textCol)).as("r"))
+      .filter(!col("r.has_braces") && col("r.n_kept") > 0)
+      .select(col(idCol), col("r.kept_text").as("kept_text"),
+        col("r.n_kept").as("n_kept"), col("r.n_dropped").as("n_dropped"))
+
+  // -------------------------------------------------------------------
   // TF-IDF keywords: top-k terms per document. tf is per (doc, term),
   // df is one count-distinct per term, idf = ln(N/df). The shuffles are
   // all on (term) or (doc, term) — narrow keys; N is a scalar. The

@@ -75,6 +75,36 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L).getAs[Int]("n_words") == 4)
   }
 
+  test("repeatedNgrams surfaces only the cross-doc boilerplate grams") {
+    val docs = (1L to 12L).map { i =>
+      val base = s"unique${i} filler${i} words${i} here${i}"
+      val text = if (i <= 6) s"$base join our mailing list now please" else base
+      (i, text)
+    }.toDF("doc_id", "text")
+    val out = Curation.repeatedNgrams(docs, "doc_id", "text", n = 3, minDocs = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // grams fully inside the planted tail repeat in 6 docs; grams that
+    // cross into the per-doc unique prefix never repeat
+    assert(out == Map(
+      "join our mailing" -> 6L, "our mailing list" -> 6L,
+      "mailing list now" -> 6L, "list now please" -> 6L))
+  }
+
+  test("c4LineFilter keeps punctuated >=minWords lines, drops brace docs whole") {
+    val docs = Seq(
+      (1L, "A proper sentence with enough words here.\nshort one.\nno punctuation on this long line at all\nAnother full sentence ends with a question mark?"),
+      (2L, "Good line that would have survived easily.\nvar x = { y: 1 }"),
+      (3L, "nothing survives here"))
+      .toDF("doc_id", "text")
+    val out = Curation.c4LineFilter(docs, "doc_id", "text", minWords = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L), "brace doc and no-keeper doc must drop whole")
+    val r = out(1L)
+    assert(r.getAs[String]("kept_text") ==
+      "A proper sentence with enough words here.\nAnother full sentence ends with a question mark?")
+    assert(r.getAs[Int]("n_kept") == 2 && r.getAs[Int]("n_dropped") == 2)
+  }
+
   test("contamination: doc sharing a 5-gram with eval is flagged, others are 0") {
     val evalText = "the quick brown fox jumps over the lazy dog"
     val df = Seq(

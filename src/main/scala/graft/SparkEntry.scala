@@ -939,12 +939,108 @@ object SparkEntry {
           ("l_linenumber", true)),
         k = 3)
       finally s.conf.unset("graft.topk.maxRetainedRows")
-    })
+    }),
+
+    // End-to-end near-dup REMOVAL over q33's planted corpus: MinHash-LSH
+    // pairs → connected components → keep min-id per cluster. The output
+    // is the deduped corpus (the thing a curation run actually ships),
+    // so the oracle must re-derive banding, Jaccard verification, the
+    // reachability closure, AND the anti-join — every stage of the
+    // pipeline in one gate.
+    "q76_dedup_keep_canonical" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val planted = d.unionByName(d.withColumn("doc_id", col("doc_id") + 10000))
+      val pairs = Dedup.minHashNearDups(planted, numHashes = 16, bands = 4,
+        jaccardThreshold = 0.8,
+        signature = (sh, n) => Dedup.md5MinHashSignatureUdf(n)(sh),
+        bandHash = c => md5(concat_ws("|", c)),
+        persistShingles = true)
+      Dedup.keepCanonical(planted, "doc_id", pairs).select("doc_id")
+    }),
+
+    // Streaming dedup under planted at-least-once delivery: two source
+    // legs over the same file unioned (every event arrives twice), state-
+    // store dedup on event_id, counts per type. Without the dedup every
+    // count doubles, so the batch oracle discriminates.
+    "q77_stream_dedup" -> ((s, dir) => {
+      EventsPipeline.drained(s) {
+        EventsPipeline.streamDedupPlantedCounts(s, dir, "q77_sink")
+      }
+      s.table("q77_sink").select(col("event_type"), col("n"))
+    }),
+
+    // Deterministic train/val/test split: 80/10/10 by md5-of-id interval.
+    // Pure function of the id — re-runs, appends, and other engines
+    // re-derive identical membership (the oracle recomputes it from
+    // scratch in DuckDB).
+    "q78_hash_split" -> ((s, dir) =>
+      graft.ops.Sampling.hashSplit(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        idCol = "doc_id",
+        splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))),
+
+    // Paragraph-level exact dedup over planted multi-line docs: shared
+    // header/footer lines appear in every doc and must survive only at
+    // their single globally-first (doc_id, idx) slot; each doc's own text
+    // line is unique and survives everywhere.
+    "q79_paragraph_dedup" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          lit("Shared header boilerplate line."),
+          col("text"),
+          lit("Shared footer boilerplate line.")).as("text"))
+      Dedup.paragraphDedup(planted, "doc_id", "text")
+    }),
+
+    // CCNet-style unigram corpus-frequency profile: per-doc token count,
+    // summed corpus counts, and rare-token count — the integer core the
+    // perplexity-proxy quality score derives from (integers so the gate
+    // is exact; the float view is spec-gated).
+    "q80_token_rarity" -> ((s, dir) =>
+      TextAnalysis.tokenRarity(
+        t(s, dir, "documents").select("doc_id", "text"),
+        idCol = "doc_id", textCol = "text", rareMax = 2))
   )
 
   // ---------------------------------------------------------------------
   // DuckDB oracles (t2 gate) — same column names, deterministic values.
   // ---------------------------------------------------------------------
+
+  /** q33's full MinHash-LSH construction (planted doubled corpus →
+    * shingles → 16 md5 minhashes → 4 bands → candidates → exact Jaccard)
+    * as a DuckDB CTE body ending in `verified(id1, id2, jaccard)` —
+    * shared by the q33 pair-list oracle and q76's end-to-end dedup
+    * oracle, which appends the reachability closure and anti-join. */
+  private def minhashLshCtes: String = {
+    val hs = (0 until 16).map(i =>
+      s"list_min([md5('${i}_' || x) for x in sh]) AS h$i").mkString(",\n    ")
+    val bandRows = (0 until 4).map { b =>
+      val cat = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""d AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents),
+       |shnz AS (SELECT doc_id, sh FROM (
+       |    SELECT doc_id, list_distinct([parts[i+1] || ' ' || parts[i+2] || ' ' || parts[i+3]
+       |        for i in range(len(parts)-2)]) AS sh
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM d)
+       |    WHERE len(parts) >= 3)
+       |  WHERE len(sh) > 0),
+       |sigs AS (SELECT doc_id,
+       |    $hs
+       |  FROM shnz),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |verified AS (
+       |  SELECT c.id1, c.id2,
+       |    CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+       |      / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) AS jaccard
+       |  FROM cand c JOIN shnz s1 ON s1.doc_id = c.id1 JOIN shnz s2 ON s2.doc_id = c.id2)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1202,36 +1298,9 @@ object SparkEntry {
       """SELECT doc_id, CAST(0 AS BIGINT) AS chunk_index, CAST(LENGTH(text) AS BIGINT) AS chunk_len
         |FROM documents WHERE LENGTH(TRIM(text)) >= 400""".stripMargin,
 
-    "q33_minhash_lsh_planted" -> {
-      val hs = (0 until 16).map(i =>
-        s"list_min([md5('${i}_' || x) for x in sh]) AS h$i").mkString(",\n    ")
-      val bandRows = (0 until 4).map { b =>
-        val cat = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
-        s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sigs"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH d AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents),
-         |shnz AS (SELECT doc_id, sh FROM (
-         |    SELECT doc_id, list_distinct([parts[i+1] || ' ' || parts[i+2] || ' ' || parts[i+3]
-         |        for i in range(len(parts)-2)]) AS sh
-         |    FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM d)
-         |    WHERE len(parts) >= 3)
-         |  WHERE len(sh) > 0),
-         |sigs AS (SELECT doc_id,
-         |    $hs
-         |  FROM shnz),
-         |bands AS (
-         |  $bandRows),
-         |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
-         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
-         |SELECT id1, id2, jaccard FROM (
-         |  SELECT c.id1, c.id2,
-         |    CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
-         |      / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) AS jaccard
-         |  FROM cand c JOIN shnz s1 ON s1.doc_id = c.id1 JOIN shnz s2 ON s2.doc_id = c.id2)
-         |WHERE jaccard >= 0.8""".stripMargin
-    },
+    "q33_minhash_lsh_planted" ->
+      s"""WITH $minhashLshCtes
+         |SELECT id1, id2, jaccard FROM verified WHERE jaccard >= 0.8""".stripMargin,
 
     "q34_stream_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
@@ -1751,6 +1820,50 @@ object SparkEntry {
         |  WHERE NOT contains(text, '{') AND NOT contains(text, '}'))
         |SELECT doc_id, array_to_string(kept_lines, chr(10)) AS kept_text,
         |  len(kept_lines) AS n_kept, n_lines - len(kept_lines) AS n_dropped
-        |FROM f WHERE len(kept_lines) > 0""".stripMargin
+        |FROM f WHERE len(kept_lines) > 0""".stripMargin,
+
+    "q76_dedup_keep_canonical" ->
+      s"""WITH RECURSIVE $minhashLshCtes,
+         |pairs AS (SELECT id1, id2 FROM verified WHERE jaccard >= 0.8),
+         |sym AS (SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION SELECT id2, id1 FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |walk(id, comp) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT s.src, w.comp FROM sym s JOIN walk w ON s.dst = w.id),
+         |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+         |SELECT doc_id FROM d
+         |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> comp)""".stripMargin,
+
+    "q77_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1""",
+
+    "q78_hash_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    "q79_paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |  'Shared header boilerplate line.' || chr(10) || text || chr(10) ||
+        |  'Shared footer boilerplate line.' AS text FROM documents),
+        |p AS (SELECT doc_id, idx, parts[idx+1] AS para FROM (
+        |  SELECT doc_id, parts, unnest(range(len(parts))) AS idx FROM (
+        |    SELECT doc_id, string_split(text, chr(10)) AS parts FROM d))),
+        |f AS (SELECT doc_id, idx, para FROM p WHERE len(trim(para)) > 0),
+        |r AS (SELECT doc_id, idx, para,
+        |  row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn FROM f)
+        |SELECT doc_id, idx, para FROM r WHERE rn = 1""".stripMargin,
+
+    "q80_token_rarity" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
+        |  CAST(SUM(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |FROM toks JOIN counts USING (tok) GROUP BY 1""".stripMargin
   )
 }

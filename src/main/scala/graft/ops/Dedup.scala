@@ -479,4 +479,51 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
   }
+
+  /** End-to-end near-dup REMOVAL: given near-dup pairs (from
+    * [[minHashNearDups]], [[simHashRadiusPairs]], ...), cluster them with
+    * [[connectedComponents]] and keep exactly one document per cluster —
+    * the minimum id (deterministic, engine-independent) — plus every
+    * document that appears in no pair. This is the step the pair-mining
+    * ops feed in a real curation run: "dedup the corpus" ends with a
+    * filtered corpus, not a pair list.
+    *
+    * Scale shape: components shuffles only (id, id) pairs; the document
+    * payload is touched once, by a left-anti join against the loser-id
+    * set (never the winners — no payload ever rides the iterative part).
+    */
+  def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    // comp is the min id reachable from each node, so "loser" == any node
+    // whose component label is a different (smaller) id.
+    val losers = connectedComponents(pairs.select("id1", "id2"))
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Paragraph-level exact dedup (the C4/RefinedWeb intra-corpus step:
+    * repeated boilerplate paragraphs are dropped everywhere but their
+    * first occurrence). Explodes `textCol` on `sep`, drops blank
+    * segments, and keeps the single globally-first occurrence of each
+    * distinct paragraph — ordered by (id, position), so the survivor is
+    * deterministic on any engine.
+    *
+    * Scale shape: one shuffle, partitioned by md5(paragraph) — the
+    * dedup key — so each paragraph's occurrence list lands on one
+    * reducer regardless of corpus size; a hot boilerplate paragraph is
+    * one heavy key (bounded by its occurrence count, the thing this op
+    * exists to remove). Returns (id, idx, para) of survivors. */
+  def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sep: String = "\n"): DataFrame = {
+    val paras = docs
+      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("idx", "para")))
+      .withColumn("idx", col("idx").cast("long"))
+      .filter(length(trim(col("para"))) > 0)
+    val firstOccur = Window.partitionBy(md5(col("para").cast("binary")))
+      .orderBy(col(idCol), col("idx"))
+    paras
+      .withColumn("rn", row_number().over(firstOccur))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
 }

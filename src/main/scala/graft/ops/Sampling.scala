@@ -81,4 +81,31 @@ object Sampling {
     }
     df.filter(hexKey(col(idCol)) < threshold)
   }
+
+  /** Deterministic train/val/test assignment: the id's hash key falls
+    * into one of the cumulative [0,1) intervals defined by `splits`
+    * (name → fraction, must sum to 1). Every row keeps its assignment
+    * across retries, re-runs, appends, and engines — the property that
+    * makes a split *auditable*: eval-set membership can be re-derived
+    * from the id alone, with no stored assignment table to drift.
+    *
+    * Adds a `split` column; no shuffle (a narrow projection — the
+    * assignment is a pure function of the id column). */
+  def hashSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0) &&
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must be non-negative and sum to 1: $splits")
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val key = hexKey(col(idCol))
+    // chain of `key < cumThreshold` checks in interval order; the last
+    // split is the unconditional fallback (covers the top bucket exactly)
+    val assigned = splits.zip(cum).dropRight(1)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), c), acc) =>
+          when(key < lit(rateThreshold(math.min(c, 1.0))), lit(name))
+            .otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
 }

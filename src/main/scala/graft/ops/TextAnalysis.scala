@@ -110,4 +110,40 @@ object TextAnalysis {
     when(size(sh) > 0, array_min(transform(sh, s => xxhash64(s))))
       .otherwise(xxhash64(textCol))
   }
+
+  /** Corpus-frequency document profile — the integer core of a CCNet-
+    * style unigram-LM quality signal. Two passes over the exploded
+    * tokens: (1) corpus vocabulary counts, (2) per-document aggregation
+    * of each token's corpus count. Returns per document:
+    * `n_tok` (tokens), `sum_cnt` (sum of corpus counts — high = the doc
+    * is made of common words), `n_rare` (tokens whose corpus count
+    * ≤ `rareMax` — high = OCR noise / gibberish / code).
+    *
+    * All-integer on purpose: a mean-log-prob float would be summation-
+    * order-dependent across engines; callers derive the float score with
+    * [[unigramLogProbScore]] from these exact integers.
+    *
+    * Scale shape: two shuffles, both on the token — the vocab count is a
+    * map-side-combined groupBy, and the count join is token-partitioned
+    * (never broadcast: a 100 TB corpus has a multi-GB vocabulary).
+    * Stopword-class hot tokens are exactly the map-side-combine case. */
+  def tokenRarity(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      rareMax: Long = 2): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    toks.join(counts, "tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        sum("cnt").as("sum_cnt"),
+        sum(when(col("cnt") <= rareMax, 1L).otherwise(0L)).as("n_rare"))
+  }
+
+  /** The float view over [[tokenRarity]]'s integers: ln of the doc's
+    * mean token corpus-frequency, normalized by corpus size N — a
+    * monotone proxy for unigram-LM mean log-likelihood. Derived from
+    * exact integers in one expression, so it is as deterministic as the
+    * division sequence (not oracle-gated; spec-gated). */
+  def unigramLogProbScore(sumCnt: Column, nTok: Column, corpusN: Column): Column =
+    round(log(sumCnt.cast("double") / nTok.cast("double") / corpusN.cast("double")), 6)
 }

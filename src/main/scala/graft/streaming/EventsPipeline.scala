@@ -122,6 +122,30 @@ object EventsPipeline {
       .start()
   }
 
+  /** [[streamDedupCounts]] with PLANTED re-delivery: two file-source legs
+    * over the same events file are unioned, so every event arrives twice
+    * — the at-least-once delivery a dedup stage exists for. The state
+    * store must collapse the pairs for the counts to equal the batch
+    * `COUNT(*)` (without the dedup every count doubles — the oracle
+    * discriminates). */
+  def streamDedupPlantedCounts(spark: SparkSession, dir: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def leg = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    leg.unionByName(leg)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Stream-static enrichment join: the event stream joins a static
     * dimension (customers) per micro-batch — the static side is re-read
     * each batch and broadcast when small, the streaming standard for

@@ -55,6 +55,50 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!comps.contains(4L) && !comps.contains(5L), "unique docs get no label")
   }
 
+  test("keepCanonical drops every clustered doc except the min id") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (11L, "b"),
+      (20L, "unique")).toDF("doc_id", "text")
+    // chain 1-2, 2-3 (labels must travel 2 hops); pair 10-11; 20 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val kept = Dedup.keepCanonical(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 20L))
+  }
+
+  test("paragraphDedup keeps only the globally-first occurrence of a repeated line") {
+    val docs = Seq(
+      (1L, "header\nbody one\nfooter"),
+      (2L, "header\nbody two\nfooter"),
+      (3L, "header\n\n  \nbody three")).toDF("doc_id", "text")
+    val kept = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .select("doc_id", "idx", "para").as[(Long, Long, String)].collect().toSet
+    assert(kept == Set(
+      (1L, 0L, "header"), (1L, 1L, "body one"), (1L, 2L, "footer"),
+      (2L, 1L, "body two"), (3L, 3L, "body three")),
+      s"blank segments dropped, header/footer survive only in doc 1: $kept")
+  }
+
+  test("tokenRarity: corpus counts joined back per doc; rare = count <= rareMax") {
+    val docs = Seq((1L, "the the cat"), (2L, "the dog")).toDF("doc_id", "text")
+    // corpus counts: the=3, cat=1, dog=1
+    val out = TextAnalysis.tokenRarity(docs, rareMax = 1)
+      .select("doc_id", "n_tok", "sum_cnt", "n_rare")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((3L, 7L, 1L)), s"doc 1: 3 toks, 3+3+1 cnt, cat rare: $out")
+    assert(out(2L) == ((2L, 4L, 1L)), s"doc 2: 2 toks, 3+1 cnt, dog rare: $out")
+    // the float view is a monotone transform of the exact integers
+    val scored = TextAnalysis.tokenRarity(docs, rareMax = 1)
+      .withColumn("score", TextAnalysis.unigramLogProbScore(
+        org.apache.spark.sql.functions.col("sum_cnt"),
+        org.apache.spark.sql.functions.col("n_tok"),
+        org.apache.spark.sql.functions.lit(5L)))
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    // doc1 mean corpus count 7/3 > doc2's 4/2 → doc1 scores higher
+    assert(scored(1L) > scored(2L),
+      s"doc of more-common tokens must score higher: $scored")
+  }
+
   test("simHash: identical texts identical, unrelated texts differ") {
     val sigs = corpus.select($"doc_id", Dedup.simHash($"text", 32).as("sig"))
       .as[(Long, Long)].collect().toMap

@@ -36,6 +36,33 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(out("xx") / 4000.0 - 0.8) < 0.03, s"xx rate off: ${out("xx")}")
   }
 
+  test("hashSplit partitions every row once, near the requested fractions") {
+    val df = spark.range(10000).toDF("id")
+    val out = Sampling.hashSplit(df, "id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    val sizes = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.sum == 10000L, "a partition: every row exactly once")
+    assert(math.abs(sizes("train") / 10000.0 - 0.8) < 0.02, s"train off: $sizes")
+    assert(math.abs(sizes("val") / 10000.0 - 0.1) < 0.01, s"val off: $sizes")
+    assert(math.abs(sizes("test") / 10000.0 - 0.1) < 0.01, s"test off: $sizes")
+    // deterministic: same assignment on re-run
+    val a = out.select("id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.hashSplit(df, "id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+    // train bucket == hashSample(0.8): the split nests with the sampler
+    val sampled = Sampling.hashSample(df, "id", 0.8).select("id").as[Long].collect().toSet
+    assert(a.filter(_._2 == "train").keySet == sampled)
+    // narrow — no shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hashSplit must not shuffle:\n$plan")
+    // invalid fractions rejected loudly
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, "id", Seq(("a", 0.5), ("b", 0.3)))
+    }
+  }
+
   test("the sampling predicate is narrow (no shuffle) and retry-stable") {
     val df = spark.range(100).toDF("id")
     val out = Sampling.hashSample(df, "id", 0.5)

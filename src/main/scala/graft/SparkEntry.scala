@@ -999,7 +999,46 @@ object SparkEntry {
     "q80_token_rarity" -> ((s, dir) =>
       TextAnalysis.tokenRarity(
         t(s, dir, "documents").select("doc_id", "text"),
-        idCol = "doc_id", textCol = "text", rareMax = 2))
+        idCol = "doc_id", textCol = "text", rareMax = 2)),
+
+    // Incremental admission: a "new crawl batch" (all docs) dedups
+    // against the standing corpus's digest set (every third doc) without
+    // re-reading corpus text — the arriving-batch half of exact dedup.
+    "q81_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val known = Dedup.digests(docs.filter(col("doc_id") % 3 === 0))
+      Dedup.exactAgainst(docs, known).select("doc_id")
+    }),
+
+    // Unicode normalization over planted composed/accented text: NFD,
+    // strip combining marks, lowercase, collapse whitespace. Both
+    // engines build the same planted suffix and must agree on the
+    // canonical form.
+    "q82_normalize_text" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit("  Café   déjà vu NAÏVE ÉCOLE ça  ")).as("text"))
+      planted.select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("norm_text"))
+    }),
+
+    // Dead-letter validation over planted corruption: null text every
+    // 13th doc, negative n_chars every 17th, unknown lang every 19th.
+    // Output = the quarantine side with sorted violation lists.
+    "q83_quarantine" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, lit(null: String))
+          .otherwise(col("text")).as("text"),
+        when(col("doc_id") % 17 === 0, -col("n_chars"))
+          .otherwise(col("n_chars")).as("n_chars"),
+        when(col("doc_id") % 19 === 0, lit("??"))
+          .otherwise(col("lang")).as("lang"))
+      graft.ops.Cleaning.quarantined(planted, Seq(
+        "text_missing" -> (col("text").isNotNull && length(col("text")) > 0),
+        "n_chars_negative" -> (col("n_chars") >= 0),
+        "lang_unknown" -> col("lang").isin("en", "de", "fr", "es", "zh")))
+        .select("doc_id", "violations")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -1864,6 +1903,41 @@ object SparkEntry {
         |counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1)
         |SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
         |  CAST(SUM(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
-        |FROM toks JOIN counts USING (tok) GROUP BY 1""".stripMargin
+        |FROM toks JOIN counts USING (tok) GROUP BY 1""".stripMargin,
+
+    "q81_incremental_dedup" ->
+      """WITH known AS (SELECT DISTINCT md5(text) AS digest FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |batch_kept AS (SELECT doc_id, text FROM (
+        |  SELECT doc_id, text,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        |  FROM documents) WHERE doc_id = keep_id)
+        |SELECT doc_id FROM batch_kept
+        |WHERE md5(text) NOT IN (SELECT digest FROM known)""".stripMargin,
+
+    "q82_normalize_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    lower(strip_accents(text || '  Café   déjà vu NAÏVE ÉCOLE ça  ')),
+        |    '\s+', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
+
+    "q83_quarantine" ->
+      """WITH planted AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END AS text,
+        |  CASE WHEN doc_id % 17 = 0 THEN -n_chars ELSE n_chars END AS n_chars,
+        |  CASE WHEN doc_id % 19 = 0 THEN '??' ELSE lang END AS lang
+        |  FROM documents),
+        |v AS (SELECT doc_id,
+        |  list_sort(list_filter([
+        |    CASE WHEN NOT coalesce(text IS NOT NULL AND len(text) > 0, FALSE)
+        |         THEN 'text_missing' END,
+        |    CASE WHEN NOT coalesce(n_chars >= 0, FALSE)
+        |         THEN 'n_chars_negative' END,
+        |    CASE WHEN NOT coalesce(lang IN ('en','de','fr','es','zh'), FALSE)
+        |         THEN 'lang_unknown' END],
+        |    x -> x IS NOT NULL)) AS violations
+        |  FROM planted)
+        |SELECT doc_id, violations FROM v WHERE len(violations) > 0""".stripMargin
   )
 }

@@ -65,4 +65,33 @@ object Cleaning {
       .filter(col("z") > threshold)
       .drop("__mu", "__sigma")
   }
+
+  /** Row-level validation: evaluates named rules and attaches the sorted
+    * list of failed rule names as `violations` (empty = clean). A rule
+    * that evaluates to NULL counts as failed — a null id IS invalid, and
+    * three-valued logic would otherwise wave it through.
+    *
+    * Narrow projection, no shuffle — validation is per-row by nature.
+    * Split the result with [[quarantined]] / [[admitted]] for the
+    * dead-letter pattern: bad rows route to a quarantine sink with their
+    * reasons instead of failing the job (at 100 TB there is ALWAYS a
+    * malformed row; a pipeline that dies on row one of quadrillions
+    * never finishes). */
+  def validate(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "validate needs at least one rule")
+    val flags = rules.map { case (name, rule) =>
+      when(!coalesce(rule, lit(false)), lit(name))
+    }
+    df.withColumn("violations",
+      sort_array(array_compact(array(flags: _*))))
+  }
+
+  /** The dead-letter side of [[validate]]: rows failing ≥ 1 rule. */
+  def quarantined(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
+    validate(df, rules).filter(size(col("violations")) > 0)
+
+  /** The clean side of [[validate]]: rows passing every rule. */
+  def admitted(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
+    validate(df, rules).filter(size(col("violations")) === 0)
+      .drop("violations")
 }

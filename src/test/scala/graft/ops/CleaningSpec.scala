@@ -47,4 +47,31 @@ class CleaningSpec extends AnyFunSuite with SparkTestBase {
     assert(out.head.getAs[Double]("v") == 500.0)
     assert(out.head.getAs[Double]("z") > 3.0)
   }
+
+  test("validate routes bad rows to quarantine with reasons; null rule = failed") {
+    val df = Seq(
+      (1L, "ok text", 10L),
+      (2L, null.asInstanceOf[String], 5L),   // null rule result must quarantine
+      (3L, "x", -1L),                         // one violation
+      (4L, "", -2L)                           // two violations, sorted
+    ).toDF("id", "text", "n")
+    val rules = Seq(
+      "text_missing" -> (col("text").isNotNull && length(col("text")) > 0),
+      "n_negative" -> (col("n") >= 0))
+    val bad = Cleaning.quarantined(df, rules)
+      .select("id", "violations").as[(Long, Seq[String])].collect().toMap
+    assert(bad == Map(
+      2L -> Seq("text_missing"),
+      3L -> Seq("n_negative"),
+      4L -> Seq("n_negative", "text_missing")))
+    val good = Cleaning.admitted(df, rules).select("id").as[Long].collect().toSeq
+    assert(good == Seq(1L))
+    assert(!Cleaning.admitted(df, rules).columns.contains("violations"))
+    // quarantined + admitted partition the input
+    assert(bad.size + good.size == 4)
+    // validation is narrow: no exchange in the plan
+    val plan = Cleaning.validate(df, rules).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"validate must not shuffle:\n$plan")
+    intercept[IllegalArgumentException] { Cleaning.validate(df, Seq.empty) }
+  }
 }

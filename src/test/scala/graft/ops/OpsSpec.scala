@@ -55,6 +55,30 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!comps.contains(4L) && !comps.contains(5L), "unique docs get no label")
   }
 
+  test("exactAgainst admits only batch rows new to both batch and corpus") {
+    val corpus = Seq((100L, "known doc"), (101L, "other known")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "brand new"),
+      (2L, "brand new"),     // within-batch dup: min id 1 wins
+      (3L, "known doc"),     // already in corpus: rejected
+      (4L, "also new")).toDF("doc_id", "text")
+    val admitted = Dedup.exactAgainst(batch, Dedup.digests(corpus))
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 4L))
+  }
+
+  test("normalizeText canonicalizes composed and decomposed forms identically") {
+    val composed = "Café ÉCOLE"            // é as U+00E9
+    val decomposed = "Café ÉCOLE"        // e + U+0301
+    val out = Seq((1L, composed), (2L, decomposed), (3L, "  a \t b\n c  "))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.normalizeText(col("text")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "cafe ecole")
+    assert(out(2L) == "cafe ecole", "decomposed form must canonicalize the same")
+    assert(out(3L) == "a b c", "whitespace runs collapse, ends trim")
+  }
+
   test("keepCanonical drops every clustered doc except the min id") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (11L, "b"),
       (20L, "unique")).toDF("doc_id", "text")

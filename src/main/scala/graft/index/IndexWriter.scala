@@ -46,16 +46,28 @@ object IndexWriter {
           .filter(col("__rn") === 1).drop("__rn", "__gen")
       case None => points.dropDuplicates("id")
     }
+    stageAndSwap(fs, path)(staged =>
+      unioned.write.mode(SaveMode.Overwrite).parquet(staged))
+    spark.read.parquet(path).count()
+  }
+
+  /** Write a new generation to `<path>__staged` via `write`, then swap
+    * it in: retire the current generation aside, rename the staged one
+    * into place, delete the retired one. No crash window leaves `path`
+    * empty; a crash between the two renames leaves the old generation
+    * recoverable at `<path>__old`. */
+  private def stageAndSwap(fs: org.apache.hadoop.fs.FileSystem, path: String)(
+      write: String => Unit): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
     val staged = new org.apache.hadoop.fs.Path(path + "__staged")
     val retired = new org.apache.hadoop.fs.Path(path + "__old")
-    unioned.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    write(staged.toString)
     fs.delete(retired, true) // leftover from a previous crashed swap
     if (fs.exists(p) && !fs.rename(p, retired))
-      sys.error(s"upsert: could not retire current index generation at $path")
+      sys.error(s"stageAndSwap: could not retire current generation at $path")
     if (!fs.rename(staged, p))
-      sys.error(s"upsert: could not activate staged index at $staged")
+      sys.error(s"stageAndSwap: could not activate staged generation at $staged")
     fs.delete(retired, true)
-    spark.read.parquet(path).count()
   }
 
   /** Partition-pruned upsert: the index lives partitioned by a stable
@@ -126,4 +138,77 @@ object IndexWriter {
   def duplicateAudit(index: DataFrame): DataFrame =
     index.groupBy("id").count().filter(col("count") > 1)
       .orderBy(col("count").desc, col("id"))
+
+  final case class CompactionReport(filesBefore: Long, filesAfter: Long,
+      bytesTotal: Long)
+
+  /** Small-file compaction — the maintenance op every micro-batch ingest
+    * eventually needs: frequent small upserts fragment the table into
+    * files far below parquet's happy size, and scan cost degrades with
+    * footer/open overhead long before data volume says it should.
+    *
+    * Plain layout: rows rewrite into `ceil(bytes / targetFileBytes)`
+    * files through the same crash-safe staged swap as [[upsert]].
+    * Bucket-partitioned layout (from [[upsertPartitioned]]): each
+    * `bucket=` directory compacts toward its own file budget — rows
+    * salt within their bucket, so the shuffle is bucket-local and a
+    * dynamic-partition-overwrite write replaces every bucket's files
+    * in place (re-runnable; a crash leaves some buckets compacted and
+    * the rest untouched, all readable). File counts are a target, not
+    * a contract: task/salt collisions can merge a bucket's files
+    * further, never split them more. Content is byte-for-byte the same
+    * rows either way. */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): CompactionReport = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val fs = fsFor(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    def partFiles(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(dir, true)
+      val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.startsWith("part-")) buf += s
+      }
+      buf.toSeq
+    }
+    val before = partFiles(root)
+    val bytes = before.map(_.getLen).sum
+    val bucketDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    if (bucketDirs.nonEmpty) {
+      // per-bucket file budgets from the on-disk listing (tiny: one entry
+      // per partition directory), folded into one salt expression
+      val budgets = bucketDirs.toSeq.map { d =>
+        val b = d.getPath.getName.stripPrefix("bucket=").toLong
+        val sz = partFiles(d.getPath).map(_.getLen).sum
+        b -> math.max(1L, math.ceil(sz.toDouble / targetFileBytes).toLong)
+      }
+      val nFilesOf = budgets.foldLeft(lit(1L): org.apache.spark.sql.Column) {
+        case (acc, (b, n)) => when(col("bucket") === b, lit(n)).otherwise(acc)
+      }
+      // localCheckpoint materializes the compacted distribution BEFORE
+      // the write: Spark (rightly) refuses to overwrite a path it is
+      // still reading from. On a real cluster prefer reliable
+      // checkpoint, as in Dedup.connectedComponents.
+      val compacted = spark.read.parquet(path)
+        .withColumn("__salt", pmod(xxhash64(col("id")), nFilesOf))
+        .repartition(col("bucket"), col("__salt"))
+        .drop("__salt")
+        .localCheckpoint()
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try compacted.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    } else {
+      val n = math.max(1L, math.ceil(bytes.toDouble / targetFileBytes).toLong).toInt
+      val df = spark.read.parquet(path).repartition(n)
+      stageAndSwap(fs, path)(staged =>
+        df.write.mode(SaveMode.Overwrite).parquet(staged))
+    }
+    CompactionReport(before.size.toLong, partFiles(root).size.toLong, bytes)
+  }
 }

@@ -54,6 +54,74 @@ object Multimodal {
     }
   }
 
+  /** REAL header parser for the common container formats — pure JVM, no
+    * codec libraries: PNG IHDR (big-endian dims), JPEG SOF segment walk,
+    * GIF logical-screen descriptor (little-endian dims), WAV RIFF chunk
+    * walk (fmt + data → duration). Pixel/sample DECODE stays behind
+    * [[StubDecoder]] (codecs aren't in this container); metadata
+    * extraction is not codec work, so it is done for real here.
+    * Unknown/truncated inputs return ok = false rather than throwing —
+    * at corpus scale malformed media is data, not an error. */
+  final class HeaderDecoder extends MediaDecoder {
+    private def beU32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def leU32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    private def beU16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def leU16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+    def decode(bytes: Array[Byte]): MediaMeta = {
+      if (bytes == null || bytes.isEmpty) return MediaMeta(0, null, 0, 0, 0, ok = false)
+      val n = bytes.length.toLong
+      try {
+        if (bytes.length >= 24 && bytes(0) == 0x89.toByte && bytes(1) == 'P' &&
+            bytes(2) == 'N' && bytes(3) == 'G') {
+          // signature(8) + IHDR length(4) + "IHDR"(4) → width@16, height@20
+          MediaMeta(n, "png", beU32(bytes, 16).toInt, beU32(bytes, 20).toInt, 0, ok = true)
+        } else if (bytes.length >= 4 && bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte) {
+          // JPEG: walk FF-marker segments to the first SOFn (C0-CF minus
+          // C4/C8/CC); height@+5, width@+7 inside the segment
+          var i = 2
+          while (i + 9 <= bytes.length) {
+            if (bytes(i) != 0xff.toByte) return MediaMeta(n, "jpeg", 0, 0, 0, ok = false)
+            val marker = bytes(i + 1) & 0xff
+            if (marker >= 0xc0 && marker <= 0xcf &&
+                marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+              return MediaMeta(n, "jpeg", beU16(bytes, i + 7), beU16(bytes, i + 5), 0, ok = true)
+            }
+            i += 2 + beU16(bytes, i + 2) // skip marker(2) + segment length
+          }
+          MediaMeta(n, "jpeg", 0, 0, 0, ok = false)
+        } else if (bytes.length >= 10 && bytes(0) == 'G' && bytes(1) == 'I' &&
+            bytes(2) == 'F' && bytes(3) == '8') {
+          MediaMeta(n, "gif", leU16(bytes, 6), leU16(bytes, 8), 0, ok = true)
+        } else if (bytes.length >= 44 && bytes(0) == 'R' && bytes(1) == 'I' &&
+            bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
+            bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') {
+          // RIFF chunk walk: find fmt (byteRate@+8) and data (size)
+          var i = 12; var byteRate = 0L; var dataLen = -1L
+          while (i + 8 <= bytes.length && (byteRate == 0L || dataLen < 0L)) {
+            val id = new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+            val sz = leU32(bytes, i + 4)
+            if (id == "fmt " && i + 16 + 4 <= bytes.length) byteRate = leU32(bytes, i + 16)
+            if (id == "data") dataLen = sz
+            i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+          }
+          if (byteRate > 0 && dataLen >= 0)
+            MediaMeta(n, "wav", 0, 0, dataLen * 1000L / byteRate, ok = true)
+          else MediaMeta(n, "wav", 0, 0, 0, ok = false)
+        } else MediaMeta(n, "bin", 0, 0, 0, ok = false)
+      } catch {
+        case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException =>
+          MediaMeta(n, null, 0, 0, 0, ok = false)
+      }
+    }
+  }
+
   /** Attach decoded metadata to a binary column via `mapPartitions` —
     * one decoder instance per partition, rows streamed (never
     * materialize a partition of media bytes in memory). */

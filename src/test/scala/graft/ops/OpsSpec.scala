@@ -244,6 +244,47 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
 class MultimodalSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
+  test("HeaderDecoder parses real PNG/JPEG/GIF/WAV headers, rejects junk") {
+    val dec = new Multimodal.HeaderDecoder
+    // PNG 640x480: signature + IHDR length + tag + BE dims
+    val png = java.nio.ByteBuffer.allocate(24)
+      .put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      .putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(640).putInt(480).array()
+    assert(dec.decode(png) == Multimodal.MediaMeta(24, "png", 640, 480, 0, ok = true))
+    // JPEG: SOI + APP0(len 16) + SOF0(precision 8, 480x640)
+    val jpeg = java.nio.ByteBuffer.allocate(29)
+      .put(Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x10).map(_.toByte))
+      .put(new Array[Byte](14)) // APP0 payload filler
+      .put(Array(0xff, 0xc0, 0x00, 0x11, 0x08, 0x01, 0xe0, 0x02, 0x80).map(_.toByte))
+      .array()
+    assert(dec.decode(jpeg) == Multimodal.MediaMeta(29, "jpeg", 640, 480, 0, ok = true))
+    // GIF 320x200: LE dims after "GIF89a"
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array(0x40, 0x01, 0xc8, 0x00).map(_.toByte)
+    assert(dec.decode(gif) == Multimodal.MediaMeta(10, "gif", 320, 200, 0, ok = true))
+    // WAV: RIFF/WAVE + fmt(byteRate 16000) + data(32000 bytes) = 2000 ms
+    val wav = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(36)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(32000)
+      .array()
+    assert(dec.decode(wav) == Multimodal.MediaMeta(44, "wav", 0, 0, 2000, ok = true))
+    // junk and truncation: honest ok = false, never a throw
+    assert(!dec.decode("not media at all".getBytes).ok)
+    assert(!dec.decode(Array[Byte](0xff.toByte, 0xd8.toByte, 0x00, 0x01)).ok)
+    assert(!dec.decode(Array.empty[Byte]).ok)
+    assert(!dec.decode(null).ok)
+    // the same decoder runs distributed through the mapPartitions plumbing
+    val df = Seq((1L, png), (2L, wav), (3L, "junk".getBytes)).toDF("id", "content")
+    val out = Multimodal.withMediaMeta(df, decoder = dec)
+      .select("id", "media.format", "media.width", "media.durationMs", "media.ok")
+      .as[(Long, String, Int, Long, Boolean)].collect().toSet
+    assert(out == Set((1L, "png", 640, 0L, true), (2L, "wav", 0, 2000L, true),
+      (3L, "bin", 0, 0L, false)))
+  }
+
   test("stub decoder sniffs magic bytes; schema plumbing is real") {
     val png = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 1, 2, 3, 4).map(_.toByte)
     val jpg = Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 5, 6).map(_.toByte)

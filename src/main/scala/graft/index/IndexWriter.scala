@@ -139,6 +139,29 @@ object IndexWriter {
     index.groupBy("id").count().filter(col("count") > 1)
       .orderBy(col("count").desc, col("id"))
 
+  /** ST3 at the index: stream → `foreachBatch` → [[upsertPartitioned]].
+    * Each micro-batch MERGES into the bucketed index keyed on `id`, so
+    * the source's at-least-once delivery (file re-listing after a crash,
+    * replayed batches) becomes exactly-once-by-id in the table — the
+    * same idempotence the reference gets from deterministic point ids +
+    * store-side upsert, expressed as Structured Streaming + the
+    * partition-pruned merge (only touched buckets rewrite per batch).
+    *
+    * `transform` shapes each raw batch into index points (must emit an
+    * `id` column); pass identity when the source already has one. */
+  def streamUpsert(spark: SparkSession, source: DataFrame, indexPath: String,
+      checkpoint: String, buckets: Int = 64,
+      transform: DataFrame => DataFrame = identity)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val points = transform(batch.toDF())
+        if (!points.isEmpty) { upsertPartitioned(spark, points, indexPath, buckets); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   final case class CompactionReport(filesBefore: Long, filesAfter: Long,
       bytesTotal: Long)
 

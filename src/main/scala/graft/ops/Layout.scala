@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout optimization: Z-order (Morton-curve) clustering.
+  *
+  * A table sorted on one column prunes beautifully on that column and
+  * not at all on any other. Interleaving the bits of two columns into a
+  * Z-value and range-partitioning + sorting on it makes every output
+  * file cover a small RECTANGLE of the (a, b) space instead of a thin
+  * full-height stripe — so parquet min/max statistics prune row groups
+  * for predicates on EITHER column (the Delta/Iceberg `ZORDER BY`
+  * capability, expressed with plain Spark + parquet).
+  *
+  * Write-time op: the interleave UDF prices into the one-off layout
+  * job, never into reads. Values must be non-negative; callers bucket
+  * or offset signed/continuous domains first (document the mapping —
+  * determinism is what makes the layout reproducible).
+  */
+object Layout {
+
+  /** Bit-interleave two non-negative longs (low `bits` of each):
+    * a's bit i lands at 2i, b's at 2i+1. 21 bits each stays within a
+    * positive Long (42 result bits). */
+  private[ops] def interleaveBits(a: Long, b: Long, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((a >> i) & 1L) << (2 * i)
+      z |= ((b >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  private def zUdf(bits: Int) = udf { (a: Long, b: Long) =>
+    require(a >= 0 && b >= 0, s"zValue needs non-negative inputs, got ($a, $b)")
+    interleaveBits(a, b, bits)
+  }
+
+  /** The Morton code of two non-negative integral columns. */
+  def zValue(a: Column, b: Column, bits: Int = 21): Column = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits outside [1, 31]")
+    zUdf(bits)(a.cast("long"), b.cast("long"))
+  }
+
+  /** Z-order-clustered parquet write: range-partition on the Morton
+    * code into `files` output files, sort within each, drop the helper
+    * column. Every file then spans a bounded rectangle of (a, b) —
+    * min/max stats prune on both dimensions. `repartitionByRange`
+    * samples the z distribution, so skewed domains still split evenly. */
+  def zorderWrite(df: DataFrame, colA: String, colB: String, path: String,
+      files: Int, bits: Int = 21): Unit = {
+    require(files >= 1, "files must be positive")
+    df.withColumn("__z", zValue(col(colA), col(colB), bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class LayoutSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("interleaveBits: known Morton codes") {
+    assert(Layout.interleaveBits(0L, 0L, 21) == 0L)
+    assert(Layout.interleaveBits(1L, 0L, 21) == 1L)   // a bit 0 → z bit 0
+    assert(Layout.interleaveBits(0L, 1L, 21) == 2L)   // b bit 0 → z bit 1
+    assert(Layout.interleaveBits(3L, 3L, 21) == 15L)  // 11 ⋈ 11 = 1111
+    assert(Layout.interleaveBits(5L, 0L, 21) == 17L)  // 101 spread to 10001
+  }
+
+  test("zorderWrite: every file spans a bounded rectangle in BOTH dims") {
+    val path = Files.createTempDirectory("graft_zorder").toString + "/t"
+    // 100×100 grid: a linear sort on x would give each file the FULL y
+    // range; z-order must bound both spans
+    val grid = spark.range(10000)
+      .select((col("id") % 100).as("x"),
+        floor(col("id") / 100).cast("long").as("y"))
+    Layout.zorderWrite(grid, "x", "y", path, files = 16, bits = 8)
+
+    val spans = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(spans.map(_.getAs[Long]("n")).sum == 10000L, "no rows lost")
+    assert(spans.length > 8, s"range partitioner must actually split: ${spans.length}")
+    val xAvg = spans.map(_.getAs[Long]("xs")).sum.toDouble / spans.length
+    val yAvg = spans.map(_.getAs[Long]("ys")).sum.toDouble / spans.length
+    assert(xAvg < 60.0, s"x span per file must be a fraction of the domain: $xAvg")
+    assert(yAvg < 60.0, s"y span per file must be a fraction of the domain: $yAvg")
+    // contrast: the same data sorted only by x leaves y unpruned everywhere
+    val linPath = Files.createTempDirectory("graft_linear").toString + "/t"
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(linPath)
+    val yLin = spark.read.parquet(linPath)
+      .groupBy(input_file_name()).agg((max("y") - min("y")).as("ys"))
+      .collect().map(_.getAs[Long]("ys"))
+    assert(yLin.forall(_ == 99L), "linear layout: every file spans all of y")
+  }
+
+  test("zValue rejects negative input loudly") {
+    val ex = intercept[Exception] {
+      Seq((-1L, 2L)).toDF("a", "b")
+        .select(Layout.zValue(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+}

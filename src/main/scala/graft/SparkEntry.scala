@@ -1038,7 +1038,21 @@ object SparkEntry {
         "n_chars_negative" -> (col("n_chars") >= 0),
         "lang_unknown" -> col("lang").isin("en", "de", "fr", "es", "zh")))
         .select("doc_id", "violations")
-    })
+    }),
+
+    // Global row numbering without the single-partition window funnel:
+    // range-partition + per-partition offsets + within-partition ranks.
+    // Must equal the naive ROW_NUMBER() OVER (ORDER BY doc_id) exactly.
+    "q84_global_rownum" -> ((s, dir) =>
+      graft.ops.Layout.globalRowNumber(
+        t(s, dir, "documents").select("doc_id", "lang"), "doc_id")),
+
+    // Deterministic contrastive negatives: 3 hash-drawn other docs per
+    // row; the oracle re-derives index assignment, the md5 draw, and the
+    // self-collision shift.
+    "q85_negative_sample" -> ((s, dir) =>
+      graft.ops.Sampling.negativeSample(
+        t(s, dir, "documents").select("doc_id"), idCol = "doc_id", k = 3))
   )
 
   // ---------------------------------------------------------------------
@@ -1938,6 +1952,25 @@ object SparkEntry {
         |         THEN 'lang_unknown' END],
         |    x -> x IS NOT NULL)) AS violations
         |  FROM planted)
-        |SELECT doc_id, violations FROM v WHERE len(violations) > 0""".stripMargin
+        |SELECT doc_id, violations FROM v WHERE len(violations) > 0""".stripMargin,
+
+    "q84_global_rownum" ->
+      """SELECT doc_id, lang, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+        |FROM documents""".stripMargin,
+
+    "q85_negative_sample" ->
+      """WITH idx AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS i,
+        |    COUNT(*) OVER () AS n
+        |  FROM documents),
+        |drawn AS (SELECT doc_id, i, n, unnest(range(3)) AS j FROM idx),
+        |h AS (SELECT doc_id, j, i, n,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_' ||
+        |                            CAST(j AS VARCHAR)), 1, 8) AS BIGINT) % n AS raw
+        |  FROM drawn),
+        |nn AS (SELECT doc_id, j,
+        |    CASE WHEN raw = i THEN (raw + 1) % n ELSE raw END AS nidx FROM h)
+        |SELECT nn.doc_id, nn.j, idx.doc_id AS neg_id
+        |FROM nn JOIN idx ON idx.i = nn.nidx""".stripMargin
   )
 }

@@ -59,4 +59,40 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Global row numbering WITHOUT the single-partition funnel: the naive
+    * `row_number() OVER (ORDER BY …)` plans one window over one
+    * partition — the whole table through one task. Here: range-partition
+    * on the (unique) order key, count rows per partition (a `p`-row
+    * aggregate), broadcast the cumulative offsets back, and number
+    * within each partition — `rn = offset(partition) + intra_rank`.
+    * Equals the naive window's output exactly; every stage is
+    * distributed and the only driver state is one long per partition.
+    *
+    * The ranged frame is localCheckpoint-pinned: `repartitionByRange`
+    * samples boundaries per execution, so the counts pass and the
+    * numbering pass MUST see the same physical partitioning — without
+    * the pin they could each sample differently and skew every offset.
+    * `orderCol` must be unique (ties could straddle a range boundary and
+    * make the numbering run-dependent). */
+  def globalRowNumber(df: DataFrame, orderCol: String,
+      partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+            else spark.sparkContext.defaultParallelism
+    val staged = df.repartitionByRange(p, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = staged.groupBy("__pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) => val o = (pid, acc); acc += n; o }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
+    staged
+      .join(broadcast(offDf), "__pid")
+      .withColumn("rn", col("__off") +
+        row_number().over(Window.partitionBy("__pid").orderBy(orderCol)))
+      .drop("__pid", "__off")
+  }
 }

@@ -82,6 +82,39 @@ object Sampling {
     df.filter(hexKey(col(idCol)) < threshold)
   }
 
+  /** Deterministic negative sampling for contrastive training: `k`
+    * pseudo-random OTHER documents per row, drawn by hashing (id, j) —
+    * a pure function of the input, so every retry, re-run, and auditing
+    * engine draws the same negatives (`rand()`-based sampling draws new
+    * ones per task retry — the SPARK-23207 class of bug, fatal for a
+    * reproducible training set).
+    *
+    * Mechanics: [[Layout.globalRowNumber]] gives each row a dense 0-based
+    * index; negative j of a row is the row at index
+    * `md5(id "_" j) mod n`, shifted by one when it lands on itself.
+    * Scale shape: the candidate side is (index, id) — two narrow columns
+    * — joined on the drawn index; AQE broadcasts it while it fits and
+    * shuffles both sides on the index beyond that. Output:
+    * (id, j, neg_id). */
+  def negativeSample(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val indexed = Layout.globalRowNumber(df.select(idCol), idCol)
+      .withColumn("__idx", col("rn") - 1).drop("rn")
+    val n = indexed.count()
+    require(n >= 2, s"need at least 2 rows to draw negatives, got $n")
+    val cand = indexed.select(col("__idx").as("__nidx"), col(idCol).as("neg_id"))
+    val drawn = indexed
+      .withColumn("j", explode(array((0 until k).map(j => lit(j.toLong)): _*)))
+      .withColumn("__raw",
+        conv(substring(md5(concat(col(idCol).cast("string"), lit("_"),
+          col("j").cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % n)
+      .withColumn("__nidx",
+        when(col("__raw") === col("__idx"), (col("__raw") + 1) % n)
+          .otherwise(col("__raw")))
+    drawn.join(cand, "__nidx").select(col(idCol), col("j"), col("neg_id"))
+  }
+
   /** Deterministic train/val/test assignment: the id's hash key falls
     * into one of the cumulative [0,1) intervals defined by `splits`
     * (name → fraction, must sum to 1). Every row keeps its assignment

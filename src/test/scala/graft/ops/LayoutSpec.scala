@@ -48,6 +48,23 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(yLin.forall(_ == 99L), "linear layout: every file spans all of y")
   }
 
+  test("globalRowNumber equals the naive global window, without its plan") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(5000).select((col("id") * 7 % 5000).as("k"))
+      .distinct() // unique, scrambled order key
+    val got = Layout.globalRowNumber(df, "k", partitions = 8)
+    val naive = df.withColumn("rn", row_number().over(Window.orderBy("k")))
+    assert(got.select("k", "rn").except(naive.select("k", "rn")).isEmpty &&
+      naive.select("k", "rn").except(got.select("k", "rn")).isEmpty,
+      "must equal ROW_NUMBER() OVER (ORDER BY k) exactly")
+    // the point of the op: no stage funnels the table through ONE partition
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global numbering must stay distributed:\n${plan.take(600)}")
+    assert(naive.queryExecution.executedPlan.toString.contains("Exchange SinglePartition"),
+      "sanity: the naive window DOES funnel (else this test proves nothing)")
+  }
+
   test("zValue rejects negative input loudly") {
     val ex = intercept[Exception] {
       Seq((-1L, 2L)).toDF("a", "b")

@@ -63,6 +63,22 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("negativeSample: k others per row, never self, deterministic") {
+    val df = spark.range(200).toDF("id")
+    val negs = Sampling.negativeSample(df, "id", k = 3)
+      .select("id", "j", "neg_id").as[(Long, Long, Long)].collect()
+    assert(negs.length == 600, "3 negatives per row")
+    assert(negs.forall { case (id, _, neg) => id != neg }, "a row is never its own negative")
+    assert(negs.groupBy(_._1).forall(_._2.map(_._2).toSet == Set(0L, 1L, 2L)))
+    val again = Sampling.negativeSample(df, "id", k = 3)
+      .select("id", "j", "neg_id").as[(Long, Long, Long)].collect()
+    assert(negs.sorted.toSeq == again.sorted.toSeq, "same draw on every run")
+    // the draw spreads: no single negative dominates
+    val histo = negs.groupBy(_._3).view.mapValues(_.size)
+    assert(histo.values.max < 30, s"hash draw must spread: max=${histo.values.max}")
+    intercept[IllegalArgumentException] { Sampling.negativeSample(df, "id", 0) }
+  }
+
   test("the sampling predicate is narrow (no shuffle) and retry-stable") {
     val df = spark.range(100).toDF("id")
     val out = Sampling.hashSample(df, "id", 0.5)

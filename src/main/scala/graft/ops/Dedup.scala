@@ -138,7 +138,7 @@ object Dedup {
         false
       }
       (0 until numHashes).map { seed =>
-        val prefix = (seed + "_").getBytes(utf8)
+        val prefix = s"${seed}_".getBytes(utf8)
         var min: Array[Byte] = null
         var i = 0
         while (i < shingleBytes.length) {

@@ -194,7 +194,7 @@ private[plans] final class TopKPartition(
   }
 
   /** Stream a run back as (key, row) pairs (key re-projected per row). */
-  private def readRun(file: File): BufferedIterator[(UnsafeRow, UnsafeRow)] = {
+  private def readRun(file: File): scala.collection.BufferedIterator[(UnsafeRow, UnsafeRow)] = {
     val in = new DataInputStream(new BufferedInputStream(new FileInputStream(file)))
     val nFields = childOutput.length
     val runKeyProj = UnsafeProjection.create(keys, childOutput)
@@ -219,7 +219,7 @@ private[plans] final class TopKPartition(
 
   /** Merge key-sorted runs: per key, gather ≤ runs×k candidates and
     * re-heap to the global best k. Memory: O(runs × k). */
-  private def merge(runs: Seq[BufferedIterator[(UnsafeRow, UnsafeRow)]]): Iterator[InternalRow] =
+  private def merge(runs: Seq[scala.collection.BufferedIterator[(UnsafeRow, UnsafeRow)]]): Iterator[InternalRow] =
     new Iterator[InternalRow] {
       private var chunk: Iterator[InternalRow] = Iterator.empty
       def hasNext: Boolean = chunk.hasNext || runs.exists(_.hasNext)

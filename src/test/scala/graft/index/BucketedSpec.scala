@@ -20,6 +20,19 @@ class BucketedSpec extends AnyFunSuite with SparkTestBase {
     spark.sql("DROP TABLE bucketed_idx_test")
   }
 
+  test("percentile_approx (sketch) lands within 1% of exact quantiles") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select($"l_extendedprice".cast("double").as("v"))
+    val row = li.agg(
+      expr("percentile_approx(v, array(0.25, 0.5, 0.95), 10000)").as("approx"),
+      expr("percentile(v, array(0.25, 0.5, 0.95))").as("exact")).head()
+    val approx = row.getSeq[Double](0)
+    val exact = row.getSeq[Double](1)
+    approx.zip(exact).foreach { case (a, e) =>
+      assert(math.abs(a - e) / e < 0.01, s"approx=$a exact=$e")
+    }
+  }
+
   test("approx_count_distinct (HLL) lands within 5% of exact on lineitem keys") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val Row = li.agg(

@@ -65,6 +65,25 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
       "sanity: the naive window DOES funnel (else this test proves nothing)")
   }
 
+  test("property: interleaveBits is a bijection (deinterleave recovers both inputs)") {
+    def extract(z: Long, phase: Int, bits: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < bits) { v |= ((z >> (2 * i + phase)) & 1L) << i; i += 1 }
+      v
+    }
+    val rnd = new scala.util.Random(42)
+    val mask = (1L << 21) - 1
+    (1 to 500).foreach { _ =>
+      val a = rnd.nextLong() & mask
+      val b = rnd.nextLong() & mask
+      val z = Layout.interleaveBits(a, b, 21)
+      assert(extract(z, 0, 21) == a, s"a not recoverable from z for ($a, $b)")
+      assert(extract(z, 1, 21) == b, s"b not recoverable from z for ($a, $b)")
+      assert(z >= 0, "42 interleaved bits stay positive")
+    }
+  }
+
   test("zValue rejects negative input loudly") {
     val ex = intercept[Exception] {
       Seq((-1L, 2L)).toDF("a", "b")

@@ -1052,7 +1052,32 @@ object SparkEntry {
     // self-collision shift.
     "q85_negative_sample" -> ((s, dir) =>
       graft.ops.Sampling.negativeSample(
-        t(s, dir, "documents").select("doc_id"), idCol = "doc_id", k = 3))
+        t(s, dir, "documents").select("doc_id"), idCol = "doc_id", k = 3)),
+
+    // Corpus → training-shard encoding: frequency-ranked vocab (top 500,
+    // count desc / token asc), documents tokenized to dense id arrays in
+    // exact position order, OOV = -1. Both vocab construction and the
+    // ordered array are re-derived in DuckDB.
+    "q86_tokenize_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val vocab = TextAnalysis.buildVocab(docs, "text", size = 500)
+      TextAnalysis.tokenizeIds(docs, vocab)
+    }),
+
+    // Interval-RANGE trailing window: per-user 1-hour trailing event
+    // value sum at each event (the time-decayed-feature shape). RANGE
+    // frame on exact micros, inclusive both ends in both engines; value
+    // sums in integer cents so accumulation order cannot ulp-drift.
+    "q87_trailing_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("value_cents", cents(col("value")))
+        .withColumn("trail_cents", sum("value_cents").over(w))
+        .select(col("event_id"), col("user_id"), col("trail_cents"))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -1971,6 +1996,25 @@ object SparkEntry {
         |nn AS (SELECT doc_id, j,
         |    CASE WHEN raw = i THEN (raw + 1) % n ELSE raw END AS nidx FROM h)
         |SELECT nn.doc_id, nn.j, idx.doc_id AS neg_id
-        |FROM nn JOIN idx ON idx.i = nn.nidx""".stripMargin
+        |FROM nn JOIN idx ON idx.i = nn.nidx""".stripMargin,
+
+    "q86_tokenize_ids" ->
+      """WITH toks AS (SELECT doc_id, idx, parts[idx+1] AS tok FROM (
+        |    SELECT doc_id, parts, unnest(range(len(parts))) AS idx FROM (
+        |      SELECT doc_id, string_split(text, ' ') AS parts FROM documents))),
+        |vocab AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) - 1 AS tok_id
+        |  FROM (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1)
+        |  ORDER BY cnt DESC, tok ASC LIMIT 500)
+        |SELECT doc_id, list(COALESCE(tok_id, -1) ORDER BY idx) AS ids
+        |FROM toks LEFT JOIN vocab USING (tok)
+        |GROUP BY doc_id""".stripMargin,
+
+    "q87_trailing_window" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS trail_cents
+        |FROM events""".stripMargin
   )
 }

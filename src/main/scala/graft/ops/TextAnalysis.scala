@@ -166,6 +166,43 @@ object TextAnalysis {
 
   def normalizeText(textCol: Column): Column = normalizeTextUdf(textCol)
 
+  /** Frequency-ranked vocabulary: the `size` most frequent tokens, dense
+    * 0-based ids, deterministic order (count desc, token asc). The
+    * count aggregation is fully distributed; the rank window runs over
+    * AT MOST `size` rows (TakeOrdered prunes first), so the one
+    * single-partition stage is bounded by the vocab budget, never the
+    * corpus. */
+  def buildVocab(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      size: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(size >= 1, "vocab size must be positive")
+    val counts = docs.select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("tok")).limit(size)
+    counts.withColumn("tok_id",
+      row_number().over(Window.orderBy(desc("cnt"), asc("tok"))) - 1)
+      .select("tok", "tok_id")
+  }
+
+  /** Tokenize documents to id arrays against a (tok, tok_id) vocabulary
+    * — the corpus → training-shard encoding step. Out-of-vocabulary
+    * tokens map to `oovId`. Position order is preserved exactly
+    * (sorted struct collect, not collect_list order luck — THAT depends
+    * on shuffle arrival). Scale shape: one explode + one token-keyed
+    * join (vocab broadcasts while it fits) + one groupBy id. */
+  def tokenizeIds(docs: org.apache.spark.sql.DataFrame,
+      vocab: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", oovId: Long = -1L): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("idx", "tok")))
+    toks.join(vocab, Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(transform(
+        sort_array(collect_list(struct(col("idx"),
+          coalesce(col("tok_id").cast("long"), lit(oovId)).as("tid")))),
+        x => x.getField("tid")).as("ids"))
+  }
+
   /** The float view over [[tokenRarity]]'s integers: ln of the doc's
     * mean token corpus-frequency, normalized by corpus size N — a
     * monotone proxy for unigram-LM mean log-likelihood. Derived from

@@ -79,6 +79,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L) == "a b c", "whitespace runs collapse, ends trim")
   }
 
+  test("buildVocab + tokenizeIds: frequency ranks, OOV, exact position order") {
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the the dog"),
+      (3L, "rare rare rare the")).toDF("doc_id", "text")
+    // counts: the=4, rare=3, cat/sat/dog=1 each → top-3 = the(0), rare(1), cat(2)
+    val vocab = TextAnalysis.buildVocab(docs, "text", size = 3)
+      .as[(String, Int)].collect().toMap
+    assert(vocab == Map("the" -> 0, "rare" -> 1, "cat" -> 2),
+      s"count desc then token asc: $vocab")
+    val ids = TextAnalysis.tokenizeIds(docs, TextAnalysis.buildVocab(docs, "text", 3))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(ids(1L) == Seq(0L, 2L, -1L), "the cat sat → [0, 2, OOV]")
+    assert(ids(2L) == Seq(0L, 0L, -1L), "position order preserved for repeats")
+    assert(ids(3L) == Seq(1L, 1L, 1L, 0L))
+  }
+
   test("keepCanonical drops every clustered doc except the min id") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (11L, "b"),
       (20L, "unique")).toDF("doc_id", "text")

@@ -1077,6 +1077,20 @@ object SparkEntry {
         .withColumn("value_cents", cents(col("value")))
         .withColumn("trail_cents", sum("value_cents").over(w))
         .select(col("event_id"), col("user_id"), col("trail_cents"))
+    }),
+
+    // Fixed-point PageRank (crawl-source authority scoring) over a
+    // deterministic synthetic link graph derived from doc ids. Integer
+    // recurrence — both engines compute bit-identical ranks; the oracle
+    // runs the same recursion as a recursive CTE.
+    "q88_pagerank" -> ((s, dir) => {
+      // quadratic + linear residue maps: outdeg ∈ {1,2}, indeg 1..6 —
+      // enough degree variance that ranks genuinely differentiate
+      val base = t(s, dir, "documents").select((col("doc_id") % 50).as("src"))
+      val e = base.select(col("src"), ((col("src") * col("src") + 3) % 50).as("dst"))
+        .unionByName(base.select(col("src"), ((col("src") * 3 + 7) % 50).as("dst")))
+        .filter(col("src") =!= col("dst"))
+      graft.ops.GraphOps.pageRankFixedPoint(e, iters = 5)
     })
   )
 
@@ -2015,6 +2029,37 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY ts
         |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS trail_cents
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    // Same integer recurrence as GraphOps.pageRankFixedPoint: base +
+    // floor-div contributions. Zero-weight self-edges keep every node in
+    // each iteration (the recursive term may reference pr only once);
+    // outdeg coalesces to 1 for them — w = 0 kills the term anyway.
+    "q88_pagerank" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id % 50 AS src, ((doc_id % 50) * (doc_id % 50) + 3) % 50 AS dst
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT doc_id % 50 AS src, ((doc_id % 50) * 3 + 7) % 50 AS dst
+        |    FROM documents) WHERE src <> dst),
+        |nodes AS (SELECT DISTINCT id FROM (
+        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        |e0 AS (SELECT src, dst, 1 AS w FROM e
+        |  UNION ALL SELECT id, id, 0 FROM nodes),
+        |pr(id, rank, iter) AS (
+        |  SELECT id, CAST(1000000000 AS BIGINT), 0 FROM nodes
+        |  UNION ALL
+        |  SELECT e0.dst,
+        |    CAST(150000000 + SUM(e0.w * ((p.rank * 85) // (100 * COALESCE(o.outdeg, 1))))
+        |      AS BIGINT),
+        |    p.iter + 1
+        |  FROM pr p
+        |  JOIN e0 ON e0.src = p.id
+        |  LEFT JOIN outdeg o ON o.src = e0.src
+        |  WHERE p.iter < 5
+        |  GROUP BY e0.dst, p.iter)
+        |SELECT id, rank FROM pr WHERE iter = 5""".stripMargin
   )
 }

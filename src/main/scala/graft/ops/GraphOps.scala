@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operators for corpus curation. Web-scale pipelines rank crawl
+  * sources by link authority (CommonCrawl publishes harmonic/PageRank
+  * domain ranks; curation caps and sampling weights key off them); the
+  * dedup tier already walks the near-dup graph ([[Dedup.connectedComponents]]) —
+  * this adds the scoring side.
+  *
+  * FIXED-POINT arithmetic throughout: ranks are scaled longs and every
+  * per-edge contribution is an integer division. Floating-point PageRank
+  * sums contributions in shuffle-arrival order — two runs (or two
+  * engines) disagree in the last ulps and compound per iteration;
+  * integer math makes the result a pure function of the graph, exactly
+  * reproducible by any engine (the DuckDB oracle runs the same
+  * recurrence in a recursive CTE).
+  */
+object GraphOps {
+
+  /** PageRank on (src, dst) edges, `iters` synchronous iterations.
+    *
+    * Recurrence (all integer): rank₀ = `scale`;
+    * rankᵢ₊₁(v) = scale·(1−d) + Σ_{u→v} (rankᵢ(u)·dNum) div (dDen·outdeg(u))
+    * with d = dNum/dDen. Dangling mass (nodes with no out-edges) drops —
+    * the standard "weak" variant — and multi-edges collapse first.
+    *
+    * Scale shape: the edge table shuffles ONCE per iteration, keyed by
+    * src then by dst — never any payload, just (id, rank) longs; the
+    * plan is truncated per round with `localCheckpoint` exactly as in
+    * [[Dedup.connectedComponents]] (same plan-doubling failure mode).
+    * On a real cluster prefer reliable `checkpoint`. */
+  def pageRankFixedPoint(edges: DataFrame, iters: Int = 10,
+      scale: Long = 1000000000L, dNum: Long = 85L, dDen: Long = 100L): DataFrame = {
+    require(iters >= 1 && dNum > 0 && dDen > dNum,
+      s"need iters >= 1 and 0 < dNum < dDen, got iters=$iters d=$dNum/$dDen")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val base = scale * (dDen - dNum) / dDen
+    var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("id"),
+          expr(s"(rank * $dNum) div ($dDen * outdeg)").as("c"))
+        .groupBy("id").agg(sum("c").as("s"))
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"), (lit(base) + coalesce(col("s"), lit(0L))).as("rank"))
+        .localCheckpoint()
+      i += 1
+    }
+    ranks
+  }
+}

@@ -96,6 +96,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(ids(3L) == Seq(1L, 1L, 1L, 0L))
   }
 
+  test("pageRankFixedPoint: hand-computed integer ranks on a 3-node graph") {
+    // 1→2, 3→2, 2→1; scale 1000, d=85/100, base=150
+    // iter1: r(1)=150+850=1000, r(2)=150+850+850=1850, r(3)=150
+    // iter2: r(1)=150+floor(1850*85/100)=1722,
+    //        r(2)=150+850+floor(150*85/100)=1127, r(3)=150
+    val e = Seq((1L, 2L), (3L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = GraphOps.pageRankFixedPoint(e, iters = 2, scale = 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1722L, 2L -> 1127L, 3L -> 150L), s"got $r")
+    // determinism: a second run computes identical longs
+    assert(GraphOps.pageRankFixedPoint(e, iters = 2, scale = 1000L)
+      .as[(Long, Long)].collect().toMap == r)
+  }
+
   test("keepCanonical drops every clustered doc except the min id") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (11L, "b"),
       (20L, "unique")).toDF("doc_id", "text")

@@ -1079,6 +1079,31 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("trail_cents"))
     }),
 
+    // Sliding event-time windows (1 h length, 15 min slide): every event
+    // lands in exactly 4 overlapping windows. Spark's window() slides are
+    // epoch-aligned; the oracle rebuilds them from 15-minute buckets.
+    "q89_sliding_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"))),
+
+    // Replica diff (anti-entropy): two index replicas with planted drift
+    // — deletions, content mutation, extra rows — reconciled by a digest
+    // full-outer join; output is the repair worklist.
+    "q90_replica_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val a = docs
+      val b = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" [drifted]")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 9000).as("doc_id"), col("text")))
+      graft.index.IndexWriter.replicaDiff(a, b, "doc_id", Seq("text"))
+    }),
+
     // Fixed-point PageRank (crawl-source authority scoring) over a
     // deterministic synthetic link graph derived from doc ids. Integer
     // recurrence — both engines compute bit-identical ranks; the oracle
@@ -2030,6 +2055,32 @@ object SparkEntry {
         |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS trail_cents
         |FROM events""".stripMargin,
+
+    "q89_sliding_window" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, COUNT(*) AS n
+        |FROM (SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+        |             - TO_MICROSECONDS(j * 900000000) AS ws, event_type
+        |      FROM events, UNNEST(range(4)) AS t(j))
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q90_replica_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS dig_a FROM documents),
+        |b0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' [drifted]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 9000, text FROM documents WHERE doc_id < 5),
+        |b AS (SELECT doc_id, md5(text) AS dig_b FROM b0),
+        |j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, dig_a, dig_b
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN dig_b IS NULL THEN 'missing_right'
+        |       WHEN dig_a IS NULL THEN 'missing_left'
+        |       WHEN dig_a <> dig_b THEN 'content_mismatch' END AS status
+        |FROM j
+        |WHERE dig_b IS NULL OR dig_a IS NULL OR dig_a <> dig_b""".stripMargin,
 
     // Same integer recurrence as GraphOps.pageRankFixedPoint: base +
     // floor-div contributions. Zero-weight self-edges keep every node in

@@ -162,6 +162,31 @@ object IndexWriter {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Replica diff — the anti-entropy primitive: compare two copies of an
+    * id-keyed table by content digest and emit the repair worklist.
+    * `status` ∈ missing_right (id only in `a`), missing_left (only in
+    * `b`), content_mismatch (both, different bytes); identical rows emit
+    * nothing. Digests are md5 over the `contentCols` joined with a 
+    * separator (unambiguous for text-ish columns; pick separator-free
+    * columns or pre-hash binary ones).
+    *
+    * Scale shape: each side reduces to (id, 16-byte digest) BEFORE the
+    * full-outer join — the join never carries payload, so diffing two
+    * 100 TB replicas shuffles two narrow digest tables. */
+  def replicaDiff(a: DataFrame, b: DataFrame, idCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "replicaDiff needs content columns")
+    def dig(df: DataFrame, name: String) = df.select(col(idCol),
+      md5(concat_ws("", contentCols.map(col): _*).cast("binary")).as(name))
+    dig(a, "dig_a").join(dig(b, "dig_b"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("dig_b").isNull, lit("missing_right"))
+          .when(col("dig_a").isNull, lit("missing_left"))
+          .when(col("dig_a") =!= col("dig_b"), lit("content_mismatch")))
+      .filter(col("status").isNotNull)
+      .select(col(idCol), col("status"))
+  }
+
   final case class CompactionReport(filesBefore: Long, filesAfter: Long,
       bytesTotal: Long)
 

@@ -47,4 +47,23 @@ class StreamUpsertSpec extends AnyFunSuite with SparkTestBase {
     assert(replayed.count() == 150L)
     assert(IndexWriter.duplicateAudit(replayed).isEmpty)
   }
+
+  test("replicaDiff classifies drift and stays silent on identical replicas") {
+    val a = Seq((1L, "same"), (2L, "left version"), (3L, "only in a"))
+      .toDF("id", "payload")
+    val b = Seq((1L, "same"), (2L, "right version"), (4L, "only in b"))
+      .toDF("id", "payload")
+    val diff = IndexWriter.replicaDiff(a, b, "id", Seq("payload"))
+      .as[(Long, String)].collect().toMap
+    assert(diff == Map(2L -> "content_mismatch", 3L -> "missing_right",
+      4L -> "missing_left"))
+    assert(IndexWriter.replicaDiff(a, a, "id", Seq("payload")).isEmpty,
+      "identical replicas produce an empty worklist")
+    // the join carries digests, never the payload column
+    val plan = IndexWriter.replicaDiff(a, b, "id", Seq("payload"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("payload#") ||
+      !plan.split("Join").last.contains("payload#"),
+      s"payload must be reduced to a digest before the join:\n$plan")
+  }
 }

@@ -30,7 +30,12 @@ object GraphOps {
     * src then by dst — never any payload, just (id, rank) longs; the
     * plan is truncated per round with `localCheckpoint` exactly as in
     * [[Dedup.connectedComponents]] (same plan-doubling failure mode).
-    * On a real cluster prefer reliable `checkpoint`. */
+    * On a real cluster prefer reliable `checkpoint`.
+    *
+    * Overflow bound: a node's rank is at most the total injected mass
+    * ≈ nodes·scale, and the recurrence multiplies by `dNum` before
+    * dividing — keep nodes·scale·dNum < 2⁶³ (at the defaults, fine to
+    * ~10⁸ nodes; drop `scale` to 10⁶ for web-graph node counts). */
   def pageRankFixedPoint(edges: DataFrame, iters: Int = 10,
       scale: Long = 1000000000L, dNum: Long = 85L, dDen: Long = 100L): DataFrame = {
     require(iters >= 1 && dNum > 0 && dDen > dNum,

@@ -530,7 +530,8 @@ object Dedup {
     * dedup key — so each paragraph's occurrence list lands on one
     * reducer regardless of corpus size; a hot boilerplate paragraph is
     * one heavy key (bounded by its occurrence count, the thing this op
-    * exists to remove). Returns (id, idx, para) of survivors. */
+    * exists to remove). Returns (id, idx, para) of survivors.
+    * `sep` is a Java regex (escape it for literal separators like "."). */
   def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", sep: String = "\n"): DataFrame = {
     val paras = docs

@@ -34,9 +34,15 @@ object Layout {
     z
   }
 
-  private def zUdf(bits: Int) = udf { (a: Long, b: Long) =>
-    require(a >= 0 && b >= 0, s"zValue needs non-negative inputs, got ($a, $b)")
-    interleaveBits(a, b, bits)
+  // boxed Long params: a primitive-typed UDF would silently coerce NULL
+  // inputs to 0 (the standard Spark pitfall) and Z-sort null rows to the
+  // origin; boxed nulls propagate as null instead.
+  private def zUdf(bits: Int) = udf { (a: java.lang.Long, b: java.lang.Long) =>
+    if (a == null || b == null) null.asInstanceOf[java.lang.Long]
+    else {
+      require(a >= 0 && b >= 0, s"zValue needs non-negative inputs, got ($a, $b)")
+      java.lang.Long.valueOf(interleaveBits(a, b, bits))
+    }
   }
 
   /** The Morton code of two non-negative integral columns. */

@@ -84,11 +84,17 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("zValue rejects negative input loudly") {
+  test("zValue rejects negative input loudly, propagates null (never coerces to 0)") {
     val ex = intercept[Exception] {
       Seq((-1L, 2L)).toDF("a", "b")
         .select(Layout.zValue(col("a"), col("b"))).collect()
     }
     assert(ex.getMessage != null)
+    val out = Seq((Some(1L), Some(2L)), (None, Some(2L)), (Some(1L), None))
+      .toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b")).as("z"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(out(0).contains(9L) && out(1).isEmpty && out(2).isEmpty,
+      s"null input must yield null z, not the origin: ${out.toSeq}")
   }
 }

@@ -1079,6 +1079,23 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("trail_cents"))
     }),
 
+    // Incremental NEAR-dup admission: a new batch (odd docs + exact
+    // copies of stored evens) checks against the standing corpus's
+    // signature table only — banding for candidates, signature-agreement
+    // (estimated Jaccard) for verification; no corpus text re-read.
+    "q91_incremental_neardup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      def sigs(df: DataFrame) = df
+        .withColumn("sh", Dedup.shingles(col("text"), 3))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), Dedup.md5MinHashSignatureUdf(16)(col("sh")).as("sig"))
+      val stored = sigs(d.filter(col("doc_id") % 2 === 0))
+      val fresh = sigs(d.filter(col("doc_id") % 2 === 1)
+        .unionByName(d.filter(col("doc_id") % 2 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000)))
+      Dedup.minHashAgainst(fresh, stored, numHashes = 16)
+    }),
+
     // Sliding event-time windows (1 h length, 15 min slide): every event
     // lands in exactly 4 overlapping windows. Spark's window() slides are
     // epoch-aligned; the oracle rebuilds them from 15-minute buckets.
@@ -2055,6 +2072,41 @@ object SparkEntry {
         |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS trail_cents
         |FROM events""".stripMargin,
+
+    "q91_incremental_neardup" -> {
+      val hs = (0 until 16).map(i =>
+        s"list_min([md5('${i}_' || x) for x in sh]) AS h$i").mkString(",\n    ")
+      def bandRows(tbl: String) = (0 until 4).map { b =>
+        val cat = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM $tbl"
+      }.mkString("\n  UNION ALL ")
+      def shingleCte(src: String) =
+        s"""(SELECT doc_id, sh FROM (
+           |    SELECT doc_id, list_distinct([parts[i+1] || ' ' || parts[i+2] || ' ' || parts[i+3]
+           |        for i in range(len(parts)-2)]) AS sh
+           |    FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM $src)
+           |    WHERE len(parts) >= 3)
+           |  WHERE len(sh) > 0)""".stripMargin
+      val eq = (0 until 16).map(i =>
+        s"CASE WHEN n.h$i = o.h$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |newd AS (SELECT doc_id, text FROM d WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT doc_id + 10000, text FROM d WHERE doc_id % 2 = 0),
+         |oldd AS (SELECT doc_id, text FROM d WHERE doc_id % 2 = 0),
+         |shn AS ${shingleCte("newd")},
+         |sho AS ${shingleCte("oldd")},
+         |sign AS (SELECT doc_id, $hs FROM shn),
+         |sigo AS (SELECT doc_id, $hs FROM sho),
+         |bn AS (${bandRows("sign")}),
+         |bo AS (${bandRows("sigo")}),
+         |cand AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+         |  FROM bn x JOIN bo y ON x.band = y.band AND x.bh = y.bh)
+         |SELECT new_id, old_id, agree FROM (
+         |  SELECT c.new_id, c.old_id, round(($eq) / 16.0, 6) AS agree
+         |  FROM cand c JOIN sign n ON n.doc_id = c.new_id
+         |              JOIN sigo o ON o.doc_id = c.old_id)
+         |WHERE agree >= 0.8""".stripMargin
+    },
 
     "q89_sliding_window" ->
       """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -190,6 +190,48 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** Fraction of agreeing MinHash components — the unbiased estimator of
+    * Jaccard similarity from signatures alone. Compiled UDF (house
+    * rule); rounded to 6 so a threshold filter is engine-portable. */
+  val signatureAgreementUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Seq[String], b: Seq[String]) =>
+      if (a == null || b == null || a.isEmpty || a.length != b.length) null
+      else {
+        var eq = 0; var i = 0
+        while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+        java.lang.Double.valueOf(
+          BigDecimal(eq.toDouble / a.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+
+  /** Incremental NEAR-dup admission — the [[exactAgainst]] analog for
+    * near duplicates: candidate pairs between a new batch and the
+    * standing corpus via LSH banding, verified by SIGNATURE AGREEMENT
+    * (estimated Jaccard) instead of exact shingle Jaccard. The corpus
+    * keeps only its (id, signature) table — `numHashes` strings per
+    * document, never shingles or text — so admitting a batch against
+    * 100 TB reads a signature table, and the only cross-side shuffle is
+    * the (band, hash) candidate join. Returns (new_id, old_id, agree)
+    * pairs with agreement ≥ `minAgree`; anti-join the batch on new_id
+    * to admit. */
+  def minHashAgainst(newSigs: DataFrame, storedSigs: DataFrame,
+      idCol: String = "doc_id", sigCol: String = "sig", bands: Int = 4,
+      minAgree: Double = 0.8, numHashes: Int = -1): DataFrame = {
+    val bandHash: Column => Column = c => md5(concat_ws("|", c))
+    val bNew = lshBands(newSigs, sigCol, bands, idCol, bandHash, numHashes)
+      .select(col(idCol).as("new_id"), col("band_id"), col("band_hash"))
+    val bOld = lshBands(storedSigs, sigCol, bands, idCol, bandHash, numHashes)
+      .select(col(idCol).as("old_id"), col("band_id"), col("band_hash"))
+    bNew.join(bOld, Seq("band_id", "band_hash"))
+      .select("new_id", "old_id").distinct()
+      .join(newSigs.select(col(idCol).as("new_id"), col(sigCol).as("__sig_n")), "new_id")
+      .join(storedSigs.select(col(idCol).as("old_id"), col(sigCol).as("__sig_o")), "old_id")
+      .withColumn("agree", signatureAgreementUdf(col("__sig_n"), col("__sig_o")))
+      .filter(col("agree") >= minAgree)
+      .select("new_id", "old_id", "agree")
+  }
+
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band →
     * candidate pairs → exact Jaccard verification ≥ threshold. */
   def minHashNearDups(df: DataFrame, textCol: String = "text",

@@ -55,6 +55,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!comps.contains(4L) && !comps.contains(5L), "unique docs get no label")
   }
 
+  test("minHashAgainst: exact copy of a stored doc is flagged at agreement 1.0") {
+    def sigs(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("sh", Dedup.shingles(col("text"), 3))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), Dedup.md5MinHashSignatureUdf(8)(col("sh")).as("sig"))
+    val stored = sigs(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text"))
+    val fresh = sigs(Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),      // copy of 1
+      (11L, "completely different content here folks")).toDF("doc_id", "text"))
+    val hits = Dedup.minHashAgainst(fresh, stored, bands = 4, minAgree = 0.8,
+      numHashes = 8).as[(Long, Long, Double)].collect()
+    assert(hits.toSeq == Seq((10L, 1L, 1.0)),
+      s"only the exact copy crosses the agreement bar: ${hits.toSeq}")
+    // signature agreement semantics
+    val agree = Seq((Seq("a", "b", "c", "d"), Seq("a", "x", "c", "d")))
+      .toDF("s1", "s2")
+      .select(Dedup.signatureAgreementUdf(col("s1"), col("s2"))).head().getDouble(0)
+    assert(agree == 0.75)
+  }
+
   test("exactAgainst admits only batch rows new to both batch and corpus") {
     val corpus = Seq((100L, "known doc"), (101L, "other known")).toDF("doc_id", "text")
     val batch = Seq(

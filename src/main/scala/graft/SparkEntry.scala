@@ -1133,6 +1133,69 @@ object SparkEntry {
         .unionByName(base.select(col("src"), ((col("src") * 3 + 7) % 50).as("dst")))
         .filter(col("src") =!= col("dst"))
       graft.ops.GraphOps.pageRankFixedPoint(e, iters = 5)
+    }),
+
+    // Temperature-flattened mixture resampling (alpha = 0.5): kept counts
+    // per domain follow sqrt(c_d) — the smallest domain is kept whole,
+    // larger ones down-sampled by sqrt(c_min/c_d). The synthetic `source`
+    // column is uniform (rates would all be 1), so the query derives a
+    // skewed domain — 'd' || floor(sqrt(doc_id % 100)) gives counts
+    // 1:3:…:19 per hundred ids — and flattens that. Per-row fate is the
+    // md5-threshold predicate with a per-domain threshold; sqrt is IEEE
+    // correctly-rounded, so both engines compute the identical cutoff.
+    "q92_temperature_sample" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureSample(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("d"), floor(sqrt((col("doc_id") % 100).cast("double")))
+            .cast("long").cast("string")).as("dom")),
+        domainCol = "dom", idCol = "doc_id", alpha = 0.5)
+        .select("doc_id", "dom")),
+
+    // Linear quality-classifier inference (fastText-filter shape) in
+    // fixed point: integer features × integer weights → integer logit,
+    // thresholded at 0 (sigmoid is monotone, so the probability cut IS
+    // the logit cut). No shuffle, no UDF — four codegen'd extractions.
+    "q95_quality_classifier" -> ((s, dir) =>
+      graft.ops.Curation.linearQualityFilter(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text",
+        graft.ops.Curation.QualityWeights(
+          words = 2, chars = 1, exclaim = -50, digits = -10, bias = -500),
+        threshold = 0)),
+
+    // CDC changelog apply (merge-on-read): fold ordered I/U/D ops onto a
+    // snapshot — superseded versions (seq 1 under seq 2), deletes beating
+    // earlier updates (ids ≡ 0 mod 15 get U@2 then D@3 → gone), and
+    // fresh inserts all exercised. Latest-wins is re-derived in DuckDB
+    // with an independent window formulation.
+    "q96_cdc_apply" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      def ch(f: Column, seq: Long, op: String, text: Column, shift: Long = 0) =
+        d.filter(f).select((col("doc_id") + shift).as("doc_id"),
+          lit(seq).as("seq"), lit(op).as("op"), text.as("text"))
+      val changes = ch(col("doc_id") % 3 === 0, 1, "U", concat(col("text"), lit(" [v1]")))
+        .unionByName(ch(col("doc_id") % 3 === 0, 2, "U", concat(col("text"), lit(" [v2]"))))
+        .unionByName(ch(col("doc_id") % 5 === 0, 3, "D", lit(null).cast("string")))
+        .unionByName(ch(col("doc_id") < 10, 1, "I", col("text"), shift = 20000))
+      graft.index.IndexWriter.applyChangelog(d, changes, "doc_id", "seq", "op")
+    }),
+
+    // URL canonicalization + latest-crawl-wins: three cosmetic variants
+    // of each page URL (case-shifted host, default port, tracking
+    // params, trailing slash, fragment) canonicalize to one key; the
+    // newest crawl (max ts, id tie-break) survives per key. The regex
+    // chain sits in the RE2 ∩ Java subset so DuckDB re-derives it
+    // byte-identically.
+    "q93_url_canonical" -> ((s, dir) => {
+      val p = (col("doc_id") % 120).cast("string")
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("https://Example.COM/p/"), p, lit("/?utm_source=x")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("https://example.com:443/p/"), p, lit("/")))
+        .otherwise(concat(lit("https://EXAMPLE.com/p/"), p, lit("?fbclid=abc#frag")))
+      val crawls = t(s, dir, "documents")
+        .select(col("doc_id"), col("doc_id").as("crawl_ts"), url.as("url"))
+      graft.ops.Curation.latestByCanonicalUrl(crawls, "url", "crawl_ts", "doc_id")
+        .select("canonical_url", "doc_id", "crawl_ts")
     })
   )
 
@@ -2163,6 +2226,80 @@ object SparkEntry {
         |  LEFT JOIN outdeg o ON o.src = e0.src
         |  WHERE p.iter < 5
         |  GROUP BY e0.dst, p.iter)
-        |SELECT id, rank FROM pr WHERE iter = 5""".stripMargin
+        |SELECT id, rank FROM pr WHERE iter = 5""".stripMargin,
+
+    "q92_temperature_sample" ->
+      """WITH d AS (SELECT doc_id,
+        |    'd' || CAST(CAST(floor(sqrt(CAST(doc_id % 100 AS DOUBLE))) AS BIGINT)
+        |                AS VARCHAR) AS dom
+        |  FROM documents),
+        |c AS (SELECT dom, COUNT(*) AS c FROM d GROUP BY 1),
+        |m AS (SELECT min(c) AS cmin FROM c),
+        |t AS (SELECT dom,
+        |    CAST(floor(sqrt(CAST(cmin AS DOUBLE) / CAST(c AS DOUBLE))
+        |               * 4294967296) AS BIGINT) AS thr
+        |  FROM c, m)
+        |SELECT d.doc_id, d.dom
+        |FROM d JOIN t USING (dom)
+        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |           AS BIGINT) < thr""".stripMargin,
+
+    "q95_quality_classifier" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '!')) AS BIGINT) AS n_exclaim,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_chars, n_exclaim, n_digits,
+        |  2 * n_words + 1 * n_chars - 50 * n_exclaim - 10 * n_digits - 500 AS logit
+        |FROM f
+        |WHERE 2 * n_words + 1 * n_chars - 50 * n_exclaim - 10 * n_digits - 500 >= 0""".stripMargin,
+
+    "q96_cdc_apply" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |ch AS (
+        |  SELECT doc_id, 1 AS seq, 'U' AS op, text || ' [v1]' AS text
+        |  FROM d WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, 2, 'U', text || ' [v2]' FROM d WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, 3, 'D', NULL FROM d WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id + 20000, 1, 'I', text FROM d WHERE doc_id < 10),
+        |w AS (SELECT doc_id, op, text,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC, op DESC) AS rn
+        |  FROM ch),
+        |win AS (SELECT doc_id, op, text FROM w WHERE rn = 1)
+        |SELECT d.doc_id, d.text FROM d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM win)
+        |UNION ALL
+        |SELECT doc_id, text FROM win WHERE op <> 'D'""".stripMargin,
+
+    "q93_url_canonical" ->
+      """WITH crawls AS (SELECT doc_id, doc_id AS crawl_ts,
+        |  CASE WHEN doc_id % 3 = 0 THEN
+        |         'https://Example.COM/p/' || CAST(doc_id % 120 AS VARCHAR) || '/?utm_source=x'
+        |       WHEN doc_id % 3 = 1 THEN
+        |         'https://example.com:443/p/' || CAST(doc_id % 120 AS VARCHAR) || '/'
+        |       ELSE
+        |         'https://EXAMPLE.com/p/' || CAST(doc_id % 120 AS VARCHAR) || '?fbclid=abc#frag'
+        |  END AS url FROM documents),
+        |canon AS (SELECT doc_id, crawl_ts,
+        |    regexp_replace(
+        |      lower(regexp_extract(regexp_replace(url, '#.*', '', 'g'),
+        |                           '^(https?://[^/?]+)', 1)),
+        |      ':(80|443)$', '', 'g')
+        |    || regexp_replace(
+        |         regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(regexp_replace(url, '#.*', '', 'g'),
+        |                            '^https?://[^/?]+', '', 'g'),
+        |             '(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '', 'g'),
+        |           '[?&](utm_[a-z]+|fbclid|gclid)=[^&]*$', '', 'g'),
+        |         '/$', '', 'g') AS canonical_url
+        |  FROM crawls),
+        |r AS (SELECT canonical_url, doc_id, crawl_ts,
+        |    row_number() OVER (PARTITION BY canonical_url
+        |                       ORDER BY crawl_ts DESC, doc_id ASC) AS rn
+        |  FROM canon)
+        |SELECT canonical_url, doc_id, crawl_ts FROM r WHERE rn = 1""".stripMargin
   )
 }

@@ -187,6 +187,44 @@ object IndexWriter {
       .select(col(idCol), col("status"))
   }
 
+  /** CDC changelog apply (the merge-on-read compaction step): fold an
+    * ordered stream of I/U/D operations into a snapshot. Per id, the
+    * LATEST change wins — an upsert (I/U) replaces the snapshot row, a
+    * delete (D) removes it; ids the changelog never mentions pass
+    * through untouched.
+    *
+    * Scale shape: the changelog reduces to one winner per id (argmax on
+    * the shuffle key — map-side partial via max_by), then a single
+    * id-keyed anti-join strips superseded snapshot rows and the
+    * surviving upserts union in. The snapshot is never windowed or
+    * sorted — at 100 TB the only wide operation over it is the
+    * anti-join on the (typically much smaller) changed-id set, and AQE
+    * broadcasts that side while it fits.
+    *
+    * `tsCol` should be unique per id (a changelog sequence number /
+    * log offset — CDC streams provide one); on a tie the max op-tag
+    * wins deterministically ('U' > 'I' > 'D' lexicographically:
+    * upserts win draws).
+    *
+    * @param snapshot current table state; columns = `idCol` + payload
+    * @param changes  changelog with `idCol`, `tsCol`, `opCol` ∈
+    *                 {"I","U","D"} and the same payload columns */
+  def applyChangelog(snapshot: DataFrame, changes: DataFrame, idCol: String,
+      tsCol: String, opCol: String): DataFrame = {
+    val payload = snapshot.columns.filterNot(_ == idCol)
+    val winner = changes
+      .withColumn("__rec", struct(col(tsCol) +: col(opCol) +:
+        payload.map(col): _*))
+      .groupBy(idCol)
+      .agg(max(col("__rec")).as("__rec"))
+      .select(col(idCol) +: col(s"__rec.$opCol").as("__op") +:
+        payload.map(p => col(s"__rec.$p").as(p)): _*)
+    val survivors = winner.filter(col("__op") =!= "D")
+      .select(idCol, payload: _*)
+    snapshot.join(winner.select(idCol), Seq(idCol), "left_anti")
+      .unionByName(survivors)
+  }
+
   final case class CompactionReport(filesBefore: Long, filesAfter: Long,
       bytesTotal: Long)
 

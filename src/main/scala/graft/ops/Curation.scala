@@ -133,6 +133,84 @@ object Curation {
         col("s.symbol_ratio").as("symbol_ratio"))
 
   // -------------------------------------------------------------------
+  // URL canonicalization (the CommonCrawl re-crawl dedup shape): crawls
+  // of the same page arrive under cosmetically different URLs — case-
+  // shifted hosts, default ports, tracking params, trailing slashes,
+  // fragments. Canonicalize, then keep the latest crawl per canonical
+  // URL. The whole normalization is a regexp_replace/extract chain in
+  // the RE2 ∩ Java subset (no lookarounds), so it stays codegen'd in
+  // Spark AND byte-identically re-derivable by the oracle; the dedup
+  // shuffles once, on the canonical-url key.
+  // -------------------------------------------------------------------
+  private val TrackingParams = "(utm_[a-z]+|fbclid|gclid)"
+
+  /** Canonical form of an http(s) URL column:
+    * fragment stripped → host lowercased, default :80/:443 dropped →
+    * tracking params removed (mid-query and trailing) → trailing slash
+    * trimmed. Non-URL strings pass through the host regexes unchanged
+    * (extract misses → empty host part + original rest). */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val host = regexp_replace(
+      lower(regexp_extract(noFrag, "^(https?://[^/?]+)", 1)),
+      ":(80|443)$", "")
+    val rest = regexp_replace(noFrag, "^https?://[^/?]+", "")
+    val noMidParams = regexp_replace(rest, TrackingParams + "=[^&#]*&", "")
+    val noParams = regexp_replace(noMidParams, "[?&]" + TrackingParams + "=[^&]*$", "")
+    val noSlash = regexp_replace(noParams, "/$", "")
+    concat(host, noSlash)
+  }
+
+  /** Latest crawl per canonical URL: canonicalize, then argmax by
+    * (tsCol desc, idCol asc) within each canonical key — one shuffle on
+    * the canonical-url hash. Output keeps every input column plus
+    * `canonical_url`. */
+  def latestByCanonicalUrl(crawls: DataFrame, urlCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy("canonical_url")
+      .orderBy(col(tsCol).desc, col(idCol).asc)
+    crawls.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // -------------------------------------------------------------------
+  // Linear quality classifier (the fastText-filter shape): a trained
+  // model reduced to per-feature weights, applied as one narrow
+  // projection. Weights and features are integers and the score is the
+  // raw logit — sigmoid is monotone, so "p(keep) ≥ τ" is exactly
+  // "logit ≥ ln(τ/(1-τ))" and the integer comparison is bit-exact on
+  // every engine (no libm exp in the pipeline at all). At 100 TB this
+  // is the cheapest possible classifier inference: no shuffle, no UDF,
+  // all four feature extractions codegen'd into the scan projection.
+  // -------------------------------------------------------------------
+  final case class QualityWeights(words: Long, chars: Long, exclaim: Long,
+      digits: Long, bias: Long)
+
+  /** Per-doc integer feature vector and logit. Features: whitespace-run
+    * word count, char count, '!' count, digit count — the cheap
+    * lexical-quality family (Gopher/C4 use the same signals). */
+  def linearQualityScore(docs: DataFrame, idCol: String, textCol: String,
+      w: QualityWeights): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+        size(tokens(t)).cast("long").as("n_words"),
+        length(t).cast("long").as("n_chars"),
+        size(regexp_extract_all(t, lit("!"), lit(0))).cast("long").as("n_exclaim"),
+        size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("long").as("n_digits"))
+      .withColumn("logit",
+        lit(w.words) * col("n_words") + lit(w.chars) * col("n_chars") +
+          lit(w.exclaim) * col("n_exclaim") + lit(w.digits) * col("n_digits") +
+          lit(w.bias))
+  }
+
+  /** Keep docs whose logit clears the decision threshold. */
+  def linearQualityFilter(docs: DataFrame, idCol: String, textCol: String,
+      w: QualityWeights, threshold: Long): DataFrame =
+    linearQualityScore(docs, idCol, textCol, w)
+      .filter(col("logit") >= threshold)
+
+  // -------------------------------------------------------------------
   // Eval-set contamination: fraction of a training doc's distinct word
   // n-grams that appear anywhere in the eval split. The eval gram set is
   // small by nature (eval sets are), so Spark broadcasts it; the train

@@ -115,6 +115,38 @@ object Sampling {
     drawn.join(cand, "__nidx").select(col(idCol), col("j"), col("neg_id"))
   }
 
+  /** Temperature-flattened mixture resampling: down-sample each domain
+    * (source, language, crawl) so kept counts follow `c_d^alpha` instead
+    * of the raw `c_d` — the standard move when one web domain dwarfs the
+    * rest of a training mix (alpha = 1 keeps the natural distribution,
+    * alpha → 0 flattens toward uniform). The smallest domain is kept
+    * whole and every larger one keeps a `(c_min/c_d)^(1-alpha)` fraction,
+    * which maximizes retained data subject to the target shape — no
+    * up-sampling, so membership stays a pure keep/drop function.
+    *
+    * Per-row fate is the same md5-threshold predicate as [[hashSample]],
+    * with the threshold looked up per domain: deterministic across
+    * retries, re-runs, and engines. alpha = 0.5 routes through `sqrt`
+    * (IEEE correctly-rounded everywhere — the oracle-exact setting);
+    * other alphas use `pow`, which libms only promise within 1 ulp.
+    *
+    * Scale shape: one tiny per-domain count aggregate (map-side partials,
+    * result rows = |domains|) broadcast back onto the fact side, then a
+    * narrow filter — the corpus itself never shuffles. */
+  def temperatureSample(df: DataFrame, domainCol: String, idCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha $alpha outside (0,1]")
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("__c"))
+    val cmin = counts.agg(min(col("__c")).as("__cmin"))
+    val ratio = col("__cmin").cast("double") / col("__c").cast("double")
+    val rate = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
+    val thresholds = counts.crossJoin(cmin)
+      .select(col(domainCol), floor(rate * 4294967296.0).cast("long").as("__thr"))
+    df.join(broadcast(thresholds), Seq(domainCol))
+      .filter(conv(hexKey(col(idCol)), 16, 10).cast("long") < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Deterministic train/val/test assignment: the id's hash key falls
     * into one of the cumulative [0,1) intervals defined by `splits`
     * (name → fraction, must sum to 1). Every row keeps its assignment

@@ -66,4 +66,26 @@ class StreamUpsertSpec extends AnyFunSuite with SparkTestBase {
       !plan.split("Join").last.contains("payload#"),
       s"payload must be reduced to a digest before the join:\n$plan")
   }
+
+  test("applyChangelog: latest op wins, deletes remove, inserts appear") {
+    val snapshot = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
+      .toDF("id", "payload")
+    val changes = Seq(
+      (2L, 1L, "U", "two-v1"),   // superseded by seq 2
+      (2L, 2L, "U", "two-v2"),   // winner for id 2
+      (3L, 1L, "U", "three-v1"), // then deleted at seq 2
+      (3L, 2L, "D", null),
+      (5L, 1L, "I", "five"),     // fresh insert
+      (6L, 1L, "I", "six-v1"),   // insert then delete → never lands
+      (6L, 2L, "D", null)
+    ).toDF("id", "seq", "op", "payload")
+    val out = IndexWriter.applyChangelog(snapshot, changes, "id", "seq", "op")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "one", 2L -> "two-v2", 4L -> "four", 5L -> "five"))
+    // idempotent: applying the same changelog to the result is a no-op
+    val again = IndexWriter
+      .applyChangelog(out.toSeq.toDF("id", "payload"), changes, "id", "seq", "op")
+      .as[(Long, String)].collect().toMap
+    assert(again == out)
+  }
 }

@@ -161,6 +161,30 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got.length == 3)
   }
 
+  test("linearQualityScore: integer logit from lexical features; filter cuts at threshold") {
+    val docs = Seq(
+      (1L, "a clean sentence with several proper words here"), // high quality
+      (2L, "buy now!!! 1234567890 !!!"),                       // spam shape
+      (3L, "")                                                  // empty
+    ).toDF("doc_id", "text")
+    val w = Curation.QualityWeights(words = 2, chars = 1, exclaim = -50,
+      digits = -10, bias = 0)
+    val scored = Curation.linearQualityScore(docs, "doc_id", "text", w)
+      .select("doc_id", "n_words", "n_exclaim", "n_digits", "logit")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, w1, e1, d1, l1) = scored(1L)
+    val chars1 = "a clean sentence with several proper words here".length
+    assert(w1 == 8 && e1 == 0 && d1 == 0 && l1 == 2 * 8 + chars1)
+    val (_, w2, e2, d2, l2) = scored(2L)
+    assert(w2 == 4 && e2 == 6 && d2 == 10)
+    assert(l2 == 2 * 4 + 25 - 50 * 6 - 10 * 10)
+    assert(scored(3L)._5 == 0L)
+    val kept = Curation.linearQualityFilter(docs, "doc_id", "text", w, threshold = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"only the clean doc clears the cut: $kept")
+  }
+
   test("contamination broadcasts the eval gram set (scale contract)") {
     val df = (1L to 60L).map(i => (i, s"token$i words go here padding out five grams minimum"))
       .toDF("doc_id", "text")

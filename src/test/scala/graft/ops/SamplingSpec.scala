@@ -36,6 +36,30 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(out("xx") / 4000.0 - 0.8) < 0.03, s"xx rate off: ${out("xx")}")
   }
 
+  test("temperatureSample flattens a skewed mixture toward sqrt counts") {
+    // domains: a = 900 rows, b = 100 rows, c = 100 rows
+    val df = spark.range(1100).select(col("id"),
+      when(col("id") < 900, "a").when(col("id") < 1000, "b").otherwise("c").as("dom"))
+    val kept = Sampling.temperatureSample(df, "dom", "id", alpha = 0.5)
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    // smallest domains kept whole (rate exactly 1)
+    assert(kept("b") == 100, s"min domain must be kept whole: ${kept("b")}")
+    assert(kept("c") == 100, s"min domain must be kept whole: ${kept("c")}")
+    // the big domain keeps ~sqrt(100/900) = 1/3 of its rows
+    assert(math.abs(kept("a") / 900.0 - 1.0 / 3) < 0.05, s"a rate off: ${kept("a")}")
+    // deterministic: identical ids on a re-run
+    val a1 = Sampling.temperatureSample(df, "dom", "id", 0.5)
+      .select("id").as[Long].collect().toSet
+    val a2 = Sampling.temperatureSample(df, "dom", "id", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(a1 == a2)
+    // alpha = 1 is the identity mixture: every row kept
+    assert(Sampling.temperatureSample(df, "dom", "id", 1.0).count() == 1100)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(df, "dom", "id", 0.0)
+    }
+  }
+
   test("hashSplit partitions every row once, near the requested fractions") {
     val df = spark.range(10000).toDF("id")
     val out = Sampling.hashSplit(df, "id",

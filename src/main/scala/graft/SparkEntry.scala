@@ -1196,6 +1196,20 @@ object SparkEntry {
         .select(col("doc_id"), col("doc_id").as("crawl_ts"), url.as("url"))
       graft.ops.Curation.latestByCanonicalUrl(crawls, "url", "crawl_ts", "doc_id")
         .select("canonical_url", "doc_id", "crawl_ts")
+    }),
+
+    // Stream-stream LEFT OUTER join: click→purchase attribution that
+    // also emits never-converted clicks (null p_id) once the watermark
+    // proves no match can arrive. Sentinel flush rows drain the tail
+    // state; they are filtered HERE, outside the streaming query —
+    // inside it the predicate would push below the watermark operator
+    // and defeat the flush (see streamStreamLeftJoin). Result must
+    // equal the batch left join (the oracle).
+    "q94_stream_left_join" -> ((s, dir) => {
+      EventsPipeline.drained(s) {
+        EventsPipeline.streamStreamLeftJoin(s, dir, "q94_sink")
+      }
+      s.table("q94_sink").filter(col("user_id") >= 0)
     })
   )
 
@@ -2300,6 +2314,14 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY canonical_url
         |                       ORDER BY crawl_ts DESC, doc_id ASC) AS rn
         |  FROM canon)
-        |SELECT canonical_url, doc_id, crawl_ts FROM r WHERE rn = 1""".stripMargin
+        |SELECT canonical_url, doc_id, crawl_ts FROM r WHERE rn = 1""".stripMargin,
+
+    "q94_stream_left_join" ->
+      """SELECT c.user_id, c.event_id AS c_id, p.event_id AS p_id
+        |FROM events c LEFT JOIN events p
+        |  ON c.user_id = p.user_id
+        |  AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        |WHERE c.event_type = 'click'""".stripMargin
   )
 }

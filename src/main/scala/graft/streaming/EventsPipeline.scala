@@ -212,6 +212,73 @@ object EventsPipeline {
     * hand-rolled state machine slot — anything a windowed aggregate can't
     * express (session scoring, fraud counters, per-key models) plugs in
     * here. Memory sink in Update mode for the stream==batch gate. */
+  /** Stream-stream LEFT OUTER join: click → purchase attribution that
+    * also emits never-converted clicks with a null purchase id. The
+    * outer side is the hard part of streaming joins: an unmatched left
+    * row may only emit once the watermark proves no matching right row
+    * can still arrive (watermark past the row's join-window end) — so a
+    * run that simply exhausts its input would hold every tail-end click
+    * in state forever and silently drop it from the output.
+    *
+    * This driver stages the input with one far-future FLUSH row per
+    * side (sentinel users −1/−2, 30 days past max event time, mutually
+    * non-joinable). The sentinels push the final watermark beyond every
+    * real row's window, so the closing no-data micro-batch evicts all
+    * state and emits every pending null-match; the sentinels themselves
+    * are filtered from the result. Same mechanics at scale: an
+    * always-on stream gets this "for free" from continuously arriving
+    * data, and a drain-at-end-of-day batch run plants exactly this kind
+    * of barrier row. State is watermark-bounded on both sides.
+    *
+    * The sentinels must NOT be filtered inside the streaming query:
+    * a `user >= 0` predicate there gets pushed through the join's
+    * inferred constraints into the parquet scan of BOTH branches —
+    * below the EventTimeWatermark operator — so the sentinel rows
+    * would be dropped before they can advance the watermark, and the
+    * tail of the stream silently never emits its outer nulls (found
+    * the hard way; the spec pins the tail rows). Callers filter
+    * `user_id >= 0` on the RESULT table instead; the sentinels
+    * themselves never emit (their own window end is past every
+    * watermark the query reaches). */
+  def streamStreamLeftJoin(spark: SparkSession, dir: String,
+      queryName: String, windowMin: Int = 10): org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ev = raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val maxTs = ev.agg(max(col("ts"))).first().getTimestamp(0)
+    val flushTs = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
+    val staging = s"/tmp/graft_stream_left/$queryName"
+    val flush = spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(-1L, flushTs, -1L, "click", 0.0, ""),
+        org.apache.spark.sql.Row(-2L, flushTs, -2L, "purchase", 0.0, "")),
+      new org.apache.spark.sql.types.StructType()
+        .add("event_id", "long").add("ts", "timestamp").add("user_id", "long")
+        .add("event_type", "string").add("value", "double").add("props", "string"))
+    ev.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .unionByName(flush)
+      .write.mode("overwrite").parquet(staging)
+    val schema = spark.read.parquet(staging).schema
+    def src = spark.readStream.schema(schema).parquet(staging)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMin MINUTES"),
+        "left_outer")
+      .select(col("c_user").as("user_id"), col("c_id"), col("p_id"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def streamStatefulUserCounts(spark: SparkSession, dir: String,
       queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._

@@ -92,6 +92,35 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("stream-stream LEFT OUTER join equals the batch left join, tail rows included") {
+    val dir = "/root/testdata/sf0.001"
+    val q = EventsPipeline.streamStreamLeftJoin(spark, dir, "test_sslj_sink")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("test_sslj_sink")
+      .filter(col("user_id") >= 0).select("user_id", "c_id", "p_id")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    val batch = c.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"), "left_outer")
+      .select("user_id", "c_id", "p_id")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "stream left join must equal batch left join")
+    // the regression this operator exists to avoid: the LAST unmatched
+    // click before end-of-stream must still emit its outer null — it
+    // only can if the sentinel advanced the watermark past its window
+    val lastUnmatched = batch.filter(col("p_id").isNull)
+      .orderBy(col("c_id").desc).select("c_id").first().getLong(0)
+    assert(streamed.filter(col("c_id") === lastUnmatched).count() == 1,
+      s"tail click $lastUnmatched lost: watermark never passed its join window")
+  }
+
   test("cursor checkpoint round-trips and fixes the reference's broken resume (Q1)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cursor").toString + "/c"
     val state = EventsPipeline.CursorState("scotus", "cursor-abc123", ts("2024-06-01 00:00:00"))

@@ -1210,6 +1210,18 @@ object SparkEntry {
         EventsPipeline.streamStreamLeftJoin(s, dir, "q94_sink")
       }
       s.table("q94_sink").filter(col("user_id") >= 0)
+    }),
+
+    // SemDeDup-style semantic dedup: k-means cells fence the all-pairs
+    // cosine work; rows with an earlier near-duplicate in their cell are
+    // dropped. The oracle re-derives pairs, cosine (independent double
+    // math), and the anchor rule from the dumped assignment table.
+    "q97_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val assigned = new Similarity.IvfIndex(emb, nCentroids = 8)
+        .assigned.select(col("vec_id"), col("embedding"), col("centroid"))
+      writeAux(assigned.select("vec_id", "centroid"), dir, "q97_assigned")
+      Dedup.semanticDedupAssigned(assigned, "embedding", "vec_id", threshold = 0.3)
     })
   )
 
@@ -2322,6 +2334,20 @@ object SparkEntry {
         |  ON c.user_id = p.user_id
         |  AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
-        |WHERE c.event_type = 'click'""".stripMargin
+        |WHERE c.event_type = 'click'""".stripMargin,
+
+    "q97_semantic_dedup" ->
+      """WITH a AS (SELECT * FROM '__AUX__/q97_assigned/*.parquet'),
+        |e AS (SELECT a.vec_id, a.centroid, emb.embedding
+        |  FROM embeddings emb JOIN a ON emb.vec_id = a.vec_id),
+        |p AS (SELECT x.vec_id AS id1, y.vec_id AS id2,
+        |    unnest(x.embedding)::DOUBLE AS vx, unnest(y.embedding)::DOUBLE AS vy
+        |  FROM e x JOIN e y ON x.centroid = y.centroid AND x.vec_id < y.vec_id),
+        |c AS (SELECT id1, id2,
+        |    round(sum(vx*vy) / (sqrt(sum(vx*vx)) * sqrt(sum(vy*vy))), 6) AS cos
+        |  FROM p GROUP BY 1, 2),
+        |losers AS (SELECT DISTINCT id2 FROM c WHERE cos >= 0.3)
+        |SELECT vec_id, centroid FROM a
+        |WHERE vec_id NOT IN (SELECT id2 FROM losers)""".stripMargin
   )
 }

@@ -587,4 +587,44 @@ object Dedup {
       .filter(col("rn") === 1)
       .drop("rn")
   }
+
+  /** SemDeDup-style semantic dedup over an embedding column: a k-means
+    * coarse quantizer (the [[Similarity.IvfIndex]] fit) buckets the
+    * corpus into clusters, then pairwise cosine runs ONLY within each
+    * cluster and any row with an earlier (lower-id) near-duplicate —
+    * cos ≥ threshold, rounded to 6 decimals before comparison — is
+    * dropped. The anchor rule (compare against all earlier rows, not
+    * survivors only) keeps the result a pure function of the pair set,
+    * re-derivable by any engine from the assignment table — a greedy
+    * survivor chain would be order-dependent and unauditable.
+    *
+    * Scale shape: the all-pairs work is fenced inside clusters, the
+    * same cost bound the SemDeDup construction relies on — cluster
+    * count grows with the corpus (LAION-scale runs use ~10^5 cells) so
+    * cells stay bounded; the cluster-keyed self-join shuffles (id, vec)
+    * once per side and the final anti-join is ids-only. Returns kept
+    * rows as (idCol, centroid). */
+  def semanticDedupAssigned(assigned: DataFrame, vecCol: String,
+      idCol: String, threshold: Double): DataFrame = {
+    import graft.functions.GraftFunctions.vecCosine
+    val a = assigned.select(col("centroid"), col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = assigned.select(col("centroid"), col(idCol).as("id2"), col(vecCol).as("v2"))
+    val losers = a.join(b, Seq("centroid"))
+      .filter(col("id1") < col("id2"))
+      .filter(round(vecCosine(col("v1"), col("v2")), 6) >= threshold)
+      .select(col("id2").as(idCol)).distinct()
+    assigned.join(losers, Seq(idCol), "left_anti")
+      .select(col(idCol), col("centroid"))
+  }
+
+  /** Fit + assign + dedup in one call (the common path; use
+    * [[semanticDedupAssigned]] directly to reuse an existing index or
+    * dump the assignment for an external audit). */
+  def semanticDedup(df: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id", nClusters: Int = 16,
+      threshold: Double = 0.95): DataFrame = {
+    val assigned = new Similarity.IvfIndex(df, nClusters, vecCol, idCol)
+      .assigned.select(col(idCol), col(vecCol), col("centroid"))
+    semanticDedupAssigned(assigned, vecCol, idCol, threshold)
+  }
 }

@@ -228,6 +228,37 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("semanticDedupAssigned: anchor rule within cluster; cluster fence respected") {
+    def v(x: Double, y: Double, z: Double) = Array(x.toFloat, y.toFloat, z.toFloat)
+    val assigned = Seq(
+      (1L, v(1, 0, 0), 0), (2L, v(0.999, 0.01, 0), 0), (3L, v(0.998, -0.01, 0), 0),
+      (10L, v(0, 1, 0), 1), (11L, v(0.01, 0.999, 0), 1),
+      (20L, v(0, 0.1, 0.995), 1), // in the y-cluster but cos ~0.1 — survives
+      (30L, v(1, 0, 0), 1)) // identical to vec 1 but FENCED in another cluster
+      .toDF("vec_id", "embedding", "centroid")
+    val kept = Dedup
+      .semanticDedupAssigned(assigned, "embedding", "vec_id", threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 20L, 30L), s"kept: $kept")
+  }
+
+  test("semanticDedup end-to-end: identical vectors co-cluster and later copies drop") {
+    // identical coordinates always land on the same nearest centroid,
+    // so the wrapper's behavior is deterministic regardless of the
+    // k-means initialization
+    def v(x: Double, y: Double, z: Double) = Array(x.toFloat, y.toFloat, z.toFloat)
+    val vecs = Seq(
+      (1L, v(1, 0, 0)), (2L, v(1, 0, 0)), (3L, v(1, 0, 0)),
+      (10L, v(0, 1, 0)), (11L, v(0, 1, 0)),
+      (20L, v(0, 0, 1)))
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(vecs, nClusters = 3, threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(2L) && !kept.contains(3L))
+    assert(kept.contains(10L) && !kept.contains(11L))
+    assert(kept.contains(20L))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite with SparkTestBase {

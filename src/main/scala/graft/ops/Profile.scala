@@ -32,4 +32,54 @@ object Profile {
     wide.select(expr(s"stack(${cols.length}, $stackArgs) " +
       "as (col_name, n, n_distinct, n_nulls, min_v, max_v)"))
   }
+
+  /** Misra–Gries heavy hitters: the frequent items in a column WITHOUT
+    * shuffling the full (value, count) table — the sketch-tier answer
+    * when cardinality is corpus-sized (distinct tokens/URLs at 100 TB)
+    * and an exact `groupBy(value).count` would shuffle billions of keys
+    * to find twenty.
+    *
+    * Each partition maintains a bounded `sketchSize`-counter summary
+    * (insert; on overflow decrement all — the classic MG step); partial
+    * summaries merge associatively up a treeAggregate. Guarantees of
+    * the merged sketch: every value with true count > N/(sketchSize+1)
+    * IS present, and each reported estimate undercounts by at most
+    * N/(sketchSize+1). Run with sketchSize ≥ k/ε to resolve the top k
+    * at error εN; confirm exact counts for the surviving candidates
+    * with one cheap semi-joined recount when exactness matters.
+    *
+    * Returns the candidate set as (value, est_count), est desc / value
+    * asc, driver-materialized (≤ sketchSize rows by construction). */
+  def heavyHitters(df: DataFrame, valueCol: String,
+      sketchSize: Int = 64): DataFrame = {
+    require(sketchSize >= 1, "sketchSize must be positive")
+    type Sketch = scala.collection.mutable.HashMap[String, Long]
+    def insert(s: Sketch, v: String, w: Long): Sketch = {
+      if (v != null) {
+        s.get(v) match {
+          case Some(c) => s.update(v, c + w)
+          case None if s.size < sketchSize => s.update(v, w)
+          case None => // decrement-all by the new item's weight, drop zeros
+            val dec = math.min(w, s.values.min)
+            val dead = new scala.collection.mutable.ArrayBuffer[String]
+            s.foreach { case (k, c) =>
+              if (c - dec <= 0) dead += k else s.update(k, c - dec) }
+            dead.foreach(s.remove)
+            if (w > dec) s.update(v, w - dec)
+        }
+      }
+      s
+    }
+    def merge(a: Sketch, b: Sketch): Sketch = {
+      b.foreach { case (v, c) => insert(a, v, c) }
+      a
+    }
+    val spark = df.sparkSession
+    val sketch = df.select(col(valueCol).cast("string")).rdd
+      .map(_.getString(0))
+      .treeAggregate(new Sketch)(insert(_, _, 1L), merge)
+    import spark.implicits._
+    sketch.toSeq.sortBy { case (v, c) => (-c, v) }
+      .toDF(valueCol, "est_count")
+  }
 }

@@ -210,4 +210,90 @@ object TextAnalysis {
     * division sequence (not oracle-gated; spec-gated). */
   def unigramLogProbScore(sumCnt: Column, nTok: Column, corpusN: Column): Column =
     round(log(sumCnt.cast("double") / nTok.cast("double") / corpusN.cast("double")), 6)
+
+  /** Distributed BPE merge training. The corpus is compressed ONCE into
+    * a (word, count) table — the standard tokenizer-training move: all
+    * subsequent merge iterations run over distinct words weighted by
+    * their counts, never the corpus again. Each round counts adjacent
+    * symbol pairs (explode → sum(count) keyed by pair — a narrow
+    * two-string shuffle), picks the argmax deterministically (count
+    * desc, pair asc), applies the merge to the word table with a
+    * compiled UDF, and `localCheckpoint`s so the plan stays
+    * constant-size across rounds (the components/PageRank guard —
+    * without it every round doubles the logical tree).
+    *
+    * At 100 TB the word table is the vocabulary of the corpus (≪ the
+    * corpus; Heaps' law), so per-round cost is bounded by distinct
+    * words. The argmax is a single-row driver collect per round — the
+    * same bounded-probe class as the IVF fit.
+    *
+    * Tokens are whitespace-split, symbols start as characters (no
+    * end-of-word marker — document-internal merges only). Returns the
+    * merge rules in order. */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 1, "numMerges must be positive")
+    val charsUdf = udf { w: String => w.map(_.toString) }
+    var words = docs
+      .select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(charsUdf(col("w")).as("syms"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val top = words
+        .select(col("cnt"), explode(expr(
+          "transform(slice(syms, 1, size(syms) - 1), (s, i) -> struct(s as a, syms[i + 1] as b))"))
+          .as("p"))
+        .groupBy(col("p.a"), col("p.b")).agg(sum(col("cnt")).as("n"))
+        .orderBy(desc("n"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val applyMerge = udf { syms: Seq[String] =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.toSeq
+        }
+        words = words.select(applyMerge(col("syms")).as("syms"), col("cnt"))
+          .localCheckpoint()
+      }
+      round += 1
+    }
+    merges.toSeq
+  }
+
+  /** Apply trained BPE merges to a text column (greedy, in rule order —
+    * the standard BPE encode). Returns an array-of-symbols column. */
+  def bpeEncode(textCol: Column, merges: Seq[(String, String)]): Column = {
+    val rules = merges.toArray
+    val enc = udf { text: String =>
+      if (text == null) Seq.empty[String]
+      else text.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { w =>
+        var syms: Array[String] = w.map(_.toString).toArray
+        rules.foreach { case (a, b) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.toArray
+        }
+        syms.toSeq
+      }
+    }
+    enc(textCol)
+  }
 }

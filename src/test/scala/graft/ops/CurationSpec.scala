@@ -185,6 +185,27 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1L), s"only the clean doc clears the cut: $kept")
   }
 
+  test("canonicalizeUrl: host case/port/tracking/fragment/slash variants collapse") {
+    val urls = Seq(
+      (1L, "https://Example.COM:443/Path/To/Page/?utm_source=a&utm_medium=b"),
+      (2L, "https://example.com/Path/To/Page/"),
+      (3L, "https://example.com/Path/To/Page?fbclid=xyz#section-2"),
+      (4L, "http://Host.NET:80/a?keep=1&utm_campaign=x&also=2"),
+      (5L, "not a url at all"),
+      (6L, "https://example.com/")
+    ).toDF("id", "url")
+    val out = urls.select($"id", Curation.canonicalizeUrl($"url").as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "https://example.com/Path/To/Page")
+    assert(out(2L) == out(1L) && out(3L) == out(1L),
+      s"variants must collapse: ${out(1L)} / ${out(2L)} / ${out(3L)}")
+    // mid-query tracking param removed, real params kept in order
+    assert(out(4L) == "http://host.net/a?keep=1&also=2", out(4L))
+    // non-URL strings pass through un-mangled (no host match -> rest only)
+    assert(out(5L) == "not a url at all")
+    assert(out(6L) == "https://example.com")
+  }
+
   test("contamination broadcasts the eval gram set (scale contract)") {
     val df = (1L to 60L).map(i => (i, s"token$i words go here padding out five grams minimum"))
       .toDF("doc_id", "text")

@@ -391,3 +391,48 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(frames == Seq(0L, 1000L, 2000L))
   }
 }
+
+class ProfileSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("heavyHitters: MG sketch surfaces every true heavy hitter within its error bound") {
+    // N = 500 + 120 + 200 = 820; sketchSize 16 -> error bound N/17 ~ 48
+    val rows = Seq.fill(500)("hot") ++ Seq.fill(120)("warm") ++
+      (1 to 200).map(i => s"cold$i")
+    val df = rows.toDF("tok")
+    val hh = Profile.heavyHitters(df, "tok", sketchSize = 16)
+      .as[(String, Long)].collect()
+    val est = hh.toMap
+    val n = rows.length
+    val bound = n / 17 + 1
+    assert(est.contains("hot") && est.contains("warm"),
+      s"true heavy hitters must survive: $est")
+    assert(hh.head._1 == "hot", "top slot is the hottest value")
+    // estimates never overcount and undercount by at most N/(size+1)
+    assert(est("hot") <= 500 && est("hot") >= 500 - bound, s"hot=${est("hot")}")
+    assert(est("warm") <= 120 && est("warm") >= 120 - bound, s"warm=${est("warm")}")
+    assert(hh.length <= 16, "sketch is bounded")
+  }
+}
+
+class TokenizerSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+  import graft.ops.TextAnalysis
+
+  test("bpeTrain learns the classic merge sequence; bpeEncode applies it") {
+    // the standard BPE teaching corpus: hug x10, pug x5, pun x12,
+    // bun x4, hugs x5 — first merges are (u,g), (u,n), (h,ug)
+    val words = Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs")
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", numMerges = 3)
+    assert(merges == Seq(("u", "g"), ("u", "n"), ("h", "ug")), merges.toString)
+    // deterministic: a second run learns the identical rules
+    assert(TextAnalysis.bpeTrain(docs, "text", numMerges = 3) == merges)
+    val enc = Seq(("hugs pun bug"))
+      .toDF("text")
+      .select(TextAnalysis.bpeEncode(col("text"), merges).as("syms"))
+      .as[Seq[String]].head()
+    assert(enc == Seq("hug", "s", "p", "un", "b", "ug"), enc.toString)
+  }
+}

@@ -1222,7 +1222,17 @@ object SparkEntry {
         .assigned.select(col("vec_id"), col("embedding"), col("centroid"))
       writeAux(assigned.select("vec_id", "centroid"), dir, "q97_assigned")
       Dedup.semanticDedupAssigned(assigned, "embedding", "vec_id", threshold = 0.3)
-    })
+    }),
+
+    // Exact heavy hitters THROUGH the MG sketch: candidates are a
+    // guaranteed superset of every token covering ≥ 3.4% of the corpus,
+    // the semi-joined recount confirms exact counts — so the result is
+    // layout-independent and equals the plain GROUP BY/HAVING oracle,
+    // while the only full-width shuffle is over candidate tokens.
+    "q98_heavy_hitters" -> ((s, dir) =>
+      graft.ops.Profile.heavyHittersExactFrac(
+        t(s, dir, "documents").select(explode(split(col("text"), " ")).as("tok")),
+        "tok", phi = 0.034, sketchSize = 64))
   )
 
   // ---------------------------------------------------------------------
@@ -2348,6 +2358,12 @@ object SparkEntry {
         |  FROM p GROUP BY 1, 2),
         |losers AS (SELECT DISTINCT id2 FROM c WHERE cos >= 0.3)
         |SELECT vec_id, centroid FROM a
-        |WHERE vec_id NOT IN (SELECT id2 FROM losers)""".stripMargin
+        |WHERE vec_id NOT IN (SELECT id2 FROM losers)""".stripMargin,
+
+    "q98_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t)
+        |SELECT tok, count(*) AS cnt FROM t, n GROUP BY tok, n.n
+        |HAVING count(*) >= CAST(ceil(0.034 * n.n) AS BIGINT)""".stripMargin
   )
 }

@@ -82,4 +82,47 @@ object Profile {
     sketch.toSeq.sortBy { case (v, c) => (-c, v) }
       .toDF(valueCol, "est_count")
   }
+
+  /** EXACT heavy hitters through the sketch: MG candidates (a superset
+    * of every value with count ≥ threshold, by the sketch guarantee),
+    * then one semi-joined recount confirms exact counts and drops the
+    * false candidates. The result is exactly `SELECT value, count(*)
+    * … HAVING count ≥ threshold` — independent of partition layout and
+    * merge order, because completeness only needs the guarantee — but
+    * the only shuffle is the recount of ≤ sketchSize candidate values
+    * (broadcast semi-join prunes the rest map-side), never the full
+    * value space.
+    *
+    * Requires threshold > N/(sketchSize+1) — below that the sketch
+    * cannot promise completeness, and this method refuses loudly
+    * rather than return a silently-partial answer. */
+  def heavyHittersExact(df: DataFrame, valueCol: String, threshold: Long,
+      sketchSize: Int = 64): DataFrame = {
+    val vals = df.select(col(valueCol).cast("string").as(valueCol))
+    exactCore(vals, valueCol, vals.count(), threshold, sketchSize)
+  }
+
+  /** [[heavyHittersExact]] with the threshold as a corpus fraction —
+    * the scale-portable form (an absolute count means different things
+    * at sf 0.01 and at 100 TB; "values covering ≥ phi of rows" means
+    * the same). threshold = ceil(phi · N). */
+  def heavyHittersExactFrac(df: DataFrame, valueCol: String, phi: Double,
+      sketchSize: Int = 64): DataFrame = {
+    require(phi > 0 && phi <= 1, s"phi $phi outside (0,1]")
+    val vals = df.select(col(valueCol).cast("string").as(valueCol))
+    val n = vals.count()
+    exactCore(vals, valueCol, n, math.ceil(phi * n).toLong, sketchSize)
+  }
+
+  private def exactCore(vals: DataFrame, valueCol: String, n: Long,
+      threshold: Long, sketchSize: Int): DataFrame = {
+    require(threshold > n / (sketchSize + 1),
+      s"threshold $threshold not covered by sketch guarantee " +
+        s"N/(size+1) = ${n / (sketchSize + 1)}: raise sketchSize")
+    val candidates = heavyHitters(vals, valueCol, sketchSize)
+      .select(col(valueCol))
+    vals.join(broadcast(candidates), Seq(valueCol), "left_semi")
+      .groupBy(valueCol).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+  }
 }

@@ -413,6 +413,24 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(est("warm") <= 120 && est("warm") >= 120 - bound, s"warm=${est("warm")}")
     assert(hh.length <= 16, "sketch is bounded")
   }
+
+  test("heavyHittersExact equals plain GROUP BY/HAVING; refuses uncovered thresholds") {
+    val rows = Seq.fill(300)("a") ++ Seq.fill(200)("b") ++ Seq.fill(90)("c") ++
+      (1 to 100).map(i => s"x$i")
+    val df = rows.toDF("tok")
+    val got = Profile.heavyHittersExact(df, "tok", threshold = 100, sketchSize = 32)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 300L, "b" -> 200L), s"got $got")
+    // fraction form: phi = 0.12 of 690 rows -> threshold 83 -> c included
+    val frac = Profile.heavyHittersExactFrac(df, "tok", phi = 0.12, sketchSize = 32)
+      .as[(String, Long)].collect().toMap
+    assert(frac == Map("a" -> 300L, "b" -> 200L, "c" -> 90L), s"got $frac")
+    // threshold below the sketch guarantee must fail loudly, not return
+    // a silently-partial answer
+    intercept[IllegalArgumentException] {
+      Profile.heavyHittersExact(df, "tok", threshold = 5, sketchSize = 32)
+    }
+  }
 }
 
 class TokenizerSpec extends AnyFunSuite with SparkTestBase {

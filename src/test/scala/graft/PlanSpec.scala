@@ -180,4 +180,37 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(agg.exists(_.contains("partial")),
       s"expected partial_ aggregate before the exchange:\n${agg.mkString("\n")}")
   }
+
+  test("q92 guard: per-domain thresholds broadcast; the corpus side never sort-merges") {
+    val dom = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), (col("doc_id") % 7).cast("string").as("dom"))
+    val plan = graft.ops.Sampling.temperatureSample(dom, "dom", "doc_id", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"threshold lookup must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the rate lookup:\n$plan")
+  }
+
+  test("q96 guard: changelog apply never windows or sorts the snapshot") {
+    val d = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val ch = d.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), lit(1L).as("seq"), lit("U").as("op"), col("text"))
+    val plan = graft.index.IndexWriter.applyChangelog(d, ch, "doc_id", "seq", "op")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"superseded rows strip via anti-join:\n$plan")
+    assert(!plan.contains("Window"),
+      s"latest-wins must be an aggregate argmax, not a window sort:\n$plan")
+  }
+
+  test("q95 guard: classifier inference is exchange-free whole-stage codegen") {
+    val plan = graft.ops.Curation.linearQualityFilter(
+        spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+        "doc_id", "text",
+        graft.ops.Curation.QualityWeights(2, 1, -50, -10, -500), 0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"no shuffle for per-row scoring:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Filter")),
+      s"the logit filter must run inside whole-stage codegen:\n$plan")
+  }
 }

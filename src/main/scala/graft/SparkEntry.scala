@@ -1232,7 +1232,18 @@ object SparkEntry {
     "q98_heavy_hitters" -> ((s, dir) =>
       graft.ops.Profile.heavyHittersExactFrac(
         t(s, dir, "documents").select(explode(split(col("text"), " ")).as("tok")),
-        "tok", phi = 0.034, sketchSize = 64))
+        "tok", phi = 0.034, sketchSize = 64)),
+
+    // Streaming per-key quota admission (streaming domainCap): at most 5
+    // events per user admitted through one long of state per key; the
+    // single-batch drain is ordered by (ts, id) within each group, so it
+    // equals the batch rank-by-event-time oracle exactly.
+    "q99_stream_quota" -> ((s, dir) => {
+      EventsPipeline.drained(s) {
+        EventsPipeline.streamQuotaAdmission(s, dir, "q99_sink", cap = 5)
+      }
+      s.table("q99_sink")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -2364,6 +2375,13 @@ object SparkEntry {
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t)
         |SELECT tok, count(*) AS cnt FROM t, n GROUP BY tok, n.n
-        |HAVING count(*) >= CAST(ceil(0.034 * n.n) AS BIGINT)""".stripMargin
+        |HAVING count(*) >= CAST(ceil(0.034 * n.n) AS BIGINT)""".stripMargin,
+
+    "q99_stream_quota" ->
+      """SELECT user_id, event_id FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn <= 5""".stripMargin
   )
 }

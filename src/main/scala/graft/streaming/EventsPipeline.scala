@@ -279,6 +279,46 @@ object EventsPipeline {
       .start()
   }
 
+  /** Streaming per-key quota admission — the streaming complement of
+    * `Curation.domainCap`: admit at most `cap` events per user over the
+    * life of the stream, emitting admitted events as they arrive
+    * (backfill ingestion with per-source quotas, free-tier rate caps).
+    * State per key is ONE long (the used count) — bounded regardless of
+    * stream length, no timeout needed.
+    *
+    * Within a micro-batch the group's rows are ordered by (ts,
+    * event_id) before admission, so a single-batch drain equals the
+    * batch rank-by-event-time formulation exactly (the oracle). Across
+    * micro-batches admission is necessarily arrival-order — that IS the
+    * online semantics of a quota; the batch equivalence holds per batch,
+    * and the count cap holds always. */
+  def streamQuotaAdmission(spark: SparkSession, dir: String,
+      queryName: String, cap: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    require(cap >= 1, "cap must be positive")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"))
+      .as[(Long, Long, Long)]
+    stream.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[Long]) =>
+          val used = state.getOption.getOrElse(0L)
+          val admitted = rows.toSeq.sortBy(r => (r._2, r._3))
+            .take(math.max(0, cap - used.toInt))
+          state.update(used + admitted.size)
+          admitted.map(r => (uid, r._3)).iterator
+      }
+      .toDF("user_id", "event_id")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def streamStatefulUserCounts(spark: SparkSession, dir: String,
       queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._

@@ -121,6 +121,26 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
       s"tail click $lastUnmatched lost: watermark never passed its join window")
   }
 
+  test("streamQuotaAdmission: at most cap per user, earliest events win") {
+    val dir = "/root/testdata/sf0.001"
+    val q = EventsPipeline.streamQuotaAdmission(spark, dir, "test_quota_sink", cap = 3)
+    q.processAllAvailable()
+    q.stop()
+    val admitted = spark.table("test_quota_sink")
+    val perUser = admitted.groupBy("user_id").count()
+      .agg(max("count")).first().getLong(0)
+    assert(perUser <= 3, s"cap violated: $perUser")
+    // single-batch drain == batch rank by (ts, event_id)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val batch = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("user_id", "event_id")
+    assert(admitted.except(batch).isEmpty && batch.except(admitted).isEmpty,
+      "admitted set must equal the batch rank formulation")
+  }
+
   test("cursor checkpoint round-trips and fixes the reference's broken resume (Q1)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cursor").toString + "/c"
     val state = EventsPipeline.CursorState("scotus", "cursor-abc123", ts("2024-06-01 00:00:00"))

@@ -1243,6 +1243,22 @@ object SparkEntry {
         EventsPipeline.streamQuotaAdmission(s, dir, "q99_sink", cap = 5)
       }
       s.table("q99_sink")
+    }),
+
+    // Domain blocklist filtering at dot boundaries: "site7.com" blocks
+    // its cdn. subdomain but NOT "xsite7.com"; a cdn-specific entry
+    // blocks only that subdomain. Suffix-explode + broadcast semi-join
+    // + ids-only anti-join — the corpus never shuffles.
+    "q100_blocklist_filter" -> ((s, dir) => {
+      val base = concat(lit("site"), (col("doc_id") % 50).cast("string"), lit(".com"))
+      val host = when(col("doc_id") % 2 === 0, concat(lit("cdn."), base))
+        .otherwise(when(col("doc_id") % 7 === 0, concat(lit("x"), base)).otherwise(base))
+      val docs = t(s, dir, "documents").select(col("doc_id"), host.as("host"))
+      val blocklist = s.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row("site7.com"), org.apache.spark.sql.Row("site13.com"),
+          org.apache.spark.sql.Row("cdn.site2.com")),
+        new org.apache.spark.sql.types.StructType().add("blocked", "string"))
+      graft.ops.Curation.blocklistFilter(docs, "doc_id", "host", blocklist, "blocked")
     })
   )
 
@@ -2382,6 +2398,20 @@ object SparkEntry {
         |  SELECT user_id, event_id,
         |    row_number() OVER (PARTITION BY user_id
         |                       ORDER BY ts, event_id) AS rn
-        |  FROM events) WHERE rn <= 5""".stripMargin
+        |  FROM events) WHERE rn <= 5""".stripMargin,
+
+    "q100_blocklist_filter" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'cdn.site' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+        |         WHEN doc_id % 7 = 0 THEN 'xsite' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+        |         ELSE 'site' || CAST(doc_id % 50 AS VARCHAR) || '.com' END AS host
+        |  FROM documents),
+        |b(blocked) AS (VALUES ('site7.com'), ('site13.com'), ('cdn.site2.com')),
+        |sfx AS (SELECT doc_id,
+        |    unnest([array_to_string(parts[i:], '.') for i in range(1, len(parts) + 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(host, '.') AS parts FROM d)),
+        |bad AS (SELECT DISTINCT doc_id FROM sfx JOIN b ON sfx.s = b.blocked)
+        |SELECT doc_id, host FROM d
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
   )
 }

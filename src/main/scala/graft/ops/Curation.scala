@@ -175,7 +175,32 @@ object Curation {
   }
 
   // -------------------------------------------------------------------
-  // Linear quality classifier (the fastText-filter shape): a trained
+  // Domain blocklist filtering with dot-boundary suffix matching: a
+  // blocklist entry "site.com" must block "a.cdn.site.com" but NOT
+  // "evilsite.com" — so matching is on the set of dot-suffixes of the
+  // host, never substring LIKE (which both over- and under-matches and
+  // can't use a join). Each host explodes into ≤ label-count suffixes
+  // ("a.b.com" → a.b.com, b.com, com), the blocklist broadcasts (block
+  // tables are small by nature), and blocked ids come back as one
+  // ids-only anti-join. The corpus never shuffles.
+  // -------------------------------------------------------------------
+
+  /** All dot-boundary suffixes of a host column (by name) as an array. */
+  def hostSuffixes(hostCol: String): Column =
+    expr(s"transform(sequence(1, size(split(`$hostCol`, '[.]'))), " +
+      s"i -> array_join(slice(split(`$hostCol`, '[.]'), i, 1000), '.'))")
+
+  /** Rows whose host matches NO blocklist entry at a dot boundary.
+    * `blocklist` is a one-column frame of blocked suffixes. */
+  def blocklistFilter(docs: DataFrame, idCol: String, hostCol: String,
+      blocklist: DataFrame, blockHostCol: String): DataFrame = {
+    val blockedIds = docs
+      .select(col(idCol), explode(hostSuffixes(hostCol)).as("__sfx"))
+      .join(broadcast(blocklist.select(col(blockHostCol).as("__sfx"))),
+        Seq("__sfx"), "left_semi")
+      .select(idCol).distinct()
+    docs.join(blockedIds, Seq(idCol), "left_anti")
+  }
   // model reduced to per-feature weights, applied as one narrow
   // projection. Weights and features are integers and the score is the
   // raw logit — sigmoid is monotone, so "p(keep) ≥ τ" is exactly

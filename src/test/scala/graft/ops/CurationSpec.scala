@@ -206,6 +206,25 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(out(6L) == "https://example.com")
   }
 
+  test("blocklistFilter: dot-boundary suffix semantics, not substring LIKE") {
+    val docs = Seq(
+      (1L, "site.com"),          // exact match -> blocked
+      (2L, "a.cdn.site.com"),    // subdomain -> blocked
+      (3L, "evilsite.com"),      // substring but NOT a dot suffix -> kept
+      (4L, "site.com.evil.org"), // blocked name as a PREFIX label -> kept
+      (5L, "clean.org")          // unrelated -> kept
+    ).toDF("id", "host")
+    val block = Seq("site.com").toDF("blocked")
+    val kept = Curation.blocklistFilter(docs, "id", "host", block, "blocked")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 5L), s"kept: $kept")
+    // the blocklist side broadcasts; the corpus side never shuffles
+    val plan = Curation.blocklistFilter(docs, "id", "host", block, "blocked")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastQueryStage"),
+      s"blocklist must broadcast:\n$plan")
+  }
+
   test("contamination broadcasts the eval gram set (scale contract)") {
     val df = (1L to 60L).map(i => (i, s"token$i words go here padding out five grams minimum"))
       .toDF("doc_id", "text")

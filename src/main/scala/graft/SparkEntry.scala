@@ -1259,7 +1259,34 @@ object SparkEntry {
           org.apache.spark.sql.Row("cdn.site2.com")),
         new org.apache.spark.sql.types.StructType().add("blocked", "string"))
       graft.ops.Curation.blocklistFilter(docs, "doc_id", "host", blocklist, "blocked")
-    })
+    }),
+
+    // Consecutive-duplicate suppression (heartbeat debounce): an event
+    // whose type equals the previous event's type for the same user is
+    // dropped — only state CHANGES survive. One lag window per user.
+    "q101_consecutive_dedup" -> ((s, dir) =>
+      EventsPipeline.dropConsecutiveDuplicates(
+        events(s, dir), "user_id", Seq("event_type"))
+        .select(col("user_id"), col("event_id"), col("event_type"))),
+
+    // Per-group winsorization: extended prices clamp to their return-
+    // flag group's exact [p05, p95] — heavy tails bounded, rows kept.
+    // Bounds from one tiny per-group aggregate joined back (broadcast).
+    "q102_winsorize" -> ((s, dir) =>
+      graft.ops.Cleaning.winsorize(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_extendedprice")),
+        "l_returnflag", "l_extendedprice")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice_wins"))),
+
+    // Ordered funnel: users reaching signup → click → purchase with each
+    // step strictly after the previous (one user-keyed walk vs the
+    // oracle's chained min-after-stage joins).
+    "q103_funnel" -> ((s, dir) =>
+      EventsPipeline.funnelCounts(events(s, dir),
+        Seq("signup", "click", "purchase")))
   )
 
   // ---------------------------------------------------------------------
@@ -2412,6 +2439,38 @@ object SparkEntry {
         |  FROM (SELECT doc_id, string_split(host, '.') AS parts FROM d)),
         |bad AS (SELECT DISTINCT doc_id FROM sfx JOIN b ON sfx.s = b.blocked)
         |SELECT doc_id, host FROM d
-        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    "q101_consecutive_dedup" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |WHERE prev_type IS NULL OR event_type <> prev_type""".stripMargin,
+
+    "q102_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+        |    round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  round(least(greatest(CAST(l.l_extendedprice AS DOUBLE), b.lo), b.hi), 6)
+        |    AS l_extendedprice_wins
+        |FROM lineitem l JOIN b USING (l_returnflag)""".stripMargin,
+
+    "q103_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+        |SELECT 1 AS step_index, 'signup' AS step,
+        |  (SELECT count(*) FROM s1) AS users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin
   )
 }

@@ -94,4 +94,25 @@ object Cleaning {
   def admitted(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
     validate(df, rules).filter(size(col("violations")) === 0)
       .drop("violations")
+
+  /** Per-group winsorization: clamp a value column to its group's
+    * [lo, hi] exact percentiles — the outlier treatment that keeps the
+    * row (unlike a z-score drop) while bounding heavy tails before
+    * means/regressions. Exact linear-interpolation percentiles (the
+    * same cross-engine-stable `percentile` used by q41), computed in
+    * one small per-group aggregate and joined back — AQE broadcasts the
+    * bounds table while groups are few; the fact table never sorts.
+    * Clamped values and bounds round to 6 dp so engines agree. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"bad percentile range [$lo, $hi]")
+    val bounds = df.groupBy(groupCol).agg(
+      round(expr(s"percentile($valueCol, $lo)"), 6).as("__lo"),
+      round(expr(s"percentile($valueCol, $hi)"), 6).as("__hi"))
+    df.join(bounds, Seq(groupCol))
+      .withColumn(s"${valueCol}_wins",
+        round(least(greatest(col(valueCol).cast("double"), col("__lo")),
+          col("__hi")), 6))
+      .drop("__lo", "__hi")
+  }
 }

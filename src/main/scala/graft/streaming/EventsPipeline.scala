@@ -279,6 +279,69 @@ object EventsPipeline {
       .start()
   }
 
+  /** Ordered funnel analysis: how many users reach step k of a
+    * `steps` sequence, where step k counts only if it happens at a
+    * STRICTLY later event time than step k-1 (the product-analytics
+    * funnel contract — a purchase before the click doesn't convert the
+    * click). Per user this is one compiled walk over the time-sorted
+    * event list — equivalent to the chained min-after-previous-stage
+    * SQL formulation the oracle uses, but in ONE shuffle (user-keyed
+    * collect) instead of K chained join+aggregate passes.
+    *
+    * At scale the per-user event list is session-bounded (and can be
+    * pre-filtered to the funnel's event types — done here); the walk is
+    * O(events per user). Returns (step_index 1-based, step, users). */
+  def funnelCounts(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepsArr = steps.toArray
+    val walk = udf { seq: Seq[org.apache.spark.sql.Row] =>
+      var stage = 0
+      var lastTs = Long.MinValue
+      seq.foreach { r =>
+        val ts = r.getLong(0); val et = r.getString(1)
+        if (stage < stepsArr.length && et == stepsArr(stage) &&
+          (stage == 0 || ts > lastTs)) {
+          lastTs = ts; stage += 1
+        }
+      }
+      stage
+    }
+    val reached = events
+      .filter(col(typeCol).isin(steps: _*)) // funnel types only — scan-pushed
+      .select(col(userCol), unix_micros(col(tsCol)).as("__us"), col(typeCol).as("__et"))
+      .groupBy(userCol)
+      .agg(sort_array(collect_list(struct(col("__us"), col("__et")))).as("__seq"))
+      .select(col(userCol), walk(col("__seq")).as("__reached"))
+    reached
+      .select(explode(when(col("__reached") >= 1,
+        sequence(lit(1), col("__reached"))).otherwise(array())).as("step_index"))
+      .groupBy("step_index").agg(count(lit(1)).as("users"))
+      .select(col("step_index").cast("long").as("step_index"),
+        element_at(lit(stepsArr), col("step_index")).as("step"), col("users"))
+  }
+
+  /** Consecutive-duplicate suppression (sensor/CDC debounce): drop an
+    * event when the previous event of the SAME key carries the same
+    * payload — keeping only value CHANGES, the standard compaction for
+    * heartbeat-style feeds that re-send unchanged state. One lag window
+    * per key (single shuffle on the key, ordered by event time with an
+    * id tie-break); first event per key always survives. */
+  def dropConsecutiveDuplicates(events: DataFrame, keyCol: String,
+      payloadCols: Seq[String], tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    require(payloadCols.nonEmpty, "need at least one payload column")
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val sig = md5(concat_ws("", payloadCols.map(col): _*).cast("binary"))
+    events
+      .withColumn("__sig", sig)
+      .withColumn("__prev", lag(col("__sig"), 1).over(byKey))
+      .filter(col("__prev").isNull || col("__sig") =!= col("__prev"))
+      .drop("__sig", "__prev")
+  }
+
   /** Streaming per-key quota admission — the streaming complement of
     * `Curation.domainCap`: admit at most `cap` events per user over the
     * life of the stream, emitting admitted events as they arrive

@@ -74,4 +74,20 @@ class CleaningSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"), s"validate must not shuffle:\n$plan")
     intercept[IllegalArgumentException] { Cleaning.validate(df, Seq.empty) }
   }
+
+  test("winsorize clamps tails to group percentiles, keeps every row") {
+    // group a: 1..100 -> p05 = 5.95, p95 = 95.05 (linear interpolation)
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) :+ (("b", 7.0)))
+      .toDF("grp", "v")
+    val out = Cleaning.winsorize(df, "grp", "v", 0.05, 0.95)
+    assert(out.count() == 101, "winsorize never drops rows")
+    val a = out.filter(col("grp") === "a").select("v_wins").as[Double].collect()
+    assert(a.min == 5.95 && a.max == 95.05, s"bounds: ${a.min}/${a.max}")
+    // interior values untouched
+    assert(a.count(v => v == 50.0) == 1)
+    // a single-row group maps to itself (p05 = p95 = the value)
+    val b = out.filter(col("grp") === "b").select("v_wins").as[Double].head()
+    assert(b == 7.0)
+    intercept[IllegalArgumentException] { Cleaning.winsorize(df, "grp", "v", 0.9, 0.1) }
+  }
 }

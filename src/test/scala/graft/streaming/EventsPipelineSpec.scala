@@ -121,6 +121,40 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
       s"tail click $lastUnmatched lost: watermark never passed its join window")
   }
 
+  test("dropConsecutiveDuplicates keeps only value changes per key") {
+    val ev = Seq(
+      (1L, 1L, "on"), (1L, 2L, "on"), (1L, 3L, "off"), (1L, 4L, "off"),
+      (1L, 5L, "on"),
+      (2L, 6L, "off"))
+      .map { case (u, i, st) => (u, new java.sql.Timestamp(i * 1000), i, st) }
+      .toDF("user_id", "ts", "event_id", "state")
+    val kept = EventsPipeline
+      .dropConsecutiveDuplicates(ev, "user_id", Seq("state"))
+      .select("event_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L, 6L), s"kept: $kept")
+  }
+
+  test("funnelCounts: strict ordering — a purchase before the click doesn't convert") {
+    def r(u: Long, s: Long, t: String) =
+      (u, new java.sql.Timestamp(s * 1000), s, t)
+    val ev = Seq(
+      // user 1 completes the funnel in order
+      r(1, 10, "signup"), r(1, 20, "click"), r(1, 30, "purchase"),
+      // user 2: purchase BEFORE click -> reaches click only
+      r(2, 10, "signup"), r(2, 15, "purchase"), r(2, 20, "click"),
+      // user 3: click without signup -> reaches nothing
+      r(3, 10, "click"), r(3, 20, "purchase"),
+      // user 4: signup only
+      r(4, 10, "signup"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventsPipeline
+      .funnelCounts(ev, Seq("signup", "click", "purchase"))
+      .select("step_index", "step", "users")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "signup", 3L), (2L, "click", 2L), (3L, "purchase", 1L)),
+      got.toString)
+  }
+
   test("streamQuotaAdmission: at most cap per user, earliest events win") {
     val dir = "/root/testdata/sf0.001"
     val q = EventsPipeline.streamQuotaAdmission(spark, dir, "test_quota_sink", cap = 3)

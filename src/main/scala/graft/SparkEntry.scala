@@ -1286,7 +1286,25 @@ object SparkEntry {
     // oracle's chained min-after-stage joins).
     "q103_funnel" -> ((s, dir) =>
       EventsPipeline.funnelCounts(events(s, dir),
-        Seq("signup", "click", "purchase")))
+        Seq("signup", "click", "purchase"))),
+
+    // JSONL ingestion with dead-letter handling: docs round-trip through
+    // newline-delimited JSON with every 7th line truncated mid-record;
+    // PERMISSIVE parse + corrupt-record column quarantines exactly those,
+    // admits the rest typed. Oracle derives the expected admitted set
+    // straight from the documents table.
+    "q104_jsonl_deadletter" -> ((s, dir) => {
+      val staging = "/tmp/graft_jsonl/" + new java.io.File(dir).getName
+      val line = to_json(struct(col("doc_id"), col("n_chars")))
+      t(s, dir, "documents")
+        .select(when(col("doc_id") % 7 === 0, substring(line, 1, 9))
+          .otherwise(line).as("value"))
+        .write.mode("overwrite").text(staging)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("n_chars", "long")
+      graft.sources.JsonlSource.admitted(
+        graft.sources.JsonlSource.read(s, staging, schema))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -2471,6 +2489,9 @@ object SparkEntry {
         |SELECT 1 AS step_index, 'signup' AS step,
         |  (SELECT count(*) FROM s1) AS users
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
-        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
+
+    "q104_jsonl_deadletter" ->
+      """SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 <> 0""".stripMargin
   )
 }

@@ -182,3 +182,25 @@ class PdfSourceSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(out(0).getAs[String]("text") == "Hello (World)\nSecond\nPage2 hex:HELLO")
   }
 }
+
+class JsonlSourceSpec extends AnyFunSuite with graft.SparkTestBase {
+  import graft.sources.JsonlSource
+
+  test("admitted/quarantined partition one scan; raw broken lines preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl")
+    java.nio.file.Files.write(dir.resolve("a.jsonl"), Seq(
+      """{"id": 1, "name": "ok"}""",
+      """{"id": 2, "name":""", // truncated mid-record
+      """not json at all""",
+      """{"id": 3, "name": "fine"}""").mkString("\n").getBytes)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("name", "string")
+    val df = JsonlSource.read(spark, dir.toString, schema)
+    val good = JsonlSource.admitted(df).orderBy("id").collect()
+    assert(good.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(!good.head.schema.fieldNames.contains(JsonlSource.CorruptCol))
+    val bad = JsonlSource.quarantined(df).collect().map(_.getString(0)).toSet
+    assert(bad == Set("""{"id": 2, "name":""", "not json at all"),
+      s"raw lines must survive whole for the dead-letter queue: $bad")
+  }
+}

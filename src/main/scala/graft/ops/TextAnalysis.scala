@@ -211,6 +211,33 @@ object TextAnalysis {
   def unigramLogProbScore(sumCnt: Column, nTok: Column, corpusN: Column): Column =
     round(log(sumCnt.cast("double") / nTok.cast("double") / corpusN.cast("double")), 6)
 
+  /** Deflate compression ratio as a quality signal (the RefinedWeb /
+    * Gopher-family heuristic): highly repetitive or templated text
+    * compresses far below natural prose, so `compressed/raw` separates
+    * boilerplate and spam from content. Pure per-row compiled UDF —
+    * narrow, no shuffle; level 6 matches zlib's default. Rounded to 6
+    * decimals; deflate output is deterministic for a given level, so
+    * the ratio is stable across runs and machines (spec-gated — no SQL
+    * engine exposes deflate, so there is no oracle for it). Empty/null
+    * text → ratio 0. */
+  val compressionRatioUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { text: String =>
+      if (text == null || text.isEmpty) 0.0
+      else {
+        val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(6)
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](1024)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        d.end()
+        BigDecimal(n.toDouble / raw.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+
+  def compressionRatio(textCol: Column): Column = compressionRatioUdf(textCol)
+
   /** Distributed BPE merge training. The corpus is compressed ONCE into
     * a (word, count) table — the standard tokenizer-training move: all
     * subsequent merge iterations run over distinct words weighted by

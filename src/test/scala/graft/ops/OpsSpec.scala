@@ -437,6 +437,22 @@ class TokenizerSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
   import graft.ops.TextAnalysis
 
+  test("compressionRatio: repetitive text compresses far below varied prose") {
+    val rep = "spam spam spam " * 50
+    val varied = (1 to 150).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")
+    val df = Seq((1L, rep), (2L, varied), (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val r = df.select($"id", TextAnalysis.compressionRatio($"text").as("cr"))
+      .as[(Long, Double)].collect().toMap
+    assert(r(1L) < 0.1, s"repetitive must crush: ${r(1L)}")
+    assert(r(2L) > 0.4, s"varied stays high: ${r(2L)}")
+    assert(r(1L) < r(2L) / 3)
+    assert(r(3L) == 0.0 && r(4L) == 0.0)
+    // deterministic across evaluations
+    val again = df.select(TextAnalysis.compressionRatio($"text")).as[Double].collect()
+    assert(again.sorted.toSeq == r.values.toSeq.sorted)
+  }
+
   test("bpeTrain learns the classic merge sequence; bpeEncode applies it") {
     // the standard BPE teaching corpus: hug x10, pug x5, pun x12,
     // bun x4, hugs x5 — first merges are (u,g), (u,n), (h,ug)

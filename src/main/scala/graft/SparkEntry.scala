@@ -1304,6 +1304,36 @@ object SparkEntry {
         .add("doc_id", "long").add("n_chars", "long")
       graft.sources.JsonlSource.admitted(
         graft.sources.JsonlSource.read(s, staging, schema))
+    }),
+
+    // Group-atomic split (leakage guard): all documents of a source land
+    // in the same split — the hash is keyed on the GROUP, so eval
+    // membership can't straddle near-identical content.
+    "q105_group_split" -> ((s, dir) =>
+      graft.ops.Sampling.groupHashSplit(
+        t(s, dir, "documents").select("doc_id", "source"), "source",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))),
+
+    // Next-chunk training pairs: fixed 50-token chunks per doc, one lead
+    // window per document, pairs carried as digests not text.
+    "q106_adjacent_pairs" -> ((s, dir) =>
+      graft.ops.Curation.adjacentChunkPairs(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text", 50)),
+
+    // CSV ingestion with dead-letter handling: every 9th line carries a
+    // non-numeric value in a LONG column; PERMISSIVE from_csv
+    // quarantines exactly those, admits the rest typed.
+    "q107_csv_deadletter" -> ((s, dir) => {
+      val staging = "/tmp/graft_csv/" + new java.io.File(dir).getName
+      val good = concat_ws(",", col("doc_id"), col("lang"), col("n_chars"))
+      val bad = concat_ws(",", col("doc_id"), col("lang"), lit("notanumber"))
+      t(s, dir, "documents")
+        .select(when(col("doc_id") % 9 === 0, bad).otherwise(good).as("value"))
+        .write.mode("overwrite").text(staging)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("lang", "string").add("n_chars", "long")
+      graft.sources.CsvSource.admitted(
+        graft.sources.CsvSource.read(s, staging, schema))
     })
   )
 
@@ -2492,6 +2522,28 @@ object SparkEntry {
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
 
     "q104_jsonl_deadletter" ->
-      """SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 <> 0""".stripMargin
+      """SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
+
+    "q105_group_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN substr(md5(source), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substr(md5(source), 1, 8) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    "q106_adjacent_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |ch AS (SELECT doc_id, i AS idx,
+        |    array_to_string(tk[i * 50 + 1 : i * 50 + 50], ' ') AS chunk
+        |  FROM toks,
+        |    UNNEST(range(0, CAST(floor((len(tk) - 1) / 50) AS BIGINT) + 1)) t(i)),
+        |p AS (SELECT doc_id, idx, chunk,
+        |    lead(chunk) OVER (PARTITION BY doc_id ORDER BY idx) AS nxt
+        |  FROM ch)
+        |SELECT doc_id, idx, md5(chunk) AS chunk_digest, md5(nxt) AS next_digest
+        |FROM p WHERE nxt IS NOT NULL""".stripMargin,
+
+    "q107_csv_deadletter" ->
+      """SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 9 <> 0""".stripMargin
   )
 }

@@ -360,6 +360,33 @@ object Curation {
   }
 
   // -------------------------------------------------------------------
+  // Training-pair generation: (chunk_i, chunk_i+1) pairs per document —
+  // the next-chunk/next-sentence pair construction contrastive and
+  // retrieval training sets are built from. Chunks are fixed token
+  // windows; the pairing is one lead window per document (partition
+  // bounded by chunks-per-doc), and the emitted pair carries md5
+  // digests, not the text — at 100 TB the pair table is the training
+  // manifest and re-joins text by digest only where needed.
+  // -------------------------------------------------------------------
+  def adjacentChunkPairs(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 50): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be positive")
+    val chunks = docs.select(col(idCol),
+      posexplode(expr(
+        s"""transform(
+           |  sequence(0, CAST(floor((size(split(`$textCol`, ' ')) - 1) / $chunkTokens) AS INT)),
+           |  i -> array_join(slice(split(`$textCol`, ' '), i * $chunkTokens + 1, $chunkTokens), ' '))
+           |""".stripMargin)).as(Seq("idx", "chunk")))
+    val w = Window.partitionBy(idCol).orderBy("idx")
+    chunks
+      .withColumn("next_chunk", lead(col("chunk"), 1).over(w))
+      .filter(col("next_chunk").isNotNull)
+      .select(col(idCol), col("idx").cast("long").as("idx"),
+        md5(col("chunk").cast("binary")).as("chunk_digest"),
+        md5(col("next_chunk").cast("binary")).as("next_digest"))
+  }
+
+  // -------------------------------------------------------------------
   // Sequence packing: streaming-fill docs into fixed token windows
   // (training-batch assembly). Deterministic shard-local packing: the
   // shard key bounds every window partition, so 100 TB packs as W

@@ -173,4 +173,17 @@ object Sampling {
       }
     df.withColumn("split", assigned)
   }
+
+  /** Group-atomic train/val/test assignment — the leakage guard: every
+    * row of a group (all chunks of a document, all documents of a
+    * source, all near-duplicates sharing a canonical id) lands in the
+    * SAME split, because hashing at row grain puts near-identical
+    * content on both sides of the eval boundary and the eval set stops
+    * measuring generalization. Mechanically [[hashSplit]] keyed on the
+    * group column — the point is the grain: split on the coarsest key
+    * that still leaks (canonical dedup id > document id > row id).
+    * Narrow, exchange-free, auditable from the group key alone. */
+  def groupHashSplit(df: DataFrame, groupCol: String,
+      splits: Seq[(String, Double)]): DataFrame =
+    hashSplit(df, groupCol, splits)
 }

@@ -53,3 +53,28 @@ object JsonlSource {
   def quarantined(df: DataFrame): DataFrame =
     df.filter(col(CorruptCol).isNotNull).select(col(CorruptCol).as("raw_line"))
 }
+
+/** CSV flavor of [[JsonlSource]]: same text-scan + parse-in-projection
+  * construction (`from_csv`), same dead-letter contract. A row whose
+  * field count or types don't fit the schema quarantines whole;
+  * admitted rows come out typed. `options` passes through to the CSV
+  * parser (sep, quote, …). Header lines are data to a distributed
+  * text scan — filter them with a leading predicate if present. */
+object CsvSource {
+
+  val CorruptCol: String = JsonlSource.CorruptCol
+
+  def read(spark: SparkSession, path: String, schema: StructType,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val withCorrupt = schema.add(CorruptCol, "string")
+    val opts = options ++ Map(
+      "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)
+    spark.read.text(path)
+      .select(from_csv(col("value"), withCorrupt, opts).as("__r"))
+      .select(col("__r.*"))
+  }
+
+  def admitted(df: DataFrame): DataFrame = JsonlSource.admitted(df)
+
+  def quarantined(df: DataFrame): DataFrame = JsonlSource.quarantined(df)
+}

@@ -203,4 +203,20 @@ class JsonlSourceSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(bad == Set("""{"id": 2, "name":""", "not json at all"),
       s"raw lines must survive whole for the dead-letter queue: $bad")
   }
+
+  test("CsvSource quarantines type-mismatched rows, admits the rest typed") {
+    val dir = java.nio.file.Files.createTempDirectory("csv")
+    java.nio.file.Files.write(dir.resolve("a.csv"), Seq(
+      "1,en,120",
+      "2,fr,notanumber", // LONG column with garbage -> quarantined
+      "3,de,77").mkString("\n").getBytes)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("lang", "string").add("n", "long")
+    val df = graft.sources.CsvSource.read(spark, dir.toString, schema)
+    val good = graft.sources.CsvSource.admitted(df).orderBy("id").collect()
+    assert(good.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "en", 120L), (3L, "de", 77L)))
+    val bad = graft.sources.CsvSource.quarantined(df).collect().map(_.getString(0))
+    assert(bad.toSeq == Seq("2,fr,notanumber"), bad.mkString("|"))
+  }
 }

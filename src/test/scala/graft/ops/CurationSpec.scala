@@ -206,6 +206,18 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(out(6L) == "https://example.com")
   }
 
+  test("adjacentChunkPairs: consecutive windows pair up, last chunk unpaired") {
+    // 7 tokens, chunkTokens=3 -> chunks [t1 t2 t3][t4 t5 t6][t7] -> 2 pairs
+    val docs = Seq((1L, "t1 t2 t3 t4 t5 t6 t7"), (2L, "a b")) // doc 2: 1 chunk, 0 pairs
+      .toDF("doc_id", "text")
+    val pairs = Curation.adjacentChunkPairs(docs, "doc_id", "text", chunkTokens = 3)
+      .orderBy("doc_id", "idx").collect()
+    assert(pairs.length == 2 && pairs.forall(_.getLong(0) == 1L))
+    assert(pairs.map(_.getLong(1)).toSeq == Seq(0L, 1L))
+    // digest chain property: pair i's next_digest == pair i+1's chunk_digest
+    assert(pairs(0).getString(3) == pairs(1).getString(2))
+  }
+
   test("blocklistFilter: dot-boundary suffix semantics, not substring LIKE") {
     val docs = Seq(
       (1L, "site.com"),          // exact match -> blocked

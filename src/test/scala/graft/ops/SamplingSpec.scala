@@ -60,6 +60,16 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("groupHashSplit is group-atomic: no group straddles the eval boundary") {
+    val df = spark.range(5000).select(col("id"), (col("id") % 97).as("grp"))
+    val out = Sampling.groupHashSplit(df, "grp",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    val perGroup = out.groupBy("grp")
+      .agg(countDistinct(col("split")).as("nsplits"))
+      .agg(max("nsplits")).first().getLong(0)
+    assert(perGroup == 1L, "every group must land whole in one split")
+  }
+
   test("hashSplit partitions every row once, near the requested fractions") {
     val df = spark.range(10000).toDF("id")
     val out = Sampling.hashSplit(df, "id",

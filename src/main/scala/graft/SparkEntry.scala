@@ -1334,6 +1334,38 @@ object SparkEntry {
         .add("doc_id", "long").add("lang", "string").add("n_chars", "long")
       graft.sources.CsvSource.admitted(
         graft.sources.CsvSource.read(s, staging, schema))
+    }),
+
+    // TPC-H Q5 shape: 6-table snowflake (region→nation→customer→orders→
+    // lineitem→supplier, local-supplier condition) with a region filter
+    // and a date window — the multi-join planning stress: tiny dims
+    // broadcast, the two fact joins shuffle on their keys, AQE reorders.
+    // Revenue in integer cents so accumulation order can't drift.
+    "q108_local_supplier_revenue" -> ((s, dir) => {
+      val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .join(t(s, dir, "nation"), col("r_regionkey") === col("n_regionkey"))
+        .join(t(s, dir, "customer"), col("n_nationkey") === col("c_nationkey"))
+        .join(t(s, dir, "orders").filter(
+            col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(rev).as("revenue_cents"), count(lit(1)).as("n_items"))
+    }),
+
+    // NTILE decile features: which price decile a lineitem falls in
+    // within its return-flag group (feature bucketing for training).
+    "q109_ntile_deciles" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          ntile(10).over(w).cast("long").as("price_decile"))
     })
   )
 
@@ -2544,6 +2576,29 @@ object SparkEntry {
         |FROM p WHERE nxt IS NOT NULL""".stripMargin,
 
     "q107_csv_deadletter" ->
-      """SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 9 <> 0""".stripMargin
+      """SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 9 <> 0""".stripMargin,
+
+    "q108_local_supplier_revenue" ->
+      """SELECT n_name,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+        |    AS revenue_cents,
+        |  count(*) AS n_items
+        |FROM region
+        |JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "q109_ntile_deciles" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  CAST(ntile(10) OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT)
+        |    AS price_decile
+        |FROM lineitem""".stripMargin
   )
 }

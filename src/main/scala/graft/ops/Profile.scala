@@ -114,6 +114,28 @@ object Profile {
     exactCore(vals, valueCol, n, math.ceil(phi * n).toLong, sketchSize)
   }
 
+  /** Incremental distinct-count maintenance: per-batch HLL sketches
+    * (Datasketches, binary-portable) that UNION across batches — the
+    * pattern that answers "distinct users this quarter" over 100 TB
+    * without ever re-scanning history: each day materializes a
+    * `lgK`-sized sketch (kilobytes), and any window's distinct count is
+    * a union over its days' sketches. `groupCols` gives per-group
+    * sketches (per source, per language). */
+  def distinctSketch(df: DataFrame, valueCol: String,
+      groupCols: Seq[String] = Seq.empty, lgK: Int = 12): DataFrame = {
+    val agg = hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch")
+    if (groupCols.isEmpty) df.agg(agg)
+    else df.groupBy(groupCols.map(col): _*).agg(agg)
+  }
+
+  /** Merge previously materialized sketches and estimate the distinct
+    * count of their union. */
+  def mergedDistinctEstimate(sketches: DataFrame,
+      sketchCol: String = "sketch"): Long =
+    sketches
+      .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(false))))
+      .first().getLong(0)
+
   private def exactCore(vals: DataFrame, valueCol: String, n: Long,
       threshold: Long, sketchSize: Int): DataFrame = {
     require(threshold > n / (sketchSize + 1),

@@ -414,6 +414,25 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(hh.length <= 16, "sketch is bounded")
   }
 
+  test("distinctSketch: unioned per-batch sketches estimate the full distinct count") {
+    val full = spark.range(20000).select((col("id") % 7321).as("v"))
+    val exact = 7321L
+    // two "daily batches" sketched independently, then merged
+    val day1 = Profile.distinctSketch(full.filter(col("v") % 2 === 0), "v")
+    val day2 = Profile.distinctSketch(full.filter(col("v") % 2 =!= 0), "v")
+    val merged = Profile.mergedDistinctEstimate(day1.unionByName(day2))
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"merged estimate $merged vs exact $exact")
+    // incremental union == one-shot sketch over everything
+    val oneShot = Profile.mergedDistinctEstimate(Profile.distinctSketch(full, "v"))
+    assert(math.abs(merged - oneShot).toDouble / exact < 0.02,
+      s"union-of-parts $merged vs one-shot $oneShot")
+    // per-group sketches
+    val grouped = Profile.distinctSketch(
+      full.withColumn("g", col("v") % 2), "v", groupCols = Seq("g"))
+    assert(grouped.count() == 2)
+  }
+
   test("heavyHittersExact equals plain GROUP BY/HAVING; refuses uncovered thresholds") {
     val rows = Seq.fill(300)("a") ++ Seq.fill(200)("b") ++ Seq.fill(90)("c") ++
       (1 to 100).map(i => s"x$i")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-layout optimization: Z-order (Morton-curve) clustering.
@@ -101,4 +101,33 @@ object Layout {
         row_number().over(Window.partitionBy("__pid").orderBy(orderCol)))
       .drop("__pid", "__off")
   }
+
+  /** Per-file min/max manifest — the data-skipping statistics layer
+    * Delta/Iceberg keep in their metadata, computed for a plain parquet
+    * table: one row per file with each tracked column's bounds and row
+    * count. An external reader (or a planner hook) intersects a
+    * predicate with these bounds and prunes files before listing splits
+    * — the payoff of [[zorderWrite]]'s clustering is exactly that these
+    * rectangles get tight. One scan, aggregated by `input_file_name()`
+    * (a shuffle keyed on file path — rows-per-key = rows-per-file,
+    * bounded by file size). */
+  def fileStats(spark: SparkSession, path: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fileStats needs at least one column")
+    val df = spark.read.parquet(path)
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    df.withColumn("__file", input_file_name())
+      .groupBy("__file")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("__file", "file")
+  }
+
+  /** The files a predicate over `statsCol` bounds cannot rule out —
+    * the pruning decision [[fileStats]] enables, as a standalone query
+    * over the manifest (tiny: one row per file). */
+  def candidateFiles(stats: DataFrame, statsCol: String, lo: Long,
+      hi: Long): DataFrame =
+    stats.filter(col(s"${statsCol}_max") >= lo && col(s"${statsCol}_min") <= hi)
+      .select("file")
 }

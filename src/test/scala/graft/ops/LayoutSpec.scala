@@ -97,4 +97,25 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(out(0).contains(9L) && out(1).isEmpty && out(2).isEmpty,
       s"null input must yield null z, not the origin: ${out.toSeq}")
   }
+
+  test("fileStats manifest: per-file bounds; candidateFiles prunes disjoint files") {
+    val dir = java.nio.file.Files.createTempDirectory("fstats").toString
+    // range-partitioned write -> files with disjoint id ranges
+    spark.range(1000).toDF("id").withColumn("v", col("id") * 2)
+      .repartitionByRange(4, col("id"))
+      .write.mode("overwrite").parquet(dir)
+    val stats = Layout.fileStats(spark, dir, Seq("id", "v"))
+    val rows = stats.collect()
+    assert(rows.length >= 2, "expect multiple files")
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == 1000L)
+    // bounds are consistent per file
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id_min") <= r.getAs[Long]("id_max"))
+      assert(r.getAs[Long]("v_min") == r.getAs[Long]("id_min") * 2)
+    }
+    // a narrow predicate prunes to fewer files than the table holds
+    val cand = Layout.candidateFiles(stats, "id", 10, 20).collect()
+    assert(cand.length < rows.length, "disjoint files must be pruned")
+    assert(cand.nonEmpty, "the covering file must survive")
+  }
 }

@@ -1366,7 +1366,40 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           ntile(10).over(w).cast("long").as("price_decile"))
-    })
+    }),
+
+    // Retrieval evaluation: recall@10 and reciprocal rank per query over
+    // a cosine ranking (self excluded), relevance = shared label. The
+    // oracle re-derives ranking, relevance, and both metrics end to end.
+    "q110_retrieval_metrics" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.vecCosine
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      val c = emb.select(col("vec_id").as("doc_id"), col("embedding").as("cv"),
+        col("label").as("clabel"))
+      val wr = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("doc_id"))
+      val ranked = q.crossJoin(c)
+        .filter(col("doc_id") =!= col("query_id"))
+        .withColumn("cos", round(vecCosine(col("qv"), col("cv")), 6))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+      val relevant = q.select("query_id", "qlabel")
+        .join(c.select(col("doc_id"), col("clabel")),
+          col("qlabel") === col("clabel"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select("query_id", "doc_id")
+      graft.search.Metrics.perQuery(ranked, relevant, k = 10)
+    }),
+
+    // Deterministic k-fold assignment (cross-validation): fold = md5 mod
+    // 5, auditable from ids alone, no shuffle.
+    "q111_kfold" -> ((s, dir) =>
+      graft.ops.Sampling.kFold(
+        t(s, dir, "documents").select("doc_id", "lang"), "doc_id", k = 5))
   )
 
   // ---------------------------------------------------------------------
@@ -2599,6 +2632,45 @@ object SparkEntry {
         |  CAST(ntile(10) OVER (PARTITION BY l_returnflag
         |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT)
         |    AS price_decile
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+
+    "q110_retrieval_metrics" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS doc_id, embedding AS cv, label AS clabel
+        |  FROM embeddings),
+        |p AS (SELECT query_id, doc_id,
+        |    unnest(cv)::DOUBLE AS x, unnest(qv)::DOUBLE AS y
+        |  FROM q, c WHERE doc_id <> query_id),
+        |cs AS (SELECT query_id, doc_id,
+        |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+        |  FROM p GROUP BY 1, 2),
+        |rk AS (SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, doc_id) AS rank
+        |  FROM cs),
+        |ranked AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= 10),
+        |rel AS (SELECT q.query_id, c.doc_id FROM q
+        |  JOIN c ON q.qlabel = c.clabel AND c.doc_id <> q.query_id),
+        |relc AS (SELECT query_id, count(*) AS n_relevant FROM rel GROUP BY 1),
+        |h AS (SELECT r.query_id,
+        |    CAST(sum(CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hits,
+        |    min(CASE WHEN rel.doc_id IS NOT NULL THEN r.rank END) AS frr
+        |  FROM ranked r LEFT JOIN rel
+        |    ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+        |  GROUP BY 1)
+        |SELECT relc.query_id, CAST(relc.n_relevant AS BIGINT) AS n_relevant,
+        |  coalesce(h.hits, 0) AS hits,
+        |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) / relc.n_relevant, 6)
+        |    AS recall_at_k,
+        |  coalesce(round(1.0 / h.frr, 6), 0.0) AS reciprocal_rank
+        |FROM relc LEFT JOIN h USING (query_id)""".stripMargin,
+
+    "q111_kfold" ->
+      """SELECT doc_id, lang,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 5
+        |    AS fold
+        |FROM documents""".stripMargin
   )
 }

@@ -186,4 +186,15 @@ object Sampling {
   def groupHashSplit(df: DataFrame, groupCol: String,
       splits: Seq[(String, Double)]): DataFrame =
     hashSplit(df, groupCol, splits)
+
+  /** Deterministic k-fold assignment for cross-validation: fold =
+    * md5-key mod k — every row keeps its fold across retries, appends,
+    * and engines, so fold i's eval set is auditable from ids alone.
+    * Folds are equal in expectation (the hex key is uniform); narrow,
+    * no shuffle. */
+  def kFold(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k-fold needs k >= 2, got $k")
+    df.withColumn("fold",
+      conv(hexKey(col(idCol)), 16, 10).cast("long") % k)
+  }
 }

@@ -1,0 +1,52 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retrieval-evaluation metrics — the measurement side of the hybrid
+  * search stack (reference context: the reference ships retrieval with
+  * no evaluation harness at all; a pipeline that re-ranks or swaps
+  * embedders needs recall/MRR to know it didn't regress).
+  *
+  * Input contract: a ranked result table (query_id, doc_id, rank) —
+  * rank 1-based, deterministic tie-breaks upstream — and a relevance
+  * table (query_id, doc_id). Metrics follow the standard definitions:
+  * recall@k = |relevant ∩ top-k| / |relevant|, RR = 1/rank of the first
+  * relevant hit (0 when none in the top k).
+  *
+  * Scale shape: one (query, doc)-keyed join against the relevance set
+  * (broadcast while eval sets stay eval-sized), one groupBy query —
+  * metrics cost is O(results), never O(corpus). Ratios round to 6
+  * decimals so engines agree bit-for-bit.
+  */
+object Metrics {
+
+  /** Per-query recall@k and reciprocal rank. Queries with no relevant
+    * docs are dropped (their metrics are undefined, and keeping them as
+    * zeros silently deflates the mean). */
+  def perQuery(ranked: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val relCounts = relevant.groupBy("query_id")
+      .agg(count(lit(1)).as("n_relevant"))
+    val hits = ranked.filter(col("rank") <= k)
+      .join(relevant.withColumn("__rel", lit(1L)), Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        sum(coalesce(col("__rel"), lit(0L))).as("hits"),
+        min(when(col("__rel") === 1L, col("rank"))).as("first_rel_rank"))
+    relCounts.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_relevant"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("n_relevant"), 6).as("recall_at_k"),
+        coalesce(round(lit(1.0) / col("first_rel_rank"), 6), lit(0.0))
+          .as("reciprocal_rank"))
+  }
+
+  /** Mean metrics across queries (macro average, 6 dp). */
+  def summary(perQueryMetrics: DataFrame): DataFrame =
+    perQueryMetrics.agg(
+      count(lit(1)).as("n_queries"),
+      round(avg(col("recall_at_k")), 6).as("mean_recall"),
+      round(avg(col("reciprocal_rank")), 6).as("mrr"))
+}

@@ -60,6 +60,21 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("kFold: every row in exactly one fold, roughly balanced, deterministic") {
+    val df = spark.range(10000).toDF("id")
+    val folds = Sampling.kFold(df, "id", k = 5)
+      .groupBy("fold").count().as[(Long, Long)].collect().toMap
+    assert(folds.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    folds.values.foreach(n =>
+      assert(math.abs(n - 2000L) < 200, s"fold sizes skewed: $folds"))
+    val a = Sampling.kFold(df, "id", 5).select("id", "fold")
+      .as[(Long, Long)].collect().toMap
+    val b = Sampling.kFold(df, "id", 5).select("id", "fold")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b, "fold assignment must be deterministic")
+    intercept[IllegalArgumentException] { Sampling.kFold(df, "id", 1) }
+  }
+
   test("groupHashSplit is group-atomic: no group straddles the eval boundary") {
     val df = spark.range(5000).select(col("id"), (col("id") % 97).as("grp"))
     val out = Sampling.groupHashSplit(df, "grp",

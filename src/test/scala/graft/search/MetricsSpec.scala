@@ -1,0 +1,40 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class MetricsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("perQuery: hand-computed recall@k and RR; no-relevant queries dropped") {
+    // q1: relevant {10, 11, 12}; top-3 = (10@1, 99@2, 11@3) -> hits 2,
+    //     recall 2/3, RR 1
+    // q2: relevant {20}; top-3 = (98@1, 97@2, 20@3) -> recall 1, RR 1/3
+    // q3: relevant {30}; top-3 has no hit -> recall 0, RR 0
+    // q4: appears in results but has NO relevant docs -> dropped
+    val ranked = Seq(
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 11L, 3),
+      (2L, 98L, 1), (2L, 97L, 2), (2L, 20L, 3),
+      (3L, 96L, 1), (3L, 95L, 2), (3L, 94L, 3),
+      (4L, 93L, 1)
+    ).toDF("query_id", "doc_id", "rank")
+    val relevant = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (3L, 30L))
+      .toDF("query_id", "doc_id")
+    val m = Metrics.perQuery(ranked, relevant, k = 3)
+      .select("query_id", "n_relevant", "hits", "recall_at_k", "reciprocal_rank")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(m.keySet == Set(1L, 2L, 3L), "query 4 (no relevant) must be dropped")
+    assert(m(1L) == ((1L, 3L, 2L, 0.666667, 1.0)), m(1L).toString)
+    assert(m(2L) == ((2L, 1L, 1L, 1.0, 0.333333)), m(2L).toString)
+    assert(m(3L) == ((3L, 1L, 0L, 0.0, 0.0)), m(3L).toString)
+    val s = Metrics.summary(Metrics.perQuery(ranked, relevant, 3))
+      .select("n_queries", "mean_recall", "mrr")
+      .as[(Long, Double, Double)].head()
+    assert(s._1 == 3L)
+    assert(math.abs(s._2 - (0.666667 + 1.0 + 0.0) / 3) < 1e-6)
+    assert(math.abs(s._3 - (1.0 + 0.333333 + 0.0) / 3) < 1e-6)
+  }
+}

@@ -1399,7 +1399,34 @@ object SparkEntry {
     // 5, auditable from ids alone, no shuffle.
     "q111_kfold" -> ((s, dir) =>
       graft.ops.Sampling.kFold(
-        t(s, dir, "documents").select("doc_id", "lang"), "doc_id", k = 5))
+        t(s, dir, "documents").select("doc_id", "lang"), "doc_id", k = 5)),
+
+    // Rolling 7-day distinct users per day: (day, user) pairs collapse
+    // FIRST (the big reduction), then a tiny day-grid range join fans
+    // each pair into its ≤ 7 windows and a distinct count per day
+    // finishes. The corpus never joins at event grain.
+    "q112_rolling_distinct" -> ((s, dir) => {
+      val pairs = events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = pairs.select("day").distinct()
+      days.join(pairs.select(col("day").as("pday"), col("user_id")),
+          col("pday").between(date_sub(col("day"), 6), col("day")))
+        .groupBy("day")
+        .agg(countDistinct(col("user_id")).as("users_7d"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("users_7d"))
+    }),
+
+    // Robust outliers (modified z-score, median/MAD): a 50× price spike
+    // planted on ~1/997 of rows; mean/stddev drift with the spikes, the
+    // median doesn't — the planted rows flag at 3.5 with no masking.
+    "q113_mad_outliers" -> ((s, dir) =>
+      graft.ops.Cleaning.madOutliers(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            when(col("l_orderkey") % 997 === 0, col("l_extendedprice") * 50)
+              .otherwise(col("l_extendedprice")).as("price")),
+        "price", "l_returnflag", cutoff = 3.5)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "robust_z"))
   )
 
   // ---------------------------------------------------------------------
@@ -2671,6 +2698,32 @@ object SparkEntry {
       """SELECT doc_id, lang,
         |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 5
         |    AS fold
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q112_rolling_distinct" ->
+      """WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM pairs)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |  CAST(count(DISTINCT p.user_id) AS BIGINT) AS users_7d
+        |FROM days d JOIN pairs p
+        |  ON p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        |GROUP BY d.day""".stripMargin,
+
+    "q113_mad_outliers" ->
+      """WITH v AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    CASE WHEN l_orderkey % 997 = 0 THEN l_extendedprice * 50
+        |         ELSE l_extendedprice END AS price
+        |  FROM lineitem),
+        |med AS (SELECT l_returnflag, quantile_cont(price, 0.5) AS med
+        |  FROM v GROUP BY 1),
+        |mad AS (SELECT v.l_returnflag,
+        |    quantile_cont(abs(v.price - med.med), 0.5) AS mad
+        |  FROM v JOIN med USING (l_returnflag) GROUP BY 1)
+        |SELECT v.l_orderkey, v.l_linenumber, v.l_returnflag,
+        |  round(0.6745 * abs(v.price - med.med) / mad.mad, 6) AS robust_z
+        |FROM v JOIN med USING (l_returnflag) JOIN mad USING (l_returnflag)
+        |WHERE mad.mad > 0
+        |  AND round(0.6745 * abs(v.price - med.med) / mad.mad, 6) > 3.5""".stripMargin
   )
 }

@@ -95,6 +95,34 @@ object Cleaning {
     validate(df, rules).filter(size(col("violations")) === 0)
       .drop("violations")
 
+  /** Robust outlier detection via the modified z-score (Iglewicz–
+    * Hoaglin): `0.6745 · |x − median| / MAD`, flagged above `cutoff`
+    * (canonically 3.5). Unlike [[zscoreOutliers]], the estimator
+    * itself is outlier-resistant — one extreme value inflates mean and
+    * stddev enough to mask its neighbors ("masking"), while median and
+    * MAD barely move. Two small per-group aggregates (median, then MAD
+    * of residuals) broadcast back; zero-MAD groups (≥ half the values
+    * identical) are skipped like zero-variance groups in the z-score
+    * sibling. Exact interpolated percentiles + 6-dp rounding keep the
+    * score engine-portable. */
+  def madOutliers(df: DataFrame, valueCol: String, groupCol: String,
+      cutoff: Double = 3.5): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(groupCol)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val withMed = df.join(broadcast(med), Seq(groupCol))
+    val mad = withMed
+      .withColumn("__res", abs(v - col("__med")))
+      .groupBy(groupCol)
+      .agg(expr("percentile(__res, 0.5)").as("__mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .filter(col("__mad") > 0.0)
+      .withColumn("robust_z",
+        round(lit(0.6745) * abs(v - col("__med")) / col("__mad"), 6))
+      .filter(col("robust_z") > cutoff)
+      .drop("__med", "__mad")
+  }
+
   /** Per-group winsorization: clamp a value column to its group's
     * [lo, hi] exact percentiles — the outlier treatment that keeps the
     * row (unlike a z-score drop) while bounding heavy tails before

@@ -75,6 +75,23 @@ class CleaningSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] { Cleaning.validate(df, Seq.empty) }
   }
 
+  test("madOutliers flags planted spikes; zero-MAD groups skipped") {
+    // 27 inliers + 3 large spikes: with k spikes among n rows the plain
+    // z-score of a spike is ~sqrt(n/k) = sqrt(10) ≈ 3.2 < 3.5 — the
+    // spikes inflate sigma enough to MASK each other. Median/MAD barely
+    // move, so the robust score flags all three.
+    val df = ((1 to 27).map(i => ("a", 1L + i, 100.0 + (i % 10))) ++
+      Seq(("a", 997L, 5000.0), ("a", 998L, 5200.0), ("a", 999L, 5400.0)) ++
+      (1 to 10).map(i => ("b", 2000L + i, 7.0))) // constant group -> MAD 0
+      .toDF("grp", "id", "v")
+    val flagged = Cleaning.madOutliers(df, "v", "grp")
+      .select("id").as[Long].collect().toSet
+    assert(flagged == Set(997L, 998L, 999L), s"flagged: $flagged")
+    val z = Cleaning.zscoreOutliers(df, "v", "grp", threshold = 3.5)
+      .select("id").as[Long].collect().toSet
+    assert(z.isEmpty, s"z-score should mask here, got $z")
+  }
+
   test("winsorize clamps tails to group percentiles, keeps every row") {
     // group a: 1..100 -> p05 = 5.95, p95 = 95.05 (linear interpolation)
     val df = ((1 to 100).map(i => ("a", i.toDouble)) :+ (("b", 7.0)))

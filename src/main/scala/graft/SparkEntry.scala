@@ -1427,6 +1427,43 @@ object SparkEntry {
               .otherwise(col("l_extendedprice")).as("price")),
         "price", "l_returnflag", cutoff = 3.5)
         .select("l_orderkey", "l_linenumber", "l_returnflag", "robust_z"))
+,
+    // Token co-occurrence lift (the PMI family, emitted as the raw
+    // lift ratio — exp(PMI) — so no libm ln enters the compare): pairs
+    // come from per-doc DISTINCT token sets (bounded by per-doc vocab,
+    // never corpus²); lift = N·c_ab / (c_a·c_b) from exact integer
+    // counts, one correctly-rounded double division at the end.
+    "q114_token_lift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val dt = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val pairs = dt.select(col("doc_id"), col("tok").as("a"))
+        .join(dt.select(col("doc_id"), col("tok").as("b")), Seq("doc_id"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      val cnt = dt.groupBy("tok").agg(count(lit(1)).as("c"))
+      pairs
+        .join(cnt.select(col("tok").as("a"), col("c").as("c_a")), Seq("a"))
+        .join(cnt.select(col("tok").as("b"), col("c").as("c_b")), Seq("b"))
+        .filter(col("c_ab") >= 5)
+        .withColumn("lift",
+          round((lit(n) * col("c_ab")).cast("double") /
+            (col("c_a") * col("c_b")).cast("double"), 6))
+        .select("a", "b", "c_ab", "lift")
+        .orderBy(col("lift").desc, col("a"), col("b"))
+        .limit(50)
+    }),
+
+    // Inverted-index posting lists: token → sorted doc-id array + df —
+    // the IR index artifact as a table (token-keyed shuffle only).
+    "q115_posting_lists" -> ((s, dir) => {
+      val dt = t(s, dir, "documents").select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      dt.groupBy("tok")
+        .agg(sort_array(collect_list(col("doc_id"))).as("postings"),
+          count(lit(1)).as("df"))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -2724,6 +2761,32 @@ object SparkEntry {
         |  round(0.6745 * abs(v.price - med.med) / mad.mad, 6) AS robust_z
         |FROM v JOIN med USING (l_returnflag) JOIN mad USING (l_returnflag)
         |WHERE mad.mad > 0
-        |  AND round(0.6745 * abs(v.price - med.med) / mad.mad, 6) > 3.5""".stripMargin
+        |  AND round(0.6745 * abs(v.price - med.med) / mad.mad, 6) > 3.5""".stripMargin,
+
+    "q114_token_lift" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |pairs AS (SELECT x.tok AS a, y.tok AS b, count(*) AS c_ab
+        |  FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.tok < y.tok
+        |  GROUP BY 1, 2),
+        |cnt AS (SELECT tok, count(*) AS c FROM dt GROUP BY 1)
+        |SELECT p.a, p.b, CAST(p.c_ab AS BIGINT) AS c_ab,
+        |  round(CAST(n.n * p.c_ab AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE), 6)
+        |    AS lift
+        |FROM pairs p
+        |JOIN cnt ca ON ca.tok = p.a
+        |JOIN cnt cb ON cb.tok = p.b
+        |CROSS JOIN n
+        |WHERE p.c_ab >= 5
+        |ORDER BY lift DESC, p.a, p.b LIMIT 50""".stripMargin,
+
+    "q115_posting_lists" ->
+      """SELECT tok, list(doc_id ORDER BY doc_id) AS postings,
+        |  CAST(count(*) AS BIGINT) AS df
+        |FROM (SELECT DISTINCT doc_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents)
+        |GROUP BY tok""".stripMargin
   )
 }

@@ -1463,6 +1463,23 @@ object SparkEntry {
       dt.groupBy("tok")
         .agg(sort_array(collect_list(col("doc_id"))).as("postings"),
           count(lit(1)).as("df"))
+    }),
+
+    // Exponentially-decayed activity feature (EWMA, alpha = 1/2) over
+    // each user's last 8 events, in EXACT integer arithmetic: weight
+    // 2^(7-k) on lag k means the weighted sum is a plain bigint — no
+    // libm pow, no float accumulation order, bit-identical everywhere.
+    // The decayed numerator is the feature (fixed-point; dividing by
+    // the weight total is a constant scale both engines could apply).
+    "q116_ewma_feature" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val decayed = (0 until 8).map(k =>
+          coalesce(lag(cents(col("value")), k).over(w), lit(0L)) *
+            lit(1L << (7 - k)))
+        .reduce(_ + _)
+      events(s, dir)
+        .withColumn("decayed_cents", decayed)
+        .select(col("user_id"), col("event_id"), col("decayed_cents"))
     })
   )
 
@@ -2787,6 +2804,15 @@ object SparkEntry {
         |FROM (SELECT DISTINCT doc_id,
         |    unnest(list_distinct(string_split(text, ' '))) AS tok
         |  FROM documents)
-        |GROUP BY tok""".stripMargin
+        |GROUP BY tok""".stripMargin,
+
+    "q116_ewma_feature" -> {
+      val terms = (0 until 8).map(k =>
+        s"coalesce(lag(CAST(round(value * 100) AS BIGINT), $k) OVER " +
+          s"(PARTITION BY user_id ORDER BY ts, event_id), 0) * ${1L << (7 - k)}")
+        .mkString(" + ")
+      s"""SELECT user_id, event_id, $terms AS decayed_cents
+         |FROM events""".stripMargin
+    }
   )
 }

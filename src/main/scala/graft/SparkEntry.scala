@@ -1480,6 +1480,35 @@ object SparkEntry {
       events(s, dir)
         .withColumn("decayed_cents", decayed)
         .select(col("user_id"), col("event_id"), col("decayed_cents"))
+    }),
+
+    // percent_rank + cume_dist: relative-position features, exact
+    // integer-ratio math over a fully deterministic order.
+    "q117_percent_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+    }),
+
+    // Blocked fuzzy record linkage: two systems carry the same entities,
+    // one with '-' typos on a quarter of names; candidates only from
+    // shared right-2-chars blocks, Levenshtein ≤ 1 verifies. Exact
+    // integer edit distances — both engines agree bit-for-bit.
+    "q118_fuzzy_linkage" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select((col("c_custkey") % 500).as("eid")).distinct()
+      val sysA = base.select(col("eid").as("id_a"),
+        concat(lit("entity_"), col("eid")).as("name_a"))
+      val sysB = base.select((col("eid") + 1000).as("id_b"),
+        when(col("eid") % 4 === 0, concat(lit("entity-"), col("eid")))
+          .otherwise(concat(lit("entity_"), col("eid"))).as("name_b"))
+      Dedup.fuzzyLinkage(sysA, sysB,
+          expr("right(name_a, 2)"), expr("right(name_b, 2)"),
+          "name_a", "name_b", maxDist = 1)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
     })
   )
 
@@ -2813,6 +2842,27 @@ object SparkEntry {
         .mkString(" + ")
       s"""SELECT user_id, event_id, $terms AS decayed_cents
          |FROM events""".stripMargin
-    }
+    },
+
+    "q117_percent_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)""".stripMargin,
+
+    "q118_fuzzy_linkage" ->
+      """WITH base AS (SELECT DISTINCT c_custkey % 500 AS eid FROM customer),
+        |sysA AS (SELECT eid AS id_a, 'entity_' || CAST(eid AS VARCHAR) AS name_a
+        |  FROM base),
+        |sysB AS (SELECT eid + 1000 AS id_b,
+        |    CASE WHEN eid % 4 = 0 THEN 'entity-' || CAST(eid AS VARCHAR)
+        |         ELSE 'entity_' || CAST(eid AS VARCHAR) END AS name_b
+        |  FROM base)
+        |SELECT id_a, id_b, name_a, name_b,
+        |  CAST(levenshtein(name_a, name_b) AS INT) AS dist
+        |FROM sysA JOIN sysB ON right(name_a, 2) = right(name_b, 2)
+        |WHERE levenshtein(name_a, name_b) <= 1""".stripMargin
   )
 }

@@ -588,6 +588,26 @@ object Dedup {
       .drop("rn")
   }
 
+  /** Blocked fuzzy record linkage: match entities across two tables
+    * whose names differ by typos/formatting (the classic
+    * two-systems-one-customer problem). Candidate pairs come ONLY from
+    * shared blocking keys — the domain-knowledge move that keeps
+    * linkage off the n² cliff at scale — then `levenshtein` (unit edit
+    * costs, identical across engines) verifies within `maxDist`.
+    * Blocking trades recall for tractability exactly like LSH banding
+    * does for near-dup: a typo IN the blocking key misses, which is
+    * why real pipelines union several complementary block keys. */
+  def fuzzyLinkage(a: DataFrame, b: DataFrame,
+      blockA: Column, blockB: Column,
+      nameA: String, nameB: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    a.withColumn("__blk", blockA)
+      .join(b.withColumn("__blk", blockB), Seq("__blk"))
+      .withColumn("dist", levenshtein(col(nameA), col(nameB)))
+      .filter(col("dist") <= maxDist)
+      .drop("__blk")
+  }
+
   /** SemDeDup-style semantic dedup over an embedding column: a k-means
     * coarse quantizer (the [[Similarity.IvfIndex]] fit) buckets the
     * corpus into clusters, then pairwise cosine runs ONLY within each

@@ -229,6 +229,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("fuzzyLinkage: typo matched at dist 1; typo in the BLOCK key missed (recall trade)") {
+    val a = Seq((1L, "acme corp"), (2L, "zeta ltd")).toDF("id_a", "name_a")
+    val b = Seq(
+      (10L, "acme c0rp"), // typo outside the block key -> found at dist 1
+      (20L, "zeta ltX"),  // typo IN the right-2 block key -> missed
+      (30L, "acme corp")  // exact -> dist 0
+    ).toDF("id_b", "name_b")
+    val got = Dedup.fuzzyLinkage(a, b,
+        expr("right(name_a, 2)"), expr("right(name_b, 2)"),
+        "name_a", "name_b", maxDist = 1)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 10L, 1), (1L, 30L, 0)), s"got $got")
+  }
+
   test("semanticDedupAssigned: anchor rule within cluster; cluster fence respected") {
     def v(x: Double, y: Double, z: Double) = Array(x.toFloat, y.toFloat, z.toFloat)
     val assigned = Seq(

@@ -1037,7 +1037,8 @@ object SparkEntry {
         "text_missing" -> (col("text").isNotNull && length(col("text")) > 0),
         "n_chars_negative" -> (col("n_chars") >= 0),
         "lang_unknown" -> col("lang").isin("en", "de", "fr", "es", "zh")))
-        .select("doc_id", "violations")
+        // comma-joined: the oracle harness can't sort/hash list cells (q51 rule)
+        .select(col("doc_id"), array_join(col("violations"), ",").as("violations"))
     }),
 
     // Global row numbering without the single-partition window funnel:
@@ -1062,6 +1063,9 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val vocab = TextAnalysis.buildVocab(docs, "text", size = 500)
       TextAnalysis.tokenizeIds(docs, vocab)
+        // comma-joined: the oracle harness can't sort/hash list cells (q51 rule)
+        .select(col("doc_id"),
+          array_join(col("ids").cast("array<string>"), ",").as("ids"))
     }),
 
     // Interval-RANGE trailing window: per-user 1-hour trailing event
@@ -1461,7 +1465,9 @@ object SparkEntry {
       val dt = t(s, dir, "documents").select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
       dt.groupBy("tok")
-        .agg(sort_array(collect_list(col("doc_id"))).as("postings"),
+        // comma-joined: the oracle harness can't sort/hash list cells (q51 rule)
+        .agg(array_join(sort_array(collect_list(col("doc_id")))
+            .cast("array<string>"), ",").as("postings"),
           count(lit(1)).as("df"))
     }),
 
@@ -2409,7 +2415,8 @@ object SparkEntry {
         |         THEN 'lang_unknown' END],
         |    x -> x IS NOT NULL)) AS violations
         |  FROM planted)
-        |SELECT doc_id, violations FROM v WHERE len(violations) > 0""".stripMargin,
+        |SELECT doc_id, array_to_string(violations, ',') AS violations
+        |FROM v WHERE len(violations) > 0""".stripMargin,
 
     "q84_global_rownum" ->
       """SELECT doc_id, lang, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
@@ -2437,7 +2444,8 @@ object SparkEntry {
         |vocab AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) - 1 AS tok_id
         |  FROM (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1)
         |  ORDER BY cnt DESC, tok ASC LIMIT 500)
-        |SELECT doc_id, list(COALESCE(tok_id, -1) ORDER BY idx) AS ids
+        |SELECT doc_id,
+        |  string_agg(CAST(COALESCE(tok_id, -1) AS VARCHAR), ',' ORDER BY idx) AS ids
         |FROM toks LEFT JOIN vocab USING (tok)
         |GROUP BY doc_id""".stripMargin,
 
@@ -2595,20 +2603,25 @@ object SparkEntry {
         |       ELSE
         |         'https://EXAMPLE.com/p/' || CAST(doc_id % 120 AS VARCHAR) || '?fbclid=abc#frag'
         |  END AS url FROM documents),
-        |canon AS (SELECT doc_id, crawl_ts,
+        |parts AS (SELECT doc_id, crawl_ts,
         |    regexp_replace(
         |      lower(regexp_extract(regexp_replace(url, '#.*', '', 'g'),
         |                           '^(https?://[^/?]+)', 1)),
-        |      ':(80|443)$', '', 'g')
-        |    || regexp_replace(
-        |         regexp_replace(
-        |           regexp_replace(
-        |             regexp_replace(regexp_replace(url, '#.*', '', 'g'),
-        |                            '^https?://[^/?]+', '', 'g'),
-        |             '(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '', 'g'),
-        |           '[?&](utm_[a-z]+|fbclid|gclid)=[^&]*$', '', 'g'),
-        |         '/$', '', 'g') AS canonical_url
+        |      ':(80|443)$', '', 'g') AS host,
+        |    regexp_replace(regexp_replace(url, '#.*', '', 'g'),
+        |                   '^https?://[^/?]+', '', 'g') AS rest
         |  FROM crawls),
+        |strip AS (SELECT doc_id, crawl_ts, host, rest,
+        |    regexp_replace(rest, '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g')
+        |      AS stripped
+        |  FROM parts),
+        |canon AS (SELECT doc_id, crawl_ts,
+        |    host || regexp_replace(
+        |      CASE WHEN instr(rest, '?') > 0 AND instr(stripped, '?') = 0
+        |           THEN regexp_replace(stripped, '^([^&]*)&', '\1?')
+        |           ELSE stripped END,
+        |      '/$', '', 'g') AS canonical_url
+        |  FROM strip),
         |r AS (SELECT canonical_url, doc_id, crawl_ts,
         |    row_number() OVER (PARTITION BY canonical_url
         |                       ORDER BY crawl_ts DESC, doc_id ASC) AS rn
@@ -2723,8 +2736,8 @@ object SparkEntry {
 
     "q108_local_supplier_revenue" ->
       """SELECT n_name,
-        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
-        |    AS revenue_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents,
         |  count(*) AS n_items
         |FROM region
         |JOIN nation ON r_regionkey = n_regionkey
@@ -2828,7 +2841,8 @@ object SparkEntry {
         |ORDER BY lift DESC, p.a, p.b LIMIT 50""".stripMargin,
 
     "q115_posting_lists" ->
-      """SELECT tok, list(doc_id ORDER BY doc_id) AS postings,
+      """SELECT tok,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings,
         |  CAST(count(*) AS BIGINT) AS df
         |FROM (SELECT DISTINCT doc_id,
         |    unnest(list_distinct(string_split(text, ' '))) AS tok

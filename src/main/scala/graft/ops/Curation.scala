@@ -146,17 +146,28 @@ object Curation {
 
   /** Canonical form of an http(s) URL column:
     * fragment stripped → host lowercased, default :80/:443 dropped →
-    * tracking params removed (mid-query and trailing) → trailing slash
-    * trimmed. Non-URL strings pass through the host regexes unchanged
-    * (extract misses → empty host part + original rest). */
+    * tracking params removed → trailing slash trimmed. Non-URL strings
+    * pass through the host regexes unchanged (extract misses → empty
+    * host part + original rest).
+    *
+    * Each tracking param is removed together with ITS OWN leading
+    * delimiter — the `[?&]` anchor means a tracking name appearing as a
+    * substring of a longer param ("?xutm_source=1") is untouched, and a
+    * run of consecutive tracking params ("?utm_source=a&utm_medium=b")
+    * disappears in one pass because every member carries its own
+    * delimiter. When the removed run consumed the '?' itself, the first
+    * surviving '&' is promoted back to '?' (guarded on the original
+    * rest having had a query, so a raw '&' in a query-less path is
+    * never rewritten). */
   def canonicalizeUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*", "")
     val host = regexp_replace(
       lower(regexp_extract(noFrag, "^(https?://[^/?]+)", 1)),
       ":(80|443)$", "")
     val rest = regexp_replace(noFrag, "^https?://[^/?]+", "")
-    val noMidParams = regexp_replace(rest, TrackingParams + "=[^&#]*&", "")
-    val noParams = regexp_replace(noMidParams, "[?&]" + TrackingParams + "=[^&]*$", "")
+    val stripped = regexp_replace(rest, "[?&]" + TrackingParams + "=[^&#]*", "")
+    val noParams = when(instr(rest, "?") > 0 && instr(stripped, "?") === 0,
+      regexp_replace(stripped, "^([^&]*)&", "$1?")).otherwise(stripped)
     val noSlash = regexp_replace(noParams, "/$", "")
     concat(host, noSlash)
   }
@@ -201,6 +212,9 @@ object Curation {
       .select(idCol).distinct()
     docs.join(blockedIds, Seq(idCol), "left_anti")
   }
+
+  // -------------------------------------------------------------------
+  // Linear quality classifier (fastText-filter shape): a trained
   // model reduced to per-feature weights, applied as one narrow
   // projection. Weights and features are integers and the score is the
   // raw logit — sigmoid is monotone, so "p(keep) ≥ τ" is exactly

@@ -26,10 +26,17 @@ object Metrics {
     * zeros silently deflates the mean). */
   def perQuery(ranked: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
-    val relCounts = relevant.groupBy("query_id")
+    // Defensive dedup rather than a documented input contract: duplicate
+    // relevance rows would multiply hits (recall_at_k > 1.0) and inflate
+    // n_relevant; a doc ranked twice keeps its best rank. Both inputs
+    // are eval-sized, so the extra exchanges are noise.
+    val rel = relevant.select("query_id", "doc_id").distinct()
+    val rk = ranked.filter(col("rank") <= k)
+      .groupBy("query_id", "doc_id").agg(min("rank").as("rank"))
+    val relCounts = rel.groupBy("query_id")
       .agg(count(lit(1)).as("n_relevant"))
-    val hits = ranked.filter(col("rank") <= k)
-      .join(relevant.withColumn("__rel", lit(1L)), Seq("query_id", "doc_id"), "left")
+    val hits = rk
+      .join(rel.withColumn("__rel", lit(1L)), Seq("query_id", "doc_id"), "left")
       .groupBy("query_id")
       .agg(
         sum(coalesce(col("__rel"), lit(0L))).as("hits"),

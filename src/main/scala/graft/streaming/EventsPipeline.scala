@@ -314,12 +314,19 @@ object EventsPipeline {
       .groupBy(userCol)
       .agg(sort_array(collect_list(struct(col("__us"), col("__et")))).as("__seq"))
       .select(col(userCol), walk(col("__seq")).as("__reached"))
-    reached
+    val counts = reached
       .select(explode(when(col("__reached") >= 1,
         sequence(lit(1), col("__reached"))).otherwise(array())).as("step_index"))
       .groupBy("step_index").agg(count(lit(1)).as("users"))
+    // Every declared step appears in the output — a step no user reaches
+    // reports users = 0 rather than silently vanishing (downstream
+    // conversion-rate math needs the zero row).
+    val grid = events.sparkSession.range(1, stepsArr.length + 1)
+      .select(col("id").cast("int").as("step_index"))
+    grid.join(counts, Seq("step_index"), "left")
       .select(col("step_index").cast("long").as("step_index"),
-        element_at(lit(stepsArr), col("step_index")).as("step"), col("users"))
+        element_at(lit(stepsArr), col("step_index").cast("int")).as("step"),
+        coalesce(col("users"), lit(0L)).as("users"))
   }
 
   /** Consecutive-duplicate suppression (sensor/CDC debounce): drop an
@@ -334,7 +341,13 @@ object EventsPipeline {
     require(payloadCols.nonEmpty, "need at least one payload column")
     import org.apache.spark.sql.expressions.Window
     val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
-    val sig = md5(concat_ws("", payloadCols.map(col): _*).cast("binary"))
+    // Unambiguous payload signature: columns \u0001-delimited with an
+    // explicit \u0000 null sentinel -- ("ab","c") vs ("a","bc"), and
+    // ("x",null) vs (null,"x") vs ("x",""), all hash apart. concat_ws
+    // alone silently SKIPS nulls (value and separator), so nulled and
+    // empty payloads would collide and changed events would be dropped.
+    val enc = payloadCols.map(c => coalesce(col(c).cast("string"), lit("\u0000")))
+    val sig = md5(concat_ws("\u0001", enc: _*).cast("binary"))
     events
       .withColumn("__sig", sig)
       .withColumn("__prev", lag(col("__sig"), 1).over(byKey))

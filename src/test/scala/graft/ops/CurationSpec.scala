@@ -206,6 +206,26 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(out(6L) == "https://example.com")
   }
 
+  test("canonicalizeUrl: delimiter-anchored tracking match and ?-promotion") {
+    val urls = Seq(
+      // tracking name as a SUBSTRING of a longer param — must NOT match
+      (1L, "https://example.com/p?xutm_source=1&b=2"),
+      // leading run of tracking params consumes the '?' — first real
+      // param is promoted back to '?'
+      (2L, "https://example.com/p?utm_source=a&utm_medium=b&x=1"),
+      // raw '&' in a query-less path is never rewritten
+      (3L, "https://example.com/a&b"),
+      // full run, nothing left -> no dangling delimiter
+      (4L, "https://example.com/p?utm_source=a&utm_medium=b&utm_campaign=c")
+    ).toDF("id", "url")
+    val out = urls.select($"id", Curation.canonicalizeUrl($"url").as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "https://example.com/p?xutm_source=1&b=2", out(1L))
+    assert(out(2L) == "https://example.com/p?x=1", out(2L))
+    assert(out(3L) == "https://example.com/a&b", out(3L))
+    assert(out(4L) == "https://example.com/p", out(4L))
+  }
+
   test("adjacentChunkPairs: consecutive windows pair up, last chunk unpaired") {
     // 7 tokens, chunkTokens=3 -> chunks [t1 t2 t3][t4 t5 t6][t7] -> 2 pairs
     val docs = Seq((1L, "t1 t2 t3 t4 t5 t6 t7"), (2L, "a b")) // doc 2: 1 chunk, 0 pairs

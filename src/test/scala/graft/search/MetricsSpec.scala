@@ -37,4 +37,17 @@ class MetricsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(s._2 - (0.666667 + 1.0 + 0.0) / 3) < 1e-6)
     assert(math.abs(s._3 - (1.0 + 0.333333 + 0.0) / 3) < 1e-6)
   }
+
+  test("perQuery: duplicate relevance / ranked rows don't inflate metrics") {
+    // relevant {10} listed twice, and doc 10 ranked at BOTH 1 and 3:
+    // without dedup hits would be 4 and recall 4.0 — must be exactly 1.0
+    // with RR taken from the best rank.
+    val ranked = Seq((1L, 10L, 1), (1L, 99L, 2), (1L, 10L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val relevant = Seq((1L, 10L), (1L, 10L)).toDF("query_id", "doc_id")
+    val m = Metrics.perQuery(ranked, relevant, k = 3)
+      .select("query_id", "n_relevant", "hits", "recall_at_k", "reciprocal_rank")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(m == ((1L, 1L, 1L, 1.0, 1.0)), m.toString)
+  }
 }

@@ -134,6 +134,23 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1L, 3L, 5L, 6L), s"kept: $kept")
   }
 
+  test("dropConsecutiveDuplicates: multi-column signatures don't collide") {
+    // Adjacent rows whose payloads differ only in column BOUNDARIES or
+    // null placement are genuine changes and must all survive; a true
+    // repeat is still dropped.
+    val ev = Seq(
+      (1L, 1L, "ab", "c"), (1L, 2L, "a", "bc"),      // boundary shift
+      (1L, 3L, "x", null), (1L, 4L, null, "x"),      // null placement
+      (1L, 5L, "x", ""), (1L, 6L, "x", null),        // empty vs null
+      (1L, 7L, "x", null))                           // true repeat — drop
+      .map { case (u, i, a, b) => (u, new java.sql.Timestamp(i * 1000), i, a, b) }
+      .toDF("user_id", "ts", "event_id", "a", "b")
+    val kept = EventsPipeline
+      .dropConsecutiveDuplicates(ev, "user_id", Seq("a", "b"))
+      .select("event_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L, 5L, 6L), s"kept: $kept")
+  }
+
   test("funnelCounts: strict ordering — a purchase before the click doesn't convert") {
     def r(u: Long, s: Long, t: String) =
       (u, new java.sql.Timestamp(s * 1000), s, t)
@@ -152,6 +169,17 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
       .select("step_index", "step", "users")
       .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, "signup", 3L), (2L, "click", 2L), (3L, "purchase", 1L)),
+      got.toString)
+  }
+
+  test("funnelCounts: unreached steps report zero rows, not missing rows") {
+    val ev = Seq((1L, new java.sql.Timestamp(1000L), 1L, "signup"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventsPipeline
+      .funnelCounts(ev, Seq("signup", "click", "purchase"))
+      .select("step_index", "step", "users")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "signup", 1L), (2L, "click", 0L), (3L, "purchase", 0L)),
       got.toString)
   }
 

@@ -1515,6 +1515,90 @@ object SparkEntry {
           expr("right(name_a, 2)"), expr("right(name_b, 2)"),
           "name_a", "name_b", maxDist = 1)
         .select("id_a", "id_b", "name_a", "name_b", "dist")
+    }),
+
+    // Forward fill over a dense time grid (LOCF): per-user hourly value
+    // sums land on a generated hour grid from the user's first to last
+    // event; grid hours with no events carry the last observed sum
+    // forward. Money through cents; hours emitted as strings.
+    "q119_gap_fill" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(cents(col("value"))).as("c"))
+      val grid = graft.ops.Cleaning.timeGrid(hourly, Seq("user_id"), "h",
+        step = "1 hour", gridCol = "h")
+      graft.ops.Cleaning.forwardFill(
+          grid.join(hourly, Seq("user_id", "h"), "left"),
+          Seq("user_id"), "h", Seq("c"))
+        .select(col("user_id"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("c").as("filled_cents"))
+    }),
+
+    // Exact triangle count over a deterministic synthetic graph (60
+    // nodes, edges derived from doc ids): canonical orientation, each
+    // triangle a<b<c found exactly once by a two-hop equi-join. The
+    // oracle reproduces orientation, dedup, and the 3-way join.
+    "q120_triangle_count" -> ((s, dir) => {
+      val edges = t(s, dir, "documents").select(
+        (col("doc_id") % 60).as("src"),
+        expr("(doc_id div 60) % 60").as("dst"))
+      graft.ops.GraphOps.triangleCount(edges)
+    }),
+
+    // Bigram next-token statistics: adjacent-pair counts in exact
+    // position order, then top-3 continuations per prev token (count
+    // desc, token asc) THROUGH the custom TopKPerKey plan — the custom
+    // operator serving a real LM-stats pipeline, gated against the
+    // window-formulation oracle.
+    "q121_bigram_topk" -> ((s, dir) => {
+      val counts = TextAnalysis.bigramCounts(
+        t(s, dir, "documents").select("text"))
+      graft.plans.TopK.perKey(counts, Seq("prev"),
+        Seq(("cnt", false), ("next", true)), k = 3)
+        .select("prev", "next", "cnt")
+    }),
+
+    // Count-Min sketch: build the 4x64 counter grid over the token
+    // stream, then point-estimate every distinct token's frequency from
+    // it, alongside the exact count. The oracle re-derives the md5
+    // bucket placement, the grid, the min-over-rows estimate, and the
+    // exact counts — and the CM overestimate-only invariant (est >=
+    // true, never under) is part of what the hash check locks in.
+    "q122_countmin" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      // One corpus scan: the exact frequency table feeds the weighted
+      // sketch build (cell sums are additive — identical to the raw
+      // stream build), the estimate's query set, AND the comparison.
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+      val sketch = graft.ops.Profile.countMinBuildCounts(exact, "tok",
+        "true_cnt", depth = 4, width = 64)
+      graft.ops.Profile.countMinEstimate(sketch, exact, "tok",
+          depth = 4, width = 64)
+        .join(exact, Seq("tok"))
+        .select(col("tok"), col("est"), col("true_cnt"))
+    }),
+
+    // Schema-evolution read: two parquet generations (v1 without
+    // n_chars, v2 with it) come back as ONE union-by-name frame, old
+    // rows null-filled — no backfill rewrite. The generations are
+    // written once per sf dir (marker-guarded) so bench re-runs don't
+    // pay the fixture; the oracle reads the same files with DuckDB's
+    // union_by_name.
+    "q123_schema_evolution" -> ((s, dir) => {
+      val base = auxPath(dir) + "/schema_evo"
+      val marker = java.nio.file.Paths.get(base, "_BUILT")
+      if (!java.nio.file.Files.exists(marker)) {
+        val d = t(s, dir, "documents")
+        d.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+          .write.mode("overwrite").parquet(s"$base/g1")
+        d.filter(col("doc_id") % 2 =!= 0).select("doc_id", "lang", "n_chars")
+          .write.mode("overwrite").parquet(s"$base/g2")
+        java.nio.file.Files.write(marker, "v1".getBytes)
+      }
+      graft.sources.EvolvingParquet.readMerged(s, Seq(s"$base/g1", s"$base/g2"))
+        .select("doc_id", "lang", "n_chars")
     })
   )
 
@@ -2877,6 +2961,72 @@ object SparkEntry {
         |SELECT id_a, id_b, name_a, name_b,
         |  CAST(levenshtein(name_a, name_b) AS INT) AS dist
         |FROM sysA JOIN sysB ON right(name_a, 2) = right(name_b, 2)
-        |WHERE levenshtein(name_a, name_b) <= 1""".stripMargin
+        |WHERE levenshtein(name_a, name_b) <= 1""".stripMargin,
+
+    "q119_gap_fill" ->
+      """WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS h,
+        |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        |  FROM hourly GROUP BY user_id),
+        |j AS (SELECT g.user_id, g.h, hourly.c
+        |  FROM grid g LEFT JOIN hourly USING (user_id, h))
+        |SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  CAST(last_value(c IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS filled_cents
+        |FROM j""".stripMargin,
+
+    "q120_triangle_count" ->
+      """WITH raw AS (SELECT doc_id % 60 AS src, (doc_id // 60) % 60 AS dst
+        |  FROM documents),
+        |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM raw WHERE least(src, dst) < greatest(src, dst))
+        |SELECT CAST(count(*) AS BIGINT) AS triangles
+        |FROM e ab JOIN e bc ON ab.v = bc.u
+        |JOIN e ac ON ac.u = ab.u AND ac.v = bc.v""".stripMargin,
+
+    "q121_bigram_topk" ->
+      """WITH toks AS (SELECT doc_id, idx, parts[idx+1] AS tok FROM (
+        |    SELECT doc_id, parts, unnest(range(len(parts))) AS idx FROM (
+        |      SELECT doc_id, string_split(text, ' ') AS parts FROM documents))),
+        |pairs AS (SELECT a.tok AS prev, b.tok AS next
+        |  FROM toks a JOIN toks b
+        |    ON a.doc_id = b.doc_id AND b.idx = a.idx + 1),
+        |cnts AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT prev, next, cnt FROM (
+        |  SELECT prev, next, cnt,
+        |    row_number() OVER (PARTITION BY prev
+        |                       ORDER BY cnt DESC, next ASC) AS rn
+        |  FROM cnts) WHERE rn <= 3""".stripMargin,
+
+    "q122_countmin" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |cells AS (SELECT row, tok,
+        |    CAST('0x' || substr(md5(CAST(row AS VARCHAR) || '#' || tok), 1, 8)
+        |      AS BIGINT) % 64 AS bucket
+        |  FROM toks CROSS JOIN (SELECT unnest(range(4)) AS row)),
+        |sketch AS (SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM cells GROUP BY 1, 2),
+        |q AS (SELECT DISTINCT tok,
+        |    CAST('0x' || substr(md5(CAST(row AS VARCHAR) || '#' || tok), 1, 8)
+        |      AS BIGINT) % 64 AS bucket, row
+        |  FROM (SELECT DISTINCT tok FROM toks)
+        |    CROSS JOIN (SELECT unnest(range(4)) AS row)),
+        |est AS (SELECT q.tok, CAST(min(COALESCE(s.cnt, 0)) AS BIGINT) AS est
+        |  FROM q LEFT JOIN sketch s ON s.row = q.row AND s.bucket = q.bucket
+        |  GROUP BY q.tok),
+        |exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt
+        |  FROM toks GROUP BY 1)
+        |SELECT tok, est, true_cnt FROM est JOIN exact USING (tok)""".stripMargin,
+
+    "q123_schema_evolution" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM read_parquet(['__AUX__/schema_evo/g1/*.parquet',
+        |                   '__AUX__/schema_evo/g2/*.parquet'],
+        |                  union_by_name=true)""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-cleaning / distribution-profiling operators: equi-width
@@ -143,4 +144,36 @@ object Cleaning {
           col("__hi")), 6))
       .drop("__lo", "__hi")
   }
+
+  /** Forward fill (LOCF — last observation carried forward): each null
+    * in `valueCols` takes the most recent non-null value of the same
+    * column within its `partCols` group, in `orderCol` order. The
+    * standard densification step after joining a sparse observation
+    * table onto a regular time grid (sensor feeds, feature snapshots).
+    *
+    * Scale shape: one shuffle on the partition key; the running
+    * "last non-null" is a single window agg per column (no self-join,
+    * no per-row scan-back). Leading nulls — nothing observed yet —
+    * stay null rather than inventing a value. */
+  def forwardFill(df: DataFrame, partCols: Seq[String], orderCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one column to fill")
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
+  /** Dense per-key time grid at a fixed `step`: one row per key per
+    * step instant from that key's first to last observation. The grid a
+    * [[forwardFill]] densifies over. Emits (partCols*, gridCol).
+    * The grid is generated, not stored — `sequence` + `explode` costs
+    * O(rows emitted) with no shuffle beyond the min/max aggregate. */
+  def timeGrid(df: DataFrame, partCols: Seq[String], tsCol: String,
+      step: String, gridCol: String = "grid_ts"): DataFrame =
+    df.groupBy(partCols.map(col): _*)
+      .agg(min(col(tsCol)).as("__t0"), max(col(tsCol)).as("__t1"))
+      .select(partCols.map(col) :+
+        explode(expr(s"sequence(__t0, __t1, interval $step)")).as(gridCol): _*)
 }

@@ -61,4 +61,30 @@ object GraphOps {
     }
     ranks
   }
+
+  /** Exact triangle count on an undirected (src, dst) edge table — the
+    * standard clustering-coefficient numerator (link-farm detection in
+    * crawl curation: spam clusters are triangle-dense, genuine link
+    * graphs are sparse).
+    *
+    * Edges orient canonically (u < v, self-loops and multi-edges
+    * dropped), then each triangle a < b < c is found EXACTLY ONCE as
+    * the join e(a,b) ⋈ e(b,c) ⋈ e(a,c) — two equi-join shuffles over
+    * id-pair rows, never a cross product, never payload. At web scale
+    * the classic refinement is orienting low-degree → high-degree
+    * before the join (caps the per-key fan-out at O(√|E|) wedges;
+    * see Suri & Vassilvitskii, WWW'11); id-orientation keeps the
+    * oracle's arithmetic identical and is the right default below
+    * that regime. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") < col("v")).distinct()
+    val ab = e.select(col("u").as("a"), col("v").as("b"))
+    val bc = e.select(col("u").as("b"), col("v").as("c"))
+    val ac = e.select(col("u").as("a"), col("v").as("c"))
+    ab.join(bc, "b").join(ac, Seq("a", "c"))
+      .agg(count(lit(1)).as("triangles"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** ANALYZE-style data profiling: per-column stats a pipeline needs
@@ -135,6 +135,74 @@ object Profile {
     sketches
       .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(false))))
       .first().getLong(0)
+
+  /** Count-Min hash bucket for a string value on sketch row `row`:
+    * first 8 hex chars of md5("row#value"), mod `width`. md5-derived so
+    * Spark, DuckDB, and any future engine place every value in the SAME
+    * cell — the sketch table itself is engine-portable (and the oracle
+    * can re-derive it end to end). */
+  private def cmBucket(row: Column, v: Column, width: Int): Column =
+    conv(substring(md5(concat_ws("#", row.cast("string"), v).cast("binary")),
+      1, 8), 16, 10).cast("long") % width
+
+  /** Count-Min sketch build: a depth × width grid of counters, each row
+    * an independent hash of the value space. The sketch answers point
+    * frequency queries with ≤ εN overestimate (ε ≈ e/width) at
+    * confidence 1−δ (δ ≈ e^−depth) in O(depth·width) space — the
+    * streaming-frequency complement of the MG candidate sketch above
+    * (MG: WHICH values are heavy; CM: HOW OFTEN is this value, for any
+    * value, without storing the value space).
+    *
+    * Scale shape: one explode (×depth) + one (row, bucket)-keyed count
+    * with map-side partial aggregation into at most depth·width cells —
+    * the shuffle carries the GRID, never the values. Cells with zero
+    * count are simply absent (estimate treats missing as 0). */
+  def countMinBuild(df: DataFrame, valueCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape $depth x $width")
+    df.select(col(valueCol).cast("string").as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(col("__v"), explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .select(col("row"), cmBucket(col("row"), col("__v"), width).as("bucket"))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [[countMinBuild]] from pre-aggregated (value, weight) rows — the
+    * batch-pipeline form: when a frequency table already exists (or
+    * several shards' tables do), the sketch is the weighted cell sum,
+    * additive and order-independent, so shard sketches merge by summing
+    * cells. Identical result to the raw build over the expanded
+    * stream. */
+  def countMinBuildCounts(counts: DataFrame, valueCol: String,
+      weightCol: String, depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape $depth x $width")
+    counts.select(col(valueCol).cast("string").as("__v"),
+        col(weightCol).cast("long").as("__w"))
+      .filter(col("__v").isNotNull)
+      .select(col("__v"), col("__w"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .select(col("row"), cmBucket(col("row"), col("__v"), width).as("bucket"),
+        col("__w"))
+      .groupBy("row", "bucket").agg(sum("__w").as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[countMinBuild]] sketch: for each
+    * distinct query value, min over the depth cells it hashes to —
+    * never an underestimate, overestimate bounded as documented above.
+    * The sketch broadcasts (≤ depth·width rows by construction); the
+    * query side never shuffles more than its own distinct values. */
+  def countMinEstimate(sketch: DataFrame, queries: DataFrame,
+      valueCol: String, depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape $depth x $width")
+    queries.select(col(valueCol).cast("string").as(valueCol)).distinct()
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol), explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .select(col(valueCol), col("row"),
+        cmBucket(col("row"), col(valueCol), width).as("bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(valueCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 
   private def exactCore(vals: DataFrame, valueCol: String, n: Long,
       threshold: Long, sketchSize: Int): DataFrame = {

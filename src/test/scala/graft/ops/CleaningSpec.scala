@@ -107,4 +107,25 @@ class CleaningSpec extends AnyFunSuite with SparkTestBase {
     assert(b == 7.0)
     intercept[IllegalArgumentException] { Cleaning.winsorize(df, "grp", "v", 0.9, 0.1) }
   }
+
+  test("timeGrid + forwardFill: gaps densify and carry the last value; leading nulls stay") {
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // user 1 observes at hours 1 and 4 (gap 2-3); user 2 only at 2
+    val obs = Seq((1L, ts(1), 10L), (1L, ts(4), 40L), (2L, ts(2), 5L))
+      .toDF("user_id", "h", "c")
+    val grid = Cleaning.timeGrid(obs, Seq("user_id"), "h", "1 hour", "h")
+    assert(grid.count() == 5, "1: hours 1-4; 2: hour 2 only")
+    val filled = Cleaning.forwardFill(
+        grid.join(obs, Seq("user_id", "h"), "left"), Seq("user_id"), "h", Seq("c"))
+      .select(col("user_id"), hour(col("h")).as("hh"), col("c"))
+      .as[(Long, Int, Option[Long])].collect().toSet
+    assert(filled == Set((1L, 1, Some(10L)), (1L, 2, Some(10L)),
+      (1L, 3, Some(10L)), (1L, 4, Some(40L)), (2L, 2, Some(5L))), filled.toString)
+    // leading null: an observation row with null value before the first real one
+    val lead = Seq((1L, ts(1), None: Option[Long]), (1L, ts(2), Some(7L)))
+      .toDF("user_id", "h", "c")
+    val f2 = Cleaning.forwardFill(lead, Seq("user_id"), "h", Seq("c"))
+      .select(hour(col("h")), col("c")).as[(Int, Option[Long])].collect().toMap
+    assert(f2 == Map(1 -> None, 2 -> Some(7L)), "nothing observed yet stays null")
+  }
 }

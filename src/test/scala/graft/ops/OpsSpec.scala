@@ -132,6 +132,41 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long)].collect().toMap == r)
   }
 
+  test("triangleCount: K4 has 4 triangles; orientation dedups multi-edges/loops") {
+    // K4 on {1,2,3,4} = C(4,3) = 4 triangles; reversed duplicates and a
+    // self-loop must not change the count.
+    val k4 = for (u <- 1L to 4L; v <- 1L to 4L if u != v) yield (u, v)
+    val e = (k4 ++ Seq((1L, 1L), (2L, 1L))).toDF("src", "dst")
+    assert(GraphOps.triangleCount(e).first().getLong(0) == 4L)
+    // a path graph has none
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(GraphOps.triangleCount(path).first().getLong(0) == 0L)
+  }
+
+  test("bigramCounts: adjacent pairs in position order, short docs empty") {
+    val docs = Seq((1L, "a b a b c"), (2L, "x"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramCounts(docs)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 1L)), got.toString)
+  }
+
+  test("Count-Min: never underestimates, exact when collision-free, weighted build matches raw") {
+    val vals = (Seq.fill(5)("heavy") ++ Seq("a", "b", "c")).toDF("v")
+    val sk = Profile.countMinBuild(vals, "v", depth = 4, width = 64)
+    val est = Profile.countMinEstimate(sk, vals, "v", depth = 4, width = 64)
+      .as[(String, Long)].collect().toMap
+    assert(est("heavy") >= 5L && est("a") >= 1L, s"CM must never undercount: $est")
+    // 4 values in 64 buckets: collisions in all 4 rows are vanishingly
+    // unlikely — min over rows recovers the exact counts here
+    assert(est == Map("heavy" -> 5L, "a" -> 1L, "b" -> 1L, "c" -> 1L), est.toString)
+    // weighted build over the frequency table = raw build over the stream
+    val counts = vals.groupBy("v").count()
+    val sk2 = Profile.countMinBuildCounts(counts, "v", "count", depth = 4, width = 64)
+    assert(sk.as[(Int, Long, Long)].collect().toSet ==
+      sk2.as[(Int, Long, Long)].collect().toSet)
+  }
+
   test("keepCanonical drops every clustered doc except the min id") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (11L, "b"),
       (20L, "unique")).toDF("doc_id", "text")

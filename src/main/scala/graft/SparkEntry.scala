@@ -1599,7 +1599,37 @@ object SparkEntry {
       }
       graft.sources.EvolvingParquet.readMerged(s, Seq(s"$base/g1", s"$base/g2"))
         .select("doc_id", "lang", "n_chars")
-    })
+    }),
+
+    // Z-order (Morton) codes: the clustering key behind zorderWrite's
+    // two-dimensional data skipping, oracle-checked bit for bit — the
+    // DuckDB side re-interleaves with shift/mask arithmetic.
+    "q124_zorder" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.Layout.zValue(col("doc_id") % 1024, col("n_chars") % 1024,
+          bits = 10).as("z"))),
+
+    // ORC round-trip: the corpus written once (marker-guarded) as ORC —
+    // Spark's second first-class columnar format — and read back; the
+    // oracle is the original parquet table, so the gate proves the
+    // format conversion is lossless for ids, strings, and ints.
+    "q125_orc_roundtrip" -> ((s, dir) => {
+      val base = auxPath(dir) + "/orc_docs"
+      val marker = java.nio.file.Paths.get(base, "_BUILT")
+      if (!java.nio.file.Files.exists(marker)) {
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+          .write.mode("overwrite").orc(s"$base/data")
+        java.nio.file.Files.write(marker, "v1".getBytes)
+      }
+      s.read.orc(s"$base/data").select("doc_id", "lang", "n_chars")
+    }),
+
+    // Integer LM-fluency scores: per doc, (sum, n) of corpus bigram
+    // frequencies over its own transitions — the KenLM-style fluency
+    // filter with the float division left to the caller.
+    "q126_bigram_fluency" -> ((s, dir) =>
+      TextAnalysis.bigramFluency(
+        t(s, dir, "documents").select("doc_id", "text")))
   )
 
   // ---------------------------------------------------------------------
@@ -3027,6 +3057,31 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars
         |FROM read_parquet(['__AUX__/schema_evo/g1/*.parquet',
         |                   '__AUX__/schema_evo/g2/*.parquet'],
-        |                  union_by_name=true)""".stripMargin
+        |                  union_by_name=true)""".stripMargin,
+
+    "q124_zorder" ->
+      """SELECT doc_id,
+        |  (SELECT CAST(SUM((((a >> i) & 1) << (2*i)) +
+        |                   (((b >> i) & 1) << (2*i + 1))) AS BIGINT)
+        |   FROM range(10) t(i)) AS z
+        |FROM (SELECT doc_id, doc_id % 1024 AS a, n_chars % 1024 AS b
+        |      FROM documents)""".stripMargin,
+
+    "q125_orc_roundtrip" ->
+      """SELECT doc_id, lang, n_chars FROM documents""".stripMargin,
+
+    "q126_bigram_fluency" ->
+      """WITH toks AS (SELECT doc_id, idx, parts[idx+1] AS tok FROM (
+        |    SELECT doc_id, parts, unnest(range(len(parts))) AS idx FROM (
+        |      SELECT doc_id, string_split(text, ' ') AS parts FROM documents))),
+        |pairs AS (SELECT a.doc_id, a.tok AS prev, b.tok AS next
+        |  FROM toks a JOIN toks b
+        |    ON a.doc_id = b.doc_id AND b.idx = a.idx + 1),
+        |cnts AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT p.doc_id, CAST(SUM(c.cnt) AS BIGINT) AS sum_cnt,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM pairs p JOIN cnts c ON c.prev = p.prev AND c.next = p.next
+        |GROUP BY p.doc_id""".stripMargin
   )
 }

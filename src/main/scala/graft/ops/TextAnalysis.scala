@@ -216,6 +216,14 @@ object TextAnalysis {
     }
   }
 
+  /** Per-document adjacent pairs, id attached — the exploded view
+    * [[bigramCounts]] aggregates and [[bigramFluency]] scores against. */
+  def docBigrams(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol), explode(bigramsUdf(col(textCol))).as("bg"))
+      .select(col(idCol), col("bg._1").as("prev"), col("bg._2").as("next"))
+
   /** Bigram (prev → next) transition counts over the corpus — the count
     * table behind n-gram language-model statistics, next-token lookup
     * tables, and Markov-chain corpus fingerprints. One explode + one
@@ -226,6 +234,28 @@ object TextAnalysis {
     docs.select(explode(bigramsUdf(col(textCol))).as("bg"))
       .select(col("bg._1").as("prev"), col("bg._2").as("next"))
       .groupBy("prev", "next").agg(count(lit(1)).as("cnt"))
+
+  /** LM-fluency quality signal in exact integers (the KenLM-filter
+    * shape with the libm left out): per doc, the sum and count of
+    * corpus-frequency over its bigram transitions. Common-transition
+    * text (fluent prose) scores a high mean; word-salad and boilerplate
+    * with rare transitions scores low. Keeping (sum, n) integer rather
+    * than emitting a float mean/log keeps the result bit-identical on
+    * any engine — callers divide (or log) at the very end, exactly like
+    * [[tokenRarity]]/[[unigramLogProbScore]].
+    *
+    * Scale shape: counts table keyed by (prev, next) — broadcast while
+    * the vocab² support fits, else a shuffle of short string pairs;
+    * documents never shuffle, the doc-side explode streams. */
+  def bigramFluency(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val counts = bigramCounts(docs, textCol)
+    docBigrams(docs, idCol, textCol)
+      .join(counts, Seq("prev", "next"))
+      .groupBy(col(idCol))
+      .agg(sum("cnt").as("sum_cnt"), count(lit(1)).as("n_pairs"))
+  }
 
   /** The float view over [[tokenRarity]]'s integers: ln of the doc's
     * mean token corpus-frequency, normalized by corpus size N — a

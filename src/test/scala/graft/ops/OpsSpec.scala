@@ -167,6 +167,16 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       sk2.as[(Int, Long, Long)].collect().toSet)
   }
 
+  test("bigramFluency: common transitions score high, in exact integers") {
+    // corpus: "a b" occurs in both docs (count 2), "b z" only once.
+    val docs = Seq((1L, "a b z"), (2L, "a b")).toDF("doc_id", "text")
+    val f = TextAnalysis.bigramFluency(docs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // doc 1: pairs (a,b) cnt 2 + (b,z) cnt 1 -> sum 3, n 2
+    // doc 2: pair (a,b) cnt 2 -> sum 2, n 1 (higher mean: fluent)
+    assert(f == Map(1L -> ((3L, 2L)), 2L -> ((2L, 1L))), f.toString)
+  }
+
   test("keepCanonical drops every clustered doc except the min id") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (11L, "b"),
       (20L, "unique")).toDF("doc_id", "text")

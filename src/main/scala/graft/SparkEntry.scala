@@ -1629,7 +1629,46 @@ object SparkEntry {
     // filter with the float division left to the caller.
     "q126_bigram_fluency" -> ((s, dir) =>
       TextAnalysis.bigramFluency(
-        t(s, dir, "documents").select("doc_id", "text")))
+        t(s, dir, "documents").select("doc_id", "text"))),
+
+    // TPC-H Q3 shape (shipping priority): segment-filtered customers ⋈
+    // pre-cutoff orders ⋈ post-cutoff lineitems, top-10 open orders by
+    // revenue. The optimizer test: both dimension filters must reach
+    // their scans, customer broadcasts, and the top-10 is a
+    // TakeOrdered, never a global sort.
+    "q127_shipping_priority" -> ((s, dir) => {
+      val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-06-01")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-06-01")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderpriority"))
+        .agg(sum(rev).as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), asc("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q10 shape (returned-item reporting): customers ranked by
+    // revenue lost to returns in one quarter — a 4-table star with two
+    // scan-pushed date bounds and a returnflag filter.
+    "q128_returned_customers" -> ((s, dir) => {
+      val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(
+            col("o_orderdate") >= lit("1997-01-01") &&
+            col("o_orderdate") < lit("1997-04-01")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(rev).as("lost_cents"), count(lit(1)).as("n_items"))
+        .orderBy(desc("lost_cents"), asc("c_custkey"))
+        .limit(20)
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -3082,6 +3121,37 @@ object SparkEntry {
         |SELECT p.doc_id, CAST(SUM(c.cnt) AS BIGINT) AS sum_cnt,
         |  CAST(count(*) AS BIGINT) AS n_pairs
         |FROM pairs p JOIN cnts c ON c.prev = p.prev AND c.next = p.next
-        |GROUP BY p.doc_id""".stripMargin
+        |GROUP BY p.doc_id""".stripMargin,
+
+    "q127_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q128_returned_customers" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS lost_cents,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY lost_cents DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin
   )
 }

@@ -186,6 +186,14 @@ object Profile {
       .groupBy("row", "bucket").agg(sum("__w").as("cnt"))
   }
 
+  /** Merge Count-Min sketches built over disjoint shards (or days —
+    * the incremental-maintenance pattern [[distinctSketch]] uses for
+    * HLL): cells are additive, so the union sketch is a cell-wise sum
+    * and any window's sketch is a merge over its shards' sketches,
+    * never a re-scan of history. */
+  def countMinMerge(sketches: DataFrame): DataFrame =
+    sketches.groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+
   /** Point-frequency estimates from a [[countMinBuild]] sketch: for each
     * distinct query value, min over the depth cells it hashes to —
     * never an underestimate, overestimate bounded as documented above.

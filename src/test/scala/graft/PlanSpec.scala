@@ -213,4 +213,36 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Filter")),
       s"the logit filter must run inside whole-stage codegen:\n$plan")
   }
+
+  test("q127 guard: dim filters pushed, customer broadcasts, top-10 is TakeOrdered") {
+    val df = SparkEntry.queries("q127_shipping_priority")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 must never be a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the filtered customer dim must broadcast:\n$plan")
+    val scans = plan.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.exists(s => s.contains("customer") && s.contains("EqualTo")),
+      s"segment filter must reach the customer scan:\n${scans.mkString("\n")}")
+    assert(scans.exists(s => s.contains("lineitem") && s.contains("GreaterThan")),
+      s"shipdate filter must reach the lineitem scan:\n${scans.mkString("\n")}")
+  }
+
+  test("q120 guard: triangle join is equi-hash, never a nested-loop product") {
+    val df = SparkEntry.queries("q120_triangle_count")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle counting must stay on equi-joins:\n$plan")
+  }
+
+  test("q122 guard: the CM sketch broadcasts into the estimate join") {
+    val df = SparkEntry.queries("q122_countmin")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the bounded depth x width sketch must broadcast:\n$plan")
+  }
 }

@@ -165,6 +165,13 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val sk2 = Profile.countMinBuildCounts(counts, "v", "count", depth = 4, width = 64)
     assert(sk.as[(Int, Long, Long)].collect().toSet ==
       sk2.as[(Int, Long, Long)].collect().toSet)
+    // shard sketches merge cell-wise into exactly the whole-corpus sketch
+    val shardA = Profile.countMinBuild(vals.limit(4), "v", depth = 4, width = 64)
+    val shardB = Profile.countMinBuild(vals.exceptAll(vals.limit(4)), "v",
+      depth = 4, width = 64)
+    val merged = Profile.countMinMerge(shardA.unionByName(shardB))
+    assert(merged.as[(Int, Long, Long)].collect().toSet ==
+      sk.as[(Int, Long, Long)].collect().toSet)
   }
 
   test("bigramFluency: common transitions score high, in exact integers") {

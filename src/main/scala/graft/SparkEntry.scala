@@ -1668,7 +1668,26 @@ object SparkEntry {
         .agg(sum(rev).as("lost_cents"), count(lit(1)).as("n_items"))
         .orderBy(desc("lost_cents"), asc("c_custkey"))
         .limit(20)
-    })
+    }),
+
+    // k-anonymity risk audit: rows whose (lang, source, size-bucket)
+    // combination isolates fewer than 5 docs — the re-identification
+    // worklist a governance pass must clear before metadata ships.
+    "q129_k_anonymity" -> ((s, dir) =>
+      graft.ops.Curation.kAnonymityRisk(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("source"), expr("CAST(n_chars div 500 AS BIGINT)").as("size_bin")),
+        Seq("lang", "source", "size_bin"), k = 5)),
+
+    // EXACTLY-n-per-stratum sampling (md5-priority rank within each
+    // language) through the custom TopKPerKey plan — guaranteed
+    // per-class counts for balanced eval pools, still a pure function
+    // of the ids.
+    "q130_fixed_stratified" -> ((s, dir) =>
+      graft.ops.Sampling.fixedSizeStratified(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        Seq("lang"), "doc_id", n = 20)
+        .select("doc_id", "lang"))
   )
 
   // ---------------------------------------------------------------------
@@ -3152,6 +3171,22 @@ object SparkEntry {
         |  AND l_returnflag = 'R'
         |GROUP BY 1, 2, 3
         |ORDER BY lost_cents DESC, c_custkey ASC
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    "q129_k_anonymity" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+        |    CAST(n_chars // 500 AS BIGINT) AS size_bin FROM documents),
+        |g AS (SELECT lang, source, size_bin, CAST(count(*) AS BIGINT) AS group_n
+        |  FROM d GROUP BY 1, 2, 3)
+        |SELECT d.doc_id, d.lang, d.source, d.size_bin, g.group_n
+        |FROM d JOIN g USING (lang, source, size_bin)
+        |WHERE g.group_n < 5""".stripMargin,
+
+    "q130_fixed_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20""".stripMargin
   )
 }

@@ -420,4 +420,31 @@ object Curation {
         floor((col("cum_tokens") - col("n_tokens")).cast("double") / windowTokens)
           .cast("long"))
   }
+
+  // -------------------------------------------------------------------
+  // k-anonymity risk audit: a released training corpus whose metadata
+  // combination (language × source × size bucket × …) isolates fewer
+  // than k rows lets those rows be re-identified by joining on the
+  // quasi-identifiers alone — the governance check run before any
+  // metadata-bearing corpus ships. Rows in groups of size < k are the
+  // risk set (suppress, generalize the quasi-columns, or drop).
+  //
+  // Scale shape: one groupBy on the quasi-key; only the RISKY groups
+  // (filtered before the join, and by construction each under k rows)
+  // come back — the join side is small and broadcasts under AQE; the
+  // corpus never shuffles twice.
+  // -------------------------------------------------------------------
+
+  /** Rows whose quasi-identifier combination matches fewer than `k`
+    * rows, with the group size attached. Empty result = the corpus is
+    * k-anonymous over these columns. */
+  def kAnonymityRisk(df: DataFrame, quasiCols: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 2, s"k-anonymity needs k >= 2, got $k")
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    val riskyGroups = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+      .filter(col("group_n") < k)
+    df.join(riskyGroups, quasiCols)
+  }
 }

@@ -197,4 +197,22 @@ object Sampling {
     df.withColumn("fold",
       conv(hexKey(col(idCol)), 16, 10).cast("long") % k)
   }
+
+  /** EXACTLY `n` rows per stratum (the complement of
+    * [[stratifiedHashSample]]'s per-stratum RATE): rows rank by their
+    * md5 hex key within each stratum and the first `n` win — still a
+    * pure function of the id (retry-safe, engine-reproducible), but
+    * with a guaranteed per-stratum count (balanced eval sets, per-class
+    * few-shot pools). Strata smaller than `n` keep every row.
+    *
+    * Executes through the custom [[graft.plans.TopK]] plan: bounded
+    * per-key heaps, one shuffle on the strata key, no per-stratum
+    * global sort. */
+  def fixedSizeStratified(df: DataFrame, strataCols: Seq[String],
+      idCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"need n >= 1 per stratum, got $n")
+    graft.plans.TopK.perKey(df.withColumn("__pri", hexKey(col(idCol))),
+      strataCols, Seq(("__pri", true), (idCol, true)), n)
+      .drop("__pri")
+  }
 }

@@ -265,4 +265,21 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastQueryStage"),
       s"eval gram side should broadcast:\n$plan")
   }
+
+  test("kAnonymityRisk: only sub-k groups flagged, group size attached") {
+    val df = Seq(
+      (1L, "en", "web"), (2L, "en", "web"), (3L, "en", "web"),
+      (4L, "de", "web"),                       // singleton -> risky
+      (5L, "en", "pdf"), (6L, "en", "pdf"))    // pair -> risky at k=3
+      .toDF("id", "lang", "source")
+    val risky = Curation.kAnonymityRisk(df, Seq("lang", "source"), k = 3)
+      .select("id", "group_n").as[(Long, Long)].collect().toMap
+    assert(risky == Map(4L -> 1L, 5L -> 2L, 6L -> 2L), risky.toString)
+    // k = 2: only the singleton remains; a k-anonymous corpus is empty
+    assert(Curation.kAnonymityRisk(df, Seq("lang", "source"), k = 2)
+      .select("id").as[Long].collect().toSeq == Seq(4L))
+    intercept[IllegalArgumentException] {
+      Curation.kAnonymityRisk(df, Seq("lang"), k = 1)
+    }
+  }
 }

@@ -134,4 +134,20 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
+
+  test("fixedSizeStratified: exact n per stratum, small strata whole, deterministic") {
+    val df = ((1L to 100L).map(i => (i, "big")) ++ Seq((200L, "tiny"), (201L, "tiny")))
+      .toDF("id", "grp")
+    val out = Sampling.fixedSizeStratified(df, Seq("grp"), "id", n = 10)
+      .select("id", "grp").as[(Long, String)].collect()
+    val byGrp = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byGrp("big").size == 10, s"exactly n from the large stratum: $byGrp")
+    assert(byGrp("tiny") == Set(200L, 201L), "undersized strata keep every row")
+    // pure function of the ids: same rows on every run
+    val again = Sampling.fixedSizeStratified(df, Seq("grp"), "id", n = 10)
+      .select("id", "grp").as[(Long, String)].collect()
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+    // membership must be md5-rank, not id-order: not simply ids 1..10
+    assert(byGrp("big") != (1L to 10L).toSet, "selection follows hash priority")
+  }
 }

@@ -1687,7 +1687,26 @@ object SparkEntry {
       graft.ops.Sampling.fixedSizeStratified(
         t(s, dir, "documents").select("doc_id", "lang"),
         Seq("lang"), "doc_id", n = 20)
-        .select("doc_id", "lang"))
+        .select("doc_id", "lang")),
+
+    // Gaps-and-islands interval coalescing: each event spans 10 minutes;
+    // overlapping/touching spans merge per user into islands with
+    // (start, end, count) in exact epoch micros. The running-max
+    // construction (not lag) is what lets one long span swallow short
+    // contained ones — the oracle re-derives the identical islands.
+    "q131_interval_merge" -> ((s, dir) =>
+      graft.ops.Cleaning.mergeIntervals(
+        events(s, dir).select(col("user_id"),
+          unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) + 600000000L).as("end_us")),
+        "user_id", "start_us", "end_us")),
+
+    // Functional-dependency audit: sources whose docs span >1 language
+    // (source → lang violators with their distinct-language counts) —
+    // the dirty-dimension probe before keying anything on source.
+    "q132_fd_violations" -> ((s, dir) =>
+      graft.ops.Profile.fdViolations(
+        t(s, dir, "documents"), "source", "lang"))
   )
 
   // ---------------------------------------------------------------------
@@ -3187,6 +3206,34 @@ object SparkEntry {
         |  SELECT doc_id, lang,
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
-        |  FROM documents) WHERE rn <= 20""".stripMargin
+        |  FROM documents) WHERE rn <= 20""".stripMargin,
+
+    "q131_interval_merge" ->
+      """WITH iv AS (SELECT user_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS start_us,
+        |    CAST(epoch_us(ts) + 600000000 AS BIGINT) AS end_us
+        |  FROM events),
+        |flagged AS (SELECT user_id, start_us, end_us,
+        |    CASE WHEN max(end_us) OVER (PARTITION BY user_id
+        |        ORDER BY start_us, end_us
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR start_us > max(end_us) OVER (PARTITION BY user_id
+        |        ORDER BY start_us, end_us
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS new_island
+        |  FROM iv),
+        |isl AS (SELECT user_id, start_us, end_us,
+        |    CAST(SUM(new_island) OVER (PARTITION BY user_id
+        |      ORDER BY start_us, end_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS island
+        |  FROM flagged)
+        |SELECT user_id, island, min(start_us) AS start_us,
+        |  max(end_us) AS end_us, count(*) AS n_rows
+        |FROM isl GROUP BY 1, 2""".stripMargin,
+
+    "q132_fd_violations" ->
+      """SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS n_rhs
+        |FROM documents GROUP BY 1 HAVING count(DISTINCT lang) > 1""".stripMargin
   )
 }

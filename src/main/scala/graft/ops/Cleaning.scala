@@ -165,6 +165,33 @@ object Cleaning {
     }
   }
 
+  /** Merge overlapping or touching intervals per key (gaps-and-islands):
+    * rows sort by start within each key, an island breaks where a start
+    * strictly exceeds the running max of all previous ends (the running
+    * max — not `lag(end)` — is what makes a long interval correctly
+    * swallow short ones it fully contains), and each island collapses to
+    * (min start, max end, row count). The canonical shape behind session
+    * coalescing with explicit durations, downtime/uptime windows, and
+    * validity-range compaction.
+    *
+    * One shuffle on the key; integer bounds (epoch micros) keep the
+    * result engine-exact. Emits (key, island, start, end, n_rows) with
+    * island a 1-based per-key ordinal. */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(byKey.rowsBetween(Window.unboundedPreceding, -1))
+    df
+      .withColumn("__new",
+        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("island",
+        sum("__new").over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("island"))
+      .agg(min(col(startCol)).as(startCol), max(col(endCol)).as(endCol),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** Dense per-key time grid at a fixed `step`: one row per key per
     * step instant from that key's first to last observation. The grid a
     * [[forwardFill]] densifies over. Emits (partCols*, gridCol).

@@ -136,6 +136,17 @@ object Profile {
       .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(false))))
       .first().getLong(0)
 
+  /** Functional-dependency violation audit: `lhs` values that map to
+    * more than one distinct `rhs` — the dirty-dimension probe run before
+    * trusting lhs as a join/dedup key (a source that spans languages, an
+    * id that spans variants). One (lhs)-keyed distinct-count aggregate;
+    * returns (lhs, n_rhs) for violators only. Empty result = the FD
+    * lhs → rhs holds. */
+  def fdViolations(df: DataFrame, lhs: String, rhs: String): DataFrame =
+    df.groupBy(col(lhs))
+      .agg(countDistinct(col(rhs)).as("n_rhs"))
+      .filter(col("n_rhs") > 1)
+
   /** Count-Min hash bucket for a string value on sketch row `row`:
     * first 8 hex chars of md5("row#value"), mod `width`. md5-derived so
     * Spark, DuckDB, and any future engine place every value in the SAME

@@ -108,6 +108,24 @@ class CleaningSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] { Cleaning.winsorize(df, "grp", "v", 0.9, 0.1) }
   }
 
+  test("mergeIntervals: overlap/touch/containment merge; gaps split; per key") {
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 12L),    // overlap -> one island
+      (1L, 12L, 15L),                  // touching (start == running max) -> merges
+      (1L, 20L, 30L), (1L, 22L, 25L),  // containment: long swallows short
+      (1L, 40L, 41L),                  // gap -> new island
+      (2L, 0L, 1L))                    // other key independent
+      .toDF("k", "s", "e")
+    val got = Cleaning.mergeIntervals(iv, "k", "s", "e")
+      .select("k", "island", "s", "e", "n_rows")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 0L, 15L, 3L),
+      (1L, 2L, 20L, 30L, 2L),
+      (1L, 3L, 40L, 41L, 1L),
+      (2L, 1L, 0L, 1L, 1L)), got.toString)
+  }
+
   test("timeGrid + forwardFill: gaps densify and carry the last value; leading nulls stay") {
     def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
     // user 1 observes at hours 1 and 4 (gap 2-3); user 2 only at 2

@@ -461,6 +461,15 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
 class ProfileSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
+  test("fdViolations: only lhs values spanning >1 rhs, with their counts") {
+    val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "z"),
+      ("c", null.asInstanceOf[String]))
+      .toDF("lhs", "rhs")
+    val v = Profile.fdViolations(df, "lhs", "rhs")
+      .as[(String, Long)].collect().toMap
+    assert(v == Map("b" -> 3L), s"a is clean, c's null isn't a distinct value: $v")
+  }
+
   test("heavyHitters: MG sketch surfaces every true heavy hitter within its error bound") {
     // N = 500 + 120 + 200 = 820; sketchSize 16 -> error bound N/17 ~ 48
     val rows = Seq.fill(500)("hot") ++ Seq.fill(120)("warm") ++

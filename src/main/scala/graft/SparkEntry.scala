@@ -1706,7 +1706,31 @@ object SparkEntry {
     // the dirty-dimension probe before keying anything on source.
     "q132_fd_violations" -> ((s, dir) =>
       graft.ops.Profile.fdViolations(
-        t(s, dir, "documents"), "source", "lang"))
+        t(s, dir, "documents"), "source", "lang")),
+
+    // Bucketed co-located fact join: orders and lineitem pre-bucketed on
+    // the order key join with NO exchange on either side (hint("merge")
+    // pins the SMJ the 100 TB large-large case needs; the bucketing
+    // makes the shuffle vanish — PlanSpec asserts exactly that; bucket-
+    // local sorts remain, as Spark trusts sortBy ordering only at one
+    // file per bucket). Tables materialize once per session; re-runs
+    // pay only the join.
+    "q133_bucketed_join" -> ((s, dir) => {
+      val sfx = new java.io.File(dir).getName.replace('.', '_')
+      graft.ops.Joins.ensureBucketedTable(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          cents(col("o_totalprice")).as("total_cents")),
+        s"bk_orders_$sfx", "o_orderkey", buckets = 8)
+      graft.ops.Joins.ensureBucketedTable(
+        t(s, dir, "lineitem").select(col("l_orderkey"),
+          cents(col("l_extendedprice")).as("price_cents")),
+        s"bk_lineitem_$sfx", "l_orderkey", buckets = 8)
+      s.table(s"bk_orders_$sfx").hint("merge")
+        .join(s.table(s"bk_lineitem_$sfx"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "total_cents")
+        .agg(count(lit(1)).as("n_items"), sum("price_cents").as("items_cents"))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -3234,6 +3258,15 @@ object SparkEntry {
 
     "q132_fd_violations" ->
       """SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS n_rhs
-        |FROM documents GROUP BY 1 HAVING count(DISTINCT lang) > 1""".stripMargin
+        |FROM documents GROUP BY 1 HAVING count(DISTINCT lang) > 1""".stripMargin,
+
+    "q133_bucketed_join" ->
+      """SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS items_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -112,4 +112,35 @@ object Joins {
     probe.filter(might(col(probeKey).cast("string")))
       .join(build, col(probeKey) === col(buildKey))
   }
+
+  /** Idempotently materialize `df` as a bucketed + sorted catalog table
+    * — the pre-partitioning that makes every later equi-join on
+    * `key` between co-bucketed tables plan with NO exchange and NO sort
+    * on either side (large-large fact joins, the case broadcast can't
+    * cover at 100 TB: both sides land pre-hashed on disk once, every
+    * downstream join rides the layout for free). Skips the write when
+    * the table already exists in this session's catalog, so repeated
+    * query runs pay only the join. */
+  def ensureBucketedTable(df: DataFrame, table: String, key: String,
+      buckets: Int = 8): Unit = {
+    require(buckets >= 1, "buckets must be positive")
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      // The in-memory catalog dies with the session but the managed
+      // location survives — and CTAS refuses a location it doesn't own.
+      // A stale dir is an orphan from an earlier session (possibly over
+      // regenerated source data): clear it and rewrite.
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new java.io.File(
+        wh.stripPrefix("file:"), table.toLowerCase(java.util.Locale.ROOT))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(loc)
+      df.write.mode("overwrite")
+        .bucketBy(buckets, key).sortBy(key)
+        .format("parquet").saveAsTable(table)
+    }
+  }
 }

@@ -238,6 +238,21 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"triangle counting must stay on equi-joins:\n$plan")
   }
 
+  test("q133 guard: bucketed fact join reads bucketed scans with no exchange") {
+    val df = SparkEntry.queries("q133_bucketed_join")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"merge hint must hold:\n$plan")
+    // THE scale property: both fact sides ride the on-disk hash layout —
+    // zero shuffle. (Bucket-LOCAL sorts remain: Spark only trusts sortBy
+    // ordering with one file per bucket under the legacy scan-ordering
+    // flag; those sorts are bucket-sized and shuffle nothing.)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"co-bucketed join must not shuffle either side:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"scans must report the bucketed layout:\n$plan")
+  }
+
   test("q122 guard: the CM sketch broadcasts into the estimate join") {
     val df = SparkEntry.queries("q122_countmin")(spark, dir)
     df.collect()

@@ -1730,6 +1730,25 @@ object SparkEntry {
           col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderkey", "total_cents")
         .agg(count(lit(1)).as("n_items"), sum("price_cents").as("items_cents"))
+    }),
+
+    // Salted skew JOIN (completes q38's salted-agg story): lineitem's
+    // return-flag key is 3-valued — the textbook hot-key join — so the
+    // fact side salts into 16 content-derived sub-keys and the tiny dim
+    // replicates per salt. Result must equal the plain join + aggregate
+    // exactly (the oracle IS the unsalted formulation).
+    "q134_salted_join" -> ((s, dir) => {
+      val dimDf = {
+        import s.implicits._
+        Seq(("A", "returned"), ("N", "kept"), ("R", "refunded"))
+          .toDF("l_returnflag", "flag_desc")
+      }
+      graft.ops.Skew.saltedJoin(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), cents(col("l_extendedprice")).as("price_cents")),
+          dimDf, "l_returnflag", saltBuckets = 16)
+        .groupBy("l_returnflag", "flag_desc")
+        .agg(count(lit(1)).as("n_items"), sum("price_cents").as("sum_cents"))
     })
   )
 
@@ -3267,6 +3286,16 @@ object SparkEntry {
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
         |    AS items_cents
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q134_salted_join" ->
+      """WITH dim(l_returnflag, flag_desc) AS (
+        |  VALUES ('A', 'returned'), ('N', 'kept'), ('R', 'refunded'))
+        |SELECT l.l_returnflag, d.flag_desc,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM lineitem l JOIN dim d ON l.l_returnflag = d.l_returnflag
         |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -125,3 +125,48 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Shared Morton interleave kernel — one static call site usable from
+  * both the interpreted path and generated Java. */
+object Morton {
+  def interleave(a: Long, b: Long, bits: Int): Long = {
+    if (a < 0 || b < 0)
+      throw new IllegalArgumentException(
+        s"zValue needs non-negative inputs, got ($a, $b)")
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((a >> i) & 1L) << (2 * i)
+      z |= ((b >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+}
+
+/** `morton_interleave(a, b)` — the Z-order clustering key as a native
+  * codegen'd expression. The Z-order WRITE path evaluates this once per
+  * row over the whole table being laid out, so it must ride the
+  * whole-stage-codegen span like any other scan projection — a boxed
+  * Long UDF there costs serialization on exactly the 100 TB-sized pass
+  * the layout tier exists for. Null inputs propagate as null (the
+  * BinaryExpression contract — a null key must not Z-sort to the
+  * origin); negative inputs fail loudly, matching the documented
+  * [[graft.ops.Layout.zValue]] precondition. */
+case class MortonInterleave(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "morton_interleave"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Morton.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Morton.interleave($a, $b, $bits)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -23,32 +23,21 @@ object Layout {
   /** Bit-interleave two non-negative longs (low `bits` of each):
     * a's bit i lands at 2i, b's at 2i+1. 21 bits each stays within a
     * positive Long (42 result bits). */
-  private[ops] def interleaveBits(a: Long, b: Long, bits: Int): Long = {
-    var z = 0L
-    var i = 0
-    while (i < bits) {
-      z |= ((a >> i) & 1L) << (2 * i)
-      z |= ((b >> i) & 1L) << (2 * i + 1)
-      i += 1
-    }
-    z
-  }
+  private[ops] def interleaveBits(a: Long, b: Long, bits: Int): Long =
+    graft.functions.Morton.interleave(a, b, bits)
 
-  // boxed Long params: a primitive-typed UDF would silently coerce NULL
-  // inputs to 0 (the standard Spark pitfall) and Z-sort null rows to the
-  // origin; boxed nulls propagate as null instead.
-  private def zUdf(bits: Int) = udf { (a: java.lang.Long, b: java.lang.Long) =>
-    if (a == null || b == null) null.asInstanceOf[java.lang.Long]
-    else {
-      require(a >= 0 && b >= 0, s"zValue needs non-negative inputs, got ($a, $b)")
-      java.lang.Long.valueOf(interleaveBits(a, b, bits))
-    }
-  }
-
-  /** The Morton code of two non-negative integral columns. */
+  /** The Morton code of two non-negative integral columns — a native
+    * codegen'd [[graft.functions.MortonInterleave]] expression (was a
+    * boxed-Long UDF; the write path evaluates this per row over the
+    * whole table being laid out, so it belongs inside the codegen
+    * span). Null inputs propagate as null — a null key must not Z-sort
+    * to the origin. */
   def zValue(a: Column, b: Column, bits: Int = 21): Column = {
     require(bits >= 1 && bits <= 31, s"bits=$bits outside [1, 31]")
-    zUdf(bits)(a.cast("long"), b.cast("long"))
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.functions.MortonInterleave(
+      GraftSqlBridge.expression(a.cast("long")),
+      GraftSqlBridge.expression(b.cast("long")), bits))
   }
 
   /** Z-order-clustered parquet write: range-partition on the Morton

@@ -19,6 +19,9 @@ object GraftSqlBridge {
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
 
+  def column(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   def addStrategy(spark: SparkSession, strategy: execution.SparkStrategy): Unit = {
     val s = spark.asInstanceOf[classic.SparkSession]
     if (!s.experimental.extraStrategies.contains(strategy))

@@ -253,6 +253,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"scans must report the bucketed layout:\n$plan")
   }
 
+  test("q124 guard: zValue is a native expression inside codegen, not a UDF") {
+    val df = SparkEntry.queries("q124_zorder")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"Morton code must not evaluate as a UDF:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("morton_interleave")),
+      s"morton_interleave must sit inside a whole-stage-codegen span:\n$plan")
+  }
+
   test("q122 guard: the CM sketch broadcasts into the estimate join") {
     val df = SparkEntry.queries("q122_countmin")(spark, dir)
     df.collect()

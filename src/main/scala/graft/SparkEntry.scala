@@ -1749,7 +1749,38 @@ object SparkEntry {
           dimDf, "l_returnflag", saltBuckets = 16)
         .groupBy("l_returnflag", "flag_desc")
         .agg(count(lit(1)).as("n_items"), sum("price_cents").as("sum_cents"))
-    })
+    }),
+
+    // Sharded JSONL export round-trip: the corpus ships as capped
+    // one-object-per-line shards (the LLM training-data delivery
+    // format) and reads back losslessly — text, unicode and all; the
+    // oracle is the original table.
+    "q135_jsonl_export" -> ((s, dir) => {
+      val base = auxPath(dir) + "/jsonl_export"
+      val marker = java.nio.file.Paths.get(base, "_BUILT")
+      if (!java.nio.file.Files.exists(marker)) {
+        graft.sources.JsonlSource.writeSharded(
+          t(s, dir, "documents").select("doc_id", "text", "lang", "n_chars"),
+          s"$base/data", maxRecordsPerFile = 100)
+        java.nio.file.Files.write(marker, "v1".getBytes)
+      }
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string")
+        .add("lang", "string").add("n_chars", "int")
+      s.read.schema(schema).json(s"$base/data")
+        .select("doc_id", "text", "lang", "n_chars")
+    }),
+
+    // Token-budget selection: keep docs in md5-priority order until the
+    // cumulative char count reaches the budget ("~75k chars of this
+    // corpus, deterministically"). The running sum is the two-pass
+    // range-partitioned prefix sum — no single-partition window — and
+    // the oracle re-derives order, sum, and cutoff.
+    "q136_token_budget" -> ((s, dir) =>
+      graft.ops.Sampling.tokenBudgetSample(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", budget = 75000L)
+        .select(col("doc_id"), col("cum_n_chars")))
   )
 
   // ---------------------------------------------------------------------
@@ -3296,6 +3327,19 @@ object SparkEntry {
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_cents
         |FROM lineitem l JOIN dim d ON l.l_returnflag = d.l_returnflag
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q135_jsonl_export" ->
+      """SELECT doc_id, text, lang, n_chars FROM documents""".stripMargin,
+
+    "q136_token_budget" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hk FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(SUM(n_chars) OVER (ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_n_chars
+        |  FROM k)
+        |SELECT doc_id, cum_n_chars FROM c WHERE cum_n_chars <= 75000""".stripMargin
   )
 }

@@ -91,6 +91,43 @@ object Layout {
       .drop("__pid", "__off")
   }
 
+  /** Global running sum of `weightCol` in `orderCols` order WITHOUT the
+    * single-partition window funnel — the same two-pass construction as
+    * [[globalRowNumber]] (range-partition, per-partition totals, offsets
+    * broadcast back, within-partition running sum + offset). The
+    * enabling primitive for budgeted selection ("keep documents until
+    * the token budget is spent") over corpora that could never pass
+    * through one task. `orderCols` must be a total order (include a
+    * unique tie-break) for run-independence. Adds `cum_<weightCol>`;
+    * null weights are rejected loudly rather than silently skipped. */
+  def globalPrefixSum(df: DataFrame, orderCols: Seq[String],
+      weightCol: String, partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+            else spark.sparkContext.defaultParallelism
+    val staged = df
+      .withColumn("__w", col(weightCol).cast("long"))
+      .repartitionByRange(p, orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    require(staged.filter(col("__w").isNull).isEmpty,
+      s"null $weightCol would silently vanish from the running sum")
+    val sums = staged.groupBy("__pid").agg(sum("__w").as("__s")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (pid, s) => val o = (pid, acc); acc += s; o }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
+    staged
+      .join(broadcast(offDf), "__pid")
+      .withColumn(s"cum_$weightCol",
+        col("__off") + sum(col("__w")).over(
+          Window.partitionBy("__pid")
+            .orderBy(orderCols.map(col): _*)
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__pid", "__off", "__w")
+  }
+
   /** Per-file min/max manifest — the data-skipping statistics layer
     * Delta/Iceberg keep in their metadata, computed for a plain parquet
     * table: one row per file with each tracked column's bounds and row

@@ -215,4 +215,25 @@ object Sampling {
       strataCols, Seq(("__pri", true), (idCol, true)), n)
       .drop("__pri")
   }
+
+  /** Budgeted selection: keep documents, in md5-priority order, until
+    * the cumulative `weightCol` (token/char counts) reaches `budget` —
+    * "give me ~1B tokens of this corpus" as a pure function of the ids.
+    * The hash order makes the kept set an unbiased sample AND stable
+    * under re-runs and appends (a new doc displaces only docs hashed
+    * after it). The running sum goes through
+    * [[graft.ops.Layout.globalPrefixSum]] — range-partitioned two-pass,
+    * no single-partition window — so the selection scales to corpora
+    * that could never pass through one task. Emits the kept rows with
+    * `cum_<weightCol>` attached (the audit trail: last row shows the
+    * budget actually spent). */
+  def tokenBudgetSample(df: DataFrame, idCol: String, weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be positive, got $budget")
+    graft.ops.Layout.globalPrefixSum(
+        df.withColumn("__hk", hexKey(col(idCol))),
+        Seq("__hk", idCol), weightCol)
+      .filter(col(s"cum_$weightCol") <= budget)
+      .drop("__hk")
+  }
 }

@@ -52,6 +52,20 @@ object JsonlSource {
   /** Malformed rows: the raw line, for the dead-letter queue. */
   def quarantined(df: DataFrame): DataFrame =
     df.filter(col(CorruptCol).isNotNull).select(col(CorruptCol).as("raw_line"))
+
+  /** Sharded JSONL export — the training-data delivery format: one JSON
+    * object per line, files capped at `maxRecordsPerFile` rows so a
+    * downstream loader (or a human) never faces a single multi-TB file.
+    * The cap is enforced per task by Spark's writer (a task that fills
+    * a shard rolls to the next file), so shard count scales with data,
+    * not with a repartition — no extra shuffle to "make files". */
+  def writeSharded(df: DataFrame, path: String,
+      maxRecordsPerFile: Int): Unit = {
+    require(maxRecordsPerFile >= 1, "maxRecordsPerFile must be positive")
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .json(path)
+  }
 }
 
 /** CSV flavor of [[JsonlSource]]: same text-scan + parse-in-projection

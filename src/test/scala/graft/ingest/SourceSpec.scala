@@ -219,4 +219,25 @@ class JsonlSourceSpec extends AnyFunSuite with graft.SparkTestBase {
     val bad = graft.sources.CsvSource.quarantined(df).collect().map(_.getString(0))
     assert(bad.toSeq == Seq("2,fr,notanumber"), bad.mkString("|"))
   }
+
+  test("writeSharded: shards capped at maxRecordsPerFile, lossless round-trip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_out").toString
+    val docs = (1L to 95L).map(i => (i, s"text $i é中"))
+      .toDF("id", "text").repartition(2)
+    JsonlSource.writeSharded(docs, dir, maxRecordsPerFile = 10)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".json"))
+    assert(files.length >= 10, s"95 rows / cap 10 needs >= 10 shards: ${files.length}")
+    files.foreach { f =>
+      val lines = java.nio.file.Files.readAllLines(f.toPath).size()
+      assert(lines <= 10, s"${f.getName} holds $lines > cap")
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("text", "string")
+    val back = spark.read.schema(schema).json(dir)
+      .as[(Long, String)].collect().toSet
+    assert(back == docs.as[(Long, String)].collect().toSet,
+      "unicode text must round-trip byte-identically")
+  }
 }

@@ -118,4 +118,25 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(cand.length < rows.length, "disjoint files must be pruned")
     assert(cand.nonEmpty, "the covering file must survive")
   }
+
+  test("globalPrefixSum equals the naive single-partition window, distributed") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 500L).map(i => (i, i % 7 + 1)).toDF("id", "w")
+    val got = Layout.globalPrefixSum(df, Seq("id"), "w", partitions = 8)
+      .select("id", "cum_w").as[(Long, Long)].collect().toMap
+    val naive = df.withColumn("cum", sum("w").over(
+        Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(got == naive, "two-pass prefix sum must equal the window exactly")
+    // no single-partition exchange in the distributed plan
+    val plan = Layout.globalPrefixSum(df, Seq("id"), "w", partitions = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"prefix sum must not funnel through one task:\n$plan")
+    // null weights refuse loudly instead of silently dropping
+    intercept[IllegalArgumentException] {
+      Layout.globalPrefixSum(
+        Seq((1L, Some(2L)), (2L, None)).toDF("id", "w"), Seq("id"), "w")
+    }
+  }
 }

@@ -150,4 +150,21 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     // membership must be md5-rank, not id-order: not simply ids 1..10
     assert(byGrp("big") != (1L to 10L).toSet, "selection follows hash priority")
   }
+
+  test("tokenBudgetSample: budget respected, hash-ordered, append-stable") {
+    val df = (1L to 100L).map(i => (i, 10L)).toDF("id", "n_tok")
+    val kept = Sampling.tokenBudgetSample(df, "id", "n_tok", budget = 300L)
+      .select("id", "cum_n_tok").as[(Long, Long)].collect()
+    assert(kept.length == 30, s"300 budget / 10 per doc = 30 docs: ${kept.length}")
+    assert(kept.map(_._2).max == 300L, "audit trail: last cum == budget spent")
+    // pure function of ids: an unrelated append only adds docs hashed
+    // into the window — every previously-kept doc that still fits stays
+    val kept2 = Sampling.tokenBudgetSample(
+        df.unionByName(Seq((1000L, 10L)).toDF("id", "n_tok")),
+        "id", "n_tok", budget = 300L)
+      .select("id").as[Long].collect().toSet
+    val before = kept.map(_._1).toSet
+    assert((before -- kept2).size <= 1,
+      s"append displaces at most the docs after the new arrival: ${before -- kept2}")
+  }
 }

@@ -1780,7 +1780,20 @@ object SparkEntry {
       graft.ops.Sampling.tokenBudgetSample(
         t(s, dir, "documents").select("doc_id", "n_chars"),
         "doc_id", "n_chars", budget = 75000L)
-        .select(col("doc_id"), col("cum_n_chars")))
+        .select(col("doc_id"), col("cum_n_chars"))),
+
+    // Gopher top-bigram repetition: per doc, (count of most frequent
+    // bigram, total bigrams) in exact integers — templated text
+    // concentrates, prose spreads; the float ratio is the caller's.
+    "q137_top_bigram" -> ((s, dir) =>
+      TextAnalysis.topBigramStats(
+        t(s, dir, "documents").select("doc_id", "text"))),
+
+    // Matryoshka truncation: first 16 of 64 dims, L2-renormalized —
+    // the MRL storage/latency dial; row-form output, 6-dp values.
+    "q138_mrl_truncate" -> ((s, dir) =>
+      graft.ops.VectorOps.truncateRenorm(
+        t(s, dir, "embeddings"), dims = 16))
   )
 
   // ---------------------------------------------------------------------
@@ -3340,6 +3353,28 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |      AS cum_n_chars
         |  FROM k)
-        |SELECT doc_id, cum_n_chars FROM c WHERE cum_n_chars <= 75000""".stripMargin
+        |SELECT doc_id, cum_n_chars FROM c WHERE cum_n_chars <= 75000""".stripMargin,
+
+    "q137_top_bigram" ->
+      """WITH toks AS (SELECT doc_id, idx, parts[idx+1] AS tok FROM (
+        |    SELECT doc_id, parts, unnest(range(len(parts))) AS idx FROM (
+        |      SELECT doc_id, string_split(text, ' ') AS parts FROM documents))),
+        |pairs AS (SELECT a.doc_id, a.tok AS prev, b.tok AS next
+        |  FROM toks a JOIN toks b
+        |    ON a.doc_id = b.doc_id AND b.idx = a.idx + 1),
+        |pc AS (SELECT doc_id, prev, next, CAST(count(*) AS BIGINT) AS c
+        |  FROM pairs GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt,
+        |  CAST(sum(c) AS BIGINT) AS n_pairs
+        |FROM pc GROUP BY doc_id""".stripMargin,
+
+    "q138_mrl_truncate" ->
+      """WITH ex AS (SELECT vec_id, CAST(i AS BIGINT) AS i,
+        |    embedding[i]::DOUBLE AS x
+        |  FROM embeddings, UNNEST(range(1, 17)) t(i)),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1)
+        |SELECT ex.vec_id, ex.i,
+        |  CASE WHEN n.nrm = 0 THEN 0.0 ELSE round(ex.x / n.nrm, 6) END AS xn
+        |FROM ex JOIN n USING (vec_id)""".stripMargin
   )
 }

@@ -235,6 +235,22 @@ object TextAnalysis {
       .select(col("bg._1").as("prev"), col("bg._2").as("next"))
       .groupBy("prev", "next").agg(count(lit(1)).as("cnt"))
 
+  /** Gopher's top-n-gram repetition signal in exact integers: per doc,
+    * the count of its MOST frequent bigram and the total bigram count —
+    * templated/spam text concentrates mass in one transition
+    * (top_cnt/n_pairs high), prose spreads it. Integer pair out, float
+    * ratio deferred to the caller (same contract as [[tokenRarity]] /
+    * [[bigramFluency]]). Per-doc shuffles keyed on (doc, gram) — never
+    * a corpus-wide gram table. */
+  def topBigramStats(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    docBigrams(docs, idCol, textCol)
+      .groupBy(col(idCol), col("prev"), col("next"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max("c").as("top_cnt"), sum("c").as("n_pairs"))
+
   /** LM-fluency quality signal in exact integers (the KenLM-filter
     * shape with the libm left out): per doc, the sum and count of
     * corpus-frequency over its bigram transitions. Common-transition

@@ -44,4 +44,26 @@ object VectorOps {
           .otherwise(floor(col("x") * 127.0 / col("maxabs") + 0.5).cast("long"))
           .as("q"))
   }
+
+  /** Matryoshka (MRL) truncation: keep the first `dims` dimensions and
+    * L2-renormalize — the storage/latency dial MRL-trained embedders
+    * expose (half the dims ≈ most of the recall at half the ANN cost).
+    * Row form (vec_id, i, xn) like its siblings; values round to 6 dp
+    * (the rounding absorbs sum-order ulps in the norm, the same
+    * convention as poolEmbeddings/cosine). Zero-norm prefixes emit
+    * zeros rather than NaN. */
+  def truncateRenorm(emb: DataFrame, dims: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1, s"dims must be positive, got $dims")
+    val ex = emb.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .filter(col("pos") < dims)
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("i"),
+        col("x").cast("double").as("x"))
+    val nrm = ex.groupBy("vec_id").agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
+    ex.join(nrm, "vec_id")
+      .select(col("vec_id"), col("i"),
+        when(col("nrm") === 0.0, lit(0.0))
+          .otherwise(round(col("x") / col("nrm"), 6)).as("xn"))
+  }
 }

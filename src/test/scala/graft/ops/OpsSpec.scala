@@ -174,6 +174,15 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       sk.as[(Int, Long, Long)].collect().toSet)
   }
 
+  test("topBigramStats: templated text concentrates mass in one transition") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"),  // "now buy" x3, "buy now" x4
+      (2L, "a b c d e")).toDF("doc_id", "text")
+    val got = TextAnalysis.topBigramStats(docs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(1L -> ((4L, 7L)), 2L -> ((1L, 4L))), got.toString)
+  }
+
   test("bigramFluency: common transitions score high, in exact integers") {
     // corpus: "a b" occurs in both docs (count 2), "b z" only once.
     val docs = Seq((1L, "a b z"), (2L, "a b")).toDF("doc_id", "text")

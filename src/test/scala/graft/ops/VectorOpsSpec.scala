@@ -62,4 +62,18 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("truncateRenorm: prefix kept, unit norm, zero vectors stay zero") {
+    val emb = Seq(
+      (1L, Array(3.0f, 4.0f, 99.0f, 99.0f)),  // prefix (3,4) -> (0.6, 0.8)
+      (2L, Array(0.0f, 0.0f, 5.0f, 5.0f)))    // zero prefix -> zeros, not NaN
+      .toDF("vec_id", "embedding")
+    val got = VectorOps.truncateRenorm(emb, dims = 2)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map((1L, 1L) -> 0.6, (1L, 2L) -> 0.8,
+      (2L, 1L) -> 0.0, (2L, 2L) -> 0.0), got.toString)
+    // renormalized prefix is unit length
+    val n = math.sqrt(got((1L, 1L)) * got((1L, 1L)) + got((1L, 2L)) * got((1L, 2L)))
+    assert(math.abs(n - 1.0) < 1e-9)
+  }
 }

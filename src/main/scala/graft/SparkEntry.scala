@@ -1793,7 +1793,18 @@ object SparkEntry {
     // the MRL storage/latency dial; row-form output, 6-dp values.
     "q138_mrl_truncate" -> ((s, dir) =>
       graft.ops.VectorOps.truncateRenorm(
-        t(s, dir, "embeddings"), dims = 16))
+        t(s, dir, "embeddings"), dims = 16)),
+
+    // Cohort retention: users cohort by first-activity day; integer
+    // active/size counts per day offset (rates are the caller's
+    // division). Activity collapses to (user, day) before any join.
+    "q139_cohort_retention" -> ((s, dir) =>
+      EventsPipeline.cohortRetention(events(s, dir))),
+
+    // Event-type transition counts — the Markov view of user behavior
+    // (the event-stream sibling of q121's token bigrams).
+    "q140_event_transitions" -> ((s, dir) =>
+      EventsPipeline.eventTransitions(events(s, dir)))
   )
 
   // ---------------------------------------------------------------------
@@ -3375,6 +3386,28 @@ object SparkEntry {
         |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1)
         |SELECT ex.vec_id, ex.i,
         |  CASE WHEN n.nrm = 0 THEN 0.0 ELSE round(ex.x / n.nrm, 6) END AS xn
-        |FROM ex JOIN n USING (vec_id)""".stripMargin
+        |FROM ex JOIN n USING (vec_id)""".stripMargin,
+
+    "q139_cohort_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+        |  FROM events),
+        |f AS (SELECT user_id, min(d) AS d0 FROM e GROUP BY 1),
+        |s AS (SELECT d0, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM f GROUP BY 1)
+        |SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', f.d0, e.d) AS BIGINT) AS day_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users,
+        |  s.cohort_size
+        |FROM e JOIN f USING (user_id) JOIN s ON s.d0 = f.d0
+        |GROUP BY 1, 2, 4""".stripMargin,
+
+    "q140_event_transitions" ->
+      """SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT event_type AS next_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS prev_type
+        |      FROM events)
+        |WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -329,6 +329,47 @@ object EventsPipeline {
         coalesce(col("users"), lit(0L)).as("users"))
   }
 
+  /** Cohort retention (the product-analytics staple): users cohort by
+    * their first-activity day; retention at day-offset k = distinct
+    * cohort users active on cohort-day + k. All integer counts —
+    * rates are the caller's division. Scale shape: activity collapses
+    * to DISTINCT (user, day) FIRST (bounded by users × days, not
+    * events), then two user-keyed joins against the tiny first-day
+    * frame; events never join at event grain. */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val act = events
+      .select(col(userCol), date_trunc("day", col(tsCol)).as("__d"))
+      .distinct()
+    val first = act.groupBy(userCol).agg(min("__d").as("__d0"))
+    val sizes = first.groupBy("__d0")
+      .agg(count(lit(1)).as("cohort_size"))
+    act.join(first, Seq(userCol))
+      .groupBy(col("__d0"), datediff(col("__d"), col("__d0")).cast("long")
+        .as("day_offset"))
+      .agg(countDistinct(col(userCol)).as("active_users"))
+      .join(sizes, Seq("__d0"))
+      .select(date_format(col("__d0"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("active_users"), col("cohort_size"))
+  }
+
+  /** Event-type transition counts (the Markov view of user behavior,
+    * the event-stream sibling of TextAnalysis.bigramCounts): per user,
+    * consecutive events in (ts, id) order pair up; counts aggregate
+    * over (prev, next). One lag window per user + one tiny pair-keyed
+    * count. */
+  def eventTransitions(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Consecutive-duplicate suppression (sensor/CDC debounce): drop an
     * event when the previous event of the SAME key carries the same
     * payload — keeping only value CHANGES, the standard compaction for

@@ -121,6 +121,31 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
       s"tail click $lastUnmatched lost: watermark never passed its join window")
   }
 
+  test("cohortRetention: day-0 is the full cohort; later offsets count returners") {
+    def at(day: Int, sec: Long) =
+      java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 00:00:${sec}%02d")
+    val ev = Seq(
+      (1L, at(1, 1), 1L), (1L, at(2, 1), 2L),   // cohort d1, returns d2
+      (2L, at(1, 2), 3L),                       // cohort d1, never returns
+      (3L, at(2, 1), 4L), (3L, at(2, 30), 5L))  // cohort d2 (2 events, 1 day)
+      .toDF("user_id", "ts", "event_id")
+    val got = EventsPipeline.cohortRetention(ev)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01", 0L, 2L, 2L), ("2024-01-01", 1L, 1L, 2L),
+      ("2024-01-02", 0L, 1L, 1L)), got.toString)
+  }
+
+  test("eventTransitions: consecutive-pair counts per user, first event skipped") {
+    def r(u: Long, s: Long, t: String) = (u, new java.sql.Timestamp(s * 1000), s, t)
+    val ev = Seq(r(1, 1, "a"), r(1, 2, "b"), r(1, 3, "a"),
+      r(2, 1, "a"), r(2, 2, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventsPipeline.eventTransitions(ev)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 2L), ("b", "a", 1L)), got.toString)
+  }
+
   test("dropConsecutiveDuplicates keeps only value changes per key") {
     val ev = Seq(
       (1L, 1L, "on"), (1L, 2L, "on"), (1L, 3L, "off"), (1L, 4L, "off"),

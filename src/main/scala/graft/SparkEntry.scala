@@ -1804,7 +1804,28 @@ object SparkEntry {
     // Event-type transition counts — the Markov view of user behavior
     // (the event-stream sibling of q121's token bigrams).
     "q140_event_transitions" -> ((s, dir) =>
-      EventsPipeline.eventTransitions(events(s, dir)))
+      EventsPipeline.eventTransitions(events(s, dir))),
+
+    // Rare-label collapse: 37 planted labels split 13/14 rows each;
+    // minCount 14 sends the 13-row tail to OTHER — the "other"
+    // bucketing run before one-hot/target encoding.
+    "q141_rare_label" -> ((s, dir) =>
+      graft.ops.Cleaning.rareLabelCollapse(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("s"), (col("doc_id") % 37).cast("string")).as("label")),
+        "label", minCount = 14L)
+        .select("doc_id", "label", "label_collapsed")),
+
+    // Leave-one-out target encoding in exact integers: each lineitem
+    // gets its return-flag group's (sum - own, n - 1) price cents —
+    // leak-free category priors, division and smoothing deferred.
+    "q142_target_encode_loo" -> ((s, dir) =>
+      graft.ops.Cleaning.targetEncodeLoo(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), cents(col("l_extendedprice")).as("price_cents")),
+        "l_returnflag", "price_cents")
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+          "loo_sum", "loo_n"))
   )
 
   // ---------------------------------------------------------------------
@@ -3408,6 +3429,26 @@ object SparkEntry {
         |          ORDER BY ts, event_id) AS prev_type
         |      FROM events)
         |WHERE prev_type IS NOT NULL
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q141_rare_label" ->
+      """WITH d AS (SELECT doc_id,
+        |    's' || CAST(doc_id % 37 AS VARCHAR) AS label FROM documents),
+        |c AS (SELECT label, count(*) AS n FROM d GROUP BY 1)
+        |SELECT d.doc_id, d.label,
+        |  CASE WHEN c.n >= 14 THEN d.label ELSE 'OTHER' END AS label_collapsed
+        |FROM d JOIN c USING (label)""".stripMargin,
+
+    "q142_target_encode_loo" ->
+      """WITH l AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        |  FROM lineitem),
+        |g AS (SELECT l_returnflag,
+        |    CAST(sum(price_cents) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM l GROUP BY 1)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  g.s - l.price_cents AS loo_sum, g.n - 1 AS loo_n
+        |FROM l JOIN g USING (l_returnflag)""".stripMargin
   )
 }

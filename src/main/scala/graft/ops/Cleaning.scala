@@ -165,6 +165,43 @@ object Cleaning {
     }
   }
 
+  /** Collapse rare category labels into a sentinel (the "other"
+    * bucketing every categorical feature pipeline needs before
+    * one-hot/target encoding — unseen-at-serving labels map to the same
+    * bucket as the training tail). Labels with fewer than `minCount`
+    * rows become `sentinel`; the count table is tiny (one row per
+    * label) and broadcasts back. */
+  def rareLabelCollapse(df: DataFrame, labelCol: String, minCount: Long,
+      sentinel: String = "OTHER"): DataFrame = {
+    require(minCount >= 1, "minCount must be positive")
+    val keep = df.groupBy(labelCol).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount)
+      .select(col(labelCol), lit(true).as("__keep"))
+    df.join(keep, Seq(labelCol), "left")
+      .withColumn(s"${labelCol}_collapsed",
+        when(col("__keep"), col(labelCol)).otherwise(lit(sentinel)))
+      .drop("__keep")
+  }
+
+  /** Leave-one-out target encoding, exact-integer form: each row gets
+    * its category's target SUM AND COUNT with the row's own target
+    * removed — (sum − y, n − 1) — so the feature never leaks the row's
+    * own label. Emitting the integer pair instead of the mean keeps the
+    * result bit-identical on any engine (the caller divides, with
+    * whatever smoothing prior it wants). Singleton categories emit
+    * (0, 0) — nothing to borrow. One tiny per-category aggregate
+    * broadcast back; the fact table never shuffles. */
+  def targetEncodeLoo(df: DataFrame, catCol: String,
+      targetCol: String): DataFrame = {
+    val agg = df.groupBy(catCol).agg(
+      sum(col(targetCol).cast("long")).as("__sum"),
+      count(lit(1)).as("__n"))
+    df.join(agg, Seq(catCol))
+      .withColumn("loo_sum", col("__sum") - col(targetCol).cast("long"))
+      .withColumn("loo_n", col("__n") - 1L)
+      .drop("__sum", "__n")
+  }
+
   /** Merge overlapping or touching intervals per key (gaps-and-islands):
     * rows sort by start within each key, an island breaks where a start
     * strictly exceeds the running max of all previous ends (the running

@@ -108,6 +108,28 @@ class CleaningSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] { Cleaning.winsorize(df, "grp", "v", 0.9, 0.1) }
   }
 
+  test("rareLabelCollapse: tail labels -> OTHER, frequent labels survive") {
+    val df = (Seq.fill(5)("hot") ++ Seq("rare1", "rare2", "rare2"))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("id", "label")
+    val got = Cleaning.rareLabelCollapse(df, "label", minCount = 3)
+      .select("label", "label_collapsed").as[(String, String)].collect().toSet
+    assert(got == Set(("hot", "hot"), ("rare1", "OTHER"), ("rare2", "OTHER")),
+      got.toString)
+    intercept[IllegalArgumentException] {
+      Cleaning.rareLabelCollapse(df, "label", 0)
+    }
+  }
+
+  test("targetEncodeLoo: own target excluded exactly; singletons get (0, 0)") {
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "b", 7L))
+      .toDF("id", "cat", "y")
+    val got = Cleaning.targetEncodeLoo(df, "cat", "y")
+      .select("id", "loo_sum", "loo_n").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(1L -> ((50L, 2L)), 2L -> ((40L, 2L)),
+      3L -> ((30L, 2L)), 4L -> ((0L, 0L))), got.toString)
+  }
+
   test("mergeIntervals: overlap/touch/containment merge; gaps split; per key") {
     val iv = Seq(
       (1L, 0L, 10L), (1L, 5L, 12L),    // overlap -> one island

@@ -1825,7 +1825,24 @@ object SparkEntry {
           col("l_returnflag"), cents(col("l_extendedprice")).as("price_cents")),
         "l_returnflag", "price_cents")
         .select("l_orderkey", "l_linenumber", "l_returnflag",
-          "loo_sum", "loo_n"))
+          "loo_sum", "loo_n")),
+
+    // l-diversity audit (q129's complement): groups that are big enough
+    // to pass k-anonymity can still leak when everyone shares the same
+    // sensitive value — rows whose (source, size-bin) group spans < 3
+    // distinct languages are the disclosure worklist.
+    "q143_l_diversity" -> ((s, dir) =>
+      graft.ops.Curation.lDiversityRisk(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("source"), expr("CAST(n_chars div 500 AS BIGINT)").as("size_bin")),
+        Seq("source", "size_bin"), "lang", l = 3)),
+
+    // Time-weighted value integral (TWAP numerator): cents x hold-
+    // seconds summed per user, last observation open-ended — exact
+    // integers, the average is the caller's division.
+    "q144_twap" -> ((s, dir) =>
+      EventsPipeline.timeWeightedSum(
+        events(s, dir).withColumn("value_cents", cents(col("value")))))
   )
 
   // ---------------------------------------------------------------------
@@ -3449,6 +3466,28 @@ object SparkEntry {
         |  FROM l GROUP BY 1)
         |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
         |  g.s - l.price_cents AS loo_sum, g.n - 1 AS loo_n
-        |FROM l JOIN g USING (l_returnflag)""".stripMargin
+        |FROM l JOIN g USING (l_returnflag)""".stripMargin,
+
+    "q143_l_diversity" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+        |    CAST(n_chars // 500 AS BIGINT) AS size_bin FROM documents),
+        |g AS (SELECT source, size_bin,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS distinct_sensitive
+        |  FROM d GROUP BY 1, 2)
+        |SELECT d.doc_id, d.lang, d.source, d.size_bin, g.distinct_sensitive
+        |FROM d JOIN g USING (source, size_bin)
+        |WHERE g.distinct_sensitive < 3""".stripMargin,
+
+    "q144_twap" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |    CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s,
+        |    CAST(round(value * 100) AS BIGINT) AS value_cents FROM events),
+        |l AS (SELECT user_id, value_cents, s,
+        |    lead(s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ns
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(sum(value_cents * (ns - s)) AS BIGINT) AS weighted_cents_s,
+        |  CAST(sum(ns - s) AS BIGINT) AS span_s
+        |FROM l WHERE ns IS NOT NULL GROUP BY 1""".stripMargin
   )
 }

@@ -447,4 +447,20 @@ object Curation {
       .filter(col("group_n") < k)
     df.join(riskyGroups, quasiCols)
   }
+
+  /** l-diversity risk — the [[kAnonymityRisk]] complement: a
+    * quasi-identifier group can be large (k-anonymous) yet still leak
+    * if nearly everyone in it shares the same SENSITIVE value; this
+    * flags rows whose group carries fewer than `l` distinct sensitive
+    * values. Same shape as the k-audit: one distinct-count aggregate,
+    * risky groups filtered before the join-back. */
+  def lDiversityRisk(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(l >= 2, s"l-diversity needs l >= 2, got $l")
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    val riskyGroups = df.groupBy(quasiCols.map(col): _*)
+      .agg(countDistinct(col(sensitiveCol)).as("distinct_sensitive"))
+      .filter(col("distinct_sensitive") < l)
+    df.join(riskyGroups, quasiCols)
+  }
 }

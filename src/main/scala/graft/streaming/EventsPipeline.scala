@@ -353,6 +353,28 @@ object EventsPipeline {
         col("day_offset"), col("active_users"), col("cohort_size"))
   }
 
+  /** Time-weighted value integral per key (the TWAP numerator): each
+    * observation holds from its timestamp to the NEXT one, so the
+    * integral is Σ value × hold-duration — in integer cents ×
+    * integer seconds, exactly reproducible anywhere (divide by the
+    * summed duration for the average; that division is the caller's).
+    * The last observation per key has no successor and contributes
+    * nothing (a half-open integral over the observed span). One lead
+    * window per key. */
+  def timeWeightedSum(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", valueCentsCol: String = "value_cents",
+      idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("__next_s", lead(unix_timestamp(col(tsCol)), 1).over(w))
+      .withColumn("__dur_s", col("__next_s") - unix_timestamp(col(tsCol)))
+      .filter(col("__dur_s").isNotNull)
+      .groupBy(keyCol)
+      .agg(sum(col(valueCentsCol) * col("__dur_s")).as("weighted_cents_s"),
+        sum("__dur_s").as("span_s"))
+  }
+
   /** Event-type transition counts (the Markov view of user behavior,
     * the event-stream sibling of TextAnalysis.bigramCounts): per user,
     * consecutive events in (ts, id) order pair up; counts aggregate

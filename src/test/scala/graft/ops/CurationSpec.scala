@@ -282,4 +282,20 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       Curation.kAnonymityRisk(df, Seq("lang"), k = 1)
     }
   }
+
+  test("lDiversityRisk: a big group with one sensitive value still leaks") {
+    val df = Seq(
+      // group (en, web): 4 rows — k-anonymous at k=3 — but one diagnosis
+      (1L, "en", "web", "flu"), (2L, "en", "web", "flu"),
+      (3L, "en", "web", "flu"), (4L, "en", "web", "flu"),
+      // group (de, web): 2 distinct sensitive values -> passes l=2
+      (5L, "de", "web", "flu"), (6L, "de", "web", "cold"))
+      .toDF("id", "lang", "source", "dx")
+    val risky = Curation.lDiversityRisk(df, Seq("lang", "source"), "dx", l = 2)
+      .select("id").as[Long].collect().toSet
+    assert(risky == Set(1L, 2L, 3L, 4L), s"uniform-dx group must flag: $risky")
+    intercept[IllegalArgumentException] {
+      Curation.lDiversityRisk(df, Seq("lang"), "dx", l = 1)
+    }
+  }
 }

@@ -136,6 +136,19 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
       ("2024-01-02", 0L, 1L, 1L)), got.toString)
   }
 
+  test("timeWeightedSum: value x hold-duration integral; last observation open") {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val ev = Seq(
+      (1L, at(0), 1L, 100L),   // holds 10 s at 100 -> 1000
+      (1L, at(10), 2L, 300L),  // holds 5 s at 300 -> 1500
+      (1L, at(15), 3L, 999L),  // last: contributes nothing
+      (2L, at(0), 4L, 50L))    // single observation: no span at all
+      .toDF("user_id", "ts", "event_id", "value_cents")
+    val got = EventsPipeline.timeWeightedSum(ev)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(1L -> ((2500L, 15L))), got.toString)
+  }
+
   test("eventTransitions: consecutive-pair counts per user, first event skipped") {
     def r(u: Long, s: Long, t: String) = (u, new java.sql.Timestamp(s * 1000), s, t)
     val ev = Seq(r(1, 1, "a"), r(1, 2, "b"), r(1, 3, "a"),

@@ -1842,7 +1842,37 @@ object SparkEntry {
     // integers, the average is the caller's division.
     "q144_twap" -> ((s, dir) =>
       EventsPipeline.timeWeightedSum(
-        events(s, dir).withColumn("value_cents", cents(col("value")))))
+        events(s, dir).withColumn("value_cents", cents(col("value"))))),
+
+    // End-to-end ENTITY RESOLUTION (the record-tier sibling of q76's
+    // document dedup): fuzzy-linked records across two systems →
+    // connected components over the link graph → every record labeled
+    // with its canonical (min-id) entity; unlinked records are their
+    // own entity. The oracle re-derives blocking, edit-distance links,
+    // the reachability closure, AND the fallback — the whole pipeline
+    // in one gate.
+    "q145_entity_resolution" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select((col("c_custkey") % 500).as("eid")).distinct()
+      val sysA = base.select(col("eid").as("rec_id"),
+        concat(lit("entity_"), col("eid")).as("name"))
+      val sysB = base.select((col("eid") + 1000).as("rec_id"),
+        when(col("eid") % 4 === 0, concat(lit("entity-"), col("eid")))
+          .otherwise(concat(lit("entity_"), col("eid"))).as("name"))
+      val links = Dedup.fuzzyLinkage(
+        sysA.withColumnRenamed("rec_id", "id_a")
+          .withColumnRenamed("name", "name_a"),
+        sysB.withColumnRenamed("rec_id", "id_b")
+          .withColumnRenamed("name", "name_b"),
+        expr("right(name_a, 2)"), expr("right(name_b, 2)"),
+        "name_a", "name_b", maxDist = 1)
+      val comp = Dedup.connectedComponents(
+        links.select(col("id_a").as("id1"), col("id_b").as("id2")))
+      sysA.unionByName(sysB)
+        .join(comp.withColumnRenamed("id", "rec_id"), Seq("rec_id"), "left")
+        .select(col("rec_id"), col("name"),
+          coalesce(col("comp"), col("rec_id")).as("entity_id"))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -3488,6 +3518,30 @@ object SparkEntry {
         |SELECT user_id,
         |  CAST(sum(value_cents * (ns - s)) AS BIGINT) AS weighted_cents_s,
         |  CAST(sum(ns - s) AS BIGINT) AS span_s
-        |FROM l WHERE ns IS NOT NULL GROUP BY 1""".stripMargin
+        |FROM l WHERE ns IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "q145_entity_resolution" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT c_custkey % 500 AS eid FROM customer),
+        |sysA AS (SELECT eid AS rec_id,
+        |    'entity_' || CAST(eid AS VARCHAR) AS name FROM base),
+        |sysB AS (SELECT eid + 1000 AS rec_id,
+        |    CASE WHEN eid % 4 = 0 THEN 'entity-' || CAST(eid AS VARCHAR)
+        |         ELSE 'entity_' || CAST(eid AS VARCHAR) END AS name
+        |  FROM base),
+        |links AS (SELECT a.rec_id AS id1, b.rec_id AS id2
+        |  FROM sysA a JOIN sysB b ON right(a.name, 2) = right(b.name, 2)
+        |  WHERE levenshtein(a.name, b.name) <= 1),
+        |sym AS (SELECT id1 AS src, id2 AS dst FROM links
+        |  UNION SELECT id2, id1 FROM links),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |walk(id, comp) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.src, w.comp FROM sym s JOIN walk w ON s.dst = w.id),
+        |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+        |allrec AS (SELECT * FROM sysA UNION ALL SELECT * FROM sysB)
+        |SELECT r.rec_id, r.name, COALESCE(cc.comp, r.rec_id) AS entity_id
+        |FROM allrec r LEFT JOIN cc ON cc.id = r.rec_id""".stripMargin
   )
 }

@@ -1872,6 +1872,29 @@ object SparkEntry {
         .join(comp.withColumnRenamed("id", "rec_id"), Seq("rec_id"), "left")
         .select(col("rec_id"), col("name"),
           coalesce(col("comp"), col("rec_id")).as("entity_id"))
+    }),
+
+    // Streaming Count-Min maintenance: per-batch sketches merge
+    // cell-wise into the running grid (bounded at depth x width rows by
+    // construction); the drained stream equals the batch sketch — which
+    // the oracle re-derives from scratch, md5 buckets and all.
+    "q146_stream_countmin" -> ((s, dir) => {
+      EventsPipeline.drained(s) {
+        EventsPipeline.streamCountMinMaintain(s, dir, "q146_sink",
+          "event_type", depth = 4, width = 32)
+      }
+      s.table("q146_sink")
+    }),
+
+    // Running-max drawdown: per user, peak value so far minus current
+    // (the decline-from-peak feature) in exact cents.
+    "q147_drawdown" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("value_cents", cents(col("value")))
+        .select(col("user_id"), col("event_id"),
+          (max("value_cents").over(w) - col("value_cents")).as("drawdown_cents"))
     })
   )
 
@@ -3542,6 +3565,25 @@ object SparkEntry {
         |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
         |allrec AS (SELECT * FROM sysA UNION ALL SELECT * FROM sysB)
         |SELECT r.rec_id, r.name, COALESCE(cc.comp, r.rec_id) AS entity_id
-        |FROM allrec r LEFT JOIN cc ON cc.id = r.rec_id""".stripMargin
+        |FROM allrec r LEFT JOIN cc ON cc.id = r.rec_id""".stripMargin,
+
+    "q146_stream_countmin" ->
+      """WITH counts AS (SELECT CAST(event_type AS VARCHAR) AS v,
+        |    count(*) AS n FROM events GROUP BY 1),
+        |cells AS (SELECT row, v, n,
+        |    CAST('0x' || substr(md5(CAST(row AS VARCHAR) || '#' || v), 1, 8)
+        |      AS BIGINT) % 32 AS bucket
+        |  FROM counts CROSS JOIN (SELECT unnest(range(4)) AS row))
+        |SELECT CAST(row AS INT) AS row, bucket,
+        |  CAST(sum(n) AS BIGINT) AS cnt
+        |FROM cells GROUP BY 1, 2""".stripMargin,
+
+    "q147_drawdown" ->
+      """SELECT user_id, event_id,
+        |  CAST(max(CAST(round(value * 100) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - CAST(round(value * 100) AS BIGINT) AS BIGINT) AS drawdown_cents
+        |FROM events""".stripMargin
   )
 }

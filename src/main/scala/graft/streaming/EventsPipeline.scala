@@ -458,6 +458,44 @@ object EventsPipeline {
       .start()
   }
 
+  /** Streaming Count-Min maintenance — the frequency complement of the
+    * HLL distinct path: each micro-batch builds its own (tiny) sketch
+    * from batch value counts and merges cell-wise into the running
+    * sketch ([[graft.ops.Profile.countMinMerge]]'s additivity is
+    * exactly what makes the incremental form equal the from-scratch
+    * build). The accumulated grid is ≤ depth × width rows BY
+    * CONSTRUCTION, so holding it on the driver between batches is the
+    * bounded-state design, not a shortcut; the merged view registers
+    * as `queryName`. A drained run over one batch equals the batch
+    * sketch exactly — the oracle. */
+  def streamCountMinMaintain(spark: SparkSession, dir: String,
+      queryName: String, valueCol: String = "event_type",
+      depth: Int = 4, width: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    var acc: Seq[(Int, Long, Long)] = Seq.empty
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col(valueCol).cast("string").as("v"))
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // all registration happens on the OUTER session — foreachBatch
+        // hands a per-batch clone whose temp views die with the batch
+        import spark.implicits._
+        val counts = batch.groupBy("v").agg(count(lit(1)).as("n"))
+        val batchSketch = graft.ops.Profile
+          .countMinBuildCounts(counts, "v", "n", depth, width)
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+        acc = graft.ops.Profile.countMinMerge(
+            (acc ++ batchSketch).toDF("row", "bucket", "cnt"))
+          .as[(Int, Long, Long)].collect().toSeq
+        acc.toDF("row", "bucket", "cnt").createOrReplaceTempView(queryName)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def streamStatefulUserCounts(spark: SparkSession, dir: String,
       queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._

@@ -136,6 +136,25 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
       ("2024-01-02", 0L, 1L, 1L)), got.toString)
   }
 
+  test("streamCountMinMaintain: drained stream sketch equals the batch build") {
+    val dir = "/root/testdata/sf0.001"
+    EventsPipeline.drained(spark) {
+      EventsPipeline.streamCountMinMaintain(spark, dir, "t_cm_sink",
+        "event_type", depth = 4, width = 32)
+    }
+    val streamed = spark.table("t_cm_sink")
+      .as[(Int, Long, Long)].collect().toSet
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = graft.ops.Profile.countMinBuild(
+        spark.read.parquet(s"$dir/events.parquet")
+          .select(col("event_type").cast("string").as("v")),
+        "v", depth = 4, width = 32)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"incremental merge must equal the from-scratch sketch: " +
+        s"${(streamed -- batch).take(3)} / ${(batch -- streamed).take(3)}")
+  }
+
   test("timeWeightedSum: value x hold-duration integral; last observation open") {
     def at(sec: Long) = new java.sql.Timestamp(sec * 1000)
     val ev = Seq(

@@ -1895,7 +1895,18 @@ object SparkEntry {
         .withColumn("value_cents", cents(col("value")))
         .select(col("user_id"), col("event_id"),
           (max("value_cents").over(w) - col("value_cents")).as("drawdown_cents"))
-    })
+    }),
+
+    // Distribution drift between the first and second half of the
+    // event stream: fixed-width value bins, per-period counts, abs
+    // diff — the integer core of PSI monitoring, ln left out.
+    "q148_drift_bins" -> ((s, dir) =>
+      graft.ops.Cleaning.binnedDrift(
+        events(s, dir)
+          .withColumn("value_cents", cents(col("value")))
+          .withColumn("period",
+            when(col("ts") < lit("2024-01-16"), "a").otherwise("b")),
+        "value_cents", "period", binWidth = 2000L))
   )
 
   // ---------------------------------------------------------------------
@@ -3584,6 +3595,19 @@ object SparkEntry {
         |      PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    - CAST(round(value * 100) AS BIGINT) AS BIGINT) AS drawdown_cents
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "q148_drift_bins" ->
+      """WITH e AS (SELECT
+        |    CAST(round(value * 100) AS BIGINT) // 2000 AS bin,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END
+        |      AS period
+        |  FROM events)
+        |SELECT bin,
+        |  CAST(count(*) FILTER (period = 'a') AS BIGINT) AS n_a,
+        |  CAST(count(*) FILTER (period = 'b') AS BIGINT) AS n_b,
+        |  CAST(abs(count(*) FILTER (period = 'a')
+        |         - count(*) FILTER (period = 'b')) AS BIGINT) AS abs_diff
+        |FROM e GROUP BY 1""".stripMargin
   )
 }

@@ -165,6 +165,25 @@ object Cleaning {
     }
   }
 
+  /** Distribution-drift monitor between two row populations (train vs
+    * serve, last week vs this week): fixed-width bins over an integer
+    * value, per-period counts side by side, absolute difference
+    * attached. This is the integer-exact CORE of PSI/KL drift scores —
+    * the bin counts — with the logarithm left to the caller (libm would
+    * cost cross-engine bit-identity, and alerting thresholds are policy
+    * anyway). One aggregation over (bin); periods never join. */
+  def binnedDrift(df: DataFrame, valueCol: String, periodCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be positive, got $binWidth")
+    df.withColumn("bin",
+        floor(col(valueCol).cast("long") / binWidth).cast("long"))
+      .groupBy("bin")
+      .agg(
+        sum(when(col(periodCol) === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(periodCol) === "b", 1L).otherwise(0L)).as("n_b"))
+      .withColumn("abs_diff", abs(col("n_a") - col("n_b")))
+  }
+
   /** Collapse rare category labels into a sentinel (the "other"
     * bucketing every categorical feature pipeline needs before
     * one-hot/target encoding — unseen-at-serving labels map to the same

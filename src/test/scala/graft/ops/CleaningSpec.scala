@@ -108,6 +108,19 @@ class CleaningSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] { Cleaning.winsorize(df, "grp", "v", 0.9, 0.1) }
   }
 
+  test("binnedDrift: shifted distribution shows up as bin-count deltas") {
+    val df = (Seq.fill(10)(("a", 100L)) ++ Seq.fill(10)(("b", 100L)) ++
+      Seq.fill(5)(("b", 900L))) // period b grew a tail bin
+      .toDF("period", "v")
+    val got = Cleaning.binnedDrift(df, "v", "period", binWidth = 500L)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4))
+      .toMap
+    assert(got == Map(0L -> ((10L, 10L, 0L)), 1L -> ((0L, 5L, 5L))), got.toString)
+    intercept[IllegalArgumentException] {
+      Cleaning.binnedDrift(df, "v", "period", 0L)
+    }
+  }
+
   test("rareLabelCollapse: tail labels -> OTHER, frequent labels survive") {
     val df = (Seq.fill(5)("hot") ++ Seq("rare1", "rare2", "rare2"))
       .zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("id", "label")

@@ -1906,7 +1906,33 @@ object SparkEntry {
           .withColumn("value_cents", cents(col("value")))
           .withColumn("period",
             when(col("ts") < lit("2024-01-16"), "a").otherwise("b")),
-        "value_cents", "period", binWidth = 2000L))
+        "value_cents", "period", binWidth = 2000L)),
+
+    // THE CURATION RUN, end to end in one gate: Unicode-normalize →
+    // length gate → exact dedup on the normalized text (min-id wins) →
+    // deterministic train split → token budget over the training slice.
+    // Every stage is an already-verified primitive (q82/q21/q78/q136);
+    // this query proves they COMPOSE — the oracle chains the same five
+    // derivations and must match hash-for-hash at the end.
+    "q149_curation_pipeline" -> ((s, dir) => {
+      import graft.ops.{Dedup, Sampling}
+      val normed = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          TextAnalysis.normalizeText(col("text")).as("norm_text"))
+        .filter(col("n_chars") >= 100)
+      val w = Window.partitionBy(md5(col("norm_text").cast("binary")))
+        .orderBy(col("doc_id"))
+      val deduped = normed
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val train = Sampling.hashSplit(deduped, "doc_id",
+          Seq("train" -> 0.8, "holdout" -> 0.2))
+        .filter(col("split") === "train")
+      Sampling.tokenBudgetSample(
+          train.select("doc_id", "n_chars"), "doc_id", "n_chars",
+          budget = 50000L)
+        .select(col("doc_id"), col("cum_n_chars"))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -3608,6 +3634,27 @@ object SparkEntry {
         |  CAST(count(*) FILTER (period = 'b') AS BIGINT) AS n_b,
         |  CAST(abs(count(*) FILTER (period = 'a')
         |         - count(*) FILTER (period = 'b')) AS BIGINT) AS abs_diff
-        |FROM e GROUP BY 1""".stripMargin
+        |FROM e GROUP BY 1""".stripMargin,
+
+    "q149_curation_pipeline" ->
+      """WITH normed AS (SELECT doc_id, n_chars,
+        |    trim(regexp_replace(lower(strip_accents(text)), '\s+', ' ', 'g'))
+        |      AS norm_text
+        |  FROM documents WHERE n_chars >= 100),
+        |ranked AS (SELECT doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY md5(norm_text)
+        |                       ORDER BY doc_id) AS rn
+        |  FROM normed),
+        |dd AS (SELECT doc_id, n_chars FROM ranked WHERE rn = 1),
+        |train AS (SELECT doc_id, n_chars FROM dd
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'),
+        |k AS (SELECT doc_id, n_chars,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hk FROM train),
+        |c AS (SELECT doc_id,
+        |    CAST(SUM(n_chars) OVER (ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_n_chars
+        |  FROM k)
+        |SELECT doc_id, cum_n_chars FROM c WHERE cum_n_chars <= 50000""".stripMargin
   )
 }

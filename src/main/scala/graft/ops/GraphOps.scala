@@ -87,4 +87,40 @@ object GraphOps {
     ab.join(bc, "b").join(ac, Seq("a", "c"))
       .agg(count(lit(1)).as("triangles"))
   }
+
+  /** [[triangleCount]] with low-degree → high-degree orientation (ties
+    * on id) — the Suri & Vassilvitskii WWW'11 refinement: wedges are
+    * enumerated at each edge's LOWER-degree endpoint, so a celebrity
+    * node with degree d contributes O(d) oriented out-wedges spread
+    * over its neighbors instead of O(d²) at itself — the bound that
+    * keeps the wedge join alive on power-law web graphs. Any total
+    * order counts each triangle exactly once, so the result is
+    * IDENTICAL to the id-oriented count (the spec asserts it); only
+    * the join's skew profile changes. Costs one extra degree
+    * aggregate + two id-keyed joins over the edge list. */
+  def triangleCountDegreeOriented(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") < col("v")).distinct()
+    val deg = und.select(col("u").as("id"))
+      .unionByName(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    // orient each edge from the (degree, id)-smaller endpoint outward
+    val oriented = und
+      .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("lo"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("hi"))
+    val ab = oriented.select(col("lo").as("a"), col("hi").as("b"))
+    val bc = oriented.select(col("lo").as("b"), col("hi").as("c"))
+    val ac = oriented.select(col("lo").as("a"), col("hi").as("c"))
+    ab.join(bc, "b").join(ac, Seq("a", "c"))
+      .agg(count(lit(1)).as("triangles"))
+  }
 }

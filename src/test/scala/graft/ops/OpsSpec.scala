@@ -143,6 +143,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(GraphOps.triangleCount(path).first().getLong(0) == 0L)
   }
 
+  test("triangleCountDegreeOriented equals the id-oriented count on every shape") {
+    // a hub graph (node 1 connects to everyone, rim is a cycle): the
+    // degree orientation points every hub edge AWAY from the rim nodes,
+    // but the count must not change — any total order counts each
+    // triangle once
+    val rim = (2L to 9L)
+    val hub = rim.map(v => (1L, v)) ++
+      rim.map(v => (v, if (v == 9L) 2L else v + 1)) // cycle on the rim
+    val e = hub.toDF("src", "dst")
+    val byId = GraphOps.triangleCount(e).first().getLong(0)
+    val byDeg = GraphOps.triangleCountDegreeOriented(e).first().getLong(0)
+    assert(byId == byDeg && byId == 8L,
+      s"8 hub-rim triangles on an 8-cycle: id=$byId deg=$byDeg")
+    // K4 + multi-edges/self-loops, same invariance
+    val k4 = (for (u <- 1L to 4L; v <- 1L to 4L if u != v) yield (u, v)) ++
+      Seq((1L, 1L), (2L, 1L))
+    val k4df = k4.toDF("src", "dst")
+    assert(GraphOps.triangleCountDegreeOriented(k4df).first().getLong(0) == 4L)
+  }
+
   test("bigramCounts: adjacent pairs in position order, short docs empty") {
     val docs = Seq((1L, "a b a b c"), (2L, "x"), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")

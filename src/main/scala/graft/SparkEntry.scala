@@ -1932,6 +1932,22 @@ object SparkEntry {
           train.select("doc_id", "n_chars"), "doc_id", "n_chars",
           budget = 50000L)
         .select(col("doc_id"), col("cum_n_chars"))
+    }),
+
+    // Product quantization + asymmetric distance: 64-d vectors compress
+    // to 4 codebook bytes; the query scores the whole corpus through a
+    // 4x16 lookup table. Codebooks and codes dump as aux tables and
+    // the oracle re-derives the LUT and every ADC distance from them —
+    // the quantizer's output is judged, not trusted.
+    "q150_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = new Similarity.PqIndex(emb, m = 4, k = 16,
+        maxFitSample = 2000)
+      writeAux(idx.codebookRows(s), dir, "q150_codebooks")
+      writeAux(idx.encodedRows, dir, "q150_codes")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0).toArray
+      idx.adcTopK(qv, 10)
     })
   )
 
@@ -3655,6 +3671,21 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |      AS cum_n_chars
         |  FROM k)
-        |SELECT doc_id, cum_n_chars FROM c WHERE cum_n_chars <= 50000""".stripMargin
+        |SELECT doc_id, cum_n_chars FROM c WHERE cum_n_chars <= 50000""".stripMargin,
+
+    "q150_pq_adc" ->
+      """WITH cb AS (SELECT * FROM '__AUX__/q150_codebooks/*.parquet'),
+        |codes AS (SELECT * FROM '__AUX__/q150_codes/*.parquet'),
+        |q AS (SELECT CAST((i - 1) // 16 AS INT) AS s,
+        |    CAST((i - 1) % 16 AS INT) AS j, embedding[i]::DOUBLE AS qv
+        |  FROM embeddings, UNNEST(range(1, 65)) t(i) WHERE vec_id = 0),
+        |lut AS (SELECT cb.s, cb.c,
+        |    round(sum((q.qv - cb.val) * (q.qv - cb.val)), 6) AS d2
+        |  FROM cb JOIN q ON q.s = cb.s AND q.j = cb.j GROUP BY 1, 2),
+        |dist AS (SELECT codes.vec_id, round(sum(lut.d2), 6) AS adc_dist
+        |  FROM codes JOIN lut ON lut.s = codes.s AND lut.c = codes.code
+        |  GROUP BY 1)
+        |SELECT vec_id, adc_dist FROM dist
+        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
   )
 }

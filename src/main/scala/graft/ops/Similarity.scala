@@ -273,6 +273,163 @@ object Similarity {
     }
   }
 
+  /** Product quantization (PQ) — the compression tier of the ANN family
+    * (LSH buckets candidates, IVF prunes cells, PQ shrinks the VECTORS:
+    * a 64-d float vector becomes `m` byte-sized codebook indices, a
+    * 64× memory cut, and query scoring needs only an m × k lookup
+    * table). The vector splits into `m` equal subspaces; each subspace
+    * gets its own `k`-centroid codebook (Lloyd's on a deterministic
+    * xxhash-sampled driver subset, exactly the [[IvfIndex]] fit
+    * discipline); a vector's code is its per-subspace nearest centroid.
+    *
+    * Asymmetric distance (ADC): the QUERY stays exact; per subspace the
+    * squared distance from the query's slice to every codebook centroid
+    * is precomputed (m·k cells), and a corpus vector's approximate
+    * distance is the sum of its codes' table entries — one array lookup
+    * per subspace per row, no float math against the corpus at all.
+    *
+    * Scale shape: fit is driver-side on a bounded sample; encoding is
+    * ONE distributed pass through a compiled UDF; the LUT is m·k
+    * doubles broadcast in a closure. The encoded table (id + m small
+    * ints) is what ships — at 100 TB that is the difference between
+    * vectors fitting in cluster memory or not. */
+  final class PqIndex(
+      df: DataFrame, m: Int = 4, k: Int = 16,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      seed: Long = 42L, maxFitSample: Int = 100000, maxIter: Int = 20) {
+    require(m >= 1 && k >= 2, s"bad PQ shape m=$m k=$k")
+
+    /** Per-subspace codebooks: codebooks(s)(c) is centroid c of
+      * subspace s. Same seeded Lloyd's as [[IvfIndex.clusterCenters]],
+      * run independently per subspace over the same sample. */
+    val codebooks: Array[Array[Array[Double]]] = {
+      val sample: Array[Array[Double]] = df
+        .select(col(vecCol), xxhash64(col(idCol)).as("__h"))
+        .orderBy(col("__h"))
+        .limit(maxFitSample)
+        .collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      require(sample.nonEmpty, "PqIndex: empty input")
+      val dim = sample.head.length
+      require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+      val sub = dim / m
+      Array.tabulate(m) { s =>
+        val slice = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+        val rng = new java.util.Random(seed + s)
+        val kk = math.min(k, slice.length)
+        val centers = rng.ints(0, slice.length).distinct().limit(kk.toLong)
+          .toArray.map(slice(_).clone())
+        val assign = new Array[Int](slice.length)
+        var it = 0; var moved = true
+        while (it < maxIter && moved) {
+          moved = false
+          var p = 0
+          while (p < slice.length) {
+            val v = slice(p); var best = 0; var bestD = Double.MaxValue
+            var i = 0
+            while (i < kk) {
+              val c = centers(i); var d = 0.0; var j = 0
+              while (j < sub) { val t = c(j) - v(j); d += t * t; j += 1 }
+              if (d < bestD) { bestD = d; best = i }
+              i += 1
+            }
+            if (assign(p) != best) { assign(p) = best; moved = true }
+            p += 1
+          }
+          val sums = Array.fill(kk)(new Array[Double](sub))
+          val counts = new Array[Int](kk)
+          var p2 = 0
+          while (p2 < slice.length) {
+            val v = slice(p2); val a = assign(p2); counts(a) += 1
+            var j = 0
+            while (j < sub) { sums(a)(j) += v(j); j += 1 }
+            p2 += 1
+          }
+          var i = 0
+          while (i < kk) {
+            if (counts(i) > 0) {
+              var j = 0
+              while (j < sub) { centers(i)(j) = sums(i)(j) / counts(i); j += 1 }
+            }
+            i += 1
+          }
+          it += 1
+        }
+        centers
+      }
+    }
+
+    private val subDim = codebooks(0)(0).length
+
+    private val encodeUdf = {
+      val cbs = codebooks
+      val sd = subDim
+      udf((vec: Seq[Float]) => {
+        val out = new Array[Int](cbs.length)
+        var s = 0
+        while (s < cbs.length) {
+          val cb = cbs(s); var best = 0; var bestD = Double.MaxValue
+          var i = 0
+          while (i < cb.length) {
+            val c = cb(i); var d = 0.0; var j = 0
+            while (j < sd) {
+              val t = c(j) - vec(s * sd + j); d += t * t; j += 1
+            }
+            if (d < bestD) { bestD = d; best = i }
+            i += 1
+          }
+          out(s) = best
+          s += 1
+        }
+        out
+      })
+    }
+
+    /** (id, codes) — the compressed corpus, one distributed pass. */
+    lazy val encoded: DataFrame =
+      df.select(col(idCol), encodeUdf(col(vecCol)).as("codes"))
+
+    /** Row form of [[encoded]] — (id, s, code) — the aux/oracle view. */
+    lazy val encodedRows: DataFrame =
+      encoded.select(col(idCol),
+        posexplode(col("codes")).as(Seq("s", "code")))
+
+    /** Codebooks as (s, c, j, val) rows for persistence/oracles. */
+    def codebookRows(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      codebooks.zipWithIndex.flatMap { case (cb, s) =>
+        cb.zipWithIndex.flatMap { case (c, ci) =>
+          c.zipWithIndex.map { case (v, j) => (s, ci, j, v) }
+        }
+      }.toSeq.toDF("s", "c", "j", "val")
+    }
+
+    /** ADC top-k: per-subspace LUT of squared distances (rounded 6 dp
+      * per cell so engines agree), summed over each row's codes,
+      * ascending with id tie-break — a TakeOrderedAndProject, never a
+      * global sort. */
+    def adcTopK(queryVec: Array[Float], topK: Int): DataFrame = {
+      val lut: Array[Array[Double]] = Array.tabulate(m) { s =>
+        codebooks(s).map { c =>
+          var d = 0.0; var j = 0
+          while (j < subDim) {
+            val t = c(j) - queryVec(s * subDim + j); d += t * t; j += 1
+          }
+          math.rint(d * 1e6) / 1e6
+        }
+      }
+      val scoreUdf = udf((codes: Seq[Int]) => {
+        var acc = 0.0; var s = 0
+        while (s < lut.length) { acc += lut(s)(codes(s)); s += 1 }
+        math.rint(acc * 1e6) / 1e6
+      })
+      encoded
+        .select(col(idCol), scoreUdf(col("codes")).as("adc_dist"))
+        .orderBy(col("adc_dist").asc, col(idCol).asc)
+        .limit(topK)
+    }
+  }
+
   /** All-pairs top-k per query row against a corpus (KNN join) with
     * block-nested cosine — broadcast the smaller (query) side. */
   def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int,

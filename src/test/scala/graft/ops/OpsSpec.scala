@@ -361,6 +361,31 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
 
   private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  test("PqIndex: codes bounded, clusters separate under ADC, deterministic") {
+    // two well-separated clusters in 8-d; m=2 subspaces, k=2 codebooks
+    def jitter(base: Array[Float], eps: Float) = base.map(_ + eps)
+    val a = Array(1f, 1f, 1f, 1f, 0f, 0f, 0f, 0f)
+    val b = Array(0f, 0f, 0f, 0f, 1f, 1f, 1f, 1f)
+    val vecs = (0 until 6).map(i => (i.toLong, jitter(a, i * 0.01f).toSeq)) ++
+      (6 until 12).map(i => (i.toLong, jitter(b, (i - 6) * 0.01f).toSeq))
+    val df = vecs.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val idx = new Similarity.PqIndex(df, m = 2, k = 2, maxFitSample = 100)
+    val codes = idx.encoded.as[(Long, Seq[Int])].collect().toMap
+    assert(codes.values.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 2)))
+    // all cluster-A members share a code word; B shares the other
+    assert((0L to 5L).map(codes).distinct.size == 1)
+    assert((6L to 11L).map(codes).distinct.size == 1)
+    assert(codes(0L) != codes(6L), "clusters must quantize apart")
+    // ADC with an A-center query ranks every A vector above every B vector
+    val top = idx.adcTopK(a, 12).as[(Long, Double)].collect()
+    assert(top.take(6).map(_._1).toSet == (0L to 5L).toSet, top.mkString(","))
+    // pure function of (data, seed): second fit produces identical codes
+    val again = new Similarity.PqIndex(df, m = 2, k = 2, maxFitSample = 100)
+      .encoded.as[(Long, Seq[Int])].collect().toMap
+    assert(again == codes)
+  }
+
   test("bruteForceTopK: self is rank 1 with cos 1.0; scores non-increasing") {
     val q = emb.filter($"vec_id" === 7).select("embedding").as[Seq[Float]].head().toArray
     val top = Similarity.bruteForceTopK(emb, q, 5).select("vec_id", "cos")

@@ -1948,6 +1948,32 @@ object SparkEntry {
       val qv = emb.filter(col("vec_id") === 0)
         .select("embedding").first().getSeq[Float](0).toArray
       idx.adcTopK(qv, 10)
+    }),
+
+    // IVF + PQ composed (the FAISS IVF-PQ architecture, sans residual
+    // refinement — documented as the production upgrade): the coarse
+    // quantizer prunes to 4 of 16 cells, ADC scores only the
+    // survivors. Assignments, probed cells, codebooks, and codes all
+    // dump as aux; the oracle re-derives candidate pruning, the LUT,
+    // and every distance.
+    "q151_ivfpq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val ivf = new Similarity.IvfIndex(emb, nCentroids = 16,
+        maxFitSample = 2000)
+      val pq = new Similarity.PqIndex(emb, m = 4, k = 16,
+        maxFitSample = 2000)
+      val qv = emb.filter(col("vec_id") === 1)
+        .select("embedding").first().getSeq[Float](0).toArray
+      val cells = ivf.probeCells(qv, nProbe = 4)
+      writeAux(ivf.assigned.select("vec_id", "centroid"), dir, "q151_assigned")
+      writeAux(cells.toDF("centroid"), dir, "q151_probes")
+      writeAux(pq.codebookRows(s), dir, "q151_codebooks")
+      writeAux(pq.encodedRows, dir, "q151_codes")
+      val cand = ivf.assigned
+        .filter(col("centroid").isin(cells.map(_.asInstanceOf[AnyRef]): _*))
+        .select("vec_id")
+      pq.adcTopKAmong(cand, qv, 10)
     })
   )
 
@@ -3684,6 +3710,26 @@ object SparkEntry {
         |  FROM cb JOIN q ON q.s = cb.s AND q.j = cb.j GROUP BY 1, 2),
         |dist AS (SELECT codes.vec_id, round(sum(lut.d2), 6) AS adc_dist
         |  FROM codes JOIN lut ON lut.s = codes.s AND lut.c = codes.code
+        |  GROUP BY 1)
+        |SELECT vec_id, adc_dist FROM dist
+        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
+
+    "q151_ivfpq" ->
+      """WITH a AS (SELECT * FROM '__AUX__/q151_assigned/*.parquet'),
+        |p AS (SELECT * FROM '__AUX__/q151_probes/*.parquet'),
+        |cb AS (SELECT * FROM '__AUX__/q151_codebooks/*.parquet'),
+        |codes AS (SELECT * FROM '__AUX__/q151_codes/*.parquet'),
+        |q AS (SELECT CAST((i - 1) // 16 AS INT) AS s,
+        |    CAST((i - 1) % 16 AS INT) AS j, embedding[i]::DOUBLE AS qv
+        |  FROM embeddings, UNNEST(range(1, 65)) t(i) WHERE vec_id = 1),
+        |lut AS (SELECT cb.s, cb.c,
+        |    round(sum((q.qv - cb.val) * (q.qv - cb.val)), 6) AS d2
+        |  FROM cb JOIN q ON q.s = cb.s AND q.j = cb.j GROUP BY 1, 2),
+        |cand AS (SELECT vec_id FROM a
+        |  WHERE centroid IN (SELECT centroid FROM p)),
+        |dist AS (SELECT codes.vec_id, round(sum(lut.d2), 6) AS adc_dist
+        |  FROM codes JOIN cand USING (vec_id)
+        |  JOIN lut ON lut.s = codes.s AND lut.c = codes.code
         |  GROUP BY 1)
         |SELECT vec_id, adc_dist FROM dist
         |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin

@@ -408,7 +408,20 @@ object Similarity {
       * per cell so engines agree), summed over each row's codes,
       * ascending with id tie-break — a TakeOrderedAndProject, never a
       * global sort. */
-    def adcTopK(queryVec: Array[Float], topK: Int): DataFrame = {
+    def adcTopK(queryVec: Array[Float], topK: Int): DataFrame =
+      scoreAndTake(encoded, queryVec, topK)
+
+    /** [[adcTopK]] restricted to a candidate id set — the IVF+PQ
+      * composition: the coarse quantizer prunes cells, PQ scores only
+      * the survivors (at scale the candidate join is partition-pruned
+      * when `encoded` persists partitioned by the coarse cell). */
+    def adcTopKAmong(candidateIds: DataFrame, queryVec: Array[Float],
+        topK: Int): DataFrame =
+      scoreAndTake(encoded.join(candidateIds.select(col(idCol)), Seq(idCol)),
+        queryVec, topK)
+
+    private def scoreAndTake(base: DataFrame, queryVec: Array[Float],
+        topK: Int): DataFrame = {
       val lut: Array[Array[Double]] = Array.tabulate(m) { s =>
         codebooks(s).map { c =>
           var d = 0.0; var j = 0
@@ -423,7 +436,7 @@ object Similarity {
         while (s < lut.length) { acc += lut(s)(codes(s)); s += 1 }
         math.rint(acc * 1e6) / 1e6
       })
-      encoded
+      base
         .select(col(idCol), scoreUdf(col("codes")).as("adc_dist"))
         .orderBy(col("adc_dist").asc, col(idCol).asc)
         .limit(topK)

@@ -1974,6 +1974,28 @@ object SparkEntry {
         .filter(col("centroid").isin(cells.map(_.asInstanceOf[AnyRef]): _*))
         .select("vec_id")
       pq.adcTopKAmong(cand, qv, 10)
+    }),
+
+    // Residual IVF-PQ (the full FAISS construction): PQ codes the
+    // residual v - centroid, and the query scores each probed cell
+    // through its own residual LUT. Five aux dumps let the oracle
+    // re-derive residual arithmetic, per-cell LUTs, pruning, and every
+    // distance from scratch.
+    "q152_ivfpq_residual" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val idx = new Similarity.IvfPqResidualIndex(emb, nCells = 16,
+        m = 4, k = 16, maxFitSample = 2000)
+      val qv = emb.filter(col("vec_id") === 2)
+        .select("embedding").first().getSeq[Float](0).toArray
+      val cells = idx.coarse.probeCells(qv, nProbe = 4)
+      writeAux(idx.coarse.assigned.select("vec_id", "centroid"),
+        dir, "q152_assigned")
+      writeAux(cells.toDF("centroid"), dir, "q152_probes")
+      writeAux(idx.coarse.centroidRows(s), dir, "q152_centroids")
+      writeAux(idx.pq.codebookRows(s), dir, "q152_codebooks")
+      writeAux(idx.pq.encodedRows, dir, "q152_codes")
+      idx.query(qv, topK = 10, nProbe = 4)
     })
   )
 
@@ -3732,6 +3754,31 @@ object SparkEntry {
         |  JOIN lut ON lut.s = codes.s AND lut.c = codes.code
         |  GROUP BY 1)
         |SELECT vec_id, adc_dist FROM dist
+        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
+
+    "q152_ivfpq_residual" ->
+      """WITH a AS (SELECT * FROM '__AUX__/q152_assigned/*.parquet'),
+        |p AS (SELECT * FROM '__AUX__/q152_probes/*.parquet'),
+        |cent AS (SELECT * FROM '__AUX__/q152_centroids/*.parquet'),
+        |cb AS (SELECT * FROM '__AUX__/q152_codebooks/*.parquet'),
+        |codes AS (SELECT * FROM '__AUX__/q152_codes/*.parquet'),
+        |qf AS (SELECT CAST(i - 1 AS INT) AS j, embedding[i]::DOUBLE AS qv
+        |  FROM embeddings, UNNEST(range(1, 65)) t(i) WHERE vec_id = 2),
+        |rq AS (SELECT p.centroid AS cell, CAST(qf.j // 16 AS INT) AS s,
+        |    CAST(qf.j % 16 AS INT) AS jj, qf.qv - cent.val AS rv
+        |  FROM p JOIN cent ON cent.c = p.centroid JOIN qf ON qf.j = cent.j),
+        |lut AS (SELECT rq.cell, rq.s, cb.c,
+        |    round(sum((rq.rv - cb.val) * (rq.rv - cb.val)), 6) AS d2
+        |  FROM rq JOIN cb ON cb.s = rq.s AND cb.j = rq.jj GROUP BY 1, 2, 3),
+        |cand AS (SELECT a.vec_id, a.centroid FROM a
+        |  WHERE a.centroid IN (SELECT centroid FROM p)),
+        |dist AS (SELECT cand.vec_id, cand.centroid,
+        |    round(sum(lut.d2), 6) AS adc_dist
+        |  FROM cand JOIN codes USING (vec_id)
+        |  JOIN lut ON lut.cell = cand.centroid
+        |    AND lut.s = codes.s AND lut.c = codes.code
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, centroid, adc_dist FROM dist
         |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
   )
 }

@@ -227,6 +227,14 @@ object Similarity {
     lazy val assigned: DataFrame =
       df.withColumn("centroid", assignUdf(col(vecCol)))
 
+    /** Centroids as (c, j, val) rows for persistence/oracles. */
+    def centroidRows(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      clusterCenters.zipWithIndex.flatMap { case (cv, c) =>
+        cv.zipWithIndex.map { case (v, j) => (c, j, v) }
+      }.toSeq.toDF("c", "j", "val")
+    }
+
     private def nearestCentroids(qv: Array[Float], n: Int): Seq[Int] = {
       clusterCenters.indices.sortBy { i =>
         val c = clusterCenters(i)
@@ -438,6 +446,74 @@ object Similarity {
       })
       base
         .select(col(idCol), scoreUdf(col("codes")).as("adc_dist"))
+        .orderBy(col("adc_dist").asc, col(idCol).asc)
+        .limit(topK)
+    }
+  }
+
+  /** Residual IVF-PQ — the full FAISS-style construction q151 composes
+    * without: PQ quantizes the RESIDUAL (v − centroid) rather than the
+    * raw vector. Residuals concentrate near the origin regardless of
+    * which cell a vector lives in, so one shared codebook set spends
+    * its 16 centroids per subspace on fine detail instead of re-coding
+    * coarse position — materially lower quantization error at the same
+    * bit budget. The query builds one LUT PER PROBED CELL (q − c_cell
+    * against the residual codebooks, nProbe·m·k cells total — still
+    * driver-tiny) and scores survivors with two array lookups per
+    * subspace. */
+  final class IvfPqResidualIndex(
+      df: DataFrame, nCells: Int = 16, m: Int = 4, k: Int = 16,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      seed: Long = 42L, maxFitSample: Int = 100000) {
+
+    val coarse = new IvfIndex(df, nCells, vecCol, idCol, seed, maxFitSample)
+
+    /** assigned + `__residual` (v − centroid), one distributed pass. */
+    val residuals: DataFrame = {
+      val centers = coarse.clusterCenters
+      val resUdf = udf((v: Seq[Float], c: Int) => {
+        val cc = centers(c)
+        Array.tabulate(v.length)(j => (v(j) - cc(j)).toFloat)
+      })
+      coarse.assigned
+        .withColumn("__residual", resUdf(col(vecCol), col("centroid")))
+    }
+
+    val pq = new PqIndex(residuals, m, k, vecCol = "__residual",
+      idCol = idCol, seed = seed, maxFitSample = maxFitSample)
+
+    private lazy val subDim = df.select(col(vecCol)).first()
+      .getSeq[Float](0).length / m
+
+    /** Probe `nProbe` cells, ADC-score their members against per-cell
+      * residual LUTs, ascending top-k with id tie-break. */
+    def query(queryVec: Array[Float], topK: Int, nProbe: Int = 4): DataFrame = {
+      val cells = coarse.probeCells(queryVec, nProbe)
+      val centers = coarse.clusterCenters
+      val cbs = pq.codebooks
+      val sd = subDim
+      val luts: Map[Int, Array[Array[Double]]] = cells.map { cell =>
+        val cc = centers(cell)
+        val rq = Array.tabulate(queryVec.length)(j => queryVec(j) - cc(j))
+        cell -> Array.tabulate(m) { s =>
+          cbs(s).map { c =>
+            var d = 0.0; var j = 0
+            while (j < sd) { val t = c(j) - rq(s * sd + j); d += t * t; j += 1 }
+            math.rint(d * 1e6) / 1e6
+          }
+        }
+      }.toMap
+      val scoreUdf = udf((cell: Int, codes: Seq[Int]) => {
+        val lut = luts(cell)
+        var acc = 0.0; var s = 0
+        while (s < lut.length) { acc += lut(s)(codes(s)); s += 1 }
+        math.rint(acc * 1e6) / 1e6
+      })
+      pq.encoded
+        .join(coarse.assigned.select(col(idCol), col("centroid")), Seq(idCol))
+        .filter(col("centroid").isin(cells.map(_.asInstanceOf[AnyRef]): _*))
+        .select(col(idCol), col("centroid"),
+          scoreUdf(col("centroid"), col("codes")).as("adc_dist"))
         .orderBy(col("adc_dist").asc, col(idCol).asc)
         .limit(topK)
     }

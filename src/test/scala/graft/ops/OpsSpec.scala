@@ -386,6 +386,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(again == codes)
   }
 
+  test("IvfPqResidualIndex: self-query survives pruning and ranks itself first") {
+    // on real vectors: querying WITH a corpus vector must probe its own
+    // cell (its centroid is by definition among the nearest) and the
+    // residual quantization error must leave it at the top
+    val idx = new Similarity.IvfPqResidualIndex(emb, nCells = 8,
+      m = 4, k = 16, maxFitSample = 500)
+    val q7 = emb.filter($"vec_id" === 7).select("embedding")
+      .as[Seq[Float]].head().toArray
+    val top = idx.query(q7, topK = 5, nProbe = 2)
+      .select("vec_id", "adc_dist").as[(Long, Double)].collect()
+    assert(top.head._1 == 7L,
+      s"self must rank first under residual ADC: ${top.mkString(",")}")
+    assert(top.map(_._2).sliding(2).forall {
+      case Array(x, y) => x <= y; case _ => true }, "ascending distances")
+  }
+
   test("bruteForceTopK: self is rank 1 with cos 1.0; scores non-increasing") {
     val q = emb.filter($"vec_id" === 7).select("embedding").as[Seq[Float]].head().toArray
     val top = Similarity.bruteForceTopK(emb, q, 5).select("vec_id", "cos")

@@ -1720,11 +1720,13 @@ object SparkEntry {
       graft.ops.Joins.ensureBucketedTable(
         t(s, dir, "orders").select(col("o_orderkey"),
           cents(col("o_totalprice")).as("total_cents")),
-        s"bk_orders_$sfx", "o_orderkey", buckets = 8)
+        s"bk_orders_$sfx", "o_orderkey", buckets = 8,
+        fingerprint = graft.ops.Joins.dataFingerprint(s"$dir/orders.parquet"))
       graft.ops.Joins.ensureBucketedTable(
         t(s, dir, "lineitem").select(col("l_orderkey"),
           cents(col("l_extendedprice")).as("price_cents")),
-        s"bk_lineitem_$sfx", "l_orderkey", buckets = 8)
+        s"bk_lineitem_$sfx", "l_orderkey", buckets = 8,
+        fingerprint = graft.ops.Joins.dataFingerprint(s"$dir/lineitem.parquet"))
       s.table(s"bk_orders_$sfx").hint("merge")
         .join(s.table(s"bk_lineitem_$sfx"),
           col("o_orderkey") === col("l_orderkey"))

@@ -171,16 +171,30 @@ object Cleaning {
     * attached. This is the integer-exact CORE of PSI/KL drift scores —
     * the bin counts — with the logarithm left to the caller (libm would
     * cost cross-engine bit-identity, and alerting thresholds are policy
-    * anyway). One aggregation over (bin); periods never join. */
+    * anyway). One aggregation over (bin); periods never join.
+    *
+    * The two period labels are parameters (defaulting to "a"/"b"); any
+    * row whose period matches neither label — including NULL — raises
+    * at execution time rather than silently counting in neither side
+    * and understating drift. */
   def binnedDrift(df: DataFrame, valueCol: String, periodCol: String,
-      binWidth: Long): DataFrame = {
+      binWidth: Long, labelA: String = "a", labelB: String = "b"): DataFrame = {
     require(binWidth >= 1, s"binWidth must be positive, got $binWidth")
+    require(labelA != labelB, "period labels must differ")
     df.withColumn("bin",
         floor(col(valueCol).cast("long") / binWidth).cast("long"))
       .groupBy("bin")
       .agg(
-        sum(when(col(periodCol) === "a", 1L).otherwise(0L)).as("n_a"),
-        sum(when(col(periodCol) === "b", 1L).otherwise(0L)).as("n_b"))
+        sum(when(col(periodCol) === labelA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(periodCol) === labelB, 1L).otherwise(0L)).as("n_b"),
+        count(lit(1)).as("__n_total"))
+      // count(1) - n_a - n_b catches both foreign labels and NULLs;
+      // assert_true fires lazily per (tiny) bin row, so the guard costs
+      // nothing on clean data and cannot be constant-folded away.
+      .filter(assert_true(col("__n_total") === col("n_a") + col("n_b"),
+        lit(s"binnedDrift: '$periodCol' contains values other than " +
+          s"'$labelA'/'$labelB' (or NULL)")).isNull)
+      .drop("__n_total")
       .withColumn("abs_diff", abs(col("n_a") - col("n_b")))
   }
 
@@ -209,15 +223,24 @@ object Cleaning {
     * result bit-identical on any engine (the caller divides, with
     * whatever smoothing prior it wants). Singleton categories emit
     * (0, 0) — nothing to borrow. One tiny per-category aggregate
-    * broadcast back; the fact table never shuffles. */
+    * broadcast back; the fact table never shuffles.
+    *
+    * NULL categories are kept, not dropped: the join-back is a left
+    * join, and a null-category row gets (0, 0) — same as a singleton —
+    * since "no category" has no peers to borrow a target from. (An
+    * inner join would silently drop such rows from the output.) */
   def targetEncodeLoo(df: DataFrame, catCol: String,
       targetCol: String): DataFrame = {
     val agg = df.groupBy(catCol).agg(
       sum(col(targetCol).cast("long")).as("__sum"),
       count(lit(1)).as("__n"))
-    df.join(agg, Seq(catCol))
-      .withColumn("loo_sum", col("__sum") - col(targetCol).cast("long"))
-      .withColumn("loo_n", col("__n") - 1L)
+      .filter(col(catCol).isNotNull)
+    df.join(agg, Seq(catCol), "left")
+      .withColumn("loo_sum",
+        when(col("__sum").isNull, 0L)
+          .otherwise(col("__sum") - col(targetCol).cast("long")))
+      .withColumn("loo_n",
+        when(col("__n").isNull, 0L).otherwise(col("__n") - 1L))
       .drop("__sum", "__n")
   }
 

@@ -437,7 +437,12 @@ object Curation {
 
   /** Rows whose quasi-identifier combination matches fewer than `k`
     * rows, with the group size attached. Empty result = the corpus is
-    * k-anonymous over these columns. */
+    * k-anonymous over these columns.
+    *
+    * The join-back is null-safe (`<=>` per quasi-column): a NULL
+    * quasi-identifier value is itself an identifying combination (the
+    * groupBy already keys it), so a unique null-keyed row must be
+    * flagged, not silently pass. */
   def kAnonymityRisk(df: DataFrame, quasiCols: Seq[String],
       k: Int): DataFrame = {
     require(k >= 2, s"k-anonymity needs k >= 2, got $k")
@@ -445,7 +450,22 @@ object Curation {
     val riskyGroups = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("group_n"))
       .filter(col("group_n") < k)
-    df.join(riskyGroups, quasiCols)
+    nullSafeJoinBack(df, riskyGroups, quasiCols)
+  }
+
+  /** Null-safe equivalent of `df.join(groups, quasiCols)`: keeps one
+    * copy of the quasi-columns plus the aggregate columns from
+    * `groups`, but matches NULL quasi-values to their own group. */
+  private def nullSafeJoinBack(df: DataFrame, groups: DataFrame,
+      quasiCols: Seq[String]): DataFrame = {
+    val renamed = quasiCols.foldLeft(groups) { (g, c) =>
+      g.withColumnRenamed(c, s"__rg_$c")
+    }
+    val cond = quasiCols
+      .map(c => df(c) <=> renamed(s"__rg_$c"))
+      .reduce(_ && _)
+    quasiCols.foldLeft(df.join(renamed, cond))((j, c) =>
+      j.drop(s"__rg_$c"))
   }
 
   /** l-diversity risk — the [[kAnonymityRisk]] complement: a
@@ -461,6 +481,6 @@ object Curation {
     val riskyGroups = df.groupBy(quasiCols.map(col): _*)
       .agg(countDistinct(col(sensitiveCol)).as("distinct_sensitive"))
       .filter(col("distinct_sensitive") < l)
-    df.join(riskyGroups, quasiCols)
+    nullSafeJoinBack(df, riskyGroups, quasiCols)
   }
 }

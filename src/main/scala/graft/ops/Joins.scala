@@ -122,25 +122,67 @@ object Joins {
     * the table already exists in this session's catalog, so repeated
     * query runs pay only the join. */
   def ensureBucketedTable(df: DataFrame, table: String, key: String,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 8, fingerprint: String = ""): Unit = {
     require(buckets >= 1, "buckets must be positive")
     val spark = df.sparkSession
-    if (!spark.catalog.tableExists(table)) {
-      // The in-memory catalog dies with the session but the managed
-      // location survives — and CTAS refuses a location it doesn't own.
-      // A stale dir is an orphan from an earlier session (possibly over
-      // regenerated source data): clear it and rewrite.
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val loc = new java.io.File(
-        wh.stripPrefix("file:"), table.toLowerCase(java.util.Locale.ROOT))
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new java.io.File(
+      wh.stripPrefix("file:"), table.toLowerCase(java.util.Locale.ROOT))
+    // Ownership marker: only directories WE wrote carry it, so a stale
+    // path that belongs to someone else is never deleted (underscore
+    // prefix → invisible to Spark's file listing, like _SUCCESS).
+    val marker = new java.io.File(loc, "_graft_bucketed")
+    def markerText: Option[String] =
+      if (marker.isFile)
+        Some(new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          java.nio.charset.StandardCharsets.UTF_8))
+      else None
+    val upToDate = spark.catalog.tableExists(table) &&
+      (fingerprint.isEmpty || markerText.contains(fingerprint))
+    if (!upToDate) {
+      if (!spark.catalog.tableExists(table)) {
+        // The in-memory catalog dies with the session but the managed
+        // location survives — and CTAS refuses a location it doesn't
+        // own. An orphan dir from an earlier graft session carries the
+        // marker: clear and rewrite. A dir WITHOUT the marker is not
+        // ours — refuse rather than destroy concurrent-session data.
+        if (loc.exists() && markerText.isEmpty)
+          throw new IllegalStateException(
+            s"ensureBucketedTable: $loc exists but was not written by " +
+              "graft (no _graft_bucketed marker); refusing to delete. " +
+              "Choose a different table name or remove the directory.")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(loc)
       }
-      rm(loc)
       df.write.mode("overwrite")
         .bucketBy(buckets, key).sortBy(key)
         .format("parquet").saveAsTable(table)
+      // Marker written AFTER the table (overwrite clears the dir);
+      // records the source fingerprint so a regenerated source within
+      // one session triggers a rebuild instead of stale reads.
+      java.nio.file.Files.write(marker.toPath,
+        fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
     }
+  }
+
+  /** Cheap source-data fingerprint for [[ensureBucketedTable]]: an
+    * order-independent hash of (name, length, mtime) for every file
+    * under the given paths. Regenerating the source parquet changes the
+    * mtime/length → the fingerprint → the bucketed table rebuilds. */
+  def dataFingerprint(paths: String*): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
+      else if (f.isFile) Seq(f) else Nil
+    val parts = paths.flatMap(p => walk(new java.io.File(p)))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .sorted
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
   }
 }

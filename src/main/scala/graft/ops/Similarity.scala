@@ -20,6 +20,14 @@ import graft.functions.GraftFunctions.vecCosine
   */
 object Similarity {
 
+  /** Round to 6 decimals with HALF_UP — the same tie-break rule as
+    * Spark's `round()` and DuckDB's `round(x, 6)`, so engine and oracle
+    * agree on an exact .5 at the boundary (math.rint's half-to-even
+    * would diverge there and could flip top-k membership). */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** Exact cosine top-k (the correctness baseline). Scores are rounded
     * to 6 decimals *before* the order-by so ranking is independent of
     * floating-point accumulation order (deterministic across engines
@@ -436,13 +444,13 @@ object Similarity {
           while (j < subDim) {
             val t = c(j) - queryVec(s * subDim + j); d += t * t; j += 1
           }
-          math.rint(d * 1e6) / 1e6
+          round6(d)
         }
       }
       val scoreUdf = udf((codes: Seq[Int]) => {
         var acc = 0.0; var s = 0
         while (s < lut.length) { acc += lut(s)(codes(s)); s += 1 }
-        math.rint(acc * 1e6) / 1e6
+        round6(acc)
       })
       base
         .select(col(idCol), scoreUdf(col("codes")).as("adc_dist"))
@@ -499,7 +507,7 @@ object Similarity {
           cbs(s).map { c =>
             var d = 0.0; var j = 0
             while (j < sd) { val t = c(j) - rq(s * sd + j); d += t * t; j += 1 }
-            math.rint(d * 1e6) / 1e6
+            round6(d)
           }
         }
       }.toMap
@@ -507,7 +515,7 @@ object Similarity {
         val lut = luts(cell)
         var acc = 0.0; var s = 0
         while (s < lut.length) { acc += lut(s)(codes(s)); s += 1 }
-        math.rint(acc * 1e6) / 1e6
+        round6(acc)
       })
       pq.encoded
         .join(coarse.assigned.select(col(idCol), col("centroid")), Seq(idCol))

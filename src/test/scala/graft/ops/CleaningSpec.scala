@@ -121,6 +121,32 @@ class CleaningSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("binnedDrift: custom labels work; a foreign label raises, not undercounts") {
+    val df = Seq(("train", 10L), ("train", 20L), ("eval", 30L))
+      .toDF("period", "v")
+    val got = Cleaning.binnedDrift(df, "v", "period", 500L, "train", "eval")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((0L, 2L, 1L, 1L)), got.mkString(","))
+    // a row matching neither label (or NULL) must raise at execution
+    val dirty = Seq(("a", 10L), ("b", 20L), ("c", 30L)).toDF("period", "v")
+    intercept[Exception] {
+      Cleaning.binnedDrift(dirty, "v", "period", 500L).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Cleaning.binnedDrift(df, "v", "period", 500L, "x", "x")
+    }
+  }
+
+  test("targetEncodeLoo: NULL-category rows are kept and get (0, 0)") {
+    val df = Seq((1L, Some("a"), 10L), (2L, Some("a"), 20L), (3L, None, 30L))
+      .toDF("id", "cat", "y")
+    val got = Cleaning.targetEncodeLoo(df, "cat", "y")
+      .select("id", "loo_sum", "loo_n").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(1L -> ((20L, 1L)), 2L -> ((10L, 1L)), 3L -> ((0L, 0L))),
+      got.toString)
+  }
+
   test("rareLabelCollapse: tail labels -> OTHER, frequent labels survive") {
     val df = (Seq.fill(5)("hot") ++ Seq("rare1", "rare2", "rare2"))
       .zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("id", "label")

@@ -283,6 +283,21 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("kAnonymityRisk: NULL quasi-identifier values are flagged too") {
+    // A unique null-keyed row is itself re-identifiable; a plain
+    // equality join-back would silently pass it (round-6 ADVICE).
+    val df = Seq(
+      (1L, Some("en"), "web"), (2L, Some("en"), "web"), (3L, Some("en"), "web"),
+      (4L, None, "web"))                       // null lang, singleton
+      .toDF("id", "lang", "source")
+    val risky = Curation.kAnonymityRisk(df, Seq("lang", "source"), k = 2)
+      .select("id", "group_n").as[(Long, Long)].collect().toMap
+    assert(risky == Map(4L -> 1L), risky.toString)
+    // and a null group of size >= k is NOT flagged
+    val df2 = df.union(Seq((5L, Option.empty[String], "web")).toDF("id", "lang", "source"))
+    assert(Curation.kAnonymityRisk(df2, Seq("lang", "source"), k = 2).count() == 0)
+  }
+
   test("lDiversityRisk: a big group with one sensitive value still leaks") {
     val df = Seq(
       // group (en, web): 4 rows — k-anonymous at k=3 — but one diagnosis

@@ -55,4 +55,49 @@ class JoinsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"range join must not plan a cross-product:\n$plan")
   }
+
+  test("ensureBucketedTable: fingerprint change rebuilds; unowned dir refused") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val tbl = "bk_spec_fp"
+    try {
+      Joins.ensureBucketedTable(
+        Seq((1L, "v1")).toDF("k", "v"), tbl, "k", buckets = 2, fingerprint = "fpA")
+      assert(spark.table(tbl).select("v").as[String].head() == "v1")
+      // same fingerprint -> skip (stale df content never written)
+      Joins.ensureBucketedTable(
+        Seq((1L, "v2")).toDF("k", "v"), tbl, "k", buckets = 2, fingerprint = "fpA")
+      assert(spark.table(tbl).select("v").as[String].head() == "v1")
+      // changed fingerprint (source regenerated) -> rebuild
+      Joins.ensureBucketedTable(
+        Seq((1L, "v2")).toDF("k", "v"), tbl, "k", buckets = 2, fingerprint = "fpB")
+      assert(spark.table(tbl).select("v").as[String].head() == "v2")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+
+    // a warehouse dir NOT carrying the graft marker must never be deleted
+    val alien = new java.io.File(wh, "bk_spec_alien")
+    alien.mkdirs()
+    val payload = new java.io.File(alien, "data.txt")
+    java.nio.file.Files.write(payload.toPath, "not ours".getBytes("UTF-8"))
+    try {
+      intercept[IllegalStateException] {
+        Joins.ensureBucketedTable(
+          Seq((1L, "x")).toDF("k", "v"), "bk_spec_alien", "k", buckets = 2)
+      }
+      assert(payload.isFile, "unowned data must survive the refusal")
+    } finally { payload.delete(); alien.delete() }
+  }
+
+  test("dataFingerprint: stable on identical tree, changes with content size") {
+    val dir = java.nio.file.Files.createTempDirectory("fp_spec").toFile
+    try {
+      val f = new java.io.File(dir, "part-0")
+      java.nio.file.Files.write(f.toPath, "abc".getBytes("UTF-8"))
+      val fp1 = Joins.dataFingerprint(dir.getPath)
+      assert(fp1 == Joins.dataFingerprint(dir.getPath))
+      java.nio.file.Files.write(f.toPath, "abcd".getBytes("UTF-8"))
+      assert(Joins.dataFingerprint(dir.getPath) != fp1)
+    } finally {
+      Option(dir.listFiles()).foreach(_.foreach(_.delete())); dir.delete()
+    }
+  }
 }

@@ -869,10 +869,13 @@ object SparkEntry {
         sigBits = 48, bands = 5)
     }),
 
-    // Same radius join at a realistic signature width: 48-bit SimHash,
-    // 6-byte banding — candidates collapse from quadratic-per-byte-value
-    // (q70's 16-bit demo) to near-dups only; output is the planted twins
-    // plus true natural collisions.
+    // Same radius join at a wider radius: maxDist = 6 needs bands =
+    // maxDist + 1 = 7 (~7-bit bands) for pigeonhole-complete recall —
+    // the round-6 review re-gate replacing the legacy 6×8-bit banding,
+    // whose recall beyond the pigeonhole radius was probabilistic and
+    // whose 256-value bands over-generated candidates quadratically on
+    // skewed corpora. q70 (maxDist 4, 5 bands) and this query now both
+    // honor the contract at different radius/selectivity points.
     "q71_simhash48_radius" -> ((s, dir) => {
       GraftFunctions.register(s)
       val d = t(s, dir, "documents").select("doc_id", "text")
@@ -881,7 +884,8 @@ object SparkEntry {
         concat(col("text"), lit(" near duplicate tail marker")).as("text")))
       val sigs = corpus.select(col("doc_id"),
         Dedup.md5SimHash48Udf(col("text")).as("sig"))
-      Dedup.simHashRadiusPairs(sigs, "doc_id", "sig", maxDist = 6, sigBytes = 6)
+      Dedup.simHashRadiusPairsBanded(sigs, "doc_id", "sig", maxDist = 6,
+        sigBits = 48, bands = 7)
     }),
 
     // Custom whole-operator tier: per-key top-k via the TopKPerKey
@@ -2748,8 +2752,10 @@ object SparkEntry {
       val hi = (0 until 16).map(j =>
         s"CASE WHEN 2*len(list_filter(mh2, h -> substr(h,${j + 1},1) >= '8')) > len(mh2) THEN ${1L << (32 + j)} ELSE 0 END")
       val bits = (lo ++ hi).mkString(" + ")
-      val bands = (0 until 6).map(b =>
-        s"SELECT doc_id, sig, $b AS b, (sig >> ${8 * b}) & 255 AS v FROM sigs")
+      // mirror of Dedup.bandLayout(48, 7): widths 7,7,7,7,7,7,6
+      val layout = Seq((0, 7), (7, 7), (14, 7), (21, 7), (28, 7), (35, 7), (42, 6))
+      val bands = layout.zipWithIndex.map { case ((off, w), b) =>
+        s"SELECT doc_id, sig, $b AS b, (sig >> $off) & ${(1L << w) - 1} AS v FROM sigs" }
         .mkString("\n  UNION ALL ")
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents

@@ -465,9 +465,20 @@ object Dedup {
     * @param sigBytes how many low bytes of the signature to band on
     */
   def simHashRadiusPairs(sigs: DataFrame, idCol: String, sigCol: String,
-      maxDist: Int, sigBytes: Int = 2): DataFrame =
+      maxDist: Int, sigBytes: Int = 2): DataFrame = {
+    // Pigeonhole gate (round-6 review): byte-banding with bands ≤
+    // maxDist can MISS pairs inside the advertised radius (all diffs
+    // can land one per band) while its 256-value bands quadratically
+    // over-generate candidates on skewed corpora. Refuse the shape
+    // rather than silently under-recall; callers wanting probabilistic
+    // banding use [[simHashRadiusPairsBanded]] explicitly.
+    require(sigBytes >= maxDist + 1,
+      s"simHashRadiusPairs: $sigBytes byte-bands cannot guarantee recall " +
+        s"at radius $maxDist (needs bands >= ${maxDist + 1}); widen the " +
+        "signature or call simHashRadiusPairsBanded for explicit banding")
     simHashRadiusPairsBanded(sigs, idCol, sigCol, maxDist,
       sigBits = 8 * sigBytes, bands = sigBytes)
+  }
 
   /** General banding: split a `sigBits`-bit signature into `bands`
     * near-equal contiguous bit ranges and self-join on band collisions.

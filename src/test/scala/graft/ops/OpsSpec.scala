@@ -292,6 +292,18 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.contains((1L, 6L)), "dist-5 pair must be filtered (outside radius)")
   }
 
+  test("simHashRadiusPairs: refuses a banding that cannot honor the radius") {
+    // 6 byte-bands at radius 6 violates the pigeonhole contract
+    // (needs bands >= maxDist + 1) — the round-6 re-gate.
+    val sigs = Seq(1L -> 0L, 2L -> 1L).toDF("doc_id", "sig")
+    intercept[IllegalArgumentException] {
+      Dedup.simHashRadiusPairs(sigs, "doc_id", "sig", maxDist = 6, sigBytes = 6)
+    }
+    // bands = maxDist + 1 is accepted
+    assert(Dedup.simHashRadiusPairs(sigs, "doc_id", "sig",
+      maxDist = 1, sigBytes = 2).count() == 1L) // dist(0,1)=1 pair found
+  }
+
   test("jaccard column: exact dup = 1.0, disjoint = 0.0") {
     val df = Seq((Seq("a", "b"), Seq("a", "b")), (Seq("a"), Seq("b")))
       .toDF("x", "y").select(Dedup.jaccard($"x", $"y").as("j"))

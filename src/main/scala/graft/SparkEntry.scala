@@ -2002,6 +2002,37 @@ object SparkEntry {
       writeAux(idx.pq.codebookRows(s), dir, "q152_codebooks")
       writeAux(idx.pq.encodedRows, dir, "q152_codes")
       idx.query(qv, topK = 10, nProbe = 4)
+    }),
+
+    // Incremental IVF maintenance: the corpus arrives in two batches.
+    // Centroids fit on the FIRST batch only, then freeze; the second
+    // batch is admitted via appendAssign (one assignment pass, no
+    // refit) into a second on-disk generation alongside the first.
+    // Output = the merged generations read back from disk; oracle = a
+    // one-pass full "rebuild" assignment of everything under the same
+    // frozen centroids (aux). Equality proves the append path loses,
+    // duplicates, and reassigns nothing — the contract that makes
+    // batch-wise admission valid at 100 TB (pointwise assignment under
+    // frozen centroids commutes with batching).
+    "q153_ivf_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 2 === 0)
+      val batch = emb.filter(col("vec_id") % 2 === 1)
+      val idx = new Similarity.IvfIndex(base, nCentroids = 16)
+      val path = auxPath(dir) + "/q153_index"
+      // fresh generations each run (Append mode would stack re-runs)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      idx.writeGeneration(path, gen = 0)
+      idx.appendGeneration(path, batch, gen = 1)
+      writeAux(idx.appendAssign(emb).select("vec_id", "centroid"),
+        dir, "q153_rebuild")
+      s.read.parquet(path)
+        .select(col("vec_id"), col("generation").cast("int").as("generation"),
+          col("centroid").cast("int").as("centroid"))
     })
   )
 
@@ -3787,6 +3818,17 @@ object SparkEntry {
         |    AND lut.s = codes.s AND lut.c = codes.code
         |  GROUP BY 1, 2)
         |SELECT vec_id, centroid, adc_dist FROM dist
-        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
+
+    // Incremental admission == one-pass rebuild under frozen centroids:
+    // the aux IS the rebuild (one assignment pass over everything), the
+    // engine output is the generation-merged on-disk index; generation
+    // is recomputable from the batch split.
+    "q153_ivf_append" ->
+      """SELECT vec_id,
+        |  CAST(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END AS INTEGER)
+        |    AS generation,
+        |  centroid
+        |FROM '__AUX__/q153_rebuild/*.parquet'""".stripMargin
   )
 }

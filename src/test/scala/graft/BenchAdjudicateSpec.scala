@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench regression gate is a pure function of (results, baseline) —
+  * spec'd directly so the stall-vs-regression split can't silently rot.
+  * (Three rounds of recorded benches needed a human to adjudicate VM
+  * throttle windows; this is the mechanical replacement.) */
+class BenchAdjudicateSpec extends AnyFunSuite {
+
+  private val base = (1 to 10).map(i => f"q$i%02d" -> 1.0).toMap
+
+  private def run(times: (String, Double)*): String =
+    Bench.adjudicate(times.toSeq, base)
+
+  test("clean run: no flags, verdict clean") {
+    val out = run((1 to 10).map(i => f"q$i%02d" -> 1.1): _*)
+    assert(out.contains("\"bench_verdict\":\"clean\""), out)
+    assert(out.contains("\"stall_windows\":[]") && out.contains("\"suspects\":[]"), out)
+  }
+
+  test("contiguous window of >= 3 regressions = VM stall, not code") {
+    val times = (1 to 10).map { i =>
+      val s = if (i >= 4 && i <= 7) 9.0 else 1.1 // q04-q07 inflate together
+      f"q$i%02d" -> s
+    }
+    val out = run(times: _*)
+    assert(out.contains("\"bench_verdict\":\"vm_stall\""), out)
+    assert(out.contains("\"q04\",\"q05\",\"q06\",\"q07\""), out)
+    assert(out.contains("\"suspects\":[]"), out)
+  }
+
+  test("isolated regression = code suspect, even alongside a stall window") {
+    val times = (1 to 10).map { i =>
+      val s = if (i >= 4 && i <= 6) 9.0 else if (i == 9) 5.0 else 1.1
+      f"q$i%02d" -> s
+    }
+    val out = run(times: _*)
+    assert(out.contains("\"bench_verdict\":\"code_regression_suspect\""), out)
+    assert(out.contains("\"suspects\":[\"q09\"]"), out)
+    assert(out.contains("\"q04\",\"q05\",\"q06\""), out)
+  }
+
+  test("small ratios and sub-absolute deltas are not regressions") {
+    // 1.9x ratio: under the 2x gate; 3x on a 0.1 s baseline: under the
+    // 0.5 s absolute gate (tiny-query jitter)
+    val b = Map("q01" -> 1.0, "q02" -> 0.1)
+    val out = Bench.adjudicate(Seq("q01" -> 1.9, "q02" -> 0.3), b)
+    assert(out.contains("\"bench_verdict\":\"clean\""), out)
+  }
+
+  test("queries missing from the baseline (new this round) never flag") {
+    val out = Bench.adjudicate(Seq("q01" -> 1.1, "q99_new" -> 50.0), base)
+    assert(out.contains("\"bench_verdict\":\"clean\""), out)
+  }
+
+  test("no baseline file = explicit no_baseline verdict") {
+    val out = Bench.adjudicate(Seq("q01" -> 1.0), Map.empty)
+    assert(out.contains("\"bench_verdict\":\"no_baseline\""), out)
+  }
+}

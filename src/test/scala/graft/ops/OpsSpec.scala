@@ -471,6 +471,58 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long)].collect()
     assert(rank1.forall { case (q, c) => q == c })
   }
+
+  test("IVF generations: pruned query over appended batches == monolithic index") {
+    // centroids fit on the BASE half only, then freeze; the second half
+    // arrives later via appendGeneration. A pruned query over the merged
+    // on-disk generations must return the identical top-k to an
+    // in-memory index over everything assigned with the SAME centroids.
+    val base = emb.filter($"vec_id" % 2 === 0)
+    val batch = emb.filter($"vec_id" % 2 === 1)
+    val idx = new Similarity.IvfIndex(base, nCentroids = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_gen").toString
+    idx.writeGeneration(s"$tmp/ivf", gen = 0)
+    idx.appendGeneration(s"$tmp/ivf", batch, gen = 1)
+
+    val q = emb.filter($"vec_id" === 23).select("embedding").as[Seq[Float]].head().toArray
+    val merged = idx.queryGenerations(spark, s"$tmp/ivf", q, k = 8, nProbe = 4)
+    // reference: everything assigned under the same frozen centroids
+    val mono = idx.appendAssign(emb)
+      .filter(col("centroid").isin(idx.probeCells(q, 4): _*))
+      .withColumn("cos", org.apache.spark.sql.functions.round(
+        graft.functions.GraftFunctions.vecCosine(col("embedding"),
+          org.apache.spark.sql.functions.typedlit(q)), 6))
+      .orderBy(desc("cos"), col("vec_id")).limit(8)
+    assert(merged.select("vec_id", "cos").collect().toSeq ==
+      mono.select("vec_id", "cos").collect().toSeq)
+    // the merged read is still partition-pruned on centroid
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("centroid"),
+      s"generation merge must keep centroid pruning:\n$plan")
+    // both generations are actually present
+    val gens = spark.read.parquet(s"$tmp/ivf").select("generation")
+      .distinct().as[Int].collect().toSet
+    assert(gens == Set(0, 1), gens.toString)
+  }
+
+  test("driftMonitor: same-distribution batch is fresh; shifted batch is stale") {
+    val base = emb.filter($"vec_id" % 2 === 0)
+    val idx = new Similarity.IvfIndex(base, nCentroids = 8)
+    // the other half of the SAME distribution: frozen centroids fine
+    val same = idx.driftMonitor(emb.filter($"vec_id" % 2 === 1))
+    assert(!same.stale,
+      s"same-distribution batch must not flag: ${same.reassignedFraction}")
+    // a hard distribution shift (all vectors pushed far along every
+    // axis): a refit relocates the cells and most points change cells
+    val shifted = emb.select($"vec_id",
+      org.apache.spark.sql.functions.transform($"embedding",
+        x => x * lit(-3.0f) + lit(10.0f)).as("embedding"))
+    val drift = idx.driftMonitor(shifted)
+    assert(drift.stale, s"shifted batch must flag: ${drift.reassignedFraction}")
+    assert(drift.errorInflation > 1.0,
+      s"frozen centroids must quantize a shifted batch worse: ${drift.errorInflation}")
+    assert(drift.sampleN > 0 && drift.threshold == 0.2)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite with SparkTestBase {

@@ -231,6 +231,18 @@ object Similarity {
       assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("centroid").parquet(path)
 
+    /** Query a [[writePartitioned]] table with partition pruning on the
+      * probed cells (centroids come from this index's fitted model). */
+    def queryPartitioned(spark: SparkSession, path: String,
+        queryVec: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
+      val cells = nearestCentroids(queryVec, nProbe)
+      spark.read.parquet(path)
+        .filter(col("centroid").isin(cells: _*))
+        .withColumn("cos", round(vecCosine(col(vecCol), typedlit(queryVec)), 6))
+        .orderBy(desc("cos"), col(idCol))
+        .limit(k)
+    }
+
     // -----------------------------------------------------------------
     // Incremental maintenance (round-6 judge directive): a 100 TB corpus
     // arrives in batches, and refitting + reassigning everything per
@@ -283,16 +295,21 @@ object Similarity {
       * arrived batch? Refits fresh centroids on a bounded hash-ordered
       * sample of the batch (same discipline as the original fit), then
       * reports
-      *  - `reassignedFraction` — fraction of sample points whose frozen
-      *    cell differs from their refit cell (refit cells mapped back to
-      *    frozen cells by nearest-centroid correspondence, since refit
-      *    indexes are arbitrary), and
       *  - `errorInflation` — mean squared quantization error under the
       *    frozen centroids over that under the refit ones (1.0 = frozen
-      *    is as good as fresh).
-      * `stale = reassignedFraction > threshold`, with loud stderr
-      * advice — the signal to schedule a refit + full reassignment. */
-    def driftMonitor(batch: DataFrame, threshold: Double = 0.2): DriftReport = {
+      *    quantizes the new batch as well as a fresh fit would) — the
+      *    STALENESS GATE: `stale = errorInflation > threshold`
+      *    (default 1.5×), with loud stderr advice to schedule a refit +
+      *    full reassignment; and
+      *  - `reassignedFraction` — fraction of sample points whose frozen
+      *    cell differs from their refit cell (refit cells mapped back to
+      *    frozen cells by nearest-centroid correspondence). Diagnostic
+      *    only: two independent k-means solutions relocate cell
+      *    BOUNDARIES arbitrarily even on identical distributions (label
+      *    alignment between fits is not meaningful on weakly-clustered
+      *    data), so this reads high without real drift; the
+      *    quantization-error ratio is the alignment-free signal. */
+    def driftMonitor(batch: DataFrame, threshold: Double = 1.5): DriftReport = {
       val sample: Array[Array[Double]] = batch
         .select(col(vecCol), xxhash64(col(idCol)).as("__h"))
         .orderBy(col("__h"))
@@ -317,12 +334,12 @@ object Similarity {
       }
       val frac = reassigned.toDouble / sample.length
       val inflation = if (refitErr > 0) frozenErr / refitErr else 1.0
-      val stale = frac > threshold
+      val stale = inflation > threshold
       if (stale)
-        System.err.println(f"[IvfIndex] DRIFT: $frac%.3f of sampled new-batch " +
-          f"vectors change cells under a refit (threshold $threshold%.2f, " +
-          f"error inflation $inflation%.3fx) - schedule a centroid refit " +
-          "and full reassignment")
+        System.err.println(f"[IvfIndex] DRIFT: frozen centroids quantize the " +
+          f"new batch $inflation%.3fx worse than a fresh fit (threshold " +
+          f"$threshold%.2fx; $frac%.3f of sampled vectors change cells) - " +
+          "schedule a centroid refit and full reassignment")
       DriftReport(sample.length, reassigned, frac, inflation, threshold, stale)
     }
   }
@@ -399,19 +416,6 @@ object Similarity {
       i += 1
     }
     best
-  }
-
-    /** Query a [[writePartitioned]] table with partition pruning on the
-      * probed cells (centroids come from this index's fitted model). */
-    def queryPartitioned(spark: SparkSession, path: String,
-        queryVec: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
-      val cells = nearestCentroids(queryVec, nProbe)
-      spark.read.parquet(path)
-        .filter(col("centroid").isin(cells: _*))
-        .withColumn("cos", round(vecCosine(col(vecCol), typedlit(queryVec)), 6))
-        .orderBy(desc("cos"), col(idCol))
-        .limit(k)
-    }
   }
 
   /** Product quantization (PQ) — the compression tier of the ANN family

@@ -1387,13 +1387,15 @@ object SparkEntry {
           col("label").as("qlabel"))
       val c = emb.select(col("vec_id").as("doc_id"), col("embedding").as("cv"),
         col("label").as("clabel"))
+      // batched dense branch (round-6 re-point): bounded per-query heaps
+      // via denseTopKAll replace the crossJoin + full window sort; the
+      // window now numbers <= 10 pre-pruned rows per query
       val wr = Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("doc_id"))
-      val ranked = q.crossJoin(c)
-        .filter(col("doc_id") =!= col("query_id"))
-        .withColumn("cos", round(vecCosine(col("qv"), col("cv")), 6))
+        .orderBy(col("dense_score").desc, col("doc_id"))
+      val ranked = graft.search.HybridSearch.denseTopKAll(
+          c, q, n = 10, idCol = "doc_id", vecCol = "cv",
+          pairFilter = col("doc_id") =!= col("query_id"))
         .withColumn("rank", row_number().over(wr))
-        .filter(col("rank") <= 10)
         .select("query_id", "doc_id", "rank")
       val relevant = q.select("query_id", "qlabel")
         .join(c.select(col("doc_id"), col("clabel")),
@@ -2033,6 +2035,39 @@ object SparkEntry {
       s.read.parquet(path)
         .select(col("vec_id"), col("generation").cast("int").as("generation"),
           col("centroid").cast("int").as("centroid"))
+    }),
+
+    // Batched multi-query hybrid search: five queries ride ONE plan
+    // (queries broadcast; dense pairs heap-pruned per query via
+    // TopKPerKey; corpus tokens exploded once with (doc, term) scores
+    // fanned out by term; per-query_id rank windows over the pruned
+    // prefetch; same RRF arithmetic). The oracle is the per-query
+    // [[HybridSearch.search]] loop — batched == loop, by construction
+    // of both from the same branch semantics.
+    "q154_hybrid_batch" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      val index = ChunkPipeline.chunkPoints(s, t(s, dir, "documents")).cache()
+      val stats = graft.index.IndexWriter.docFrequencies(index)
+      val n = index.count()
+      val avgLen = index.select(avg(size(col("tokens")))).first().getDouble(0)
+      val cfg = HybridSearch.Config(k = 5)
+      val queryTexts = Seq(
+        "spark join merge table scan",
+        "court appeal judgment opinion",
+        "contract breach damages remedy",
+        "evidence witness testimony trial",
+        "statute limitation federal claim")
+      val queries = queryTexts.zipWithIndex
+        .map { case (q, i) => (i.toLong, q) }.toDF("query_id", "query")
+      writeAux(queryTexts.zipWithIndex.map { case (q, i) =>
+        HybridSearch.search(index, stats, n, avgLen, q, cfg)
+          .select(lit(i.toLong).as("query_id"), col("id"), col("chunk_id"),
+            col("rrf_score"), col("dense_score"), col("bm25_score"))
+      }.reduce(_ unionByName _), dir, "q154_loop")
+      HybridSearch.searchAll(index, stats, n, avgLen, queries, cfg)
+        .select("query_id", "id", "chunk_id", "rrf_score",
+          "dense_score", "bm25_score")
     })
   )
 
@@ -3829,6 +3864,13 @@ object SparkEntry {
         |  CAST(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END AS INTEGER)
         |    AS generation,
         |  centroid
-        |FROM '__AUX__/q153_rebuild/*.parquet'""".stripMargin
+        |FROM '__AUX__/q153_rebuild/*.parquet'""".stripMargin,
+
+    // batched == per-query loop: the aux IS the loop (search() invoked
+    // once per query by the engine, gated to Verify); the engine output
+    // is the one-plan batched path over the same five queries.
+    "q154_hybrid_batch" ->
+      """SELECT query_id, id, chunk_id, rrf_score, dense_score, bm25_score
+        |FROM '__AUX__/q154_loop/*.parquet'""".stripMargin
   )
 }

@@ -103,6 +103,105 @@ object HybridSearch {
       .limit(cfg.k)
   }
 
+  /** Batched dense branch: exact cosine prefetch-n per query ROW — the
+    * relational replacement for a per-query driver loop (or a crossJoin
+    * + full window sort). The query table broadcasts (requests are
+    * driver-scale; the corpus side never moves), every (query, doc)
+    * pair is scored in one codegen'd pass, and [[graft.plans.TopK]]
+    * bounded heaps cut to n per query BEFORE anything sorts — the only
+    * exchange is one hash shuffle on the query id.
+    *
+    * @param pairFilter predicate over the joined (query × index) row
+    *   applied before the heaps (e.g. self-exclusion in eval harnesses:
+    *   `col("doc_id") =!= col("query_id")`). */
+  def denseTopKAll(index: DataFrame, queries: DataFrame, n: Int,
+      idCol: String = "id", vecCol: String = "dense_vec",
+      queryIdCol: String = "query_id", queryVecCol: String = "qv",
+      pairFilter: Column = lit(true)): DataFrame =
+    graft.plans.TopK.perKey(
+      index.crossJoin(broadcast(queries.select(col(queryIdCol), col(queryVecCol))))
+        .filter(pairFilter)
+        .withColumn("dense_score", round(vecCosine(col(vecCol), col(queryVecCol)), 6))
+        .select(col(queryIdCol), col(idCol), col("dense_score")),
+      Seq(queryIdCol), Seq(("dense_score", false), (idCol, true)), n)
+
+  /** Batched multi-query hybrid search: [[search]] semantics for a
+    * whole query TABLE in ONE plan — no driver loop, no per-query jobs.
+    *
+    * Shape (the 100 TB story): queries embed/tokenize inside the plan
+    * and broadcast everywhere they're needed; the dense branch scores
+    * all pairs once and heap-prunes per query ([[denseTopKAll]]); the
+    * sparse branch explodes corpus tokens ONCE, semi-joins them to the
+    * union of all query terms (broadcast — bounded by total query
+    * vocabulary), computes each (doc, term) BM25 term score once, and
+    * only then fans out to the queries containing the term; fusion
+    * ranks with per-query_id windows over the already-pruned prefetch
+    * rows (≤ 5k per query — the window sorts almost nothing, and the
+    * TopKPerKey output ordering/partitioning feeds it without a
+    * re-sort). Wide shuffles are keyed by query_id (+ id for the
+    * fusion join); corpus text and vectors cross no exchange.
+    *
+    * Returns one [[search]]-shaped result set per query, keyed by
+    * `query_id`, ordered (query_id, rrf_score desc, id). */
+  def searchAll(index: DataFrame, docStats: DataFrame, corpusSize: Long,
+      avgDocLen: Double, queries: DataFrame, cfg: Config = Config(),
+      embedder: Embedder = HashingEmbedder.default,
+      queryIdCol: String = "query_id", queryCol: String = "query"): DataFrame = {
+    val prefetch = cfg.k * cfg.prefetchMultiplier
+    val emb = embedder
+    val embedQueryUdf = udf((q: String) => emb.embedQuery(q))
+    val tokenizeUdf = udf((q: String) => graft.text.Bm25.tokenize(q))
+    val qs = queries
+      .select(col(queryIdCol).as("query_id"), col(queryCol).as("__qtext"))
+      .withColumn("__qvec", embedQueryUdf(col("__qtext")))
+
+    // dense prefetch: one scored pass + bounded per-query heaps
+    val dense = denseTopKAll(index, qs, prefetch,
+      queryVecCol = "__qvec")
+
+    // sparse prefetch: corpus tokens explode once; (doc, term) scores
+    // computed once; fan-out to queries by term
+    val qTerms = qs
+      .select(col("query_id"), explode(tokenizeUdf(col("__qtext"))).as("term"))
+      .distinct()
+    val idfCol = log(lit(1.0) +
+      (lit(corpusSize.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    val termScores = index
+      .select(col("id"), size(col("tokens")).as("dl"),
+        explode(col("tokens")).as("term"))
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy(col("id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(docStats.join(
+        broadcast(qTerms.select("term").distinct()), Seq("term"), "left_semi")),
+        Seq("term"))
+      .withColumn("term_score",
+        idfCol * col("tf") * lit(Bm25.k1 + 1.0) /
+          (col("tf") + lit(Bm25.k1) * (lit(1.0 - Bm25.b) +
+            lit(Bm25.b) * col("dl") / lit(avgDocLen))))
+    val sparsePairs = termScores
+      .join(broadcast(qTerms), Seq("term"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(round(sum("term_score"), 6).as("bm25_score"))
+    val sparse = graft.plans.TopK.perKey(sparsePairs, Seq("query_id"),
+      Seq(("bm25_score", false), ("id", true)), prefetch)
+
+    // fusion: identical RRF arithmetic to [[rrfFuse]], per query_id
+    val dw = Window.partitionBy("query_id").orderBy(desc("dense_score"), col("id"))
+    val sw = Window.partitionBy("query_id").orderBy(desc("bm25_score"), col("id"))
+    val d = dense.withColumn("dense_rank", row_number().over(dw))
+    val s = sparse.withColumn("bm25_rank", row_number().over(sw))
+    val fused = d.join(s, Seq("query_id", "id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(cfg.rrfK) + col("dense_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(cfg.rrfK) + col("bm25_rank")), lit(0.0)))
+      .filter(col("rrf_score") >= cfg.rrfScoreThreshold)
+    val topK = graft.plans.TopK.perKey(fused, Seq("query_id"),
+      Seq(("rrf_score", false), ("id", true)), cfg.k)
+    topK.join(index, Seq("id"), "left")
+      .orderBy(col("query_id"), desc("rrf_score"), col("id"))
+  }
+
   /** Full §3.2 query lifecycle: embed query (V2, with BGE-style prefix)
     * → dense ∪ sparse prefetch (5×k each) → RRF → top-k, joined back to
     * payload columns. */

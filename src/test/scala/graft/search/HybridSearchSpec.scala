@@ -50,6 +50,32 @@ class HybridSearchSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.head._2 >= rows(1)._2)
   }
 
+  test("searchAll == per-query search loop, one plan, no per-query jobs") {
+    val cfg = HybridSearch.Config(k = 2)
+    val queryTexts = Seq("habeas corpus", "grain shipment contract",
+      "semiconductor patent", "vehicle search evidence", "payment terms")
+    val queries = queryTexts.zipWithIndex
+      .map { case (q, i) => (i.toLong, q) }.toDF("query_id", "query")
+    val cols = Seq("query_id", "id", "rrf_score", "dense_score", "bm25_score")
+    val batched = HybridSearch.searchAll(index, stats, n, avgLen, queries, cfg)
+    val loop = queryTexts.zipWithIndex.map { case (q, i) =>
+      HybridSearch.search(index, stats, n, avgLen, q, cfg)
+        .select(lit(i.toLong).as("query_id"), col("id"),
+          col("rrf_score"), col("dense_score"), col("bm25_score"))
+    }.reduce(_ unionByName _)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+          Option(r.get(3)), Option(r.get(4)))).sortBy(t => (t._1, t._2))
+    assert(canon(batched).toSeq == canon(loop).toSeq)
+    // the batched plan is one job shape: bounded per-query heaps
+    // (TopKPerKey), no cartesian product, queries broadcast
+    val plan = batched.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected bounded heaps:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"query fan-out must broadcast, not cartesian:\n$plan")
+  }
+
   test("rrf score threshold can empty the result (reference early-return path)") {
     // 2/(rrfK+1) is the max possible RRF score; a threshold just at the
     // ceiling keeps only docs ranked #1 in BOTH branches — here none,

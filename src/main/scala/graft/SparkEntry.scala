@@ -2068,6 +2068,27 @@ object SparkEntry {
       HybridSearch.searchAll(index, stats, n, avgLen, queries, cfg)
         .select("query_id", "id", "chunk_id", "rrf_score",
           "dense_score", "bm25_score")
+    }),
+
+    // Large-star/small-star components on a pathological topology:
+    // consecutive doc_ids chained WITHIN each language make one long
+    // chain per lang (hundreds of links at sf0.01) — the diameter that
+    // breaks plain label propagation. Components must come out as one
+    // per lang, labeled by the lang's min doc_id; the oracle derives
+    // that directly from the grouping that generated the chains (a
+    // window min — no recursion needed, which is the point: the oracle
+    // knows the topology, the engine must DISCOVER it in O(log n)
+    // star rounds).
+    "q155_components_logn" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "lang")
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      val edges = d.withColumn("prev", lag("doc_id", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("id1"), col("doc_id").as("id2"))
+      val labels = Dedup.connectedComponentsLogN(edges)
+      d.select(col("doc_id").as("id"))
+        .join(labels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
     })
   )
 
@@ -3871,6 +3892,11 @@ object SparkEntry {
     // is the one-plan batched path over the same five queries.
     "q154_hybrid_batch" ->
       """SELECT query_id, id, chunk_id, rrf_score, dense_score, bm25_score
-        |FROM '__AUX__/q154_loop/*.parquet'""".stripMargin
+        |FROM '__AUX__/q154_loop/*.parquet'""".stripMargin,
+
+    "q155_components_logn" ->
+      """SELECT doc_id AS id,
+        |  MIN(doc_id) OVER (PARTITION BY lang) AS comp
+        |FROM documents""".stripMargin
   )
 }

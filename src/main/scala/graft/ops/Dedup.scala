@@ -353,6 +353,85 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star / small-star
+    * rounds — the O(log n)-round algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) the
+    * [[connectedComponents]] Scaladoc names for pathological long-chain
+    * graphs. Same contract: (id, comp) with comp = min id reachable.
+    *
+    *  - large-star: every node u computes m = min(N(u) ∪ {u}) and
+    *    re-points each LARGER neighbor v > u at m — long tails collapse
+    *    toward small ids without ever disconnecting anything.
+    *  - small-star: edges orient toward their larger endpoint; each
+    *    node u re-points its smaller neighbors (and itself) at
+    *    m = min(N(u) ∪ {u}) — stars around local minima form.
+    *
+    * Each round is two grouped shuffles over an ids-only edge list
+    * (same 100 TB posture as min-label: two longs wide, documents never
+    * move). Convergence = the canonical edge set reaches a fixpoint
+    * (checked exactly: equal counts + empty `except`); at the fixpoint
+    * the edges ARE the component stars, so labels read off directly.
+    * The round count is O(log n) on ANY topology — a 1000-link chain
+    * converges in ~10 rounds where plain min-label propagation (no
+    * pointer-halving) would need ~1000. */
+  def connectedComponentsLogN(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    val allNodes = edges.select(col("id1").as("id"))
+      .unionByName(edges.select(col("id2").as("id")))
+      .distinct().localCheckpoint()
+    var e = edges
+      .select(least(col("id1"), col("id2")).as("u"),
+        greatest(col("id1"), col("id2")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+
+    def largeStar(cur: DataFrame): DataFrame = {
+      val sym = cur.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(cur.select(col("v").as("a"), col("u").as("b")))
+      val mins = sym.groupBy("a").agg(min("b").as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      sym.join(mins, "a")
+        .filter(col("b") > col("a"))
+        .select(least(col("b"), col("m")).as("u"),
+          greatest(col("b"), col("m")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(cur: DataFrame): DataFrame = {
+      // orient (a = larger endpoint, b = smaller); every b < a
+      val dir = cur.select(col("v").as("a"), col("u").as("b"))
+      val mins = dir.groupBy("a").agg(min("b").as("m"))
+      dir.join(mins, "a")
+        .select(col("b").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("a").as("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .distinct()
+    }
+
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // exact fixpoint check on canonical distinct sets: equal counts +
+      // empty difference ⇒ equal sets (no hash-collision leap of faith)
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      it += 1
+    }
+    if (!converged)
+      sys.error(s"connectedComponentsLogN: not converged after $maxIter " +
+        "rounds — refusing to return partial labels")
+    // fixpoint edges are stars (non-root -> root, canonical order
+    // root < non-root): labels read off; roots and isolated nodes map
+    // to themselves
+    allNodes
+      .join(e.select(col("v").as("id"), col("u").as("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
   /** SimHash signature (`bits` ≤ 64): per-token hash votes per bit; sign
     * of the vote sum sets the bit. Token hash is bit-identical to Spark's
     * `xxhash64(token)` (XXH64 over UTF-8 bytes, seed 42).

@@ -55,6 +55,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!comps.contains(4L) && !comps.contains(5L), "unique docs get no label")
   }
 
+  test("connectedComponentsLogN: agrees with min-label on mixed topology") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (7L, 7L),
+      (20L, 22L), (22L, 21L), (21L, 20L)) // chain, pair, self-loop, cycle
+      .toDF("id1", "id2")
+    val logN = Dedup.connectedComponentsLogN(edges).as[(Long, Long)].collect().toMap
+    val minLabel = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(logN == minLabel, s"logN=$logN minLabel=$minLabel")
+    assert(logN(4L) == 1L && logN(11L) == 10L && logN(22L) == 20L && logN(7L) == 7L)
+  }
+
+  test("connectedComponentsLogN: 1000-link chain converges in O(log n) rounds") {
+    // the pathological topology the algorithm exists for: plain
+    // min-label propagation (no halving) would need ~1000 rounds; the
+    // star rounds collapse it well inside maxIter = 15 ~ O(log2 1000)
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val comps = Dedup.connectedComponentsLogN(chain, maxIter = 15)
+      .as[(Long, Long)].collect()
+    assert(comps.length == 1000)
+    assert(comps.forall(_._2 == 0L), "single chain collapses to min id 0")
+  }
+
   test("minHashAgainst: exact copy of a stored doc is flagged at agreement 1.0") {
     def sigs(df: org.apache.spark.sql.DataFrame) = df
       .withColumn("sh", Dedup.shingles(col("text"), 3))

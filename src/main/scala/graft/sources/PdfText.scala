@@ -25,11 +25,17 @@ package graft.sources
   *    (tracked via `Tf`). This is the PyPDF2 capability the reference
   *    relies on for court-slip PDFs (`chatbot/app.py:585-591`).
   *
-  * Remaining boundary (documented, not hidden): simple fonts without a
-  * `/ToUnicode` CMap decode as PDFDocEncoding/Latin-1 (no per-font
-  * `/Differences` encoding tables), and LZW/DCT-filtered streams are out
-  * of scope. Wire a full codec behind [[PdfSource.PdfTextExtractor]] if
-  * that fidelity is needed.
+  *  - simple fonts with per-font `/Encoding → /Differences` tables:
+  *    remapped codes resolve through an Adobe-Glyph-List subset (plus
+  *    `uniXXXX` names); unmapped codes keep their Latin-1 fallback.
+  *  - `/LZWDecode` streams (PDF-flavored TIFF LZW: 9→12-bit codes,
+  *    clear/EOD, early width change) alongside `/FlateDecode`.
+  *
+  * Remaining boundary (documented, not hidden): DCT/JPX (image codecs —
+  * no text content) and LZW/Flate `/DecodeParms` predictors (used for
+  * xref/image streams, not content streams) are out of scope. Wire a
+  * full codec behind [[PdfSource.PdfTextExtractor]] if that fidelity is
+  * needed.
   */
 object PdfText {
 
@@ -191,15 +197,123 @@ object PdfText {
     val out = Map.newBuilder[String, ToUnicode]
     while (m.find()) {
       val name = m.group(1)
-      for {
-        fontObj <- objs.get(m.group(2).toInt)
-        cmRef <- firstRef(fontObj.body, "/ToUnicode")
-        cmObj <- objs.get(cmRef)
-        data <- cmObj.data
-      } out += name -> parseToUnicode(new String(data, Latin1))
+      objs.get(m.group(2).toInt).foreach { fontObj =>
+        val viaCmap = for {
+          cmRef <- firstRef(fontObj.body, "/ToUnicode")
+          cmObj <- objs.get(cmRef)
+          data <- cmObj.data
+        } yield parseToUnicode(new String(data, Latin1))
+        // /ToUnicode wins when both exist (it is authoritative); a
+        // simple font with only /Encoding → /Differences re-encoding
+        // decodes through the glyph-name table
+        viaCmap.orElse(differencesMap(fontObj.body, objs))
+          .foreach(tu => out += name -> tu)
+      }
     }
     out.result()
   }
+
+  /** Per-font `/Encoding → /Differences` re-encoding for SIMPLE fonts:
+    * the array alternates a start code with glyph NAMES assigned to
+    * consecutive codes. Names resolve through [[glyphToUnicode]]
+    * (AGL subset + `uniXXXX`); unresolved names stay unmapped so the
+    * decoder's Latin-1 fallback applies — PyPDF2's behavior for glyphs
+    * outside its AGL table. The /Encoding value may be inline or an
+    * indirect encoding object. */
+  private def differencesMap(fontBody: String,
+      objs: Map[Int, PObj]): Option[ToUnicode] = {
+    val encBody: Option[String] = {
+      val i = fontBody.indexOf("/Encoding")
+      if (i < 0) None
+      else {
+        val trimmed = fontBody.substring(i + "/Encoding".length)
+          .dropWhile(_.isWhitespace)
+        val refM = refPat.matcher(trimmed)
+        if (refM.lookingAt()) objs.get(refM.group(1).toInt).map(_.body)
+        else Some(trimmed)
+      }
+    }
+    encBody.flatMap { b =>
+      val di = b.indexOf("/Differences")
+      if (di < 0) None
+      else {
+        val open = b.indexOf('[', di)
+        val close = if (open < 0) -1 else b.indexOf(']', open)
+        if (close < 0) None
+        else {
+          val tok = java.util.regex.Pattern
+            .compile("(\\d+)|/([A-Za-z0-9._]+)")
+            .matcher(b.substring(open + 1, close))
+          var code = 0
+          val mp = Map.newBuilder[Int, String]
+          while (tok.find()) {
+            if (tok.group(1) != null) code = tok.group(1).toInt
+            else {
+              glyphToUnicode(tok.group(2)).foreach(u => mp += code -> u)
+              code += 1
+            }
+          }
+          val result = mp.result()
+          if (result.isEmpty) None
+          else Some(ToUnicode(twoByte = false, result))
+        }
+      }
+    }
+  }
+
+  /** Adobe-Glyph-List subset covering the names `/Differences` tables
+    * actually remap in text documents (ASCII names, common punctuation
+    * and quotes, f-ligatures, accented Latin), plus the systematic
+    * `uniXXXX` escape. Single-character alphanumeric names denote
+    * themselves in the AGL. */
+  private[graft] def glyphToUnicode(name: String): Option[String] = {
+    if (name.length == 1 && name.charAt(0).isLetterOrDigit) Some(name)
+    else if (name.startsWith("uni") && name.length >= 7 &&
+        name.substring(3, 7).forall(c => Character.digit(c, 16) >= 0))
+      Some(Integer.parseInt(name.substring(3, 7), 16).toChar.toString)
+    else aglSubset.get(name)
+  }
+
+  private val aglSubset: Map[String, String] = Map(
+    "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"",
+    "numbersign" -> "#", "dollar" -> "$", "percent" -> "%",
+    "ampersand" -> "&", "quotesingle" -> "'", "parenleft" -> "(",
+    "parenright" -> ")", "asterisk" -> "*", "plus" -> "+", "comma" -> ",",
+    "hyphen" -> "-", "period" -> ".", "slash" -> "/", "zero" -> "0",
+    "one" -> "1", "two" -> "2", "three" -> "3", "four" -> "4",
+    "five" -> "5", "six" -> "6", "seven" -> "7", "eight" -> "8",
+    "nine" -> "9", "colon" -> ":", "semicolon" -> ";", "less" -> "<",
+    "equal" -> "=", "greater" -> ">", "question" -> "?", "at" -> "@",
+    "bracketleft" -> "[", "backslash" -> "\\", "bracketright" -> "]",
+    "asciicircum" -> "^", "underscore" -> "_", "grave" -> "`",
+    "braceleft" -> "{", "bar" -> "|", "braceright" -> "}",
+    "asciitilde" -> "~",
+    "quoteleft" -> "‘", "quoteright" -> "’",
+    "quotedblleft" -> "“", "quotedblright" -> "”",
+    "endash" -> "–", "emdash" -> "—", "bullet" -> "•",
+    "ellipsis" -> "…", "dagger" -> "†", "daggerdbl" -> "‡",
+    "fi" -> "ﬁ", "fl" -> "ﬂ", "ff" -> "ﬀ",
+    "ffi" -> "ﬃ", "ffl" -> "ﬄ",
+    "germandbls" -> "ß", "ae" -> "æ", "AE" -> "Æ",
+    "oslash" -> "ø", "Oslash" -> "Ø",
+    "cent" -> "¢", "sterling" -> "£", "yen" -> "¥",
+    "section" -> "§", "copyright" -> "©",
+    "registered" -> "®", "trademark" -> "™",
+    "degree" -> "°", "plusminus" -> "±",
+    "aacute" -> "á", "agrave" -> "à", "acircumflex" -> "â",
+    "adieresis" -> "ä", "atilde" -> "ã", "aring" -> "å",
+    "ccedilla" -> "ç", "eacute" -> "é", "egrave" -> "è",
+    "ecircumflex" -> "ê", "edieresis" -> "ë",
+    "iacute" -> "í", "igrave" -> "ì", "icircumflex" -> "î",
+    "idieresis" -> "ï", "ntilde" -> "ñ", "oacute" -> "ó",
+    "ograve" -> "ò", "ocircumflex" -> "ô",
+    "odieresis" -> "ö", "otilde" -> "õ", "uacute" -> "ú",
+    "ugrave" -> "ù", "ucircumflex" -> "û",
+    "udieresis" -> "ü", "yacute" -> "ý", "ydieresis" -> "ÿ",
+    "Aacute" -> "Á", "Agrave" -> "À", "Adieresis" -> "Ä",
+    "Ccedilla" -> "Ç", "Eacute" -> "É", "Egrave" -> "È",
+    "Iacute" -> "Í", "Ntilde" -> "Ñ", "Oacute" -> "Ó",
+    "Odieresis" -> "Ö", "Uacute" -> "Ú", "Udieresis" -> "Ü")
 
   // ---- object layer -------------------------------------------------------
 
@@ -226,12 +340,65 @@ object PdfText {
           if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\n') dataEnd -= 1
           if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\r') dataEnd -= 1
           val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
-          val data = if (dict.contains("/FlateDecode")) inflate(raw) else raw
+          val data =
+            if (dict.contains("/FlateDecode")) inflate(raw)
+            else if (dict.contains("/LZWDecode")) lzwDecode(raw)
+            else raw
           out += num -> PObj(num, dict, Some(data))
         } else out += num -> PObj(num, s.substring(bodyStart, stop), None)
       } else out += num -> PObj(num, s.substring(bodyStart, stop), None)
     }
     out.result()
+  }
+
+  /** PDF LZW (spec 7.4.4, TIFF flavor): variable 9→12-bit codes, code
+    * 256 = clear table, 257 = end of data, EARLY width change (the
+    * length bumps one code before the table index requires it —
+    * EarlyChange default 1). The KwKwK corner (a code referencing the
+    * entry being defined) emits prev + prev[0], the classic LZW rule. */
+  private[graft] def lzwDecode(data: Array[Byte]): Array[Byte] = {
+    val Clear = 256
+    val Eod = 257
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+    val table = new Array[Array[Byte]](4096)
+    var next = 258
+    var codeBits = 9
+    var prev: Array[Byte] = null
+    var acc = 0L
+    var nbits = 0
+    var i = 0
+    var done = false
+    while (!done) {
+      if (nbits < codeBits) {
+        if (i < data.length) {
+          acc = (acc << 8) | (data(i) & 0xffL); nbits += 8; i += 1
+        } else done = true // ran off the end without EOD: stop cleanly
+      } else {
+        val code = ((acc >>> (nbits - codeBits)) & ((1L << codeBits) - 1)).toInt
+        nbits -= codeBits
+        if (code == Eod) done = true
+        else if (code == Clear) { next = 258; codeBits = 9; prev = null }
+        else {
+          val entry: Array[Byte] =
+            if (code < 256) Array(code.toByte)
+            else if (code < next && table(code) != null) table(code)
+            else if (prev != null) prev :+ prev(0) // KwKwK
+            else null
+          if (entry == null) done = true // corrupt stream: stop, keep prefix
+          else {
+            out.write(entry, 0, entry.length)
+            if (prev != null && next < 4096) {
+              table(next) = prev :+ entry(0); next += 1
+            }
+            prev = entry
+            // early change: width grows when the NEXT code to assign is
+            // the last expressible one, not after it is used
+            if (next == (1 << codeBits) - 1 && codeBits < 12) codeBits += 1
+          }
+        }
+      }
+    }
+    out.toByteArray
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {

@@ -148,6 +148,115 @@ class PdfSourceSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(PdfText.pages(cidPdf()) == Seq("Hello\nm"))
   }
 
+  /** PDF-flavor TIFF LZW encoder (9→12-bit codes, clear/EOD, early
+    * change aligned with PDFBox's LZWFilter: width grows for the code
+    * AFTER table entry 2^w - 2 is added) — exists to build real
+    * /LZWDecode fixtures for the decoder. */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nbits = 0; var codeBits = 9
+    def emit(code: Int): Unit = {
+      acc = (acc << codeBits) | code; nbits += codeBits
+      while (nbits >= 8) {
+        out.write(((acc >>> (nbits - 8)) & 0xff).toInt); nbits -= 8
+      }
+    }
+    val dict = scala.collection.mutable.HashMap[String, Int]()
+    var next = 258
+    emit(256) // clear
+    var w = ""
+    def codeOf(s: String): Int =
+      if (s.length == 1) s.charAt(0) & 0xff else dict(s)
+    for (b <- data) {
+      val c = (b & 0xff).toChar
+      val wb = w + c
+      if (wb.length == 1 || dict.contains(wb)) w = wb
+      else {
+        emit(codeOf(w))
+        if (next < 4096) {
+          dict(wb) = next; next += 1
+          if (next == (1 << codeBits) && codeBits < 12) codeBits += 1
+        }
+        w = c.toString
+      }
+    }
+    if (w.nonEmpty) emit(codeOf(w))
+    emit(257) // EOD
+    if (nbits > 0) out.write(((acc << (8 - nbits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  test("LZW codec: round-trip across code-width changes and KwKwK") {
+    // KwKwK corner: the repeated-prefix pattern that makes a decoder
+    // see a code it has not finished defining
+    val kwk = "abababababababab".getBytes("ISO-8859-1")
+    assert(new String(PdfText.lzwDecode(lzwEncode(kwk)), "ISO-8859-1") ==
+      "abababababababab")
+    // enough distinct material to push the table past 511 and 1023
+    // entries: both 9->10 and 10->11 bit transitions are crossed
+    val big = (0 until 900).map(i => s"tok$i ").mkString.getBytes("ISO-8859-1")
+    val decoded = PdfText.lzwDecode(lzwEncode(big))
+    assert(java.util.Arrays.equals(decoded, big),
+      s"LZW round-trip mismatch at width transition: got ${decoded.length} bytes")
+  }
+
+  /** A PDF whose page content is /LZWDecode-compressed — the filter
+    * PyPDF2 handles that graft previously documented as out of scope. */
+  private def lzwPdf(): Array[Byte] = {
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val cs = "BT /F1 12 Tf 72 720 Td " +
+      (0 until 300).map(i => s"(w$i ) Tj").mkString(" ") + " ET"
+    val c = lzwEncode(cs.getBytes(latin1))
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(latin1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${c.length} /Filter /LZWDecode >> stream\n")
+    out.write(c); w("\nendstream endobj\n")
+    w("%%EOF\n")
+    out.toByteArray
+  }
+
+  test("LZW-filtered content stream extracts like a Flate one") {
+    val expected = (0 until 300).map(i => s"w$i ").mkString
+    assert(PdfText.pages(lzwPdf()) == Seq(expected))
+  }
+
+  /** A simple font re-encoded via /Encoding → /Differences: code 64
+    * (@) renders é, 35 (#) renders an em-dash, 94 (^) the fi ligature,
+    * 42 (*) a euro via the systematic uniXXXX name. Codes outside the
+    * table keep their Latin-1 identity. */
+  private def differencesPdf(): Array[Byte] = {
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val content = "BT /F1 12 Tf (Caf@ # 5* ^n) Tj ET".getBytes(latin1)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(latin1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    out.write(content); w("\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Fake-Regular " +
+      "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+      "/Differences [ 35 /emdash 42 /uni20AC 64 /eacute 94 /fi ] >> >> endobj\n")
+    w("%%EOF\n")
+    out.toByteArray
+  }
+
+  test("/Differences re-encoded simple font decodes through the AGL subset") {
+    assert(PdfText.pages(differencesPdf()) == Seq("Café — 5€ ﬁn"))
+  }
+
+  test("glyphToUnicode: AGL names, uniXXXX, single chars, unknown -> None") {
+    assert(PdfText.glyphToUnicode("emdash").contains("—"))
+    assert(PdfText.glyphToUnicode("a").contains("a"))
+    assert(PdfText.glyphToUnicode("uni0041").contains("A"))
+    assert(PdfText.glyphToUnicode("notarealglyphname").isEmpty)
+  }
+
   test("parseToUnicode: bfrange array form and multi-unit destinations") {
     val tu = PdfText.parseToUnicode(
       """1 begincodespacerange <0000> <FFFF> endcodespacerange

@@ -69,20 +69,42 @@ object IngestMain {
   def runIngest(spark: SparkSession, fetcher: Fetcher, cfg: Config): Stats = {
     GraftFunctions.register(spark)
     val startCursor = CursorCheckpoint.load(spark, cfg.cursorPath).map(_.lastCursor)
-    val existing: Set[Long] = try {
-      spark.read.parquet(cfg.indexPath)
-        .select("docket_id").distinct().collect().map(_.getLong(0)).toSet
-    } catch { case _: Exception => Set.empty }
+    // Existing-docket membership for the fetch-loop skip (P2), at
+    // O(bits) driver memory instead of a collected id Set (round-6
+    // review: ~10^7 dockets would hold hundreds of MB of boxed longs on
+    // the driver). A Bloom filter over the indexed docket ids answers
+    // "definitely new" exactly; Bloom POSITIVES get one ids-only exact
+    // lookup per page (a false positive would otherwise skip a
+    // genuinely-new docket forever — the filter alone is not a
+    // correctness-safe skip). The relational anti-join (q03) remains
+    // the scale path for bulk reconciliation; the id-keyed MERGE in the
+    // sink stays the write-path guard either way.
+    val bloom: Option[org.apache.spark.util.sketch.BloomFilter] = try {
+      val ids = spark.read.parquet(cfg.indexPath).select(col("docket_id"))
+      val n = ids.count()
+      if (n == 0) None
+      else Some(ids.stat.bloomFilter("docket_id", math.max(n, 64L), 0.001))
+    } catch { case _: Exception => None }
+    def confirmExisting(candidates: Seq[Long]): Set[Long] =
+      if (candidates.isEmpty) Set.empty
+      else spark.read.parquet(cfg.indexPath)
+        .select("docket_id")
+        .filter(col("docket_id").isin(candidates: _*))
+        .distinct().collect().map(_.getLong(0)).toSet
 
     var pages = 0
     var dockets = 0L
     var opinions = 0L
     var points = 0L
     var lastCursor = startCursor
-    val it = docketPages(fetcher, cfg.court, startCursor, cfg.maxPages,
-      existingIds = existing.contains)
-    it.foreach { page =>
+    val it = docketPages(fetcher, cfg.court, startCursor, cfg.maxPages)
+    it.foreach { rawPage =>
       pages += 1
+      val maybeExisting = rawPage.dockets.map(_.id)
+        .filter(id => bloom.exists(_.mightContain(id)))
+      val confirmed = confirmExisting(maybeExisting)
+      val page = rawPage.copy(dockets =
+        rawPage.dockets.filterNot(d => confirmed(d.id)))
       dockets += page.dockets.size
       if (page.dockets.nonEmpty) {
         val triples = page.dockets.flatMap(d => expandDocket(fetcher, d))

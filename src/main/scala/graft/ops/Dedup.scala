@@ -395,7 +395,9 @@ object Dedup {
         .select(least(col("b"), col("m")).as("u"),
           greatest(col("b"), col("m")).as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
+      // no distinct here: small-star's terminal distinct subsumes it,
+      // saving one shuffle per round; duplicate multiplicity between
+      // the stages is bounded by the (tiny) per-node dup factor
     }
 
     def smallStar(cur: DataFrame): DataFrame = {
@@ -411,14 +413,29 @@ object Dedup {
         .distinct()
     }
 
+    // Convergence probe: (count, bit_xor of xxhash64(u, v)) in ONE
+    // aggregate job per round — the cheap signature decides when to run
+    // the exact set-equality confirmation (equal counts + empty except),
+    // so the two-stage except executes once at the fixpoint instead of
+    // every round (the except-every-round form cost 10x on the bench).
+    // bit_xor is order-independent and cannot overflow under ANSI mode
+    // (a sum of full-range hashes can). A signature collision cannot
+    // produce a wrong result: it only triggers the exact check early,
+    // which then refutes it.
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var eSig = sig(e)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      // exact fixpoint check on canonical distinct sets: equal counts +
-      // empty difference ⇒ equal sets (no hash-collision leap of faith)
-      converged = next.count() == e.count() && next.except(e).isEmpty
+      val nSig = sig(next)
+      converged = nSig == eSig && next.except(e).isEmpty
       e = next
+      eSig = nSig
       it += 1
     }
     if (!converged)

@@ -870,12 +870,14 @@ object SparkEntry {
     }),
 
     // Same radius join at a wider radius: maxDist = 6 needs bands =
-    // maxDist + 1 = 7 (~7-bit bands) for pigeonhole-complete recall —
-    // the round-6 review re-gate replacing the legacy 6×8-bit banding,
-    // whose recall beyond the pigeonhole radius was probabilistic and
-    // whose 256-value bands over-generated candidates quadratically on
-    // skewed corpora. q70 (maxDist 4, 5 bands) and this query now both
-    // honor the contract at different radius/selectivity points.
+    // maxDist + 1 = 7 for pigeonhole-complete recall — the round-6
+    // review re-gate replacing the legacy 6×8-bit banding, whose recall
+    // beyond the pigeonhole radius was probabilistic. The signature is
+    // the full 63 usable bits of a long so each of the 7 bands carries
+    // 9 bits (512 values): candidate volume per band bucket is 4× lower
+    // than a 48-bit signature's ~7-bit bands at the same guaranteed
+    // radius. q70 (maxDist 4, 5 bands) and this query honor the same
+    // contract at different radius/selectivity points.
     "q71_simhash48_radius" -> ((s, dir) => {
       GraftFunctions.register(s)
       val d = t(s, dir, "documents").select("doc_id", "text")
@@ -883,9 +885,9 @@ object SparkEntry {
         (col("doc_id") + 10000).as("doc_id"),
         concat(col("text"), lit(" near duplicate tail marker")).as("text")))
       val sigs = corpus.select(col("doc_id"),
-        Dedup.md5SimHash48Udf(col("text")).as("sig"))
+        Dedup.md5SimHash63Udf(col("text")).as("sig"))
       Dedup.simHashRadiusPairsBanded(sigs, "doc_id", "sig", maxDist = 6,
-        sigBits = 48, bands = 7)
+        sigBits = 63, bands = 7)
     }),
 
     // Custom whole-operator tier: per-key top-k via the TopKPerKey
@@ -2856,11 +2858,11 @@ object SparkEntry {
     "q71_simhash48_radius" -> {
       val lo = (0 until 32).map(j =>
         s"CASE WHEN 2*len(list_filter(mh1, h -> substr(h,${j + 1},1) >= '8')) > len(mh1) THEN ${1L << j} ELSE 0 END")
-      val hi = (0 until 16).map(j =>
+      val hi = (0 until 31).map(j =>
         s"CASE WHEN 2*len(list_filter(mh2, h -> substr(h,${j + 1},1) >= '8')) > len(mh2) THEN ${1L << (32 + j)} ELSE 0 END")
       val bits = (lo ++ hi).mkString(" + ")
-      // mirror of Dedup.bandLayout(48, 7): widths 7,7,7,7,7,7,6
-      val layout = Seq((0, 7), (7, 7), (14, 7), (21, 7), (28, 7), (35, 7), (42, 6))
+      // mirror of Dedup.bandLayout(63, 7): seven 9-bit bands
+      val layout = (0 until 7).map(b => (9 * b, 9))
       val bands = layout.zipWithIndex.map { case ((off, w), b) =>
         s"SELECT doc_id, sig, $b AS b, (sig >> $off) & ${(1L << w) - 1} AS v FROM sigs" }
         .mkString("\n  UNION ALL ")

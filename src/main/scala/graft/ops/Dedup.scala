@@ -544,6 +544,40 @@ object Dedup {
       sig
     }
 
+  /** 63-bit md5-nibble SimHash (the full usable width of a signed
+    * long): 32 majority-vote bits from md5(token) nibbles + 31 from
+    * md5("2" + token). Same engine-portable construction as the 48-bit
+    * form — an oracle can re-derive every bit from md5 hex — but 9-bit
+    * bands at 7 bands (radius 6) carry 512 values each, 4× the
+    * selectivity of the 48-bit form's ~7-bit bands. */
+  def md5SimHash63Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { text: String =>
+      val parts = (if (text == null) "" else text).split(" ", -1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hits = new Array[Int](63)
+      parts.foreach { p =>
+        val d1 = md.digest(p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val d2 = md.digest(("2" + p).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var j = 0
+        while (j < 32) {
+          val n1 = if ((j & 1) == 0) (d1(j >> 1) >> 4) & 0xf else d1(j >> 1) & 0xf
+          if (n1 >= 8) hits(j) += 1
+          j += 1
+        }
+        j = 0
+        while (j < 31) {
+          val n2 = if ((j & 1) == 0) (d2(j >> 1) >> 4) & 0xf else d2(j >> 1) & 0xf
+          if (n2 >= 8) hits(32 + j) += 1
+          j += 1
+        }
+      }
+      val n = parts.length
+      var sig = 0L
+      var j = 0
+      while (j < 63) { if (2 * hits(j) > n) sig |= (1L << j); j += 1 }
+      sig
+    }
+
   /** SimHash radius self-join: all id pairs whose signatures lie within
     * Hamming distance `maxDist`, found via byte banding — a pair is a
     * candidate iff it collides on at least one of the signature's bytes

@@ -79,7 +79,7 @@ object HttpApi {
   def start(engine: Engine, port: Int = 0): Server = {
     val http = HttpServer.create(new InetSocketAddress(port), 0)
     http.createContext("/health", handler("GET") { (_, _) =>
-      val h = Serve.health(engine.spark, engine.indexPath, engine.summarizer)
+      val h = Serve.healthCached(engine.corpusSize, engine.summarizer)
       (200, obj(
         "status" -> h.status,
         "collection_exists" -> h.collectionExists,

@@ -143,6 +143,16 @@ object Serve {
     QueryResponse(question, results, (System.nanoTime() - t0) / 1e9)   // F13
   }
 
+  /** O(1) health from a count cached at engine build (round-6 review:
+    * re-reading the index parquet footer per probe makes health O(index
+    * files) under probe storms; the serving engine already counted the
+    * corpus once when it loaded). The path-probing [[health]] below
+    * stays for standalone/missing-index diagnosis. */
+  def healthCached(points: Long,
+      summarizer: Summarizer = new UnavailableSummarizer): HealthResponse =
+    HealthResponse("healthy", collectionExists = true, points,
+      summarizerAvailable = !summarizer.isInstanceOf[UnavailableSummarizer])
+
   /** GET /health + /collection/info — A6 collection stats. */
   def health(spark: SparkSession, indexPath: String,
       summarizer: Summarizer = new UnavailableSummarizer): HealthResponse =

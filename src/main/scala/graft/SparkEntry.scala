@@ -2111,6 +2111,24 @@ object SparkEntry {
           expr("right(name_a, 2)"), expr("right(name_b, 2)"),
           "name_a", "name_b", minSim = 0.9)
         .select("id_a", "id_b", "name_a", "name_b", "jw")
+    }),
+
+    // Exact repeated-substring accounting (Lee et al. 2022's
+    // exact-substring dedup pass, relational form): every 7th doc gets
+    // the q74 boilerplate tail, whose 8-token windows repeat across
+    // ~1/7 of the corpus; repeated positions expand to [pos, pos+k)
+    // intervals and merge per doc (gaps-and-islands), emitting exact
+    // integer coverage — the removal worklist without materializing
+    // cleaned text. The oracle re-derives grams, repetition, the
+    // running-max island merge, and every count.
+    "q157_substring_spans" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" Please subscribe to our newsletter for free updates today")))
+          .otherwise(col("text")).as("text"))
+      graft.ops.Curation.repeatedSpanStats(planted, "doc_id", "text",
+        k = 8, minDocs = 2)
     })
   )
 
@@ -3932,6 +3950,42 @@ object SparkEntry {
         |SELECT id_a, id_b, name_a, name_b,
         |  round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
         |FROM sysA JOIN sysB ON right(name_a, 2) = right(name_b, 2)
-        |WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.9""".stripMargin
+        |WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.9""".stripMargin,
+
+    "q157_substring_spans" ->
+      """WITH planted AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' Please subscribe to our newsletter for free updates today'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+        |  FROM planted),
+        |grams AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    array_to_string([lower(x) for x in ws[i+1:i+8]], ' ') AS gram
+        |  FROM toks, UNNEST(range(len(ws) - 7)) t(i)
+        |  WHERE len(ws) >= 8),
+        |rep AS (SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS nd FROM grams GROUP BY 1)
+        |  WHERE nd >= 2),
+        |hits AS (SELECT doc_id, pos AS s, pos + 8 AS e FROM grams
+        |  WHERE gram IN (SELECT gram FROM rep)),
+        |flagged AS (SELECT doc_id, s, e,
+        |    CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+        |      THEN 1 ELSE 0 END AS new_island
+        |  FROM hits
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |isl AS (SELECT doc_id, s, e,
+        |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flagged),
+        |sp AS (SELECT doc_id, island, min(s) AS s, max(e) AS e
+        |  FROM isl GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS repeated_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_spans FROM sp GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(a.repeated_tokens, 0) AS BIGINT) AS repeated_tokens,
+        |  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans
+        |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin
   )
 }

@@ -309,6 +309,52 @@ object Curation {
       .filter(col("n_docs") >= minDocs)
 
   // -------------------------------------------------------------------
+  // Exact repeated-substring accounting (the Lee et al. 2022
+  // "Deduplicating Training Data Makes Language Models Better"
+  // exact-substring pass, re-expressed relationally): a token position
+  // is part of a repeated substring when its k-token window appears in
+  // >= minDocs distinct documents. Per doc, repeated positions expand
+  // to [pos, pos+k) intervals and overlapping/touching intervals merge
+  // through the verified gaps-and-islands primitive — the output is
+  // exact integer accounting (total tokens, covered tokens, span
+  // count), the removal worklist of the suffix-array construction
+  // without materializing cleaned text.
+  //
+  // Scale shape: the wide shuffle is keyed by the GRAM (one vote per
+  // (doc, gram), then a semi-join back), intervals merge per doc under
+  // a doc-keyed window over only the repeated positions — document
+  // text never crosses an exchange.
+  // -------------------------------------------------------------------
+
+  /** @return (doc_id, n_tokens, repeated_tokens, n_spans) per doc —
+    *   `repeated_tokens` = tokens covered by merged repeated-k-gram
+    *   spans, `n_spans` = merged span count (0/0 for clean docs). */
+  def repeatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 1 && minDocs >= 2, s"need k >= 1, minDocs >= 2")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("ws"))
+    val grams = toks.select(col("doc_id"),
+      posexplode(gramUdf(k)(col("ws"))).as(Seq("pos", "gram")))
+    val repeated = grams.select("gram", "doc_id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("gram")
+    val hits = grams.join(repeated, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+        (col("pos") + k).cast("long").as("e"))
+    val spans = Cleaning.mergeIntervals(hits, "doc_id", "s", "e")
+      .groupBy("doc_id")
+      .agg(sum(col("e") - col("s")).as("repeated_tokens"),
+        count(lit(1)).as("n_spans"))
+    toks.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("repeated_tokens"), lit(0L)).as("repeated_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+  }
+
+  // -------------------------------------------------------------------
   // C4-style line filtering: keep lines that end in terminal punctuation
   // and carry at least `minWords` words; drop the whole document when it
   // contains code braces (the C4 "{" rule). One compiled pass per row —

@@ -266,6 +266,33 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       s"eval gram side should broadcast:\n$plan")
   }
 
+  test("repeatedSpanStats: shared spans found, overlaps merge, clean docs 0/0") {
+    // docs 1 and 2 share two overlapping 3-gram windows ("a b c", "b c d"
+    // at positions 1,2) -> ONE merged span covering tokens 1..5 (4 tokens);
+    // doc 3 shares nothing
+    val df = Seq(
+      (1L, "x a b c d y"),
+      (2L, "z a b c d w"),
+      (3L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val got = Curation.repeatedSpanStats(df, "doc_id", "text", k = 3, minDocs = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == Map(
+      1L -> ((6L, 4L, 1L)),   // 6 tokens, span [1,5) = 4 tokens, 1 span
+      2L -> ((6L, 4L, 1L)),
+      3L -> ((6L, 0L, 0L))), got.toString)
+    // two DISJOINT shared regions stay two spans
+    val df2 = Seq(
+      (1L, "a b c XX d e f"),
+      (2L, "a b c YY d e f"))
+      .toDF("doc_id", "text")
+    val got2 = Curation.repeatedSpanStats(df2, "doc_id", "text", k = 3, minDocs = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got2 == Map(1L -> ((7L, 6L, 2L)), 2L -> ((7L, 6L, 2L))), got2.toString)
+  }
+
   test("kAnonymityRisk: only sub-k groups flagged, group size attached") {
     val df = Seq(
       (1L, "en", "web"), (2L, "en", "web"), (3L, "en", "web"),

@@ -2129,6 +2129,22 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       graft.ops.Curation.repeatedSpanStats(planted, "doc_id", "text",
         k = 8, minDocs = 2)
+    }),
+
+    // Water-filling mixture allocation: split 60% of the corpus's
+    // total chars across sources max-min-fairly — small sources keep
+    // everything, big ones share the remainder evenly (the "cap every
+    // domain at its fair share" data-mixing policy). Exact integer
+    // allocations summing to the budget; the distributed pass is the
+    // per-source aggregate, the waterfill itself runs over the
+    // dimension-scale source table.
+    "q158_waterfill" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .groupBy("source").agg(sum("n_chars").as("total_chars"))
+      val budget = t(s, dir, "documents")
+        .agg(sum("n_chars")).head().getLong(0) * 6 / 10
+      graft.ops.Sampling.waterfillAllocation(
+        counts, "source", "total_chars", budget)
     })
   )
 
@@ -3986,6 +4002,34 @@ object SparkEntry {
         |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
         |  CAST(COALESCE(a.repeated_tokens, 0) AS BIGINT) AS repeated_tokens,
         |  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans
-        |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin
+        |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "q158_waterfill" ->
+      """WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1),
+        |b AS (SELECT (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)
+        |    * 6 // 10 AS budget),
+        |r AS (SELECT source, c,
+        |    CAST(row_number() OVER (ORDER BY c, source) AS BIGINT) AS i,
+        |    CAST(sum(c) OVER (ORDER BY c, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS prefix,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM s),
+        |f AS (SELECT r.*, b.budget,
+        |    (c * (n - i + 1) + prefix - c <= budget) AS sat
+        |  FROM r, b),
+        |g AS (SELECT f.*,
+        |    CAST(sum(CASE WHEN sat THEN 1 ELSE 0 END) OVER () AS BIGINT) AS k,
+        |    CAST(sum(CASE WHEN sat THEN c ELSE 0 END) OVER () AS BIGINT)
+        |      AS prefix_k
+        |  FROM f)
+        |SELECT source, c AS total_chars,
+        |  CAST(CASE WHEN sat THEN c
+        |    ELSE (budget - prefix_k) // (n - k) +
+        |      CASE WHEN i - k <= (budget - prefix_k) % (n - k)
+        |        THEN 1 ELSE 0 END
+        |  END AS BIGINT) AS alloc
+        |FROM g""".stripMargin
   )
 }

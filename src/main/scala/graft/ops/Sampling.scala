@@ -236,4 +236,54 @@ object Sampling {
       .filter(col(s"cum_$weightCol") <= budget)
       .drop("__hk")
   }
+
+  /** Budget-constrained mixture allocation (water-filling): split a
+    * total token `budget` across sources so small sources keep
+    * EVERYTHING they have and the rest share the remainder evenly —
+    * the max-min-fair split behind "cap every domain at its fair share"
+    * data-mixing policies. Ascending by size, a source is SATISFIED
+    * when taking it whole still leaves the others their fair share
+    * (`c·remaining + prefix ≤ budget`, a prefix-monotone condition);
+    * unsatisfied sources get the floor level plus one extra unit each
+    * for the first `remainder` of them (deterministic: smallest first),
+    * so allocations are exact integers summing to min(budget, total).
+    *
+    * The input is a per-source AGGREGATE (dimension-scale — bounded by
+    * source cardinality, thousands at most), so the unpartitioned
+    * windows here run over a tiny frame; the corpus-scale aggregation
+    * that produces it is the caller's distributed pass. */
+  def waterfillAllocation(counts: DataFrame, keyCol: String,
+      countCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("c").asc, col(keyCol).asc)
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = counts
+      .select(col(keyCol), col(countCol).cast("long").as("c"))
+      .withColumn("i", row_number().over(w))
+      .withColumn("prefix",
+        sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("sat",
+        col("c") * (col("n") - col("i") + 1) + col("prefix") - col("c")
+          <= lit(budget))
+    ranked
+      .withColumn("k", sum(when(col("sat"), 1L).otherwise(0L)).over(all))
+      .withColumn("prefix_k",
+        sum(when(col("sat"), col("c")).otherwise(0L)).over(all))
+      // `div`, not `/`: Column `/` on longs is DOUBLE division, and
+      // floor(double) can misround at exact-quotient boundaries
+      .withColumn("level",
+        when(col("n") === col("k"), lit(0L)).otherwise(
+          expr(s"(${budget}L - prefix_k) div (n - k)")))
+      .withColumn("rem",
+        when(col("n") === col("k"), lit(0L)).otherwise(
+          expr(s"(${budget}L - prefix_k) % (n - k)")))
+      .withColumn("alloc",
+        when(col("sat"), col("c")).otherwise(
+          col("level") +
+            when(col("i") - col("k") <= col("rem"), 1L).otherwise(0L)))
+      .select(col(keyCol), col("c").as(countCol), col("alloc"))
+  }
 }

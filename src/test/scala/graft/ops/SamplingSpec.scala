@@ -167,4 +167,33 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert((before -- kept2).size <= 1,
       s"append displaces at most the docs after the new arrival: ${before -- kept2}")
   }
+
+  test("waterfillAllocation: small sources whole, big ones level, sum == budget") {
+    val counts = Seq(("tiny", 5L), ("small", 10L), ("big", 100L), ("huge", 200L))
+      .toDF("src", "c")
+    // budget 95: tiny(5) and small(10) are satisfied; big/huge share 80
+    // -> level 40 each, remainder 0
+    val got = Sampling.waterfillAllocation(counts, "src", "c", budget = 95L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map("tiny" -> 5L, "small" -> 10L, "big" -> 40L, "huge" -> 40L),
+      got.toString)
+    // remainder goes to the first unsatisfied sources (ascending order):
+    // budget 96 -> big gets the extra unit
+    val got2 = Sampling.waterfillAllocation(counts, "src", "c", budget = 96L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got2("big") == 41L && got2("huge") == 40L, got2.toString)
+    // budget >= total: everyone keeps everything
+    val got3 = Sampling.waterfillAllocation(counts, "src", "c", budget = 1000L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got3 == Map("tiny" -> 5L, "small" -> 10L, "big" -> 100L, "huge" -> 200L))
+    // budget below the smallest source: pure even split with remainder
+    val got4 = Sampling.waterfillAllocation(counts, "src", "c", budget = 6L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3)
+    assert(got4.map(_._2).sum == 6L, got4.mkString(","))
+    // sum == min(budget, capacity); no source exceeds its capacity
+    assert(got.values.sum == 95L && got2.values.sum == 96L)
+    intercept[IllegalArgumentException] {
+      Sampling.waterfillAllocation(counts, "src", "c", budget = -1L)
+    }
+  }
 }

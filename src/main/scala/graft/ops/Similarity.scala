@@ -125,6 +125,24 @@ object Similarity {
         .orderBy(desc("cos"), col(idCol))
         .limit(k)
     }
+
+    /** Incremental admission, LSH flavor (the [[IvfIndex]] generation
+      * story holds a fortiori here: hyperplanes are seeded constants,
+      * never refit, so batch bucketing trivially equals a rebuild):
+      * bucket a new batch with the SAME planes and append it as a new
+      * generation inside the bucket partitions. */
+    def appendGeneration(path: String, batch: DataFrame, gen: Int): Unit =
+      batch.withColumn("bucket", bucketUdf(col(vecCol)))
+        .withColumn("generation", lit(gen))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("bucket").parquet(path)
+
+    /** [[writePartitioned]] as generation `gen` (schema-aligned with
+      * [[appendGeneration]] so generations merge on read). */
+    def writeGeneration(path: String, gen: Int): Unit =
+      bucketed.withColumn("generation", lit(gen))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("bucket").parquet(path)
   }
 
   /** IVF (inverted-file) ANN index: a k-means coarse quantizer assigns

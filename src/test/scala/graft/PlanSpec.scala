@@ -238,6 +238,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"triangle counting must stay on equi-joins:\n$plan")
   }
 
+  test("q157 guard: repeated-span discovery stays on equi-joins, gram-keyed") {
+    val df = SparkEntry.queries("q157_substring_spans")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span discovery must never plan a product:\n$plan")
+    // the repeated-gram filter reaches the doc side as a semi-join
+    assert(plan.contains("LeftSemi"),
+      s"repeated grams must prune positions via a semi-join:\n$plan")
+  }
+
   test("q133 guard: bucketed fact join reads bucketed scans with no exchange") {
     val df = SparkEntry.queries("q133_bucketed_join")(spark, dir)
     df.collect()

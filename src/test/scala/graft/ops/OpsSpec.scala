@@ -553,6 +553,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(gens == Set(0, 1), gens.toString)
   }
 
+  test("LSH generations: appended batch queries like a monolithic index") {
+    val base = emb.filter($"vec_id" % 2 === 0)
+    val batch = emb.filter($"vec_id" % 2 === 1)
+    val lsh = new Similarity.RandomHyperplaneIndex(base, nBits = 8, dim = 64)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_gen").toString
+    lsh.writeGeneration(s"$tmp/lsh", gen = 0)
+    lsh.appendGeneration(s"$tmp/lsh", batch, gen = 1)
+    val q = emb.filter($"vec_id" === 11).select("embedding").as[Seq[Float]].head().toArray
+    // planes are seeded constants, so an index built over everything IS
+    // the rebuild reference
+    val mono = new Similarity.RandomHyperplaneIndex(emb, nBits = 8, dim = 64)
+    val merged = lsh.queryPartitioned(spark, s"$tmp/lsh", q, k = 5, probes = 8)
+    assert(merged.select("vec_id", "cos").collect().toSeq ==
+      mono.query(q, k = 5, probes = 8).select("vec_id", "cos").collect().toSeq)
+    assert(spark.read.parquet(s"$tmp/lsh").select("generation")
+      .distinct().as[Int].collect().toSet == Set(0, 1))
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("bucket"),
+      s"generation merge must keep bucket pruning:\n$plan")
+  }
+
   test("driftMonitor: same-distribution batch is fresh; shifted batch is stale") {
     val base = emb.filter($"vec_id" % 2 === 0)
     val idx = new Similarity.IvfIndex(base, nCentroids = 8)

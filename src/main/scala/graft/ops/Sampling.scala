@@ -261,6 +261,11 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val ranked = counts
       .select(col(keyCol), col(countCol).cast("long").as("c"))
+      // a NULL count would sort first and null-poison every prefix sum
+      // downstream — refuse loudly instead of emitting a wrong split
+      .filter(assert_true(col("c").isNotNull && col("c") >= 0,
+        lit(s"waterfillAllocation: '$countCol' must be non-null and " +
+          "non-negative")).isNull)
       .withColumn("i", row_number().over(w))
       .withColumn("prefix",
         sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)))

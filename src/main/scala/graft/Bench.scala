@@ -65,23 +65,42 @@ object Bench {
       val (best, rows) = secs.minBy(_._1)
       System.err.println(f"[bench] $name: $best%.2f s ($rows rows, " +
         secs.map(s => f"${s._1}%.2f").mkString("/") + ")")
-      name -> best
+      (name, best, rows)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // A query that THROWS records a near-zero timing (the crash time) —
+    // treating it as healthy would adjudicate a broken run "clean" and,
+    // under WRITE_BASELINE, bake the bogus fast time into the committed
+    // baseline, hiding both the breakage and the eventual fix. Failed
+    // queries are surfaced in the JSON and excluded from baseline seeds.
+    val failed = results.collect { case (name, _, rows) if rows < 0 => name }
+    val ok = results.collect { case (name, best, rows) if rows >= 0 => name -> best }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val adjudication = adjudicate(results)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$adjudication}""")
+    val adjudication = {
+      val base = adjudicate(ok)
+      // failures dominate: a run with crashing queries is never "clean"
+      if (failed.isEmpty) base
+      else base.replaceFirst("\"bench_verdict\":\"[a-z_]+\"",
+        "\"bench_verdict\":\"failed_queries\"")
+    }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,$adjudication}""")
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries FAILED: " +
+        failed.mkString(", "))
 
     // SPARK_GRAFT_WRITE_BASELINE=1: persist this run's per-query mins as
-    // the new baseline (only do this from a run adjudicated healthy).
+    // the new baseline (only do this from a run adjudicated healthy;
+    // failed queries never seed an entry).
     if (sys.env.get("SPARK_GRAFT_WRITE_BASELINE").contains("1")) {
-      val body = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      val body = ok.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{\n  \"queries\": {", ", ", "},\n  " +
           f"""\"total\": $total%.1f,\n  \"sf\": \"$sfDir\",\n  \"runs_per_query\": $repeats\n}""")
       java.nio.file.Files.write(java.nio.file.Paths.get(baselinePath),
         body.getBytes("UTF-8"))
-      System.err.println(s"[bench] baseline written to $baselinePath")
+      System.err.println(s"[bench] baseline written to $baselinePath" +
+        (if (failed.nonEmpty) s" (${failed.size} failed queries excluded)" else ""))
     }
     spark.stop()
   }

@@ -2025,11 +2025,7 @@ object SparkEntry {
       val idx = new Similarity.IvfIndex(base, nCentroids = 16)
       val path = auxPath(dir) + "/q153_index"
       // fresh generations each run (Append mode would stack re-runs)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(path))
+      graft.ops.Joins.deleteRecursively(new java.io.File(path))
       idx.writeGeneration(path, gen = 0)
       idx.appendGeneration(path, batch, gen = 1)
       writeAux(idx.appendAssign(emb).select("vec_id", "centroid"),
@@ -2141,8 +2137,11 @@ object SparkEntry {
     "q158_waterfill" -> ((s, dir) => {
       val counts = t(s, dir, "documents")
         .groupBy("source").agg(sum("n_chars").as("total_chars"))
-      val budget = t(s, dir, "documents")
-        .agg(sum("n_chars")).head().getLong(0) * 6 / 10
+        .cache()
+      // budget from the per-source aggregate (sum of sums == corpus
+      // sum) — deriving it from `documents` again would pay a second
+      // full corpus scan for a number the dimension table already holds
+      val budget = counts.agg(sum("total_chars")).head().getLong(0) * 6 / 10
       graft.ops.Sampling.waterfillAllocation(
         counts, "source", "total_chars", budget)
     })

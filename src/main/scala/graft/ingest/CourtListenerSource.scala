@@ -59,9 +59,13 @@ object CourtListenerSource {
   }
 
   /** S1 — the driver-side page loop: stream pages from `startCursor`
-    * until exhaustion or `maxPages`, skipping docket ids in
-    * `existingIds` (P2 — at scale this membership test is the
-    * anti-join in the Spark pipeline, not a driver set). */
+    * until exhaustion or `maxPages`, skipping docket ids for which
+    * `existingIds` returns true (P2). NOTE the production ingest
+    * ([[graft.ingest.IngestMain.runIngest]]) does NOT use this
+    * predicate: it filters pages caller-side through a Bloom filter
+    * plus a per-page exact confirmation, because a probabilistic
+    * predicate here could false-positive-skip a genuinely new docket
+    * with no later rescue. Pass only EXACT membership tests. */
   def docketPages(fetcher: Fetcher, court: String,
       startCursor: Option[String], maxPages: Int,
       existingIds: Long => Boolean = _ => false): Iterator[DocketPage] =

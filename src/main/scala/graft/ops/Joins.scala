@@ -144,18 +144,18 @@ object Joins {
         // The in-memory catalog dies with the session but the managed
         // location survives — and CTAS refuses a location it doesn't
         // own. An orphan dir from an earlier graft session carries the
-        // marker: clear and rewrite. A dir WITHOUT the marker is not
-        // ours — refuse rather than destroy concurrent-session data.
-        if (loc.exists() && markerText.isEmpty)
+        // marker — clear and rewrite. Pre-marker graft revisions left
+        // marker-LESS orphans, recognizable because CTAS output contains
+        // only Spark-written files (part-*, _SUCCESS, checksums): those
+        // migrate (delete + rewrite) too. Anything else is not ours —
+        // refuse rather than destroy concurrent-session data.
+        if (loc.exists() && markerText.isEmpty && !looksLikeSparkOutput(loc))
           throw new IllegalStateException(
             s"ensureBucketedTable: $loc exists but was not written by " +
-              "graft (no _graft_bucketed marker); refusing to delete. " +
-              "Choose a different table name or remove the directory.")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(loc)
+              "graft (no _graft_bucketed marker, non-Spark files inside); " +
+              "refusing to delete. Choose a different table name or " +
+              "remove the directory.")
+        deleteRecursively(loc)
       }
       df.write.mode("overwrite")
         .bucketBy(buckets, key).sortBy(key)
@@ -167,6 +167,31 @@ object Joins {
         fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       ()
     }
+  }
+
+  /** Recursive delete (shared by [[ensureBucketedTable]] and index
+    * fixture setup — one definition so delete semantics stay uniform). */
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
+  /** True when every regular file under `dir` is a Spark/Hadoop output
+    * artifact (part files, _SUCCESS, checksums, temporary dirs) — the
+    * shape a CTAS leaves behind, used to recognize pre-marker graft
+    * orphans that are safe to migrate. */
+  private def looksLikeSparkOutput(dir: java.io.File): Boolean = {
+    def ok(f: java.io.File): Boolean =
+      if (f.isDirectory)
+        f.getName == "_temporary" ||
+          Option(f.listFiles()).forall(_.forall(ok))
+      else {
+        val n = f.getName
+        n.startsWith("part-") || n == "_SUCCESS" || n.endsWith(".crc") ||
+          n.startsWith("._") || n.startsWith(".part-")
+      }
+    dir.isDirectory && Option(dir.listFiles()).forall(_.forall(ok))
   }
 
   /** Cheap source-data fingerprint for [[ensureBucketedTable]]: an

@@ -351,7 +351,13 @@ object Similarity {
         refitErr += sqDist(v, refit(rCell))
       }
       val frac = reassigned.toDouble / sample.length
-      val inflation = if (refitErr > 0) frozenErr / refitErr else 1.0
+      // refitErr == 0 means the refit quantizes the batch EXACTLY (e.g.
+      // <= nCentroids distinct vectors): if the frozen centroids still
+      // carry error, that is maximal drift, not freshness
+      val inflation =
+        if (refitErr > 0) frozenErr / refitErr
+        else if (frozenErr > 0) Double.PositiveInfinity
+        else 1.0
       val stale = inflation > threshold
       if (stale)
         System.err.println(f"[IvfIndex] DRIFT: frozen centroids quantize the " +

@@ -164,16 +164,19 @@ object HybridSearch {
     val qTerms = qs
       .select(col("query_id"), explode(tokenizeUdf(col("__qtext"))).as("term"))
       .distinct()
+    // hoisted: the same distinct term set prunes both the corpus-token
+    // explode and docStats — one aggregation, not two per plan
+    val allTerms = qTerms.select("term").distinct()
     val idfCol = log(lit(1.0) +
       (lit(corpusSize.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
     val termScores = index
       .select(col("id"), size(col("tokens")).as("dl"),
         explode(col("tokens")).as("term"))
-      .join(broadcast(qTerms.select("term").distinct()), Seq("term"), "left_semi")
+      .join(broadcast(allTerms), Seq("term"), "left_semi")
       .groupBy(col("id"), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .join(broadcast(docStats.join(
-        broadcast(qTerms.select("term").distinct()), Seq("term"), "left_semi")),
+        broadcast(allTerms), Seq("term"), "left_semi")),
         Seq("term"))
       .withColumn("term_score",
         idfCol * col("tf") * lit(Bm25.k1 + 1.0) /

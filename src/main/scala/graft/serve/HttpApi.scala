@@ -79,7 +79,13 @@ object HttpApi {
   def start(engine: Engine, port: Int = 0): Server = {
     val http = HttpServer.create(new InetSocketAddress(port), 0)
     http.createContext("/health", handler("GET") { (_, _) =>
-      val h = Serve.healthCached(engine.corpusSize, engine.summarizer)
+      val h = Serve.healthCached(engine.corpusSize, {
+        // one existence RPC against whatever filesystem backs the
+        // index path — O(1), unlike the footer read this replaced
+        val p = new org.apache.hadoop.fs.Path(engine.indexPath)
+        p.getFileSystem(engine.spark.sparkContext.hadoopConfiguration)
+          .exists(p)
+      }, engine.summarizer)
       (200, obj(
         "status" -> h.status,
         "collection_exists" -> h.collectionExists,

@@ -146,12 +146,21 @@ object Serve {
   /** O(1) health from a count cached at engine build (round-6 review:
     * re-reading the index parquet footer per probe makes health O(index
     * files) under probe storms; the serving engine already counted the
-    * corpus once when it loaded). The path-probing [[health]] below
-    * stays for standalone/missing-index diagnosis. */
-  def healthCached(points: Long,
-      summarizer: Summarizer = new UnavailableSummarizer): HealthResponse =
-    HealthResponse("healthy", collectionExists = true, points,
-      summarizerAvailable = !summarizer.isInstanceOf[UnavailableSummarizer])
+    * corpus once when it loaded). `indexAlive` is a CHEAP liveness
+    * probe — a single filesystem-existence RPC, not a footer read — so
+    * the endpoint still degrades when the index vanishes out from under
+    * a running server (a hardcoded "healthy" would keep a dead instance
+    * in rotation). The path-probing [[health]] below stays for
+    * standalone/missing-index diagnosis. */
+  def healthCached(points: Long, indexAlive: => Boolean,
+      summarizer: Summarizer = new UnavailableSummarizer): HealthResponse = {
+    val alive = try indexAlive catch { case _: Exception => false }
+    if (alive)
+      HealthResponse("healthy", collectionExists = true, points,
+        summarizerAvailable = !summarizer.isInstanceOf[UnavailableSummarizer])
+    else HealthResponse("degraded", collectionExists = false, 0L,
+      summarizerAvailable = false)
+  }
 
   /** GET /health + /collection/info — A6 collection stats. */
   def health(spark: SparkSession, indexPath: String,

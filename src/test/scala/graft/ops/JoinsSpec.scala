@@ -85,6 +85,21 @@ class JoinsSpec extends AnyFunSuite with SparkTestBase {
       }
       assert(payload.isFile, "unowned data must survive the refusal")
     } finally { payload.delete(); alien.delete() }
+
+    // a marker-LESS dir holding only Spark output files is a pre-marker
+    // graft orphan: migrated (deleted + rewritten), not refused
+    val orphan = new java.io.File(wh, "bk_spec_orphan")
+    orphan.mkdirs()
+    java.nio.file.Files.write(new java.io.File(orphan, "_SUCCESS").toPath,
+      Array.emptyByteArray)
+    java.nio.file.Files.write(
+      new java.io.File(orphan, "part-00000-old.snappy.parquet").toPath,
+      "stale".getBytes("UTF-8"))
+    try {
+      Joins.ensureBucketedTable(
+        Seq((1L, "fresh")).toDF("k", "v"), "bk_spec_orphan", "k", buckets = 2)
+      assert(spark.table("bk_spec_orphan").select("v").as[String].head() == "fresh")
+    } finally spark.sql("DROP TABLE IF EXISTS bk_spec_orphan")
   }
 
   test("dataFingerprint: stable on identical tree, changes with content size") {

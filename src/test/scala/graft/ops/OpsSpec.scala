@@ -592,6 +592,14 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(drift.errorInflation > 2.0,
       s"frozen centroids must quantize a shifted batch much worse: ${drift.errorInflation}")
     assert(drift.sampleN > 0 && drift.threshold == 1.5)
+    // degenerate batch the refit quantizes EXACTLY (one distinct far
+    // vector -> refitErr 0): maximal drift, not freshness
+    val degenerate = emb.limit(50).select($"vec_id",
+      org.apache.spark.sql.functions.transform($"embedding",
+        x => x * lit(0.0f) + lit(25.0f)).as("embedding"))
+    val deg = idx.driftMonitor(degenerate)
+    assert(deg.stale && deg.errorInflation.isPosInfinity,
+      s"exactly-quantized shifted batch must flag stale: $deg")
   }
 }
 

@@ -62,45 +62,76 @@ object Bench {
         spark.catalog.clearCache()
         (sec, n)
       }
-      val (best, rows) = secs.minBy(_._1)
+      // Prefer the fastest SUCCESSFUL sample: a crash can be fast (fail at
+      // plan time) and min-over-all would let it mask a succeeding-but-slow
+      // repeat, so an intermittent failure would never reach `failed`.
+      val okSamples = secs.filter(_._2 >= 0)
+      val (best, rows) =
+        if (okSamples.nonEmpty) okSamples.minBy(_._1) else secs.minBy(_._1)
+      val flaky = okSamples.nonEmpty && okSamples.size < secs.size
       System.err.println(f"[bench] $name: $best%.2f s ($rows rows, " +
-        secs.map(s => f"${s._1}%.2f").mkString("/") + ")")
-      (name, best, rows)
+        secs.map(s => f"${s._1}%.2f").mkString("/") +
+        (if (flaky) ", FLAKY" else "") + ")")
+      (name, best, rows, flaky)
     }
     // A query that THROWS records a near-zero timing (the crash time) —
     // treating it as healthy would adjudicate a broken run "clean" and,
     // under WRITE_BASELINE, bake the bogus fast time into the committed
     // baseline, hiding both the breakage and the eventual fix. Failed
-    // queries are surfaced in the JSON and excluded from baseline seeds.
-    val failed = results.collect { case (name, _, rows) if rows < 0 => name }
-    val ok = results.collect { case (name, best, rows) if rows >= 0 => name -> best }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // (all repeats threw) and flaky (some threw) queries are surfaced in
+    // the JSON and excluded from baseline seeds.
+    val failed = results.collect { case (name, _, rows, _) if rows < 0 => name }
+    val flaky = results.collect { case (name, _, rows, fl) if rows >= 0 && fl => name }
+    val ok = results.collect { case (name, best, rows, fl) if rows >= 0 && !fl => name -> best }
+    val adjudicated = results.collect { case (name, best, rows, _) if rows >= 0 => name -> best }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val adjudication = {
-      val base = adjudicate(ok)
-      // failures dominate: a run with crashing queries is never "clean"
-      if (failed.isEmpty) base
-      else base.replaceFirst("\"bench_verdict\":\"[a-z_]+\"",
-        "\"bench_verdict\":\"failed_queries\"")
-    }
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,$adjudication}""")
+    // Failures dominate the verdict, then flakiness, then the baseline
+    // comparison — composed structurally, not patched into the JSON string.
+    val (baselineJson, baseVerdict) = adjudicateParts(adjudicated)
+    val verdict =
+      if (failed.nonEmpty) "failed_queries"
+      else if (flaky.nonEmpty) "flaky_queries"
+      else baseVerdict
+    def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${strArr(failed)},"flaky":${strArr(flaky)},$baselineJson,"bench_verdict":"$verdict"}""")
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED: " +
         failed.mkString(", "))
+    if (flaky.nonEmpty)
+      System.err.println(s"[bench] ${flaky.size} queries FLAKY " +
+        "(some repeats threw): " + flaky.mkString(", "))
 
     // SPARK_GRAFT_WRITE_BASELINE=1: persist this run's per-query mins as
-    // the new baseline (only do this from a run adjudicated healthy;
-    // failed queries never seed an entry).
-    if (sys.env.get("SPARK_GRAFT_WRITE_BASELINE").contains("1")) {
-      val body = ok.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-        .mkString("{\n  \"queries\": {", ", ", "},\n  " +
-          f"""\"total\": $total%.1f,\n  \"sf\": \"$sfDir\",\n  \"runs_per_query\": $repeats\n}""")
-      java.nio.file.Files.write(java.nio.file.Paths.get(baselinePath),
-        body.getBytes("UTF-8"))
-      System.err.println(s"[bench] baseline written to $baselinePath" +
-        (if (failed.nonEmpty) s" (${failed.size} failed queries excluded)" else ""))
+    // the new baseline — gated on the run being healthy (no failed/flaky
+    // queries, verdict clean or no_baseline), so a broken or stale-vs-
+    // baseline run can't silently seed the committed numbers. An
+    // intentional re-seed after a perf-changing round may legitimately
+    // carry a suspect verdict against the STALE baseline; `force`
+    // acknowledges that explicitly.
+    val writeMode = sys.env.getOrElse("SPARK_GRAFT_WRITE_BASELINE", "")
+    if (writeMode == "1" || writeMode == "force") {
+      val healthy = failed.isEmpty && flaky.isEmpty &&
+        (verdict == "clean" || verdict == "no_baseline")
+      if (healthy || writeMode == "force") {
+        if (!healthy)
+          System.err.println(s"[bench] WARNING: baseline written by FORCE " +
+            s"from a non-clean run (verdict=$verdict)")
+        val body = ok.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+          .mkString("{\n  \"queries\": {", ", ", "},\n  " +
+            f"""\"total\": $total%.1f,\n  \"sf\": \"$sfDir\",\n  \"runs_per_query\": $repeats\n}""")
+        java.nio.file.Files.write(java.nio.file.Paths.get(baselinePath),
+          body.getBytes("UTF-8"))
+        System.err.println(s"[bench] baseline written to $baselinePath" +
+          (if (failed.nonEmpty || flaky.nonEmpty)
+             s" (${failed.size} failed + ${flaky.size} flaky queries excluded)"
+           else ""))
+      } else {
+        System.err.println(s"[bench] REFUSING baseline write: run not clean " +
+          s"(verdict=$verdict, ${failed.size} failed, ${flaky.size} flaky). " +
+          "Use SPARK_GRAFT_WRITE_BASELINE=force to override intentionally.")
+      }
     }
     spark.stop()
   }
@@ -138,8 +169,20 @@ object Bench {
       baseline: Map[String, Double] = loadBaseline(),
       ratioThresh: Double = 2.0, absThresh: Double = 0.5,
       windowK: Int = 3): String = {
+    val (json, verdict) =
+      adjudicateParts(results, baseline, ratioThresh, absThresh, windowK)
+    json + ",\"bench_verdict\":\"" + verdict + "\""
+  }
+
+  /** Structural form of [[adjudicate]]: (baseline-comparison JSON fragment,
+    * verdict). `main` composes the final verdict from this plus the
+    * failed/flaky lists instead of regex-patching the serialized string. */
+  private[graft] def adjudicateParts(results: Seq[(String, Double)],
+      baseline: Map[String, Double] = loadBaseline(),
+      ratioThresh: Double = 2.0, absThresh: Double = 0.5,
+      windowK: Int = 3): (String, String) = {
     if (baseline.isEmpty)
-      return "\"baseline\":null,\"bench_verdict\":\"no_baseline\""
+      return ("\"baseline\":null", "no_baseline")
     val flagged = results.zipWithIndex.collect {
       case ((name, sec), i)
           if baseline.get(name).exists(b =>
@@ -166,6 +209,7 @@ object Bench {
     for (g <- isolated; q <- g)
       System.err.println(f"[bench] REGRESSION SUSPECT: ${q._1} ${q._2}%.2f s " +
         f"vs baseline ${baseline(q._1)}%.2f s (isolated - likely real)")
-    f""""baseline":{"total":$baseTotal%.1f,"stall_windows":${stalls.map(names).mkString("[", ",", "]")},"suspects":${isolated.flatten.map(q => "\"" + q._1 + "\"").mkString("[", ",", "]")}},"bench_verdict":"$verdict""""
+    (f""""baseline":{"total":$baseTotal%.1f,"stall_windows":${stalls.map(names).mkString("[", ",", "]")},"suspects":${isolated.flatten.map(q => "\"" + q._1 + "\"").mkString("[", ",", "]")}}""",
+      verdict)
   }
 }

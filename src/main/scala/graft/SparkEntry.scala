@@ -2103,8 +2103,13 @@ object SparkEntry {
       val sysB = base.select((col("eid") + 1000).as("id_b"),
         when(col("eid") % 4 === 0, concat(lit("entity-"), col("eid")))
           .otherwise(concat(lit("entity_"), col("eid"))).as("name_b"))
+      // Block on a separator-insensitive key: a bare right(name, 2) puts
+      // single-digit '-' twins ("entity_0" vs "entity-0") in DIFFERENT
+      // blocks ("_0" vs "-0"), so the JW-verification path was only
+      // exercised for eid >= 10 (round-7 advice).
       Dedup.fuzzyLinkageJaroWinkler(sysA, sysB,
-          expr("right(name_a, 2)"), expr("right(name_b, 2)"),
+          expr("right(regexp_replace(name_a, '[-_]', ''), 2)"),
+          expr("right(regexp_replace(name_b, '[-_]', ''), 2)"),
           "name_a", "name_b", minSim = 0.9)
         .select("id_a", "id_b", "name_a", "name_b", "jw")
     }),
@@ -3964,7 +3969,9 @@ object SparkEntry {
         |  FROM base)
         |SELECT id_a, id_b, name_a, name_b,
         |  round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
-        |FROM sysA JOIN sysB ON right(name_a, 2) = right(name_b, 2)
+        |FROM sysA JOIN sysB
+        |  ON right(regexp_replace(name_a, '[-_]', '', 'g'), 2)
+        |   = right(regexp_replace(name_b, '[-_]', '', 'g'), 2)
         |WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.9""".stripMargin,
 
     "q157_substring_spans" ->

@@ -382,7 +382,12 @@ object PdfText {
           val entry: Array[Byte] =
             if (code < 256) Array(code.toByte)
             else if (code < next && table(code) != null) table(code)
-            else if (prev != null) prev :+ prev(0) // KwKwK
+            // KwKwK: the ONLY valid not-yet-defined code is exactly `next`
+            // (a code referencing the entry being built). Anything beyond
+            // that is a corrupt stream, not a decode rule — fall through to
+            // the stop-cleanly-keep-prefix policy like the other corrupt
+            // branches instead of fabricating prev + prev[0] bytes.
+            else if (code == next && prev != null) prev :+ prev(0)
             else null
           if (entry == null) done = true // corrupt stream: stop, keep prefix
           else {

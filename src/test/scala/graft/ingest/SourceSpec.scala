@@ -200,6 +200,24 @@ class PdfSourceSpec extends AnyFunSuite with graft.SparkTestBase {
       s"LZW round-trip mismatch at width transition: got ${decoded.length} bytes")
   }
 
+  test("LZW codec: out-of-range code stops cleanly, keeping the prefix") {
+    // Hand-built stream: clear(256), 'a'(97), then code 300 — far beyond
+    // the next assignable entry (258). Only code == next is the valid
+    // KwKwK case; 300 is corruption and must trigger the stop-cleanly
+    // policy (emit nothing fabricated, keep the decoded prefix).
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nbits = 0
+    def emit(code: Int): Unit = {
+      acc = (acc << 9) | code; nbits += 9
+      while (nbits >= 8) {
+        out.write(((acc >>> (nbits - 8)) & 0xff).toInt); nbits -= 8
+      }
+    }
+    emit(256); emit(97); emit(300)
+    if (nbits > 0) out.write(((acc << (8 - nbits)) & 0xff).toInt)
+    assert(new String(PdfText.lzwDecode(out.toByteArray), "ISO-8859-1") == "a")
+  }
+
   /** A PDF whose page content is /LZWDecode-compressed — the filter
     * PyPDF2 handles that graft previously documented as out of scope. */
   private def lzwPdf(): Array[Byte] = {

@@ -2149,6 +2149,29 @@ object SparkEntry {
       val budget = counts.agg(sum("total_chars")).head().getLong(0) * 6 / 10
       graft.ops.Sampling.waterfillAllocation(
         counts, "source", "total_chars", budget)
+    }),
+
+    // Image near-dup over REAL pixel decode (JDK ImageIO): a synthetic
+    // PNG per selected doc (the container ships no image corpus) — twin
+    // pairs share a render seed, odd twins carry a 2-block perturbation,
+    // a controlled near-duplicate within dHash radius 4. The per-image
+    // 64-bit dHashes are aux-dumped so DuckDB re-derives the ENTIRE
+    // relational tier (pigeonhole banding, candidate join, Hamming
+    // verify); the pixel tier itself is spec-gated by known answers
+    // (MultimodalSpec). Scale shape: decode+hash is map-side, once per
+    // image; only (id, 8-byte sig) rides the banded exchange.
+    "q159_image_neardup" -> ((s, dir) => {
+      val imgs = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("img_id"),
+          graft.ops.Multimodal.renderTestImageUdf(
+            expr("CAST(doc_id div 10 AS BIGINT)"),
+            when(col("doc_id") % 10 === 5, 2).otherwise(0)).as("content"))
+      writeAux(imgs.select(col("img_id"),
+          graft.ops.Multimodal.imageDHashUdf(col("content")).as("sig"))
+        .filter(col("sig").isNotNull), dir, "q159_hashes")
+      graft.ops.Multimodal.imageNearDupPairs(imgs, "img_id", "content",
+        maxDist = 4)
     })
   )
 
@@ -4036,6 +4059,26 @@ object SparkEntry {
         |      CASE WHEN i - k <= (budget - prefix_k) % (n - k)
         |        THEN 1 ELSE 0 END
         |  END AS BIGINT) AS alloc
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    "q159_image_neardup" -> {
+      // mirror of Dedup.bandLayout(64, 5): widths 13,13,13,13,12.
+      // Arithmetic-vs-logical >> on negative sigs is immaterial: the
+      // mask keeps only original bits [off, off+width), which both
+      // shifts preserve identically.
+      val layout = Seq((0, 13), (13, 13), (26, 13), (39, 13), (52, 12))
+      val bands = layout.zipWithIndex.map { case ((off, w), b) =>
+        s"SELECT img_id, sig, $b AS b, (sig >> $off) & ${(1L << w) - 1} AS v FROM sigs" }
+        .mkString("\n  UNION ALL ")
+      s"""WITH sigs AS (SELECT img_id, sig FROM '__AUX__/q159_hashes/*.parquet'),
+         |banded AS (
+         |  $bands),
+         |pairs AS (SELECT DISTINCT a.img_id AS id1, b.img_id AS id2,
+         |    a.sig AS sig1, b.sig AS sig2
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.v = b.v AND a.img_id < b.img_id)
+         |SELECT id1, id2, bit_count(xor(sig1, sig2)) AS dist
+         |FROM pairs WHERE bit_count(xor(sig1, sig2)) <= 4""".stripMargin
+    }
   )
 }

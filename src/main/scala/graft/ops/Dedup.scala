@@ -632,8 +632,14 @@ object Dedup {
     */
   def simHashRadiusPairsBanded(sigs: DataFrame, idCol: String, sigCol: String,
       maxDist: Int, sigBits: Int, bands: Int): DataFrame = {
-    require(bands >= 1 && bands <= sigBits && sigBits <= 63,
-      s"bands=$bands must be in [1, sigBits=$sigBits], sigBits <= 63")
+    // 64-bit signatures (image dHash/aHash) are allowed with bands >= 2:
+    // every band is then <= 32 bits wide, so the (1L << width) - 1 mask
+    // never overflows and arithmetic-shift sign-fill is masked away. A
+    // single 64-bit band would need an unrepresentable 2^64-1 mask.
+    require(bands >= 1 && bands <= sigBits && sigBits <= 64 &&
+        (sigBits < 64 || bands >= 2),
+      s"bands=$bands must be in [1, sigBits=$sigBits], sigBits <= 64 " +
+        "(64-bit signatures need bands >= 2)")
     val layout = bandLayout(sigBits, bands)
     val base = sigs.select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
     val banded = base.withColumn("band", explode(array(

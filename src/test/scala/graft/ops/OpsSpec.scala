@@ -668,6 +668,86 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       .select("frame_ms").as[Long].collect().toSeq
     assert(frames == Seq(0L, 1000L, 2000L))
   }
+
+  test("ImageIoDecoder: real pixel decode round-trips exact dimensions") {
+    val dec = new Multimodal.ImageIoDecoder
+    // draw → encode with real ImageIO in-test → decode must see the
+    // exact geometry back, for PNG and JPEG and GIF
+    for (fmt <- Seq("png", "jpg", "gif")) {
+      val img = new java.awt.image.BufferedImage(47, 31,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 31; x <- 0 until 47)
+        img.setRGB(x, y, (x * 5) << 16 | (y * 7) << 8)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+      val m = dec.decode(out.toByteArray)
+      assert(m.ok && m.width == 47 && m.height == 31, s"$fmt: $m")
+    }
+    // fixture renderer goes through the same codec path
+    val m32 = dec.decode(Multimodal.renderTestImage(7L))
+    assert(m32.ok && m32.width == 32 && m32.height == 32 && m32.format == "png")
+    // real WAV: 8000 Hz mono 16-bit, 4000 frames = 500 ms
+    val fmtWav = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](8000)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmtWav, 4000)
+    val wavOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavOut)
+    val mw = dec.decode(wavOut.toByteArray)
+    assert(mw.ok && mw.format == "wav" && mw.durationMs == 500, s"$mw")
+    // junk/truncation degrade honestly
+    assert(!dec.decode("not an image".getBytes).ok)
+    assert(!dec.decode(Multimodal.renderTestImage(7L).take(20)).ok)
+    assert(!dec.decode(Array.empty[Byte]).ok)
+    assert(!dec.decode(null).ok)
+  }
+
+  test("dHash/aHash: identical twins at distance 0, variants nearby, " +
+      "unrelated far, undecodable null") {
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val a1 = Multimodal.dHash64(Multimodal.renderTestImage(42L)).get
+    val a2 = Multimodal.dHash64(Multimodal.renderTestImage(42L)).get
+    assert(dist(a1, a2) == 0, "identical images must collide exactly")
+    // controlled perturbation (2 of 64 blocks brightened) stays within a
+    // small radius: each changed block flips at most its two adjacent
+    // dHash comparisons
+    val a3 = Multimodal.dHash64(Multimodal.renderTestImage(42L, perturb = 2)).get
+    assert(dist(a1, a3) <= 4, s"perturbed twin drifted ${dist(a1, a3)} bits")
+    // a different seed is a different random gradient field: far away
+    val b1 = Multimodal.dHash64(Multimodal.renderTestImage(43L)).get
+    assert(dist(a1, b1) > 8, s"unrelated images only ${dist(a1, b1)} bits apart")
+    // aHash: same contract, mean-threshold flavor
+    val h1 = Multimodal.aHash64(Multimodal.renderTestImage(42L)).get
+    val h2 = Multimodal.aHash64(Multimodal.renderTestImage(42L)).get
+    assert(dist(h1, h2) == 0)
+    assert(Multimodal.dHash64("junk".getBytes) == None)
+    assert(Multimodal.aHash64(null) == None)
+    // dHash survives lossless re-encode through a different container
+    val img = Multimodal.decodeImage(Multimodal.renderTestImage(42L))
+    val outPng = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", outPng)
+    val reenc = Multimodal.dHash64(outPng.toByteArray).get
+    assert(dist(a1, reenc) == 0, "lossless re-encode must not move the hash")
+  }
+
+  test("imageNearDupPairs: planted twins found via the banded join, " +
+      "junk rows dropped") {
+    val rows = (0L until 40L).map { i =>
+      // two images per class: seed i/2, odd ids perturbed by one block
+      (i, Multimodal.renderTestImage(i / 2, perturb = (i % 2).toInt))
+    } :+ (99L, "not an image".getBytes)
+    val df = rows.toDF("img_id", "content")
+    val pairs = Multimodal.imageNearDupPairs(df, "img_id", "content", maxDist = 4)
+      .select("id1", "id2", "dist")
+      .as[(Long, Long, Int)].collect()
+    val twinPairs = pairs.filter(p => p._1 / 2 == p._2 / 2)
+    assert(twinPairs.length == 20,
+      s"every planted twin pair must surface: got ${twinPairs.length}")
+    assert(pairs.forall(_._3 <= 4))
+    assert(!pairs.exists(p => p._1 == 99L || p._2 == 99L),
+      "undecodable rows must be filtered, not hashed")
+  }
 }
 
 class ProfileSpec extends AnyFunSuite with SparkTestBase {

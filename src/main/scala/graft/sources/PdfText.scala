@@ -30,12 +30,17 @@ package graft.sources
   *    `uniXXXX` names); unmapped codes keep their Latin-1 fallback.
   *  - `/LZWDecode` streams (PDF-flavored TIFF LZW: 9→12-bit codes,
   *    clear/EOD, early width change) alongside `/FlateDecode`.
+  *  - `/DecodeParms` predictors on Flate/LZW streams: PNG row filters
+  *    None/Sub/Up/Average/Paeth (Predictor 10-15) and TIFF horizontal
+  *    differencing (Predictor 2) — the encodings object/xref-stream
+  *    PDFs, the most common modern layout, apply to their streams.
+  *  - object streams (`/Type /ObjStm`): contained objects are expanded
+  *    into the object map, so catalogs/pages/fonts compressed into
+  *    1.5+ object streams resolve like direct objects.
   *
   * Remaining boundary (documented, not hidden): DCT/JPX (image codecs —
-  * no text content) and LZW/Flate `/DecodeParms` predictors (used for
-  * xref/image streams, not content streams) are out of scope. Wire a
-  * full codec behind [[PdfSource.PdfTextExtractor]] if that fidelity is
-  * needed.
+  * no text content) are out of scope. Wire a full codec behind
+  * [[PdfSource.PdfTextExtractor]] if that fidelity is needed.
   */
 object PdfText {
 
@@ -43,18 +48,28 @@ object PdfText {
 
   private final case class PObj(num: Int, body: String, data: Option[Array[Byte]])
 
-  /** Per-page extracted text, in page-tree order. */
-  def pages(bytes: Array[Byte]): Seq[String] = {
+  /** Per-page extracted text, in page-tree order. Never throws: a
+    * document the parser cannot make sense of yields Nil, a single
+    * malformed page yields "" — hostile PDFs are data at corpus scale. */
+  def pages(bytes: Array[Byte]): Seq[String] =
+    try pagesImpl(bytes)
+    catch { case _: Exception | _: StackOverflowError => Nil }
+
+  private def pagesImpl(bytes: Array[Byte]): Seq[String] = {
     if (bytes == null || bytes.length < 5) return Nil
     val s = new String(bytes, Latin1) // 1:1 byte↔char so offsets align
     if (!s.startsWith("%PDF-")) return Nil
-    val objs = parseObjects(s, bytes)
+    val objs = expandObjStm(parseObjects(s, bytes))
     val order = pageOrder(objs)
     order.flatMap(objs.get).map { page =>
-      val content = contentsOf(page.body)
-        .flatMap(objs.get).flatMap(_.data)
-        .map(new String(_, Latin1)).mkString("\n")
-      extractText(content, fontMaps(page.body, objs))
+      // Per-page containment: one malformed page degrades to "" while
+      // its siblings still extract — at corpus scale a hostile PDF is
+      // data, not an error (same contract as HeaderDecoder).
+      try extractText(
+        contentsOf(page.body).flatMap(objs.get).flatMap(_.data)
+          .map(new String(_, Latin1)).mkString("\n"),
+        fontMaps(page.body, objs))
+      catch { case _: Exception | _: StackOverflowError => "" }
     }
   }
 
@@ -317,7 +332,8 @@ object PdfText {
 
   // ---- object layer -------------------------------------------------------
 
-  private val objStart = java.util.regex.Pattern.compile("(?<![0-9])(\\d+)\\s+\\d+\\s+obj\\b")
+  private val objStart =
+    java.util.regex.Pattern.compile("(?<![0-9])(\\d{1,9})\\s+\\d{1,9}\\s+obj\\b")
 
   private def parseObjects(s: String, bytes: Array[Byte]): Map[Int, PObj] = {
     val out = Map.newBuilder[Int, PObj]
@@ -341,8 +357,8 @@ object PdfText {
           if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\r') dataEnd -= 1
           val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
           val data =
-            if (dict.contains("/FlateDecode")) inflate(raw)
-            else if (dict.contains("/LZWDecode")) lzwDecode(raw)
+            if (dict.contains("/FlateDecode")) depredict(inflate(raw), dict)
+            else if (dict.contains("/LZWDecode")) depredict(lzwDecode(raw), dict)
             else raw
           out += num -> PObj(num, dict, Some(data))
         } else out += num -> PObj(num, s.substring(bodyStart, stop), None)
@@ -351,11 +367,150 @@ object PdfText {
     out.result()
   }
 
+  // ---- DecodeParms predictors ---------------------------------------------
+
+  private def intParam(dict: String, key: String, dflt: Int): Int = {
+    val m = java.util.regex.Pattern
+      .compile(java.util.regex.Pattern.quote(key) + "\\s+(\\d{1,9})(?!\\d)")
+      .matcher(dict)
+    if (m.find()) m.group(1).toInt else dflt
+  }
+
+  /** Undo a `/DecodeParms` predictor after Flate/LZW decode. Predictor 1
+    * (or no params) is identity; 2 is TIFF horizontal differencing;
+    * 10-15 are the PNG row filters (the value only records the
+    * encoder's choice — each row carries its own filter-type byte).
+    * Malformed geometry degrades to the decoded bytes unchanged: at
+    * corpus scale a bad predictor dict is data, not an error. */
+  private[graft] def depredict(decoded: Array[Byte], dict: String): Array[Byte] = {
+    if (!(dict.contains("/DecodeParms") || dict.contains("/DP"))) return decoded
+    val pred = intParam(dict, "/Predictor", 1)
+    if (pred <= 1 || decoded.isEmpty) return decoded
+    val columns = intParam(dict, "/Columns", 1)
+    val colors = intParam(dict, "/Colors", 1)
+    val bpc = intParam(dict, "/BitsPerComponent", 8)
+    if (columns <= 0 || colors <= 0 || colors > 60 ||
+        !Set(1, 2, 4, 8, 16).contains(bpc)) return decoded
+    try {
+      if (pred == 2) tiffUnpredict(decoded, columns, colors, bpc)
+      else if (pred >= 10 && pred <= 15) pngUnfilter(decoded, columns, colors, bpc)
+      else decoded
+    } catch { case _: Exception => decoded }
+  }
+
+  /** TIFF predictor 2: each sample is stored as a delta from the sample
+    * one pixel to its left; undo by a running per-row prefix sum. Only
+    * the ubiquitous 8-bit-component case is delta-coded; exotic bit
+    * depths pass through unchanged (PDF 32000-1 §7.4.4.4 note). */
+  private[graft] def tiffUnpredict(data: Array[Byte], columns: Int,
+      colors: Int, bpc: Int): Array[Byte] = {
+    if (bpc != 8) return data
+    val rowLen = columns * colors
+    if (rowLen <= 0) return data
+    val out = data.clone()
+    var row = 0
+    while (row + rowLen <= out.length) {
+      var i = colors
+      while (i < rowLen) {
+        out(row + i) = ((out(row + i) + out(row + i - colors)) & 0xff).toByte
+        i += 1
+      }
+      row += rowLen
+    }
+    out
+  }
+
+  /** PNG unfilter (RFC 2083 §6): every row = 1 filter-type byte + rowLen
+    * filtered bytes; types 0-4 = None/Sub/Up/Average/Paeth, reconstructed
+    * against the left/up/up-left neighbors in DECODED space. A trailing
+    * partial row (truncated stream) is dropped — keep-prefix policy,
+    * consistent with the Flate/LZW corrupt-stream handling. */
+  private[graft] def pngUnfilter(data: Array[Byte], columns: Int,
+      colors: Int, bpc: Int): Array[Byte] = {
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = (columns * colors * bpc + 7) / 8
+    val stride = rowLen + 1
+    val rows = data.length / stride
+    val out = new Array[Byte](rows * rowLen)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * stride) & 0xff
+      val src = r * stride + 1
+      val dst = r * rowLen
+      var i = 0
+      while (i < rowLen) {
+        val x = data(src + i) & 0xff
+        val a = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+        val b = if (r > 0) out(dst - rowLen + i) & 0xff else 0
+        val c = if (r > 0 && i >= bpp) out(dst - rowLen + i - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => x // unknown filter byte: pass through, keep decoding
+        }
+        out(dst + i) = (v & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  // ---- object streams ------------------------------------------------------
+
+  private val objStmType = java.util.regex.Pattern.compile("/Type\\s*/ObjStm\\b")
+
+  /** Expand `/Type /ObjStm` container streams: the decoded stream starts
+    * with N (objnum, offset) integer pairs, then the object bodies at
+    * `/First + offset`. Contained objects (dicts only — the spec forbids
+    * nested streams) are merged into the object map with DIRECT objects
+    * winning number collisions, matching incremental-update precedence.
+    * Malformed containers contribute nothing rather than failing the
+    * document. */
+  private def expandObjStm(objs: Map[Int, PObj]): Map[Int, PObj] = {
+    val contained = Map.newBuilder[Int, PObj]
+    for (o <- objs.values if o.data.isDefined && objStmType.matcher(o.body).find()) {
+      try {
+        val data = new String(o.data.get, Latin1)
+        val n = intParam(o.body, "/N", 0)
+        val first = math.min(intParam(o.body, "/First", 0), data.length)
+        val header = data.substring(0, first).trim
+          .split("\\s+").filter(_.nonEmpty)
+        val pairs = header.grouped(2).take(n).collect {
+          case Array(num, off) if num.forall(_.isDigit) && off.forall(_.isDigit) =>
+            (num.toInt, off.toInt)
+        }.toArray
+        for (i <- pairs.indices) {
+          val start = first + pairs(i)._2
+          val end =
+            if (i + 1 < pairs.length) math.min(first + pairs(i + 1)._2, data.length)
+            else data.length
+          if (start >= 0 && start <= end && end <= data.length)
+            contained += pairs(i)._1 -> PObj(pairs(i)._1, data.substring(start, end), None)
+        }
+      } catch { case _: Exception => () }
+    }
+    contained.result() ++ objs // direct objects win on number collisions
+  }
+
   /** PDF LZW (spec 7.4.4, TIFF flavor): variable 9→12-bit codes, code
     * 256 = clear table, 257 = end of data, EARLY width change (the
     * length bumps one code before the table index requires it —
     * EarlyChange default 1). The KwKwK corner (a code referencing the
     * entry being defined) emits prev + prev[0], the classic LZW rule. */
+  /** Decompression output cap (64 MiB): a crafted tiny stream can
+    * legally expand ~1000x (Flate) or ~4096x (LZW) per input byte — an
+    * unbounded decode is the decompression-bomb hang/OOM vector. No
+    * real text content stream approaches this; hitting the cap keeps
+    * the decoded prefix, consistent with the corrupt-stream policy. */
+  private val MaxStreamBytes = 1 << 26
+
   private[graft] def lzwDecode(data: Array[Byte]): Array[Byte] = {
     val Clear = 256
     val Eod = 257
@@ -390,6 +545,7 @@ object PdfText {
             else if (code == next && prev != null) prev :+ prev(0)
             else null
           if (entry == null) done = true // corrupt stream: stop, keep prefix
+          else if (out.size() > MaxStreamBytes) done = true // bomb cap
           else {
             out.write(entry, 0, entry.length)
             if (prev != null && next < 4096) {
@@ -413,7 +569,7 @@ object PdfText {
       val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
       val buf = new Array[Byte](8192)
       var n = inf.inflate(buf)
-      while (n > 0) {
+      while (n > 0 && out.size() <= MaxStreamBytes) {
         out.write(buf, 0, n)
         n = if (inf.finished()) 0 else inf.inflate(buf)
       }
@@ -425,7 +581,11 @@ object PdfText {
 
   // ---- page tree ----------------------------------------------------------
 
-  private val refPat = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+R")
+  // digit counts bounded at 9 so .toInt can never overflow on hostile
+  // input (a 20-digit "object number" simply fails to match — the
+  // object is ignored, the document still parses)
+  private val refPat =
+    java.util.regex.Pattern.compile("(?<!\\d)(\\d{1,9})\\s+\\d{1,9}\\s+R")
 
   private def firstRef(body: String, key: String): Option[Int] = {
     val i = body.indexOf(key)
@@ -452,8 +612,13 @@ object PdfText {
   private def pageOrder(objs: Map[Int, PObj]): Seq[Int] = {
     val catalog = objs.values.find(o => o.body.contains("/Catalog"))
     val fromTree = catalog.flatMap(c => firstRef(c.body, "/Pages")).map { root =>
+      // A hostile/corrupt page tree can contain cycles or repeated kids;
+      // without the visited set a 2-node cycle walks 2^64 paths before
+      // the depth guard prunes each — a hang, not a throw. Every node is
+      // legitimately visited at most once in a well-formed tree.
+      val visited = scala.collection.mutable.HashSet.empty[Int]
       def walk(n: Int, depth: Int): Seq[Int] =
-        if (depth > 64) Nil
+        if (depth > 64 || !visited.add(n)) Nil
         else objs.get(n) match {
           case Some(o) if isPage(o.body) => Seq(n)
           case Some(o) =>

@@ -308,6 +308,120 @@ class PdfSourceSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(out.length == 1)
     assert(out(0).getAs[String]("text") == "Hello (World)\nSecond\nPage2 hex:HELLO")
   }
+
+  private def deflateBytes(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val buf = new Array[Byte](8192)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end(); out.toByteArray
+  }
+
+  /** Reference PNG row-filter ENCODER (filter type chosen per row) —
+    * exists to build honest predictor fixtures for the decoder. */
+  private def pngFilter(data: Array[Byte], columns: Int,
+      filterOfRow: Int => Int): Array[Byte] = {
+    val pad = (columns - data.length % columns) % columns
+    val padded = data ++ Array.fill(pad)(' '.toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Byte](columns)
+    var r = 0
+    for (row <- padded.grouped(columns)) {
+      val ft = filterOfRow(r)
+      out.write(ft)
+      for (i <- 0 until columns) {
+        val x = row(i) & 0xff
+        val a = if (i >= 1) row(i - 1) & 0xff else 0
+        val b = prev(i) & 0xff
+        val c = if (i >= 1) prev(i - 1) & 0xff else 0
+        val f = ft match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            x - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        out.write(f & 0xff)
+      }
+      prev = row; r += 1
+    }
+    out.toByteArray
+  }
+
+  test("PNG unfilter: all five filter types round-trip; TIFF predictor 2") {
+    val payload = (0 until 400).map(i => ((i * 37 + i / 7) % 251).toByte).toArray
+    // cycle through every filter type across rows
+    val filtered = pngFilter(payload, 20, r => r % 5)
+    assert(java.util.Arrays.equals(
+      PdfText.pngUnfilter(filtered, 20, 1, 8), payload))
+    // TIFF horizontal differencing, 2 interleaved color components
+    val tiff = payload.clone()
+    val rowLen = 40
+    var row = 0
+    while (row + rowLen <= tiff.length) {
+      var i = rowLen - 1
+      while (i >= 2) { tiff(row + i) = ((tiff(row + i) - tiff(row + i - 2)) & 0xff).toByte; i -= 1 }
+      row += rowLen
+    }
+    assert(java.util.Arrays.equals(
+      PdfText.tiffUnpredict(tiff, 20, 2, 8), payload))
+    // truncated PNG rows: keep-prefix (one full 20-byte row), never throw
+    assert(PdfText.pngUnfilter(filtered.take(25), 20, 1, 8).length == 20)
+  }
+
+  /** A PDF whose content stream is Flate + PNG-predictor-12 encoded —
+    * the DecodeParms shape object/xref-stream PDFs use. */
+  test("predictor-12 Flate content stream round-trips") {
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val cs = "BT /F1 12 Tf 72 720 Td (Predicted) Tj 0 -14 Td (Stream) Tj ET"
+    val enc = deflateBytes(pngFilter(cs.getBytes(latin1), 16, _ => 2))
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(latin1))
+    w("%PDF-1.5\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${enc.length} /Filter /FlateDecode " +
+      "/DecodeParms << /Predictor 12 /Columns 16 >> >> stream\n")
+    out.write(enc); w("\nendstream endobj\n")
+    w("%%EOF\n")
+    val pages = PdfText.pages(out.toByteArray)
+    assert(pages == Seq("Predicted\nStream"), pages)
+  }
+
+  /** Catalog, page tree, and page dict all live INSIDE a /Type /ObjStm
+    * container (itself Flate + predictor encoded) — the PDF 1.5+
+    * layout where only content streams remain direct objects. */
+  test("object-stream PDF: compressed catalog/pages resolve") {
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val bodies = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    val joined = bodies.map(_._2)
+    val offsets = joined.scanLeft(0)(_ + _.length + 1).init
+    val header = bodies.map(_._1).zip(offsets)
+      .map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
+    val payload = (header + joined.mkString("\n")).getBytes(latin1)
+    val stm = deflateBytes(pngFilter(payload, 24, r => (r % 4) + 1))
+    val cs = "BT (ObjStm text) Tj ET".getBytes(latin1)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(latin1))
+    w("%PDF-1.5\n")
+    w(s"7 0 obj << /Type /ObjStm /N ${bodies.size} /First ${header.length} " +
+      s"/Length ${stm.length} /Filter /FlateDecode " +
+      "/DecodeParms << /Predictor 11 /Columns 24 >> >> stream\n")
+    out.write(stm); w("\nendstream endobj\n")
+    w(s"4 0 obj << /Length ${cs.length} >> stream\n")
+    out.write(cs); w("\nendstream endobj\n")
+    w("%%EOF\n")
+    val pages = PdfText.pages(out.toByteArray)
+    assert(pages == Seq("ObjStm text"), pages)
+  }
 }
 
 class JsonlSourceSpec extends AnyFunSuite with graft.SparkTestBase {

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions.vecCosine
@@ -678,6 +678,84 @@ object Similarity {
         .orderBy(col("adc_dist").asc, col(idCol).asc)
         .limit(topK)
     }
+  }
+
+  /** Result of [[compactGenerations]]: parquet part-files before/after
+    * and how many generations were folded into one. */
+  final case class GenCompactionReport(
+      filesBefore: Long, filesAfter: Long, generationsBefore: Long)
+
+  /** Generation compaction for the on-disk ANN indexes — the
+    * maintenance op [[IvfIndex.appendGeneration]] /
+    * [[RandomHyperplaneIndex.appendGeneration]] eventually need: every
+    * appended batch adds its own parquet file-set inside EVERY
+    * centroid/bucket partition, so at daily-batch cadence a year of
+    * appends is ~365x the file count the data volume justifies — the
+    * classic small-files scan decay (footer/open overhead, not bytes).
+    *
+    * Rewrites all generations into generation 0, one file-budget per
+    * partition directory ([[graft.index.IndexWriter.compact]]'s
+    * discipline applied to the index tier): rows salt WITHIN their
+    * partition so the shuffle is partition-local, `localCheckpoint`
+    * materializes before the write (Spark refuses to overwrite a path
+    * it is still reading), and dynamic-partition-overwrite replaces
+    * each directory's files in place — re-runnable, a crash leaves
+    * some partitions compacted and the rest untouched, all readable.
+    *
+    * Query identity: `queryGenerations`/`queryPartitioned` never key on
+    * `generation` (it is provenance, not pruning structure), so top-k
+    * results are bit-identical pre/post — spec-asserted, and oracle
+    * q153 is unaffected because it compacts nothing. */
+  def compactGenerations(spark: SparkSession, path: String,
+      idCol: String = "vec_id",
+      targetFileBytes: Long = 128L << 20): GenCompactionReport = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles(dir: org.apache.hadoop.fs.Path): Long = {
+      val it = fs.listFiles(dir, true)
+      var n = 0L
+      while (it.hasNext) if (it.next().getPath.getName.startsWith("part-")) n += 1
+      n
+    }
+    val partDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    require(partDirs.nonEmpty,
+      s"compactGenerations: $path is not a partitioned generational index")
+    val partCol = partDirs.head.getPath.getName.split("=")(0)
+    val before = partFiles(root)
+    val gens = spark.read.parquet(path)
+      .select("generation").distinct().count()
+    // per-partition file budgets from the on-disk listing (one entry per
+    // directory — dimension-scale), folded into one salt expression
+    val budgets = partDirs.toSeq.map { d =>
+      val v = d.getPath.getName.split("=")(1).toLong
+      val sz = {
+        val it = fs.listFiles(d.getPath, true)
+        var s = 0L
+        while (it.hasNext) { val f = it.next(); if (f.getPath.getName.startsWith("part-")) s += f.getLen }
+        s
+      }
+      v -> math.max(1L, math.ceil(sz.toDouble / targetFileBytes).toLong)
+    }
+    val nFilesOf = budgets.foldLeft(lit(1L): Column) {
+      case (acc, (v, n)) => when(col(partCol) === v, lit(n)).otherwise(acc)
+    }
+    val compacted = spark.read.parquet(path)
+      .withColumn("generation", lit(0))
+      .withColumn("__salt", pmod(xxhash64(col(idCol)), nFilesOf))
+      .repartition(col(partCol), col("__salt"))
+      .drop("__salt")
+      .localCheckpoint()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try compacted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy(partCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    GenCompactionReport(before, partFiles(root), gens)
   }
 
   /** All-pairs top-k per query row against a corpus (KNN join) with

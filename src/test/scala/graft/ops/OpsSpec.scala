@@ -574,6 +574,51 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       s"generation merge must keep bucket pruning:\n$plan")
   }
 
+  test("compactGenerations: file count drops, query results bit-identical") {
+    val base = emb.filter($"vec_id" % 2 === 0)
+    val idx = new Similarity.IvfIndex(base, nCentroids = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_cmp").toString
+    idx.writeGeneration(s"$tmp/ivf", gen = 0)
+    // three appended batches: the small-files decay compaction undoes
+    for (g <- 1 to 3)
+      idx.appendGeneration(s"$tmp/ivf", emb.filter($"vec_id" % 8 === g), gen = g)
+    val q = emb.filter($"vec_id" === 23).select("embedding").as[Seq[Float]].head().toArray
+    val beforeRows = idx.queryGenerations(spark, s"$tmp/ivf", q, k = 8, nProbe = 4)
+      .select("vec_id", "cos", "centroid").collect().toSeq
+    val rep = Similarity.compactGenerations(spark, s"$tmp/ivf")
+    assert(rep.generationsBefore == 4, rep.toString)
+    assert(rep.filesAfter < rep.filesBefore,
+      s"compaction must shrink the file count: $rep")
+    // top-k bit-identical post-compaction; provenance collapsed to gen 0
+    val afterRows = idx.queryGenerations(spark, s"$tmp/ivf", q, k = 8, nProbe = 4)
+      .select("vec_id", "cos", "centroid").collect().toSeq
+    assert(afterRows == beforeRows)
+    assert(spark.read.parquet(s"$tmp/ivf").select("generation")
+      .distinct().as[Int].collect().toSeq == Seq(0))
+    // full content identical too, not just the probed top-k
+    assert(spark.read.parquet(s"$tmp/ivf").count() ==
+      base.count() + (1 to 3).map(g => emb.filter($"vec_id" % 8 === g).count()).sum)
+    // the compacted table still partition-prunes
+    val plan = idx.queryGenerations(spark, s"$tmp/ivf", q, k = 8, nProbe = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("centroid"))
+  }
+
+  test("compactGenerations: LSH bucket layout compacts the same way") {
+    val base = emb.filter($"vec_id" % 2 === 0)
+    val lsh = new Similarity.RandomHyperplaneIndex(base, nBits = 8, dim = 64)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_cmp").toString
+    lsh.writeGeneration(s"$tmp/lsh", gen = 0)
+    lsh.appendGeneration(s"$tmp/lsh", emb.filter($"vec_id" % 2 === 1), gen = 1)
+    val q = emb.filter($"vec_id" === 11).select("embedding").as[Seq[Float]].head().toArray
+    val before = lsh.queryPartitioned(spark, s"$tmp/lsh", q, k = 5, probes = 8)
+      .select("vec_id", "cos").collect().toSeq
+    val rep = Similarity.compactGenerations(spark, s"$tmp/lsh")
+    assert(rep.generationsBefore == 2 && rep.filesAfter < rep.filesBefore, rep.toString)
+    assert(lsh.queryPartitioned(spark, s"$tmp/lsh", q, k = 5, probes = 8)
+      .select("vec_id", "cos").collect().toSeq == before)
+  }
+
   test("driftMonitor: same-distribution batch is fresh; shifted batch is stale") {
     val base = emb.filter($"vec_id" % 2 === 0)
     val idx = new Similarity.IvfIndex(base, nCentroids = 8)

@@ -2172,6 +2172,27 @@ object SparkEntry {
         .filter(col("sig").isNotNull), dir, "q159_hashes")
       graft.ops.Multimodal.imageNearDupPairs(imgs, "img_id", "content",
         maxDist = 4)
+    }),
+
+    // Multi-k repeated-span composition (q157's operator, one step
+    // closer to Lee et al.'s arbitrary-length construction): two window
+    // sizes mined independently — short plant (9 tokens, k=8 only) and
+    // long plant (18 tokens, found at BOTH k=8 and k=16) — with every
+    // hit interval merged through the one gaps-and-islands primitive,
+    // so the long repeat flagged by ~14 overlapping windows across two
+    // sizes is accounted exactly once.
+    "q160_multik_spans" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" Please subscribe to our newsletter for free updates today"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" This opinion is subject to formal revision before" +
+              " publication in the preliminary print of the United" +
+              " States Reports")).otherwise(lit(""))).as("text"))
+      graft.ops.Curation.repeatedSpanStatsMultiK(planted, "doc_id", "text",
+        ks = Seq(8, 16))
     })
   )
 
@@ -4079,6 +4100,51 @@ object SparkEntry {
          |    ON a.b = b.b AND a.v = b.v AND a.img_id < b.img_id)
          |SELECT id1, id2, bit_count(xor(sig1, sig2)) AS dist
          |FROM pairs WHERE bit_count(xor(sig1, sig2)) <= 4""".stripMargin
+    },
+
+    "q160_multik_spans" -> {
+      def gramCtes(k: Int) =
+        s"""grams$k AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           |    array_to_string([lower(x) for x in ws[i+1:i+$k]], ' ') AS gram
+           |  FROM toks, UNNEST(range(len(ws) - ${k - 1})) t(i)
+           |  WHERE len(ws) >= $k),
+           |rep$k AS (SELECT gram FROM (
+           |    SELECT gram, count(DISTINCT doc_id) AS nd FROM grams$k GROUP BY 1)
+           |  WHERE nd >= 2),
+           |hits$k AS (SELECT doc_id, pos AS s, pos + $k AS e FROM grams$k
+           |  WHERE gram IN (SELECT gram FROM rep$k))""".stripMargin
+      s"""WITH planted AS (SELECT doc_id,
+         |    text
+         |    || CASE WHEN doc_id % 7 = 0
+         |         THEN ' Please subscribe to our newsletter for free updates today'
+         |         ELSE '' END
+         |    || CASE WHEN doc_id % 11 = 0
+         |         THEN ' This opinion is subject to formal revision before publication in the preliminary print of the United States Reports'
+         |         ELSE '' END AS text
+         |  FROM documents),
+         |toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+         |  FROM planted),
+         |${gramCtes(8)},
+         |${gramCtes(16)},
+         |hits AS (SELECT * FROM hits8 UNION ALL SELECT * FROM hits16),
+         |flagged AS (SELECT doc_id, s, e,
+         |    CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+         |      THEN 1 ELSE 0 END AS new_island
+         |  FROM hits
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY s, e
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |isl AS (SELECT doc_id, s, e,
+         |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM flagged),
+         |sp AS (SELECT doc_id, island, min(s) AS s, max(e) AS e
+         |  FROM isl GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS repeated_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_spans FROM sp GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(a.repeated_tokens, 0) AS BIGINT) AS repeated_tokens,
+         |  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans
+         |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin
     }
   )
 }

@@ -330,19 +330,45 @@ object Curation {
     *   `repeated_tokens` = tokens covered by merged repeated-k-gram
     *   spans, `n_spans` = merged span count (0/0 for clean docs). */
   def repeatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, minDocs: Int = 2): DataFrame = {
-    require(k >= 1 && minDocs >= 2, s"need k >= 1, minDocs >= 2")
+      k: Int = 8, minDocs: Int = 2): DataFrame =
+    repeatedSpanStatsMultiK(docs, idCol, textCol, Seq(k), minDocs)
+
+  /** Multi-k composition of [[repeatedSpanStats]], one step closer to
+    * the paper's arbitrary-length construction (Lee et al. 2022 use a
+    * suffix array; fixed-k windows are the shuffle-friendly stand-in):
+    * mine cross-doc repeated k-grams at EVERY window size in `ks`, then
+    * merge all hit intervals through the one verified gaps-and-islands
+    * primitive — so a long verbatim repeat flagged by several window
+    * sizes (and by many overlapping windows within each size) is
+    * accounted ONCE in `repeated_tokens`/`n_spans`, never per-window or
+    * per-k. Larger k adds precision on long boilerplate (a 32-gram
+    * match is much stronger evidence than 25 chained 8-gram matches);
+    * the union keeps small-k recall.
+    *
+    * Scale shape unchanged from the single-k form, repeated per k: the
+    * wide shuffles are gram-keyed (distinct + count >= minDocs, then a
+    * semi-join back); document text never crosses an exchange — only
+    * (gram-hash, doc_id, pos) triples do. The interval merge is keyed
+    * by doc_id. */
+  def repeatedSpanStatsMultiK(docs: DataFrame, idCol: String,
+      textCol: String, ks: Seq[Int], minDocs: Int = 2): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1) && minDocs >= 2,
+      s"need ks nonempty, all >= 1, minDocs >= 2")
+    require(ks.distinct.size == ks.size, s"duplicate window sizes in $ks")
     val toks = docs.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("ws"))
-    val grams = toks.select(col("doc_id"),
-      posexplode(gramUdf(k)(col("ws"))).as(Seq("pos", "gram")))
-    val repeated = grams.select("gram", "doc_id").distinct()
-      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
-      .select("gram")
-    val hits = grams.join(repeated, Seq("gram"), "left_semi")
-      .select(col("doc_id"), col("pos").cast("long").as("s"),
-        (col("pos") + k).cast("long").as("e"))
+    val hitsPerK = ks.map { k =>
+      val grams = toks.select(col("doc_id"),
+        posexplode(gramUdf(k)(col("ws"))).as(Seq("pos", "gram")))
+      val repeated = grams.select("gram", "doc_id").distinct()
+        .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= minDocs)
+        .select("gram")
+      grams.join(repeated, Seq("gram"), "left_semi")
+        .select(col("doc_id"), col("pos").cast("long").as("s"),
+          (col("pos") + k).cast("long").as("e"))
+    }
+    val hits = hitsPerK.reduce(_ unionByName _)
     val spans = Cleaning.mergeIntervals(hits, "doc_id", "s", "e")
       .groupBy("doc_id")
       .agg(sum(col("e") - col("s")).as("repeated_tokens"),

@@ -293,6 +293,44 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got2 == Map(1L -> ((7L, 6L, 2L)), 2L -> ((7L, 6L, 2L))), got2.toString)
   }
 
+  test("repeatedSpanStatsMultiK: a planted 40-token repeat is ONE span, " +
+      "not per-window or per-k") {
+    // 40 shared tokens: k=8 alone yields 33 overlapping windows, k=16
+    // another 25, k=32 another 9 — 67 hit intervals across three sizes
+    // that must merge to exactly one 40-token span per doc
+    val repeat = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, s"alpha $repeat omega"),
+      (2L, s"beta gamma $repeat delta"),
+      (3L, "unrelated words only here"))
+      .toDF("doc_id", "text")
+    val got = Curation.repeatedSpanStatsMultiK(df, "doc_id", "text",
+        ks = Seq(8, 16, 32), minDocs = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == Map(
+      1L -> ((42L, 40L, 1L)),
+      2L -> ((43L, 40L, 1L)),
+      3L -> ((4L, 0L, 0L))), got.toString)
+    // single-k delegates through the multi-k path: same answer at k=8
+    val single = Curation.repeatedSpanStats(df, "doc_id", "text", k = 8)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(single(1L) == ((42L, 40L, 1L)), single.toString)
+    // a repeat visible only to the SMALL window (length 10 < 16) is
+    // still recalled by the union
+    val df3 = Seq(
+      (1L, "a0 a1 a2 a3 a4 a5 a6 a7 a8 a9 filler1"),
+      (2L, "a0 a1 a2 a3 a4 a5 a6 a7 a8 a9 filler2"))
+      .toDF("doc_id", "text")
+    val got3 = Curation.repeatedSpanStatsMultiK(df3, "doc_id", "text",
+        ks = Seq(8, 16), minDocs = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got3 == Map(1L -> ((11L, 10L, 1L)), 2L -> ((11L, 10L, 1L))),
+      got3.toString)
+  }
+
   test("kAnonymityRisk: only sub-k groups flagged, group size attached") {
     val df = Seq(
       (1L, "en", "web"), (2L, "en", "web"), (3L, "en", "web"),

@@ -2193,6 +2193,23 @@ object SparkEntry {
               " States Reports")).otherwise(lit(""))).as("text"))
       graft.ops.Curation.repeatedSpanStatsMultiK(planted, "doc_id", "text",
         ks = Seq(8, 16))
+    }),
+
+    // Token-budget selection under REAL subword accounting: greedy BPE
+    // (committed merges fixture, compiled UDF — known-answer spec-gated)
+    // counts each document's subword tokens; the budget cut is the same
+    // hash-ordered prefix-sum as q136 (which stays the whitespace-proxy
+    // variant). DuckDB can't BPE, so the counts are aux-dumped and the
+    // oracle independently re-derives the ENTIRE budget arithmetic over
+    // them (the q51-rule pattern). Scale: encode is one map-side pass;
+    // the prefix sum runs over (doc_id, count) pairs only.
+    "q161_bpe_budget" -> ((s, dir) => {
+      val counts = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.bpeTokenCountUdf()(col("text")).as("n_bpe"))
+      writeAux(counts, dir, "q161_bpe_counts")
+      graft.ops.Sampling.tokenBudgetSample(counts, "doc_id", "n_bpe",
+        budget = 50000L)
+        .select(col("doc_id"), col("cum_n_bpe"))
     })
   )
 
@@ -4145,6 +4162,21 @@ object SparkEntry {
          |  CAST(COALESCE(a.repeated_tokens, 0) AS BIGINT) AS repeated_tokens,
          |  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans
          |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin
-    }
+    },
+
+    // DuckDB can't BPE, but it CAN independently re-derive the entire
+    // budget arithmetic (hash order, prefix sum, cutoff) over the
+    // Spark-dumped per-doc subword counts — the q51-rule pattern. The
+    // counts themselves are spec-gated by known-answer tokenizations.
+    "q161_bpe_budget" ->
+      """WITH k AS (SELECT doc_id, n_bpe,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hk
+        |  FROM '__AUX__/q161_bpe_counts/*.parquet'),
+        |c AS (SELECT doc_id,
+        |    CAST(SUM(n_bpe) OVER (ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_n_bpe
+        |  FROM k)
+        |SELECT doc_id, cum_n_bpe FROM c WHERE cum_n_bpe <= 50000""".stripMargin
   )
 }

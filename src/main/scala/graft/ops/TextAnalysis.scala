@@ -102,6 +102,99 @@ object TextAnalysis {
     size(regexp_extract_all(textCol,
       lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
 
+  // -------------------------------------------------------------------
+  // Real greedy BPE encoding — the subword accounting training budgets
+  // are actually written in (whitespace counts over-estimate budget for
+  // prose and under-estimate it for code/citations). Pure Scala, no
+  // jars: rules come from a committed merges fixture (or bpeTrain).
+  // -------------------------------------------------------------------
+
+  /** Ordered merge rules from the committed classpath fixture
+    * (`graft/bpe_merges.txt`, "left right" per line, '#' comments).
+    * A production vocabulary is trained with [[bpeTrain]]; the fixture
+    * exists so encoding is deterministic with zero external files. */
+  lazy val defaultBpeMerges: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
+    require(in != null, "bpe_merges.txt missing from classpath")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l => val p = l.split("\\s+"); (p(0), p(1)) }.toList
+    finally in.close()
+  }
+
+  /** Greedy BPE over one word: start from characters, repeatedly merge
+    * the adjacent pair with the LOWEST rank (leftmost on ties, all
+    * occurrences in one sweep) until no pair is in the table — the
+    * textbook Sennrich et al. 2016 apply loop. */
+  private[ops] def bpeEncodeWord(rank: Map[(String, String), Int],
+      word: String): Seq[String] = {
+    if (word.isEmpty) return Nil
+    var syms: IndexedSeq[String] = word.map(_.toString)
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        val out = IndexedSeq.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 &&
+              rank.getOrElse((syms(j), syms(j + 1)), Int.MaxValue) == bestRank) {
+            out += syms(j) + syms(j + 1); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    syms
+  }
+
+  private val bpePieces =
+    java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")
+
+  /** Encode a text: pre-tokenize with the same piece regex as
+    * [[tokenCountBpe]] (letters runs / digits / punctuation), then BPE
+    * the letter runs (lowercased); digits and punctuation stay single
+    * tokens. A per-call word cache makes repeated words O(1) — corpus
+    * text is Zipfian, so most of a document encodes from the cache. */
+  private[ops] def bpeEncodeText(rank: Map[(String, String), Int],
+      text: String): Seq[String] = {
+    if (text == null) return Nil
+    val cache = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+    val out = Seq.newBuilder[String]
+    val m = bpePieces.matcher(text)
+    while (m.find()) {
+      val piece = m.group()
+      if (piece.length == 1 && !Character.isLetter(piece.charAt(0))) out += piece
+      else {
+        val w = piece.toLowerCase(java.util.Locale.ROOT)
+        out ++= cache.getOrElseUpdate(w, bpeEncodeWord(rank, w))
+      }
+    }
+    out.result()
+  }
+
+  private def rankOf(merges: Seq[(String, String)]): Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
+  /** Subword tokens per text as a compiled UDF (Seq[String] out). */
+  def bpeEncodeUdf(merges: Seq[(String, String)] = defaultBpeMerges) = {
+    val rank = rankOf(merges)
+    udf { text: String => bpeEncodeText(rank, text) }
+  }
+
+  /** Subword token COUNT per text — the budget-accounting column. */
+  def bpeTokenCountUdf(merges: Seq[(String, String)] = defaultBpeMerges) = {
+    val rank = rankOf(merges)
+    udf { text: String => bpeEncodeText(rank, text).length.toLong }
+  }
+
   /** Document fingerprint: min xxhash64 over word 5-gram shingles
     * (a 1-hash MinHash — stable rolling-window content fingerprint,
     * robust to small edits at the tail). */

@@ -900,4 +900,42 @@ class TokenizerSpec extends AnyFunSuite with SparkTestBase {
       .as[Seq[String]].head()
     assert(enc == Seq("hug", "s", "p", "un", "b", "ug"), enc.toString)
   }
+
+  test("rank-greedy BPE encoder: known answers from the committed fixture") {
+    val rank = TextAnalysis.defaultBpeMerges.zipWithIndex.toMap
+    // chained merges bottom out at whole words the fixture covers
+    assert(TextAnalysis.bpeEncodeWord(rank, "court") == Seq("court"))
+    assert(TextAnalysis.bpeEncodeWord(rank, "the") == Seq("the"))
+    assert(TextAnalysis.bpeEncodeWord(rank, "and") == Seq("and"))
+    // partial coverage splits at learned boundaries
+    assert(TextAnalysis.bpeEncodeWord(rank, "thing") == Seq("th", "ing"))
+    // LOWEST rank anywhere in the word wins each round: (i,n)=r2 fires
+    // before (c,o)=r12 even though (c,o) is leftmost; both suffix "ing"
+    // and the co->cour->court chain still complete
+    assert(TextAnalysis.bpeEncodeWord(rank, "courting") ==
+      Seq("court", "ing"))
+    // one sweep merges every occurrence of the winning pair
+    assert(TextAnalysis.bpeEncodeWord(rank, "onon") == Seq("on", "on"))
+    // unknown word degrades to characters
+    assert(TextAnalysis.bpeEncodeWord(rank, "xyz") == Seq("x", "y", "z"))
+  }
+
+  test("bpeEncodeText: piece regex + case fold + digit/punct singletons") {
+    val rank = TextAnalysis.defaultBpeMerges.zipWithIndex.toMap
+    // "The"->the, "Court"->court, "," singleton, "in" merged,
+    // each digit its own token (tokenCountBpe piece-regex parity)
+    assert(TextAnalysis.bpeEncodeText(rank, "The Court, in 2024") ==
+      Seq("the", "court", ",", "in", "2", "0", "2", "4"))
+    assert(TextAnalysis.bpeEncodeText(rank, null) == Nil)
+    assert(TextAnalysis.bpeEncodeText(rank, "   ") == Nil)
+  }
+
+  test("bpeTokenCountUdf counts subword tokens in a DataFrame pass") {
+    val df = Seq((1L, "The Court, in 2024"), (2L, "thing"), (3L, null))
+      .toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        TextAnalysis.bpeTokenCountUdf()($"text").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 8L, 2L -> 2L, 3L -> 0L))
+  }
 }

@@ -98,6 +98,9 @@ object HttpApi {
     http.createContext("/search", handler("POST") { (body, _) =>
       searchEndpoint(engine, body, queryField = "query")
     })
+    http.createContext("/search/batch", handler("POST") { (body, _) =>
+      batchEndpoint(engine, body)
+    })
     http.createContext("/collection/info", handler("GET") { (_, _) =>
       val info = Serve.collectionInfo(engine.index)
       (200, obj(
@@ -164,6 +167,47 @@ object HttpApi {
           (200, s"""{"query":${str(q)},"results":[${results.mkString(",")}],""" +
             s""""search_type":"hybrid_rrf","processing_time":${resp.processingTimeSec},""" +
             s""""documents_found":${resp.results.size}}""")
+        }
+    }
+
+  // ---- /search/batch (no reference analog — the q154 batched plan
+  // exposed at the transport layer: N queries, ONE Spark job set) ------
+
+  /** Requests above this fan-out get a loud 400 instead of an unbounded
+    * broadcast query table; callers chunk. 256 queries × 5k prefetch
+    * rows is still a small frame, so the cap is generous. */
+  private val maxBatch = 256
+
+  private def batchEndpoint(engine: Engine, body: Option[JsonNode]): (Int, String) =
+    stringArrayField(body, "queries") match {
+      case None => (400, err("Missing 'queries' array in request body"))
+      case Some(qs) if qs.isEmpty => (400, err("'queries' must be non-empty"))
+      case Some(qs) if qs.size > maxBatch =>
+        (400, err(s"'queries' exceeds the batch cap of $maxBatch; chunk the request"))
+      case Some(qs) =>
+        val k = intField(body, "limit").getOrElse(engine.defaultK)
+        val threshold = doubleField(body, "score_threshold").getOrElse(0.0)
+        val ceiling = 2.0 / (HybridSearch.Config().rrfK + 1)
+        if (threshold > ceiling)
+          (400, err(s"score_threshold $threshold exceeds the maximum RRF " +
+            f"score $ceiling%.6f; RRF thresholds are in (0, 2/(rrfK+1)]"))
+        else {
+          val resps = Serve.queryBatch(engine.index, engine.docStats,
+            engine.corpusSize, engine.avgDocLen, qs, k = k,
+            rrfScoreThreshold = threshold)
+          val entries = resps.map { resp =>
+            val results = resp.results.map(r => obj(
+              "id" -> r.id, "score" -> r.score, "case_name" -> r.caseName,
+              "court" -> r.court, "date_filed" -> r.dateFiled,
+              "judges" -> r.judges, "snippet" -> r.snippet))
+            s"""{"query":${str(resp.question)},""" +
+              s""""results":[${results.mkString(",")}],""" +
+              s""""documents_found":${resp.results.size}}"""
+          }
+          val sec = resps.headOption.map(_.processingTimeSec).getOrElse(0.0)
+          (200, s"""{"responses":[${entries.mkString(",")}],""" +
+            s""""search_type":"hybrid_rrf","processing_time":$sec,""" +
+            s""""queries_count":${resps.size}}""")
         }
     }
 
@@ -247,6 +291,14 @@ object HttpApi {
 
   private def field(body: Option[JsonNode], name: String): Option[String] =
     body.flatMap(b => Option(b.get(name))).filter(!_.isNull).map(_.asText())
+
+  /** A JSON array of strings; None if absent or not an array (numbers
+    * etc. inside the array are text-coerced, matching [[field]]). */
+  private def stringArrayField(body: Option[JsonNode],
+      name: String): Option[Seq[String]] =
+    body.flatMap(b => Option(b.get(name))).filter(_.isArray).map { arr =>
+      (0 until arr.size()).map(i => arr.get(i).asText())
+    }
 
   private def intField(body: Option[JsonNode], name: String): Option[Int] =
     body.flatMap(b => Option(b.get(name))).filter(_.isNumber).map(_.asInt())

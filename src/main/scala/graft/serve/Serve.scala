@@ -127,20 +127,60 @@ object Serve {
     val present = hits.columns.toSet
     val payloadCols = Seq("case_name", "court", "date_filed", "judges").filter(present)
     val results = hits.select(("id" +: "rrf_score" +: "chunk_text" +: payloadCols)
-        .map(col): _*).collect().toSeq.map { r =>
-      def opt(c: String, default: String): String =
-        if (present(c)) Option(r.getAs[String](c)).getOrElse(default) else default
-      val text = Option(r.getAs[String]("chunk_text")).getOrElse("")
-      SearchResult(
-        id = r.getAs[String]("id"),
-        score = r.getAs[Double]("rrf_score"),
-        caseName = opt("case_name", "Unknown Case"),
-        court = opt("court", "").toUpperCase(java.util.Locale.ROOT),   // F14
-        dateFiled = opt("date_filed", ""),
-        judges = opt("judges", ""),
-        snippet = if (text.length > 200) text.take(200) + "..." else text)
-    }
+        .map(col): _*).collect().toSeq.map(toResult(_, present))
     QueryResponse(question, results, (System.nanoTime() - t0) / 1e9)   // F13
+  }
+
+  /** Row → API result with payload defaults (reference `app.py:345-358`);
+    * shared by the single and batched query paths so the two endpoints
+    * can never drift in hydration semantics. */
+  private def toResult(r: Row, present: Set[String]): SearchResult = {
+    def opt(c: String, default: String): String =
+      if (present(c)) Option(r.getAs[String](c)).getOrElse(default) else default
+    val text = Option(r.getAs[String]("chunk_text")).getOrElse("")
+    SearchResult(
+      id = r.getAs[String]("id"),
+      score = r.getAs[Double]("rrf_score"),
+      caseName = opt("case_name", "Unknown Case"),
+      court = opt("court", "").toUpperCase(java.util.Locale.ROOT),     // F14
+      dateFiled = opt("date_filed", ""),
+      judges = opt("judges", ""),
+      snippet = if (text.length > 200) text.take(200) + "..." else text)
+  }
+
+  /** POST /search/batch — N questions through ONE Spark plan
+    * ([[HybridSearch.searchAll]], the q154-verified shape) instead of N
+    * sequential [[query]] calls. The corpus is scanned and scored once
+    * for the whole batch (queries broadcast; one shuffle keyed by
+    * query_id), so serving cost stops scaling with batch size. Result
+    * rows collect in one action — bounded at k × questions — and each
+    * response carries the SHARED wall-clock (one plan ran; attributing
+    * slices per question would be fiction). Per-question hydration is
+    * [[toResult]], identical to the single-query endpoint. */
+  def queryBatch(index: DataFrame, docStats: DataFrame, corpusSize: Long,
+      avgDocLen: Double, questions: Seq[String], k: Int = 3,
+      rrfScoreThreshold: Double = 0.0): Seq[QueryResponse] = {
+    if (questions.isEmpty) return Nil
+    val t0 = System.nanoTime()
+    val spark = index.sparkSession
+    import spark.implicits._
+    val qdf = questions.zipWithIndex
+      .map { case (q, i) => (i.toLong, q) }.toDF("query_id", "query")
+    val hits = HybridSearch.searchAll(index, docStats, corpusSize, avgDocLen,
+      qdf, HybridSearch.Config(k = k, rrfScoreThreshold = rrfScoreThreshold))
+    val present = hits.columns.toSet
+    val payloadCols = Seq("case_name", "court", "date_filed", "judges").filter(present)
+    val rows = hits.select(("query_id" +: "id" +: "rrf_score" +: "chunk_text" +:
+        payloadCols).map(col): _*).collect()
+    // searchAll orders (query_id, rrf_score desc, id); groupBy on the
+    // collected array preserves that encounter order within each group
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    val sec = (System.nanoTime() - t0) / 1e9                           // F13
+    questions.zipWithIndex.map { case (q, i) =>
+      val rs = byQuery.getOrElse(i.toLong, Array.empty[Row])
+        .toSeq.map(toResult(_, present))
+      QueryResponse(q, rs, sec)
+    }
   }
 
   /** O(1) health from a count cached at engine build (round-6 review:

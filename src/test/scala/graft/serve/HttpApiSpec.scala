@@ -96,6 +96,46 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(sId == "d1")
   }
 
+  test("POST /search/batch: one plan, per-query results == /search endpoint") {
+    val queries = Seq("habeas corpus", "grain shipment contract",
+      "semiconductor patent")
+    val b = post("/search/batch",
+      s"""{"queries":[${queries.map("\"" + _ + "\"").mkString(",")}],"limit":2}""")
+    assert(b.statusCode() == 200, b.body())
+    assert(b.body().contains("\"queries_count\":3"))
+    assert(b.body().contains("\"search_type\":\"hybrid_rrf\""))
+    // each entry's (id, score) list must match the single-query endpoint
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val batch = mapper.readTree(b.body()).get("responses")
+    assert(batch.size() == 3)
+    def hits(node: com.fasterxml.jackson.databind.JsonNode): Seq[(String, Double)] = {
+      val rs = node.get("results")
+      (0 until rs.size()).map(i =>
+        (rs.get(i).get("id").asText(), rs.get(i).get("score").asDouble()))
+    }
+    queries.zipWithIndex.foreach { case (q, i) =>
+      val entry = batch.get(i)
+      assert(entry.get("query").asText() == q)
+      val single = post("/search", s"""{"query":"$q","limit":2}""")
+      val snode = mapper.readTree(single.body())
+      assert(hits(entry) == hits(snode),
+        s"batch vs single mismatch for '$q': ${entry} vs ${single.body()}")
+      assert(hits(entry).nonEmpty, s"no results for '$q'")
+    }
+  }
+
+  test("POST /search/batch input validation: missing, empty, over-cap") {
+    assert(post("/search/batch", """{}""").statusCode() == 400)
+    assert(post("/search/batch", """{"queries":[]}""").statusCode() == 400)
+    assert(post("/search/batch", """{"queries":"not an array"}""").statusCode() == 400)
+    val over = (1 to 257).map(i => s""""q$i"""").mkString(",")
+    val r = post("/search/batch", s"""{"queries":[$over]}""")
+    assert(r.statusCode() == 400 && r.body().contains("batch cap"))
+    val t = post("/search/batch",
+      """{"queries":["x"],"score_threshold":0.4}""")
+    assert(t.statusCode() == 400 && t.body().contains("score_threshold"))
+  }
+
   test("missing body fields and wrong methods are 400/405, unknown paths 404") {
     assert(post("/query", """{}""").statusCode() == 400)
     assert(post("/search", """{"q":"wrong field"}""").statusCode() == 400)

@@ -2210,6 +2210,49 @@ object SparkEntry {
       graft.ops.Sampling.tokenBudgetSample(counts, "doc_id", "n_bpe",
         budget = 50000L)
         .select(col("doc_id"), col("cum_n_bpe"))
+    }),
+
+    // REAL audio decode end-to-end under the exact-match oracle: WAVs
+    // synthesized from doc_id arithmetic (small-int amplitudes a SQL
+    // engine can re-derive), encoded through the real AudioSystem WAV
+    // writer, decoded back through the real JDK codec, and reduced to
+    // integer features — which the oracle computes ANALYTICALLY from
+    // doc_id alone. Any bit the codec path got wrong would break the
+    // match; nothing is echoed through aux. Decode+feature is one
+    // map-side pass; audio bytes never cross an exchange.
+    "q162_audio_features" -> ((s, dir) => {
+      val clips = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          graft.ops.Multimodal.renderTestWavUdf(
+            expr("CAST(doc_id div 10 AS BIGINT)"),
+            (lit(4) * (lit(1) + col("doc_id") % 3)).cast("int"),
+            lit(0)).as("content"))
+      clips.select(col("doc_id"),
+          graft.ops.Multimodal.audioFeaturesUdf(col("content")).as("f"))
+        .select(col("doc_id"), col("f._1").as("n_samples"),
+          col("f._2").as("duration_ms"), col("f._3").as("rms"),
+          col("f._4").as("zero_crossings"))
+    }),
+
+    // Audio near-dup: energy-envelope fingerprints through the SAME
+    // pigeonhole-banded Hamming join as image near-dup (q159) — twins
+    // planted by amplitude-doubling the first 2 blocks of every x5 clip
+    // land within radius 4 of their x0 sibling. Oracle re-derives the
+    // banded candidate/verify join over the aux-dumped signatures.
+    "q163_audio_neardup" -> ((s, dir) => {
+      val clips = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("aud_id"),
+          graft.ops.Multimodal.renderTestWavUdf(
+            expr("CAST(doc_id div 10 AS BIGINT)"), lit(4),
+            when(col("doc_id") % 10 === 5, 2).otherwise(0).cast("int"))
+            .as("content"))
+      writeAux(clips.select(col("aud_id"),
+          graft.ops.Multimodal.audioHashUdf(col("content")).as("sig"))
+        .filter(col("sig").isNotNull), dir, "q163_hashes")
+      graft.ops.Multimodal.audioNearDupPairs(clips, "aud_id", "content",
+        maxDist = 4)
     })
   )
 
@@ -4177,6 +4220,46 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |      AS cum_n_bpe
         |  FROM k)
-        |SELECT doc_id, cum_n_bpe FROM c WHERE cum_n_bpe <= 50000""".stripMargin
+        |SELECT doc_id, cum_n_bpe FROM c WHERE cum_n_bpe <= 50000""".stripMargin,
+
+    // Analytic ground truth for the real-codec decode path: block
+    // amplitudes re-derived from doc_id arithmetic, rms/crossings in
+    // closed form (square wave: sumSq = 64·Σ a_b²; sign flips every
+    // halfPeriod samples → floor(4095/h) crossings). /4096.0 is a
+    // power-of-two division — exact in binary FP on both engines.
+    "q162_audio_features" ->
+      """WITH docs AS (SELECT doc_id, doc_id // 10 AS seed,
+        |    4 * (1 + doc_id % 3) AS h
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |blocks AS (SELECT doc_id, h,
+        |    512 * (1 + (((seed * 73 + b * 17 + 5) * (seed * 73 + b * 17 + 5))
+        |      // 64) % 8) AS a
+        |  FROM docs, UNNEST(range(64)) t(b)),
+        |agg AS (SELECT doc_id, h,
+        |    CAST(SUM(a * a * 64) AS BIGINT) AS sum_sq
+        |  FROM blocks GROUP BY 1, 2)
+        |SELECT doc_id, CAST(4096 AS BIGINT) AS n_samples,
+        |  CAST(512 AS BIGINT) AS duration_ms,
+        |  CAST(FLOOR(SQRT(sum_sq / 4096.0)) AS BIGINT) AS rms,
+        |  CAST(4095 // h AS BIGINT) AS zero_crossings
+        |FROM agg""".stripMargin,
+
+    "q163_audio_neardup" -> {
+      // mirror of Dedup.bandLayout(64, 5): widths 13,13,13,13,12 (the
+      // q159 construction over audio signatures)
+      val layout = Seq((0, 13), (13, 13), (26, 13), (39, 13), (52, 12))
+      val bands = layout.zipWithIndex.map { case ((off, w), b) =>
+        s"SELECT aud_id, sig, $b AS b, (sig >> $off) & ${(1L << w) - 1} AS v FROM sigs" }
+        .mkString("\n  UNION ALL ")
+      s"""WITH sigs AS (SELECT aud_id, sig FROM '__AUX__/q163_hashes/*.parquet'),
+         |banded AS (
+         |  $bands),
+         |pairs AS (SELECT DISTINCT a.aud_id AS id1, b.aud_id AS id2,
+         |    a.sig AS sig1, b.sig AS sig2
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.v = b.v AND a.aud_id < b.aud_id)
+         |SELECT id1, id2, bit_count(xor(sig1, sig2)) AS dist
+         |FROM pairs WHERE bit_count(xor(sig1, sig2)) <= 4""".stripMargin
+    }
   )
 }

@@ -322,6 +322,166 @@ object Multimodal {
   val renderTestImageUdf = udf((seed: Long, perturb: Int) =>
     renderTestImage(seed, perturb))
 
+  // ---- audio: real WAV PCM decode + features + fingerprint ------------
+
+  /** REAL WAV decode to mono integer PCM via the JDK codec
+    * (`javax.sound.sampled` — the audio analog of [[decodeImage]]).
+    * Non-16-bit/compressed encodings are converted to 16-bit signed PCM
+    * by the JDK converter first; channels fold to mono by integer mean
+    * (exact — no float resampling, so decode is bit-identical on every
+    * JVM, which the exact-match oracle requires). Null/corrupt → None,
+    * never a throw: at corpus scale malformed media is data. */
+  private[ops] def decodeWavPcm(bytes: Array[Byte]): Option[(Int, Array[Int])] = {
+    if (bytes == null || bytes.length < 12) return None
+    try {
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f0 = raw.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          f0.getSampleRate, 16, f0.getChannels,
+          f0.getChannels * 2, f0.getSampleRate, false)
+        val in =
+          if (f0.matches(target)) raw
+          else javax.sound.sampled.AudioSystem.getAudioInputStream(target, raw)
+        val data = in.readAllBytes()
+        val ch = target.getChannels
+        if (ch < 1) return None
+        val n = data.length / (2 * ch)
+        val mono = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          var sum = 0
+          var c = 0
+          while (c < ch) {
+            val off = (i * ch + c) * 2
+            sum += ((data(off) & 0xff) | (data(off + 1) << 8)).toShort.toInt
+            c += 1
+          }
+          mono(i) = sum / ch
+          i += 1
+        }
+        Some((target.getSampleRate.toInt, mono))
+      } finally raw.close()
+    } catch { case _: Exception | _: OutOfMemoryError => None }
+  }
+
+  /** Integer-exact audio features over decoded mono PCM:
+    *  - `n_samples`, `duration_ms` (floor, from the container's rate)
+    *  - `rms` = floor(sqrt(sum(s²)/n)) — sum exact in Long; /n and sqrt
+    *    are IEEE-exact enough for an exact oracle ONLY because callers
+    *    compare floor'd integers (the repo-wide sqrt discipline)
+    *  - `zero_crossings` = sign changes between consecutive samples
+    *    (zero counts as positive, so constant-amplitude square waves
+    *    have the analytic count)
+    * All integers → safely oracle-comparable. */
+  def audioFeatures(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] =
+    decodeWavPcm(bytes).map { case (rate, s) =>
+      val n = s.length
+      var sumSq = 0L
+      var crossings = 0L
+      var i = 0
+      while (i < n) {
+        sumSq += s(i).toLong * s(i)
+        if (i > 0 && ((s(i) >= 0) != (s(i - 1) >= 0))) crossings += 1
+        i += 1
+      }
+      val rms = if (n == 0) 0L else math.floor(math.sqrt(sumSq / n.toDouble)).toLong
+      val durMs = if (rate <= 0) 0L else n.toLong * 1000L / rate
+      (n.toLong, durMs, rms, crossings)
+    }
+
+  /** 64-bit audio fingerprint: the energy-envelope dHash. Mono PCM is
+    * cut into 65 equal frames; frame energy is the exact Long sum of
+    * squares; bit j set when e(j) < e(j+1). Gain changes scale every
+    * frame equally (delta signs survive), and local edits flip only the
+    * bits whose frames they touch — the same robustness argument as the
+    * image [[dHash64]], so the same banded Hamming join applies. */
+  def audioHash64(bytes: Array[Byte]): Option[Long] =
+    decodeWavPcm(bytes).flatMap { case (_, s) =>
+      val n = s.length
+      if (n < 65) None
+      else {
+        val e = new Array[Long](65)
+        var f = 0
+        while (f < 65) {
+          val i0 = f * n / 65
+          val i1 = math.max((f + 1) * n / 65, i0 + 1)
+          var sum = 0L
+          var i = i0
+          while (i < math.min(i1, n)) { sum += s(i).toLong * s(i); i += 1 }
+          e(f) = sum
+          f += 1
+        }
+        var h = 0L
+        var j = 0
+        while (j < 64) { if (e(j) < e(j + 1)) h |= 1L << j; j += 1 }
+        Some(h)
+      }
+    }
+
+  /** Null-safe compiled UDFs over binary audio columns. */
+  val audioHashUdf = udf((b: Array[Byte]) => audioHash64(b))
+  val audioFeaturesUdf = udf((b: Array[Byte]) => audioFeatures(b))
+
+  /** Audio near-dup pairs: decode → energy-envelope hash → the EXISTING
+    * pigeonhole-banded Hamming radius join — identical scale story to
+    * [[imageNearDupPairs]]: decode+hash runs map-side once per clip,
+    * only (id, 8-byte sig) crosses the band shuffle. */
+  def audioNearDupPairs(df: DataFrame, idCol: String, binCol: String,
+      maxDist: Int): DataFrame = {
+    val sigs = df.select(col(idCol), audioHashUdf(col(binCol)).as("sig"))
+      .filter(col("sig").isNotNull)
+    Dedup.simHashRadiusPairsBanded(sigs, idCol, "sig", maxDist,
+      sigBits = 64, bands = maxDist + 1)
+  }
+
+  /** Deterministic synthetic WAV test clip (the audio [[renderTestImage]]
+    * — the container ships no audio corpus): 4096 samples at 8 kHz of a
+    * square wave in 64 constant-amplitude blocks. Amplitude of block b
+    * is `512 * (1 + ((x*x)/64) mod 8)` with `x = seed*73 + b*17 + 5` —
+    * the squaring mixes seed bits non-linearly (a LINEAR `(c1·seed +
+    * c2·b) mod 8` collapses to `seed mod 8`, giving only 8 distinct
+    * envelopes and quadratic false twins), yet stays SQL-replicable:
+    * x² fits Int64 for any seed below ~3·10⁹, far past every test SF.
+    * The sign toggles every `halfPeriod` samples globally, giving
+    * analytic ground truth: rms = floor(sqrt(sum(a_b²·64)/4096)) and
+    * zero_crossings = floor(4095 / halfPeriod). `perturb` doubles the
+    * first that-many block amplitudes (a controlled near-duplicate:
+    * only the fingerprint bits whose frames it touches move). Encode
+    * goes through the real `AudioSystem.write` WAV writer so decode
+    * tests exercise the real codec path. */
+  def renderTestWav(seed: Long, halfPeriod: Int = 4, perturb: Int = 0): Array[Byte] = {
+    require(halfPeriod >= 1, "halfPeriod must be positive")
+    val n = 4096
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val b = i / 64
+      val x = seed * 73 + b * 17 + 5
+      var a = (512 * (1 + (x * x / 64) % 8)).toInt
+      if (b < perturb) a *= 2
+      val v = if ((i / halfPeriod) % 2 == 0) a else -a
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val out = new java.io.ByteArrayOutputStream(pcm.length + 64)
+    val ain = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    javax.sound.sampled.AudioSystem.write(ain,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** renderTestWav as a UDF for fixture-building queries. */
+  val renderTestWavUdf = udf((seed: Long, halfPeriod: Int, perturb: Int) =>
+    renderTestWav(seed, halfPeriod, perturb))
+
   /** Attach decoded metadata to a binary column via `mapPartitions` —
     * one decoder instance per partition, rows streamed (never
     * materialize a partition of media bytes in memory). */

@@ -793,6 +793,65 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._1 == 99L || p._2 == 99L),
       "undecodable rows must be filtered, not hashed")
   }
+
+  test("decodeWavPcm: real AudioSystem round-trip recovers exact samples") {
+    val bytes = Multimodal.renderTestWav(seed = 3L, halfPeriod = 4)
+    val Some((rate, pcm)) = Multimodal.decodeWavPcm(bytes)
+    assert(rate == 8000 && pcm.length == 4096)
+    // block 0: x = 3*73+5 = 224, (224² / 64) % 8 = 784 % 8 = 0 → a = 512
+    assert(pcm(0) == 512 && pcm(3) == 512 && pcm(4) == -512)
+    // block 1: x = 241, (58081 / 64) % 8 = 907 % 8 = 3 → a = 2048
+    assert(pcm(64) == 2048)
+    // corrupt / truncated / null: None, never a throw
+    assert(Multimodal.decodeWavPcm("RIFFjunk".getBytes).isEmpty)
+    assert(Multimodal.decodeWavPcm(bytes.take(30)).isEmpty)
+    assert(Multimodal.decodeWavPcm(null).isEmpty)
+    assert(Multimodal.decodeWavPcm(Array.empty[Byte]).isEmpty)
+  }
+
+  test("audioFeatures match the square wave's analytic ground truth") {
+    val seed = 7L
+    val Some((n, durMs, rms, crossings)) =
+      Multimodal.audioFeatures(Multimodal.renderTestWav(seed, halfPeriod = 8))
+    assert(n == 4096 && durMs == 512)
+    assert(crossings == 4095 / 8)
+    val amps = (0 until 64).map { b =>
+      val x = seed * 73 + b * 17 + 5
+      512L * (1 + (x * x / 64) % 8)
+    }
+    val expectRms = math.floor(math.sqrt(amps.map(a => a * a * 64).sum / 4096.0)).toLong
+    assert(rms == expectRms)
+  }
+
+  test("audioHash64: twins within radius, gain-invariant, unrelated far") {
+    def h(seed: Long, perturb: Int = 0): Long =
+      Multimodal.audioHash64(Multimodal.renderTestWav(seed, 4, perturb)).get
+    assert(h(5L) == h(5L))
+    val dtwin = java.lang.Long.bitCount(h(5L) ^ h(5L, perturb = 2))
+    assert(dtwin <= 3 && dtwin >= 1, s"perturbed twin at distance $dtwin")
+    // the envelope hash is amplitude-ratio based: doubling EVERY block
+    // (a pure gain change) must not move any bit — emulate via a clip
+    // whose amplitudes are all doubled (perturb = 64 doubles all blocks)
+    assert(h(5L, perturb = 64) == h(5L))
+    val dfar = java.lang.Long.bitCount(h(5L) ^ h(21L))
+    assert(dfar > 4, s"unrelated clips must not collide: $dfar")
+    assert(Multimodal.audioHash64("RIFFjunk".getBytes).isEmpty)
+  }
+
+  test("audioNearDupPairs: planted twins via the banded join, junk dropped") {
+    val rows = (0L until 40L).map { i =>
+      (i, Multimodal.renderTestWav(i / 2, 4, perturb = (i % 2).toInt * 2))
+    } :+ (99L, "not audio".getBytes)
+    val df = rows.toDF("aud_id", "content")
+    val pairs = Multimodal.audioNearDupPairs(df, "aud_id", "content", maxDist = 4)
+      .select("id1", "id2", "dist")
+      .as[(Long, Long, Int)].collect()
+    val twinPairs = pairs.filter(p => p._1 / 2 == p._2 / 2)
+    assert(twinPairs.length == 20,
+      s"every planted twin pair must surface: got ${twinPairs.length}")
+    assert(pairs.forall(_._3 <= 4))
+    assert(!pairs.exists(p => p._1 == 99L || p._2 == 99L))
+  }
 }
 
 class ProfileSpec extends AnyFunSuite with SparkTestBase {

@@ -30,12 +30,13 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark won't read
-    * natively: read ns-as-long, integer-divide to micros (the values are
-    * µs-precision; a double division would lose precision at 1e18). */
+  /** events.parquet has shipped as TIMESTAMP(NANOS) (unreadable natively
+    * by Spark → ns-as-long + integer divide) and as TIMESTAMP(MICROS)
+    * NTZ, depending on testdata generation; the shared normalizer in
+    * [[graft.streaming.EventsPipeline.tsToTimestamp]] handles both. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.streaming.EventsPipeline.tsToTimestamp(t(s, dir, "events"))
   }
 
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
@@ -2253,7 +2254,31 @@ object SparkEntry {
         .filter(col("sig").isNotNull), dir, "q163_hashes")
       graft.ops.Multimodal.audioNearDupPairs(clips, "aud_id", "content",
         maxDist = 4)
-    })
+    }),
+
+    // MMR re-ranking (Carbonell & Goldstein 1998): the diversification
+    // pass between retrieval and serving. Relevance scan + top-50 is
+    // the distributed part; the greedy k-step selection is driver-side
+    // over the serving-sized candidate set (like the IVF probe rank).
+    // The oracle re-derives EVERYTHING — candidates, pairwise cosines,
+    // and all eight greedy argmax steps as unrolled SQL — zero aux.
+    "q164_mmr_rerank" -> ((s, dir) => {
+      val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).toArray
+      graft.ops.Similarity.mmrRerank(t(s, dir, "embeddings"), qv,
+        k = 8, candidates = 50, lambda = 0.7)
+    }),
+
+    // Stupid-backoff trigram LM scoring (Brants et al. 2007 — the
+    // CCNet/Gopher perplexity-filter signal): counts train on even
+    // doc_ids only, every doc is scored, so odd docs exercise the
+    // backoff tiers on their held-out trigrams. Fully SQL-re-derivable:
+    // the oracle rebuilds counts, backoff decisions, and the micro-unit
+    // integer log-prob sums from the raw table — nothing aux-echoed.
+    "q165_backoff_lm" -> ((s, dir) =>
+      TextAnalysis.stupidBackoffScores(
+        t(s, dir, "documents"), col("doc_id") % 2 === 0)
+        .orderBy("doc_id"))
   )
 
   // ---------------------------------------------------------------------
@@ -4260,6 +4285,85 @@ object SparkEntry {
          |    ON a.b = b.b AND a.v = b.v AND a.aud_id < b.aud_id)
          |SELECT id1, id2, bit_count(xor(sig1, sig2)) AS dist
          |FROM pairs WHERE bit_count(xor(sig1, sig2)) <= 4""".stripMargin
-    }
+    },
+
+    "q164_mmr_rerank" -> {
+      // Unrolled greedy MMR: one CTE per selection step (k=8), each an
+      // argmax of round(λ·rel − (1−λ)·max-sim-to-selected, 6) with id
+      // tie-break — the recursive loop a SQL engine can't express is
+      // generated as SQL it can. λ is CAST to DOUBLE so (1 − λ) is the
+      // same IEEE value the Scala driver loop computes.
+      val lam = "CAST(0.7 AS DOUBLE)"
+      val k = 8
+      val steps = (2 to k).map { i =>
+        val prev = (1 until i).map(j => s"SELECT id FROM s$j").mkString(" UNION ALL ")
+        s"""s$i AS MATERIALIZED (SELECT id, rel, mmr FROM (
+           |  SELECT c.id, c.rel,
+           |    round($lam * c.rel - (1 - $lam) * COALESCE(
+           |      (SELECT max(s.sim) FROM sims s WHERE s.id1 = c.id
+           |        AND s.id2 IN ($prev)), 0), 6) AS mmr
+           |  FROM cand c WHERE c.id NOT IN ($prev)
+           |  ORDER BY mmr DESC, c.id LIMIT 1))""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to k).map(i =>
+        s"SELECT id AS vec_id, rel, mmr, CAST($i AS BIGINT) AS rank FROM s$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |relp AS (SELECT a.vec_id, unnest(a.embedding)::DOUBLE AS x,
+         |    unnest(q.embedding)::DOUBLE AS y FROM embeddings a, q),
+         |cand AS MATERIALIZED (SELECT vec_id AS id, rel FROM (
+         |    SELECT vec_id, round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS rel
+         |    FROM relp GROUP BY 1)
+         |  ORDER BY rel DESC, vec_id LIMIT 50),
+         |simp AS (SELECT a.id AS id1, b.id AS id2,
+         |    unnest(ea.embedding)::DOUBLE AS x, unnest(eb.embedding)::DOUBLE AS y
+         |  FROM cand a JOIN cand b ON a.id <> b.id
+         |  JOIN embeddings ea ON ea.vec_id = a.id
+         |  JOIN embeddings eb ON eb.vec_id = b.id),
+         |sims AS MATERIALIZED (SELECT id1, id2,
+         |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS sim
+         |  FROM simp GROUP BY 1, 2),
+         |s1 AS MATERIALIZED (SELECT id, rel, round($lam * rel - (1 - $lam) * 0, 6) AS mmr
+         |  FROM cand ORDER BY mmr DESC, id LIMIT 1),
+         |$steps
+         |SELECT vec_id, rel, mmr, rank FROM (
+         |  $rows) ORDER BY rank""".stripMargin
+    },
+
+    "q165_backoff_lm" ->
+      """WITH parts AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+        |toks AS (SELECT doc_id, idx, parts[idx+1] AS tok FROM (
+        |    SELECT doc_id, parts, unnest(range(len(parts))) AS idx FROM parts)),
+        |tri AS (SELECT a.doc_id, a.tok AS w2, b.tok AS w1, c.tok AS w0
+        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+        |              JOIN toks c ON a.doc_id = c.doc_id AND c.idx = a.idx + 2),
+        |bi AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w0
+        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1),
+        |tc3 AS (SELECT w2, w1, w0, count(*) AS c3 FROM tri
+        |  WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+        |tc2 AS (SELECT w1, w0, count(*) AS c2 FROM bi
+        |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |tc1 AS (SELECT tok AS w0, count(*) AS c1 FROM toks
+        |  WHERE doc_id % 2 = 0 GROUP BY 1),
+        |nv AS (SELECT CAST(sum(c1) AS BIGINT) + count(*) AS nv FROM tc1),
+        |sc AS (SELECT t.doc_id,
+        |    CASE WHEN h3.c3 IS NOT NULL THEN 3
+        |         WHEN hb.c2 IS NOT NULL THEN 2 ELSE 1 END AS tier,
+        |    CASE WHEN h3.c3 IS NOT NULL THEN h3.c3 / hp.c2
+        |         WHEN hb.c2 IS NOT NULL THEN CAST(0.4 AS DOUBLE) * hb.c2 / u1.c1
+        |         ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+        |              * (COALESCE(u0.c1, 0) + 1) / (SELECT nv FROM nv) END AS p
+        |  FROM tri t
+        |  LEFT JOIN tc3 h3 ON h3.w2 = t.w2 AND h3.w1 = t.w1 AND h3.w0 = t.w0
+        |  LEFT JOIN tc2 hp ON hp.w1 = t.w2 AND hp.w0 = t.w1
+        |  LEFT JOIN tc2 hb ON hb.w1 = t.w1 AND hb.w0 = t.w0
+        |  LEFT JOIN tc1 u1 ON u1.w0 = t.w1
+        |  LEFT JOIN tc1 u0 ON u0.w0 = t.w0)
+        |SELECT doc_id, count(*) AS n_tri,
+        |  CAST(SUM(CAST(round(log10(p) * 1e6) AS BIGINT)) AS BIGINT) AS sum_lp6,
+        |  CAST(SUM(CASE WHEN tier = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_t3,
+        |  CAST(SUM(CASE WHEN tier = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_t2,
+        |  CAST(SUM(CASE WHEN tier = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t1
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -820,13 +820,14 @@ object Dedup {
     }
   }
 
-  /** [[jaroWinklerSim]] as a column (compiled UDF; null-safe → null). */
-  def jaroWinkler(a: Column, b: Column): Column = {
-    val f = udf((x: String, y: String) =>
-      if (x == null || y == null) null.asInstanceOf[java.lang.Double]
-      else java.lang.Double.valueOf(jaroWinklerSim(x, y)))
-    f(a, b)
-  }
+  /** [[jaroWinklerSim]] as a column (compiled UDF; null-safe → null).
+    * Cached at object init like the other compiled UDFs here, so call
+    * sites share one function object instead of re-allocating per call. */
+  private val jaroWinklerUdf = udf((x: String, y: String) =>
+    if (x == null || y == null) null.asInstanceOf[java.lang.Double]
+    else java.lang.Double.valueOf(jaroWinklerSim(x, y)))
+
+  def jaroWinkler(a: Column, b: Column): Column = jaroWinklerUdf(a, b)
 
   /** [[fuzzyLinkage]] with Jaro–Winkler as the verify metric — the
     * second linkage metric beyond levenshtein (edit distance punishes a

@@ -773,4 +773,66 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rn"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    * over a retrieved candidate set: greedily select `k` results
+    * maximizing `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)` — the
+    * standard diversification pass between retrieval and serving, so a
+    * result page isn't k near-copies of the top hit.
+    *
+    * Execution shape: relevance scoring against the query vector is the
+    * distributed part (codegen cosine scan + TakeOrderedAndProject down
+    * to `candidates` rows); the greedy selection is inherently
+    * sequential in k and runs on the driver over the collected
+    * candidate set — k and candidates are serving-sized (tens), so the
+    * driver loop is O(k·candidates) tiny-vector dot products, the same
+    * driver-side cost class as the IVF probe ranking. Rounding to 6
+    * decimals before EVERY comparison makes the argmax reproducible in
+    * independent double math (the oracle re-derives the whole greedy
+    * loop); ids break ties.
+    *
+    * Returns (id, rel, mmr, rank) for the k selected rows, rank 1-based
+    * in selection order. */
+  def mmrRerank(df: DataFrame, queryVec: Array[Float], k: Int,
+      candidates: Int = 50, lambda: Double = 0.7,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cand = df
+      .withColumn("rel", round(vecCosine(col(vecCol), typedlit(queryVec)), 6))
+      .orderBy(desc("rel"), col(idCol))
+      .limit(candidates)
+      .select(col(idCol), col("rel"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cand.map(c => c._1 -> c): _*)
+    while (selected.length < math.min(k, cand.length)) {
+      // λ·rel − (1−λ)·max-sim-to-selected, rounded per comparison; the
+      // first pick has no selected set, so its penalty term is 0
+      val best = remaining.values.map { case (id, rel, v) =>
+        val maxSim = if (chosen.isEmpty) 0.0
+          else chosen.map(s => round6(cos(v, s))).max
+        val mmr = round6(lambda * rel - (1 - lambda) * maxSim)
+        (id, rel, mmr)
+      }.minBy { case (id, _, mmr) => (-mmr, id) }(
+        Ordering.Tuple2[Double, Long])
+      selected += best
+      chosen += remaining(best._1)._3
+      remaining.remove(best._1)
+    }
+    selected.zipWithIndex
+      .map { case ((id, rel, mmr), i) => (id, rel, mmr, (i + 1).toLong) }
+      .toSeq.toDF(idCol, "rel", "mmr", "rank")
+  }
 }

@@ -486,4 +486,81 @@ object TextAnalysis {
     }
     enc(textCol)
   }
+
+  /** Stupid-backoff trigram LM document scoring (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" — the backoff that
+    * skips discount normalization because at corpus scale relative
+    * frequencies suffice; the CCNet/Gopher-style perplexity-filter
+    * signal). Counts train on `trainPred` rows only and EVERY document
+    * is scored, so held-out docs genuinely exercise all three tiers:
+    *
+    *   S(w0 | w2 w1) = c3(w2 w1 w0) / c2(w2 w1)           if the trigram trained
+    *                 | α · c2(w1 w0) / c1(w1)             else if the bigram did
+    *                 | α² · (c1(w0) + 1) / (N + V)        else (add-one floor,
+    *                                                        nonzero for OOV)
+    *
+    * Output is integer-exact per the house oracle discipline: each
+    * position's log10-prob is scaled to micro-units and cast to a long
+    * BEFORE the per-doc sum, so the aggregate is order-independent —
+    * no float summation-order hazard between engines. Tier counts
+    * (n_t3/n_t2/n_t1) pin the backoff-decision logic itself.
+    *
+    * Scale shape: trigram extraction is a per-row array transform (no
+    * window shuffle); the count tables are classic map-side-combine
+    * aggregations, far smaller than the corpus, and the five scoring
+    * joins broadcast when vocab allows (AQE decides). One corpus pass
+    * plus count-table passes — the same cost class as BM25 stats. */
+  def stupidBackoffScores(docs: org.apache.spark.sql.DataFrame,
+      trainPred: Column, idCol: String = "doc_id", textCol: String = "text",
+      alpha: Double = 0.4): org.apache.spark.sql.DataFrame = {
+    val withParts = docs.select(col(idCol),
+      split(col(textCol), " ").as("parts"), trainPred.as("is_train"))
+    val tri = withParts.filter(size(col("parts")) >= 3)
+      .select(col(idCol), col("is_train"), explode(expr(
+        "transform(sequence(2, size(parts)-1), i -> " +
+          "struct(parts[i-2] AS w2, parts[i-1] AS w1, parts[i] AS w0))"))
+        .as("t"))
+      .select(col(idCol), col("is_train"),
+        col("t.w2").as("w2"), col("t.w1").as("w1"), col("t.w0").as("w0"))
+    val bi = withParts.filter(size(col("parts")) >= 2)
+      .select(col("is_train"), explode(expr(
+        "transform(sequence(1, size(parts)-1), i -> " +
+          "struct(parts[i-1] AS w1, parts[i] AS w0))")).as("t"))
+      .select(col("is_train"), col("t.w1").as("w1"), col("t.w0").as("w0"))
+    val uni = withParts.select(col("is_train"), explode(col("parts")).as("w0"))
+    val c3 = tri.filter(col("is_train")).groupBy("w2", "w1", "w0")
+      .agg(count(lit(1)).as("c3"))
+    val c2 = bi.filter(col("is_train")).groupBy("w1", "w0")
+      .agg(count(lit(1)).as("c2"))
+    val c1 = uni.filter(col("is_train")).groupBy("w0")
+      .agg(count(lit(1)).as("c1"))
+    // N + V: two tiny scalars, one driver action over the unigram table
+    val nvRow = c1.agg(sum("c1").cast("long"), count(lit(1))).head
+    val nv = nvRow.getLong(0) + nvRow.getLong(1)
+    val scored = tri
+      .join(c3, Seq("w2", "w1", "w0"), "left")
+      .join(c2.select(col("w1").as("p1"), col("w0").as("p0"),
+        col("c2").as("c2p")),
+        col("w2") === col("p1") && col("w1") === col("p0"), "left")
+      .join(c2, Seq("w1", "w0"), "left")
+      .join(c1.select(col("w0").as("u1"), col("c1").as("c1w1")),
+        col("w1") === col("u1"), "left")
+      .join(c1, Seq("w0"), "left")
+    // expression shape mirrors the oracle SQL exactly (same left-assoc
+    // double math) so the doubles are bit-identical before rounding
+    val p = when(col("c3").isNotNull, col("c3") / col("c2p"))
+      .when(col("c2").isNotNull, lit(alpha) * col("c2") / col("c1w1"))
+      .otherwise(lit(alpha) * lit(alpha) * (coalesce(col("c1"), lit(0L)) + 1)
+        / lit(nv))
+    val tier = when(col("c3").isNotNull, 3).when(col("c2").isNotNull, 2)
+      .otherwise(1)
+    scored
+      .select(col(idCol), round(log10(p) * 1e6, 0).cast("long").as("lp6"),
+        tier.as("tier"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tri"), sum("lp6").as("sum_lp6"),
+        sum(when(col("tier") === 3, 1L).otherwise(0L)).as("n_t3"),
+        sum(when(col("tier") === 2, 1L).otherwise(0L)).as("n_t2"),
+        sum(when(col("tier") === 1, 1L).otherwise(0L)).as("n_t1"))
+  }
 }

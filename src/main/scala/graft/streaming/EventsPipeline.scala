@@ -13,6 +13,27 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventsPipeline {
 
+  /** `events.ts` has shipped in two physical parquet layouts across
+    * testdata generations: TIMESTAMP(NANOS) — which Spark cannot read
+    * natively, so callers set `nanosAsLong` and the column arrives as a
+    * BIGINT of nanoseconds — and plain TIMESTAMP(MICROS) without
+    * timezone, which reads as TIMESTAMP_NTZ. Normalize either to the
+    * session-zone TimestampType (sessions here run UTC, so wall-clock
+    * values are identical across layouts). One helper so every reader —
+    * batch, streaming legs, SparkEntry's table loader, specs — converts
+    * identically; works on streaming DataFrames too (schema is known). */
+  def tsToTimestamp(df: DataFrame, colName: String = "ts"): DataFrame =
+    df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // nanos-as-long: integer-divide to micros (values are µs-precision;
+        // double division would lose precision at 1e18)
+        df.withColumn(colName, expr(s"timestamp_micros($colName div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(colName,
+          col(colName).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df // already TimestampType
+    }
+
   /** Drain a micro-batch query to completion with a bounded state-store
     * partition count, then restore the session's shuffle partitions.
     *
@@ -55,7 +76,7 @@ object EventsPipeline {
     // streaming file source needs a directory; select the one file by glob
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      .transform(tsToTimestamp(_))
     stream
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -76,7 +97,7 @@ object EventsPipeline {
     // streaming file source needs a directory; select the one file by glob
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      .transform(tsToTimestamp(_))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .writeStream.outputMode(OutputMode.Complete)
@@ -111,7 +132,7 @@ object EventsPipeline {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      .transform(tsToTimestamp(_))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
@@ -134,7 +155,7 @@ object EventsPipeline {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def leg = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      .transform(tsToTimestamp(_))
     leg.unionByName(leg)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
@@ -184,7 +205,7 @@ object EventsPipeline {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      .transform(tsToTimestamp(_))
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("c_id"))
@@ -244,7 +265,7 @@ object EventsPipeline {
       queryName: String, windowMin: Int = 10): org.apache.spark.sql.streaming.StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val ev = raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = tsToTimestamp(raw)
     val maxTs = ev.agg(max(col("ts"))).first().getTimestamp(0)
     val flushTs = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
     val staging = s"/tmp/graft_stream_left/$queryName"
@@ -437,9 +458,9 @@ object EventsPipeline {
     require(cap >= 1, "cap must be positive")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"))
+    val stream = tsToTimestamp(spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
       .as[(Long, Long, Long)]
     stream.groupByKey(_._1)
       .flatMapGroupsWithState[Long, (Long, Long)](

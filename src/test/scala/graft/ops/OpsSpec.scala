@@ -646,6 +646,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(deg.stale && deg.errorInflation.isPosInfinity,
       s"exactly-quantized shifted batch must flag stale: $deg")
   }
+
+  test("mmrRerank diversifies: near-copy of the top hit is demoted below" +
+      " a diverse lower-relevance result") {
+    // query [1,0]: a is a perfect hit, b a near-copy of a with slightly
+    // lower relevance, c diverse with still-lower relevance. Pure
+    // relevance ranks a,b,c; MMR at λ=0.5 must pick c before b because
+    // b's similarity-to-a penalty exceeds its relevance edge.
+    val df = Seq(
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.9f, 0.12f)),
+      (3L, Seq(0.6f, -0.8f))).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val out = Similarity.mmrRerank(df, Array(1f, 0f), k = 3,
+        candidates = 3, lambda = 0.5)
+      .as[(Long, Double, Double, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 3L, 2L),
+      s"expected diversified order 1,3,2: ${out.mkString(",")}")
+    assert(out.map(_._4).toSeq == Seq(1L, 2L, 3L))
+    // relevance alone would have ordered 1,2,3 (sanity: b outranks c on rel)
+    val rels = out.map(r => r._1 -> r._2).toMap
+    assert(rels(2L) > rels(3L))
+    // rank-1 has no penalty: mmr = round6(λ·rel)
+    assert(math.abs(out.head._3 - 0.5 * rels(1L)) < 1e-6)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite with SparkTestBase {
@@ -996,5 +1020,25 @@ class TokenizerSpec extends AnyFunSuite with SparkTestBase {
         TextAnalysis.bpeTokenCountUdf()($"text").as("n"))
       .as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 8L, 2L -> 2L, 3L -> 0L))
+  }
+
+  test("stupidBackoffScores: hand-computed tiers and micro-unit log probs") {
+    // train = doc 0 only ("a b c d"): trigrams {abc, bcd}; bigrams
+    // {ab, bc, cd}; unigrams a,b,c,d ×1 → N=4, V=4.
+    val docs = Seq(
+      (0L, "a b c d"),   // both trigrams tier-3 at p=1 → lp6 = 0
+      (1L, "a b c x"),   // abc tier-3 p=1; bcx: no tri, no (c,x) bigram
+                         //   → tier-1 p = 0.4²·(0+1)/8 = 0.02
+      (3L, "x b c d")    // xbc: no tri, (b,c) trained → tier-2
+                         //   p = 0.4·1/1 = 0.4; bcd tier-3 p=1
+    ).toDF("doc_id", "text") // ids 1,3 odd → doc 0 is the only trainer
+    val out = TextAnalysis.stupidBackoffScores(docs, $"doc_id" % 2 === 0)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // log10(0.02)·1e6 = -1698970.004 → -1698970 (round half-up)
+    // log10(0.4)·1e6  =  -397940.009 →  -397940
+    assert(out(0L) == ((2L, 0L, 2L, 0L, 0L)), s"doc0: ${out(0L)}")
+    assert(out(1L) == ((2L, -1698970L, 1L, 0L, 1L)), s"doc1: ${out(1L)}")
+    assert(out(3L) == ((2L, -397940L, 1L, 1L, 0L)), s"doc3: ${out(3L)}")
   }
 }

@@ -32,7 +32,7 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
       .select(col("window.start").as("w"), col("event_type"), col("n"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(EventsPipeline.tsToTimestamp(_))
       .groupBy(window(col("ts"), "1 hour").getField("start").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
@@ -49,7 +49,7 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
       .select(col("window.start").as("w"), col("event_type"), col("n"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(EventsPipeline.tsToTimestamp(_))
       .groupBy(window(col("ts"), "1 hour").getField("start").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     assert(streamed.count() > 0, "watermarked stream should finalize at least one window")
@@ -80,7 +80,7 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
     val streamed = spark.table("test_ssj_sink").select("user_id", "c_id", "p_id")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(EventsPipeline.tsToTimestamp(_))
     val c = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
     val p = ev.filter(col("event_type") === "purchase")
@@ -101,7 +101,7 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("user_id") >= 0).select("user_id", "c_id", "p_id")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(EventsPipeline.tsToTimestamp(_))
     val c = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
     val p = ev.filter(col("event_type") === "purchase")

@@ -2278,7 +2278,27 @@ object SparkEntry {
     "q165_backoff_lm" -> ((s, dir) =>
       TextAnalysis.stupidBackoffScores(
         t(s, dir, "documents"), col("doc_id") % 2 === 0)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Filtered ANN with adaptive probe widening: metadata predicate
+    // (label % 3 = 1) thins every IVF cell, so the probe prefix widens
+    // until ≥ k passing rows are in scope — in ONE plan (the cumulative
+    // window runs over the 16-row cell dimension, not corpus rows).
+    // Oracle re-derives the filter, per-cell cumulative counts, cutoff
+    // rule, and cosine top-k from the aux-dumped assignments + probe
+    // ranking.
+    "q166_ann_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).toArray
+      val idx = new Similarity.IvfIndex(emb, nCentroids = 16)
+      writeAux(idx.assigned.select(col("vec_id"), col("centroid")),
+        dir, "q166_assign")
+      writeAux(idx.probeOrder(qv).toDF("centroid", "probe_rank"),
+        dir, "q166_probe")
+      idx.queryFilteredAdaptive(col("label") % 3 === 1, qv, k = 25)
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -4364,6 +4384,28 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN tier = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_t3,
         |  CAST(SUM(CASE WHEN tier = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_t2,
         |  CAST(SUM(CASE WHEN tier = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t1
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q166_ann_filtered" ->
+      """WITH asg AS (SELECT vec_id, centroid FROM '__AUX__/q166_assign/*.parquet'),
+        |rk AS (SELECT centroid, probe_rank FROM '__AUX__/q166_probe/*.parquet'),
+        |f AS (SELECT e.vec_id, a.centroid, r.probe_rank, e.embedding
+        |  FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
+        |  JOIN rk r ON r.centroid = a.centroid WHERE e.label % 3 = 1),
+        |cellc AS (SELECT probe_rank, count(*) AS c FROM f GROUP BY 1),
+        |cum AS (SELECT probe_rank,
+        |    sum(c) OVER (ORDER BY probe_rank ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM cellc),
+        |cut AS (SELECT COALESCE(min(CASE WHEN cum >= 25 THEN probe_rank END),
+        |    max(probe_rank)) AS cut FROM cum),
+        |p AS (SELECT f.vec_id, f.centroid, f.probe_rank,
+        |    unnest(f.embedding)::DOUBLE AS x, unnest(q.embedding)::DOUBLE AS y
+        |  FROM f, (SELECT embedding FROM embeddings WHERE vec_id = 0) q, cut
+        |  WHERE f.probe_rank <= cut.cut),
+        |c AS (SELECT vec_id, centroid, probe_rank,
+        |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+        |  FROM p GROUP BY 1, 2, 3)
+        |SELECT vec_id, centroid, probe_rank, cos FROM c
+        |ORDER BY cos DESC, vec_id LIMIT 25""".stripMargin
   )
 }

@@ -261,6 +261,55 @@ object Similarity {
         .limit(k)
     }
 
+    /** Filtered ANN with ADAPTIVE probe widening — the standard "vector
+      * search + metadata predicate" problem: a fixed nProbe that is
+      * right for unfiltered queries starves once the predicate thins
+      * each cell, and pre-filtering the whole corpus defeats the index.
+      * Rule (deterministic, oracle-re-derivable): rank ALL cells by
+      * centroid distance; take the SHORTEST probe-order prefix whose
+      * cells hold ≥ k predicate-passing rows (all cells if the corpus
+      * can't fill k); exact cosine top-k among passing rows in that
+      * prefix.
+      *
+      * One distributed pass, in-plan adaptivity: the per-cell filtered
+      * counts aggregate to AT MOST nCentroids rows, so the cumulative
+      * window and the cutoff scalar run over the cell DIMENSION (tiny,
+      * broadcast), never over corpus rows — no driver round-trips, no
+      * second scan of the filtered side thanks to the self-joined
+      * count table.
+      *
+      * Returns (vec_id, centroid, probe_rank, cos) for the k winners;
+      * [[probeOrder]] exposes the ranking for external verification. */
+    def queryFilteredAdaptive(pred: Column, queryVec: Array[Float],
+        k: Int): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val spark = df.sparkSession
+      import spark.implicits._
+      val rankDf = probeOrder(queryVec).toDF("centroid", "probe_rank")
+      val f = assigned.filter(pred)
+        .join(broadcast(rankDf), Seq("centroid"))
+      val cellCum = f.groupBy(col("probe_rank")).agg(count(lit(1)).as("c"))
+        .withColumn("cum",
+          sum("c").over(Window.orderBy("probe_rank")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      val cutoff = cellCum.agg(
+        coalesce(min(when(col("cum") >= k, col("probe_rank"))),
+          max(col("probe_rank"))).as("cut"))
+      f.join(broadcast(cutoff))
+        .filter(col("probe_rank") <= col("cut"))
+        .withColumn("cos", round(vecCosine(col(vecCol), typedlit(queryVec)), 6))
+        .orderBy(desc("cos"), col(idCol))
+        .limit(k)
+        .select(col(idCol), col("centroid"), col("probe_rank"), col("cos"))
+    }
+
+    /** The full centroid ranking for `queryVec` as (centroid,
+      * probe_rank) pairs, probe_rank 0-based — the probe order
+      * [[queryFilteredAdaptive]] widens along. */
+    def probeOrder(queryVec: Array[Float]): Seq[(Int, Int)] =
+      nearestCentroids(queryVec, clusterCenters.length)
+        .zipWithIndex.map { case (c, r) => (c, r) }
+
     // -----------------------------------------------------------------
     // Incremental maintenance (round-6 judge directive): a 100 TB corpus
     // arrives in batches, and refitting + reassigning everything per

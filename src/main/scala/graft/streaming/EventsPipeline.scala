@@ -106,6 +106,30 @@ object EventsPipeline {
       .start()
   }
 
+  /** Event-time SESSION windows on a real stream — the survey's
+    * "sessionization windows" row end-to-end: `session_window` +
+    * watermark in APPEND mode, so a session row emits once the
+    * watermark passes its last event + gap (sessions are closed, final,
+    * exactly the batch `session_window` aggregation for that span).
+    * State is per (user, open-session) and bounded by the watermark
+    * horizon; memory sink for tests. */
+  def streamSessionCounts(spark: SparkSession, dir: String,
+      queryName: String, gap: String = "30 minutes"):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(tsToTimestamp(_))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Session assignment in batch: a new session starts after `gapMin`
     * minutes of inactivity per user (lag + cumulative-sum window). */
   def sessionize(events: DataFrame, gapMin: Int = 30): DataFrame = {

@@ -647,6 +647,42 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       s"exactly-quantized shifted batch must flag stale: $deg")
   }
 
+  test("queryFilteredAdaptive widens the probe prefix to the minimal" +
+      " cutoff and matches the independent filtered top-k") {
+    val idx = new Similarity.IvfIndex(emb, nCentroids = 16)
+    val qv = emb.filter($"vec_id" === 0)
+      .select($"embedding").head.getSeq[Float](0).toArray
+    val pred = col("label") % 3 === 1
+    val k = 25
+    val out = idx.queryFilteredAdaptive(pred, qv, k)
+      .as[(Long, Int, Int, Double)].collect()
+    assert(out.length == k)
+    // independent expectation: assignments + probe order on the driver
+    val asg = idx.assigned.filter(pred)
+      .select($"vec_id", $"centroid").as[(Long, Int)].collect()
+    val rank = idx.probeOrder(qv).toMap // centroid -> rank
+    val perRank = asg.groupBy(r => rank(r._2)).view.mapValues(_.length)
+    val ranksWithRows = perRank.keys.toSeq.sorted
+    val cum = ranksWithRows.scanLeft(0)((a, r) => a + perRank(r)).drop(1)
+    val cutoff = ranksWithRows.zip(cum).collectFirst {
+      case (r, c) if c >= k => r }.getOrElse(ranksWithRows.max)
+    assert(out.map(_._3).max <= cutoff)
+    // every winner comes from the probed prefix
+    val inScope = asg.filter(r => rank(r._2) <= cutoff).map(_._1).toSet
+    assert(out.forall(r => inScope(r._1)))
+    // exact agreement with a brute-force rounded-cosine top-k in scope
+    val expected = graft.ops.Similarity.bruteForceTopK(
+        emb.filter(pred).filter($"vec_id".isin(inScope.toSeq: _*)),
+        qv, k)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(out.map(_._1).toSeq == expected)
+    // degenerate predicates: fewer matches than k returns them all;
+    // empty predicate returns empty, no crash
+    val tiny = idx.queryFilteredAdaptive(col("vec_id") < 3, qv, k)
+    assert(tiny.count() == emb.filter($"vec_id" < 3).count())
+    assert(idx.queryFilteredAdaptive(col("label") === -1, qv, k).count() == 0)
+  }
+
   test("mmrRerank diversifies: near-copy of the top hit is demoted below" +
       " a diverse lower-relevance result") {
     // query [1,0]: a is a perfect hit, b a near-copy of a with slightly

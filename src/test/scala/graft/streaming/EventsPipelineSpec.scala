@@ -56,6 +56,30 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.except(batch).isEmpty, "every emitted window must match batch")
   }
 
+  test("streaming session windows (append + watermark) match the batch" +
+      " session_window aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    val q = EventsPipeline.streamSessionCounts(spark, dir, "test_session_sink")
+    q.processAllAvailable()
+    q.stop()
+    // append emits only sessions the final watermark closed; each must
+    // equal the batch session_window row for the same (user, span)
+    val streamed = spark.table("test_session_sink")
+      .select(col("session_window.start").as("s"),
+        col("session_window.end").as("e"), col("user_id"), col("n"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .transform(EventsPipeline.tsToTimestamp(_))
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s"),
+        col("session_window.end").as("e"), col("user_id"), col("n"))
+    assert(streamed.count() > 0,
+      "watermarked stream should finalize at least one session")
+    assert(streamed.except(batch).isEmpty,
+      "every emitted session must match the batch aggregation")
+  }
+
   test("flatMapGroupsWithState running counts converge to the batch aggregate") {
     val dir = "/root/testdata/sf0.001"
     val q = EventsPipeline.streamStatefulUserCounts(spark, dir, "test_state_sink")

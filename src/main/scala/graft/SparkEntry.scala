@@ -2298,6 +2298,50 @@ object SparkEntry {
       writeAux(idx.probeOrder(qv).toDF("centroid", "probe_rank"),
         dir, "q166_probe")
       idx.queryFilteredAdaptive(col("label") % 3 === 1, qv, k = 25)
+    }),
+
+    // Cluster–label purity audit: the clustering-quality check before
+    // trusting IVF cells as domain proxies (mixtures, curricula,
+    // SemDeDup). Exact integers; the oracle re-derives per-cell counts
+    // and the majority argmax from aux assignments + the label column.
+    "q167_cluster_purity" -> ((s, dir) => {
+      val idx = new Similarity.IvfIndex(t(s, dir, "embeddings"),
+        nCentroids = 16)
+      writeAux(idx.assigned.select(col("vec_id"), col("centroid")),
+        dir, "q167_assign")
+      graft.ops.Profile.clusterLabelPurity(idx.assigned)
+        .orderBy("centroid")
+    }),
+
+    // HTML boilerplate removal (jusText/readability family as exact
+    // integer rules): chrome blocks, short blocks, and link-dense
+    // blocks drop; parsing is spec-gated, and the keep rule +
+    // aggregation re-derive in DuckDB from aux-dumped per-block
+    // integer features (the q161 pattern — floats never cross).
+    "q168_html_extract" -> ((s, dir) => {
+      val html = t(s, dir, "documents").select(col("doc_id"), concat(
+        lit("<html><head><title>Doc</title><style>p{color:red}</style>" +
+          "</head><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About" +
+          "</a> <a href=\"/c\">Contact</a></nav><div>"),
+        col("text"),
+        lit("</div><aside>Sponsored <a href=\"/buy\">buy now</a> deal" +
+          "</aside><footer><a href=\"/t\">Terms</a> | <a href=\"/p\">" +
+          "Privacy</a></footer></body></html>")).as("html"))
+      val feats = html.select(col("doc_id"),
+        explode(graft.text.HtmlExtract.blockFeaturesUdf(col("html")))
+          .as("b"))
+        .select(col("doc_id"), col("b._1").as("block_idx"),
+          col("b._2").as("text_len"), col("b._3").as("link_len"),
+          col("b._4").as("chrome"))
+      writeAux(feats, dir, "q168_blocks")
+      feats.withColumn("kept",
+          when(col("chrome") === 0 && col("text_len") >= 25 &&
+            lit(2) * col("link_len") < col("text_len"), 1L).otherwise(0L))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_blocks"), sum("kept").as("n_kept"),
+          sum(when(col("kept") === 1, col("text_len")).otherwise(0L))
+            .as("kept_chars"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4406,6 +4450,33 @@ object SparkEntry {
         |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
         |  FROM p GROUP BY 1, 2, 3)
         |SELECT vec_id, centroid, probe_rank, cos FROM c
-        |ORDER BY cos DESC, vec_id LIMIT 25""".stripMargin
+        |ORDER BY cos DESC, vec_id LIMIT 25""".stripMargin,
+
+    "q167_cluster_purity" ->
+      """WITH asg AS (SELECT vec_id, centroid FROM '__AUX__/q167_assign/*.parquet'),
+        |j AS (SELECT a.centroid, e.label FROM asg a
+        |  JOIN embeddings e ON e.vec_id = a.vec_id),
+        |c AS (SELECT centroid, label, count(*) AS cnt FROM j GROUP BY 1, 2),
+        |m AS (SELECT centroid, label AS maj_label, cnt AS maj_n,
+        |    row_number() OVER (PARTITION BY centroid
+        |                       ORDER BY cnt DESC, label) AS rn FROM c),
+        |t AS (SELECT centroid, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM c GROUP BY 1)
+        |SELECT t.centroid, t.n, m.maj_label, m.maj_n
+        |FROM t JOIN m ON m.centroid = t.centroid AND m.rn = 1
+        |ORDER BY t.centroid""".stripMargin,
+
+    "q168_html_extract" ->
+      """WITH b AS (SELECT doc_id, block_idx, text_len, link_len, chrome
+        |  FROM '__AUX__/q168_blocks/*.parquet'),
+        |k AS (SELECT doc_id, text_len,
+        |    CASE WHEN chrome = 0 AND text_len >= 25
+        |         AND 2 * link_len < text_len THEN 1 ELSE 0 END AS kept
+        |  FROM b)
+        |SELECT doc_id, count(*) AS n_blocks,
+        |  CAST(sum(kept) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN kept = 1 THEN text_len ELSE 0 END) AS BIGINT)
+        |    AS kept_chars
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

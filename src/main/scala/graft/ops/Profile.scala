@@ -234,4 +234,28 @@ object Profile {
       .groupBy(valueCol).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)
   }
+
+  /** Cluster–label purity audit: per group (e.g. an IVF centroid cell),
+    * total membership and the majority label with its count — the
+    * clustering-quality check a mixture/curriculum pipeline runs before
+    * trusting cluster assignments as domain proxies (SemDeDup-style
+    * pipelines audit exactly this). Exact integers only: purity ratios
+    * are left to the caller so the result stays engine-reproducible.
+    * Two map-side-combine aggregations over (group, label) — the
+    * (group, label) key space is dimension-sized, never corpus-sized;
+    * ties on count break to the smallest label (deterministic). */
+  def clusterLabelPurity(assigned: DataFrame, groupCol: String = "centroid",
+      labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = assigned.groupBy(col(groupCol), col(labelCol))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(groupCol).orderBy(desc("cnt"), col(labelCol))
+    val majority = counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(groupCol), col(labelCol).as("maj_label"),
+        col("cnt").as("maj_n"))
+    val totals = counts.groupBy(col(groupCol)).agg(sum("cnt").as("n"))
+    totals.join(majority, Seq(groupCol))
+      .select(col(groupCol), col("n"), col("maj_label"), col("maj_n"))
+  }
 }

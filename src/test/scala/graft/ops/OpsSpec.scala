@@ -926,6 +926,17 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(v == Map("b" -> 3L), s"a is clean, c's null isn't a distinct value: $v")
   }
 
+  test("clusterLabelPurity: totals, majority argmax, smallest-label tie-break") {
+    val df = Seq((0, 1), (0, 1), (0, 2), (1, 5), (1, 7), (2, 9))
+      .toDF("centroid", "label")
+    val out = Profile.clusterLabelPurity(df)
+      .as[(Int, Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(0) == ((3L, 1, 2L)))            // clear majority
+    assert(out(1) == ((2L, 5, 1L)), "count tie -> smallest label wins")
+    assert(out(2) == ((1L, 9, 1L)))            // singleton cell
+  }
+
   test("heavyHitters: MG sketch surfaces every true heavy hitter within its error bound") {
     // N = 500 + 120 + 200 = 820; sketchSize 16 -> error bound N/17 ~ 48
     val rows = Seq.fill(500)("hot") ++ Seq.fill(120)("warm") ++

@@ -282,4 +282,46 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"the bounded depth x width sketch must broadcast:\n$plan")
   }
+
+  test("q165 guard: trigram extraction never windows; count tables join" +
+      " without a corpus-side sort") {
+    val df = SparkEntry.queries("q165_backoff_lm")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the per-row array transform replaces the lag/lead window a naive
+    // formulation would shuffle the whole corpus through
+    assert(!plan.contains("Window"),
+      s"trigram extraction must not use a window:\n$plan")
+    // N+V is a driver-side literal, so every scoring join is an equi-join
+    assert(!plan.contains("CartesianProduct"),
+      s"scoring joins must stay equi-joins:\n$plan")
+  }
+
+  test("q166 guard: adaptive filtered ANN broadcasts the cell dimension;" +
+      " top-k is TakeOrdered, not a global sort") {
+    val df = SparkEntry.queries("q166_ann_filtered")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"k winners must come from per-partition top-k, not Sort+Limit:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"probe ranking and cutoff (<= nCentroids rows) must broadcast:\n$plan")
+  }
+
+  test("q164 guard: MMR candidate scan is TakeOrdered over a codegen" +
+      " cosine project") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    import graft.functions.GraftFunctions.vecCosine
+    import org.apache.spark.sql.functions.typedlit
+    val cand = emb
+      .withColumn("rel", round(vecCosine(col("embedding"), typedlit(qv)), 6))
+      .orderBy(desc("rel"), col("vec_id")).limit(50)
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"candidate selection must be per-partition top-k:\n$plan")
+  }
 }

@@ -2342,6 +2342,22 @@ object SparkEntry {
           sum(when(col("kept") === 1, col("text_len")).otherwise(0L))
             .as("kept_chars"))
         .orderBy("doc_id")
+    }),
+
+    // Bradley–Terry preference aggregation (RLHF pipelines): synthetic
+    // pairwise judgments from doc_id arithmetic reduce to the canonical
+    // win matrix in one distributed pass; five MM iterations run in
+    // exact fixed-point integers (q88's pagerank discipline), so the
+    // oracle replays them as unrolled integer-division CTEs.
+    "q169_bradley_terry" -> ((s, dir) => {
+      val prefs = t(s, dir, "documents").select(
+        (col("doc_id") % 8).as("a"), ((col("doc_id") * 5 + 3) % 8).as("b"),
+        when(col("doc_id") % 3 === 0, 0L).otherwise(1L).as("wa"),
+        when(col("doc_id") % 3 === 0, 1L).otherwise(0L).as("wb"))
+        .filter(col("a") =!= col("b"))
+      graft.ops.Curation.bradleyTerryScores(prefs, "a", "b", "wa", "wb",
+          iters = 5)
+        .orderBy("model")
     })
   )
 
@@ -4477,6 +4493,39 @@ object SparkEntry {
         |  CAST(sum(kept) AS BIGINT) AS n_kept,
         |  CAST(sum(CASE WHEN kept = 1 THEN text_len ELSE 0 END) AS BIGINT)
         |    AS kept_chars
-        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q169_bradley_terry" -> {
+      // five MM iterations unrolled as MATERIALIZED integer-division
+      // CTEs (scale² = 1e12; `//` floors = Long `/` truncation on the
+      // all-positive operands)
+      val s2 = "1000000000000"
+      val steps = (1 to 5).map { k =>
+        s"""bt$k AS MATERIALIZED (
+           |  SELECT d.m, CAST(w.wtot * $s2 // d.den AS BIGINT) AS s FROM (
+           |    SELECT e.m, SUM(e.n * $s2 // (a.s + b.s)) AS den
+           |    FROM edges e JOIN bt${k - 1} a ON a.m = e.m
+           |                 JOIN bt${k - 1} b ON b.m = e.o GROUP BY e.m) d
+           |  JOIN wins w ON w.m = d.m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH prefs AS (SELECT doc_id % 8 AS a, (doc_id * 5 + 3) % 8 AS b,
+         |    CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS wa,
+         |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS wb
+         |  FROM documents WHERE doc_id % 8 <> (doc_id * 5 + 3) % 8),
+         |canon AS (SELECT CASE WHEN a < b THEN a ELSE b END AS i,
+         |    CASE WHEN a < b THEN b ELSE a END AS j,
+         |    CAST(SUM(CASE WHEN a < b THEN wa ELSE wb END) AS BIGINT) AS wi,
+         |    CAST(SUM(CASE WHEN a < b THEN wb ELSE wa END) AS BIGINT) AS wj
+         |  FROM prefs GROUP BY 1, 2),
+         |edges AS (SELECT i AS m, j AS o, wi + wj AS n FROM canon
+         |  UNION ALL SELECT j, i, wi + wj FROM canon),
+         |wins AS (SELECT m, CAST(SUM(w) AS BIGINT) AS wtot FROM (
+         |    SELECT i AS m, wi AS w FROM canon
+         |    UNION ALL SELECT j, wj FROM canon) GROUP BY 1),
+         |bt0 AS MATERIALIZED (
+         |  SELECT DISTINCT m, CAST(1000000 AS BIGINT) AS s FROM edges),
+         |$steps
+         |SELECT m AS model, s AS score FROM bt5 ORDER BY model""".stripMargin
+    }
   )
 }

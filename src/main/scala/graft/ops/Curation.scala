@@ -555,4 +555,58 @@ object Curation {
       .filter(col("distinct_sensitive") < l)
     nullSafeJoinBack(df, riskyGroups, quasiCols)
   }
+
+  /** Bradley–Terry preference aggregation (Hunter 2004's MM update) —
+    * how pairwise human/model preference judgments become per-model
+    * scores in an RLHF data pipeline. Exact fixed-point integers, the
+    * q88-pagerank discipline: scores carry `scale` (1e6) and every MM
+    * step is integer division, so five iterations are bit-identical in
+    * any engine (Long division truncates, all quantities positive):
+    *
+    *   s'_m = (W_m · scale²) / Σ_o (n_mo · scale²) / (s_m + s_o)
+    *
+    * Execution shape: reducing raw comparisons to the canonical
+    * per-pair win matrix is the ONE distributed pass (map-side
+    * combine); the matrix is dimension-scale (models², like IVF
+    * centroids), so the MM iterations run exactly on the driver — the
+    * same boundary as [[Similarity]]'s k-means fit and probe ranking.
+    * Bound: n_mo · scale² must fit a Long (n_mo < ~9e6 at scale 1e6);
+    * normalize counts upstream past that. */
+  def bradleyTerryScores(pairs: DataFrame, aCol: String, bCol: String,
+      winsACol: String, winsBCol: String, iters: Int = 5,
+      scale: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val canon = pairs.select(
+        least(col(aCol), col(bCol)).cast("long").as("i"),
+        greatest(col(aCol), col(bCol)).cast("long").as("j"),
+        when(col(aCol) < col(bCol), col(winsACol))
+          .otherwise(col(winsBCol)).cast("long").as("wi"),
+        when(col(aCol) < col(bCol), col(winsBCol))
+          .otherwise(col(winsACol)).cast("long").as("wj"))
+      .groupBy("i", "j")
+      .agg(sum("wi").as("wi"), sum("wj").as("wj"))
+      .as[(Long, Long, Long, Long)].collect()
+    val wins = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val adj = scala.collection.mutable.Map.empty[Long, List[(Long, Long)]]
+      .withDefaultValue(Nil)
+    canon.foreach { case (i, j, wi, wj) =>
+      wins(i) += wi; wins(j) += wj
+      val n = wi + wj
+      adj(i) = (j, n) :: adj(i); adj(j) = (i, n) :: adj(j)
+    }
+    val models = adj.keys.toSeq.sorted
+    models.foreach { m => require(wins(m) > 0,
+      s"Bradley-Terry needs at least one win per model (model $m has 0);" +
+        " drop never-winning models upstream") }
+    val s2 = scale * scale
+    var s: Map[Long, Long] = models.map(_ -> scale).toMap
+    (1 to iters).foreach { _ =>
+      s = models.map { m =>
+        val den = adj(m).map { case (o, n) => n * s2 / (s(m) + s(o)) }.sum
+        m -> wins(m) * s2 / den
+      }.toMap
+    }
+    models.map(m => (m, s(m))).toDF("model", "score")
+  }
 }

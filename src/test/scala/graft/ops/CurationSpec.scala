@@ -378,4 +378,32 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       Curation.lDiversityRisk(df, Seq("lang"), "dx", l = 1)
     }
   }
+
+  test("bradleyTerryScores: symmetric pair stays at scale; 3:1 wins" +
+      " converge to a 3:1 score ratio; zero-win model rejected") {
+    // two models, 4 comparisons, A wins 3: MM fixed point is s_A/s_B = 3
+    val df = Seq((1L, 2L, 3L, 1L)).toDF("a", "b", "wa", "wb")
+    val s = Curation.bradleyTerryScores(df, "a", "b", "wa", "wb", iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(s == Map(1L -> 1500000L, 2L -> 500000L), s"got $s")
+    // symmetric wins: both sit at the initial scale forever
+    val sym = Curation.bradleyTerryScores(
+        Seq((7L, 9L, 2L, 2L)).toDF("a", "b", "wa", "wb"),
+        "a", "b", "wa", "wb", iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(sym == Map(7L -> 1000000L, 9L -> 1000000L))
+    // a model that never wins would zero out and then divide by zero —
+    // rejected loudly instead
+    intercept[IllegalArgumentException] {
+      Curation.bradleyTerryScores(
+        Seq((1L, 2L, 4L, 0L)).toDF("a", "b", "wa", "wb"),
+        "a", "b", "wa", "wb")
+    }
+    // reversed column order canonicalizes to the same matrix
+    val rev = Curation.bradleyTerryScores(
+        Seq((2L, 1L, 1L, 3L)).toDF("a", "b", "wa", "wb"),
+        "a", "b", "wa", "wb", iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(rev == s)
+  }
 }

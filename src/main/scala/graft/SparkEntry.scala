@@ -2358,6 +2358,47 @@ object SparkEntry {
       graft.ops.Curation.bradleyTerryScores(prefs, "a", "b", "wa", "wb",
           iters = 5)
         .orderBy("model")
+    }),
+
+    // OOV-rate audit: vocabulary trained on the doc_id-even split,
+    // applied to EVERY doc — the coverage check a pipeline runs before
+    // committing to a fixed vocab (vocab size 16 < the corpus's 31
+    // distinct tokens, so the tail is genuinely out-of-vocabulary).
+    // One explode + broadcast vocab join; fully SQL-re-derivable
+    // (buildVocab's count-desc/token-asc tie-break is deterministic).
+    "q170_oov_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val vocab = TextAnalysis.buildVocab(
+        docs.filter(col("doc_id") % 2 === 0), "text", size = 16)
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .join(vocab, Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("tok_id").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .orderBy("doc_id")
+    }),
+
+    // Length-bucketed inference batching: docs bucket by length/16,
+    // order long-first within bucket, cut into batches of 8; per batch
+    // the padding waste (n·max − Σlen) quantifies what length-aware
+    // batching saves. Exact integers; the per-bucket window is the only
+    // shuffle and it is partitioned by bucket (never a global sort).
+    "q171_length_batching" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lens = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("len"))
+        .withColumn("bucket", expr("len div 16"))
+      val w = Window.partitionBy("bucket").orderBy(desc("len"), col("doc_id"))
+      lens.withColumn("rn", row_number().over(w).cast("long") - 1)
+        .withColumn("batch_idx", expr("rn div 8"))
+        .groupBy("bucket", "batch_idx")
+        .agg(count(lit(1)).as("n_docs"), max("len").as("max_len"),
+          sum("len").as("sum_len"))
+        .select(col("bucket"), col("batch_idx"), col("n_docs"),
+          col("max_len"),
+          (col("n_docs") * col("max_len") - col("sum_len")).as("waste"))
+        .orderBy("bucket", "batch_idx")
     })
   )
 
@@ -4526,6 +4567,34 @@ object SparkEntry {
          |  SELECT DISTINCT m, CAST(1000000 AS BIGINT) AS s FROM edges),
          |$steps
          |SELECT m AS model, s AS score FROM bt5 ORDER BY model""".stripMargin
-    }
+    },
+
+    "q170_oov_audit" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vc AS (SELECT tok, count(*) AS cnt FROM toks
+        |  WHERE doc_id % 2 = 0 GROUP BY 1),
+        |vocab AS (SELECT tok FROM vc ORDER BY cnt DESC, tok LIMIT 16)
+        |SELECT t.doc_id, count(*) AS n_tok,
+        |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov
+        |FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q171_length_batching" ->
+      """WITH lens AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        |  FROM documents),
+        |b AS (SELECT doc_id, len, len // 16 AS bucket FROM lens),
+        |r AS (SELECT bucket, len,
+        |    row_number() OVER (PARTITION BY bucket
+        |                       ORDER BY len DESC, doc_id) - 1 AS rn
+        |  FROM b),
+        |g AS (SELECT bucket, rn // 8 AS batch_idx, count(*) AS n_docs,
+        |    max(len) AS max_len, CAST(sum(len) AS BIGINT) AS sum_len
+        |  FROM r GROUP BY 1, 2)
+        |SELECT bucket, batch_idx, n_docs, max_len,
+        |  CAST(n_docs * max_len - sum_len AS BIGINT) AS waste
+        |FROM g ORDER BY bucket, batch_idx""".stripMargin
   )
 }

@@ -2399,6 +2399,22 @@ object SparkEntry {
           col("max_len"),
           (col("n_docs") * col("max_len") - col("sum_len")).as("waste"))
         .orderBy("bucket", "batch_idx")
+    }),
+
+    // EXACT-threshold near-dup join by prefix filtering (PPJoin's core
+    // pruning; the zero-false-negative counterpart to MinHash-LSH q33):
+    // planted twins (every x25 doc duplicated under id+100000) must all
+    // surface at shingle-Jaccard >= 3/5. The oracle re-derives rarity
+    // ordering, prefix arithmetic, candidates, and the exact integer
+    // verify — no probabilistic banding anywhere.
+    "q172_prefix_filter_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.unionByName(
+        docs.filter(col("doc_id") % 25 === 0).select(
+          (col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.prefixFilterJoin(planted, "doc_id", "text",
+          shingleK = 5, tNum = 3, tDen = 5)
+        .orderBy("id1", "id2")
     })
   )
 
@@ -4595,6 +4611,37 @@ object SparkEntry {
         |  FROM r GROUP BY 1, 2)
         |SELECT bucket, batch_idx, n_docs, max_len,
         |  CAST(n_docs * max_len - sum_len AS BIGINT) AS waste
-        |FROM g ORDER BY bucket, batch_idx""".stripMargin
+        |FROM g ORDER BY bucket, batch_idx""".stripMargin,
+
+    "q172_prefix_filter_join" ->
+      """WITH planted AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents
+        |    WHERE doc_id % 25 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM planted),
+        |pos AS (SELECT doc_id, w, unnest(range(len(w) - 4)) AS i
+        |  FROM toks WHERE len(w) >= 5),
+        |shs AS (SELECT DISTINCT doc_id,
+        |    array_to_string(w[i+1:i+5], ' ') AS sh FROM pos),
+        |cnts AS (SELECT sh, count(*) AS cnt FROM shs GROUP BY 1),
+        |ranked AS (SELECT s.doc_id, s.sh,
+        |    row_number() OVER (PARTITION BY s.doc_id
+        |                       ORDER BY c.cnt, s.sh) AS rk,
+        |    count(*) OVER (PARTITION BY s.doc_id) AS n
+        |  FROM shs s JOIN cnts c ON c.sh = s.sh),
+        |pref AS (SELECT doc_id, sh FROM ranked
+        |  WHERE rk <= n - (n * 3 + 4) // 5 + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM pref a JOIN pref b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+        |inter AS (SELECT c.id1, c.id2, count(*) AS inter
+        |  FROM cand c JOIN shs x ON x.doc_id = c.id1
+        |              JOIN shs y ON y.doc_id = c.id2 AND y.sh = x.sh
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY 1)
+        |SELECT i.id1, i.id2, CAST(i.inter AS BIGINT) AS inter,
+        |  CAST(sa.n + sb.n - i.inter AS BIGINT) AS uni
+        |FROM inter i JOIN sizes sa ON sa.doc_id = i.id1
+        |             JOIN sizes sb ON sb.doc_id = i.id2
+        |WHERE i.inter * 5 >= (sa.n + sb.n - i.inter) * 3
+        |ORDER BY id1, id2""".stripMargin
   )
 }

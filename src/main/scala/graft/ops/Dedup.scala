@@ -886,4 +886,60 @@ object Dedup {
       .assigned.select(col(idCol), col(vecCol), col("centroid"))
     semanticDedupAssigned(assigned, vecCol, idCol, threshold)
   }
+
+  /** EXACT-threshold set-similarity self-join by prefix filtering
+    * (Chaudhuri et al. 2006 / PPJoin's core pruning): every pair with
+    * shingle-Jaccard ≥ tNum/tDen, no false negatives — the exact
+    * counterpart to MinHash-LSH's probabilistic recall.
+    *
+    * Prefix-filter theorem: order each document's distinct k-shingles
+    * by global rarity ((cnt, shingle) — a TOTAL order, so both engines
+    * agree without a global row_number); if J(a,b) ≥ t then a and b
+    * must share at least one of their first |d| − ⌈t·|d|⌉ + 1 shingles.
+    * Candidates therefore come from a join on PREFIX shingles only —
+    * rare ones, so candidate fan-out stays near the true-pair count —
+    * and each candidate verifies with an exact integer test
+    * (tDen·|a∩b| ≥ tNum·|a∪b|; the threshold is a rational, never a
+    * float).
+    *
+    * Scale shape: shingle set + count join is two shuffles over the
+    * (doc, shingle) stream; prefix selection is a PER-DOC window
+    * (partitioned, never global); verification joins only candidate
+    * pairs' shingle sets. Returns (id1, id2, inter, uni) with
+    * id1 < id2. */
+  def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, tNum: Int = 3, tDen: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tNum > 0 && tDen >= tNum, s"threshold $tNum/$tDen not in (0,1]")
+    val shs = docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= shingleK)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(0, size(w) - $shingleK), i -> " +
+          s"concat_ws(' ', slice(w, i + 1, $shingleK)))")).as("sh"))
+      .distinct()
+    val cnts = shs.groupBy("sh").agg(count(lit(1)).as("cnt"))
+    val byDoc = Window.partitionBy("id")
+    val ranked = shs.join(cnts, Seq("sh"))
+      .withColumn("rk", row_number().over(byDoc.orderBy(asc("cnt"), asc("sh"))))
+      .withColumn("n", count(lit(1)).over(byDoc))
+    // prefix length L = n − ⌈t·n⌉ + 1, with ⌈tNum·n/tDen⌉ in integers
+    val pref = ranked.filter(col("rk") <=
+      col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
+    val cand = pref.select(col("id").as("id1"), col("sh"))
+      .join(pref.select(col("id").as("id2"), col("sh")), Seq("sh"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val sizes = shs.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(shs.select(col("id").as("id1"), col("sh")), Seq("id1"))
+      .join(shs.select(col("id").as("id2"), col("sh")), Seq("id2", "sh"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id1"), col("n").as("na")), Seq("id1"))
+      .join(sizes.select(col("id").as("id2"), col("n").as("nb")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"))
+      .filter(col("inter") * tDen >= col("uni") * tNum)
+  }
 }

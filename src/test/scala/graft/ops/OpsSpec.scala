@@ -416,6 +416,30 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
   }
 }
 
+class PrefixFilterSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("prefixFilterJoin: exact threshold incl. the boundary, no false" +
+      " negatives, decoys absent") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), // shingles: abcde bcdef cdefg defgh
+      (2L, "a b c d e f g h"), // identical twin of 1 -> J = 1
+      (3L, "a b c d e f g x"), // 3 of 5 union shingles with 1 -> J = 3/5
+      (4L, "z y x w v u t s")) // disjoint decoy
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.prefixFilterJoin(docs, "doc_id", "text",
+        shingleK = 5, tNum = 3, tDen = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 4L, 4L), (1L, 3L, 3L, 5L), (2L, 3L, 3L, 5L)),
+      s"exact pairs incl. J=3/5 boundary: $out")
+    // raising the threshold past 3/5 drops the boundary pairs
+    val strict = graft.ops.Dedup.prefixFilterJoin(docs, "doc_id", "text",
+        shingleK = 5, tNum = 2, tDen = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(strict == Set((1L, 2L, 4L, 4L)))
+  }
+}
+
 class SimilaritySpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 

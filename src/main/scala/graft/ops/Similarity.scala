@@ -855,6 +855,17 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getDouble(1),
         r.getSeq[Float](2).toArray))
+    mmrSelect(cand.toSeq, k, lambda).toDF(idCol, "rel", "mmr", "rank")
+  }
+
+  /** The greedy MMR selection loop over an already-collected candidate
+    * set — shared by [[mmrRerank]] (cosine relevance) and the serving
+    * layer (RRF relevance): at each step pick the remaining candidate
+    * maximizing `round6(λ·rel − (1−λ)·max-sim-to-selected)`, ids break
+    * ties. O(k·|cands|) tiny-vector dot products on the driver;
+    * candidates are serving-sized by contract. */
+  def mmrSelect[A](cands: Seq[(A, Double, Array[Float])], k: Int,
+      lambda: Double)(implicit ord: Ordering[A]): Seq[(A, Double, Double, Long)] = {
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       val n = math.min(a.length, b.length)
@@ -862,11 +873,11 @@ object Similarity {
         nb += b(i).toDouble * b(i); i += 1 }
       if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(A, Double, Double)]
     val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
     val remaining = scala.collection.mutable.LinkedHashMap(
-      cand.map(c => c._1 -> c): _*)
-    while (selected.length < math.min(k, cand.length)) {
+      cands.map(c => c._1 -> c): _*)
+    while (selected.length < math.min(k, cands.length)) {
       // λ·rel − (1−λ)·max-sim-to-selected, rounded per comparison; the
       // first pick has no selected set, so its penalty term is 0
       val best = remaining.values.map { case (id, rel, v) =>
@@ -875,13 +886,13 @@ object Similarity {
         val mmr = round6(lambda * rel - (1 - lambda) * maxSim)
         (id, rel, mmr)
       }.minBy { case (id, _, mmr) => (-mmr, id) }(
-        Ordering.Tuple2[Double, Long])
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, ord))
       selected += best
       chosen += remaining(best._1)._3
       remaining.remove(best._1)
     }
     selected.zipWithIndex
       .map { case ((id, rel, mmr), i) => (id, rel, mmr, (i + 1).toLong) }
-      .toSeq.toDF(idCol, "rel", "mmr", "rank")
+      .toSeq
   }
 }

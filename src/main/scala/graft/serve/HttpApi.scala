@@ -157,16 +157,29 @@ object HttpApi {
           (400, err(s"score_threshold $threshold exceeds the maximum RRF " +
             f"score $ceiling%.6f; RRF thresholds are in (0, 2/(rrfK+1)]"))
         else {
-          val resp = Serve.query(engine.index, engine.docStats,
-            engine.corpusSize, engine.avgDocLen, q, k = k,
-            rrfScoreThreshold = threshold)
-          val results = resp.results.map(r => obj(
-            "id" -> r.id, "score" -> r.score, "case_name" -> r.caseName,
-            "court" -> r.court, "date_filed" -> r.dateFiled,
-            "judges" -> r.judges, "snippet" -> r.snippet))
-          (200, s"""{"query":${str(q)},"results":[${results.mkString(",")}],""" +
-            s""""search_type":"hybrid_rrf","processing_time":${resp.processingTimeSec},""" +
-            s""""documents_found":${resp.results.size}}""")
+          // "diversify": true runs q164's MMR pass over the hybrid
+          // candidates ("mmr_lambda" tunes the relevance/diversity mix)
+          val diversify = boolField(body, "diversify").getOrElse(false)
+          val lambda = doubleField(body, "mmr_lambda").getOrElse(0.7)
+          if (lambda < 0.0 || lambda > 1.0)
+            (400, err(s"mmr_lambda $lambda out of range [0, 1]"))
+          else {
+            val resp =
+              if (diversify) Serve.queryDiversified(engine.index,
+                engine.docStats, engine.corpusSize, engine.avgDocLen, q,
+                k = k, lambda = lambda, rrfScoreThreshold = threshold)
+              else Serve.query(engine.index, engine.docStats,
+                engine.corpusSize, engine.avgDocLen, q, k = k,
+                rrfScoreThreshold = threshold)
+            val results = resp.results.map(r => obj(
+              "id" -> r.id, "score" -> r.score, "case_name" -> r.caseName,
+              "court" -> r.court, "date_filed" -> r.dateFiled,
+              "judges" -> r.judges, "snippet" -> r.snippet))
+            val searchType = if (diversify) "hybrid_rrf_mmr" else "hybrid_rrf"
+            (200, s"""{"query":${str(q)},"results":[${results.mkString(",")}],""" +
+              s""""search_type":"$searchType","processing_time":${resp.processingTimeSec},""" +
+              s""""documents_found":${resp.results.size}}""")
+          }
         }
     }
 
@@ -305,6 +318,9 @@ object HttpApi {
 
   private def doubleField(body: Option[JsonNode], name: String): Option[Double] =
     body.flatMap(b => Option(b.get(name))).filter(_.isNumber).map(_.asDouble())
+
+  private def boolField(body: Option[JsonNode], name: String): Option[Boolean] =
+    body.flatMap(b => Option(b.get(name))).filter(_.isBoolean).map(_.asBoolean())
 
   private def str(s: String): String = mapper.writeValueAsString(s)
 

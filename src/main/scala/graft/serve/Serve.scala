@@ -131,6 +131,42 @@ object Serve {
     QueryResponse(question, results, (System.nanoTime() - t0) / 1e9)   // F13
   }
 
+  /** [[query]] with an MMR diversification pass (no reference analog —
+    * q164's operator at the serving layer): the hybrid search fetches
+    * `candMultiplier · k` candidates, then the shared greedy loop
+    * ([[graft.ops.Similarity.mmrSelect]]) picks k of them maximizing
+    * λ·rel − (1−λ)·max-cosine-to-selected over their dense vectors.
+    * RRF scores are max-normalized into (0, 1] first so λ blends
+    * comparable scales (raw RRF tops out at 2/(rrfK+1) ≈ 0.03 — unscaled
+    * it would be drowned by the cosine penalty at any λ). Result rows
+    * keep their ORIGINAL RRF score; only the order and membership
+    * change. */
+  def queryDiversified(index: DataFrame, docStats: DataFrame,
+      corpusSize: Long, avgDocLen: Double, question: String, k: Int = 3,
+      lambda: Double = 0.7, candMultiplier: Int = 3,
+      rrfScoreThreshold: Double = 0.0): QueryResponse = {
+    val t0 = System.nanoTime()
+    val hits = HybridSearch.search(index, docStats, corpusSize, avgDocLen,
+      question, HybridSearch.Config(k = k * candMultiplier,
+        rrfScoreThreshold = rrfScoreThreshold))
+    val present = hits.columns.toSet
+    val payloadCols = Seq("case_name", "court", "date_filed", "judges").filter(present)
+    val rows = hits.select(("id" +: "rrf_score" +: "chunk_text" +: "dense_vec" +:
+        payloadCols).map(col): _*).collect().toSeq
+    if (rows.isEmpty)
+      return QueryResponse(question, Seq.empty, (System.nanoTime() - t0) / 1e9)
+    val maxRrf = rows.map(_.getAs[Double]("rrf_score")).max
+    val cands = rows.map { r =>
+      (r.getAs[String]("id"), r.getAs[Double]("rrf_score") / maxRrf,
+        Option(r.getAs[scala.collection.Seq[Float]]("dense_vec"))
+          .map(_.toArray).getOrElse(Array.empty[Float]))
+    }
+    val byId = rows.map(r => r.getAs[String]("id") -> r).toMap
+    val results = graft.ops.Similarity.mmrSelect(cands, k, lambda)
+      .map { case (id, _, _, _) => toResult(byId(id), present) }
+    QueryResponse(question, results, (System.nanoTime() - t0) / 1e9)
+  }
+
   /** Row → API result with payload defaults (reference `app.py:345-358`);
     * shared by the single and batched query paths so the two endpoints
     * can never drift in hydration semantics. */

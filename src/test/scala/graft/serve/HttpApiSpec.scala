@@ -124,6 +124,29 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("POST /search with diversify: 200, mmr search_type, same top hit," +
+      " membership within the hybrid candidates; bad lambda rejected") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def ids(body: String): Seq[String] = {
+      val rs = mapper.readTree(body).get("results")
+      (0 until rs.size()).map(rs.get(_).get("id").asText())
+    }
+    val plain = post("/search", """{"query":"habeas corpus","limit":3}""")
+    val div = post("/search",
+      """{"query":"habeas corpus","limit":2,"diversify":true}""")
+    assert(div.statusCode() == 200, div.body())
+    assert(div.body().contains("\"search_type\":\"hybrid_rrf_mmr\""))
+    val dIds = ids(div.body())
+    assert(dIds.size == 2)
+    // the first MMR pick is the relevance argmax -> same top hit
+    assert(dIds.head == ids(plain.body()).head)
+    // membership stays inside the hybrid candidate pool (3x limit)
+    assert(dIds.toSet.subsetOf(ids(plain.body()).toSet))
+    val bad = post("/search",
+      """{"query":"x","diversify":true,"mmr_lambda":1.5}""")
+    assert(bad.statusCode() == 400 && bad.body().contains("mmr_lambda"))
+  }
+
   test("POST /search/batch input validation: missing, empty, over-cap") {
     assert(post("/search/batch", """{}""").statusCode() == 400)
     assert(post("/search/batch", """{"queries":[]}""").statusCode() == 400)

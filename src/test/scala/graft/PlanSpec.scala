@@ -309,6 +309,25 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"probe ranking and cutoff (<= nCentroids rows) must broadcast:\n$plan")
   }
 
+  test("q172 guard: prefix-filter join stays on equi-joins; the rank" +
+      " window partitions per doc, never globally") {
+    val df = SparkEntry.queries("q172_prefix_filter_join")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate + verify joins must be equi-joins:\n$plan")
+    // every Window in the plan must be keyed by the doc id — a global
+    // (unpartitioned) rarity rank would serialize the shingle dimension.
+    // windowspecdefinition renders partition columns FIRST, so a
+    // per-doc window reads windowspecdefinition(id#...; an unpartitioned
+    // one would open with the order spec instead.
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty &&
+      windows.forall(_.contains("windowspecdefinition(id#")),
+      s"rank windows must be per-doc partitioned:\n${windows.mkString("\n")}")
+  }
+
   test("q164 guard: MMR candidate scan is TakeOrdered over a codegen" +
       " cosine project") {
     graft.functions.GraftFunctions.register(spark)

@@ -2415,6 +2415,23 @@ object SparkEntry {
       Dedup.prefixFilterJoin(planted, "doc_id", "text",
           shingleK = 5, tNum = 3, tDen = 5)
         .orderBy("id1", "id2")
+    }),
+
+    // Incremental exact-threshold admission: even docs are the stored
+    // corpus, the batch is the odd docs PLUS re-submitted copies of the
+    // evens (id+100000) — every replant must match its stored original
+    // at J >= 3/5 with stored-only (frozen) shingle statistics. Oracle
+    // re-derives the stale-consistent ordering, both prefixes, and the
+    // exact verify.
+    "q173_prefix_admit" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val stored = d.filter(col("doc_id") % 2 === 0)
+      val batch = d.filter(col("doc_id") % 2 === 1).unionByName(
+        stored.filter(col("doc_id") % 50 === 0).select(
+          (col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.prefixFilterAdmit(batch, stored, "doc_id", "text",
+          shingleK = 5, tNum = 3, tDen = 5)
+        .orderBy("new_id", "old_id")
     })
   )
 
@@ -4642,6 +4659,49 @@ object SparkEntry {
         |FROM inter i JOIN sizes sa ON sa.doc_id = i.id1
         |             JOIN sizes sb ON sb.doc_id = i.id2
         |WHERE i.inter * 5 >= (sa.n + sb.n - i.inter) * 3
-        |ORDER BY id1, id2""".stripMargin
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q173_prefix_admit" ->
+      """WITH stored AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL SELECT doc_id + 100000, text FROM stored
+        |    WHERE doc_id % 50 = 0),
+        |tn AS (SELECT doc_id, string_split(text, ' ') AS w FROM batch),
+        |to_ AS (SELECT doc_id, string_split(text, ' ') AS w FROM stored),
+        |shn AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+5], ' ') AS sh
+        |  FROM (SELECT doc_id, w, unnest(range(len(w) - 4)) AS i
+        |        FROM tn WHERE len(w) >= 5)),
+        |sho AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+5], ' ') AS sh
+        |  FROM (SELECT doc_id, w, unnest(range(len(w) - 4)) AS i
+        |        FROM to_ WHERE len(w) >= 5)),
+        |cnts AS (SELECT sh, count(*) AS cnt FROM sho GROUP BY 1),
+        |pn AS (SELECT doc_id, sh FROM (
+        |  SELECT s.doc_id, s.sh,
+        |    row_number() OVER (PARTITION BY s.doc_id
+        |      ORDER BY COALESCE(c.cnt, 0), s.sh) AS rk,
+        |    count(*) OVER (PARTITION BY s.doc_id) AS n
+        |  FROM shn s LEFT JOIN cnts c ON c.sh = s.sh)
+        |  WHERE rk <= n - (n * 3 + 4) // 5 + 1),
+        |po AS (SELECT doc_id, sh FROM (
+        |  SELECT s.doc_id, s.sh,
+        |    row_number() OVER (PARTITION BY s.doc_id
+        |      ORDER BY COALESCE(c.cnt, 0), s.sh) AS rk,
+        |    count(*) OVER (PARTITION BY s.doc_id) AS n
+        |  FROM sho s LEFT JOIN cnts c ON c.sh = s.sh)
+        |  WHERE rk <= n - (n * 3 + 4) // 5 + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+        |  FROM pn a JOIN po b ON a.sh = b.sh),
+        |inter AS (SELECT c.new_id, c.old_id, count(*) AS inter
+        |  FROM cand c JOIN shn x ON x.doc_id = c.new_id
+        |              JOIN sho y ON y.doc_id = c.old_id AND y.sh = x.sh
+        |  GROUP BY 1, 2),
+        |szn AS (SELECT doc_id, count(*) AS n FROM shn GROUP BY 1),
+        |szo AS (SELECT doc_id, count(*) AS n FROM sho GROUP BY 1)
+        |SELECT i.new_id, i.old_id, CAST(i.inter AS BIGINT) AS inter,
+        |  CAST(sa.n + sb.n - i.inter AS BIGINT) AS uni
+        |FROM inter i JOIN szn sa ON sa.doc_id = i.new_id
+        |             JOIN szo sb ON sb.doc_id = i.old_id
+        |WHERE i.inter * 5 >= (sa.n + sb.n - i.inter) * 3
+        |ORDER BY new_id, old_id""".stripMargin
   )
 }

@@ -942,4 +942,57 @@ object Dedup {
         (col("na") + col("nb") - col("inter")).as("uni"))
       .filter(col("inter") * tDen >= col("uni") * tNum)
   }
+
+  /** Incremental admission flavor of [[prefixFilterJoin]] (the q91
+    * stored-table pattern, exact-threshold edition): flag every NEW doc
+    * whose shingle-Jaccard against some STORED doc reaches tNum/tDen.
+    * Shingle rarity comes from the STORED corpus only — the frozen-stats
+    * discipline of `IvfIndex.appendAssign` — with `(coalesce(cnt, 0),
+    * shingle)` as the total order, so batch-only shingles rank rarest
+    * and BOTH sides of every (new, stored) pair use the SAME order: the
+    * prefix-filter completeness theorem needs exactly that consistency,
+    * not fresh counts. Returns (new_id, old_id, inter, uni) matches;
+    * admission = the batch anti-joined on new_id. */
+  def prefixFilterAdmit(batch: DataFrame, stored: DataFrame,
+      idCol: String, textCol: String, shingleK: Int = 5,
+      tNum: Int = 3, tDen: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tNum > 0 && tDen >= tNum, s"threshold $tNum/$tDen not in (0,1]")
+    def shingleSet(df: DataFrame) = df
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= shingleK)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(0, size(w) - $shingleK), i -> " +
+          s"concat_ws(' ', slice(w, i + 1, $shingleK)))")).as("sh"))
+      .distinct()
+    val shNew = shingleSet(batch)
+    val shOld = shingleSet(stored)
+    val cnts = shOld.groupBy("sh").agg(count(lit(1)).as("cnt"))
+    def prefix(shs: DataFrame) = {
+      val byDoc = Window.partitionBy("id")
+      shs.join(cnts, Seq("sh"), "left")
+        .withColumn("c0", coalesce(col("cnt"), lit(0L)))
+        .withColumn("rk", row_number().over(
+          byDoc.orderBy(asc("c0"), asc("sh"))))
+        .withColumn("n", count(lit(1)).over(byDoc))
+        .filter(col("rk") <=
+          col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
+        .select("id", "sh")
+    }
+    val cand = prefix(shNew).select(col("id").as("new_id"), col("sh"))
+      .join(prefix(shOld).select(col("id").as("old_id"), col("sh")), Seq("sh"))
+      .select("new_id", "old_id").distinct()
+    val inter = cand
+      .join(shNew.select(col("id").as("new_id"), col("sh")), Seq("new_id"))
+      .join(shOld.select(col("id").as("old_id"), col("sh")), Seq("old_id", "sh"))
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("inter"))
+    val szNew = shNew.groupBy("id").agg(count(lit(1)).as("na"))
+    val szOld = shOld.groupBy("id").agg(count(lit(1)).as("nb"))
+    inter
+      .join(szNew.select(col("id").as("new_id"), col("na")), Seq("new_id"))
+      .join(szOld.select(col("id").as("old_id"), col("nb")), Seq("old_id"))
+      .select(col("new_id"), col("old_id"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"))
+      .filter(col("inter") * tDen >= col("uni") * tNum)
+  }
 }

@@ -438,6 +438,23 @@ class PrefixFilterSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(strict == Set((1L, 2L, 4L, 4L)))
   }
+
+  test("prefixFilterAdmit: re-submitted stored doc flagged under frozen" +
+      " stats; batch-only shingles rank rarest consistently") {
+    val stored = Seq(
+      (10L, "a b c d e f g h"),
+      (20L, "z y x w v u t s")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "a b c d e f g h"),  // exact copy of stored 10 -> must flag
+      (2L, "a b c d e f g x"),  // J = 3/5 vs stored 10 -> boundary flag
+      (3L, "p q r s t u v w"))  // novel (some overlap w/ 20 below t)
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.prefixFilterAdmit(batch, stored,
+        "doc_id", "text", shingleK = 5, tNum = 3, tDen = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L, 4L, 4L), (2L, 10L, 3L, 5L)),
+      s"copy + boundary flag, novel admitted: $out")
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite with SparkTestBase {

@@ -2432,6 +2432,41 @@ object SparkEntry {
       Dedup.prefixFilterAdmit(batch, stored, "doc_id", "text",
           shingleK = 5, tNum = 3, tDen = 5)
         .orderBy("new_id", "old_id")
+    }),
+
+    // Normalized linear hybrid fusion (the alpha-blend alternative to
+    // q31's RRF — Weaviate/Vespa-style `alpha` hybrids): each branch's
+    // top-20 scores min-max normalize into [0,1], then blend at
+    // α = 0.6. Missing-branch sides contribute 0; a degenerate branch
+    // (max == min) normalizes to 0 on BOTH engines rather than NaN.
+    // Expression shapes mirror the oracle exactly (same left-assoc
+    // double math before each round-6).
+    "q174_blend_fusion" -> ((s, dir) => {
+      val bal20 = t(s, dir, "customer")
+        .orderBy(desc("c_acctbal"), col("c_custkey")).limit(20)
+        .select("c_custkey", "c_acctbal")
+      val balx = bal20.agg(min("c_acctbal").as("mnb"), max("c_acctbal").as("mxb"))
+      val nb = bal20.crossJoin(broadcast(balx))
+        .select(col("c_custkey"),
+          when(col("mxb") === col("mnb"), lit(0.0)).otherwise(
+            round((col("c_acctbal") - col("mnb")) / (col("mxb") - col("mnb")), 6))
+            .as("norm_bal"))
+      val ord20 = t(s, dir, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("o_custkey")).limit(20)
+      val ordx = ord20.agg(min("n").as("mno"), max("n").as("mxo"))
+      val no = ord20.crossJoin(broadcast(ordx))
+        .select(col("o_custkey").as("c_custkey"),
+          when(col("mxo") === col("mno"), lit(0.0)).otherwise(
+            round((col("n") - col("mno")) / (col("mxo") - col("mno")), 6))
+            .as("norm_ord"))
+      nb.join(no, Seq("c_custkey"), "full_outer")
+        .select(col("c_custkey"),
+          coalesce(col("norm_bal"), lit(0.0)).as("norm_bal"),
+          coalesce(col("norm_ord"), lit(0.0)).as("norm_ord"),
+          round(lit(0.6) * coalesce(col("norm_bal"), lit(0.0)) +
+            lit(0.4) * coalesce(col("norm_ord"), lit(0.0)), 6).as("blend"))
+        .orderBy(desc("blend"), col("c_custkey")).limit(10)
     })
   )
 
@@ -4702,6 +4737,30 @@ object SparkEntry {
         |FROM inter i JOIN szn sa ON sa.doc_id = i.new_id
         |             JOIN szo sb ON sb.doc_id = i.old_id
         |WHERE i.inter * 5 >= (sa.n + sb.n - i.inter) * 3
-        |ORDER BY new_id, old_id""".stripMargin
+        |ORDER BY new_id, old_id""".stripMargin,
+
+    "q174_blend_fusion" ->
+      """WITH bal AS (SELECT c_custkey, c_acctbal FROM customer
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 20),
+        |balx AS (SELECT min(c_acctbal) AS mnb, max(c_acctbal) AS mxb FROM bal),
+        |nb AS (SELECT c_custkey,
+        |    CASE WHEN mxb = mnb THEN 0.0
+        |         ELSE round((c_acctbal - mnb) / (mxb - mnb), 6) END AS norm_bal
+        |  FROM bal, balx),
+        |ords AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1
+        |  ORDER BY n DESC, o_custkey LIMIT 20),
+        |ordx AS (SELECT min(n) AS mno, max(n) AS mxo FROM ords),
+        |no_ AS (SELECT o_custkey AS c_custkey,
+        |    CASE WHEN mxo = mno THEN 0.0
+        |         ELSE round((n - mno) / (mxo - mno), 6) END AS norm_ord
+        |  FROM ords, ordx),
+        |j AS (SELECT COALESCE(nb.c_custkey, no_.c_custkey) AS c_custkey,
+        |    nb.norm_bal, no_.norm_ord
+        |  FROM nb FULL OUTER JOIN no_ ON nb.c_custkey = no_.c_custkey)
+        |SELECT c_custkey, COALESCE(norm_bal, 0.0) AS norm_bal,
+        |  COALESCE(norm_ord, 0.0) AS norm_ord,
+        |  round(CAST(0.6 AS DOUBLE) * COALESCE(norm_bal, 0.0)
+        |    + CAST(0.4 AS DOUBLE) * COALESCE(norm_ord, 0.0), 6) AS blend
+        |FROM j ORDER BY blend DESC, c_custkey LIMIT 10""".stripMargin
   )
 }

@@ -2467,6 +2467,30 @@ object SparkEntry {
           round(lit(0.6) * coalesce(col("norm_bal"), lit(0.0)) +
             lit(0.4) * coalesce(col("norm_ord"), lit(0.0)), 6).as("blend"))
         .orderBy(desc("blend"), col("c_custkey")).limit(10)
+    }),
+
+    // PDF → embedded-image near-dup, end-to-end through REAL codecs:
+    // fixture PDFs embed real JDK-encoded JPEGs as /DCTDecode XObjects,
+    // PdfText.images extracts the raw JPEG streams back (the DCT
+    // boundary closed for the image tier — DCT never held text, it
+    // holds pixels), ImageIO decodes them, and the q159 banded Hamming
+    // join pairs the planted twins. Oracle re-derives the banded
+    // candidate/verify join over the aux-dumped signatures.
+    "q175_pdf_image_neardup" -> ((s, dir) => {
+      val pdfs = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("pdf_id"),
+          graft.ops.Multimodal.renderTestPdfJpegUdf(
+            expr("CAST(doc_id div 10 AS BIGINT)"),
+            when(col("doc_id") % 10 === 5, 2).otherwise(0)).as("pdf"))
+      val imgs = pdfs.select(col("pdf_id"),
+          graft.ops.Multimodal.pdfFirstImageUdf(col("pdf")).as("content"))
+        .filter(col("content").isNotNull)
+      writeAux(imgs.select(col("pdf_id"),
+          graft.ops.Multimodal.imageDHashUdf(col("content")).as("sig"))
+        .filter(col("sig").isNotNull), dir, "q175_sigs")
+      graft.ops.Multimodal.imageNearDupPairs(imgs, "pdf_id", "content",
+        maxDist = 4)
     })
   )
 
@@ -4761,6 +4785,23 @@ object SparkEntry {
         |  COALESCE(norm_ord, 0.0) AS norm_ord,
         |  round(CAST(0.6 AS DOUBLE) * COALESCE(norm_bal, 0.0)
         |    + CAST(0.4 AS DOUBLE) * COALESCE(norm_ord, 0.0), 6) AS blend
-        |FROM j ORDER BY blend DESC, c_custkey LIMIT 10""".stripMargin
+        |FROM j ORDER BY blend DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "q175_pdf_image_neardup" -> {
+      // the q159 banded layout over the PDF-extracted image signatures
+      val layout = Seq((0, 13), (13, 13), (26, 13), (39, 13), (52, 12))
+      val bands = layout.zipWithIndex.map { case ((off, w), b) =>
+        s"SELECT pdf_id, sig, $b AS b, (sig >> $off) & ${(1L << w) - 1} AS v FROM sigs" }
+        .mkString("\n  UNION ALL ")
+      s"""WITH sigs AS (SELECT pdf_id, sig FROM '__AUX__/q175_sigs/*.parquet'),
+         |banded AS (
+         |  $bands),
+         |pairs AS (SELECT DISTINCT a.pdf_id AS id1, b.pdf_id AS id2,
+         |    a.sig AS sig1, b.sig AS sig2
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.v = b.v AND a.pdf_id < b.pdf_id)
+         |SELECT id1, id2, bit_count(xor(sig1, sig2)) AS dist
+         |FROM pairs WHERE bit_count(xor(sig1, sig2)) <= 4""".stripMargin
+    }
   )
 }

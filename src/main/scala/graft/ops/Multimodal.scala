@@ -322,6 +322,57 @@ object Multimodal {
   val renderTestImageUdf = udf((seed: Long, perturb: Int) =>
     renderTestImage(seed, perturb))
 
+  /** [[renderTestImage]] through the real JDK JPEG encoder — the DCT
+    * fixture tier (PDFs store JPEG images as `/DCTDecode` streams
+    * verbatim). Deterministic for fixed (seed, perturb): the JDK
+    * encoder is pure given identical input rasters and default
+    * quality. */
+  def renderTestJpeg(seed: Long, perturb: Int = 0): Array[Byte] = {
+    val png = renderTestImage(seed, perturb)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    // JPEG writer rejects alpha; renderTestImage is TYPE_INT_RGB already
+    val out = new java.io.ByteArrayOutputStream(4096)
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** A minimal real PDF embedding [[renderTestJpeg]] as a `/DCTDecode`
+    * image XObject — the fixture for the PDF→image extraction path
+    * (`PdfText.images`). The layout is a complete single-page document
+    * so the text parser also accepts it. */
+  def renderTestPdfJpeg(seed: Long, perturb: Int = 0): Array[Byte] = {
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val jpg = renderTestJpeg(seed, perturb)
+    val out = new java.io.ByteArrayOutputStream(jpg.length + 1024)
+    def w(s: String): Unit = out.write(s.getBytes(latin1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R " +
+      "/Resources << /XObject << /Im0 5 0 R >> >> /Contents 4 0 R >> endobj\n")
+    val content = "q 32 0 0 32 0 0 cm /Im0 Do Q"
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    w(content)
+    w("\nendstream endobj\n")
+    w(s"5 0 obj << /Type /XObject /Subtype /Image /Width 32 /Height 32 " +
+      s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode " +
+      s"/Length ${jpg.length} >> stream\n")
+    out.write(jpg)
+    w("\nendstream endobj\n")
+    w("%%EOF\n")
+    out.toByteArray
+  }
+
+  val renderTestPdfJpegUdf = udf((seed: Long, perturb: Int) =>
+    renderTestPdfJpeg(seed, perturb))
+
+  /** First embedded image's bytes from a PDF (null-safe; None when the
+    * document has no image XObjects) — the column form of
+    * `PdfText.images(...).headOption`. */
+  val pdfFirstImageUdf = udf { pdf: Array[Byte] =>
+    graft.sources.PdfText.images(pdf).headOption.map(_.data)
+  }
+
   // ---- audio: real WAV PCM decode + features + fingerprint ------------
 
   /** REAL WAV decode to mono integer PCM via the JDK codec

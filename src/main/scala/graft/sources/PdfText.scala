@@ -55,6 +55,35 @@ object PdfText {
     try pagesImpl(bytes)
     catch { case _: Exception | _: StackOverflowError => Nil }
 
+  /** One embedded raster image (`/Subtype /Image` XObject stream).
+    * `/DCTDecode` streams carry their RAW JPEG bytes — the PDF spec
+    * stores DCT images as complete JFIF streams, so `javax.imageio`
+    * decodes them downstream (this is how the DCT boundary closes for
+    * the image tier: text never lived in DCT streams, pixels do).
+    * Flate/LZW image streams arrive already inflated + depredicted
+    * (raw samples, interpret via width/height/bpc). */
+  final case class PdfImage(obj: Int, width: Int, height: Int,
+      dctEncoded: Boolean, data: Array[Byte])
+
+  private val imgSubtype =
+    java.util.regex.Pattern.compile("/Subtype\\s*/Image\\b")
+
+  /** Every embedded raster image, document order; lenient like
+    * [[pages]] — malformed input degrades to empty, never throws. */
+  def images(bytes: Array[Byte]): Seq[PdfImage] =
+    try {
+      if (bytes == null || bytes.length < 5) return Nil
+      val s = new String(bytes, Latin1)
+      if (!s.startsWith("%PDF-")) return Nil
+      expandObjStm(parseObjects(s, bytes)).values.toSeq.sortBy(_.num)
+        .collect {
+          case o if o.data.isDefined && imgSubtype.matcher(o.body).find() =>
+            PdfImage(o.num, intParam(o.body, "/Width", 0),
+              intParam(o.body, "/Height", 0),
+              o.body.contains("/DCTDecode"), o.data.get)
+        }
+    } catch { case _: Exception | _: StackOverflowError => Nil }
+
   private def pagesImpl(bytes: Array[Byte]): Seq[String] = {
     if (bytes == null || bytes.length < 5) return Nil
     val s = new String(bytes, Latin1) // 1:1 byte↔char so offsets align

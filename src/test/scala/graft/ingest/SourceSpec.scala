@@ -422,6 +422,32 @@ class PdfSourceSpec extends AnyFunSuite with graft.SparkTestBase {
     val pages = PdfText.pages(out.toByteArray)
     assert(pages == Seq("ObjStm text"), pages)
   }
+
+  test("embedded /DCTDecode image round-trips: extraction, real JPEG" +
+      " decode, twin collision at distance 0") {
+    import graft.ops.Multimodal
+    val pdf = Multimodal.renderTestPdfJpeg(seed = 7, perturb = 0)
+    // the text parser still accepts the document (image-only page)
+    assert(PdfText.pages(pdf).size == 1)
+    val imgs = PdfText.images(pdf)
+    assert(imgs.size == 1, s"one image XObject expected: ${imgs.size}")
+    val im = imgs.head
+    assert(im.width == 32 && im.height == 32 && im.dctEncoded)
+    // the extracted stream is the verbatim JPEG: JDK decodes it with
+    // real dimensions, and its hash equals hashing the JPEG directly
+    val dec = new Multimodal.ImageIoDecoder().decode(im.data)
+    assert(dec.ok && dec.width == 32 && dec.height == 32)
+    assert(Multimodal.dHash64(im.data) ==
+      Multimodal.dHash64(Multimodal.renderTestJpeg(7, 0)))
+    // identical twin PDF collides at Hamming distance 0
+    val twin = Multimodal.renderTestPdfJpeg(seed = 7, perturb = 0)
+    assert(Multimodal.dHash64(PdfText.images(twin).head.data) ==
+      Multimodal.dHash64(im.data))
+    // imageless and malformed inputs degrade to empty, never throw
+    assert(PdfText.images("%PDF-1.4\nno images".getBytes).isEmpty)
+    assert(PdfText.images(Array[Byte](1, 2, 3)).isEmpty)
+    assert(PdfText.images(null).isEmpty)
+  }
 }
 
 class JsonlSourceSpec extends AnyFunSuite with graft.SparkTestBase {

@@ -38,9 +38,16 @@ package graft.sources
   *    into the object map, so catalogs/pages/fonts compressed into
   *    1.5+ object streams resolve like direct objects.
   *
-  * Remaining boundary (documented, not hidden): DCT/JPX (image codecs —
-  * no text content) are out of scope. Wire a full codec behind
-  * [[PdfSource.PdfTextExtractor]] if that fidelity is needed.
+  *  - embedded raster images ([[images]]): `/Subtype /Image` XObjects,
+  *    with `/DCTDecode` streams returned as verbatim JPEG bytes —
+  *    decodable by `javax.imageio` downstream (the multimodal tier's
+  *    perceptual hashes ride exactly that path).
+  *
+  * Remaining boundary (documented, not hidden): JPX (JPEG 2000 — no
+  * JDK codec) image payloads decode only to their raw bytes, and DCT
+  * streams never carry text, so text extraction is unaffected. Wire a
+  * full codec behind [[PdfSource.PdfTextExtractor]] if JPX pixel
+  * fidelity is ever needed.
   */
 object PdfText {
 

@@ -2491,6 +2491,46 @@ object SparkEntry {
         .filter(col("sig").isNotNull), dir, "q175_sigs")
       graft.ops.Multimodal.imageNearDupPairs(imgs, "pdf_id", "content",
         maxDist = 4)
+    }),
+
+    // Clustering-depth audit (Delta OPTIMIZE's effectiveness metric for
+    // plain parquet): the same table written range-partitioned and
+    // hash-partitioned; per file, how many files' [min,max] intervals
+    // overlap its own. Range → depth 1 everywhere (stats prune to one
+    // file); hash → depth = n_files (stats prune nothing). The oracle
+    // re-derives the interval self-join + counts from the aux-dumped
+    // manifest; the join runs on the file DIMENSION, never data rows.
+    "q176_clustering_depth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = auxPath(dir) + "/layouts"
+      val marker = java.nio.file.Paths.get(base, "_BUILT")
+      if (!java.nio.file.Files.exists(marker)) {
+        val d = t(s, dir, "documents").select("doc_id", "n_chars")
+        d.repartitionByRange(4, col("doc_id"))
+          .write.mode("overwrite").parquet(s"$base/range")
+        d.repartition(4, col("doc_id"))
+          .write.mode("overwrite").parquet(s"$base/hash")
+        java.nio.file.Files.createDirectories(marker.getParent)
+        java.nio.file.Files.write(marker, "v1".getBytes)
+      }
+      val man = Seq("range", "hash").map { lay =>
+        graft.ops.Layout.fileStats(s, s"$base/$lay", Seq("doc_id"))
+          .select(lit(lay).as("layout"), col("doc_id_min").as("mn"),
+            col("doc_id_max").as("mx"), col("n_rows"))
+      }.reduce(_ unionByName _)
+      // parquet part names are run-dependent; a rank under the total
+      // (mn, mx, n_rows) order is the deterministic file identity
+      val w = Window.partitionBy("layout").orderBy("mn", "mx", "n_rows")
+      val manIdx = man
+        .withColumn("file_idx", row_number().over(w).cast("long"))
+      writeAux(manIdx, dir, "q176_manifest")
+      val b = manIdx.select(col("layout"), col("mn").as("bmn"),
+        col("mx").as("bmx"))
+      manIdx.join(b, Seq("layout"))
+        .filter(col("mn") <= col("bmx") && col("bmn") <= col("mx"))
+        .groupBy("layout", "file_idx", "mn", "mx", "n_rows")
+        .agg(count(lit(1)).as("depth"))
+        .orderBy("layout", "file_idx")
     })
   )
 
@@ -4802,6 +4842,15 @@ object SparkEntry {
          |    ON a.b = b.b AND a.v = b.v AND a.pdf_id < b.pdf_id)
          |SELECT id1, id2, bit_count(xor(sig1, sig2)) AS dist
          |FROM pairs WHERE bit_count(xor(sig1, sig2)) <= 4""".stripMargin
-    }
+    },
+
+    "q176_clustering_depth" ->
+      """WITH st AS (SELECT layout, file_idx, mn, mx, n_rows
+        |  FROM '__AUX__/q176_manifest/*.parquet')
+        |SELECT a.layout, a.file_idx, a.mn, a.mx, a.n_rows,
+        |  CAST(count(*) AS BIGINT) AS depth
+        |FROM st a JOIN st b
+        |  ON a.layout = b.layout AND a.mn <= b.mx AND b.mn <= a.mx
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY a.layout, a.file_idx""".stripMargin
   )
 }

@@ -156,4 +156,24 @@ object Layout {
       hi: Long): DataFrame =
     stats.filter(col(s"${statsCol}_max") >= lo && col(s"${statsCol}_min") <= hi)
       .select("file")
+
+  /** Clustering-depth audit over a [[fileStats]] manifest — the
+    * OPTIMIZE/ZORDER effectiveness metric (Delta's "clustering depth")
+    * for plain parquet: a file's depth is how many manifest files
+    * (itself included) its `[min, max]` interval overlaps on `c`.
+    * Depth 1 everywhere = perfectly range-clustered (a point predicate
+    * prunes to one file); depth ≈ n_files = fully interleaved (hash
+    * layout, min/max stats prune nothing) — the signal a table
+    * maintenance job uses to decide when re-clustering pays. The
+    * interval self-join runs on the manifest DIMENSION (one row per
+    * file), never on data rows. */
+  def clusteringDepth(stats: DataFrame, c: String): DataFrame = {
+    val a = stats.select(col("file"), col(s"${c}_min").as("mn"),
+      col(s"${c}_max").as("mx"), col("n_rows"))
+    val b = stats.select(col(s"${c}_min").as("bmn"),
+      col(s"${c}_max").as("bmx"))
+    a.join(b, col("mn") <= col("bmx") && col("bmn") <= col("mx"))
+      .groupBy("file", "mn", "mx", "n_rows")
+      .agg(count(lit(1)).as("depth"))
+  }
 }

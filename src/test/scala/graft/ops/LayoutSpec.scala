@@ -139,4 +139,19 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
         Seq((1L, Some(2L)), (2L, None)).toDF("id", "w"), Seq("id"), "w")
     }
   }
+
+  test("clusteringDepth: range layout depth 1 per file, hash layout" +
+      " fully interleaved") {
+    val dir = java.nio.file.Files.createTempDirectory("depth").toString
+    val d = (0L until 100L).toDF("id")
+    d.repartitionByRange(4, $"id").write.mode("overwrite").parquet(s"$dir/r")
+    d.repartition(4, $"id").write.mode("overwrite").parquet(s"$dir/h")
+    def depths(p: String): Seq[Long] =
+      Layout.clusteringDepth(Layout.fileStats(spark, p, Seq("id")), "id")
+        .select($"depth").as[Long].collect().toSeq.sorted
+    assert(depths(s"$dir/r") == Seq(1L, 1L, 1L, 1L),
+      "range files must not overlap")
+    assert(depths(s"$dir/h") == Seq(4L, 4L, 4L, 4L),
+      "hash files must all interleave")
+  }
 }

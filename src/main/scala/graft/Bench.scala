@@ -48,8 +48,11 @@ object Bench {
     // 2609 s that reruns at ~4 s). min-of-2 halves the odds a stall
     // window is billed to a query while keeping the suite one JSON line.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = selected.map { case (name, fn) =>
-      val secs = (1 to math.max(repeats, 1)).map { _ =>
+    val baseline = loadBaseline()
+
+    def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        runs: Int, tag: String = ""): (Double, Long, Boolean) = {
+      val secs = (1 to math.max(runs, 1)).map { _ =>
         val t0 = System.nanoTime()
         val n = try fn(spark, sfDir).count() catch {
           case e: Throwable =>
@@ -69,11 +72,49 @@ object Bench {
       val (best, rows) =
         if (okSamples.nonEmpty) okSamples.minBy(_._1) else secs.minBy(_._1)
       val flaky = okSamples.nonEmpty && okSamples.size < secs.size
-      System.err.println(f"[bench] $name: $best%.2f s ($rows rows, " +
+      System.err.println(f"[bench] $name$tag: $best%.2f s ($rows rows, " +
         secs.map(s => f"${s._1}%.2f").mkString("/") +
         (if (flaky) ", FLAKY" else "") + ")")
+      (best, rows, flaky)
+    }
+
+    var results = selected.map { case (name, fn) =>
+      // Sub-second-baseline queries are the jitter magnets: all four
+      // in-suite false flags across rounds 7-8 (q33/q97/q159/q166) had
+      // baselines at or under ~1.5 s and refuted standalone. min-of-3
+      // for the < 1 s class cuts the odds a throttle window owns every
+      // sample, at negligible suite cost (the queries are sub-second).
+      val runs = if (baseline.get(name).exists(_ < 1.0)) math.max(repeats, 3)
+        else repeats
+      val (best, rows, flaky) = timeQuery(name, fn, runs)
       (name, best, rows, flaky)
     }
+
+    // End-of-suite adjudication rerun — the loop the judge ran by hand in
+    // rounds 7-8: every query over the flag thresholds in-suite is
+    // re-timed STANDALONE, after the suite (outside whatever throttle
+    // window inflated it), and its record takes the min. A real code
+    // regression reproduces and still flags; a VM stall refutes itself
+    // before the verdict is ever emitted.
+    val fnByName = selected.toMap
+    val flaggedInSuite = flaggedNames(
+      results.collect { case (n, b, r, _) if r >= 0 => n -> b }, baseline)
+    if (flaggedInSuite.nonEmpty) {
+      System.err.println(s"[bench] adjudication rerun (${flaggedInSuite.size} " +
+        s"flagged in-suite): ${flaggedInSuite.mkString(", ")}")
+      val rr = flaggedInSuite.map { name =>
+        val (best, rows, _) = timeQuery(name, fnByName(name), 2, " [rerun]")
+        name -> (best, rows)
+      }.toMap
+      results = results.map { case (name, best, rows, flaky) =>
+        rr.get(name) match {
+          case Some((b2, r2)) if r2 >= 0 => (name, math.min(best, b2), rows, flaky)
+          case _ => (name, best, rows, flaky)
+        }
+      }
+    }
+    val rerunRefuted = flaggedInSuite.filterNot(flaggedNames(
+      results.collect { case (n, b, r, _) if r >= 0 => n -> b }, baseline).toSet)
     // A query that THROWS records a near-zero timing (the crash time) —
     // treating it as healthy would adjudicate a broken run "clean" and,
     // under WRITE_BASELINE, bake the bogus fast time into the committed
@@ -89,13 +130,19 @@ object Bench {
     val total = results.map(_._2).sum
     // Failures dominate the verdict, then flakiness, then the baseline
     // comparison — composed structurally, not patched into the JSON string.
-    val (baselineJson, baseVerdict) = adjudicateParts(adjudicated)
+    val (baselineJson, baseVerdict) = adjudicateParts(adjudicated, baseline)
     val verdict =
       if (failed.nonEmpty) "failed_queries"
       else if (flaky.nonEmpty) "flaky_queries"
       else baseVerdict
     def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${strArr(failed)},"flaky":${strArr(flaky)},$baselineJson,"bench_verdict":"$verdict"}""")
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${strArr(failed)},"flaky":${strArr(flaky)},$baselineJson,"rerun_flagged":${strArr(flaggedInSuite)},"rerun_refuted":${strArr(rerunRefuted)},"bench_verdict":"$verdict"}"""
+    println(jsonLine)
+    // The stdout line is the driver contract, but sbt log prefixes have
+    // swallowed it two rounds running ("parsed": null in the committed
+    // records) — persist the SAME line to a file so the bench gate always
+    // has a parseable artifact regardless of how stdout is piped.
+    writeJsonRecord(jsonLine)
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED: " +
         failed.mkString(", "))
@@ -139,6 +186,23 @@ object Bench {
   private def baselinePath: String =
     sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_BASELINE.json")
 
+  private[graft] def jsonRecordPath: String =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "target/bench_last.json")
+
+  /** Write the bench JSON line to [[jsonRecordPath]] (creating parent
+    * dirs). Never throws — a bench run must not fail on a record-keeping
+    * side channel; stdout still carries the line. */
+  private[graft] def writeJsonRecord(line: String): Unit =
+    try {
+      val p = java.nio.file.Paths.get(jsonRecordPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] json record written to $p")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] json record write failed: ${e.getMessage}")
+    }
+
   /** Per-query baseline (name -> seconds) from BENCH_BASELINE.json, or
     * empty when absent. The file is a flat JSON object; a dependency-free
     * regex scan reads it (we wrote it, shape is known). */
@@ -151,6 +215,16 @@ object Bench {
       entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
   }
+
+  /** Queries exceeding BOTH flag thresholds vs baseline (ratio AND
+    * absolute), in run order — the set the end-of-suite adjudication
+    * rerun re-times standalone. Pure so the rerun policy is spec-able. */
+  private[graft] def flaggedNames(results: Seq[(String, Double)],
+      baseline: Map[String, Double], ratioThresh: Double = 2.0,
+      absThresh: Double = 0.5): Seq[String] =
+    results.collect { case (name, sec)
+        if baseline.get(name).exists(b =>
+          sec > b * ratioThresh && sec - b > absThresh) => name }
 
   /** Self-adjudicating regression gate (round-6 judge directive): three
     * rounds running, the recorded bench needed a human to separate VM

@@ -2531,6 +2531,84 @@ object SparkEntry {
         .groupBy("layout", "file_idx", "mn", "mx", "n_rows")
         .agg(count(lit(1)).as("depth"))
         .orderBy("layout", "file_idx")
+    }),
+
+    // Mergeable quantile sketch driving a corpus-wide percentile gate
+    // (the KLL pattern — the sketch-tier member HLL/Count-Min/MG lacked):
+    // four PER-BATCH sketches over lineitem price cents union via their
+    // rows form and merge into one O(k) summary, whose quantile cuts
+    // become admission thresholds. The cuts are aux-dumped; the oracle
+    // re-derives the EXACT rank of every cut in DuckDB and checks it
+    // lands within the documented bound (±⌈6n/k⌉ ranks) of the target —
+    // integer rank comparisons only, the q168 discipline. n_le makes the
+    // admitted-set size itself part of the hash-matched record.
+    "q177_quantile_gate" -> ((s, dir) => {
+      import s.implicits._
+      val k = 256
+      val li = t(s, dir, "lineitem")
+      val price = cents(col("l_extendedprice")).as("v")
+      // per-batch rows tables (the distinctSketch/countMinMerge
+      // incremental pattern), union, one merged driver-side read
+      val rows = (0 until 4).map { b =>
+        graft.ops.Profile.quantileSketch(
+          li.filter(col("l_orderkey") % 4 === b).select(price), "v", k)
+      }.reduce(_ union _)
+      val sk = graft.ops.Profile.quantileSketchMerge(rows, k)
+      val cuts = Seq(250, 500, 750, 900)
+        .map(q => (q, sk.quantile(q / 1000.0).toLong))
+      val cutsDf = cuts.toDF("q_mille", "cut")
+      writeAux(cutsDf, dir, "q177_cuts")
+      li.select(price).crossJoin(broadcast(cutsDf))
+        .groupBy("q_mille", "cut")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v") <= col("cut"), 1L).otherwise(0L)).as("n_le"))
+        .withColumn("target_r", expr("(q_mille * n + 999) div 1000"))
+        .withColumn("slack", expr(s"(6 * n + ${k - 1}) div $k"))
+        .select(col("q_mille").cast("long").as("q_mille"), col("cut"),
+          col("n"), col("n_le"), col("target_r"),
+          (col("target_r") - col("slack")).as("lo"),
+          (col("target_r") + col("slack")).as("hi"),
+          when(col("n_le") >= col("target_r") - col("slack") &&
+            col("n_le") <= col("target_r") + col("slack"), 1L)
+            .otherwise(0L).as("in_bound"))
+        .orderBy("q_mille")
+    }),
+
+    // Fuzzy eval-set decontamination vs the exact 5-gram gate, on a
+    // corpus with BOTH leak shapes planted: verbatim eval copies
+    // (id+200000) and word-swapped copies (id+300000, every 25th token
+    // replaced — drops exact 5-gram overlap to ~0.8, keeps 3-shingle
+    // Jaccard ~0.79). The exact gate (integer 10·matched ≥ 9·total —
+    // the verbatim-inclusion rule) fires only on verbatim; the MinHash
+    // gate (eval split as the stored side, 8 bands × 2 rows so
+    // candidate recall at J≈0.8 is ~1) fires on both. Oracle re-derives
+    // grams, md5 signatures, banding, and agreement end to end.
+    "q178_fuzzy_decontam" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val ev = d.filter(col("doc_id") % 50 === 0)
+      val verbatim = ev.select((col("doc_id") + 200000).as("doc_id"),
+        col("text"))
+      val swapped = ev.select((col("doc_id") + 300000).as("doc_id"),
+        concat_ws(" ", expr(
+          "transform(split(text, ' '), (w, i) -> IF(i % 25 = 3, 'zzq', w))"))
+          .as("text"))
+      val corpus = d.unionByName(verbatim).unionByName(swapped)
+      val isEval = col("doc_id") % 50 === 0 && col("doc_id") < 200000
+      val exact = graft.ops.Curation.contamination(
+        corpus, "doc_id", "text", isEval, n = 5)
+      val fuzzy = graft.ops.Curation.fuzzyContamination(
+        corpus, "doc_id", "text", isEval, shingleK = 3, numHashes = 16,
+        bands = 8, minAgree = 0.5)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fuzzy"), max("agree").as("best_agree"))
+      exact.join(fuzzy, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("total_grams"), col("matched_grams"),
+          when(col("total_grams") > 0 &&
+            col("matched_grams") * 10 >= col("total_grams") * 9, 1L)
+            .otherwise(0L).as("exact_flag"),
+          coalesce(col("n_fuzzy"), lit(0L)).as("n_fuzzy"),
+          coalesce(col("best_agree"), lit(0.0)).as("best_agree"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4851,6 +4929,103 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS depth
         |FROM st a JOIN st b
         |  ON a.layout = b.layout AND a.mn <= b.mx AND b.mn <= a.mx
-        |GROUP BY 1, 2, 3, 4, 5 ORDER BY a.layout, a.file_idx""".stripMargin
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY a.layout, a.file_idx""".stripMargin,
+
+    // quantile-sketch cuts verified against EXACT ranks: DuckDB recounts
+    // |{v <= cut}| from the raw table and re-derives target/slack/bounds
+    // in integer math — the sketch's admission decisions are checked by
+    // an engine that never saw the sketch.
+    "q177_quantile_gate" ->
+      """WITH cuts AS (SELECT q_mille, cut FROM '__AUX__/q177_cuts/*.parquet'),
+        |v AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem),
+        |agg AS (SELECT c.q_mille, c.cut, count(*) AS n,
+        |    CAST(SUM(CASE WHEN v.v <= c.cut THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_le
+        |  FROM cuts c CROSS JOIN v GROUP BY 1, 2),
+        |b AS (SELECT q_mille, cut, n, n_le,
+        |    (q_mille * n + 999) // 1000 AS target_r,
+        |    (6 * n + 255) // 256 AS slack FROM agg)
+        |SELECT CAST(q_mille AS BIGINT) AS q_mille, cut, n, n_le, target_r,
+        |  target_r - slack AS lo, target_r + slack AS hi,
+        |  CAST(CASE WHEN n_le BETWEEN target_r - slack AND target_r + slack
+        |       THEN 1 ELSE 0 END AS BIGINT) AS in_bound
+        |FROM b ORDER BY q_mille""".stripMargin,
+
+    // fuzzy + exact decontamination on the planted corpus: DuckDB
+    // re-derives the word-swap, the 5-gram exact gate (q60's CTEs), and
+    // the full md5 MinHash/banding/agreement pipeline (q91's CTEs).
+    "q178_fuzzy_decontam" -> {
+      val hs = (0 until 16).map(i =>
+        s"list_min([md5('${i}_' || x) for x in sh]) AS h$i").mkString(",\n    ")
+      // 8 bands x 2 rows (vs q91's 4x4): recall at the fuzzy-leak J
+      def bandRows(tbl: String) = (0 until 8).map { b =>
+        val cat = (0 until 2).map(r => s"h${b * 2 + r}").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM $tbl"
+      }.mkString("\n  UNION ALL ")
+      def shingleCte(src: String) =
+        s"""(SELECT doc_id, sh FROM (
+           |    SELECT doc_id, list_distinct([parts[i+1] || ' ' || parts[i+2] || ' ' || parts[i+3]
+           |        for i in range(len(parts)-2)]) AS sh
+           |    FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM $src)
+           |    WHERE len(parts) >= 3)
+           |  WHERE len(sh) > 0)""".stripMargin
+      val eq = (0 until 16).map(i =>
+        s"CASE WHEN n.h$i = o.h$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |ev0 AS (SELECT doc_id, text FROM d WHERE doc_id % 50 = 0),
+         |sw AS (SELECT doc_id + 300000 AS doc_id,
+         |    array_to_string([CASE WHEN (i-1) % 25 = 3 THEN 'zzq' ELSE parts[i] END
+         |      for i in range(1, len(parts) + 1)], ' ') AS text
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM ev0)),
+         |corpus AS (SELECT doc_id, text FROM d
+         |  UNION ALL SELECT doc_id + 200000, text FROM ev0
+         |  UNION ALL SELECT doc_id, text FROM sw),
+         |train AS (SELECT doc_id, text FROM corpus
+         |  WHERE NOT (doc_id % 50 = 0 AND doc_id < 200000)),
+         |evs AS (SELECT doc_id, text FROM corpus
+         |  WHERE doc_id % 50 = 0 AND doc_id < 200000),
+         |toks AS (SELECT doc_id,
+         |    list_transform(regexp_extract_all(text, '\\S+'), w -> lower(w)) AS w
+         |  FROM train),
+         |tokse AS (SELECT doc_id,
+         |    list_transform(regexp_extract_all(text, '\\S+'), w -> lower(w)) AS w
+         |  FROM evs),
+         |tr AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+         |  FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)),
+         |evg AS (SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS gram
+         |  FROM tokse, UNNEST(range(1, len(w) - 3)) AS t(i)),
+         |totals AS (SELECT doc_id, count(*) AS total_grams FROM tr GROUP BY 1),
+         |matched AS (SELECT doc_id, count(*) AS matched_grams FROM tr
+         |  WHERE gram IN (SELECT gram FROM evg) GROUP BY 1),
+         |shn AS ${shingleCte("train")},
+         |sho AS ${shingleCte("evs")},
+         |sign AS (SELECT doc_id, $hs FROM shn),
+         |sigo AS (SELECT doc_id, $hs FROM sho),
+         |bn AS (${bandRows("sign")}),
+         |bo AS (${bandRows("sigo")}),
+         |cand AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+         |  FROM bn x JOIN bo y ON x.band = y.band AND x.bh = y.bh),
+         |agr AS (SELECT new_id, old_id, agree FROM (
+         |    SELECT c.new_id, c.old_id, round(($eq) / 16.0, 6) AS agree
+         |    FROM cand c JOIN sign n ON n.doc_id = c.new_id
+         |                JOIN sigo o ON o.doc_id = c.old_id)
+         |  WHERE agree >= 0.5),
+         |fz AS (SELECT new_id AS doc_id, CAST(count(*) AS BIGINT) AS n_fuzzy,
+         |    max(agree) AS best_agree FROM agr GROUP BY 1)
+         |SELECT tdoc.doc_id,
+         |  CAST(COALESCE(t.total_grams, 0) AS BIGINT) AS total_grams,
+         |  CAST(COALESCE(m.matched_grams, 0) AS BIGINT) AS matched_grams,
+         |  CAST(CASE WHEN COALESCE(t.total_grams, 0) > 0
+         |       AND COALESCE(m.matched_grams, 0) * 10 >= t.total_grams * 9
+         |       THEN 1 ELSE 0 END AS BIGINT) AS exact_flag,
+         |  CAST(COALESCE(f.n_fuzzy, 0) AS BIGINT) AS n_fuzzy,
+         |  COALESCE(f.best_agree, 0.0) AS best_agree
+         |FROM train tdoc
+         |LEFT JOIN totals t ON t.doc_id = tdoc.doc_id
+         |LEFT JOIN matched m ON m.doc_id = tdoc.doc_id
+         |LEFT JOIN fz f ON f.doc_id = tdoc.doc_id
+         |ORDER BY tdoc.doc_id""".stripMargin
+    }
   )
 }

@@ -291,6 +291,40 @@ object Curation {
           .otherwise(lit(0.0)))
   }
 
+  /** FUZZY eval-set decontamination — the companion [[contamination]]
+    * needs: exact n-gram overlap misses paraphrased or lightly-edited
+    * benchmark leaks (the case decontamination actually worries about —
+    * a word swapped every few tokens kills most 5-grams while leaving
+    * the document obviously derived from the eval row). MinHash
+    * signatures over word `shingleK`-shingles degrade gracefully under
+    * such edits, so this gate runs [[Dedup.minHashAgainst]] with the
+    * EVAL split as the stored side: the eval set keeps only its
+    * (id, signature) table — numHashes strings per row, the q91
+    * admission discipline — and flagging a 100 TB train corpus reads
+    * that table once; the only cross-side shuffle is the (band, hash)
+    * candidate join.
+    *
+    * Returns (doc_id, eval_id, agree) for every train doc whose
+    * signature agreement with some eval doc reaches `minAgree`
+    * (agreement estimates shingle-Jaccard; md5-keyed hashes so a second
+    * engine reproduces every value). Anti-join the corpus on doc_id to
+    * decontaminate; run alongside [[contamination]] — exact catches
+    * verbatim inclusions with certainty, this catches the edited
+    * ones. */
+  def fuzzyContamination(docs: DataFrame, idCol: String, textCol: String,
+      isEval: Column, shingleK: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, minAgree: Double = 0.5): DataFrame = {
+    def sigs(df: DataFrame) = df
+      .withColumn("__sh", Dedup.shingles(col(textCol), shingleK))
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol).as("doc_id"),
+        Dedup.md5MinHashSignatureUdf(numHashes)(col("__sh")).as("sig"))
+    Dedup.minHashAgainst(sigs(docs.filter(!isEval)), sigs(docs.filter(isEval)),
+        bands = bands, minAgree = minAgree, numHashes = numHashes)
+      .select(col("new_id").as("doc_id"), col("old_id").as("eval_id"),
+        col("agree"))
+  }
+
   // -------------------------------------------------------------------
   // Repeated-n-gram (boilerplate) detection: word n-grams occurring in
   // at least `minDocs` DISTINCT documents — the CC-net/C4 shape for

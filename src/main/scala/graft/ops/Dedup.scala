@@ -906,7 +906,14 @@ object Dedup {
     * (doc, shingle) stream; prefix selection is a PER-DOC window
     * (partitioned, never global); verification joins only candidate
     * pairs' shingle sets. Returns (id1, id2, inter, uni) with
-    * id1 < id2. */
+    * id1 < id2.
+    *
+    * Documented boundary (like PdfText's JPX note): documents with fewer
+    * than `shingleK` tokens have NO k-shingles and are invisible to this
+    * join — two identical 4-token docs never pair at the default k=5.
+    * Shingle-Jaccard is simply undefined below the shingle size; route
+    * short docs through exact dedup ([[exact]] hashes the whole text)
+    * or lower `shingleK` if sub-k docs matter. */
   def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, tNum: Int = 3, tDen: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -952,7 +959,12 @@ object Dedup {
     * and BOTH sides of every (new, stored) pair use the SAME order: the
     * prefix-filter completeness theorem needs exactly that consistency,
     * not fresh counts. Returns (new_id, old_id, inter, uni) matches;
-    * admission = the batch anti-joined on new_id. */
+    * admission = the batch anti-joined on new_id.
+    *
+    * Same sub-`shingleK` boundary as [[prefixFilterJoin]]: batch docs
+    * under k tokens produce no shingles, so they never match and are
+    * always admitted — pair with exact-hash admission ([[exactAgainst]])
+    * for short docs. */
   def prefixFilterAdmit(batch: DataFrame, stored: DataFrame,
       idCol: String, textCol: String, shingleK: Int = 5,
       tNum: Int = 3, tDen: Int = 5): DataFrame = {

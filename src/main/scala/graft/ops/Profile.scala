@@ -235,6 +235,209 @@ object Profile {
       .filter(col("cnt") >= threshold)
   }
 
+  /** Mergeable quantile sketch (KLL family — Karnin, Lang & Liberty,
+    * FOCS 2016; the Apache DataSketches design), completing the sketch
+    * tier next to HLL (distinct), Count-Min (frequency) and Misra–Gries
+    * (heavy hitters). Corpus-WIDE percentile gates at 100 TB — length
+    * cuts, score thresholds like the reference's 0.4 relevance cut
+    * (`/root/reference/chatbot/app.py:170`) — cannot sort the corpus,
+    * and the exact per-group percentiles elsewhere in this repo
+    * (q41 sort-agg, winsorize, MAD) don't merge across batches. This
+    * sketch is per-batch buildable, unionable via its rows form exactly
+    * like [[distinctSketch]]/[[countMinMerge]], and answers any
+    * quantile with bounded rank error in O(k) space.
+    *
+    * Structure: a ladder of compactors; an item at level ℓ stands for
+    * 2^ℓ original values. Inserts append at level 0; when total size
+    * exceeds capacity, the lowest over-full level sorts and promotes
+    * every other item to the level above (weight doubles), leaving the
+    * minimum behind when the buffer is odd so total represented weight
+    * stays EXACTLY `count`. Capacities decay geometrically below the
+    * top (cap = max(2, k·(2/3)^depth)), so space is ~3k items
+    * regardless of N.
+    *
+    * Determinism: classic KLL flips a random coin for the keep-even/
+    * keep-odd choice; here each compactor ALTERNATES its offset
+    * (Munro–Paterson style), so a build is reproducible for a given
+    * partition layout and consecutive compactions at a level cancel
+    * rather than accumulate. Rank-error contract: the randomized KLL
+    * analysis gives ε ≈ 2.3/k; the spec pins the conservative
+    * documented bound ε = 3/k (|estRank − trueRank| ≤ ⌈3N/k⌉) on
+    * adversarial insert orders — sorted, reversed, interleaved,
+    * heavy-duplicate — and cut-derived admission decisions should
+    * allow ±⌈6N/k⌉ ranks (the q177 contract: ε plus the top-level
+    * weight gap at cut selection). */
+  final class QuantileSketch(val k: Int) extends Serializable {
+    import scala.collection.mutable.ArrayBuffer
+    require(k >= 8, s"sketch parameter k=$k too small (min 8)")
+    private[ops] val levels = ArrayBuffer(ArrayBuffer.empty[Double])
+    private[ops] val flip = ArrayBuffer(false)
+    private var n: Long = 0L
+
+    def count: Long = n
+
+    private def cap(level: Int): Int = {
+      val depth = levels.length - 1 - level
+      math.max(2, math.ceil(k * math.pow(2.0 / 3.0, depth)).toInt)
+    }
+    private def totalCap: Int = levels.indices.map(cap).sum
+    private def size: Int = levels.iterator.map(_.length).sum
+
+    def insert(v: Double): this.type = {
+      levels(0) += v
+      n += 1
+      compress()
+      this
+    }
+
+    /** Level-wise concatenate + re-compress: the KLL merge. Associative
+      * up to the documented error bound (each input's guarantee carries
+      * through compaction), which is what treeAggregate needs. */
+    def merge(o: QuantileSketch): this.type = {
+      while (levels.length < o.levels.length) {
+        levels += ArrayBuffer.empty; flip += false
+      }
+      for (i <- o.levels.indices) levels(i) ++= o.levels(i)
+      n += o.n
+      compress()
+      this
+    }
+
+    private def compress(): Unit = {
+      while (size > totalCap) {
+        // lowest over-full level compacts first (cheapest weight class)
+        val i = levels.indices.find(j => levels(j).length >= cap(j)).get
+        val buf = levels(i).sorted
+        levels(i).clear()
+        // odd buffer: leave the minimum behind at level i so the
+        // represented weight (Σ items·2^level) stays exactly `count`
+        val even = if (buf.length % 2 == 0) buf
+          else { levels(i) += buf.head; buf.drop(1) }
+        if (i + 1 >= levels.length) { levels += ArrayBuffer.empty; flip += false }
+        val off = if (flip(i)) 1 else 0
+        flip(i) = !flip(i)
+        var j = off
+        while (j < even.length) { levels(i + 1) += even(j); j += 2 }
+      }
+    }
+
+    /** Estimated |{v ≤ x}| — the weighted count of retained items ≤ x. */
+    def estRank(x: Double): Long = {
+      var r = 0L
+      var i = 0
+      while (i < levels.length) {
+        val b = levels(i)
+        var j = 0
+        while (j < b.length) { if (b(j) <= x) r += (1L << i); j += 1 }
+        i += 1
+      }
+      r
+    }
+
+    /** Smallest retained item whose estimated rank reaches
+      * ⌈q·count⌉ — the admission cut for "keep the bottom q". */
+    def quantile(q: Double): Double = {
+      require(n > 0, "quantile of an empty sketch")
+      require(q >= 0.0 && q <= 1.0, s"quantile $q outside [0,1]")
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      val weighted = (for {
+        i <- levels.indices
+        x <- levels(i)
+      } yield (x, 1L << i)).sortBy(_._1)
+      var cum = 0L
+      var i = 0
+      while (i < weighted.length) {
+        cum += weighted(i)._2
+        if (cum >= target) return weighted(i)._1
+        i += 1
+      }
+      weighted.last._1
+    }
+
+    /** Persistable rows form: (level, item). `count` is recoverable as
+      * Σ 2^level — the invariant [[compress]] maintains — so the rows
+      * ARE the sketch, like an HLL sketch blob but columnar. */
+    def toRows: Seq[(Int, Double)] =
+      for (i <- levels.indices.toSeq; x <- levels(i)) yield (i, x)
+  }
+
+  object QuantileSketch {
+    /** Rebuild from [[QuantileSketch.toRows]] rows (possibly a UNION of
+      * several batches' rows — concatenation is a valid sketch with more
+      * space; the rebuild just re-compresses it to O(k)). */
+    def fromRows(k: Int, rows: Seq[(Int, Double)]): QuantileSketch = {
+      val s = new QuantileSketch(k)
+      var total = 0L
+      rows.foreach { case (level, item) =>
+        require(level >= 0 && level < 62, s"bad sketch level $level")
+        while (s.levels.length <= level) {
+          s.levels += scala.collection.mutable.ArrayBuffer.empty[Double]
+          s.flip += false
+        }
+        s.levels(level) += item
+        total += (1L << level)
+      }
+      s.n = total
+      s.compress()
+      s
+    }
+  }
+
+  /** Distributed sketch build: one pass, treeAggregate of per-partition
+    * sketches — the shuffle carries O(k)-item sketches, never values.
+    * Nulls are skipped (they have no rank). */
+  def quantileSketchOf(df: DataFrame, valueCol: String,
+      k: Int = 256): QuantileSketch = {
+    val vals = df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    vals.rdd.map(_.getDouble(0))
+      .treeAggregate(new QuantileSketch(k))(_.insert(_), _.merge(_))
+  }
+
+  /** [[quantileSketchOf]] materialized to its (level, item) rows form —
+    * the per-batch artifact of the incremental-maintenance pattern
+    * ([[distinctSketch]]'s HLL blobs, [[countMinBuild]]'s cell grid):
+    * each batch/day persists kilobytes of rows, and any window's
+    * quantiles come from [[quantileSketchMerge]] over its batches' rows,
+    * never a re-scan of history. */
+  def quantileSketch(df: DataFrame, valueCol: String,
+      k: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    quantileSketchOf(df, valueCol, k).toRows.toDF("level", "item")
+  }
+
+  /** Merge persisted sketch rows (one batch's table or a UNION of many)
+    * back into a queryable sketch. Driver-side: the rows are O(k) per
+    * batch by construction. */
+  def quantileSketchMerge(rows: DataFrame, k: Int = 256): QuantileSketch =
+    QuantileSketch.fromRows(k,
+      rows.select(col("level").cast("int"), col("item").cast("double"))
+        .collect().toSeq.map(r => (r.getInt(0), r.getDouble(1))))
+
+  /** Per-group quantile estimates through per-group sketches (one
+    * aggregateByKey; each group's sketch is O(k), so the shuffle carries
+    * sketches, never group contents — the corpus-scale replacement for
+    * exact per-group sorts when groups are huge). Returns
+    * (group, q_mille, est) for each requested quantile, q in
+    * per-mille so the output stays integer-keyed. */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      qMilles: Seq[Int], k: Int = 64): DataFrame = {
+    require(qMilles.nonEmpty && qMilles.forall(q => q >= 0 && q <= 1000),
+      s"per-mille quantiles $qMilles outside [0,1000]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+      .rdd.map(r => (r.getString(0), r.getDouble(1)))
+      .aggregateByKey(new QuantileSketch(k))(_.insert(_), _.merge(_))
+      .flatMap { case (g, s) =>
+        qMilles.map(q => (g, q, s.quantile(q / 1000.0)))
+      }
+      .toDF(groupCol, "q_mille", "est")
+  }
+
   /** Cluster–label purity audit: per group (e.g. an IVF centroid cell),
     * total membership and the majority label with its count — the
     * clustering-quality check a mixture/curriculum pipeline runs before

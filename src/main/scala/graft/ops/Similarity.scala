@@ -877,7 +877,10 @@ object Similarity {
     val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
     val remaining = scala.collection.mutable.LinkedHashMap(
       cands.map(c => c._1 -> c): _*)
-    while (selected.length < math.min(k, cands.length)) {
+    // Loop bound is `remaining` (the id-DEDUPED map), not cands.length:
+    // duplicate ids in cands would otherwise drain `remaining` early and
+    // minBy would throw on an empty collection at serving time.
+    while (remaining.nonEmpty && selected.length < k) {
       // λ·rel − (1−λ)·max-sim-to-selected, rounded per comparison; the
       // first pick has no selected set, so its penalty term is 0
       val best = remaining.values.map { case (id, rel, v) =>

@@ -491,8 +491,12 @@ object TextAnalysis {
     * "Large Language Models in Machine Translation" — the backoff that
     * skips discount normalization because at corpus scale relative
     * frequencies suffice; the CCNet/Gopher-style perplexity-filter
-    * signal). Counts train on `trainPred` rows only and EVERY document
-    * is scored, so held-out docs genuinely exercise all three tiers:
+    * signal). Counts train on `trainPred` rows only and every document
+    * WITH AT LEAST ONE TRIGRAM (≥ 3 tokens) is scored — shorter docs
+    * emit no trigram rows and are absent from the output, a deliberate
+    * boundary (an LM score over zero positions is undefined; left-join
+    * back to `docs` with n_tri = 0 if presence matters). Held-out docs
+    * genuinely exercise all three tiers:
     *
     *   S(w0 | w2 w1) = c3(w2 w1 w0) / c2(w2 w1)           if the trigram trained
     *                 | α · c2(w1 w0) / c1(w1)             else if the bigram did

@@ -87,8 +87,13 @@ object HtmlExtract {
       val c = html.charAt(i)
       if (rawSkip != null) {
         // scan for the matching close tag, case-insensitive
+        // exact tag-name match, not prefix: `</scripts>` must NOT close
+        // `<script>` — require the char after the name to be a non-name
+        // char ('>' or whitespace)
         if (c == '<' && i + 1 < n && html.charAt(i + 1) == '/' &&
-            html.regionMatches(true, i + 2, rawSkip, 0, rawSkip.length)) {
+            html.regionMatches(true, i + 2, rawSkip, 0, rawSkip.length) &&
+            (i + 2 + rawSkip.length >= n ||
+              !html.charAt(i + 2 + rawSkip.length).isLetterOrDigit)) {
           rawSkip = null
           i = html.indexOf('>', i) match { case -1 => n; case j => j + 1 }
         } else i += 1
@@ -100,7 +105,10 @@ object HtmlExtract {
         while (j < n && (html.charAt(j).isLetterOrDigit)) j += 1
         val name = html.substring(start, j).toLowerCase
         val end = html.indexOf('>', j) match { case -1 => n - 1; case e => e }
-        if (!close && rawTextTags(name)) rawSkip = name
+        // a self-closing <script/> has no content to skip — entering raw
+        // mode on it would swallow the rest of the document as non-text
+        val selfClosing = end > j && html.charAt(end - 1) == '/'
+        if (!close && rawTextTags(name) && !selfClosing) rawSkip = name
         else {
           if (name == "a") {
             if (!close) linkDepth += 1

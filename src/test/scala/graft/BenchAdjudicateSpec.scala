@@ -58,4 +58,41 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     val out = Bench.adjudicate(Seq("q01" -> 1.0), Map.empty)
     assert(out.contains("\"bench_verdict\":\"no_baseline\""), out)
   }
+
+  // --- end-of-suite adjudication rerun (round-8 judge directive #7) ---
+
+  test("flaggedNames: both thresholds required, baseline-missing exempt") {
+    val b = Map("q01" -> 1.0, "q02" -> 0.1, "q03" -> 1.0)
+    val flagged = Bench.flaggedNames(
+      Seq("q01" -> 5.0,      // 5x and +4.0 s -> flagged
+          "q02" -> 0.3,      // 3x but +0.2 s: under absolute gate
+          "q03" -> 1.4,      // +0.4 s and 1.4x: under both
+          "q99" -> 50.0),    // no baseline: never flagged
+      b)
+    assert(flagged == Seq("q01"), flagged)
+  }
+
+  test("rerun refutes a throttle-window flag: merged min re-adjudicates clean") {
+    // q09 inflates in-suite (isolated -> code_regression_suspect)...
+    val inSuite = (1 to 10).map(i => f"q$i%02d" -> (if (i == 9) 5.0 else 1.1))
+    assert(Bench.flaggedNames(inSuite, base) == Seq("q09"))
+    assert(run(inSuite: _*).contains("code_regression_suspect"))
+    // ...the standalone rerun lands at baseline; the record takes the min
+    // and the SAME adjudication now returns clean — the loop the judge
+    // ran by hand, executed before the verdict is emitted.
+    val rerun = Map("q09" -> 1.05)
+    val merged = inSuite.map { case (n, s) =>
+      n -> math.min(s, rerun.getOrElse(n, s)) }
+    assert(Bench.flaggedNames(merged, base).isEmpty)
+    assert(run(merged: _*).contains("\"bench_verdict\":\"clean\""))
+  }
+
+  test("rerun cannot mask a real regression: still flagged after merge") {
+    val inSuite = (1 to 10).map(i => f"q$i%02d" -> (if (i == 9) 5.0 else 1.1))
+    val rerun = Map("q09" -> 4.8) // reproduces standalone
+    val merged = inSuite.map { case (n, s) =>
+      n -> math.min(s, rerun.getOrElse(n, s)) }
+    assert(Bench.flaggedNames(merged, base) == Seq("q09"))
+    assert(run(merged: _*).contains("code_regression_suspect"))
+  }
 }

@@ -406,4 +406,36 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(rev == s)
   }
+
+  test("fuzzyContamination: verbatim flags at 1.0, light edit flags above" +
+      " threshold, unrelated text never pairs; >= boundary is inclusive") {
+    val evalText = (1 to 40).map(i => s"w$i").mkString(" ")
+    // light edit: one token swapped mid-document (kills 3 of 38 shingles)
+    val edited = (1 to 40).map(i => if (i == 20) "zzq" else s"w$i").mkString(" ")
+    val unrelated = (1 to 40).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, evalText),   // the eval row (stored side)
+      (10L, evalText),  // verbatim leak
+      (11L, edited),    // fuzzy leak
+      (12L, unrelated)  // clean
+    ).toDF("doc_id", "text")
+    val out = Curation.fuzzyContamination(docs, "doc_id", "text",
+        isEval = col("doc_id") === 1, minAgree = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byId = out.groupBy(_._1)
+    assert(byId(10L).head._3 == 1.0, s"verbatim: ${byId.get(10L)}")
+    assert(byId(11L).head._3 >= 0.5, s"edited: ${byId.get(11L)}")
+    assert(!byId.contains(12L), s"unrelated paired: ${byId.get(12L)}")
+    // boundary: minAgree exactly at the edited doc's agreement still flags
+    // (>= not >), and just above it drops the doc
+    val agree = byId(11L).head._3
+    val atBoundary = Curation.fuzzyContamination(docs, "doc_id", "text",
+        isEval = col("doc_id") === 1, minAgree = agree)
+      .collect().map(_.getLong(0)).toSet
+    assert(atBoundary.contains(11L))
+    val above = Curation.fuzzyContamination(docs, "doc_id", "text",
+        isEval = col("doc_id") === 1, minAgree = agree + 1e-6)
+      .collect().map(_.getLong(0)).toSet
+    assert(!above.contains(11L) && above.contains(10L))
+  }
 }

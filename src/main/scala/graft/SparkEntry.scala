@@ -2609,6 +2609,120 @@ object SparkEntry {
           coalesce(col("n_fuzzy"), lit(0L)).as("n_fuzzy"),
           coalesce(col("best_agree"), lit(0.0)).as("best_agree"))
         .orderBy("doc_id")
+    }),
+
+    // Incremental media-near-dup ADMISSION (the q91 stored-signature
+    // discipline applied to pixels): the standing corpus is q159's
+    // image set reduced to its (id, dHash) table; a new batch of
+    // identical resubmits (+500000), one-block-perturbed re-encodes
+    // (+600000), and novel images (+700000, unseen seeds) hashes
+    // map-side and joins that table through the pigeonhole-banded
+    // Hamming join. Resubmits and perturbs flag, novels admit. Oracle
+    // re-derives banding, XOR popcount, and the admission flags from
+    // the two aux signature tables.
+    "q179_media_admit" -> ((s, dir) => {
+      val mm = graft.ops.Multimodal
+      val d = t(s, dir, "documents").select("doc_id")
+      val stored = d.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("img_id"),
+          mm.renderTestImageUdf(expr("CAST(doc_id div 10 AS BIGINT)"),
+            when(col("doc_id") % 10 === 5, 2).otherwise(0)).as("content"))
+      val storedSigs = stored.select(col("img_id"),
+        mm.imageDHashUdf(col("content")).as("sig"))
+        .filter(col("sig").isNotNull)
+      val batch =
+        d.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 500000).as("img_id"),
+            mm.renderTestImageUdf(expr("CAST(doc_id div 10 AS BIGINT)"),
+              lit(0)).as("content"))
+        .unionByName(d.filter(col("doc_id") % 20 === 10)
+          .select((col("doc_id") + 600000).as("img_id"),
+            mm.renderTestImageUdf(expr("CAST(doc_id div 10 AS BIGINT)"),
+              lit(1)).as("content")))
+        .unionByName(d.filter(col("doc_id") % 20 === 5)
+          .select((col("doc_id") + 700000).as("img_id"),
+            mm.renderTestImageUdf(expr("CAST(doc_id div 10 + 90000 AS BIGINT)"),
+              lit(0)).as("content")))
+      val batchSigs = batch.select(col("img_id"),
+        mm.imageDHashUdf(col("content")).as("sig"))
+        .filter(col("sig").isNotNull)
+      writeAux(storedSigs, dir, "q179_stored")
+      writeAux(batchSigs, dir, "q179_batch")
+      val matches = mm.imageNearDupAdmit(batch, storedSigs,
+        "img_id", "content", maxDist = 4)
+      val agg = matches.groupBy(col("new_id").as("img_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          min("dist").cast("long").as("best_dist"))
+      batchSigs.select("img_id").join(agg, Seq("img_id"), "left")
+        .select(col("img_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          coalesce(col("best_dist"), lit(99L)).as("best_dist"),
+          when(col("n_matches").isNull, 1L).otherwise(0L).as("admitted"))
+        .orderBy("img_id")
+    }),
+
+    // The FULL pretraining-curation composite (q149 plus the scoring
+    // gates it skipped): normalize → length → exact-dedup → linear
+    // quality classifier (q95's weights) → Gopher top-bigram repetition
+    // (top_cnt/pairs ≤ 1/10) → LM bigram fluency (mean transition
+    // frequency ≥ 28) → hash split → token-budget sample. Bigram
+    // statistics are FROZEN on the deduped corpus (the stored-stats
+    // discipline), gates are exact-integer rules, and the output keeps
+    // every post-dedup doc with its per-gate flags — each gate's
+    // rejections are visible in the hash-matched record (thresholds
+    // tuned so every gate rejects on this corpus; Gopher's 0.2
+    // repetition cut never fires on word-salad testdata).
+    "q180_curation_full" -> ((s, dir) => {
+      import graft.ops.Sampling
+      val normed = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          TextAnalysis.normalizeText(col("text")).as("norm_text"))
+        .filter(col("n_chars") >= 100)
+      val w = Window.partitionBy(md5(col("norm_text").cast("binary")))
+        .orderBy(col("doc_id"))
+      val dd = normed.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val quality = graft.ops.Curation.linearQualityScore(
+          dd.select(col("doc_id"), col("norm_text")), "doc_id", "norm_text",
+          graft.ops.Curation.QualityWeights(
+            words = 2, chars = 1, exclaim = -50, digits = -10, bias = -500))
+        .select(col("doc_id"), col("logit").cast("long").as("logit"))
+      val rep = TextAnalysis.topBigramStats(dd, "doc_id", "norm_text")
+      val flu = TextAnalysis.bigramFluency(dd, "doc_id", "norm_text")
+        .select(col("doc_id"), col("sum_cnt"))
+      val flags = dd.select("doc_id", "n_chars")
+        .join(quality, Seq("doc_id"))
+        .join(rep, Seq("doc_id"), "left")
+        .join(flu, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"), col("logit"),
+          coalesce(col("top_cnt"), lit(1L)).as("top_cnt"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("sum_cnt"), lit(0L)).as("sum_cnt"))
+        .withColumn("pass_quality",
+          when(col("logit") >= 0, 1L).otherwise(0L))
+        .withColumn("pass_rep",
+          when(col("top_cnt") * 10 <= col("n_pairs"), 1L).otherwise(0L))
+        .withColumn("pass_flu",
+          when(col("sum_cnt") >= col("n_pairs") * 28, 1L).otherwise(0L))
+      val split = Sampling.hashSplit(flags, "doc_id",
+          Seq("train" -> 0.8, "holdout" -> 0.2))
+        .withColumn("split_train",
+          when(col("split") === "train", 1L).otherwise(0L))
+        .drop("split")
+      val survivors = split.filter(col("pass_quality") === 1 &&
+        col("pass_rep") === 1 && col("pass_flu") === 1 &&
+        col("split_train") === 1)
+      val admitted = Sampling.tokenBudgetSample(
+          survivors.select("doc_id", "n_chars"), "doc_id", "n_chars",
+          budget = 50000L)
+        .select(col("doc_id"), col("cum_n_chars"))
+      split.join(admitted, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"), col("logit"), col("top_cnt"),
+          col("n_pairs"), col("sum_cnt"), col("pass_quality"),
+          col("pass_rep"), col("pass_flu"), col("split_train"),
+          coalesce(col("cum_n_chars"), lit(0L)).as("cum_n_chars"),
+          when(col("cum_n_chars").isNotNull, 1L).otherwise(0L).as("admitted"))
+        .orderBy("doc_id")
     })
   )
 
@@ -5026,6 +5140,106 @@ object SparkEntry {
          |LEFT JOIN matched m ON m.doc_id = tdoc.doc_id
          |LEFT JOIN fz f ON f.doc_id = tdoc.doc_id
          |ORDER BY tdoc.doc_id""".stripMargin
-    }
+    },
+
+    // media admission re-derived from the two aux signature tables:
+    // banding (the bandLayout(64,5) mirror), XOR popcount radius
+    // verify, and the left-join admission flags.
+    "q179_media_admit" -> {
+      val layout = Seq((0, 13), (13, 13), (26, 13), (39, 13), (52, 12))
+      def bandSel(tbl: String) = layout.zipWithIndex.map { case ((off, w), b) =>
+        s"SELECT img_id, sig, $b AS b, (sig >> $off) & ${(1L << w) - 1} AS v FROM $tbl" }
+        .mkString("\n  UNION ALL ")
+      s"""WITH st AS (SELECT img_id, sig FROM '__AUX__/q179_stored/*.parquet'),
+         |bt AS (SELECT img_id, sig FROM '__AUX__/q179_batch/*.parquet'),
+         |bs AS (
+         |  ${bandSel("bt")}),
+         |os AS (
+         |  ${bandSel("st")}),
+         |m AS (SELECT DISTINCT n.img_id AS img_id, o.img_id AS old_id,
+         |    bit_count(xor(n.sig, o.sig)) AS dist
+         |  FROM bs n JOIN os o ON n.b = o.b AND n.v = o.v
+         |  WHERE bit_count(xor(n.sig, o.sig)) <= 4),
+         |agg AS (SELECT img_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |    CAST(min(dist) AS BIGINT) AS best_dist FROM m GROUP BY 1)
+         |SELECT b.img_id,
+         |  CAST(COALESCE(a.n_matches, 0) AS BIGINT) AS n_matches,
+         |  CAST(COALESCE(a.best_dist, 99) AS BIGINT) AS best_dist,
+         |  CAST(CASE WHEN a.img_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS admitted
+         |FROM bt b LEFT JOIN agg a ON a.img_id = b.img_id
+         |ORDER BY b.img_id""".stripMargin
+    },
+
+    // full composite: q149's normalize/dedup/split/budget CTEs plus the
+    // q95/q137/q126 gate CTEs, all over norm_text with frozen post-dedup
+    // statistics; every gate decision re-derived in integer math.
+    "q180_curation_full" ->
+      """WITH normed AS (SELECT doc_id, n_chars,
+        |    trim(regexp_replace(lower(strip_accents(text)), '\s+', ' ', 'g'))
+        |      AS norm_text
+        |  FROM documents WHERE n_chars >= 100),
+        |ranked AS (SELECT doc_id, n_chars, norm_text,
+        |    row_number() OVER (PARTITION BY md5(norm_text)
+        |                       ORDER BY doc_id) AS rn
+        |  FROM normed),
+        |dd AS (SELECT doc_id, n_chars, norm_text FROM ranked WHERE rn = 1),
+        |f AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(norm_text, '\S+')) AS BIGINT) AS n_words,
+        |    CAST(length(norm_text) AS BIGINT) AS nc,
+        |    CAST(len(regexp_extract_all(norm_text, '!')) AS BIGINT) AS n_exclaim,
+        |    CAST(len(regexp_extract_all(norm_text, '[0-9]')) AS BIGINT) AS n_digits
+        |  FROM dd),
+        |lg AS (SELECT doc_id,
+        |    2*n_words + 1*nc - 50*n_exclaim - 10*n_digits - 500 AS logit FROM f),
+        |toks AS (SELECT doc_id, idx, parts[idx+1] AS tok FROM (
+        |    SELECT doc_id, parts, unnest(range(len(parts))) AS idx FROM (
+        |      SELECT doc_id, string_split(norm_text, ' ') AS parts FROM dd))),
+        |pairs AS (SELECT a.doc_id, a.tok AS prev, b.tok AS next
+        |  FROM toks a JOIN toks b
+        |    ON a.doc_id = b.doc_id AND b.idx = a.idx + 1),
+        |pc AS (SELECT doc_id, prev, next, CAST(count(*) AS BIGINT) AS c
+        |  FROM pairs GROUP BY 1, 2, 3),
+        |rep AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt,
+        |    CAST(sum(c) AS BIGINT) AS n_pairs FROM pc GROUP BY 1),
+        |cnts AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM pairs GROUP BY 1, 2),
+        |flu AS (SELECT p.doc_id, CAST(SUM(c.cnt) AS BIGINT) AS sum_cnt
+        |  FROM pairs p JOIN cnts c ON c.prev = p.prev AND c.next = p.next
+        |  GROUP BY 1),
+        |flags AS (SELECT d.doc_id, d.n_chars, CAST(l.logit AS BIGINT) AS logit,
+        |    COALESCE(r.top_cnt, 1) AS top_cnt,
+        |    COALESCE(r.n_pairs, 0) AS n_pairs,
+        |    COALESCE(fl.sum_cnt, 0) AS sum_cnt,
+        |    CASE WHEN l.logit >= 0 THEN 1 ELSE 0 END AS pass_quality,
+        |    CASE WHEN COALESCE(r.top_cnt, 1) * 10 <= COALESCE(r.n_pairs, 0)
+        |         THEN 1 ELSE 0 END AS pass_rep,
+        |    CASE WHEN COALESCE(fl.sum_cnt, 0) >= COALESCE(r.n_pairs, 0) * 28
+        |         THEN 1 ELSE 0 END AS pass_flu,
+        |    CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+        |         THEN 1 ELSE 0 END AS split_train
+        |  FROM dd d JOIN lg l ON l.doc_id = d.doc_id
+        |  LEFT JOIN rep r ON r.doc_id = d.doc_id
+        |  LEFT JOIN flu fl ON fl.doc_id = d.doc_id),
+        |surv AS (SELECT doc_id, n_chars FROM flags
+        |  WHERE pass_quality = 1 AND pass_rep = 1 AND pass_flu = 1
+        |    AND split_train = 1),
+        |c AS (SELECT doc_id,
+        |    CAST(SUM(n_chars) OVER (
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_n_chars
+        |  FROM surv),
+        |adm AS (SELECT doc_id, cum_n_chars FROM c WHERE cum_n_chars <= 50000)
+        |SELECT g.doc_id, g.n_chars, g.logit, g.top_cnt, g.n_pairs, g.sum_cnt,
+        |  CAST(g.pass_quality AS BIGINT) AS pass_quality,
+        |  CAST(g.pass_rep AS BIGINT) AS pass_rep,
+        |  CAST(g.pass_flu AS BIGINT) AS pass_flu,
+        |  CAST(g.split_train AS BIGINT) AS split_train,
+        |  CAST(COALESCE(a.cum_n_chars, 0) AS BIGINT) AS cum_n_chars,
+        |  CAST(CASE WHEN a.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |    AS admitted
+        |FROM flags g LEFT JOIN adm a ON a.doc_id = g.doc_id
+        |ORDER BY g.doc_id""".stripMargin
   )
 }

@@ -661,6 +661,45 @@ object Dedup {
       .distinct() // a pair colliding on several bands is one candidate
   }
 
+  /** Banded Hamming-radius join of a NEW batch's signatures against a
+    * standing STORED (id, sig) table — [[simHashRadiusPairsBanded]]'s
+    * cross-table form, and the media/SimHash member of the incremental-
+    * admission family ([[exactAgainst]] exact, [[minHashAgainst]]
+    * MinHash, [[prefixFilterAdmit]] exact-threshold): the corpus keeps
+    * 8 bytes per item, admitting a batch against 100 TB of media reads
+    * a signature table, and the only cross-side shuffle is the
+    * (band, value) candidate join. Same pigeonhole contract: with
+    * `bands ≥ maxDist + 1` recall at the radius is COMPLETE. Both
+    * inputs use (`idCol`, `sigCol`). Returns (new_id, old_id, dist)
+    * with dist ≤ maxDist; admission = the batch anti-joined on
+    * new_id. */
+  def simHashRadiusAgainst(newSigs: DataFrame, storedSigs: DataFrame,
+      idCol: String, sigCol: String, maxDist: Int, sigBits: Int,
+      bands: Int): DataFrame = {
+    require(bands >= 1 && bands <= sigBits && sigBits <= 64 &&
+        (sigBits < 64 || bands >= 2),
+      s"bands=$bands must be in [1, sigBits=$sigBits], sigBits <= 64 " +
+        "(64-bit signatures need bands >= 2)")
+    val layout = bandLayout(sigBits, bands)
+    def banded(df: DataFrame, side: String) = df
+      .select(col(idCol).as(s"${side}_id"),
+        col(sigCol).cast("long").as(s"${side}_sig"))
+      .withColumn("band", explode(array(
+        layout.zipWithIndex.map { case ((off, width), b) =>
+          struct(lit(b).as("b"),
+            shiftright(col(s"${side}_sig"), off)
+              .bitwiseAND(lit((1L << width) - 1)).as("v"))
+        }: _*)))
+      .select(col(s"${side}_id"), col(s"${side}_sig"),
+        col("band.b").as("b"), col("band.v").as("v"))
+    banded(newSigs, "new").join(banded(storedSigs, "old"), Seq("b", "v"))
+      .select(col("new_id"), col("old_id"),
+        graft.functions.GraftFunctions
+          .hamming64(col("new_sig"), col("old_sig")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
   /** (bitOffset, width) per band: widths differ by at most one,
     * wider bands first, covering `sigBits` exactly. */
   private[ops] def bandLayout(sigBits: Int, bands: Int): Seq[(Int, Int)] = {

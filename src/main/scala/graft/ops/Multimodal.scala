@@ -285,6 +285,39 @@ object Multimodal {
       sigBits = 64, bands = maxDist + 1)
   }
 
+  /** Incremental image-near-dup ADMISSION — the q91 stored-signature
+    * discipline applied to media: text has exact / MinHash /
+    * prefix-filter admission; this is the pixel analog. The standing
+    * corpus keeps only its (id, dHash) table — 8 bytes per image —
+    * and a new batch decodes + hashes map-side exactly once, then
+    * joins that table through the banded Hamming join
+    * ([[Dedup.simHashRadiusAgainst]], pigeonhole-complete at the
+    * radius). Pixels never cross an exchange on either side; admitting
+    * a batch against 100 TB of images reads an 8-bytes-per-image
+    * table. `storedSigs` carries (`idCol`, "sig"). Returns
+    * (new_id, old_id, dist) matches; admission = the batch anti-joined
+    * on new_id, and admitted images append their (id, sig) rows to the
+    * standing table — the generational pattern the ANN index uses. */
+  def imageNearDupAdmit(batch: DataFrame, storedSigs: DataFrame,
+      idCol: String, binCol: String, maxDist: Int): DataFrame = {
+    val sigs = batch.select(col(idCol), imageDHashUdf(col(binCol)).as("sig"))
+      .filter(col("sig").isNotNull)
+    Dedup.simHashRadiusAgainst(sigs, storedSigs, idCol, "sig", maxDist,
+      sigBits = 64, bands = maxDist + 1)
+  }
+
+  /** [[imageNearDupAdmit]] for audio: the amplitude-invariant
+    * energy-envelope dHash ([[audioHash64]]) against a standing
+    * (id, sig) table, same banded Hamming join and same scale story —
+    * PCM samples never leave the map side. */
+  def audioNearDupAdmit(batch: DataFrame, storedSigs: DataFrame,
+      idCol: String, binCol: String, maxDist: Int): DataFrame = {
+    val sigs = batch.select(col(idCol), audioHashUdf(col(binCol)).as("sig"))
+      .filter(col("sig").isNotNull)
+    Dedup.simHashRadiusAgainst(sigs, storedSigs, idCol, "sig", maxDist,
+      sigBits = 64, bands = maxDist + 1)
+  }
+
   /** Deterministic synthetic test-card: a 32x32 PNG of 4x4 blocks whose
     * gray levels are a hash of (seed, block); `perturb` brightens that
     * many blocks by a fixed delta — a controlled near-duplicate. Exists

@@ -895,6 +895,48 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       "undecodable rows must be filtered, not hashed")
   }
 
+  test("imageNearDupAdmit: resubmitted + perturbed images flag against the" +
+      " stored signature table, novel and undecodable admit (q91 discipline)") {
+    val stored = (0L until 10L).map(i => (i, Multimodal.renderTestImage(i)))
+      .toDF("img_id", "content")
+    val storedSigs = stored.select(col("img_id"),
+      Multimodal.imageDHashUdf(col("content")).as("sig"))
+    val batch = Seq(
+      (100L, Multimodal.renderTestImage(3L)),              // identical resubmit
+      (101L, Multimodal.renderTestImage(5L, perturb = 1)), // near-dup resubmit
+      (102L, Multimodal.renderTestImage(424242L)),         // novel
+      (103L, "not an image".getBytes)                      // undecodable
+    ).toDF("img_id", "content")
+    val m = Multimodal
+      .imageNearDupAdmit(batch, storedSigs, "img_id", "content", maxDist = 4)
+      .as[(Long, Long, Int)].collect()
+    assert(m.exists(p => p._1 == 100L && p._2 == 3L && p._3 == 0),
+      s"identical resubmit must flag at dist 0: ${m.mkString(",")}")
+    assert(m.exists(p => p._1 == 101L && p._2 == 5L && p._3 <= 4),
+      s"one-block perturb must flag within radius: ${m.mkString(",")}")
+    assert(!m.exists(_._1 == 102L), "novel image must admit")
+    assert(!m.exists(_._1 == 103L), "undecodable must drop, not hash")
+    // stored side is FROZEN: matches are always batch-vs-stored, never
+    // batch-vs-batch (the incremental-admission contract)
+    assert(m.forall(p => p._1 >= 100L && p._2 < 100L))
+  }
+
+  test("audioNearDupAdmit: resubmitted envelope flags, novel admits") {
+    val stored = Seq((1L, Multimodal.renderTestWav(5L)),
+      (2L, Multimodal.renderTestWav(6L))).toDF("aud_id", "content")
+    val storedSigs = stored.select(col("aud_id"),
+      Multimodal.audioHashUdf(col("content")).as("sig"))
+    val batch = Seq(
+      (10L, Multimodal.renderTestWav(5L)),    // resubmit
+      (11L, Multimodal.renderTestWav(991L))   // novel
+    ).toDF("aud_id", "content")
+    val m = Multimodal
+      .audioNearDupAdmit(batch, storedSigs, "aud_id", "content", maxDist = 4)
+      .as[(Long, Long, Int)].collect()
+    assert(m.exists(p => p._1 == 10L && p._2 == 1L && p._3 == 0))
+    assert(!m.exists(_._1 == 11L))
+  }
+
   test("decodeWavPcm: real AudioSystem round-trip recovers exact samples") {
     val bytes = Multimodal.renderTestWav(seed = 3L, halfPeriod = 4)
     val Some((rate, pcm)) = Multimodal.decodeWavPcm(bytes)

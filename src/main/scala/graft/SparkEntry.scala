@@ -2723,6 +2723,24 @@ object SparkEntry {
           coalesce(col("cum_n_chars"), lit(0L)).as("cum_n_chars"),
           when(col("cum_n_chars").isNotNull, 1L).otherwise(0L).as("admitted"))
         .orderBy("doc_id")
+    }),
+
+    // HNSW graph ANN (the index tier's graph member): deterministic
+    // md5 levels, per-layer exact-kNN neighbor graph, fixed-hop beam
+    // walk composed as one lazy plan. The graph and levels dump as aux
+    // and DuckDB REPLAYS THE ENTIRE WALK — entry selection, three
+    // greedy descent hops, three beam rounds with the top-16 frontier,
+    // visited-set top-10 — with its own cosine arithmetic (the
+    // q169-style unrolled-iteration oracle applied to graph search).
+    "q181_hnsw" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      val idx = new Similarity.HnswIndex(emb, m = 8, maxLevel = 3)
+      writeAux(idx.levels, dir, "q181_levels")
+      writeAux(idx.graph.select("layer", "id", "nbr"), dir, "q181_graph")
+      idx.search(qv, k = 10, ef = 16, hops = 3)
     })
   )
 
@@ -5240,6 +5258,51 @@ object SparkEntry {
         |  CAST(CASE WHEN a.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
         |    AS admitted
         |FROM flags g LEFT JOIN adm a ON a.doc_id = g.doc_id
-        |ORDER BY g.doc_id""".stripMargin
+        |ORDER BY g.doc_id""".stripMargin,
+
+    // HNSW beam walk replayed hop by hop from the aux graph + levels:
+    // greedy descent d3→d2→d1 (one hop per upper layer, statically
+    // unrolled — a layer without edges for the current node is a
+    // no-op, matching the Spark walk), then three beam rounds (pool =
+    // frontier ∪ layer-0 neighbors, frontier = top-16, visited
+    // accumulates), finally visited top-10. Cosines are DuckDB's own.
+    "q181_hnsw" -> {
+      def descend(prev: String, l: Int, name: String) =
+        s"""$name AS (SELECT s.id, s.cos FROM sc s WHERE s.id IN
+           |    (SELECT id FROM $prev UNION
+           |     SELECT g.nbr FROM g JOIN $prev f ON g.id = f.id
+           |     WHERE g.layer = $l)
+           |  ORDER BY s.cos DESC, s.id LIMIT 1)""".stripMargin
+      def hop(prev: String, t: Int) =
+        s"""n$t AS (SELECT DISTINCT g.nbr AS id FROM g
+           |  JOIN $prev f ON g.id = f.id WHERE g.layer = 0),
+           |p$t AS (SELECT s.id, s.cos FROM sc s WHERE s.id IN
+           |    (SELECT id FROM $prev UNION SELECT id FROM n$t)),
+           |f$t AS (SELECT id, cos FROM p$t ORDER BY cos DESC, id LIMIT 16),
+           |v$t AS (SELECT id, cos FROM v${t - 1}
+           |  UNION SELECT id, cos FROM p$t)""".stripMargin
+      s"""WITH g AS (SELECT layer, id, nbr FROM '__AUX__/q181_graph/*.parquet'),
+         |lv AS (SELECT id, level FROM '__AUX__/q181_levels/*.parquet'),
+         |pp AS (SELECT e.vec_id AS id, unnest(e.embedding)::DOUBLE AS x,
+         |    unnest(q.embedding)::DOUBLE AS y
+         |  FROM embeddings e,
+         |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+         |sc AS (SELECT id,
+         |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+         |  FROM pp GROUP BY id),
+         |e0 AS (SELECT id FROM lv ORDER BY level DESC, id LIMIT 1),
+         |${descend("e0", 3, "d3a")},
+         |${descend("d3a", 3, "d3")},
+         |${descend("d3", 2, "d2a")},
+         |${descend("d2a", 2, "d2")},
+         |${descend("d2", 1, "d1a")},
+         |${descend("d1a", 1, "d1")},
+         |v0 AS (SELECT id, cos FROM d1),
+         |${hop("d1", 1)},
+         |${hop("f1", 2)},
+         |${hop("f2", 3)}
+         |SELECT id AS vec_id, cos FROM (SELECT DISTINCT id, cos FROM v3)
+         |ORDER BY cos DESC, id LIMIT 10""".stripMargin
+    }
   )
 }

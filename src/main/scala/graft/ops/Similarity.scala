@@ -898,4 +898,139 @@ object Similarity {
       .map { case ((id, rel, mmr), i) => (id, rel, mmr, (i + 1).toLong) }
       .toSeq
   }
+
+  /** HNSW-family navigable-small-world graph index (Malkov & Yashunin
+    * 2016) — the graph member of the index tier (LSH / IVF / PQ /
+    * IVF-PQ / residual exist above). Spark-first re-expression of the
+    * three HNSW ingredients:
+    *
+    *  - LEVELS: classic HNSW draws a geometric level from an RNG at
+    *    insert time — irreproducible for any oracle. Here the level is
+    *    a deterministic integer function of the id (trailing-zero
+    *    nibbles of the first 8 md5 hex chars: P(level ≥ ℓ) = 16^−ℓ,
+    *    the geometric layer distribution with branching 16) that both
+    *    engines compute exactly.
+    *  - NEIGHBOR GRAPH: built DISTRIBUTED one layer at a time — layer ℓ
+    *    members are ids with level ≥ ℓ, each keeping its top-M (2M at
+    *    layer 0, the classic Mmax0) cosine neighbors among members via
+    *    the codegen cosine + per-query window ([[knnJoin]]). Exact
+    *    per-layer kNN is the quality upper bound of HNSW's insert-time
+    *    beam construction; at 100 TB the layer-0 build swaps in
+    *    NN-descent rounds or LSH-candidate pruning (landing in the same
+    *    (layer, id, nbr) table — upper layers are corpus/16^ℓ-sized and
+    *    stay exact). The graph is a narrow id-keyed table, bucketable
+    *    by id; vectors are never copied into it.
+    *  - SEARCH: the fixed-hop beam walk — greedy descent through each
+    *    upper layer, then `hops` beam rounds at layer 0 keeping a
+    *    top-`ef` frontier. Every hop is a frontier⋈graph join
+    *    (bucket-pruned lookup at scale) whose (≤ ef)-row result
+    *    materializes via `localCheckpoint` — the connected-components
+    *    lineage-truncation discipline: each hop's plan references the
+    *    frontier twice, so un-truncated lineage doubles per hop
+    *    (observed as a 2^hops analysis blow-up). Fixed hop counts keep
+    *    the walk data-independent (the q166 in-plan lesson); `ef` and
+    *    `hops` are the recall dials. round6 cosines + id tie-breaks
+    *    make every step engine-reproducible. */
+  final class HnswIndex(df: DataFrame, m: Int = 8, maxLevel: Int = 3,
+      vecCol: String = "embedding", idCol: String = "vec_id") {
+    require(m >= 2 && maxLevel >= 1, s"bad HNSW shape m=$m maxLevel=$maxLevel")
+    import org.apache.spark.sql.expressions.Window
+
+    private val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+
+    /** (id, level) by the trailing-zero-nibble rule — exact integers. */
+    val levels: DataFrame = {
+      val h = conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+      val lvl = (1 to maxLevel).foldLeft(lit(0): Column) { (acc, l) =>
+        when(h % lit(math.pow(16, l).toLong) === 0, lit(l)).otherwise(acc)
+      }
+      vecs.select(col("id"), lvl.cast("int").as("level"))
+    }
+
+    /** (layer, id, nbr, cos): per layer, each member's top-M (2M at
+      * layer 0) neighbors among that layer's members, SYMMETRIZED —
+      * classic HNSW links both directions at insert time, and the
+      * reverse edges are what make a kNN graph navigable: greedy
+      * search walks OUT-edges only, and in a directed exact-kNN graph
+      * a tight cluster can have zero in-edges from the entry's region
+      * (the hub problem — observed as recall 0 before symmetrization).
+      * Out-degree is exactly `deg` before the reverse union; total
+      * degree is bounded by deg + in-degree, the classic Mmax slack. */
+    val graph: DataFrame = {
+      val members = vecs.join(levels, "id")
+      (0 to maxLevel).map { l =>
+        val mem = members.filter(col("level") >= l).select("id", "vec")
+        val deg = if (l == 0) 2 * m else m
+        // knnJoin includes the query row itself (cos 1.0); drop it and
+        // re-rank so every node keeps exactly deg true neighbors
+        val knn = knnJoin(mem, mem, deg + 1, "vec", "id", "vec", "id")
+          .filter(col("corpus_id") =!= col("query_id"))
+        val w = Window.partitionBy("query_id").orderBy("rn")
+        val fwd = knn.withColumn("r2", row_number().over(w))
+          .filter(col("r2") <= deg)
+          .select(lit(l).as("layer"), col("query_id").as("id"),
+            col("corpus_id").as("nbr"), col("cos"))
+        fwd.unionByName(fwd.select(col("layer"), col("nbr").as("id"),
+            col("id").as("nbr"), col("cos")))
+          .distinct()
+      }.reduce(_ unionByName _)
+    }
+
+    /** The graph materialized once per index instance — the walk joins
+      * it once per hop, and without a cache every hop would re-run the
+      * kNN construction. */
+    private lazy val cachedGraph = graph.cache()
+
+    /** Entry node: max level, smallest id (one bounded driver read of
+      * one row — the IVF probe-ranking cost class). */
+    lazy val entryId: Long =
+      levels.orderBy(desc("level"), col("id")).limit(1).head.getLong(0)
+
+    /** Beam-search top-k: returns (vec_id, cos) for the best `k` of the
+      * visited set. `hopsPerLayer` fixes how many greedy steps each
+      * upper layer takes (classic HNSW iterates to a local optimum —
+      * data-dependent; a fixed count keeps the plan static and the
+      * oracle unrollable, and acts as a recall dial like ef/hops). */
+    def search(queryVec: Array[Float], k: Int, ef: Int = 16,
+        hops: Int = 3, hopsPerLayer: Int = 2): DataFrame = {
+      require(k >= 1 && ef >= 1 && hops >= 1 && hopsPerLayer >= 1,
+        s"bad search shape k=$k ef=$ef hops=$hops hopsPerLayer=$hopsPerLayer")
+      val g = cachedGraph
+      val scored = vecs
+        .withColumn("cos", round(vecCosine(col("vec"), typedlit(queryVec)), 6))
+        .select("id", "cos")
+      // greedy descent: fixed hops per upper layer, statically
+      // maxLevel..1 (a layer above the entry's level has no edges for
+      // it — no-op), so the walk unrolls identically in the SQL oracle
+      var cur = scored.filter(col("id") === entryId).localCheckpoint()
+      for (l <- maxLevel to 1 by -1; _ <- 1 to hopsPerLayer) {
+        val nbrs = cur.select("id")
+          .join(g.filter(col("layer") === l), "id")
+          .select(col("nbr").as("id"))
+        cur = cur.select("id").unionByName(nbrs).distinct()
+          .join(scored, "id")
+          .orderBy(desc("cos"), col("id")).limit(1)
+          .localCheckpoint()
+      }
+      // layer-0 beam: frontier caps at ef, visited accumulates
+      var frontier = cur
+      var visited = cur
+      for (_ <- 1 to hops) {
+        val nbrs = frontier.select("id")
+          .join(g.filter(col("layer") === 0), "id")
+          .select(col("nbr").as("id")).distinct()
+          .join(scored, "id")
+        val pool = frontier.unionByName(nbrs)
+          .groupBy("id").agg(max("cos").as("cos"))
+          .localCheckpoint()
+        visited = visited.unionByName(pool)
+          .groupBy("id").agg(max("cos").as("cos"))
+          .localCheckpoint()
+        frontier = pool.orderBy(desc("cos"), col("id")).limit(ef)
+      }
+      visited.orderBy(desc("cos"), col("id")).limit(k)
+        .select(col("id").as(idCol), col("cos"))
+    }
+  }
 }

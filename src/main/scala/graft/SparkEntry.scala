@@ -2741,7 +2741,45 @@ object SparkEntry {
       writeAux(idx.levels, dir, "q181_levels")
       writeAux(idx.graph.select("layer", "id", "nbr"), dir, "q181_graph")
       idx.search(qv, k = 10, ef = 16, hops = 3)
-    })
+    }),
+
+    // Sequence packing: docs → fixed-capacity training sequences
+    // (shard by md5, next-fit-decreasing within shard). The oracle
+    // replays the ENTIRE per-shard next-fit fold as a recursive CTE —
+    // every (seq_idx, pos) assignment is integer-re-derived.
+    "q182_seq_packing" -> ((s, dir) =>
+      graft.ops.Sampling.packSequences(
+          t(s, dir, "documents"), "doc_id", "n_chars",
+          capacity = 1024L, nShards = 8)
+        .orderBy("doc_id")),
+
+    // Quality-aware near-dup dedup: the planted +10000 copies carry ONE
+    // extra token, so each near-dup cluster holds a short and a long
+    // member — keepBest (keep longest, tie → min id) must pick the
+    // LONGER planted copy where min-id (q76) would keep the original.
+    // The oracle replays LSH + closure + the per-cluster argmax.
+    "q183_dedup_keep_best" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val planted = d.unionByName(
+          d.select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit(" zzappendix")).as("text")))
+        .withColumn("qlen", length(col("text")).cast("long"))
+      val pairs = Dedup.minHashNearDups(planted, numHashes = 16, bands = 4,
+        jaccardThreshold = 0.8,
+        signature = (sh, n) => Dedup.md5MinHashSignatureUdf(n)(sh),
+        bandHash = c => md5(concat_ws("|", c)),
+        persistShingles = true)
+      Dedup.keepBest(planted, "doc_id", "qlen", pairs)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // JL random projection 64-d → 16-d: deterministic md5-Rademacher
+    // matrix, exact integer sums after one round step — the oracle
+    // rebuilds the matrix from ITS md5 and re-sums every cell.
+    "q184_random_project" -> ((s, dir) =>
+      graft.ops.VectorOps.randomProject(
+          t(s, dir, "embeddings"), dim = 64, outDims = 16)
+        .orderBy("vec_id", "out_dim"))
   )
 
   // ---------------------------------------------------------------------
@@ -2753,7 +2791,13 @@ object SparkEntry {
     * as a DuckDB CTE body ending in `verified(id1, id2, jaccard)` —
     * shared by the q33 pair-list oracle and q76's end-to-end dedup
     * oracle, which appends the reachability closure and anti-join. */
-  private def minhashLshCtes: String = {
+  private def minhashLshCtes: String = minhashLshCtesWith(
+    "SELECT doc_id + 10000 AS doc_id, text FROM documents")
+
+  /** [[minhashLshCtes]] with a caller-chosen planted-copy SELECT (the
+    * q183 variant appends a token to the copies so near-dup clusters
+    * hold members of DIFFERENT quality). */
+  private def minhashLshCtesWith(plantedSelect: String): String = {
     val hs = (0 until 16).map(i =>
       s"list_min([md5('${i}_' || x) for x in sh]) AS h$i").mkString(",\n    ")
     val bandRows = (0 until 4).map { b =>
@@ -2762,7 +2806,7 @@ object SparkEntry {
     }.mkString("\n  UNION ALL ")
     s"""d AS (
        |  SELECT doc_id, text FROM documents
-       |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents),
+       |  UNION ALL $plantedSelect),
        |shnz AS (SELECT doc_id, sh FROM (
        |    SELECT doc_id, list_distinct([parts[i+1] || ' ' || parts[i+2] || ' ' || parts[i+3]
        |        for i in range(len(parts)-2)]) AS sh
@@ -5303,6 +5347,69 @@ object SparkEntry {
          |${hop("f2", 3)}
          |SELECT id AS vec_id, cos FROM (SELECT DISTINCT id, cos FROM v3)
          |ORDER BY cos DESC, id LIMIT 10""".stripMargin
-    }
+    },
+
+    "q182_seq_packing" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, n_chars,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 8 AS INT) AS shard
+        |  FROM documents),
+        |o AS (SELECT doc_id, n_chars, shard,
+        |    row_number() OVER (PARTITION BY shard
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM d),
+        |pack AS (
+        |  SELECT shard, rn, doc_id,
+        |    CAST(0 AS BIGINT) AS seq_idx, CAST(0 AS BIGINT) AS pos,
+        |    n_chars AS cum
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.rn, o.doc_id,
+        |    CASE WHEN p.cum > 0 AND p.cum + o.n_chars > 1024
+        |      THEN p.seq_idx + 1 ELSE p.seq_idx END,
+        |    CASE WHEN p.cum > 0 AND p.cum + o.n_chars > 1024
+        |      THEN 0 ELSE p.cum END,
+        |    CASE WHEN p.cum > 0 AND p.cum + o.n_chars > 1024
+        |      THEN o.n_chars ELSE p.cum + o.n_chars END
+        |  FROM pack p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1)
+        |SELECT doc_id, shard, seq_idx, pos FROM pack ORDER BY doc_id""".stripMargin,
+
+    "q183_dedup_keep_best" -> {
+      val ctes = minhashLshCtesWith(
+        "SELECT doc_id + 10000 AS doc_id, text || ' zzappendix' AS text " +
+          "FROM documents")
+      s"""WITH RECURSIVE $ctes,
+         |pairs AS (SELECT id1, id2 FROM verified WHERE jaccard >= 0.8),
+         |sym AS (SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION SELECT id2, id1 FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |walk(id, comp) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT s.src, w.comp FROM sym s JOIN walk w ON s.dst = w.id),
+         |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+         |rk AS (SELECT cc.id,
+         |    row_number() OVER (PARTITION BY cc.comp
+         |      ORDER BY length(d.text) DESC, cc.id) AS rn
+         |  FROM cc JOIN d ON d.doc_id = cc.id)
+         |SELECT doc_id FROM d
+         |WHERE doc_id NOT IN (SELECT id FROM rk WHERE rn > 1)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q184_random_project" ->
+      """WITH dims AS (SELECT vec_id, i,
+        |    CAST(round(embedding[i + 1]::DOUBLE * 1000000) AS BIGINT) AS xi
+        |  FROM (SELECT vec_id, embedding,
+        |      unnest(range(len(embedding))) AS i FROM embeddings)),
+        |js AS (SELECT unnest(range(16)) AS j),
+        |cells AS (SELECT d.vec_id, js.j, d.xi,
+        |    CASE WHEN substr(md5(CAST(d.i AS VARCHAR) || '_' ||
+        |        CAST(js.j AS VARCHAR)), 1, 1) < '8'
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM dims d CROSS JOIN js)
+        |SELECT vec_id, CAST(j AS BIGINT) AS out_dim,
+        |  CAST(sum(sgn * xi) AS BIGINT) AS proj
+        |FROM cells GROUP BY 1, 2 ORDER BY vec_id, out_dim""".stripMargin
   )
 }

@@ -753,6 +753,35 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[keepCanonical]] with a QUALITY rule instead of min-id: keep the
+    * highest-`scoreCol` member of each near-dup cluster (ties → min id,
+    * so the choice stays deterministic on any engine). This is the rule
+    * real curation runs use — C4/RefinedWeb keep the LONGEST copy of a
+    * near-duplicate, not the lowest-numbered one, because truncated or
+    * boilerplate-stripped variants hash to nearby signatures but carry
+    * less content.
+    *
+    * Scale shape identical to [[keepCanonical]]: the iterative part
+    * (components) sees only (id, id) pairs; scores join in AFTER
+    * clustering, on the cluster-node dimension (ids + one number — the
+    * per-cluster rank window runs over component-sized frames, never
+    * corpus rows); the payload is touched once by the final anti-join.
+    * `scoreCol` is read from `docs` itself, so every clustered id has a
+    * score by construction. */
+  def keepBest(docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs.select("id1", "id2"))
+    val scored = cc.join(
+      docs.select(col(idCol).as("id"), col(scoreCol).as("__q")), Seq("id"))
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("__q").desc, col("id").asc)
+    val losers = scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") =!= 1)
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Paragraph-level exact dedup (the C4/RefinedWeb intra-corpus step:
     * repeated boilerplate paragraphs are dropped everywhere but their
     * first occurrence). Explodes `textCol` on `sep`, drops blank

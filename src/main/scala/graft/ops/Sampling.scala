@@ -291,4 +291,62 @@ object Sampling {
             when(col("i") - col("k") <= col("rem"), 1L).otherwise(0L)))
       .select(col(keyCol), col("c").as(countCol), col("alloc"))
   }
+
+  /** Sequence packing: assign each document a (shard, seq_idx, pos)
+    * slot so documents concatenate into fixed-`capacity` training
+    * sequences with minimal padding — the pretraining "pack to context
+    * length" step (GPT-style concat-and-chunk, but document-boundary
+    * preserving, T5/LLaMA packing family).
+    *
+    * Deterministic and shard-parallel, because a single global greedy
+    * pack is inherently sequential: docs shard by `md5(id) mod nShards`
+    * (engine-reproducible), order within a shard by (weight DESC, id) —
+    * next-fit-DECREASING, which keeps per-sequence waste low — and one
+    * sequential next-fit fold assigns (seq_idx, pos) inside the shard.
+    * Packing quality is per-shard; the answer is a pure function of ids
+    * and weights, stable under re-runs.
+    *
+    * Scale: the only shuffle is the repartition on `shard`; each
+    * shard's fold is a streaming pass over its sorted rows inside one
+    * task (several shards may share a task — the fold resets on shard
+    * change). At 100 TB, `nShards` scales with the cluster and each
+    * shard stays a bounded stream; there is NO single-partition window
+    * anywhere. Oversize docs (`weight > capacity`) land alone in their
+    * own sequence at pos 0 — truncation is the trainer's policy call,
+    * not silently applied here.
+    *
+    * Emits (idCol, shard, seq_idx, pos): `pos` is the unit offset of
+    * the doc inside its sequence, `seq_idx` numbers sequences within
+    * the shard from 0. Requires a numeric id (cast to long for the
+    * md5 key, like every sampler here). */
+  def packSequences(df: DataFrame, idCol: String, weightCol: String,
+      capacity: Long, nShards: Int = 64): DataFrame = {
+    require(capacity >= 1, s"capacity must be positive, got $capacity")
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col(idCol).cast("long").as("id"),
+        col(weightCol).cast("long").as("w"),
+        (conv(hexKey(col(idCol)), 16, 10).cast("long") % nShards)
+          .cast("int").as("shard"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("w").desc, col("id"))
+      .as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        // rows arrive grouped by shard (sortWithinPartitions above);
+        // the fold is the textbook next-fit scan, reset per shard
+        var curShard = Int.MinValue
+        var seq = 0L
+        var cum = 0L
+        it.map { case (id, w, sh) =>
+          if (sh != curShard) { curShard = sh; seq = 0L; cum = 0L }
+          if (cum > 0 && cum + w > capacity) { seq += 1; cum = 0L }
+          val pos = cum
+          cum += w
+          (id, sh, seq, pos)
+        }
+      }
+      .toDF(idCol, "shard", "seq_idx", "pos")
+  }
 }

@@ -66,4 +66,50 @@ object VectorOps {
         when(col("nrm") === 0.0, lit(0.0))
           .otherwise(round(col("x") / col("nrm"), 6)).as("xn"))
   }
+
+  /** The Rademacher sign for JL projection cell (inDim i, outDim j):
+    * +1 when the first hex digit of md5("i_j") is 0-7, −1 on 8-f — a
+    * fair coin any engine reproduces from its own md5. */
+  private[graft] def jlSign(i: Int, j: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"${i}_$j".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xf) < 8) 1 else -1
+  }
+
+  /** Johnson–Lindenstrauss random projection with a DETERMINISTIC
+    * Rademacher (±1) matrix: project `dim`-d embeddings down to
+    * `outDims` via `p_j = Σ_i sign(i,j) · round(x_i · 10^6)` — exact
+    * integer arithmetic after the one rounding step, so the projection
+    * is bit-reproducible on any engine with md5 (the Achlioptas 2001
+    * database-friendly JL construction; the caller divides by 10^6 and
+    * by √outDims if it wants calibrated distances).
+    *
+    * This is the storage/bandwidth dial BEFORE indexing: at 100 TB a
+    * 64-d float corpus projected to 16-d is a 4× scan-cost cut for
+    * LSH/IVF candidate generation, with distances preserved to the JL
+    * bound. The pass is map-side only — the ±1 matrix is a literal
+    * folded into whole-stage codegen, nothing shuffles — and output is
+    * row form (id, out_dim, proj) like the rest of this module.
+    *
+    * Matrix size is `dim × outDims` signs computed ONCE on the driver
+    * (dimension-scale, thousands of cells — never per row: md5-per-cell
+    * inside the row loop would put a hash in the hot path). */
+  def randomProject(emb: DataFrame, dim: Int, outDims: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(outDims >= 1 && dim >= 1, s"bad dims: $dim -> $outDims")
+    val xi = transform(col(vecCol),
+      x => round(x.cast("double") * 1e6).cast("long"))
+    val projCols = (0 until outDims).map { j =>
+      val signs = array((0 until dim).map(i => lit(jlSign(i, j).toLong)): _*)
+      aggregate(
+        zip_with(col("__xi"), signs, (x, s) => x * s),
+        lit(0L), (acc, v) => acc + v).as(s"p$j")
+    }
+    emb.select(col(idCol), col(vecCol))
+      .withColumn("__xi", xi)
+      .select(col(idCol) +: projCols: _*)
+      .select(col(idCol), posexplode(array((0 until outDims).map(j =>
+        col(s"p$j")): _*)).as(Seq("out_dim", "proj")))
+      .withColumn("out_dim", col("out_dim").cast("long"))
+  }
 }

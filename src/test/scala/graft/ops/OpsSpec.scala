@@ -271,6 +271,18 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1L, 10L, 20L))
   }
 
+  test("keepBest keeps the highest-score cluster member, min id on ties") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L), // winner: 2 (score)
+      (10L, "b", 5L), (11L, "b", 5L),                 // tie -> min id 10
+      (20L, "unique", 1L))                            // unpaired survives
+      .toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val kept = Dedup.keepBest(docs, "doc_id", "score", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 10L, 20L), kept.toString)
+  }
+
   test("paragraphDedup keeps only the globally-first occurrence of a repeated line") {
     val docs = Seq(
       (1L, "header\nbody one\nfooter"),

@@ -196,4 +196,48 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       Sampling.waterfillAllocation(counts, "src", "c", budget = -1L)
     }
   }
+
+  test("packSequences: capacity respected, next-fit-decreasing, oversize alone") {
+    val df = spark.range(200)
+      .select(col("id"), (col("id") % 37 * 13 + 20).as("w"))
+    val out = Sampling.packSequences(df, "id", "w", capacity = 500L,
+        nShards = 4)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(out.length == 200, "every doc assigned exactly one slot")
+    val w = df.as[(Long, Long)].collect().toMap
+    // no sequence exceeds capacity (no oversize docs in this fixture)
+    val bySeq = out.groupBy(r => (r._2, r._3))
+    bySeq.foreach { case (k, rows) =>
+      val tot = rows.map(r => w(r._1)).sum
+      assert(tot <= 500L, s"sequence $k overflows: $tot")
+      // offsets tile the sequence exactly: sorted pos are the prefix sums
+      val sorted = rows.sortBy(_._4)
+      var cum = 0L
+      sorted.foreach { r =>
+        assert(r._4 == cum, s"pos gap in $k: got ${r._4}, want $cum")
+        cum += w(r._1)
+      }
+    }
+    // deterministic across runs
+    val again = Sampling.packSequences(df, "id", "w", capacity = 500L,
+      nShards = 4).as[(Long, Int, Long, Long)].collect()
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // within a shard, weights are non-increasing in (seq_idx, pos) order
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      val ws = rows.sortBy(r => (r._3, r._4)).map(r => w(r._1))
+      assert(ws.zip(ws.tail).forall { case (a, b) => a >= b },
+        s"shard $sh not packed in decreasing weight order")
+    }
+    // an oversize doc sits alone at pos 0; neighbors unaffected
+    val over = Seq((1000L, 900L), (1001L, 100L), (1002L, 100L)).toDF("id", "w")
+    val o2 = Sampling.packSequences(over, "id", "w", capacity = 500L,
+        nShards = 1)
+      .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> (r._3, r._4)).toMap
+    assert(o2(1000L) == (0L, 0L), "oversize doc leads its own sequence")
+    assert(o2(1001L)._1 == 1L && o2(1002L)._1 == 1L,
+      "following docs start a fresh sequence")
+    intercept[IllegalArgumentException] {
+      Sampling.packSequences(df, "id", "w", capacity = 0L)
+    }
+  }
 }

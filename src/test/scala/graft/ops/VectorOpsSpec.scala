@@ -76,4 +76,38 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
     val n = math.sqrt(got((1L, 1L)) * got((1L, 1L)) + got((1L, 2L)) * got((1L, 2L)))
     assert(math.abs(n - 1.0) < 1e-9)
   }
+
+  test("randomProject: exact integer sums, deterministic, JL norm preservation") {
+    // hand-check one cell: vec (1, -1, 0, ...), proj_j = sign(0,j) - sign(1,j)
+    val dim = 8
+    val v = Array(1.0f, -1.0f) ++ Array.fill(dim - 2)(0.0f)
+    val one = Seq((7L, v)).toDF("vec_id", "embedding")
+    val got = VectorOps.randomProject(one, dim, outDims = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    (0 until 4).foreach { j =>
+      val want = (VectorOps.jlSign(0, j).toLong - VectorOps.jlSign(1, j)) * 1000000L
+      assert(got(j.toLong) == want, s"out_dim $j: ${got(j.toLong)} != $want")
+    }
+    // determinism across invocations
+    val again = VectorOps.randomProject(one, dim, outDims = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(got == again)
+    // E[||p||^2] = outDims * ||x||^2 (Rademacher JL): check the mean
+    // ratio over 64 deterministic pseudo-random vectors is within 30%
+    val rnd = new scala.util.Random(42)
+    val many = (0 until 64).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val norms = many.as[(Long, Array[Float])].collect()
+      .map { case (id, arr) =>
+        id -> arr.map(x => math.round(x.toDouble * 1e6).toDouble).map(x => x * x).sum
+      }.toMap
+    val projs = VectorOps.randomProject(many, 16, outDims = 8)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rows) =>
+        rows.map(r => r._3.toDouble * r._3.toDouble).sum / (8.0 * norms(id))
+      }
+    val mean = projs.sum / projs.size
+    assert(math.abs(mean - 1.0) < 0.3, s"JL norm ratio off: $mean")
+  }
 }

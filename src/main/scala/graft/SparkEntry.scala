@@ -2779,7 +2779,40 @@ object SparkEntry {
     "q184_random_project" -> ((s, dir) =>
       graft.ops.VectorOps.randomProject(
           t(s, dir, "embeddings"), dim = 64, outDims = 16)
-        .orderBy("vec_id", "out_dim"))
+        .orderBy("vec_id", "out_dim")),
+
+    // Streaming KLL maintenance: drained stream → merged sketch →
+    // quantile cuts aux-dumped; DuckDB recounts EXACT ranks of every
+    // cut over the events table and re-derives the ε-bound verdict
+    // (the q177 integer-rank pattern on the streaming path).
+    "q185_stream_quantile" -> ((s, dir) => {
+      val k = 256
+      EventsPipeline.drained(s) {
+        EventsPipeline.streamQuantileMaintain(s, dir, "q185_sketch", k = k)
+      }
+      val sk = graft.ops.Profile.quantileSketchMerge(s.table("q185_sketch"), k)
+      val cuts = Seq(250, 500, 900)
+        .map(q => (q, sk.quantile(q / 1000.0).toLong))
+      import s.implicits._
+      val cutsDf = cuts.toDF("q_mille", "cut")
+      writeAux(cutsDf, dir, "q185_cuts")
+      t(s, dir, "events")
+        .select(round(col("value") * 100, 0).cast("long").as("v"))
+        .crossJoin(broadcast(cutsDf))
+        .groupBy("q_mille", "cut")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v") <= col("cut"), 1L).otherwise(0L)).as("n_le"))
+        .withColumn("target_r", expr("(q_mille * n + 999) div 1000"))
+        .withColumn("slack", expr(s"(6 * n + ${k - 1}) div $k"))
+        .select(col("q_mille").cast("long").as("q_mille"), col("cut"),
+          col("n"), col("n_le"), col("target_r"),
+          (col("target_r") - col("slack")).as("lo"),
+          (col("target_r") + col("slack")).as("hi"),
+          when(col("n_le") >= col("target_r") - col("slack") &&
+            col("n_le") <= col("target_r") + col("slack"), 1L)
+            .otherwise(0L).as("in_bound"))
+        .orderBy("q_mille")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -5410,6 +5443,22 @@ object SparkEntry {
         |  FROM dims d CROSS JOIN js)
         |SELECT vec_id, CAST(j AS BIGINT) AS out_dim,
         |  CAST(sum(sgn * xi) AS BIGINT) AS proj
-        |FROM cells GROUP BY 1, 2 ORDER BY vec_id, out_dim""".stripMargin
+        |FROM cells GROUP BY 1, 2 ORDER BY vec_id, out_dim""".stripMargin,
+
+    "q185_stream_quantile" ->
+      """WITH cuts AS (SELECT q_mille, cut FROM '__AUX__/q185_cuts/*.parquet'),
+        |v AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events),
+        |agg AS (SELECT c.q_mille, c.cut, count(*) AS n,
+        |    CAST(SUM(CASE WHEN v.v <= c.cut THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_le
+        |  FROM cuts c CROSS JOIN v GROUP BY 1, 2),
+        |b AS (SELECT q_mille, cut, n, n_le,
+        |    (q_mille * n + 999) // 1000 AS target_r,
+        |    (6 * n + 255) // 256 AS slack FROM agg)
+        |SELECT CAST(q_mille AS BIGINT) AS q_mille, cut, n, n_le, target_r,
+        |  target_r - slack AS lo, target_r + slack AS hi,
+        |  CAST(CASE WHEN n_le BETWEEN target_r - slack AND target_r + slack
+        |       THEN 1 ELSE 0 END AS BIGINT) AS in_bound
+        |FROM b ORDER BY q_mille""".stripMargin
   )
 }

@@ -541,6 +541,48 @@ object EventsPipeline {
       .start()
   }
 
+  /** Streaming KLL quantile maintenance — the quantile sibling of
+    * [[streamCountMinMaintain]], completing the incremental sketch trio
+    * (HLL distincts, Count-Min frequencies, KLL quantiles): each
+    * micro-batch builds its own O(k) sketch DISTRIBUTED (treeAggregate;
+    * the shuffle carries sketches, never values) and its rows merge
+    * into the running sketch on the driver. Bounded state BY
+    * CONSTRUCTION: the merged sketch holds ~3k items no matter how much
+    * history has streamed past. The merged rows register as
+    * `queryName`.
+    *
+    * Unlike Count-Min, KLL merge is NOT item-identical to a
+    * from-scratch build (compaction keeps different survivors under
+    * different arrival layouts) — what carries through merging is the
+    * documented ε = 3/k RANK contract, so verification goes through
+    * rank bounds on derived cuts (the q177 oracle pattern), not grid
+    * equality. `valueCol` is read in integer cents (×100, rounded) so
+    * cut values compare exactly across engines. */
+  def streamQuantileMaintain(spark: SparkSession, dir: String,
+      queryName: String, valueCol: String = "value",
+      k: Int = 256): org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    var acc: Seq[(Int, Double)] = Seq.empty
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(round(col(valueCol) * 100, 0).cast("long")
+        .cast("double").as("v"))
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // registration happens on the OUTER session (see countmin note)
+        import spark.implicits._
+        val batchRows = graft.ops.Profile.quantileSketch(batch, "v", k)
+          .as[(Int, Double)].collect().toSeq
+        acc = graft.ops.Profile.QuantileSketch
+          .fromRows(k, acc ++ batchRows).toRows
+        acc.toDF("level", "item").createOrReplaceTempView(queryName)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def streamStatefulUserCounts(spark: SparkSession, dir: String,
       queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._

@@ -179,6 +179,30 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
         s"${(streamed -- batch).take(3)} / ${(batch -- streamed).take(3)}")
   }
 
+  test("streamQuantileMaintain: merged sketch holds the rank bound vs exact") {
+    val dir = "/root/testdata/sf0.001"
+    val k = 64
+    EventsPipeline.drained(spark) {
+      EventsPipeline.streamQuantileMaintain(spark, dir, "t_kll_sink", k = k)
+    }
+    val sk = graft.ops.Profile.quantileSketchMerge(spark.table("t_kll_sink"), k)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val vals = spark.read.parquet(s"$dir/events.parquet")
+      .select(round(col("value") * 100, 0).cast("long").as("v"))
+      .as[Long].collect().sorted
+    assert(sk.count == vals.length,
+      s"sketch weight ${sk.count} != ${vals.length} rows")
+    // every derived cut's EXACT rank within the q177 contract (6N/k)
+    val slack = (6L * vals.length + k - 1) / k
+    Seq(0.25, 0.5, 0.9).foreach { q =>
+      val cut = sk.quantile(q)
+      val exactRank = vals.count(_ <= cut.toLong)
+      val target = math.ceil(q * vals.length).toLong
+      assert(math.abs(exactRank - target) <= slack,
+        s"q=$q cut=$cut rank=$exactRank target=$target slack=$slack")
+    }
+  }
+
   test("timeWeightedSum: value x hold-duration integral; last observation open") {
     def at(sec: Long) = new java.sql.Timestamp(sec * 1000)
     val ev = Seq(

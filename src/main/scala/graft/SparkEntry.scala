@@ -2812,6 +2812,21 @@ object SparkEntry {
             col("n_le") <= col("target_r") + col("slack"), 1L)
             .otherwise(0L).as("in_bound"))
         .orderBy("q_mille")
+    }),
+
+    // Incremental HNSW insertion under the frozen-graph discipline:
+    // batch nodes (vec_id % 5 == 0) link into the stored graph (the
+    // other 80%) both directions; stored↔stored untouched, batch↔batch
+    // absent. DuckDB re-derives levels from ITS md5, every batch↔stored
+    // cosine, the per-(layer, node) top-M ranking, and the symmetric
+    // closure — the whole admission, no aux.
+    "q186_hnsw_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val stored = emb.filter(col("vec_id") % 5 =!= 0)
+      val batch = emb.filter(col("vec_id") % 5 === 0)
+      val idx = new Similarity.HnswIndex(stored, m = 8, maxLevel = 3)
+      idx.appendEdges(batch)
+        .orderBy("layer", "id", "nbr")
     })
   )
 
@@ -5459,6 +5474,35 @@ object SparkEntry {
         |  target_r - slack AS lo, target_r + slack AS hi,
         |  CAST(CASE WHEN n_le BETWEEN target_r - slack AND target_r + slack
         |       THEN 1 ELSE 0 END AS BIGINT) AS in_bound
-        |FROM b ORDER BY q_mille""".stripMargin
+        |FROM b ORDER BY q_mille""".stripMargin,
+
+    "q186_hnsw_append" ->
+      """WITH lv AS (SELECT vec_id AS id, embedding,
+        |    CASE WHEN hv % 4096 = 0 THEN 3 WHEN hv % 256 = 0 THEN 2
+        |         WHEN hv % 16 = 0 THEN 1 ELSE 0 END AS level
+        |  FROM (SELECT vec_id, embedding,
+        |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+        |        AS BIGINT) AS hv FROM embeddings)),
+        |st AS (SELECT * FROM lv WHERE id % 5 <> 0),
+        |bt AS (SELECT * FROM lv WHERE id % 5 = 0),
+        |pp AS (SELECT b.id AS bid, s.id AS sid,
+        |    b.level AS blvl, s.level AS slvl,
+        |    unnest(b.embedding)::DOUBLE AS x, unnest(s.embedding)::DOUBLE AS y
+        |  FROM bt b CROSS JOIN st s),
+        |cosb AS (SELECT bid, sid, any_value(blvl) AS blvl,
+        |    any_value(slvl) AS slvl,
+        |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+        |  FROM pp GROUP BY bid, sid),
+        |lay AS (SELECT unnest(range(4)) AS l),
+        |rk AS (SELECT l.l, c.bid, c.sid, c.cos,
+        |    row_number() OVER (PARTITION BY l.l, c.bid
+        |      ORDER BY c.cos DESC, c.sid) AS rn
+        |  FROM cosb c JOIN lay l ON l.l <= c.blvl AND c.slvl >= l.l),
+        |fwd AS (SELECT l AS layer, bid AS id, sid AS nbr, cos FROM rk
+        |  WHERE rn <= CASE WHEN l = 0 THEN 16 ELSE 8 END)
+        |SELECT DISTINCT CAST(layer AS INT) AS layer, id, nbr, cos FROM (
+        |  SELECT layer, id, nbr, cos FROM fwd
+        |  UNION ALL SELECT layer, nbr AS id, id AS nbr, cos FROM fwd)
+        |ORDER BY layer, id, nbr""".stripMargin
   )
 }

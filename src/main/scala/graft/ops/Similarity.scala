@@ -938,15 +938,18 @@ object Similarity {
 
     private val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
 
-    /** (id, level) by the trailing-zero-nibble rule — exact integers. */
-    val levels: DataFrame = {
+    /** The trailing-zero-nibble level rule as a column — exact
+      * integers, identical for stored and appended nodes. */
+    private def levelExpr: Column = {
       val h = conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
         .cast("long")
-      val lvl = (1 to maxLevel).foldLeft(lit(0): Column) { (acc, l) =>
+      (1 to maxLevel).foldLeft(lit(0): Column) { (acc, l) =>
         when(h % lit(math.pow(16, l).toLong) === 0, lit(l)).otherwise(acc)
-      }
-      vecs.select(col("id"), lvl.cast("int").as("level"))
+      }.cast("int")
     }
+
+    /** (id, level) by the trailing-zero-nibble rule — exact integers. */
+    val levels: DataFrame = vecs.select(col("id"), levelExpr.as("level"))
 
     /** (layer, id, nbr, cos): per layer, each member's top-M (2M at
       * layer 0) neighbors among that layer's members, SYMMETRIZED —
@@ -970,16 +973,32 @@ object Similarity {
       * table out); upper layers are corpus/16^ℓ-sized and stay exact.
       * Cosines replicate CosineSimilarity's arithmetic (sequential
       * double accumulation, round6) so edges are engine-reproducible. */
-    val graph: DataFrame = {
+    private def withLevels(src: DataFrame, lv: DataFrame) = {
       val spark = df.sparkSession
       import spark.implicits._
-      val mm = m
-      val withLv = vecs.join(levels, "id")
+      src.join(lv, "id")
         .select(col("id").cast("long"), col("vec").cast("array<float>"),
           col("level"))
         .as[(Long, Array[Float], Int)]
-      val bc = spark.sparkContext.broadcast(withLv.collect().sortBy(_._1))
-      val fwd = withLv.mapPartitions { it =>
+    }
+
+    /** Stored members (id, vec, level) broadcast once — shared by the
+      * self-build ([[graph]]) and frozen-side admission
+      * ([[appendEdges]]). */
+    private lazy val memberBc = df.sparkSession.sparkContext
+      .broadcast(withLevels(vecs, levels).collect().sortBy(_._1))
+
+    /** The broadcast block pass: every `nodes` row scans the stored
+      * member table once through a bounded per-layer heap, emitting its
+      * top-deg (cos desc, id asc) neighbors per layer ≤ its level. */
+    private def edgesAgainst(
+        nodes: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)])
+        : DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val mm = m
+      val bc = memberBc
+      val fwd = nodes.mapPartitions { it =>
         val mems = bc.value
         it.flatMap { case (qid, qv, qlvl) =>
           (0 to qlvl).iterator.flatMap { l =>
@@ -1021,6 +1040,30 @@ object Similarity {
       fwd.unionByName(fwd.select(col("layer"), col("nbr").as("id"),
           col("id").as("nbr"), col("cos")))
         .distinct()
+    }
+
+    val graph: DataFrame = edgesAgainst(withLevels(vecs, levels))
+
+    /** Frozen-graph batch insertion — the q153/q179 admission
+      * discipline applied to the graph index: each batch node draws its
+      * level from the SAME md5 rule, finds its top-M (2M at layer 0)
+      * neighbors among the STORED members of each layer it joins, and
+      * links BOTH directions (reverse edges keep the merged graph
+      * navigable toward the newcomers). Stored↔stored edges are
+      * untouched and batch↔batch links are deliberately absent: a
+      * node's placement must not depend on what else happened to
+      * arrive in its batch (the stored-corpus-statistics rule of
+      * q91/q173). Returns ONLY the new (layer, id, nbr, cos) edges —
+      * union with [[graph]] (or the persisted generation table) for
+      * the serving graph, periodically rebuilding like
+      * `compactGenerations` when accumulated batch mass degrades
+      * navigability. Scale shape: one map-side pass over the batch
+      * against the broadcast member table; nothing shuffles but the
+      * O(batch · deg) edge rows. */
+    def appendEdges(batch: DataFrame): DataFrame = {
+      val bvecs = batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      val blevels = bvecs.select(col("id"), levelExpr.as("level"))
+      edgesAgainst(withLevels(bvecs, blevels))
     }
 
     /** The graph materialized once per index instance — the walk joins

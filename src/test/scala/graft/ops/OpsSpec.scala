@@ -813,6 +813,48 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq == again.toSeq, "beam walk must be deterministic")
     intercept[IllegalArgumentException](idx.search(qv, k = 0))
   }
+
+  test("HnswIndex.appendEdges: frozen-side admission links both ways, " +
+      "exact top-M vs brute force, no batch-batch edges") {
+    def vecOf(i: Int): Array[Float] = {
+      val r = new java.util.Random(i * 999983L)
+      Array.fill(8)(r.nextGaussian().toFloat)
+    }
+    val stored = (0 until 120).map(i => (i.toLong, vecOf(i).toSeq))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val batch = (200 until 210).map(i => (i.toLong, vecOf(i).toSeq))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val idx = new Similarity.HnswIndex(stored, m = 4, maxLevel = 3)
+    val added = idx.appendEdges(batch)
+      .as[(Int, Long, Long, Double)].collect()
+    val batchIds = (200L until 210L).toSet
+    // every new edge touches exactly one batch node (frozen stored side,
+    // no batch-batch links), and the symmetric closure holds
+    assert(added.nonEmpty)
+    assert(added.forall { case (_, a, b, _) =>
+      batchIds(a) ^ batchIds(b) }, "edges must pair batch with stored")
+    val eset = added.map(r => (r._1, r._2, r._3)).toSet
+    assert(eset.forall { case (l, a, b) => eset((l, b, a)) })
+    // layer-0 out-edges of a batch node == exact brute top-2M among
+    // stored members (every stored node is a layer-0 member)
+    val storedVecs = stored.as[(Long, Array[Float])].collect().toMap
+    val qv = vecOf(205)
+    def cosTo(ov: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      (0 until 8).foreach { j =>
+        dot += qv(j).toDouble * ov(j); nx += qv(j).toDouble * qv(j)
+        ny += ov(j).toDouble * ov(j)
+      }
+      BigDecimal(dot / (math.sqrt(nx) * math.sqrt(ny)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = storedVecs.toSeq.map { case (id, v) => (id, cosTo(v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(8).map(_._1).toSet
+    val got = added.filter(r => r._1 == 0 && r._2 == 205L).map(_._3).toSet
+    assert(got == want, s"layer-0 neighbors of 205: $got != $want")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite with SparkTestBase {

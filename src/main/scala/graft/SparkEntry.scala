@@ -2827,7 +2827,29 @@ object SparkEntry {
       val idx = new Similarity.HnswIndex(stored, m = 8, maxLevel = 3)
       idx.appendEdges(batch)
         .orderBy("layer", "id", "nbr")
-    })
+    }),
+
+    // Hard-negative mining (contrastive training): top-5 below the
+    // 0.35 paraphrase ceiling per query — the ceiling BITES on this
+    // corpus (most queries' best hit exceeds it). DuckDB re-derives
+    // every cosine, the ceiling cut, and the per-query ranking.
+    "q187_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb,
+          emb.filter(col("vec_id") % 50 === 0),
+          k = 5, posCeiling = 0.35)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Deterministic weighted interleave (WFQ virtual time) at 5:3:1 —
+    // the RNG-free "mix these sources" training order. DuckDB replays
+    // the per-source md5 ranks, the integer virtual times, and the
+    // global (vt, source, id) numbering.
+    "q188_source_interleave" -> ((s, dir) =>
+      graft.ops.Sampling.interleaveBySource(
+          t(s, dir, "documents"), "doc_id", "source",
+          weights = Map("src0" -> 5L, "src1" -> 3L))
+        .orderBy("pos"))
   )
 
   // ---------------------------------------------------------------------
@@ -5503,6 +5525,36 @@ object SparkEntry {
         |SELECT DISTINCT CAST(layer AS INT) AS layer, id, nbr, cos FROM (
         |  SELECT layer, id, nbr, cos FROM fwd
         |  UNION ALL SELECT layer, nbr AS id, id AS nbr, cos FROM fwd)
-        |ORDER BY layer, id, nbr""".stripMargin
+        |ORDER BY layer, id, nbr""".stripMargin,
+
+    "q187_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id, embedding FROM e WHERE vec_id % 50 = 0),
+        |pp AS (SELECT q.vec_id AS query_id, e.vec_id AS neg_id,
+        |    unnest(q.embedding)::DOUBLE AS x, unnest(e.embedding)::DOUBLE AS y
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> q.vec_id),
+        |c AS (SELECT query_id, neg_id,
+        |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+        |  FROM pp GROUP BY 1, 2),
+        |rk AS (SELECT query_id, neg_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neg_id) AS BIGINT) AS rank
+        |  FROM c WHERE cos < 0.35)
+        |SELECT query_id, neg_id, cos, rank FROM rk WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q188_source_interleave" ->
+      """WITH w AS (SELECT doc_id, source,
+        |    CASE WHEN source = 'src0' THEN 5
+        |         WHEN source = 'src1' THEN 3 ELSE 1 END AS wt,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+        |      AS r
+        |  FROM documents),
+        |v AS (SELECT doc_id, source, (r * 10000) // wt AS vt FROM w)
+        |SELECT doc_id, source, CAST(vt AS BIGINT) AS vt,
+        |  CAST(row_number() OVER (ORDER BY vt, source, doc_id) AS BIGINT)
+        |    AS pos
+        |FROM v ORDER BY pos""".stripMargin
   )
 }

@@ -71,12 +71,23 @@ object Layout {
     * `orderCol` must be unique (ties could straddle a range boundary and
     * make the numbering run-dependent). */
   def globalRowNumber(df: DataFrame, orderCol: String,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0): DataFrame =
+    globalRowNumber(df, Seq(orderCol), partitions)
+
+  /** Multi-column form of [[globalRowNumber]]: the COMBINATION of
+    * `orderCols` must be a total order (a unique tie-break column
+    * last). Composite orders go through native multi-column range
+    * partitioning rather than a concatenated string key — string keys
+    * can't reproduce SQL's shorter-string-sorts-first semantics at
+    * value boundaries (a separator char compares against data chars). */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[String],
+      partitions: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
             else spark.sparkContext.defaultParallelism
-    val staged = df.repartitionByRange(p, col(orderCol))
+    val staged = df.repartitionByRange(p, orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     val counts = staged.groupBy("__pid").count().collect()
@@ -87,7 +98,8 @@ object Layout {
     staged
       .join(broadcast(offDf), "__pid")
       .withColumn("rn", col("__off") +
-        row_number().over(Window.partitionBy("__pid").orderBy(orderCol)))
+        row_number().over(Window.partitionBy("__pid")
+          .orderBy(orderCols.map(col): _*)))
       .drop("__pid", "__off")
   }
 

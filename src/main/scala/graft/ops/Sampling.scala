@@ -349,4 +349,48 @@ object Sampling {
       }
       .toDF(idCol, "shard", "seq_idx", "pos")
   }
+
+  /** Deterministic weighted domain interleave — the ORDER half of data
+    * mixing (the allocation half is [[waterfillAllocation]] /
+    * [[temperatureSample]]): emit a training order where source `s`
+    * appears ∝ `weights(s)` and no source bunches into long runs, with
+    * no RNG anywhere. This is weighted-fair-queuing virtual time
+    * applied to corpora: the r-th item of source s (r in md5 order —
+    * append-stable like every sampler here) is scheduled at
+    * `vt = (r · granularity) div w_s`, and the global order is
+    * (vt, source, id) — a heavier source gets proportionally more slots
+    * in every prefix, exactly the property curriculum/mixture training
+    * wants from "interleave these sources 5:3:1".
+    *
+    * Scale shape: one per-source rank window (partitioned on the
+    * source key), a broadcast weight join, then
+    * [[graft.ops.Layout.globalRowNumber]]'s two-pass range-partitioned
+    * numbering (multi-column form — native (vt, source, id) range
+    * partitioning, no concatenated keys) for the global position — NO
+    * single-partition window. Weights are integers ≥ 1; `granularity`
+    * bounds the schedule's resolution (sources weighted beyond
+    * granularity collapse together). Emits (idCol, srcCol, vt, pos),
+    * pos 1-based. */
+  def interleaveBySource(df: DataFrame, idCol: String, srcCol: String,
+      weights: Map[String, Long], defaultWeight: Long = 1L,
+      granularity: Long = 10000L): DataFrame = {
+    require(defaultWeight >= 1, s"defaultWeight must be >= 1, got $defaultWeight")
+    require(weights.values.forall(_ >= 1), s"weights must be >= 1: $weights")
+    require(granularity >= weights.values.fold(defaultWeight)(math.max),
+      "granularity must be at least the largest weight")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF(srcCol, "__w")
+    val keyed = df.select(col(idCol), col(srcCol))
+      .join(broadcast(wdf), Seq(srcCol), "left")
+      .withColumn("__w", coalesce(col("__w"), lit(defaultWeight)))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(srcCol))
+          .orderBy(hexKey(col(idCol)), col(idCol))).cast("long"))
+      .withColumn("vt", expr(s"(__r * ${granularity}L) div __w"))
+    graft.ops.Layout
+      .globalRowNumber(keyed, Seq("vt", srcCol, idCol), partitions = 0)
+      .select(col(idCol), col(srcCol), col("vt"), col("rn").as("pos"))
+  }
 }

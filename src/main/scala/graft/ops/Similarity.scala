@@ -823,6 +823,48 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rn"))
   }
 
+  /** Hard-negative mining for contrastive embedding training (the
+    * DPR/BGE/E5 recipe): for each query item, the `k` most-similar
+    * corpus items that are NOT the item itself and NOT above
+    * `posCeiling` — candidates that similar are probable paraphrases /
+    * near-duplicates, i.e. FALSE negatives that poison a contrastive
+    * loss, so the miner's job is "almost positive, provably not".
+    *
+    * Execution shape: the query table broadcasts (training batches are
+    * serving-sized next to the corpus — the `denseTopKAll` discipline),
+    * the codegen cosine scores corpus×queries map-side, and per-query
+    * top-k goes through the [[graft.plans.TopK.perKey]] bounded-heap
+    * plan — one shuffle of survivor rows, never a full window sort of
+    * all pairs. At 100 TB the same call works against a pruned
+    * candidate stream (IVF cells / LSH buckets) instead of the full
+    * scan; the contract (ceiling filter + exact top-k of what it sees)
+    * is unchanged. Returns (query_id, neg_id, cos, rank), rank 1-based
+    * per query. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      posCeiling: Double, corpusVec: String = "embedding",
+      corpusId: String = "vec_id", queryVec: String = "embedding",
+      queryId: String = "vec_id"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(posCeiling > -1.0 && posCeiling <= 1.0,
+      s"posCeiling must be in (-1, 1], got $posCeiling")
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+    val pairs = corpus
+      .select(col(corpusId).as("neg_id"), col(corpusVec).as("cv"))
+      .join(broadcast(q))
+      .filter(col("neg_id") =!= col("query_id"))
+      .withColumn("cos", round(vecCosine(col("cv"), col("qv")), 6))
+      .filter(col("cos") < posCeiling)
+      .select("query_id", "neg_id", "cos")
+    graft.plans.TopK.perKey(pairs, Seq("query_id"),
+        Seq(("cos", false), ("neg_id", true)), k)
+      // rank over the ≤ k retained rows per query — the heap already
+      // pruned the corpus; this window never sees more than k rows
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), col("neg_id")))
+        .cast("long"))
+  }
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
     * over a retrieved candidate set: greedily select `k` results
     * maximizing `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)` — the

@@ -855,6 +855,32 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val got = added.filter(r => r._1 == 0 && r._2 == 205L).map(_._3).toSet
     assert(got == want, s"layer-0 neighbors of 205: $got != $want")
   }
+
+  test("hardNegatives: self and above-ceiling excluded, top-k below, " +
+      "TopKPerKey plan") {
+    // query 1 = (1,0); corpus: 2 = exact copy (cos 1, self-sim decoy),
+    // 3 = cos .8 (above ceiling .7), 4 = cos .6, 5 = cos 0, 6 = cos -1
+    val a = math.sqrt(1 - 0.8 * 0.8).toFloat
+    val b = math.sqrt(1 - 0.6 * 0.6).toFloat
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0f)), (3L, Array(0.8f, a)),
+      (4L, Array(0.6f, b)), (5L, Array(0f, 1f)), (6L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val negs = Similarity.hardNegatives(corpus,
+        corpus.filter($"vec_id" === 1), k = 2, posCeiling = 0.7)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    assert(negs.map(_._2).toSeq == Seq(4L, 5L),
+      s"want hard negs (4, 5): ${negs.toSeq}")
+    assert(negs.map(_._4).toSeq == Seq(1L, 2L), "ranks 1-based in cos order")
+    assert(negs.forall(_._3 < 0.7), "everything returned is below the ceiling")
+    // scale shape: bounded-heap custom plan + broadcast queries
+    val plan = Similarity.hardNegatives(corpus,
+        corpus.filter($"vec_id" === 1), k = 2, posCeiling = 0.7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected TopKPerKey plan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("Broadcast"),
+      "queries must broadcast")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite with SparkTestBase {

@@ -240,4 +240,33 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       Sampling.packSequences(df, "id", "w", capacity = 0L)
     }
   }
+
+  test("interleaveBySource: WFQ order interleaves proportionally, no RNG") {
+    // a has weight 2 (4 items), b weight 1 (2 items): hand-derived
+    // schedule vt(a) = 5000,10000,15000,20000; vt(b) = 10000,20000
+    // -> a, a, b, a, a, b (ties vt: 'a' < 'b')
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (10L, "b"), (11L, "b")).toDF("id", "src")
+    val got = Sampling.interleaveBySource(df, "id", "src",
+        weights = Map("a" -> 2L), defaultWeight = 1L)
+      .orderBy("pos").as[(Long, String, Long, Long)].collect()
+    assert(got.map(_._2).toSeq == Seq("a", "a", "b", "a", "a", "b"),
+      s"WFQ interleave order wrong: ${got.toSeq}")
+    assert(got.map(_._4).toSeq == (1L to 6L), "pos must be 1..n dense")
+    // within a source, items follow md5 order (append-stable)
+    val aIds = got.filter(_._2 == "a").map(_._1).toSeq
+    val md5Order = Seq(1L, 2L, 3L, 4L).sortBy(i =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8), i))
+    assert(aIds == md5Order, s"$aIds != $md5Order")
+    // deterministic across runs
+    val again = Sampling.interleaveBySource(df, "id", "src",
+        weights = Map("a" -> 2L), defaultWeight = 1L)
+      .orderBy("pos").as[(Long, String, Long, Long)].collect()
+    assert(got.toSeq == again.toSeq)
+    intercept[IllegalArgumentException] {
+      Sampling.interleaveBySource(df, "id", "src", Map("a" -> 0L))
+    }
+  }
 }

@@ -2849,7 +2849,15 @@ object SparkEntry {
       graft.ops.Sampling.interleaveBySource(
           t(s, dir, "documents"), "doc_id", "source",
           weights = Map("src0" -> 5L, "src1" -> 3L))
-        .orderBy("pos"))
+        .orderBy("pos")),
+
+    // Winnowing (MOSS) fingerprint selection: per-window min hash,
+    // rightmost on ties. DuckDB re-derives grams, md5 hashes, every
+    // window's argmin, and the full-window gate.
+    "q189_winnowing" -> ((s, dir) =>
+      TextAnalysis.winnowingFingerprints(
+          t(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)
+        .orderBy("doc_id", "pos", "fp"))
   )
 
   // ---------------------------------------------------------------------
@@ -5555,6 +5563,28 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(vt AS BIGINT) AS vt,
         |  CAST(row_number() OVER (ORDER BY vt, source, doc_id) AS BIGINT)
         |    AS pos
-        |FROM v ORDER BY pos""".stripMargin
+        |FROM v ORDER BY pos""".stripMargin,
+
+    "q189_winnowing" ->
+      """WITH wd AS (SELECT doc_id, string_split(text, ' ') AS parts
+        |  FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |    CAST('0x' || substr(md5(parts[i+1] || ' ' || parts[i+2] || ' '
+        |      || parts[i+3]), 1, 8) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, parts, unnest(range(len(parts) - 2)) AS i
+        |    FROM wd WHERE len(parts) >= 3)),
+        |n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+        |win AS (SELECT a.doc_id, a.pos AS wpos, b.pos, b.h
+        |  FROM g a JOIN g b ON b.doc_id = a.doc_id
+        |    AND b.pos BETWEEN a.pos AND a.pos + 3),
+        |sel AS (SELECT doc_id, wpos, pos, h,
+        |    row_number() OVER (PARTITION BY doc_id, wpos
+        |      ORDER BY h, pos DESC) AS rn
+        |  FROM win)
+        |SELECT DISTINCT s.doc_id AS doc_id, CAST(s.pos AS BIGINT) AS pos,
+        |  s.h AS fp
+        |FROM sel s JOIN n ON n.doc_id = s.doc_id
+        |WHERE s.rn = 1 AND s.wpos <= greatest(n.ng - 4, 0)
+        |ORDER BY s.doc_id, pos, fp""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID,
@@ -202,6 +202,55 @@ object TextAnalysis {
     val sh = Dedup.shingles(textCol, k)
     when(size(sh) > 0, array_min(transform(sh, s => xxhash64(s))))
       .otherwise(xxhash64(textCol))
+  }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken —
+    * SIGMOD 2003, the MOSS algorithm): hash every word `k`-gram, slide
+    * a window of `w` consecutive hashes, and in each window keep the
+    * minimum hash, RIGHTMOST position on ties (the rule that makes
+    * selection LOCAL — any match of length ≥ k + w − 1 between two
+    * documents is guaranteed to share a selected fingerprint, which a
+    * global-min fingerprint like [[fingerprint]] cannot promise).
+    * Position-aware copy detection at 100 TB rests on this guarantee:
+    * join corpora on the selected (hash) values, verify on (pos) runs.
+    *
+    * Engine-reproducible hashing (first 8 md5 hex digits as an
+    * integer — the [[graft.ops.Sampling.hexKey]] idiom); the window
+    * min is an ordered-frame aggregate per document, so the only
+    * shuffle is per-doc gram rows keyed by the doc — never a corpus
+    * gram table. Documents with fewer than `k` words have no grams and
+    * emit nothing (the [[graft.ops.Dedup.prefixFilterJoin]] boundary);
+    * with fewer than `w` windows, one whole-doc window applies.
+    * Returns distinct (idCol, pos, fp) — `pos` is the selected gram's
+    * 0-based word offset. */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"bad winnowing shape k=$k w=$w")
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .withColumn("__wd", split(col(textCol), " "))
+      .filter(size(col("__wd")) >= k)
+      .select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(0, size(__wd) - $k), i -> " +
+            s"concat_ws(' ', slice(__wd, i + 1, $k)))"))
+          .as(Seq("pos", "gram")))
+      .withColumn("h",
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"))
+    val perDoc = Window.partitionBy(col(idCol))
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("__n", count(lit(1)).over(perDoc))
+      // min(struct(h, -pos)): min hash, and among equal hashes the
+      // rightmost position — the winnowing tie rule
+      .withColumn("__sel",
+        min(struct(col("h"), (-col("pos")).as("np"))).over(frame))
+      // full windows only (plus the single short window of a sub-w doc)
+      .filter(col("pos") <= greatest(col("__n") - w, lit(0)))
+      .select(col(idCol), (-col("__sel.np")).cast("long").as("pos"),
+        col("__sel.h").as("fp"))
+      .distinct()
   }
 
   /** Corpus-frequency document profile — the integer core of a CCNet-

@@ -426,6 +426,45 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(kept.contains(10L) && !kept.contains(11L))
     assert(kept.contains(20L))
   }
+
+  test("winnowingFingerprints: window min with rightmost ties, locality " +
+      "guarantee, sub-k and sub-w boundaries") {
+    def md5h(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    // doc 1: 8 words -> 6 3-grams, w=4 -> windows at 0..2; replay by hand
+    val words = "a b c d e f g h".split(" ")
+    val grams = (0 to 5).map(i => words.slice(i, i + 3).mkString(" "))
+    val hs = grams.map(md5h)
+    val want = (0 to 2).map { p =>
+      val win = (p until p + 4)
+      val mn = win.map(hs).min
+      val pos = win.filter(i => hs(i) == mn).max // rightmost tie
+      (pos.toLong, mn)
+    }.toSet
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "x y"), (3L, "p q r"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.winnowingFingerprints(docs, "doc_id", "text",
+        k = 3, w = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(got.filter(_._1 == 1L).map(r => (r._2, r._3)).toSet == want)
+    // sub-k doc emits nothing; sub-w doc emits exactly its global min
+    assert(!got.exists(_._1 == 2L), "2-word doc has no 3-grams")
+    val d3 = got.filter(_._1 == 3L)
+    assert(d3.toSeq == Seq((3L, 0L, md5h("p q r"))),
+      s"single-gram doc keeps its one gram: ${d3.toSeq}")
+    // locality: two docs sharing a 6-word run (k + w - 1) share a fp
+    val shared = "s1 s2 s3 s4 s5 s6"
+    val pair = Seq((10L, s"aa bb $shared"), (11L, s"$shared zz ww"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowingFingerprints(pair, "doc_id", "text",
+        k = 3, w = 4)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val common = fps(10L).map(_._3).toSet intersect fps(11L).map(_._3).toSet
+    assert(common.nonEmpty, "length k+w-1 match must share a fingerprint")
+  }
 }
 
 class PrefixFilterSpec extends AnyFunSuite with SparkTestBase {

@@ -2857,7 +2857,21 @@ object SparkEntry {
     "q189_winnowing" -> ((s, dir) =>
       TextAnalysis.winnowingFingerprints(
           t(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)
-        .orderBy("doc_id", "pos", "fp"))
+        .orderBy("doc_id", "pos", "fp")),
+
+    // Copy-span detection: planted partial copies (words 6-25 behind a
+    // 2-word salt, id+20000) must surface as ONE diagonal with >= 3
+    // shared winnowing fingerprints. DuckDB winnows BOTH corpora and
+    // re-derives the join, the diagonals, and the evidence extents.
+    "q190_copy_spans" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val planted = d.select((col("doc_id") + 20000).as("doc_id"),
+        concat_ws(" ", concat(array(lit("zq1"), lit("zq2")),
+          slice(split(col("text"), " "), 6, 20))).as("text"))
+      TextAnalysis.copySpans(d, planted, "doc_id", "text",
+          k = 3, w = 4, minShared = 3)
+        .orderBy("id_left", "id_right", "diag")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -5566,25 +5580,52 @@ object SparkEntry {
         |FROM v ORDER BY pos""".stripMargin,
 
     "q189_winnowing" ->
-      """WITH wd AS (SELECT doc_id, string_split(text, ' ') AS parts
+      s"""WITH ${winnowingCtes("documents", "")}
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM keep
+        |ORDER BY doc_id, pos, fp""".stripMargin,
+
+    "q190_copy_spans" ->
+      s"""WITH dr AS (SELECT doc_id + 20000 AS doc_id,
+        |    'zq1 zq2 ' ||
+        |      array_to_string(string_split(text, ' ')[6:25], ' ') AS text
         |  FROM documents),
-        |g AS (SELECT doc_id, i AS pos,
-        |    CAST('0x' || substr(md5(parts[i+1] || ' ' || parts[i+2] || ' '
-        |      || parts[i+3]), 1, 8) AS BIGINT) AS h
-        |  FROM (SELECT doc_id, parts, unnest(range(len(parts) - 2)) AS i
-        |    FROM wd WHERE len(parts) >= 3)),
-        |n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
-        |win AS (SELECT a.doc_id, a.pos AS wpos, b.pos, b.h
-        |  FROM g a JOIN g b ON b.doc_id = a.doc_id
-        |    AND b.pos BETWEEN a.pos AND a.pos + 3),
-        |sel AS (SELECT doc_id, wpos, pos, h,
-        |    row_number() OVER (PARTITION BY doc_id, wpos
-        |      ORDER BY h, pos DESC) AS rn
-        |  FROM win)
-        |SELECT DISTINCT s.doc_id AS doc_id, CAST(s.pos AS BIGINT) AS pos,
-        |  s.h AS fp
-        |FROM sel s JOIN n ON n.doc_id = s.doc_id
-        |WHERE s.rn = 1 AND s.wpos <= greatest(n.ng - 4, 0)
-        |ORDER BY s.doc_id, pos, fp""".stripMargin
+        |${winnowingCtes("documents", "l")},
+        |${winnowingCtes("dr", "r")},
+        |j AS (SELECT l.doc_id AS id_left, r.doc_id AS id_right,
+        |    r.pos - l.pos AS diag, l.pos
+        |  FROM lkeep l JOIN rkeep r ON r.fp = l.fp)
+        |SELECT id_left, id_right, CAST(diag AS BIGINT) AS diag,
+        |  CAST(count(*) AS BIGINT) AS n_shared,
+        |  CAST(min(pos) AS BIGINT) AS lo_left,
+        |  CAST(max(pos) AS BIGINT) AS hi_left
+        |FROM j GROUP BY 1, 2, 3 HAVING count(*) >= 3
+        |ORDER BY id_left, id_right, diag""".stripMargin
   )
+
+  /** The q189 winnowing selection (k=3, w=4) as DuckDB CTEs ending in
+    * `<p>keep(doc_id, pos, fp)` — shared by the q189 fingerprint oracle
+    * and q190's two-corpus copy-span oracle. NOT pre-stripped: the
+    * result embeds in stripMargin outer strings, and stripping twice
+    * would eat one pipe of a continuation line's `||` concat operator
+    * (observed as DuckDB "no function |(VARCHAR, VARCHAR)"). */
+  private def winnowingCtes(src: String, p: String): String =
+    s"""${p}wd AS (SELECT doc_id, string_split(text, ' ') AS parts
+       |  FROM $src),
+       |${p}g AS (SELECT doc_id, i AS pos,
+       |    CAST('0x' || substr(md5(parts[i+1] || ' ' || parts[i+2] || ' '
+       |      || parts[i+3]), 1, 8) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, parts, unnest(range(len(parts) - 2)) AS i
+       |    FROM ${p}wd WHERE len(parts) >= 3)),
+       |${p}n AS (SELECT doc_id, count(*) AS ng FROM ${p}g GROUP BY 1),
+       |${p}win AS (SELECT a.doc_id, a.pos AS wpos, b.pos, b.h
+       |  FROM ${p}g a JOIN ${p}g b ON b.doc_id = a.doc_id
+       |    AND b.pos BETWEEN a.pos AND a.pos + 3),
+       |${p}sel AS (SELECT doc_id, wpos, pos, h,
+       |    row_number() OVER (PARTITION BY doc_id, wpos
+       |      ORDER BY h, pos DESC) AS rn
+       |  FROM ${p}win),
+       |${p}keep AS (SELECT DISTINCT s.doc_id AS doc_id, s.pos AS pos,
+       |    s.h AS fp
+       |  FROM ${p}sel s JOIN ${p}n n ON n.doc_id = s.doc_id
+       |  WHERE s.rn = 1 AND s.wpos <= greatest(n.ng - 4, 0))"""
 }

@@ -253,6 +253,38 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Cross-corpus copy-SPAN detection over [[winnowingFingerprints]] —
+    * what the fingerprints exist for: two documents that share a copied
+    * run of length ≥ k + w − 1 are guaranteed to share selected
+    * fingerprints, and a CONTIGUOUS copy puts every shared fingerprint
+    * on one DIAGONAL (`pos_right − pos_left` constant — the classic
+    * seed-diagonal trick from sequence alignment). Grouping shared
+    * fingerprints by (left, right, diag) and gating on `minShared`
+    * separates real copied spans from single-hash coincidences.
+    *
+    * Scale shape: each side winnows independently (per-doc windows, no
+    * corpus gram table), the join shuffles only (id, pos, fp) triples
+    * keyed by fp — a hot fp is boilerplate the corpus-frequency profile
+    * should have removed — and the diagonal group-by is per candidate
+    * pair. Returns (id_left, id_right, diag, n_shared, lo_left,
+    * hi_left): the shared-fingerprint count and the left-side gram-
+    * position extent of the evidence. */
+  def copySpans(left: DataFrame, right: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, w: Int = 4,
+      minShared: Int = 3): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fa = winnowingFingerprints(left, idCol, textCol, k, w)
+      .select(col(idCol).as("id_left"), col("pos").as("pos_left"), col("fp"))
+    val fb = winnowingFingerprints(right, idCol, textCol, k, w)
+      .select(col(idCol).as("id_right"), col("pos").as("pos_right"), col("fp"))
+    fa.join(fb, "fp")
+      .groupBy(col("id_left"), col("id_right"),
+        (col("pos_right") - col("pos_left")).as("diag"))
+      .agg(count(lit(1)).as("n_shared"),
+        min("pos_left").as("lo_left"), max("pos_left").as("hi_left"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Corpus-frequency document profile — the integer core of a CCNet-
     * style unigram-LM quality signal. Two passes over the exploded
     * tokens: (1) corpus vocabulary counts, (2) per-document aggregation

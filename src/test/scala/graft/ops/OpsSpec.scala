@@ -465,6 +465,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val common = fps(10L).map(_._3).toSet intersect fps(11L).map(_._3).toSet
     assert(common.nonEmpty, "length k+w-1 match must share a fingerprint")
   }
+
+  test("copySpans: a contiguous copy lands on one diagonal; unrelated " +
+      "docs produce nothing") {
+    val body = (1 to 20).map(i => s"w$i").mkString(" ")
+    val left = Seq((1L, body), (2L, (1 to 20).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // doc 100 copies words 5..16 of doc 1 behind a 3-word salt:
+    // every shared fingerprint sits on diagonal (saltLen - copyStart)
+    val copy = "s1 s2 s3 " + (5 to 16).map(i => s"w$i").mkString(" ")
+    val right = Seq((100L, copy), (101L, (1 to 20).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val spans = TextAnalysis.copySpans(left, right, "doc_id", "text",
+        k = 3, w = 4, minShared = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(spans.map(r => (r._1, r._2)).toSet == Set((1L, 100L)),
+      s"only the planted pair may surface: ${spans.toSeq}")
+    val Array((_, _, diag, n, lo, hi)) = spans
+    assert(diag == 3L - 4L, s"diagonal must be saltLen - copyStart: $diag")
+    assert(n >= 2L && lo >= 4L && hi <= 13L,
+      s"evidence extent inside the copied run: n=$n lo=$lo hi=$hi")
+  }
 }
 
 class PrefixFilterSpec extends AnyFunSuite with SparkTestBase {

@@ -2871,6 +2871,20 @@ object SparkEntry {
       TextAnalysis.copySpans(d, planted, "doc_id", "text",
           k = 3, w = 4, minShared = 3)
         .orderBy("id_left", "id_right", "diag")
+    }),
+
+    // KMV set-overlap sketch: distinct-shingle overlap between two
+    // overlapping corpus halves (docs <300 vs >=200) from two O(k)
+    // sketches — the set-INTERSECTION estimate HLL can't give. DuckDB
+    // re-derives the md5 shingle hashes, both k-smallest sketches, the
+    // union sketch, the matched count, and every integer estimate.
+    "q191_kmv_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def sh(f: Column) = d.filter(f)
+        .select(explode(Dedup.shingles(col("text"), 3)).as("sh"))
+      val ka = graft.ops.Profile.kmvSketch(sh(col("doc_id") < 300), "sh", 128)
+      val kb = graft.ops.Profile.kmvSketch(sh(col("doc_id") >= 200), "sh", 128)
+      graft.ops.Profile.kmvOverlap(ka, kb, 128)
     })
   )
 
@@ -5599,8 +5613,48 @@ object SparkEntry {
         |  CAST(min(pos) AS BIGINT) AS lo_left,
         |  CAST(max(pos) AS BIGINT) AS hi_left
         |FROM j GROUP BY 1, 2, 3 HAVING count(*) >= 3
-        |ORDER BY id_left, id_right, diag""".stripMargin
+        |ORDER BY id_left, id_right, diag""".stripMargin,
+
+    "q191_kmv_overlap" ->
+      s"""WITH ${kmvSketchCtes("doc_id < 300", "ka")},
+        |${kmvSketchCtes("doc_id >= 200", "kb")},
+        |u AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+        |  ORDER BY h LIMIT 128),
+        |ea AS (SELECT ${kmvEstSql("ka")} AS est FROM ka),
+        |eb AS (SELECT ${kmvEstSql("kb")} AS est FROM kb),
+        |eu AS (SELECT ${kmvEstSql("u")} AS est FROM u),
+        |m AS (SELECT count(*) AS matched FROM u
+        |  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb))
+        |SELECT CAST((SELECT count(*) FROM ka) AS BIGINT) AS n_a,
+        |  CAST((SELECT count(*) FROM kb) AS BIGINT) AS n_b,
+        |  CAST(ea.est AS BIGINT) AS est_a, CAST(eb.est AS BIGINT) AS est_b,
+        |  CAST(eu.est AS BIGINT) AS est_union,
+        |  CAST(m.matched AS BIGINT) AS matched,
+        |  CAST(m.matched * eu.est // 128 AS BIGINT) AS est_intersection,
+        |  CAST(m.matched * 1000 // 128 AS BIGINT) AS jaccard_pm
+        |FROM ea, eb, eu, m""".stripMargin
   )
+
+  /** KMV sketch of the distinct 3-shingle md5 hashes of a documents
+    * subset, as DuckDB CTEs ending in `<p>(h)` — the k=128 smallest
+    * hashes in lexicographic (== numeric 128-bit) order. */
+  private def kmvSketchCtes(where: String, p: String): String =
+    s"""${p}s AS (SELECT DISTINCT md5(x) AS h FROM (
+       |    SELECT unnest([parts[i+1] || ' ' || parts[i+2] || ' ' || parts[i+3]
+       |        for i in range(len(parts) - 2)]) AS x
+       |    FROM (SELECT string_split(text, ' ') AS parts FROM documents
+       |      WHERE $where)
+       |    WHERE len(parts) >= 3)),
+       |$p AS (SELECT h FROM ${p}s ORDER BY h LIMIT 128)"""
+
+  /** KMV estimator over a sketch CTE `<p>(h)`: exact size under
+    * capacity, else (k−1)·2^60 // v_k with v_k the 60-bit prefix of the
+    * largest retained hash (HUGEINT multiply — 127·2^60 overflows a
+    * signed 64-bit). */
+  private def kmvEstSql(p: String): String =
+    s"""CASE WHEN count(*) < 128 THEN count(*)
+       |    ELSE CAST(127 AS HUGEINT) * 1152921504606846976
+       |      // CAST('0x' || substr(max(h), 1, 15) AS BIGINT) END""".stripMargin
 
   /** The q189 winnowing selection (k=3, w=4) as DuckDB CTEs ending in
     * `<p>keep(doc_id, pos, fp)` — shared by the q189 fingerprint oracle

@@ -461,4 +461,81 @@ object Profile {
     totals.join(majority, Seq(groupCol))
       .select(col(groupCol), col("n"), col("maj_label"), col("maj_n"))
   }
+
+  // --- KMV (k-minimum-values) distinct sketch -------------------------
+  //
+  // The set-OPERATIONS member of the sketch tier: HLL ([[distinctSketch]])
+  // unions but cannot intersect; KMV (Bar-Yossef et al. 2002, Beyer et
+  // al. 2007) supports union AND intersection, so "how many distinct
+  // shingles do corpus A and corpus B share" — the contamination-/
+  // overlap-scale question two 100 TB corpora pose — becomes two O(k)
+  // sketch reads instead of a corpus×corpus join. Hashing is md5 (hex),
+  // so sketches are engine-reproducible bit-for-bit: lexicographic order
+  // on fixed-width lowercase hex IS numeric order on the 128-bit hash.
+
+  /** KMV sketch of `valueCol`: the `k` smallest distinct md5 hashes, as
+    * (h) rows — the persistable O(k) artifact (the rows form of
+    * [[quantileSketch]]/[[countMinBuild]]). One distinct-aggregate
+    * shuffle over hashes (never values), then TakeOrdered of k. */
+  def kmvSketch(df: DataFrame, valueCol: String, k: Int = 128): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(md5(col(valueCol).cast("string")).as("h"))
+      .distinct()
+      .orderBy("h").limit(k)
+
+  /** Merge persisted KMV sketch rows (a UNION of many batches' sketches)
+    * back into one k-sized sketch — the incremental-maintenance pattern:
+    * the k smallest distinct hashes of a union of sets are a subset of
+    * the union of each set's k smallest. */
+  def kmvMerge(sketches: DataFrame, k: Int = 128): DataFrame =
+    sketches.select(col("h")).distinct().orderBy("h").limit(k)
+
+  /** Numeric value of the first 60 bits of a lowercase-hex md5 — the
+    * estimator's U(h)·2^60. 15 hex digits < 2^60 always fits a Long. */
+  private[ops] def hex60(h: String): Long =
+    java.lang.Long.parseLong(h.substring(0, 15), 16)
+
+  /** Distinct-count estimate from a KMV sketch's hashes (ascending or
+    * not; sorted here). Under capacity the sketch IS the distinct set
+    * (exact); at capacity est = (k−1)·2^60 / v_k with v_k the k-th
+    * smallest hash's top 60 bits (integer division — both engines
+    * re-derive it exactly; the multiply runs in BigInt/HUGEINT since
+    * 255·2^60 overflows a signed 64-bit). */
+  private[ops] def kmvEstimateOf(hashes: Seq[String], k: Int): Long =
+    if (hashes.size < k) hashes.size.toLong
+    else {
+      val vk = hex60(hashes.sorted.apply(k - 1))
+      ((BigInt(k - 1) << 60) / BigInt(vk)).toLong
+    }
+
+  /** [[kmvEstimateOf]] over a persisted sketch (O(k) rows by
+    * construction — the driver read is the contract, as in
+    * [[quantileSketchMerge]]). */
+  def kmvEstimate(sketch: DataFrame, k: Int = 128): Long =
+    kmvEstimateOf(sketch.select("h").collect().map(_.getString(0)).toSeq, k)
+
+  /** Set-overlap estimates between two KMV sketches: one row of exact
+    * integers —
+    *  - `n_a`/`n_b`: sketch sizes (== distinct counts when under k),
+    *  - `est_a`/`est_b`/`est_union`: KMV cardinality estimates,
+    *  - `matched`: hashes of the k-sized UNION sketch present in BOTH
+    *    input sketches (the ρ of Beyer et al. 2007),
+    *  - `est_intersection` = matched·est_union / k (integer division),
+    *  - `jaccard_pm` = 1000·matched / k (per-mille, integer).
+    * Driver-side over two O(k) reads; the corpora themselves were
+    * touched once each, at sketch-build time. */
+  def kmvOverlap(a: DataFrame, b: DataFrame, k: Int = 128): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val ha = a.select("h").collect().map(_.getString(0)).toSet
+    val hb = b.select("h").collect().map(_.getString(0)).toSet
+    val union = (ha ++ hb).toSeq.sorted.take(k)
+    val estU = kmvEstimateOf(union, k)
+    val matched = union.count(h => ha(h) && hb(h)).toLong
+    Seq((ha.size.toLong, hb.size.toLong,
+        kmvEstimateOf(ha.toSeq, k), kmvEstimateOf(hb.toSeq, k),
+        estU, matched, matched * estU / k, matched * 1000L / k))
+      .toDF("n_a", "n_b", "est_a", "est_b", "est_union", "matched",
+        "est_intersection", "jaccard_pm")
+  }
 }

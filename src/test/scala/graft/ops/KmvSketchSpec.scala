@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** KMV (k-minimum-values) set sketch: exactness under capacity, the
+  * lossless-merge property (the k smallest hashes of a union are a
+  * subset of the union of each part's k smallest), estimator accuracy
+  * at capacity (deterministic: md5 hashing has no seed), and the
+  * intersection/Jaccard estimates HLL cannot provide. */
+class KmvSketchSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private val K = 64
+
+  test("under capacity the sketch is the exact distinct hash set") {
+    val df = Seq("a", "b", "c", "b", "a").toDF("v")
+    val sk = Profile.kmvSketch(df, "v", K)
+    assert(sk.count() === 3)
+    assert(Profile.kmvEstimate(sk, K) === 3L)
+  }
+
+  test("estimate at capacity is within 25% of the true distinct count") {
+    val n = 5000
+    val df = (0 until n).map(i => s"val_$i").toDF("v")
+    val est = Profile.kmvEstimate(Profile.kmvSketch(df, "v", 256), 256)
+    // deterministic (md5, no seed): expected relative error ~1/sqrt(k)=6%
+    assert(math.abs(est - n) < n / 4, s"est $est vs true $n")
+  }
+
+  test("merge of per-batch sketches equals the sketch of the union") {
+    val a = (0 until 800).map(i => s"x$i").toDF("v")
+    val b = (500 until 1300).map(i => s"x$i").toDF("v")
+    val merged = Profile.kmvMerge(
+      Profile.kmvSketch(a, "v", K).union(Profile.kmvSketch(b, "v", K)), K)
+    val direct = Profile.kmvSketch(a.union(b), "v", K)
+    assert(merged.collect().map(_.getString(0)).sorted.toSeq ===
+      direct.collect().map(_.getString(0)).sorted.toSeq)
+  }
+
+  test("overlap: disjoint sets match nothing, identical sets fully") {
+    val a = (0 until 500).map(i => s"a$i").toDF("v")
+    val b = (0 until 500).map(i => s"b$i").toDF("v")
+    val ka = Profile.kmvSketch(a, "v", K)
+    val kb = Profile.kmvSketch(b, "v", K)
+    val disjoint = Profile.kmvOverlap(ka, kb, K).first()
+    assert(disjoint.getAs[Long]("matched") === 0L)
+    assert(disjoint.getAs[Long]("est_intersection") === 0L)
+    val self = Profile.kmvOverlap(ka, ka, K).first()
+    assert(self.getAs[Long]("jaccard_pm") === 1000L)
+    assert(self.getAs[Long]("est_intersection") ===
+      self.getAs[Long]("est_union"))
+  }
+
+  test("overlap estimate tracks a planted 50% intersection") {
+    val a = (0 until 2000).map(i => s"c$i").toDF("v")       // 0..1999
+    val b = (1000 until 3000).map(i => s"c$i").toDF("v")    // 1000..2999
+    val r = Profile.kmvOverlap(
+      Profile.kmvSketch(a, "v", 256), Profile.kmvSketch(b, "v", 256),
+      256).first()
+    val inter = r.getAs[Long]("est_intersection")           // true 1000
+    assert(inter > 600 && inter < 1400, s"est_intersection $inter")
+    val j = r.getAs[Long]("jaccard_pm")                     // true 333
+    assert(j > 200 && j < 470, s"jaccard_pm $j")
+  }
+}

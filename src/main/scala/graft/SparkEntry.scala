@@ -2885,7 +2885,16 @@ object SparkEntry {
       val ka = graft.ops.Profile.kmvSketch(sh(col("doc_id") < 300), "sh", 128)
       val kb = graft.ops.Profile.kmvSketch(sh(col("doc_id") >= 200), "sh", 128)
       graft.ops.Profile.kmvOverlap(ka, kb, 128)
-    })
+    }),
+
+    // Distributed full-data k-means (Lloyd's) in exact fixed point —
+    // the scale-out counterpart to the IVF driver-sample fit. DuckDB
+    // replays the md5 init, BOTH unrolled iterations (every distance,
+    // every argmin, every floor-division centroid update), and the
+    // final assignment pass.
+    "q192_kmeans" -> ((s, dir) =>
+      Similarity.kMeans(t(s, dir, "embeddings"), k = 4, iters = 2)._1
+        .orderBy("vec_id"))
   )
 
   // ---------------------------------------------------------------------
@@ -5632,8 +5641,49 @@ object SparkEntry {
         |  CAST(m.matched AS BIGINT) AS matched,
         |  CAST(m.matched * eu.est // 128 AS BIGINT) AS est_intersection,
         |  CAST(m.matched * 1000 // 128 AS BIGINT) AS jaccard_pm
-        |FROM ea, eb, eu, m""".stripMargin
+        |FROM ea, eb, eu, m""".stripMargin,
+
+    "q192_kmeans" ->
+      s"""WITH dims AS (SELECT vec_id, i,
+        |    CAST(round(embedding[i + 1]::DOUBLE * 1000000) AS BIGINT)
+        |      + 2097152 AS xi
+        |  FROM (SELECT vec_id, embedding,
+        |      unnest(range(len(embedding))) AS i FROM embeddings)),
+        |ord AS (SELECT vec_id, row_number() OVER (
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
+        |    - 1 AS j FROM embeddings),
+        |c0 AS (SELECT o.j, d.i, d.xi AS c
+        |  FROM ord o JOIN dims d USING (vec_id) WHERE o.j < 4),
+        |${kmeansIterCtes(2)}
+        |df AS (SELECT d.vec_id, c.j,
+        |    sum((d.xi - c.c) * (d.xi - c.c)) AS dist
+        |  FROM dims d JOIN c2 c ON c.i = d.i GROUP BY 1, 2)
+        |SELECT vec_id, CAST(j AS BIGINT) AS cluster,
+        |  CAST(dist AS BIGINT) AS dist2
+        |FROM (SELECT vec_id, j, dist, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY dist, j) AS rn FROM df)
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
   )
+
+  /** Unrolled Lloyd's iterations as DuckDB CTEs: `c{t-1}` →
+    * distances → argmin (tie → smallest centroid index) → floor-division
+    * centroid update, empty clusters inheriting `c{t-1}` — ends in
+    * `c{iters}(j, i, c)`. Coordinates are the +2^21-shifted non-negative
+    * fixed-point longs, so `//` (floor) and the Scala `floorDiv` agree
+    * by construction. */
+  private def kmeansIterCtes(iters: Int): String =
+    (1 to iters).map { t =>
+      s"""d$t AS (SELECT d.vec_id, c.j,
+         |    sum((d.xi - c.c) * (d.xi - c.c)) AS dist
+         |  FROM dims d JOIN c${t - 1} c ON c.i = d.i GROUP BY 1, 2),
+         |a$t AS (SELECT vec_id, j FROM (SELECT vec_id, j,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, j)
+         |      AS rn FROM d$t) WHERE rn = 1),
+         |s$t AS (SELECT a.j, d.i, sum(d.xi) // count(*) AS c
+         |  FROM a$t a JOIN dims d USING (vec_id) GROUP BY 1, 2),
+         |c$t AS (SELECT p.j, p.i, coalesce(n.c, p.c) AS c
+         |  FROM c${t - 1} p LEFT JOIN s$t n ON n.j = p.j AND n.i = p.i),"""
+    }.mkString("\n")
 
   /** KMV sketch of the distinct 3-shingle md5 hashes of a documents
     * subset, as DuckDB CTEs ending in `<p>(h)` — the k=128 smallest

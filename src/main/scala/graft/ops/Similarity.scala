@@ -1167,4 +1167,98 @@ object Similarity {
         .select(col("id").as(idCol), col("cos"))
     }
   }
+
+  // --- Distributed k-means (full-data Lloyd's) ------------------------
+
+  /** Coordinate shift that keeps every fixed-point coordinate
+    * non-negative (unit-norm inputs scale to ±10^6), so the centroid
+    * floor-division is division of non-negative integers — where floor
+    * and truncation agree in BOTH engines (negative `//` semantics
+    * differ across SQL dialects; a common shift changes no distance). */
+  private val KmeansShift = 1L << 21
+
+  /** Distributed Lloyd's k-means over the FULL dataset, in exact
+    * fixed-point integers — the scale-out counterpart to [[lloydFit]]'s
+    * bounded driver-sample fit (the FAISS discipline [[IvfIndex]] uses):
+    * when the sample discipline isn't enough (drifted corpora, tiny
+    * clusters a sample misses), this fit touches every row yet keeps
+    * the exchanges dimension-sized:
+    *  - assignment is map-side only — the k·d centroid table rides a
+    *    broadcast into one argmin UDF pass, no shuffle;
+    *  - the centroid update is a (cluster, dim)-keyed SUM with map-side
+    *    partial combine — ≤ partitions·k·d rows cross, never n·d;
+    *  - the driver coordinates iterations holding k·d longs per round.
+    * Determinism (both engines replay it exactly): coordinates are
+    * `round(x·10^6) + 2^21` longs; init centroids are the k vectors
+    * with the smallest `md5(id)` (tie → id); argmin ties break to the
+    * smallest centroid index; new centroid = elementwise
+    * `sum div count`; a cluster left empty keeps its previous centroid.
+    *
+    * Returns (assignments `(idCol, cluster, dist2)` from a final pass
+    * against the post-iteration centroids, centroids as
+    * `(cluster, dim, c)` rows in the shifted fixed-point space). */
+  def kMeans(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"):
+      (DataFrame, DataFrame) = {
+    require(k >= 1 && iters >= 0, s"bad kMeans params k=$k iters=$iters")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val scaled = emb.select(col(idCol),
+        transform(col(vecCol), x =>
+          round(x.cast("double") * 1e6).cast("long") + lit(KmeansShift))
+          .as("__xi"))
+      .localCheckpoint() // reused every iteration; drop scan lineage
+    val dim = scaled.select(size(col("__xi"))).first().getInt(0)
+
+    // init: vectors of the k smallest-md5 ids, indexed in that order
+    val initIds = emb.select(col(idCol).cast("string").as("__s"))
+      .orderBy(md5(col("__s")), col("__s")).limit(k)
+      .collect().map(_.getString(0))
+    var centroids: Array[Array[Long]] = {
+      val byId = scaled.filter(col(idCol).cast("string").isin(initIds: _*))
+        .select(col(idCol).cast("string"), col("__xi"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+        .toMap
+      initIds.map(byId)
+    }
+
+    def assignDf(cs: Array[Array[Long]]): DataFrame = {
+      val bc = spark.sparkContext.broadcast(cs)
+      val assignUdf = udf { xi: Seq[Long] =>
+        val cents = bc.value
+        var best = 0; var bestD = Long.MaxValue; var j = 0
+        while (j < cents.length) {
+          val c = cents(j); var d = 0L; var i = 0
+          while (i < c.length) { val t = xi(i) - c(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = j } // strict < : tie -> min j
+          j += 1
+        }
+        (best, bestD)
+      }
+      scaled.withColumn("__a", assignUdf(col("__xi")))
+        .select(col(idCol), col("__a._1").as("cluster"),
+          col("__a._2").as("dist2"), col("__xi"))
+    }
+
+    for (_ <- 1 to iters) {
+      val sums = assignDf(centroids)
+        .select(col("cluster"), posexplode(col("__xi")).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone()) // empty cluster keeps its centroid
+      sums.foreach { r =>
+        next(r.getAs[Int]("cluster"))(r.getAs[Int]("dim")) =
+          Math.floorDiv(r.getAs[Long]("s"), r.getAs[Long]("n"))
+      }
+      centroids = next
+    }
+
+    val assignments = assignDf(centroids)
+      .select(col(idCol), col("cluster").cast("long"), col("dist2"))
+    val centroidRows = centroids.zipWithIndex.flatMap { case (c, j) =>
+      c.zipWithIndex.map { case (v, i) => (j.toLong, i.toLong, v) }
+    }.toSeq.toDF("cluster", "dim", "c")
+    (assignments, centroidRows)
+  }
 }

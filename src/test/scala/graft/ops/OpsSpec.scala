@@ -941,6 +941,56 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("Broadcast"),
       "queries must broadcast")
   }
+
+  test("kMeans: separates two well-apart clusters, deterministically") {
+    val vecs = (0 until 8).map(i => (i.toLong,
+        Seq(1f + i * 0.001f, 0f, 0f, 0f))) ++
+      (8 until 16).map(i => (i.toLong,
+        Seq(0f, 0f, 0f, 1f + (i - 8) * 0.001f)))
+    val df = vecs.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val (asg, cents) = Similarity.kMeans(df, k = 2, iters = 3)
+    val byId = asg.as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(byId.values.toSet.size == 2, "both clusters populated")
+    assert((0L to 7L).map(byId).toSet.size == 1, "cluster A together")
+    assert((8L to 15L).map(byId).toSet.size == 1, "cluster B together")
+    assert(byId(0L) != byId(8L), "clusters apart")
+    assert(cents.count() == 2 * 4, "k x dim centroid rows")
+    val again = Similarity.kMeans(df, k = 2, iters = 3)._1
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(again == byId, "pure function of the data")
+  }
+
+  test("kMeans: k=1 centroid is the exact elementwise floorDiv mean") {
+    val df = Seq((1L, Seq(0.1f, 0.2f)), (2L, Seq(0.3f, -0.5f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val cents = Similarity.kMeans(df, k = 1, iters = 1)._2
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    val shift = 1L << 21
+    // scaled coords: (100000, 200000) and (300000, -500000) + shift
+    val want = Seq(
+      Math.floorDiv((100000L + shift) + (300000L + shift), 2L),
+      Math.floorDiv((200000L + shift) + (-500000L + shift), 2L))
+    assert(cents.map(_._3).toSeq == want, s"got ${cents.toSeq}")
+  }
+
+  test("kMeans: a cluster left empty keeps its previous centroid") {
+    // three identical points: the two init centroids coincide, argmin
+    // ties to centroid 0, centroid 1 is never assigned a point and must
+    // survive the update untouched
+    val df = Seq((1L, Seq(0.5f, 0.5f)), (2L, Seq(0.5f, 0.5f)),
+        (3L, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val (asg, cents) = Similarity.kMeans(df, k = 2, iters = 2)
+    assert(asg.as[(Long, Long, Long)].collect().forall(_._2 == 0L),
+      "ties assign to the smallest centroid index")
+    val c = cents.as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(c(0L) == c(1L), "empty cluster inherited the (identical) centroid")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite with SparkTestBase {

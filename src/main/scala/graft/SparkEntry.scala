@@ -2894,7 +2894,21 @@ object SparkEntry {
     // final assignment pass.
     "q192_kmeans" -> ((s, dir) =>
       Similarity.kMeans(t(s, dir, "embeddings"), k = 4, iters = 2)._1
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // ExactSubstr REMOVAL (Lee et al. 2022): q157's planted boilerplate
+    // corpus, with the merged repeated-8-gram spans actually excised
+    // from every doc. DuckDB re-derives grams, repeats, merged islands,
+    // the per-token coverage anti-join, and the rebuilt text.
+    "q193_span_removal" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" Please subscribe to our newsletter for free updates today")))
+          .otherwise(col("text")).as("text"))
+      graft.ops.Curation.removeRepeatedSpans(planted, "doc_id", "text",
+        k = 8, minDocs = 2).orderBy("doc_id")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -5662,7 +5676,48 @@ object SparkEntry {
         |  CAST(dist AS BIGINT) AS dist2
         |FROM (SELECT vec_id, j, dist, row_number() OVER (
         |    PARTITION BY vec_id ORDER BY dist, j) AS rn FROM df)
-        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q193_span_removal" ->
+      """WITH planted AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' Please subscribe to our newsletter for free updates today'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+        |  FROM planted),
+        |grams AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    array_to_string([lower(x) for x in ws[i+1:i+8]], ' ') AS gram
+        |  FROM toks, UNNEST(range(len(ws) - 7)) t(i)
+        |  WHERE len(ws) >= 8),
+        |rep AS (SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS nd FROM grams GROUP BY 1)
+        |  WHERE nd >= 2),
+        |hits AS (SELECT doc_id, pos AS s, pos + 8 AS e FROM grams
+        |  WHERE gram IN (SELECT gram FROM rep)),
+        |flagged AS (SELECT doc_id, s, e,
+        |    CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+        |      THEN 1 ELSE 0 END AS new_island
+        |  FROM hits
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |isl AS (SELECT doc_id, s, e,
+        |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flagged),
+        |sp AS (SELECT doc_id, island, min(s) AS s, max(e) AS e
+        |  FROM isl GROUP BY 1, 2),
+        |tokpos AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i+1] AS tok
+        |  FROM toks, UNNEST(range(len(ws))) t(i)),
+        |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+        |  WHERE NOT EXISTS (SELECT 1 FROM sp
+        |    WHERE sp.doc_id = tp.doc_id AND tp.pos >= sp.s AND tp.pos < sp.e)),
+        |ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+        |    count(*) AS kept FROM kept GROUP BY 1)
+        |SELECT t.doc_id, COALESCE(ka.text, '') AS text,
+        |  CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(ka.kept, 0) AS BIGINT) AS kept_tokens
+        |FROM toks t LEFT JOIN ka USING (doc_id) ORDER BY t.doc_id""".stripMargin
   )
 
   /** Unrolled Lloyd's iterations as DuckDB CTEs: `c{t-1}` →

@@ -414,6 +414,49 @@ object Curation {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"))
   }
 
+  /** Materialized REMOVAL form of [[repeatedSpanStats]] — the Lee et
+    * al. 2022 ExactSubstr dedup pass that actually edits the corpus:
+    * tokens covered by any merged repeated-k-gram span are excised from
+    * every document holding them (all copies go — the paper's policy;
+    * a keep-one variant is a rank gate away), survivors rejoin in
+    * position order. Returns (doc_id, text, n_tokens, kept_tokens)
+    * with `text` the cleaned document ('' when fully covered).
+    *
+    * Scale shape: identical to [[repeatedSpanStatsMultiK]] (gram-keyed
+    * wide shuffles, doc-keyed interval merge) plus one doc-keyed join
+    * of the merged spans back onto the token arrays; spans collect
+    * in-row only for docs that HAVE them (≤ n_tokens/k per doc by
+    * construction), and the excision is a single higher-order `filter`
+    * over the token array — cleaned text never crosses an exchange. */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 1 && minDocs >= 2, s"need k >= 1, minDocs >= 2")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("ws"))
+    val grams = toks.select(col("doc_id"),
+      posexplode(gramUdf(k)(col("ws"))).as(Seq("pos", "gram")))
+    val repeated = grams.select("gram", "doc_id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("gram")
+    val hits = grams.join(repeated, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+        (col("pos") + k).cast("long").as("e"))
+    val spans = Cleaning.mergeIntervals(hits, "doc_id", "s", "e")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("__spans"))
+    val kept = filter(col("ws"), (_, i) =>
+      !exists(col("__spans"), sp =>
+        i.cast("long") >= sp.getField("s") &&
+          i.cast("long") < sp.getField("e")))
+    toks.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__spans").isNull, col("ws")).otherwise(kept).as("__kept"),
+        size(col("ws")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), concat_ws(" ", col("__kept")).as("text"),
+        col("n_tokens"), size(col("__kept")).cast("long").as("kept_tokens"))
+  }
+
   // -------------------------------------------------------------------
   // C4-style line filtering: keep lines that end in terminal punctuation
   // and carry at least `minWords` words; drop the whole document when it

@@ -438,4 +438,47 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(!above.contains(11L) && above.contains(10L))
   }
+
+  test("removeRepeatedSpans: shared span excised from BOTH docs, clean doc " +
+      "untouched, fully-covered doc becomes empty") {
+    val df = Seq(
+      (1L, "x a b c d y"),        // shares "a b c d" (merged span [1,5))
+      (2L, "z a b c d w"),
+      (3L, "p q r s t u"),        // clean
+      (4L, "e f g"), (5L, "e f g")) // fully covered at k=3
+      .toDF("doc_id", "text")
+    val got = Curation.removeRepeatedSpans(df, "doc_id", "text",
+        k = 3, minDocs = 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("x y", 6L, 2L)), got.toString)
+    assert(got(2L) == (("z w", 6L, 2L)), got.toString)
+    assert(got(3L) == (("p q r s t u", 6L, 6L)), got.toString)
+    assert(got(4L) == (("", 3L, 0L)), got.toString)
+    assert(got(5L) == (("", 3L, 0L)), got.toString)
+  }
+
+  test("removeRepeatedSpans agrees with repeatedSpanStats accounting") {
+    val df = Seq(
+      (1L, "a b c XX d e f"),
+      (2L, "a b c YY d e f"),
+      (3L, "lone words only here"))
+      .toDF("doc_id", "text")
+    val stats = Curation.repeatedSpanStats(df, "doc_id", "text",
+        k = 3, minDocs = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val removed = Curation.removeRepeatedSpans(df, "doc_id", "text",
+        k = 3, minDocs = 2)
+      .as[(Long, String, Long, Long)].collect()
+    removed.foreach { case (id, text, n, keptN) =>
+      val (total, rep) = stats(id)
+      assert(n == total && keptN == total - rep,
+        s"doc $id: kept $keptN != $total - $rep")
+      assert(text.split(" ").filter(_.nonEmpty).length == keptN)
+    }
+    // the disjoint middle tokens survive
+    val byId = removed.map(r => r._1 -> r._2).toMap
+    assert(byId(1L) == "XX" && byId(2L) == "YY", byId.toString)
+  }
 }

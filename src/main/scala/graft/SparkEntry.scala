@@ -2908,6 +2908,39 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       graft.ops.Curation.removeRepeatedSpans(planted, "doc_id", "text",
         k = 8, minDocs = 2).orderBy("doc_id")
+    }),
+
+    // Versioned-index takedown story end-to-end: two upserts, a
+    // forward-looking delete (new snapshot), then a HARD purge of one
+    // id across history. The per-version row counts and membership
+    // probes are all DuckDB re-derivable from `documents` alone —
+    // every input to the snapshot chain is a deterministic filter of it.
+    "q194_snapshot_takedown" -> ((s, dir) => {
+      import s.implicits._
+      val base = new java.io.File(
+        s"/tmp/graft_snapshots_demo/${new java.io.File(dir).getName}").toString
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(base), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh rebuild
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text"), col("source"))
+      graft.index.Snapshots.upsertVersioned(s,
+        docs.filter(col("id") < 100), base)
+      graft.index.Snapshots.upsertVersioned(s,
+        docs.filter(col("id").between(50, 149))
+          .withColumn("text", concat(col("text"), lit(" v2"))), base)
+      graft.index.Snapshots.deleteIdsVersioned(s,
+        docs.filter(col("id") % 10 === 0).select("id"), base)
+      graft.index.Snapshots.purgeIds(s,
+        docs.filter(col("id") === 7).select("id"), base)
+      graft.index.Snapshots.versions(s, base).map { v =>
+        val d = graft.index.Snapshots.readVersion(s, base, v)
+        (v, d.count(),
+          d.filter(col("id") % 10 === 0).count(),
+          d.filter(col("id") === 7).count(),
+          d.filter(col("text").endsWith(" v2")).count())
+      }.toDF("version", "n_rows", "n_mod10", "n_id7", "n_v2")
+        .orderBy("version")
     })
   )
 
@@ -5717,7 +5750,26 @@ object SparkEntry {
         |SELECT t.doc_id, COALESCE(ka.text, '') AS text,
         |  CAST(len(t.ws) AS BIGINT) AS n_tokens,
         |  CAST(COALESCE(ka.kept, 0) AS BIGINT) AS kept_tokens
-        |FROM toks t LEFT JOIN ka USING (doc_id) ORDER BY t.doc_id""".stripMargin
+        |FROM toks t LEFT JOIN ka USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
+    "q194_snapshot_takedown" ->
+      """WITH d AS (SELECT doc_id AS id FROM documents)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST((SELECT count(*) FROM d WHERE id < 100 AND id != 7) AS BIGINT) AS n_rows,
+        |  CAST((SELECT count(*) FROM d WHERE id < 100 AND id % 10 = 0) AS BIGINT) AS n_mod10,
+        |  CAST(0 AS BIGINT) AS n_id7, CAST(0 AS BIGINT) AS n_v2
+        |UNION ALL SELECT 2,
+        |  CAST((SELECT count(*) FROM d WHERE id < 150 AND id != 7) AS BIGINT),
+        |  CAST((SELECT count(*) FROM d WHERE id < 150 AND id % 10 = 0) AS BIGINT),
+        |  0,
+        |  CAST((SELECT count(*) FROM d WHERE id BETWEEN 50 AND 149) AS BIGINT)
+        |UNION ALL SELECT 3,
+        |  CAST((SELECT count(*) FROM d WHERE id < 150 AND id != 7
+        |    AND id % 10 != 0) AS BIGINT),
+        |  0, 0,
+        |  CAST((SELECT count(*) FROM d WHERE id BETWEEN 50 AND 149
+        |    AND id % 10 != 0) AS BIGINT)
+        |ORDER BY version""".stripMargin
   )
 
   /** Unrolled Lloyd's iterations as DuckDB CTEs: `c{t-1}` →

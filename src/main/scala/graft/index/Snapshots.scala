@@ -151,6 +151,69 @@ object Snapshots {
     v
   }
 
+  /** Takedown as a NEW snapshot: the latest version minus `ids` —
+    * forward-looking removal (a blocklist landing, a licence
+    * revocation). History stays readable until [[expireBefore]] or
+    * [[purgeIds]]; the delete list rides an id-keyed anti-join
+    * (broadcast when small), payload untouched. Returns the committed
+    * version. */
+  def deleteIdsVersioned(spark: SparkSession, ids: DataFrame,
+      path: String, idCol: String = "id"): Long = {
+    val fs = fsFor(spark, path)
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshots to delete from at $path")
+    val kept = readVersion(spark, path, vs.last)
+      .join(ids.select(col(idCol).as("id")).distinct(), Seq("id"), "left_anti")
+    val v = vs.last + 1
+    val gen = f"gen-$v%05d"
+    kept.write.mode(SaveMode.ErrorIfExists)
+      .parquet(new org.apache.hadoop.fs.Path(path, gen).toString)
+    commit(fs, path, v, gen)
+    v
+  }
+
+  /** Hard purge — right-to-be-forgotten across HISTORY: every live
+    * generation holding any of `ids` is rewritten without those rows
+    * and its versions re-pointed in place; version numbers, all other
+    * rows, and untouched generations are preserved bit-for-bit, so
+    * pinned training runs break ONLY if they depended on the purged
+    * rows (which is the point). Write order is crash-minimizing: the
+    * purged generation lands fully before any manifest re-points, old
+    * directories are deleted last. The manifest re-point is a
+    * delete+rename pair (Hadoop `FileSystem.rename` won't overwrite) —
+    * the reader-visible gap is one metadata op wide and a crash inside
+    * it leaves a missing-manifest version, loud by construction, never
+    * silently-wrong data. Returns the number of generations
+    * rewritten. */
+  def purgeIds(spark: SparkSession, ids: DataFrame, path: String,
+      idCol: String = "id"): Long = {
+    val fs = fsFor(spark, path)
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshots to purge at $path")
+    val idList = ids.select(col(idCol).as("id")).distinct()
+    val byGen = vs.groupBy(v => readManifest(fs, path, v))
+    var rewritten = 0L
+    byGen.toSeq.sortBy(_._2.min).foreach { case (gen, genVs) =>
+      val genPath = new org.apache.hadoop.fs.Path(path, gen)
+      val cur = spark.read.parquet(genPath.toString)
+      val hits = cur.join(idList, Seq("id"), "left_semi").limit(1).count()
+      if (hits > 0) {
+        val purgedGen = s"$gen-p${genVs.min}"
+        cur.join(idList, Seq("id"), "left_anti")
+          .write.mode(SaveMode.ErrorIfExists)
+          .parquet(new org.apache.hadoop.fs.Path(path, purgedGen).toString)
+        genVs.foreach { v =>
+          fs.delete(new org.apache.hadoop.fs.Path(manifestDir(path), s"v-$v"),
+            false)
+          commit(fs, path, v, purgedGen)
+        }
+        fs.delete(genPath, true)
+        rewritten += 1
+      }
+    }
+    rewritten
+  }
+
   /** Expire snapshots with version < `keepFrom`: their manifests are
     * removed first (so no reader can resolve them), then generation
     * directories referenced ONLY by expired versions are deleted.

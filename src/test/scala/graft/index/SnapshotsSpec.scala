@@ -81,4 +81,44 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](Snapshots.readVersion(spark, path, 1))
     assert(rows(path, 3) == Set("a" -> "1", "b" -> "2", "c" -> "3"))
   }
+
+  test("deleteIdsVersioned: forward-looking removal, history intact") {
+    val path = tmp()
+    Snapshots.upsertVersioned(spark,
+      Seq(("a", "1"), ("b", "2"), ("c", "3")).toDF("id", "payload"), path)
+    val v = Snapshots.deleteIdsVersioned(spark,
+      Seq("b", "zz").toDF("id"), path)
+    assert(v == 2L)
+    assert(rows(path, 2) == Set("a" -> "1", "c" -> "3"))
+    assert(rows(path, 1) == Set("a" -> "1", "b" -> "2", "c" -> "3"),
+      "delete is a NEW snapshot; history still holds the row")
+  }
+
+  test("purgeIds: the id vanishes from EVERY version, versions and all " +
+      "other rows preserved, untouched generations not rewritten") {
+    val path = tmp()
+    Snapshots.upsertVersioned(spark,
+      Seq(("a", "1"), ("b", "2")).toDF("id", "payload"), path)
+    Snapshots.upsertVersioned(spark,
+      Seq(("c", "3")).toDF("id", "payload"), path)
+    // v3 contains no "b": its generation must survive untouched
+    Snapshots.deleteIdsVersioned(spark, Seq("b").toDF("id"), path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def genOf(v: Long): String = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(path, s"_manifest/v-$v"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    val gen3Before = genOf(3L)
+    val rewritten = Snapshots.purgeIds(spark, Seq("b").toDF("id"), path)
+    assert(rewritten == 2L, s"v1 and v2 generations held b: $rewritten")
+    assert(Snapshots.versions(spark, path) == Seq(1L, 2L, 3L))
+    assert(rows(path, 1) == Set("a" -> "1"))
+    assert(rows(path, 2) == Set("a" -> "1", "c" -> "3"))
+    assert(rows(path, 3) == Set("a" -> "1", "c" -> "3"))
+    assert(genOf(3L) == gen3Before, "generation without the id not rewritten")
+    // purge of an absent id is a no-op
+    assert(Snapshots.purgeIds(spark, Seq("zz").toDF("id"), path) == 0L)
+  }
 }

@@ -2941,6 +2941,25 @@ object SparkEntry {
           d.filter(col("text").endsWith(" v2")).count())
       }.toDF("version", "n_rows", "n_mod10", "n_id7", "n_v2")
         .orderBy("version")
+    }),
+
+    // Sketch-derived balanced range sharding: the repartitionByRange
+    // boundary-sampling step made deterministic via the KLL sketch.
+    // Cuts are aux-dumped; DuckDB re-derives every row's shard from
+    // them exactly and recomputes the per-shard profile.
+    "q195_range_shards" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val bounds = graft.ops.Layout.rangeShardBounds(d, "n_chars",
+        nShards = 8, k = 256)
+      writeAux(bounds.zipWithIndex
+        .map { case (c, i) => (i.toLong + 1, c) }.toSeq.toDF("idx", "cut"),
+        dir, "q195_cuts")
+      graft.ops.Layout.assignRangeShards(d, "n_chars", bounds)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_rows"), min("n_chars").as("min_v"),
+          max("n_chars").as("max_v"))
+        .orderBy("shard")
     })
   )
 
@@ -5769,7 +5788,18 @@ object SparkEntry {
         |  0, 0,
         |  CAST((SELECT count(*) FROM d WHERE id BETWEEN 50 AND 149
         |    AND id % 10 != 0) AS BIGINT)
-        |ORDER BY version""".stripMargin
+        |ORDER BY version""".stripMargin,
+
+    "q195_range_shards" ->
+      """WITH cuts AS (SELECT cut FROM '__AUX__/q195_cuts/*.parquet'),
+        |asg AS (SELECT n_chars,
+        |    (SELECT count(*) FROM cuts c WHERE d.n_chars > c.cut) AS shard
+        |  FROM documents d)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(n_chars) AS BIGINT) AS min_v,
+        |  CAST(max(n_chars) AS BIGINT) AS max_v
+        |FROM asg GROUP BY shard ORDER BY shard""".stripMargin
   )
 
   /** Unrolled Lloyd's iterations as DuckDB CTEs: `c{t-1}` →

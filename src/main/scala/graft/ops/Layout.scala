@@ -188,4 +188,37 @@ object Layout {
       .groupBy("file", "mn", "mx", "n_rows")
       .agg(count(lit(1)).as("depth"))
   }
+
+  /** Sketch-derived range-shard boundaries: the `nShards − 1` interior
+    * quantile cuts of `valueCol` from one distributed
+    * [[Profile.quantileSketchOf]] pass — the boundary-estimation step
+    * `repartitionByRange` does with reservoir sampling, made sample-free
+    * and MERGEABLE (per-batch sketch rows union across days;
+    * RangePartitioner's sample is neither). Balance contract follows
+    * the sketch's rank error: each shard holds N/nShards rows ± 6N/k.
+    * Cut values may vary within that bound across rebuilds (KLL
+    * compaction is merge-order-dependent) — the guarantee is the rank
+    * bound, not bit-identity, q185's contract. */
+  def rangeShardBounds(df: DataFrame, valueCol: String, nShards: Int,
+      k: Int = 256): Array[Double] = {
+    require(nShards >= 2, s"nShards must be >= 2, got $nShards")
+    val sk = Profile.quantileSketchOf(df, valueCol, k)
+    (1 until nShards).map(i => sk.quantile(i.toDouble / nShards)).toArray
+  }
+
+  /** Assign every row its range shard: `shard = |{cuts < value}|`
+    * (so cut values themselves land in the LOWER shard — ties on a
+    * heavy boundary value never split across engines). One map-side
+    * pass over a literal cuts array folded into codegen; writing with
+    * `partitionBy("shard")` (or repartitioning on it) then gives
+    * range-clustered files whose min/max stats actually prune —
+    * [[clusteringDepth]] is the audit that closes the loop. */
+  def assignRangeShards(df: DataFrame, valueCol: String,
+      bounds: Array[Double]): DataFrame = {
+    val cuts = array(bounds.map(lit): _*)
+    df.withColumn("shard",
+      aggregate(cuts, lit(0L),
+        (acc, c) => acc + when(col(valueCol).cast("double") > c, 1L)
+          .otherwise(0L)))
+  }
 }

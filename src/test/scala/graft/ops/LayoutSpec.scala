@@ -154,4 +154,39 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(depths(s"$dir/h") == Seq(4L, 4L, 4L, 4L),
       "hash files must all interleave")
   }
+
+  test("rangeShardBounds + assignRangeShards: monotone cuts, balanced " +
+      "shards within the sketch rank bound, rebuild stays in-bound") {
+    val n = 4000
+    val df = (0 until n).map(i => (i.toLong, ((i * 37) % n).toLong))
+      .toDF("id", "v")
+    val k = 256
+    val nShards = 8
+    val bounds = Layout.rangeShardBounds(df, "v", nShards, k)
+    assert(bounds.length == nShards - 1)
+    assert(bounds.sameElements(bounds.sorted), "cuts must be monotone")
+    val counts = Layout.assignRangeShards(df, "v", bounds)
+      .groupBy("shard").count().as[(Long, Long)].collect().toMap
+    assert(counts.keySet == (0L until nShards).toSet, s"all shards hit: $counts")
+    val slack = 2 * 6 * n / k // two cut errors bound one shard's width
+    counts.values.foreach(c =>
+      assert(math.abs(c - n / nShards) <= slack, s"imbalance: $counts"))
+    // KLL compaction is merge-order-dependent (treeAggregate task
+    // completion order), so cuts are not bit-identical across builds;
+    // the CONTRACT (q185's) is the rank bound, which every build meets
+    val again = Layout.rangeShardBounds(df, "v", nShards, k)
+    again.zipWithIndex.foreach { case (cut, i) =>
+      val rank = (0 until n).count(j => ((j * 37) % n) <= cut)
+      val target = (i + 1) * n / nShards
+      assert(math.abs(rank - target) <= 6 * n / k,
+        s"rebuilt cut $cut rank $rank vs target $target")
+    }
+  }
+
+  test("assignRangeShards: a value equal to a cut lands in the LOWER shard") {
+    val df = (1 to 10).map(i => (i.toLong, 5.0)).toDF("id", "v")
+    val got = Layout.assignRangeShards(df, "v", Array(5.0, 7.0))
+      .select($"shard").as[Long].collect().toSet
+    assert(got == Set(0L), s"ties stay below the cut: $got")
+  }
 }

@@ -2960,6 +2960,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), min("n_chars").as("min_v"),
           max("n_chars").as("max_v"))
         .orderBy("shard")
+    }),
+
+    // Video near-dup with the q190 seed-diagonal trick on REAL decoded
+    // frame hashes: twins (id+30000) carry ONE junk lead-in frame (a
+    // time shift) and a perturbed middle frame — the pair must surface
+    // on diagonal +1 with all 5 frames matched. Per-frame dHashes are
+    // aux-dumped; DuckDB re-derives banding, XOR popcount, and the
+    // diagonal grouping.
+    "q196_video_neardup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 25 === 0)
+      val vids = base.select(col("doc_id").as("vid_id"),
+          graft.ops.Multimodal.renderTestVideoUdf(
+            expr("CAST(doc_id div 25 AS BIGINT)"), lit(5), lit(0), lit(-1))
+            .as("content"))
+        .unionByName(base.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 30000).as("vid_id"),
+            graft.ops.Multimodal.renderTestVideoUdf(
+              expr("CAST(doc_id div 25 AS BIGINT)"), lit(5), lit(1), lit(2))
+              .as("content")))
+      writeAux(graft.ops.Multimodal.videoFrameSigs(vids, "vid_id",
+        "content", 1), dir, "q196_frame_sigs")
+      graft.ops.Multimodal.videoNearDupPairs(vids, "vid_id", "content",
+          every = 1, maxDist = 4, minMatch = 2)
+        .orderBy("id_left", "id_right", "diag")
     })
   )
 
@@ -5799,7 +5824,34 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(min(n_chars) AS BIGINT) AS min_v,
         |  CAST(max(n_chars) AS BIGINT) AS max_v
-        |FROM asg GROUP BY shard ORDER BY shard""".stripMargin
+        |FROM asg GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q196_video_neardup" -> {
+      // mirror of Dedup.bandLayout(64, 5): widths 13,13,13,13,12
+      val layout = Seq((0, 13), (13, 13), (26, 13), (39, 13), (52, 12))
+      val bands = layout.zipWithIndex.map { case ((off, w), b) =>
+        s"SELECT vid_id, frame_idx, sig, $b AS b, " +
+          s"(sig >> $off) & ${(1L << w) - 1} AS v FROM sigs" }
+        .mkString("\n  UNION ALL ")
+      s"""WITH sigs AS (SELECT vid_id, frame_idx, sig
+         |    FROM '__AUX__/q196_frame_sigs/*.parquet'),
+         |banded AS (
+         |  $bands),
+         |cand AS (SELECT DISTINCT a.vid_id AS id_left, b.vid_id AS id_right,
+         |    a.frame_idx AS f_left, b.frame_idx AS f_right,
+         |    a.sig AS s1, b.sig AS s2
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.v = b.v AND a.vid_id < b.vid_id),
+         |m AS (SELECT id_left, id_right, f_left, f_right FROM cand
+         |  WHERE bit_count(xor(s1, s2)) <= 4)
+         |SELECT id_left, id_right,
+         |  CAST(f_right - f_left AS BIGINT) AS diag,
+         |  CAST(count(*) AS BIGINT) AS n_matched,
+         |  CAST(min(f_left) AS BIGINT) AS lo_left,
+         |  CAST(max(f_left) AS BIGINT) AS hi_left
+         |FROM m GROUP BY 1, 2, 3 HAVING count(*) >= 2
+         |ORDER BY id_left, id_right, diag""".stripMargin
+    }
   )
 
   /** Unrolled Lloyd's iterations as DuckDB CTEs: `c{t-1}` →

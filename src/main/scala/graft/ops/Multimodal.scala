@@ -588,4 +588,135 @@ object Multimodal {
   def sampleFrames(df: DataFrame, durationCol: String, everyMs: Long): DataFrame =
     df.withColumn("frame_ms",
       explode(sequence(lit(0L), greatest(col(durationCol) - 1, lit(0L)), lit(everyMs))))
+
+  // --- Video tier -----------------------------------------------------
+  //
+  // The JDK ships no video CODEC, so the container here is an honest
+  // stand-in (the StubDecoder discipline, boundary stated up front):
+  // "GV1\0" | u16be fps | u16be nFrames | nFrames x (u32be len + frame
+  // bytes), each frame a REAL image (PNG/JPEG) decoded through the real
+  // ImageIO path. The byte-level container parse, the frame-sampling
+  // policy, the per-frame perceptual hashing, and the relational
+  // near-dup tier are all real and tested — swapping in a real demuxer
+  // replaces exactly [[videoFrames]]'s body.
+
+  /** Encode frames into the GV1 test container. */
+  def encodeVideo(frames: Seq[Array[Byte]], fps: Int = 8): Array[Byte] = {
+    require(fps >= 1 && fps <= 0xffff && frames.length <= 0xffff,
+      s"fps=$fps nFrames=${frames.length} out of u16 range")
+    val out = new java.io.ByteArrayOutputStream(
+      8 + frames.map(_.length + 4).sum)
+    out.write(Array[Byte]('G', 'V', '1', 0))
+    out.write(Array((fps >> 8).toByte, fps.toByte))
+    out.write(Array((frames.length >> 8).toByte, frames.length.toByte))
+    frames.foreach { f =>
+      out.write(Array((f.length >>> 24).toByte, (f.length >>> 16).toByte,
+        (f.length >>> 8).toByte, f.length.toByte))
+      out.write(f)
+    }
+    out.toByteArray
+  }
+
+  /** Parse a GV1 container into its frame payloads. Defensive like
+    * every decoder here: wrong magic, truncated headers, or lengths
+    * past the buffer yield the frames parsed so far — malformed media
+    * degrades to less data, never an executor-killing throw. */
+  def videoFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    if (bytes == null || bytes.length < 8 || bytes(0) != 'G' ||
+        bytes(1) != 'V' || bytes(2) != '1' || bytes(3) != 0)
+      return Seq.empty
+    val n = ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var i = 8
+    var f = 0
+    while (f < n && i + 4 <= bytes.length) {
+      val len = ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+        ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+      i += 4
+      if (len < 0 || i + len > bytes.length) return frames.toSeq
+      frames += java.util.Arrays.copyOfRange(bytes, i, i + len)
+      i += len
+      f += 1
+    }
+    frames.toSeq
+  }
+
+  /** Per-sampled-frame dHash signatures of a video: frame `every`-th
+    * stored frame (0, every, 2·every, …) decodes through the REAL
+    * ImageIO path and hashes — one map-side pass per video, pixels and
+    * container bytes never leave it. Returns (frame_idx, sig) pairs;
+    * undecodable frames drop (the decode-failure policy of the image
+    * tier). */
+  def videoSampleHashes(bytes: Array[Byte], every: Int): Seq[(Int, Long)] = {
+    val fs = videoFrames(bytes)
+    (0 until fs.length by math.max(every, 1)).flatMap { i =>
+      dHash64(fs(i)).map(h => (i, h))
+    }
+  }
+
+  def videoHashUdf(every: Int) =
+    udf((b: Array[Byte]) => videoSampleHashes(b, every))
+
+  /** Sampled-frame signature rows (id, frame_idx, sig) — the 12-bytes-
+    * per-sampled-frame artifact everything downstream joins on. */
+  def videoFrameSigs(df: DataFrame, idCol: String, binCol: String,
+      every: Int = 1): DataFrame =
+    df.select(col(idCol), explode(videoHashUdf(every)(col(binCol))).as("fh"))
+      .select(col(idCol), col("fh._1").cast("long").as("frame_idx"),
+        col("fh._2").as("sig"))
+
+  /** Video near-dup pairs via the q190 seed-diagonal trick on frame
+    * hashes: candidate frame pairs come from the pigeonhole-banded
+    * Hamming join (bands = maxDist+1, recall-complete at the radius) —
+    * across ALL positions, so a TIME-SHIFTED copy is found too — then
+    * matches group by (left, right, frame offset): a contiguous copy
+    * puts all its evidence on ONE diagonal, and `minMatch` shared
+    * frames on a diagonal gate out single-frame coincidence. Only
+    * (id, frame_idx, 8-byte sig) triples cross the exchanges; frames
+    * and container bytes never do. Returns (id_left, id_right, diag,
+    * n_matched, lo_left, hi_left) with n_matched ≥ minMatch. */
+  def videoNearDupPairs(df: DataFrame, idCol: String, binCol: String,
+      every: Int = 1, maxDist: Int = 4, minMatch: Int = 2): DataFrame = {
+    val sigs = videoFrameSigs(df, idCol, binCol, every)
+    val layout = Dedup.bandLayout(64, maxDist + 1)
+    val banded = sigs.withColumn("band", explode(array(
+        layout.zipWithIndex.map { case ((off, width), b) =>
+          struct(lit(b).as("b"),
+            shiftright(col("sig"), off).bitwiseAND(lit((1L << width) - 1)).as("v"))
+        }: _*)))
+      .select(col(idCol).as("id"), col("frame_idx"), col("sig"),
+        col("band.b").as("b"), col("band.v").as("v"))
+    banded.as("a").join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.v") === col("b.v") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_left"), col("b.id").as("id_right"),
+        col("a.frame_idx").as("f_left"), col("b.frame_idx").as("f_right"),
+        graft.functions.GraftFunctions
+          .hamming64(col("a.sig"), col("b.sig")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct() // multi-band collisions are one frame-pair candidate
+      .groupBy(col("id_left"), col("id_right"),
+        (col("f_right") - col("f_left")).as("diag"))
+      .agg(count(lit(1)).as("n_matched"),
+        min("f_left").as("lo_left"), max("f_left").as("hi_left"))
+      .filter(col("n_matched") >= minMatch)
+  }
+
+  /** Deterministic test video: `nFrames` content frames rendered from
+    * `seed` (frame i uses seed·97 + i) behind `junkPrefix` unrelated
+    * leading frames — prepending junk to a copy is the time-shift case
+    * the diagonal grouping must catch. Real PNG frames via
+    * [[renderTestImage]]. */
+  def renderTestVideo(seed: Long, nFrames: Int, junkPrefix: Int = 0,
+      perturbFrame: Int = -1): Array[Byte] = {
+    val junk = (0 until junkPrefix).map(i =>
+      renderTestImage(-(seed * 131 + i) - 7))
+    val frames = (0 until nFrames).map(i =>
+      renderTestImage(seed * 97 + i, if (i == perturbFrame) 2 else 0))
+    encodeVideo(junk ++ frames)
+  }
+
+  val renderTestVideoUdf =
+    udf((seed: Long, nFrames: Int, junkPrefix: Int, perturbFrame: Int) =>
+      renderTestVideo(seed, nFrames, junkPrefix, perturbFrame))
 }

@@ -1239,6 +1239,53 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.forall(_._3 <= 4))
     assert(!pairs.exists(p => p._1 == 99L || p._2 == 99L))
   }
+
+  test("GV1 container round-trips; malformed inputs degrade to fewer " +
+      "frames, never throw") {
+    val frames = (0 until 3).map(i => Multimodal.renderTestImage(i + 10L))
+    val vid = Multimodal.encodeVideo(frames, fps = 8)
+    val back = Multimodal.videoFrames(vid)
+    assert(back.length == 3)
+    back.zip(frames).foreach { case (a, b) => assert(a.sameElements(b)) }
+    assert(Multimodal.videoFrames("nope".getBytes).isEmpty)
+    assert(Multimodal.videoFrames(null).isEmpty)
+    // truncated mid-frame: frames before the cut survive
+    val cut = java.util.Arrays.copyOf(vid, vid.length - 10)
+    assert(Multimodal.videoFrames(cut).length == 2)
+    // length field past the buffer: parsed prefix survives
+    val lied = vid.clone(); lied(8) = 0x7f.toByte
+    assert(Multimodal.videoFrames(lied).isEmpty)
+  }
+
+  test("videoSampleHashes: every-th frame, real decode, undecodable drop") {
+    val frames = Seq(Multimodal.renderTestImage(1L),
+      "junk".getBytes, Multimodal.renderTestImage(2L),
+      Multimodal.renderTestImage(3L), Multimodal.renderTestImage(4L))
+    val vid = Multimodal.encodeVideo(frames)
+    val all = Multimodal.videoSampleHashes(vid, every = 1)
+    assert(all.map(_._1) == Seq(0, 2, 3, 4), "frame 1 undecodable -> dropped")
+    assert(all.toMap.apply(2) == Multimodal.dHash64(frames(2)).get)
+    val sampled = Multimodal.videoSampleHashes(vid, every = 2)
+    assert(sampled.map(_._1) == Seq(0, 2, 4))
+  }
+
+  test("videoNearDupPairs: a time-shifted perturbed copy lands on ONE " +
+      "diagonal with every frame matched; unrelated videos silent") {
+    val a = Multimodal.renderTestVideo(7L, nFrames = 5)
+    val b = Multimodal.renderTestVideo(7L, nFrames = 5, junkPrefix = 1,
+      perturbFrame = 2) // shift +1, one frame inside the radius
+    val c = Multimodal.renderTestVideo(8L, nFrames = 5) // unrelated
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("vid_id", "content")
+    val got = Multimodal.videoNearDupPairs(df, "vid_id", "content",
+        every = 1, maxDist = 4, minMatch = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 1, s"exactly the planted pair: ${got.toSeq}")
+    val (l, r, diag, n, lo, hi) = got.head
+    assert((l, r) == ((1L, 2L)))
+    assert(diag == 1L, "junk lead-in frame = +1 time shift")
+    assert(n == 5L, "all five content frames matched, perturbed one included")
+    assert((lo, hi) == ((0L, 4L)))
+  }
 }
 
 class ProfileSpec extends AnyFunSuite with SparkTestBase {

@@ -151,6 +151,27 @@ object Snapshots {
     v
   }
 
+  /** Streaming ingestion with history: every non-empty micro-batch
+    * commits as a NEW snapshot via [[upsertVersioned]] — the
+    * [[IndexWriter.streamUpsert]] exactly-once-ish discipline (replayed
+    * batches re-merge idempotently: same ids, new-rows-win, converged
+    * content) PLUS a pinned-readable version per batch, so a training
+    * run can freeze "the index as the stream stood at batch N" while
+    * ingest keeps flowing. Checkpointed `AvailableNow` trigger, same as
+    * the unversioned sink. */
+  def streamUpsertVersioned(spark: SparkSession, source: DataFrame,
+      path: String, checkpoint: String,
+      transform: DataFrame => DataFrame = identity)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val points = transform(batch.toDF())
+        if (!points.isEmpty) { upsertVersioned(spark, points, path); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Takedown as a NEW snapshot: the latest version minus `ids` —
     * forward-looking removal (a blocklist landing, a licence
     * revocation). History stays readable until [[expireBefore]] or

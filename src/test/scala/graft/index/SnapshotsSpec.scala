@@ -121,4 +121,42 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestBase {
     // purge of an absent id is a no-op
     assert(Snapshots.purgeIds(spark, Seq("zz").toDF("id"), path) == 0L)
   }
+
+  test("streamUpsertVersioned: one snapshot per micro-batch, every " +
+      "version pinned-readable, replay converges") {
+    val base = Files.createTempDirectory("graft_snap_stream").toString
+    val src = s"$base/src"
+    val idx = s"$base/idx"
+    (0 until 50).map(i => (s"id_$i", s"v0_$i")).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(src)
+    (25 until 75).map(i => (s"id_$i", s"v1_$i")).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    def run(checkpoint: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      val q = Snapshots.streamUpsertVersioned(spark, stream, idx,
+        checkpoint = checkpoint)
+      q.processAllAvailable(); q.stop()
+    }
+
+    run(s"$base/cp1")
+    val vs = Snapshots.versions(spark, idx)
+    assert(vs.size == 2, s"one snapshot per micro-batch: $vs")
+    // batch order under maxFilesPerTrigger follows file mtime order:
+    // whichever landed first, the LATEST version holds all 75 ids and
+    // some version pins the stream's intermediate state
+    assert(Snapshots.readVersion(spark, idx).count() == 75L)
+    assert(Snapshots.readVersion(spark, idx, vs.head).count() == 50L,
+      "the first batch's state stays pinned-readable")
+    // replay from a fresh checkpoint: more versions, converged content
+    run(s"$base/cp2")
+    val after = Snapshots.readVersion(spark, idx)
+    assert(after.count() == 75L, "replay converges by id")
+    assert(after.groupBy("id").count().filter($"count" > 1).isEmpty)
+    assert(Snapshots.readVersion(spark, idx, vs.head).count() == 50L,
+      "history from the first run is untouched by the replay")
+  }
 }

@@ -2985,6 +2985,39 @@ object SparkEntry {
       graft.ops.Multimodal.videoNearDupPairs(vids, "vid_id", "content",
           every = 1, maxDist = 4, minMatch = 2)
         .orderBy("id_left", "id_right", "diag")
+    }),
+
+    // Citation-authority composite — the lawlm-thematic end-to-end:
+    // citations planted by doc arithmetic, extracted by the REAL
+    // LegalExtract regex tier (the oracle derives the same edges from
+    // the arithmetic alone, so any extraction miss/extra breaks the
+    // hash), volume numbers resolve to target docs, and the citation
+    // graph ranks through the integer-exact PageRank. One narrow
+    // extraction pass; the graph lives on the 40-node dimension.
+    "q197_citation_authority" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val d = t(s, dir, "documents")
+        .select((col("doc_id") % 40).as("src"), col("text"))
+      val planted = d.withColumn("text", concat(col("text"),
+        lit(" See "),
+        (lit(100) + (col("src") * col("src") + 13) % 40).cast("string"),
+        lit(" U.S. "),
+        (lit(200) + (col("src") * col("src") + 13) % 40).cast("string"),
+        lit(" (1990). Accord "),
+        (lit(100) + (col("src") * 7 + 3) % 40).cast("string"),
+        lit(" U.S. "),
+        (lit(200) + (col("src") * 7 + 3) % 40).cast("string"),
+        lit(" (1991).")))
+      val edges = planted
+        .select(col("src"),
+          explode(call_function("extract_citations", col("text"))).as("cite"))
+        .select(col("src"),
+          (regexp_extract(col("cite"), "^(\\d+)", 1).cast("long") - 100)
+            .as("dst"))
+        .filter(col("dst") >= 0 && col("dst") < 40 &&
+          col("src") =!= col("dst"))
+        .distinct()
+      graft.ops.GraphOps.pageRankFixedPoint(edges, iters = 3)
     })
   )
 
@@ -5851,7 +5884,34 @@ object SparkEntry {
          |  CAST(max(f_left) AS BIGINT) AS hi_left
          |FROM m GROUP BY 1, 2, 3 HAVING count(*) >= 2
          |ORDER BY id_left, id_right, diag""".stripMargin
-    }
+    },
+
+    "q197_citation_authority" ->
+      """WITH RECURSIVE d AS (SELECT DISTINCT doc_id % 40 AS src
+        |  FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |    SELECT src, (src * src + 13) % 40 AS dst FROM d
+        |    UNION ALL
+        |    SELECT src, (src * 7 + 3) % 40 AS dst FROM d)
+        |  WHERE src <> dst),
+        |nodes AS (SELECT DISTINCT id FROM (
+        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        |e0 AS (SELECT src, dst, 1 AS w FROM e
+        |  UNION ALL SELECT id, id, 0 FROM nodes),
+        |pr(id, rank, iter) AS (
+        |  SELECT id, CAST(1000000000 AS BIGINT), 0 FROM nodes
+        |  UNION ALL
+        |  SELECT e0.dst,
+        |    CAST(150000000 + SUM(e0.w * ((p.rank * 85) // (100 * COALESCE(o.outdeg, 1))))
+        |      AS BIGINT),
+        |    p.iter + 1
+        |  FROM pr p
+        |  JOIN e0 ON e0.src = p.id
+        |  LEFT JOIN outdeg o ON o.src = e0.src
+        |  WHERE p.iter < 3
+        |  GROUP BY e0.dst, p.iter)
+        |SELECT id, rank FROM pr WHERE iter = 3""".stripMargin
   )
 
   /** Unrolled Lloyd's iterations as DuckDB CTEs: `c{t-1}` →

@@ -3018,6 +3018,20 @@ object SparkEntry {
           col("src") =!= col("dst"))
         .distinct()
       graft.ops.GraphOps.pageRankFixedPoint(edges, iters = 3)
+    }),
+
+    // Per-source vocabulary-overlap matrix from per-group KMV sketches
+    // (built through the bounded-heap TopKPerKey plan): one row per
+    // source pair with union/intersection/Jaccard estimates. DuckDB
+    // re-derives tokens, hashes, every per-group top-64, each pair's
+    // union sketch, and all the integer estimates.
+    "q198_source_overlap" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.ops.Curation.tokens(col("text"))).as("tok"))
+      graft.ops.Profile.kmvOverlapMatrix(
+        graft.ops.Profile.kmvSketchGrouped(toks, "tok", "source", 64), 64)
+        .orderBy("g1", "g2")
     })
   )
 
@@ -5911,7 +5925,42 @@ object SparkEntry {
         |  LEFT JOIN outdeg o ON o.src = e0.src
         |  WHERE p.iter < 3
         |  GROUP BY e0.dst, p.iter)
-        |SELECT id, rank FROM pr WHERE iter = 3""".stripMargin
+        |SELECT id, rank FROM pr WHERE iter = 3""".stripMargin,
+
+    "q198_source_overlap" ->
+      """WITH toks AS (SELECT source AS g,
+        |    unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents),
+        |hs AS (SELECT DISTINCT g, md5(tok) AS h FROM toks),
+        |ranked AS (SELECT g, h,
+        |    row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hs),
+        |sk AS (SELECT g, h FROM ranked WHERE rn <= 64),
+        |ns AS (SELECT g, count(*) AS n FROM sk GROUP BY 1),
+        |pairs AS (SELECT a.g AS g1, b.g AS g2 FROM ns a JOIN ns b ON a.g < b.g),
+        |uh AS (SELECT DISTINCT p.g1, p.g2, s.h FROM pairs p
+        |  JOIN sk s ON s.g = p.g1 OR s.g = p.g2),
+        |ur AS (SELECT g1, g2, h, row_number() OVER (
+        |    PARTITION BY g1, g2 ORDER BY h) AS rn FROM uh),
+        |uk AS (SELECT g1, g2, h FROM ur WHERE rn <= 64),
+        |un AS (SELECT g1, g2, count(*) AS nu, max(h) AS hk
+        |  FROM uk GROUP BY 1, 2),
+        |eu AS (SELECT g1, g2, CASE WHEN nu < 64 THEN nu
+        |    ELSE CAST(63 AS HUGEINT) * 1152921504606846976
+        |      // CAST('0x' || substr(hk, 1, 15) AS BIGINT) END AS est
+        |  FROM un),
+        |m AS (SELECT u.g1, u.g2, count(*) AS matched FROM uk u
+        |  WHERE EXISTS (SELECT 1 FROM sk a WHERE a.g = u.g1 AND a.h = u.h)
+        |    AND EXISTS (SELECT 1 FROM sk b WHERE b.g = u.g2 AND b.h = u.h)
+        |  GROUP BY 1, 2)
+        |SELECT e.g1, e.g2,
+        |  CAST(na.n AS BIGINT) AS n_g1, CAST(nb.n AS BIGINT) AS n_g2,
+        |  CAST(e.est AS BIGINT) AS est_union,
+        |  CAST(COALESCE(m.matched, 0) AS BIGINT) AS matched,
+        |  CAST(COALESCE(m.matched, 0) * e.est // 64 AS BIGINT)
+        |    AS est_intersection,
+        |  CAST(COALESCE(m.matched, 0) * 1000 // 64 AS BIGINT) AS jaccard_pm
+        |FROM eu e JOIN ns na ON na.g = e.g1 JOIN ns nb ON nb.g = e.g2
+        |  LEFT JOIN m ON m.g1 = e.g1 AND m.g2 = e.g2
+        |ORDER BY e.g1, e.g2""".stripMargin
   )
 
   /** Unrolled Lloyd's iterations as DuckDB CTEs: `c{t-1}` →

@@ -538,4 +538,47 @@ object Profile {
       .toDF("n_a", "n_b", "est_a", "est_b", "est_union", "matched",
         "est_intersection", "jaccard_pm")
   }
+
+  /** Per-group KMV sketches: the k smallest distinct md5 hashes of
+    * `valueCol` PER `groupCol` value, as (g, h) rows — built through
+    * the bounded-heap [[graft.plans.TopK.perKey]] plan, so the
+    * per-group selection never windows or sorts whole groups; the only
+    * shuffle is the (g, h)-keyed distinct. The input artifact for
+    * [[kmvOverlapMatrix]]. */
+  def kmvSketchGrouped(df: DataFrame, valueCol: String, groupCol: String,
+      k: Int = 128): DataFrame =
+    graft.plans.TopK.perKey(
+      df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+        .select(col(groupCol).cast("string").as("g"),
+          md5(col(valueCol).cast("string")).as("h"))
+        .distinct(),
+      Seq("g"), Seq(("h", true)), k)
+
+  /** Pairwise set-overlap matrix from [[kmvSketchGrouped]] rows:
+    * "which sources/domains draw from the same vocabulary" as one
+    * (g1 < g2) row per group pair with the [[kmvOverlap]] estimates.
+    * Driver-side over groups·k rows — dimension-scale by construction;
+    * the corpora were touched once, at sketch-build time. */
+  def kmvOverlapMatrix(sketches: DataFrame, k: Int = 128): DataFrame = {
+    val spark = sketches.sparkSession
+    import spark.implicits._
+    val byG: Map[String, Set[String]] = sketches.select("g", "h").collect()
+      .groupBy(_.getString(0)).map { case (g, rs) =>
+        g -> rs.map(_.getString(1)).toSet
+      }
+    val gs = byG.keys.toSeq.sorted
+    val rows = for {
+      i <- gs.indices; j <- (i + 1) until gs.length
+    } yield {
+      val (g1, g2) = (gs(i), gs(j))
+      val (ha, hb) = (byG(g1), byG(g2))
+      val union = (ha ++ hb).toSeq.sorted.take(k)
+      val estU = kmvEstimateOf(union, k)
+      val matched = union.count(h => ha(h) && hb(h)).toLong
+      (g1, g2, ha.size.toLong, hb.size.toLong, estU, matched,
+        matched * estU / k, matched * 1000L / k)
+    }
+    rows.toDF("g1", "g2", "n_g1", "n_g2", "est_union", "matched",
+      "est_intersection", "jaccard_pm")
+  }
 }

@@ -64,4 +64,42 @@ class KmvSketchSpec extends AnyFunSuite with SparkTestBase {
     val j = r.getAs[Long]("jaccard_pm")                     // true 333
     assert(j > 200 && j < 470, s"jaccard_pm $j")
   }
+
+  test("kmvSketchGrouped: per-group k-smallest through TopKPerKey") {
+    val df = (0 until 600).map(i => (s"g${i % 3}", s"v$i"))
+      .toDF("grp", "v") // 200 distinct values per group, capacity 64
+    val sk = Profile.kmvSketchGrouped(df, "v", "grp", K)
+    val plan = Profile.kmvSketchGrouped(df, "v", "grp", K)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"bounded-heap plan expected:\n$plan")
+    val byG = sk.as[(String, String)].collect().groupBy(_._1)
+    assert(byG.keySet == Set("g0", "g1", "g2"))
+    byG.values.foreach(rows =>
+      assert(rows.length == K, "each group capped at k"))
+    // each group's sketch must equal the ungrouped sketch of exactly
+    // that group's values
+    (0 until 3).foreach { g =>
+      val solo = Profile.kmvSketch(
+        df.filter($"grp" === s"g$g").select($"v"), "v", K)
+        .collect().map(_.getString(0)).toSet
+      assert(byG(s"g$g").map(_._2).toSet == solo, s"group g$g mismatch")
+    }
+  }
+
+  test("kmvOverlapMatrix: one row per pair, self-consistent estimates") {
+    val df = ((0 until 200).map(i => ("a", s"x$i")) ++
+      (100 until 300).map(i => ("b", s"x$i")) ++
+      (0 until 200).map(i => ("c", s"y$i")))
+      .toDF("grp", "v")
+    val mat = Profile.kmvOverlapMatrix(
+      Profile.kmvSketchGrouped(df, "v", "grp", K), K)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(mat.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val ab = mat(("a", "b"))
+    assert(ab.getAs[Long]("matched") > 0, "a and b share x100..x199")
+    assert(mat(("a", "c")).getAs[Long]("matched") == 0, "a/c disjoint")
+    assert(mat(("b", "c")).getAs[Long]("matched") == 0, "b/c disjoint")
+    val inter = ab.getAs[Long]("est_intersection") // true 100
+    assert(inter > 40 && inter < 180, s"est_intersection $inter")
+  }
 }

@@ -3032,6 +3032,20 @@ object SparkEntry {
       graft.ops.Profile.kmvOverlapMatrix(
         graft.ops.Profile.kmvSketchGrouped(toks, "tok", "source", 64), 64)
         .orderBy("g1", "g2")
+    }),
+
+    // LSH banding efficiency audit on the q33 planted corpus: per band,
+    // buckets formed, candidate pairs proposed, exact-Jaccard survivors,
+    // integer precision — the measurement behind choosing (numHashes,
+    // bands). DuckDB re-derives everything from the shared MinHash CTEs.
+    "q199_lsh_band_audit" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val planted = d.unionByName(d.withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.lshBandAudit(planted, numHashes = 16, bands = 4,
+        jaccardThreshold = 0.8,
+        signature = (sh, n) => Dedup.md5MinHashSignatureUdf(n)(sh),
+        bandHash = c => md5(concat_ws("|", c)))
+        .orderBy("band_id")
     })
   )
 
@@ -5960,7 +5974,27 @@ object SparkEntry {
         |  CAST(COALESCE(m.matched, 0) * 1000 // 64 AS BIGINT) AS jaccard_pm
         |FROM eu e JOIN ns na ON na.g = e.g1 JOIN ns nb ON nb.g = e.g2
         |  LEFT JOIN m ON m.g1 = e.g1 AND m.g2 = e.g2
-        |ORDER BY e.g1, e.g2""".stripMargin
+        |ORDER BY e.g1, e.g2""".stripMargin,
+
+    "q199_lsh_band_audit" ->
+      s"""WITH ${minhashLshCtes},
+        |candb AS (SELECT x.band AS band_id, x.doc_id AS id1, y.doc_id AS id2
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+        |vok AS (SELECT id1, id2,
+        |    CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END AS ok FROM verified),
+        |perband AS (SELECT band_id, count(*) AS n_cand, sum(ok) AS n_verified
+        |  FROM candb JOIN vok USING (id1, id2) GROUP BY 1),
+        |buckets AS (SELECT band AS band_id, count(DISTINCT bh) AS n_buckets
+        |  FROM bands GROUP BY 1)
+        |SELECT CAST(b.band_id AS BIGINT) AS band_id,
+        |  CAST(b.n_buckets AS BIGINT) AS n_buckets,
+        |  CAST(COALESCE(p.n_cand, 0) AS BIGINT) AS n_cand,
+        |  CAST(COALESCE(p.n_verified, 0) AS BIGINT) AS n_verified,
+        |  CAST(CASE WHEN COALESCE(p.n_cand, 0) = 0 THEN 0
+        |    ELSE p.n_verified * 1000 // p.n_cand END AS BIGINT) AS precision_pm
+        |FROM buckets b LEFT JOIN perband p USING (band_id)
+        |ORDER BY band_id""".stripMargin
   )
 
   /** Unrolled Lloyd's iterations as DuckDB CTEs: `c{t-1}` →

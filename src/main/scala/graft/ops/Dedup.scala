@@ -284,6 +284,70 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Per-band LSH efficiency audit — the measurement a pipeline runs
+    * before choosing (numHashes, bands) at corpus scale: for every band,
+    * how many buckets formed, how many candidate pairs its collisions
+    * proposed, how many survived exact-Jaccard verification, and the
+    * integer precision (1000·verified // candidates). A band whose
+    * precision collapses is hashing too few rows (bucket soup → wasted
+    * verify work); verified counts near zero across bands say the
+    * threshold/banding curve is mis-tuned for the corpus. Same plan
+    * shapes as [[minHashNearDups]] (gram-keyed shuffles, shingle arrays
+    * only on the verify join); each distinct pair's Jaccard is computed
+    * ONCE and joined back to the per-band candidate rows — within one
+    * band a pair can collide at most once (one bucket per doc per
+    * band), so per-band rows are already unique.
+    *
+    * @return (band_id, n_buckets, n_cand, n_verified, precision_pm),
+    *         one row per band; precision_pm = 0 for a band with no
+    *         candidates. */
+  def lshBandAudit(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", numHashes: Int = 16, bands: Int = 4,
+      shingleK: Int = 3, jaccardThreshold: Double = 0.8,
+      signature: (Column, Int) => Column = (sh, n) => minHashSignature(sh, n),
+      bandHash: Column => Column = c => xxhash64(c)): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val sig = df.filter(size(toks) >= shingleK)
+      .select(col(idCol), shingles(col(textCol), shingleK).as("sh"))
+      .repartition(p, col(idCol))
+      .withColumn("sig", signature(col("sh"), numHashes))
+      .persist()
+    sig.count() // one materialization feeds banding + both verify sides
+    val banded = lshBands(sig, "sig", bands, idCol, bandHash,
+      sigLen = numHashes)
+    val a = banded.select(col("band_id"), col("band_hash"), col(idCol).as("id1"))
+    val b = banded.select(col("band_id"), col("band_hash"), col(idCol).as("id2"))
+    val cand = a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select("band_id", "id1", "id2")
+    val left = sig.select(col(idCol).as("id1"), col("sh").as("sh1"))
+      .hint("shuffle_hash")
+    val right = sig.select(col(idCol).as("id2"), col("sh").as("sh2"))
+      .hint("shuffle_hash")
+    val verified = cand.select("id1", "id2").distinct()
+      .join(left, "id1").join(right, "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("ok",
+        when(col("inter").cast("double") /
+          (size(col("sh1")) + size(col("sh2")) - col("inter"))
+          >= jaccardThreshold, 1L).otherwise(0L))
+      .select("id1", "id2", "ok")
+    val perBand = cand.join(verified, Seq("id1", "id2"))
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_cand"), sum("ok").as("n_verified"))
+    val buckets = banded.groupBy("band_id")
+      .agg(countDistinct(col("band_hash")).as("n_buckets"))
+    buckets.join(perBand, Seq("band_id"), "left")
+      .select(col("band_id").cast("long").as("band_id"),
+        col("n_buckets"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+        when(coalesce(col("n_cand"), lit(0L)) === 0L, 0L)
+          .otherwise(expr("n_verified * 1000 div n_cand")).cast("long")
+          .as("precision_pm"))
+  }
+
   /** Connected components over a near-dup pair graph — the step that
     * turns PAIRS (from LSH/SimHash/exact matching) into dedup GROUPS:
     * every document in a component gets the component's min id as its

@@ -208,17 +208,19 @@ object Layout {
 
   /** Assign every row its range shard: `shard = |{cuts < value}|`
     * (so cut values themselves land in the LOWER shard — ties on a
-    * heavy boundary value never split across engines). One map-side
-    * pass over a literal cuts array folded into codegen; writing with
+    * heavy boundary value never split across engines). The cuts are a
+    * driver-side array by construction (nShards − 1 entries), so the
+    * comparison UNROLLS into a plain when-sum that stays inside
+    * whole-stage codegen — a higher-order `aggregate` lambda would
+    * fall out of codegen for no gain. Map-side only; writing with
     * `partitionBy("shard")` (or repartitioning on it) then gives
     * range-clustered files whose min/max stats actually prune —
     * [[clusteringDepth]] is the audit that closes the loop. */
   def assignRangeShards(df: DataFrame, valueCol: String,
       bounds: Array[Double]): DataFrame = {
-    val cuts = array(bounds.map(lit): _*)
-    df.withColumn("shard",
-      aggregate(cuts, lit(0L),
-        (acc, c) => acc + when(col(valueCol).cast("double") > c, 1L)
-          .otherwise(0L)))
+    val v = col(valueCol).cast("double")
+    val shard = bounds.map(b => when(v > lit(b), 1L).otherwise(0L))
+      .reduceOption(_ + _).getOrElse(lit(0L))
+    df.withColumn("shard", shard)
   }
 }

@@ -343,4 +343,49 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"),
       s"candidate selection must be per-partition top-k:\n$plan")
   }
+
+  test("q191 guard: the KMV sketch is TakeOrdered over a hash-distinct " +
+      "of hashes, never a global sort of values") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.ops.Profile.kmvSketch(
+        docs.select(col("text").as("v")), "v", 128)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"k smallest must be per-partition top-k, not Sort+Limit:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"distinct must be a hash aggregate (map-side partial):\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no global range sort anywhere:\n$plan")
+  }
+
+  test("q195 guard: range-shard assignment is one exchange-free codegen " +
+      "pass over a literal cuts array") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val asg = graft.ops.Layout.assignRangeShards(docs, "n_chars",
+      Array(100.0, 500.0, 2000.0))
+    val plan = asg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"assignment must not shuffle:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      s"the cuts fold must stay inside whole-stage codegen:\n$plan")
+  }
+
+  test("q196 guard: video near-dup joins band values equi-hash, never a " +
+      "nested-loop product; only sig triples cross") {
+    import spark.implicits._
+    val vids = Seq(
+      (1L, graft.ops.Multimodal.renderTestVideo(1L, 3)),
+      (2L, graft.ops.Multimodal.renderTestVideo(1L, 3, junkPrefix = 1)),
+      (3L, graft.ops.Multimodal.renderTestVideo(2L, 3)))
+      .toDF("vid_id", "content")
+    val plan = graft.ops.Multimodal.videoNearDupPairs(vids, "vid_id",
+        "content").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded join must be equi-hash:\n$plan")
+    // the exchanges carry (id, frame_idx, sig, band) — never video bytes
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("content")),
+      s"video bytes must not ride an exchange:\n${exchanges.mkString("\n")}")
+  }
 }

@@ -364,6 +364,30 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       maxDist = 1, sigBytes = 2).count() == 1L) // dist(0,1)=1 pair found
   }
 
+  test("lshBandAudit: twin pairs collide in EVERY band at precision 1000;" +
+      " an unrelated corpus proposes nothing") {
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "one two three four five six seven eight nine",
+      "red orange yellow green blue indigo violet")
+    val twins = texts.zipWithIndex.flatMap { case (t, i) =>
+      Seq((i.toLong, t), (i + 100L, t)) }.toDF("doc_id", "text")
+    val audit = Dedup.lshBandAudit(twins, numHashes = 16, bands = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(audit.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    audit.foreach { case (b, nBuckets, nCand, nVer, pm) =>
+      assert(nBuckets == 3L, s"band $b: 3 twin buckets, got $nBuckets")
+      assert(nCand == 3L, s"band $b: each twin pair collides once")
+      assert(nVer == 3L && pm == 1000L, s"band $b: identical docs verify")
+    }
+    val unrelated = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val quiet = Dedup.lshBandAudit(unrelated, numHashes = 16, bands = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(quiet.forall(r => r._3 == 0L && r._4 == 0L && r._5 == 0L),
+      s"no candidates on an unrelated corpus: ${quiet.toSeq}")
+  }
+
   test("jaccard column: exact dup = 1.0, disjoint = 0.0") {
     val df = Seq((Seq("a", "b"), Seq("a", "b")), (Seq("a"), Seq("b")))
       .toDF("x", "y").select(Dedup.jaccard($"x", $"y").as("j"))

@@ -3046,6 +3046,22 @@ object SparkEntry {
         signature = (sh, n) => Dedup.md5MinHashSignatureUdf(n)(sh),
         bandHash = c => md5(concat_ws("|", c)))
         .orderBy("band_id")
+    }),
+
+    // Deterministic synchronous label propagation (communities, not
+    // just connectivity) on four 10-node ring+chord blocks joined by
+    // single bridges — DuckDB replays both synchronous rounds: every
+    // neighbor-label count and every (count desc, label asc) argmax.
+    "q200_label_propagation" -> ((s, dir) => {
+      val n = t(s, dir, "documents")
+        .select((col("doc_id") % 40).as("n")).distinct()
+      val edges = n
+        .selectExpr("n AS src", "(n div 10) * 10 + (n % 10 + 1) % 10 AS dst")
+        .unionByName(n.selectExpr("n AS src",
+          "(n div 10) * 10 + (n % 10 + 2) % 10 AS dst"))
+        .unionByName(n.filter(col("n") % 10 === 9)
+          .selectExpr("n AS src", "(n + 1) % 40 AS dst"))
+      graft.ops.GraphOps.labelPropagation(edges, iters = 2).orderBy("id")
     })
   )
 
@@ -5994,7 +6010,30 @@ object SparkEntry {
         |  CAST(CASE WHEN COALESCE(p.n_cand, 0) = 0 THEN 0
         |    ELSE p.n_verified * 1000 // p.n_cand END AS BIGINT) AS precision_pm
         |FROM buckets b LEFT JOIN perband p USING (band_id)
-        |ORDER BY band_id""".stripMargin
+        |ORDER BY band_id""".stripMargin,
+
+    "q200_label_propagation" ->
+      """WITH nn AS (SELECT DISTINCT doc_id % 40 AS n FROM documents),
+        |e0 AS (SELECT n AS src, (n // 10) * 10 + (n % 10 + 1) % 10 AS dst
+        |    FROM nn
+        |  UNION ALL SELECT n, (n // 10) * 10 + (n % 10 + 2) % 10 FROM nn
+        |  UNION ALL SELECT n, (n + 1) % 40 FROM nn WHERE n % 10 = 9),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+        |  WHERE src <> dst),
+        |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
+        |c1 AS (SELECT e.src AS id, l.lbl, count(*) AS c
+        |  FROM e JOIN l0 l ON l.id = e.dst GROUP BY 1, 2),
+        |l1 AS (SELECT id, lbl FROM (SELECT id, lbl,
+        |    row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+        |  FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT e.src AS id, l.lbl, count(*) AS c
+        |  FROM e JOIN l1 l ON l.id = e.dst GROUP BY 1, 2),
+        |l2 AS (SELECT id, lbl FROM (SELECT id, lbl,
+        |    row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+        |  FROM c2) WHERE rn = 1)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(lbl AS BIGINT) AS lbl
+        |FROM l2 ORDER BY id""".stripMargin
   )
 
   /** Unrolled Lloyd's iterations as DuckDB CTEs: `c{t-1}` →

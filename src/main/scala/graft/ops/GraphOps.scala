@@ -123,4 +123,47 @@ object GraphOps {
     ab.join(bc, "b").join(ac, Seq("a", "c"))
       .agg(count(lit(1)).as("triangles"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) — the
+    * COMMUNITY member of the graph tier: connected components answer
+    * "reachable at all?", LPA answers "densely knit together?"
+    * (near-dup families inside one giant crawl component, topic groups
+    * in a citation graph). Deterministic by construction — classic LPA
+    * randomizes update order and tie-breaks, which no second engine
+    * could replay: labels init to node ids; each round EVERY node
+    * simultaneously takes the most frequent label among its neighbors
+    * (count desc, then smallest label), isolated nodes keep theirs.
+    *
+    * Scale shape per round: one edge⋈label join keyed by node id, a
+    * (node, label)-keyed count with map-side partial combine, and a
+    * per-node argmax window — edges and labels are two longs wide, so
+    * the shuffles carry ids, never payload; `localCheckpoint` per round
+    * truncates the lineage exactly like the components loop.
+    *
+    * @param edges (src, dst) undirected pair table (dups/direction fine)
+    * @return (id, lbl) after `iters` synchronous rounds */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    val nodes = sym.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("lbl", col("id")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val counts = sym
+        .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("id").orderBy(desc("c"), col("lbl"))
+      val winner = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("id", "lbl")
+      labels = nodes
+        .join(winner, Seq("id"), "left")
+        .join(labels.withColumnRenamed("lbl", "prev"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("lbl"), col("prev")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

@@ -191,6 +191,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(GraphOps.triangleCount(path).first().getLong(0) == 0L)
   }
 
+  test("labelPropagation: cliques converge to their min id, a single " +
+      "bridge does not merge them, pure function of the edges") {
+    // two K4 cliques {0..3} and {10..13} plus one bridge 3-10
+    def clique(base: Long) = for {
+      i <- base until base + 4; j <- (i + 1) until base + 4
+    } yield (i, j)
+    val edges = (clique(0) ++ clique(10) :+ ((3L, 10L))).toDF("src", "dst")
+    val got = GraphOps.labelPropagation(edges, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 2L).forall(got(_) == 0L), s"clique A -> min id 0: $got")
+    assert((11L to 13L).forall(got(_) == 10L), s"clique B -> min id 10: $got")
+    assert(got(3L) == 0L && got(10L) == 10L,
+      s"bridge endpoints stay with their dense side: $got")
+    val again = GraphOps.labelPropagation(edges, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(again == got, "deterministic")
+  }
+
   test("triangleCountDegreeOriented equals the id-oriented count on every shape") {
     // a hub graph (node 1 connects to everyone, rim is a cycle): the
     // degree orientation points every hub edge AWAY from the rim nodes,

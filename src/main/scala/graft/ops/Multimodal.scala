@@ -633,7 +633,9 @@ object Multimodal {
       val len = ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
         ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
       i += 4
-      if (len < 0 || i + len > bytes.length) return frames.toSeq
+      // long arithmetic: a length near 2^31 would overflow `i + len` to
+      // negative and bypass an int bounds check (then throw in copyOf)
+      if (len < 0 || i.toLong + len > bytes.length) return frames.toSeq
       frames += java.util.Arrays.copyOfRange(bytes, i, i + len)
       i += len
       f += 1

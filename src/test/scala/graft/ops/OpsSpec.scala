@@ -1297,6 +1297,12 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     // length field past the buffer: parsed prefix survives
     val lied = vid.clone(); lied(8) = 0x7f.toByte
     assert(Multimodal.videoFrames(lied).isEmpty)
+    // near-2^31 length: int `i + len` would overflow negative and step
+    // past the bounds check — must degrade, never throw
+    val huge = vid.clone()
+    huge(8) = 0x7f.toByte; huge(9) = 0xff.toByte
+    huge(10) = 0xff.toByte; huge(11) = 0xf0.toByte
+    assert(Multimodal.videoFrames(huge).isEmpty)
   }
 
   test("videoSampleHashes: every-th frame, real decode, undecodable drop") {

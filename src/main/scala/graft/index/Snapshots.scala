@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Snapshot / read-at-version for the index table — the Delta/Iceberg
@@ -28,14 +28,15 @@ import org.apache.spark.sql.functions._
   * pinned to version N is undisturbed by any number of later upserts,
   * compactions, or expiries that keep N.
   *
-  * Scale shape: [[upsertVersioned]] here rewrites the full table per
+  * Scale shape: [[upsertVersioned]] rewrites the full table per
   * version (the catalog-free fallback, same class as
-  * [[IndexWriter.upsert]]); at 100 TB the same manifest mechanism
-  * holds per-partition file LISTS instead of one directory name, so an
-  * upsert commits only rewritten buckets' files and unchanged files
-  * are SHARED between consecutive snapshots — the manifest stays
-  * kilobytes either way. What this module fixes is the contract:
-  * versions are immutable, commits are atomic, reads are repeatable.
+  * [[IndexWriter.upsert]]) — right for small/medium tables.
+  * [[upsertVersionedBucketed]] is the 100 TB form: the manifest maps
+  * hash bucket → generation directory, an upsert rewrites only the
+  * buckets its ids land in, and untouched buckets are SHARED between
+  * consecutive snapshots byte-for-byte — the manifest stays kilobytes
+  * either way. Both fix the same contract: versions are immutable,
+  * commits are atomic, reads are repeatable.
   */
 object Snapshots {
 
@@ -149,6 +150,117 @@ object Snapshots {
       .parquet(new org.apache.hadoop.fs.Path(path, gen).toString)
     commit(fs, path, v, gen)
     v
+  }
+
+  // --- Bucketed incremental snapshots --------------------------------
+  //
+  // The at-scale form the header promises: instead of one generation
+  // directory per version (full rewrite), the table hash-buckets on id
+  // and the manifest maps bucket → generation directory. An upsert
+  // rewrites ONLY the buckets its ids land in; every other bucket's
+  // line is copied from the previous manifest, so untouched data is
+  // SHARED between consecutive snapshots byte-for-byte — a 100-row
+  // upsert against 100 TB commits kilobytes of manifest and a few
+  // bucket rewrites, and old versions stay pinned-readable for free.
+  //
+  // Layout under `path`:
+  //   bucket-<b>/gen-<v>/part-*.parquet   immutable per-bucket gens
+  //   _manifest/v-<v>                     lines: "<b> gen-<v'>"
+  // Commit point is the same manifest rename as the flat form.
+
+  private def bucketOf(id: Column, buckets: Int): Column =
+    pmod(xxhash64(id.cast("string")), lit(buckets)).cast("int")
+
+  private def readBucketManifest(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, v: Long): Map[Int, String] = {
+    val txt = readManifest(fs, path, v)
+    txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+      val Array(b, gen) = line.split("\\s+", 2)
+      b.toInt -> gen
+    }.toMap
+  }
+
+  /** The bucketed table as of `version` (default latest). */
+  def readVersionBucketed(spark: SparkSession, path: String,
+      version: Long = -1L): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed snapshots at $path")
+    val v = if (version < 0) vs.last else version
+    require(vs.contains(v),
+      s"snapshot v$v not present at $path (have ${vs.mkString(",")})")
+    val fs = fsFor(spark, path)
+    val dirs = readBucketManifest(fs, path, v).toSeq.sortBy(_._1).map {
+      case (b, gen) =>
+        new org.apache.hadoop.fs.Path(path, f"bucket-$b%03d/$gen").toString
+    }
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Upsert `points` (keyed on `id`, new rows win) as a new snapshot,
+    * rewriting ONLY the hash buckets the batch's ids land in. Returns
+    * (committed version, buckets rewritten). The bucket count is fixed
+    * at table creation (stored implicitly by the manifest's key set) —
+    * changing it is a full rewrite, as in every bucketed store. */
+  def upsertVersionedBucketed(spark: SparkSession, points: DataFrame,
+      path: String, buckets: Int = 16): (Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val fs = fsFor(spark, path)
+    val vs = versions(spark, path)
+    val pts = points.dropDuplicates("id")
+      .withColumn("__b", bucketOf(col("id"), buckets))
+    val v = vs.lastOption.getOrElse(0L) + 1
+    val gen = f"gen-$v%05d"
+    if (vs.isEmpty) {
+      // first commit: every bucket materializes (possibly empty —
+      // written explicitly so the manifest's key set IS the bucket count)
+      (0 until buckets).foreach { b =>
+        pts.filter(col("__b") === b).drop("__b")
+          .write.mode(SaveMode.ErrorIfExists)
+          .parquet(new org.apache.hadoop.fs.Path(path,
+            f"bucket-$b%03d/$gen").toString)
+      }
+      commitBucketed(fs, path, v, (0 until buckets).map(_ -> gen).toMap)
+      (v, buckets.toLong)
+    } else {
+      val prev = readBucketManifest(fs, path, vs.last)
+      require(prev.size == buckets,
+        s"table at $path has ${prev.size} buckets; caller passed $buckets")
+      val affected = pts.select("__b").distinct()
+        .collect().map(_.getInt(0)).sorted
+      affected.foreach { b =>
+        val oldDir = new org.apache.hadoop.fs.Path(path,
+          f"bucket-$b%03d/${prev(b)}").toString
+        val old = spark.read.parquet(oldDir)
+        val incoming = pts.filter(col("__b") === b).drop("__b")
+        val merged = incoming.withColumn("__gen", lit(1))
+          .unionByName(old.select(incoming.columns.map(col).toSeq: _*)
+            .withColumn("__gen", lit(0)))
+        val w = Window.partitionBy(col("id")).orderBy(col("__gen").desc)
+        merged.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", "__gen")
+          .write.mode(SaveMode.ErrorIfExists)
+          .parquet(new org.apache.hadoop.fs.Path(path,
+            f"bucket-$b%03d/$gen").toString)
+      }
+      val next = prev ++ affected.map(_ -> gen).toMap
+      commitBucketed(fs, path, v, next)
+      (v, affected.length.toLong)
+    }
+  }
+
+  private def commitBucketed(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, v: Long, mapping: Map[Int, String]): Unit = {
+    val body = mapping.toSeq.sortBy(_._1)
+      .map { case (b, g) => s"$b $g" }.mkString("", "\n", "\n")
+    val dir = manifestDir(path)
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".tmp-$v")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(dir, s"v-$v")
+    if (!fs.rename(tmp, dst))
+      sys.error(s"snapshot commit failed: could not rename $tmp to $dst")
   }
 
   /** Streaming ingestion with history: every non-empty micro-batch

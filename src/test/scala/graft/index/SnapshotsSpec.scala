@@ -159,4 +159,44 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestBase {
     assert(Snapshots.readVersion(spark, idx, vs.head).count() == 50L,
       "history from the first run is untouched by the replay")
   }
+
+  test("bucketed snapshots: an upsert rewrites ONLY affected buckets; " +
+      "untouched bucket generations are shared byte-for-byte") {
+    val path = tmp()
+    val nb = 8
+    val v1rows = (0 until 200).map(i => (s"id_$i", "v1")).toDF("id", "payload")
+    val (v1, w1) = Snapshots.upsertVersionedBucketed(spark, v1rows, path, nb)
+    assert(v1 == 1L && w1 == nb.toLong, "first commit materializes all buckets")
+    // upsert THREE ids -> at most 3 buckets rewritten
+    val batch = Seq(("id_5", "v2"), ("id_77", "v2"), ("id_123", "v2"))
+      .toDF("id", "payload")
+    val (v2, w2) = Snapshots.upsertVersionedBucketed(spark, batch, path, nb)
+    assert(v2 == 2L && w2 <= 3L, s"only affected buckets rewrite: $w2")
+    // reads: v1 all v1-payload; v2 has the three updates, same 200 ids
+    val r1 = Snapshots.readVersionBucketed(spark, path, 1)
+      .as[(String, String)].collect().toMap
+    val r2 = Snapshots.readVersionBucketed(spark, path, 2)
+      .as[(String, String)].collect().toMap
+    assert(r1.size == 200 && r1.values.forall(_ == "v1"))
+    assert(r2.size == 200)
+    assert(r2("id_5") == "v2" && r2("id_77") == "v2" && r2("id_123") == "v2")
+    assert(r2.count(_._2 == "v1") == 197)
+    // sharing: the two manifests agree on every unaffected bucket's dir
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def manifest(v: Long): Map[Int, String] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(path, s"_manifest/v-$v"))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.split("\n").filter(_.trim.nonEmpty).map { l =>
+        val Array(b, g) = l.trim.split("\\s+", 2); b.toInt -> g }.toMap
+    }
+    val (m1, m2) = (manifest(1), manifest(2))
+    val shared = m2.filter { case (b, g) => m1(b) == g }
+    assert(shared.size == nb - w2.toInt,
+      s"unaffected buckets share generations: ${shared.size} of $nb")
+    // wrong bucket count refuses loudly
+    intercept[IllegalArgumentException](
+      Snapshots.upsertVersionedBucketed(spark, batch, path, nb + 1))
+  }
 }

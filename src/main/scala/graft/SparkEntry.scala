@@ -3062,6 +3062,23 @@ object SparkEntry {
         .unionByName(n.filter(col("n") % 10 === 9)
           .selectExpr("n AS src", "(n + 1) % 40 AS dst"))
       graft.ops.GraphOps.labelPropagation(edges, iters = 2).orderBy("id")
+    }),
+
+    // Confidence-ranked multi-probe LSH (Lv et al. 2007): a probe
+    // budget of 4 spent on the LEAST-confident hyperplanes first. The
+    // probe list and bucket assignments are aux-dumped; DuckDB verifies
+    // the pruned scan's exact top-k independently.
+    "q201_multiprobe_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .first().getSeq[Float](0).toArray
+      val idx = new Similarity.RandomHyperplaneIndex(e, nBits = 8, dim = 64)
+      writeAux(idx.bucketed.select("vec_id", "bucket"), dir, "q201_buckets")
+      writeAux(idx.probeBucketsRanked(q, probes = 4).toDF("bucket"),
+        dir, "q201_probes")
+      idx.queryRanked(q, k = 10, probes = 4)
+        .select("vec_id", "bucket", "cos")
     })
   )
 
@@ -6033,7 +6050,21 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
         |  FROM c2) WHERE rn = 1)
         |SELECT CAST(id AS BIGINT) AS id, CAST(lbl AS BIGINT) AS lbl
-        |FROM l2 ORDER BY id""".stripMargin
+        |FROM l2 ORDER BY id""".stripMargin,
+
+    "q201_multiprobe_lsh" ->
+      """WITH b AS (SELECT * FROM '__AUX__/q201_buckets/*.parquet'),
+        |p AS (SELECT * FROM '__AUX__/q201_probes/*.parquet'),
+        |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |cand AS (SELECT e.vec_id, b.bucket, e.embedding
+        |  FROM embeddings e JOIN b ON e.vec_id = b.vec_id
+        |  WHERE b.bucket IN (SELECT bucket FROM p)),
+        |c AS (SELECT vec_id, bucket,
+        |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+        |  FROM (SELECT cand.vec_id, cand.bucket, unnest(cand.embedding)::DOUBLE AS x,
+        |               unnest(q.embedding)::DOUBLE AS y FROM cand, q)
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, bucket, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
   )
 
   /** Unrolled Lloyd's iterations as DuckDB CTEs: `c{t-1}` →

@@ -984,6 +984,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       "queries must broadcast")
   }
 
+  test("probeBucketsRanked: least-confident planes flip first; full " +
+      "budget equals the bit-order probe SET") {
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Seq(i * 0.1f - 2f, 1f - i * 0.05f, 0.3f, -0.7f)))
+    val df = vecs.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val idx = new Similarity.RandomHyperplaneIndex(df, nBits = 8, dim = 4)
+    val q = Array(0.4f, -0.2f, 0.9f, 0.1f)
+    val ranked = idx.probeBucketsRanked(q, 8)
+    val bitOrder = idx.probeBuckets(q, 8)
+    assert(ranked.head == bitOrder.head, "home bucket leads both walks")
+    assert(ranked.toSet == bitOrder.toSet,
+      "full budget probes the same Hamming-1 ball, just reordered")
+    // the flip order must follow |dot(query, plane)| ascending
+    val planes = Similarity.hyperplanes(8, 4)
+    val conf = planes.indices.map { i =>
+      val dot = (0 until 4).map(j => planes(i)(j) * q(j)).sum
+      (math.abs(math.round(dot * 1e6)), i)
+    }.sorted.map(_._2)
+    val expectedFlips = conf.map(b => ranked.head ^ (1L << b))
+    assert(ranked.tail == expectedFlips,
+      s"ranked walk must flip least-confident bits first: ${ranked.tail}")
+    // same candidate set at full budget -> identical top-k
+    val a = idx.queryRanked(q, 5, 8)
+      .select("vec_id", "bucket", "cos").as[(Long, Long, Double)].collect().toSeq
+    val b = idx.query(q, 5, 8)
+      .select("vec_id", "bucket", "cos").as[(Long, Long, Double)].collect().toSeq
+    assert(a == b)
+  }
+
   test("kMeans: separates two well-apart clusters, deterministically") {
     val vecs = (0 until 8).map(i => (i.toLong,
         Seq(1f + i * 0.001f, 0f, 0f, 0f))) ++

@@ -3079,6 +3079,25 @@ object SparkEntry {
         dir, "q201_probes")
       idx.queryRanked(q, k = 10, probes = 4)
         .select("vec_id", "bucket", "cos")
+    }),
+
+    // Distributed recall@10 audit of the multi-probe LSH index over a
+    // 20-query table: ANN and brute top-k both through TopKPerKey,
+    // probe sets exploded relationally. Bucket assignments and the
+    // per-query probe sets are aux-dumped; DuckDB recomputes EVERY
+    // cosine, both top-k rankings, and each query's recall.
+    "q202_ann_recall_audit" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val idx = new Similarity.RandomHyperplaneIndex(e, nBits = 8, dim = 64)
+      val queries = e.filter(col("vec_id") % 25 === 0)
+      val probeRows = queries.select("vec_id", "embedding").collect().flatMap { r =>
+        idx.probeBucketsRanked(r.getSeq[Float](1).toArray, 4)
+          .map(b => (r.getLong(0), b))
+      }.toSeq
+      writeAux(idx.bucketed.select("vec_id", "bucket"), dir, "q202_buckets")
+      writeAux(probeRows.toDF("qid", "bucket"), dir, "q202_probes")
+      idx.recallAudit(queries, k = 10, probes = 4).orderBy("query_id")
     })
   )
 
@@ -6064,7 +6083,35 @@ object SparkEntry {
         |  FROM (SELECT cand.vec_id, cand.bucket, unnest(cand.embedding)::DOUBLE AS x,
         |               unnest(q.embedding)::DOUBLE AS y FROM cand, q)
         |  GROUP BY 1, 2)
-        |SELECT vec_id, bucket, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+        |SELECT vec_id, bucket, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q202_ann_recall_audit" ->
+      """WITH b AS (SELECT * FROM '__AUX__/q202_buckets/*.parquet'),
+        |p AS (SELECT DISTINCT qid, bucket FROM '__AUX__/q202_probes/*.parquet'),
+        |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id % 25 = 0),
+        |raw AS (SELECT q.qid, c.vec_id AS cid,
+        |    unnest(c.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+        |  FROM qs q CROSS JOIN embeddings c),
+        |cosall AS (SELECT qid, cid,
+        |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+        |  FROM raw GROUP BY 1, 2),
+        |bruteK AS (SELECT qid, cid FROM (SELECT qid, cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+        |  FROM cosall) WHERE rn <= 10),
+        |cand AS (SELECT DISTINCT p.qid, b.vec_id AS cid
+        |  FROM p JOIN b ON b.bucket = p.bucket),
+        |annK AS (SELECT qid, cid FROM (SELECT a.qid, a.cid,
+        |    row_number() OVER (PARTITION BY a.qid ORDER BY c.cos DESC, a.cid)
+        |      AS rn
+        |  FROM cand a JOIN cosall c ON c.qid = a.qid AND c.cid = a.cid)
+        |  WHERE rn <= 10),
+        |hits AS (SELECT qid, count(*) AS n_hit FROM annK
+        |  JOIN bruteK USING (qid, cid) GROUP BY 1)
+        |SELECT q.qid AS query_id,
+        |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(COALESCE(h.n_hit, 0) * 1000 // 10 AS BIGINT) AS recall_pm
+        |FROM qs q LEFT JOIN hits h ON h.qid = q.qid ORDER BY query_id""".stripMargin
   )
 
   /** Unrolled Lloyd's iterations as DuckDB CTEs: `c{t-1}` →

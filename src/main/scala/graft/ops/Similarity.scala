@@ -140,6 +140,62 @@ object Similarity {
         .limit(k)
     }
 
+    /** Ranked probe set as a UDF over a vector column — the relational
+      * form of [[probeBucketsRanked]] for whole query TABLES. */
+    private val probeUdf = {
+      val p = planes; val d = dim; val n = nBits
+      udf((vec: Seq[Float], probes: Int) => {
+        var home = 0L
+        val confs = new Array[(Long, Int)](n)
+        var i = 0
+        while (i < n) {
+          var dot = 0.0
+          var j = 0
+          while (j < d && j < vec.length) { dot += p(i)(j) * vec(j); j += 1 }
+          if (dot > 0) home |= (1L << i)
+          confs(i) = (math.abs(math.round(dot * 1e6)), i)
+          i += 1
+        }
+        home +: confs.sorted.take(math.min(math.max(probes, 0), n))
+          .map(c => home ^ (1L << c._2)).toSeq
+      })
+    }
+
+    /** Recall@k audit vs the exact scan — the measurement behind
+      * trusting (nBits, probes) at corpus scale: per query, how many of
+      * the true top-k the pruned probe scan recovered. Fully
+      * distributed for query TABLES (not one driver loop per query):
+      * the ranked probe sets explode relationally, candidates come from
+      * one bucket-keyed equi-join, and both the ANN and the brute top-k
+      * run through the bounded-heap [[graft.plans.TopK.perKey]] plan —
+      * the broadcast of the (serving-sized) query table is the only
+      * wide operand. Returns (query_id, n_hit, recall_pm). */
+    def recallAudit(queries: DataFrame, k: Int, probes: Int): DataFrame = {
+      val qs = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      val probed = qs.withColumn("bucket",
+        explode(probeUdf(col("qv"), lit(probes))))
+      val corpus = bucketed.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        col("bucket"))
+      val cand = probed.join(corpus, Seq("bucket"))
+        .withColumn("cos", round(vecCosine(col("cv"), col("qv")), 6))
+        .select("qid", "cid", "cos")
+      val annK = graft.plans.TopK.perKey(cand, Seq("qid"),
+        Seq(("cos", false), ("cid", true)), k).select("qid", "cid")
+      val brute = bucketed.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+        .crossJoin(broadcast(qs))
+        .withColumn("cos", round(vecCosine(col("cv"), col("qv")), 6))
+        .select("qid", "cid", "cos")
+      val bruteK = graft.plans.TopK.perKey(brute, Seq("qid"),
+        Seq(("cos", false), ("cid", true)), k).select("qid", "cid")
+      val hits = annK.join(bruteK, Seq("qid", "cid"))
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+      qs.select(col("qid").as("query_id"))
+        .join(hits.withColumnRenamed("qid", "query_id"), Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          expr(s"coalesce(n_hit, 0L) * 1000 div $k").as("recall_pm"))
+    }
+
     /** Materialize the index partitioned by `bucket` — the 100 TB shape:
       * a query then reads only its probed buckets' directories (partition
       * pruning at the file listing, before any I/O). */

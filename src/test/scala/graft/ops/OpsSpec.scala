@@ -1014,6 +1014,29 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  test("recallAudit: self-queries always recover themselves; full-probe " +
+      "budget reaches recall 1000 on every query") {
+    val vecs = (0 until 60).map { i =>
+      val a = (i % 7).toFloat; val b = (i % 11).toFloat
+      (i.toLong, Seq(a, 1f - a * 0.1f, b * 0.2f, -0.5f + b * 0.05f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val idx = new Similarity.RandomHyperplaneIndex(df, nBits = 6, dim = 4)
+    val queries = df.filter($"vec_id" % 10 === 0)
+    // full Hamming-1 budget can still miss (>= 2-bit neighbors), but
+    // recall is monotone in probes and self is always in the home bucket
+    val r1 = idx.recallAudit(queries, k = 5, probes = 0)
+      .as[(Long, Long, Long)].collect()
+    assert(r1.forall(_._2 >= 1L), "the query itself is in its home bucket")
+    val r6 = idx.recallAudit(queries, k = 5, probes = 6)
+      .as[(Long, Long, Long)].collect()
+    r6.foreach { case (_, n, pm) => assert(pm == n * 200, "pm arithmetic") }
+    val r0sum = idx.recallAudit(queries, k = 5, probes = 0)
+      .as[(Long, Long, Long)].collect().map(_._2).sum
+    assert(r6.map(_._2).sum >= r0sum, "recall monotone in probe budget")
+  }
+
   test("kMeans: separates two well-apart clusters, deterministically") {
     val vecs = (0 until 8).map(i => (i.toLong,
         Seq(1f + i * 0.001f, 0f, 0f, 0f))) ++

@@ -3098,6 +3098,34 @@ object SparkEntry {
       writeAux(idx.bucketed.select("vec_id", "bucket"), dir, "q202_buckets")
       writeAux(probeRows.toDF("qid", "bucket"), dir, "q202_probes")
       idx.recallAudit(queries, k = 10, probes = 4).orderBy("query_id")
+    }),
+
+    // Hybrid search with the dense branch served by a prebuilt IVF
+    // index (the 100 TB serving path: nProbe cells scanned, not the
+    // corpus). Unlike q35 (dense branch taken as given), the ORACLE
+    // re-derives the dense branch too — cell membership, every cosine
+    // in the probed cells, the pruned top-25 — plus BM25 and fusion,
+    // from the aux-dumped assignments/probes/query vector.
+    "q203_hybrid_ann" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val index = ChunkPipeline.chunkPoints(s, t(s, dir, "documents")).cache()
+      val stats = graft.index.IndexWriter.docFrequencies(index)
+      val n = index.count()
+      val avgLen = index.select(avg(size(col("tokens")))).first().getDouble(0)
+      val cfg = HybridSearch.Config(k = 5)
+      val ivf = new Similarity.IvfIndex(index, nCentroids = 8,
+        vecCol = "dense_vec", idCol = "id")
+      val qText = "filter join scan vector"
+      val qVec = graft.embed.HashingEmbedder.default.embedQuery(qText)
+      writeAux(index.select("id", "chunk_id", "tokens", "dense_vec"),
+        dir, "q203_index")
+      writeAux(ivf.assigned.select("id", "centroid"), dir, "q203_assign")
+      writeAux(ivf.probeCells(qVec, 4).toDF("centroid"), dir, "q203_probes")
+      writeAux(Seq(Tuple1(qVec.toSeq)).toDF("qv"), dir, "q203_qvec")
+      HybridSearch.searchAnn(index, ivf, stats, n, avgLen, qText, cfg,
+          nProbe = 4)
+        .select("id", "chunk_id", "rrf_score", "dense_score", "bm25_score")
     })
   )
 
@@ -6111,7 +6139,45 @@ object SparkEntry {
         |SELECT q.qid AS query_id,
         |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
         |  CAST(COALESCE(h.n_hit, 0) * 1000 // 10 AS BIGINT) AS recall_pm
-        |FROM qs q LEFT JOIN hits h ON h.qid = q.qid ORDER BY query_id""".stripMargin
+        |FROM qs q LEFT JOIN hits h ON h.qid = q.qid ORDER BY query_id""".stripMargin,
+
+    "q203_hybrid_ann" ->
+      """WITH idx AS (SELECT * FROM '__AUX__/q203_index/*.parquet'),
+        |asg AS (SELECT * FROM '__AUX__/q203_assign/*.parquet'),
+        |pr AS (SELECT * FROM '__AUX__/q203_probes/*.parquet'),
+        |qv AS (SELECT qv FROM '__AUX__/q203_qvec/*.parquet'),
+        |cand AS (SELECT i.id, i.dense_vec FROM idx i JOIN asg a ON a.id = i.id
+        |  WHERE a.centroid IN (SELECT centroid FROM pr)),
+        |dc AS (SELECT id, round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6)
+        |      AS dense_score
+        |  FROM (SELECT cand.id, unnest(cand.dense_vec)::DOUBLE AS x,
+        |        unnest(qv.qv)::DOUBLE AS y FROM cand, qv)
+        |  GROUP BY id),
+        |dense AS (SELECT id, dense_score FROM dc
+        |  ORDER BY dense_score DESC, id LIMIT 25),
+        |params AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(tokens)) AS avgdl FROM idx),
+        |tf AS (SELECT id, tok, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl FROM (
+        |    SELECT id, unnest(tokens) AS tok, len(tokens) AS dl FROM idx) u
+        |  WHERE tok IN ('filter','join','scan','vector') GROUP BY id, tok),
+        |df AS (SELECT tok, CAST(count(DISTINCT id) AS DOUBLE) AS df FROM (
+        |    SELECT id, unnest(tokens) AS tok FROM idx) u GROUP BY tok),
+        |sc AS (SELECT t.id,
+        |    ln(1 + (p.n - f.df + 0.5) / (f.df + 0.5)) * t.tf * 2.2 /
+        |      (t.tf + 1.2 * (0.25 + 0.75 * t.dl / p.avgdl)) AS s
+        |  FROM tf t, params p JOIN df f ON t.tok = f.tok),
+        |bm AS (SELECT id, round(sum(s), 6) AS bm25_score FROM sc GROUP BY id
+        |  ORDER BY bm25_score DESC, id LIMIT 25),
+        |dr AS (SELECT id, dense_score,
+        |    ROW_NUMBER() OVER (ORDER BY dense_score DESC, id) AS dense_rank FROM dense),
+        |br AS (SELECT id, bm25_score,
+        |    ROW_NUMBER() OVER (ORDER BY bm25_score DESC, id) AS bm25_rank FROM bm),
+        |fused AS (SELECT COALESCE(dr.id, br.id) AS id, dr.dense_score, br.bm25_score,
+        |    COALESCE(1.0 / (60 + dr.dense_rank), 0.0)
+        |      + COALESCE(1.0 / (60 + br.bm25_rank), 0.0) AS rrf_score
+        |  FROM dr FULL OUTER JOIN br ON dr.id = br.id),
+        |top AS (SELECT * FROM fused ORDER BY rrf_score DESC, id LIMIT 5)
+        |SELECT top.id, idx.chunk_id, top.rrf_score, top.dense_score, top.bm25_score
+        |FROM top JOIN idx ON idx.id = top.id""".stripMargin
   )
 
   /** Unrolled Lloyd's iterations as DuckDB CTEs: `c{t-1}` →

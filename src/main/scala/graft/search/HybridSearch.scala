@@ -221,4 +221,30 @@ object HybridSearch {
     fused.join(index, Seq("id"), "left")
       .orderBy(desc("rrf_score"), col("id"))
   }
+
+  /** [[search]] with the dense prefetch served by a prebuilt
+    * [[graft.ops.Similarity.IvfIndex]] over the chunk index's dense
+    * vectors — the 100 TB serving path: the exact dense branch scans
+    * every vector per request; this probes `nProbe` centroid cells and
+    * reranks exactly within them (nProbe/nCentroids of the corpus when
+    * the index is [[graft.ops.Similarity.IvfIndex.writePartitioned]]).
+    * BM25 branch and RRF fusion unchanged, so results differ from
+    * [[search]] only when a true dense neighbor lies outside the probed
+    * cells — the recall/cost dial [[graft.ops.Similarity
+    * .RandomHyperplaneIndex.recallAudit]]'s family of audits measures
+    * before a deployment trusts it. */
+  def searchAnn(index: DataFrame, ivf: graft.ops.Similarity.IvfIndex,
+      docStats: DataFrame, corpusSize: Long, avgDocLen: Double,
+      query: String, cfg: Config = Config(), nProbe: Int = 4,
+      embedder: Embedder = HashingEmbedder.default): DataFrame = {
+    val prefetch = cfg.k * cfg.prefetchMultiplier
+    val qVec = embedder.embedQuery(query)
+    val qTerms = Bm25.tokenize(query)
+    val dense = ivf.query(qVec, prefetch, nProbe)
+      .select(col("id"), col("cos").as("dense_score"))
+    val sparse = bm25TopK(index, docStats, corpusSize, avgDocLen, qTerms, prefetch)
+    val fused = rrfFuse(dense, sparse, cfg)
+    fused.join(index, Seq("id"), "left")
+      .orderBy(desc("rrf_score"), col("id"))
+  }
 }

@@ -76,6 +76,27 @@ class HybridSearchSpec extends AnyFunSuite with SparkTestBase {
       s"query fan-out must broadcast, not cartesian:\n$plan")
   }
 
+  test("searchAnn with every cell probed equals the exact-dense search; " +
+      "fewer probes still fuse and lead with the relevant doc") {
+    val ivf = new graft.ops.Similarity.IvfIndex(index, nCentroids = 2,
+      vecCol = "dense_vec", idCol = "id")
+    val cfg = HybridSearch.Config(k = 2)
+    val exact = HybridSearch.search(index, stats, n, avgLen,
+        "habeas corpus", cfg)
+      .select("id", "rrf_score").as[(String, Double)].collect().toSeq
+    val allCells = HybridSearch.searchAnn(index, ivf, stats, n, avgLen,
+        "habeas corpus", cfg, nProbe = 2)
+      .select("id", "rrf_score").as[(String, Double)].collect().toSeq
+    assert(allCells == exact,
+      "probing every cell makes the dense branch the exact scan")
+    val pruned = HybridSearch.searchAnn(index, ivf, stats, n, avgLen,
+        "habeas corpus", cfg, nProbe = 1)
+      .select("id").as[String].collect()
+    assert(pruned.nonEmpty && pruned.head == "d1",
+      "the BM25 branch keeps the relevant doc on top even when the " +
+        "dense probe misses cells")
+  }
+
   test("rrf score threshold can empty the result (reference early-return path)") {
     // 2/(rrfK+1) is the max possible RRF score; a threshold just at the
     // ceiling keeps only docs ranked #1 in BOTH branches — here none,

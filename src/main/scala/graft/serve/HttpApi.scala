@@ -48,7 +48,11 @@ object HttpApi {
       indexPath: String,
       summarizer: Serve.Summarizer = new Serve.UnavailableSummarizer,
       fetchBytes: String => Array[Byte] = HttpApi.liveFetchBytes,
-      defaultK: Int = 3)
+      defaultK: Int = 3,
+      // optional prebuilt IVF index over the chunk index's dense_vec:
+      // when present, requests may opt into the ANN-served dense branch
+      // with "ann": true ("n_probe" tunes the recall/cost dial)
+      ivf: Option[graft.ops.Similarity.IvfIndex] = None)
 
   /** Default `/case/fetch` byte fetcher: a real GET (the reference
     * downloads arbitrary slip-opinion URLs, `app.py:580-583`). With no
@@ -161,11 +165,25 @@ object HttpApi {
           // candidates ("mmr_lambda" tunes the relevance/diversity mix)
           val diversify = boolField(body, "diversify").getOrElse(false)
           val lambda = doubleField(body, "mmr_lambda").getOrElse(0.7)
+          // "ann": true serves the dense branch from the engine's
+          // prebuilt IVF index (q203's path); "n_probe" is the dial
+          val ann = boolField(body, "ann").getOrElse(false)
+          val nProbe = intField(body, "n_probe").getOrElse(4)
           if (lambda < 0.0 || lambda > 1.0)
             (400, err(s"mmr_lambda $lambda out of range [0, 1]"))
+          else if (ann && diversify)
+            (400, err("ann and diversify cannot combine on one request"))
+          else if (ann && engine.ivf.isEmpty)
+            (400, err("this engine was built without an ANN index; " +
+              "start it with an IvfIndex to serve \"ann\": true"))
+          else if (ann && nProbe < 1)
+            (400, err(s"n_probe $nProbe must be >= 1"))
           else {
             val resp =
-              if (diversify) Serve.queryDiversified(engine.index,
+              if (ann) Serve.queryAnn(engine.index, engine.ivf.get,
+                engine.docStats, engine.corpusSize, engine.avgDocLen, q,
+                k = k, nProbe = nProbe, rrfScoreThreshold = threshold)
+              else if (diversify) Serve.queryDiversified(engine.index,
                 engine.docStats, engine.corpusSize, engine.avgDocLen, q,
                 k = k, lambda = lambda, rrfScoreThreshold = threshold)
               else Serve.query(engine.index, engine.docStats,
@@ -175,7 +193,8 @@ object HttpApi {
               "id" -> r.id, "score" -> r.score, "case_name" -> r.caseName,
               "court" -> r.court, "date_filed" -> r.dateFiled,
               "judges" -> r.judges, "snippet" -> r.snippet))
-            val searchType = if (diversify) "hybrid_rrf_mmr" else "hybrid_rrf"
+            val searchType = if (ann) "hybrid_rrf_ivf"
+              else if (diversify) "hybrid_rrf_mmr" else "hybrid_rrf"
             (200, s"""{"query":${str(q)},"results":[${results.mkString(",")}],""" +
               s""""search_type":"$searchType","processing_time":${resp.processingTimeSec},""" +
               s""""documents_found":${resp.results.size}}""")

@@ -131,6 +131,26 @@ object Serve {
     QueryResponse(question, results, (System.nanoTime() - t0) / 1e9)   // F13
   }
 
+  /** [[query]] with the dense branch served by a prebuilt IVF index
+    * ([[graft.search.HybridSearch.searchAnn]]) — the per-request path
+    * that scans nProbe cells instead of the corpus. Same response
+    * shape; `search_type` surfaces the difference to the caller. */
+  def queryAnn(index: DataFrame, ivf: graft.ops.Similarity.IvfIndex,
+      docStats: DataFrame, corpusSize: Long, avgDocLen: Double,
+      question: String, k: Int = 3, nProbe: Int = 4,
+      rrfScoreThreshold: Double = 0.0): QueryResponse = {
+    val t0 = System.nanoTime()
+    val hits = HybridSearch.searchAnn(index, ivf, docStats, corpusSize,
+      avgDocLen, question,
+      HybridSearch.Config(k = k, rrfScoreThreshold = rrfScoreThreshold),
+      nProbe = nProbe)
+    val present = hits.columns.toSet
+    val payloadCols = Seq("case_name", "court", "date_filed", "judges").filter(present)
+    val results = hits.select(("id" +: "rrf_score" +: "chunk_text" +: payloadCols)
+        .map(col): _*).collect().toSeq.map(toResult(_, present))
+    QueryResponse(question, results, (System.nanoTime() - t0) / 1e9)
+  }
+
   /** [[query]] with an MMR diversification pass (no reference analog —
     * q164's operator at the serving layer): the hybrid search fetches
     * `candMultiplier · k` candidates, then the shared greedy loop

@@ -147,6 +147,46 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(bad.statusCode() == 400 && bad.body().contains("mmr_lambda"))
   }
 
+  test("POST /search with ann: ivf-served dense branch round-trips; " +
+      "engine without an index refuses; ann+diversify refused") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def ids(body: String): Seq[String] = {
+      val rs = mapper.readTree(body).get("results")
+      (0 until rs.size()).map(rs.get(_).get("id").asText())
+    }
+    // second server whose engine carries the IVF index (tiny corpus:
+    // 2 cells, probe both -> dense branch == exact scan, so results
+    // must equal the plain endpoint's row-for-row)
+    val ivf = new graft.ops.Similarity.IvfIndex(index, nCentroids = 2,
+      vecCol = "dense_vec", idCol = "id")
+    val annServer = HttpApi.start(engine.copy(ivf = Some(ivf)), port = 0)
+    try {
+      val annBase = s"http://127.0.0.1:${annServer.port}"
+      def postAnn(path: String, body: String) =
+        client.send(HttpRequest.newBuilder(URI.create(annBase + path))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      val plain = postAnn("/search", """{"query":"habeas corpus","limit":2}""")
+      val ann = postAnn("/search",
+        """{"query":"habeas corpus","limit":2,"ann":true,"n_probe":2}""")
+      assert(ann.statusCode() == 200, ann.body())
+      assert(ann.body().contains("\"search_type\":\"hybrid_rrf_ivf\""))
+      assert(ids(ann.body()) == ids(plain.body()),
+        "full probe budget == exact dense branch")
+      val both = postAnn("/search",
+        """{"query":"x","ann":true,"diversify":true}""")
+      assert(both.statusCode() == 400 && both.body().contains("combine"))
+      val badProbe = postAnn("/search",
+        """{"query":"x","ann":true,"n_probe":0}""")
+      assert(badProbe.statusCode() == 400 && badProbe.body().contains("n_probe"))
+    } finally annServer.stop()
+    // the DEFAULT engine has no index: ann requests refuse loudly
+    val refused = post("/search", """{"query":"x","ann":true}""")
+    assert(refused.statusCode() == 400 &&
+      refused.body().contains("without an ANN index"), refused.body())
+  }
+
   test("POST /search/batch input validation: missing, empty, over-cap") {
     assert(post("/search/batch", """{}""").statusCode() == 400)
     assert(post("/search/batch", """{"queries":[]}""").statusCode() == 400)

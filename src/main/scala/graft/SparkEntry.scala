@@ -3126,6 +3126,26 @@ object SparkEntry {
       HybridSearch.searchAnn(index, ivf, stats, n, avgLen, qText, cfg,
           nProbe = 4)
         .select("id", "chunk_id", "rrf_score", "dense_score", "bm25_score")
+    }),
+
+    // WordPiece (BERT-family) greedy longest-match segmentation over a
+    // frequency-ranked piece vocab; a planted 'q~z' word (the '~' never
+    // occurs in the corpus) exercises the whole-word [UNK] rule. The
+    // vocab is aux-dumped; DuckDB replays EVERY word's greedy walk as a
+    // recursive CTE.
+    "q204_wordpiece" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val vocab = TextAnalysis.buildWordPieceVocab(d, "text", 300, 400)
+      writeAux(vocab, dir, "q204_vocab")
+      val pieces = vocab.select("piece").collect().map(_.getString(0)).toSeq
+      val words = d.filter(col("doc_id") < 50)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0).distinct()
+        .unionByName(Seq("q~z").toDF("word"))
+      words.withColumn("pieces", concat_ws(" ",
+          TextAnalysis.wordPieceEncodeUdf(pieces)(col("word"))))
+        .orderBy("word")
     })
   )
 
@@ -6177,7 +6197,32 @@ object SparkEntry {
         |  FROM dr FULL OUTER JOIN br ON dr.id = br.id),
         |top AS (SELECT * FROM fused ORDER BY rrf_score DESC, id LIMIT 5)
         |SELECT top.id, idx.chunk_id, top.rrf_score, top.dense_score, top.bm25_score
-        |FROM top JOIN idx ON idx.id = top.id""".stripMargin
+        |FROM top JOIN idx ON idx.id = top.id""".stripMargin,
+
+    "q204_wordpiece" ->
+      """WITH RECURSIVE vp AS (SELECT piece,
+        |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS raw,
+        |    (piece LIKE '##%') AS cont
+        |  FROM '__AUX__/q204_vocab/*.parquet'),
+        |words AS (SELECT DISTINCT w AS word FROM (
+        |    SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+        |    FROM documents WHERE doc_id < 50)
+        |  WHERE w <> ''
+        |  UNION SELECT 'q~z'),
+        |seg(word, pos, pieces) AS (
+        |  SELECT word, 0, '' FROM words
+        |  UNION ALL
+        |  SELECT s.word, s.pos + len(p.raw),
+        |    s.pieces || CASE WHEN s.pieces = '' THEN '' ELSE ' ' END || p.piece
+        |  FROM seg s, LATERAL (
+        |    SELECT piece, raw FROM vp
+        |    WHERE vp.cont = (s.pos > 0)
+        |      AND substr(s.word, s.pos + 1, len(vp.raw)) = vp.raw
+        |    ORDER BY len(raw) DESC LIMIT 1) p
+        |  WHERE s.pos < len(s.word)),
+        |done AS (SELECT word, pieces FROM seg WHERE pos = len(word))
+        |SELECT w.word, COALESCE(d.pieces, '[UNK]') AS pieces
+        |FROM words w LEFT JOIN done d USING (word) ORDER BY word""".stripMargin
   )
 
   /** Unrolled Lloyd's iterations as DuckDB CTEs: `c{t-1}` →

@@ -648,4 +648,89 @@ object TextAnalysis {
         sum(when(col("tier") === 2, 1L).otherwise(0L)).as("n_t2"),
         sum(when(col("tier") === 1, 1L).otherwise(0L)).as("n_t1"))
   }
+
+  // --- WordPiece (BERT-family) tokenizer ------------------------------
+  //
+  // The second real tokenizer family next to BPE: greedy longest-match
+  // segmentation against a fixed piece vocabulary, '##'-prefixed off
+  // the word start, whole word → [UNK] when the greedy walk strands
+  // (Wu et al. 2016; BERT's WordpieceTokenizer). BERT trains its vocab
+  // by likelihood; the deterministic stand-in here ranks substring
+  // pieces by occurrence-weighted frequency — the SELECTION rule is
+  // frequency (engine-replayable), the ENCODE is the real algorithm.
+
+  /** Frequency-ranked WordPiece vocabulary: word-START pieces
+    * (substrings at position 0, length 1..4, whole short words
+    * included naturally) and '##' CONTINUATION pieces (interior
+    * substrings length 1..4), each weighted by the word's corpus count
+    * and cut to the top `maxStarts`/`maxConts` by (weight desc, piece
+    * asc). Distributed: one word-count aggregate, one substring
+    * explode with map-side combine, two bounded [[graft.plans.TopK]]
+    * cuts — vocab-dimension output. */
+  def buildWordPieceVocab(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, maxStarts: Int = 300, maxConts: Int = 400)
+      : org.apache.spark.sql.DataFrame = {
+    val words = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val subUdf = udf { (w: String, cnt: Long) =>
+      for {
+        start <- 0 until w.length
+        l <- 1 to math.min(4, w.length - start)
+      } yield (if (start == 0) w.substring(0, l)
+               else "##" + w.substring(start, start + l), cnt)
+    }
+    val weighted = words
+      .select(explode(subUdf(col("w"), col("cnt"))).as("p"))
+      .select(col("p._1").as("piece"), col("p._2").as("cnt"))
+      .groupBy("piece").agg(sum("cnt").as("weight"))
+      .withColumn("cont", col("piece").startsWith("##"))
+    def cut(df: org.apache.spark.sql.DataFrame, k: Int) =
+      graft.plans.TopK.perKey(df, Seq("cont"),
+        Seq(("weight", false), ("piece", true)), k)
+    cut(weighted.filter(!col("cont")), maxStarts)
+      .unionByName(cut(weighted.filter(col("cont")), maxConts))
+      .select("piece", "weight")
+  }
+
+  /** Greedy WordPiece segmentation of one word: longest vocab piece at
+    * the cursor ('##'-prefixed when not at the start); a position with
+    * no matching piece voids the WHOLE word to [UNK] — BERT's rule. */
+  private[ops] def wordPieceWord(word: String, vocab: Set[String],
+      maxPieceLen: Int): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = 0
+    while (pos < word.length) {
+      var len = math.min(maxPieceLen, word.length - pos)
+      var found: String = null
+      while (len >= 1 && found == null) {
+        val raw = word.substring(pos, pos + len)
+        val cand = if (pos == 0) raw else "##" + raw
+        if (vocab(cand)) found = cand
+        len -= 1
+      }
+      if (found == null) return Seq("[UNK]")
+      out += found
+      pos += (if (pos == 0) found.length else found.length - 2)
+    }
+    out.toSeq
+  }
+
+  /** WordPiece encode as a compiled UDF over a broadcast-able vocab
+    * (piece strings; '##' marks continuations). One map-side pass —
+    * text never crosses an exchange to be tokenized. */
+  def wordPieceEncodeUdf(vocab: Seq[String])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val set = vocab.toSet
+    val maxLen = if (set.isEmpty) 1
+      else set.iterator.map(p =>
+        if (p.startsWith("##")) p.length - 2 else p.length).max
+    udf { text: String =>
+      if (text == null) Seq.empty[String]
+      else text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        .filter(_.nonEmpty).toSeq
+        .flatMap(w => wordPieceWord(w, set, maxLen))
+    }
+  }
 }

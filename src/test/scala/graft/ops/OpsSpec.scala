@@ -1471,6 +1471,39 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
 
 class TokenizerSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
+
+  test("wordPieceWord: greedy longest-match, ## continuations, whole-word UNK") {
+    val vocab = Set("un", "##able", "##ab", "##le", "a", "##a", "b", "##b")
+    // longest match wins at every cursor: un + ##able, not un ##ab ##le
+    assert(TextAnalysis.wordPieceWord("unable", vocab, 5) ==
+      Seq("un", "##able"))
+    // a position with no piece voids the WHOLE word (BERT rule)
+    assert(TextAnalysis.wordPieceWord("unablez", vocab, 5) == Seq("[UNK]"))
+    assert(TextAnalysis.wordPieceWord("zb", vocab, 5) == Seq("[UNK]"),
+      "start pieces never match as continuations and vice versa")
+    assert(TextAnalysis.wordPieceWord("ab", vocab, 5) == Seq("a", "##b"))
+  }
+
+  test("buildWordPieceVocab + encode UDF: deterministic, segments the " +
+      "corpus it was built from without UNK") {
+    val docs = Seq((1L, "alpha beta alphabet beta beta"),
+      (2L, "alpha alphabet gamma")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.buildWordPieceVocab(docs, "text", 50, 50)
+    val pieces = vocab.select("piece").as[String].collect().toSeq
+    assert(pieces.distinct.size == pieces.size)
+    val again = TextAnalysis.buildWordPieceVocab(docs, "text", 50, 50)
+      .select("piece").as[String].collect().toSeq
+    assert(again.sorted == pieces.sorted, "pure function of the corpus")
+    val enc = TextAnalysis.wordPieceEncodeUdf(pieces)
+    val out = docs.select(concat_ws(" ", enc($"text")).as("p"))
+      .as[String].collect()
+    assert(out.forall(!_.contains("[UNK]")),
+      s"vocab built FROM the corpus must cover it: ${out.toSeq}")
+    // round-trip: stripping ## markers reconstructs the text's chars
+    val joined = out.mkString(" ").replace(" ##", "").replace("##", "")
+    assert(joined == "alpha beta alphabet beta beta alpha alphabet gamma")
+  }
+
   import graft.ops.TextAnalysis
 
   test("compressionRatio: repetitive text compresses far below varied prose") {

@@ -3146,7 +3146,27 @@ object SparkEntry {
       words.withColumn("pieces", concat_ws(" ",
           TextAnalysis.wordPieceEncodeUdf(pieces)(col("word"))))
         .orderBy("word")
-    })
+    }),
+
+    // ROUGE-2 with clipped multiset counts (Lin 2004) between two
+    // overlapping slices of every doc — exact integer match counts and
+    // per-mille precision/recall, fully re-derived by DuckDB.
+    "q205_rouge" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = d.select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 20)).as("cand"),
+        concat_ws(" ", slice(split(col("text"), " "), 5, 26)).as("ref"))
+      TextAnalysis.rougeN(pairs, "doc_id", "cand", "ref", n = 2)
+        .orderBy("id")
+    }),
+
+    // Deterministic T5-style span corruption: md5-gated length-3 spans
+    // collapse to numbered sentinels, targets carry the masked tokens.
+    // DuckDB re-derives every masking decision, both rebuilt strings,
+    // and the sentinel numbering.
+    "q206_span_corrupt" -> ((s, dir) =>
+      graft.ops.Curation.spanCorrupt(t(s, dir, "documents"), "doc_id",
+        "text", spanLen = 3, maskPm = 250).orderBy("doc_id"))
   )
 
   // ---------------------------------------------------------------------
@@ -6222,8 +6242,81 @@ object SparkEntry {
         |  WHERE s.pos < len(s.word)),
         |done AS (SELECT word, pieces FROM seg WHERE pos = len(word))
         |SELECT w.word, COALESCE(d.pieces, '[UNK]') AS pieces
-        |FROM words w LEFT JOIN done d USING (word) ORDER BY word""".stripMargin
+        |FROM words w LEFT JOIN done d USING (word) ORDER BY word""".stripMargin,
+
+    "q205_rouge" ->
+      s"""WITH p AS (SELECT doc_id AS id,
+        |    array_to_string(string_split(text, ' ')[1:20], ' ') AS cand,
+        |    array_to_string(string_split(text, ' ')[5:30], ' ') AS ref
+        |  FROM documents),
+        |${rougeGramCtes("cand", "cg")},
+        |${rougeGramCtes("ref", "rg")},
+        |m AS (SELECT id, sum(least(cg.c, rg.c)) AS match_n
+        |  FROM cg JOIN rg USING (id, g) GROUP BY 1),
+        |ct AS (SELECT id, sum(c) AS s FROM cg GROUP BY 1),
+        |rt AS (SELECT id, sum(c) AS s FROM rg GROUP BY 1)
+        |SELECT p.id, CAST(COALESCE(ct.s, 0) AS BIGINT) AS cand_n,
+        |  CAST(COALESCE(rt.s, 0) AS BIGINT) AS ref_n,
+        |  CAST(COALESCE(m.match_n, 0) AS BIGINT) AS match_n,
+        |  CAST(CASE WHEN COALESCE(ct.s, 0) = 0 THEN 0
+        |    ELSE COALESCE(m.match_n, 0) * 1000 // ct.s END AS BIGINT)
+        |    AS precision_pm,
+        |  CAST(CASE WHEN COALESCE(rt.s, 0) = 0 THEN 0
+        |    ELSE COALESCE(m.match_n, 0) * 1000 // rt.s END AS BIGINT)
+        |    AS recall_pm
+        |FROM p LEFT JOIN ct ON ct.id = p.id LEFT JOIN rt ON rt.id = p.id
+        |  LEFT JOIN m ON m.id = p.id
+        |ORDER BY p.id""".stripMargin,
+
+    "q206_span_corrupt" ->
+      """WITH toks AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i+1] AS tok,
+        |    CAST(i // 3 AS BIGINT) AS span
+        |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS ws
+        |    FROM documents), UNNEST(range(len(ws))) t(i)),
+        |sp AS (SELECT DISTINCT doc_id, span FROM toks),
+        |msk AS (SELECT doc_id, span,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || '_' ||
+        |      CAST(span AS VARCHAR)), 1, 8) < '40000000' AS m
+        |  FROM sp),
+        |sk AS (SELECT doc_id, span,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY span) - 1 AS k
+        |  FROM msk WHERE m),
+        |inp AS (
+        |  SELECT t.doc_id, t.pos AS ord, t.tok
+        |  FROM toks t JOIN msk ON msk.doc_id = t.doc_id AND msk.span = t.span
+        |  WHERE NOT msk.m
+        |  UNION ALL
+        |  SELECT s.doc_id, s.span * 3,
+        |    '<extra_id_' || CAST(s.k AS VARCHAR) || '>' FROM sk s),
+        |inag AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ord)
+        |    AS input_text FROM inp GROUP BY 1),
+        |tgt AS (
+        |  SELECT s.doc_id, s.span * 30 AS ord,
+        |    '<extra_id_' || CAST(s.k AS VARCHAR) || '>' AS tok FROM sk s
+        |  UNION ALL
+        |  SELECT t.doc_id, t.pos * 10 + 5, t.tok
+        |  FROM toks t JOIN sk s ON s.doc_id = t.doc_id AND s.span = t.span),
+        |tgag AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ord)
+        |    AS target_text FROM tgt GROUP BY 1),
+        |nm AS (SELECT doc_id, count(*) AS n_masked FROM sk GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(i.input_text, '') AS input_text,
+        |  COALESCE(g.target_text, '') AS target_text,
+        |  CAST(COALESCE(nm.n_masked, 0) AS BIGINT) AS n_masked
+        |FROM documents d LEFT JOIN inag i USING (doc_id)
+        |  LEFT JOIN tgag g USING (doc_id) LEFT JOIN nm USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
   )
+
+  /** ROUGE word-bigram multiset counts of column `c` of CTE `p` as a
+    * DuckDB CTE `<name>(id, g, c)` (lowercased grams — the Spark
+    * tokenizer's normalization). */
+  private def rougeGramCtes(c: String, name: String): String =
+    s"""$name AS (SELECT id, g, count(*) AS c FROM (
+       |    SELECT id, unnest([lower(ws[i+1]) || ' ' || lower(ws[i+2])
+       |        for i in range(len(ws) - 1)]) AS g
+       |    FROM (SELECT id, string_split($c, ' ') AS ws FROM p)
+       |    WHERE len(ws) >= 2)
+       |  GROUP BY 1, 2)"""
 
   /** Unrolled Lloyd's iterations as DuckDB CTEs: `c{t-1}` →
     * distances → argmin (tie → smallest centroid index) → floor-division

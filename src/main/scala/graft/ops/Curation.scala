@@ -457,6 +457,70 @@ object Curation {
         col("n_tokens"), size(col("__kept")).cast("long").as("kept_tokens"))
   }
 
+  /** Deterministic T5-style span corruption — denoising-pretraining
+    * example construction with NO RNG (the house derandomization:
+    * masking decisions come from `md5(doc_id || '_' || span_idx)`, the
+    * [[Sampling.hexKey]] idiom, so a re-run — or a second engine —
+    * rebuilds the identical corpus): tokens tile into fixed `spanLen`
+    * spans, a span masks iff its first 8 md5 hex digits fall below
+    * `maskPm/1000 · 16^8`, masked spans collapse to `<extra_id_K>`
+    * sentinels numbered left to right, and the TARGET is the sentinel
+    * sequence with the masked tokens (T5's objective layout; Raffel et
+    * al. 2020 §3.1.4 — their span sampling is randomized, the tiling
+    * here is the engine-replayable stand-in, stated plainly).
+    * One compiled map-side pass per row; text never crosses an
+    * exchange. Returns (doc_id, input_text, target_text, n_masked). */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 3, maskPm: Int = 250): DataFrame = {
+    require(spanLen >= 1 && maskPm >= 0 && maskPm <= 1000,
+      s"bad spanCorrupt params spanLen=$spanLen maskPm=$maskPm")
+    // 8-hex-digit threshold for the lexicographic compare; maskPm=1000
+    // would format to NINE digits (2^32) and sort before "2"-prefixed
+    // hashes — clamp to a sentinel that sorts after every hex string
+    val threshold =
+      if (maskPm == 1000) "g" else f"${(maskPm.toLong << 32) / 1000}%08x"
+    val corrupt = udf { (id: String, text: String) =>
+      val ws = (if (text == null) "" else text).trim.split("\\s+")
+        .filter(_.nonEmpty)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def masked(span: Int): Boolean = {
+        val hex = md.digest(s"${id}_$span".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 8)
+        hex < threshold
+      }
+      val in = new StringBuilder
+      val tgt = new StringBuilder
+      var k = 0
+      var i = 0
+      while (i < ws.length) {
+        val span = i / spanLen
+        if (i % spanLen == 0 && masked(span)) {
+          val sentinel = s"<extra_id_$k>"
+          if (in.nonEmpty) in.append(' ')
+          in.append(sentinel)
+          if (tgt.nonEmpty) tgt.append(' ')
+          tgt.append(sentinel)
+          var j = i
+          while (j < math.min(i + spanLen, ws.length)) {
+            tgt.append(' ').append(ws(j)); j += 1
+          }
+          k += 1
+          i = math.min(i + spanLen, ws.length)
+        } else {
+          if (in.nonEmpty) in.append(' ')
+          in.append(ws(i))
+          i += 1
+        }
+      }
+      (in.toString, tgt.toString, k)
+    }
+    docs.select(col(idCol),
+        corrupt(col(idCol).cast("string"), col(textCol)).as("__c"))
+      .select(col(idCol), col("__c._1").as("input_text"),
+        col("__c._2").as("target_text"),
+        col("__c._3").cast("long").as("n_masked"))
+  }
+
   // -------------------------------------------------------------------
   // C4-style line filtering: keep lines that end in terminal punctuation
   // and carry at least `minWords` words; drop the whole document when it

@@ -717,6 +717,49 @@ object TextAnalysis {
     out.toSeq
   }
 
+  /** ROUGE-N overlap between candidate and reference text columns —
+    * the summarization/eval metric a training pipeline scores its eval
+    * sets with, in EXACT integers: per row,
+    * `match_n = Σ_g min(count_cand(g), count_ref(g))` over word
+    * n-grams (the clipped-count rule of Lin 2004), plus total gram
+    * counts and per-mille precision/recall (0 when a side has no
+    * grams). Relational end to end — grams explode with multiset
+    * counts, one (id, gram)-keyed equi-join, map-side-combine sums;
+    * nothing needs the texts after the gram pass. */
+  def rougeN(pairs: org.apache.spark.sql.DataFrame, idCol: String,
+      candCol: String, refCol: String, n: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val gramUdf = udf { text: String =>
+      val ws = tokenize(text).filter(_.nonEmpty)
+      if (ws.length < n) Seq.empty[String]
+      else ws.sliding(n).map(_.mkString(" ")).toSeq
+    }
+    def counts(c: String, out: String) = pairs
+      .select(col(idCol).as("id"), explode(gramUdf(col(c))).as("gram"))
+      .groupBy("id", "gram").agg(count(lit(1)).as(out))
+    val cand = counts(candCol, "c_cand")
+    val ref = counts(refCol, "c_ref")
+    val matched = cand.join(ref, Seq("id", "gram"))
+      .groupBy("id")
+      .agg(sum(least(col("c_cand"), col("c_ref"))).as("match_n"))
+    val totals = cand.groupBy("id").agg(sum("c_cand").as("cand_n"))
+      .join(ref.groupBy("id").agg(sum("c_ref").as("ref_n")), Seq("id"), "full_outer")
+    pairs.select(col(idCol).as("id")).distinct()
+      .join(totals, Seq("id"), "left")
+      .join(matched, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cand_n"), lit(0L)).as("cand_n"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("match_n"), lit(0L)).as("match_n"))
+      .withColumn("precision_pm",
+        when(col("cand_n") === 0L, 0L)
+          .otherwise(expr("match_n * 1000 div cand_n")))
+      .withColumn("recall_pm",
+        when(col("ref_n") === 0L, 0L)
+          .otherwise(expr("match_n * 1000 div ref_n")))
+  }
+
   /** WordPiece encode as a compiled UDF over a broadcast-able vocab
     * (piece strings; '##' marks continuations). One map-side pass —
     * text never crosses an exchange to be tokenized. */

@@ -439,6 +439,49 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(!above.contains(11L) && above.contains(10L))
   }
 
+  test("spanCorrupt: sentinels number left-to-right, target carries the " +
+      "masked tokens, unmasked text survives in order, deterministic") {
+    val df = Seq((1L, (0 until 12).map(i => s"t$i").mkString(" ")),
+      (2L, ""), (3L, "solo")).toDF("doc_id", "text")
+    val got = Curation.spanCorrupt(df, "doc_id", "text",
+        spanLen = 3, maskPm = 1000) // every span masks
+      .as[(Long, String, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("<extra_id_0> <extra_id_1> <extra_id_2> <extra_id_3>",
+      "<extra_id_0> t0 t1 t2 <extra_id_1> t3 t4 t5 " +
+        "<extra_id_2> t6 t7 t8 <extra_id_3> t9 t10 t11", 4L)), got.toString)
+    assert(got(2L) == (("", "", 0L)))
+    assert(got(3L) == (("<extra_id_0>", "<extra_id_0> solo", 1L)),
+      "a short tail span still masks whole")
+    val none = Curation.spanCorrupt(df, "doc_id", "text",
+        spanLen = 3, maskPm = 0) // nothing masks
+      .as[(Long, String, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(none(1L)._1 == (0 until 12).map(i => s"t$i").mkString(" "))
+    assert(none(1L)._2 == "" && none(1L)._3 == 0L)
+    // reconstruction invariant at any rate: interleaving input's
+    // sentinels with target spans rebuilds the original token stream
+    val mid = Curation.spanCorrupt(df, "doc_id", "text",
+        spanLen = 3, maskPm = 400)
+      .as[(Long, String, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val (in1, tg1) = mid(1L)
+    val rebuilt = in1.split(" ").filter(_.nonEmpty).flatMap { tok =>
+      if (tok.startsWith("<extra_id_")) {
+        val k = tok.stripPrefix("<extra_id_").stripSuffix(">")
+        val seg = tg1.split("<extra_id_").find(_.startsWith(k + ">"))
+          .get.stripPrefix(k + ">").trim
+        seg.split(" ").filter(_.nonEmpty)
+      } else Array(tok)
+    }.mkString(" ")
+    assert(rebuilt == (0 until 12).map(i => s"t$i").mkString(" "),
+      s"sentinel interleave must reconstruct: $rebuilt")
+    val again = Curation.spanCorrupt(df, "doc_id", "text", 3, 400)
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(again == Curation.spanCorrupt(df, "doc_id", "text", 3, 400)
+      .as[(Long, String, String, Long)].collect().toSet, "no RNG anywhere")
+  }
+
   test("removeRepeatedSpans: shared span excised from BOTH docs, clean doc " +
       "untouched, fully-covered doc becomes empty") {
     val df = Seq(

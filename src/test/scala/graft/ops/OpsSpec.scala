@@ -1472,6 +1472,25 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
 class TokenizerSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
+  test("rougeN: clipped multiset counts, per-mille arithmetic, " +
+      "degenerate sides at zero") {
+    val pairs = Seq(
+      // cand bigrams: {a b, b a, a b} ; ref bigrams: {a b, b c}
+      // clipped match on 'a b' = min(2, 1) = 1
+      (1L, "a b a b", "a b c"),
+      (2L, "x y", "p q"),     // no overlap
+      (3L, "", "a b"),        // empty candidate
+      (4L, "a b c d", "a b c d")) // identical
+      .toDF("id", "cand", "ref")
+    val got = TextAnalysis.rougeN(pairs, "id", "cand", "ref", n = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got(1L) == ((3L, 2L, 1L, 333L, 500L)), got.toString)
+    assert(got(2L) == ((1L, 1L, 0L, 0L, 0L)))
+    assert(got(3L) == ((0L, 1L, 0L, 0L, 0L)))
+    assert(got(4L) == ((3L, 3L, 3L, 1000L, 1000L)))
+  }
+
   test("wordPieceWord: greedy longest-match, ## continuations, whole-word UNK") {
     val vocab = Set("un", "##able", "##ab", "##le", "a", "##a", "b", "##b")
     // longest match wins at every cursor: un + ##able, not un ##ab ##le

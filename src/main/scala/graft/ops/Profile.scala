@@ -505,7 +505,10 @@ object Profile {
     if (hashes.size < k) hashes.size.toLong
     else {
       val vk = hex60(hashes.sorted.apply(k - 1))
-      ((BigInt(k - 1) << 60) / BigInt(vk)).toLong
+      // cap instead of BigInt.toLong's silent wrap: a k-th hash with a
+      // near-zero 60-bit prefix (degenerate/hostile input) would put
+      // (k−1)·2^60/v_k past Long range
+      ((BigInt(k - 1) << 60) / BigInt(vk)).min(BigInt(Long.MaxValue)).toLong
     }
 
   /** [[kmvEstimateOf]] over a persisted sketch (O(k) rows by

@@ -3166,7 +3166,19 @@ object SparkEntry {
     // and the sentinel numbering.
     "q206_span_corrupt" -> ((s, dir) =>
       graft.ops.Curation.spanCorrupt(t(s, dir, "documents"), "doc_id",
-        "text", spanLen = 3, maskPm = 250).orderBy("doc_id"))
+        "text", spanLen = 3, maskPm = 250).orderBy("doc_id")),
+
+    // Semantic decontamination: the eval split (vec_id % 50 == 0)
+    // broadcasts into one codegen cosine pass over the train side;
+    // pairs at cos >= 0.35 flag. DuckDB recomputes every train x eval
+    // cosine and the threshold cut.
+    "q207_semantic_decontam" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ops.Curation.semanticContamination(
+          e.filter(col("vec_id") % 50 =!= 0), e.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", minCos = 0.35)
+        .orderBy("doc_id", "eval_id")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -6304,7 +6316,20 @@ object SparkEntry {
         |  CAST(COALESCE(nm.n_masked, 0) AS BIGINT) AS n_masked
         |FROM documents d LEFT JOIN inag i USING (doc_id)
         |  LEFT JOIN tgag g USING (doc_id) LEFT JOIN nm USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q207_semantic_decontam" ->
+      """WITH ev AS (SELECT vec_id AS eval_id, embedding AS evv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |tr AS (SELECT vec_id AS doc_id, embedding AS tvv
+        |  FROM embeddings WHERE vec_id % 50 <> 0),
+        |c AS (SELECT doc_id, eval_id,
+        |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+        |  FROM (SELECT t.doc_id, e.eval_id, unnest(t.tvv)::DOUBLE AS x,
+        |        unnest(e.evv)::DOUBLE AS y FROM tr t CROSS JOIN ev e)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, eval_id, cos FROM c WHERE cos >= 0.35
+        |ORDER BY doc_id, eval_id""".stripMargin
   )
 
   /** ROUGE word-bigram multiset counts of column `c` of CTE `p` as a

@@ -457,6 +457,29 @@ object Curation {
         col("n_tokens"), size(col("__kept")).cast("long").as("kept_tokens"))
   }
 
+  /** Semantic eval-set decontamination — the third member of the
+    * decontamination family (exact 5-gram [[contamination]] catches
+    * verbatim, MinHash [[fuzzyContamination]] catches edits; this
+    * catches PARAPHRASES that share no shingles): flag train docs whose
+    * embedding cosine against ANY eval doc reaches `minCos`. Eval sets
+    * are serving-sized by nature, so the eval (id, vector) table rides
+    * a BROADCAST into one codegen cosine pass over the train corpus —
+    * flagging 100 TB of train is one map-side scan, no shuffle of
+    * train rows at all; at larger eval sets the same contract runs
+    * over an IVF/LSH candidate stream. Cosines round to 6 before the
+    * threshold (engine-portable). Returns (doc_id, eval_id, cos) for
+    * every flagged (train, eval) pair. */
+  def semanticContamination(train: DataFrame, eval: DataFrame,
+      idCol: String, vecCol: String, minCos: Double): DataFrame = {
+    import graft.functions.GraftFunctions.vecCosine
+    val ev = eval.select(col(idCol).as("eval_id"), col(vecCol).as("__ev"))
+    train.select(col(idCol).as("doc_id"), col(vecCol).as("__tv"))
+      .crossJoin(broadcast(ev))
+      .withColumn("cos", round(vecCosine(col("__tv"), col("__ev")), 6))
+      .filter(col("cos") >= minCos)
+      .select("doc_id", "eval_id", "cos")
+  }
+
   /** Deterministic T5-style span corruption — denoising-pretraining
     * example construction with NO RNG (the house derandomization:
     * masking decisions come from `md5(doc_id || '_' || span_idx)`, the

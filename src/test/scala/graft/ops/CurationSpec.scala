@@ -439,6 +439,29 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(!above.contains(11L) && above.contains(10L))
   }
 
+  test("semanticContamination: paraphrase-close vectors flag, orthogonal " +
+      "ones don't; eval side broadcasts") {
+    val train = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),          // == eval 100
+      (2L, Seq(0.9f, 0.1f, 0f, 0f)),      // close to eval 100
+      (3L, Seq(0f, 0f, 1f, 0f)))          // orthogonal
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val eval = Seq((100L, Seq(1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val got = Curation.semanticContamination(train, eval,
+        "vec_id", "embedding", minCos = 0.9)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L), got.toSeq.toString)
+    assert(got.head._3 == 1.0)
+    assert(got.forall(_._2 == 100L))
+    // scale contract: the eval table is the broadcast side
+    val plan = Curation.semanticContamination(train, eval,
+        "vec_id", "embedding", 0.9).queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"eval must broadcast:\n$plan")
+  }
+
   test("spanCorrupt: sentinels number left-to-right, target carries the " +
       "masked tokens, unmasked text survives in order, deterministic") {
     val df = Seq((1L, (0 until 12).map(i => s"t$i").mkString(" ")),

@@ -3178,6 +3178,35 @@ object SparkEntry {
           e.filter(col("vec_id") % 50 =!= 0), e.filter(col("vec_id") % 50 === 0),
           "vec_id", "embedding", minCos = 0.35)
         .orderBy("doc_id", "eval_id")
+    }),
+
+    // Embedding-space outlier audit on the q192 k-means fit: a point
+    // flags when dist2 · n_cluster > 4 · sum_cluster — exact integer
+    // cross-multiplication, no mean ever materialized. DuckDB replays
+    // the whole fit (the shared q192 CTE chain) plus the flag rule.
+    "q208_embedding_outliers" -> ((s, dir) =>
+      Similarity.embeddingOutliers(t(s, dir, "embeddings"), k = 4,
+          iters = 2, factor = 4)
+        .orderBy("vec_id")),
+
+    // TPC-H Q18 shape (large-quantity orders): HAVING-gated aggregate
+    // feeding a semi-join back into the customer⋈orders star — the
+    // third classic optimizer shape next to q127 (Q3) and q128 (Q10).
+    // Declarative; Catalyst plans the semi-join and the partial aggs.
+    "q209_large_orders" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("total_cents"),
+          col("sum_qty").cast("long").as("sum_qty"))
+        .orderBy(desc("total_cents"), col("o_orderkey"))
+        .limit(20)
     })
   )
 
@@ -6329,7 +6358,44 @@ object SparkEntry {
         |        unnest(e.evv)::DOUBLE AS y FROM tr t CROSS JOIN ev e)
         |  GROUP BY 1, 2)
         |SELECT doc_id, eval_id, cos FROM c WHERE cos >= 0.35
-        |ORDER BY doc_id, eval_id""".stripMargin
+        |ORDER BY doc_id, eval_id""".stripMargin,
+
+    "q208_embedding_outliers" ->
+      s"""WITH dims AS (SELECT vec_id, i,
+        |    CAST(round(embedding[i + 1]::DOUBLE * 1000000) AS BIGINT)
+        |      + 2097152 AS xi
+        |  FROM (SELECT vec_id, embedding,
+        |      unnest(range(len(embedding))) AS i FROM embeddings)),
+        |ord AS (SELECT vec_id, row_number() OVER (
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
+        |    - 1 AS j FROM embeddings),
+        |c0 AS (SELECT o.j, d.i, d.xi AS c
+        |  FROM ord o JOIN dims d USING (vec_id) WHERE o.j < 4),
+        |${kmeansIterCtes(2)}
+        |df AS (SELECT d.vec_id, c.j,
+        |    sum((d.xi - c.c) * (d.xi - c.c)) AS dist
+        |  FROM dims d JOIN c2 c ON c.i = d.i GROUP BY 1, 2),
+        |asg AS (SELECT vec_id, j AS cluster, dist AS dist2
+        |  FROM (SELECT vec_id, j, dist, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist, j) AS rn FROM df)
+        |  WHERE rn = 1),
+        |st AS (SELECT cluster, count(*) AS n_c, sum(dist2) AS sum_c
+        |  FROM asg GROUP BY 1)
+        |SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+        |  CAST(a.dist2 AS BIGINT) AS dist2, CAST(s.n_c AS BIGINT) AS n_c,
+        |  CAST(CASE WHEN a.dist2 * s.n_c > 4 * s.sum_c THEN 1 ELSE 0 END
+        |    AS BIGINT) AS flagged
+        |FROM asg a JOIN st s USING (cluster) ORDER BY a.vec_id""".stripMargin,
+
+    "q209_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+        |SELECT c.c_name, o.o_orderkey,
+        |  CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS total_cents,
+        |  CAST(b.sum_qty AS BIGINT) AS sum_qty
+        |FROM orders o JOIN big b ON b.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY total_cents DESC, o.o_orderkey LIMIT 20""".stripMargin
   )
 
   /** ROUGE word-bigram multiset counts of column `c` of CTE `p` as a

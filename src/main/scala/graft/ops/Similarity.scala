@@ -1351,4 +1351,26 @@ object Similarity {
     }.toSeq.toDF("cluster", "dim", "c")
     (assignments, centroidRows)
   }
+
+  /** Embedding-space outlier audit over a [[kMeans]] fit — the
+    * "mislabeled/garbage vector" sweep a pipeline runs before trusting
+    * an embedding column: a point flags when its squared distance to
+    * its own centroid exceeds `factor`× the CLUSTER MEAN squared
+    * distance, compared in exact integers by cross-multiplication
+    * (`dist2 · n_c > factor · sum_c` — no mean is ever materialized,
+    * so both engines agree bit-for-bit; a percentile cut via the KLL
+    * sketch is the q177-style alternative when tails are heavy).
+    * One (cluster)-keyed aggregate over the assignment table; vectors
+    * are touched only by the assignment pass itself. */
+  def embeddingOutliers(emb: DataFrame, k: Int, iters: Int,
+      factor: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (assigned, _) = kMeans(emb, k, iters, idCol, vecCol)
+    val stats = assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("n_c"), sum("dist2").as("sum_c"))
+    assigned.join(stats, Seq("cluster"))
+      .select(col(idCol), col("cluster"), col("dist2"), col("n_c"),
+        when(col("dist2") * col("n_c") > lit(factor.toLong) * col("sum_c"),
+          1L).otherwise(0L).as("flagged"))
+  }
 }

@@ -1071,6 +1071,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(cents.map(_._3).toSeq == want, s"got ${cents.toSeq}")
   }
 
+  test("embeddingOutliers: a planted far point flags, tight-cluster " +
+      "members don't; exact cross-multiplied rule") {
+    val tight = (0 until 10).map(i =>
+      (i.toLong, Seq(1f + i * 0.001f, 0f, 0f, 0f)))
+    val far = Seq((99L, Seq(-40f, 40f, 0f, 0f))) // same cluster, way out
+    val df = (tight ++ far).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val got = Similarity.embeddingOutliers(df, k = 1, iters = 2, factor = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(got(99L) == 1L, s"planted outlier must flag: $got")
+    assert((0L to 9L).forall(got(_) == 0L), s"tight members stay: $got")
+  }
+
   test("kMeans: a cluster left empty keeps its previous centroid") {
     // three identical points: the two init centroids coincide, argmin
     // ties to centroid 0, centroid 1 is never assigned a point and must

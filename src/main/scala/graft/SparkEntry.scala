@@ -3207,7 +3207,25 @@ object SparkEntry {
           col("sum_qty").cast("long").as("sum_qty"))
         .orderBy(desc("total_cents"), col("o_orderkey"))
         .limit(20)
-    })
+    }),
+
+    // Release datasheet: the per-language + corpus-wide numbers a
+    // dataset card ships with (docs, tokens, chars, exact-unique
+    // digests, char bounds) in ONE rollup pass — exact integers only.
+    "q210_release_datasheet" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("n_toks",
+          size(split(trim(col("text")), "\\s+")).cast("long"))
+        .withColumn("dig", md5(col("text")))
+        .rollup("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+          sum("n_chars").as("sum_chars"),
+          countDistinct(col("dig")).as("n_unique"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .select(coalesce(col("lang"), lit("__all__")).as("lang"),
+          col("n_docs"), col("n_tokens"), col("sum_chars"),
+          col("n_unique"), col("min_chars"), col("max_chars"))
+        .orderBy("lang"))
   )
 
   // ---------------------------------------------------------------------
@@ -6395,7 +6413,18 @@ object SparkEntry {
         |  CAST(b.sum_qty AS BIGINT) AS sum_qty
         |FROM orders o JOIN big b ON b.l_orderkey = o.o_orderkey
         |  JOIN customer c ON c.c_custkey = o.o_custkey
-        |ORDER BY total_cents DESC, o.o_orderkey LIMIT 20""".stripMargin
+        |ORDER BY total_cents DESC, o.o_orderkey LIMIT 20""".stripMargin,
+
+    "q210_release_datasheet" ->
+      """SELECT COALESCE(lang, '__all__') AS lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY ROLLUP (lang)
+        |ORDER BY COALESCE(lang, '__all__')""".stripMargin
   )
 
   /** ROUGE word-bigram multiset counts of column `c` of CTE `p` as a

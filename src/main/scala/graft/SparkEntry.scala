@@ -2917,30 +2917,35 @@ object SparkEntry {
     // every input to the snapshot chain is a deterministic filter of it.
     "q194_snapshot_takedown" -> ((s, dir) => {
       import s.implicits._
-      val base = new java.io.File(
-        s"/tmp/graft_snapshots_demo/${new java.io.File(dir).getName}").toString
+      // run-unique scratch root (ADVICE r9): two concurrent harness runs
+      // over the same dataset dir must not race on a shared /tmp path.
+      // The per-version probes below are eager counts over a local Seq,
+      // so the tree is removable before the (local) result DF returns.
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_snapshots_demo_").toString
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(base), s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh rebuild
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id").as("id"), col("text"), col("source"))
-      graft.index.Snapshots.upsertVersioned(s,
-        docs.filter(col("id") < 100), base)
-      graft.index.Snapshots.upsertVersioned(s,
-        docs.filter(col("id").between(50, 149))
-          .withColumn("text", concat(col("text"), lit(" v2"))), base)
-      graft.index.Snapshots.deleteIdsVersioned(s,
-        docs.filter(col("id") % 10 === 0).select("id"), base)
-      graft.index.Snapshots.purgeIds(s,
-        docs.filter(col("id") === 7).select("id"), base)
-      graft.index.Snapshots.versions(s, base).map { v =>
-        val d = graft.index.Snapshots.readVersion(s, base, v)
-        (v, d.count(),
-          d.filter(col("id") % 10 === 0).count(),
-          d.filter(col("id") === 7).count(),
-          d.filter(col("text").endsWith(" v2")).count())
-      }.toDF("version", "n_rows", "n_mod10", "n_id7", "n_v2")
-        .orderBy("version")
+      try {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id").as("id"), col("text"), col("source"))
+        graft.index.Snapshots.upsertVersioned(s,
+          docs.filter(col("id") < 100), base)
+        graft.index.Snapshots.upsertVersioned(s,
+          docs.filter(col("id").between(50, 149))
+            .withColumn("text", concat(col("text"), lit(" v2"))), base)
+        graft.index.Snapshots.deleteIdsVersioned(s,
+          docs.filter(col("id") % 10 === 0).select("id"), base)
+        graft.index.Snapshots.purgeIds(s,
+          docs.filter(col("id") === 7).select("id"), base)
+        graft.index.Snapshots.versions(s, base).map { v =>
+          val d = graft.index.Snapshots.readVersion(s, base, v)
+          (v, d.count(),
+            d.filter(col("id") % 10 === 0).count(),
+            d.filter(col("id") === 7).count(),
+            d.filter(col("text").endsWith(" v2")).count())
+        }.toDF("version", "n_rows", "n_mod10", "n_id7", "n_v2")
+          .orderBy("version")
+      } finally fs.delete(new org.apache.hadoop.fs.Path(base), true)
     }),
 
     // Sketch-derived balanced range sharding: the repartitionByRange

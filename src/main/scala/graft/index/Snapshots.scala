@@ -75,11 +75,29 @@ object Snapshots {
     spark.read.parquet(new org.apache.hadoop.fs.Path(path, gen).toString)
   }
 
-  private def readManifest(fs: org.apache.hadoop.fs.FileSystem, path: String,
+  private def rawManifest(fs: org.apache.hadoop.fs.FileSystem, path: String,
       v: Long): String = {
     val in = fs.open(new org.apache.hadoop.fs.Path(manifestDir(path), s"v-$v"))
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
+  }
+
+  /** Layout discriminator, inferred from the manifest shape: a FLAT
+    * manifest is one token per version ("gen-00003"); a BUCKETED one is
+    * two tokens per line ("0 gen-00003"). Each op require()s the layout
+    * it understands, so a cross-layout call fails with a routed message
+    * instead of a bare MatchError / opaque path error. */
+  private def isBucketedManifest(txt: String): Boolean =
+    txt.linesIterator.map(_.trim).find(_.nonEmpty)
+      .exists(_.split("\\s+").length == 2)
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      v: Long): String = {
+    val txt = rawManifest(fs, path, v)
+    require(!isBucketedManifest(txt),
+      s"snapshot table at $path uses the BUCKETED layout — use " +
+        "readVersionBucketed / upsertVersionedBucketed (flat op refused)")
+    txt.trim
   }
 
   /** Atomically commit generation dir `gen` as version `v`. */
@@ -173,7 +191,10 @@ object Snapshots {
 
   private def readBucketManifest(fs: org.apache.hadoop.fs.FileSystem,
       path: String, v: Long): Map[Int, String] = {
-    val txt = readManifest(fs, path, v)
+    val txt = rawManifest(fs, path, v)
+    require(isBucketedManifest(txt),
+      s"snapshot table at $path uses the FLAT layout — use " +
+        "readVersion / upsertVersioned (bucketed op refused)")
     txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
       val Array(b, gen) = line.split("\\s+", 2)
       b.toInt -> gen
@@ -360,19 +381,47 @@ object Snapshots {
     val (drop, keep) = vs.partition(_ < keepFrom)
     require(keep.nonEmpty,
       s"expireBefore($keepFrom) would remove every snapshot at $path")
-    val keptGens = keep.map(v => readManifest(fs, path, v)).toSet
-    drop.foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(manifestDir(path), s"v-$v"), false)
-    }
     val root = new org.apache.hadoop.fs.Path(path)
-    val live = versions(spark, path).map(v => readManifest(fs, path, v)).toSet
     var deleted = 0L
-    fs.listStatus(root).foreach { s =>
-      val name = s.getPath.getName
-      if (s.isDirectory && name.startsWith("gen-") && !live.contains(name) &&
-          !keptGens.contains(name)) {
-        fs.delete(s.getPath, true)
-        deleted += 1
+    if (isBucketedManifest(rawManifest(fs, path, keep.head))) {
+      // Bucketed layout: kept/live references are (bucket, gen) pairs;
+      // sweep each bucket-*/gen-* dir not referenced by any surviving
+      // manifest. Orphans from crashed commits are swept for free.
+      val keptRefs = keep.flatMap(v => readBucketManifest(fs, path, v)).toSet
+      drop.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(manifestDir(path), s"v-$v"),
+          false)
+      }
+      val live = versions(spark, path)
+        .flatMap(v => readBucketManifest(fs, path, v)).toSet
+      fs.listStatus(root).foreach { bs =>
+        val bname = bs.getPath.getName
+        if (bs.isDirectory && bname.startsWith("bucket-")) {
+          val b = bname.stripPrefix("bucket-").toInt
+          fs.listStatus(bs.getPath).foreach { gs =>
+            val gname = gs.getPath.getName
+            if (gs.isDirectory && gname.startsWith("gen-") &&
+                !live.contains(b -> gname) && !keptRefs.contains(b -> gname)) {
+              fs.delete(gs.getPath, true)
+              deleted += 1
+            }
+          }
+        }
+      }
+    } else {
+      val keptGens = keep.map(v => readManifest(fs, path, v)).toSet
+      drop.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(manifestDir(path), s"v-$v"),
+          false)
+      }
+      val live = versions(spark, path).map(v => readManifest(fs, path, v)).toSet
+      fs.listStatus(root).foreach { s =>
+        val name = s.getPath.getName
+        if (s.isDirectory && name.startsWith("gen-") && !live.contains(name) &&
+            !keptGens.contains(name)) {
+          fs.delete(s.getPath, true)
+          deleted += 1
+        }
       }
     }
     deleted

@@ -338,7 +338,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_cand"), sum("ok").as("n_verified"))
     val buckets = banded.groupBy("band_id")
       .agg(countDistinct(col("band_hash")).as("n_buckets"))
-    buckets.join(perBand, Seq("band_id"), "left")
+    val audit = buckets.join(perBand, Seq("band_id"), "left")
       .select(col("band_id").cast("long").as("band_id"),
         col("n_buckets"),
         coalesce(col("n_cand"), lit(0L)).as("n_cand"),
@@ -346,6 +346,16 @@ object Dedup {
         when(coalesce(col("n_cand"), lit(0L)) === 0L, 0L)
           .otherwise(expr("n_verified * 1000 div n_cand")).cast("long")
           .as("precision_pm"))
+    // The audit is O(bands) rows by contract — materialize it here so
+    // the cached signatures can be released before returning (a
+    // long-lived session running repeated audits must not accumulate
+    // cached partitions until LRU eviction).
+    val rows = audit.collect().toSeq
+    sig.unpersist()
+    df.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      audit.schema)
   }
 
   /** Connected components over a near-dup pair graph — the step that

@@ -511,6 +511,14 @@ object Profile {
       ((BigInt(k - 1) << 60) / BigInt(vk)).min(BigInt(Long.MaxValue)).toLong
     }
 
+  /** matched·estU/k in BigInt, capped at Long.MaxValue — [[kmvEstimateOf]]
+    * deliberately caps estU at Long.MaxValue for degenerate/hostile
+    * sketches, and a plain Long multiply would overflow negative (and
+    * diverge from the oracle's HUGEINT arithmetic) in exactly the case
+    * the cap defends against. */
+  private[ops] def estIntersection(matched: Long, estU: Long, k: Int): Long =
+    ((BigInt(matched) * BigInt(estU)) / k).min(BigInt(Long.MaxValue)).toLong
+
   /** [[kmvEstimateOf]] over a persisted sketch (O(k) rows by
     * construction — the driver read is the contract, as in
     * [[quantileSketchMerge]]). */
@@ -537,7 +545,7 @@ object Profile {
     val matched = union.count(h => ha(h) && hb(h)).toLong
     Seq((ha.size.toLong, hb.size.toLong,
         kmvEstimateOf(ha.toSeq, k), kmvEstimateOf(hb.toSeq, k),
-        estU, matched, matched * estU / k, matched * 1000L / k))
+        estU, matched, estIntersection(matched, estU, k), matched * 1000L / k))
       .toDF("n_a", "n_b", "est_a", "est_b", "est_union", "matched",
         "est_intersection", "jaccard_pm")
   }
@@ -579,7 +587,7 @@ object Profile {
       val estU = kmvEstimateOf(union, k)
       val matched = union.count(h => ha(h) && hb(h)).toLong
       (g1, g2, ha.size.toLong, hb.size.toLong, estU, matched,
-        matched * estU / k, matched * 1000L / k)
+        estIntersection(matched, estU, k), matched * 1000L / k)
     }
     rows.toDF("g1", "g2", "n_g1", "n_g2", "est_union", "matched",
       "est_intersection", "jaccard_pm")

@@ -199,4 +199,67 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](
       Snapshots.upsertVersionedBucketed(spark, batch, path, nb + 1))
   }
+
+  test("cross-layout calls refuse with a routed message (no MatchError / " +
+      "opaque path error)") {
+    val flat = tmp()
+    Snapshots.upsertVersioned(spark, Seq(("a", "1")).toDF("id", "payload"), flat)
+    val bucketed = tmp()
+    Snapshots.upsertVersionedBucketed(spark,
+      Seq(("a", "1")).toDF("id", "payload"), bucketed, buckets = 4)
+
+    val e1 = intercept[IllegalArgumentException](
+      Snapshots.readVersionBucketed(spark, flat))
+    assert(e1.getMessage.contains("FLAT layout"))
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.readVersion(spark, bucketed))
+    assert(e2.getMessage.contains("BUCKETED layout"))
+    // flat-only mutation ops route the same way on a bucketed table
+    assert(intercept[IllegalArgumentException](
+      Snapshots.deleteIdsVersioned(spark, Seq("a").toDF("id"), bucketed))
+      .getMessage.contains("BUCKETED layout"))
+    assert(intercept[IllegalArgumentException](
+      Snapshots.purgeIds(spark, Seq("a").toDF("id"), bucketed))
+      .getMessage.contains("BUCKETED layout"))
+    assert(intercept[IllegalArgumentException](
+      Snapshots.upsertVersioned(spark,
+        Seq(("b", "2")).toDF("id", "payload"), bucketed))
+      .getMessage.contains("BUCKETED layout"))
+    assert(intercept[IllegalArgumentException](
+      Snapshots.upsertVersionedBucketed(spark,
+        Seq(("b", "2")).toDF("id", "payload"), flat, buckets = 4))
+      .getMessage.contains("FLAT layout"))
+  }
+
+  test("expireBefore on a bucketed table sweeps per-bucket generations " +
+      "no surviving manifest references") {
+    val path = tmp()
+    val nb = 4
+    Snapshots.upsertVersionedBucketed(spark,
+      (0 until 100).map(i => (s"id_$i", "v1")).toDF("id", "payload"), path, nb)
+    Snapshots.upsertVersionedBucketed(spark,
+      Seq(("id_0", "v2")).toDF("id", "payload"), path, nb)
+    Snapshots.upsertVersionedBucketed(spark,
+      Seq(("id_0", "v3")).toDF("id", "payload"), path, nb)
+    val bucketOf0 = { // the one bucket id_0 lands in gets 3 generations
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+        .map(_.getPath).filter(_.getName.startsWith("bucket-"))
+        .find(p => fs.listStatus(p).count(_.getPath.getName.startsWith("gen-")) == 3)
+    }
+    assert(bucketOf0.nonEmpty, "expected one bucket with three generations")
+
+    val deleted = Snapshots.expireBefore(spark, path, keepFrom = 3)
+    // v1 and v2 expired; only their exclusive per-bucket gens go: the
+    // id_0 bucket's gen-1 and gen-2 (its gen-3 is kept); every other
+    // bucket's gen-1 is still referenced by v3's manifest
+    assert(deleted == 2L, s"exclusive per-bucket generations swept: $deleted")
+    assert(Snapshots.versions(spark, path) == Seq(3L))
+    val r3 = Snapshots.readVersionBucketed(spark, path, 3)
+      .as[(String, String)].collect().toMap
+    assert(r3.size == 100 && r3("id_0") == "v3")
+    intercept[IllegalArgumentException](
+      Snapshots.readVersionBucketed(spark, path, 1))
+  }
 }

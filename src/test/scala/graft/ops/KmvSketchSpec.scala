@@ -65,6 +65,20 @@ class KmvSketchSpec extends AnyFunSuite with SparkTestBase {
     assert(j > 200 && j < 470, s"jaccard_pm $j")
   }
 
+  test("estIntersection never overflows when estU sits at the " +
+      "Long.MaxValue cap (degenerate/hostile sketch)") {
+    // kmvEstimateOf caps estU at Long.MaxValue for near-zero k-th
+    // hashes; the intersection multiply must not wrap negative there.
+    val est = Profile.estIntersection(
+      matched = 63L, estU = Long.MaxValue, k = K)
+    assert(est > 0L, s"Long multiply would have wrapped negative: $est")
+    assert(est === (BigInt(63) * BigInt(Long.MaxValue) / K).toLong)
+    // a sane case still matches plain integer arithmetic
+    assert(Profile.estIntersection(10L, 6400L, K) === 1000L)
+    // zero matched stays zero even against the cap
+    assert(Profile.estIntersection(0L, Long.MaxValue, K) === 0L)
+  }
+
   test("kmvSketchGrouped: per-group k-smallest through TopKPerKey") {
     val df = (0 until 600).map(i => (s"g${i % 3}", s"v$i"))
       .toDF("grp", "v") // 200 distinct values per group, capacity 64

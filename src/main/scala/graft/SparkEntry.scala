@@ -3230,7 +3230,31 @@ object SparkEntry {
         .select(coalesce(col("lang"), lit("__all__")).as("lang"),
           col("n_docs"), col("n_tokens"), col("sum_chars"),
           col("n_unique"), col("min_chars"), col("max_chars"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // Distributed HNSW build: LSH-seeded NN-descent — the at-scale swap
+    // for q181's broadcast block pass; NO corpus-sized collect or
+    // broadcast anywhere on the path (asserted by SimilaritySpec).
+    // Graph + levels aux-dumped; DuckDB replays the SAME beam walk over
+    // the descent-built graph and re-derives the brute-force top-10 to
+    // grade every hit — the recall evidence rides in the hash-matched
+    // `in_brute` column.
+    "q211_hnsw_nndescent" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      val idx = new Similarity.HnswIndex(emb, m = 8, maxLevel = 3,
+        build = "nndescent")
+      writeAux(idx.levels, dir, "q211_levels")
+      writeAux(idx.graph.select("layer", "id", "nbr"), dir, "q211_graph")
+      val brute = Similarity.bruteForceTopK(emb, qv, 10)
+        .select(col("vec_id"), lit(1L).as("in_brute"))
+      idx.search(qv, k = 10, ef = 16, hops = 3)
+        .join(brute, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cos"),
+          coalesce(col("in_brute"), lit(0L)).as("in_brute"))
+        .orderBy(desc("cos"), col("vec_id"))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -3244,6 +3268,50 @@ object SparkEntry {
     * oracle, which appends the reachability closure and anti-join. */
   private def minhashLshCtes: String = minhashLshCtesWith(
     "SELECT doc_id + 10000 AS doc_id, text FROM documents")
+
+  /** q181/q211's HNSW beam-walk replay (greedy descent, 2 steps per
+    * upper layer, then 3 beam hops at ef = 16, query = vec_id 0) as a
+    * DuckDB CTE body ending in `v3(id, cos)` — parameterized by the aux
+    * prefix so the broadcast-built (q181) and NN-descent-built (q211)
+    * graphs replay through identical SQL; `sc` holds every corpus
+    * vector's round-6 cosine to the query, reusable for a brute-force
+    * comparison CTE. */
+  private def hnswWalkCtes(aux: String): String = {
+    def descend(prev: String, l: Int, name: String) =
+      s"""$name AS (SELECT s.id, s.cos FROM sc s WHERE s.id IN
+         |    (SELECT id FROM $prev UNION
+         |     SELECT g.nbr FROM g JOIN $prev f ON g.id = f.id
+         |     WHERE g.layer = $l)
+         |  ORDER BY s.cos DESC, s.id LIMIT 1)""".stripMargin
+    def hop(prev: String, t: Int) =
+      s"""n$t AS (SELECT DISTINCT g.nbr AS id FROM g
+         |  JOIN $prev f ON g.id = f.id WHERE g.layer = 0),
+         |p$t AS (SELECT s.id, s.cos FROM sc s WHERE s.id IN
+         |    (SELECT id FROM $prev UNION SELECT id FROM n$t)),
+         |f$t AS (SELECT id, cos FROM p$t ORDER BY cos DESC, id LIMIT 16),
+         |v$t AS (SELECT id, cos FROM v${t - 1}
+         |  UNION SELECT id, cos FROM p$t)""".stripMargin
+    s"""g AS (SELECT layer, id, nbr FROM '__AUX__/${aux}_graph/*.parquet'),
+       |lv AS (SELECT id, level FROM '__AUX__/${aux}_levels/*.parquet'),
+       |pp AS (SELECT e.vec_id AS id, unnest(e.embedding)::DOUBLE AS x,
+       |    unnest(q.embedding)::DOUBLE AS y
+       |  FROM embeddings e,
+       |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+       |sc AS (SELECT id,
+       |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+       |  FROM pp GROUP BY id),
+       |e0 AS (SELECT id FROM lv ORDER BY level DESC, id LIMIT 1),
+       |${descend("e0", 3, "d3a")},
+       |${descend("d3a", 3, "d3")},
+       |${descend("d3", 2, "d2a")},
+       |${descend("d2a", 2, "d2")},
+       |${descend("d2", 1, "d1a")},
+       |${descend("d1a", 1, "d1")},
+       |v0 AS (SELECT id, cos FROM d1),
+       |${hop("d1", 1)},
+       |${hop("f1", 2)},
+       |${hop("f2", 3)}""".stripMargin
+  }
 
   /** [[minhashLshCtes]] with a caller-chosen planted-copy SELECT (the
     * q183 variant appends a token to the copies so near-dup clusters
@@ -5761,44 +5829,10 @@ object SparkEntry {
     // no-op, matching the Spark walk), then three beam rounds (pool =
     // frontier ∪ layer-0 neighbors, frontier = top-16, visited
     // accumulates), finally visited top-10. Cosines are DuckDB's own.
-    "q181_hnsw" -> {
-      def descend(prev: String, l: Int, name: String) =
-        s"""$name AS (SELECT s.id, s.cos FROM sc s WHERE s.id IN
-           |    (SELECT id FROM $prev UNION
-           |     SELECT g.nbr FROM g JOIN $prev f ON g.id = f.id
-           |     WHERE g.layer = $l)
-           |  ORDER BY s.cos DESC, s.id LIMIT 1)""".stripMargin
-      def hop(prev: String, t: Int) =
-        s"""n$t AS (SELECT DISTINCT g.nbr AS id FROM g
-           |  JOIN $prev f ON g.id = f.id WHERE g.layer = 0),
-           |p$t AS (SELECT s.id, s.cos FROM sc s WHERE s.id IN
-           |    (SELECT id FROM $prev UNION SELECT id FROM n$t)),
-           |f$t AS (SELECT id, cos FROM p$t ORDER BY cos DESC, id LIMIT 16),
-           |v$t AS (SELECT id, cos FROM v${t - 1}
-           |  UNION SELECT id, cos FROM p$t)""".stripMargin
-      s"""WITH g AS (SELECT layer, id, nbr FROM '__AUX__/q181_graph/*.parquet'),
-         |lv AS (SELECT id, level FROM '__AUX__/q181_levels/*.parquet'),
-         |pp AS (SELECT e.vec_id AS id, unnest(e.embedding)::DOUBLE AS x,
-         |    unnest(q.embedding)::DOUBLE AS y
-         |  FROM embeddings e,
-         |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
-         |sc AS (SELECT id,
-         |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
-         |  FROM pp GROUP BY id),
-         |e0 AS (SELECT id FROM lv ORDER BY level DESC, id LIMIT 1),
-         |${descend("e0", 3, "d3a")},
-         |${descend("d3a", 3, "d3")},
-         |${descend("d3", 2, "d2a")},
-         |${descend("d2a", 2, "d2")},
-         |${descend("d2", 1, "d1a")},
-         |${descend("d1a", 1, "d1")},
-         |v0 AS (SELECT id, cos FROM d1),
-         |${hop("d1", 1)},
-         |${hop("f1", 2)},
-         |${hop("f2", 3)}
+    "q181_hnsw" ->
+      s"""WITH ${hnswWalkCtes("q181")}
          |SELECT id AS vec_id, cos FROM (SELECT DISTINCT id, cos FROM v3)
-         |ORDER BY cos DESC, id LIMIT 10""".stripMargin
-    },
+         |ORDER BY cos DESC, id LIMIT 10""".stripMargin,
 
     "q182_seq_packing" ->
       """WITH RECURSIVE d AS (SELECT doc_id, n_chars,
@@ -6429,7 +6463,16 @@ object SparkEntry {
         |  CAST(min(n_chars) AS BIGINT) AS min_chars,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM documents GROUP BY ROLLUP (lang)
-        |ORDER BY COALESCE(lang, '__all__')""".stripMargin
+        |ORDER BY COALESCE(lang, '__all__')""".stripMargin,
+
+    "q211_hnsw_nndescent" ->
+      s"""WITH ${hnswWalkCtes("q211")},
+         |brute AS (SELECT id FROM sc ORDER BY cos DESC, id LIMIT 10)
+         |SELECT id AS vec_id, cos,
+         |  CAST(CASE WHEN id IN (SELECT id FROM brute) THEN 1 ELSE 0 END
+         |    AS BIGINT) AS in_brute
+         |FROM (SELECT DISTINCT id, cos FROM v3)
+         |ORDER BY cos DESC, id LIMIT 10""".stripMargin
   )
 
   /** ROUGE word-bigram multiset counts of column `c` of CTE `p` as a

@@ -44,6 +44,23 @@ object Similarity {
     Array.fill(nBits)(Array.fill(dim)((rng.nextGaussian()).toFloat))
   }
 
+  /** Sign-random-projection bucket id as a UDF over a vector column —
+    * shared by [[RandomHyperplaneIndex]]-style bucketing and the HNSW
+    * NN-descent seeding. */
+  private def planeBucketUdf(planes: Array[Array[Float]], dim: Int) =
+    udf((vec: Seq[Float]) => {
+      var b = 0L
+      var i = 0
+      while (i < planes.length) {
+        var dot = 0.0
+        var j = 0
+        while (j < dim && j < vec.length) { dot += planes(i)(j) * vec(j); j += 1 }
+        if (dot > 0) b |= (1L << i)
+        i += 1
+      }
+      b
+    })
+
   /** Sign-random-projection LSH index over an embedding table. */
   final class RandomHyperplaneIndex(
       df: DataFrame, nBits: Int = 8, dim: Int = 64,
@@ -1042,16 +1059,18 @@ object Similarity {
     *    nibbles of the first 8 md5 hex chars: P(level ≥ ℓ) = 16^−ℓ,
     *    the geometric layer distribution with branching 16) that both
     *    engines compute exactly.
-    *  - NEIGHBOR GRAPH: built DISTRIBUTED one layer at a time — layer ℓ
-    *    members are ids with level ≥ ℓ, each keeping its top-M (2M at
-    *    layer 0, the classic Mmax0) cosine neighbors among members via
-    *    the codegen cosine + per-query window ([[knnJoin]]). Exact
-    *    per-layer kNN is the quality upper bound of HNSW's insert-time
-    *    beam construction; at 100 TB the layer-0 build swaps in
-    *    NN-descent rounds or LSH-candidate pruning (landing in the same
-    *    (layer, id, nbr) table — upper layers are corpus/16^ℓ-sized and
-    *    stay exact). The graph is a narrow id-keyed table, bucketable
-    *    by id; vectors are never copied into it.
+    *  - NEIGHBOR GRAPH: built one layer at a time — layer ℓ members
+    *    are ids with level ≥ ℓ, each keeping its top-M (2M at layer 0,
+    *    the classic Mmax0) cosine neighbors among members. TWO build
+    *    modes share the (layer, id, nbr, cos) contract:
+    *    `build = "broadcast"` is the exact per-layer kNN block pass
+    *    (the quality upper bound of HNSW's insert-time beam
+    *    construction — right while members fit a broadcast);
+    *    `build = "nndescent"` is the 100 TB path — LSH-seeded
+    *    NN-descent, fully relational, no corpus-sized collect or
+    *    broadcast anywhere ([[nnDescentGraph]]). The graph is a narrow
+    *    id-keyed table, bucketable by id; vectors are never copied
+    *    into it.
     *  - SEARCH: the fixed-hop beam walk — greedy descent through each
     *    upper layer, then `hops` beam rounds at layer 0 keeping a
     *    top-`ef` frontier. Every hop is a frontier⋈graph join
@@ -1064,8 +1083,14 @@ object Similarity {
     *    `hops` are the recall dials. round6 cosines + id tie-breaks
     *    make every step engine-reproducible. */
   final class HnswIndex(df: DataFrame, m: Int = 8, maxLevel: Int = 3,
-      vecCol: String = "embedding", idCol: String = "vec_id") {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      build: String = "broadcast", dim: Int = 64,
+      descentRounds: Int = 2, seedBits: Int = 8) {
     require(m >= 2 && maxLevel >= 1, s"bad HNSW shape m=$m maxLevel=$maxLevel")
+    require(build == "broadcast" || build == "nndescent",
+      s"build must be 'broadcast' or 'nndescent', got '$build'")
+    require(descentRounds >= 1 && seedBits >= 2,
+      s"bad descent shape rounds=$descentRounds seedBits=$seedBits")
     import org.apache.spark.sql.expressions.Window
 
     private val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
@@ -1114,11 +1139,19 @@ object Similarity {
         .as[(Long, Array[Float], Int)]
     }
 
+    /** True once the full member table has been collected to the driver
+      * — the thing the `nndescent` build path must NEVER do (asserted by
+      * HnswSpec: a distributed build + append leaves this false). */
+    @volatile private[ops] var memberBroadcastForced = false
+
     /** Stored members (id, vec, level) broadcast once — shared by the
-      * self-build ([[graph]]) and frozen-side admission
+      * broadcast self-build ([[graph]]) and frozen-side admission
       * ([[appendEdges]]). */
-    private lazy val memberBc = df.sparkSession.sparkContext
-      .broadcast(withLevels(vecs, levels).collect().sortBy(_._1))
+    private lazy val memberBc = {
+      memberBroadcastForced = true
+      df.sparkSession.sparkContext
+        .broadcast(withLevels(vecs, levels).collect().sortBy(_._1))
+    }
 
     /** The broadcast block pass: every `nodes` row scans the stored
       * member table once through a bounded per-layer heap, emitting its
@@ -1174,7 +1207,103 @@ object Similarity {
         .distinct()
     }
 
-    val graph: DataFrame = edgesAgainst(withLevels(vecs, levels))
+    /** The neighbor graph, by build mode:
+      *  - `broadcast` — the exact per-layer kNN block pass below (the
+      *    quality upper bound while members fit a broadcast);
+      *  - `nndescent` — the 100 TB path: LSH-seeded NN-descent, fully
+      *    relational, NO corpus-sized collect anywhere (see
+      *    [[nnDescentGraph]]). Same (layer, id, nbr, cos) contract, so
+      *    search/serving code is build-agnostic. */
+    lazy val graph: DataFrame = build match {
+      case "broadcast" => edgesAgainst(withLevels(vecs, levels))
+      case _           => nnDescentGraph()
+    }
+
+    /** Distributed kNN-graph build — LSH-seeded NN-descent (Dong,
+      * Moses, Li, WWW 2011), the at-scale swap for the broadcast block
+      * pass: the member table is never collected or broadcast; every
+      * stage is a bounded relational operator.
+      *
+      * Per layer (members = level ≥ ℓ, deg = 2M at layer 0 else M):
+      *  1. SEED — two sign-random-projection tables (fine `seedBits`
+      *     bits + a coarse half-width table for connectivity) bucket
+      *     the members; within each bucket, members rank by md5(id)
+      *     and each links to the next `deg` ranks. One window per
+      *     bucket + an equi-join on (bucket, rank): O(n·deg) seed
+      *     edges, never a bucket self-join (no B² blow-up on skew).
+      *  2. DESCEND × `descentRounds` — symmetrize the current graph,
+      *     join it with itself through the shared middle node
+      *     (neighbors-of-neighbors, the NN-descent exchange), score
+      *     candidates with the codegen cosine (round6 — the
+      *     engine-reproducibility rule), keep the top-deg per node
+      *     through the bounded-heap [[graft.plans.TopK.perKey]] plan.
+      *     Each round localCheckpoints (the connected-components
+      *     lineage-truncation discipline).
+      *
+      * Scale shape: per round ≤ n·(2·deg)² candidate rows cross the
+      * exchanges — deg is a constant, so the build is linear in the
+      * corpus; vectors ride id-keyed joins and are never replicated
+      * beyond the candidate pairs. Upper layers reuse the same code on
+      * their corpus/16^ℓ-sized member sets. Determinism: seeded
+      * hyperplanes, md5 ranks, round6 cosines, (cos desc, id asc)
+      * tie-breaks — a rebuild is bit-identical, and the graph feeds the
+      * same aux-dump oracle replay as the broadcast build (q211). */
+    private def nnDescentGraph(): DataFrame = {
+      val members = withLevels(vecs, levels).toDF("id", "vec", "level")
+        .localCheckpoint()
+      val layerEdges = (0 to maxLevel).map { l =>
+        val deg = if (l == 0) 2 * m else m
+        nnDescentLayer(members.filter(col("level") >= l).select("id", "vec"),
+          deg).withColumn("layer", lit(l))
+      }
+      val all = layerEdges.reduce(_ unionByName _)
+        .select("layer", "id", "nbr", "cos")
+      all.unionByName(all.select(col("layer"), col("nbr").as("id"),
+          col("id").as("nbr"), col("cos")))
+        .distinct()
+    }
+
+    /** One layer's NN-descent: seed from LSH-bucket rank rings, then
+      * `descentRounds` neighbor-of-neighbor refinement rounds, each
+      * re-selecting the top-deg per node via TopKPerKey. */
+    private def nnDescentLayer(mem: DataFrame, deg: Int): DataFrame = {
+      def score(cand: DataFrame): DataFrame = cand
+        .join(mem.select(col("id"), col("vec").as("__v1")), "id")
+        .join(mem.select(col("id").as("nbr"), col("vec").as("__v2")), "nbr")
+        .withColumn("cos", round(vecCosine(col("__v1"), col("__v2")), 6))
+        .select("id", "nbr", "cos")
+      val tables = Seq((seedBits, 42), (math.max(seedBits / 2, 2), 101))
+      val seedPairs = tables.map { case (bits, seed) =>
+        val bUdf = planeBucketUdf(hyperplanes(bits, dim, seed), dim)
+        val ranked = mem.withColumn("bucket", bUdf(col("vec")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("bucket")
+              .orderBy(md5(col("id").cast("string")), col("id"))))
+          .select("bucket", "id", "rn")
+        // rank ring: node at rank r links ranks r+1..r+deg — an
+        // equi-join on (bucket, rank), O(B·deg) rows per bucket
+        ranked.withColumn("rn2",
+            explode(array((1 to deg).map(d => col("rn") + lit(d)): _*)))
+          .select("bucket", "id", "rn2")
+          .join(ranked.select(col("bucket"), col("id").as("nbr"),
+            col("rn").as("rn2")), Seq("bucket", "rn2"))
+          .select("id", "nbr")
+      }.reduce(_ unionByName _).distinct()
+      var edges = graft.plans.TopK.perKey(score(seedPairs), Seq("id"),
+        Seq(("cos", false), ("nbr", true)), deg).localCheckpoint()
+      for (_ <- 1 to descentRounds) {
+        val sym = edges.select("id", "nbr").unionByName(
+          edges.select(col("nbr").as("id"), col("id").as("nbr"))).distinct()
+        val cand = sym.as("e1")
+          .join(sym.as("e2"), col("e1.nbr") === col("e2.id"))
+          .select(col("e1.id").as("id"), col("e2.nbr").as("nbr"))
+          .filter(col("id") =!= col("nbr"))
+          .unionByName(sym).distinct()
+        edges = graft.plans.TopK.perKey(score(cand), Seq("id"),
+          Seq(("cos", false), ("nbr", true)), deg).localCheckpoint()
+      }
+      edges
+    }
 
     /** Frozen-graph batch insertion — the q153/q179 admission
       * discipline applied to the graph index: each batch node draws its

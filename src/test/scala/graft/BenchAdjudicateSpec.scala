@@ -95,4 +95,28 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     assert(Bench.flaggedNames(merged, base) == Seq("q09"))
     assert(run(merged: _*).contains("code_regression_suspect"))
   }
+
+  // --- baseline reseed ratchet guard (round-9 judge directive #5) ---
+
+  test("mergeBaseline: reseed takes per-query min(new, old) — a degraded " +
+      "run's regime cannot raise the bar") {
+    val old = Map("q01" -> 1.0, "q02" -> 3.0)
+    val fresh = Seq("q01" -> 1.5, "q02" -> 2.0, "q03" -> 4.0)
+    val merged = Bench.mergeBaseline(old, fresh, wholesale = false).toMap
+    assert(merged("q01") == 1.0, "slower fresh time must not replace old")
+    assert(merged("q02") == 2.0, "faster fresh time wins (real optimization)")
+    assert(merged("q03") == 4.0, "new query seeds from its first run")
+  }
+
+  test("mergeBaseline: force mode replaces wholesale and removed queries " +
+      "drop out") {
+    val old = Map("q01" -> 1.0, "q09_gone" -> 2.0)
+    val fresh = Seq("q01" -> 1.5)
+    val forced = Bench.mergeBaseline(old, fresh, wholesale = true)
+    assert(forced == Seq("q01" -> 1.5),
+      "force takes the fresh time; q09_gone is not carried")
+    val merged = Bench.mergeBaseline(old, fresh, wholesale = false)
+    assert(merged == Seq("q01" -> 1.0),
+      "min-merge also drops queries absent from this run")
+  }
 }

@@ -916,6 +916,58 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](idx.search(qv, k = 0))
   }
 
+  test("HnswIndex nndescent build: no corpus-sized collect, symmetric " +
+      "bounded graph, search recall matches the broadcast build's class") {
+    val n = 300
+    def vecOf(i: Int): Array[Float] = {
+      val r = new java.util.Random(i * 1000003L)
+      Array.fill(8)(r.nextGaussian().toFloat)
+    }
+    val df = (0 until n).map(i => (i.toLong, vecOf(i).toSeq))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val idx = new Similarity.HnswIndex(df, m = 8, maxLevel = 3,
+      build = "nndescent", dim = 8)
+
+    val lv = idx.levels.as[(Long, Int)].collect().toMap
+    val g = idx.graph.select("layer", "id", "nbr")
+      .as[(Int, Long, Long)].collect()
+    // layer membership, symmetry, no self loops — the broadcast build's
+    // structural contract holds verbatim
+    assert(g.forall { case (l, id, nbr) => lv(id) >= l && lv(nbr) >= l })
+    val edges = g.toSet
+    assert(edges.forall { case (l, a, b) => edges((l, b, a)) },
+      "every edge must have its reverse")
+    assert(g.forall { case (_, id, nbr) => id != nbr }, "no self loops")
+    // out-degree before symmetrization is deg; after, bounded by the
+    // classic Mmax slack (deg + in-degree) — sanity: nobody explodes
+    val deg0 = g.filter(_._1 == 0).groupBy(_._2).map(_._2.length)
+    assert(deg0.max <= 16 * 4, s"degree blow-up: ${deg0.max}")
+
+    // recall vs brute force at serving parameters
+    val qv = vecOf(7)
+    val brute = Similarity.bruteForceTopK(df, qv, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val got = idx.search(qv, k = 10, ef = 32, hops = 4)
+      .select("vec_id").as[Long].collect()
+    assert(got.length == 10)
+    val recall = got.count(brute).toDouble / 10
+    assert(recall >= 0.8, s"recall@10 $recall below 0.8 (got ${got.toSeq})")
+    // deterministic: a fresh index rebuild yields the identical graph
+    val again = new Similarity.HnswIndex(df, m = 8, maxLevel = 3,
+      build = "nndescent", dim = 8)
+    assert(again.graph.select("layer", "id", "nbr")
+      .as[(Int, Long, Long)].collect().toSet == edges,
+      "NN-descent rebuild must be bit-identical")
+
+    // THE scale assert: the distributed path never collected/broadcast
+    // the member table (build, graph read, and search all ran above)
+    assert(!idx.memberBroadcastForced,
+      "nndescent build path must not collect the member table")
+    intercept[IllegalArgumentException](
+      new Similarity.HnswIndex(df, build = "bogus"))
+  }
+
   test("HnswIndex.appendEdges: frozen-side admission links both ways, " +
       "exact top-M vs brute force, no batch-batch edges") {
     def vecOf(i: Int): Array[Float] = {

@@ -3254,6 +3254,21 @@ object SparkEntry {
         .select(col("vec_id"), col("cos"),
           coalesce(col("in_brute"), lit(0L)).as("in_brute"))
         .orderBy(desc("cos"), col("vec_id"))
+    }),
+
+    // Batched BPE training (round-9 scale fix: top-B symbol-disjoint
+    // merges per aggregate round instead of one driver round-trip per
+    // merge). NOTHING is aux-echoed: DuckDB replays the ENTIRE training
+    // — per-round pair counts, the ranked 8·B candidate window, the
+    // greedy non-conflicting selection (a recursive walk over ranks),
+    // and the one-pass merge application (a recursive fold per word) —
+    // and must land on the identical ranked vocabulary.
+    "q212_bpe_batched" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 40)
+      TextAnalysis.bpeTrain(docs, "text", numMerges = 4, batch = 2)
+        .zipWithIndex.map { case ((a, b), i) => ((i + 1).toLong, a, b) }
+        .toDF("merge_rank", "lhs", "rhs")
     })
   )
 
@@ -6472,8 +6487,85 @@ object SparkEntry {
          |  CAST(CASE WHEN id IN (SELECT id FROM brute) THEN 1 ELSE 0 END
          |    AS BIGINT) AS in_brute
          |FROM (SELECT DISTINCT id, cos FROM v3)
-         |ORDER BY cos DESC, id LIMIT 10""".stripMargin
+         |ORDER BY cos DESC, id LIMIT 10""".stripMargin,
+
+    "q212_bpe_batched" ->
+      s"""WITH RECURSIVE wt AS (SELECT w, count(*) AS cnt FROM (
+         |    SELECT unnest(regexp_extract_all(text, '\\S+')) AS w
+         |    FROM documents WHERE doc_id < 40) GROUP BY 1),
+         |s0 AS MATERIALIZED (SELECT w, cnt, array_to_string(list_transform(
+         |    range(len(w)), i -> substr(w, CAST(i + 1 AS INT), 1)), ' ') AS s
+         |  FROM wt),
+         |${bpeBatchedRoundCtes(1, 4, 2)},
+         |${bpeBatchedRoundCtes(2, 4, 2)},
+         |${bpeBatchedRoundCtes(3, 4, 2)},
+         |${bpeBatchedRoundCtes(4, 4, 2)},
+         |allm AS (SELECT 1 AS r, rn, a, b FROM m1
+         |  UNION ALL SELECT 2, rn, a, b FROM m2
+         |  UNION ALL SELECT 3, rn, a, b FROM m3
+         |  UNION ALL SELECT 4, rn, a, b FROM m4)
+         |SELECT CAST(row_number() OVER (ORDER BY r, rn) AS BIGINT)
+         |    AS merge_rank,
+         |  a AS lhs, b AS rhs
+         |FROM allm ORDER BY merge_rank""".stripMargin
   )
+
+  /** One unrolled round of q212's batched-BPE training replay, ending in
+    * `m<r>(rn, a, b)` (that round's selected merges, candidate-ranked)
+    * and `s<r>(w, cnt, s)` (the word table after applying them — a
+    * recursive left-to-right fold per word, one pass over the
+    * symbol-disjoint selected set, mirroring `bpeTrain`'s applyMerges
+    * UDF exactly). `want` re-derives min(batch, numMerges − selected so
+    * far) and the candidate window is the same 8·want ranked prefix the
+    * Scala side collects; the greedy non-conflicting selection walks
+    * rank order carrying the used-symbol set as a delimited string.
+    * Chained CTEs are MATERIALIZED: without the hint DuckDB re-inlines
+    * the whole prior-round chain into every recursion step of the next
+    * round's CTEs — observed as runaway recomputation (minutes → 0.2 s
+    * with the hints). */
+  private def bpeBatchedRoundCtes(r: Int, numMerges: Int, batch: Int): String = {
+    val selSoFar =
+      if (r == 1) "0"
+      else "(" + (1 until r).map(i => s"(SELECT count(*) FROM m$i)")
+        .mkString(" + ") + ")"
+    val takeCond =
+      s"""sl.k < (SELECT want FROM w$r)
+         |      AND strpos(sl.used, ' ' || c.a || ' ') = 0
+         |      AND strpos(sl.used, ' ' || c.b || ' ') = 0""".stripMargin
+    s"""e$r AS MATERIALIZED (SELECT w, cnt, string_split(s, ' ') AS p,
+       |    len(string_split(s, ' ')) AS np FROM s${r - 1}),
+       |pc$r AS (SELECT p[i + 1] AS a, p[i + 2] AS b, SUM(cnt) AS n
+       |  FROM e$r, UNNEST(range(np - 1)) t(i) GROUP BY 1, 2),
+       |w$r AS MATERIALIZED (SELECT least($batch, $numMerges - $selSoFar)
+       |    AS want),
+       |cand$r AS MATERIALIZED (SELECT a, b, rn FROM (SELECT a, b,
+       |      row_number() OVER (ORDER BY n DESC, a, b) AS rn FROM pc$r)
+       |  WHERE rn <= 8 * (SELECT want FROM w$r)),
+       |sel$r(rn, a, b, took, used, k) AS (
+       |  SELECT 0, '', '', false, ' ', 0
+       |  UNION ALL
+       |  SELECT c.rn, c.a, c.b,
+       |    $takeCond,
+       |    CASE WHEN $takeCond
+       |      THEN sl.used || c.a || ' ' || c.b || ' ' ELSE sl.used END,
+       |    CASE WHEN $takeCond THEN sl.k + 1 ELSE sl.k END
+       |  FROM sel$r sl JOIN cand$r c ON c.rn = sl.rn + 1),
+       |m$r AS MATERIALIZED (SELECT rn, a, b FROM sel$r WHERE took),
+       |ap$r(w, i, o) AS (
+       |  SELECT w, 1, '' FROM e$r
+       |  UNION ALL
+       |  SELECT a.w,
+       |    CASE WHEN m.a IS NOT NULL THEN a.i + 2 ELSE a.i + 1 END,
+       |    a.o || CASE WHEN a.o = '' THEN '' ELSE ' ' END ||
+       |      CASE WHEN m.a IS NOT NULL THEN e.p[a.i] || e.p[a.i + 1]
+       |        ELSE e.p[a.i] END
+       |  FROM ap$r a JOIN e$r e USING (w)
+       |    LEFT JOIN m$r m ON a.i < e.np AND m.a = e.p[a.i]
+       |      AND m.b = e.p[a.i + 1]
+       |  WHERE a.i <= e.np),
+       |s$r AS MATERIALIZED (SELECT e.w, e.cnt, a.o AS s
+       |  FROM ap$r a JOIN e$r e USING (w) WHERE a.i = e.np + 1)""".stripMargin
+  }
 
   /** ROUGE word-bigram multiset counts of column `c` of CTE `p` as a
     * DuckDB CTE `<name>(id, g, c)` (lowercased grams — the Spark

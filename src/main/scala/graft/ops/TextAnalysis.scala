@@ -487,23 +487,35 @@ object TextAnalysis {
     * subsequent merge iterations run over distinct words weighted by
     * their counts, never the corpus again. Each round counts adjacent
     * symbol pairs (explode → sum(count) keyed by pair — a narrow
-    * two-string shuffle), picks the argmax deterministically (count
-    * desc, pair asc), applies the merge to the word table with a
-    * compiled UDF, and `localCheckpoint`s so the plan stays
-    * constant-size across rounds (the components/PageRank guard —
-    * without it every round doubles the logical tree).
+    * two-string shuffle), selects merges deterministically, applies
+    * them to the word table with a compiled UDF, and `localCheckpoint`s
+    * so the plan stays constant-size across rounds (the
+    * components/PageRank guard — without it every round doubles the
+    * logical tree).
+    *
+    * BATCHED SELECTION (`batch` > 1) — the round-9 scale fix: one
+    * aggregate + driver round-trip PER MERGE means a production 32k
+    * vocabulary is 32k Spark jobs. Instead each round ranks the top
+    * 8·batch pairs (count desc, pair asc — a bounded driver read, the
+    * IVF-fit probe class) and greedily takes up to `batch` of them that
+    * share NO symbol with a higher-ranked selected pair. Disjoint pairs
+    * can't overlap in any word, so applying them in ONE left-to-right
+    * membership pass equals applying them sequentially in rank order —
+    * `batch = 1` reduces exactly to classic per-merge BPE (spec-gated),
+    * and a 32k vocab becomes 32k/batch jobs. Batching is the standard
+    * fast-trainer approximation: counts of untouched (symbol-disjoint)
+    * pairs are provably unchanged by the batch, but pairs CREATED by an
+    * earlier merge in the same round only become candidates next round.
     *
     * At 100 TB the word table is the vocabulary of the corpus (≪ the
     * corpus; Heaps' law), so per-round cost is bounded by distinct
-    * words. The argmax is a single-row driver collect per round — the
-    * same bounded-probe class as the IVF fit.
-    *
-    * Tokens are whitespace-split, symbols start as characters (no
-    * end-of-word marker — document-internal merges only). Returns the
-    * merge rules in order. */
+    * words. Tokens are whitespace-split, symbols start as characters
+    * (no end-of-word marker — document-internal merges only). Returns
+    * the merge rules in selection order. */
   def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
-      numMerges: Int): Seq[(String, String)] = {
+      numMerges: Int, batch: Int = 1): Seq[(String, String)] = {
     require(numMerges >= 1, "numMerges must be positive")
+    require(batch >= 1, "batch must be positive")
     val charsUdf = udf { w: String => w.map(_.toString) }
     var words = docs
       .select(explode(split(col(textCol), "\\s+")).as("w"))
@@ -512,34 +524,46 @@ object TextAnalysis {
       .select(charsUdf(col("w")).as("syms"), col("cnt"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var round = 0
     var exhausted = false
-    while (round < numMerges && !exhausted) {
+    while (merges.size < numMerges && !exhausted) {
+      val want = math.min(batch, numMerges - merges.size)
       val top = words
         .select(col("cnt"), explode(expr(
           "transform(slice(syms, 1, size(syms) - 1), (s, i) -> struct(s as a, syms[i + 1] as b))"))
           .as("p"))
         .groupBy(col("p.a"), col("p.b")).agg(sum(col("cnt")).as("n"))
         .orderBy(desc("n"), asc("a"), asc("b"))
-        .limit(1).collect()
+        .limit(8 * want).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += ((a, b))
-        val applyMerge = udf { syms: Seq[String] =>
+        // greedy non-conflicting prefix over the ranked candidates: a
+        // pair is skipped iff it shares a symbol with a higher-ranked
+        // SELECTED pair. Rank 1 never conflicts, so every round makes
+        // progress. The candidate window (8·want) is part of the
+        // contract — the oracle replays selection over the same window.
+        val used = scala.collection.mutable.Set.empty[String]
+        val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        top.iterator.foreach { r =>
+          val (a, b) = (r.getString(0), r.getString(1))
+          if (sel.size < want && !used(a) && !used(b)) {
+            sel += ((a, b)); used += a; used += b
+          }
+        }
+        merges ++= sel
+        val mset = sel.toSet
+        val applyMerges = udf { syms: Seq[String] =>
           val out = scala.collection.mutable.ArrayBuffer.empty[String]
           var i = 0
           while (i < syms.length) {
-            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-              out += (a + b); i += 2
+            if (i + 1 < syms.length && mset((syms(i), syms(i + 1)))) {
+              out += (syms(i) + syms(i + 1)); i += 2
             } else { out += syms(i); i += 1 }
           }
           out.toSeq
         }
-        words = words.select(applyMerge(col("syms")).as("syms"), col("cnt"))
+        words = words.select(applyMerges(col("syms")).as("syms"), col("cnt"))
           .localCheckpoint()
       }
-      round += 1
     }
     merges.toSeq
   }

@@ -1624,6 +1624,35 @@ class TokenizerSpec extends AnyFunSuite with SparkTestBase {
     assert(enc == Seq("hug", "s", "p", "un", "b", "ug"), enc.toString)
   }
 
+  test("bpeTrain batched: batch=1 is exactly classic BPE; batch>1 takes " +
+      "non-conflicting top pairs per round and stays deterministic") {
+    val words = Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs")
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val sequential = TextAnalysis.bpeTrain(docs, "text", numMerges = 4)
+    assert(TextAnalysis.bpeTrain(docs, "text", numMerges = 4, batch = 1)
+      == sequential, "batch=1 must reduce to the per-merge path")
+    // On THIS corpus every round-1 rival of (u,g) shares a symbol with
+    // it ((u,n), (p,u), (h,u), (g,s), (b,u)), so batch=2 degrades to
+    // one selection in round 1 — and from round 2 on the top-2 are
+    // disjoint ((u,n) + (h,ug)), landing on the SAME vocabulary as
+    // sequential training: conflict skipping preserves greedy order.
+    val batched = TextAnalysis.bpeTrain(docs, "text", numMerges = 4, batch = 2)
+    assert(batched == sequential, s"$batched vs $sequential")
+    // A corpus WITH disjoint top pairs: (a,b)=10 and (c,d)=8 share no
+    // symbol, so one batched round takes both (two aggregate rounds
+    // worth of vocabulary from one driver round-trip).
+    val dj = Seq((Seq.fill(10)("ab") ++ Seq.fill(8)("cd") ++
+      Seq.fill(3)("ae")).mkString(" ")).toDF("text")
+    val djMerges = TextAnalysis.bpeTrain(dj, "text", numMerges = 2, batch = 2)
+    assert(djMerges == Seq(("a", "b"), ("c", "d")), djMerges.toString)
+    // deterministic rebuild
+    assert(TextAnalysis.bpeTrain(docs, "text", numMerges = 4, batch = 2)
+      == batched)
+    intercept[IllegalArgumentException](
+      TextAnalysis.bpeTrain(docs, "text", numMerges = 2, batch = 0))
+  }
+
   test("rank-greedy BPE encoder: known answers from the committed fixture") {
     val rank = TextAnalysis.defaultBpeMerges.zipWithIndex.toMap
     // chained merges bottom out at whole words the fixture covers

@@ -61,6 +61,98 @@ object TextAnalysis {
     }
   }
 
+  // --- Trained language ID (fastText-style hashed char n-grams) -------
+  //
+  // The CCNet/RefinedWeb pipeline's FIRST gate, as a trained model
+  // rather than the stopword heuristic above: per-language profiles of
+  // hashed char bigrams (each word padded '_w_', so boundary shapes
+  // count), scored as additive fixed-point log-frequencies — the
+  // fastText-classifier shape (Joulin et al. 2016) with the house
+  // determinism rules: md5 bucket hashing, per-cell log10 scaled to
+  // integer micro-units BEFORE any sum (the q165 discipline — integer
+  // sums are order-independent), argmax with (score desc, lang asc)
+  // tie-break, and an explicit margin so callers can gate on
+  // confidence. Both train and classify are fully relational and
+  // DuckDB-replayable (q213).
+
+  /** Padded char-bigram hash buckets of `textCol` as an exploded
+    * column: every non-empty word w of the lowercased text contributes
+    * the length-2 substrings of `'_' + w + '_'`, bucketed by the first
+    * 8 md5 hex chars mod `buckets`. */
+  private def langGramBuckets(textCol: Column, buckets: Int): Column = {
+    val grams = flatten(transform(
+      filter(split(lower(trim(textCol)), "\\s+"), w => length(w) > 0),
+      w => transform(sequence(lit(1), length(w) + 1),
+        i => concat(lit("_"), w, lit("_")).substr(i, lit(2)))))
+    explode(transform(grams,
+      g => pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"),
+        lit(buckets.toLong))))
+  }
+
+  /** Train per-language profiles from labeled (lang, text) rows:
+    * (lang, bucket, w6) with w6 = round(1e6·log10((c+1)/(total+B)))
+    * micro-log-frequency as a long, plus one bucket = −1 row per
+    * language carrying the unseen-bucket floor
+    * round(1e6·log10(1/(total+B))). Profile size is langs × B —
+    * broadcastable by construction; the corpus is touched once. */
+  def langIdTrain(labeled: DataFrame, langCol: String = "lang",
+      textCol: String = "text", buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val counts = labeled
+      .select(col(langCol).as("lang"),
+        langGramBuckets(col(textCol), buckets).as("bucket"))
+      .groupBy("lang", "bucket").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("lang").agg(sum("c").as("total"))
+    counts.join(totals, "lang")
+      .select(col("lang"), col("bucket"),
+        round(log10((col("c") + 1).cast("double") /
+          (col("total") + buckets).cast("double")) * 1e6, 0)
+          .cast("long").as("w6"))
+      .unionByName(totals.select(col("lang"), lit(-1L).as("bucket"),
+        round(log10(lit(1.0) / (col("total") + buckets).cast("double")) * 1e6, 0)
+          .cast("long").as("w6")))
+  }
+
+  /** Classify `docs` against a [[langIdTrain]] profile: per doc, the
+    * additive micro-log score of its padded char bigrams under every
+    * language (unseen buckets fall to the per-language floor), then
+    * argmax with margin — (id, pred_lang, score6, margin6, n_grams).
+    * margin6 = best − runner-up (0 with a single language); gate on it
+    * for confidence (q180 keeps pred = expected AND margin ≥ cut).
+    * Docs with no grams (empty text) are absent — the q165 boundary.
+    * `buckets` MUST equal the value the profile was trained with (the
+    * hash modulus is part of the model).
+    * Scale shape: the profile rides a broadcast into one gram-keyed
+    * left join; the per-(doc, lang) sum is map-side combinable; the
+    * argmax window frames are langs-sized. */
+  def langIdClassify(docs: DataFrame, profile: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col(idCol).as("id"),
+      langGramBuckets(col(textCol), buckets).as("bucket"))
+    val langs = profile.select("lang").distinct()
+    val defaults = profile.filter(col("bucket") === -1L)
+      .select(col("lang"), col("w6").as("def6"))
+    val scored = grams
+      .crossJoin(broadcast(langs))
+      .join(broadcast(profile.filter(col("bucket") =!= -1L)),
+        Seq("lang", "bucket"), "left")
+      .join(broadcast(defaults), "lang")
+      .select(col("id"), col("lang"),
+        coalesce(col("w6"), col("def6")).as("w6"))
+      .groupBy("id", "lang")
+      .agg(sum("w6").as("score6"), count(lit(1)).as("n_grams"))
+    val w = Window.partitionBy("id").orderBy(desc("score6"), asc("lang"))
+    scored.withColumn("rn", row_number().over(w))
+      .withColumn("next6", lead("score6", 1).over(w))
+      .filter(col("rn") === 1)
+      .select(col("id").as(idCol), col("lang").as("pred_lang"),
+        col("score6"),
+        (col("score6") - coalesce(col("next6"), col("score6"))).as("margin6"),
+        col("n_grams"))
+  }
+
   /** Quality-score struct: char length, word count, mean word length,
     * punctuation ratio, uppercase ratio, stopword ratio (en), and a
     * composite [0,1] quality heuristic. */
@@ -716,6 +808,159 @@ object TextAnalysis {
     cut(weighted.filter(!col("cont")), maxStarts)
       .unionByName(cut(weighted.filter(col("cont")), maxConts))
       .select("piece", "weight")
+  }
+
+  // --- Unigram-LM (SentencePiece-style) tokenizer ---------------------
+  //
+  // The third tokenizer family next to BPE (q161/q212) and WordPiece
+  // (q204): a piece VOCABULARY with log-probabilities, encoding by
+  // Viterbi max-likelihood segmentation (Kudo 2018). Training is
+  // hard (Viterbi) EM in exact fixed point: segment the corpus under
+  // the current probabilities, recount pieces from the chosen
+  // segmentations, renormalize, prune unused pieces (single chars are
+  // always kept for coverage). Hard EM monotonically improves the
+  // corpus Viterbi objective (spec-gated, UnigramSpec); every score is
+  // an integer micro-log10 so both engines agree bit-for-bit, and the
+  // encode replays in SQL as path enumeration + argmax (q214).
+
+  /** Viterbi segmentation of one word under (piece → w6) scores:
+    * maximize the summed micro-log score; ties break to the
+    * lexicographically SMALLEST space-joined piece string (suffix-
+    * independent under DP because two segmentations of the same prefix
+    * are never prefix-comparable — they place spaces differently over
+    * identical letters). Returns (pieces, score6), or None when some
+    * position has no covering piece (a vocab with all single chars
+    * never strands). */
+  private[ops] def unigramViterbiWord(word: String,
+      scores: collection.Map[String, Long], maxPieceLen: Int)
+      : Option[(Seq[String], Long)] = {
+    val n = word.length
+    // dp(i) = best (score, pieces-string) for word[0, i)
+    val dpScore = Array.fill(n + 1)(Long.MinValue)
+    val dpPieces = new Array[String](n + 1)
+    dpScore(0) = 0L; dpPieces(0) = ""
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      while (l <= math.min(maxPieceLen, i)) {
+        val j = i - l
+        if (dpScore(j) != Long.MinValue) {
+          val piece = word.substring(j, i)
+          scores.get(piece).foreach { w6 =>
+            val cand = dpScore(j) + w6
+            val candPieces =
+              if (j == 0) piece else dpPieces(j) + " " + piece
+            if (cand > dpScore(i) ||
+                (cand == dpScore(i) && candPieces < dpPieces(i))) {
+              dpScore(i) = cand
+              dpPieces(i) = candPieces
+            }
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    if (dpScore(n) == Long.MinValue) None
+    else Some((dpPieces(n).split(" ").toSeq, dpScore(n)))
+  }
+
+  /** Piece scores from counts: w6 = round(1e6·log10(cnt/total)) — the
+    * expression both engines compute identically (q165 discipline). */
+  private def pieceScores(counts: DataFrame): DataFrame = {
+    val total = counts.agg(sum("cnt")).head.getLong(0)
+    counts.select(col("piece"), col("cnt"),
+      round(log10(col("cnt").cast("double") / total.toDouble) * 1e6, 0)
+        .cast("long").as("w6"))
+  }
+
+  /** Train a Unigram-LM piece vocabulary by hard EM. Seed = the top
+    * `vocabSize` substrings (length ≤ `maxPieceLen`) of the corpus's
+    * words by occurrence-weighted frequency, plus every single char;
+    * each EM round Viterbi-segments the DISTINCT-word table under the
+    * current scores (a compiled UDF over a broadcast vocab — the vocab
+    * is bounded by contract), recounts pieces weighted by word counts,
+    * prunes pieces the segmentations never used (single chars kept),
+    * and renormalizes. Returns (piece, cnt, w6) — cnt is the final
+    * round's segmentation count.
+    *
+    * Scale shape: the corpus is compressed once into (word, cnt)
+    * (Heaps' law — the word table ≪ corpus); every EM round is one
+    * map-side segmentation pass + one piece-keyed count aggregate; the
+    * vocab rides a broadcast both ways. No driver loop is per-piece —
+    * rounds are `iters`, a constant. */
+  def unigramTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      vocabSize: Int = 200, iters: Int = 2, maxPieceLen: Int = 4)
+      : org.apache.spark.sql.DataFrame = {
+    require(vocabSize >= 1 && iters >= 1 && maxPieceLen >= 1,
+      "bad unigram shape")
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+      .localCheckpoint()
+    val subUdf = udf { (w: String, cnt: Long) =>
+      for {
+        start <- 0 until w.length
+        l <- 1 to math.min(maxPieceLen, w.length - start)
+      } yield (w.substring(start, start + l), cnt)
+    }
+    val weighted = words
+      .select(explode(subUdf(col("w"), col("wcnt"))).as("p"))
+      .select(col("p._1").as("piece"), col("p._2").as("c"))
+      .groupBy("piece").agg(sum("c").as("cnt"))
+    val chars = weighted.filter(length(col("piece")) === 1)
+    val seed = graft.plans.TopK.perKey(
+        weighted.withColumn("__k", lit(1)), Seq("__k"),
+        Seq(("cnt", false), ("piece", true)), vocabSize)
+      .drop("__k")
+      .unionByName(chars).dropDuplicates("piece")
+    var vocab = pieceScores(seed).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val scores = vocab.select("piece", "w6").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bc = spark.sparkContext.broadcast(scores)
+      val mpl = maxPieceLen
+      val segUdf = udf { w: String =>
+        unigramViterbiWord(w, bc.value, mpl).map(_._1).getOrElse(Seq.empty)
+      }
+      val recount = words
+        .select(col("wcnt"), explode(segUdf(col("w"))).as("piece"))
+        .groupBy("piece").agg(sum("wcnt").as("cnt"))
+      val kept = recount.unionByName(
+          chars.select(col("piece"), lit(0L).as("cnt"))
+            .join(recount.select(col("piece")), Seq("piece"), "left_anti"))
+      vocab = pieceScores(kept
+          .withColumn("cnt", greatest(col("cnt"), lit(1L))))
+        .localCheckpoint()
+    }
+    vocab
+  }
+
+  /** Viterbi-encode the distinct words of `textCol` under a trained
+    * (piece, w6) vocab: (word, pieces, score6, n_pieces), space-joined
+    * pieces, lexicographic-smallest tie-break — exactly the argmax the
+    * q214 oracle replays by path enumeration. */
+  def unigramEncodeWords(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, vocab: org.apache.spark.sql.DataFrame,
+      maxPieceLen: Int = 4): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val scores = vocab.select("piece", "w6").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bc = spark.sparkContext.broadcast(scores)
+    val mpl = maxPieceLen
+    val encUdf = udf { w: String =>
+      unigramViterbiWord(w, bc.value, mpl)
+        .map { case (ps, s) => (ps.mkString(" "), s, ps.length.toLong) }
+        .getOrElse(("[UNK]", 0L, 0L))
+    }
+    docs.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+      .withColumn("e", encUdf(col("word")))
+      .select(col("word"), col("e._1").as("pieces"),
+        col("e._2").as("score6"), col("e._3").as("n_pieces"))
   }
 
   /** Greedy WordPiece segmentation of one word: longest vocab piece at

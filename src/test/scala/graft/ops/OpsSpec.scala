@@ -1538,6 +1538,46 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
 class TokenizerSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
+  test("langIdTrain/Classify: trained char-bigram profiles separate " +
+      "planted languages with positive margin; deterministic") {
+    // three synthetic 'languages' with disjoint character shapes
+    val mk = (s: String) => s * 8
+    val labeled = Seq(
+      ("en", mk("the quick brown fox jumps over lazy dogs ")),
+      ("en", mk("a stitch in time saves nine for sure ")),
+      ("zz", mk("zzq zzw zzr zzt zzy zzu zzi zzo ")),
+      ("zz", mk("zzp zza zzs zzd zzf zzg zzh zzj ")),
+      ("qq", mk("xoxo xixi xaxa xuxu xexe xyxy ")),
+      ("qq", mk("xbxb xcxc xdxd xfxf xgxg xhxh ")))
+      .toDF("lang", "text")
+    val profile = TextAnalysis.langIdTrain(labeled, buckets = 2048)
+    // one floor row per language; weights are negative micro-logs
+    val floors = profile.filter($"bucket" === -1L)
+      .as[(String, Long, Long)].collect()
+    assert(floors.map(_._1).sorted.toSeq == Seq("en", "qq", "zz"))
+    assert(floors.forall(_._3 < 0))
+
+    val test = Seq(
+      (1L, "the quick fox saves time over the brown dogs"),
+      (2L, "zzq zzs zzt zzf zzy zzh"),
+      (3L, "xoxo xcxc xaxa xgxg")).toDF("doc_id", "text")
+    val out = TextAnalysis.langIdClassify(test, profile, buckets = 2048)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == "en" && out(2L)._2 == "zz" && out(3L)._2 == "qq",
+      out.toString)
+    assert(out.values.forall(_._4 > 0), s"positive margins: $out")
+    // deterministic rebuild + rescore
+    val again = TextAnalysis.langIdClassify(test,
+        TextAnalysis.langIdTrain(labeled, buckets = 2048), buckets = 2048)
+      .as[(Long, String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again == out)
+    // empty text is absent (no grams), not misclassified
+    assert(TextAnalysis.langIdClassify(
+      Seq((9L, "")).toDF("doc_id", "text"), profile, buckets = 2048)
+      .count() == 0)
+  }
+
   test("rougeN: clipped multiset counts, per-mille arithmetic, " +
       "degenerate sides at zero") {
     val pairs = Seq(
@@ -1651,6 +1691,54 @@ class TokenizerSpec extends AnyFunSuite with SparkTestBase {
       == batched)
     intercept[IllegalArgumentException](
       TextAnalysis.bpeTrain(docs, "text", numMerges = 2, batch = 0))
+  }
+
+  test("unigramViterbiWord: max-likelihood segmentation with " +
+      "lexicographic tie-break; stranded positions return None") {
+    // 'abc': pieces abc(-1.0), ab(-2), bc(-2), a(-3), b(-3), c(-3)
+    val sc = Map("abc" -> -1000000L, "ab" -> -2000000L, "bc" -> -2000000L,
+      "a" -> -3000000L, "b" -> -3000000L, "c" -> -3000000L)
+    val best = TextAnalysis.unigramViterbiWord("abc", sc, 4)
+    assert(best.contains((Seq("abc"), -1000000L)), best.toString)
+    // drop 'abc': ab+c (-5) ties a+bc (-5) -> lexicographically smaller
+    // piece string "a bc" < "ab c" wins
+    val tie = TextAnalysis.unigramViterbiWord("abc", sc - "abc", 4)
+    assert(tie.contains((Seq("a", "bc"), -5000000L)), tie.toString)
+    // unreachable position strands the word
+    assert(TextAnalysis.unigramViterbiWord("axc", sc, 4).isEmpty)
+  }
+
+  test("unigramTrain: hard EM never decreases the corpus Viterbi " +
+      "objective; encode replays deterministically") {
+    val words = Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs")
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val wcnt = words.groupBy(identity).map { case (w, ws) => w -> ws.size }
+
+    def corpusScore(vocab: org.apache.spark.sql.DataFrame): Long = {
+      val enc = TextAnalysis.unigramEncodeWords(docs, "text", vocab)
+        .as[(String, String, Long, Long)].collect()
+        .map(r => r._1 -> r._3).toMap
+      wcnt.map { case (w, c) => enc(w) * c }.sum
+    }
+    val v1 = TextAnalysis.unigramTrain(docs, "text", vocabSize = 20, iters = 1)
+    val v2 = TextAnalysis.unigramTrain(docs, "text", vocabSize = 20, iters = 2)
+    val v3 = TextAnalysis.unigramTrain(docs, "text", vocabSize = 20, iters = 3)
+    val (s1, s2, s3) = (corpusScore(v1), corpusScore(v2), corpusScore(v3))
+    // hard EM: corpus positions × 1 micro-unit of rounding slack
+    val slack = words.map(_.length).sum.toLong
+    assert(s2 >= s1 - slack, s"EM must not regress: $s1 -> $s2")
+    assert(s3 >= s2 - slack, s"EM must not regress: $s2 -> $s3")
+    // deterministic rebuild
+    val again = TextAnalysis.unigramTrain(docs, "text", vocabSize = 20,
+      iters = 2).as[(String, Long, Long)].collect().toSet
+    assert(again == v2.as[(String, Long, Long)].collect().toSet)
+    // every word encodes (single chars guarantee coverage)
+    val enc = TextAnalysis.unigramEncodeWords(docs, "text", v2)
+      .as[(String, String, Long, Long)].collect()
+    assert(enc.length == wcnt.size && enc.forall(_._2 != "[UNK]"))
+    assert(enc.forall(r => r._2.replace(" ", "") == r._1),
+      "pieces must spell the word")
   }
 
   test("rank-greedy BPE encoder: known answers from the committed fixture") {

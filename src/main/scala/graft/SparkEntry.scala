@@ -3348,6 +3348,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Hybrid search with the dense branch served by the prebuilt HNSW
+    // graph walk (q203's IVF sibling — the graph member of the ANN
+    // serving tier, built DISTRIBUTED by q211's NN-descent). The
+    // oracle replays the walk over the aux graph (surrogate hid keys),
+    // routes hits back to chunk ids, and re-derives BM25 + RRF fusion.
+    "q215_hybrid_hnsw" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val index = ChunkPipeline.chunkPoints(s, t(s, dir, "documents")).cache()
+      val stats = graft.index.IndexWriter.docFrequencies(index)
+      val n = index.count()
+      val avgLen = index.select(avg(size(col("tokens")))).first().getDouble(0)
+      val cfg = HybridSearch.Config(k = 5)
+      val hs = HybridSearch.buildHnswServing(index)
+      val qText = "filter join scan vector"
+      val qVec = graft.embed.HashingEmbedder.default.embedQuery(qText)
+      writeAux(hs.idMap.join(index, "id")
+        .select("hid", "id", "chunk_id", "tokens", "dense_vec"),
+        dir, "q215_index")
+      writeAux(hs.hnsw.levels, dir, "q215_levels")
+      writeAux(hs.hnsw.graph.select("layer", "id", "nbr"), dir, "q215_graph")
+      writeAux(Seq(Tuple1(qVec.toSeq)).toDF("qv"), dir, "q215_qvec")
+      HybridSearch.searchHnsw(index, hs, stats, n, avgLen, qText, cfg)
+        .select("id", "chunk_id", "rrf_score", "dense_score", "bm25_score")
+    }),
+
     // Unigram-LM (SentencePiece-style) tokenizer — the third tokenizer
     // family (BPE q161/q212, WordPiece q204): hard-EM-trained piece
     // vocab (spec-gated monotone), Viterbi max-likelihood encode with
@@ -3382,7 +3408,17 @@ object SparkEntry {
     * graphs replay through identical SQL; `sc` holds every corpus
     * vector's round-6 cosine to the query, reusable for a brute-force
     * comparison CTE. */
-  private def hnswWalkCtes(aux: String): String = {
+  private def hnswWalkCtes(aux: String): String = hnswWalkCtesWith(aux,
+    s"""pp AS (SELECT e.vec_id AS id, unnest(e.embedding)::DOUBLE AS x,
+       |    unnest(q.embedding)::DOUBLE AS y
+       |  FROM embeddings e,
+       |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q)""".stripMargin)
+
+  /** [[hnswWalkCtes]] with a caller-supplied `pp(id, x, y)` CTE pairing
+    * every corpus vector's components with the query's — q215 pairs the
+    * aux-dumped chunk index (surrogate hid as id) with its aux-dumped
+    * query vector instead of the embeddings table. */
+  private def hnswWalkCtesWith(aux: String, ppCte: String): String = {
     def descend(prev: String, l: Int, name: String) =
       s"""$name AS (SELECT s.id, s.cos FROM sc s WHERE s.id IN
          |    (SELECT id FROM $prev UNION
@@ -3399,10 +3435,7 @@ object SparkEntry {
          |  UNION SELECT id, cos FROM p$t)""".stripMargin
     s"""g AS (SELECT layer, id, nbr FROM '__AUX__/${aux}_graph/*.parquet'),
        |lv AS (SELECT id, level FROM '__AUX__/${aux}_levels/*.parquet'),
-       |pp AS (SELECT e.vec_id AS id, unnest(e.embedding)::DOUBLE AS x,
-       |    unnest(q.embedding)::DOUBLE AS y
-       |  FROM embeddings e,
-       |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+       |$ppCte,
        |sc AS (SELECT id,
        |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
        |  FROM pp GROUP BY id),
@@ -6766,7 +6799,48 @@ object SparkEntry {
         |      ORDER BY score DESC, pieces) AS rn
         |  FROM paths WHERE pos = len(word))
         |SELECT word, pieces, score AS score6, np AS n_pieces
-        |FROM done WHERE rn = 1 ORDER BY word""".stripMargin
+        |FROM done WHERE rn = 1 ORDER BY word""".stripMargin,
+
+    "q215_hybrid_hnsw" ->
+      s"""WITH ${hnswWalkCtesWith("q215",
+        s"""pp AS (SELECT e.hid AS id, unnest(e.dense_vec)::DOUBLE AS x,
+           |    unnest(q.qv)::DOUBLE AS y
+           |  FROM '__AUX__/q215_index/*.parquet' e,
+           |       (SELECT qv FROM '__AUX__/q215_qvec/*.parquet') q)""".stripMargin)},
+        |idx AS (SELECT * FROM '__AUX__/q215_index/*.parquet'),
+        |dense AS (SELECT i.id, d.cos AS dense_score
+        |  FROM (SELECT id, cos FROM (SELECT DISTINCT id, cos FROM v3)
+        |    ORDER BY cos DESC, id LIMIT 25) d
+        |  JOIN idx i ON i.hid = d.id),
+        |params AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    avg(len(tokens)) AS avgdl FROM idx),
+        |tf AS (SELECT id, tok, CAST(count(*) AS DOUBLE) AS tf,
+        |    any_value(dl) AS dl FROM (
+        |    SELECT id, unnest(tokens) AS tok, len(tokens) AS dl FROM idx) u
+        |  WHERE tok IN ('filter','join','scan','vector') GROUP BY id, tok),
+        |df AS (SELECT tok, CAST(count(DISTINCT id) AS DOUBLE) AS df FROM (
+        |    SELECT id, unnest(tokens) AS tok FROM idx) u GROUP BY tok),
+        |bsc AS (SELECT t.id,
+        |    ln(1 + (p.n - f.df + 0.5) / (f.df + 0.5)) * t.tf * 2.2 /
+        |      (t.tf + 1.2 * (0.25 + 0.75 * t.dl / p.avgdl)) AS s
+        |  FROM tf t, params p JOIN df f ON t.tok = f.tok),
+        |bm AS (SELECT id, round(sum(s), 6) AS bm25_score FROM bsc GROUP BY id
+        |  ORDER BY bm25_score DESC, id LIMIT 25),
+        |dr AS (SELECT id, dense_score,
+        |    ROW_NUMBER() OVER (ORDER BY dense_score DESC, id) AS dense_rank
+        |  FROM dense),
+        |br AS (SELECT id, bm25_score,
+        |    ROW_NUMBER() OVER (ORDER BY bm25_score DESC, id) AS bm25_rank
+        |  FROM bm),
+        |fused AS (SELECT COALESCE(dr.id, br.id) AS id, dr.dense_score,
+        |    br.bm25_score,
+        |    COALESCE(1.0 / (60 + dr.dense_rank), 0.0)
+        |      + COALESCE(1.0 / (60 + br.bm25_rank), 0.0) AS rrf_score
+        |  FROM dr FULL OUTER JOIN br ON dr.id = br.id),
+        |top AS (SELECT * FROM fused ORDER BY rrf_score DESC, id LIMIT 5)
+        |SELECT top.id, idx.chunk_id, top.rrf_score, top.dense_score,
+        |  top.bm25_score
+        |FROM top JOIN idx ON idx.id = top.id""".stripMargin
   )
 
   /** One unrolled round of q212's batched-BPE training replay, ending in

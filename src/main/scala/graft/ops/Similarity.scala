@@ -38,6 +38,22 @@ object Similarity {
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
 
+  /** Sequential-double-accumulation cosine rounded to 6 decimals — the
+    * CosineSimilarity arithmetic (engine-reproducible), shared by the
+    * HNSW block passes. */
+  private def cos6(qv: Array[Float], ov: Array[Float]): Double = {
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var j = 0
+    val n = math.min(qv.length, ov.length)
+    while (j < n) {
+      val xv = qv(j).toDouble; val yv = ov(j).toDouble
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      j += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else round6(dot / (math.sqrt(nx) * math.sqrt(ny)))
+  }
+
   /** Deterministic pseudo-random hyperplanes (seeded FNV over (seed,i)). */
   private[ops] def hyperplanes(nBits: Int, dim: Int, seed: Int = 42): Array[Array[Float]] = {
     val rng = new java.util.Random(seed.toLong)
@@ -1085,11 +1101,11 @@ object Similarity {
   final class HnswIndex(df: DataFrame, m: Int = 8, maxLevel: Int = 3,
       vecCol: String = "embedding", idCol: String = "vec_id",
       build: String = "broadcast", dim: Int = 64,
-      descentRounds: Int = 2, seedBits: Int = 8) {
+      descentRounds: Int = 2, seedBits: Int = 16) {
     require(m >= 2 && maxLevel >= 1, s"bad HNSW shape m=$m maxLevel=$maxLevel")
     require(build == "broadcast" || build == "nndescent",
       s"build must be 'broadcast' or 'nndescent', got '$build'")
-    require(descentRounds >= 1 && seedBits >= 2,
+    require(descentRounds >= 1 && seedBits >= 2 && seedBits <= 62,
       s"bad descent shape rounds=$descentRounds seedBits=$seedBits")
     import org.apache.spark.sql.expressions.Window
 
@@ -1248,13 +1264,25 @@ object Similarity {
       * hyperplanes, md5 ranks, round6 cosines, (cos desc, id asc)
       * tie-breaks — a rebuild is bit-identical, and the graph feeds the
       * same aux-dump oracle replay as the broadcast build (q211). */
+    /** Upper layers at or under this member count take the exact
+      * block pass scoped to that layer's members — a CONSTANT-bounded
+      * collect (never corpus-proportional: the cap, not the corpus,
+      * bounds it), saving the descent machinery's per-round jobs where
+      * a layer is 16^ℓ-shrunk into triviality. Layer 0 always runs
+      * NN-descent. */
+    private val smallLayerCap = 2048
+
     private def nnDescentGraph(): DataFrame = {
       val members = withLevels(vecs, levels).toDF("id", "vec", "level")
         .localCheckpoint()
       val layerEdges = (0 to maxLevel).map { l =>
         val deg = if (l == 0) 2 * m else m
-        nnDescentLayer(members.filter(col("level") >= l).select("id", "vec"),
-          deg).withColumn("layer", lit(l))
+        val mem = members.filter(col("level") >= l).select("id", "vec")
+        val cnt = mem.count()
+        val edges =
+          if (l > 0 && cnt <= smallLayerCap) exactSmallLayer(mem, deg)
+          else nnDescentLayer(mem, deg, cnt)
+        edges.withColumn("layer", lit(l))
       }
       val all = layerEdges.reduce(_ unionByName _)
         .select("layer", "id", "nbr", "cos")
@@ -1263,16 +1291,57 @@ object Similarity {
         .distinct()
     }
 
+    /** Exact top-deg edges within one SMALL layer (≤ [[smallLayerCap]]
+      * members, enforced by the caller): the broadcast block pass
+      * scoped to a constant-bounded member set. */
+    private def exactSmallLayer(mem: DataFrame, deg: Int): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val ds = mem.select(col("id").cast("long"),
+        col("vec").cast("array<float>")).as[(Long, Array[Float])]
+      val bc = spark.sparkContext.broadcast(ds.collect().sortBy(_._1))
+      ds.mapPartitions { it =>
+        val mems = bc.value
+        it.flatMap { case (qid, qv) =>
+          val heap = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+            Ordering.by((t: (Double, Long)) => (-t._1, t._2)))
+          var i = 0
+          while (i < mems.length) {
+            val (oid, ov) = mems(i)
+            if (oid != qid) {
+              val c = cos6(qv, ov)
+              if (heap.size < deg) heap.enqueue((c, oid))
+              else {
+                val (wc, wid) = heap.head
+                if (c > wc || (c == wc && oid < wid)) {
+                  heap.dequeue(); heap.enqueue((c, oid))
+                }
+              }
+            }
+            i += 1
+          }
+          heap.toSeq.map { case (c, oid) => (qid, oid, c) }
+        }
+      }.toDF("id", "nbr", "cos")
+    }
+
     /** One layer's NN-descent: seed from LSH-bucket rank rings, then
       * `descentRounds` neighbor-of-neighbor refinement rounds, each
-      * re-selecting the top-deg per node via TopKPerKey. */
-    private def nnDescentLayer(mem: DataFrame, deg: Int): DataFrame = {
+      * re-selecting the top-deg per node via TopKPerKey. Bucket WIDTH
+      * adapts to the layer's member count (≈64 members per fine
+      * bucket, `seedBits` planes at most): a tiny layer collapses to
+      * one ring bucket (full connectivity — a fixed width would strand
+      * every member in a singleton bucket and seed an EMPTY graph),
+      * while a huge layer keeps buckets window-sortable. */
+    private def nnDescentLayer(mem: DataFrame, deg: Int, n: Long): DataFrame = {
       def score(cand: DataFrame): DataFrame = cand
         .join(mem.select(col("id"), col("vec").as("__v1")), "id")
         .join(mem.select(col("id").as("nbr"), col("vec").as("__v2")), "nbr")
         .withColumn("cos", round(vecCosine(col("__v1"), col("__v2")), 6))
         .select("id", "nbr", "cos")
-      val tables = Seq((seedBits, 42), (math.max(seedBits / 2, 2), 101))
+      val bitsF = math.max(0, math.min(seedBits, math.ceil(
+        math.log(math.max(n, 1).toDouble / 64.0) / math.log(2.0)).toInt))
+      val tables = Seq((bitsF, 42), (math.max(bitsF - 2, 0), 101))
       val seedPairs = tables.map { case (bits, seed) =>
         val bUdf = planeBucketUdf(hyperplanes(bits, dim, seed), dim)
         val ranked = mem.withColumn("bucket", bUdf(col("vec")))
@@ -1292,14 +1361,27 @@ object Similarity {
       var edges = graft.plans.TopK.perKey(score(seedPairs), Seq("id"),
         Seq(("cos", false), ("nbr", true)), deg).localCheckpoint()
       for (_ <- 1 to descentRounds) {
-        val sym = edges.select("id", "nbr").unionByName(
-          edges.select(col("nbr").as("id"), col("id").as("nbr"))).distinct()
-        val cand = sym.as("e1")
-          .join(sym.as("e2"), col("e1.nbr") === col("e2.id"))
+        // symmetrize WITH scores (reverse edges share the cosine), and
+        // bound the exchange list to each node's top-deg before the
+        // neighbor-of-neighbor join — the NN-descent sampling trick:
+        // candidates are top⋈top (n·deg² rows), not sym⋈sym (which
+        // squares the symmetrized degree), and already-scored pairs
+        // never rescore (the "new neighbors only" rule) — the scoring
+        // join is the round's only vector-carrying exchange.
+        val symScored = edges.select("id", "nbr", "cos").unionByName(
+            edges.select(col("nbr").as("id"), col("id").as("nbr"),
+              col("cos")))
+          .groupBy("id", "nbr").agg(max("cos").as("cos"))
+        val top = graft.plans.TopK.perKey(symScored, Seq("id"),
+          Seq(("cos", false), ("nbr", true)), deg)
+        val fresh = top.as("e1")
+          .join(top.as("e2"), col("e1.nbr") === col("e2.id"))
           .select(col("e1.id").as("id"), col("e2.nbr").as("nbr"))
           .filter(col("id") =!= col("nbr"))
-          .unionByName(sym).distinct()
-        edges = graft.plans.TopK.perKey(score(cand), Seq("id"),
+          .distinct()
+          .join(symScored.select("id", "nbr"), Seq("id", "nbr"), "left_anti")
+        edges = graft.plans.TopK.perKey(
+          score(fresh).unionByName(symScored), Seq("id"),
           Seq(("cos", false), ("nbr", true)), deg).localCheckpoint()
       }
       edges

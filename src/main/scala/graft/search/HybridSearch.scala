@@ -247,4 +247,52 @@ object HybridSearch {
     fused.join(index, Seq("id"), "left")
       .orderBy(desc("rrf_score"), col("id"))
   }
+
+  /** Prebuilt HNSW serving bundle over the chunk index's dense vectors.
+    * Chunk ids are uuid5 STRINGS while the graph index keys longs, so
+    * the graph is built over a deterministic 60-bit md5 surrogate
+    * (`hid` — the [[graft.ops.Similarity]] hex60 discipline; both
+    * engines re-derive it as `CAST('0x' || substr(md5(id), 1, 15) AS
+    * BIGINT)`) and `idMap` routes results back to the real ids. */
+  final case class HnswServing(hnsw: graft.ops.Similarity.HnswIndex,
+      idMap: DataFrame)
+
+  /** Build the [[HnswServing]] bundle — `build = "nndescent"` by
+    * default (the 100 TB graph construction; "broadcast" for the exact
+    * small-corpus upper bound). Build once at startup; per-request work
+    * is then only the beam walk. */
+  def buildHnswServing(index: DataFrame, m: Int = 8, maxLevel: Int = 3,
+      build: String = "nndescent", dim: Int = 384): HnswServing = {
+    val mapped = index.select(
+      expr("CAST(conv(substring(md5(id), 1, 15), 16, 10) AS BIGINT)")
+        .as("hid"),
+      col("id"), col("dense_vec"))
+    val hnsw = new graft.ops.Similarity.HnswIndex(
+      mapped.select("hid", "dense_vec"), m = m, maxLevel = maxLevel,
+      vecCol = "dense_vec", idCol = "hid", build = build, dim = dim)
+    HnswServing(hnsw, mapped.select("hid", "id"))
+  }
+
+  /** [[search]] with the dense prefetch served by a prebuilt HNSW
+    * graph walk ([[graft.ops.Similarity.HnswIndex.search]]) — the
+    * graph member of the ANN serving tier next to [[searchAnn]]'s IVF:
+    * per request the walk touches O(ef · hops · deg) graph rows
+    * instead of scanning the corpus (and instead of IVF's nProbe
+    * cells). `ef`/`hops` are the recall/cost dials; BM25 branch and
+    * RRF fusion unchanged. */
+  def searchHnsw(index: DataFrame, hs: HnswServing, docStats: DataFrame,
+      corpusSize: Long, avgDocLen: Double, query: String,
+      cfg: Config = Config(), ef: Int = 16, hops: Int = 3,
+      embedder: Embedder = HashingEmbedder.default): DataFrame = {
+    val prefetch = cfg.k * cfg.prefetchMultiplier
+    val qVec = embedder.embedQuery(query)
+    val qTerms = Bm25.tokenize(query)
+    val dense = hs.hnsw.search(qVec, prefetch, ef = ef, hops = hops)
+      .join(hs.idMap, "hid")
+      .select(col("id"), col("cos").as("dense_score"))
+    val sparse = bm25TopK(index, docStats, corpusSize, avgDocLen, qTerms, prefetch)
+    val fused = rrfFuse(dense, sparse, cfg)
+    fused.join(index, Seq("id"), "left")
+      .orderBy(desc("rrf_score"), col("id"))
+  }
 }

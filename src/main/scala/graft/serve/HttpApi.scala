@@ -49,10 +49,12 @@ object HttpApi {
       summarizer: Serve.Summarizer = new Serve.UnavailableSummarizer,
       fetchBytes: String => Array[Byte] = HttpApi.liveFetchBytes,
       defaultK: Int = 3,
-      // optional prebuilt IVF index over the chunk index's dense_vec:
-      // when present, requests may opt into the ANN-served dense branch
-      // with "ann": true ("n_probe" tunes the recall/cost dial)
-      ivf: Option[graft.ops.Similarity.IvfIndex] = None)
+      // optional prebuilt ANN indexes over the chunk index's dense_vec:
+      // when present, requests may opt into an ANN-served dense branch
+      // with "ann": true | "ivf" ("n_probe" tunes the recall/cost
+      // dial) or "ann": "hnsw" ("ef"/"hops" are the graph-walk dials)
+      ivf: Option[graft.ops.Similarity.IvfIndex] = None,
+      hnsw: Option[graft.search.HybridSearch.HnswServing] = None)
 
   /** Default `/case/fetch` byte fetcher: a real GET (the reference
     * downloads arbitrary slip-opinion URLs, `app.py:580-583`). With no
@@ -165,39 +167,76 @@ object HttpApi {
           // candidates ("mmr_lambda" tunes the relevance/diversity mix)
           val diversify = boolField(body, "diversify").getOrElse(false)
           val lambda = doubleField(body, "mmr_lambda").getOrElse(0.7)
-          // "ann": true serves the dense branch from the engine's
-          // prebuilt IVF index (q203's path); "n_probe" is the dial
-          val ann = boolField(body, "ann").getOrElse(false)
+          // "ann": true | "ivf" serves the dense branch from the
+          // engine's prebuilt IVF index (q203's path; "n_probe" is the
+          // dial); "ann": "hnsw" walks the prebuilt HNSW graph (q215's
+          // path; "ef"/"hops" are the dials)
+          val annMode: Either[String, Option[String]] =
+            body.flatMap(b => Option(b.get("ann"))).filter(!_.isNull) match {
+              case None => Right(None)
+              case Some(n) if n.isBoolean =>
+                Right(if (n.asBoolean()) Some("ivf") else None)
+              case Some(n) if n.isTextual && (n.asText() == "ivf" ||
+                  n.asText() == "hnsw") => Right(Some(n.asText()))
+              case Some(n) if n.isTextual =>
+                Left(s"unknown ann mode '${n.asText()}' " +
+                  "(use true, \"ivf\" or \"hnsw\")")
+              case Some(_) =>
+                Left("'ann' must be a boolean or \"ivf\"/\"hnsw\"")
+            }
           val nProbe = intField(body, "n_probe").getOrElse(4)
+          val ef = intField(body, "ef").getOrElse(16)
+          val hops = intField(body, "hops").getOrElse(3)
           if (lambda < 0.0 || lambda > 1.0)
             (400, err(s"mmr_lambda $lambda out of range [0, 1]"))
-          else if (ann && diversify)
-            (400, err("ann and diversify cannot combine on one request"))
-          else if (ann && engine.ivf.isEmpty)
-            (400, err("this engine was built without an ANN index; " +
-              "start it with an IvfIndex to serve \"ann\": true"))
-          else if (ann && nProbe < 1)
-            (400, err(s"n_probe $nProbe must be >= 1"))
-          else {
-            val resp =
-              if (ann) Serve.queryAnn(engine.index, engine.ivf.get,
-                engine.docStats, engine.corpusSize, engine.avgDocLen, q,
-                k = k, nProbe = nProbe, rrfScoreThreshold = threshold)
-              else if (diversify) Serve.queryDiversified(engine.index,
-                engine.docStats, engine.corpusSize, engine.avgDocLen, q,
-                k = k, lambda = lambda, rrfScoreThreshold = threshold)
-              else Serve.query(engine.index, engine.docStats,
-                engine.corpusSize, engine.avgDocLen, q, k = k,
-                rrfScoreThreshold = threshold)
-            val results = resp.results.map(r => obj(
-              "id" -> r.id, "score" -> r.score, "case_name" -> r.caseName,
-              "court" -> r.court, "date_filed" -> r.dateFiled,
-              "judges" -> r.judges, "snippet" -> r.snippet))
-            val searchType = if (ann) "hybrid_rrf_ivf"
-              else if (diversify) "hybrid_rrf_mmr" else "hybrid_rrf"
-            (200, s"""{"query":${str(q)},"results":[${results.mkString(",")}],""" +
-              s""""search_type":"$searchType","processing_time":${resp.processingTimeSec},""" +
-              s""""documents_found":${resp.results.size}}""")
+          else annMode match {
+            case Left(msg) => (400, err(msg))
+            case Right(ann) =>
+              if (ann.nonEmpty && diversify)
+                (400, err("ann and diversify cannot combine on one request"))
+              else if (ann.contains("ivf") && engine.ivf.isEmpty)
+                (400, err("this engine was built without an IVF index; " +
+                  "start it with an IvfIndex to serve \"ann\": \"ivf\""))
+              else if (ann.contains("hnsw") && engine.hnsw.isEmpty)
+                (400, err("this engine was built without an HNSW index; " +
+                  "start it with an HnswServing to serve \"ann\": \"hnsw\""))
+              else if (ann.contains("ivf") && nProbe < 1)
+                (400, err(s"n_probe $nProbe must be >= 1"))
+              else if (ann.contains("hnsw") && (ef < 1 || hops < 1))
+                (400, err(s"ef $ef and hops $hops must be >= 1"))
+              else {
+                val resp = ann match {
+                  case Some("ivf") => Serve.queryAnn(engine.index,
+                    engine.ivf.get, engine.docStats, engine.corpusSize,
+                    engine.avgDocLen, q, k = k, nProbe = nProbe,
+                    rrfScoreThreshold = threshold)
+                  case Some("hnsw") => Serve.queryHnsw(engine.index,
+                    engine.hnsw.get, engine.docStats, engine.corpusSize,
+                    engine.avgDocLen, q, k = k, ef = ef, hops = hops,
+                    rrfScoreThreshold = threshold)
+                  case _ =>
+                    if (diversify) Serve.queryDiversified(engine.index,
+                      engine.docStats, engine.corpusSize, engine.avgDocLen,
+                      q, k = k, lambda = lambda,
+                      rrfScoreThreshold = threshold)
+                    else Serve.query(engine.index, engine.docStats,
+                      engine.corpusSize, engine.avgDocLen, q, k = k,
+                      rrfScoreThreshold = threshold)
+                }
+                val results = resp.results.map(r => obj(
+                  "id" -> r.id, "score" -> r.score, "case_name" -> r.caseName,
+                  "court" -> r.court, "date_filed" -> r.dateFiled,
+                  "judges" -> r.judges, "snippet" -> r.snippet))
+                val searchType = ann match {
+                  case Some("ivf") => "hybrid_rrf_ivf"
+                  case Some("hnsw") => "hybrid_rrf_hnsw"
+                  case _ =>
+                    if (diversify) "hybrid_rrf_mmr" else "hybrid_rrf"
+                }
+                (200, s"""{"query":${str(q)},"results":[${results.mkString(",")}],""" +
+                  s""""search_type":"$searchType","processing_time":${resp.processingTimeSec},""" +
+                  s""""documents_found":${resp.results.size}}""")
+              }
           }
         }
     }

@@ -151,6 +151,26 @@ object Serve {
     QueryResponse(question, results, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** [[query]] with the dense branch served by a prebuilt HNSW graph
+    * walk ([[graft.search.HybridSearch.searchHnsw]]) — the graph member
+    * of the ANN serving tier next to [[queryAnn]]'s IVF. Same response
+    * shape; `search_type` surfaces the difference to the caller. */
+  def queryHnsw(index: DataFrame, hs: HybridSearch.HnswServing,
+      docStats: DataFrame, corpusSize: Long, avgDocLen: Double,
+      question: String, k: Int = 3, ef: Int = 16, hops: Int = 3,
+      rrfScoreThreshold: Double = 0.0): QueryResponse = {
+    val t0 = System.nanoTime()
+    val hits = HybridSearch.searchHnsw(index, hs, docStats, corpusSize,
+      avgDocLen, question,
+      HybridSearch.Config(k = k, rrfScoreThreshold = rrfScoreThreshold),
+      ef = ef, hops = hops)
+    val present = hits.columns.toSet
+    val payloadCols = Seq("case_name", "court", "date_filed", "judges").filter(present)
+    val results = hits.select(("id" +: "rrf_score" +: "chunk_text" +: payloadCols)
+        .map(col): _*).collect().toSeq.map(toResult(_, present))
+    QueryResponse(question, results, (System.nanoTime() - t0) / 1e9)
+  }
+
   /** [[query]] with an MMR diversification pass (no reference analog —
     * q164's operator at the serving layer): the hybrid search fetches
     * `candMultiplier · k` candidates, then the shared greedy loop

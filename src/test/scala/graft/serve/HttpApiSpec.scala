@@ -184,7 +184,53 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     // the DEFAULT engine has no index: ann requests refuse loudly
     val refused = post("/search", """{"query":"x","ann":true}""")
     assert(refused.statusCode() == 400 &&
-      refused.body().contains("without an ANN index"), refused.body())
+      refused.body().contains("without an IVF index"), refused.body())
+  }
+
+  test("POST /search with ann=hnsw: graph-walk dense branch round-trips; " +
+      "unknown ann mode and missing graph index refused") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def ids(body: String): Seq[String] = {
+      val rs = mapper.readTree(body).get("results")
+      (0 until rs.size()).map(rs.get(_).get("id").asText())
+    }
+    // three docs: the walk's visited set covers the corpus, so the
+    // graph-served dense branch equals the exact scan row-for-row
+    val hs = graft.search.HybridSearch.buildHnswServing(index)
+    val server = HttpApi.start(engine.copy(hnsw = Some(hs)), port = 0)
+    try {
+      val base = s"http://127.0.0.1:${server.port}"
+      def p(path: String, body: String) =
+        client.send(HttpRequest.newBuilder(URI.create(base + path))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      val plain = p("/search", """{"query":"habeas corpus","limit":2}""")
+      val ann = p("/search",
+        """{"query":"habeas corpus","limit":2,"ann":"hnsw","ef":8,"hops":2}""")
+      assert(ann.statusCode() == 200, ann.body())
+      assert(ann.body().contains("\"search_type\":\"hybrid_rrf_hnsw\""))
+      assert(ids(ann.body()) == ids(plain.body()),
+        "full visited set == exact dense branch")
+      // /query serves the same option
+      val q = p("/query",
+        """{"question":"habeas corpus","max_results":2,"ann":"hnsw"}""")
+      assert(q.statusCode() == 200 &&
+        q.body().contains("hybrid_rrf_hnsw"), q.body())
+      val badMode = p("/search", """{"query":"x","ann":"faiss"}""")
+      assert(badMode.statusCode() == 400 &&
+        badMode.body().contains("unknown ann mode"), badMode.body())
+      val badDial = p("/search", """{"query":"x","ann":"hnsw","ef":0}""")
+      assert(badDial.statusCode() == 400 && badDial.body().contains("ef"))
+      // this engine has the graph but not the IVF index
+      val noIvf = p("/search", """{"query":"x","ann":"ivf"}""")
+      assert(noIvf.statusCode() == 400 &&
+        noIvf.body().contains("without an IVF index"), noIvf.body())
+    } finally server.stop()
+    // the DEFAULT engine has no graph index
+    val refused = post("/search", """{"query":"x","ann":"hnsw"}""")
+    assert(refused.statusCode() == 400 &&
+      refused.body().contains("without an HNSW index"), refused.body())
   }
 
   test("POST /search/batch input validation: missing, empty, over-cap") {

@@ -3386,6 +3386,39 @@ object SparkEntry {
         iters = 2, maxPieceLen = 4)
       writeAux(vocab.select("piece", "w6"), dir, "q214_vocab")
       TextAnalysis.unigramEncodeWords(d, "text", vocab).orderBy("word")
+    }),
+
+    // Corpus-wide winsorization with KLL-sketch bounds (q177's sketch
+    // as the bounds provider — the q195 sketch-driven move applied to
+    // cleaning; exact per-group percentiles can't sort a 100 TB
+    // corpus). The cuts dump as aux; DuckDB replays EVERY clamp
+    // decision from them and independently verifies each cut sits
+    // within the sketch's rank-error contract (±⌈6N/k⌉ ranks of its
+    // target — the q185 in_bound pattern).
+    "q216_winsorize_sketched" -> ((s, dir) => {
+      import s.implicits._
+      val k = 64
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val w = graft.ops.Cleaning.winsorizeSketched(d, "n_chars",
+        lo = 0.05, hi = 0.95, k = k)
+      val cuts = w.select("n_chars_lo_cut", "n_chars_hi_cut").head
+      val (loCut, hiCut) = (cuts.getDouble(0), cuts.getDouble(1))
+      writeAux(Seq((loCut, hiCut)).toDF("lo_cut", "hi_cut"), dir, "q216_cuts")
+      val n = d.count()
+      val nLeLo = d.filter(col("n_chars") <= loCut).count()
+      val nLeHi = d.filter(col("n_chars") <= hiCut).count()
+      val slack = (6 * n + k - 1) / k
+      def inBound(nLe: Long, qMille: Long): Long = {
+        val target = (qMille * n + 999) / 1000
+        if (nLe >= target - slack && nLe <= target + slack) 1L else 0L
+      }
+      w.select(col("doc_id"), col("n_chars"),
+          col("n_chars_wins"),
+          when(col("n_chars") < loCut, -1L)
+            .when(col("n_chars") > hiCut, 1L).otherwise(0L).as("clamped"),
+          lit(inBound(nLeLo, 50)).as("in_bound_lo"),
+          lit(inBound(nLeHi, 950)).as("in_bound_hi"))
+        .orderBy("doc_id")
     })
   )
 
@@ -6840,7 +6873,35 @@ object SparkEntry {
         |top AS (SELECT * FROM fused ORDER BY rrf_score DESC, id LIMIT 5)
         |SELECT top.id, idx.chunk_id, top.rrf_score, top.dense_score,
         |  top.bm25_score
-        |FROM top JOIN idx ON idx.id = top.id""".stripMargin
+        |FROM top JOIN idx ON idx.id = top.id""".stripMargin,
+
+    "q216_winsorize_sketched" ->
+      """WITH cuts AS (SELECT lo_cut, hi_cut
+        |  FROM '__AUX__/q216_cuts/*.parquet'),
+        |d AS (SELECT doc_id, n_chars FROM documents),
+        |st AS (SELECT count(*) AS n,
+        |    SUM(CASE WHEN n_chars <= (SELECT lo_cut FROM cuts)
+        |        THEN 1 ELSE 0 END) AS n_le_lo,
+        |    SUM(CASE WHEN n_chars <= (SELECT hi_cut FROM cuts)
+        |        THEN 1 ELSE 0 END) AS n_le_hi
+        |  FROM d),
+        |b AS (SELECT n, n_le_lo, n_le_hi,
+        |    (50 * n + 999) // 1000 AS t_lo,
+        |    (950 * n + 999) // 1000 AS t_hi,
+        |    (6 * n + 63) // 64 AS slack FROM st)
+        |SELECT d.doc_id, d.n_chars,
+        |  round(least(greatest(d.n_chars::DOUBLE, c.lo_cut), c.hi_cut), 6)
+        |    AS n_chars_wins,
+        |  CAST(CASE WHEN d.n_chars < c.lo_cut THEN -1
+        |    WHEN d.n_chars > c.hi_cut THEN 1 ELSE 0 END AS BIGINT)
+        |    AS clamped,
+        |  CAST(CASE WHEN b.n_le_lo BETWEEN b.t_lo - b.slack
+        |      AND b.t_lo + b.slack THEN 1 ELSE 0 END AS BIGINT)
+        |    AS in_bound_lo,
+        |  CAST(CASE WHEN b.n_le_hi BETWEEN b.t_hi - b.slack
+        |      AND b.t_hi + b.slack THEN 1 ELSE 0 END AS BIGINT)
+        |    AS in_bound_hi
+        |FROM d, cuts c, b ORDER BY d.doc_id""".stripMargin
   )
 
   /** One unrolled round of q212's batched-BPE training replay, ending in

@@ -145,6 +145,32 @@ object Cleaning {
       .drop("__lo", "__hi")
   }
 
+  /** Corpus-WIDE winsorization with KLL-sketch bounds — the 100 TB form
+    * of [[winsorize]]: the exact-percentile bounds there need a
+    * per-group sort and don't merge across batches; at corpus scope the
+    * [lo, hi] cuts instead come from the mergeable quantile sketch
+    * ([[Profile.quantileSketchOf]], q177's tier) in ONE sketch-build
+    * pass (the shuffle carries O(k)-item sketches, never values), and
+    * clamping is a map-side pass against two literal scalars. The cuts
+    * carry the sketch's rank-error contract (|estRank − trueRank| ≤
+    * ⌈3N/k⌉; cut-derived decisions allow ±⌈6N/k⌉ — the q177 contract),
+    * which q216's oracle verifies for every clamp decision. Output
+    * carries `<valueCol>_wins` plus the two cuts as columns (callers
+    * persist them next to the batch — the q195 sketch-driven-layout
+    * move applied to cleaning). */
+  def winsorizeSketched(df: DataFrame, valueCol: String,
+      lo: Double = 0.05, hi: Double = 0.95, k: Int = 256): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"bad percentile range [$lo, $hi]")
+    val sk = graft.ops.Profile.quantileSketchOf(df, valueCol, k)
+    val loCut = sk.quantile(lo)
+    val hiCut = sk.quantile(hi)
+    df.withColumn(s"${valueCol}_wins",
+        round(least(greatest(col(valueCol).cast("double"), lit(loCut)),
+          lit(hiCut)), 6))
+      .withColumn(s"${valueCol}_lo_cut", lit(loCut))
+      .withColumn(s"${valueCol}_hi_cut", lit(hiCut))
+  }
+
   /** Forward fill (LOCF — last observation carried forward): each null
     * in `valueCols` takes the most recent non-null value of the same
     * column within its `partCols` group, in `orderCol` order. The

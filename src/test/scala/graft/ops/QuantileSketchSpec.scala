@@ -132,6 +132,39 @@ class QuantileSketchSpec extends AnyFunSuite with SparkTestBase {
       ("b", 500, 250.0), ("b", 900, 450.0)))
   }
 
+  test("winsorizeSketched: sketch cuts clamp within the rank-error " +
+      "bound; interior values untouched; deterministic") {
+    import spark.implicits._
+    val n = 1000
+    val df = (1 to n).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    val k = 64
+    val w = graft.ops.Cleaning.winsorizeSketched(df, "v",
+      lo = 0.05, hi = 0.95, k = k)
+    val rows = w.select("id", "v", "v_wins", "v_lo_cut", "v_hi_cut")
+      .collect()
+    val (loCut, hiCut) = (rows.head.getDouble(3), rows.head.getDouble(4))
+    // cuts sit within the q177 admission contract: ±ceil(6n/k) ranks
+    val slack = (6 * n + k - 1) / k
+    assert(math.abs(loCut - 50.0) <= slack, s"lo cut $loCut")
+    assert(math.abs(hiCut - 950.0) <= slack, s"hi cut $hiCut")
+    // clamping: below -> loCut, above -> hiCut, interior untouched
+    rows.foreach { r =>
+      val (v, wins) = (r.getLong(1).toDouble, r.getDouble(2))
+      if (v < loCut) assert(wins == loCut)
+      else if (v > hiCut) assert(wins == hiCut)
+      else assert(wins == v, s"interior $v must be untouched, got $wins")
+    }
+    // a rebuild's cuts honor the SAME bound (treeAggregate merge order
+    // may differ between runs — the contract is the rank-error bound,
+    // not bit-equal sketches; q216 aux-dumps its run's cuts)
+    val again = graft.ops.Cleaning.winsorizeSketched(df, "v",
+      lo = 0.05, hi = 0.95, k = k).select("v_lo_cut", "v_hi_cut").head
+    assert(math.abs(again.getDouble(0) - 50.0) <= slack)
+    assert(math.abs(again.getDouble(1) - 950.0) <= slack)
+    intercept[IllegalArgumentException](
+      graft.ops.Cleaning.winsorizeSketched(df, "v", lo = 0.9, hi = 0.1))
+  }
+
   test("contract errors are loud") {
     intercept[IllegalArgumentException](new QuantileSketch(4))
     intercept[IllegalArgumentException](new QuantileSketch(64).quantile(0.5))

@@ -3419,6 +3419,48 @@ object SparkEntry {
           lit(inBound(nLeLo, 50)).as("in_bound_lo"),
           lit(inBound(nLeHi, 950)).as("in_bound_hi"))
         .orderBy("doc_id")
+    }),
+
+    // DISTRIBUTED frozen-graph admission (q186 without the stored-
+    // corpus broadcast): batch nodes link into an NN-descent-built
+    // stored graph via LSH candidates + graph-expansion rounds —
+    // batch↔batch links impossible by construction, nothing
+    // corpus-sized collected. The q202-style audit: admitted edges
+    // dump as aux, DuckDB re-derives the EXACT brute-force stored
+    // top-16 per batch node from raw vectors and grades the admission
+    // — per-node recall is the hash-matched record.
+    "q217_hnsw_admit_dist" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val stored = emb.filter(col("vec_id") % 5 =!= 0)
+      val batch = emb.filter(col("vec_id") % 5 === 0)
+      val idx = new Similarity.HnswIndex(stored, m = 8, maxLevel = 3,
+        build = "nndescent")
+      val added = idx.appendEdgesDistributed(batch).localCheckpoint()
+      writeAux(added.select("layer", "id", "nbr"), dir, "q217_edges")
+      val fwd = added.filter(col("layer") === 0)
+        .join(batch.select(col("vec_id").as("id")), Seq("id"), "left_semi")
+        .select("id", "nbr")
+      val brute = stored.select(col("vec_id").as("cid"),
+          col("embedding").as("cv"))
+        .crossJoin(broadcast(batch.select(col("vec_id").as("qid"),
+          col("embedding").as("qv"))))
+        .withColumn("cos",
+          round(GraftFunctions.vecCosine(col("cv"), col("qv")), 6))
+        .select("qid", "cid", "cos")
+      val bruteK = graft.plans.TopK.perKey(brute, Seq("qid"),
+        Seq(("cos", false), ("cid", true)), 16).select("qid", "cid")
+      val hits = fwd.join(bruteK,
+          col("id") === col("qid") && col("nbr") === col("cid"))
+        .groupBy("id").agg(count(lit(1)).as("n_hit"))
+      val nAdmit = fwd.groupBy("id").agg(count(lit(1)).as("n_admit"))
+      batch.select(col("vec_id"))
+        .join(nAdmit.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+        .join(hits.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_admit"), lit(0L)).as("n_admit"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          expr("coalesce(n_hit, 0L) * 1000 div 16").as("recall_pm"))
+        .orderBy("vec_id")
     })
   )
 
@@ -6901,7 +6943,36 @@ object SparkEntry {
         |  CAST(CASE WHEN b.n_le_hi BETWEEN b.t_hi - b.slack
         |      AND b.t_hi + b.slack THEN 1 ELSE 0 END AS BIGINT)
         |    AS in_bound_hi
-        |FROM d, cuts c, b ORDER BY d.doc_id""".stripMargin
+        |FROM d, cuts c, b ORDER BY d.doc_id""".stripMargin,
+
+    "q217_hnsw_admit_dist" ->
+      """WITH bt AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 5 = 0),
+        |st AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 5 <> 0),
+        |fwd AS (SELECT id, nbr FROM '__AUX__/q217_edges/*.parquet'
+        |  WHERE layer = 0 AND id % 5 = 0),
+        |cc AS (SELECT qid, cid,
+        |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+        |  FROM (SELECT b.vec_id AS qid, s.vec_id AS cid,
+        |      unnest(s.embedding)::DOUBLE AS x,
+        |      unnest(b.embedding)::DOUBLE AS y
+        |    FROM bt b CROSS JOIN st s)
+        |  GROUP BY 1, 2),
+        |brute AS (SELECT qid, cid FROM (SELECT qid, cid,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, cid) AS rn FROM cc)
+        |  WHERE rn <= 16),
+        |hits AS (SELECT f.id, count(*) AS n_hit FROM fwd f
+        |  JOIN brute b ON b.qid = f.id AND b.cid = f.nbr GROUP BY 1),
+        |na AS (SELECT id, count(*) AS n_admit FROM fwd GROUP BY 1)
+        |SELECT bt.vec_id,
+        |  CAST(COALESCE(na.n_admit, 0) AS BIGINT) AS n_admit,
+        |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(COALESCE(h.n_hit, 0) * 1000 // 16 AS BIGINT) AS recall_pm
+        |FROM bt LEFT JOIN na ON na.id = bt.vec_id
+        |  LEFT JOIN hits h ON h.id = bt.vec_id
+        |ORDER BY bt.vec_id""".stripMargin
   )
 
   /** One unrolled round of q212's batched-BPE training replay, ending in

@@ -1,0 +1,96 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming HNSW admission with history — the graph index's version of
+  * the IVF generations story (q153) and the [[Snapshots
+  * .streamUpsertVersioned]] discipline: every non-empty micro-batch of
+  * vectors admits into the CURRENT graph under the frozen-graph rule
+  * and commits pinned snapshots, so a training run can freeze "the
+  * graph as the stream stood at version N" while ingest keeps flowing.
+  *
+  * State lives in two [[Snapshots]] tables:
+  *  - `pointsPath` — (id, vec), id-keyed new-rows-win;
+  *  - `edgesPath` — (id, layer, node, nbr, cos) with id =
+  *    "layer|node|nbr" so edge rows merge idempotently under the same
+  *    upsert semantics.
+  *
+  * Per batch: ids already stored are dropped (replay convergence), the
+  * FIRST batch builds the graph with the distributed NN-descent
+  * construction, later batches admit via
+  * [[graft.ops.Similarity.HnswIndex.appendEdgesDistributed]] against
+  * the PERSISTED graph (injected as `prebuiltGraph` — never rebuilt,
+  * never broadcast) — batch↔batch links are impossible by
+  * construction, so a node's placement is independent of its batch
+  * (the q91/q173 stored-statistics rule). Commit order is
+  * crash-minimizing: EDGES commit before POINTS — a crash between the
+  * two replays the batch (its ids are not yet stored), and the edge
+  * re-upsert is idempotent (same keys, identical content), so the
+  * stream converges rather than losing links. */
+object GraphStream {
+
+  private def encodeEdges(edges: DataFrame): DataFrame =
+    edges.select(
+      concat_ws("|", col("layer"), col("id"), col("nbr")).as("id"),
+      col("layer"), col("id").as("node"), col("nbr"), col("cos"))
+
+  /** A persisted edge snapshot back in (layer, id, nbr, cos) form —
+    * feed to `HnswIndex(prebuiltGraph = Some(...))` for serving a
+    * pinned version. */
+  def decodeEdges(rows: DataFrame): DataFrame =
+    rows.select(col("layer"), col("node").as("id"), col("nbr"), col("cos"))
+
+  /** Graph state as of pinned versions (−1 = latest): (points, edges).
+    * An [[graft.ops.Similarity.HnswIndex]] over them serves the walk. */
+  def readVersioned(spark: SparkSession, pointsPath: String,
+      edgesPath: String, pointsVersion: Long = -1L,
+      edgesVersion: Long = -1L): (DataFrame, DataFrame) =
+    (Snapshots.readVersion(spark, pointsPath, pointsVersion),
+      decodeEdges(Snapshots.readVersion(spark, edgesPath, edgesVersion)))
+
+  /** Start the admission stream: `source` rows carry (idCol, vecCol).
+    * Checkpointed `AvailableNow` trigger, one snapshot version pair per
+    * non-empty micro-batch with genuinely new ids. */
+  def streamAdmit(spark: SparkSession, source: DataFrame,
+      pointsPath: String, edgesPath: String, checkpoint: String,
+      m: Int = 8, maxLevel: Int = 3, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val pts = batch.toDF()
+          .select(col(idCol).as("id"), col(vecCol).as("vec"))
+          .dropDuplicates("id")
+        if (!pts.isEmpty) {
+          val havePoints = Snapshots.versions(spark, pointsPath).nonEmpty
+          if (!havePoints) {
+            val idx = new graft.ops.Similarity.HnswIndex(pts,
+              m = m, maxLevel = maxLevel, vecCol = "vec", idCol = "id",
+              build = "nndescent", dim = dim)
+            Snapshots.upsertVersioned(spark, encodeEdges(idx.graph), edgesPath)
+            Snapshots.upsertVersioned(spark, pts, pointsPath)
+          } else {
+            val stored = Snapshots.readVersion(spark, pointsPath)
+            val fresh = pts
+              .join(stored.select("id"), Seq("id"), "left_anti")
+              .localCheckpoint()
+            if (!fresh.isEmpty) {
+              val storedEdges = decodeEdges(
+                Snapshots.readVersion(spark, edgesPath))
+              val idx = new graft.ops.Similarity.HnswIndex(stored,
+                m = m, maxLevel = maxLevel, vecCol = "vec", idCol = "id",
+                build = "nndescent", dim = dim,
+                prebuiltGraph = Some(storedEdges))
+              val newEdges = idx.appendEdgesDistributed(fresh)
+              Snapshots.upsertVersioned(spark, encodeEdges(newEdges), edgesPath)
+              Snapshots.upsertVersioned(spark, fresh, pointsPath)
+            }
+          }
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+}

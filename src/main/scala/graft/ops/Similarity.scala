@@ -1101,7 +1101,8 @@ object Similarity {
   final class HnswIndex(df: DataFrame, m: Int = 8, maxLevel: Int = 3,
       vecCol: String = "embedding", idCol: String = "vec_id",
       build: String = "broadcast", dim: Int = 64,
-      descentRounds: Int = 2, seedBits: Int = 16) {
+      descentRounds: Int = 2, seedBits: Int = 16,
+      prebuiltGraph: Option[DataFrame] = None) {
     require(m >= 2 && maxLevel >= 1, s"bad HNSW shape m=$m maxLevel=$maxLevel")
     require(build == "broadcast" || build == "nndescent",
       s"build must be 'broadcast' or 'nndescent', got '$build'")
@@ -1229,11 +1230,14 @@ object Similarity {
       *  - `nndescent` — the 100 TB path: LSH-seeded NN-descent, fully
       *    relational, NO corpus-sized collect anywhere (see
       *    [[nnDescentGraph]]). Same (layer, id, nbr, cos) contract, so
-      *    search/serving code is build-agnostic. */
-    lazy val graph: DataFrame = build match {
+      *    search/serving code is build-agnostic.
+      * A `prebuiltGraph` (a persisted (layer, id, nbr, cos) table —
+      * e.g. a [[graft.index.GraphStream]] snapshot) short-circuits the
+      * build entirely: the streaming-admission reuse path. */
+    lazy val graph: DataFrame = prebuiltGraph.getOrElse(build match {
       case "broadcast" => edgesAgainst(withLevels(vecs, levels))
       case _           => nnDescentGraph()
-    }
+    })
 
     /** Distributed kNN-graph build — LSH-seeded NN-descent (Dong,
       * Moses, Li, WWW 2011), the at-scale swap for the broadcast block
@@ -1291,16 +1295,17 @@ object Similarity {
         .distinct()
     }
 
-    /** Exact top-deg edges within one SMALL layer (≤ [[smallLayerCap]]
-      * members, enforced by the caller): the broadcast block pass
-      * scoped to a constant-bounded member set. */
-    private def exactSmallLayer(mem: DataFrame, deg: Int): DataFrame = {
+    /** Exact top-deg block pass: each `qs` row scans a broadcast of
+      * `ms` (≤ [[smallLayerCap]] rows, enforced by callers — the
+      * collect is CONSTANT-bounded, never corpus-proportional) through
+      * a bounded heap. Both frames are (id, vec); self-pairs skip. */
+    private def blockPass(qs: DataFrame, ms: DataFrame, deg: Int): DataFrame = {
       val spark = df.sparkSession
       import spark.implicits._
-      val ds = mem.select(col("id").cast("long"),
+      def ds(d: DataFrame) = d.select(col("id").cast("long"),
         col("vec").cast("array<float>")).as[(Long, Array[Float])]
-      val bc = spark.sparkContext.broadcast(ds.collect().sortBy(_._1))
-      ds.mapPartitions { it =>
+      val bc = spark.sparkContext.broadcast(ds(ms).collect().sortBy(_._1))
+      ds(qs).mapPartitions { it =>
         val mems = bc.value
         it.flatMap { case (qid, qv) =>
           val heap = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
@@ -1324,6 +1329,9 @@ object Similarity {
         }
       }.toDF("id", "nbr", "cos")
     }
+
+    private def exactSmallLayer(mem: DataFrame, deg: Int): DataFrame =
+      blockPass(mem, mem, deg)
 
     /** One layer's NN-descent: seed from LSH-bucket rank rings, then
       * `descentRounds` neighbor-of-neighbor refinement rounds, each
@@ -1407,6 +1415,87 @@ object Similarity {
       val bvecs = batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
       val blevels = bvecs.select(col("id"), levelExpr.as("level"))
       edgesAgainst(withLevels(bvecs, blevels))
+    }
+
+    /** DISTRIBUTED frozen-side admission — [[appendEdges]] without the
+      * stored-corpus broadcast (the round-10 scale completion of the
+      * q186 discipline): each batch node finds its per-layer top-deg
+      * STORED neighbors from LSH-bucket candidates (the NN-descent
+      * seeding, batch side bucketed with the same adapted-width
+      * hyperplanes as the stored side) refined by `descentRounds`
+      * expansion rounds through the STORED graph's edges. Stored↔stored
+      * links untouched, batch↔batch links absent BY CONSTRUCTION —
+      * every candidate pair is batch × stored, so a node's placement
+      * cannot depend on what else arrived in its batch (the q91/q173
+      * stored-statistics rule, now guaranteed relationally). Returns
+      * only the new (layer, id, nbr, cos) edges, symmetric closure
+      * included, exactly like [[appendEdges]]. Nothing corpus-sized is
+      * collected or broadcast on this path. */
+    def appendEdgesDistributed(batch: DataFrame): DataFrame = {
+      val bvecs = batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      val bm = withLevels(bvecs,
+        bvecs.select(col("id"), levelExpr.as("level")))
+        .toDF("id", "vec", "level").localCheckpoint()
+      val sm = withLevels(vecs, levels).toDF("id", "vec", "level")
+        .localCheckpoint()
+      val g = cachedGraph
+      val layerEdges = (0 to maxLevel).map { l =>
+        val deg = if (l == 0) 2 * m else m
+        val bL = bm.filter(col("level") >= l).select("id", "vec")
+        val sL = sm.filter(col("level") >= l)
+          .select(col("id").as("nbr"), col("vec").as("__v2"))
+        // a layer with no batch members contributes nothing; a small
+        // STORED layer (≥1 only — layer 0 stays distributed) takes the
+        // constant-bounded block pass instead of the descent machinery
+        val bCnt = bL.count()
+        val edges = if (bCnt == 0)
+          bL.select(col("id"), col("id").as("nbr"), lit(0.0).as("cos"))
+            .limit(0)
+        else {
+          val n = sL.count()
+          if (l > 0 && n <= smallLayerCap)
+            blockPass(bL,
+              sL.select(col("nbr").as("id"), col("__v2").as("vec")), deg)
+          else {
+            val bitsF = math.max(0, math.min(seedBits, math.ceil(
+              math.log(math.max(n, 1).toDouble / 64.0) / math.log(2.0)).toInt))
+            def score(cand: DataFrame): DataFrame = cand
+              .join(bL.select(col("id"), col("vec").as("__v1")), "id")
+              .join(sL, "nbr")
+              .withColumn("cos", round(vecCosine(col("__v1"), col("__v2")), 6))
+              .select("id", "nbr", "cos")
+            val seeds = Seq((bitsF, 42), (math.max(bitsF - 2, 0), 101))
+              .map { case (bits, seed) =>
+                val u = planeBucketUdf(hyperplanes(bits, dim, seed), dim)
+                bL.withColumn("bucket", u(col("vec"))).select("bucket", "id")
+                  .join(sL.withColumn("bucket", u(col("__v2")))
+                    .select("bucket", "nbr"), Seq("bucket"))
+                  .select("id", "nbr")
+              }.reduce(_ unionByName _).distinct()
+            var edges0 = graft.plans.TopK.perKey(score(seeds), Seq("id"),
+              Seq(("cos", false), ("nbr", true)), deg).localCheckpoint()
+            for (_ <- 1 to descentRounds) {
+              val fresh = edges0.select("id", "nbr")
+                .join(g.filter(col("layer") === l)
+                  .select(col("id").as("nbr"), col("nbr").as("nbr2")), "nbr")
+                .select(col("id"), col("nbr2").as("nbr"))
+                .distinct()
+                .join(edges0.select("id", "nbr"), Seq("id", "nbr"), "left_anti")
+              edges0 = graft.plans.TopK.perKey(
+                score(fresh).unionByName(edges0.select("id", "nbr", "cos")),
+                Seq("id"), Seq(("cos", false), ("nbr", true)), deg)
+                .localCheckpoint()
+            }
+            edges0
+          }
+        }
+        edges.withColumn("layer", lit(l))
+      }
+      val all = layerEdges.reduce(_ unionByName _)
+        .select("layer", "id", "nbr", "cos")
+      all.unionByName(all.select(col("layer"), col("nbr").as("id"),
+          col("id").as("nbr"), col("cos")))
+        .distinct()
     }
 
     /** The graph materialized once per index instance — the walk joins

@@ -1,0 +1,89 @@
+package graft.index
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Streaming HNSW admission over versioned snapshots: the StreamUpsert
+  * contract applied to the graph index — one pinned (points, edges)
+  * version pair per micro-batch, history readable mid-stream, replay
+  * convergence, and the frozen-graph rule (batch links only into the
+  * stored side). */
+class GraphStreamSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def vecOf(i: Int): Seq[Float] = {
+    val r = new java.util.Random(i * 1000003L)
+    Seq.fill(8)(r.nextGaussian().toFloat)
+  }
+
+  test("one snapshot pair per batch; pinned v1 readable; replay " +
+      "converges; second batch links only into the stored side") {
+    val base = Files.createTempDirectory("graft_graph_stream").toString
+    val src = s"$base/src"
+    val (pts, edg) = (s"$base/points", s"$base/edges")
+    (0 until 50).map(i => (i.toLong, vecOf(i))).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .coalesce(1).write.mode("append").parquet(src)
+    (100 until 130).map(i => (i.toLong, vecOf(i))).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    def run(checkpoint: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = GraphStream.streamAdmit(spark, stream, pts, edg,
+        checkpoint = checkpoint, m = 4, maxLevel = 3, dim = 8)
+      q.processAllAvailable(); q.stop()
+    }
+    run(s"$base/cp1")
+
+    assert(Snapshots.versions(spark, pts) == Seq(1L, 2L))
+    assert(Snapshots.versions(spark, edg) == Seq(1L, 2L))
+    // pinned v1: only the first batch's state
+    val p1 = Snapshots.readVersion(spark, pts, 1).select("id")
+      .as[Long].collect().toSet
+    assert(p1 == (0L until 50L).toSet, "v1 points pin the first batch")
+    val e1 = GraphStream.decodeEdges(Snapshots.readVersion(spark, edg, 1))
+      .select("id", "nbr").as[(Long, Long)].collect()
+    assert(e1.nonEmpty && e1.forall { case (a, b) => a < 50 && b < 50 })
+    // latest: both batches; the admitted batch links ONLY into stored
+    val p2 = Snapshots.readVersion(spark, pts).select("id")
+      .as[Long].collect().toSet
+    assert(p2 == (0L until 50L).toSet ++ (100L until 130L).toSet)
+    val e1keys = Snapshots.readVersion(spark, edg, 1).select("id")
+      .as[String].collect().toSet
+    val newEdges = GraphStream.decodeEdges(
+        Snapshots.readVersion(spark, edg, 2)
+          .filter(!col("id").isin(e1keys.toSeq: _*)))
+      .select("id", "nbr").as[(Long, Long)].collect()
+    assert(newEdges.nonEmpty)
+    assert(newEdges.forall { case (a, b) => (a >= 100) ^ (b >= 100) },
+      "admitted edges must pair batch with stored — frozen-graph rule")
+
+    // replay from a fresh checkpoint: converged (no new versions from
+    // already-stored ids, no duplicate points, same edge keys)
+    val edgeKeysBefore = Snapshots.readVersion(spark, edg).select("id")
+      .as[String].collect().toSet
+    run(s"$base/cp2")
+    assert(Snapshots.readVersion(spark, pts).groupBy("id").count()
+      .filter($"count" > 1).isEmpty, "replay must not duplicate points")
+    assert(Snapshots.readVersion(spark, pts).count() == 80L)
+    assert(Snapshots.readVersion(spark, edg).select("id")
+      .as[String].collect().toSet == edgeKeysBefore,
+      "replay must not change the edge set")
+
+    // a pinned version pair SERVES: walk the latest graph end-to-end
+    val (points, edges) = GraphStream.readVersioned(spark, pts, edg)
+    val idx = new graft.ops.Similarity.HnswIndex(points, m = 4,
+      maxLevel = 3, vecCol = "vec", idCol = "id",
+      prebuiltGraph = Some(edges))
+    val got = idx.search(vecOf(7).toArray, k = 5, ef = 16, hops = 3)
+      .select("id").as[Long].collect()
+    assert(got.length == 5, s"served walk returns k results: ${got.toSeq}")
+  }
+}

@@ -1010,6 +1010,55 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got == want, s"layer-0 neighbors of 205: $got != $want")
   }
 
+  test("HnswIndex.appendEdgesDistributed: batch×stored only, symmetric, " +
+      "no corpus broadcast, near-exact layer-0 neighbors") {
+    def vecOf(i: Int): Array[Float] = {
+      val r = new java.util.Random(i * 999983L)
+      Array.fill(8)(r.nextGaussian().toFloat)
+    }
+    val stored = (0 until 200).map(i => (i.toLong, vecOf(i).toSeq))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val batch = (300 until 315).map(i => (i.toLong, vecOf(i).toSeq))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val idx = new Similarity.HnswIndex(stored, m = 4, maxLevel = 3,
+      build = "nndescent", dim = 8)
+    val added = idx.appendEdgesDistributed(batch)
+      .as[(Int, Long, Long, Double)].collect()
+    val batchIds = (300L until 315L).toSet
+    assert(added.nonEmpty)
+    assert(added.forall { case (_, a, b, _) => batchIds(a) ^ batchIds(b) },
+      "every edge pairs batch with stored — batch-batch links are " +
+        "impossible by construction")
+    val eset = added.map(r => (r._1, r._2, r._3)).toSet
+    assert(eset.forall { case (l, a, b) => eset((l, b, a)) }, "symmetric")
+    // layer-0 out-neighbors approximate the exact stored top-8: at
+    // least 6 of 8 recovered for every batch node (LSH seed + graph
+    // expansion on an isotropic cloud)
+    val storedVecs = stored.as[(Long, Array[Float])].collect().toMap
+    def cosTo(qv: Array[Float], ov: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      (0 until 8).foreach { j =>
+        dot += qv(j).toDouble * ov(j); nx += qv(j).toDouble * qv(j)
+        ny += ov(j).toDouble * ov(j)
+      }
+      BigDecimal(dot / (math.sqrt(nx) * math.sqrt(ny)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val minHits = batchIds.toSeq.map { bid =>
+      val qv = vecOf(bid.toInt)
+      val want = storedVecs.toSeq.map { case (id, v) => (id, cosTo(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(8).map(_._1).toSet
+      val got = added.filter(r => r._1 == 0 && r._2 == bid).map(_._3).toSet
+      want.intersect(got).size
+    }.min
+    assert(minHits >= 6, s"worst batch node recovered $minHits of 8")
+    // the distributed admission never collected the stored corpus
+    assert(!idx.memberBroadcastForced,
+      "appendEdgesDistributed must not broadcast the member table")
+  }
+
   test("hardNegatives: self and above-ceiling excluded, top-k below, " +
       "TopKPerKey plan") {
     // query 1 = (1,0); corpus: 2 = exact copy (cos 1, self-sim decoy),

@@ -3461,7 +3461,47 @@ object SparkEntry {
           coalesce(col("n_hit"), lit(0L)).as("n_hit"),
           expr("coalesce(n_hit, 0L) * 1000 div 16").as("recall_pm"))
         .orderBy("vec_id")
-    })
+    }),
+
+    // Incremental language-ID maintenance: per-batch (lang, bucket, c)
+    // counts are ADDITIVE, so a profile derived from UNIONED batch
+    // counts is bit-identical to full-corpus training — no sketch, no
+    // error term. Proven by classifying with the incrementally-built
+    // profile and hash-matching q213's FULL-training oracle verbatim.
+    "q218_langid_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val lang = when(col("doc_id") % 3 === 0, "en")
+        .when(col("doc_id") % 3 === 1, "zz").otherwise("qq")
+      val variant = when(col("doc_id") % 3 === 0, col("text"))
+        .when(col("doc_id") % 3 === 1,
+          translate(col("text"), "aeiou", "zzzzz"))
+        .otherwise(reverse(col("text")))
+      val labeled = d.filter(col("doc_id") < 200)
+        .select(col("doc_id"), lang.as("lang"), variant.as("text"))
+      val c1 = TextAnalysis.langIdCounts(
+        labeled.filter(col("doc_id") < 100), buckets = 1024)
+      val c2 = TextAnalysis.langIdCounts(
+        labeled.filter(col("doc_id") >= 100), buckets = 1024)
+      val profile = TextAnalysis.langIdProfileFromCounts(
+        c1.unionByName(c2), buckets = 1024)
+      val test = d.filter(col("doc_id").between(200, 299))
+        .select(col("doc_id"), variant.as("text"))
+      TextAnalysis.langIdClassify(test, profile, buckets = 1024)
+        .orderBy("doc_id")
+    }),
+
+    // Batch-perceptron TRAINING of the linear quality gate (the q95
+    // fixed weights, now fit on labeled seeds) — every iteration is
+    // one integer aggregate, and DuckDB replays the full weight
+    // history: per-iteration misclassified sets, Σ y·x updates, and
+    // counts, all exact integers (the kmeans unrolled-iteration
+    // discipline applied to a trained filter).
+    "q219_perceptron" -> ((s, dir) =>
+      graft.ops.Curation.perceptronTrain(
+        t(s, dir, "documents").select(col("text"),
+          when(col("n_chars") >= 250, 1L).otherwise(-1L).as("label")),
+        "label", "text", iters = 3)
+        .orderBy("iter"))
   )
 
   // ---------------------------------------------------------------------
@@ -3567,6 +3607,80 @@ object SparkEntry {
        |      / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) AS jaccard
        |  FROM cand c JOIN shnz s1 ON s1.doc_id = c.id1 JOIN shnz s2 ON s2.doc_id = c.id2)""".stripMargin
   }
+
+  /** q213's trained language-ID replay — the ENTIRE model re-derived
+    * (bigrams, md5 buckets, micro-log weights, floors, additive scores,
+    * argmax + margin). q218 reuses it VERBATIM: incremental per-batch
+    * count maintenance must be bit-identical to full-corpus training
+    * (counts are additive), so the same full replay gates both. */
+  private val langIdTrainedOracle: String =
+    s"""WITH v AS (SELECT doc_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'zz'
+       |      ELSE 'qq' END AS lang,
+       |    CASE doc_id % 3 WHEN 0 THEN text
+       |      WHEN 1 THEN translate(text, 'aeiou', 'zzzzz')
+       |      ELSE reverse(text) END AS text
+       |  FROM documents),
+       |tb AS (SELECT lang,
+       |    CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 1024 AS bucket
+       |  FROM (SELECT lang, unnest(flatten(list_transform(
+       |      list_filter(string_split(lower(trim(text)), ' '),
+       |        w -> w <> ''),
+       |      w -> list_transform(range(1, length(w) + 2),
+       |        i -> substr('_' || w || '_', CAST(i AS INT), 2))))) AS g
+       |    FROM v WHERE doc_id < 200)),
+       |cnt AS (SELECT lang, bucket, count(*) AS c FROM tb GROUP BY 1, 2),
+       |tot AS (SELECT lang, sum(c) AS total FROM cnt GROUP BY 1),
+       |wts AS (SELECT cnt.lang, bucket,
+       |    CAST(round(log10((c + 1) / (total + 1024)) * 1000000, 0)
+       |      AS BIGINT) AS w6
+       |  FROM cnt JOIN tot USING (lang)),
+       |flo AS (SELECT lang,
+       |    CAST(round(log10(1 / (total + 1024)) * 1000000, 0) AS BIGINT)
+       |      AS def6
+       |  FROM tot),
+       |gb AS (SELECT doc_id,
+       |    CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 1024 AS bucket
+       |  FROM (SELECT doc_id, unnest(flatten(list_transform(
+       |      list_filter(string_split(lower(trim(text)), ' '),
+       |        w -> w <> ''),
+       |      w -> list_transform(range(1, length(w) + 2),
+       |        i -> substr('_' || w || '_', CAST(i AS INT), 2))))) AS g
+       |    FROM v WHERE doc_id BETWEEN 200 AND 299)),
+       |sc AS (SELECT g.doc_id, l.lang,
+       |    CAST(SUM(COALESCE(w.w6, f.def6)) AS BIGINT) AS score6,
+       |    CAST(count(*) AS BIGINT) AS n_grams
+       |  FROM gb g CROSS JOIN (SELECT DISTINCT lang FROM tot) l
+       |  LEFT JOIN wts w ON w.lang = l.lang AND w.bucket = g.bucket
+       |  JOIN flo f ON f.lang = l.lang
+       |  GROUP BY 1, 2),
+       |rk AS (SELECT doc_id, lang, score6, n_grams,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score6 DESC, lang) AS rn,
+       |    lead(score6) OVER (PARTITION BY doc_id
+       |      ORDER BY score6 DESC, lang) AS next6
+       |  FROM sc)
+       |SELECT doc_id, lang AS pred_lang, score6,
+       |  score6 - COALESCE(next6, score6) AS margin6, n_grams
+       |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** One unrolled batch-perceptron iteration per round: `u<t>` is the
+    * misclassified-set aggregate under `w<t-1>` (count + Σ y·x per
+    * feature), `w<t>` the updated weights — q219's all-integer replay
+    * (the kmeansIterCtes pattern). */
+  private def perceptronIterCtes(iters: Int): String =
+    (1 to iters).map { t =>
+      s"""u$t AS (SELECT count(*) AS n,
+         |    COALESCE(SUM(y * fw), 0) AS dw, COALESCE(SUM(y * fc), 0) AS dc,
+         |    COALESCE(SUM(y * fe), 0) AS de, COALESCE(SUM(y * fd), 0) AS dd,
+         |    COALESCE(SUM(y), 0) AS db
+         |  FROM f, w${t - 1}
+         |  WHERE y * (ww*fw + wc*fc + we*fe + wd*fd + wb) <= 0),
+         |w$t AS (SELECT w${t - 1}.ww + u$t.dw AS ww,
+         |    w${t - 1}.wc + u$t.dc AS wc, w${t - 1}.we + u$t.de AS we,
+         |    w${t - 1}.wd + u$t.dd AS wd, w${t - 1}.wb + u$t.db AS wb
+         |  FROM w${t - 1}, u$t)""".stripMargin
+    }.mkString(",\n")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -6800,57 +6914,37 @@ object SparkEntry {
          |  a AS lhs, b AS rhs
          |FROM allm ORDER BY merge_rank""".stripMargin,
 
-    "q213_langid_trained" ->
-      s"""WITH v AS (SELECT doc_id,
-         |    CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'zz'
-         |      ELSE 'qq' END AS lang,
-         |    CASE doc_id % 3 WHEN 0 THEN text
-         |      WHEN 1 THEN translate(text, 'aeiou', 'zzzzz')
-         |      ELSE reverse(text) END AS text
-         |  FROM documents),
-         |tb AS (SELECT lang,
-         |    CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 1024 AS bucket
-         |  FROM (SELECT lang, unnest(flatten(list_transform(
-         |      list_filter(string_split(lower(trim(text)), ' '),
-         |        w -> w <> ''),
-         |      w -> list_transform(range(1, length(w) + 2),
-         |        i -> substr('_' || w || '_', CAST(i AS INT), 2))))) AS g
-         |    FROM v WHERE doc_id < 200)),
-         |cnt AS (SELECT lang, bucket, count(*) AS c FROM tb GROUP BY 1, 2),
-         |tot AS (SELECT lang, sum(c) AS total FROM cnt GROUP BY 1),
-         |wts AS (SELECT cnt.lang, bucket,
-         |    CAST(round(log10((c + 1) / (total + 1024)) * 1000000, 0)
-         |      AS BIGINT) AS w6
-         |  FROM cnt JOIN tot USING (lang)),
-         |flo AS (SELECT lang,
-         |    CAST(round(log10(1 / (total + 1024)) * 1000000, 0) AS BIGINT)
-         |      AS def6
-         |  FROM tot),
-         |gb AS (SELECT doc_id,
-         |    CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 1024 AS bucket
-         |  FROM (SELECT doc_id, unnest(flatten(list_transform(
-         |      list_filter(string_split(lower(trim(text)), ' '),
-         |        w -> w <> ''),
-         |      w -> list_transform(range(1, length(w) + 2),
-         |        i -> substr('_' || w || '_', CAST(i AS INT), 2))))) AS g
-         |    FROM v WHERE doc_id BETWEEN 200 AND 299)),
-         |sc AS (SELECT g.doc_id, l.lang,
-         |    CAST(SUM(COALESCE(w.w6, f.def6)) AS BIGINT) AS score6,
-         |    CAST(count(*) AS BIGINT) AS n_grams
-         |  FROM gb g CROSS JOIN (SELECT DISTINCT lang FROM tot) l
-         |  LEFT JOIN wts w ON w.lang = l.lang AND w.bucket = g.bucket
-         |  JOIN flo f ON f.lang = l.lang
-         |  GROUP BY 1, 2),
-         |rk AS (SELECT doc_id, lang, score6, n_grams,
-         |    row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY score6 DESC, lang) AS rn,
-         |    lead(score6) OVER (PARTITION BY doc_id
-         |      ORDER BY score6 DESC, lang) AS next6
-         |  FROM sc)
-         |SELECT doc_id, lang AS pred_lang, score6,
-         |  score6 - COALESCE(next6, score6) AS margin6, n_grams
-         |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q213_langid_trained" -> langIdTrainedOracle,
 
+    // counts are additive → incremental == full training, so the
+    // incremental query must match the FULL-training replay verbatim
+    "q218_langid_incremental" -> langIdTrainedOracle,
+
+    "q219_perceptron" ->
+      s"""WITH f AS (SELECT
+         |    CASE WHEN n_chars >= 250 THEN 1 ELSE -1 END AS y,
+         |    len(regexp_extract_all(text, '\\S+')) AS fw,
+         |    length(text) AS fc,
+         |    len(regexp_extract_all(text, '!')) AS fe,
+         |    len(regexp_extract_all(text, '[0-9]')) AS fd
+         |  FROM documents),
+         |w0 AS (SELECT 0 AS ww, 0 AS wc, 0 AS we, 0 AS wd, 0 AS wb),
+         |${perceptronIterCtes(3)}
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS iter, CAST(u1.n AS BIGINT) AS n_wrong,
+         |    CAST(w1.ww AS BIGINT) AS w_words, CAST(w1.wc AS BIGINT) AS w_chars,
+         |    CAST(w1.we AS BIGINT) AS w_exclaim, CAST(w1.wd AS BIGINT) AS w_digits,
+         |    CAST(w1.wb AS BIGINT) AS w_bias FROM u1, w1
+         |  UNION ALL
+         |  SELECT 2, CAST(u2.n AS BIGINT), CAST(w2.ww AS BIGINT),
+         |    CAST(w2.wc AS BIGINT), CAST(w2.we AS BIGINT),
+         |    CAST(w2.wd AS BIGINT), CAST(w2.wb AS BIGINT) FROM u2, w2
+         |  UNION ALL
+         |  SELECT 3, CAST(u3.n AS BIGINT), CAST(w3.ww AS BIGINT),
+         |    CAST(w3.wc AS BIGINT), CAST(w3.we AS BIGINT),
+         |    CAST(w3.wd AS BIGINT), CAST(w3.wb AS BIGINT) FROM u3, w3)
+         |ORDER BY iter""".stripMargin
+  ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6
         |  FROM '__AUX__/q214_vocab/*.parquet'),

@@ -249,6 +249,61 @@ object Curation {
     linearQualityScore(docs, idCol, textCol, w)
       .filter(col("logit") >= threshold)
 
+  /** TRAIN the linear quality gate — distributed batch perceptron in
+    * EXACT integers (the fastText-filter story: fit the gate on labeled
+    * seed documents instead of hand-tuning [[QualityWeights]]): labels
+    * are ±1, features the same integer (words, chars, '!', digits,
+    * bias-1) vector as [[linearQualityScore]], and each unrolled
+    * iteration adds Σ y·x over the rows the CURRENT weights misclassify
+    * (y·(w·x) ≤ 0, zero-margin counts as wrong so iteration 1 moves off
+    * the zero vector) — all-integer updates, so both engines replay
+    * every step bit-for-bit (the k-means/PageRank unrolled-iteration
+    * discipline, q219).
+    *
+    * Scale shape: the feature table is extracted once
+    * (localCheckpoint) and each iteration is ONE map-side-combinable
+    * aggregate — six longs cross the exchange per iteration, the
+    * driver holds five weights; iterations are a constant, never
+    * per-row. Returns the weight HISTORY: one row per iteration with
+    * the weights AFTER its update and `n_wrong`, the misclassified
+    * count under the PRE-update weights (a training curve the caller
+    * can gate on). */
+  def perceptronTrain(docs: DataFrame, labelCol: String, textCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = col(textCol)
+    val feats = docs.select(
+        col(labelCol).cast("long").as("y"),
+        size(tokens(t)).cast("long").as("fw"),
+        length(t).cast("long").as("fc"),
+        size(regexp_extract_all(t, lit("!"), lit(0))).cast("long").as("fe"),
+        size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("long").as("fd"))
+      .localCheckpoint()
+    var w = Array(0L, 0L, 0L, 0L, 0L) // words, chars, exclaim, digits, bias
+    val hist = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, Long)]
+    for (it <- 1 to iters) {
+      val margin = col("y") * (lit(w(0)) * col("fw") + lit(w(1)) * col("fc") +
+        lit(w(2)) * col("fe") + lit(w(3)) * col("fd") + lit(w(4)))
+      val u = feats.filter(margin <= 0)
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("y") * col("fw")), lit(0L)),
+          coalesce(sum(col("y") * col("fc")), lit(0L)),
+          coalesce(sum(col("y") * col("fe")), lit(0L)),
+          coalesce(sum(col("y") * col("fd")), lit(0L)),
+          coalesce(sum(col("y")), lit(0L)))
+        .head
+      val nWrong = u.getLong(0)
+      w = Array(w(0) + u.getLong(1), w(1) + u.getLong(2),
+        w(2) + u.getLong(3), w(3) + u.getLong(4), w(4) + u.getLong(5))
+      hist += ((it.toLong, nWrong, w(0), w(1), w(2), w(3), w(4)))
+    }
+    hist.toSeq.toDF("iter", "n_wrong", "w_words", "w_chars", "w_exclaim",
+      "w_digits", "w_bias")
+  }
+
   // -------------------------------------------------------------------
   // Eval-set contamination: fraction of a training doc's distinct word
   // n-grams that appear anywhere in the eval split. The eval gram set is

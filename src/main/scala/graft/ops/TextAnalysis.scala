@@ -96,14 +96,33 @@ object TextAnalysis {
     * round(1e6·log10(1/(total+B))). Profile size is langs × B —
     * broadcastable by construction; the corpus is touched once. */
   def langIdTrain(labeled: DataFrame, langCol: String = "lang",
+      textCol: String = "text", buckets: Int = 256): DataFrame =
+    langIdProfileFromCounts(
+      langIdCounts(labeled, langCol, textCol, buckets), buckets)
+
+  /** Per-batch training artifact: raw (lang, bucket, c) bigram-bucket
+    * counts. Counts are ADDITIVE, so profiles maintain INCREMENTALLY —
+    * persist each batch's counts, union any window's batches, and
+    * [[langIdProfileFromCounts]] yields a profile bit-identical to
+    * full-corpus training (the weight is a pure function of the exact
+    * integer (c, total)); the sketch-tier maintenance story
+    * (HLL/CMS/KLL/KMV) applied to the classifier, without even a
+    * sketch's error term. */
+  def langIdCounts(labeled: DataFrame, langCol: String = "lang",
       textCol: String = "text", buckets: Int = 256): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    val counts = labeled
+    labeled
       .select(col(langCol).as("lang"),
         langGramBuckets(col(textCol), buckets).as("bucket"))
       .groupBy("lang", "bucket").agg(count(lit(1)).as("c"))
-    val totals = counts.groupBy("lang").agg(sum("c").as("total"))
-    counts.join(totals, "lang")
+  }
+
+  /** Profile from (possibly unioned per-batch) [[langIdCounts]] rows:
+    * re-sum per cell, derive micro-log weights + per-language floors. */
+  def langIdProfileFromCounts(counts: DataFrame, buckets: Int): DataFrame = {
+    val merged = counts.groupBy("lang", "bucket").agg(sum("c").as("c"))
+    val totals = merged.groupBy("lang").agg(sum("c").as("total"))
+    merged.join(totals, "lang")
       .select(col("lang"), col("bucket"),
         round(log10((col("c") + 1).cast("double") /
           (col("total") + buckets).cast("double")) * 1e6, 0)

@@ -185,6 +185,40 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1L), s"only the clean doc clears the cut: $kept")
   }
 
+  test("perceptronTrain: integer batch updates separate a planted " +
+      "labeled set; n_wrong shrinks; deterministic") {
+    // +1: wordy clean docs; -1: digit/exclaim spam — linearly separable
+    // on the (words, digits, exclaim) features
+    val docs = ((1 to 10).map(i =>
+        (i.toLong,
+          s"clean sentence number with many plain words here now $i word",
+          1L)) ++
+      (1 to 10).map(i => (i + 100L, s"!!! 99$i 88 !!! 77", -1L)))
+      .toDF("doc_id", "text", "label")
+    val hist = Curation.perceptronTrain(docs, "label", "text", iters = 4)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(hist.length == 4)
+    // iteration 1 sees everything misclassified (zero weights, margin 0)
+    assert(hist.head._2 == 20L, s"iter-1 n_wrong: ${hist.head._2}")
+    // training improves: the last round misclassifies fewer than the first
+    assert(hist.last._2 < hist.head._2,
+      s"n_wrong must shrink: ${hist.map(_._2).toSeq}")
+    // deterministic: integer arithmetic, same history every run
+    val again = Curation.perceptronTrain(docs, "label", "text", iters = 4)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq == hist.toSeq)
+    // the final weights actually separate the planted set
+    val (_, _, ww, wc, we, wd, wb) = hist.last
+    val kept = Curation.linearQualityFilter(docs, "doc_id", "text",
+        Curation.QualityWeights(ww, wc, we, wd, wb), threshold = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == (1L to 10L).toSet,
+      s"learned gate keeps exactly the clean docs: $kept")
+    intercept[IllegalArgumentException](
+      Curation.perceptronTrain(docs, "label", "text", iters = 0))
+  }
+
   test("canonicalizeUrl: host case/port/tracking/fragment/slash variants collapse") {
     val urls = Seq(
       (1L, "https://Example.COM:443/Path/To/Page/?utm_source=a&utm_medium=b"),

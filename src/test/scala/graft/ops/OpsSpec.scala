@@ -1742,6 +1742,25 @@ class TokenizerSpec extends AnyFunSuite with SparkTestBase {
       TextAnalysis.bpeTrain(docs, "text", numMerges = 2, batch = 0))
   }
 
+  test("langIdCounts: per-batch counts union to a profile bit-identical " +
+      "to full-corpus training") {
+    val labeled = Seq(
+      ("en", "the quick brown fox the lazy dog"),
+      ("en", "a stitch in time saves nine"),
+      ("zz", "zzq zzw zzr zzt zzy"),
+      ("zz", "zzp zza zzs zzd zzf")).toDF("lang", "text")
+    val full = TextAnalysis.langIdTrain(labeled, buckets = 128)
+      .as[(String, Long, Long)].collect().toSet
+    val b1 = TextAnalysis.langIdCounts(labeled.limit(2), buckets = 128)
+    val b2 = TextAnalysis.langIdCounts(
+      labeled.exceptAll(labeled.limit(2)), buckets = 128)
+    val inc = TextAnalysis.langIdProfileFromCounts(
+        b1.unionByName(b2), buckets = 128)
+      .as[(String, Long, Long)].collect().toSet
+    assert(inc == full,
+      "additive counts: incremental profile must equal full training")
+  }
+
   test("unigramViterbiWord: max-likelihood segmentation with " +
       "lexicographic tie-break; stranded positions return None") {
     // 'abc': pieces abc(-1.0), ab(-2), bc(-2), a(-3), b(-3), c(-3)

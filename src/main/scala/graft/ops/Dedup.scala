@@ -308,12 +308,16 @@ object Dedup {
       bandHash: Column => Column = c => xxhash64(c)): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     val toks = split(lower(trim(col(textCol))), "\\s+")
+    // The signature table feeds three plan branches (banding + both
+    // verify sides); the explicit hash exchange lets exchange REUSE
+    // share one computation across them with NOTHING left in the
+    // storage layer afterwards (an earlier persist() here leaked cached
+    // partitions across repeated audits in a long-lived session — the
+    // round-9 ADVICE item — and measured no faster than reuse).
     val sig = df.filter(size(toks) >= shingleK)
       .select(col(idCol), shingles(col(textCol), shingleK).as("sh"))
       .repartition(p, col(idCol))
       .withColumn("sig", signature(col("sh"), numHashes))
-      .persist()
-    sig.count() // one materialization feeds banding + both verify sides
     val banded = lshBands(sig, "sig", bands, idCol, bandHash,
       sigLen = numHashes)
     val a = banded.select(col("band_id"), col("band_hash"), col(idCol).as("id1"))
@@ -346,16 +350,7 @@ object Dedup {
         when(coalesce(col("n_cand"), lit(0L)) === 0L, 0L)
           .otherwise(expr("n_verified * 1000 div n_cand")).cast("long")
           .as("precision_pm"))
-    // The audit is O(bands) rows by contract — materialize it here so
-    // the cached signatures can be released before returning (a
-    // long-lived session running repeated audits must not accumulate
-    // cached partitions until LRU eviction).
-    val rows = audit.collect().toSeq
-    sig.unpersist()
-    df.sparkSession.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-      audit.schema)
+    audit
   }
 
   /** Connected components over a near-dup pair graph — the step that

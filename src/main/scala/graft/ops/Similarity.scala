@@ -1410,7 +1410,9 @@ object Similarity {
       * `compactGenerations` when accumulated batch mass degrades
       * navigability. Scale shape: one map-side pass over the batch
       * against the broadcast member table; nothing shuffles but the
-      * O(batch · deg) edge rows. */
+      * O(batch · deg) edge rows. Beyond broadcast size use
+      * [[appendEdgesDistributed]] — same contract, no stored-corpus
+      * broadcast (q217). */
     def appendEdges(batch: DataFrame): DataFrame = {
       val bvecs = batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
       val blevels = bvecs.select(col("id"), levelExpr.as("level"))

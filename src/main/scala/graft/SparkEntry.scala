@@ -3501,7 +3501,27 @@ object SparkEntry {
         t(s, dir, "documents").select(col("text"),
           when(col("n_chars") >= 250, 1L).otherwise(-1L).as("label")),
         "label", "text", iters = 3)
-        .orderBy("iter"))
+        .orderBy("iter")),
+
+    // One-pass multi-term scan (Aho–Corasick): occurrence counts of a
+    // derived term list (top-5 corpus words + a 2-char prefix term that
+    // hits INSIDE words — overlap semantics) in ONE automaton pass per
+    // doc, vs one corpus scan per term for contains/LIKE. DuckDB
+    // re-derives the term list and counts every position-level match
+    // independently — overlapping occurrences included.
+    "q220_multi_term_scan" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val top = d.select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("w")).limit(5)
+        .select("w").collect().map(_.getString(0)).toSeq
+      val terms = (top :+ top.head.substring(0, 2)).distinct
+      TextAnalysis.ahoCorasickScan(
+          d.select(col("doc_id"), lower(col("text")).as("text")),
+          "doc_id", "text", terms)
+        .orderBy("doc_id", "term")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -6943,7 +6963,25 @@ object SparkEntry {
          |  SELECT 3, CAST(u3.n AS BIGINT), CAST(w3.ww AS BIGINT),
          |    CAST(w3.wc AS BIGINT), CAST(w3.we AS BIGINT),
          |    CAST(w3.wd AS BIGINT), CAST(w3.wb AS BIGINT) FROM u3, w3)
-         |ORDER BY iter""".stripMargin
+         |ORDER BY iter""".stripMargin,
+
+    "q220_multi_term_scan" ->
+      """WITH tw AS (SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+        |    FROM documents)
+        |  WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 5),
+        |t1 AS (SELECT w FROM tw ORDER BY c DESC, w LIMIT 1),
+        |terms AS (SELECT DISTINCT term FROM (
+        |  SELECT w AS term FROM tw
+        |  UNION ALL SELECT substr(w, 1, 2) FROM t1)),
+        |lt AS (SELECT doc_id, lower(text) AS text FROM documents),
+        |hits AS (SELECT d.doc_id, t.term,
+        |    CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM lt d CROSS JOIN terms t,
+        |    UNNEST(range(length(d.text) - length(t.term) + 1)) r(i)
+        |  WHERE substr(d.text, CAST(i + 1 AS INT), length(t.term)) = t.term
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, term, n_hits FROM hits ORDER BY doc_id, term""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

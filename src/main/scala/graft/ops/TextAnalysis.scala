@@ -172,6 +172,90 @@ object TextAnalysis {
         col("n_grams"))
   }
 
+  // --- Multi-term scan (Aho–Corasick) ---------------------------------
+
+  /** Aho–Corasick automaton over a bounded term list (Aho & Corasick
+    * 1975) — goto/fail/output links built once on the driver, BFS by
+    * depth so each node's output link merges its fail target's outputs
+    * (already final when dequeued). Serializable for broadcast. */
+  private[ops] final class AcAutomaton(val terms: Seq[String])
+      extends Serializable {
+    require(terms.nonEmpty && terms.forall(_.nonEmpty), "empty term")
+    require(terms.distinct == terms, "duplicate terms double-count")
+    import scala.collection.mutable
+    private val next = mutable.ArrayBuffer(mutable.Map.empty[Char, Int])
+    private val fail = mutable.ArrayBuffer(0)
+    private val out = mutable.ArrayBuffer[List[Int]](Nil)
+    terms.zipWithIndex.foreach { case (t, ti) =>
+      var s = 0
+      t.foreach { c =>
+        s = next(s).getOrElseUpdate(c, {
+          next += mutable.Map.empty[Char, Int]
+          fail += 0; out += Nil
+          next.length - 1
+        })
+      }
+      out(s) = ti :: out(s)
+    }
+    locally {
+      val q = mutable.Queue.empty[Int]
+      next(0).values.foreach { v => fail(v) = 0; q += v }
+      while (q.nonEmpty) {
+        val u = q.dequeue()
+        out(u) = out(u) ++ out(fail(u))
+        next(u).foreach { case (c, v) =>
+          var f = fail(u)
+          while (f != 0 && !next(f).contains(c)) f = fail(f)
+          fail(v) = next(f).get(c).filter(_ != v).getOrElse(0)
+          q += v
+        }
+      }
+    }
+    /** Per-term occurrence counts (overlapping matches included). */
+    def scan(text: String): Array[Long] = {
+      val counts = new Array[Long](terms.length)
+      if (text == null) return counts
+      var s = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        while (s != 0 && !next(s).contains(c)) s = fail(s)
+        s = next(s).getOrElse(c, 0)
+        var o = out(s)
+        while (o.nonEmpty) { counts(o.head) += 1; o = o.tail }
+        i += 1
+      }
+      counts
+    }
+  }
+
+  /** One-pass multi-pattern scan: occurrence counts (OVERLAPPING
+    * matches included) of every `terms` entry in `textCol`, via a
+    * broadcast Aho–Corasick automaton — the at-scale shape for big
+    * blocklist / contamination-phrase / brand-safety sweeps: one
+    * automaton step per character regardless of term count, where the
+    * contains/LIKE formulation scans the corpus once PER TERM (a
+    * 10k-term blocklist would read 100 TB 10k times). Terms are a
+    * bounded dimension list by contract (driver build + broadcast —
+    * the IVF-centroid cost class); matching is over raw characters,
+    * callers normalize case first if wanted. Returns (id, term,
+    * n_hits) for terms with ≥ 1 hit — one map-side pass, only the hit
+    * triples cross an exchange. */
+  def ahoCorasickScan(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(new AcAutomaton(terms))
+    val scanUdf = udf { text: String =>
+      val ac = bc.value
+      val counts = ac.scan(text)
+      counts.indices.collect {
+        case i if counts(i) > 0 => (ac.terms(i), counts(i))
+      }.toSeq
+    }
+    docs.select(col(idCol), explode(scanUdf(col(textCol))).as("h"))
+      .select(col(idCol), col("h._1").as("term"), col("h._2").as("n_hits"))
+  }
+
   /** Quality-score struct: char length, word count, mean word length,
     * punctuation ratio, uppercase ratio, stopword ratio (en), and a
     * composite [0,1] quality heuristic. */

@@ -1742,6 +1742,36 @@ class TokenizerSpec extends AnyFunSuite with SparkTestBase {
       TextAnalysis.bpeTrain(docs, "text", numMerges = 2, batch = 0))
   }
 
+  test("ahoCorasickScan: overlapping matches, fail-link transitions, " +
+      "suffix-term outputs, one row per hit term") {
+    // "aaab": "aa" overlaps at 0,1 -> 2; "aab" at 1 -> 1; "b" at 3 -> 1
+    val docs = Seq(
+      (1L, "aaab"),
+      (2L, "abcd"),   // "abc" and "bcd" share a fail transition
+      (3L, "xyz"),    // no hits -> absent
+      (4L, "bb")).toDF("doc_id", "text")
+    val out = TextAnalysis.ahoCorasickScan(docs, "doc_id", "text",
+        Seq("aa", "aab", "b", "abc", "bcd"))
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.map(r => r._2 -> r._3).toMap }
+    assert(out(1L) == Map("aa" -> 2L, "aab" -> 1L, "b" -> 1L), out(1L).toString)
+    assert(out(2L) == Map("abc" -> 1L, "bcd" -> 1L, "b" -> 1L), out(2L).toString)
+    assert(!out.contains(3L), "hitless docs are absent")
+    assert(out(4L) == Map("b" -> 2L))
+    // suffix outputs: a term that is a proper suffix of another fires
+    // wherever the longer one does
+    val sfx = TextAnalysis.ahoCorasickScan(
+        Seq((1L, "xabc")).toDF("doc_id", "text"), "doc_id", "text",
+        Seq("xabc", "abc", "bc", "c"))
+      .as[(Long, String, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(sfx == Map("xabc" -> 1L, "abc" -> 1L, "bc" -> 1L, "c" -> 1L))
+    intercept[IllegalArgumentException](
+      TextAnalysis.ahoCorasickScan(docs, "doc_id", "text", Seq("a", "a")))
+    intercept[IllegalArgumentException](
+      TextAnalysis.ahoCorasickScan(docs, "doc_id", "text", Seq("")))
+  }
+
   test("langIdCounts: per-batch counts union to a profile bit-identical " +
       "to full-corpus training") {
     val labeled = Seq(

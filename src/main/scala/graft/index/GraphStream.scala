@@ -49,6 +49,25 @@ object GraphStream {
     (Snapshots.readVersion(spark, pointsPath, pointsVersion),
       decodeEdges(Snapshots.readVersion(spark, edgesPath, edgesVersion)))
 
+  /** Compact the graph: REBUILD the edge table from the LATEST points
+    * snapshot with the full NN-descent construction and commit it as a
+    * new edge version (a REPLACE commit — admitted-edge residue must
+    * not merge back in). The `compactGenerations` move for the graph
+    * tier: frozen-side admissions never link batch↔batch and never
+    * rewire the stored side toward newcomers, so navigability degrades
+    * as admitted mass accumulates; a periodic rebuild restores
+    * self-built quality. Points are untouched; prior edge versions stay
+    * pinned-readable (a training run frozen at version N is
+    * undisturbed). Returns the committed edge version. */
+  def compact(spark: SparkSession, pointsPath: String, edgesPath: String,
+      m: Int = 8, maxLevel: Int = 3, dim: Int = 64): Long = {
+    val points = Snapshots.readVersion(spark, pointsPath)
+    val idx = new graft.ops.Similarity.HnswIndex(points, m = m,
+      maxLevel = maxLevel, vecCol = "vec", idCol = "id",
+      build = "nndescent", dim = dim)
+    Snapshots.replaceVersioned(spark, encodeEdges(idx.graph), edgesPath)
+  }
+
   /** Start the admission stream: `source` rows carry (idCol, vecCol).
     * Checkpointed `AvailableNow` trigger, one snapshot version pair per
     * non-empty micro-batch with genuinely new ids. */

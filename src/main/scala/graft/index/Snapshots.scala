@@ -138,6 +138,25 @@ object Snapshots {
     v
   }
 
+  /** Commit `points` (deduped on `id`) as a NEW snapshot REPLACING the
+    * latest content wholesale — prior versions stay pinned-readable.
+    * The rewrite-commit primitive compaction-style operations need:
+    * [[upsertVersioned]] would merge rows the rewrite deliberately
+    * dropped back in. Returns the committed version. */
+  def replaceVersioned(spark: SparkSession, points: DataFrame,
+      path: String): Long = {
+    val fs = fsFor(spark, path)
+    val vs = versions(spark, path)
+    // layout guard: a replace on a bucketed table must refuse loudly
+    vs.lastOption.foreach(v => readManifest(fs, path, v))
+    val v = vs.lastOption.getOrElse(0L) + 1
+    val gen = f"gen-$v%05d"
+    points.dropDuplicates("id").write.mode(SaveMode.ErrorIfExists)
+      .parquet(new org.apache.hadoop.fs.Path(path, gen).toString)
+    commit(fs, path, v, gen)
+    v
+  }
+
   /** Compact the LATEST snapshot's files into ~`targetFileBytes` files
     * as a NEW version with identical rows. Older snapshots' generation
     * directories are never touched — compaction and time travel

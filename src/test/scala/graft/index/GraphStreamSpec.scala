@@ -85,5 +85,29 @@ class GraphStreamSpec extends AnyFunSuite with SparkTestBase {
     val got = idx.search(vecOf(7).toArray, k = 5, ef = 16, hops = 3)
       .select("id").as[Long].collect()
     assert(got.length == 5, s"served walk returns k results: ${got.toSeq}")
+
+    // COMPACTION: rebuild the edges from the full point set as a new
+    // REPLACE-committed version — equal to a fresh self-build, admitted
+    // residue gone, history intact
+    val v3 = GraphStream.compact(spark, pts, edg, m = 4, maxLevel = 3,
+      dim = 8)
+    assert(v3 == 3L)
+    val rebuilt = GraphStream.decodeEdges(Snapshots.readVersion(spark, edg, 3))
+      .select("layer", "id", "nbr").as[(Int, Long, Long)].collect().toSet
+    val freshIdx = new graft.ops.Similarity.HnswIndex(points, m = 4,
+      maxLevel = 3, vecCol = "vec", idCol = "id", build = "nndescent",
+      dim = 8)
+    val fresh = freshIdx.graph.select("layer", "id", "nbr")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(rebuilt == fresh, "compacted graph == fresh self-build")
+    // the self-build rewires (it may link across former batches —
+    // exactly what admission cannot): the rebuilt set differs from the
+    // accumulated admission set
+    val v2edges = GraphStream.decodeEdges(Snapshots.readVersion(spark, edg, 2))
+      .select("layer", "id", "nbr").as[(Int, Long, Long)].collect().toSet
+    assert(rebuilt != v2edges, "rebuild differs from accumulated admissions")
+    assert(Snapshots.readVersion(spark, edg, 2).select("id")
+      .as[String].collect().toSet == edgeKeysBefore,
+      "prior edge version untouched by compaction")
   }
 }

@@ -3521,6 +3521,32 @@ object SparkEntry {
           d.select(col("doc_id"), lower(col("text")).as("text")),
           "doc_id", "text", terms)
         .orderBy("doc_id", "term")
+    }),
+
+    // Generation-diversity eval: distinct-1/distinct-2 per doc (unique
+    // vs total word n-grams, per-mille) — the degenerate-repetition
+    // signature metric. Fully re-derived by DuckDB.
+    "q221_distinct_n" -> ((s, dir) =>
+      TextAnalysis.distinctN(t(s, dir, "documents"), "doc_id", "text",
+          ns = Seq(1, 2))
+        .orderBy("doc_id", "n")),
+
+    // CCNet-style perplexity bucketing: the q165 LM scores folded into
+    // head/middle/tail terciles by mean micro-log-prob (higher mean =
+    // lower perplexity = head). ntile's input is the narrow
+    // (doc_id, mean) frame — never the corpus; at extreme scale the
+    // cuts come from the KLL sketch instead (the q216 move). DuckDB
+    // replays scoring, means, and the tercile assignment.
+    "q222_ppl_buckets" -> ((s, dir) => {
+      val scored = TextAnalysis.stupidBackoffScores(
+        t(s, dir, "documents"), trainPred = col("doc_id") % 2 === 0)
+      scored.select(col("doc_id"), col("n_tri"), col("sum_lp6"),
+          round(col("sum_lp6").cast("double") / col("n_tri"), 6)
+            .as("mean_lp6"))
+        .withColumn("bucket",
+          ntile(3).over(Window.orderBy(desc("mean_lp6"), col("doc_id")))
+            .cast("long"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3627,6 +3653,40 @@ object SparkEntry {
        |      / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) AS jaccard
        |  FROM cand c JOIN shnz s1 ON s1.doc_id = c.id1 JOIN shnz s2 ON s2.doc_id = c.id2)""".stripMargin
   }
+
+  /** q165/q222's stupid-backoff trigram LM replay, ending in
+    * `sc(doc_id, tier, p)` — every scored position with its backoff
+    * tier and probability; q165 aggregates it per doc, q222 folds the
+    * per-doc means into CCNet-style perplexity terciles. */
+  private val backoffLmDocCtes: String =
+    """parts AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+      |toks AS (SELECT doc_id, idx, parts[idx+1] AS tok FROM (
+      |    SELECT doc_id, parts, unnest(range(len(parts))) AS idx FROM parts)),
+      |tri AS (SELECT a.doc_id, a.tok AS w2, b.tok AS w1, c.tok AS w0
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+      |              JOIN toks c ON a.doc_id = c.doc_id AND c.idx = a.idx + 2),
+      |bi AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w0
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1),
+      |tc3 AS (SELECT w2, w1, w0, count(*) AS c3 FROM tri
+      |  WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+      |tc2 AS (SELECT w1, w0, count(*) AS c2 FROM bi
+      |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      |tc1 AS (SELECT tok AS w0, count(*) AS c1 FROM toks
+      |  WHERE doc_id % 2 = 0 GROUP BY 1),
+      |nv AS (SELECT CAST(sum(c1) AS BIGINT) + count(*) AS nv FROM tc1),
+      |sc AS (SELECT t.doc_id,
+      |    CASE WHEN h3.c3 IS NOT NULL THEN 3
+      |         WHEN hb.c2 IS NOT NULL THEN 2 ELSE 1 END AS tier,
+      |    CASE WHEN h3.c3 IS NOT NULL THEN h3.c3 / hp.c2
+      |         WHEN hb.c2 IS NOT NULL THEN CAST(0.4 AS DOUBLE) * hb.c2 / u1.c1
+      |         ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+      |              * (COALESCE(u0.c1, 0) + 1) / (SELECT nv FROM nv) END AS p
+      |  FROM tri t
+      |  LEFT JOIN tc3 h3 ON h3.w2 = t.w2 AND h3.w1 = t.w1 AND h3.w0 = t.w0
+      |  LEFT JOIN tc2 hp ON hp.w1 = t.w2 AND hp.w0 = t.w1
+      |  LEFT JOIN tc2 hb ON hb.w1 = t.w1 AND hb.w0 = t.w0
+      |  LEFT JOIN tc1 u1 ON u1.w0 = t.w1
+      |  LEFT JOIN tc1 u0 ON u0.w0 = t.w0)""".stripMargin
 
   /** q213's trained language-ID replay — the ENTIRE model re-derived
     * (bigrams, md5 buckets, micro-log weights, floors, additive scores,
@@ -5713,34 +5773,7 @@ object SparkEntry {
     },
 
     "q165_backoff_lm" ->
-      """WITH parts AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
-        |toks AS (SELECT doc_id, idx, parts[idx+1] AS tok FROM (
-        |    SELECT doc_id, parts, unnest(range(len(parts))) AS idx FROM parts)),
-        |tri AS (SELECT a.doc_id, a.tok AS w2, b.tok AS w1, c.tok AS w0
-        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
-        |              JOIN toks c ON a.doc_id = c.doc_id AND c.idx = a.idx + 2),
-        |bi AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w0
-        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1),
-        |tc3 AS (SELECT w2, w1, w0, count(*) AS c3 FROM tri
-        |  WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
-        |tc2 AS (SELECT w1, w0, count(*) AS c2 FROM bi
-        |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
-        |tc1 AS (SELECT tok AS w0, count(*) AS c1 FROM toks
-        |  WHERE doc_id % 2 = 0 GROUP BY 1),
-        |nv AS (SELECT CAST(sum(c1) AS BIGINT) + count(*) AS nv FROM tc1),
-        |sc AS (SELECT t.doc_id,
-        |    CASE WHEN h3.c3 IS NOT NULL THEN 3
-        |         WHEN hb.c2 IS NOT NULL THEN 2 ELSE 1 END AS tier,
-        |    CASE WHEN h3.c3 IS NOT NULL THEN h3.c3 / hp.c2
-        |         WHEN hb.c2 IS NOT NULL THEN CAST(0.4 AS DOUBLE) * hb.c2 / u1.c1
-        |         ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
-        |              * (COALESCE(u0.c1, 0) + 1) / (SELECT nv FROM nv) END AS p
-        |  FROM tri t
-        |  LEFT JOIN tc3 h3 ON h3.w2 = t.w2 AND h3.w1 = t.w1 AND h3.w0 = t.w0
-        |  LEFT JOIN tc2 hp ON hp.w1 = t.w2 AND hp.w0 = t.w1
-        |  LEFT JOIN tc2 hb ON hb.w1 = t.w1 AND hb.w0 = t.w0
-        |  LEFT JOIN tc1 u1 ON u1.w0 = t.w1
-        |  LEFT JOIN tc1 u0 ON u0.w0 = t.w0)
+      s"""WITH $backoffLmDocCtes
         |SELECT doc_id, count(*) AS n_tri,
         |  CAST(SUM(CAST(round(log10(p) * 1e6) AS BIGINT)) AS BIGINT) AS sum_lp6,
         |  CAST(SUM(CASE WHEN tier = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_t3,
@@ -6981,7 +7014,41 @@ object SparkEntry {
         |    UNNEST(range(length(d.text) - length(t.term) + 1)) r(i)
         |  WHERE substr(d.text, CAST(i + 1 AS INT), length(t.term)) = t.term
         |  GROUP BY 1, 2)
-        |SELECT doc_id, term, n_hits FROM hits ORDER BY doc_id, term""".stripMargin
+        |SELECT doc_id, term, n_hits FROM hits ORDER BY doc_id, term""".stripMargin,
+
+    "q221_distinct_n" ->
+      """WITH ws AS (SELECT doc_id,
+        |    list_filter(string_split(lower(trim(text)), ' '), w -> w <> '')
+        |      AS ws
+        |  FROM documents),
+        |g1 AS (SELECT doc_id, unnest(ws) AS g FROM ws),
+        |g2 AS (SELECT doc_id, unnest([ws[i+1] || ' ' || ws[i+2]
+        |      for i in range(len(ws) - 1)]) AS g
+        |  FROM ws WHERE len(ws) >= 2),
+        |a1 AS (SELECT doc_id, CAST(1 AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(count(DISTINCT g) AS BIGINT) AS n_unique
+        |  FROM g1 GROUP BY 1),
+        |a2 AS (SELECT doc_id, CAST(2 AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(count(DISTINCT g) AS BIGINT) AS n_unique
+        |  FROM g2 GROUP BY 1)
+        |SELECT doc_id, n, n_grams, n_unique,
+        |  CAST(n_unique * 1000 // n_grams AS BIGINT) AS distinct_pm
+        |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+        |ORDER BY doc_id, n""".stripMargin,
+
+    "q222_ppl_buckets" ->
+      s"""WITH $backoffLmDocCtes,
+        |ds AS (SELECT doc_id, count(*) AS n_tri,
+        |    CAST(SUM(CAST(round(log10(p) * 1e6) AS BIGINT)) AS BIGINT)
+        |      AS sum_lp6
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tri AS BIGINT) AS n_tri, sum_lp6,
+        |  round(sum_lp6 / n_tri, 6) AS mean_lp6,
+        |  CAST(ntile(3) OVER (ORDER BY round(sum_lp6 / n_tri, 6) DESC,
+        |    doc_id) AS BIGINT) AS bucket
+        |FROM ds ORDER BY doc_id""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

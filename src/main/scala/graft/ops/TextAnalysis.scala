@@ -1089,6 +1089,33 @@ object TextAnalysis {
     out.toSeq
   }
 
+  /** Generation-diversity metrics — distinct-n (Li et al. 2016, "A
+    * Diversity-Promoting Objective Function for Neural Conversation
+    * Models"): per doc and per n, unique word n-grams vs total n-grams
+    * with a per-mille ratio — the standard repetitiveness/diversity
+    * eval a pipeline scores model outputs (or candidate training text)
+    * with; low distinct-n is the degenerate-repetition signature. All
+    * exact integers; one gram explode + count/count-distinct aggregate
+    * per n (map-side combinable); docs with fewer than n tokens are
+    * absent for that n (no grams — the q165 boundary). */
+  def distinctN(docs: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int] = Seq(1, 2)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n list $ns")
+    ns.map { n =>
+      val gramUdf = udf { text: String =>
+        val ws = tokenize(text).filter(_.nonEmpty)
+        if (ws.length < n) Seq.empty[String]
+        else ws.sliding(n).map(_.mkString(" ")).toSeq
+      }
+      docs.select(col(idCol).as("__id"), explode(gramUdf(col(textCol))).as("g"))
+        .groupBy("__id")
+        .agg(count(lit(1)).as("n_grams"), countDistinct(col("g")).as("n_unique"))
+        .select(col("__id").as(idCol), lit(n.toLong).as("n"),
+          col("n_grams"), col("n_unique"),
+          expr("n_unique * 1000 div n_grams").as("distinct_pm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** ROUGE-N overlap between candidate and reference text columns —
     * the summarization/eval metric a training pipeline scores its eval
     * sets with, in EXACT integers: per row,

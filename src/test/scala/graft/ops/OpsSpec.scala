@@ -1742,6 +1742,25 @@ class TokenizerSpec extends AnyFunSuite with SparkTestBase {
       TextAnalysis.bpeTrain(docs, "text", numMerges = 2, batch = 0))
   }
 
+  test("distinctN: per-mille diversity, repetitive text crushed, " +
+      "short docs absent for large n") {
+    val docs = Seq(
+      (1L, "a b c d"),            // distinct-1 = 4/4, distinct-2 = 3/3
+      (2L, "a a a a"),            // distinct-1 = 1/4, distinct-2 = 1/3
+      (3L, "word")).toDF("doc_id", "text") // no bigram row
+    val out = TextAnalysis.distinctN(docs, "doc_id", "text", Seq(1, 2))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(out((1L, 1L)) == ((4L, 4L, 1000L)))
+    assert(out((1L, 2L)) == ((3L, 3L, 1000L)))
+    assert(out((2L, 1L)) == ((4L, 1L, 250L)))
+    assert(out((2L, 2L)) == ((3L, 1L, 333L)))
+    assert(out((3L, 1L)) == ((1L, 1L, 1000L)))
+    assert(!out.contains((3L, 2L)), "one-token doc has no bigram row")
+    intercept[IllegalArgumentException](
+      TextAnalysis.distinctN(docs, "doc_id", "text", Seq.empty))
+  }
+
   test("ahoCorasickScan: overlapping matches, fail-link transitions, " +
       "suffix-term outputs, one row per hit term") {
     // "aaab": "aa" overlaps at 0,1 -> 2; "aab" at 1 -> 1; "b" at 3 -> 1

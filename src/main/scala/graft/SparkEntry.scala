@@ -3547,6 +3547,23 @@ object SparkEntry {
           ntile(3).over(Window.orderBy(desc("mean_lp6"), col("doc_id")))
             .cast("long"))
         .orderBy("doc_id")
+    }),
+
+    // Asymmetric CONTAINMENT join (excerpt/quotation detection): docs
+    // ≡ 5 mod 11 get a planted 12-word excerpt (+20000) — near-zero
+    // Jaccard against the source (q172's symmetric join is blind to
+    // it), containment 1000‰. DuckDB re-derives shingles, rarity
+    // order, the contained-side-only prefix, candidates, and every
+    // exact containment verification.
+    "q223_containment_join" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val planted = d.select(col("doc_id"), col("text")).unionByName(
+        d.filter(col("doc_id") % 11 === 5)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 12)).as("text")))
+      Dedup.containmentJoin(planted, "doc_id", "text",
+          shingleK = 5, tNum = 4, tDen = 5)
+        .orderBy("id_small", "id_big")
     })
   )
 
@@ -7048,7 +7065,39 @@ object SparkEntry {
         |  round(sum_lp6 / n_tri, 6) AS mean_lp6,
         |  CAST(ntile(3) OVER (ORDER BY round(sum_lp6 / n_tri, 6) DESC,
         |    doc_id) AS BIGINT) AS bucket
-        |FROM ds ORDER BY doc_id""".stripMargin
+        |FROM ds ORDER BY doc_id""".stripMargin,
+
+    "q223_containment_join" ->
+      """WITH planted AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 20000,
+        |    array_to_string(string_split(text, ' ')[1:12], ' ')
+        |  FROM documents WHERE doc_id % 11 = 5),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM planted),
+        |shs AS (SELECT DISTINCT doc_id,
+        |    array_to_string(w[i+1:i+5], ' ') AS sh
+        |  FROM (SELECT doc_id, w, unnest(range(len(w) - 4)) AS i
+        |        FROM toks WHERE len(w) >= 5)),
+        |cnts AS (SELECT sh, count(*) AS cnt FROM shs GROUP BY 1),
+        |pref AS (SELECT doc_id, sh FROM (
+        |    SELECT s.doc_id, s.sh,
+        |      row_number() OVER (PARTITION BY s.doc_id
+        |                         ORDER BY c.cnt, s.sh) AS rk,
+        |      count(*) OVER (PARTITION BY s.doc_id) AS n
+        |    FROM shs s JOIN cnts c ON c.sh = s.sh)
+        |  WHERE rk <= n - (n * 4 + 4) // 5 + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_small, b.doc_id AS id_big
+        |  FROM pref a JOIN shs b ON a.sh = b.sh AND a.doc_id <> b.doc_id),
+        |inter AS (SELECT c.id_small, c.id_big, count(*) AS inter
+        |  FROM cand c JOIN shs x ON x.doc_id = c.id_small
+        |              JOIN shs y ON y.doc_id = c.id_big AND y.sh = x.sh
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY 1)
+        |SELECT i.id_small, i.id_big, CAST(i.inter AS BIGINT) AS inter,
+        |  CAST(s.n AS BIGINT) AS n_small,
+        |  CAST(i.inter * 1000 // s.n AS BIGINT) AS containment_pm
+        |FROM inter i JOIN sizes s ON s.doc_id = i.id_small
+        |WHERE i.inter * 5 >= s.n * 4
+        |ORDER BY id_small, id_big""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -1087,6 +1087,56 @@ object Dedup {
       .filter(col("inter") * tDen >= col("uni") * tNum)
   }
 
+  /** Asymmetric CONTAINMENT join — excerpt/quotation detection:
+    * DIRECTED pairs (id_small, id_big) where
+    * |sh(a) ∩ sh(b)| ≥ (tNum/tDen)·|sh(a)| (set containment of a in b —
+    * Broder's asymmetric cousin of Jaccard). A paragraph quoted inside
+    * a long document has near-zero JACCARD — MinHash-LSH and the
+    * symmetric [[prefixFilterJoin]] are structurally blind to it — but
+    * containment ≈ 1; this is the q60-family decontamination gap for
+    * excerpts and the boilerplate-inclusion sweep. Exact, no false
+    * negatives: the prefix-filter theorem applies to the CONTAINED side
+    * only (if C(a,b) ≥ t, a's first |a| − ⌈t·|a|⌉ + 1 rarity-ordered
+    * shingles must hit sh(b)), while the containing side indexes ALL
+    * its shingles (the q115 posting-list shape) — candidate fan-out is
+    * prefix(a) ⋈ postings, verification an exact integer test. Returns
+    * (id_small, id_big, inter, n_small, containment_pm), id_small ≠
+    * id_big, both directions of a mutual pair reported independently.
+    * Same sub-`shingleK` boundary as [[prefixFilterJoin]]. */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, tNum: Int = 4, tDen: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tNum > 0 && tDen >= tNum, s"threshold $tNum/$tDen not in (0,1]")
+    val shs = docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= shingleK)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(0, size(w) - $shingleK), i -> " +
+          s"concat_ws(' ', slice(w, i + 1, $shingleK)))")).as("sh"))
+      .distinct()
+    val cnts = shs.groupBy("sh").agg(count(lit(1)).as("cnt"))
+    val byDoc = Window.partitionBy("id")
+    val pref = shs.join(cnts, Seq("sh"))
+      .withColumn("rk", row_number().over(byDoc.orderBy(asc("cnt"), asc("sh"))))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .filter(col("rk") <=
+        col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
+    val cand = pref.select(col("id").as("id_small"), col("sh"))
+      .join(shs.select(col("id").as("id_big"), col("sh")), Seq("sh"))
+      .filter(col("id_small") =!= col("id_big"))
+      .select("id_small", "id_big").distinct()
+    val sizes = shs.groupBy("id").agg(count(lit(1)).as("n"))
+    cand
+      .join(shs.select(col("id").as("id_small"), col("sh")), Seq("id_small"))
+      .join(shs.select(col("id").as("id_big"), col("sh")), Seq("id_big", "sh"))
+      .groupBy("id_small", "id_big").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_small"), col("n").as("n_small")),
+        Seq("id_small"))
+      .filter(col("inter") * tDen >= col("n_small") * tNum)
+      .select(col("id_small"), col("id_big"), col("inter"), col("n_small"),
+        expr("inter * 1000 div n_small").as("containment_pm"))
+  }
+
   /** Incremental admission flavor of [[prefixFilterJoin]] (the q91
     * stored-table pattern, exact-threshold edition): flag every NEW doc
     * whose shingle-Jaccard against some STORED doc reaches tNum/tDen.

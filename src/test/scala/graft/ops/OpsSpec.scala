@@ -533,6 +533,41 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
 class PrefixFilterSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
+  test("containmentJoin: excerpt caught despite near-zero Jaccard, " +
+      "directed output, below-threshold overlap silent") {
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (10 to 21).map(i => s"w$i").mkString(" ")  // 12 words ⊂ long
+    val partial = ((10 to 16) ++ Seq(999, 998, 997, 996, 995))
+      .map(i => s"w$i").mkString(" ")                         // ~3/8 contained
+    val docs = Seq(
+      (1L, long), (2L, excerpt), (3L, partial),
+      (4L, (100 to 140).map(i => s"x$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.containmentJoin(docs, "doc_id", "text",
+        shingleK = 5, tNum = 4, tDen = 5)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // the excerpt is fully contained: 8 shingles, all in doc 1
+    assert(out.contains((2L, 1L)), s"excerpt must pair: ${out.keys}")
+    assert(out((2L, 1L))._5 == 1000L, "full containment = 1000 per mille")
+    // NOT the reverse direction (doc 1 is not contained in doc 2)
+    assert(!out.contains((1L, 2L)), "containment is directed")
+    // Jaccard would be 8/(56+8-8) = 0.14 — the symmetric join is blind
+    val sym = Dedup.prefixFilterJoin(docs, "doc_id", "text",
+      shingleK = 5, tNum = 3, tDen = 5)
+    assert(!sym.as[(Long, Long, Long, Long)].collect()
+      .exists(r => r._1 == 1L && r._2 == 2L),
+      "Jaccard join must miss the excerpt (that's the point)")
+    // partial overlap below 4/5 stays silent
+    assert(!out.keys.exists(_._1 == 3L), s"partial must not pair: ${out.keys}")
+    assert(!out.keys.exists(p => p._1 == 4L || p._2 == 4L))
+    intercept[IllegalArgumentException](
+      Dedup.containmentJoin(docs, "doc_id", "text", tNum = 6, tDen = 5))
+  }
+}
+
+class PrefixFilterSpecBase extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
   test("prefixFilterJoin: exact threshold incl. the boundary, no false" +
       " negatives, decoys absent") {
     val docs = Seq(

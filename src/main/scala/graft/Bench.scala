@@ -158,7 +158,14 @@ object Bench {
     // carry a suspect verdict against the STALE baseline; `force`
     // acknowledges that explicitly.
     val writeMode = sys.env.getOrElse("SPARK_GRAFT_WRITE_BASELINE", "")
-    if (writeMode == "1" || writeMode == "force") {
+    if ((writeMode == "1" || writeMode == "force") && only.nonEmpty) {
+      // a SPARK_GRAFT_ONLY subset run must never seed the suite
+      // baseline: mergeBaseline keeps only THIS run's query keys (so
+      // removed queries drop out), which on a subset run would destroy
+      // every other committed entry
+      System.err.println("[bench] REFUSING baseline write: SPARK_GRAFT_ONLY " +
+        "is set — a subset run cannot seed the full-suite baseline")
+    } else if (writeMode == "1" || writeMode == "force") {
       val healthy = failed.isEmpty && flaky.isEmpty &&
         (verdict == "clean" || verdict == "no_baseline")
       if (healthy || writeMode == "force") {
@@ -204,7 +211,9 @@ object Bench {
     * queries; per query, `wholesale = false` keeps the better (smaller)
     * of the fresh time and any prior baseline entry, `wholesale = true`
     * takes the fresh time unconditionally. Queries absent from this run
-    * (removed from the suite) drop out either way. Pure, so the ratchet
+    * (removed from the suite) drop out either way — which is why `main`
+    * refuses to write under SPARK_GRAFT_ONLY: on a subset run "absent"
+    * would mean "not selected", not "removed". Pure, so the ratchet
     * guard is spec-able. */
   private[graft] def mergeBaseline(old: Map[String, Double],
       fresh: Seq[(String, Double)], wholesale: Boolean): Seq[(String, Double)] =

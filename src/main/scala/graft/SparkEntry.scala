@@ -3516,7 +3516,9 @@ object SparkEntry {
         .groupBy("w").agg(count(lit(1)).as("c"))
         .orderBy(desc("c"), asc("w")).limit(5)
         .select("w").collect().map(_.getString(0)).toSeq
-      val terms = (top :+ top.head.substring(0, 2)).distinct
+      // take(2) degrades to the 1-char word itself (dedup'd) exactly
+      // like the oracle's substr(w, 1, 2) — substring(0, 2) would throw
+      val terms = (top :+ top.head.take(2)).distinct
       TextAnalysis.ahoCorasickScan(
           d.select(col("doc_id"), lower(col("text")).as("text")),
           "doc_id", "text", terms)

@@ -342,7 +342,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_cand"), sum("ok").as("n_verified"))
     val buckets = banded.groupBy("band_id")
       .agg(countDistinct(col("band_hash")).as("n_buckets"))
-    val audit = buckets.join(perBand, Seq("band_id"), "left")
+    buckets.join(perBand, Seq("band_id"), "left")
       .select(col("band_id").cast("long").as("band_id"),
         col("n_buckets"),
         coalesce(col("n_cand"), lit(0L)).as("n_cand"),
@@ -350,7 +350,6 @@ object Dedup {
         when(coalesce(col("n_cand"), lit(0L)) === 0L, 0L)
           .otherwise(expr("n_verified * 1000 div n_cand")).cast("long")
           .as("precision_pm"))
-    audit
   }
 
   /** Connected components over a near-dup pair graph — the step that

@@ -61,8 +61,10 @@ object Similarity {
   }
 
   /** Sign-random-projection bucket id as a UDF over a vector column —
-    * shared by [[RandomHyperplaneIndex]]-style bucketing and the HNSW
-    * NN-descent seeding. */
+    * THE bucketing loop, shared by [[RandomHyperplaneIndex]] and the
+    * HNSW NN-descent/admission seeding (one definition, so the
+    * dim-vs-vector truncation rule cannot drift between the index's
+    * bucketed table and its queries). */
   private def planeBucketUdf(planes: Array[Array[Float]], dim: Int) =
     udf((vec: Seq[Float]) => {
       var b = 0L
@@ -97,21 +99,7 @@ object Similarity {
       b
     }
 
-    private val bucketUdf = {
-      val p = planes; val d = dim; val n = nBits
-      udf((vec: Seq[Float]) => {
-        var b = 0L
-        var i = 0
-        while (i < n) {
-          var dot = 0.0
-          var j = 0
-          while (j < d && j < vec.length) { dot += p(i)(j) * vec(j); j += 1 }
-          if (dot > 0) b |= (1L << i)
-          i += 1
-        }
-        b
-      })
-    }
+    private val bucketUdf = planeBucketUdf(planes, dim)
 
     /** The bucketed table — at scale, persist this partitioned by
       * `bucket` so queries prune partitions. */
@@ -1276,6 +1264,20 @@ object Similarity {
       * NN-descent. */
     private val smallLayerCap = 2048
 
+    /** Seed-bucket width for a layer of `n` members: ≈64 members per
+      * fine bucket, `seedBits` planes at most, 0 (one ring bucket —
+      * full connectivity) for tiny layers. ONE definition shared by
+      * the self-build and the admission path, so build-time and
+      * admission-time seeding cannot drift. */
+    private def seedWidthFor(n: Long): Int =
+      math.max(0, math.min(seedBits, math.ceil(
+        math.log(math.max(n, 1).toDouble / 64.0) / math.log(2.0)).toInt))
+
+    /** The two seed hash tables (fine + coarse-for-connectivity) as
+      * (bits, seed) pairs. */
+    private def seedTables(bitsF: Int): Seq[(Int, Int)] =
+      Seq((bitsF, 42), (math.max(bitsF - 2, 0), 101))
+
     private def nnDescentGraph(): DataFrame = {
       val members = withLevels(vecs, levels).toDF("id", "vec", "level")
         .localCheckpoint()
@@ -1347,10 +1349,7 @@ object Similarity {
         .join(mem.select(col("id").as("nbr"), col("vec").as("__v2")), "nbr")
         .withColumn("cos", round(vecCosine(col("__v1"), col("__v2")), 6))
         .select("id", "nbr", "cos")
-      val bitsF = math.max(0, math.min(seedBits, math.ceil(
-        math.log(math.max(n, 1).toDouble / 64.0) / math.log(2.0)).toInt))
-      val tables = Seq((bitsF, 42), (math.max(bitsF - 2, 0), 101))
-      val seedPairs = tables.map { case (bits, seed) =>
+      val seedPairs = seedTables(seedWidthFor(n)).map { case (bits, seed) =>
         val bUdf = planeBucketUdf(hyperplanes(bits, dim, seed), dim)
         val ranked = mem.withColumn("bucket", bUdf(col("vec")))
           .withColumn("rn", row_number().over(
@@ -1459,14 +1458,12 @@ object Similarity {
             blockPass(bL,
               sL.select(col("nbr").as("id"), col("__v2").as("vec")), deg)
           else {
-            val bitsF = math.max(0, math.min(seedBits, math.ceil(
-              math.log(math.max(n, 1).toDouble / 64.0) / math.log(2.0)).toInt))
             def score(cand: DataFrame): DataFrame = cand
               .join(bL.select(col("id"), col("vec").as("__v1")), "id")
               .join(sL, "nbr")
               .withColumn("cos", round(vecCosine(col("__v1"), col("__v2")), 6))
               .select("id", "nbr", "cos")
-            val seeds = Seq((bitsF, 42), (math.max(bitsF - 2, 0), 101))
+            val seeds = seedTables(seedWidthFor(n))
               .map { case (bits, seed) =>
                 val u = planeBucketUdf(hyperplanes(bits, dim, seed), dim)
                 bL.withColumn("bucket", u(col("vec"))).select("bucket", "id")

@@ -124,11 +124,20 @@ object Serve {
     val t0 = System.nanoTime()
     val hits = HybridSearch.search(index, docStats, corpusSize, avgDocLen,
       question, HybridSearch.Config(k = k, rrfScoreThreshold = rrfScoreThreshold))
+    collectResponse(hits, question, t0)                                 // F13
+  }
+
+  /** Shared top-k → [[QueryResponse]] epilogue (payload hydration,
+    * result mapping, F13 timing) — ONE definition for the plain, IVF,
+    * and HNSW query paths, so the response projection cannot drift
+    * between search modes. */
+  private def collectResponse(hits: DataFrame, question: String,
+      t0: Long): QueryResponse = {
     val present = hits.columns.toSet
     val payloadCols = Seq("case_name", "court", "date_filed", "judges").filter(present)
     val results = hits.select(("id" +: "rrf_score" +: "chunk_text" +: payloadCols)
         .map(col): _*).collect().toSeq.map(toResult(_, present))
-    QueryResponse(question, results, (System.nanoTime() - t0) / 1e9)   // F13
+    QueryResponse(question, results, (System.nanoTime() - t0) / 1e9)
   }
 
   /** [[query]] with the dense branch served by a prebuilt IVF index
@@ -144,11 +153,7 @@ object Serve {
       avgDocLen, question,
       HybridSearch.Config(k = k, rrfScoreThreshold = rrfScoreThreshold),
       nProbe = nProbe)
-    val present = hits.columns.toSet
-    val payloadCols = Seq("case_name", "court", "date_filed", "judges").filter(present)
-    val results = hits.select(("id" +: "rrf_score" +: "chunk_text" +: payloadCols)
-        .map(col): _*).collect().toSeq.map(toResult(_, present))
-    QueryResponse(question, results, (System.nanoTime() - t0) / 1e9)
+    collectResponse(hits, question, t0)
   }
 
   /** [[query]] with the dense branch served by a prebuilt HNSW graph
@@ -164,11 +169,7 @@ object Serve {
       avgDocLen, question,
       HybridSearch.Config(k = k, rrfScoreThreshold = rrfScoreThreshold),
       ef = ef, hops = hops)
-    val present = hits.columns.toSet
-    val payloadCols = Seq("case_name", "court", "date_filed", "judges").filter(present)
-    val results = hits.select(("id" +: "rrf_score" +: "chunk_text" +: payloadCols)
-        .map(col): _*).collect().toSeq.map(toResult(_, present))
-    QueryResponse(question, results, (System.nanoTime() - t0) / 1e9)
+    collectResponse(hits, question, t0)
   }
 
   /** [[query]] with an MMR diversification pass (no reference analog —

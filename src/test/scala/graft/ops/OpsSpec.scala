@@ -565,7 +565,7 @@ class PrefixFilterSpec extends AnyFunSuite with SparkTestBase {
   }
 }
 
-class PrefixFilterSpecBase extends AnyFunSuite with SparkTestBase {
+class PrefixFilterJoinSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
   test("prefixFilterJoin: exact threshold incl. the boundary, no false" +

@@ -3566,7 +3566,152 @@ object SparkEntry {
       Dedup.containmentJoin(planted, "doc_id", "text",
           shingleK = 5, tNum = 4, tDen = 5)
         .orderBy("id_small", "id_big")
-    })
+    }),
+
+    // Type-2 SCD dimension build: orders as a per-customer status
+    // change log → effective intervals. One window pass partitioned by
+    // the dimension key; DuckDB replays the change-collapse, interval
+    // close, and versioning with the same window functions.
+    "q224_scd2_dim" -> ((s, dir) => {
+      val log = t(s, dir, "orders").select(
+        col("o_custkey").as("custkey"), col("o_orderdate").as("ts"),
+        col("o_orderkey").as("seq"), col("o_orderstatus").as("status"))
+      graft.ops.Scd.scd2Build(log, "custkey", "ts", "seq", Seq("status"))
+        .select(col("custkey"), col("status"),
+          date_format(col("effective_from"), "yyyy-MM-dd HH:mm:ss")
+            .as("eff_from"),
+          date_format(col("effective_to"), "yyyy-MM-dd HH:mm:ss")
+            .as("eff_to"),
+          col("version"), col("is_current"))
+        .orderBy("custkey", "version")
+    }),
+
+    // Point-in-time join against the q224 dimension: every lineitem
+    // picks the status its customer's latest order-status change held
+    // AT SHIP TIME (not today's value — the leakage-free feature
+    // lookup). Equi-join on custkey with the interval residual; a
+    // key's intervals are disjoint, so no post-dedup. DuckDB replays
+    // dimension build and interval lookup.
+    "q225_pit_join" -> ((s, dir) => {
+      val log = t(s, dir, "orders").select(
+        col("o_custkey").as("custkey"), col("o_orderdate").as("ts"),
+        col("o_orderkey").as("seq"), col("o_orderstatus").as("status"))
+      val dim = graft.ops.Scd.scd2Build(log, "custkey", "ts", "seq",
+        Seq("status"))
+      val fact = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("o_custkey").as("custkey"), col("l_shipdate").as("ship_ts"))
+      graft.ops.Scd.pitJoin(fact, dim, "custkey", "ship_ts", Seq("status"))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+          col("custkey"),
+          date_format(col("ship_ts"), "yyyy-MM-dd HH:mm:ss").as("ship_ts"),
+          col("status").as("status_at_ship"))
+        // (orderkey, linenumber) is not unique in the synthetic
+        // lineitem — ship_ts completes the total order
+        .orderBy("l_orderkey", "l_linenumber", "ship_ts")
+    }),
+
+    // Snapshot version diff — the takedown-audit primitive: build the
+    // q194-style chain (create, overlapping upsert, forward delete),
+    // then prove exactly what each version bump changed. The diff is
+    // one full-outer join per version pair; every input to the chain is
+    // a deterministic filter of `documents`, so DuckDB derives the
+    // added/changed/removed sets from the table alone. The tiny audit
+    // result is collected locally so the scratch chain can be removed
+    // before the result DF is consumed.
+    "q226_snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_snapdiff_").toString
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(base), s.sparkContext.hadoopConfiguration)
+      try {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id").as("id"), col("text"), col("source"))
+        graft.index.Snapshots.upsertVersioned(s,
+          docs.filter(col("id") < 100), base)
+        graft.index.Snapshots.upsertVersioned(s,
+          docs.filter(col("id").between(50, 149))
+            .withColumn("text", concat(col("text"), lit(" v2"))), base)
+        graft.index.Snapshots.deleteIdsVersioned(s,
+          docs.filter(col("id") % 10 === 0).select("id"), base)
+        def tagged(a: Long, b: Long) =
+          graft.index.Snapshots.snapshotDiff(s, base, a, b)
+            .select(lit(a).as("from_v"), lit(b).as("to_v"), col("id"),
+              col("change"))
+        tagged(1, 2).unionByName(tagged(2, 3))
+          .orderBy("from_v", "id")
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getString(3)))
+          .toDF("from_v", "to_v", "id", "change")
+      } finally fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    }),
+
+    // k-core decomposition (iterative peeling) on a planted graph that
+    // exercises the iteration: a chorded ring (degree 4, survives
+    // k = 2 untouched), a pendant chain hanging off it (unravels ONE
+    // node per round — 7 rounds to strip), and an isolated triangle
+    // (degree 2, survives). DuckDB replays all 9 unrolled peel rounds.
+    "q227_kcore" -> ((s, dir) => {
+      val n = t(s, dir, "documents")
+        .select((col("doc_id") % 40).as("n")).distinct()
+      val edges = n.filter(col("n") < 10)
+          .selectExpr("n AS src", "(n + 1) % 10 AS dst")
+        .unionByName(n.filter(col("n") < 10)
+          .selectExpr("n AS src", "(n + 2) % 10 AS dst"))
+        .unionByName(n.filter(col("n").between(10, 15))
+          .selectExpr("n AS src", "n + 1 AS dst"))
+        .unionByName(n.filter(col("n") === 10)
+          .selectExpr("n AS src", "CAST(0 AS BIGINT) AS dst"))
+        .unionByName(n.filter(col("n").between(30, 32))
+          .selectExpr("n AS src", "30 + (n + 1 - 30) % 3 AS dst"))
+      graft.ops.GraphOps.kCore(edges, k = 2, iters = 9).orderBy("id")
+    }),
+
+    // Purged time-series k-fold with embargo (leakage-free CV): folds
+    // are contiguous time blocks over (o_orderdate, o_orderkey); for
+    // each test fold, train rows within 30 days of the fold's span are
+    // purged. Full k×n audit grid; DuckDB re-derives fold assignment
+    // (ntile ≡ the two-pass rank formula), spans, and every role.
+    "q228_purged_folds" -> ((s, dir) => {
+      graft.ops.Sampling.purgedTimeFolds(
+          t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          "o_orderkey", "o_orderdate", k = 3,
+          embargoExpr = "INTERVAL 30 DAYS")
+        .select(col("test_fold"), col("o_orderkey"), col("role"))
+        .orderBy("test_fold", "o_orderkey")
+    }),
+
+    // Annotation-conflict audit: near-identical embeddings (cos ≥ 0.3,
+    // the corpus' planted near-dup tier) carrying DIFFERENT labels —
+    // the contradiction dedup alone never surfaces. DuckDB re-derives
+    // pairs, the symmetric neighbor graph, per-neighbor label counts,
+    // the majority vote with its tie-break, and the flag rule.
+    "q229_label_conflict" -> ((s, dir) => {
+      graft.ops.Similarity.labelConflictAudit(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", threshold = 0.3)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("n_nbrs"), col("n_conflict"),
+          col("suggested_label").cast("long").as("suggested_label"))
+        .orderBy("vec_id")
+    }),
+
+    // t-closeness — the third privacy rung after q129 (k-anonymity)
+    // and q143 (l-diversity): rows whose quasi-group's sensitive-value
+    // distribution sits > t = 1/4 total-variation from the corpus-wide
+    // one. All-integer cross-multiplication; DuckDB re-derives counts,
+    // the folded absent-value term, the flag rule, and tv_pm.
+    "q230_t_closeness" -> ((s, dir) =>
+      graft.ops.Curation.tClosenessRisk(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("source"),
+          expr("CAST(n_chars div 500 AS BIGINT)").as("size_bin")),
+        Seq("source", "size_bin"), "lang", tNum = 1, tDen = 4)
+        .select("doc_id", "lang", "source", "size_bin", "group_n", "tv_pm")
+        .orderBy("doc_id"))
   )
 
   // ---------------------------------------------------------------------
@@ -3580,6 +3725,24 @@ object SparkEntry {
     * oracle, which appends the reachability closure and anti-join. */
   private def minhashLshCtes: String = minhashLshCtesWith(
     "SELECT doc_id + 10000 AS doc_id, text FROM documents")
+
+  /** q224/q225's SCD2 dimension (orders as a per-customer status change
+    * log) as a DuckDB CTE body ending in
+    * `sv(custkey, status, f, t, version)` — the change-collapse, the
+    * lead() interval close, and the per-key versioning, mirroring
+    * [[graft.ops.Scd.scd2Build]]'s single window pass. */
+  private def scd2DimCtes: String =
+    """log AS (SELECT o_custkey AS custkey, o_orderdate AS ts,
+      |    o_orderkey AS seq, o_orderstatus AS status FROM orders),
+      |d AS (SELECT *, lag(status) OVER (PARTITION BY custkey
+      |    ORDER BY ts, seq) AS pv FROM log),
+      |c AS (SELECT custkey, ts, seq, status FROM d
+      |  WHERE pv IS NULL OR status <> pv),
+      |sv AS (SELECT custkey, status, ts AS f,
+      |    lead(ts) OVER (PARTITION BY custkey ORDER BY ts, seq) AS t,
+      |    CAST(row_number() OVER (PARTITION BY custkey
+      |      ORDER BY ts, seq) AS BIGINT) AS version
+      |  FROM c)""".stripMargin
 
   /** q181/q211's HNSW beam-walk replay (greedy descent, 2 steps per
     * upper layer, then 3 beam hops at ef = 16, query = vec_id 0) as a
@@ -7099,7 +7262,144 @@ object SparkEntry {
         |  CAST(i.inter * 1000 // s.n AS BIGINT) AS containment_pm
         |FROM inter i JOIN sizes s ON s.doc_id = i.id_small
         |WHERE i.inter * 5 >= s.n * 4
-        |ORDER BY id_small, id_big""".stripMargin
+        |ORDER BY id_small, id_big""".stripMargin,
+
+    "q224_scd2_dim" ->
+      s"""WITH $scd2DimCtes
+        |SELECT custkey, status,
+        |  strftime(f, '%Y-%m-%d %H:%M:%S') AS eff_from,
+        |  strftime(t, '%Y-%m-%d %H:%M:%S') AS eff_to,
+        |  version, t IS NULL AS is_current
+        |FROM sv ORDER BY custkey, version""".stripMargin,
+
+    "q225_pit_join" ->
+      s"""WITH $scd2DimCtes,
+        |fact AS (SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT)
+        |      AS l_linenumber,
+        |    o.o_custkey AS custkey, l.l_shipdate AS ship
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT f.l_orderkey, f.l_linenumber, f.custkey,
+        |  strftime(f.ship, '%Y-%m-%d %H:%M:%S') AS ship_ts,
+        |  s.status AS status_at_ship
+        |FROM fact f LEFT JOIN sv s ON s.custkey = f.custkey
+        |  AND f.ship >= s.f AND (s.t IS NULL OR f.ship < s.t)
+        |ORDER BY l_orderkey, l_linenumber, ship_ts""".stripMargin,
+
+    "q226_snapshot_diff" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+        |  WHERE doc_id < 150),
+        |d12 AS (SELECT CAST(1 AS BIGINT) AS from_v, CAST(2 AS BIGINT)
+        |      AS to_v, id,
+        |    CASE WHEN id >= 100 THEN 'added' ELSE 'changed' END AS change
+        |  FROM ids WHERE id >= 50),
+        |d23 AS (SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT), id,
+        |    'removed'
+        |  FROM ids WHERE id % 10 = 0)
+        |SELECT * FROM d12 UNION ALL SELECT * FROM d23
+        |ORDER BY from_v, id""".stripMargin,
+
+    "q227_kcore" -> {
+      // AS MATERIALIZED: DuckDB inlines plain CTEs, so a 9-round chain
+      // referencing its predecessor 3× would expand 3^9 scans
+      val rounds = (1 to 9).map { r =>
+        s"""d$r AS MATERIALIZED (SELECT src, count(*) AS c
+           |  FROM e${r - 1} GROUP BY 1),
+           |k$r AS MATERIALIZED (SELECT src FROM d$r WHERE c >= 2),
+           |e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
+           |  JOIN k$r a ON e.src = a.src JOIN k$r b ON e.dst = b.src)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH n AS (SELECT DISTINCT doc_id % 40 AS n FROM documents),
+        |raw AS (
+        |  SELECT n AS src, (n + 1) % 10 AS dst FROM n WHERE n < 10
+        |  UNION ALL SELECT n, (n + 2) % 10 FROM n WHERE n < 10
+        |  UNION ALL SELECT n, n + 1 FROM n WHERE n BETWEEN 10 AND 15
+        |  UNION ALL SELECT n, 0 FROM n WHERE n = 10
+        |  UNION ALL SELECT n, 30 + (n + 1 - 30) % 3 FROM n
+        |    WHERE n BETWEEN 30 AND 32),
+        |e0 AS (SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM raw
+        |    UNION ALL SELECT dst, src FROM raw)
+        |  WHERE src <> dst),
+        |$rounds
+        |SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+        |FROM e9 GROUP BY 1 ORDER BY id""".stripMargin
+    },
+
+    "q228_purged_folds" ->
+      """WITH f AS (SELECT o_orderkey, o_orderdate AS ts,
+        |    CAST(ntile(3) OVER (ORDER BY o_orderdate, o_orderkey)
+        |      AS BIGINT) AS fold
+        |  FROM orders),
+        |b AS (SELECT fold AS test_fold, min(ts) AS f_min,
+        |    max(ts) AS f_max
+        |  FROM f GROUP BY 1)
+        |SELECT b.test_fold, f.o_orderkey,
+        |  CASE WHEN f.fold = b.test_fold THEN 'test'
+        |       WHEN f.ts >= b.f_min - INTERVAL 30 DAY
+        |        AND f.ts <= b.f_max + INTERVAL 30 DAY THEN 'purged'
+        |       ELSE 'train' END AS role
+        |FROM f CROSS JOIN b
+        |ORDER BY test_fold, o_orderkey""".stripMargin,
+
+    "q229_label_conflict" ->
+      """WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    unnest(a.embedding)::DOUBLE AS x,
+        |    unnest(b.embedding)::DOUBLE AS y
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |c AS (SELECT id1, id2 FROM (
+        |    SELECT id1, id2,
+        |      round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+        |    FROM p GROUP BY 1, 2)
+        |  WHERE cos >= 0.3),
+        |sym AS (SELECT id1, id2 FROM c
+        |  UNION ALL SELECT id2, id1 FROM c),
+        |g AS (SELECT s.id1, e1.label AS lbl, e2.label AS n_lbl
+        |  FROM sym s JOIN embeddings e1 ON e1.vec_id = s.id1
+        |             JOIN embeddings e2 ON e2.vec_id = s.id2),
+        |pl AS (SELECT id1, lbl, n_lbl, count(*) AS cnt
+        |  FROM g GROUP BY 1, 2, 3),
+        |mj AS (SELECT id1, n_lbl AS suggested FROM (
+        |    SELECT id1, n_lbl, row_number() OVER (PARTITION BY id1
+        |        ORDER BY cnt DESC, n_lbl) AS rn
+        |    FROM pl)
+        |  WHERE rn = 1),
+        |agg AS (SELECT id1, lbl, CAST(count(*) AS BIGINT) AS n_nbrs,
+        |    CAST(sum(CASE WHEN n_lbl <> lbl THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_conflict
+        |  FROM g GROUP BY 1, 2)
+        |SELECT a.id1 AS vec_id, CAST(a.lbl AS BIGINT) AS label,
+        |  a.n_nbrs, a.n_conflict,
+        |  CAST(m.suggested AS BIGINT) AS suggested_label
+        |FROM agg a JOIN mj m ON m.id1 = a.id1
+        |WHERE m.suggested <> a.lbl AND a.n_conflict * 2 > a.n_nbrs
+        |ORDER BY vec_id""".stripMargin,
+
+    "q230_t_closeness" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+        |    CAST(n_chars // 500 AS BIGINT) AS size_bin FROM documents),
+        |gv AS (SELECT lang, count(*) AS c_v FROM d GROUP BY 1),
+        |n AS (SELECT count(*) AS N FROM d),
+        |g AS (SELECT source, size_bin, lang, count(*) AS c_gv
+        |  FROM d GROUP BY 1, 2, 3),
+        |ng AS (SELECT source, size_bin, sum(c_gv) AS n_g
+        |  FROM g GROUP BY 1, 2),
+        |j AS (SELECT g.source, g.size_bin, g.c_gv, gv.c_v, ng.n_g, n.N
+        |  FROM g JOIN gv USING (lang)
+        |         JOIN ng USING (source, size_bin) CROSS JOIN n),
+        |pg AS (SELECT source, size_bin, any_value(n_g) AS n_g,
+        |    any_value(N) AS N,
+        |    sum(abs(c_gv * N - c_v * n_g)) AS abs_in, sum(c_v) AS cov
+        |  FROM j GROUP BY 1, 2),
+        |risky AS (SELECT source, size_bin, CAST(n_g AS BIGINT) AS group_n,
+        |    CAST((abs_in + n_g * (N - cov)) * 1000 // (2 * n_g * N)
+        |      AS BIGINT) AS tv_pm
+        |  FROM pg
+        |  WHERE (abs_in + n_g * (N - cov)) * 4 > 2 * n_g * N)
+        |SELECT d.doc_id, d.lang, d.source, d.size_bin, r.group_n, r.tv_pm
+        |FROM d JOIN risky r ON d.source IS NOT DISTINCT FROM r.source
+        |  AND d.size_bin IS NOT DISTINCT FROM r.size_bin
+        |ORDER BY doc_id""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -775,6 +775,64 @@ object Curation {
     nullSafeJoinBack(df, riskyGroups, quasiCols)
   }
 
+  /** t-closeness risk (Li, Li & Venkatasubramanian 2007) — the third
+    * rung of the privacy ladder after [[kAnonymityRisk]] and
+    * [[lDiversityRisk]]: a group can be k-anonymous AND l-diverse yet
+    * still leak when its SENSITIVE-value distribution skews far from
+    * the corpus-wide one (20 distinct diseases in the group, but 90%
+    * one disease vs 2% globally). Flags rows whose quasi-group's
+    * total-variation distance from the global distribution exceeds
+    * `tNum/tDen`.
+    *
+    * All-integer cross-multiplication (no floating division anywhere):
+    * with group size n_g, corpus size N, group value counts c_gv and
+    * global counts c_v,
+    *
+    *   TV > t  ⟺  tvNum · tDen > tNum · 2 · n_g · N, where
+    *   tvNum = Σ_{v∈group} |c_gv·N − c_v·n_g| + n_g·(N − Σ_{v∈group} c_v)
+    *
+    * (the second term folds every globally-present-but-group-absent
+    * value in closed form — the sum never touches the full value
+    * domain per group). Reported `tv_pm` = tvNum·1000 div (2·n_g·N).
+    * Overflow bound: c_gv·N must fit a Long — fine while N < ~3·10⁹
+    * rows; shard or pre-aggregate the audit beyond that.
+    *
+    * Shape: one (quasi × sensitive) aggregate, a broadcast join
+    * against the sensitive-domain-sized global table, group-frame
+    * windows for n_g, and the same null-safe join-back as the k/l
+    * audits. */
+  def tClosenessRisk(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, tNum: Long, tDen: Long): DataFrame = {
+    require(tNum >= 0 && tDen > 0 && tNum <= tDen,
+      s"t must be a fraction in [0,1], got $tNum/$tDen")
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    import org.apache.spark.sql.expressions.Window
+    val gv = df.groupBy(col(sensitiveCol).as("__v"))
+      .agg(count(lit(1)).as("__c_v"))
+    val total = df.count()
+    val gcnt = df.groupBy((quasiCols.map(col) :+
+        col(sensitiveCol).as("__v")): _*)
+      .agg(count(lit(1)).as("__c_gv"))
+      .join(broadcast(gv.withColumnRenamed("__v", "__gv_v")),
+        col("__v") <=> col("__gv_v")) // null-safe: a NULL sensitive
+      .drop("__gv_v")                 // value is its own category
+    val wg = Window.partitionBy(quasiCols.map(col): _*)
+    val withNg = gcnt.withColumn("__n_g", sum(col("__c_gv")).over(wg))
+    val perGroup = withNg.groupBy(quasiCols.map(col): _*)
+      .agg(first(col("__n_g")).as("group_n"),
+        sum(abs(col("__c_gv") * total - col("__c_v") * col("__n_g")))
+          .as("__abs_in"),
+        sum(col("__c_v")).as("__cov"))
+      .withColumn("__tv_num", col("__abs_in") +
+        col("group_n") * (lit(total) - col("__cov")))
+      .withColumn("tv_pm",
+        expr(s"CAST(__tv_num * 1000 div (2 * group_n * $total) AS BIGINT)"))
+    val risky = perGroup
+      .filter(col("__tv_num") * tDen > lit(tNum) * 2 * col("group_n") * total)
+      .drop("__abs_in", "__cov", "__tv_num")
+    nullSafeJoinBack(df, risky, quasiCols)
+  }
+
   /** Bradley–Terry preference aggregation (Hunter 2004's MM update) —
     * how pairwise human/model preference judgments become per-model
     * scores in an RLHF data pipeline. Exact fixed-point integers, the

@@ -142,6 +142,38 @@ object GraphOps {
     *
     * @param edges (src, dst) undirected pair table (dups/direction fine)
     * @return (id, lbl) after `iters` synchronous rounds */
+  /** k-core decomposition membership: the maximal subgraph where every
+    * node keeps degree ≥ k, found by iterative peeling — drop nodes
+    * under degree k, recompute degrees, repeat. Spam/link-farm curation
+    * uses the core number as a density signal next to
+    * [[triangleCount]]; a chain or pendant tree unravels one layer per
+    * round, so `iters` must cover the longest peel chain (peeling is
+    * idempotent after convergence — a generous cap is safe, and each
+    * extra round costs one no-op semi-join pass over the converged
+    * edge set).
+    *
+    * Scale shape: per round, one degree aggregate + two semi-joins, all
+    * keyed on node ids — no payload, no driver collect; the plan is
+    * truncated per round with `localCheckpoint` (the
+    * [[Dedup.connectedComponents]] discipline). Returns surviving
+    * `(id, deg)` — each member with its within-core degree. */
+  def kCore(edges: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, "kCore needs k >= 1 and iters >= 1")
+    var live = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val keep = live.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      live = live
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint()
+    }
+    live.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+  }
+
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sym = edges.select(col("src"), col("dst"))

@@ -198,6 +198,43 @@ object Sampling {
       conv(hexKey(col(idCol)), 16, 10).cast("long") % k)
   }
 
+  /** Purged k-fold TIME-SERIES cross-validation with embargo (the
+    * financial-ML leakage guard, López de Prado 2018 ch. 7, here the
+    * time-block variant): folds are k contiguous time blocks; for each
+    * test fold, a train row whose timestamp falls within `embargo` of
+    * the fold's time span is PURGED — close-in-time rows leak label
+    * information across the split that [[kFold]]'s hash assignment
+    * (and a plain contiguous split) would hand straight to the model.
+    *
+    * Returns the full k×n audit grid: one row per (test_fold, row) with
+    * `role ∈ {test, purged, train}`. Fold assignment is ntile-style —
+    * `fold = (rn−1)·k div n + 1` over the (ts, seq) total order — but
+    * computed via [[Layout.globalRowNumber]]'s two-pass ranged
+    * numbering, NOT a global window (which would funnel the corpus
+    * through one task). The k-row bounds table broadcasts; the grid is
+    * a broadcast nested-loop over it, k·n rows of ids and roles only. */
+  def purgedTimeFolds(df: DataFrame, idCol: String, tsCol: String, k: Int,
+      embargoExpr: String): DataFrame = {
+    require(k >= 2, s"purged time folds need k >= 2, got $k")
+    val n = df.count()
+    require(n >= k, s"need at least k=$k rows, got $n")
+    val numbered = graft.ops.Layout.globalRowNumber(
+      df.select(col(idCol), col(tsCol)), Seq(tsCol, idCol), 0)
+    val folds = numbered.withColumn("fold",
+      expr(s"CAST((rn - 1) * $k div $n + 1 AS BIGINT)")).drop("rn")
+    val bounds = folds.groupBy("fold").agg(
+        min(col(tsCol)).as("__f_min"), max(col(tsCol)).as("__f_max"))
+      .select(col("fold").as("test_fold"), col("__f_min"), col("__f_max"))
+    val emb = expr(embargoExpr)
+    folds.crossJoin(broadcast(bounds))
+      .withColumn("role",
+        when(col("fold") === col("test_fold"), lit("test"))
+          .when(col(tsCol) >= col("__f_min") - emb &&
+            col(tsCol) <= col("__f_max") + emb, lit("purged"))
+          .otherwise(lit("train")))
+      .drop("__f_min", "__f_max")
+  }
+
   /** EXACTLY `n` rows per stratum (the complement of
     * [[stratifiedHashSample]]'s per-stratum RATE): rows rank by their
     * md5 hex key within each stratum and the first `n` win — still a

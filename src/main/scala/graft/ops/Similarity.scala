@@ -918,6 +918,62 @@ object Similarity {
     GenCompactionReport(before, partFiles(root), gens)
   }
 
+  /** Annotation-conflict audit over the embedding near-dup graph (the
+    * data-centric labeling QA step, Confident-Learning flavored):
+    * near-identical examples carrying DIFFERENT labels are either
+    * annotation errors or genuinely ambiguous items — both poison a
+    * classifier head, and dedup alone won't surface them (each copy is
+    * unique enough to survive, the CONTRADICTION is the defect).
+    *
+    * For every id with at least one near-dup neighbor (cosine ≥
+    * `threshold`, all-pairs here — at 100 TB feed `candidatePairs`
+    * from the ANN tier's IVF cells / LSH buckets instead, the
+    * [[graft.ops.Dedup.semanticDedupAssigned]] discipline): the
+    * neighbor count, how many neighbors disagree with the row's label,
+    * and the majority label among its neighbors (ties → smallest
+    * label). Flagged = majority disagrees AND strictly more than half
+    * the neighbors conflict. Only flagged rows return — the review
+    * queue, not the corpus.
+    *
+    * Everything past the pair pass lives on the (id, nbr, two longs)
+    * dimension; vectors never cross the second exchange. */
+  def labelConflictAudit(data: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, threshold: Double,
+      candidatePairs: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = data.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = data.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    val scored = candidatePairs match {
+      case Some(cp) => cp.select(col("id1"), col("id2")).join(a, "id1")
+        .join(b, "id2")
+      case None => a.join(b, col("id1") < col("id2"))
+    }
+    val pairs = scored
+      .withColumn("cos", round(vecCosine(col("v1"), col("v2")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id1", "id2")
+    val sym = pairs.unionByName(pairs.select(col("id2").as("id1"),
+      col("id1").as("id2")).toDF("id1", "id2"))
+    val lbl = data.select(col(idCol).as("id1"), col(labelCol).as("lbl"))
+    val nlbl = data.select(col(idCol).as("id2"), col(labelCol).as("n_lbl"))
+    val g = sym.join(lbl, "id1").join(nlbl, "id2")
+    val perLabel = g.groupBy(col("id1"), col("lbl"), col("n_lbl"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("id1").orderBy(desc("c"), col("n_lbl"))
+    val majority = perLabel.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id1"), col("n_lbl").as("suggested_label"))
+    g.groupBy(col("id1"), col("lbl"))
+      .agg(count(lit(1)).as("n_nbrs"),
+        sum(when(col("n_lbl") =!= col("lbl"), 1L).otherwise(0L))
+          .as("n_conflict"))
+      .join(majority, "id1")
+      .filter(col("suggested_label") =!= col("lbl") &&
+        col("n_conflict") * 2 > col("n_nbrs"))
+      .select(col("id1").as(idCol), col("lbl").as("label"),
+        col("n_nbrs"), col("n_conflict"), col("suggested_label"))
+  }
+
   /** All-pairs top-k per query row against a corpus (KNN join) with
     * block-nested cosine — broadcast the smaller (query) side. */
   def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -413,6 +413,41 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("tClosenessRisk: skewed groups flag with exact tv_pm, the " +
+      "globally-proportioned group stays silent, strict threshold") {
+    // global dx: 6 flu, 6 cold (50/50). Groups g1 all-flu and g2
+    // all-cold sit at TV = 1/2 (tv_pm 500); g3 mirrors the global
+    // 50/50 exactly (TV = 0).
+    val df = Seq(
+      (1L, "g1", "flu"), (2L, "g1", "flu"), (3L, "g1", "flu"),
+      (4L, "g1", "flu"),
+      (5L, "g2", "cold"), (6L, "g2", "cold"), (7L, "g2", "cold"),
+      (8L, "g2", "cold"),
+      (9L, "g3", "flu"), (10L, "g3", "flu"),
+      (11L, "g3", "cold"), (12L, "g3", "cold"))
+      .toDF("id", "grp", "dx")
+    val risky = Curation.tClosenessRisk(df, Seq("grp"), "dx", 1, 4)
+      .select("id", "group_n", "tv_pm")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(risky == (1L to 8L).map(i => (i, 4L, 500L)).toSet,
+      s"both skewed groups flag at tv 500: $risky")
+    // threshold is strict >: a group AT tv = 1/2 passes t = 1/2
+    assert(Curation.tClosenessRisk(df, Seq("grp"), "dx", 1, 2)
+      .count() == 0L)
+    // NULL sensitive values are their own category, not dropped
+    val withNull = Seq(
+      (1L, "a", Option.empty[String]), (2L, "a", Option.empty[String]),
+      (3L, "b", Some("flu")), (4L, "b", Some("flu")))
+      .toDF("id", "grp", "dx")
+    val flaggedNull = Curation.tClosenessRisk(withNull, Seq("grp"), "dx",
+      1, 4).select("id").as[Long].collect().toSet
+    assert(flaggedNull == Set(1L, 2L, 3L, 4L),
+      s"all-null and all-flu groups are both TV=1/2 off global: $flaggedNull")
+    intercept[IllegalArgumentException] {
+      Curation.tClosenessRisk(df, Seq("grp"), "dx", 3, 2)
+    }
+  }
+
   test("bradleyTerryScores: symmetric pair stays at scale; 3:1 wins" +
       " converge to a 3:1 score ratio; zero-win model rejected") {
     // two models, 4 comparisons, A wins 3: MM fixed point is s_A/s_B = 3

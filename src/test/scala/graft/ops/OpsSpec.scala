@@ -191,6 +191,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(GraphOps.triangleCount(path).first().getLong(0) == 0L)
   }
 
+  test("kCore: chain unravels one node per round, ring and triangle " +
+      "survive, extra rounds are no-ops") {
+    // triangle {0,1,2} + pendant chain 2-10-11-12: for k = 2 the chain
+    // peels from the far end, one node per round
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (2L, 10L), (10L, 11L), (11L, 12L)).toDF("src", "dst")
+    def core(iters: Int) = GraphOps.kCore(edges, k = 2, iters = iters)
+      .as[(Long, Long)].collect().toMap
+    // one round: only the current leaf (12) is gone
+    assert(core(1).keySet == Set(0L, 1L, 2L, 10L, 11L))
+    // converged: triangle only, every member at degree 2
+    assert(core(4) == Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    // idempotent past convergence
+    assert(core(8) == core(4))
+    // k = 1 keeps everything with its full degree
+    assert(GraphOps.kCore(edges, k = 1, iters = 2)
+      .as[(Long, Long)].collect().toMap ==
+      Map(0L -> 2L, 1L -> 2L, 2L -> 3L, 10L -> 2L, 11L -> 2L, 12L -> 1L))
+    // k above the max degree empties the graph
+    assert(GraphOps.kCore(edges, k = 4, iters = 3).count() == 0L)
+  }
+
   test("labelPropagation: cliques converge to their min id, a single " +
       "bridge does not merge them, pure function of the edges") {
     // two K4 cliques {0..3} and {10..13} plus one bridge 3-10
@@ -1949,5 +1971,32 @@ class TokenizerSpec extends AnyFunSuite with SparkTestBase {
     assert(out(0L) == ((2L, 0L, 2L, 0L, 0L)), s"doc0: ${out(0L)}")
     assert(out(1L) == ((2L, -1698970L, 1L, 0L, 1L)), s"doc1: ${out(1L)}")
     assert(out(3L) == ((2L, -397940L, 1L, 1L, 0L)), s"doc3: ${out(3L)}")
+  }
+
+  test("labelConflictAudit: outvoted near-dup labels flag with the " +
+      "majority suggestion, consistent clusters stay silent") {
+    // cluster A: three near-identical vectors, labels 1,1,2 — the '2'
+    // is outvoted 2:0 among its neighbors → flagged, suggested 1.
+    // cluster B: two near-identical vectors, both label 3 → silent.
+    // id 50 is far from everything → no neighbors → absent.
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val df = Seq(
+      (10L, v(1.0, 0.01), 1), (11L, v(1.0, 0.02), 1),
+      (12L, v(1.0, 0.03), 2),
+      (20L, v(0.0, 1.0), 3), (21L, v(0.01, 1.0), 3),
+      (50L, v(-1.0, -1.0), 9))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelConflictAudit(df, "vec_id", "embedding",
+        "label", threshold = 0.9)
+      .select("vec_id", "label", "n_nbrs", "n_conflict", "suggested_label")
+      .as[(Long, Int, Long, Long, Int)].collect().toSeq
+    assert(got == Seq((12L, 2, 2L, 2L, 1)), s"got $got")
+    // an isolated disagreeing pair flags BOTH ways (each row's single
+    // neighbor is a unanimous majority against it) — the review queue
+    // surfaces the pair, a human picks the survivor
+    val even = Seq((1L, v(1.0, 0.0), 1), (2L, v(1.0, 0.01), 2))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.labelConflictAudit(even, "vec_id", "embedding",
+      "label", threshold = 0.9).count() == 2L)
   }
 }

@@ -269,4 +269,31 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       Sampling.interleaveBySource(df, "id", "src", Map("a" -> 0L))
     }
   }
+
+  test("purgedTimeFolds: ntile-sized blocks, embargo purges boundary " +
+      "rows, far rows train, test wins inside its own fold") {
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"2020-$d 00:00:00")
+    // 7 daily rows Jan 1-7 → k=2 folds: {1..4}, {5..7} (ntile: 4, 3)
+    val df = (1 to 7).map(i => (i.toLong, ts(f"01-0$i"))).toDF("id", "at")
+    val got = Sampling.purgedTimeFolds(df, "id", "at", k = 2,
+        embargoExpr = "INTERVAL 1 DAYS")
+      .select("test_fold", "id", "role")
+      .as[(Long, Long, String)].collect()
+      .map { case (f, i, r) => (f, i) -> r }.toMap
+    // fold 1 tested: rows 1-4 test; row 5 is within 1 day of Jan 4 →
+    // purged; rows 6,7 train
+    assert((1L to 4L).forall(i => got(1L -> i) == "test"))
+    assert(got(1L -> 5L) == "purged")
+    assert(got(1L -> 6L) == "train" && got(1L -> 7L) == "train")
+    // fold 2 tested: rows 5-7 test; row 4 within embargo of Jan 5 →
+    // purged; rows 1-3 train
+    assert((5L to 7L).forall(i => got(2L -> i) == "test"))
+    assert(got(2L -> 4L) == "purged")
+    assert((1L to 3L).forall(i => got(2L -> i) == "train"))
+    // grid is complete: k × n
+    assert(got.size == 14)
+    intercept[IllegalArgumentException] {
+      Sampling.purgedTimeFolds(df, "id", "at", 1, "INTERVAL 1 DAYS")
+    }
+  }
 }

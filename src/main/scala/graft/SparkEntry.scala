@@ -3711,7 +3711,33 @@ object SparkEntry {
           expr("CAST(n_chars div 500 AS BIGINT)").as("size_bin")),
         Seq("source", "size_bin"), "lang", tNum = 1, tDen = 4)
         .select("doc_id", "lang", "source", "size_bin", "group_n", "tv_pm")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Join-fanout pre-flight: the audit you run BEFORE a 100 TB equi-
+    // join — per-key counts both sides, output contribution, estimated
+    // total cardinality, per-mille shares, top-20 hot keys. Key-count
+    // tables only; the payload never moves. DuckDB re-derives it all.
+    "q231_join_fanout" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Skew.joinFanoutAudit(
+        t(s, dir, "lineitem"), "l_suppkey",
+        t(s, dir, "supplier"), "s_suppkey", topN = 20)),
+
+    // Per-key watermark lateness audit: events ≡ 3 mod 7 get their
+    // EVENT time shifted 1 h earlier (arrival order untouched) — the
+    // out-of-order tail every real ingest has; the audit measures each
+    // late event's lag behind its user's running high-water mark and
+    // grades two candidate watermark delays. DuckDB replays the
+    // running max, the exact micro lags, and both drop verdicts.
+    "q232_lateness_audit" -> ((s: SparkSession, dir: String) => {
+      val ev = events(s, dir).select("event_id", "user_id", "ts")
+        .withColumn("ts", when(col("event_id") % 7 === 3,
+          col("ts") - expr("INTERVAL 1 HOUR")).otherwise(col("ts")))
+      graft.streaming.EventsPipeline.latenessAudit(ev, "user_id",
+          "event_id", "ts", Seq(1800L, 7200L))
+        .select(col("user_id"), col("event_id"), col("late_us"),
+          col("dropped_1800s"), col("dropped_7200s"))
+        .orderBy("user_id", "event_id")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -7399,7 +7425,43 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang, d.source, d.size_bin, r.group_n, r.tv_pm
         |FROM d JOIN risky r ON d.source IS NOT DISTINCT FROM r.source
         |  AND d.size_bin IS NOT DISTINCT FROM r.size_bin
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q231_join_fanout" ->
+      """WITH lc AS (SELECT l_suppkey AS key, count(*) AS n_left
+        |  FROM lineitem GROUP BY 1),
+        |rc AS (SELECT s_suppkey AS key, count(*) AS n_right
+        |  FROM supplier GROUP BY 1),
+        |m AS (SELECT COALESCE(lc.key, rc.key) AS key,
+        |    CAST(COALESCE(n_left, 0) AS BIGINT) AS n_left,
+        |    CAST(COALESCE(n_right, 0) AS BIGINT) AS n_right
+        |  FROM lc FULL OUTER JOIN rc ON lc.key = rc.key),
+        |c AS (SELECT key, n_left, n_right,
+        |    CAST(n_left * n_right AS BIGINT) AS contrib FROM m),
+        |tot AS (SELECT CAST(sum(contrib) AS BIGINT) AS est_total FROM c)
+        |SELECT c.key, c.n_left, c.n_right, c.contrib, t.est_total,
+        |  CAST(c.contrib * 1000 // greatest(t.est_total, 1) AS BIGINT)
+        |    AS share_pm
+        |FROM c CROSS JOIN tot t
+        |ORDER BY contrib DESC, key LIMIT 20""".stripMargin,
+
+    "q232_lateness_audit" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |    CASE WHEN event_id % 7 = 3 THEN ts - INTERVAL 1 HOUR
+        |         ELSE ts END AS ts
+        |  FROM events),
+        |w AS (SELECT user_id, event_id, ts,
+        |    max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+        |  FROM ev)
+        |SELECT user_id, event_id,
+        |  CAST(epoch_us(wm) - epoch_us(ts) AS BIGINT) AS late_us,
+        |  epoch_us(wm) - epoch_us(ts) > 1800 * CAST(1000000 AS BIGINT)
+        |    AS dropped_1800s,
+        |  epoch_us(wm) - epoch_us(ts) > 7200 * CAST(1000000 AS BIGINT)
+        |    AS dropped_7200s
+        |FROM w WHERE ts < wm
+        |ORDER BY user_id, event_id""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -44,6 +44,43 @@ object Skew {
     saltedFact.join(explodedDim, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Pre-flight audit for a large equi-join — run BEFORE paying the
+    * shuffle: per-key row counts on both sides, each key's output
+    * contribution (n_left · n_right), the estimated total join
+    * cardinality, and each key's share of it in per-mille. The top
+    * keys are exactly the decision input for [[saltedJoin]] /
+    * broadcast / bucketing: one dominant key → salt it; a handful of
+    * hot keys covering most of the output → handle them separately
+    * (AQE's skew-join split, made inspectable).
+    *
+    * Cost: one count aggregate per side (map-side combinable) + a
+    * full-outer merge of the two key-count tables — key-cardinality
+    * data only, never the payload rows. Returns the `topN` keys by
+    * contribution (desc, key asc), each row also carrying `est_total`
+    * and `share_pm`; keys present on only one side contribute 0 (the
+    * join would drop them — visible as n_left/n_right = 0). */
+  def joinFanoutAudit(left: DataFrame, leftKey: String, right: DataFrame,
+      rightKey: String, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val lc = left.groupBy(col(leftKey).as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val rc = right.groupBy(col(rightKey).as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    val merged = lc.join(rc, Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("n_left"), lit(0L)).as("n_left"),
+        coalesce(col("n_right"), lit(0L)).as("n_right"))
+      .withColumn("contrib", col("n_left") * col("n_right"))
+    val totalRow = merged.agg(sum(col("contrib"))).first()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    merged
+      .withColumn("est_total", lit(total))
+      .withColumn("share_pm",
+        expr(s"CAST(contrib * 1000 div ${math.max(total, 1L)} AS BIGINT)"))
+      .orderBy(desc("contrib"), col("key"))
+      .limit(topN)
+  }
+
   /** Deterministic per-row salt derived from the columns the operator
     * actually touches (key + value for [[saltedSum]]; `saltCols` or every
     * non-key column for [[saltedJoin]]) — hashing the full row costs one

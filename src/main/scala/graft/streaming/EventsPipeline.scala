@@ -324,6 +324,37 @@ object EventsPipeline {
       .start()
   }
 
+  /** Per-key watermark lateness audit — the number you need BEFORE
+    * picking `withWatermark`'s delay: replay the arrival sequence
+    * (`seqCol`, the ingest order) against event time (`tsCol`) and
+    * measure, for every out-of-order event, how far behind its key's
+    * running event-time high-water mark it arrived; for each candidate
+    * `delays` value (seconds) report whether that watermark would have
+    * DROPPED the event. Keyed by `keyCol` — the audit distributes on
+    * the same key the stateful operator would, one ordered window per
+    * key, never a global sort (Spark's real watermark is global-min
+    * across partitions, i.e. never tighter than the per-key mark — so
+    * per-key "dropped" is conservative-correct: an event safe here is
+    * safe under the engine's watermark too).
+    *
+    * Returns only late events: key, seq, lateness in exact epoch
+    * microseconds, one boolean per candidate delay (seconds). */
+  def latenessAudit(events: DataFrame, keyCol: String, seqCol: String,
+      tsCol: String, delays: Seq[Long]): DataFrame = {
+    require(delays.nonEmpty, "need at least one candidate delay")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = events
+      .withColumn("__wm", max(col(tsCol)).over(w))
+      .filter(col(tsCol) < col("__wm"))
+      .withColumn("late_us",
+        unix_micros(col("__wm")) - unix_micros(col(tsCol)))
+    delays.foldLeft(base) { (d, delay) =>
+      d.withColumn(s"dropped_${delay}s", col("late_us") > delay * 1000000L)
+    }.drop("__wm")
+  }
+
   /** Ordered funnel analysis: how many users reach step k of a
     * `steps` sequence, where step k counts only if it happens at a
     * STRICTLY later event time than step k-1 (the product-analytics

@@ -30,4 +30,26 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
     assert(salted.groupBy("grp").count().as[(String, Long)].collect().toMap ==
       plain.groupBy("grp").count().as[(String, Long)].collect().toMap)
   }
+
+  test("joinFanoutAudit: contributions, total, shares, one-sided keys") {
+    // key 1: 3×2=6, key 2: 1×4=4, key 3 left-only: 0, key 4 right-only: 0
+    val left = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")
+    val right = Seq(1L, 1L, 2L, 2L, 2L, 2L, 4L).toDF("k2")
+    val got = Skew.joinFanoutAudit(left, "k", right, "k2", topN = 10)
+      .select("key", "n_left", "n_right", "contrib", "est_total", "share_pm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 6L, 10L, 600L),
+      (2L, 1L, 4L, 4L, 10L, 400L),
+      (3L, 1L, 0L, 0L, 10L, 0L),
+      (4L, 0L, 1L, 0L, 10L, 0L)), s"got $got")
+    // est_total matches the real join size
+    assert(left.join(right, left("k") === right("k2")).count() == 10L)
+    // topN truncates after the (contrib desc, key asc) order
+    assert(Skew.joinFanoutAudit(left, "k", right, "k2", topN = 1)
+      .select("key").as[Long].collect().toSeq == Seq(1L))
+    intercept[IllegalArgumentException] {
+      Skew.joinFanoutAudit(left, "k", right, "k2", 0)
+    }
+  }
 }

@@ -256,6 +256,32 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1L, 2L, 3L, 4L, 5L, 6L), s"kept: $kept")
   }
 
+  test("latenessAudit: running high-water mark per key, exact micro " +
+      "lags, drop verdicts per candidate delay, in-order keys silent") {
+    def r(u: Long, seq: Long, epochS: Long) =
+      (u, seq, new Timestamp(epochS * 1000))
+    val ev = Seq(
+      // user 1: arrives 0,100,50,90 (seq order) — 50 is 50 s late,
+      // 90 is 10 s late; the mark never regresses
+      r(1L, 1L, 0L), r(1L, 2L, 100L), r(1L, 3L, 50L), r(1L, 4L, 90L),
+      // user 2: perfectly ordered → absent entirely
+      r(2L, 5L, 10L), r(2L, 6L, 20L),
+      // user 3: equal timestamp is NOT late (strict <)
+      r(3L, 7L, 5L), r(3L, 8L, 5L))
+      .toDF("user_id", "event_id", "ts")
+    val got = graft.streaming.EventsPipeline.latenessAudit(ev,
+        "user_id", "event_id", "ts", Seq(20L, 60L))
+      .select("user_id", "event_id", "late_us", "dropped_20s", "dropped_60s")
+      .as[(Long, Long, Long, Boolean, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 3L, 50000000L, true, false),
+      (1L, 4L, 10000000L, false, false)), s"got $got")
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventsPipeline.latenessAudit(ev, "user_id",
+        "event_id", "ts", Nil)
+    }
+  }
+
   test("funnelCounts: strict ordering — a purchase before the click doesn't convert") {
     def r(u: Long, s: Long, t: String) =
       (u, new java.sql.Timestamp(s * 1000), s, t)

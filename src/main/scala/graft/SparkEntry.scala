@@ -3737,7 +3737,18 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("late_us"),
           col("dropped_1800s"), col("dropped_7200s"))
         .orderBy("user_id", "event_id")
-    })
+    }),
+
+    // DoReMi-shaped domain mixture reweighting in exact multiplicative-
+    // weights integers: per-source excess score (n_chars proxy) →
+    // bucketed exponent → 3 rounds of 11/10-per-bucket updates with
+    // renormalization to Σ = 1e6. DuckDB replays aggregation,
+    // bucketing, every round's HUGEINT update, and the renorm floors.
+    "q233_domain_mixture" -> ((s, dir) =>
+      graft.ops.Sampling.domainMixtureWeights(
+        t(s, dir, "documents"), "source", "n_chars",
+        bucket = 20L, kMax = 4, rounds = 3)
+        .orderBy("domain"))
   )
 
   // ---------------------------------------------------------------------
@@ -7461,7 +7472,46 @@ object SparkEntry {
         |  epoch_us(wm) - epoch_us(ts) > 7200 * CAST(1000000 AS BIGINT)
         |    AS dropped_7200s
         |FROM w WHERE ts < wm
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q233_domain_mixture" -> {
+      // integer pow tables for bucket ∈ [-4, 4]: k ≥ 0 multiplies by
+      // 11^k / 10^k, k < 0 by 10^|k| / 11^|k| (all floored, positive)
+      def powCase(f: Int => Long) = (-4 to 4)
+        .map(k => s"WHEN $k THEN ${f(k)}").mkString(" ")
+      val num = powCase(k => if (k >= 0) math.pow(11, k).toLong
+        else math.pow(10, -k).toLong)
+      val den = powCase(k => if (k >= 0) math.pow(10, k).toLong
+        else math.pow(11, -k).toLong)
+      val roundCtes = (1 to 3).map { r =>
+        s"""s$r AS MATERIALIZED (SELECT domain, n_rows, mean_score,
+           |    excess, bucket,
+           |    w * (CASE bucket $num END) // (CASE bucket $den END) AS sw
+           |  FROM w${r - 1}),
+           |w$r AS MATERIALIZED (SELECT domain, n_rows, mean_score,
+           |    excess, bucket,
+           |    sw * 1000000 // (SELECT sum(sw) FROM s$r) AS w
+           |  FROM s$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH a AS (SELECT CAST(source AS VARCHAR) AS domain,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(n_chars) AS BIGINT) AS s
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(s) // sum(n_rows) AS BIGINT) AS ref FROM a),
+        |e AS (SELECT domain, n_rows,
+        |    CAST(s // n_rows AS BIGINT) AS mean_score,
+        |    CAST(s // n_rows - t.ref AS BIGINT) AS excess
+        |  FROM a CROSS JOIN t),
+        |w0 AS (SELECT domain, n_rows, mean_score, excess,
+        |    CAST(greatest(-4, least(4, excess // 20)) AS BIGINT)
+        |      AS bucket,
+        |    CAST(1000000 AS HUGEINT) AS w
+        |  FROM e),
+        |$roundCtes
+        |SELECT domain, n_rows, mean_score, excess, bucket,
+        |  CAST(w AS BIGINT) AS w_ppm
+        |FROM w3 ORDER BY domain""".stripMargin
+    }
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

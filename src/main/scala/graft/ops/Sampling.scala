@@ -430,4 +430,62 @@ object Sampling {
       .globalRowNumber(keyed, Seq("vt", srcCol, idCol), partitions = 0)
       .select(col(idCol), col(srcCol), col("vt"), col("rn").as("pos"))
   }
+
+  /** Domain mixture reweighting by multiplicative weights — the
+    * DoReMi-shaped move (Xie et al. 2023): domains whose per-example
+    * score sits ABOVE the corpus mean ("excess") get exponentially
+    * upweighted, the rest down, then the mixture renormalizes — how a
+    * pretraining data recipe shifts mass toward the domains the proxy
+    * model finds hardest. Exact integers throughout (the
+    * bradley-terry/pagerank discipline — no libm exp, reproducible by
+    * any engine):
+    *
+    *  - excess_d = (Σ score)/n_d − (Σ score)/N, floored integer
+    *    divisions; bucketed to k_d = clamp(excess_d div bucket, ±kMax)
+    *  - per round: w_d ← w_d · upNum^k / upDen^k (negative k divides),
+    *    then renormalize to Σ = 1e6 by floored division
+    *
+    * The per-domain aggregate is the ONE distributed pass (map-side
+    * combinable); the weight iteration runs on the domain-dimension
+    * table (like the k-means/Bradley-Terry fits) on the driver, in
+    * BigInt so kMax·rounds can't overflow. Returns
+    * (domain, n_rows, mean_score, excess, bucket, w_ppm). */
+  def domainMixtureWeights(df: DataFrame, domainCol: String,
+      scoreCol: String, bucket: Long, kMax: Int, rounds: Int,
+      upNum: Long = 11L, upDen: Long = 10L): DataFrame = {
+    require(bucket > 0 && kMax >= 1 && rounds >= 1 && upNum > upDen &&
+      upDen > 0, "need bucket > 0, kMax >= 1, rounds >= 1, upNum > upDen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = df.groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(scoreCol).cast("long")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(agg.nonEmpty, "empty input")
+    val nTotal = agg.map(_._2).sum
+    val ref = agg.map(_._3).sum / nTotal
+    val rows = agg.map { case (d, n, s) =>
+      val mean = s / n
+      val excess = mean - ref
+      // plain Long division truncates toward zero — the same semantics
+      // as DuckDB's // and Spark SQL's div on negative excess
+      val k = math.max(-kMax.toLong,
+        math.min(kMax.toLong, excess / bucket)).toInt
+      (d, n, mean, excess, k)
+    }
+    var w = rows.map(_ => BigInt(1000000L))
+    for (_ <- 1 to rounds) {
+      val stepped = rows.zip(w).map { case ((_, _, _, _, k), wi) =>
+        if (k >= 0) wi * BigInt(upNum).pow(k) / BigInt(upDen).pow(k)
+        else wi * BigInt(upDen).pow(-k) / BigInt(upNum).pow(-k)
+      }
+      val s = stepped.sum
+      w = stepped.map(_ * 1000000L / s)
+    }
+    rows.zip(w).map { case ((d, n, mean, excess, k), wi) =>
+      (d, n, mean, excess, k.toLong, wi.toLong)
+    }.toSeq
+      .toDF("domain", "n_rows", "mean_score", "excess", "bucket", "w_ppm")
+  }
 }

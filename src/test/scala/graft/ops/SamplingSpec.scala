@@ -270,6 +270,34 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("domainMixtureWeights: hand-computed one-round update, clamp, " +
+      "renorm floor, determinism") {
+    // a: mean 10, b: mean 30, ref 20 → excess ∓10, bucket 5 → k = ∓2.
+    // one 11/10 round: a → 1e6·100//121 = 826446, b → 1e6·121//100 =
+    // 1210000; renorm to ppm: 405827 / 594172 (floored).
+    val df = Seq(("a", 10L), ("a", 10L), ("b", 30L), ("b", 30L))
+      .toDF("dom", "sc")
+    val got = Sampling.domainMixtureWeights(df, "dom", "sc",
+        bucket = 5L, kMax = 4, rounds = 1)
+      .select("domain", "n_rows", "mean_score", "excess", "bucket", "w_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 2L, 10L, -10L, -2L, 405827L),
+      ("b", 2L, 30L, 10L, 2L, 594172L)), s"got $got")
+    // clamp: a huge excess saturates at ±kMax
+    val wide = Seq(("lo", 0L), ("hi", 1000L)).toDF("dom", "sc")
+    val ks = Sampling.domainMixtureWeights(wide, "dom", "sc",
+        bucket = 5L, kMax = 3, rounds = 1)
+      .select("domain", "bucket").as[(String, Long)].collect().toMap
+    assert(ks == Map("lo" -> -3L, "hi" -> 3L), s"clamp: $ks")
+    // deterministic across runs
+    val again = Sampling.domainMixtureWeights(df, "dom", "sc", 5L, 4, 1)
+      .select("domain", "w_ppm").as[(String, Long)].collect().toSeq
+    assert(again.sortBy(_._1).map(_._2) == Seq(405827L, 594172L))
+    intercept[IllegalArgumentException] {
+      Sampling.domainMixtureWeights(df, "dom", "sc", 0L, 4, 1)
+    }
+  }
+
   test("purgedTimeFolds: ntile-sized blocks, embargo purges boundary " +
       "rows, far rows train, test wins inside its own fold") {
     def ts(d: String) = java.sql.Timestamp.valueOf(s"2020-$d 00:00:00")

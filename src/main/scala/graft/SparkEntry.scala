@@ -3748,7 +3748,21 @@ object SparkEntry {
       graft.ops.Sampling.domainMixtureWeights(
         t(s, dir, "documents"), "source", "n_chars",
         bucket = 20L, kMax = 4, rounds = 3)
-        .orderBy("domain"))
+        .orderBy("domain")),
+
+    // Cohen's kappa inter-annotator agreement: annotator A = label,
+    // annotator B = A with every 5th item flipped (planted 20%
+    // disagreement). Chance-corrected in exact per-mille; DuckDB
+    // re-derives the confusion matrix, margins, and the
+    // cross-multiplied kappa.
+    "q234_cohen_kappa" -> ((s, dir) => {
+      val ann = t(s, dir, "embeddings").select(
+        col("label").cast("long").as("ann_a"),
+        when(col("vec_id") % 5 === 0, (col("label") + 1) % 10)
+          .otherwise(col("label")).cast("long").as("ann_b"))
+      graft.ops.Curation.cohenKappa(ann, "ann_a", "ann_b")
+        .orderBy("label_a", "label_b")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -7511,7 +7525,32 @@ object SparkEntry {
         |SELECT domain, n_rows, mean_score, excess, bucket,
         |  CAST(w AS BIGINT) AS w_ppm
         |FROM w3 ORDER BY domain""".stripMargin
-    }
+    },
+
+    "q234_cohen_kappa" ->
+      """WITH ann AS (SELECT CAST(label AS BIGINT) AS a,
+        |    CAST(CASE WHEN vec_id % 5 = 0 THEN (label + 1) % 10
+        |         ELSE label END AS BIGINT) AS b
+        |  FROM embeddings),
+        |conf AS (SELECT CAST(a AS VARCHAR) AS label_a,
+        |    CAST(b AS VARCHAR) AS label_b,
+        |    CAST(count(*) AS BIGINT) AS n_pair
+        |  FROM ann GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN label_a = label_b THEN n_pair ELSE 0 END)
+        |      AS BIGINT) AS n_agree
+        |  FROM conf),
+        |ma AS (SELECT label_a AS c, sum(n_pair) AS na FROM conf GROUP BY 1),
+        |mb AS (SELECT label_b AS c, sum(n_pair) AS nb FROM conf GROUP BY 1),
+        |sums AS (SELECT CAST(sum(COALESCE(na, 0) * COALESCE(nb, 0))
+        |      AS BIGINT) AS s
+        |  FROM ma FULL OUTER JOIN mb USING (c))
+        |SELECT conf.label_a, conf.label_b, conf.n_pair, t.n, t.n_agree,
+        |  CAST(CASE WHEN t.n * t.n - s.s = 0 THEN 1000
+        |       ELSE 1000 * (t.n * t.n_agree - s.s) // (t.n * t.n - s.s)
+        |       END AS BIGINT) AS kappa_pm
+        |FROM conf CROSS JOIN tot t CROSS JOIN sums s
+        |ORDER BY label_a, label_b""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

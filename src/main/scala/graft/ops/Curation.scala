@@ -775,6 +775,47 @@ object Curation {
     nullSafeJoinBack(df, riskyGroups, quasiCols)
   }
 
+  /** Cohen's kappa inter-annotator agreement — the labeling-QA summary
+    * next to [[graft.ops.Similarity.labelConflictAudit]]'s per-item
+    * review queue: how much better two annotators agree than chance
+    * would predict (raw agreement alone rewards skewed label
+    * distributions). Exact integers via cross-multiplication:
+    *
+    *   kappa = (p_o − p_e)/(1 − p_e)
+    *         = (n·agree − S) / (n² − S),  S = Σ_c nA_c · nB_c
+    *
+    * emitted in per-mille (truncating division, negative kappa — worse
+    * than chance — truncates toward zero in both engines). Returns the
+    * full confusion matrix (label_a, label_b, n_pair) with the corpus
+    * scalars (n, n_agree, kappa_pm) on every row.
+    *
+    * Shape: ONE map-side-combinable (a, b) aggregate over the corpus;
+    * the scalar arithmetic runs on the label-domain² confusion table
+    * driver-side (the Bradley-Terry dimension boundary). Overflow:
+    * n·agree and n² must fit a Long — fine to ~3·10⁹ pairs. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val conf = df.groupBy(col(aCol).cast("string").as("label_a"),
+        col(bCol).cast("string").as("label_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    require(conf.nonEmpty, "empty input")
+    val n = conf.map(_._3).sum
+    val agree = conf.filter(t => t._1 == t._2).map(_._3).sum
+    val margA = conf.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val margB = conf.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val s = (margA.keySet ++ margB.keySet).toSeq
+      .map(c => margA.getOrElse(c, 0L) * margB.getOrElse(c, 0L)).sum
+    val den = n * n - s
+    val kappaPm = if (den == 0L) 1000L // degenerate: all one label pair
+                  else 1000L * (n * agree - s) / den
+    conf.map { case (a, b, np) => (a, b, np, n, agree, kappaPm) }.toSeq
+      .toDF("label_a", "label_b", "n_pair", "n", "n_agree", "kappa_pm")
+  }
+
   /** t-closeness risk (Li, Li & Venkatasubramanian 2007) — the third
     * rung of the privacy ladder after [[kAnonymityRisk]] and
     * [[lDiversityRisk]]: a group can be k-anonymous AND l-diverse yet

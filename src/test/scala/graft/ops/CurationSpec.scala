@@ -448,6 +448,36 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("cohenKappa: textbook 2x2 case exact, perfect agreement 1000, " +
+      "chance-level 0, degenerate single-label 1000") {
+    // classic example: n=100, agree=70, margins A (50,50), B (60,40)
+    // → pe = 0.5, kappa = (0.7-0.5)/0.5 = 0.4 → 400 pm
+    def rep(a: String, b: String, k: Int) = Seq.fill(k)((a, b))
+    val df = (rep("y", "y", 40) ++ rep("y", "n", 10) ++
+      rep("n", "y", 20) ++ rep("n", "n", 30)).toDF("a", "b")
+    val got = Curation.cohenKappa(df, "a", "b")
+      .select("label_a", "label_b", "n_pair", "n", "n_agree", "kappa_pm")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("y", "y", 40L, 100L, 70L, 400L), ("y", "n", 10L, 100L, 70L, 400L),
+      ("n", "y", 20L, 100L, 70L, 400L), ("n", "n", 30L, 100L, 70L, 400L)),
+      s"got $got")
+    // perfect agreement
+    val perfect = (rep("y", "y", 3) ++ rep("n", "n", 2)).toDF("a", "b")
+    assert(Curation.cohenKappa(perfect, "a", "b")
+      .select("kappa_pm").distinct().as[Long].head() == 1000L)
+    // statistical independence → kappa 0 (25/25/25/25)
+    val indep = (rep("y", "y", 25) ++ rep("y", "n", 25) ++
+      rep("n", "y", 25) ++ rep("n", "n", 25)).toDF("a", "b")
+    assert(Curation.cohenKappa(indep, "a", "b")
+      .select("kappa_pm").distinct().as[Long].head() == 0L)
+    // both annotators always say the same single label: pe = 1 →
+    // degenerate, reported as full agreement
+    val one = rep("y", "y", 5).toDF("a", "b")
+    assert(Curation.cohenKappa(one, "a", "b")
+      .select("kappa_pm").distinct().as[Long].head() == 1000L)
+  }
+
   test("bradleyTerryScores: symmetric pair stays at scale; 3:1 wins" +
       " converge to a 3:1 score ratio; zero-win model rejected") {
     // two models, 4 comparisons, A wins 3: MM fixed point is s_A/s_B = 3

@@ -3762,6 +3762,30 @@ object SparkEntry {
           .otherwise(col("label")).cast("long").as("ann_b"))
       graft.ops.Curation.cohenKappa(ann, "ann_a", "ann_b")
         .orderBy("label_a", "label_b")
+    }),
+
+    // Ordered (EMD) t-closeness — q230's companion for NUMERIC
+    // sensitive attributes (Li et al.'s recommendation): groups whose
+    // length-band distribution must MOVE > 70‰ of ordered mass to
+    // match the corpus. DuckDB re-derives cumulative counts over the
+    // full domain grid, the cross-multiplied EMD, flag rule, emd_pm.
+    "q235_t_closeness_ordered" -> ((s, dir) =>
+      graft.ops.Curation.tClosenessOrderedRisk(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          expr("CAST(n_chars div 100 AS BIGINT)").as("band")),
+        Seq("source"), "band", tNum = 7, tDen = 100)
+        .select("doc_id", "source", "band", "group_n", "emd_pm")
+        .orderBy("doc_id")),
+
+    // Chi-square independence audit (A/B sanity test): is event_type
+    // independent of the user's hash bucket? Full grid with margins +
+    // the exact-integer statistic (per-cell micro-floored — the floor
+    // is part of the contract DuckDB replays in HUGEINT).
+    "q236_chi_square" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"),
+        (col("user_id") % 2).cast("string").as("bucket"))
+      graft.ops.Profile.chiSquareAudit(ev, "event_type", "bucket")
+        .orderBy("a", "b")
     })
   )
 
@@ -7550,7 +7574,67 @@ object SparkEntry {
         |       ELSE 1000 * (t.n * t.n_agree - s.s) // (t.n * t.n - s.s)
         |       END AS BIGINT) AS kappa_pm
         |FROM conf CROSS JOIN tot t CROSS JOIN sums s
-        |ORDER BY label_a, label_b""".stripMargin
+        |ORDER BY label_a, label_b""".stripMargin,
+
+    "q235_t_closeness_ordered" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(n_chars // 100 AS BIGINT) AS band FROM documents),
+        |gv AS (SELECT band AS v, count(*) AS c FROM d GROUP BY 1),
+        |cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT)
+        |    AS cum_v FROM gv),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS N,
+        |    CAST(count(DISTINCT band) AS BIGINT) AS m FROM d),
+        |g AS (SELECT source, band AS v, count(*) AS c_gv
+        |  FROM d GROUP BY 1, 2),
+        |grid AS (SELECT s.source, c.v, c.cum_v,
+        |    CAST(COALESCE(g.c_gv, 0) AS BIGINT) AS c_gv
+        |  FROM (SELECT DISTINCT source FROM d) s CROSS JOIN cum c
+        |  LEFT JOIN g ON g.source IS NOT DISTINCT FROM s.source
+        |    AND g.v = c.v),
+        |cg AS (SELECT source, v, cum_v,
+        |    sum(c_gv) OVER (PARTITION BY source ORDER BY v) AS cum_g,
+        |    sum(c_gv) OVER (PARTITION BY source) AS n_g FROM grid),
+        |pg AS (SELECT source, CAST(any_value(n_g) AS BIGINT) AS group_n,
+        |    sum(abs(cum_g * n.N - cum_v * n_g)) AS s,
+        |    any_value(n.N) AS N, any_value(n.m) AS m
+        |  FROM cg CROSS JOIN n GROUP BY source),
+        |risky AS (SELECT source, group_n,
+        |    CAST(s * 1000 // ((m - 1) * group_n * N) AS BIGINT) AS emd_pm
+        |  FROM pg WHERE s * 100 > 7 * (m - 1) * group_n * N)
+        |SELECT d.doc_id, d.source, d.band, r.group_n, r.emd_pm
+        |FROM d JOIN risky r ON d.source IS NOT DISTINCT FROM r.source
+        |ORDER BY doc_id""".stripMargin,
+
+    "q236_chi_square" ->
+      """WITH ev AS (SELECT event_type AS a,
+        |    CAST(user_id % 2 AS VARCHAR) AS b FROM events),
+        |conf AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o
+        |  FROM ev GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS row_n
+        |  FROM conf GROUP BY 1),
+        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS col_n
+        |  FROM conf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM conf),
+        |grid AS (SELECT rt.a, ct.b,
+        |    CAST(COALESCE(conf.o, 0) AS BIGINT) AS observed,
+        |    rt.row_n, ct.col_n, tot.n
+        |  FROM rt CROSS JOIN ct CROSS JOIN tot
+        |  LEFT JOIN conf ON conf.a = rt.a AND conf.b = ct.b),
+        |terms AS (SELECT a, b, observed, row_n, col_n, n,
+        |    (CAST(observed AS HUGEINT) * n - CAST(row_n AS HUGEINT)
+        |      * col_n) AS diff
+        |  FROM grid),
+        |scored AS (SELECT a, b, observed, row_n, col_n, n,
+        |    diff * diff * 1000000 //
+        |      (CAST(n AS HUGEINT) * row_n * col_n) AS term
+        |  FROM terms),
+        |agg AS (SELECT CAST(sum(term) AS BIGINT) AS chi2_u6 FROM scored),
+        |dims AS (SELECT CAST((count(DISTINCT a) - 1)
+        |    * (count(DISTINCT b) - 1) AS BIGINT) AS dof FROM conf)
+        |SELECT s.a, s.b, s.observed, s.row_n, s.col_n, s.n,
+        |  g.chi2_u6, d.dof
+        |FROM scored s CROSS JOIN agg g CROSS JOIN dims d
+        |ORDER BY a, b""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

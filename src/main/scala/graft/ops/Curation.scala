@@ -775,6 +775,73 @@ object Curation {
     nullSafeJoinBack(df, riskyGroups, quasiCols)
   }
 
+  /** Ordered (EMD) t-closeness — [[tClosenessRisk]]'s companion for
+    * NUMERIC sensitive attributes, the variant Li et al. 2007
+    * recommend there: total variation treats salary bands 1 vs 2 the
+    * same as 1 vs 10; the ordered-distance Earth-Mover's metric counts
+    * how far probability mass must TRAVEL across the ordered domain,
+    *
+    *   EMD = (1/(m−1)) · Σ_i |P_g(≤ v_i) − P(≤ v_i)|
+    *
+    * over the m distinct global values. All-integer cross-
+    * multiplication on cumulative counts (the final boundary's term is
+    * identically 0, so summing all m is exact); rows with NULL
+    * sensitive values are excluded from both distributions (ordered
+    * distance to "missing" is undefined — audit nulls separately).
+    * Flags groups with EMD > tNum/tDen; reports
+    * `emd_pm = Σ·1000 div ((m−1)·n_g·N)`.
+    *
+    * Shape: the global cumulative table is value-domain-sized; the
+    * group×domain grid (cumulative counts need every boundary, absent
+    * values included) lives on the groups·m dimension — never the
+    * corpus; windows partition by group. Same Long bound as the
+    * unordered audit (counts·N < 2⁶³). */
+  def tClosenessOrderedRisk(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, tNum: Long, tDen: Long): DataFrame = {
+    require(tNum >= 0 && tDen > 0 && tNum <= tDen,
+      s"t must be a fraction in [0,1], got $tNum/$tDen")
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(sensitiveCol).isNotNull)
+    val gv = base.groupBy(col(sensitiveCol).as("__v"))
+      .agg(count(lit(1)).as("__c_v"))
+      .withColumn("__cum_v",
+        sum(col("__c_v")).over(Window.orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select("__v", "__cum_v")
+    val m = gv.count()
+    require(m >= 2, s"ordered EMD needs >= 2 distinct values, got $m")
+    val total = base.count()
+    val groups = base.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+    val gcnt = base.groupBy((quasiCols.map(col) :+
+        col(sensitiveCol).as("__v")): _*)
+      .agg(count(lit(1)).as("__c_gv"))
+    // group × full ordered domain: cumulative counts need every
+    // boundary, including values the group never takes
+    val grid = groups.crossJoin(broadcast(gv))
+    val joinCond = quasiCols.map(c => grid(c) <=> gcnt(c))
+      .reduce(_ && _) && grid("__v") === gcnt("__v")
+    val filled = grid.join(gcnt, joinCond, "left")
+      .select((quasiCols.map(grid(_)) ++ Seq(grid("__v"), grid("__cum_v"),
+        grid("group_n"),
+        coalesce(gcnt("__c_gv"), lit(0L)).as("__c_gv"))): _*)
+    val wg = Window.partitionBy(quasiCols.map(col): _*)
+      .orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, 0)
+    val perGroup = filled
+      .withColumn("__cum_g", sum(col("__c_gv")).over(wg))
+      .groupBy((quasiCols.map(col) :+ col("group_n")): _*)
+      .agg(sum(abs(col("__cum_g") * total - col("__cum_v") * col("group_n")))
+        .as("__emd_num"))
+      .withColumn("emd_pm", expr(
+        s"CAST(__emd_num * 1000 div ((${m - 1}) * group_n * $total) AS BIGINT)"))
+    val risky = perGroup
+      .filter(col("__emd_num") * tDen >
+        lit(tNum) * (m - 1) * col("group_n") * total)
+      .drop("__emd_num")
+    nullSafeJoinBack(base, risky, quasiCols)
+  }
+
   /** Cohen's kappa inter-annotator agreement — the labeling-QA summary
     * next to [[graft.ops.Similarity.labelConflictAudit]]'s per-item
     * review queue: how much better two annotators agree than chance

@@ -147,6 +147,50 @@ object Profile {
       .agg(countDistinct(col(rhs)).as("n_rhs"))
       .filter(col("n_rhs") > 1)
 
+  /** Chi-square independence audit for two categorical columns — the
+    * A/B-experiment / label-vs-split / source-vs-quality sanity test:
+    * does the joint distribution differ from what independent margins
+    * predict? Exact integers via per-cell cross-multiplication,
+    *
+    *   term(cell) = (O·N − rowTot·colTot)² · 10⁶ div (N·rowTot·colTot)
+    *   chi2_u6 = Σ terms  (over the FULL r×c grid — zero-observation
+    *             cells contribute their expected mass)
+    *
+    * each term floored identically in any engine (BigInt here, HUGEINT
+    * in SQL — the per-term floor is part of the contract). Returns the
+    * full grid with margins, each row also carrying `chi2_u6` (the
+    * statistic in micro units) and `dof` = (r−1)(c−1); compare against
+    * the chi-square critical value off-line (no p-value here — that
+    * would need incomplete-gamma floats).
+    *
+    * Shape: one map-side-combinable (a, b) aggregate; grid arithmetic
+    * on the r·c table driver-side (the [[graft.ops.Curation.cohenKappa]]
+    * dimension boundary). */
+  def chiSquareAudit(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val conf = df.groupBy(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("o"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    require(conf.nonEmpty, "empty input")
+    val n = conf.values.sum
+    val rowT = conf.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val colT = conf.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val grid = for (a <- rowT.keys.toSeq.sorted; b <- colT.keys.toSeq.sorted)
+      yield {
+        val o = conf.getOrElse((a, b), 0L)
+        val diff = BigInt(o) * n - BigInt(rowT(a)) * colT(b)
+        val term = diff * diff * 1000000L / (BigInt(n) * rowT(a) * colT(b))
+        (a, b, o, rowT(a), colT(b), term)
+      }
+    val chi2 = grid.map(_._6).sum.toLong
+    val dof = (rowT.size - 1).toLong * (colT.size - 1).toLong
+    grid.map { case (a, b, o, rt, ct, _) => (a, b, o, rt, ct, n, chi2, dof) }
+      .toDF("a", "b", "observed", "row_n", "col_n", "n", "chi2_u6", "dof")
+  }
+
   /** Count-Min hash bucket for a string value on sketch row `row`:
     * first 8 hex chars of md5("row#value"), mod `width`. md5-derived so
     * Spark, DuckDB, and any future engine place every value in the SAME

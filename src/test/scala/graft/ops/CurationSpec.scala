@@ -448,6 +448,43 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("tClosenessOrderedRisk: extreme-band mass travels farther than " +
+      "middle-band mass (TV is blind to the difference), exact emd_pm") {
+    // global bands 1/2/3 uniform (2 each). A sits at band 3, B at
+    // band 1 (both EMD 500‰), D at band 2 (EMD 333‰) — all three have
+    // IDENTICAL total variation 667‰, only the ordered metric ranks
+    // the extremes as farther.
+    val df = Seq(
+      (1L, "A", 3L), (2L, "A", 3L),
+      (3L, "B", 1L), (4L, "B", 1L),
+      (5L, "D", 2L), (6L, "D", 2L))
+      .toDF("id", "grp", "band")
+    val risky = Curation.tClosenessOrderedRisk(df, Seq("grp"), "band",
+        tNum = 2, tDen = 5)
+      .select("id", "grp", "group_n", "emd_pm")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(risky == Set((1L, "A", 2L, 500L), (2L, "A", 2L, 500L),
+      (3L, "B", 2L, 500L), (4L, "B", 2L, 500L)), s"got $risky")
+    // the unordered audit flags D too — same TV, no order information
+    val tvFlagged = Curation.tClosenessRisk(df, Seq("grp"), "band", 2, 5)
+      .select("grp").distinct().as[String].collect().toSet
+    assert(tvFlagged == Set("A", "B", "D"),
+      s"TV treats all three groups alike: $tvFlagged")
+    // NULL sensitive rows are excluded from both distributions
+    val withNull = df.unionByName(
+      Seq((7L, "A", Option.empty[Long])).toDF("id", "grp", "band"))
+    val sameAsBefore = Curation.tClosenessOrderedRisk(withNull,
+        Seq("grp"), "band", 2, 5)
+      .select("id", "grp", "group_n", "emd_pm")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(sameAsBefore == risky, "null band must not shift the audit")
+    intercept[IllegalArgumentException] {
+      Curation.tClosenessOrderedRisk(
+        Seq((1L, "A", 5L)).toDF("id", "grp", "band"), Seq("grp"),
+        "band", 1, 4) // single distinct value: no ordered domain
+    }
+  }
+
   test("cohenKappa: textbook 2x2 case exact, perfect agreement 1000, " +
       "chance-level 0, degenerate single-label 1000") {
     // classic example: n=100, agree=70, margins A (50,50), B (60,40)

@@ -1573,6 +1573,34 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(v == Map("b" -> 3L), s"a is clean, c's null isn't a distinct value: $v")
   }
 
+  test("chiSquareAudit: textbook 2x2 exact in micro units, perfect " +
+      "independence is zero, absent grid cells contribute") {
+    def rep(a: String, b: String, k: Int) = Seq.fill(k)((a, b))
+    // O = [[10,20],[20,10]], E = 15 everywhere: each term
+    // (300² · 1e6) div (60·30·30) = 1666666 → chi2 6666664, dof 1
+    val df = (rep("r1", "c1", 10) ++ rep("r1", "c2", 20) ++
+      rep("r2", "c1", 20) ++ rep("r2", "c2", 10)).toDF("a", "b")
+    val got = Profile.chiSquareAudit(df, "a", "b")
+      .select("a", "b", "observed", "chi2_u6", "dof")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("r1", "c1", 10L, 6666664L, 1L), ("r1", "c2", 20L, 6666664L, 1L),
+      ("r2", "c1", 20L, 6666664L, 1L), ("r2", "c2", 10L, 6666664L, 1L)),
+      s"got $got")
+    // exact independence → statistic 0
+    val indep = (rep("r1", "c1", 6) ++ rep("r1", "c2", 2) ++
+      rep("r2", "c1", 3) ++ rep("r2", "c2", 1)).toDF("a", "b")
+    assert(Profile.chiSquareAudit(indep, "a", "b")
+      .select("chi2_u6").distinct().as[Long].head() == 0L)
+    // a never-observed cell still appears with its expected mass
+    val sparse = (rep("r1", "c1", 2) ++ rep("r2", "c2", 2)).toDF("a", "b")
+    val cells = Profile.chiSquareAudit(sparse, "a", "b")
+      .select("a", "b", "observed").as[(String, String, Long)]
+      .collect().toSet
+    assert(cells == Set(("r1", "c1", 2L), ("r1", "c2", 0L),
+      ("r2", "c1", 0L), ("r2", "c2", 2L)), s"full grid required: $cells")
+  }
+
   test("clusterLabelPurity: totals, majority argmax, smallest-label tie-break") {
     val df = Seq((0, 1), (0, 1), (0, 2), (1, 5), (1, 7), (2, 9))
       .toDF("centroid", "label")

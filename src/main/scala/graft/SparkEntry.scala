@@ -3786,6 +3786,48 @@ object SparkEntry {
         (col("user_id") % 2).cast("string").as("bucket"))
       graft.ops.Profile.chiSquareAudit(ev, "event_type", "bucket")
         .orderBy("a", "b")
+    }),
+
+    // Subject-access export (the GDPR READ side next to q194's
+    // takedown WRITE side): for every 100th customer, each table's row
+    // count + a sorted-repr md5 digest — the access-request manifest.
+    // DuckDB rebuilds every repr, sorts within subject, re-hashes.
+    "q237_subject_export" -> ((s, dir) => {
+      val subjects = t(s, dir, "customer")
+        .filter(col("c_custkey") % 100 === 7)
+        .select(col("c_custkey").as("subject_id"))
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").as("subject_id"),
+        concat_ws("|", col("c_custkey"), col("c_name"),
+          col("c_mktsegment")).as("repr"))
+      val ord = t(s, dir, "orders").select(
+        col("o_custkey").as("subject_id"),
+        concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
+          cents(col("o_totalprice"))).as("repr"))
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("subject_id"),
+          concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+            cents(col("l_extendedprice"))).as("repr"))
+      graft.ops.Curation.subjectExport(Seq(("customer", cust),
+          ("orders", ord), ("lineitem", li)), subjects)
+        .orderBy("subject_id", "table_name")
+    }),
+
+    // Merkle-style bucket-digest reconciliation: replica b drops every
+    // 101st doc and edits every 97th — only the buckets holding
+    // affected ids may mismatch, and the row-level q90 diff drills
+    // down. DuckDB re-derives buckets, 32-bit signatures, sums, flags.
+    "q238_bucket_digest" -> ((s, dir) => {
+      val a = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val b = t(s, dir, "documents").filter(col("doc_id") % 101 =!= 5)
+        .select(col("doc_id"),
+          when(col("doc_id") % 97 === 13, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      graft.index.IndexWriter.bucketDigestDiff(a, b, "doc_id",
+          Seq("text"), buckets = 32)
+        .orderBy("bucket")
     })
   )
 
@@ -7634,7 +7676,60 @@ object SparkEntry {
         |SELECT s.a, s.b, s.observed, s.row_n, s.col_n, s.n,
         |  g.chi2_u6, d.dof
         |FROM scored s CROSS JOIN agg g CROSS JOIN dims d
-        |ORDER BY a, b""".stripMargin
+        |ORDER BY a, b""".stripMargin,
+
+    "q237_subject_export" ->
+      """WITH subj AS (SELECT c_custkey AS sid FROM customer
+        |  WHERE c_custkey % 100 = 7),
+        |cust AS (SELECT c_custkey AS sid,
+        |    c_custkey || '|' || c_name || '|' || c_mktsegment AS repr
+        |  FROM customer),
+        |ord AS (SELECT o_custkey AS sid,
+        |    o_orderkey || '|' || o_orderstatus || '|' ||
+        |      CAST(round(o_totalprice * 100) AS BIGINT) AS repr
+        |  FROM orders),
+        |li AS (SELECT o.o_custkey AS sid,
+        |    l.l_orderkey || '|' || l.l_linenumber || '|' ||
+        |      CAST(round(l.l_extendedprice * 100) AS BIGINT) AS repr
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |parts AS (
+        |  SELECT 'customer' AS table_name, sid, repr FROM cust
+        |  UNION ALL SELECT 'orders', sid, repr FROM ord
+        |  UNION ALL SELECT 'lineitem', sid, repr FROM li)
+        |SELECT p.sid AS subject_id, p.table_name,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  md5(string_agg(p.repr, chr(1) ORDER BY p.repr)) AS digest
+        |FROM parts p JOIN subj s ON s.sid = p.sid
+        |GROUP BY 1, 2
+        |ORDER BY subject_id, table_name""".stripMargin,
+
+    "q238_bucket_digest" ->
+      """WITH a AS (SELECT doc_id, text FROM documents),
+        |b AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 13 THEN text || ' v2' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 101 <> 5),
+        |da AS (SELECT
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 32 AS bucket,
+        |    CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS sig
+        |  FROM a),
+        |db AS (SELECT
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 32 AS bucket,
+        |    CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS sig
+        |  FROM b),
+        |ga AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_a,
+        |    CAST(sum(sig) AS BIGINT) AS sum_a FROM da GROUP BY 1),
+        |gb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(sum(sig) AS BIGINT) AS sum_b FROM db GROUP BY 1)
+        |SELECT COALESCE(ga.bucket, gb.bucket) AS bucket,
+        |  COALESCE(n_a, 0) AS n_a, COALESCE(sum_a, 0) AS sum_a,
+        |  COALESCE(n_b, 0) AS n_b, COALESCE(sum_b, 0) AS sum_b,
+        |  COALESCE(n_a, 0) = COALESCE(n_b, 0)
+        |    AND COALESCE(sum_a, 0) = COALESCE(sum_b, 0) AS bucket_match
+        |FROM ga FULL OUTER JOIN gb ON ga.bucket = gb.bucket
+        |ORDER BY bucket""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -187,6 +187,40 @@ object IndexWriter {
       .select(col(idCol), col("status"))
   }
 
+  /** Merkle-style bucket-digest reconciliation — [[replicaDiff]]'s
+    * at-scale prefilter: comparing two 100 TB replicas row-by-row
+    * shuffles two full digest tables; comparing `buckets` ORDER-
+    * INDEPENDENT bucket digests moves `buckets` rows per side, and only
+    * buckets that disagree need the row-level drill-down. Each row
+    * contributes (md5-derived bucket by id, 32-bit md5 row signature);
+    * a bucket's digest is (row count, Σ signatures) — commutative, so
+    * no ordering/sorting anywhere. Collisions: a differing pair only
+    * escapes if signature SUMS collide (~2⁻³²-ish per bucket) — the
+    * audit is a prefilter, the row diff confirms. Σ fits a Long up to
+    * ~4·10⁹ rows per bucket; size `buckets` to keep under that.
+    * Returns every bucket with both sides' (n, sum) and a match flag. */
+  def bucketDigestDiff(a: DataFrame, b: DataFrame, idCol: String,
+      contentCols: Seq[String], buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(contentCols.nonEmpty, "bucketDigestDiff needs content columns")
+    def side(df: DataFrame, n: String, s: String) = df.select(
+        pmod(conv(substring(md5(col(idCol).cast("string").cast("binary")),
+          1, 8), 16, 10).cast("long"), lit(buckets.toLong)).as("bucket"),
+        conv(substring(md5(concat_ws("", contentCols.map(col): _*)
+          .cast("binary")), 1, 8), 16, 10).cast("long").as("sig"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as(n), sum(col("sig")).as(s))
+    side(a, "n_a", "sum_a")
+      .join(side(b, "n_b", "sum_b"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("sum_a"), lit(0L)).as("sum_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("sum_b"), lit(0L)).as("sum_b"))
+      .withColumn("bucket_match",
+        col("n_a") === col("n_b") && col("sum_a") === col("sum_b"))
+  }
+
   /** CDC changelog apply (the merge-on-read compaction step): fold an
     * ordered stream of I/U/D operations into a snapshot. Per id, the
     * LATEST change wins — an upsert (I/U) replaces the snapshot row, a

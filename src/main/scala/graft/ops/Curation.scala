@@ -775,6 +775,38 @@ object Curation {
     nullSafeJoinBack(df, riskyGroups, quasiCols)
   }
 
+  /** Subject-access export (the GDPR/CCPA READ side, next to the
+    * takedown/purge WRITE side in [[graft.index.Snapshots]]): for every
+    * requested subject, each table's row count and a deterministic
+    * content digest — the "here is everything we hold about you"
+    * manifest an access request answers with, and the audit artifact
+    * proving two exports of the same data are identical.
+    *
+    * `parts` are (table_name, df) pairs where each df carries
+    * `subject_id` and a STRING `repr` column (caller-built, ASCII-safe
+    * — both engines sort it bytewise). The digest is md5 over the
+    * subject's reprs sorted and joined with a U+0001 separator — order-
+    * insensitive to the scan, reproducible by any engine.
+    *
+    * Shape: one semi-join + one subject-keyed aggregate per table; a
+    * subject's rows collect within their group only (request-sized,
+    * never the corpus). */
+  def subjectExport(parts: Seq[(String, DataFrame)],
+      subjects: DataFrame): DataFrame = {
+    require(parts.nonEmpty, "need at least one table")
+    parts.map { case (nm, df) =>
+      df.join(subjects.select(col("subject_id")), Seq("subject_id"),
+          "left_semi")
+        .groupBy(col("subject_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          md5(concat_ws("\u0001",
+            array_sort(collect_list(col("repr")))).cast("binary"))
+            .as("digest"))
+        .withColumn("table_name", lit(nm))
+        .select("subject_id", "table_name", "n_rows", "digest")
+    }.reduce(_ unionByName _)
+  }
+
   /** Ordered (EMD) t-closeness — [[tClosenessRisk]]'s companion for
     * NUMERIC sensitive attributes, the variant Li et al. 2007
     * recommend there: total variation treats salary bands 1 vs 2 the

@@ -67,6 +67,34 @@ class StreamUpsertSpec extends AnyFunSuite with SparkTestBase {
       s"payload must be reduced to a digest before the join:\n$plan")
   }
 
+  test("bucketDigestDiff: identical replicas match everywhere; an " +
+      "edit or a missing row flags ONLY its id's bucket") {
+    val a = (1L to 200L).map(i => (i, s"payload-$i")).toDF("id", "payload")
+    // clean: every bucket matches (full outer keeps all buckets)
+    val clean = IndexWriter.bucketDigestDiff(a, a, "id", Seq("payload"),
+      buckets = 8)
+    assert(clean.count() == clean.filter(col("bucket_match")).count())
+    // edit id 7, drop id 13 → at most the two affected buckets flag,
+    // and a mismatching bucket reveals which side lost rows
+    val b = (1L to 200L).filter(_ != 13L)
+      .map(i => (i, if (i == 7L) "edited" else s"payload-$i"))
+      .toDF("id", "payload")
+    val diff = IndexWriter.bucketDigestDiff(a, b, "id", Seq("payload"),
+        buckets = 8)
+      .select("bucket", "n_a", "n_b", "bucket_match")
+      .as[(Long, Long, Long, Boolean)].collect()
+    val bad = diff.filter(!_._4)
+    assert(bad.nonEmpty && bad.length <= 2, s"over-flagging: ${bad.toSeq}")
+    // the dropped row's bucket shows the count delta
+    assert(bad.exists(t => t._2 == t._3 + 1),
+      s"missing row must surface as n_a = n_b + 1: ${bad.toSeq}")
+    // counts conserve across buckets
+    assert(diff.map(_._2).sum == 200L && diff.map(_._3).sum == 199L)
+    intercept[IllegalArgumentException] {
+      IndexWriter.bucketDigestDiff(a, b, "id", Seq("payload"), 0)
+    }
+  }
+
   test("applyChangelog: latest op wins, deletes remove, inserts appear") {
     val snapshot = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
       .toDF("id", "payload")

@@ -448,6 +448,30 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("subjectExport: per-table counts + order-insensitive digests, " +
+      "non-subjects excluded, digest blind to scan order") {
+    val subjects = Seq(1L).toDF("subject_id")
+    val tbl = Seq((1L, "r1"), (1L, "r2"), (2L, "r3"))
+      .toDF("subject_id", "repr")
+    val got = Curation.subjectExport(Seq(("t", tbl)), subjects)
+      .select("subject_id", "table_name", "n_rows", "digest")
+      .as[(Long, String, Long, String)].collect().toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) == Seq((1L, "t", 2L)))
+    // reversed input order → identical digest (sorted before hashing)
+    val rev = Curation.subjectExport(Seq(("t",
+      Seq((1L, "r2"), (1L, "r1")).toDF("subject_id", "repr"))), subjects)
+      .select("digest").as[String].head()
+    assert(rev == got.head._4, "digest must not depend on row order")
+    // different content → different digest
+    val other = Curation.subjectExport(Seq(("t",
+      Seq((1L, "r1"), (1L, "rX")).toDF("subject_id", "repr"))), subjects)
+      .select("digest").as[String].head()
+    assert(other != got.head._4)
+    intercept[IllegalArgumentException] {
+      Curation.subjectExport(Nil, subjects)
+    }
+  }
+
   test("tClosenessOrderedRisk: extreme-band mass travels farther than " +
       "middle-band mass (TV is blind to the difference), exact emd_pm") {
     // global bands 1/2/3 uniform (2 each). A sits at band 3, B at

@@ -3828,7 +3828,17 @@ object SparkEntry {
       graft.index.IndexWriter.bucketDigestDiff(a, b, "doc_id",
           Seq("text"), buckets = 32)
         .orderBy("bucket")
-    })
+    }),
+
+    // c-TF-IDF topic-term labeling (the BERTopic step): each source
+    // treated as one concatenated document, terms ranked by
+    // tf · log10(1 + A/f_w) — frequent HERE, not everywhere. Through
+    // the bounded-heap TopKPerKey plan; DuckDB re-derives counts, the
+    // micro-rounded log, scores, and the per-class top-5.
+    "q239_ctfidf_topics" -> ((s, dir) =>
+      graft.ops.TextAnalysis.classTfIdfTopTerms(
+        t(s, dir, "documents"), "source", "text", k = 5)
+        .orderBy("cls", "rank"))
   )
 
   // ---------------------------------------------------------------------
@@ -7729,7 +7739,29 @@ object SparkEntry {
         |  COALESCE(n_a, 0) = COALESCE(n_b, 0)
         |    AND COALESCE(sum_a, 0) = COALESCE(sum_b, 0) AS bucket_match
         |FROM ga FULL OUTER JOIN gb ON ga.bucket = gb.bucket
-        |ORDER BY bucket""".stripMargin
+        |ORDER BY bucket""".stripMargin,
+
+    "q239_ctfidf_topics" ->
+      """WITH toks AS (SELECT CAST(source AS VARCHAR) AS cls,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tk AS (SELECT cls, term FROM toks WHERE term <> ''),
+        |tf AS (SELECT cls, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tk GROUP BY 1, 2),
+        |fw AS (SELECT term, CAST(count(*) AS BIGINT) AS f_w
+        |  FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) // count(DISTINCT cls) AS BIGINT)
+        |    AS a FROM tk),
+        |scored AS (SELECT tf.cls, tf.term, tf.tf, fw.f_w,
+        |    CAST(tf.tf * CAST(round(log10(1 + CAST(t.a AS DOUBLE)
+        |      / fw.f_w) * 1000000, 0) AS BIGINT) AS BIGINT) AS score_u6
+        |  FROM tf JOIN fw USING (term) CROSS JOIN tot t),
+        |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY cls
+        |    ORDER BY score_u6 DESC, term) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT cls, term, tf, f_w, score_u6, rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY cls, rank""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

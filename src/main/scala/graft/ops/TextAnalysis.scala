@@ -598,6 +598,49 @@ object TextAnalysis {
     * tables, and Markov-chain corpus fingerprints. One explode + one
     * (prev, next)-keyed count; the pair space shuffles as integers-and-
     * short-strings, never documents. */
+  /** Class-based TF-IDF top terms (Grootendorst's c-TF-IDF, the
+    * BERTopic labeling step): treat each class (cluster, source,
+    * language) as ONE concatenated document and rank its terms by
+    *
+    *   score = tf_{w,c} · log10(1 + A / f_w)
+    *
+    * with A = total tokens div number of classes (average class mass)
+    * and f_w the corpus frequency of w — the per-class words that are
+    * frequent HERE but not everywhere, i.e. the topic label. The libm
+    * log10 enters once per TERM, rounded to micro units before the
+    * integer tf multiply (the q165/q222 discipline — both engines
+    * produce the identical i64).
+    *
+    * Shape: one token explode → (class, term) counts (map-side
+    * combinable), corpus term table joined on the term key, and top-k
+    * per class through the bounded-heap [[graft.plans.TopK.perKey]]
+    * plan — never a corpus-wide window sort. Returns
+    * (class, term, tf, f_w, score_u6, rank). */
+  def classTfIdfTopTerms(docs: org.apache.spark.sql.DataFrame,
+      classCol: String, textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs.select(col(classCol).cast("string").as("cls"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("cls", "term").agg(count(lit(1)).as("tf"))
+    val fw = toks.groupBy("term").agg(count(lit(1)).as("f_w"))
+    val totals = toks.agg(count(lit(1)).as("n_tok"),
+      countDistinct(col("cls")).as("n_cls")).first()
+    val a = totals.getLong(0) / totals.getLong(1)
+    val scored = tf.join(fw, Seq("term"))
+      .withColumn("score_u6", (col("tf") *
+        round(log10(lit(1.0) + lit(a.toDouble) / col("f_w")) * 1000000, 0)
+          .cast("long")).cast("long"))
+    val top = graft.plans.TopK.perKey(scored, Seq("cls"),
+      Seq(("score_u6", false), ("term", true)), k = k)
+    // rank over the survivors only — k·classes rows, never the corpus
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cls")
+      .orderBy(desc("score_u6"), col("term"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select("cls", "term", "tf", "f_w", "score_u6", "rank")
+  }
+
   def bigramCounts(docs: org.apache.spark.sql.DataFrame,
       textCol: String = "text"): org.apache.spark.sql.DataFrame =
     docs.select(explode(bigramsUdf(col(textCol))).as("bg"))

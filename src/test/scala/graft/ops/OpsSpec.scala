@@ -1672,6 +1672,28 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
 class TokenizerSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
+  test("classTfIdfTopTerms: hand-computed micro scores, class-local " +
+      "terms outrank shared ones, score-tie term order, k truncation") {
+    // tokens: c1 = (apple apple banana), c2 = (cherry banana);
+    // A = 5 div 2 = 2; f: apple 2, banana 2, cherry 1.
+    // log10(1 + 2/2) → 301030 µ; log10(1 + 2/1) → 477121 µ.
+    val df = Seq(("c1", "apple apple banana"), ("c2", "cherry banana"))
+      .toDF("grp", "text")
+    val got = TextAnalysis.classTfIdfTopTerms(df, "grp", "text", k = 5)
+      .select("cls", "term", "tf", "f_w", "score_u6", "rank")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("c1", "apple", 2L, 2L, 602060L, 1L),
+      ("c1", "banana", 1L, 2L, 301030L, 2L),
+      ("c2", "cherry", 1L, 1L, 477121L, 1L),
+      ("c2", "banana", 1L, 2L, 301030L, 2L)), s"got $got")
+    // k truncates and equal scores fall back to term order
+    val tie = Seq(("c", "bb aa")).toDF("grp", "text")
+    val first = TextAnalysis.classTfIdfTopTerms(tie, "grp", "text", k = 1)
+      .select("term").as[String].collect().toSeq
+    assert(first == Seq("aa"), s"score tie must break on term asc: $first")
+  }
+
   test("langIdTrain/Classify: trained char-bigram profiles separate " +
       "planted languages with positive margin; deterministic") {
     // three synthetic 'languages' with disjoint character shapes

@@ -3838,7 +3838,21 @@ object SparkEntry {
     "q239_ctfidf_topics" -> ((s, dir) =>
       graft.ops.TextAnalysis.classTfIdfTopTerms(
         t(s, dir, "documents"), "source", "text", k = 5)
-        .orderBy("cls", "rank"))
+        .orderBy("cls", "rank")),
+
+    // Item-item co-occurrence similarity (market-basket CF): customers
+    // as baskets, parts as items, squared-cosine in exact micro units
+    // (no sqrt in the compare), top-3 neighbors per part through the
+    // bounded-heap plan. DuckDB re-derives baskets, pair counts,
+    // scores, and the per-item ranking.
+    "q240_item_cooccurrence" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("basket"), col("l_partkey").as("part"))
+      graft.ops.GraphOps.itemCooccurrence(baskets, "basket", "part", k = 3)
+        .orderBy("item", "rank")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -7761,7 +7775,32 @@ object SparkEntry {
         |  FROM scored)
         |SELECT cls, term, tf, f_w, score_u6, rank
         |FROM ranked WHERE rank <= 5
-        |ORDER BY cls, rank""".stripMargin
+        |ORDER BY cls, rank""".stripMargin,
+
+    "q240_item_cooccurrence" ->
+      """WITH b AS (SELECT DISTINCT o.o_custkey AS bk,
+        |    l.l_partkey AS item
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1),
+        |p AS (SELECT x.item AS item, y.item AS other,
+        |    CAST(count(*) AS BIGINT) AS cooc
+        |  FROM b x JOIN b y ON x.bk = y.bk AND x.item < y.item
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT item, other, cooc FROM p
+        |  UNION ALL SELECT other, item, cooc FROM p),
+        |scored AS (SELECT s.item, s.other, s.cooc,
+        |    ci.c AS c_item, co.c AS c_other,
+        |    CAST(s.cooc * s.cooc * 1000000 // (ci.c * co.c) AS BIGINT)
+        |      AS sim2_u6
+        |  FROM sym s JOIN cnt ci ON ci.item = s.item
+        |             JOIN cnt co ON co.item = s.other),
+        |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY item
+        |    ORDER BY sim2_u6 DESC, other) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT item, other, cooc, c_item, c_other, sim2_u6, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY item, rank""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

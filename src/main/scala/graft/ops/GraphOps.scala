@@ -142,6 +142,48 @@ object GraphOps {
     *
     * @param edges (src, dst) undirected pair table (dups/direction fine)
     * @return (id, lbl) after `iters` synchronous rounds */
+  /** Item co-occurrence similarity graph (market-basket / item-item
+    * collaborative filtering): from (basket, item) observations, for
+    * every item the k most-similar other items by co-occurrence
+    * cosine — emitted as SQUARED cosine in exact micro units so no
+    * sqrt enters the compare:
+    *
+    *   sim2_u6 = cooc² · 10⁶ div (c_i · c_j)
+    *
+    * Shape: (basket, item) dedupes first (the big reduction — repeat
+    * purchases don't double-count); the pair pass is the per-basket
+    * self-join, Σ |basket|² support (cap basket sizes upstream for
+    * power-law data — the [[graft.ops.Dedup]] banding discipline);
+    * everything after lives on the (item, item) dimension, and per-item
+    * top-k goes through the bounded-heap [[graft.plans.TopK.perKey]]
+    * plan. Returns (item, other, cooc, c_item, c_other, sim2_u6, rank).
+    * Overflow: cooc²·10⁶ needs cooc < ~3·10⁶ shared baskets per pair. */
+  def itemCooccurrence(df: DataFrame, basketCol: String, itemCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val b = df.select(col(basketCol).as("bk"), col(itemCol).as("item"))
+      .distinct()
+    val cnt = b.groupBy("item").agg(count(lit(1)).as("c"))
+    val pairs = b.join(b.select(col("bk"), col("item").as("other")), "bk")
+      .filter(col("item") < col("other"))
+      .groupBy("item", "other").agg(count(lit(1)).as("cooc"))
+    val sym = pairs.unionByName(pairs.select(col("other").as("item"),
+      col("item").as("other"), col("cooc")))
+    val scored = sym
+      .join(cnt.select(col("item"), col("c").as("c_item")), "item")
+      .join(cnt.select(col("item").as("other"), col("c").as("c_other")),
+        "other")
+      .withColumn("sim2_u6", expr(
+        "CAST(cooc * cooc * 1000000 div (c_item * c_other) AS BIGINT)"))
+    val top = graft.plans.TopK.perKey(scored, Seq("item"),
+      Seq(("sim2_u6", false), ("other", true)), k = k)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("item")
+      .orderBy(desc("sim2_u6"), col("other"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select("item", "other", "cooc", "c_item", "c_other", "sim2_u6",
+        "rank")
+  }
+
   /** k-core decomposition membership: the maximal subgraph where every
     * node keeps degree ≥ k, found by iterative peeling — drop nodes
     * under degree k, recompute degrees, repeat. Spam/link-farm curation

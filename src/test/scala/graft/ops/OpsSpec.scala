@@ -191,6 +191,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(GraphOps.triangleCount(path).first().getLong(0) == 0L)
   }
 
+  test("itemCooccurrence: repeat purchases dedupe, exact squared-" +
+      "cosine micro scores, tie-break on other asc, k truncation") {
+    // baskets: b1 {1,2,3} (item 1 twice — must dedupe), b2 {1,2},
+    // b3 {1,2}, b4 {3} → c1=3, c2=3, c3=2; cooc(1,2)=3, (1,3)=1,
+    // (2,3)=1 → sim2(1,2)=9e6//9=1000000, (1,3)=(2,3)=1e6//6=166666
+    val df = Seq((10L, 1L), (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L), (30L, 1L), (30L, 2L), (40L, 3L))
+      .toDF("bk", "it")
+    val got = GraphOps.itemCooccurrence(df, "bk", "it", k = 2)
+      .select("item", "other", "cooc", "sim2_u6", "rank")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 3L, 1000000L, 1L), (1L, 3L, 1L, 166666L, 2L),
+      (2L, 1L, 3L, 1000000L, 1L), (2L, 3L, 1L, 166666L, 2L),
+      (3L, 1L, 1L, 166666L, 1L), (3L, 2L, 1L, 166666L, 2L)),
+      s"got $got")
+    // k = 1 keeps only each item's best neighbor
+    assert(GraphOps.itemCooccurrence(df, "bk", "it", 1).count() == 3L)
+    intercept[IllegalArgumentException] {
+      GraphOps.itemCooccurrence(df, "bk", "it", 0)
+    }
+  }
+
   test("kCore: chain unravels one node per round, ring and triangle " +
       "survive, extra rounds are no-ops") {
     // triangle {0,1,2} + pendant chain 2-10-11-12: for k = 2 the chain

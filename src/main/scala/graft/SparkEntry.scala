@@ -3852,6 +3852,20 @@ object SparkEntry {
         .select(col("o_custkey").as("basket"), col("l_partkey").as("part"))
       graft.ops.GraphOps.itemCooccurrence(baskets, "basket", "part", k = 3)
         .orderBy("item", "rank")
+    }),
+
+    // Directed association rules over the same baskets: confidence is
+    // asymmetric (i→j strong while j→i weak when c_i ≪ c_j), lift
+    // symmetric, both exact integers; min-support 3 shared customers.
+    // DuckDB re-derives baskets, supports, and both measures.
+    "q241_association_rules" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("basket"), col("l_partkey").as("part"))
+      graft.ops.GraphOps.associationRules(baskets, "basket", "part",
+          minSupport = 3)
+        .orderBy("antecedent", "consequent")
     })
   )
 
@@ -7800,7 +7814,30 @@ object SparkEntry {
         |  FROM scored)
         |SELECT item, other, cooc, c_item, c_other, sim2_u6, rank
         |FROM ranked WHERE rank <= 3
-        |ORDER BY item, rank""".stripMargin
+        |ORDER BY item, rank""".stripMargin,
+
+    "q241_association_rules" ->
+      """WITH b AS (SELECT DISTINCT o.o_custkey AS bk,
+        |    l.l_partkey AS item
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM b),
+        |cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1),
+        |p AS (SELECT x.item AS item, y.item AS other,
+        |    CAST(count(*) AS BIGINT) AS cooc
+        |  FROM b x JOIN b y ON x.bk = y.bk AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |d AS (SELECT item, other, cooc FROM p
+        |  UNION ALL SELECT other, item, cooc FROM p)
+        |SELECT d.item AS antecedent, d.other AS consequent, d.cooc,
+        |  ca.c AS c_ante, cc.c AS c_cons, nb.n AS n_baskets,
+        |  CAST(d.cooc * 1000 // ca.c AS BIGINT) AS conf_pm,
+        |  CAST(d.cooc * nb.n * 1000000 // (ca.c * cc.c) AS BIGINT)
+        |    AS lift_u6
+        |FROM d JOIN cnt ca ON ca.item = d.item
+        |       JOIN cnt cc ON cc.item = d.other
+        |       CROSS JOIN nb
+        |ORDER BY antecedent, consequent""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

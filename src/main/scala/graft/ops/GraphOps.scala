@@ -184,6 +184,45 @@ object GraphOps {
         "rank")
   }
 
+  /** Pairwise association rules (the Apriori/market-basket output
+    * [[itemCooccurrence]]'s symmetric similarity can't express —
+    * direction matters: {printer}→{ink} can be near-certain while
+    * {ink}→{printer} is weak): for every ordered item pair sharing at
+    * least `minSupport` baskets,
+    *
+    *   confidence(i→j) = P(j | i)  → conf_pm  = cooc·1000 div c_i
+    *   lift(i→j) = P(j|i) / P(j)   → lift_u6  = cooc·N·10⁶ div (c_i·c_j)
+    *
+    * exact integers (lift symmetric, confidence not). Same execution
+    * shape as [[itemCooccurrence]] — dedupe, per-basket pair pass,
+    * everything after on the (item, item) dimension. Lift > 10⁶ means
+    * positively associated; < 10⁶ anti-associated. Overflow: cooc·N·10⁶
+    * needs cooc·N < ~9·10¹² — shard the rule pass beyond that. */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val b = df.select(col(basketCol).as("bk"), col(itemCol).as("item"))
+      .distinct()
+    val nB = b.select("bk").distinct().count()
+    val cnt = b.groupBy("item").agg(count(lit(1)).as("c"))
+    val pairs = b.join(b.select(col("bk"), col("item").as("other")), "bk")
+      .filter(col("item") < col("other"))
+      .groupBy("item", "other").agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") >= minSupport)
+    val directed = pairs.unionByName(pairs.select(
+      col("other").as("item"), col("item").as("other"), col("cooc")))
+    directed
+      .join(cnt.select(col("item"), col("c").as("c_ante")), "item")
+      .join(cnt.select(col("item").as("other"), col("c").as("c_cons")),
+        "other")
+      .select(col("item").as("antecedent"), col("other").as("consequent"),
+        col("cooc"), col("c_ante"), col("c_cons"),
+        lit(nB).as("n_baskets"),
+        expr("CAST(cooc * 1000 div c_ante AS BIGINT)").as("conf_pm"),
+        expr(s"CAST(cooc * ${nB}L * 1000000 div (c_ante * c_cons) " +
+          "AS BIGINT)").as("lift_u6"))
+  }
+
   /** k-core decomposition membership: the maximal subgraph where every
     * node keeps degree ≥ k, found by iterative peeling — drop nodes
     * under degree k, recompute degrees, repeat. Spam/link-farm curation

@@ -214,6 +214,35 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("associationRules: asymmetric confidence, symmetric lift, " +
+      "min-support prunes, exact integers") {
+    // baskets: {1,2} ×3, {1} ×1, {2,3} ×1 → c1=4, c2=4, c3=1, N=5
+    // cooc(1,2)=3: conf(1→2)=750, conf(2→1)=750,
+    //   lift = 3·5·1e6 // 16 = 937500 (both directions)
+    // cooc(2,3)=1 < minSupport 2 → pruned
+    val df = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 2L), (40L, 1L), (50L, 2L), (50L, 3L))
+      .toDF("bk", "it")
+    val got = GraphOps.associationRules(df, "bk", "it", minSupport = 2)
+      .select("antecedent", "consequent", "cooc", "n_baskets",
+        "conf_pm", "lift_u6")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 3L, 5L, 750L, 937500L),
+      (2L, 1L, 3L, 5L, 750L, 937500L)), s"got $got")
+    // asymmetry: shrink c2's solo support → conf(2→1) rises above
+    // conf(1→2)
+    val asym = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (40L, 1L)).toDF("bk", "it")
+    val conf = GraphOps.associationRules(asym, "bk", "it", 2)
+      .select("antecedent", "conf_pm").as[(Long, Long)].collect().toMap
+    assert(conf(2L) == 1000L && conf(1L) == 500L,
+      s"2→1 certain, 1→2 half: $conf")
+    intercept[IllegalArgumentException] {
+      GraphOps.associationRules(df, "bk", "it", 0)
+    }
+  }
+
   test("kCore: chain unravels one node per round, ring and triangle " +
       "survive, extra rounds are no-ops") {
     // triangle {0,1,2} + pendant chain 2-10-11-12: for k = 2 the chain

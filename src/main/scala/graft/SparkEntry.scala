@@ -3866,6 +3866,35 @@ object SparkEntry {
       graft.ops.GraphOps.associationRules(baskets, "basket", "part",
           minSupport = 3)
         .orderBy("antecedent", "consequent")
+    }),
+
+    // Score-calibration audit: a per-mille "model probability" from
+    // length, labels drawn by a deterministic Bernoulli(score) hash —
+    // reliability buckets + ECE in exact integers (the sum-form
+    // identity needs no per-bucket division). DuckDB replays buckets,
+    // sums, and the ECE fold.
+    "q242_calibration" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+          least(greatest((col("n_chars") - 100) * 2, lit(0)), lit(1000))
+            .cast("long").as("score_pm"))
+        .withColumn("label",
+          ((col("doc_id") * 7919) % 1000 < col("score_pm")).cast("long"))
+      graft.ops.Profile.calibrationAudit(d, "score_pm", "label",
+          buckets = 10)
+        .orderBy("bucket")
+    }),
+
+    // Disparate-impact (4/5-rule) audit of a curation gate: a length
+    // filter whose threshold is implicitly harder on one language —
+    // 'de' admits at 285‰ vs the reference 656‰ → di 434‰, flagged.
+    // DuckDB re-derives rates, the exact cross-multiplied reference
+    // choice, ratios, and flags.
+    "q243_disparate_impact" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("lang"),
+        (col("n_chars") >=
+          when(col("lang") === "de", 350).otherwise(280)).as("selected"))
+      graft.ops.Curation.disparateImpact(d, "lang", "selected")
+        .orderBy("grp")
     })
   )
 
@@ -7837,7 +7866,57 @@ object SparkEntry {
         |FROM d JOIN cnt ca ON ca.item = d.item
         |       JOIN cnt cc ON cc.item = d.other
         |       CROSS JOIN nb
-        |ORDER BY antecedent, consequent""".stripMargin
+        |ORDER BY antecedent, consequent""".stripMargin,
+
+    "q242_calibration" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(least(greatest((n_chars - 100) * 2, 0), 1000)
+        |      AS BIGINT) AS score_pm
+        |  FROM documents),
+        |l AS (SELECT doc_id, score_pm,
+        |    CASE WHEN (doc_id * 7919) % 1000 < score_pm THEN 1
+        |         ELSE 0 END AS y
+        |  FROM d),
+        |b AS (SELECT least(score_pm // 100, 9) AS bucket, score_pm, y
+        |  FROM l),
+        |agg AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(score_pm) AS BIGINT) AS sum_score_pm,
+        |    CAST(sum(y) AS BIGINT) AS n_pos
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(abs(sum_score_pm - n_pos * 1000)) AS BIGINT) AS s
+        |  FROM agg)
+        |SELECT a.bucket, a.n, a.sum_score_pm, a.n_pos,
+        |  CAST(a.sum_score_pm // a.n AS BIGINT) AS mean_score_pm,
+        |  CAST(a.n_pos * 1000 // a.n AS BIGINT) AS pos_rate_pm,
+        |  CAST(t.s * 1000 // t.nn AS BIGINT) AS ece_u6
+        |FROM agg a CROSS JOIN tot t
+        |ORDER BY bucket""".stripMargin,
+
+    "q243_disparate_impact" ->
+      """WITH d AS (SELECT lang AS grp,
+        |    n_chars >= CASE WHEN lang = 'de' THEN 350 ELSE 280 END
+        |      AS sel
+        |  FROM documents),
+        |a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_sel
+        |  FROM d GROUP BY 1),
+        |ref AS (SELECT grp, n, n_sel FROM a g
+        |  WHERE NOT EXISTS (SELECT 1 FROM a h
+        |    WHERE h.n_sel * g.n > g.n_sel * h.n)
+        |  ORDER BY grp LIMIT 1)
+        |SELECT a.grp, a.n, a.n_sel,
+        |  CAST(a.n_sel * 1000 // a.n AS BIGINT) AS rate_pm,
+        |  r.grp AS ref_grp,
+        |  CAST(CASE WHEN r.n_sel = 0 THEN 1000
+        |       ELSE a.n_sel * r.n * 1000 // (a.n * r.n_sel)
+        |       END AS BIGINT) AS di_pm,
+        |  CASE WHEN r.n_sel = 0 THEN 1000
+        |       ELSE a.n_sel * r.n * 1000 // (a.n * r.n_sel) END < 800
+        |    AS flagged
+        |FROM a CROSS JOIN ref r
+        |ORDER BY a.grp""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

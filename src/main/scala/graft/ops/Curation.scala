@@ -775,6 +775,48 @@ object Curation {
     nullSafeJoinBack(df, riskyGroups, quasiCols)
   }
 
+  /** Disparate-impact (4/5-rule) fairness audit for a selection
+    * decision — the curation-gate check the privacy tier's k/l/t
+    * audits don't cover: a quality/length/perplexity filter that
+    * admits one language or source at a far lower rate than another
+    * silently skews the corpus. Per group: selection rate, and the
+    * ratio of that rate to the HIGHEST-rate group's (the reference),
+    * in exact per-mille cross-multiplication
+    *
+    *   di_pm = (sel_g · n_ref) · 1000 div (n_g · sel_ref)
+    *
+    * `flagged` = di_pm < 800 (the EEOC four-fifths rule). Reference =
+    * max rate by cross-multiplied comparison, ties → lexicographically
+    * smallest group. One map-side aggregate; ratio arithmetic on the
+    * group-dimension table driver-side. Groups with zero selections
+    * report di_pm 0 (flagged unless every group is zero). */
+  def disparateImpact(df: DataFrame, groupCol: String,
+      selectedCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = df.groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(selectedCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_sel"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(agg.nonEmpty, "empty input")
+    // reference: max rate via cross-multiplied compare (no doubles)
+    val reference = agg.reduce { (x, y) =>
+      val cmp = BigInt(x._3) * y._2 - BigInt(y._3) * x._2
+      if (cmp > 0) x else if (cmp < 0) y
+      else if (x._1 <= y._1) x else y
+    }
+    agg.map { case (g, n, s) =>
+      val di =
+        if (reference._3 == 0L) 1000L // every group zero: vacuously fair
+        else (BigInt(s) * reference._2 * 1000L /
+          (BigInt(n) * reference._3)).toLong
+      (g, n, s, s * 1000L / n, reference._1, di, di < 800L)
+    }.toSeq.toDF("grp", "n", "n_sel", "rate_pm", "ref_grp", "di_pm",
+      "flagged")
+  }
+
   /** Subject-access export (the GDPR/CCPA READ side, next to the
     * takedown/purge WRITE side in [[graft.index.Snapshots]]): for every
     * requested subject, each table's row count and a deterministic

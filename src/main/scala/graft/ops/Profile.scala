@@ -147,6 +147,43 @@ object Profile {
       .agg(countDistinct(col(rhs)).as("n_rhs"))
       .filter(col("n_rhs") > 1)
 
+  /** Score-calibration audit (reliability diagram + ECE): does a
+    * model's claimed probability match reality? Scores arrive as exact
+    * per-mille integers (`scorePmCol` ∈ [0, 1000]); rows bucket into
+    * `buckets` fixed-width bins, each reporting its mean claimed score
+    * and its empirical positive rate. The expected calibration error
+    * needs NO per-bucket division:
+    *
+    *   ECE = Σ_b (n_b/N)·|mean_b − rate_b|
+    *       = Σ_b |Σscore_b − 1000·pos_b| / N   (per-mille units)
+    *
+    * so `ece_u6 = Σ_b |Σscore_b − 1000·pos_b| · 1000 div N` is exact.
+    * One map-side-combinable bucket aggregate; the reported per-bucket
+    * means/rates use truncating division (display only — the ECE never
+    * touches them). */
+  def calibrationAudit(df: DataFrame, scorePmCol: String,
+      labelCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2 && 1000 % buckets == 0,
+      s"buckets must divide 1000, got $buckets")
+    val w = 1000 / buckets
+    val b = df.select(
+      expr(s"CAST(least(CAST($scorePmCol AS BIGINT) div $w, " +
+        s"${buckets - 1}) AS BIGINT)").as("bucket"),
+      col(scorePmCol).cast("long").as("score_pm"),
+      col(labelCol).cast("long").as("y"))
+    val agg = b.groupBy("bucket").agg(count(lit(1)).as("n"),
+      sum(col("score_pm")).as("sum_score_pm"),
+      sum(col("y")).as("n_pos"))
+    val totals = agg.agg(sum(col("n")),
+      sum(abs(col("sum_score_pm") - col("n_pos") * 1000))).first()
+    val n = totals.getLong(0)
+    val ece = totals.getLong(1) * 1000L / n
+    agg.withColumn("mean_score_pm",
+        expr("CAST(sum_score_pm div n AS BIGINT)"))
+      .withColumn("pos_rate_pm", expr("CAST(n_pos * 1000 div n AS BIGINT)"))
+      .withColumn("ece_u6", lit(ece))
+  }
+
   /** Chi-square independence audit for two categorical columns — the
     * A/B-experiment / label-vs-split / source-vs-quality sanity test:
     * does the joint distribution differ from what independent margins

@@ -448,6 +448,27 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("disparateImpact: 4/5-rule flags the disadvantaged group, " +
+      "rate-tie reference picks the smallest name, zero-selection edge") {
+    def rows(g: String, sel: Int, unsel: Int) =
+      Seq.fill(sel)((g, true)) ++ Seq.fill(unsel)((g, false))
+    // a: 8/10 (800‰), c: 4/5 (800‰ — ties a, 'a' wins by name),
+    // b: 3/10 (375 vs ref → flagged), d: 0/2 (di 0 → flagged)
+    val df = (rows("a", 8, 2) ++ rows("b", 3, 7) ++ rows("c", 4, 1) ++
+      rows("d", 0, 2)).toDF("grp", "sel")
+    val got = Curation.disparateImpact(df, "grp", "sel")
+      .select("grp", "rate_pm", "ref_grp", "di_pm", "flagged")
+      .as[(String, Long, String, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      ("a", 800L, "a", 1000L, false), ("b", 300L, "a", 375L, true),
+      ("c", 800L, "a", 1000L, false), ("d", 0L, "a", 0L, true)),
+      s"got $got")
+    // every group zero-selected: vacuously fair, nothing flags
+    val allZero = (rows("x", 0, 3) ++ rows("y", 0, 2)).toDF("grp", "sel")
+    assert(Curation.disparateImpact(allZero, "grp", "sel")
+      .filter(col("flagged")).count() == 0L)
+  }
+
   test("subjectExport: per-table counts + order-insensitive digests, " +
       "non-subjects excluded, digest blind to scan order") {
     val subjects = Seq(1L).toDF("subject_id")

@@ -1625,6 +1625,27 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(v == Map("b" -> 3L), s"a is clean, c's null isn't a distinct value: $v")
   }
 
+  test("calibrationAudit: sum-form ECE exact, top score clamps into " +
+      "the last bucket, per-bucket means/rates") {
+    // bucket 0: (50,y)×4 with one positive → |200 − 1000| = 800;
+    // bucket 9: (950,1)×2 + (1000,1) → |2900 − 3000| = 100;
+    // ECE = (800+100)·1000 div 7 = 128571 µ
+    val df = Seq((50L, 0L), (50L, 0L), (50L, 0L), (50L, 1L),
+      (950L, 1L), (950L, 1L), (1000L, 1L)).toDF("score_pm", "y")
+    val got = Profile.calibrationAudit(df, "score_pm", "y", buckets = 10)
+      .select("bucket", "n", "mean_score_pm", "pos_rate_pm", "ece_u6")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 4L, 50L, 250L, 128571L),
+      (9L, 3L, 966L, 1000L, 128571L)), s"got $got")
+    // perfectly calibrated buckets → ECE 0
+    val perfect = Seq((0L, 0L), (1000L, 1L)).toDF("score_pm", "y")
+    assert(Profile.calibrationAudit(perfect, "score_pm", "y", 10)
+      .select("ece_u6").distinct().as[Long].head() == 0L)
+    intercept[IllegalArgumentException] {
+      Profile.calibrationAudit(df, "score_pm", "y", 7) // 7 ∤ 1000
+    }
+  }
+
   test("chiSquareAudit: textbook 2x2 exact in micro units, perfect " +
       "independence is zero, absent grid cells contribute") {
     def rep(a: String, b: String, k: Int) = Seq.fill(k)((a, b))

@@ -3895,7 +3895,16 @@ object SparkEntry {
           when(col("lang") === "de", 350).otherwise(280)).as("selected"))
       graft.ops.Curation.disparateImpact(d, "lang", "selected")
         .orderBy("grp")
-    })
+    }),
+
+    // Corpus-concentration audit: Gini over per-source character
+    // contributions with the full Lorenz curve — the datasheet
+    // companion to q210's counts. Exact sorted-cumulative identity;
+    // DuckDB replays the (weight, name) ordering and every fold.
+    "q244_concentration" -> ((s, dir) =>
+      graft.ops.Profile.concentrationAudit(
+        t(s, dir, "documents"), "source", "n_chars")
+        .orderBy("lorenz_rank"))
   )
 
   // ---------------------------------------------------------------------
@@ -7916,7 +7925,28 @@ object SparkEntry {
         |       ELSE a.n_sel * r.n * 1000 // (a.n * r.n_sel) END < 800
         |    AS flagged
         |FROM a CROSS JOIN ref r
-        |ORDER BY a.grp""".stripMargin
+        |ORDER BY a.grp""".stripMargin,
+
+    "q244_concentration" ->
+      """WITH a AS (SELECT CAST(source AS VARCHAR) AS grp,
+        |    CAST(sum(n_chars) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1),
+        |o AS (SELECT grp, w,
+        |    CAST(row_number() OVER (ORDER BY w, grp) AS BIGINT) AS i
+        |  FROM a),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(w) AS BIGINT) AS tw,
+        |    CAST(sum(i * w) AS BIGINT) AS iw
+        |  FROM o)
+        |SELECT o.grp, o.w,
+        |  CAST(o.w * 1000 // t.tw AS BIGINT) AS share_pm,
+        |  CAST(sum(o.w) OVER (ORDER BY o.i) * 1000 // t.tw AS BIGINT)
+        |    AS cum_share_pm,
+        |  o.i AS lorenz_rank,
+        |  CAST((2 * t.iw - (t.n + 1) * t.tw) * 1000 // (t.n * t.tw)
+        |    AS BIGINT) AS gini_pm
+        |FROM o CROSS JOIN t
+        |ORDER BY lorenz_rank""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -147,6 +147,45 @@ object Profile {
       .agg(countDistinct(col(rhs)).as("n_rhs"))
       .filter(col("n_rhs") > 1)
 
+  /** Corpus-concentration audit (Gini over group contributions) — the
+    * release-datasheet number next to q210's counts: how much of the
+    * corpus a few sources dominate. Exact integers via the sorted-
+    * cumulative Gini identity (groups ascending by weight, ties by
+    * name, i = 1..n):
+    *
+    *   gini_pm = (2·Σ i·wᵢ − (n+1)·ΣW) · 1000 div (n·ΣW)
+    *
+    * 0 = perfectly even, →1000 = one group holds everything. Returns
+    * one row per group with its share and Lorenz cumulative share
+    * (both per-mille, truncating) plus the corpus `gini_pm`. One
+    * map-side aggregate; the sort and fold run on the group-dimension
+    * table driver-side (BigInt — no overflow at any weight). */
+  def concentrationAudit(df: DataFrame, groupCol: String,
+      weightCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = df.groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(identity)
+    require(agg.nonEmpty, "empty input")
+    require(agg.forall(_._2 >= 0), "weights must be non-negative")
+    val sorted = agg.sortBy { case (g, w) => (w, g) }
+    val n = sorted.length.toLong
+    val totW = sorted.map(t => BigInt(t._2)).sum
+    require(totW > 0, "total weight must be positive")
+    val weighted = sorted.zipWithIndex
+      .map { case ((g, w), i) => BigInt(i + 1) * w }.sum
+    val gini = ((weighted * 2 - (n + 1) * totW) * 1000 / (n * totW)).toLong
+    var cum = BigInt(0)
+    sorted.zipWithIndex.map { case ((g, w), i) =>
+      cum += w
+      (g, w, (BigInt(w) * 1000 / totW).toLong,
+        (cum * 1000 / totW).toLong, (i + 1).toLong, gini)
+    }.toSeq.toDF("grp", "w", "share_pm", "cum_share_pm", "lorenz_rank",
+      "gini_pm")
+  }
+
   /** Score-calibration audit (reliability diagram + ECE): does a
     * model's claimed probability match reality? Scores arrive as exact
     * per-mille integers (`scorePmCol` ∈ [0, 1000]); rows bucket into

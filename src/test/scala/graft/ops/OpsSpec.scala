@@ -1625,6 +1625,31 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(v == Map("b" -> 3L), s"a is clean, c's null isn't a distinct value: $v")
   }
 
+  test("concentrationAudit: even split is gini 0, one-holder extreme, " +
+      "hand-computed mid case with Lorenz cumulative shares") {
+    // weights 1,1,2 (sorted): Σ=4, Σi·w = 1+2+6 = 9 →
+    // gini = (18 − 16)·1000 div 12 = 166
+    val df = Seq(("a", 1L), ("b", 1L), ("c", 2L)).toDF("grp", "w")
+    val got = Profile.concentrationAudit(df, "grp", "w")
+      .select("grp", "share_pm", "cum_share_pm", "lorenz_rank", "gini_pm")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(("a", 250L, 250L, 1L, 166L),
+      ("b", 250L, 500L, 2L, 166L), ("c", 500L, 1000L, 3L, 166L)),
+      s"got $got")
+    // perfectly even → 0
+    val even = Seq(("a", 5L), ("b", 5L)).toDF("grp", "w")
+    assert(Profile.concentrationAudit(even, "grp", "w")
+      .select("gini_pm").distinct().as[Long].head() == 0L)
+    // one group holds everything → (n−1)/n of full scale
+    val one = Seq(("a", 0L), ("b", 0L), ("c", 9L)).toDF("grp", "w")
+    assert(Profile.concentrationAudit(one, "grp", "w")
+      .select("gini_pm").distinct().as[Long].head() == 666L)
+    // per-row weights aggregate per group first
+    val dup = Seq(("a", 1L), ("a", 1L), ("b", 2L)).toDF("grp", "w")
+    assert(Profile.concentrationAudit(dup, "grp", "w")
+      .select("gini_pm").distinct().as[Long].head() == 0L)
+  }
+
   test("calibrationAudit: sum-form ECE exact, top score clamps into " +
       "the last bucket, per-bucket means/rates") {
     // bucket 0: (50,y)×4 with one positive → |200 − 1000| = 800;

@@ -3904,7 +3904,29 @@ object SparkEntry {
     "q244_concentration" -> ((s, dir) =>
       graft.ops.Profile.concentrationAudit(
         t(s, dir, "documents"), "source", "n_chars")
-        .orderBy("lorenz_rank"))
+        .orderBy("lorenz_rank")),
+
+    // Benford first-digit audit over order amounts in cents: observed
+    // digit shares vs log10(1 + 1/d) expectations in exact micro
+    // units; synthetic uniform prices deviate hard — exactly what the
+    // audit exists to flag. DuckDB re-derives digits, shares, the nine
+    // expectations, and the max deviation.
+    "q245_benford" -> ((s, dir) =>
+      graft.ops.Profile.benfordAudit(
+        t(s, dir, "orders").select(
+          cents(col("o_totalprice")).as("amount")), "amount")
+        .orderBy("digit")),
+
+    // Posting-list delta+varint size model: per-term exact byte costs
+    // vs raw 8-byte ids — the index-layout planning audit. DuckDB
+    // replays dedupe, gaps, the LEB128 threshold cases, and ratios.
+    "q246_postings_varint" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+      graft.ops.Layout.postingsCompressionAudit(toks, "term", "doc_id")
+        .orderBy("term")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -7946,7 +7968,48 @@ object SparkEntry {
         |  CAST((2 * t.iw - (t.n + 1) * t.tw) * 1000 // (t.n * t.tw)
         |    AS BIGINT) AS gini_pm
         |FROM o CROSS JOIN t
-        |ORDER BY lorenz_rank""".stripMargin
+        |ORDER BY lorenz_rank""".stripMargin,
+
+    "q245_benford" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |    AS amount FROM orders),
+        |c AS (SELECT CAST(substr(CAST(amount AS VARCHAR), 1, 1)
+        |      AS BIGINT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM v WHERE amount > 0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+        |g AS (SELECT d.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+        |    CAST(COALESCE(c.n, 0) * 1000000 // t.tot AS BIGINT)
+        |      AS share_u6,
+        |    CAST(round(log10(1 + 1.0 / d.digit) * 1000000) AS BIGINT)
+        |      AS expected_u6
+        |  FROM (SELECT unnest(range(1, 10)) AS digit) d
+        |  CROSS JOIN t LEFT JOIN c ON c.digit = d.digit),
+        |dev AS (SELECT *, abs(share_u6 - expected_u6) AS dev_u6 FROM g),
+        |m AS (SELECT CAST(max(dev_u6) AS BIGINT) AS mx FROM dev)
+        |SELECT digit, n, share_u6, expected_u6, dev_u6,
+        |  m.mx AS max_dev_u6
+        |FROM dev CROSS JOIN m ORDER BY digit""".stripMargin,
+
+    "q246_postings_varint" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+        |      '\s+')) AS term
+        |    FROM documents)
+        |  WHERE term <> ''),
+        |g AS (SELECT term,
+        |    doc_id - COALESCE(lag(doc_id) OVER (PARTITION BY term
+        |      ORDER BY doc_id), 0) AS gap
+        |  FROM toks),
+        |v AS (SELECT term, CASE WHEN gap < 128 THEN 1
+        |    WHEN gap < 16384 THEN 2 WHEN gap < 2097152 THEN 3
+        |    WHEN gap < 268435456 THEN 4 ELSE 5 END AS vb
+        |  FROM g)
+        |SELECT term, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(vb) AS BIGINT) AS varint_bytes,
+        |  CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+        |  CAST(sum(vb) * 1000 // (count(*) * 8) AS BIGINT) AS ratio_pm
+        |FROM v GROUP BY 1 ORDER BY term""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

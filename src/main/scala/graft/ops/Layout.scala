@@ -55,6 +55,44 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Posting-list compression model (delta + varint) — the index-size
+    * planning number BEFORE building a 100 TB inverted index: sorted
+    * doc-id postings store as gaps, gaps as LEB128 varints; this
+    * reports, per term, the exact varint byte cost vs the raw 8-byte
+    * encoding. Frequent terms (dense postings → tiny gaps → 1-byte
+    * varints) compress ~8×; rare terms don't — the audit tells you
+    * which dictionary split / block scheme pays.
+    *
+    *   varint_bytes(g) = 1 + ⌊log₁₂₈ g⌋, expressed as exact threshold
+    *   CASEs (g < 2⁷ → 1, < 2¹⁴ → 2, < 2²¹ → 3, < 2²⁸ → 4, else 5 —
+    *   doc ids up to 2³⁵ covered)
+    *
+    * Shape: (term, doc) dedupes, gaps come from a term-keyed lag
+    * window (each term's postings sort within their own partition —
+    * never a global sort), per-term sums are map-side combinable.
+    * The first posting's gap is the doc id itself (delta from 0). */
+  def postingsCompressionAudit(df: DataFrame, termCol: String,
+      docCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("term")).orderBy(col("doc"))
+    val gaps = df.select(col(termCol).as("term"),
+        col(docCol).cast("long").as("doc")).distinct()
+      .withColumn("gap",
+        col("doc") - coalesce(lag(col("doc"), 1).over(w), lit(0L)))
+      .withColumn("vbytes",
+        when(col("gap") < 128L, 1L)
+          .when(col("gap") < 16384L, 2L)
+          .when(col("gap") < 2097152L, 3L)
+          .when(col("gap") < 268435456L, 4L)
+          .otherwise(5L))
+    gaps.groupBy("term")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("vbytes")).as("varint_bytes"))
+      .withColumn("raw_bytes", col("n_docs") * 8)
+      .withColumn("ratio_pm",
+        expr("CAST(varint_bytes * 1000 div raw_bytes AS BIGINT)"))
+  }
+
   /** Global row numbering WITHOUT the single-partition funnel: the naive
     * `row_number() OVER (ORDER BY …)` plans one window over one
     * partition — the whole table through one task. Here: range-partition

@@ -147,6 +147,38 @@ object Profile {
       .agg(countDistinct(col(rhs)).as("n_rhs"))
       .filter(col("n_rhs") > 1)
 
+  /** Benford first-digit audit — the forensic data-quality screen for
+    * "organic" numeric columns (amounts, populations, file sizes):
+    * naturally-generated magnitudes put digit d first with probability
+    * log10(1 + 1/d); fabricated or truncated data doesn't. Reports,
+    * per digit 1-9 (zero-count digits included), the observed count
+    * and per-micro share vs the Benford expectation (the libm log10
+    * micro-rounded once per DIGIT — nine constants both engines agree
+    * on), the absolute deviation, and the corpus max deviation.
+    * Non-positive values are excluded (no first significant digit).
+    * One map-side digit aggregate; the 9-row grid is driver-side. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.filter(col(valueCol).cast("long") > 0)
+      .select(expr(s"CAST(substr(CAST(CAST($valueCol AS BIGINT) " +
+        "AS STRING), 1, 1) AS BIGINT)").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val total = counts.values.sum
+    require(total > 0, "no positive values to audit")
+    val grid = (1L to 9L).map { d =>
+      val n = counts.getOrElse(d, 0L)
+      val obs = n * 1000000L / total
+      val exp = math.round(math.log10(1.0 + 1.0 / d) * 1000000L)
+      (d, n, obs, exp, math.abs(obs - exp))
+    }
+    val maxDev = grid.map(_._5).max
+    grid.map { case (d, n, o, e, dev) => (d, n, o, e, dev, maxDev) }
+      .toDF("digit", "n", "share_u6", "expected_u6", "dev_u6",
+        "max_dev_u6")
+  }
+
   /** Corpus-concentration audit (Gini over group contributions) — the
     * release-datasheet number next to q210's counts: how much of the
     * corpus a few sources dominate. Exact integers via the sorted-

@@ -189,4 +189,24 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
       .select($"shard").as[Long].collect().toSet
     assert(got == Set(0L), s"ties stay below the cut: $got")
   }
+
+  test("postingsCompressionAudit: gaps from 0, varint thresholds, " +
+      "duplicate postings dedupe, exact ratios") {
+    // term a: docs 0,1,130 (dup 1) → gaps 0,1,129 → 1+1+2 = 4 bytes,
+    // raw 24 → 166‰. term b: doc 20000 → gap 20000 → 3 bytes / 8.
+    val df = Seq(("a", 0L), ("a", 1L), ("a", 1L), ("a", 130L),
+      ("b", 20000L)).toDF("term", "doc")
+    val got = Layout.postingsCompressionAudit(df, "term", "doc")
+      .select("term", "n_docs", "varint_bytes", "raw_bytes", "ratio_pm")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(("a", 3L, 4L, 24L, 166L),
+      ("b", 1L, 3L, 8L, 375L)), s"got $got")
+    // threshold boundaries: 127 → 1 byte, 128 → 2; 16383 → 2, 16384 → 3
+    val edges = Seq(("e1", 127L), ("e2", 128L), ("e3", 16383L),
+      ("e4", 16384L)).toDF("term", "doc")
+    val vb = Layout.postingsCompressionAudit(edges, "term", "doc")
+      .select("term", "varint_bytes").as[(String, Long)].collect().toMap
+    assert(vb == Map("e1" -> 1L, "e2" -> 2L, "e3" -> 2L, "e4" -> 3L),
+      s"LEB128 thresholds: $vb")
+  }
 }

@@ -1625,6 +1625,25 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(v == Map("b" -> 3L), s"a is clean, c's null isn't a distinct value: $v")
   }
 
+  test("benfordAudit: a geometric series is near-Benford, all digits " +
+      "reported, non-positive excluded, exact micro deviations") {
+    // powers of 2 below 10^6: first digits follow Benford closely
+    val pows = (0 until 20).map(i => 1L << i)
+    val df = (pows ++ Seq(0L, -5L)).toDF("v") // 0 and negatives drop
+    val got = Profile.benfordAudit(df, "v")
+      .select("digit", "n", "share_u6", "expected_u6", "dev_u6")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == (1L to 9L).toSet, "all nine digits present")
+    assert(got.values.map(_._2).sum == 20L, "20 positive values audited")
+    // digit 1 leads 6/20 = 300000 µ vs expected 301030 µ
+    assert(got(1L) == ((1L, 6L, 300000L, 301030L, 1030L)), got(1L))
+    // a digit that never appears (7 is absent among 2^0..2^19? no —
+    // check 9: powers of two starting with 9 below 2^20: none)
+    assert(got(9L)._2 == 0L && got(9L)._5 == got(9L)._4,
+      s"absent digit deviates by its full expectation: ${got(9L)}")
+  }
+
   test("concentrationAudit: even split is gini 0, one-holder extreme, " +
       "hand-computed mid case with Lorenz cumulative shares") {
     // weights 1,1,2 (sorted): Σ=4, Σi·w = 1+2+6 = 9 →

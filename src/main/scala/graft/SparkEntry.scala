@@ -3926,6 +3926,32 @@ object SparkEntry {
         .filter(col("term") =!= "")
       graft.ops.Layout.postingsCompressionAudit(toks, "term", "doc_id")
         .orderBy("term")
+    }),
+
+    // Exact two-sample KS: does English doc length distribute like the
+    // rest of the corpus? Full ECDF evidence table with the cross-
+    // multiplied statistic and its attaining value. DuckDB replays
+    // counts, cumulative walks, gaps, and the argmax.
+    "q247_ks_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.Profile.ksStatistic(
+          d.filter(col("lang") === "en").select("n_chars"),
+          d.filter(col("lang") =!= "en").select("n_chars"), "n_chars")
+        .orderBy("value")
+    }),
+
+    // Exact AUC over the q242 score/label pair: tie-safe Mann-Whitney
+    // fold on the per-mille score dimension, no ranks materialized.
+    // DuckDB replays per-score counts, the cumulative-negatives walk,
+    // the doubled-U fold, and the final division.
+    "q248_auc" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+          least(greatest((col("n_chars") - 100) * 2, lit(0)), lit(1000))
+            .cast("long").as("score_pm"))
+        .withColumn("label",
+          ((col("doc_id") * 7919) % 1000 < col("score_pm")).cast("long"))
+      graft.ops.Profile.aucStatistic(d, "score_pm", "label")
+        .orderBy("score")
     })
   )
 
@@ -8009,7 +8035,62 @@ object SparkEntry {
         |  CAST(sum(vb) AS BIGINT) AS varint_bytes,
         |  CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
         |  CAST(sum(vb) * 1000 // (count(*) * 8) AS BIGINT) AS ratio_pm
-        |FROM v GROUP BY 1 ORDER BY term""".stripMargin
+        |FROM v GROUP BY 1 ORDER BY term""".stripMargin,
+
+    "q247_ks_drift" ->
+      """WITH ca AS (SELECT n_chars AS value, count(*) AS c_a
+        |  FROM documents WHERE lang = 'en' GROUP BY 1),
+        |cb AS (SELECT n_chars AS value, count(*) AS c_b
+        |  FROM documents WHERE lang <> 'en' GROUP BY 1),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        |  WHERE lang = 'en'),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        |  WHERE lang <> 'en'),
+        |m AS (SELECT COALESCE(ca.value, cb.value) AS value,
+        |    CAST(COALESCE(c_a, 0) AS BIGINT) AS c_a,
+        |    CAST(COALESCE(c_b, 0) AS BIGINT) AS c_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.value = cb.value),
+        |cum AS (SELECT value,
+        |    CAST(sum(c_a) OVER (ORDER BY value) AS BIGINT) AS cum_a,
+        |    CAST(sum(c_b) OVER (ORDER BY value) AS BIGINT) AS cum_b
+        |  FROM m),
+        |g AS (SELECT cum.*, na.n AS n_a, nb.n AS n_b,
+        |    CAST(abs(cum_a * nb.n - cum_b * na.n) AS BIGINT) AS gap_num
+        |  FROM cum CROSS JOIN na CROSS JOIN nb),
+        |mx AS (SELECT gap_num, value FROM g
+        |  ORDER BY gap_num DESC, value LIMIT 1)
+        |SELECT g.value, g.cum_a, g.cum_b, g.gap_num, g.n_a, g.n_b,
+        |  CAST(mx.gap_num * 1000 // (g.n_a * g.n_b) AS BIGINT) AS ks_pm,
+        |  mx.value AS ks_at_value
+        |FROM g CROSS JOIN mx
+        |ORDER BY g.value""".stripMargin,
+
+    "q248_auc" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(least(greatest((n_chars - 100) * 2, 0), 1000)
+        |      AS BIGINT) AS score
+        |  FROM documents),
+        |l AS (SELECT score,
+        |    CASE WHEN (doc_id * 7919) % 1000 < score THEN 1 ELSE 0 END
+        |      AS y
+        |  FROM d),
+        |p AS (SELECT score, CAST(sum(y) AS BIGINT) AS n_pos_v,
+        |    CAST(sum(1 - y) AS BIGINT) AS n_neg_v
+        |  FROM l GROUP BY 1),
+        |c AS (SELECT *, CAST(COALESCE(sum(n_neg_v) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_neg_below
+        |  FROM p),
+        |t AS (SELECT CAST(sum(n_pos_v) AS BIGINT) AS np,
+        |    CAST(sum(n_neg_v) AS BIGINT) AS nn,
+        |    CAST(sum(n_pos_v * (cum_neg_below * 2 + n_neg_v))
+        |      AS BIGINT) AS u2
+        |  FROM c)
+        |SELECT c.score, c.n_pos_v, c.n_neg_v, c.cum_neg_below,
+        |  t.np AS n_pos, t.nn AS n_neg,
+        |  CAST(t.u2 * 1000000 // (2 * t.np * t.nn) AS BIGINT) AS auc_u6
+        |FROM c CROSS JOIN t
+        |ORDER BY c.score""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -147,6 +147,87 @@ object Profile {
       .agg(countDistinct(col(rhs)).as("n_rhs"))
       .filter(col("n_rhs") > 1)
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic — the unbinned
+    * drift test next to the binned [[graft.ops.Cleaning.binnedDrift]]:
+    * D = max over the merged value domain of |F_a(v) − F_b(v)|, in
+    * exact cross-multiplied integers (d_num = max |cumA·n_b − cumB·n_a|,
+    * ks_pm = d_num·1000 div (n_a·n_b)). Returns the full per-value
+    * ECDF evidence table (value, both cumulative counts, the
+    * cross-multiplied gap) with the corpus statistic and the SMALLEST
+    * value attaining it on every row.
+    *
+    * Shape: both sides reduce to per-value counts (map-side), the
+    * cumulative walk runs on the merged DISTINCT-value dimension — for
+    * unbounded continuous domains pre-bucket (the q177 KLL cuts) so
+    * that dimension stays bounded. */
+  def ksStatistic(a: DataFrame, b: DataFrame,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def cnt(df: DataFrame, n: String) =
+      df.select(col(valueCol).cast("long").as("value"))
+        .groupBy("value").agg(count(lit(1)).as(n))
+    val merged = cnt(a, "c_a").join(cnt(b, "c_b"), Seq("value"),
+        "full_outer")
+      .select(col("value"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val w = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = merged
+      .withColumn("cum_a", sum(col("c_a")).over(w))
+      .withColumn("cum_b", sum(col("c_b")).over(w))
+    val na = a.count()
+    val nb = b.count()
+    val gapped = cum.withColumn("gap_num",
+      abs(col("cum_a") * nb - col("cum_b") * na))
+    val top = gapped.orderBy(desc("gap_num"), col("value"))
+      .select("gap_num", "value").first()
+    gapped
+      .withColumn("n_a", lit(na)).withColumn("n_b", lit(nb))
+      .withColumn("ks_pm", lit(top.getLong(0) * 1000L / (na * nb)))
+      .withColumn("ks_at_value", lit(top.getLong(1)))
+      .select("value", "cum_a", "cum_b", "gap_num", "n_a", "n_b",
+        "ks_pm", "ks_at_value")
+  }
+
+  /** Exact AUC (Mann–Whitney U with tie correction) — the threshold-
+    * free companion to [[calibrationAudit]]: the probability a random
+    * positive outscores a random negative. No ranks materialize;
+    * the tie-safe pairwise count folds over the distinct-score
+    * dimension (doubled to stay integer):
+    *
+    *   2U = Σ_v (2·pos_v·cumNegBelow_v + pos_v·neg_v)
+    *   auc_u6 = 2U · 10⁶ div (2·nPos·nNeg)
+    *
+    * Returns the per-score evidence rows with the corpus statistic on
+    * each. Scores must be integers (per-mille model outputs — the
+    * domain IS the dimension; bucket continuous scores first). */
+  def aucStatistic(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = df.select(col(scoreCol).cast("long").as("score"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("score")
+      .agg(sum(col("y")).as("n_pos_v"),
+        sum(lit(1L) - col("y")).as("n_neg_v"))
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = perScore.withColumn("cum_neg_below",
+      coalesce(sum(col("n_neg_v")).over(w), lit(0L)))
+    val totals = cum.agg(sum(col("n_pos_v")), sum(col("n_neg_v")),
+      sum(col("n_pos_v") * (col("cum_neg_below") * 2 + col("n_neg_v"))))
+      .first()
+    val nPos = totals.getLong(0)
+    val nNeg = totals.getLong(1)
+    require(nPos > 0 && nNeg > 0, "need both classes present")
+    val u2 = totals.getLong(2)
+    // u2·10⁶ fits a Long while nPos·nNeg < ~4.6·10¹² (≈2M per class)
+    cum.withColumn("n_pos", lit(nPos)).withColumn("n_neg", lit(nNeg))
+      .withColumn("auc_u6", lit(u2 * 1000000L / (2L * nPos * nNeg)))
+      .select("score", "n_pos_v", "n_neg_v", "cum_neg_below", "n_pos",
+        "n_neg", "auc_u6")
+  }
+
   /** Benford first-digit audit — the forensic data-quality screen for
     * "organic" numeric columns (amounts, populations, file sizes):
     * naturally-generated magnitudes put digit d first with probability

@@ -1625,6 +1625,38 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(v == Map("b" -> 3L), s"a is clean, c's null isn't a distinct value: $v")
   }
 
+  test("ksStatistic: hand-computed ECDF gaps, smallest attaining " +
+      "value wins, identical samples give zero") {
+    // a = {1,2,3}, b = {3,4}: gaps |cumA·2 − cumB·3| = 2,4,3,0 →
+    // max 4 at value 2 → ks = 4·1000 div 6 = 666
+    val a = Seq(1L, 2L, 3L).toDF("v")
+    val b = Seq(3L, 4L).toDF("v")
+    val got = Profile.ksStatistic(a, b, "v")
+      .select("value", "cum_a", "cum_b", "gap_num", "ks_pm", "ks_at_value")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 0L, 2L, 666L, 2L),
+      (2L, 2L, 0L, 4L, 666L, 2L), (3L, 3L, 1L, 3L, 666L, 2L),
+      (4L, 3L, 2L, 0L, 666L, 2L)), s"got $got")
+    assert(Profile.ksStatistic(a, a, "v")
+      .select("ks_pm").distinct().as[Long].head() == 0L)
+  }
+
+  test("aucStatistic: perfect separation 1e6, reversed 0, full tie " +
+      "500000, both classes required") {
+    def sc(rows: (Long, Long)*) = rows.toDF("s", "y")
+    def auc(df: org.apache.spark.sql.DataFrame) =
+      Profile.aucStatistic(df, "s", "y")
+        .select("auc_u6").distinct().as[Long].head()
+    assert(auc(sc((0L, 0L), (0L, 0L), (10L, 1L))) == 1000000L)
+    assert(auc(sc((10L, 0L), (0L, 1L))) == 0L)
+    assert(auc(sc((5L, 0L), (5L, 1L))) == 500000L)
+    // mixed hand case: neg {1,3}, pos {2,4} → pairs won 3/4 + 0 ties
+    assert(auc(sc((1L, 0L), (3L, 0L), (2L, 1L), (4L, 1L))) == 750000L)
+    intercept[IllegalArgumentException] {
+      Profile.aucStatistic(sc((1L, 1L)), "s", "y")
+    }
+  }
+
   test("benfordAudit: a geometric series is near-Benford, all digits " +
       "reported, non-positive excluded, exact micro deviations") {
     // powers of 2 below 10^6: first digits follow Benford closely

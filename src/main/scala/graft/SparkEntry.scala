@@ -3952,6 +3952,40 @@ object SparkEntry {
           ((col("doc_id") * 7919) % 1000 < col("score_pm")).cast("long"))
       graft.ops.Profile.aucStatistic(d, "score_pm", "label")
         .orderBy("score")
+    }),
+
+    // One-call release QA report — the governance composite bookending
+    // the audit tier (q210 datasheet + q244 concentration + q245
+    // Benford + q247 KS + q243 fairness) as one tall (section, key,
+    // value) table. Every number re-derived independently by DuckDB.
+    "q249_quality_report" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val vol = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("ch"))
+        .collect().flatMap(r => Seq(
+          ("volume_docs", r.getString(0), r.getLong(1)),
+          ("volume_chars", r.getString(0), r.getLong(2))))
+      val gini = graft.ops.Profile.concentrationAudit(docs, "source",
+        "n_chars").select("gini_pm").first().getLong(0)
+      val ben = graft.ops.Profile.benfordAudit(
+        t(s, dir, "orders").select(cents(col("o_totalprice")).as("amt")),
+        "amt").select("max_dev_u6").first().getLong(0)
+      val ks = graft.ops.Profile.ksStatistic(
+        docs.filter(col("lang") === "en").select("n_chars"),
+        docs.filter(col("lang") =!= "en").select("n_chars"), "n_chars")
+        .select("ks_pm").first().getLong(0)
+      val fair = graft.ops.Curation.disparateImpact(
+        docs.select(col("lang"), (col("n_chars") >=
+          when(col("lang") === "de", 350).otherwise(280)).as("sel")),
+        "lang", "sel").filter(col("flagged")).count()
+      (vol.toSeq ++ Seq(
+        ("concentration", "gini_pm", gini),
+        ("benford", "max_dev_u6", ben),
+        ("drift", "ks_en_vs_rest_pm", ks),
+        ("fairness", "n_flagged_langs", fair)))
+        .toDF("section", "key", "value")
+        .orderBy("section", "key")
     })
   )
 
@@ -8090,7 +8124,80 @@ object SparkEntry {
         |  t.np AS n_pos, t.nn AS n_neg,
         |  CAST(t.u2 * 1000000 // (2 * t.np * t.nn) AS BIGINT) AS auc_u6
         |FROM c CROSS JOIN t
-        |ORDER BY c.score""".stripMargin
+        |ORDER BY c.score""".stripMargin,
+
+    "q249_quality_report" ->
+      """WITH vol AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS ch
+        |  FROM documents GROUP BY 1),
+        |ga AS (SELECT CAST(source AS VARCHAR) AS grp,
+        |    CAST(sum(n_chars) AS BIGINT) AS w FROM documents GROUP BY 1),
+        |go AS (SELECT w, CAST(row_number() OVER (ORDER BY w, grp)
+        |    AS BIGINT) AS i FROM ga),
+        |gt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(w) AS BIGINT) AS tw,
+        |    CAST(sum(i * w) AS BIGINT) AS iw FROM go),
+        |gini AS (SELECT CAST((2 * iw - (n + 1) * tw) * 1000 // (n * tw)
+        |    AS BIGINT) AS v FROM gt),
+        |bv AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |    AS amount FROM orders),
+        |bc AS (SELECT CAST(substr(CAST(amount AS VARCHAR), 1, 1)
+        |      AS BIGINT) AS digit, CAST(count(*) AS BIGINT) AS n
+        |  FROM bv WHERE amount > 0 GROUP BY 1),
+        |bt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM bc),
+        |bg AS (SELECT d.digit,
+        |    CAST(COALESCE(bc.n, 0) * 1000000 // bt.tot AS BIGINT)
+        |      AS share_u6,
+        |    CAST(round(log10(1 + 1.0 / d.digit) * 1000000) AS BIGINT)
+        |      AS expected_u6
+        |  FROM (SELECT unnest(range(1, 10)) AS digit) d
+        |  CROSS JOIN bt LEFT JOIN bc ON bc.digit = d.digit),
+        |ben AS (SELECT CAST(max(abs(share_u6 - expected_u6)) AS BIGINT)
+        |    AS v FROM bg),
+        |kca AS (SELECT n_chars AS value, count(*) AS c_a FROM documents
+        |  WHERE lang = 'en' GROUP BY 1),
+        |kcb AS (SELECT n_chars AS value, count(*) AS c_b FROM documents
+        |  WHERE lang <> 'en' GROUP BY 1),
+        |kna AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        |  WHERE lang = 'en'),
+        |knb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        |  WHERE lang <> 'en'),
+        |km AS (SELECT COALESCE(kca.value, kcb.value) AS value,
+        |    CAST(COALESCE(c_a, 0) AS BIGINT) AS c_a,
+        |    CAST(COALESCE(c_b, 0) AS BIGINT) AS c_b
+        |  FROM kca FULL OUTER JOIN kcb ON kca.value = kcb.value),
+        |kcum AS (SELECT value,
+        |    CAST(sum(c_a) OVER (ORDER BY value) AS BIGINT) AS cum_a,
+        |    CAST(sum(c_b) OVER (ORDER BY value) AS BIGINT) AS cum_b
+        |  FROM km),
+        |ks AS (SELECT CAST(max(abs(cum_a * knb.n - cum_b * kna.n))
+        |      * 1000 // (any_value(kna.n) * any_value(knb.n)) AS BIGINT)
+        |      AS v
+        |  FROM kcum CROSS JOIN kna CROSS JOIN knb),
+        |fd AS (SELECT lang AS grp, n_chars >=
+        |    CASE WHEN lang = 'de' THEN 350 ELSE 280 END AS sel
+        |  FROM documents),
+        |fa AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_sel
+        |  FROM fd GROUP BY 1),
+        |fref AS (SELECT grp, n, n_sel FROM fa g
+        |  WHERE NOT EXISTS (SELECT 1 FROM fa h
+        |    WHERE h.n_sel * g.n > g.n_sel * h.n)
+        |  ORDER BY grp LIMIT 1),
+        |fair AS (SELECT CAST(count(*) AS BIGINT) AS v
+        |  FROM fa CROSS JOIN fref r
+        |  WHERE CASE WHEN r.n_sel = 0 THEN 1000
+        |    ELSE fa.n_sel * r.n * 1000 // (fa.n * r.n_sel) END < 800)
+        |SELECT * FROM (
+        |  SELECT 'volume_docs' AS section, lang AS key, n AS value
+        |    FROM vol
+        |  UNION ALL SELECT 'volume_chars', lang, ch FROM vol
+        |  UNION ALL SELECT 'concentration', 'gini_pm', v FROM gini
+        |  UNION ALL SELECT 'benford', 'max_dev_u6', v FROM ben
+        |  UNION ALL SELECT 'drift', 'ks_en_vs_rest_pm', v FROM ks
+        |  UNION ALL SELECT 'fairness', 'n_flagged_langs', v FROM fair)
+        |ORDER BY section, key""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -3986,6 +3986,19 @@ object SparkEntry {
         ("fairness", "n_flagged_langs", fair)))
         .toDF("section", "key", "value")
         .orderBy("section", "key")
+    }),
+
+    // Exact signed Spearman: does length track token count (it must,
+    // near-perfectly) — tie-averaged doubled ranks from the two-pass
+    // numbering, Pearson-on-ranks sums as exact longs, signed squared
+    // rho in micro. DuckDB replays ranks, tie groups, sums, BigInt
+    // formula.
+    "q250_spearman" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        col("n_chars"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+          .as("n_tokens"))
+      graft.ops.Profile.spearmanSigned(d, "doc_id", "n_chars", "n_tokens")
     })
   )
 
@@ -8197,7 +8210,42 @@ object SparkEntry {
         |  UNION ALL SELECT 'benford', 'max_dev_u6', v FROM ben
         |  UNION ALL SELECT 'drift', 'ks_en_vs_rest_pm', v FROM ks
         |  UNION ALL SELECT 'fairness', 'n_flagged_langs', v FROM fair)
-        |ORDER BY section, key""".stripMargin
+        |ORDER BY section, key""".stripMargin,
+
+    "q250_spearman" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(n_chars AS BIGINT) AS x,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS BIGINT) AS y
+        |  FROM documents),
+        |rx AS (SELECT doc_id, x,
+        |    CAST(row_number() OVER (ORDER BY x, doc_id) AS BIGINT)
+        |      AS rn FROM d),
+        |gx AS (SELECT x, min(rn) + max(rn) AS r2 FROM rx GROUP BY 1),
+        |jx AS (SELECT rx.doc_id, gx.r2 AS r2x
+        |  FROM rx JOIN gx ON gx.x = rx.x),
+        |ry AS (SELECT doc_id, y,
+        |    CAST(row_number() OVER (ORDER BY y, doc_id) AS BIGINT)
+        |      AS rn FROM d),
+        |gy AS (SELECT y, min(rn) + max(rn) AS r2 FROM ry GROUP BY 1),
+        |jy AS (SELECT ry.doc_id, gy.r2 AS r2y
+        |  FROM ry JOIN gy ON gy.y = ry.y),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(r2x) AS BIGINT) AS sx,
+        |    CAST(sum(r2y) AS BIGINT) AS sy,
+        |    CAST(sum(r2x * r2x) AS BIGINT) AS sxx,
+        |    CAST(sum(r2y * r2y) AS BIGINT) AS syy,
+        |    CAST(sum(r2x * r2y) AS BIGINT) AS sxy
+        |  FROM jx JOIN jy USING (doc_id))
+        |SELECT n, sx, sy, sxx, syy, sxy,
+        |  CAST(sign(n * sxy - sx * sy) AS BIGINT) AS cov_sign,
+        |  CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+        |    * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+        |    * 1000000
+        |    // ((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+        |       * (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy))
+        |    AS BIGINT) AS rho2_u6
+        |FROM s""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -147,6 +147,51 @@ object Profile {
       .agg(countDistinct(col(rhs)).as("n_rhs"))
       .filter(col("n_rhs") > 1)
 
+  /** Exact signed Spearman rank correlation — the monotone-association
+    * audit (does quality rise with length? does score track label?)
+    * with no floating point until nothing is left to lose: tie-averaged
+    * ranks carry DOUBLED (so half-ranks stay integers), the five
+    * Pearson-on-ranks sums accumulate map-side as exact longs, and the
+    * final statistic emits as SIGNED SQUARED rho in micro units
+    * (ρ² = cov²·10⁶ div (varX·varY) in BigInt, sign of the covariance
+    * separately — a square root would leave exact integers for one
+    * display digit).
+    *
+    * Ranks come from [[Layout.globalRowNumber]]'s two-pass numbering
+    * ordered by (value, id) — never a single-partition window; the
+    * tie-average (min+max of each value group's positions) joins back
+    * on the value. Long bound: Σ rank² ≤ 4n³ — exact to ~10⁶ rows;
+    * shard or BigInt-ize the sums beyond. Returns one row:
+    * (n, sx, sy, sxx, syy, sxy, cov_sign, rho2_u6). */
+  def spearmanSigned(df: DataFrame, idCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def rank2(c: String, out: String): DataFrame = {
+      val rn = graft.ops.Layout.globalRowNumber(
+        df.select(col(idCol).as("id"), col(c).cast("long").as("v")),
+        Seq("v", "id"), 0)
+      val grp = rn.groupBy("v")
+        .agg((min(col("rn")) + max(col("rn"))).as(out))
+      rn.join(grp, Seq("v")).select(col("id"), col(out))
+    }
+    val ranked = rank2(xCol, "r2x").join(rank2(yCol, "r2y"), Seq("id"))
+    val s = ranked.agg(count(lit(1)),
+      sum(col("r2x")), sum(col("r2y")),
+      sum(col("r2x") * col("r2x")), sum(col("r2y") * col("r2y")),
+      sum(col("r2x") * col("r2y"))).first()
+    val (n, sx, sy, sxx, syy, sxy) = (s.getLong(0), s.getLong(1),
+      s.getLong(2), s.getLong(3), s.getLong(4), s.getLong(5))
+    val cov = BigInt(n) * sxy - BigInt(sx) * sy
+    val varX = BigInt(n) * sxx - BigInt(sx) * sx
+    val varY = BigInt(n) * syy - BigInt(sy) * sy
+    require(varX > 0 && varY > 0,
+      "a constant column has no rank correlation")
+    val rho2 = (cov * cov * 1000000L / (varX * varY)).toLong
+    Seq((n, sx, sy, sxx, syy, sxy, cov.signum.toLong, rho2))
+      .toDF("n", "sx", "sy", "sxx", "syy", "sxy", "cov_sign", "rho2_u6")
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic — the unbinned
     * drift test next to the binned [[graft.ops.Cleaning.binnedDrift]]:
     * D = max over the merged value domain of |F_a(v) − F_b(v)|, in

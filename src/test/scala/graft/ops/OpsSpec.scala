@@ -1625,6 +1625,26 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(v == Map("b" -> 3L), s"a is clean, c's null isn't a distinct value: $v")
   }
 
+  test("spearmanSigned: monotone 1e6 both signs, ties share doubled " +
+      "ranks, symmetric pattern cancels to zero, constants refused") {
+    def run(rows: Seq[(Long, Long, Long)]) =
+      Profile.spearmanSigned(rows.toDF("id", "x", "y"), "id", "x", "y")
+        .select("cov_sign", "rho2_u6").as[(Long, Long)].head()
+    assert(run(Seq((1L, 1L, 10L), (2L, 2L, 20L), (3L, 3L, 30L))) ==
+      ((1L, 1000000L)))
+    assert(run(Seq((1L, 1L, 30L), (2L, 2L, 20L), (3L, 3L, 10L))) ==
+      ((-1L, 1000000L)))
+    // tie groups rank identically on both sides → still perfect
+    assert(run(Seq((1L, 1L, 5L), (2L, 1L, 5L), (3L, 2L, 9L))) ==
+      ((1L, 1000000L)))
+    // x ascending, y symmetric (10,20,20,10): covariance exactly zero
+    assert(run(Seq((1L, 1L, 10L), (2L, 2L, 20L), (3L, 3L, 20L),
+      (4L, 4L, 10L))) == ((0L, 0L)))
+    intercept[IllegalArgumentException] {
+      run(Seq((1L, 7L, 1L), (2L, 7L, 2L)))
+    }
+  }
+
   test("ksStatistic: hand-computed ECDF gaps, smallest attaining " +
       "value wins, identical samples give zero") {
     // a = {1,2,3}, b = {3,4}: gaps |cumA·2 − cumB·3| = 2,4,3,0 →

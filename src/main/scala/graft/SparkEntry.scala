@@ -3999,6 +3999,30 @@ object SparkEntry {
         size(split(lower(trim(col("text"))), "\\s+")).cast("long")
           .as("n_tokens"))
       graft.ops.Profile.spearmanSigned(d, "doc_id", "n_chars", "n_tokens")
+    }),
+
+    // Distributed Borůvka MST on a planted 40-node chorded graph with
+    // DISTINCT composite weights (unique MST). DuckDB proves each edge
+    // by the cut property — in the MST iff its endpoints are NOT
+    // connected using strictly lighter edges (one recursive
+    // reachability over the edge×node state).
+    "q251_boruvka_mst" -> ((s, dir) => {
+      val n = t(s, dir, "documents")
+        .select((col("doc_id") % 40).as("n")).distinct()
+      val raw = n.selectExpr("n AS src", "(n + 1) % 40 AS dst")
+        .unionByName(n.selectExpr("n AS src", "(n + 7) % 40 AS dst"))
+        .unionByName(n.filter(col("n") < 20)
+          .selectExpr("n AS src", "(n + 13) % 40 AS dst"))
+      val canon = raw
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+        .withColumn("w",
+          ((col("a") * 73 + col("b") * 31) % 997) * 1000 +
+            col("a") * 40 + col("b"))
+      graft.ops.GraphOps.boruvkaMst(
+          canon.select(col("a").as("src"), col("b").as("dst"), col("w")),
+          iters = 8)
+        .orderBy("a", "b")
     })
   )
 
@@ -8245,7 +8269,31 @@ object SparkEntry {
         |    // ((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
         |       * (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy))
         |    AS BIGINT) AS rho2_u6
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    "q251_boruvka_mst" ->
+      """WITH RECURSIVE nn AS (SELECT DISTINCT doc_id % 40 AS n
+        |  FROM documents),
+        |raw AS (
+        |  SELECT n AS src, (n + 1) % 40 AS dst FROM nn
+        |  UNION ALL SELECT n, (n + 7) % 40 FROM nn
+        |  UNION ALL SELECT n, (n + 13) % 40 FROM nn WHERE n < 20),
+        |e AS (SELECT a, b,
+        |    ((a * 73 + b * 31) % 997) * 1000 + a * 40 + b AS w
+        |  FROM (SELECT DISTINCT least(src, dst) AS a,
+        |      greatest(src, dst) AS b FROM raw WHERE src <> dst)),
+        |reach(e_a, e_b, e_w, node) AS (
+        |  SELECT a, b, w, a FROM e
+        |  UNION
+        |  SELECT r.e_a, r.e_b, r.e_w,
+        |    CASE WHEN x.a = r.node THEN x.b ELSE x.a END
+        |  FROM reach r JOIN e x
+        |    ON (x.a = r.node OR x.b = r.node) AND x.w < r.e_w)
+        |SELECT a, b, CAST(w AS BIGINT) AS w FROM e
+        |WHERE NOT EXISTS (SELECT 1 FROM reach r
+        |  WHERE r.e_a = e.a AND r.e_b = e.b AND r.e_w = e.w
+        |    AND r.node = e.b)
+        |ORDER BY a, b""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

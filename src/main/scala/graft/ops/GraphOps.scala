@@ -184,6 +184,75 @@ object GraphOps {
         "rank")
   }
 
+  /** Distributed minimum-spanning-tree via Borůvka rounds — the
+    * single-linkage clustering backbone (cut the MST's heaviest edges
+    * and the components ARE the single-linkage clusters; the dedup
+    * tier's connected components are the 0-threshold special case).
+    * Each round every component selects its minimum outgoing edge
+    * (composite order (w, a, b) — ties deterministic, so the MST is
+    * unique), selected edges join the tree, and touched components
+    * merge through [[graft.ops.Dedup.connectedComponents]] run on the
+    * COMPONENT-LABEL graph (dimension-sized and halving per round —
+    * never the data graph). Component count at least halves per round:
+    * ⌈log₂ n⌉ rounds suffice; extra rounds are no-ops.
+    *
+    * Scale shape: per round, two label joins + one per-component
+    * bounded selection + a label-dimension components pass, every
+    * frame `localCheckpoint`-truncated; one small driver count per
+    * round decides termination (round-count-bounded, the
+    * [[kCore]]/[[pageRankFixedPoint]] discipline). Returns the MST
+    * edge set (a, b, w) with a < b. Multi-edges collapse to their
+    * minimum weight; self-loops drop. */
+  def boruvkaMst(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"),
+        col("w").cast("long").as("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(min(col("w")).as("w"))
+      .localCheckpoint()
+    val nodes = canon.select(col("a").as("id"))
+      .unionByName(canon.select(col("b").as("id"))).distinct()
+    var labels = nodes.withColumn("lbl", col("id")).localCheckpoint()
+    var mst = Seq.empty[(Long, Long, Long)].toDF("a", "b", "w")
+    var done = false
+    var round = 0
+    while (!done && round < iters) {
+      round += 1
+      val tagged = canon
+        .join(labels.select(col("id").as("a"), col("lbl").as("la")), "a")
+        .join(labels.select(col("id").as("b"), col("lbl").as("lb")), "b")
+        .filter(col("la") =!= col("lb"))
+      if (tagged.isEmpty) { done = true }
+      else {
+        val perComp = tagged.select(col("la").as("comp"), col("a"),
+            col("b"), col("w"), col("la"), col("lb"))
+          .unionByName(tagged.select(col("lb").as("comp"), col("a"),
+            col("b"), col("w"), col("la"), col("lb")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("comp").orderBy(col("w"), col("a"), col("b"))
+        val sel = perComp
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("a", "b", "w", "la", "lb").distinct()
+          .localCheckpoint()
+        mst = mst.unionByName(sel.select("a", "b", "w")).distinct()
+          .localCheckpoint()
+        val merged = graft.ops.Dedup.connectedComponents(
+          sel.select(col("la").as("id1"), col("lb").as("id2")))
+        labels = labels
+          .join(merged.select(col("id").as("lbl"),
+            col("comp").as("newLbl")), Seq("lbl"), "left")
+          .select(col("id"), coalesce(col("newLbl"), col("lbl")).as("lbl"))
+          .localCheckpoint()
+      }
+    }
+    mst
+  }
+
   /** Pairwise association rules (the Apriori/market-basket output
     * [[itemCooccurrence]]'s symmetric similarity can't express —
     * direction matters: {printer}→{ink} can be near-certain while

@@ -191,6 +191,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(GraphOps.triangleCount(path).first().getLong(0) == 0L)
   }
 
+  test("boruvkaMst: unique MST on distinct weights, cycle edge " +
+      "excluded, forest on disconnected input, idempotent rounds") {
+    // square 1-2(w1), 2-3(w2), 3-4(w3), 4-1(w9) + diagonal 1-3(w5):
+    // MST = {1-2, 2-3, 3-4}; both w9 and w5 close cycles
+    val sq = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L),
+      (4L, 1L, 9L), (1L, 3L, 5L)).toDF("src", "dst", "w")
+    val got = GraphOps.boruvkaMst(sq, iters = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L)),
+      s"got $got")
+    // two components → spanning forest, n1−1 + n2−1 edges
+    val forest = sq.unionByName(
+      Seq((10L, 11L, 4L), (11L, 12L, 6L), (10L, 12L, 7L))
+        .toDF("src", "dst", "w"))
+    val f = GraphOps.boruvkaMst(forest, iters = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(f == got ++ Set((10L, 11L, 4L), (11L, 12L, 6L)), s"got $f")
+    // multi-edges collapse to min weight; reversed direction canonical
+    val multi = Seq((1L, 2L, 8L), (2L, 1L, 3L)).toDF("src", "dst", "w")
+    assert(GraphOps.boruvkaMst(multi, 3)
+      .as[(Long, Long, Long)].collect().toSeq == Seq((1L, 2L, 3L)))
+  }
+
   test("itemCooccurrence: repeat purchases dedupe, exact squared-" +
       "cosine micro scores, tie-break on other asc, k truncation") {
     // baskets: b1 {1,2,3} (item 1 twice — must dedupe), b2 {1,2},

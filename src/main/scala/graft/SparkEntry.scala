@@ -4023,6 +4023,29 @@ object SparkEntry {
           canon.select(col("a").as("src"), col("b").as("dst"), col("w")),
           iters = 8)
         .orderBy("a", "b")
+    }),
+
+    // Single-source shortest paths (Bellman-Ford rounds) from node 0
+    // over the q251 weighted graph — 12 rounds ≥ diameter, so the
+    // distances are exact. DuckDB replays bounded-hop path expansion
+    // and takes the same per-node minimum.
+    "q252_shortest_paths" -> ((s, dir) => {
+      val n = t(s, dir, "documents")
+        .select((col("doc_id") % 40).as("n")).distinct()
+      val raw = n.selectExpr("n AS src", "(n + 1) % 40 AS dst")
+        .unionByName(n.selectExpr("n AS src", "(n + 7) % 40 AS dst"))
+        .unionByName(n.filter(col("n") < 20)
+          .selectExpr("n AS src", "(n + 13) % 40 AS dst"))
+      val canon = raw
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+        .withColumn("w",
+          ((col("a") * 73 + col("b") * 31) % 997) * 1000 +
+            col("a") * 40 + col("b"))
+      graft.ops.GraphOps.shortestPaths(
+          canon.select(col("a").as("src"), col("b").as("dst"), col("w")),
+          source = 0L, rounds = 12)
+        .orderBy("id")
     })
   )
 
@@ -8293,7 +8316,29 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM reach r
         |  WHERE r.e_a = e.a AND r.e_b = e.b AND r.e_w = e.w
         |    AND r.node = e.b)
-        |ORDER BY a, b""".stripMargin
+        |ORDER BY a, b""".stripMargin,
+
+    "q252_shortest_paths" ->
+      """WITH RECURSIVE nn AS (SELECT DISTINCT doc_id % 40 AS n
+        |  FROM documents),
+        |raw AS (
+        |  SELECT n AS src, (n + 1) % 40 AS dst FROM nn
+        |  UNION ALL SELECT n, (n + 7) % 40 FROM nn
+        |  UNION ALL SELECT n, (n + 13) % 40 FROM nn WHERE n < 20),
+        |e AS (SELECT a, b,
+        |    ((a * 73 + b * 31) % 997) * 1000 + a * 40 + b AS w
+        |  FROM (SELECT DISTINCT least(src, dst) AS a,
+        |      greatest(src, dst) AS b FROM raw WHERE src <> dst)),
+        |sym AS (SELECT a AS src, b AS dst, w FROM e
+        |  UNION ALL SELECT b, a, w FROM e),
+        |p(node, dist, hops) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+        |  UNION
+        |  SELECT s.dst, p.dist + s.w, p.hops + 1
+        |  FROM p JOIN sym s ON s.src = p.node
+        |  WHERE p.hops < 12)
+        |SELECT node AS id, CAST(min(dist) AS BIGINT) AS dist
+        |FROM p GROUP BY 1 ORDER BY id""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -184,6 +184,41 @@ object GraphOps {
         "rank")
   }
 
+  /** Single-source shortest paths by synchronous Bellman–Ford rounds —
+    * the distance tier next to [[pageRankFixedPoint]] (influence) and
+    * [[boruvkaMst]] (structure): citation-hop distance from a seed
+    * authority, link distance from a trusted domain list. Weighted,
+    * undirected; `rounds` bounds path LENGTH in hops — with rounds ≥
+    * graph diameter the result is exact (extra rounds are no-op
+    * relaxations, the [[kCore]] idempotence discipline).
+    *
+    * Per round, one join of the current distance table against the
+    * edge list and a min-aggregate per node — (id, dist) longs only,
+    * `localCheckpoint`-truncated; at 100 TB this is the textbook
+    * Pregel iteration shape. Returns (id, dist) for REACHED nodes
+    * (unreachable nodes absent, not infinity). */
+  def shortestPaths(edges: DataFrame, source: Long,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select(col("src"), col("dst"), col("w").cast("long"))
+      .unionByName(edges.select(col("dst").as("src"),
+        col("src").as("dst"), col("w").cast("long")))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(min(col("w")).as("w"))
+      .localCheckpoint()
+    var dist = Seq((source, 0L)).toDF("id", "dist").localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(sym, dist("id") === sym("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("id").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Distributed minimum-spanning-tree via Borůvka rounds — the
     * single-linkage clustering backbone (cut the MST's heaviest edges
     * and the components ARE the single-linkage clusters; the dedup

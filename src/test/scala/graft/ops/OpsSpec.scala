@@ -191,6 +191,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(GraphOps.triangleCount(path).first().getLong(0) == 0L)
   }
 
+  test("shortestPaths: relaxation beats the direct edge, unreachable " +
+      "absent, extra rounds idempotent, multi-edge min") {
+    // 1-2 (5), 2-3 (2), 1-3 (10): best 1→3 is 7 via 2; 9-10 is a
+    // separate component — absent from source 1's table
+    val g = Seq((1L, 2L, 5L), (2L, 3L, 2L), (1L, 3L, 10L),
+      (9L, 10L, 1L)).toDF("src", "dst", "w")
+    def run(r: Int) = GraphOps.shortestPaths(g, 1L, r)
+      .as[(Long, Long)].collect().toMap
+    assert(run(4) == Map(1L -> 0L, 2L -> 5L, 3L -> 7L), s"${run(4)}")
+    assert(run(8) == run(4), "past-diameter rounds are no-ops")
+    // one round only reaches direct neighbors (3 via the 10-edge)
+    assert(run(1) == Map(1L -> 0L, 2L -> 5L, 3L -> 10L))
+    // parallel edges keep the lighter; reversed direction symmetric
+    val multi = Seq((1L, 2L, 9L), (2L, 1L, 4L)).toDF("src", "dst", "w")
+    assert(GraphOps.shortestPaths(multi, 2L, 2)
+      .as[(Long, Long)].collect().toMap == Map(2L -> 0L, 1L -> 4L))
+  }
+
   test("boruvkaMst: unique MST on distinct weights, cycle edge " +
       "excluded, forest on disconnected input, idempotent rounds") {
     // square 1-2(w1), 2-3(w2), 3-4(w3), 4-1(w9) + diagonal 1-3(w5):

@@ -4046,6 +4046,19 @@ object SparkEntry {
           canon.select(col("a").as("src"), col("b").as("dst"), col("w")),
           source = 0L, rounds = 12)
         .orderBy("id")
+    }),
+
+    // Per-node clustering coefficient over the q251 graph: neighbor-
+    // pair generation + one close join, exact per-mille. DuckDB
+    // re-derives adjacency, pairs, triangle closes, and ratios.
+    "q253_clustering_coeff" -> ((s, dir) => {
+      val n = t(s, dir, "documents")
+        .select((col("doc_id") % 40).as("n")).distinct()
+      val raw = n.selectExpr("n AS src", "(n + 1) % 40 AS dst")
+        .unionByName(n.selectExpr("n AS src", "(n + 7) % 40 AS dst"))
+        .unionByName(n.filter(col("n") < 20)
+          .selectExpr("n AS src", "(n + 13) % 40 AS dst"))
+      graft.ops.GraphOps.clusteringCoefficient(raw).orderBy("id")
     })
   )
 
@@ -8338,7 +8351,32 @@ object SparkEntry {
         |  FROM p JOIN sym s ON s.src = p.node
         |  WHERE p.hops < 12)
         |SELECT node AS id, CAST(min(dist) AS BIGINT) AS dist
-        |FROM p GROUP BY 1 ORDER BY id""".stripMargin
+        |FROM p GROUP BY 1 ORDER BY id""".stripMargin,
+
+    "q253_clustering_coeff" ->
+      """WITH nn AS (SELECT DISTINCT doc_id % 40 AS n FROM documents),
+        |raw AS (
+        |  SELECT n AS src, (n + 1) % 40 AS dst FROM nn
+        |  UNION ALL SELECT n, (n + 7) % 40 FROM nn
+        |  UNION ALL SELECT n, (n + 13) % 40 FROM nn WHERE n < 20),
+        |sym AS (SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)
+        |  WHERE src <> dst),
+        |canon AS (SELECT src AS pa, dst AS pb FROM sym WHERE src < dst),
+        |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+        |  FROM sym GROUP BY 1),
+        |pairs AS (SELECT x.src AS id, x.dst AS v, y.dst AS w
+        |  FROM sym x JOIN sym y ON x.src = y.src AND x.dst < y.dst),
+        |tri AS (SELECT p.id, CAST(count(*) AS BIGINT) AS triangles
+        |  FROM pairs p JOIN canon c ON p.v = c.pa AND p.w = c.pb
+        |  GROUP BY 1)
+        |SELECT d.id, d.deg,
+        |  CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+        |  CASE WHEN d.deg >= 2 THEN CAST(COALESCE(t.triangles, 0) * 2
+        |    * 1000 // (d.deg * (d.deg - 1)) AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS cc_pm
+        |FROM deg d LEFT JOIN tri t ON t.id = d.id
+        |ORDER BY d.id""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -184,6 +184,41 @@ object GraphOps {
         "rank")
   }
 
+  /** Per-node local clustering coefficient — how interconnected each
+    * node's neighborhood is (2·triangles div possible neighbor pairs),
+    * the node-level refinement of [[triangleCount]]'s global number:
+    * spam/link-farm neighborhoods run dense (cc → 1), organic link
+    * graphs sparse. Exact per-mille.
+    *
+    * Shape: neighbor-pair generation costs Σ deg(u)² — at web scale
+    * cap hub degrees upstream (sample neighbors per hub, the standard
+    * move) or fall back to the degree-oriented global count; the
+    * triangle close is one join against the canonical (a < b) edge
+    * set. Nodes with degree < 2 report cc_pm 0 over 0 possible pairs. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    val canon = sym.filter(col("src") < col("dst"))
+      .select(col("src").as("pa"), col("dst").as("pb"))
+    val deg = sym.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    val pairs = sym.select(col("src").as("id"), col("dst").as("v"))
+      .join(sym.select(col("src").as("id"), col("dst").as("w")), "id")
+      .filter(col("v") < col("w"))
+    val tri = pairs.join(canon,
+        pairs("v") === canon("pa") && pairs("w") === canon("pb"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    deg.join(tri, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("cc_pm",
+        when(col("deg") >= 2, expr(
+          "CAST(triangles * 2 * 1000 div (deg * (deg - 1)) AS BIGINT)"))
+          .otherwise(lit(0L)))
+  }
+
   /** Single-source shortest paths by synchronous Bellman–Ford rounds —
     * the distance tier next to [[pageRankFixedPoint]] (influence) and
     * [[boruvkaMst]] (structure): citation-hop distance from a seed

@@ -191,6 +191,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(GraphOps.triangleCount(path).first().getLong(0) == 0L)
   }
 
+  test("clusteringCoefficient: triangle node 1000, open wedge 0, K4 " +
+      "all 1000, pendant low-degree zero over zero pairs") {
+    // triangle {1,2,3} + pendant 3-4: cc(1)=cc(2)=1000; 3 has deg 3
+    // with 1 closed pair of 3 → 333; 4 has deg 1 → 0
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+    val got = GraphOps.clusteringCoefficient(g)
+      .select("id", "deg", "triangles", "cc_pm")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (i, d, t, c) => i -> ((d, t, c)) }.toMap
+    assert(got == Map(1L -> ((2L, 1L, 1000L)), 2L -> ((2L, 1L, 1000L)),
+      3L -> ((3L, 1L, 333L)), 4L -> ((1L, 0L, 0L))), s"got $got")
+    // a path has no closed wedges anywhere
+    val path = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    assert(GraphOps.clusteringCoefficient(path)
+      .filter(col("cc_pm") > 0).count() == 0L)
+  }
+
   test("shortestPaths: relaxation beats the direct edge, unreachable " +
       "absent, extra rounds idempotent, multi-edge min") {
     // 1-2 (5), 2-3 (2), 1-3 (10): best 1→3 is 7 via 2; 9-10 is a

@@ -4059,6 +4059,19 @@ object SparkEntry {
         .unionByName(n.filter(col("n") < 20)
           .selectExpr("n AS src", "(n + 13) % 40 AS dst"))
       graft.ops.GraphOps.clusteringCoefficient(raw).orderBy("id")
+    }),
+
+    // Structural link prediction over the q251 graph: non-adjacent
+    // pairs scored by common neighbors and exact neighborhood Jaccard.
+    // DuckDB re-derives wedges, the anti-join, degrees, and scores.
+    "q254_link_prediction" -> ((s, dir) => {
+      val n = t(s, dir, "documents")
+        .select((col("doc_id") % 40).as("n")).distinct()
+      val raw = n.selectExpr("n AS src", "(n + 1) % 40 AS dst")
+        .unionByName(n.selectExpr("n AS src", "(n + 7) % 40 AS dst"))
+        .unionByName(n.filter(col("n") < 20)
+          .selectExpr("n AS src", "(n + 13) % 40 AS dst"))
+      graft.ops.GraphOps.linkPrediction(raw).orderBy("u", "v")
     })
   )
 
@@ -8376,7 +8389,32 @@ object SparkEntry {
         |    * 1000 // (d.deg * (d.deg - 1)) AS BIGINT)
         |    ELSE CAST(0 AS BIGINT) END AS cc_pm
         |FROM deg d LEFT JOIN tri t ON t.id = d.id
-        |ORDER BY d.id""".stripMargin
+        |ORDER BY d.id""".stripMargin,
+
+    "q254_link_prediction" ->
+      """WITH nn AS (SELECT DISTINCT doc_id % 40 AS n FROM documents),
+        |raw AS (
+        |  SELECT n AS src, (n + 1) % 40 AS dst FROM nn
+        |  UNION ALL SELECT n, (n + 7) % 40 FROM nn
+        |  UNION ALL SELECT n, (n + 13) % 40 FROM nn WHERE n < 20),
+        |sym AS (SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)
+        |  WHERE src <> dst),
+        |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+        |  FROM sym GROUP BY 1),
+        |w AS (SELECT x.src AS u, y.src AS v,
+        |    CAST(count(*) AS BIGINT) AS cn
+        |  FROM sym x JOIN sym y ON x.dst = y.dst AND x.src < y.src
+        |  GROUP BY 1, 2),
+        |nonadj AS (SELECT w.* FROM w
+        |  WHERE NOT EXISTS (SELECT 1 FROM sym s
+        |    WHERE s.src = w.u AND s.dst = w.v))
+        |SELECT n.u, n.v, n.cn, du.deg AS deg_u, dv.deg AS deg_v,
+        |  CAST(n.cn * 1000 // (du.deg + dv.deg - n.cn) AS BIGINT)
+        |    AS jaccard_pm
+        |FROM nonadj n JOIN deg du ON du.id = n.u
+        |              JOIN deg dv ON dv.id = n.v
+        |ORDER BY u, v""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

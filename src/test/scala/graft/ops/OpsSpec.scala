@@ -191,6 +191,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(GraphOps.triangleCount(path).first().getLong(0) == 0L)
   }
 
+  test("linkPrediction: open wedge scores its endpoints, adjacent " +
+      "pairs excluded, exact Jaccard, no-shared-neighbor pairs absent") {
+    // path 1-2-3 + 3-4: candidates (1,3) share {2}: jac = 1000/(2+2-1)
+    // wait — deg(1)=1, deg(3)=2 → 1·1000//(1+2-1) = 500;
+    // (2,4) share {3}: deg(2)=2, deg(4)=1 → 500; (1,4) share none.
+    val g = Seq((1L, 2L, 0L), (2L, 3L, 0L), (3L, 4L, 0L))
+      .toDF("src", "dst", "w")
+    val got = GraphOps.linkPrediction(g)
+      .select("u", "v", "cn", "jaccard_pm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 1L, 500L), (2L, 4L, 1L, 500L)),
+      s"got $got")
+    // triangle: every pair adjacent → nothing to predict
+    val tri = Seq((1L, 2L, 0L), (2L, 3L, 0L), (3L, 1L, 0L))
+      .toDF("src", "dst", "w")
+    assert(GraphOps.linkPrediction(tri).count() == 0L)
+  }
+
   test("clusteringCoefficient: triangle node 1000, open wedge 0, K4 " +
       "all 1000, pendant low-degree zero over zero pairs") {
     // triangle {1,2,3} + pendant 3-4: cc(1)=cc(2)=1000; 3 has deg 3

@@ -4072,6 +4072,21 @@ object SparkEntry {
         .unionByName(n.filter(col("n") < 20)
           .selectExpr("n AS src", "(n + 13) % 40 AS dst"))
       graft.ops.GraphOps.linkPrediction(raw).orderBy("u", "v")
+    }),
+
+    // Two-sided CUSUM drift alarms: value blocks ≡ 2 mod 3 (by
+    // arrival id) carry a planted +100.00 level shift — small per
+    // event, unmistakable accumulated. Per-user sorted fold with
+    // crossing-reset; DuckDB replays the recurrence row-by-row through
+    // a recursive CTE and emits the identical alarm rows.
+    "q255_cusum" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_id"),
+        (cents(col("value")) +
+          when(expr("(event_id div 1000) % 3") === 2, 10000L)
+            .otherwise(0L)).as("v"))
+      graft.streaming.EventsPipeline.cusumFlags(ev, "user_id",
+          "event_id", "v", ref = 5000L, slack = 2000L, h = 30000L)
+        .orderBy("user_id", "event_id", "side")
     })
   )
 
@@ -8414,7 +8429,42 @@ object SparkEntry {
         |    AS jaccard_pm
         |FROM nonadj n JOIN deg du ON du.id = n.u
         |              JOIN deg dv ON dv.id = n.v
-        |ORDER BY u, v""".stripMargin
+        |ORDER BY u, v""".stripMargin,
+
+    "q255_cusum" ->
+      """WITH RECURSIVE ev AS (SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) +
+        |      CASE WHEN (event_id // 1000) % 3 = 2 THEN 10000
+        |           ELSE 0 END AS x
+        |  FROM events),
+        |r AS MATERIALIZED (SELECT user_id, event_id, x,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY event_id) AS BIGINT) AS rn
+        |  FROM ev),
+        |c(user_id, rn, event_id, up_after, down_after, up_raw,
+        |  down_raw) AS (
+        |  SELECT user_id, rn, event_id,
+        |    CASE WHEN greatest(0, x - 7000) > 30000 THEN 0
+        |         ELSE greatest(0, x - 7000) END,
+        |    CASE WHEN greatest(0, 3000 - x) > 30000 THEN 0
+        |         ELSE greatest(0, 3000 - x) END,
+        |    greatest(0, x - 7000), greatest(0, 3000 - x)
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.rn, r.event_id,
+        |    CASE WHEN greatest(0, c.up_after + r.x - 7000) > 30000
+        |         THEN 0 ELSE greatest(0, c.up_after + r.x - 7000) END,
+        |    CASE WHEN greatest(0, c.down_after + 3000 - r.x) > 30000
+        |         THEN 0 ELSE greatest(0, c.down_after + 3000 - r.x) END,
+        |    greatest(0, c.up_after + r.x - 7000),
+        |    greatest(0, c.down_after + 3000 - r.x)
+        |  FROM c JOIN r ON r.user_id = c.user_id AND r.rn = c.rn + 1)
+        |SELECT user_id, event_id, side, stat FROM (
+        |  SELECT user_id, event_id, 'up' AS side,
+        |    CAST(up_raw AS BIGINT) AS stat FROM c WHERE up_raw > 30000
+        |  UNION ALL SELECT user_id, event_id, 'down',
+        |    CAST(down_raw AS BIGINT) FROM c WHERE down_raw > 30000)
+        |ORDER BY user_id, event_id, side""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -324,6 +324,48 @@ object EventsPipeline {
       .start()
   }
 
+  /** Two-sided CUSUM changepoint detection (Page 1954) — the
+    * sequential drift alarm the windowed [[graft.ops.Cleaning
+    * .binnedDrift]] can't give you: per key, walk events in arrival
+    * order accumulating deviation beyond a slack band,
+    *
+    *   up_t   = max(0, up_{t−1} + (x_t − ref − slack))
+    *   down_t = max(0, down_{t−1} + (ref − x_t − slack))
+    *
+    * and emit an alarm row whenever a side crosses `h` (the crossing
+    * statistic is reported, then that side RESETS — repeated drift
+    * re-alarms). All integers (cents-style units); small sustained
+    * shifts accumulate where a spike filter sees nothing.
+    *
+    * Shape: one sorted fold per key (`flatMapGroups` — the funnel-walk
+    * discipline: per-key event lists are session-bounded); only alarm
+    * rows come back. */
+  def cusumFlags(events: DataFrame, keyCol: String, seqCol: String,
+      valueCol: String, ref: Long, slack: Long, h: Long): DataFrame = {
+    require(slack >= 0 && h > 0, "need slack >= 0 and h > 0")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(keyCol).cast("long"), col(seqCol).cast("long"),
+        col(valueCol).cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        var up = 0L
+        var down = 0L
+        rows.iterator.flatMap { case (_, seq, x) =>
+          up = math.max(0L, up + (x - ref - slack))
+          down = math.max(0L, down + (ref - x - slack))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, String, Long)]
+          if (up > h) { out += ((k, seq, "up", up)); up = 0L }
+          if (down > h) { out += ((k, seq, "down", down)); down = 0L }
+          out
+        }
+      }
+      .toDF(keyCol, seqCol, "side", "stat")
+  }
+
   /** Per-key watermark lateness audit — the number you need BEFORE
     * picking `withWatermark`'s delay: replay the arrival sequence
     * (`seqCol`, the ingest order) against event time (`tsCol`) and

@@ -256,6 +256,29 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1L, 2L, 3L, 4L, 5L, 6L), s"kept: $kept")
   }
 
+  test("cusumFlags: sustained small drift alarms where a spike " +
+      "doesn't, crossing resets, both sides, per-key isolation") {
+    // ref 100, slack 10, h 50: key 1 drifts +30/event (net +20) →
+    // alarms at the 3rd event (60 > 50), resets, alarms again at the
+    // 6th; key 2 has one +45 spike (net 35 < 50, decays) → silent;
+    // key 3 drifts DOWN −40 (net 30) → down alarm at the 2nd event.
+    def ev(k: Long, xs: Long*) =
+      xs.zipWithIndex.map { case (x, i) => (k, i.toLong + 1, x) }
+    val df = (ev(1L, 130, 130, 130, 130, 130, 130) ++
+      ev(2L, 145, 100, 100) ++
+      ev(3L, 60, 60)).toDF("k", "seq", "v")
+    val got = graft.streaming.EventsPipeline.cusumFlags(df, "k", "seq",
+        "v", ref = 100L, slack = 10L, h = 50L)
+      .select("k", "seq", "side", "stat")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got == Set((1L, 3L, "up", 60L), (1L, 6L, "up", 60L),
+      (3L, 2L, "down", 60L)), s"got $got")
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventsPipeline.cusumFlags(df, "k", "seq", "v",
+        100L, 0L, 0L)
+    }
+  }
+
   test("latenessAudit: running high-water mark per key, exact micro " +
       "lags, drop verdicts per candidate delay, in-order keys silent") {
     def r(u: Long, seq: Long, epochS: Long) =

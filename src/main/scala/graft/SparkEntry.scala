@@ -4087,7 +4087,18 @@ object SparkEntry {
       graft.streaming.EventsPipeline.cusumFlags(ev, "user_id",
           "event_id", "v", ref = 5000L, slack = 2000L, h = 30000L)
         .orderBy("user_id", "event_id", "side")
-    })
+    }),
+
+    // First/last-touch conversion attribution with a 24 h lookback:
+    // one range-framed window pass per user (no events×events
+    // self-join). DuckDB re-derives both credits per purchase with an
+    // explicit in-window argmax/argmin.
+    "q256_attribution" -> ((s, dir) =>
+      graft.streaming.EventsPipeline.attributeConversions(
+          events(s, dir), "user_id", "ts", "event_id", "event_type",
+          touchType = "click", convType = "purchase",
+          lookbackSec = 86400L)
+        .orderBy("user_id", "conversion_id"))
   )
 
   // ---------------------------------------------------------------------
@@ -8464,7 +8475,30 @@ object SparkEntry {
         |    CAST(up_raw AS BIGINT) AS stat FROM c WHERE up_raw > 30000
         |  UNION ALL SELECT user_id, event_id, 'down',
         |    CAST(down_raw AS BIGINT) FROM c WHERE down_raw > 30000)
-        |ORDER BY user_id, event_id, side""".stripMargin
+        |ORDER BY user_id, event_id, side""".stripMargin,
+
+    "q256_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |conv AS (SELECT user_id, event_id AS conversion_id, us
+        |  FROM e WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id, event_id, us FROM e
+        |  WHERE event_type = 'click'),
+        |j AS (SELECT c.user_id, c.conversion_id, c.us AS conv_us,
+        |    t.event_id AS tid, t.us AS tus
+        |  FROM conv c LEFT JOIN touch t ON t.user_id = c.user_id
+        |    AND t.us >= c.us - 86400 * CAST(1000000 AS BIGINT)
+        |    AND t.us < c.us)
+        |SELECT user_id, conversion_id, conv_us,
+        |  CAST((max(CASE WHEN tid IS NULL THEN NULL
+        |    ELSE struct_pack(us := tus, id := tid) END)).id AS BIGINT)
+        |    AS last_touch_id,
+        |  CAST((min(CASE WHEN tid IS NULL THEN NULL
+        |    ELSE struct_pack(us := tus, id := tid) END)).id AS BIGINT)
+        |    AS first_touch_id
+        |FROM j GROUP BY 1, 2, 3
+        |ORDER BY user_id, conversion_id""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

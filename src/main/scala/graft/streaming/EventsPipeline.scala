@@ -324,6 +324,40 @@ object EventsPipeline {
       .start()
   }
 
+  /** Conversion attribution (first-touch / last-touch) — the marketing
+    * analytics staple the funnel (q103) doesn't answer: for every
+    * conversion event, WHICH touch event gets the credit. Last-touch =
+    * the latest touch strictly before the conversion within the
+    * lookback window; first-touch = the earliest in the same window.
+    * Conversions with no in-window touch report null credit (organic).
+    *
+    * Shape: one per-key RANGE-framed window pass over epoch-micro
+    * order — the frame [t − lookback, t) IS the attribution window, so
+    * a struct max/min over it yields the last/first in-window touch
+    * directly (touches encode as (us, id) structs, conversions as
+    * null). No self-join of events against events. Returns one row per
+    * conversion. */
+  def attributeConversions(events: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, typeCol: String, touchType: String,
+      convType: String, lookbackSec: Long): DataFrame = {
+    require(lookbackSec > 0, "lookback must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"))
+      .rangeBetween(-lookbackSec * 1000000L, -1L)
+    val touchStruct = when(col(typeCol) === touchType,
+      struct(col("__us").as("us"), col(idCol).as("id")))
+    events
+      .filter(col(typeCol).isin(touchType, convType)) // scan-pushed
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__last_touch", max(touchStruct).over(w))
+      .withColumn("__first_touch", min(touchStruct).over(w))
+      .filter(col(typeCol) === convType)
+      .select(col(keyCol), col(idCol).as("conversion_id"),
+        col("__us").as("conv_us"),
+        col("__last_touch.id").as("last_touch_id"),
+        col("__first_touch.id").as("first_touch_id"))
+  }
+
   /** Two-sided CUSUM changepoint detection (Page 1954) — the
     * sequential drift alarm the windowed [[graft.ops.Cleaning
     * .binnedDrift]] can't give you: per key, walk events in arrival

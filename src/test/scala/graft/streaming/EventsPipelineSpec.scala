@@ -256,6 +256,30 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1L, 2L, 3L, 4L, 5L, 6L), s"kept: $kept")
   }
 
+  test("attributeConversions: window clamps both credits, organic " +
+      "conversions null, same-instant touch excluded, per-key") {
+    // user 1: old touch (outside the 100 s window), two in-window
+    // touches, conversion at t=200; user 2: organic (same-instant
+    // touch excluded); user 3: later touch must not credit earlier
+    val fixed = Seq(
+      (1L, 10L, 50L, "click"), (1L, 11L, 120L, "click"),
+      (1L, 12L, 150L, "click"), (1L, 13L, 200L, "purchase"),
+      (2L, 20L, 300L, "click"), (2L, 21L, 300L, "purchase"),
+      (3L, 30L, 400L, "purchase"), (3L, 31L, 410L, "click"))
+      .map { case (u, id, s, t) => (u, id, new Timestamp(s * 1000), t) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = graft.streaming.EventsPipeline.attributeConversions(
+        fixed, "user_id", "ts", "event_id", "event_type",
+        "click", "purchase", lookbackSec = 100L)
+      .select("user_id", "conversion_id", "last_touch_id",
+        "first_touch_id")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, 13L, Some(12L), Some(11L)), // 10 is outside the window
+      (2L, 21L, None, None),           // same-instant touch excluded
+      (3L, 30L, None, None)), s"got $got")
+  }
+
   test("cusumFlags: sustained small drift alarms where a spike " +
       "doesn't, crossing resets, both sides, per-key isolation") {
     // ref 100, slack 10, h 50: key 1 drifts +30/event (net +20) →

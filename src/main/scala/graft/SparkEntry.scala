@@ -4098,7 +4098,22 @@ object SparkEntry {
           events(s, dir), "user_id", "ts", "event_id", "event_type",
           touchType = "click", convType = "purchase",
           lookbackSec = 86400L)
-        .orderBy("user_id", "conversion_id"))
+        .orderBy("user_id", "conversion_id")),
+
+    // Isotonic (PAV) calibration over the q242 score/label fixture,
+    // scores bucketed to 50 levels: the monotone fix for the
+    // calibration audit. DuckDB reaches the identical 1e-12-unit
+    // probabilities through the minimax identity (max over k≤i of min
+    // over j≥i of the segment mean) — no sequential pooling replayed.
+    "q257_isotonic" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+          expr("CAST(least(greatest((n_chars - 100) * 2, 0), 1000) " +
+            "div 20 AS BIGINT)").as("score_b"))
+        .withColumn("label",
+          ((col("doc_id") * 7919) % 50 < col("score_b")).cast("long"))
+      graft.ops.Profile.isotonicCalibration(d, "score_b", "label")
+        .orderBy("score")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -8498,7 +8513,39 @@ object SparkEntry {
         |    ELSE struct_pack(us := tus, id := tid) END)).id AS BIGINT)
         |    AS first_touch_id
         |FROM j GROUP BY 1, 2, 3
-        |ORDER BY user_id, conversion_id""".stripMargin
+        |ORDER BY user_id, conversion_id""".stripMargin,
+
+    "q257_isotonic" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(least(greatest((n_chars - 100) * 2, 0), 1000) // 20
+        |      AS BIGINT) AS score
+        |  FROM documents),
+        |l AS (SELECT score,
+        |    CASE WHEN (doc_id * 7919) % 50 < score THEN 1 ELSE 0 END
+        |      AS y
+        |  FROM d),
+        |p AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS pos
+        |  FROM l GROUP BY 1),
+        |o AS (SELECT *, CAST(row_number() OVER (ORDER BY score)
+        |    AS BIGINT) AS i FROM p),
+        |cum AS (SELECT i, score, n, pos,
+        |    sum(n) OVER (ORDER BY i) AS cn,
+        |    sum(pos) OVER (ORDER BY i) AS cpos
+        |  FROM o),
+        |seg AS (SELECT a.i AS k, b.i AS j,
+        |    (b.cpos - COALESCE(a2.cpos, 0)) * CAST(1000000000000
+        |      AS HUGEINT) // (b.cn - COALESCE(a2.cn, 0)) AS mval
+        |  FROM cum a JOIN cum b ON b.i >= a.i
+        |  LEFT JOIN cum a2 ON a2.i = a.i - 1),
+        |mi AS (SELECT o.i, s.k, min(s.mval) AS mn
+        |  FROM o JOIN seg s ON s.k <= o.i AND s.j >= o.i
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT i, CAST(max(mn) AS BIGINT) AS iso_u12
+        |  FROM mi GROUP BY 1)
+        |SELECT o.score, o.n, o.pos AS n_pos, iso.iso_u12
+        |FROM o JOIN iso ON iso.i = o.i
+        |ORDER BY o.score""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

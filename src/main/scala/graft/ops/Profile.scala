@@ -344,6 +344,53 @@ object Profile {
       "gini_pm")
   }
 
+  /** Isotonic (PAV) calibration map — the FIX for what
+    * [[calibrationAudit]] measures: the unique non-decreasing function
+    * of the score minimizing squared error against the labels,
+    * computed by pool-adjacent-violators over the per-score table.
+    * Output probabilities are exact rationals emitted in 10⁻¹² units —
+    * with per-pool denominators ≤ N ≤ 10⁵, distinct rationals differ
+    * by more than 10⁻¹⁰, so the scaled integer is an EXACT total order
+    * (and the DuckDB oracle can reach the identical numbers through
+    * the minimax identity iso_i = max_{k≤i} min_{j≥i} avg(y[k..j])
+    * without replaying the sequential pooling).
+    *
+    * Shape: one map-side (score, n, pos) aggregate; the PAV stack walk
+    * runs on the score-dimension table driver-side in BigInt (the
+    * k-means/Bradley-Terry boundary). Returns
+    * (score, n, n_pos, iso_u12) — join back on the score to apply. */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = df.groupBy(col(scoreCol).cast("long").as("score"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(agg.nonEmpty, "empty input")
+    // PAV: pools of (n, pos) merge while a predecessor's mean exceeds
+    // the top's (cross-multiplied — no fractions until the very end)
+    case class Pool(var n: Long, var pos: Long, var count: Int)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Pool]
+    agg.foreach { case (_, n, pos) =>
+      stack += Pool(n, pos, 1)
+      while (stack.length >= 2 && {
+        val a = stack(stack.length - 2); val b = stack.last
+        BigInt(a.pos) * b.n > BigInt(b.pos) * a.n
+      }) {
+        val b = stack.remove(stack.length - 1)
+        val a = stack.last
+        a.n += b.n; a.pos += b.pos; a.count += b.count
+      }
+    }
+    val iso = stack.iterator.flatMap { p =>
+      val v = (BigInt(p.pos) * 1000000000000L / p.n).toLong
+      Iterator.fill(p.count)(v)
+    }.toArray
+    agg.zip(iso).map { case ((s, n, pos), v) => (s, n, pos, v) }.toSeq
+      .toDF("score", "n", "n_pos", "iso_u12")
+  }
+
   /** Score-calibration audit (reliability diagram + ECE): does a
     * model's claimed probability match reality? Scores arrive as exact
     * per-mille integers (`scorePmCol` ∈ [0, 1000]); rows bucket into

@@ -1798,6 +1798,31 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
       .select("gini_pm").distinct().as[Long].head() == 0L)
   }
 
+  test("isotonicCalibration: violating prefix pools to its mean, " +
+      "monotone input untouched, exact 1e-12 rationals") {
+    def rep(s: Long, pos: Int, neg: Int) =
+      Seq.fill(pos)((s, 1L)) ++ Seq.fill(neg)((s, 0L))
+    // means 0.8, 0.2, 0.6 → PAV pools the first two to 0.5
+    val df = (rep(1L, 4, 1) ++ rep(2L, 1, 4) ++ rep(3L, 3, 2))
+      .toDF("s", "y")
+    val got = Profile.isotonicCalibration(df, "s", "y")
+      .select("score", "n", "n_pos", "iso_u12")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 5L, 4L, 500000000000L),
+      (2L, 5L, 1L, 500000000000L), (3L, 5L, 3L, 600000000000L)),
+      s"got $got")
+    // already-monotone means pass through as their own (exact) rates
+    val mono = (rep(1L, 1, 4) ++ rep(2L, 2, 1)).toDF("s", "y")
+    assert(Profile.isotonicCalibration(mono, "s", "y")
+      .select("iso_u12").as[Long].collect().toSeq ==
+      Seq(200000000000L, 666666666666L))
+    // a fully reversed staircase collapses to one global pool
+    val rev = (rep(1L, 3, 0) ++ rep(2L, 0, 3)).toDF("s", "y")
+    assert(Profile.isotonicCalibration(rev, "s", "y")
+      .select("iso_u12").distinct().as[Long].collect().toSeq ==
+      Seq(500000000000L))
+  }
+
   test("calibrationAudit: sum-form ECE exact, top score clamps into " +
       "the last bucket, per-bucket means/rates") {
     // bucket 0: (50,y)×4 with one positive → |200 − 1000| = 800;

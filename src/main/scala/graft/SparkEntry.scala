@@ -4113,7 +4113,16 @@ object SparkEntry {
           ((col("doc_id") * 7919) % 50 < col("score_b")).cast("long"))
       graft.ops.Profile.isotonicCalibration(d, "score_b", "label")
         .orderBy("score")
-    })
+    }),
+
+    // Cross-source quantile normalization of doc lengths: every row
+    // maps to the pooled distribution's value at its within-source
+    // quantile (nearest-rank), so a percentile means the same thing in
+    // every source. DuckDB replays both rank ladders and the mapping.
+    "q258_quantile_norm" -> ((s, dir) =>
+      graft.ops.Cleaning.quantileNormalize(
+        t(s, dir, "documents"), "source", "doc_id", "n_chars")
+        .orderBy("grp", "id"))
   )
 
   // ---------------------------------------------------------------------
@@ -8545,7 +8554,27 @@ object SparkEntry {
         |  FROM mi GROUP BY 1)
         |SELECT o.score, o.n, o.pos AS n_pos, iso.iso_u12
         |FROM o JOIN iso ON iso.i = o.i
-        |ORDER BY o.score""".stripMargin
+        |ORDER BY o.score""".stripMargin,
+
+    "q258_quantile_norm" ->
+      """WITH d AS (SELECT source AS grp, doc_id AS id,
+        |    CAST(n_chars AS BIGINT) AS v FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
+        |r AS (SELECT grp, id, v,
+        |    CAST(row_number() OVER (PARTITION BY grp ORDER BY v, id)
+        |      AS BIGINT) AS rg,
+        |    CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS ng
+        |  FROM d),
+        |p AS (SELECT CAST(row_number() OVER (ORDER BY v, id) AS BIGINT)
+        |      AS pooled_pos, v AS norm_v
+        |  FROM d)
+        |SELECT r.grp, r.id, r.v, r.rg, r.ng,
+        |  CAST((r.rg * n.nn + r.ng - 1) // r.ng AS BIGINT)
+        |    AS pooled_pos,
+        |  p.norm_v
+        |FROM r CROSS JOIN n
+        |JOIN p ON p.pooled_pos = (r.rg * n.nn + r.ng - 1) // r.ng
+        |ORDER BY grp, id""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -132,6 +132,44 @@ object Cleaning {
     * one small per-group aggregate and joined back — AQE broadcasts the
     * bounds table while groups are few; the fact table never sorts.
     * Clamped values and bounds round to 6 dp so engines agree. */
+  /** Cross-group quantile normalization — the batch-effect corrector
+    * (genomics' standard move, equally at home normalizing quality
+    * scores across crawls/sources so a percentile means the same thing
+    * everywhere): each row's value is replaced by the POOLED
+    * distribution's value at the row's within-group quantile
+    * (nearest-rank: pooled position ⌈r_g·N / n_g⌉). After the
+    * transform every group has (near-)identical marginals; ordering
+    * within a group is preserved exactly.
+    *
+    * Shape: within-group ranks come from group-partitioned windows
+    * (group-sized frames); the pooled order uses the two-pass
+    * [[graft.ops.Layout.globalRowNumber]] (never a single-partition
+    * window); the mapping is one equi-join on the pooled position.
+    * Ties take the (value, id) total order — exact and
+    * engine-reproducible. */
+  def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      col(valueCol).cast("long").as("v"))
+    val n = base.count()
+    require(n > 0, "empty input")
+    val wg = Window.partitionBy("grp").orderBy(col("v"), col("id"))
+    val ranked = base
+      .withColumn("rg", row_number().over(wg).cast("long"))
+      .withColumn("ng",
+        count(lit(1)).over(Window.partitionBy("grp")).cast("long"))
+      // nearest-rank pooled position: ceil(rg·N / ng) in integers
+      .withColumn("pooled_pos",
+        expr(s"CAST((rg * ${n}L + ng - 1) div ng AS BIGINT)"))
+    val pooled = graft.ops.Layout.globalRowNumber(
+        base.select(col("v"), col("id")), Seq("v", "id"), 0)
+      .select(col("rn").as("pooled_pos"), col("v").as("norm_v"))
+    ranked.join(pooled, Seq("pooled_pos"))
+      .select(col("grp"), col("id"), col("v"), col("rg"), col("ng"),
+        col("pooled_pos"), col("norm_v"))
+  }
+
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
       lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, s"bad percentile range [$lo, $hi]")

@@ -207,4 +207,34 @@ class CleaningSpec extends AnyFunSuite with SparkTestBase {
       .select(hour(col("h")), col("c")).as[(Int, Option[Long])].collect().toMap
     assert(f2 == Map(1 -> None, 2 -> Some(7L)), "nothing observed yet stays null")
   }
+  test("quantileNormalize: group marginals map onto the pooled " +
+      "distribution, within-group order preserved, exact positions") {
+    // group a = {10, 20}, group b = {100, 200}: pooled sorted =
+    // [10, 20, 100, 200] (N=4). Each group has ng=2: rg=1 → pos
+    // ceil(1·4/2)=2 → 20; rg=2 → pos 4 → 200. Both groups normalize
+    // to the SAME {20, 200} marginal.
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L),
+      ("b", 3L, 100L), ("b", 4L, 200L)).toDF("g", "id", "v")
+    val got = Cleaning.quantileNormalize(df, "g", "id", "v")
+      .select("grp", "id", "norm_v").as[(String, Long, Long)]
+      .collect().toSet
+    assert(got == Set(("a", 1L, 20L), ("a", 2L, 200L),
+      ("b", 3L, 20L), ("b", 4L, 200L)), s"got $got")
+    // a single-member group maps to the pooled maximum (rank 1 of 1)
+    val single = Seq(("a", 1L, 5L), ("a", 2L, 6L), ("s", 9L, 1L))
+      .toDF("g", "id", "v")
+    val sv = Cleaning.quantileNormalize(single, "g", "id", "v")
+      .filter(col("grp") === "s").select("norm_v").as[Long].head()
+    assert(sv == 6L, s"singleton group sits at the pooled top: $sv")
+    // within-group order is preserved after the transform
+    val big = Seq.tabulate(20)(i => ("g" + (i % 2), i.toLong, (37L * i) % 100))
+      .toDF("g", "id", "v")
+    val out = Cleaning.quantileNormalize(big, "g", "id", "v")
+      .select("grp", "rg", "norm_v").as[(String, Long, Long)].collect()
+    out.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq,
+        "normalized values must stay monotone in the group rank")
+    }
+  }
 }

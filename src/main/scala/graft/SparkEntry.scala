@@ -4122,7 +4122,30 @@ object SparkEntry {
     "q258_quantile_norm" -> ((s, dir) =>
       graft.ops.Cleaning.quantileNormalize(
         t(s, dir, "documents"), "source", "doc_id", "n_chars")
-        .orderBy("grp", "id"))
+        .orderBy("grp", "id")),
+
+    // RFM segmentation of customers over orders: recency / frequency /
+    // monetary quintiles, each ranked through the distributed two-pass
+    // global numbering (never an ntile window over one partition);
+    // segment = r·100 + f·10 + m. DuckDB replays the three rank
+    // ladders with the identical (rn-1)·5 // n + 1 formula.
+    "q259_rfm_segments" -> ((s, dir) =>
+      graft.ops.Profile.rfmSegments(
+        t(s, dir, "orders"), "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy("entity")),
+
+    // Corpus keyness (Dunning log-likelihood, micro units): which
+    // terms the English slice over-uses vs everything else. Zero
+    // observations contribute 0; direction is an exact integer
+    // cross-multiply. DuckDB re-derives both count tables and the
+    // micro-rounded per-side logs.
+    "q260_keyness" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.TextAnalysis.keyness(
+        d.filter(col("lang") === "en"), d.filter(col("lang") =!= "en"),
+        "text", minTotal = 5L)
+        .orderBy("term")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -8574,7 +8597,70 @@ object SparkEntry {
         |  p.norm_v
         |FROM r CROSS JOIN n
         |JOIN p ON p.pooled_pos = (r.rg * n.nn + r.ng - 1) // r.ng
-        |ORDER BY grp, id""".stripMargin
+        |ORDER BY grp, id""".stripMargin,
+
+    "q259_rfm_segments" ->
+      """WITH base AS (SELECT o_custkey AS entity,
+        |    CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS recency,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(trunc(o_totalprice) AS BIGINT)) AS BIGINT)
+        |      AS monetary
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM base),
+        |rr AS (SELECT entity, CAST(row_number() OVER (
+        |    ORDER BY recency, entity) AS BIGINT) AS rn FROM base),
+        |rf AS (SELECT entity, CAST(row_number() OVER (
+        |    ORDER BY frequency, entity) AS BIGINT) AS rn FROM base),
+        |rm AS (SELECT entity, CAST(row_number() OVER (
+        |    ORDER BY monetary, entity) AS BIGINT) AS rn FROM base)
+        |SELECT b.entity, b.recency, b.frequency, b.monetary,
+        |  CAST((rr.rn - 1) * 5 // n.nn + 1 AS BIGINT) AS r,
+        |  CAST((rf.rn - 1) * 5 // n.nn + 1 AS BIGINT) AS f,
+        |  CAST((rm.rn - 1) * 5 // n.nn + 1 AS BIGINT) AS m,
+        |  CAST(((rr.rn - 1) * 5 // n.nn + 1) * 100
+        |    + ((rf.rn - 1) * 5 // n.nn + 1) * 10
+        |    + ((rm.rn - 1) * 5 // n.nn + 1) AS BIGINT) AS segment
+        |FROM base b CROSS JOIN n
+        |JOIN rr ON rr.entity = b.entity
+        |JOIN rf ON rf.entity = b.entity
+        |JOIN rm ON rm.entity = b.entity
+        |ORDER BY b.entity""".stripMargin,
+
+    "q260_keyness" ->
+      """WITH ta AS (SELECT t AS term FROM (SELECT
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents WHERE lang = 'en') WHERE t <> ''),
+        |tb AS (SELECT t AS term FROM (SELECT
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents WHERE lang <> 'en') WHERE t <> ''),
+        |ca AS (SELECT term, CAST(count(*) AS BIGINT) AS o1
+        |  FROM ta GROUP BY 1),
+        |cb AS (SELECT term, CAST(count(*) AS BIGINT) AS o2
+        |  FROM tb GROUP BY 1),
+        |nn AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ta) AS n1,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM tb) AS n2),
+        |j AS (SELECT term, COALESCE(o1, CAST(0 AS BIGINT)) AS o1,
+        |    COALESCE(o2, CAST(0 AS BIGINT)) AS o2
+        |  FROM ca FULL OUTER JOIN cb USING (term)),
+        |sc AS (SELECT j.term, j.o1, j.o2,
+        |    CASE WHEN j.o1 = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE j.o1 * CAST(round(log10(
+        |        CAST(j.o1 * (nn.n1 + nn.n2) AS DOUBLE)
+        |        / ((j.o1 + j.o2) * nn.n1)) * 1000000, 0) AS BIGINT)
+        |      END AS c1_u6,
+        |    CASE WHEN j.o2 = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE j.o2 * CAST(round(log10(
+        |        CAST(j.o2 * (nn.n1 + nn.n2) AS DOUBLE)
+        |        / ((j.o1 + j.o2) * nn.n2)) * 1000000, 0) AS BIGINT)
+        |      END AS c2_u6,
+        |    CAST(CASE WHEN j.o1 * nn.n2 > j.o2 * nn.n1 THEN 1
+        |      WHEN j.o1 * nn.n2 < j.o2 * nn.n1 THEN -1
+        |      ELSE 0 END AS BIGINT) AS direction
+        |  FROM j CROSS JOIN nn
+        |  WHERE j.o1 + j.o2 >= 5)
+        |SELECT term, o1, o2, c1_u6, c2_u6,
+        |  (c1_u6 + c2_u6) * 2 AS keyness_u6, direction
+        |FROM sc ORDER BY term""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -344,6 +344,41 @@ object Profile {
       "gini_pm")
   }
 
+  /** RFM segmentation (recency / frequency / monetary quintiles) —
+    * the classic entity-value grid, equally useful segmenting crawl
+    * DOMAINS by last-seen / page-count / content-mass before assigning
+    * crawl budget. Each dimension ranks ascending (quintile 5 = most
+    * recent / most frequent / highest value) through the ntile-
+    * equivalent rank formula over [[graft.ops.Layout.globalRowNumber]]
+    * (never a single-partition window; ties broken by the entity id);
+    * `segment = r·100 + f·10 + m`.
+    *
+    * One aggregate to the entity dimension, three two-pass rankings
+    * over it. Returns (entity, recency, frequency, monetary, r, f, m,
+    * segment). */
+  def rfmSegments(df: DataFrame, entityCol: String, tsCol: String,
+      valueCol: String, buckets: Int = 5): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val base = df.groupBy(col(entityCol).as("entity"))
+      .agg(max(unix_micros(col(tsCol).cast("timestamp"))).as("recency"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast("long")).as("monetary"))
+      .localCheckpoint()
+    val n = base.count()
+    def tile(c: String, out: String)(d: DataFrame): DataFrame = {
+      val rn = graft.ops.Layout.globalRowNumber(
+        base.select(col("entity"), col(c)), Seq(c, "entity"), 0)
+        .withColumn(out,
+          expr(s"CAST((rn - 1) * $buckets div $n + 1 AS BIGINT)"))
+        .select("entity", out)
+      d.join(rn, "entity")
+    }
+    val tiled = tile("monetary", "m")(tile("frequency", "f")(
+      tile("recency", "r")(base)))
+    tiled.withColumn("segment",
+      col("r") * 100 + col("f") * 10 + col("m"))
+  }
+
   /** Isotonic (PAV) calibration map — the FIX for what
     * [[calibrationAudit]] measures: the unique non-decreasing function
     * of the score minimizing squared error against the labels,

@@ -598,6 +598,49 @@ object TextAnalysis {
     * tables, and Markov-chain corpus fingerprints. One explode + one
     * (prev, next)-keyed count; the pair space shuffles as integers-and-
     * short-strings, never documents. */
+  /** Corpus keyness (Dunning-flavored log-likelihood) — which terms
+    * are OVER-used in corpus A relative to corpus B (period-over-
+    * period drift, source fingerprinting, topic shift): per term,
+    *
+    *   contrib = 2·(O₁·L₁ + O₂·L₂),  Lᵢ = log10(Oᵢ·(N₁+N₂) / ((O₁+O₂)·Nᵢ))
+    *
+    * with the libm log10 micro-rounded once per (term, side) from an
+    * exact-integer ratio (the q239 discipline; a zero observation
+    * contributes 0 — the O·ln(O/E) limit), and the direction carried
+    * as a separate sign (+1 = overused in A). Monotone-equivalent to
+    * the natural-log G² (constant factor), so ranking and thresholds
+    * transfer. `minTotal` prunes the noise tail.
+    *
+    * One token explode per side, map-side counts, term-keyed join —
+    * the vocabulary dimension only. */
+  def keyness(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, textCol: String,
+      minTotal: Long): org.apache.spark.sql.DataFrame = {
+    require(minTotal >= 1, s"minTotal must be >= 1, got $minTotal")
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(split(lower(trim(col(textCol))), "\\s+"))
+        .as("term")).filter(col("term") =!= "")
+    val ca = toks(a).groupBy("term").agg(count(lit(1)).as("o1"))
+    val cb = toks(b).groupBy("term").agg(count(lit(1)).as("o2"))
+    val n1 = toks(a).count()
+    val n2 = toks(b).count()
+    def lu6(o: Column, n: Long): Column = when(o === 0, 0L).otherwise(
+      (o * round(log10((o * (n1 + n2)).cast("double") /
+        ((col("o1") + col("o2")) * n)) * 1000000, 0).cast("long"))
+        .cast("long"))
+    ca.join(cb, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("o1"), lit(0L)).as("o1"),
+        coalesce(col("o2"), lit(0L)).as("o2"))
+      .filter(col("o1") + col("o2") >= minTotal)
+      .withColumn("c1_u6", lu6(col("o1"), n1))
+      .withColumn("c2_u6", lu6(col("o2"), n2))
+      .withColumn("keyness_u6", (col("c1_u6") + col("c2_u6")) * 2)
+      .withColumn("direction",
+        when(col("o1") * n2 > col("o2") * n1, 1L)
+          .when(col("o1") * n2 < col("o2") * n1, -1L).otherwise(0L))
+  }
+
   /** Class-based TF-IDF top terms (Grootendorst's c-TF-IDF, the
     * BERTopic labeling step): treat each class (cluster, source,
     * language) as ONE concatenated document and rank its terms by

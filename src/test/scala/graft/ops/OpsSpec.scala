@@ -1938,6 +1938,32 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
       Profile.heavyHittersExact(df, "tok", threshold = 5, sketchSize = 32)
     }
   }
+
+  test("rfmSegments: staircase corpus gives r=f=m=k, segment k·111, " +
+      "ties on a dimension break by entity, buckets bound enforced") {
+    import java.sql.Timestamp
+    // entity k: k orders, last at epoch+k s, each worth 10·k
+    val rows = for { k <- 1 to 5; i <- 1 to k } yield
+      (k.toLong, new Timestamp(k * 1000L), 10.0 * k)
+    val got = Profile.rfmSegments(rows.toDF("e", "ts", "v"), "e", "ts", "v")
+      .select("entity", "recency", "frequency", "monetary", "r", "f",
+        "m", "segment")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == (1 to 5).map { k =>
+      (k.toLong, k * 1000000L, k.toLong, 10L * k * k,
+        k.toLong, k.toLong, k.toLong, k * 111L)
+    }.toSeq, s"got $got")
+    // all-identical dimensions: ranks follow the entity tie-break
+    val flat = Seq((7L, new Timestamp(1000L), 5.0),
+      (3L, new Timestamp(1000L), 5.0)).toDF("e", "ts", "v")
+    val tied = Profile.rfmSegments(flat, "e", "ts", "v", buckets = 2)
+      .select("entity", "segment").as[(Long, Long)].collect().toMap
+    assert(tied == Map(3L -> 111L, 7L -> 222L), s"got $tied")
+    intercept[IllegalArgumentException] {
+      Profile.rfmSegments(flat, "e", "ts", "v", buckets = 1)
+    }
+  }
 }
 
 class TokenizerSpec extends AnyFunSuite with SparkTestBase {
@@ -1963,6 +1989,32 @@ class TokenizerSpec extends AnyFunSuite with SparkTestBase {
     val first = TextAnalysis.classTfIdfTopTerms(tie, "grp", "text", k = 1)
       .select("term").as[String].collect().toSeq
     assert(first == Seq("aa"), s"score tie must break on term asc: $first")
+  }
+
+  test("keyness: hand-computed micro log-likelihood both directions, " +
+      "zero side contributes zero, minTotal prunes, sign exact") {
+    // A = "a a b" (n1=3), B = "b c" (n2=2), N=5
+    val a = Seq("a a b").toDF("text")
+    val b = Seq("b c").toDF("text")
+    val got = TextAnalysis.keyness(a, b, "text", minTotal = 1L)
+      .select("term", "o1", "o2", "c1_u6", "c2_u6", "keyness_u6",
+        "direction")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    // a: 2·round(log10(10/6)·1e6)=443698; b: round(log10(5/6)·1e6)
+    //   = −79181 vs round(log10(5/4)·1e6)=96910; c: round(log10(5/2)
+    //   ·1e6)=397940
+    assert(got == Seq(
+      ("a", 2L, 0L, 443698L, 0L, 887396L, 1L),
+      ("b", 1L, 1L, -79181L, 96910L, 35458L, -1L),
+      ("c", 0L, 1L, 0L, 397940L, 795880L, -1L)), s"got $got")
+    // minTotal = 2 drops the singleton term c
+    val pruned = TextAnalysis.keyness(a, b, "text", minTotal = 2L)
+      .select("term").as[String].collect().toSet
+    assert(pruned == Set("a", "b"), s"got $pruned")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.keyness(a, b, "text", minTotal = 0L)
+    }
   }
 
   test("langIdTrain/Classify: trained char-bigram profiles separate " +

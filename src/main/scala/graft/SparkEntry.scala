@@ -4145,6 +4145,33 @@ object SparkEntry {
         d.filter(col("lang") === "en"), d.filter(col("lang") =!= "en"),
         "text", minTotal = 5L)
         .orderBy("term")
+    }),
+
+    // Additive seasonal decomposition of per-user event values:
+    // centered 7-wide moving-average trend (full windows only),
+    // per-(user, phase) seasonal means of the detrended series,
+    // residual remainder — all exact truncating micro arithmetic.
+    // DuckDB replays the windows, the phase means, and the remainder.
+    "q261_seasonal_decompose" -> ((s, dir) =>
+      graft.streaming.EventsPipeline.seasonalDecompose(
+        t(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+          .select("user_id", "us", "event_id", "value"),
+        "user_id", Seq("us", "event_id"), "value", period = 7)
+        .orderBy("user_id", "idx")),
+
+    // HITS hubs & authorities over the q88 residue-map graph: three
+    // synchronous mutual-recursion rounds in exact max-normalized
+    // fixed point (argmax pinned at 1e6, truncating divisions).
+    // DuckDB replays all six half-steps on the identical graph.
+    "q262_hits" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select((col("doc_id") % 50).as("src"))
+      val e = base.select(col("src"),
+          ((col("src") * col("src") + 3) % 50).as("dst"))
+        .unionByName(base.select(col("src"),
+          ((col("src") * 3 + 7) % 50).as("dst")))
+        .filter(col("src") =!= col("dst"))
+      graft.ops.GraphOps.hits(e, iters = 3).orderBy("id")
     })
   )
 
@@ -8660,7 +8687,87 @@ object SparkEntry {
         |  WHERE j.o1 + j.o2 >= 5)
         |SELECT term, o1, o2, c1_u6, c2_u6,
         |  (c1_u6 + c2_u6) * 2 AS keyness_u6, direction
-        |FROM sc ORDER BY term""".stripMargin
+        |FROM sc ORDER BY term""".stripMargin,
+
+    "q261_seasonal_decompose" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us, event_id,
+        |    CAST(round(value * 1000000, 0) AS BIGINT) AS v_u6
+        |  FROM events),
+        |o AS (SELECT *, CAST(row_number() OVER w AS BIGINT) AS idx,
+        |    CASE WHEN count(*) OVER c = 7 THEN
+        |      CAST(sum(v_u6) OVER c // 7 AS BIGINT) END AS trend_u6
+        |  FROM e WINDOW w AS (PARTITION BY k ORDER BY us, event_id),
+        |    c AS (PARTITION BY k ORDER BY us, event_id
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |p AS (SELECT *, CAST((idx - 1) % 7 AS BIGINT) AS phase,
+        |    v_u6 - trend_u6 AS detr FROM o),
+        |s AS (SELECT k, phase, CAST(sum(detr) // count(detr) AS BIGINT)
+        |    AS seasonal_u6 FROM p WHERE detr IS NOT NULL GROUP BY 1, 2)
+        |SELECT p.k AS user_id, p.idx, p.phase, p.v_u6, p.trend_u6,
+        |  CASE WHEN p.trend_u6 IS NOT NULL THEN s.seasonal_u6 END
+        |    AS seasonal_u6,
+        |  CASE WHEN p.trend_u6 IS NOT NULL
+        |    THEN p.v_u6 - p.trend_u6 - s.seasonal_u6 END AS resid_u6,
+        |  p.us, p.event_id
+        |FROM p LEFT JOIN s ON s.k = p.k AND s.phase = p.phase
+        |ORDER BY user_id, idx""".stripMargin,
+
+    "q262_hits" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id % 50 AS src FROM documents),
+        |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |    SELECT src, (src * src + 3) % 50 AS dst FROM base
+        |    UNION ALL SELECT src, (src * 3 + 7) % 50 FROM base)
+        |  WHERE src <> dst),
+        |nodes AS MATERIALIZED (SELECT DISTINCT id FROM (
+        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |a0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS auth
+        |  FROM nodes),
+        |h1r AS MATERIALIZED (SELECT n.id, COALESCE(s.raw, 0) AS raw
+        |  FROM nodes n LEFT JOIN (SELECT e.src AS id,
+        |      CAST(sum(a.auth) AS BIGINT) AS raw
+        |    FROM e JOIN a0 a ON a.id = e.dst GROUP BY 1) s
+        |  ON s.id = n.id),
+        |h1 AS MATERIALIZED (SELECT id, CAST(raw * 1000000
+        |  // (SELECT max(raw) FROM h1r) AS BIGINT) AS hub FROM h1r),
+        |a1r AS MATERIALIZED (SELECT n.id, COALESCE(s.raw, 0) AS raw
+        |  FROM nodes n LEFT JOIN (SELECT e.dst AS id,
+        |      CAST(sum(h.hub) AS BIGINT) AS raw
+        |    FROM e JOIN h1 h ON h.id = e.src GROUP BY 1) s
+        |  ON s.id = n.id),
+        |a1 AS MATERIALIZED (SELECT id, CAST(raw * 1000000
+        |  // (SELECT max(raw) FROM a1r) AS BIGINT) AS auth FROM a1r),
+        |h2r AS MATERIALIZED (SELECT n.id, COALESCE(s.raw, 0) AS raw
+        |  FROM nodes n LEFT JOIN (SELECT e.src AS id,
+        |      CAST(sum(a.auth) AS BIGINT) AS raw
+        |    FROM e JOIN a1 a ON a.id = e.dst GROUP BY 1) s
+        |  ON s.id = n.id),
+        |h2 AS MATERIALIZED (SELECT id, CAST(raw * 1000000
+        |  // (SELECT max(raw) FROM h2r) AS BIGINT) AS hub FROM h2r),
+        |a2r AS MATERIALIZED (SELECT n.id, COALESCE(s.raw, 0) AS raw
+        |  FROM nodes n LEFT JOIN (SELECT e.dst AS id,
+        |      CAST(sum(h.hub) AS BIGINT) AS raw
+        |    FROM e JOIN h2 h ON h.id = e.src GROUP BY 1) s
+        |  ON s.id = n.id),
+        |a2 AS MATERIALIZED (SELECT id, CAST(raw * 1000000
+        |  // (SELECT max(raw) FROM a2r) AS BIGINT) AS auth FROM a2r),
+        |h3r AS MATERIALIZED (SELECT n.id, COALESCE(s.raw, 0) AS raw
+        |  FROM nodes n LEFT JOIN (SELECT e.src AS id,
+        |      CAST(sum(a.auth) AS BIGINT) AS raw
+        |    FROM e JOIN a2 a ON a.id = e.dst GROUP BY 1) s
+        |  ON s.id = n.id),
+        |h3 AS MATERIALIZED (SELECT id, CAST(raw * 1000000
+        |  // (SELECT max(raw) FROM h3r) AS BIGINT) AS hub FROM h3r),
+        |a3r AS MATERIALIZED (SELECT n.id, COALESCE(s.raw, 0) AS raw
+        |  FROM nodes n LEFT JOIN (SELECT e.dst AS id,
+        |      CAST(sum(h.hub) AS BIGINT) AS raw
+        |    FROM e JOIN h3 h ON h.id = e.src GROUP BY 1) s
+        |  ON s.id = n.id),
+        |a3 AS MATERIALIZED (SELECT id, CAST(raw * 1000000
+        |  // (SELECT max(raw) FROM a3r) AS BIGINT) AS auth FROM a3r)
+        |SELECT h3.id, h3.hub, a3.auth
+        |FROM h3 JOIN a3 ON a3.id = h3.id
+        |ORDER BY h3.id""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

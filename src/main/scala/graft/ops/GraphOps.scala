@@ -62,6 +62,61 @@ object GraphOps {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM '99) — the directional
+    * complement of [[pageRankFixedPoint]]: a node is a good HUB when
+    * it links to good authorities and a good AUTHORITY when good hubs
+    * link to it (crawl curation: hub pages are link directories,
+    * authorities are the documents worth fetching). Synchronous
+    * mutual-recursion rounds in exact fixed point:
+    *
+    *   hub(u)  = Σ_{u→v} auth(v), then hub  ← hub·scale div max(hub)
+    *   auth(v) = Σ_{u→v} hub(u),  then auth ← auth·scale div max(auth)
+    *
+    * Max-normalization (not L2) keeps every score an exact integer in
+    * [0, scale] with the argmax pinned at `scale` — the ranking
+    * converges to the same principal eigenvector direction, and the
+    * whole run is a pure function of the graph any engine reproduces.
+    *
+    * Scale shape: per round, the edge table shuffles twice keyed by an
+    * endpoint carrying only (id, score) longs; the max is a broadcast
+    * one-row frame (never a driver collect); `localCheckpoint` per
+    * round (the [[pageRankFixedPoint]] plan-doubling discipline).
+    * Overflow bound: raw sums ≤ nodes·scale and normalization
+    * multiplies by `scale` before dividing — keep nodes·scale² < 2⁶³
+    * (defaults fine to ~9·10⁶ nodes; drop `scale` beyond). */
+  def hits(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && scale > 0,
+      s"need iters >= 1 and scale > 0, got iters=$iters scale=$scale")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    require(!e.isEmpty, "HITS needs at least one edge")
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
+    def normalized(raw: DataFrame, out: String): DataFrame = {
+      val mx = raw.agg(max("raw").as("mx"))
+      nodes.join(raw, Seq("id"), "left")
+        .select(col("id"), coalesce(col("raw"), lit(0L)).as("raw"))
+        .crossJoin(broadcast(mx))
+        .select(col("id"),
+          expr(s"CAST(raw * $scale div mx AS BIGINT)").as(out))
+    }
+    var auth = nodes.withColumn("auth", lit(scale)).localCheckpoint()
+    var hub: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      hub = normalized(
+        e.join(auth.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id")).agg(sum("auth").as("raw")),
+        "hub").localCheckpoint()
+      auth = normalized(
+        e.join(hub.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id")).agg(sum("hub").as("raw")),
+        "auth").localCheckpoint()
+      i += 1
+    }
+    hub.join(auth, "id")
+  }
+
   /** Exact triangle count on an undirected (src, dst) edge table — the
     * standard clustering-coefficient numerator (link-farm detection in
     * crawl curation: spam clusters are triangle-dense, genuine link

@@ -400,6 +400,61 @@ object EventsPipeline {
       .toDF(keyCol, seqCol, "side", "stat")
   }
 
+  /** Classical additive seasonal decomposition (the moving-average
+    * core of STL): per key, `value = trend + seasonal + residual`,
+    * where trend is the centered `period`-wide moving average (odd
+    * `period`; defined only where the window is FULL — no half-window
+    * edge guesses), seasonal is the per-(key, phase) mean of the
+    * detrended values, and the residual is what's left. The seasonal
+    * profile answers "is Sunday always low" while the residual is
+    * where anomaly detection ([[cusumFlags]]) should run — raw values
+    * alarm on every weekend otherwise.
+    *
+    * Exact integers throughout: values enter as micro units
+    * (`round(value·1e6)` — one libm-free double multiply + round),
+    * every mean is `sum div count` (truncating integer division, the
+    * DuckDB `//` contract). Shape: one key-partitioned ordered window
+    * (per-key series assumed bounded — the q147 discipline), one
+    * (key, phase) aggregate, one broadcast-sized join back on the
+    * key×period dimension. Rows without a full trend window carry
+    * null trend/seasonal/residual. `orderCols` must totally order
+    * each key's series (tie-break with a unique id). */
+  def seasonalDecompose(events: DataFrame, keyCol: String,
+      orderCols: Seq[String], valueCol: String, period: Int): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd and >= 3 for a centered window, got $period")
+    require(orderCols.nonEmpty, "orderCols must totally order each series")
+    import org.apache.spark.sql.expressions.Window
+    val half = period / 2
+    val ord = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+    val cen = ord.rowsBetween(-half, half)
+    val based = events
+      .withColumn("v_u6", round(col(valueCol) * 1000000d, 0).cast("long"))
+      .withColumn("idx", row_number().over(ord).cast("long"))
+      .withColumn("phase", (col("idx") - 1) % period)
+      .withColumn("trend_u6",
+        when(count(lit(1)).over(cen) === period,
+          expr(s"CAST(sum(v_u6) OVER (PARTITION BY $keyCol ORDER BY " +
+            orderCols.mkString(", ") +
+            s" ROWS BETWEEN $half PRECEDING AND $half FOLLOWING) " +
+            s"div $period AS BIGINT)")))
+      .withColumn("detr_u6", col("v_u6") - col("trend_u6"))
+    val seasonal = based.filter(col("detr_u6").isNotNull)
+      .groupBy(col(keyCol), col("phase"))
+      .agg(expr("CAST(sum(detr_u6) div count(1) AS BIGINT)")
+        .as("seasonal_u6"))
+    based.join(broadcast(seasonal), Seq(keyCol, "phase"), "left")
+      .withColumn("seasonal_u6",
+        when(col("trend_u6").isNotNull, col("seasonal_u6")))
+      .withColumn("resid_u6",
+        col("v_u6") - col("trend_u6") - col("seasonal_u6"))
+      .drop("detr_u6")
+      .select(Seq(col(keyCol), col("idx"), col("phase"), col("v_u6"),
+        col("trend_u6"), col("seasonal_u6"), col("resid_u6")) ++
+        orderCols.map(col): _*)
+  }
+
   /** Per-key watermark lateness audit — the number you need BEFORE
     * picking `withWatermark`'s delay: replay the arrival sequence
     * (`seqCol`, the ingest order) against event time (`tsCol`) and

@@ -180,6 +180,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long)].collect().toMap == r)
   }
 
+  test("hits: hand-computed truncating max-normalized rounds, pure " +
+      "hub and pure authority land at 0/scale, determinism, guards") {
+    // 1→2, 1→3, 2→3; scale 1000.
+    // r1: hub raw (2000,1000,0) → (1000,500,0);
+    //     auth raw 2:1000, 3:1500 → (0,666,1000)
+    // r2: hub raw 1:1666, 2:1000 → (1000, 600, 0);
+    //     auth raw 2:1000, 3:1600 → (0, 625, 1000)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val got = GraphOps.hits(e, iters = 2, scale = 1000L)
+      .select("id", "hub", "auth")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1000L, 0L), (2L, 600L, 625L),
+      (3L, 0L, 1000L)), s"got $got")
+    assert(GraphOps.hits(e, iters = 2, scale = 1000L)
+      .select("id", "hub", "auth")
+      .as[(Long, Long, Long)].collect().toSet == got)
+    intercept[IllegalArgumentException] { GraphOps.hits(e, iters = 0) }
+    intercept[IllegalArgumentException] {
+      GraphOps.hits(e.limit(0), iters = 1)
+    }
+  }
+
   test("triangleCount: K4 has 4 triangles; orientation dedups multi-edges/loops") {
     // K4 on {1,2,3,4} = C(4,3) = 4 triangles; reversed duplicates and a
     // self-loop must not change the count.

@@ -303,6 +303,35 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("seasonalDecompose: full-window centered trend, per-phase " +
+      "seasonal means, exact truncating micro arithmetic, edge nulls, " +
+      "per-key isolation, odd period enforced") {
+    val df = ((1 to 6).map(i =>
+        (1L, i.toLong, Seq(1d, 5d, 2d, 8d, 4d, 7d)(i - 1))) ++
+      (1 to 4).map(i => (2L, i.toLong, 3d))).toDF("k", "seq", "v")
+    val got = graft.streaming.EventsPipeline.seasonalDecompose(
+        df, "k", Seq("seq"), "v", period = 3)
+      .select("k", "idx", "phase", "v_u6", "trend_u6", "seasonal_u6",
+        "resid_u6")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 0L, 1000000L, None, None, None),
+      (1L, 2L, 1L, 5000000L, Some(2666666L), Some(0L), Some(2333334L)),
+      (1L, 3L, 2L, 2000000L, Some(5000000L), Some(-3000000L), Some(0L)),
+      (1L, 4L, 0L, 8000000L, Some(4666666L), Some(3333334L), Some(0L)),
+      (1L, 5L, 1L, 4000000L, Some(6333333L), Some(0L), Some(-2333333L)),
+      (1L, 6L, 2L, 7000000L, None, None, None),
+      (2L, 1L, 0L, 3000000L, None, None, None),
+      (2L, 2L, 1L, 3000000L, Some(3000000L), Some(0L), Some(0L)),
+      (2L, 3L, 2L, 3000000L, Some(3000000L), Some(0L), Some(0L)),
+      (2L, 4L, 0L, 3000000L, None, None, None)), s"got $got")
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventsPipeline.seasonalDecompose(
+        df, "k", Seq("seq"), "v", period = 4)
+    }
+  }
+
   test("latenessAudit: running high-water mark per key, exact micro " +
       "lags, drop verdicts per candidate delay, in-order keys silent") {
     def r(u: Long, seq: Long, epochS: Long) =

@@ -4172,6 +4172,16 @@ object SparkEntry {
           ((col("src") * 3 + 7) % 50).as("dst")))
         .filter(col("src") =!= col("dst"))
       graft.ops.GraphOps.hits(e, iters = 3).orderBy("id")
+    }),
+
+    // Greedy k-center coreset (Gonzalez farthest-point) over the
+    // embeddings: 5 diversity-maximizing picks, micro cosine distance,
+    // min-id seed, id tie-breaks. DuckDB replays every selection round
+    // (distance pass, running min, argmax) on the same vectors.
+    "q263_kcenter_coreset" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      graft.ops.Similarity.kCenterCoreset(t(s, dir, "embeddings"), k = 5)
+        .orderBy("pick")
     })
   )
 
@@ -4404,6 +4414,31 @@ object SparkEntry {
          |    w${t - 1}.wd + u$t.dd AS wd, w${t - 1}.wb + u$t.db AS wb
          |  FROM w${t - 1}, u$t)""".stripMargin
     }.mkString(",\n")
+
+  /** q263's greedy k-center replay: selection round `r` as two CTEs —
+    * the argmax pick over the running min-distance table `m(r-1)`
+    * (excluding earlier picks, id tie-break) and, unless it's the last
+    * round, the updated min-distance table `m(r)` against the new
+    * center (micro cosine distance, the q26 arithmetic). */
+  private def kcRoundCtes(r: Int, last: Boolean): String = {
+    val prevSel = (1 until r).map(i => s"SELECT id FROM c$i")
+      .mkString(" UNION ALL ")
+    val pick =
+      s"""c$r AS MATERIALIZED (SELECT id, mind FROM m${r - 1}
+         |  WHERE id NOT IN ($prevSel)
+         |  ORDER BY mind DESC, id LIMIT 1)""".stripMargin
+    if (last) pick else pick + ",\n" +
+      s"""m$r AS MATERIALIZED (
+         |  SELECT p.id, least(mm.mind, 1000000 - CAST(round(sum(p.x*p.y)
+         |    / (sqrt(sum(p.x*p.x)) * sqrt(sum(p.y*p.y))) * 1000000, 0)
+         |    AS BIGINT)) AS mind
+         |  FROM (SELECT a.vec_id AS id, unnest(a.embedding)::DOUBLE AS x,
+         |      unnest(e.embedding)::DOUBLE AS y
+         |    FROM embeddings a CROSS JOIN (SELECT embedding
+         |      FROM embeddings JOIN c$r ON vec_id = c$r.id) e) p
+         |  JOIN m${r - 1} mm ON mm.id = p.id
+         |  GROUP BY p.id, mm.mind)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -8767,7 +8802,31 @@ object SparkEntry {
         |  // (SELECT max(raw) FROM a3r) AS BIGINT) AS auth FROM a3r)
         |SELECT h3.id, h3.hub, a3.auth
         |FROM h3 JOIN a3 ON a3.id = h3.id
-        |ORDER BY h3.id""".stripMargin
+        |ORDER BY h3.id""".stripMargin,
+
+    "q263_kcenter_coreset" -> {
+      val rounds = (2 to 5).map(r => kcRoundCtes(r, last = r == 5))
+        .mkString(",\n")
+      val picks = (2 to 5)
+        .map(r => s"UNION ALL SELECT $r, id, mind FROM c$r")
+        .mkString("\n")
+      s"""WITH c1 AS MATERIALIZED (SELECT min(vec_id) AS id FROM embeddings),
+         |m1 AS MATERIALIZED (
+         |  SELECT p.id, 1000000 - CAST(round(sum(p.x*p.y)
+         |    / (sqrt(sum(p.x*p.x)) * sqrt(sum(p.y*p.y))) * 1000000, 0)
+         |    AS BIGINT) AS mind
+         |  FROM (SELECT a.vec_id AS id, unnest(a.embedding)::DOUBLE AS x,
+         |      unnest(e.embedding)::DOUBLE AS y
+         |    FROM embeddings a CROSS JOIN (SELECT embedding
+         |      FROM embeddings JOIN c1 ON vec_id = c1.id) e) p
+         |  GROUP BY p.id),
+         |$rounds
+         |SELECT CAST(pick AS BIGINT) AS pick, id,
+         |  CAST(sel_dist_u6 AS BIGINT) AS sel_dist_u6 FROM (
+         |  SELECT 1 AS pick, id, NULL AS sel_dist_u6 FROM c1
+         |  $picks)
+         |ORDER BY pick""".stripMargin
+    }
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

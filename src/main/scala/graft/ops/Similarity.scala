@@ -38,6 +38,63 @@ object Similarity {
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
 
+  /** Greedy k-center coreset (Gonzalez '85 farthest-point traversal) —
+    * the diversity-maximizing data-selection primitive: pick k points
+    * such that every corpus point is within the returned cover radius
+    * of some pick (a 2-approximation of the optimal k-center cover).
+    * The standard seed set for active learning / diverse fine-tuning
+    * subsets, and the honest counterpart to random sampling when the
+    * corpus has modes of very different sizes.
+    *
+    * Deterministic throughout: distance is `1e6 − round(cos·1e6)`
+    * (micro cosine distance, the engine-reproducible rounding), the
+    * seed is the minimum id, ties break on the id. Per round: ONE
+    * broadcast of a single center vector, one codegen'd map pass
+    * updating the running min-distance column, one top-1 aggregate
+    * (`TakeOrderedAndProject`-sized); the driver holds only the k
+    * picks — bounded by contract, never corpus-sized. k
+    * `localCheckpoint`s truncate the per-round lineage.
+    *
+    * Returns (pick 1..k, id, sel_dist_u6) — `sel_dist_u6` is the
+    * pick's distance to its nearest EARLIER center (the cover radius
+    * of the prefix; null for the seed). */
+  def kCenterCoreset(df: DataFrame, k: Int, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val pts = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v")).localCheckpoint()
+    val n = pts.count()
+    require(n >= k, s"need at least k=$k points, got $n")
+    val seedId = pts.agg(min("id")).head().getLong(0)
+    var selected = Vector[(Long, Long, java.lang.Long)](
+      (1L, seedId, null))
+    var cur = pts
+    var r = 2
+    while (r <= k) {
+      val cvec = broadcast(pts.filter(col("id") === selected.last._2)
+        .select(col("v").as("cv")))
+      val du6 = lit(1000000L) -
+        round(vecCosine(col("v"), col("cv")) * 1000000d, 0).cast("long")
+      cur = (if (r == 2) cur.crossJoin(cvec).withColumn("mind", du6)
+             else cur.crossJoin(cvec)
+               .withColumn("mind", least(col("mind"), du6)))
+        .drop("cv").localCheckpoint()
+      val pick = cur.filter(!col("id").isin(selected.map(_._2): _*))
+        .orderBy(desc("mind"), asc("id")).select("id", "mind").head()
+      selected :+= ((r.toLong, pick.getLong(0),
+        java.lang.Long.valueOf(pick.getLong(1))))
+      r += 1
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("pick", LongType, false),
+      StructField("id", LongType, false),
+      StructField("sel_dist_u6", LongType, true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(selected.map(t =>
+        org.apache.spark.sql.Row(t._1, t._2, t._3)), 1), schema)
+  }
+
   /** Sequential-double-accumulation cosine rounded to 6 decimals — the
     * CosineSimilarity arithmetic (engine-reproducible), shared by the
     * HNSW block passes. */

@@ -784,6 +784,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
 
   private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  test("kCenterCoreset: farthest-point picks in hand order, duplicate " +
+      "of the seed picked last at distance 0, id tie-breaks, guards") {
+    graft.functions.GraftFunctions.register(spark)
+    // a=(1,0) b=(0,1) c=(1,1) d=dup of a; micro dists: a↔b 1e6,
+    // a↔c = 1e6−707107 = 292893
+    val df = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)),
+        (3L, Seq(1f, 1f)), (4L, Seq(1f, 0f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val got = Similarity.kCenterCoreset(df, k = 4)
+      .as[(Long, Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, 1L, None), (2L, 2L, Some(1000000L)),
+      (3L, 3L, Some(292893L)), (4L, 4L, Some(0L))), s"got $got")
+    intercept[IllegalArgumentException] {
+      Similarity.kCenterCoreset(df, k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.kCenterCoreset(df, k = 5)
+    }
+  }
+
   test("PqIndex: codes bounded, clusters separate under ADC, deterministic") {
     // two well-separated clusters in 8-d; m=2 subspaces, k=2 codebooks
     def jitter(base: Array[Float], eps: Float) = base.map(_ + eps)

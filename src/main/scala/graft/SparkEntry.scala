@@ -4182,7 +4182,15 @@ object SparkEntry {
       graft.functions.GraftFunctions.register(s)
       graft.ops.Similarity.kCenterCoreset(t(s, dir, "embeddings"), k = 5)
         .orderBy("pick")
-    })
+    }),
+
+    // Interpolated Kneser-Ney bigram LM over the corpus: absolute
+    // discount 3/4, continuation-unigram back-off, one exact rational
+    // per observed bigram micro-rounded by truncating division.
+    // DuckDB re-derives every count table and the identical rational.
+    "q264_kneser_ney" -> ((s, dir) =>
+      graft.ops.TextAnalysis.kneserNeyBigram(t(s, dir, "documents"))
+        .orderBy("prev", "next"))
   )
 
   // ---------------------------------------------------------------------
@@ -8826,7 +8834,30 @@ object SparkEntry {
          |  SELECT 1 AS pick, id, NULL AS sel_dist_u6 FROM c1
          |  $picks)
          |ORDER BY pick""".stripMargin
-    }
+    },
+
+    "q264_kneser_ney" ->
+      """WITH toks AS (SELECT doc_id, idx, parts[idx+1] AS tok FROM (
+        |    SELECT doc_id, parts, unnest(range(len(parts))) AS idx FROM (
+        |      SELECT doc_id, string_split(text, ' ') AS parts
+        |      FROM documents))),
+        |pairs AS (SELECT a.tok AS prev, b.tok AS next
+        |  FROM toks a JOIN toks b
+        |    ON a.doc_id = b.doc_id AND b.idx = a.idx + 1),
+        |cnts AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM pairs GROUP BY 1, 2),
+        |lft AS (SELECT prev, CAST(sum(cnt) AS BIGINT) AS c1,
+        |    CAST(count(*) AS BIGINT) AS n1_fwd FROM cnts GROUP BY 1),
+        |cont AS (SELECT next, CAST(count(*) AS BIGINT) AS n1_bwd
+        |  FROM cnts GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM cnts)
+        |SELECT c.prev, c.next, c.cnt, l.c1, l.n1_fwd, o.n1_bwd,
+        |  CAST((greatest(c.cnt * 4 - 3, 0) * nt.ntot
+        |    + 3 * l.n1_fwd * o.n1_bwd) * 1000000
+        |    // (4 * l.c1 * nt.ntot) AS BIGINT) AS p_u6
+        |FROM cnts c JOIN lft l ON l.prev = c.prev
+        |JOIN cont o ON o.next = c.next CROSS JOIN nt
+        |ORDER BY c.prev, c.next""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

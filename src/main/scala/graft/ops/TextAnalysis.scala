@@ -690,6 +690,44 @@ object TextAnalysis {
       .select(col("bg._1").as("prev"), col("bg._2").as("next"))
       .groupBy("prev", "next").agg(count(lit(1)).as("cnt"))
 
+  /** Interpolated Kneser–Ney bigram LM (Kneser & Ney, ICASSP '95; the
+    * Chen–Goodman formulation) — the principled upgrade over
+    * [[stupidBackoffScores]]: absolute discounting with the CONTINUATION
+    * unigram as the back-off ("Francisco" is frequent but follows only
+    * "San", so its continuation probability is tiny). With discount
+    * D = dNum/dDen:
+    *
+    *   P(w₂|w₁) = max(c₁₂ − D, 0)/c₁ + (D·N₁₊(w₁·)/c₁) · N₁₊(·w₂)/N₁₊(··)
+    *
+    * computed as ONE exact rational over the common denominator
+    * dDen·c₁·Ntot and micro-rounded once by truncating division —
+    * engine-independent longs, no libm. Overflow bound:
+    * c₁₂·dDen·Ntot·10⁶ < 2⁶³ (fine to ~10⁵ max bigram count × 10⁶
+    * bigram types at dDen=4; promote to DecimalType beyond).
+    *
+    * Scale shape: everything lives on the (prev, next) bigram-type
+    * dimension — two aggregates off the pair counts, one scalar, two
+    * vocab-keyed joins; documents never shuffle (the explode streams
+    * map-side into the first aggregate). Returns observed bigrams only:
+    * (prev, next, cnt, c1, n1_fwd, n1_bwd, p_u6). */
+  def kneserNeyBigram(docs: org.apache.spark.sql.DataFrame,
+      textCol: String = "text", dNum: Long = 3L,
+      dDen: Long = 4L): org.apache.spark.sql.DataFrame = {
+    require(dNum > 0 && dDen > dNum,
+      s"discount must satisfy 0 < dNum < dDen, got $dNum/$dDen")
+    val pairs = bigramCounts(docs, textCol).localCheckpoint()
+    val left = pairs.groupBy("prev")
+      .agg(sum("cnt").as("c1"), count(lit(1)).as("n1_fwd"))
+    val cont = pairs.groupBy("next").agg(count(lit(1)).as("n1_bwd"))
+    val ntot = pairs.count()
+    pairs.join(left, "prev").join(cont, "next")
+      .withColumn("p_u6", expr(
+        s"CAST((greatest(cnt * $dDen - $dNum, 0) * $ntot + " +
+        s"$dNum * n1_fwd * n1_bwd) * 1000000 " +
+        s"div ($dDen * c1 * $ntot) AS BIGINT)"))
+      .select("prev", "next", "cnt", "c1", "n1_fwd", "n1_bwd", "p_u6")
+  }
+
   /** Gopher's top-n-gram repetition signal in exact integers: per doc,
     * the count of its MOST frequent bigram and the total bigram count —
     * templated/spam text concentrates mass in one transition

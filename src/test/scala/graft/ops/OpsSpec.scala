@@ -2034,6 +2034,25 @@ class TokenizerSpec extends AnyFunSuite with SparkTestBase {
     assert(first == Seq("aa"), s"score tie must break on term asc: $first")
   }
 
+  test("kneserNeyBigram: hand-computed exact rationals, discounted " +
+      "mass flows to the continuation term, discount bounds enforced") {
+    // corpus "a b a c" + "b a": cnts (a,b)=1 (a,c)=1 (b,a)=2;
+    // c1(a)=2 n1fwd(a)=2; c1(b)=2 n1fwd(b)=1; n1bwd all 1; ntot=3
+    // D=3/4: p(b|a) = (1·3 + 3·2·1)/(4·2·3) = 9/24 → 375000 (=p(c|a));
+    //        p(a|b) = (5·3 + 3·1·1)/24 = 18/24 → 750000
+    val docs = Seq("a b a c", "b a").toDF("text")
+    val got = TextAnalysis.kneserNeyBigram(docs)
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set(
+      ("a", "b", 1L, 2L, 2L, 1L, 375000L),
+      ("a", "c", 1L, 2L, 2L, 1L, 375000L),
+      ("b", "a", 2L, 2L, 1L, 1L, 750000L)), s"got $got")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.kneserNeyBigram(docs, dNum = 4L, dDen = 4L)
+    }
+  }
+
   test("keyness: hand-computed micro log-likelihood both directions, " +
       "zero side contributes zero, minTotal prunes, sign exact") {
     // A = "a a b" (n1=3), B = "b c" (n2=2), N=5

@@ -4190,7 +4190,16 @@ object SparkEntry {
     // DuckDB re-derives every count table and the identical rational.
     "q264_kneser_ney" -> ((s, dir) =>
       graft.ops.TextAnalysis.kneserNeyBigram(t(s, dir, "documents"))
-        .orderBy("prev", "next"))
+        .orderBy("prev", "next")),
+
+    // TextRank keyword extraction: PageRank over the window-2 token
+    // co-occurrence graph (linear shifted-stream equi-join, never the
+    // per-doc quadratic range join), exact fixed-point ranks, top-15.
+    // DuckDB re-derives the graph and replays the rank recursion.
+    "q265_textrank" -> ((s, dir) =>
+      graft.ops.TextAnalysis.textRankKeywords(
+        t(s, dir, "documents"), window = 2, iters = 5, k = 15)
+        .orderBy(desc("rank"), asc("token")))
   )
 
   // ---------------------------------------------------------------------
@@ -8857,7 +8866,40 @@ object SparkEntry {
         |    // (4 * l.c1 * nt.ntot) AS BIGINT) AS p_u6
         |FROM cnts c JOIN lft l ON l.prev = c.prev
         |JOIN cont o ON o.next = c.next CROSS JOIN nt
-        |ORDER BY c.prev, c.next""".stripMargin
+        |ORDER BY c.prev, c.next""".stripMargin,
+
+    "q265_textrank" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, idx, parts[idx+1] AS tok FROM (
+        |    SELECT doc_id, parts, unnest(range(len(parts))) AS idx FROM (
+        |      SELECT doc_id, string_split(text, ' ') AS parts
+        |      FROM documents))),
+        |pairs AS (SELECT a.tok AS src, b.tok AS dst
+        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+        |    AND b.idx > a.idx AND b.idx <= a.idx + 2
+        |  WHERE a.tok <> b.tok),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT src, dst FROM pairs
+        |  UNION ALL SELECT dst, src FROM pairs)),
+        |nodes AS (SELECT DISTINCT id FROM (
+        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        |e0 AS (SELECT src, dst, 1 AS w FROM e
+        |  UNION ALL SELECT id, id, 0 FROM nodes),
+        |pr(id, rank, iter) AS (
+        |  SELECT id, CAST(1000000000 AS BIGINT), 0 FROM nodes
+        |  UNION ALL
+        |  SELECT e0.dst,
+        |    CAST(150000000 + SUM(e0.w * ((p.rank * 85)
+        |      // (100 * COALESCE(o.outdeg, 1)))) AS BIGINT),
+        |    p.iter + 1
+        |  FROM pr p
+        |  JOIN e0 ON e0.src = p.id
+        |  LEFT JOIN outdeg o ON o.src = e0.src
+        |  WHERE p.iter < 5
+        |  GROUP BY e0.dst, p.iter)
+        |SELECT id AS token, rank FROM pr WHERE iter = 5
+        |ORDER BY rank DESC, token LIMIT 15""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -728,6 +728,44 @@ object TextAnalysis {
       .select("prev", "next", "cnt", "c1", "n1_fwd", "n1_bwd", "p_u6")
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP '04):
+    * PageRank over the token co-occurrence graph — a token matters
+    * when it co-occurs with tokens that matter. Tokens within
+    * `window` positions of each other (same document) get an
+    * undirected edge; ranks come from [[GraphOps.pageRankFixedPoint]]
+    * (exact fixed-point integers, engine-reproducible), top-k by
+    * (rank desc, token asc).
+    *
+    * Scale shape: the co-occurrence join is `window` shifted copies
+    * of the token stream equi-joined on (doc, position) — LINEAR in
+    * corpus size, never the per-doc quadratic "positions within
+    * distance w" range join; from there everything lives on the
+    * vocabulary dimension (PageRank's per-iteration shuffles carry
+    * (token, rank) only). Top-k is a `TakeOrderedAndProject`, not a
+    * global sort. Returns (token, rank). */
+  def textRankKeywords(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      window: Int = 2, iters: Int = 5,
+      k: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(window >= 1 && iters >= 1 && k >= 1,
+      s"need window/iters/k >= 1, got $window/$iters/$k")
+    val toks = docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")))
+      .toDF(idCol, "idx", "tok")
+    val shifted = (1 to window).map(d => toks.select(col(idCol),
+        (col("idx") + d).as("idx"), col("tok").as("src")))
+      .reduce(_ unionByName _)
+    val pairs = shifted
+      .join(toks.withColumnRenamed("tok", "dst"), Seq(idCol, "idx"))
+      .filter(col("src") =!= col("dst"))
+    val edges = pairs.select("src", "dst").unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    GraphOps.pageRankFixedPoint(edges, iters)
+      .orderBy(desc("rank"), asc("id"))
+      .limit(k)
+      .withColumnRenamed("id", "token")
+  }
+
   /** Gopher's top-n-gram repetition signal in exact integers: per doc,
     * the count of its MOST frequent bigram and the total bigram count —
     * templated/spam text concentrates mass in one transition

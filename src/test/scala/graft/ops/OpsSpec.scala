@@ -2034,6 +2034,28 @@ class TokenizerSpec extends AnyFunSuite with SparkTestBase {
     assert(first == Seq("aa"), s"score tie must break on term asc: $first")
   }
 
+  test("textRankKeywords: hand-computed PageRank over the window " +
+      "graph, hub token wins, rank ties break on token asc, a " +
+      "window-2 triangle is symmetric, guards") {
+    // "x y z y", window 1 → undirected star through y:
+    // iter2 ranks y=1127500000, x=z=936250000 (tie → x first)
+    val docs = Seq((1L, "x y z y")).toDF("doc_id", "text")
+    val got = TextAnalysis.textRankKeywords(docs, window = 1,
+        iters = 2, k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("y", 1127500000L), ("x", 936250000L)), s"got $got")
+    // window 2 closes "a b c" into a triangle: all ranks equal scale
+    val tri = TextAnalysis.textRankKeywords(
+        Seq((1L, "a b c")).toDF("doc_id", "text"), window = 2,
+        iters = 3, k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(tri == Seq(("a", 1000000000L), ("b", 1000000000L),
+      ("c", 1000000000L)), s"got $tri")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.textRankKeywords(docs, window = 0)
+    }
+  }
+
   test("kneserNeyBigram: hand-computed exact rationals, discounted " +
       "mass flows to the continuation term, discount bounds enforced") {
     // corpus "a b a c" + "b a": cnts (a,b)=1 (a,c)=1 (b,a)=2;

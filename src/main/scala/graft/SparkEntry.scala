@@ -4199,7 +4199,19 @@ object SparkEntry {
     "q265_textrank" -> ((s, dir) =>
       graft.ops.TextAnalysis.textRankKeywords(
         t(s, dir, "documents"), window = 2, iters = 5, k = 15)
-        .orderBy(desc("rank"), asc("token")))
+        .orderBy(desc("rank"), asc("token"))),
+
+    // Declarative expectation-suite audit over orders: four row rules
+    // + key uniqueness, all evaluated in ONE aggregate pass (null
+    // predicate = violation). DuckDB re-derives every rule's counts.
+    "q266_expectations" -> ((s, dir) =>
+      graft.ops.Profile.expectationsAudit(t(s, dir, "orders"), Seq(
+        ("orderkey_not_null", col("o_orderkey").isNotNull),
+        ("totalprice_positive", col("o_totalprice") > 0),
+        ("status_known", col("o_orderstatus").isin("O", "F", "P")),
+        ("priority_nonempty", length(col("o_orderpriority")) > 0)),
+        uniqueCols = Seq("o_orderkey"))
+        .orderBy("rule"))
   )
 
   // ---------------------------------------------------------------------
@@ -8899,7 +8911,28 @@ object SparkEntry {
         |  WHERE p.iter < 5
         |  GROUP BY e0.dst, p.iter)
         |SELECT id AS token, rank FROM pr WHERE iter = 5
-        |ORDER BY rank DESC, token LIMIT 15""".stripMargin
+        |ORDER BY rank DESC, token LIMIT 15""".stripMargin,
+
+    "q266_expectations" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN NOT COALESCE(o_orderkey IS NOT NULL,
+        |    FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+        |  CAST(sum(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+        |  CAST(sum(CASE WHEN NOT COALESCE(o_orderstatus IN
+        |    ('O', 'F', 'P'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+        |  CAST(sum(CASE WHEN NOT COALESCE(len(o_orderpriority) > 0,
+        |    FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS b4,
+        |  CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+        |    AS BIGINT) AS b5
+        |  FROM orders)
+        |SELECT rule, n_rows, n_bad, n_bad = 0 AS pass FROM (
+        |  SELECT 'orderkey_not_null' AS rule, n_rows, b1 AS n_bad FROM a
+        |  UNION ALL SELECT 'totalprice_positive', n_rows, b2 FROM a
+        |  UNION ALL SELECT 'status_known', n_rows, b3 FROM a
+        |  UNION ALL SELECT 'priority_nonempty', n_rows, b4 FROM a
+        |  UNION ALL SELECT 'unique_o_orderkey', n_rows, b5 FROM a)
+        |ORDER BY rule""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -344,6 +344,49 @@ object Profile {
       "gini_pm")
   }
 
+  /** Declarative expectation-suite audit (the Great-Expectations
+    * shape, engine-native): evaluate a set of named ROW expectations
+    * (each a boolean Column — null counts as a violation, the
+    * conservative read) plus per-column uniqueness expectations, all
+    * in ONE aggregate pass over the table — R rules never mean R
+    * scans. Returns one row per rule: (rule, n_rows, n_bad, pass),
+    * uniqueness reported as `unique_<col>` with n_bad = non-null
+    * count − distinct count (the surplus duplicates).
+    *
+    * Scale shape: a single partial-aggregable pass (every expression
+    * is a sum/count; `countDistinct` plans as the two-level distinct
+    * aggregate); the driver holds one row of 2R+U+1 longs — the rule
+    * dimension, bounded by contract. */
+  def expectationsAudit(df: DataFrame, rowRules: Seq[(String, Column)],
+      uniqueCols: Seq[String] = Nil): DataFrame = {
+    require(rowRules.nonEmpty || uniqueCols.nonEmpty,
+      "need at least one expectation")
+    require((rowRules.map(_._1) ++ uniqueCols.map("unique_" + _))
+      .distinct.size == rowRules.size + uniqueCols.size,
+      "rule names must be unique")
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      rowRules.map { case (name, pred) =>
+        sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
+          .as(s"__bad_$name") } ++
+      uniqueCols.flatMap(c => Seq(count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def lng(name: String): Long = { // empty-table sums come back null
+      val i = row.fieldIndex(name)
+      if (row.isNullAt(i)) 0L else row.getLong(i)
+    }
+    val n = row.getLong(0)
+    val out = rowRules.map { case (name, _) =>
+      val bad = lng(s"__bad_$name")
+      (name, n, bad, bad == 0L)
+    } ++ uniqueCols.map { c =>
+      val bad = lng(s"__nn_$c") - lng(s"__nd_$c")
+      (s"unique_$c", n, bad, bad == 0L)
+    }
+    df.sparkSession.createDataFrame(out)
+      .toDF("rule", "n_rows", "n_bad", "pass")
+  }
+
   /** RFM segmentation (recency / frequency / monetary quintiles) —
     * the classic entity-value grid, equally useful segmenting crawl
     * DOMAINS by last-seen / page-count / content-mass before assigning

@@ -1982,6 +1982,34 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("expectationsAudit: one-pass rule sums, null predicate counts " +
+      "as violation, uniqueness surplus, empty table all-pass, guards") {
+    val df = Seq((1L, Option(10L), "a"), (2L, None, "b"),
+        (2L, Option(-5L), "b"), (4L, Option(3L), null))
+      .toDF("id", "v", "s")
+    val rules = Seq(
+      ("v_positive", col("v") > 0),
+      ("s_not_null", col("s").isNotNull),
+      ("id_not_null", col("id").isNotNull))
+    val got = Profile.expectationsAudit(df, rules, Seq("id"))
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      ("v_positive", 4L, 2L, false),
+      ("s_not_null", 4L, 1L, false),
+      ("id_not_null", 4L, 0L, true),
+      ("unique_id", 4L, 1L, false)), s"got $got")
+    val empty = Profile.expectationsAudit(df.limit(0), rules, Seq("id"))
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(empty.length == 4 && empty.forall(r => r._2 == 0 && r._4))
+    intercept[IllegalArgumentException] {
+      Profile.expectationsAudit(df, Nil, Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.expectationsAudit(df,
+        Seq(("unique_id", col("id").isNotNull)), Seq("id"))
+    }
+  }
+
   test("rfmSegments: staircase corpus gives r=f=m=k, segment k·111, " +
       "ties on a dimension break by entity, buckets bound enforced") {
     import java.sql.Timestamp

@@ -4211,7 +4211,15 @@ object SparkEntry {
         ("status_known", col("o_orderstatus").isin("O", "F", "P")),
         ("priority_nonempty", length(col("o_orderpriority")) > 0)),
         uniqueCols = Seq("o_orderkey"))
-        .orderBy("rule"))
+        .orderBy("rule")),
+
+    // Per-document token Shannon entropy (micro log10 units): the
+    // information-density quality gate — exact count ratios, one
+    // micro-rounded surprisal per type, truncating division. DuckDB
+    // re-derives every distribution.
+    "q267_token_entropy" -> ((s, dir) =>
+      graft.ops.TextAnalysis.tokenEntropy(t(s, dir, "documents"))
+        .orderBy("doc_id"))
   )
 
   // ---------------------------------------------------------------------
@@ -8932,7 +8940,23 @@ object SparkEntry {
         |  UNION ALL SELECT 'status_known', n_rows, b3 FROM a
         |  UNION ALL SELECT 'priority_nonempty', n_rows, b4 FROM a
         |  UNION ALL SELECT 'unique_o_orderkey', n_rows, b5 FROM a)
-        |ORDER BY rule""".stripMargin
+        |ORDER BY rule""".stripMargin,
+
+    "q267_token_entropy" ->
+      """WITH tk AS (SELECT doc_id, t AS tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+        |      '\s+')) AS t FROM documents) WHERE t <> ''),
+        |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+        |    CAST(count(*) AS BIGINT) AS n_types FROM c GROUP BY 1)
+        |SELECT c.doc_id, tt.n_tok, tt.n_types,
+        |  CAST(sum(c.c * CAST(round(log10(CAST(tt.n_tok AS DOUBLE)
+        |    / c.c) * 1000000, 0) AS BIGINT)) // tt.n_tok AS BIGINT)
+        |    AS entropy_u6
+        |FROM c JOIN tt USING (doc_id)
+        |GROUP BY c.doc_id, tt.n_tok, tt.n_types
+        |ORDER BY doc_id""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -728,6 +728,39 @@ object TextAnalysis {
       .select("prev", "next", "cnt", "c1", "n1_fwd", "n1_bwd", "p_u6")
   }
 
+  /** Per-document token Shannon entropy (micro log10 units) — the
+    * information-density quality signal between length filters and
+    * the Gopher repetition gates: template/spam text concentrates
+    * mass in few types (entropy → 0), natural prose spreads it
+    * (entropy → log10 of the type count). Exact-integer discipline:
+    * each type's surprisal log10(n/c) is micro-rounded ONCE from an
+    * exact count ratio, the entropy is the count-weighted sum over
+    * types divided (truncating) by n — engine-reproducible, no float
+    * accumulation order anywhere.
+    *
+    * Scale shape: (doc, token)-keyed counts then doc-keyed sums —
+    * documents explode map-side and never shuffle whole. Returns
+    * (id, n_tok, n_types, entropy_u6); empty/whitespace docs are
+    * absent (no tokens, no distribution). */
+  def tokenEntropy(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val cnt = docs.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col(idCol))
+      .agg(sum("c").as("n_tok"), count(lit(1)).as("n_types"))
+    cnt.join(tot, idCol)
+      .withColumn("l_u6",
+        round(log10(col("n_tok").cast("double") / col("c")) * 1000000, 0)
+          .cast("long"))
+      .groupBy(col(idCol), col("n_tok"), col("n_types"))
+      .agg(sum(col("c") * col("l_u6")).as("s"))
+      .withColumn("entropy_u6", expr("CAST(s div n_tok AS BIGINT)"))
+      .drop("s")
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP '04):
     * PageRank over the token co-occurrence graph — a token matters
     * when it co-occurs with tokens that matter. Tokens within

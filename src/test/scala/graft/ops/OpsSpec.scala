@@ -2062,6 +2062,20 @@ class TokenizerSpec extends AnyFunSuite with SparkTestBase {
     assert(first == Seq("aa"), s"score tie must break on term asc: $first")
   }
 
+  test("tokenEntropy: uniform two-type doc at log10(2), constant doc " +
+      "at zero, four distinct types at log10(4), truncating division, " +
+      "empty doc absent") {
+    val docs = Seq((1L, "a a b b"), (2L, "x x x x"),
+      (3L, "a b c d"), (4L, "a a b"), (5L, "   ")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs)
+      .select("doc_id", "n_tok", "n_types", "entropy_u6")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 4: (2·round(log10(3/2)·1e6) + 1·round(log10(3)·1e6)) div 3
+    //      = (2·176091 + 477121) div 3 = 829303 div 3 = 276434
+    assert(got == Set((1L, 4L, 2L, 301030L), (2L, 4L, 1L, 0L),
+      (3L, 4L, 4L, 602060L), (4L, 3L, 2L, 276434L)), s"got $got")
+  }
+
   test("textRankKeywords: hand-computed PageRank over the window " +
       "graph, hub token wins, rank ties break on token asc, a " +
       "window-2 triangle is symmetric, guards") {

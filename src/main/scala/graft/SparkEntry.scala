@@ -4219,7 +4219,16 @@ object SparkEntry {
     // re-derives every distribution.
     "q267_token_entropy" -> ((s, dir) =>
       graft.ops.TextAnalysis.tokenEntropy(t(s, dir, "documents"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Per-language unigram KL divergence from the pooled corpus: the
+    // source-drift audit in exact micro log10 units (observed terms
+    // only, one micro-rounded log-ratio per (class, term), truncating
+    // class division). DuckDB re-derives all four count tables.
+    "q268_source_divergence" -> ((s, dir) =>
+      graft.ops.TextAnalysis.sourceDivergence(
+        t(s, dir, "documents"), classCol = "lang")
+        .orderBy("cls"))
   )
 
   // ---------------------------------------------------------------------
@@ -8956,7 +8965,28 @@ object SparkEntry {
         |    AS entropy_u6
         |FROM c JOIN tt USING (doc_id)
         |GROUP BY c.doc_id, tt.n_tok, tt.n_types
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q268_source_divergence" ->
+      """WITH tk AS (SELECT cls, t AS term FROM (
+        |    SELECT CAST(lang AS VARCHAR) AS cls,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |st AS (SELECT cls, term, CAST(count(*) AS BIGINT) AS c_st
+        |  FROM tk GROUP BY 1, 2),
+        |pc AS (SELECT cls, CAST(sum(c_st) AS BIGINT) AS n_s,
+        |    CAST(count(*) AS BIGINT) AS n_types FROM st GROUP BY 1),
+        |pt AS (SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t
+        |  FROM st GROUP BY 1),
+        |nn AS (SELECT CAST(sum(c_st) AS BIGINT) AS n_corpus FROM st)
+        |SELECT st.cls, pc.n_s AS n_tok, pc.n_types,
+        |  CAST(sum(st.c_st * CAST(round(log10(
+        |    CAST(st.c_st * nn.n_corpus AS DOUBLE) / (pc.n_s * pt.c_t))
+        |    * 1000000, 0) AS BIGINT)) // pc.n_s AS BIGINT) AS kl_u6
+        |FROM st JOIN pc ON pc.cls = st.cls
+        |JOIN pt ON pt.term = st.term CROSS JOIN nn
+        |GROUP BY st.cls, pc.n_s, pc.n_types
+        |ORDER BY st.cls""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

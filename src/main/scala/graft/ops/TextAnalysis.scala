@@ -761,6 +761,43 @@ object TextAnalysis {
       .drop("s")
   }
 
+  /** Per-class unigram KL divergence from the corpus (micro log10
+    * units) — the source-drift audit: KL(P_class ‖ P_corpus) flags
+    * sources whose vocabulary distribution diverges from the pool
+    * (wrong language, boilerplate farms, schema rot in a feed). Only
+    * observed terms contribute (p=0 terms add 0, and every observed
+    * class term exists in the corpus, so no smoothing is needed);
+    * each log-ratio micro-rounds ONCE from an exact count ratio
+    * (c_st·N)/(n_s·c_t), the class sum divides truncating by n_s —
+    * the [[keyness]]/[[tokenEntropy]] discipline, engine-exact.
+    *
+    * Scale shape: (class, term) counts joined to the term-dimension
+    * corpus counts plus one broadcast scalar — vocabulary joins only,
+    * documents never shuffle. Returns (cls, n_tok, n_types, kl_u6). */
+  def sourceDivergence(docs: org.apache.spark.sql.DataFrame,
+      classCol: String = "source",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(classCol).cast("string").as("cls"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val st = toks.groupBy("cls", "term").agg(count(lit(1)).as("c_st"))
+      .localCheckpoint()
+    val perCls = st.groupBy("cls")
+      .agg(sum("c_st").as("n_s"), count(lit(1)).as("n_types"))
+    val perTerm = st.groupBy("term").agg(sum("c_st").as("c_t"))
+    val total = st.agg(sum("c_st").as("n_corpus"))
+    st.join(perCls, "cls").join(perTerm, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("l_u6", round(log10(
+          (col("c_st") * col("n_corpus")).cast("double") /
+          (col("n_s") * col("c_t"))) * 1000000, 0).cast("long"))
+      .groupBy(col("cls"), col("n_s"), col("n_types"))
+      .agg(sum(col("c_st") * col("l_u6")).as("s"))
+      .withColumn("kl_u6", expr("CAST(s div n_s AS BIGINT)"))
+      .select(col("cls"), col("n_s").as("n_tok"), col("n_types"),
+        col("kl_u6"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP '04):
     * PageRank over the token co-occurrence graph — a token matters
     * when it co-occurs with tokens that matter. Tokens within

@@ -2076,6 +2076,22 @@ class TokenizerSpec extends AnyFunSuite with SparkTestBase {
       (3L, 4L, 4L, 602060L), (4L, 3L, 2L, 276434L)), s"got $got")
   }
 
+  test("sourceDivergence: hand-computed micro KL per class, identical " +
+      "class at zero, divergent class positive, truncating division") {
+    // A = "a a b", B = "b b b": KL(A)=301030 div 3=100343,
+    // KL(B)=3·176091 div 3=176091
+    val docs = Seq(("A", "a a b"), ("B", "b b b")).toDF("src", "text")
+    val got = TextAnalysis.sourceDivergence(docs, "src")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("A", 3L, 2L, 100343L), ("B", 3L, 1L, 176091L)),
+      s"got $got")
+    // a single class IS the corpus: every ratio is 1, KL exactly 0
+    val single = TextAnalysis.sourceDivergence(
+      Seq(("A", "a b c")).toDF("src", "text"), "src")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(single == Seq(("A", 3L, 3L, 0L)), s"got $single")
+  }
+
   test("textRankKeywords: hand-computed PageRank over the window " +
       "graph, hub token wins, rank ties break on token asc, a " +
       "window-2 triangle is symmetric, guards") {

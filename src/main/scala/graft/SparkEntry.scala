@@ -4228,7 +4228,21 @@ object SparkEntry {
     "q268_source_divergence" -> ((s, dir) =>
       graft.ops.TextAnalysis.sourceDivergence(
         t(s, dir, "documents"), classCol = "lang")
-        .orderBy("cls"))
+        .orderBy("cls")),
+
+    // Weight-of-evidence / information value over the q257 score/label
+    // fixture binned to 5 levels: Laplace-smoothed exact cross-ratio
+    // logs, micro shares by truncating division, per-bin IV terms.
+    // DuckDB re-derives bins, counts, and both micro quantities.
+    "q269_woe_iv" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+          expr("CAST(least(greatest((n_chars - 100) * 2, 0), 1000) " +
+            "div 20 AS BIGINT)").as("score_b"))
+        .withColumn("label",
+          ((col("doc_id") * 7919) % 50 < col("score_b")).cast("long"))
+        .withColumn("bin", expr("CAST(score_b div 10 AS BIGINT)"))
+      graft.ops.Profile.woeIv(d, "bin", "label").orderBy("bin")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -8986,7 +9000,33 @@ object SparkEntry {
         |FROM st JOIN pc ON pc.cls = st.cls
         |JOIN pt ON pt.term = st.term CROSS JOIN nn
         |GROUP BY st.cls, pc.n_s, pc.n_types
-        |ORDER BY st.cls""".stripMargin
+        |ORDER BY st.cls""".stripMargin,
+
+    "q269_woe_iv" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(least(greatest((n_chars - 100) * 2, 0), 1000) // 20
+        |      AS BIGINT) AS score_b
+        |  FROM documents),
+        |l AS (SELECT score_b // 10 AS bin,
+        |    CASE WHEN (doc_id * 7919) % 50 < score_b THEN 1 ELSE 0 END
+        |      AS y FROM d),
+        |a AS (SELECT bin, CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+        |  FROM l GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS p,
+        |    CAST(sum(n_neg) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS b FROM a),
+        |w AS (SELECT a.bin, a.n_pos, a.n_neg,
+        |    CAST(round(log10(CAST((a.n_pos + 1) * (t.n + t.b) AS DOUBLE)
+        |      / ((a.n_neg + 1) * (t.p + t.b))) * 1000000, 0) AS BIGINT)
+        |      AS woe_u6,
+        |    CAST((a.n_pos + 1) * 1000000 // (t.p + t.b)
+        |      - (a.n_neg + 1) * 1000000 // (t.n + t.b) AS BIGINT)
+        |      AS dp_u6
+        |  FROM a CROSS JOIN t)
+        |SELECT bin, n_pos, n_neg, woe_u6,
+        |  CAST((dp_u6 * woe_u6) // 1000000 AS BIGINT) AS iv_u6
+        |FROM w ORDER BY bin""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -387,6 +387,46 @@ object Profile {
       .toDF("rule", "n_rows", "n_bad", "pass")
   }
 
+  /** Weight-of-evidence / information-value audit (the credit-scoring
+    * staple, equally useful ranking which FEATURES of a quality
+    * classifier actually separate kept from rejected documents): per
+    * bin of a feature,
+    *
+    *   woe = log10( pos_share / neg_share ),  iv_bin = Δshare · woe
+    *
+    * with Laplace +1 smoothing (so empty-side bins stay finite):
+    * shares are (n±+1)/(P|N + B) for B bins. Exact-integer discipline:
+    * the log micro-rounds ONCE from the exact cross-ratio
+    * (n_pos+1)(N+B) / (n_neg+1)(P+B), shares scale to micro by
+    * truncating division, the IV term is (Δshare_u6 · woe_u6) div 10⁶.
+    * Labels must be 0/1 (loud reject otherwise).
+    *
+    * One aggregate to the bin dimension + one broadcast totals row.
+    * Returns (bin, n_pos, n_neg, woe_u6, iv_u6); Σ iv_u6 is the
+    * feature's information value. */
+  def woeIv(df: DataFrame, binCol: String, labelCol: String): DataFrame = {
+    require(df.filter(col(labelCol).isNull ||
+        !col(labelCol).cast("long").isin(0L, 1L)).isEmpty,
+      s"$labelCol must be 0/1 and non-null")
+    val agg = df.groupBy(col(binCol).as("bin"))
+      .agg(sum(col(labelCol).cast("long")).as("n_pos"),
+        sum(lit(1L) - col(labelCol).cast("long")).as("n_neg"))
+      .localCheckpoint()
+    val tot = agg.agg(sum("n_pos").as("p"), sum("n_neg").as("n"),
+      count(lit(1)).as("b"))
+    agg.crossJoin(broadcast(tot))
+      .withColumn("woe_u6", round(log10(
+          ((col("n_pos") + 1) * (col("n") + col("b"))).cast("double") /
+          ((col("n_neg") + 1) * (col("p") + col("b")))) * 1000000, 0)
+        .cast("long"))
+      .withColumn("dp_u6", expr(
+        "CAST((n_pos + 1) * 1000000 div (p + b) " +
+        "- (n_neg + 1) * 1000000 div (n + b) AS BIGINT)"))
+      .withColumn("iv_u6",
+        expr("CAST((dp_u6 * woe_u6) div 1000000 AS BIGINT)"))
+      .select("bin", "n_pos", "n_neg", "woe_u6", "iv_u6")
+  }
+
   /** RFM segmentation (recency / frequency / monetary quintiles) —
     * the classic entity-value grid, equally useful segmenting crawl
     * DOMAINS by last-seen / page-count / content-mass before assigning

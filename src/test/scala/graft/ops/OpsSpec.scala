@@ -1982,6 +1982,28 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("woeIv: hand-computed smoothed cross-ratio both signs, " +
+      "symmetric bins give equal IV terms, balanced bin at zero, " +
+      "non-binary labels rejected") {
+    // b0: 1+/3−, b1: 3+/1− (P=N=4, B=2): woe ∓301030, dp ∓333333,
+    // iv 100343 each
+    def rows(bin: Long, pos: Int, neg: Int) =
+      Seq.fill(pos)((bin, 1L)) ++ Seq.fill(neg)((bin, 0L))
+    val df = (rows(0L, 1, 3) ++ rows(1L, 3, 1)).toDF("bin", "y")
+    val got = Profile.woeIv(df, "bin", "y")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L, 3L, -301030L, 100343L),
+      (1L, 3L, 1L, 301030L, 100343L)), s"got $got")
+    // a bin mirroring the global balance carries no evidence
+    val bal = (rows(0L, 2, 2) ++ rows(1L, 2, 2)).toDF("bin", "y")
+    assert(Profile.woeIv(bal, "bin", "y")
+      .select("woe_u6", "iv_u6").as[(Long, Long)]
+      .collect().toSet == Set((0L, 0L)))
+    intercept[IllegalArgumentException] {
+      Profile.woeIv(Seq((0L, 2L)).toDF("bin", "y"), "bin", "y")
+    }
+  }
+
   test("expectationsAudit: one-pass rule sums, null predicate counts " +
       "as violation, uniqueness surplus, empty table all-pass, guards") {
     val df = Seq((1L, Option(10L), "a"), (2L, None, "b"),

@@ -4242,7 +4242,16 @@ object SparkEntry {
           ((col("doc_id") * 7919) % 50 < col("score_b")).cast("long"))
         .withColumn("bin", expr("CAST(score_b div 10 AS BIGINT)"))
       graft.ops.Profile.woeIv(d, "bin", "label").orderBy("bin")
-    })
+    }),
+
+    // Skip-gram pair generation with word2vec occurrence subsampling
+    // (hash-derandomized md5 thresholds, window-2 symmetric pairs over
+    // the compressed stream). DuckDB replays the thresholds, every
+    // keep decision, the re-index, and the pair counts.
+    "q270_skipgram_pairs" -> ((s, dir) =>
+      graft.ops.TextAnalysis.skipGramPairs(
+        t(s, dir, "documents"), window = 2, tPpm = 1000L)
+        .orderBy("center", "context"))
   )
 
   // ---------------------------------------------------------------------
@@ -9026,7 +9035,36 @@ object SparkEntry {
         |  FROM a CROSS JOIN t)
         |SELECT bin, n_pos, n_neg, woe_u6,
         |  CAST((dp_u6 * woe_u6) // 1000000 AS BIGINT) AS iv_u6
-        |FROM w ORDER BY bin""".stripMargin
+        |FROM w ORDER BY bin""".stripMargin,
+
+    "q270_skipgram_pairs" ->
+      """WITH tk AS MATERIALIZED (
+        |  SELECT doc, idx, parts[idx+1] AS tok FROM (
+        |    SELECT doc_id AS doc, parts,
+        |      unnest(range(len(parts))) AS idx FROM (
+        |      SELECT doc_id, string_split_regex(lower(trim(text)),
+        |        '\s+') AS parts FROM documents))
+        |  WHERE parts[idx+1] <> ''),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk),
+        |thr AS MATERIALIZED (SELECT tok, least(4294967296,
+        |    CAST(floor(sqrt(CAST(1000 * nn.n AS DOUBLE)
+        |      / (count(*) * 1000000)) * 4294967296) AS BIGINT)) AS thr
+        |  FROM tk CROSS JOIN nn GROUP BY tok, nn.n),
+        |kept AS MATERIALIZED (SELECT tk.doc, tk.idx, tk.tok
+        |  FROM tk JOIN thr USING (tok)
+        |  WHERE CAST('0x' || substr(md5(CAST(tk.doc AS VARCHAR) || ':'
+        |    || CAST(tk.idx AS VARCHAR)), 1, 8) AS BIGINT) < thr.thr),
+        |sq AS MATERIALIZED (SELECT doc,
+        |    row_number() OVER (PARTITION BY doc ORDER BY idx) AS pos,
+        |    tok FROM kept),
+        |pr AS (SELECT a.tok AS center, b.tok AS context
+        |  FROM sq a JOIN sq b ON a.doc = b.doc
+        |    AND b.pos > a.pos AND b.pos <= a.pos + 2)
+        |SELECT center, context, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT center, context FROM pr
+        |  UNION ALL SELECT context, center FROM pr)
+        |GROUP BY 1, 2
+        |ORDER BY center, context""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -798,6 +798,56 @@ object TextAnalysis {
         col("kl_u6"))
   }
 
+  /** Skip-gram training-pair generation with word2vec frequency
+    * subsampling (Mikolov et al., NIPS '13 §2.3) — the data-prep step
+    * for embedding training: frequent tokens are dropped per
+    * OCCURRENCE with keep probability √(t/f(w)), then (center,
+    * context) pairs form over the COMPRESSED stream within `window`
+    * positions, symmetric. Hash-derandomized: an occurrence keeps iff
+    * its md5 key (doc:position) falls under the token's threshold
+    * ⌊√(t·N / 10⁶·c_w)·2³²⌋ — the [[graft.ops.Sampling]] predicate, so
+    * the sample is a pure function of the corpus re-derivable by any
+    * engine. `tPpm` is t in parts-per-million (word2vec's default
+    * t=10⁻⁵ ↔ tPpm=10).
+    *
+    * Scale shape: token counts on the vocabulary dimension, one
+    * tok-keyed threshold join, per-doc re-index window (doc-bounded),
+    * then the LINEAR shifted-stream equi-join of [[textRankKeywords]]
+    * — never a per-doc quadratic. Returns (center, context, cnt). */
+  def skipGramPairs(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      window: Int = 2, tPpm: Long = 1000L): org.apache.spark.sql.DataFrame = {
+    require(window >= 1 && tPpm >= 1,
+      s"need window >= 1 and tPpm >= 1, got $window/$tPpm")
+    val toks = docs
+      .select(col(idCol).as("doc"),
+        posexplode(split(lower(trim(col(textCol))), "\\s+")))
+      .toDF("doc", "idx", "tok")
+      .filter(col("tok") =!= "").localCheckpoint()
+    val n = toks.count()
+    val thr = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .select(col("tok"), least(lit(4294967296L),
+        floor(sqrt((lit(tPpm) * n).cast("double") /
+          (col("c") * 1000000L)) * 4294967296.0).cast("long")).as("thr"))
+    val kept = toks.join(thr, "tok")
+      .filter(conv(Sampling.hexKey(
+        concat_ws(":", col("doc"), col("idx"))), 16, 10).cast("long")
+        < col("thr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy("idx")
+    val seq = kept.withColumn("pos", row_number().over(w))
+      .select("doc", "pos", "tok").localCheckpoint()
+    val shifted = (1 to window).map(d => seq.select(col("doc"),
+        (col("pos") + d).as("pos"), col("tok").as("center")))
+      .reduce(_ unionByName _)
+    val pairs = shifted.join(
+      seq.withColumnRenamed("tok", "context"), Seq("doc", "pos"))
+    pairs.select("center", "context").unionByName(
+        pairs.select(col("context").as("center"),
+          col("center").as("context")))
+      .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP '04):
     * PageRank over the token co-occurrence graph — a token matters
     * when it co-occurs with tokens that matter. Tokens within

@@ -2098,6 +2098,36 @@ class TokenizerSpec extends AnyFunSuite with SparkTestBase {
       (3L, 4L, 4L, 602060L), (4L, 3L, 2L, 276434L)), s"got $got")
   }
 
+  test("skipGramPairs: no-op threshold gives the exact symmetric " +
+      "window pairs, heavy subsampling deterministically drops the " +
+      "frequent token, window/tPpm guards") {
+    // tPpm = 1e6 → t=1 ≥ every frequency → thresholds cap, all kept
+    val doc = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val all = TextAnalysis.skipGramPairs(doc, window = 2,
+        tPpm = 1000000L)
+      .as[(String, String, Long)].collect().toSet
+    assert(all == Set(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 1L),
+      ("c", "b", 1L), ("a", "c", 1L), ("c", "a", 1L)), s"got $all")
+    // skewed corpus: x dominates; at tPpm=20000 singletons keep
+    // certainly (t ≥ f) while x occurrences mostly drop
+    val skew = Seq((1L, ("x " * 50).trim), (2L, "y z")).toDF("doc_id", "text")
+    val sub = TextAnalysis.skipGramPairs(skew, window = 1, tPpm = 20000L)
+      .as[(String, String, Long)].collect().toSet
+    val full = TextAnalysis.skipGramPairs(skew, window = 1,
+        tPpm = 1000000L)
+      .as[(String, String, Long)].collect().toSet
+    assert(sub.contains(("y", "z", 1L)) && sub.contains(("z", "y", 1L)))
+    def xCnt(s: Set[(String, String, Long)]) =
+      s.collect { case ("x", "x", c) => c }.headOption.getOrElse(0L)
+    assert(xCnt(sub) < xCnt(full), s"sub=$sub full=$full")
+    // determinism: the hash-derandomized sample replays exactly
+    assert(TextAnalysis.skipGramPairs(skew, window = 1, tPpm = 20000L)
+      .as[(String, String, Long)].collect().toSet == sub)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.skipGramPairs(doc, window = 0)
+    }
+  }
+
   test("sourceDivergence: hand-computed micro KL per class, identical " +
       "class at zero, divergent class positive, truncating division") {
     // A = "a a b", B = "b b b": KL(A)=301030 div 3=100343,

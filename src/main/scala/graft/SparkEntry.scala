@@ -4251,7 +4251,24 @@ object SparkEntry {
     "q270_skipgram_pairs" -> ((s, dir) =>
       graft.ops.TextAnalysis.skipGramPairs(
         t(s, dir, "documents"), window = 2, tPpm = 1000L)
-        .orderBy("center", "context"))
+        .orderBy("center", "context")),
+
+    // Flesch reading-ease + FK grade in exact milli-units: vowel-run
+    // syllables (floored at 1/word), [.!?]+ sentence runs (floored at
+    // 1/doc), truncating-division score formulas. DuckDB re-counts
+    // every run and replays both formulas integer-for-integer.
+    "q271_flesch" -> ((s, dir) =>
+      graft.ops.TextAnalysis.fleschReadability(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // Kaplan-Meier retention over user lifetimes (right-censored in
+    // the final 24 h of the window): integer risk sets, one micro-
+    // rounded ln step per lifetime, integer cumulative log-survival.
+    // DuckDB re-derives lifetimes, censoring, risk sets, and the curve.
+    "q272_kaplan_meier" -> ((s, dir) =>
+      graft.streaming.EventsPipeline.kaplanMeier(
+        t(s, dir, "events"), "user_id", "ts", censorHours = 24L)
+        .orderBy("t_h"))
   )
 
   // ---------------------------------------------------------------------
@@ -9064,7 +9081,56 @@ object SparkEntry {
         |  SELECT center, context FROM pr
         |  UNION ALL SELECT context, center FROM pr)
         |GROUP BY 1, 2
-        |ORDER BY center, context""".stripMargin
+        |ORDER BY center, context""".stripMargin,
+
+    "q271_flesch" ->
+      """WITH tk AS (SELECT doc_id, n_sents, t AS tok FROM (
+        |    SELECT doc_id,
+        |      greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |sy AS (SELECT doc_id, n_sents,
+        |    greatest(len(regexp_extract_all(tok, '[aeiouy]+')), 1) AS syl
+        |  FROM tk),
+        |ag AS (SELECT doc_id, CAST(n_sents AS BIGINT) AS n_sents,
+        |    CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(syl) AS BIGINT) AS n_syll
+        |  FROM sy GROUP BY 1, 2)
+        |SELECT doc_id, n_words, n_sents, n_syll,
+        |  CAST(206835 - (1015 * n_words) // n_sents
+        |    - (84600 * n_syll) // n_words AS BIGINT) AS flesch_u3,
+        |  CAST((390 * n_words) // n_sents
+        |    + (11800 * n_syll) // n_words - 15590 AS BIGINT) AS fkgl_u3
+        |FROM ag ORDER BY doc_id""".stripMargin,
+
+    "q272_kaplan_meier" ->
+      """WITH life AS (SELECT user_id AS entity,
+        |    CAST(min(epoch(ts)) AS BIGINT) AS first_s,
+        |    CAST(max(epoch(ts)) AS BIGINT) AS last_s
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT max(last_s) AS w_end,
+        |    CAST(count(*) AS BIGINT) AS n_total FROM life),
+        |durs AS (SELECT (last_s - first_s) // 3600 AS t_h,
+        |    CASE WHEN last_s <= w.w_end - 86400 THEN 1 ELSE 0 END AS obs,
+        |    w.n_total FROM life, w),
+        |byt AS (SELECT t_h, n_total, CAST(sum(obs) AS BIGINT) AS d,
+        |    CAST(sum(1 - obs) AS BIGINT) AS c FROM durs GROUP BY 1, 2),
+        |r AS (SELECT t_h, d, c, n_total - coalesce(sum(d + c) OVER (
+        |      ORDER BY t_h ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS n_risk
+        |  FROM byt),
+        |s AS (SELECT t_h, n_risk, d, c,
+        |    CASE WHEN d < n_risk THEN CAST(round(ln(
+        |      CAST(n_risk - d AS DOUBLE) / n_risk) * 1000000, 0)
+        |      AS BIGINT) END AS step_u6,
+        |    CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS z FROM r)
+        |SELECT t_h, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+        |  CAST(coalesce(sum(step_u6) OVER (ORDER BY t_h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |    AS BIGINT) AS logsurv_u6,
+        |  CAST(max(z) OVER (ORDER BY t_h ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS BIGINT) AS s_zero
+        |FROM s ORDER BY t_h""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -1441,6 +1441,45 @@ object TextAnalysis {
           .otherwise(expr("match_n * 1000 div ref_n")))
   }
 
+  /** Flesch reading-ease + Flesch–Kincaid grade (Flesch 1948; Kincaid
+    * et al. 1975) — the classic readability pair, a cheap prose-quality
+    * gate next to [[tokenEntropy]] and the Gopher repetition checks
+    * (listicles and boilerplate score far from natural prose). Counts
+    * are fully deterministic: words are the usual non-empty `\s+`
+    * tokens of the lowercased text, sentences are runs of `[.!?]+`
+    * (floored at 1 so fragments still score), and a word's syllables
+    * are its `[aeiouy]+` vowel runs floored at 1 (the standard
+    * heuristic; no dictionary). Scores land in milli-units through
+    * truncating integer division — the engine-exact discipline:
+    *
+    *   flesch_u3 = 206835 − (1015·W) div S − (84600·Syl) div W
+    *   fkgl_u3   = (390·W) div S + (11800·Syl) div W − 15590
+    *
+    * Scale shape: tokens explode map-side, one doc-keyed aggregate;
+    * nothing but (id, counts) crosses the exchange. Docs with no words
+    * are absent. Returns (id, n_words, n_sents, n_syll, flesch_u3,
+    * fkgl_u3). */
+  def fleschReadability(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol),
+        greatest(size(expr(
+          s"regexp_extract_all($textCol, '[.!?]+', 0)")), lit(1))
+          .cast("long").as("n_sents"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("syl",
+        greatest(size(expr("regexp_extract_all(tok, '[aeiouy]+', 0)")),
+          lit(1)).cast("long"))
+      .groupBy(col(idCol), col("n_sents"))
+      .agg(count(lit(1)).as("n_words"), sum("syl").as("n_syll"))
+      .withColumn("flesch_u3", expr("CAST(206835 - (1015 * n_words) " +
+        "div n_sents - (84600 * n_syll) div n_words AS BIGINT)"))
+      .withColumn("fkgl_u3", expr("CAST((390 * n_words) div n_sents " +
+        "+ (11800 * n_syll) div n_words - 15590 AS BIGINT)"))
+      .select(col(idCol), col("n_words"), col("n_sents"), col("n_syll"),
+        col("flesch_u3"), col("fkgl_u3"))
+
   /** WordPiece encode as a compiled UDF over a broadcast-able vocab
     * (piece strings; '##' marks continuations). One map-side pass —
     * text never crosses an exchange to be tokenized. */

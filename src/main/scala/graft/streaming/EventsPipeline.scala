@@ -773,6 +773,63 @@ object EventsPipeline {
       .start()
   }
 
+  /** Kaplan–Meier survival curve (Kaplan & Meier 1958) with
+    * right-censoring — the retention statistic the fixed-grid cohort
+    * views can't give you: entity lifetime runs first→last event,
+    * and entities still active inside the final `censorHours` of the
+    * observation window are CENSORED (they leave the risk set without
+    * counting as churn). At each distinct lifetime t (whole hours):
+    *
+    *   n_risk(t) = N − Σ_{t'<t} (d + c),   step(t) = ln((n−d)/n)
+    *
+    * and the log-survival curve is the running sum of steps. Exact
+    * discipline: risk sets, deaths and censors are integers; each
+    * step micro-rounds ONCE from an exact count ratio (the
+    * [[graft.ops.TextAnalysis.tokenEntropy]] rule) and accumulates by
+    * integer window sum — no float accumulation anywhere. Where the
+    * whole risk set dies (d = n) the step is null and `s_zero` latches
+    * to 1 (survival hit exactly zero; ln is undefined there).
+    *
+    * Scale shape: one entity-dimension aggregate, one broadcast
+    * window-end scalar, then all windows run on the LIFETIME dimension
+    * (distinct whole-hour durations — observation-span-bounded by
+    * contract, never entity-count-sized). Returns
+    * (t_h, n_risk, d, c, logsurv_u6, s_zero) ordered by t_h. */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
+      censorHours: Long = 24L): DataFrame = {
+    require(censorHours >= 0L, s"censorHours must be >= 0, got $censorHours")
+    import org.apache.spark.sql.expressions.Window
+    val life = events.groupBy(col(userCol).as("entity"))
+      .agg(min(unix_timestamp(col(tsCol))).as("first_s"),
+        max(unix_timestamp(col(tsCol))).as("last_s"))
+    val wend = life.agg(max("last_s").as("w_end"),
+      count(lit(1)).as("n_total"))
+    val durs = life.crossJoin(broadcast(wend))
+      .withColumn("t_h",
+        expr("CAST((last_s - first_s) div 3600 AS BIGINT)"))
+      .withColumn("observed",
+        (col("last_s") <= col("w_end") - lit(censorHours * 3600L))
+          .cast("long"))
+    val byT = durs.groupBy(col("t_h"), col("n_total"))
+      .agg(sum("observed").as("d"),
+        sum(lit(1L) - col("observed")).as("c"))
+    val cumPrior = Window.orderBy("t_h")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumIncl = Window.orderBy("t_h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_risk", col("n_total") -
+        coalesce(sum(col("d") + col("c")).over(cumPrior), lit(0L)))
+      .withColumn("step_u6", when(col("d") < col("n_risk"),
+        round(log((col("n_risk") - col("d")).cast("double") /
+          col("n_risk")) * 1000000, 0).cast("long")))
+      .withColumn("z", when(col("d") >= col("n_risk"), 1L).otherwise(0L))
+      .withColumn("logsurv_u6",
+        coalesce(sum("step_u6").over(cumIncl), lit(0L)).cast("long"))
+      .withColumn("s_zero", max("z").over(cumIncl).cast("long"))
+      .select("t_h", "n_risk", "d", "c", "logsurv_u6", "s_zero")
+  }
+
   final case class CursorState(court: String, lastCursor: String, updatedAt: java.sql.Timestamp)
 
   /** ST2 — explicit checkpoint table (fixes reference quirk Q1: cursor

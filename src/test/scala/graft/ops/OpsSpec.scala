@@ -2084,6 +2084,22 @@ class TokenizerSpec extends AnyFunSuite with SparkTestBase {
     assert(first == Seq("aa"), s"score tie must break on term asc: $first")
   }
 
+  test("fleschReadability: vowel-run syllables floored per word, " +
+      "sentence runs floored per doc, truncating milli formulas, " +
+      "empty doc absent") {
+    val docs = Seq((1L, "Hello world. It works!"), (2L, "xz"),
+      (3L, "  ")).toDF("doc_id", "text")
+    val got = TextAnalysis.fleschReadability(docs)
+      .select("doc_id", "n_words", "n_sents", "n_syll", "flesch_u3",
+        "fkgl_u3")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // doc 1: W=4 S=2 Syl=2+1+1+1=5 → 206835 − 2030 − 105750 = 99055;
+    //        fkgl 780 + 14750 − 15590 = −60
+    // doc 2: no vowel run → syl floors to 1, no terminator → S=1
+    assert(got == Set((1L, 4L, 2L, 5L, 99055L, -60L),
+      (2L, 1L, 1L, 1L, 121220L, -3400L)), s"got $got")
+  }
+
   test("tokenEntropy: uniform two-type doc at log10(2), constant doc " +
       "at zero, four distinct types at log10(4), truncating division, " +
       "empty doc absent") {

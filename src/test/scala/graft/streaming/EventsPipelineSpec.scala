@@ -303,6 +303,38 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("kaplanMeier: lifetimes, horizon censoring, shrinking risk " +
+      "sets, micro ln steps, terminal-death latch, bad-arg reject") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // window end 36000: u1 (10 h) is inside the 1 h horizon → censored;
+    // u2 (1 h), u3/u4 (2 h) churned. ln(3/4) → −287682, ln(1/3) →
+    // −1098612; cumulative −1386294 holds through the censored tail.
+    val df = Seq(
+      (1L, ts(0L)), (1L, ts(36000L)),
+      (2L, ts(0L)), (2L, ts(3600L)),
+      (3L, ts(0L)), (3L, ts(7200L)),
+      (4L, ts(1000L)), (4L, ts(8200L))).toDF("user_id", "ts")
+    val got = graft.streaming.EventsPipeline
+      .kaplanMeier(df, "user_id", "ts", censorHours = 1L)
+      .orderBy("t_h")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 1L, 0L, -287682L, 0L),
+      (2L, 3L, 2L, 0L, -1386294L, 0L),
+      (10L, 1L, 0L, 1L, -1386294L, 0L)), s"got $got")
+    // no horizon → the last survivor's death empties the risk set:
+    // null step (ln 0 undefined), s_zero latches.
+    val zero = graft.streaming.EventsPipeline
+      .kaplanMeier(df, "user_id", "ts", censorHours = 0L)
+      .orderBy("t_h")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(zero.last == ((10L, 1L, 1L, 0L, -1386294L, 1L)), s"got $zero")
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventsPipeline.kaplanMeier(df, "user_id", "ts",
+        censorHours = -1L)
+    }
+  }
+
   test("seasonalDecompose: full-window centered trend, per-phase " +
       "seasonal means, exact truncating micro arithmetic, edge nulls, " +
       "per-key isolation, odd period enforced") {

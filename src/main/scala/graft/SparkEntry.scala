@@ -4268,7 +4268,39 @@ object SparkEntry {
     "q272_kaplan_meier" -> ((s, dir) =>
       graft.streaming.EventsPipeline.kaplanMeier(
         t(s, dir, "events"), "user_id", "ts", censorHours = 24L)
-        .orderBy("t_h"))
+        .orderBy("t_h")),
+
+    // Two synchronous Louvain local-move rounds over the q251 graph:
+    // integer modularity-gain argmax (score diffs = 2m²·ΔQ), exact
+    // final Q in micro units. DuckDB replays both rounds and Q.
+    "q273_modularity_move" -> ((s, dir) => {
+      val n = t(s, dir, "documents")
+        .select((col("doc_id") % 40).as("n")).distinct()
+      val raw = n.selectExpr("n AS src", "(n + 1) % 40 AS dst")
+        .unionByName(n.selectExpr("n AS src", "(n + 7) % 40 AS dst"))
+        .unionByName(n.filter(col("n") < 20)
+          .selectExpr("n AS src", "(n + 13) % 40 AS dst"))
+      graft.ops.GraphOps.modularityLocalMove(raw, iters = 2)
+        .orderBy("id")
+    }),
+
+    // Phonetic blocking: soundex code per vocabulary word + block
+    // size (n_block > 1 = sound-alike collision a fuzzy-linkage pass
+    // should verify). DuckDB re-derives every code positionally
+    // (translate + lag run-collapse) and the block sizes.
+    "q274_soundex_blocking" -> ((s, dir) => {
+      val w = t(s, dir, "documents").select(col("text"))
+        .unionByName(t(s, dir, "part").select(col("p_name").as("text")))
+        .select(explode(split(lower(trim(col("text"))), "\\s+"))
+          .as("word"))
+        .filter(col("word") =!= "").distinct()
+        .withColumn("code", graft.ops.Dedup.soundex4(col("word")))
+        .filter(col("code").isNotNull)
+      val blocks = w.groupBy("code").agg(count(lit(1)).as("n_block"))
+      w.join(blocks, "code")
+        .select(col("word"), col("code"), col("n_block"))
+        .orderBy("word")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -9130,7 +9162,69 @@ object SparkEntry {
         |    AS BIGINT) AS logsurv_u6,
         |  CAST(max(z) OVER (ORDER BY t_h ROWS BETWEEN UNBOUNDED
         |    PRECEDING AND CURRENT ROW) AS BIGINT) AS s_zero
-        |FROM s ORDER BY t_h""".stripMargin
+        |FROM s ORDER BY t_h""".stripMargin,
+
+    "q273_modularity_move" ->
+      s"""WITH nn AS (SELECT DISTINCT doc_id % 40 AS n FROM documents),
+        |raw AS (SELECT n AS src, (n + 1) % 40 AS dst FROM nn
+        |  UNION ALL SELECT n, (n + 7) % 40 FROM nn
+        |  UNION ALL SELECT n, (n + 13) % 40 FROM nn WHERE n < 20),
+        |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)
+        |  WHERE src <> dst),
+        |deg AS MATERIALIZED (SELECT src AS id,
+        |    CAST(count(*) AS BIGINT) AS k FROM sym GROUP BY 1),
+        |mm AS MATERIALIZED (SELECT CAST(count(*) // 2 AS BIGINT) AS m
+        |  FROM sym),
+        |r0 AS (SELECT id, id AS comm FROM deg),
+        |${modularityRoundCtes("r0", 1)},
+        |${modularityRoundCtes("r1", 2)},
+        |ec AS (SELECT a.comm, CAST(count(*) // 2 AS BIGINT) AS ec
+        |  FROM sym s JOIN r2 a ON a.id = s.src
+        |  JOIN r2 b ON b.id = s.dst AND b.comm = a.comm GROUP BY 1),
+        |kct AS (SELECT r.comm, CAST(sum(d.k) AS BIGINT) AS kc
+        |  FROM r2 r JOIN deg d USING (id) GROUP BY 1),
+        |qn AS (SELECT CAST(sum(4 * mm.m * coalesce(ec.ec, 0)
+        |      - kct.kc * kct.kc) AS BIGINT) AS num,
+        |    max(mm.m) AS m
+        |  FROM kct LEFT JOIN ec ON ec.comm = kct.comm CROSS JOIN mm),
+        |qq AS (SELECT CAST(num * 1000000 // (4 * m * m) AS BIGINT)
+        |    AS q_u6 FROM qn)
+        |SELECT r2.id, r2.comm, qq.q_u6 FROM r2, qq
+        |ORDER BY id""".stripMargin,
+
+    "q274_soundex_blocking" ->
+      """WITH wds AS (SELECT DISTINCT w AS word FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS w FROM (SELECT text FROM documents
+        |        UNION ALL SELECT p_name FROM part)) WHERE w <> ''),
+        |cl AS (SELECT word,
+        |    upper(regexp_replace(word, '[^A-Za-z]', '', 'g')) AS cw
+        |  FROM wds),
+        |ch AS (SELECT word, cw, i, translate(substr(cw, i, 1),
+        |    'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230120022455012623010202')
+        |    AS d
+        |  FROM (SELECT word, cw, unnest(range(1, len(cw) + 1)) AS i
+        |    FROM cl WHERE len(cw) > 0)),
+        |kp AS (SELECT word, cw, i, d,
+        |    lag(d) OVER (PARTITION BY word ORDER BY i) AS pd FROM ch),
+        |dd AS (SELECT word, cw, i, d,
+        |    row_number() OVER (PARTITION BY word ORDER BY i) AS rn
+        |  FROM kp WHERE pd IS NULL OR d <> pd),
+        |ds AS (SELECT word, i, d,
+        |    row_number() OVER (PARTITION BY word ORDER BY i) AS dn
+        |  FROM dd WHERE rn > 1 AND d <> '0'),
+        |agg AS (SELECT word, string_agg(d, '' ORDER BY i) AS s3
+        |  FROM ds WHERE dn <= 3 GROUP BY word),
+        |code AS (SELECT cl.word,
+        |    substr(cl.cw, 1, 1) || rpad(coalesce(agg.s3, ''), 3, '0')
+        |      AS code
+        |  FROM cl LEFT JOIN agg USING (word) WHERE len(cl.cw) > 0),
+        |blk AS (SELECT code, CAST(count(*) AS BIGINT) AS n_block
+        |  FROM code GROUP BY 1)
+        |SELECT c.word, c.code, b.n_block
+        |FROM code c JOIN blk b USING (code)
+        |ORDER BY word""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6
@@ -9391,4 +9485,32 @@ object SparkEntry {
        |    s.h AS fp
        |  FROM ${p}sel s JOIN ${p}n n ON n.doc_id = s.doc_id
        |  WHERE s.rn = 1 AND s.wpos <= greatest(n.ng - 4, 0))"""
+
+  /** One synchronous modularity local-move round (q273) as DuckDB CTEs
+    * `kc<r>/nb<r>/cd<r>/sc<r>/r<r>` reading assignment `prev(id, comm)`
+    * and the shared `sym/deg/mm` tables, ending in `r<r>(id, comm)` —
+    * mirrors [[graft.ops.GraphOps.modularityLocalMove]]'s round body
+    * exactly (own-community candidate at e = 0, score = 2m·e − k·K',
+    * ties score desc then community asc). NOT pre-stripped (embeds in
+    * a stripMargin outer string, the winnowingCtes rule). */
+  private def modularityRoundCtes(prev: String, r: Int): String =
+    s"""kc$r AS MATERIALIZED (SELECT p.comm, CAST(sum(d.k) AS BIGINT)
+       |    AS kc FROM $prev p JOIN deg d USING (id) GROUP BY 1),
+       |nb$r AS (SELECT s.src AS id, c.comm AS ncomm,
+       |    CAST(count(*) AS BIGINT) AS e
+       |  FROM sym s JOIN $prev c ON c.id = s.dst GROUP BY 1, 2),
+       |cd$r AS (SELECT id, ncomm, max(e) AS e FROM (
+       |    SELECT id, ncomm, e FROM nb$r
+       |    UNION ALL SELECT id, comm AS ncomm, 0 AS e FROM $prev)
+       |  GROUP BY 1, 2),
+       |sc$r AS MATERIALIZED (SELECT c.id, c.ncomm,
+       |    2 * mm.m * c.e - d.k * (CASE WHEN c.ncomm = p.comm
+       |      THEN kc.kc - d.k ELSE kc.kc END) AS score
+       |  FROM cd$r c JOIN $prev p ON p.id = c.id
+       |  JOIN deg d ON d.id = c.id
+       |  JOIN kc$r kc ON kc.comm = c.ncomm CROSS JOIN mm),
+       |r$r AS MATERIALIZED (SELECT id, ncomm AS comm FROM (
+       |    SELECT id, ncomm, row_number() OVER (PARTITION BY id
+       |      ORDER BY score DESC, ncomm) AS rn FROM sc$r)
+       |  WHERE rn = 1)"""
 }

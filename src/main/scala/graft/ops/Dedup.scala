@@ -1193,4 +1193,27 @@ object Dedup {
         (col("na") + col("nb") - col("inter")).as("uni"))
       .filter(col("inter") * tDen >= col("uni") * tNum)
   }
+
+  /** Simplified American Soundex (Russell 1918 family), the phonetic
+    * BLOCKING key for record linkage — [[fuzzyLinkage]]'s length-key
+    * blocks miss sound-alike misspellings ("smith"/"smyth"); a soundex
+    * block catches them without an all-pairs pass. Vowel-rule variant:
+    * H and W code to 0 like vowels and so BREAK runs rather than being
+    * transparent (the common simplified implementation; the archival
+    * h/w rule needs stateful scanning no relational engine replays
+    * cheaply — deviation documented). Pipeline: uppercase, strip
+    * non-letters, digit-code all letters, collapse adjacent equal
+    * digits, drop the lead position, strip zeros, first letter + 3
+    * digits zero-padded. Pure column expression — stays inside
+    * whole-stage codegen, no UDF. Strings with no letters → null. */
+  def soundex4(c: Column): Column = {
+    val clean = upper(regexp_replace(c, "[^A-Za-z]", ""))
+    val codes = translate(clean, "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+      "01230120022455012623010202")
+    val collapsed = regexp_replace(codes, "(.)\\1+", "$1")
+    val digits = regexp_replace(substring(collapsed, 2, 1000), "0", "")
+    when(length(clean) === 0, lit(null).cast("string"))
+      .otherwise(concat(substring(clean, 1, 1),
+        rpad(substring(digits, 1, 3), 3, "0")))
+  }
 }

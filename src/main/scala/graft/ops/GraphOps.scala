@@ -481,6 +481,87 @@ object GraphOps {
     live.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Synchronous Louvain-style modularity local-move rounds (Blondel
+    * et al. 2008, phase-1 sweep) — the DENSITY-aware community member
+    * of the graph tier: [[labelPropagation]] takes the majority label,
+    * this takes the argmax MODULARITY GAIN, so hubs don't absorb
+    * everything touching them. Each round, every node simultaneously
+    * joins the neighboring (or its own) community maximizing
+    *
+    *   score(c) = 2m·e_ic − k_i·K'_c,   K'_c = K_c − k_i iff c = comm(i)
+    *
+    * (score differences are exactly 2m²·ΔQ, so the argmax IS the
+    * greedy local move; staying is always a candidate at e = 0 via the
+    * own-community row). Deterministic: classic Louvain visits nodes
+    * in random order — unreplayable; synchronous rounds with
+    * (score desc, community asc) ties are a pure function of the
+    * graph. All integers; the returned partition carries its exact
+    * modularity Q·10⁶ = Σ_c(4m·E_c − K_c²)·10⁶ div 4m² (bound: needs
+    * 4m²·10⁶ < 2⁶³ → m < 1.5·10⁶ edges in Long; swap the final
+    * division to DECIMAL beyond that — the sums themselves stay
+    * exact).
+    *
+    * Scale shape per round: one edge⋈community join, a (node,
+    * community) count with map-side combine, one community-dimension
+    * degree-mass aggregate, a per-node argmax window — ids and counts
+    * only through every exchange; `localCheckpoint` truncates lineage
+    * like the components loop.
+    *
+    * @param edges (src, dst) undirected pair table (dups/direction ok)
+    * @return (id, comm, q_u6) after `iters` synchronous rounds */
+  def modularityLocalMove(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "modularityLocalMove needs iters >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("k"))
+    val mRow = sym.agg(expr("CAST(count(1) div 2 AS BIGINT)").as("m"))
+    var comm = deg.select(col("id"), col("id").as("comm"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val kt = comm.join(deg, "id")
+      val kc = kt.groupBy("comm").agg(sum("k").as("kc"))
+      val nbrC = sym
+        .join(comm.select(col("id").as("dst"), col("comm").as("ncomm")),
+          "dst")
+        .groupBy(col("src").as("id"), col("ncomm"))
+        .agg(count(lit(1)).as("e"))
+      val ownC = comm.select(col("id"), col("comm").as("ncomm"),
+        lit(0L).as("e"))
+      val cand = nbrC.unionByName(ownC)
+        .groupBy("id", "ncomm").agg(max("e").as("e"))
+        .join(kt, "id")
+        .join(kc.select(col("comm").as("ncomm"), col("kc")), "ncomm")
+        .crossJoin(broadcast(mRow))
+        .withColumn("kcx", when(col("ncomm") === col("comm"),
+          col("kc") - col("k")).otherwise(col("kc")))
+        .withColumn("score",
+          lit(2L) * col("m") * col("e") - col("k") * col("kcx"))
+      val w = Window.partitionBy("id").orderBy(desc("score"), col("ncomm"))
+      comm = cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("ncomm").as("comm"))
+        .localCheckpoint()
+    }
+    val ec = sym
+      .join(comm.select(col("id").as("src"), col("comm").as("ca")), "src")
+      .join(comm.select(col("id").as("dst"), col("comm").as("cb")), "dst")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("comm"))
+      .agg(expr("CAST(count(1) div 2 AS BIGINT)").as("ec"))
+    val qRow = comm.join(deg, "id").groupBy("comm").agg(sum("k").as("kc"))
+      .join(ec, Seq("comm"), "left")
+      .select(coalesce(col("ec"), lit(0L)).as("ec"), col("kc"))
+      .crossJoin(broadcast(mRow))
+      .agg(sum(lit(4L) * col("m") * col("ec") - col("kc") * col("kc"))
+        .as("num"), max("m").as("m"))
+      .select(expr("CAST(num * 1000000 div (4 * m * m) AS BIGINT)")
+        .as("q_u6"))
+    comm.crossJoin(broadcast(qRow)).select("id", "comm", "q_u6")
+  }
+
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sym = edges.select(col("src"), col("dst"))

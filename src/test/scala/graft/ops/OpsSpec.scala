@@ -91,6 +91,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(jw("prefXab", "prefYcd") == 0.828571)
   }
 
+  test("soundex4: known-answer codes (vowel-rule variant), sound-alike " +
+      "collision, run collapse through the lead letter, non-letters " +
+      "stripped, letterless null") {
+    val df = Seq("robert", "rupert", "tymczak", "pfister", "honeyman",
+      "ashcraft", "a", "xz", "o'brien", "123").toDF("w")
+    val got = df.select(col("w"), Dedup.soundex4(col("w")).as("c"))
+      .as[(String, Option[String])].collect().toMap
+    assert(got("robert") == Some("R163") && got("rupert") == Some("R163"),
+      s"sound-alikes collide: $got")
+    assert(got("tymczak") == Some("T522"), s"got $got")
+    assert(got("pfister") == Some("P236"), s"lead run collapses: $got")
+    assert(got("honeyman") == Some("H555"), s"got $got")
+    // vowel-rule variant: the archival h/w-transparent rule would give
+    // A261; h coded 0 breaks the s/c run here — documented deviation
+    assert(got("ashcraft") == Some("A226"), s"got $got")
+    assert(got("a") == Some("A000") && got("xz") == Some("X000"),
+      s"padding and same-code-as-lead drop: $got")
+    assert(got("o'brien") == Some("O165"), s"punctuation stripped: $got")
+    assert(got("123") == None, s"letterless is null: $got")
+  }
+
   test("fuzzyLinkageJaroWinkler: blocked twins verified, unrelated dropped") {
     val a = Seq((1L, "entity_12"), (2L, "acme corp")).toDF("id_a", "name_a")
     val b = Seq((10L, "entity-12"), (20L, "zzzzzz_12")).toDF("id_b", "name_b")
@@ -380,6 +401,38 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val again = GraphOps.labelPropagation(edges, iters = 4)
       .as[(Long, Long)].collect().toMap
     assert(again == got, "deterministic")
+  }
+
+  test("modularityLocalMove: barbell graph, hand-walked synchronous " +
+      "rounds with ties to the smaller community, exact micro Q, " +
+      "deterministic") {
+    // two triangles {1,2,3} / {4,5,6} bridged 3-4; m = 7. Round 1 from
+    // singletons pairs nodes off; round 2 re-forms {1,3} and {4,5}
+    // (synchronous moves legitimately oscillate — determinism is the
+    // contract, not convergence).
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val r1 = GraphOps.modularityLocalMove(edges, iters = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(r1.map(r => r._1 -> r._2).toMap ==
+      Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 6L, 6L -> 5L),
+      s"round 1: ${r1.toSeq}")
+    // Q for the {singleton, pair} × 2 partition:
+    // (4·7·1 − 25) + (0 − 4) + (28 − 25) + (0 − 4) = −2 → −2e6 div 196
+    assert(r1.forall(_._3 == -10204L), s"q_u6: ${r1.toSeq}")
+    val r2 = GraphOps.modularityLocalMove(edges, iters = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(r2.map(r => r._1 -> r._2).toMap ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 5L, 5L -> 5L, 6L -> 6L),
+      s"round 2: ${r2.toSeq}")
+    assert(r2.forall(_._3 == -10204L), s"q_u6: ${r2.toSeq}")
+    val again = GraphOps.modularityLocalMove(edges, iters = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == r2.sortBy(_._1).toSeq,
+      "deterministic")
+    intercept[IllegalArgumentException] {
+      GraphOps.modularityLocalMove(edges, iters = 0)
+    }
   }
 
   test("triangleCountDegreeOriented equals the id-oriented count on every shape") {

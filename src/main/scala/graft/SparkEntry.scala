@@ -4300,7 +4300,22 @@ object SparkEntry {
       w.join(blocks, "code")
         .select(col("word"), col("code"), col("n_block"))
         .orderBy("word")
-    })
+    }),
+
+    // Multinomial Naive Bayes language classifier: train on id%5!=0,
+    // score the held-out fifth; Laplace-smoothed micro-log model,
+    // integer score sums, argmax with lexicographic ties. DuckDB
+    // re-trains the whole model and re-scores every test doc.
+    "q275_naive_bayes" -> ((s, dir) =>
+      graft.ops.TextAnalysis.naiveBayes(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // Heaps'-law vocabulary growth: 50-doc checkpoints of cumulative
+    // (tokens, types) + the integer log-log OLS slope/intercept.
+    // DuckDB re-derives first occurrences, both curves, and the fit.
+    "q276_heaps_law" -> ((s, dir) =>
+      graft.ops.Profile.heapsLaw(t(s, dir, "documents"))
+        .orderBy("b"))
   )
 
   // ---------------------------------------------------------------------
@@ -9224,7 +9239,94 @@ object SparkEntry {
         |  FROM code GROUP BY 1)
         |SELECT c.word, c.code, b.n_block
         |FROM code c JOIN blk b USING (code)
-        |ORDER BY word""".stripMargin
+        |ORDER BY word""".stripMargin,
+
+    "q275_naive_bayes" ->
+      """WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        |te AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+        |trt AS MATERIALIZED (SELECT cls, tok FROM (
+        |    SELECT CAST(lang AS VARCHAR) AS cls,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |    FROM tr) WHERE tok <> ''),
+        |ct AS MATERIALIZED (SELECT cls, tok,
+        |    CAST(count(*) AS BIGINT) AS c FROM trt GROUP BY 1, 2),
+        |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM ct),
+        |cs AS MATERIALIZED (SELECT cls, CAST(sum(c) AS BIGINT) AS tot,
+        |    CAST(round(log10(1.0 / (CAST(sum(c) AS BIGINT) + vv.v))
+        |      * 1000000, 0) AS BIGINT) AS oov_u6
+        |  FROM ct, vv GROUP BY cls, vv.v),
+        |lp AS MATERIALIZED (SELECT ct.cls, ct.tok,
+        |    CAST(round(log10(CAST(ct.c + 1 AS DOUBLE) / (cs.tot + vv.v))
+        |      * 1000000, 0) AS BIGINT) AS lp_u6
+        |  FROM ct JOIN cs USING (cls), vv),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM tr),
+        |pri AS (SELECT CAST(lang AS VARCHAR) AS cls,
+        |    CAST(round(log10(CAST(count(*) AS DOUBLE) / nr.n_train)
+        |      * 1000000, 0) AS BIGINT) AS prior_u6
+        |  FROM tr, nr GROUP BY 1, nr.n_train),
+        |tet AS MATERIALIZED (SELECT id, tok,
+        |    CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT doc_id AS id,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |    FROM te) WHERE tok <> '' GROUP BY 1, 2),
+        |sc AS (SELECT tet.id, cs.cls,
+        |    CAST(sum(tet.n * coalesce(lp.lp_u6, cs.oov_u6)) AS BIGINT)
+        |      AS s
+        |  FROM tet CROSS JOIN cs
+        |  LEFT JOIN lp ON lp.cls = cs.cls AND lp.tok = tet.tok
+        |  GROUP BY 1, 2),
+        |fin AS (SELECT sc.id, sc.cls, sc.s + pri.prior_u6 AS score_u6
+        |  FROM sc JOIN pri USING (cls)),
+        |pk AS (SELECT id, cls AS pred, score_u6 FROM (
+        |    SELECT id, cls, score_u6, row_number() OVER (
+        |      PARTITION BY id ORDER BY score_u6 DESC, cls) AS rn
+        |    FROM fin) WHERE rn = 1)
+        |SELECT pk.id AS doc_id, pk.pred,
+        |  CAST(te.lang AS VARCHAR) AS actual,
+        |  CAST(pk.score_u6 AS BIGINT) AS score_u6,
+        |  CASE WHEN pk.pred = CAST(te.lang AS VARCHAR)
+        |    THEN 1 ELSE 0 END AS correct
+        |FROM pk JOIN te ON te.doc_id = pk.id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q276_heaps_law" ->
+      """WITH tk AS MATERIALIZED (SELECT id, tok FROM (
+        |    SELECT doc_id AS id,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |bt AS (SELECT id // 50 AS b, CAST(count(*) AS BIGINT) AS nt
+        |  FROM tk GROUP BY 1),
+        |bn AS (SELECT fid // 50 AS b, CAST(count(*) AS BIGINT) AS nv
+        |  FROM (SELECT tok, min(id) AS fid FROM tk GROUP BY 1)
+        |  GROUP BY 1),
+        |cv AS MATERIALIZED (SELECT b,
+        |    CAST(sum(coalesce(nt, 0)) OVER (ORDER BY b ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(sum(coalesce(nv, 0)) OVER (ORDER BY b ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS v_types
+        |  FROM bt FULL OUTER JOIN bn USING (b)),
+        |cx AS MATERIALIZED (SELECT b, n_tokens, v_types,
+        |    CAST(round(log10(CAST(n_tokens AS DOUBLE)) * 1000000, 0)
+        |      AS BIGINT) AS x_u6,
+        |    CAST(round(log10(CAST(v_types AS DOUBLE)) * 1000000, 0)
+        |      AS BIGINT) AS y_u6
+        |  FROM cv WHERE n_tokens > 0 AND v_types > 0),
+        |ft AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x_u6) AS BIGINT) AS sx,
+        |    CAST(sum(y_u6) AS BIGINT) AS sy,
+        |    CAST(sum(x_u6 * y_u6) AS HUGEINT) AS sxy,
+        |    CAST(sum(x_u6 * x_u6) AS HUGEINT) AS sxx FROM cx),
+        |fit AS (SELECT
+        |    CAST((n * sxy - sx * sy) * 1000000
+        |      // (n * sxx - sx * sx) AS BIGINT) AS beta_u6 FROM ft),
+        |fit2 AS (SELECT fit.beta_u6,
+        |    CAST((ft.sy - (fit.beta_u6 * ft.sx) // 1000000) // ft.n
+        |      AS BIGINT) AS alpha_u6 FROM fit, ft)
+        |SELECT cx.b, cx.n_tokens, cx.v_types, cx.x_u6, cx.y_u6,
+        |  fit2.beta_u6, fit2.alpha_u6
+        |FROM cx, fit2 ORDER BY b""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -427,6 +427,69 @@ object Profile {
       .select("bin", "n_pos", "n_neg", "woe_u6", "iv_u6")
   }
 
+  /** Heaps'-law vocabulary-growth audit (Heaps 1978): checkpoints of
+    * (cumulative tokens N, cumulative distinct types V) every
+    * `checkEvery` documents in id order, plus the log-log OLS fit
+    * V ≈ k·N^β — the corpus-health read the per-doc stats can't give:
+    * natural corpora grow β ≈ 0.4-0.6; β near 0 screams template
+    * spam, β near 1 screams id-like token noise (both are dedup/
+    * cleaning bugs when they appear mid-pipeline). Exact-integer
+    * discipline: V comes from each type's FIRST-occurrence doc (a
+    * vocabulary-dimension min — never a per-checkpoint distinct
+    * rescan), both axes micro-round ONCE from exact counts, and the
+    * fit runs in integer sums with one DECIMAL(38) widening for the
+    * slope numerator (n·Σxy−ΣxΣy can pass 2⁶³ after the 10⁶ scale;
+    * the truncating integral divide matches the engine `//` contract).
+    *
+    * Scale shape: one token explode, one vocabulary-dimension min,
+    * two bucket-dimension aggregates; the only windows run on the
+    * CHECKPOINT dimension (corpus/checkEvery-sized — pick checkEvery
+    * so that stays thousands, the q177-cuts discipline). Assumes ids
+    * order the corpus (compose with [[graft.ops.Layout
+    * .globalRowNumber]] first otherwise). Returns per checkpoint
+    * (b, n_tokens, v_types, x_u6, y_u6, beta_u6, alpha_u6); buckets
+    * before the first token are dropped (log undefined). */
+  def heapsLaw(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", checkEvery: Long = 50L): DataFrame = {
+    require(checkEvery >= 1L, s"checkEvery must be >= 1, got $checkEvery")
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs.select(col(idCol).as("id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "").localCheckpoint()
+    val bTok = tk.groupBy(expr(s"CAST(id div $checkEvery AS BIGINT)")
+        .as("b"))
+      .agg(count(lit(1)).as("nt"))
+    val bNew = tk.groupBy("tok").agg(min("id").as("fid"))
+      .groupBy(expr(s"CAST(fid div $checkEvery AS BIGINT)").as("b"))
+      .agg(count(lit(1)).as("nv"))
+    val w = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = bTok.join(bNew, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("nt"), lit(0L)).as("nt"),
+        coalesce(col("nv"), lit(0L)).as("nv"))
+      .withColumn("n_tokens", sum("nt").over(w))
+      .withColumn("v_types", sum("nv").over(w))
+      .filter(col("n_tokens") > 0L && col("v_types") > 0L)
+      .withColumn("x_u6",
+        round(log10(col("n_tokens").cast("double")) * 1000000, 0)
+          .cast("long"))
+      .withColumn("y_u6",
+        round(log10(col("v_types").cast("double")) * 1000000, 0)
+          .cast("long"))
+      .select("b", "n_tokens", "v_types", "x_u6", "y_u6")
+      .localCheckpoint()
+    val fit = curve.agg(count(lit(1)).as("n"), sum("x_u6").as("sx"),
+        sum("y_u6").as("sy"), sum(col("x_u6") * col("y_u6")).as("sxy"),
+        sum(col("x_u6") * col("x_u6")).as("sxx"))
+      .withColumn("beta_u6", expr(
+        "CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0)) * 1000000 " +
+        "div (n * sxx - sx * sx) AS BIGINT)"))
+      .withColumn("alpha_u6", expr(
+        "CAST((sy - (beta_u6 * sx) div 1000000) div n AS BIGINT)"))
+      .select("beta_u6", "alpha_u6")
+    curve.crossJoin(broadcast(fit))
+  }
+
   /** RFM segmentation (recency / frequency / monetary quintiles) —
     * the classic entity-value grid, equally useful segmenting crawl
     * DOMAINS by last-seen / page-count / content-mass before assigning

@@ -1441,6 +1441,80 @@ object TextAnalysis {
           .otherwise(expr("match_n * 1000 div ref_n")))
   }
 
+  /** Multinomial Naive Bayes text classifier (train + score in one
+    * declarative pass) — the cheap supervised baseline of the
+    * classifier tier next to the [[graft.ops.Cleaning]] perceptron
+    * gate: language/source/domain routing where a linear
+    * bag-of-words model is the standard first answer. Deterministic
+    * split (test = id % testMod == 0), Laplace +1 smoothing, and the
+    * exact-integer discipline: every log-probability micro-rounds
+    * ONCE from an exact count ratio (class priors n_c/N, token
+    * likelihoods (c+1)/(tot_c+V), out-of-vocabulary 1/(tot_c+V)),
+    * then scores are pure integer weighted sums — argmax with ties
+    * to the lexicographically smallest class. Engine-reproducible end
+    * to end; no float accumulation anywhere.
+    *
+    * Scale shape: counts live on the (class, token) vocabulary
+    * dimension; scoring is one token⋈likelihood left join after a
+    * C-way broadcast expansion (C = #classes, a constant) and one
+    * (doc, class) aggregate — documents never shuffle whole, and the
+    * model "table" is exactly the partial-aggregable shape that
+    * trains in one pass over 100 TB. Returns
+    * (idCol, pred, actual, score_u6, correct) for the test split;
+    * token-less test docs are absent (no evidence, no score). */
+  def naiveBayes(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      classCol: String = "lang", testMod: Long = 5L)
+      : org.apache.spark.sql.DataFrame = {
+    require(testMod >= 2L, s"testMod must be >= 2, got $testMod")
+    import org.apache.spark.sql.expressions.Window
+    val train = docs.filter(col(idCol) % testMod =!= 0L)
+    val test = docs.filter(col(idCol) % testMod === 0L)
+    val trTok = train.select(col(classCol).cast("string").as("cls"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val ct = trTok.groupBy("cls", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val vRow = ct.agg(countDistinct("tok").as("v"))
+    val cstat = ct.groupBy("cls").agg(sum("c").as("tot"))
+      .crossJoin(broadcast(vRow))
+      .withColumn("oov_u6", round(log10(
+          lit(1.0) / (col("tot") + col("v"))) * 1000000, 0).cast("long"))
+    val lp = ct.join(cstat, "cls")
+      .withColumn("lp_u6", round(log10(
+          (col("c") + 1).cast("double") / (col("tot") + col("v")))
+          * 1000000, 0).cast("long"))
+      .select("cls", "tok", "lp_u6")
+    val nRow = train.agg(count(lit(1)).as("n_train"))
+    val pri = train.groupBy(col(classCol).cast("string").as("cls"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("prior_u6", round(log10(
+          col("n_docs").cast("double") / col("n_train")) * 1000000, 0)
+        .cast("long"))
+      .select("cls", "prior_u6")
+    val teTok = test.select(col(idCol).as("id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("id", "tok").agg(count(lit(1)).as("n"))
+    val scored = teTok
+      .crossJoin(broadcast(cstat.select("cls", "oov_u6")))
+      .join(lp, Seq("cls", "tok"), "left")
+      .withColumn("contrib",
+        col("n") * coalesce(col("lp_u6"), col("oov_u6")))
+      .groupBy("id", "cls").agg(sum("contrib").as("s"))
+      .join(pri, "cls")
+      .withColumn("score_u6", col("prior_u6") + col("s"))
+    val w = Window.partitionBy("id").orderBy(desc("score_u6"), col("cls"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(test.select(col(idCol).as("id"),
+        col(classCol).cast("string").as("actual")), "id")
+      .withColumn("correct", (col("cls") === col("actual")).cast("long"))
+      .select(col("id").as(idCol), col("cls").as("pred"), col("actual"),
+        col("score_u6"), col("correct"))
+  }
+
   /** Flesch reading-ease + Flesch–Kincaid grade (Flesch 1948; Kincaid
     * et al. 1975) — the classic readability pair, a cheap prose-quality
     * gate next to [[tokenEntropy]] and the Gopher repetition checks

@@ -2035,6 +2035,27 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("heapsLaw: cumulative token/type curve from first occurrences, " +
+      "empty doc ignored, two-point fit equals the closed-form slope, " +
+      "guards") {
+    val docs = Seq((0L, "a b"), (1L, "a c"), (2L, "a b c d"),
+      (3L, "  ")).toDF("doc_id", "text")
+    val got = graft.ops.Profile.heapsLaw(docs, checkEvery = 2L)
+      .orderBy("b")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // bucket 0: N=4 V=3; bucket 1: N=8 V=4 (only d is new)
+    val (x1, y1, x2, y2) = (602060L, 477121L, 903090L, 602060L)
+    val beta = (BigInt(2L * (x1 * y1 + x2 * y2) -
+        (x1 + x2) * (y1 + y2)) * 1000000 /
+      BigInt(2L * (x1 * x1 + x2 * x2) - (x1 + x2) * (x1 + x2))).toLong
+    val alpha = ((y1 + y2) - (beta * (x1 + x2)) / 1000000L) / 2L
+    assert(got == Seq((0L, 4L, 3L, x1, y1, beta, alpha),
+      (1L, 8L, 4L, x2, y2, beta, alpha)), s"got $got (beta=$beta)")
+    intercept[IllegalArgumentException] {
+      graft.ops.Profile.heapsLaw(docs, checkEvery = 0L)
+    }
+  }
+
   test("woeIv: hand-computed smoothed cross-ratio both signs, " +
       "symmetric bins give equal IV terms, balanced bin at zero, " +
       "non-binary labels rejected") {
@@ -2135,6 +2156,26 @@ class TokenizerSpec extends AnyFunSuite with SparkTestBase {
     val first = TextAnalysis.classTfIdfTopTerms(tie, "grp", "text", k = 1)
       .select("term").as[String].collect().toSeq
     assert(first == Seq("aa"), s"score tie must break on term asc: $first")
+  }
+
+  test("naiveBayes: hand-built Laplace model, OOV fallback, argmax " +
+      "with evidence beating prior ties, correctness flags, guards") {
+    // train: doc1 (a, "x x y"), doc2 (b, "z z"); V = 3. test: doc0
+    // (a, "x z q" — q OOV everywhere), doc5 (b, "z z").
+    val docs = Seq((1L, "a", "x x y"), (2L, "b", "z z"),
+      (0L, "a", "x z q"), (5L, "b", "z z"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.naiveBayes(docs)
+      .as[(Long, String, String, Long, Long)].collect().toSet
+    // doc0: score(a) = −301030 (prior) − 301030 (x) − 778151·2 (z,q
+    //       OOV in a) = −2158362; score(b) = −301030 − 698970 (x OOV)
+    //       − 221849 (z) − 698970 (q) = −1920819 → pred b, wrong
+    // doc5: score(b) = −301030 − 2·221849 = −744728 → pred b, right
+    assert(got == Set((0L, "b", "a", -1920819L, 0L),
+      (5L, "b", "b", -744728L, 1L)), s"got $got")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.naiveBayes(docs, testMod = 1L)
+    }
   }
 
   test("fleschReadability: vowel-run syllables floored per word, " +

@@ -4315,7 +4315,33 @@ object SparkEntry {
     // DuckDB re-derives first occurrences, both curves, and the fit.
     "q276_heaps_law" -> ((s, dir) =>
       graft.ops.Profile.heapsLaw(t(s, dir, "documents"))
-        .orderBy("b"))
+        .orderBy("b")),
+
+    // Fellegi-Sunter linkage over the customer file: frequency-
+    // estimated u per compare field, fixed m, micro-log weights folded
+    // to literals, (segment, nation)-blocked pairs, integer scores.
+    // DuckDB re-estimates u, re-derives both weights, and re-scores
+    // every blocked pair.
+    "q277_fellegi_sunter" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("bal_b",
+          expr("CAST(floor(c_acctbal / 1000) AS BIGINT)"))
+        .withColumn("name_d", expr("right(c_name, 1)"))
+      graft.ops.Dedup.fellegiSunterPairs(c, "c_custkey",
+          blockCols = Seq("c_mktsegment", "c_nationkey"),
+          compareCols = Seq("bal_b", "name_d"),
+          lowerU6 = -400000L)
+        .orderBy("id1", "id2")
+    }),
+
+    // Top principal component by exact-integer power iteration: micro
+    // int components, integer second-moment matrix, BigInt covariance
+    // numerators, 8 max-normalized mat-vec rounds. DuckDB re-derives
+    // the matrix and replays every round in HUGEINT.
+    "q278_pca_power" -> ((s, dir) =>
+      graft.ops.VectorOps.pcaPowerIteration(
+        t(s, dir, "embeddings"), dim = 64, iters = 8)
+        .orderBy("dim_i"))
   )
 
   // ---------------------------------------------------------------------
@@ -9326,7 +9352,76 @@ object SparkEntry {
         |      AS BIGINT) AS alpha_u6 FROM fit, ft)
         |SELECT cx.b, cx.n_tokens, cx.v_types, cx.x_u6, cx.y_u6,
         |  fit2.beta_u6, fit2.alpha_u6
-        |FROM cx, fit2 ORDER BY b""".stripMargin
+        |FROM cx, fit2 ORDER BY b""".stripMargin,
+
+    "q277_fellegi_sunter" ->
+      """WITH c AS MATERIALIZED (SELECT c_custkey, c_mktsegment,
+        |    c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT)
+        |      AS bal_b, right(c_name, 1) AS name_d FROM customer),
+        |u1 AS (SELECT greatest(1, least(999999,
+        |    CAST(sum(nv * nv) AS BIGINT) * 1000000
+        |      // (CAST(sum(nv) AS BIGINT) * CAST(sum(nv) AS BIGINT))))
+        |    AS u
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS nv FROM c
+        |    GROUP BY bal_b)),
+        |w1 AS (SELECT
+        |    CAST(round(log10(950000.0 / u) * 1000000, 0) AS BIGINT)
+        |      AS wa,
+        |    CAST(round(log10(50000.0 / (1000000 - u)) * 1000000, 0)
+        |      AS BIGINT) AS wd FROM u1),
+        |u2 AS (SELECT greatest(1, least(999999,
+        |    CAST(sum(nv * nv) AS BIGINT) * 1000000
+        |      // (CAST(sum(nv) AS BIGINT) * CAST(sum(nv) AS BIGINT))))
+        |    AS u
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS nv FROM c
+        |    GROUP BY name_d)),
+        |w2 AS (SELECT
+        |    CAST(round(log10(950000.0 / u) * 1000000, 0) AS BIGINT)
+        |      AS wa,
+        |    CAST(round(log10(50000.0 / (1000000 - u)) * 1000000, 0)
+        |      AS BIGINT) AS wd FROM u2),
+        |p AS (SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        |    CASE WHEN a.bal_b IS NOT DISTINCT FROM b.bal_b
+        |      THEN 1 ELSE 0 END AS g1,
+        |    CASE WHEN a.name_d IS NOT DISTINCT FROM b.name_d
+        |      THEN 1 ELSE 0 END AS g2
+        |  FROM c a JOIN c b ON a.c_mktsegment = b.c_mktsegment
+        |    AND a.c_nationkey = b.c_nationkey
+        |    AND a.c_custkey < b.c_custkey)
+        |SELECT id1, id2, CAST(g1 + g2 AS BIGINT) AS n_agree,
+        |  CAST(g1 * w1.wa + (1 - g1) * w1.wd
+        |    + g2 * w2.wa + (1 - g2) * w2.wd AS BIGINT) AS score_u6,
+        |  CASE WHEN g1 * w1.wa + (1 - g1) * w1.wd
+        |    + g2 * w2.wa + (1 - g2) * w2.wd >= 1
+        |    THEN 'link' ELSE 'possible' END AS decision
+        |FROM p, w1, w2
+        |WHERE g1 * w1.wa + (1 - g1) * w1.wd
+        |  + g2 * w2.wa + (1 - g2) * w2.wd >= -400000
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q278_pca_power" ->
+      s"""WITH ex AS MATERIALIZED (SELECT vec_id, i,
+        |    CAST(round(embedding[i + 1]::DOUBLE * 1000000, 0)
+        |      AS BIGINT) AS xu
+        |  FROM (SELECT vec_id, embedding,
+        |    unnest(range(len(embedding))) AS i FROM embeddings)),
+        |ms AS (SELECT a.i, b.i AS j,
+        |    CAST(sum(a.xu * b.xu) AS HUGEINT) AS s
+        |  FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+        |sx AS MATERIALIZED (SELECT i, CAST(sum(xu) AS HUGEINT) AS sx
+        |  FROM ex GROUP BY 1),
+        |nn AS (SELECT CAST(count(DISTINCT vec_id) AS HUGEINT) AS n
+        |  FROM embeddings),
+        |mm AS MATERIALIZED (SELECT ms.i, ms.j,
+        |    CAST((nn.n * ms.s - a.sx * b.sx) // (nn.n * nn.n)
+        |      AS HUGEINT) AS mv
+        |  FROM ms JOIN sx a ON a.i = ms.i JOIN sx b ON b.i = ms.j, nn),
+        |v0 AS (SELECT i AS j, CASE WHEN i = 0
+        |    THEN CAST(1000000 AS HUGEINT)
+        |    ELSE CAST(0 AS HUGEINT) END AS v FROM sx),
+        |${(1 to 8).map(pcaIterCtes).mkString(",\n")}
+        |SELECT CAST(j AS BIGINT) AS dim_i, CAST(v AS BIGINT) AS v_u6
+        |FROM v8 ORDER BY dim_i""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6
@@ -9587,6 +9682,22 @@ object SparkEntry {
        |    s.h AS fp
        |  FROM ${p}sel s JOIN ${p}n n ON n.doc_id = s.doc_id
        |  WHERE s.rn = 1 AND s.wpos <= greatest(n.ng - 4, 0))"""
+
+  /** One q278 power-iteration round as DuckDB CTEs `w<r>/x<r>/v<r>`
+    * reading `v<r-1>(j, v)` and the covariance table `mm(i, j, mv)`,
+    * ending in `v<r>(j, v)` — integer mat-vec (order-free HUGEINT
+    * sum), max-|component| renormalization by truncating division,
+    * mirroring [[graft.ops.VectorOps.pcaPowerIteration]]'s BigInt
+    * loop exactly. NOT pre-stripped (embeds in a stripMargin outer
+    * string, the winnowingCtes rule). */
+  private def pcaIterCtes(r: Int): String =
+    s"""w$r AS MATERIALIZED (SELECT m.i,
+       |    CAST(sum(m.mv * v${r - 1}.v) AS HUGEINT) AS w
+       |  FROM mm m JOIN v${r - 1} ON v${r - 1}.j = m.j GROUP BY 1),
+       |x$r AS (SELECT max(abs(w)) AS mx FROM w$r),
+       |v$r AS (SELECT w$r.i AS j,
+       |    CAST(w$r.w * 1000000 // x$r.mx AS HUGEINT) AS v
+       |  FROM w$r, x$r)"""
 
   /** One synchronous modularity local-move round (q273) as DuckDB CTEs
     * `kc<r>/nb<r>/cd<r>/sc<r>/r<r>` reading assignment `prev(id, comm)`

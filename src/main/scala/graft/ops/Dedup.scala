@@ -1194,6 +1194,76 @@ object Dedup {
       .filter(col("inter") * tDen >= col("uni") * tNum)
   }
 
+  /** Round half away from zero to a Long — the engine-portable tie
+    * rule (DuckDB round(); Spark round(); NOT math.round, whose
+    * floor(x+0.5) breaks on negative .5 ties). */
+  private[ops] def roundAway(x: Double): Long =
+    if (x >= 0) math.floor(x + 0.5).toLong else -math.floor(-x + 0.5).toLong
+
+  /** Fellegi–Sunter probabilistic record linkage (JASA 1969) — the
+    * principled upgrade over [[fuzzyLinkage]]'s single-field distance:
+    * each compare field carries an agreement weight log(m/u) and a
+    * disagreement weight log((1−m)/(1−u)), a pair's score is the sum,
+    * and the u-probabilities (chance agreement) are ESTIMATED FROM THE
+    * DATA as Σ n_v²/N² per field (the value-frequency method — rare
+    * values agreeing is strong evidence, frequent ones weak).
+    * m is supplied (ppm): without labeled pairs the EM fit has no
+    * deterministic replay, and a fixed high m is the standard
+    * first-pass configuration. Exact discipline: u clamps to
+    * [1, 999999] ppm (degenerate all-distinct / constant fields stay
+    * finite), weights micro-round ONCE from the ppm ratio (micro-log10
+    * rule), pair scores are pure integer sums.
+    *
+    * Scale shape: u estimation is one value-dimension aggregate per
+    * field; the F fitted weights are a BOUNDED driver read (F = a
+    * handful of fields — the documented IVF-fit-style contract) folded
+    * back as codegen literals; candidate pairs come only from the
+    * BLOCK self-join (never all-pairs — pick blockCols with bounded
+    * block sizes, the fuzzyLinkage rule). The classic three-way
+    * decision rule: score ≥ upperU6 → "link", ≥ lowerU6 → "possible"
+    * (clerical review), below lowerU6 dropped entirely. Returns
+    * (id1, id2, n_agree, score_u6, decision); comparisons are
+    * null-safe (two nulls agree), block keys with nulls never pair
+    * (SQL join semantics). */
+  def fellegiSunterPairs(df: DataFrame, idCol: String,
+      blockCols: Seq[String], compareCols: Seq[String],
+      mPpm: Long = 950000L, upperU6: Long = 1L,
+      lowerU6: Long = Long.MinValue): DataFrame = {
+    require(blockCols.nonEmpty, "need at least one blocking column")
+    require(compareCols.nonEmpty, "need at least one compare column")
+    require(mPpm >= 1L && mPpm <= 999999L, s"mPpm out of (0,1): $mPpm")
+    require(lowerU6 <= upperU6, s"lowerU6 $lowerU6 > upperU6 $upperU6")
+    val weights = compareCols.map { f =>
+      val r = df.groupBy(col(f)).agg(count(lit(1)).as("nv"))
+        .agg(sum(col("nv") * col("nv")).as("s2"), sum("nv").as("n"))
+        .first()
+      val s2 = r.getLong(0)
+      val n = r.getLong(1)
+      val u = math.max(1L, math.min(999999L, s2 * 1000000L / (n * n)))
+      val wa = roundAway(math.log10(mPpm.toDouble / u) * 1e6)
+      val wd = roundAway(
+        math.log10((1000000L - mPpm).toDouble / (1000000L - u)) * 1e6)
+      (f, wa, wd)
+    }
+    val cols = (idCol +: (blockCols ++ compareCols)).distinct
+    val base = df.select(cols.map(col): _*)
+    val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
+    val score = weights.map { case (f, wa, wd) =>
+      when(col(s"a.$f") <=> col(s"b.$f"), lit(wa)).otherwise(lit(wd))
+    }.reduce(_ + _)
+    val agree = weights.map { case (f, _, _) =>
+      when(col(s"a.$f") <=> col(s"b.$f"), lit(1L)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    base.alias("a").join(base.alias("b"), joinCond)
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
+        agree.as("n_agree"), score.as("score_u6"))
+      .filter(col("score_u6") >= lowerU6)
+      .withColumn("decision",
+        when(col("score_u6") >= upperU6, lit("link"))
+          .otherwise(lit("possible")))
+  }
+
   /** Simplified American Soundex (Russell 1918 family), the phonetic
     * BLOCKING key for record linkage — [[fuzzyLinkage]]'s length-key
     * blocks miss sound-alike misspellings ("smith"/"smyth"); a soundex

@@ -67,6 +67,64 @@ object VectorOps {
           .otherwise(round(col("x") / col("nrm"), 6)).as("xn"))
   }
 
+  /** Top principal component by power iteration — EXACT-INTEGER end
+    * to end, so any engine replays it bit-for-bit: components enter as
+    * micro ints (one per-element round, order-free), the d×d second-
+    * moment matrix accumulates in integer sums (map-side partial
+    * combine — only d² rows per partition ever cross the exchange, the
+    * scale shape that survives 100 TB), the covariance numerator
+    * M_ij = (n·Σxy − Σx·Σy) div n² is exact BigInt arithmetic, and
+    * each of the `iters` mat-vec steps renormalizes by max-|component|
+    * with truncating division (the DuckDB `//` contract). Seed is
+    * e₀ (first coordinate) — loud-fails if dimension 0 carries no
+    * signal rather than silently returning a zero vector.
+    *
+    * The d×d matrix and the iteration itself are a BOUNDED driver
+    * read/loop (d²-sized, the IVF-fit contract — never corpus-sized);
+    * everything row-scale stays distributed. PCA here is the
+    * whitening/compression fit BEFORE indexing — the learned direction
+    * pairs with [[truncateRenorm]]/[[randomProject]] as the third
+    * dimensionality dial, the one that looks at the data. Returns
+    * (dim_i, v_u6): the component in micro units, max-normalized. */
+  def pcaPowerIteration(emb: DataFrame, dim: Int, iters: Int = 8,
+      vecCol: String = "embedding"): DataFrame = {
+    require(dim >= 1 && iters >= 1, s"bad dim/iters: $dim/$iters")
+    val e1 = emb.select(col(vecCol).as("arr"),
+        posexplode(col(vecCol)).as(Seq("i", "x")))
+      .select(col("arr"), col("i"),
+        round(col("x").cast("double") * 1000000, 0).cast("long").as("xi"))
+    val ms = e1
+      .select(col("i"), col("xi"),
+        posexplode(col("arr")).as(Seq("j", "y")))
+      .withColumn("xj",
+        round(col("y").cast("double") * 1000000, 0).cast("long"))
+      .groupBy("i", "j").agg(sum(col("xi") * col("xj")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val sx = e1.groupBy("i").agg(sum("xi").as("sx"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = BigInt(emb.count())
+    val m = Array.tabulate(dim, dim) { (i, j) =>
+      (n * BigInt(ms.getOrElse((i, j), 0L)) -
+        BigInt(sx.getOrElse(i, 0L)) * BigInt(sx.getOrElse(j, 0L))) /
+        (n * n)
+    }
+    var v = Array.tabulate(dim)(i => if (i == 0) BigInt(1000000) else BigInt(0))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim) { i =>
+        (0 until dim).foldLeft(BigInt(0))((acc, j) => acc + m(i)(j) * v(j))
+      }
+      val mx = w.map(_.abs).max
+      require(mx > 0,
+        "power iteration collapsed to zero — dimension 0 carries no signal")
+      v = w.map(_ * 1000000 / mx)
+    }
+    val spark = emb.sparkSession
+    spark.createDataFrame(
+        (0 until dim).map(i => (i.toLong, v(i).toLong)))
+      .toDF("dim_i", "v_u6")
+  }
+
   /** The Rademacher sign for JL projection cell (inDim i, outDim j):
     * +1 when the first hex digit of md5("i_j") is 0-7, −1 on 8-f — a
     * fair coin any engine reproduces from its own md5. */

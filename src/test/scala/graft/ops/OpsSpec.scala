@@ -91,6 +91,38 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(jw("prefXab", "prefYcd") == 0.828571)
   }
 
+  test("fellegiSunterPairs: frequency-estimated u, hand-computed " +
+      "micro-log weights, block isolation, score filter, guards") {
+    // N=4; both fields have value frequencies {3,1} → u = 10/16 =
+    // 625000 ppm → wa = round(log10(0.95/0.625)e6) = 181844,
+    // wd = round(log10(0.05/0.375)e6) = −875061.
+    val df = Seq((1L, "X", 10L, "a"), (2L, "X", 10L, "a"),
+      (3L, "X", 20L, "b"), (4L, "Y", 10L, "a"))
+      .toDF("id", "blk", "f1", "f2")
+    val got = Dedup.fellegiSunterPairs(df, "id", Seq("blk"),
+        Seq("f1", "f2"), lowerU6 = 0L)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 2L, 2L, 363688L, "link")), s"got $got")
+    // the review band exposes the double-disagree pairs as 'possible'
+    val all = Dedup.fellegiSunterPairs(df, "id", Seq("blk"),
+        Seq("f1", "f2"))
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(all == Set((1L, 2L, 2L, 363688L, "link"),
+      (1L, 3L, 0L, -1750122L, "possible"),
+      (2L, 3L, 0L, -1750122L, "possible")), s"got $all")
+    intercept[IllegalArgumentException] {
+      Dedup.fellegiSunterPairs(df, "id", Seq.empty, Seq("f1"))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.fellegiSunterPairs(df, "id", Seq("blk"), Seq("f1"),
+        mPpm = 1000000L)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.fellegiSunterPairs(df, "id", Seq("blk"), Seq("f1"),
+        upperU6 = 0L, lowerU6 = 1L)
+    }
+  }
+
   test("soundex4: known-answer codes (vowel-rule variant), sound-alike " +
       "collision, run collapse through the lead letter, non-letters " +
       "stripped, letterless null") {

@@ -110,4 +110,23 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
     val mean = projs.sum / projs.size
     assert(math.abs(mean - 1.0) < 0.3, s"JL norm ratio off: $mean")
   }
+
+  test("pcaPowerIteration: diagonal-direction corpus converges to " +
+      "(1,1), anti-correlated to (1,-1), zero-signal seed loud-fails") {
+    val diag = Seq((1L, Seq(1f, 1f)), (2L, Seq(2f, 2f)),
+      (3L, Seq(3f, 3f)), (4L, Seq(0f, 0f))).toDF("vec_id", "embedding")
+    val a = VectorOps.pcaPowerIteration(diag, dim = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(a == Map(0L -> 1000000L, 1L -> 1000000L), s"got $a")
+    val anti = Seq((1L, Seq(1f, -1f)), (2L, Seq(2f, -2f)),
+      (3L, Seq(0f, 0f))).toDF("vec_id", "embedding")
+    val b = VectorOps.pcaPowerIteration(anti, dim = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(b == Map(0L -> 1000000L, 1L -> -1000000L), s"got $b")
+    val dead = Seq((1L, Seq(0f, 1f)), (2L, Seq(0f, 2f)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      VectorOps.pcaPowerIteration(dead, dim = 2)
+    }
+  }
 }

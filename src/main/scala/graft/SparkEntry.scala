@@ -4341,7 +4341,25 @@ object SparkEntry {
     "q278_pca_power" -> ((s, dir) =>
       graft.ops.VectorOps.pcaPowerIteration(
         t(s, dir, "embeddings"), dim = 64, iters = 8)
-        .orderBy("dim_i"))
+        .orderBy("dim_i")),
+
+    // Int8 serving-recall audit: the quantized-code integer-dot top-10
+    // for query 0, flagged against the exact float-cosine top-10.
+    // DuckDB re-quantizes, re-ranks by integer dot, and re-derives
+    // the exact list.
+    "q279_int8_recall" -> ((s, dir) =>
+      graft.ops.VectorOps.int8RecallAudit(
+        t(s, dir, "embeddings"), queryId = 0L, k = 10)
+        .orderBy("rn")),
+
+    // Split-conformal coverage audit: per-lang mean predictor (train
+    // third), count-based ceil-index residual quantile (calibration
+    // third), per-group coverage (test third). DuckDB re-derives the
+    // means, the order statistic, and every coverage flag.
+    "q280_conformal" -> ((s, dir) =>
+      graft.ops.Profile.splitConformal(
+        t(s, dir, "documents"), "doc_id", "lang", "n_chars")
+        .orderBy("grp"))
   )
 
   // ---------------------------------------------------------------------
@@ -9421,7 +9439,63 @@ object SparkEntry {
         |    ELSE CAST(0 AS HUGEINT) END AS v FROM sx),
         |${(1 to 8).map(pcaIterCtes).mkString(",\n")}
         |SELECT CAST(j AS BIGINT) AS dim_i, CAST(v AS BIGINT) AS v_u6
-        |FROM v8 ORDER BY dim_i""".stripMargin
+        |FROM v8 ORDER BY dim_i""".stripMargin,
+
+    "q279_int8_recall" ->
+      """WITH ex AS (SELECT vec_id, i, embedding[i]::DOUBLE AS x
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+        |mx AS (SELECT vec_id, max(abs(x)) AS maxabs FROM ex GROUP BY 1),
+        |cd AS MATERIALIZED (SELECT ex.vec_id, i,
+        |    CASE WHEN maxabs = 0 THEN 0
+        |         ELSE CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT)
+        |    END AS q
+        |  FROM ex JOIN mx USING (vec_id)),
+        |qv AS (SELECT i, q AS qv FROM cd WHERE vec_id = 0),
+        |dt AS (SELECT cd.vec_id, CAST(sum(cd.q * qv.qv) AS BIGINT)
+        |    AS dot_q FROM cd JOIN qv USING (i) GROUP BY 1),
+        |tq AS (SELECT vec_id, dot_q, CAST(row_number() OVER (
+        |      ORDER BY dot_q DESC, vec_id) AS BIGINT) AS rn
+        |  FROM dt QUALIFY rn <= 10),
+        |p AS (SELECT a.vec_id, unnest(a.embedding)::DOUBLE AS x,
+        |    unnest(q.embedding)::DOUBLE AS y
+        |  FROM embeddings a,
+        |    (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+        |sc AS (SELECT vec_id, round(sum(x*y)
+        |    / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+        |  FROM p GROUP BY 1),
+        |ex10 AS (SELECT vec_id FROM sc ORDER BY cos DESC, vec_id
+        |  LIMIT 10)
+        |SELECT tq.rn, tq.vec_id, tq.dot_q,
+        |  CASE WHEN ex10.vec_id IS NULL THEN 0 ELSE 1 END AS in_exact
+        |FROM tq LEFT JOIN ex10 ON ex10.vec_id = tq.vec_id
+        |ORDER BY rn""".stripMargin,
+
+    "q280_conformal" ->
+      """WITH mn AS (SELECT CAST(lang AS VARCHAR) AS grp,
+        |    CAST(sum(CAST(n_chars AS BIGINT))
+        |      // count(*) AS BIGINT) AS mean_v
+        |  FROM documents WHERE doc_id % 3 = 1 GROUP BY 1),
+        |cal AS (SELECT abs(CAST(d.n_chars AS BIGINT) - mn.mean_v)
+        |    AS resid
+        |  FROM documents d JOIN mn ON mn.grp = CAST(d.lang AS VARCHAR)
+        |  WHERE d.doc_id % 3 = 2),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+        |cum AS (SELECT resid, CAST(sum(count(*)) OVER (ORDER BY resid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM cal GROUP BY resid),
+        |qh AS (SELECT min(resid) AS qhat FROM cum, nn
+        |  WHERE cum.cum >= ((nn.n_cal + 1) * 90 + 99) // 100)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN qh.qhat IS NULL
+        |    OR abs(CAST(d.n_chars AS BIGINT) - mn.mean_v) <= qh.qhat
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  qh.qhat
+        |FROM documents d JOIN mn ON mn.grp = CAST(d.lang AS VARCHAR)
+        |  CROSS JOIN qh
+        |WHERE d.doc_id % 3 = 0
+        |GROUP BY grp, qh.qhat
+        |ORDER BY grp""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -427,6 +427,62 @@ object Profile {
       .select("bin", "n_pos", "n_neg", "woe_u6", "iv_u6")
   }
 
+  /** Split-conformal prediction audit (Vovk et al.; Lei et al. 2018)
+    * — distribution-free interval calibration for any point
+    * predictor: fit a naive per-group mean on the train third
+    * (id%3==1), take the ⌈(n+1)(1−α)⌉-th smallest absolute residual
+    * on the calibration third (id%3==2) as the interval half-width
+    * q̂, and report per-group coverage on the test third (id%3==0) —
+    * the guarantee says overall coverage ≥ 1−α, and per-group rows
+    * expose exactly where a heteroscedastic group breaks the marginal
+    * promise. Exact-integer discipline: means by truncating division,
+    * q̂ as a COUNT-BASED order statistic (min residual whose
+    * cumulative count reaches the ceil-index — never a global sort),
+    * coverage flags 0/1. When the calibration set is too small for
+    * the index (k > n) the interval is infinite: q̂ is null and
+    * everything covers, per the theory.
+    *
+    * Scale shape: one group-dimension mean table joined back twice;
+    * the only window runs on the RESIDUAL-VALUE dimension (bounded by
+    * the value domain, not the corpus — the q267 discipline). Groups
+    * unseen in training drop (no predictor, no claim). Returns
+    * (grp, n_test, n_covered, qhat). */
+  def splitConformal(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, alphaPct: Long = 10L): DataFrame = {
+    require(alphaPct >= 1L && alphaPct <= 99L,
+      s"alphaPct must be in [1,99], got $alphaPct")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("long")
+    val means = df.filter(col(idCol) % 3 === 1)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(expr(s"CAST(sum(CAST($valueCol AS BIGINT)) div count(1) " +
+        "AS BIGINT)").as("mean_v"))
+    val cal = df.filter(col(idCol) % 3 === 2)
+      .select(col(groupCol).as("grp"), v.as("v"))
+      .join(means, "grp")
+      .withColumn("resid", abs(col("v") - col("mean_v")))
+    val nRow = cal.agg(count(lit(1)).as("n_cal"))
+    val wr = Window.orderBy("resid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qRow = cal.groupBy("resid").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wr))
+      .crossJoin(broadcast(nRow))
+      .withColumn("k_idx", expr("CAST(((n_cal + 1) * (100 - " +
+        s"$alphaPct) + 99) div 100 AS BIGINT)"))
+      .filter(col("cum") >= col("k_idx"))
+      .agg(min("resid").as("qhat"))
+    df.filter(col(idCol) % 3 === 0)
+      .select(col(groupCol).as("grp"), v.as("v"))
+      .join(means, "grp")
+      .withColumn("resid", abs(col("v") - col("mean_v")))
+      .crossJoin(broadcast(qRow))
+      .withColumn("covered", when(col("qhat").isNull ||
+        col("resid") <= col("qhat"), 1L).otherwise(0L))
+      .groupBy("grp", "qhat")
+      .agg(count(lit(1)).as("n_test"), sum("covered").as("n_covered"))
+      .select("grp", "n_test", "n_covered", "qhat")
+  }
+
   /** Heaps'-law vocabulary-growth audit (Heaps 1978): checkpoints of
     * (cumulative tokens N, cumulative distinct types V) every
     * `checkEvery` documents in id order, plus the log-log OLS fit

@@ -67,6 +67,41 @@ object VectorOps {
           .otherwise(round(col("x") / col("nrm"), 6)).as("xn"))
   }
 
+  /** Int8 serving-recall audit — closes the loop on
+    * [[scalarQuantize]]: ranks the corpus for one query by the pure
+    * INTEGER dot product of int8 codes (the arithmetic a quantized
+    * serving tier actually executes — 4× less memory bandwidth than
+    * float, SIMD-friendly) and flags which of the quantized top-k
+    * survive in the exact float-cosine top-k. Per-vector symmetric
+    * scaling means code dot products rank by dot/(m_a·m_b) rather
+    * than cosine — exactly the distortion this audit measures; ties
+    * break by id both sides. Scale shape: the d query codes broadcast,
+    * the integer dot is one codegen map pass + id-keyed aggregate,
+    * both top-ks are TakeOrderedAndProject — nothing corpus-sized
+    * ever sorts globally. Returns the quantized top-k as
+    * (rn, vec_id, dot_q, in_exact); Σ in_exact / k is recall@k. */
+  def int8RecallAudit(emb: DataFrame, queryId: Long, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val codes = scalarQuantize(emb, idCol, vecCol)
+    val qv = codes.filter(col("vec_id") === queryId)
+      .select(col("i"), col("q").as("qv"))
+    val topQ = codes.join(broadcast(qv), "i")
+      .groupBy("vec_id").agg(sum(col("q") * col("qv")).as("dot_q"))
+      .orderBy(desc("dot_q"), col("vec_id")).limit(k)
+    val query = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol)).first().getSeq[Float](0).toArray
+    val exact = graft.ops.Similarity
+      .bruteForceTopK(emb, query, k, vecCol, idCol)
+      .select(col(idCol).as("vec_id"), lit(1L).as("in_exact"))
+    val w = Window.orderBy(desc("dot_q"), col("vec_id"))
+    topQ.withColumn("rn", row_number().over(w).cast("long"))
+      .join(exact, Seq("vec_id"), "left")
+      .select(col("rn"), col("vec_id"), col("dot_q"),
+        coalesce(col("in_exact"), lit(0L)).as("in_exact"))
+  }
+
   /** Top principal component by power iteration — EXACT-INTEGER end
     * to end, so any engine replays it bit-for-bit: components enter as
     * micro ints (one per-element round, order-free), the d×d second-

@@ -2067,6 +2067,29 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("splitConformal: truncating group means, count-based ceil-index " +
+      "quantile, per-group coverage, infinite interval when k > n, " +
+      "unseen groups dropped, alpha guard") {
+    // group a: train {10,20} → mean 15; cal resids {0,3,10,5};
+    // test resids {0,15,8}. group b never appears in training.
+    val df = Seq((1L, "a", 10L), (4L, "a", 20L),
+      (2L, "a", 15L), (5L, "a", 18L), (8L, "a", 25L), (11L, "a", 10L),
+      (0L, "a", 15L), (3L, "a", 30L), (6L, "a", 7L),
+      (14L, "b", 99L), (9L, "b", 42L)).toDF("id", "g", "v")
+    // alpha 25%: k = ceil(5·0.75) = 4 → qhat = 4th smallest resid = 10
+    val got = graft.ops.Profile.splitConformal(df, "id", "g", "v",
+        alphaPct = 25L)
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    assert(got == Set(("a", 3L, 2L, Some(10L))), s"got $got")
+    // alpha 10%: k = ceil(5·0.9) = 5 > n_cal = 4 → infinite interval
+    val inf = graft.ops.Profile.splitConformal(df, "id", "g", "v")
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    assert(inf == Set(("a", 3L, 3L, None)), s"got $inf")
+    intercept[IllegalArgumentException] {
+      graft.ops.Profile.splitConformal(df, "id", "g", "v", alphaPct = 0L)
+    }
+  }
+
   test("heapsLaw: cumulative token/type curve from first occurrences, " +
       "empty doc ignored, two-point fit equals the closed-form slope, " +
       "guards") {

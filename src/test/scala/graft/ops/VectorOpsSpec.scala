@@ -111,6 +111,23 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(mean - 1.0) < 0.3, s"JL norm ratio off: $mean")
   }
 
+  test("int8RecallAudit: per-vector scaling collapses magnitude, a " +
+      "low-cosine vector enters the quantized top-k and is flagged") {
+    // query (1,0): every code0 saturates to 127, so ALL integer dots
+    // tie at 16129 and rank by id — id2 (cos 0.8) displaces id3
+    // (cos 0.96) from the quantized top-3; exact top-3 is {0,1,3}.
+    val emb = Seq((0L, Seq(1f, 0f)), (1L, Seq(0.5f, 0f)),
+      (2L, Seq(0.8f, -0.6f)), (3L, Seq(0.96f, 0.28f)))
+      .toDF("vec_id", "embedding")
+    val got = VectorOps.int8RecallAudit(emb, queryId = 0L, k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, 0L, 16129L, 1L), (2L, 1L, 16129L, 1L),
+      (3L, 2L, 16129L, 0L)), s"got $got")
+    intercept[IllegalArgumentException] {
+      VectorOps.int8RecallAudit(emb, 0L, k = 0)
+    }
+  }
+
   test("pcaPowerIteration: diagonal-direction corpus converges to " +
       "(1,1), anti-correlated to (1,-1), zero-signal seed loud-fails") {
     val diag = Seq((1L, Seq(1f, 1f)), (2L, Seq(2f, 2f)),

@@ -4359,7 +4359,19 @@ object SparkEntry {
     "q280_conformal" -> ((s, dir) =>
       graft.ops.Profile.splitConformal(
         t(s, dir, "documents"), "doc_id", "lang", "n_chars")
-        .orderBy("grp"))
+        .orderBy("grp")),
+
+    // UCB1 off-policy replay over 32 cohort streams (256-step
+    // horizon): deterministic policy walk (unpulled-first init,
+    // micro-rounded exploration bonus, replay-matched updates only).
+    // DuckDB replays every decision in a recursive CTE with per-arm
+    // state columns.
+    "q281_ucb1_replay" -> ((s, dir) =>
+      graft.streaming.EventsPipeline.ucb1Replay(
+        t(s, dir, "events").withColumn("k32", col("user_id") % 32),
+        "k32", "ts", "event_id", "event_type", "value",
+        rewardThreshold = 100.0, maxSteps = 256)
+        .orderBy("key", "arm"))
   )
 
   // ---------------------------------------------------------------------
@@ -9495,7 +9507,65 @@ object SparkEntry {
         |  CROSS JOIN qh
         |WHERE d.doc_id % 3 = 0
         |GROUP BY grp, qh.qhat
-        |ORDER BY grp""".stripMargin
+        |ORDER BY grp""".stripMargin,
+
+    "q281_ucb1_replay" -> {
+      val armz = Seq("click", "error", "purchase", "signup", "view")
+      def sc(i: Int) =
+        s"""s.r$i * 1000000 // s.n$i
+           |        + CAST(round(sqrt(2.0 * ln(CAST(s.matched + 1
+           |          AS DOUBLE)) / s.n$i) * 1000000, 0) AS BIGINT)"""
+          .stripMargin
+      def upd(i: Int, a: String) =
+        s"""s.n$i + CASE WHEN p.pick = '$a' AND e.arm = '$a'
+           |      THEN 1 ELSE 0 END AS n$i,
+           |    s.r$i + CASE WHEN p.pick = '$a' AND e.arm = '$a'
+           |      THEN e.rw ELSE 0 END AS r$i""".stripMargin
+      def fin(i: Int, a: String) =
+        s"""SELECT key, '$a' AS arm, n$i AS pulls, r$i AS rewards,
+           |  matched FROM fin""".stripMargin
+      s"""WITH RECURSIVE ev AS MATERIALIZED (
+        |  SELECT * FROM (
+        |  SELECT user_id % 32 AS key, row_number() OVER (
+        |      PARTITION BY user_id % 32
+        |      ORDER BY epoch(ts), event_id) AS rn,
+        |    event_type AS arm,
+        |    CASE WHEN value >= 100.0 THEN CAST(1 AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS rw
+        |  FROM events) WHERE rn <= 256),
+        |st AS (
+        |  SELECT DISTINCT key, 0 AS t,
+        |    ${(1 to 5).map(i => s"CAST(0 AS BIGINT) AS n$i, " +
+              s"CAST(0 AS BIGINT) AS r$i").mkString(",\n    ")},
+        |    CAST(0 AS BIGINT) AS matched
+        |  FROM ev
+        |  UNION ALL
+        |  SELECT s.key, s.t + 1,
+        |    ${armz.zipWithIndex.map { case (a, i) => upd(i + 1, a) }
+              .mkString(",\n    ")},
+        |    s.matched + CASE WHEN p.pick = e.arm THEN 1 ELSE 0 END
+        |  FROM st s JOIN ev e ON e.key = s.key AND e.rn = s.t + 1,
+        |  LATERAL (SELECT
+        |      ${(1 to 5).map(i =>
+                s"CASE WHEN s.n$i = 0 THEN NULL ELSE\n        ${sc(i)}"
+                  + s" END AS s$i").mkString(",\n      ")}) q,
+        |  LATERAL (SELECT CASE
+        |      ${(1 to 5).map(i =>
+                s"WHEN s.n$i = 0 THEN '${armz(i - 1)}'")
+                .mkString("\n      ")}
+        |      WHEN q.s1 >= greatest(q.s2, q.s3, q.s4, q.s5)
+        |        THEN 'click'
+        |      WHEN q.s2 >= greatest(q.s3, q.s4, q.s5) THEN 'error'
+        |      WHEN q.s3 >= greatest(q.s4, q.s5) THEN 'purchase'
+        |      WHEN q.s4 >= q.s5 THEN 'signup'
+        |      ELSE 'view'
+        |    END AS pick) p),
+        |fin AS (SELECT * FROM st QUALIFY row_number() OVER (
+        |  PARTITION BY key ORDER BY t DESC) = 1)
+        |${armz.zipWithIndex.map { case (a, i) => fin(i + 1, a) }
+            .mkString("\nUNION ALL\n")}
+        |ORDER BY key, arm""".stripMargin
+    }
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

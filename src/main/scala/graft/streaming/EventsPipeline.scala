@@ -773,6 +773,72 @@ object EventsPipeline {
       .start()
   }
 
+  /** UCB1 off-policy replay evaluation (Auer et al. 2002 policy;
+    * Li et al. WSDM 2011 replay method) — "what would the bandit have
+    * earned on our logged traffic": walk each key's event stream in
+    * order; at each logged event the policy picks the arm maximizing
+    *
+    *   mean + √(2 ln τ / n_a),   τ = matched + 1 (the policy clock)
+    *
+    * (unpulled arms first, in ascending arm order — the deterministic
+    * init); ONLY events whose logged arm equals the policy's pick
+    * update the state (the replay estimator's unbiasedness trick —
+    * non-matching events are invisible to the policy). Exact
+    * discipline: means by truncating micro division, the exploration
+    * bonus micro-rounds once per decision (round-half-away, the
+    * engine rule) — every decision is a pure function of the stream.
+    *
+    * The arm set is GLOBAL (one bounded arm-dimension driver read, C
+    * arms — the F-S weight contract), so every key replays the same
+    * policy. Scale shape: one sorted per-key fold (`flatMapGroups`,
+    * the cusum/funnel discipline — per-key streams bounded by
+    * contract, and `maxSteps` caps the replay horizon explicitly);
+    * only C rows per key return. Returns
+    * (key, arm, pulls, rewards, matched). */
+  def ucb1Replay(events: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String, armCol: String, valueCol: String,
+      rewardThreshold: Double, maxSteps: Int = Int.MaxValue): DataFrame = {
+    require(maxSteps >= 1, s"maxSteps must be positive, got $maxSteps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val arms = events.select(col(armCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(arms.nonEmpty, "no arms in the stream")
+    def away(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong
+      else -math.floor(-x + 0.5).toLong
+    events.select(col(keyCol).cast("long"),
+        unix_timestamp(col(tsCol)), col(seqCol).cast("long"),
+        col(armCol).cast("string"),
+        (col(valueCol) >= rewardThreshold).cast("long"))
+      .as[(Long, Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val evs = it.toArray.sortBy(e => (e._2, e._3)).take(maxSteps)
+        val n = scala.collection.mutable.Map(arms.map(_ -> 0L): _*)
+        val r = scala.collection.mutable.Map(arms.map(_ -> 0L): _*)
+        var matched = 0L
+        evs.foreach { case (_, _, _, arm, reward) =>
+          val tau = matched + 1L
+          val pick = arms.find(a => n(a) == 0L).getOrElse {
+            val scores = arms.map(a => a ->
+              (r(a) * 1000000L / n(a) +
+                away(math.sqrt(2.0 * math.log(tau.toDouble) / n(a))
+                  * 1e6)))
+            val best = scores.map(_._2).max
+            scores.find(_._2 == best).get._1
+          }
+          if (pick == arm) {
+            matched += 1L
+            n(arm) += 1L
+            r(arm) += reward
+          }
+        }
+        arms.iterator.map(a => (k, a, n(a), r(a), matched))
+      }
+      .toDF("key", "arm", "pulls", "rewards", "matched")
+  }
+
   /** Kaplan–Meier survival curve (Kaplan & Meier 1958) with
     * right-censoring — the retention statistic the fixed-grid cohort
     * views can't give you: entity lifetime runs first→last event,

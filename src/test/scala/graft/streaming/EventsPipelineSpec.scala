@@ -303,6 +303,34 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ucb1Replay: unpulled-first init, micro exploration bonus " +
+      "hand-walked, only matched events update, global arm set can " +
+      "strand a key, deterministic") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // key 1 sees both arms; key 2 logs only 'a', so once the policy
+    // wants to init 'b' it never matches again (replay semantics).
+    val df = Seq(
+      (1L, ts(1), 1L, "a", 150.0), (1L, ts(2), 2L, "a", 50.0),
+      (1L, ts(3), 3L, "b", 50.0), (1L, ts(4), 4L, "a", 150.0),
+      (1L, ts(5), 5L, "b", 150.0),
+      (2L, ts(1), 6L, "a", 150.0), (2L, ts(2), 7L, "a", 150.0),
+      (2L, ts(3), 8L, "a", 50.0))
+      .toDF("k", "ts", "eid", "arm", "value")
+    val got = graft.streaming.EventsPipeline.ucb1Replay(
+        df, "k", "ts", "eid", "arm", "value", rewardThreshold = 100.0)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    // key 1 walk: init a (match, r=1) → init b wanted, logged a →
+    // init b (match) → τ=3 scores a=2482304 vs b=1482304 → a matches
+    // → τ=4 a=2177410 vs b=1665109, wants a, logged b → no update
+    assert(got == Set(
+      (1L, "a", 2L, 2L, 3L), (1L, "b", 1L, 0L, 3L),
+      (2L, "a", 1L, 1L, 1L), (2L, "b", 0L, 0L, 1L)), s"got $got")
+    val again = graft.streaming.EventsPipeline.ucb1Replay(
+        df, "k", "ts", "eid", "arm", "value", 100.0)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(again == got, "deterministic")
+  }
+
   test("kaplanMeier: lifetimes, horizon censoring, shrinking risk " +
       "sets, micro ln steps, terminal-death latch, bad-arg reject") {
     def ts(s: Long) = new Timestamp(s * 1000L)

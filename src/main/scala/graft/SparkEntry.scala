@@ -4371,7 +4371,30 @@ object SparkEntry {
         t(s, dir, "events").withColumn("k32", col("user_id") % 32),
         "k32", "ts", "event_id", "event_type", "value",
         rewardThreshold = 100.0, maxSteps = 256)
-        .orderBy("key", "arm"))
+        .orderBy("key", "arm")),
+
+    // Theil-Sen robust trend per language: micro pairwise slopes,
+    // count-based lower-median order statistic, equal-x pairs
+    // excluded. DuckDB re-derives every pair slope and the median.
+    "q282_theil_sen" -> ((s, dir) =>
+      graft.ops.Profile.theilSenSlope(
+        t(s, dir, "documents"), "lang", "doc_id", "n_chars")
+        .orderBy("grp")),
+
+    // Incremental PCA maintenance: additive moment tables built on
+    // two corpus halves, UNIONED, then the same BigInt power loop —
+    // must hash-match q278's full-corpus oracle verbatim (the q218
+    // incremental ≡ batch proof shape).
+    "q283_pca_incremental" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val m1 = graft.ops.VectorOps.momentCounts(
+        e.filter(col("vec_id") % 2 === 0))
+      val m2 = graft.ops.VectorOps.momentCounts(
+        e.filter(col("vec_id") % 2 === 1))
+      graft.ops.VectorOps.pcaFromMoments(
+        m1.unionByName(m2), dim = 64, iters = 8)
+        .orderBy("dim_i")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -9429,29 +9452,7 @@ object SparkEntry {
         |  + g2 * w2.wa + (1 - g2) * w2.wd >= -400000
         |ORDER BY id1, id2""".stripMargin,
 
-    "q278_pca_power" ->
-      s"""WITH ex AS MATERIALIZED (SELECT vec_id, i,
-        |    CAST(round(embedding[i + 1]::DOUBLE * 1000000, 0)
-        |      AS BIGINT) AS xu
-        |  FROM (SELECT vec_id, embedding,
-        |    unnest(range(len(embedding))) AS i FROM embeddings)),
-        |ms AS (SELECT a.i, b.i AS j,
-        |    CAST(sum(a.xu * b.xu) AS HUGEINT) AS s
-        |  FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
-        |sx AS MATERIALIZED (SELECT i, CAST(sum(xu) AS HUGEINT) AS sx
-        |  FROM ex GROUP BY 1),
-        |nn AS (SELECT CAST(count(DISTINCT vec_id) AS HUGEINT) AS n
-        |  FROM embeddings),
-        |mm AS MATERIALIZED (SELECT ms.i, ms.j,
-        |    CAST((nn.n * ms.s - a.sx * b.sx) // (nn.n * nn.n)
-        |      AS HUGEINT) AS mv
-        |  FROM ms JOIN sx a ON a.i = ms.i JOIN sx b ON b.i = ms.j, nn),
-        |v0 AS (SELECT i AS j, CASE WHEN i = 0
-        |    THEN CAST(1000000 AS HUGEINT)
-        |    ELSE CAST(0 AS HUGEINT) END AS v FROM sx),
-        |${(1 to 8).map(pcaIterCtes).mkString(",\n")}
-        |SELECT CAST(j AS BIGINT) AS dim_i, CAST(v AS BIGINT) AS v_u6
-        |FROM v8 ORDER BY dim_i""".stripMargin,
+    "q278_pca_power" -> pcaPowerOracle,
 
     "q279_int8_recall" ->
       """WITH ex AS (SELECT vec_id, i, embedding[i]::DOUBLE AS x
@@ -9565,7 +9566,30 @@ object SparkEntry {
         |${armz.zipWithIndex.map { case (a, i) => fin(i + 1, a) }
             .mkString("\nUNION ALL\n")}
         |ORDER BY key, arm""".stripMargin
-    }
+    },
+
+    "q282_theil_sen" ->
+      """WITH b AS (SELECT CAST(lang AS VARCHAR) AS grp,
+        |    CAST(doc_id AS BIGINT) AS x, CAST(n_chars AS BIGINT) AS y
+        |  FROM documents),
+        |p AS MATERIALIZED (SELECT a.grp,
+        |    CAST((c.y - a.y) * 1000000 // (c.x - a.x) AS BIGINT)
+        |      AS slope_u6
+        |  FROM b a JOIN b c ON a.grp = c.grp AND a.x < c.x),
+        |np AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM p GROUP BY 1),
+        |cum AS (SELECT grp, slope_u6, CAST(sum(count(*)) OVER (
+        |      PARTITION BY grp ORDER BY slope_u6 ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM p GROUP BY grp, slope_u6)
+        |SELECT cum.grp, np.n_pairs,
+        |  CAST(min(slope_u6) AS BIGINT) AS slope_med_u6
+        |FROM cum JOIN np USING (grp)
+        |WHERE cum.cum >= (np.n_pairs + 1) // 2
+        |GROUP BY cum.grp, np.n_pairs
+        |ORDER BY grp""".stripMargin,
+
+    "q283_pca_incremental" -> pcaPowerOracle
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6
@@ -9826,6 +9850,34 @@ object SparkEntry {
        |    s.h AS fp
        |  FROM ${p}sel s JOIN ${p}n n ON n.doc_id = s.doc_id
        |  WHERE s.rn = 1 AND s.wpos <= greatest(n.ng - 4, 0))"""
+
+  /** The q278 exact-integer PCA oracle — also q283's verbatim gate:
+    * the incremental moment tables are additive integer sums, so the
+    * batch-unioned maintenance path must reproduce THIS replay
+    * bit-for-bit (the q218 incremental ≡ full-training proof shape). */
+  private def pcaPowerOracle: String =
+    s"""WITH ex AS MATERIALIZED (SELECT vec_id, i,
+       |    CAST(round(embedding[i + 1]::DOUBLE * 1000000, 0)
+       |      AS BIGINT) AS xu
+       |  FROM (SELECT vec_id, embedding,
+       |    unnest(range(len(embedding))) AS i FROM embeddings)),
+       |ms AS (SELECT a.i, b.i AS j,
+       |    CAST(sum(a.xu * b.xu) AS HUGEINT) AS s
+       |  FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+       |sx AS MATERIALIZED (SELECT i, CAST(sum(xu) AS HUGEINT) AS sx
+       |  FROM ex GROUP BY 1),
+       |nn AS (SELECT CAST(count(DISTINCT vec_id) AS HUGEINT) AS n
+       |  FROM embeddings),
+       |mm AS MATERIALIZED (SELECT ms.i, ms.j,
+       |    CAST((nn.n * ms.s - a.sx * b.sx) // (nn.n * nn.n)
+       |      AS HUGEINT) AS mv
+       |  FROM ms JOIN sx a ON a.i = ms.i JOIN sx b ON b.i = ms.j, nn),
+       |v0 AS (SELECT i AS j, CASE WHEN i = 0
+       |    THEN CAST(1000000 AS HUGEINT)
+       |    ELSE CAST(0 AS HUGEINT) END AS v FROM sx),
+       |${(1 to 8).map(pcaIterCtes).mkString(",\n")}
+       |SELECT CAST(j AS BIGINT) AS dim_i, CAST(v AS BIGINT) AS v_u6
+       |FROM v8 ORDER BY dim_i""".stripMargin
 
   /** One q278 power-iteration round as DuckDB CTEs `w<r>/x<r>/v<r>`
     * reading `v<r-1>(j, v)` and the covariance table `mm(i, j, mv)`,

@@ -427,6 +427,44 @@ object Profile {
       .select("bin", "n_pos", "n_neg", "woe_u6", "iv_u6")
   }
 
+  /** Theil–Sen robust slope (Theil 1950; Sen 1968): per group, the
+    * LOWER MEDIAN of all pairwise slopes — the trend estimate OLS
+    * can't give you on dirty pipelines (up to ~29% outliers leave it
+    * unmoved; one bad day's volume swings a least-squares line).
+    * Exact discipline: each pairwise slope fixes to micro units by
+    * one truncating division (dy·10⁶ div dx, the engine `//`
+    * contract), the median is a COUNT-BASED order statistic at index
+    * ⌊(n+1)/2⌋ (the splitConformal move — never a global sort), and
+    * equal-x pairs are excluded (undefined slope).
+    *
+    * Scale shape: pair generation is the O(n_g²) Theil–Sen cost —
+    * per-GROUP, under the bounded-group contract of the per-key fold
+    * family (sample x per group first when groups outgrow it); the
+    * median window runs on the (group, slope-VALUE) dimension.
+    * Returns (grp, n_pairs, slope_med_u6). */
+  def theilSenSlope(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.select(col(groupCol).as("grp"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val pairs = b.alias("a").join(b.alias("b"),
+        col("a.grp") === col("b.grp") && col("a.x") < col("b.x"))
+      .select(col("a.grp").as("grp"),
+        (col("b.y") - col("a.y")).as("dy"),
+        (col("b.x") - col("a.x")).as("dx"))
+      .select(col("grp"),
+        expr("CAST(dy * 1000000 div dx AS BIGINT)").as("slope_u6"))
+    val nP = pairs.groupBy("grp").agg(count(lit(1)).as("n_pairs"))
+    val wr = Window.partitionBy("grp").orderBy("slope_u6")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pairs.groupBy("grp", "slope_u6").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wr))
+      .join(nP, "grp")
+      .filter(col("cum") >= expr("CAST((n_pairs + 1) div 2 AS BIGINT)"))
+      .groupBy("grp", "n_pairs").agg(min("slope_u6").as("slope_med_u6"))
+      .select("grp", "n_pairs", "slope_med_u6")
+  }
+
   /** Split-conformal prediction audit (Vovk et al.; Lei et al. 2018)
     * — distribution-free interval calibration for any point
     * predictor: fit a naive per-group mean on the train third

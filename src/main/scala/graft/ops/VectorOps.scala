@@ -122,26 +122,53 @@ object VectorOps {
     * dimensionality dial, the one that looks at the data. Returns
     * (dim_i, v_u6): the component in micro units, max-normalized. */
   def pcaPowerIteration(emb: DataFrame, dim: Int, iters: Int = 8,
+      vecCol: String = "embedding"): DataFrame =
+    pcaFromMoments(momentCounts(emb, vecCol), dim, iters)
+
+  /** The additive moment table behind [[pcaFromMoments]]: second
+    * moments as (i, j, Σxᵢxⱼ) rows, per-dim sums as (i, −1, Σxᵢ), the
+    * row count as (−1, −1, n) — one schema, every row a plain integer
+    * SUM, so per-batch tables UNION into exactly the full-corpus
+    * table (the q218 incremental-maintenance contract: no sketch, no
+    * error term — incremental ≡ batch bit-for-bit). Components enter
+    * as micro ints (one per-element round, order-free); the d²
+    * aggregate partial-combines map-side. */
+  def momentCounts(emb: DataFrame,
       vecCol: String = "embedding"): DataFrame = {
-    require(dim >= 1 && iters >= 1, s"bad dim/iters: $dim/$iters")
     val e1 = emb.select(col(vecCol).as("arr"),
         posexplode(col(vecCol)).as(Seq("i", "x")))
-      .select(col("arr"), col("i"),
+      .select(col("arr"), col("i").cast("long").as("i"),
         round(col("x").cast("double") * 1000000, 0).cast("long").as("xi"))
     val ms = e1
       .select(col("i"), col("xi"),
         posexplode(col("arr")).as(Seq("j", "y")))
       .withColumn("xj",
         round(col("y").cast("double") * 1000000, 0).cast("long"))
-      .groupBy("i", "j").agg(sum(col("xi") * col("xj")).as("s"))
-      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+      .groupBy(col("i"), col("j").cast("long").as("j"))
+      .agg(sum(col("xi") * col("xj")).as("s"))
+    val sx = e1.groupBy("i").agg(sum("xi").as("s"))
+      .select(col("i"), lit(-1L).as("j"), col("s"))
+    val n = emb.select(lit(-1L).as("i"), lit(-1L).as("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("s"))
+    ms.select("i", "j", "s").unionByName(sx).unionByName(n)
+  }
+
+  /** Drive the [[pcaPowerIteration]] BigInt loop from a (possibly
+    * batch-unioned) [[momentCounts]] table — the merge aggregate
+    * re-sums per (i, j) key, so the result is identical whether the
+    * moments came from one pass or from incremental maintenance. */
+  def pcaFromMoments(moments: DataFrame, dim: Int,
+      iters: Int = 8): DataFrame = {
+    require(dim >= 1 && iters >= 1, s"bad dim/iters: $dim/$iters")
+    val merged = moments.groupBy("i", "j").agg(sum("s").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
       .toMap
-    val sx = e1.groupBy("i").agg(sum("xi").as("sx"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val n = BigInt(emb.count())
+    val n = BigInt(merged.getOrElse((-1L, -1L), 0L))
+    require(n > 0, "empty moment table")
     val m = Array.tabulate(dim, dim) { (i, j) =>
-      (n * BigInt(ms.getOrElse((i, j), 0L)) -
-        BigInt(sx.getOrElse(i, 0L)) * BigInt(sx.getOrElse(j, 0L))) /
+      (n * BigInt(merged.getOrElse((i.toLong, j.toLong), 0L)) -
+        BigInt(merged.getOrElse((i.toLong, -1L), 0L)) *
+          BigInt(merged.getOrElse((j.toLong, -1L), 0L))) /
         (n * n)
     }
     var v = Array.tabulate(dim)(i => if (i == 0) BigInt(1000000) else BigInt(0))
@@ -154,7 +181,7 @@ object VectorOps {
         "power iteration collapsed to zero — dimension 0 carries no signal")
       v = w.map(_ * 1000000 / mx)
     }
-    val spark = emb.sparkSession
+    val spark = moments.sparkSession
     spark.createDataFrame(
         (0 until dim).map(i => (i.toLong, v(i).toLong)))
       .toDF("dim_i", "v_u6")

@@ -2067,6 +2067,23 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("theilSenSlope: hand pairwise micro slopes, lower median odd " +
+      "and even, truncating negative slope, equal-x pair excluded, " +
+      "group isolation") {
+    val df = Seq(
+      ("a", 0L, 0L), ("a", 1L, 2L), ("a", 2L, 3L),
+      ("b", 0L, 0L), ("b", 1L, 1L), ("b", 2L, 10L), ("b", 3L, 11L),
+      ("c", 1L, 5L), ("c", 1L, 9L), ("c", 2L, 7L))
+      .toDF("g", "x", "y")
+    val got = graft.ops.Profile.theilSenSlope(df, "g", "x", "y")
+      .as[(String, Long, Long)].collect().toSet
+    // a: slopes {2e6, 1.5e6, 1e6}, k=2 → 1500000
+    // b: slopes {1e6, 5e6, 3666666, 9e6, 5e6, 1e6}, k=3 → 3666666
+    // c: same-x pair dropped; slopes {2e6, −2e6}, k=1 → −2000000
+    assert(got == Set(("a", 3L, 1500000L), ("b", 6L, 3666666L),
+      ("c", 2L, -2000000L)), s"got $got")
+  }
+
   test("splitConformal: truncating group means, count-based ceil-index " +
       "quantile, per-group coverage, infinite interval when k > n, " +
       "unseen groups dropped, alpha guard") {

@@ -128,6 +128,22 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("pcaFromMoments: batch-unioned incremental moments reproduce " +
+      "the one-pass result bit-for-bit, empty table loud-fails") {
+    val emb = Seq((1L, Seq(1f, 1f)), (2L, Seq(2f, 2f)),
+      (3L, Seq(3f, 3f)), (4L, Seq(0.5f, 0f))).toDF("vec_id", "embedding")
+    val whole = VectorOps.pcaPowerIteration(emb, dim = 2)
+      .as[(Long, Long)].collect().toMap
+    val m1 = VectorOps.momentCounts(emb.filter(col("vec_id") <= 2))
+    val m2 = VectorOps.momentCounts(emb.filter(col("vec_id") > 2))
+    val incr = VectorOps.pcaFromMoments(m1.unionByName(m2), dim = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(incr == whole, s"incremental $incr != batch $whole")
+    intercept[IllegalArgumentException] {
+      VectorOps.pcaFromMoments(m1.filter(lit(false)), dim = 2)
+    }
+  }
+
   test("pcaPowerIteration: diagonal-direction corpus converges to " +
       "(1,1), anti-correlated to (1,-1), zero-signal seed loud-fails") {
     val diag = Seq((1L, Seq(1f, 1f)), (2L, Seq(2f, 2f)),

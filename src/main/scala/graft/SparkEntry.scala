@@ -4394,7 +4394,28 @@ object SparkEntry {
       graft.ops.VectorOps.pcaFromMoments(
         m1.unionByName(m2), dim = 64, iters = 8)
         .orderBy("dim_i")
-    })
+    }),
+
+    // Difference-in-differences over the event stream (treatment =
+    // user parity, periods split at the stream midpoint): micro cell
+    // means, integer DiD. DuckDB re-derives the cut, all four cells,
+    // and the estimator.
+    "q284_diff_in_diff" -> ((s, dir) =>
+      graft.streaming.EventsPipeline.diffInDiff(
+        t(s, dir, "events")
+          .withColumn("treated", (col("user_id") % 2).cast("long")),
+        "treated", "ts", "value")
+        .orderBy("treated", "post")),
+
+    // CUPED variance reduction: per-unit pre/post milli means, integer
+    // covariance-ratio theta, adjusted post means per arm. DuckDB
+    // re-derives units, the HUGEINT fit, and both arm means.
+    "q285_cuped" -> ((s, dir) =>
+      graft.streaming.EventsPipeline.cuped(
+        t(s, dir, "events")
+          .withColumn("treated", (col("user_id") % 2).cast("long")),
+        "user_id", "treated", "ts", "value")
+        .orderBy("treated"))
   )
 
   // ---------------------------------------------------------------------
@@ -9589,7 +9610,64 @@ object SparkEntry {
         |GROUP BY cum.grp, np.n_pairs
         |ORDER BY grp""".stripMargin,
 
-    "q283_pca_incremental" -> pcaPowerOracle
+    "q283_pca_incremental" -> pcaPowerOracle,
+
+    "q284_diff_in_diff" ->
+      """WITH w AS (SELECT (CAST(min(epoch(ts)) AS BIGINT)
+        |    + CAST(max(epoch(ts)) AS BIGINT)) // 2 AS cut FROM events),
+        |c AS (SELECT user_id % 2 AS treated,
+        |    CASE WHEN CAST(epoch(ts) AS BIGINT) > w.cut
+        |      THEN 1 ELSE 0 END AS post,
+        |    CAST(round(value * 1000000, 0) AS BIGINT) AS v
+        |  FROM events, w),
+        |m AS (SELECT treated, post, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) // count(*) AS mean_u6
+        |  FROM c GROUP BY 1, 2),
+        |d AS (SELECT CAST(
+        |    sum(CASE WHEN treated = 1 AND post = 1 THEN mean_u6
+        |      ELSE 0 END)
+        |    - sum(CASE WHEN treated = 1 AND post = 0 THEN mean_u6
+        |      ELSE 0 END)
+        |    - sum(CASE WHEN treated = 0 AND post = 1 THEN mean_u6
+        |      ELSE 0 END)
+        |    + sum(CASE WHEN treated = 0 AND post = 0 THEN mean_u6
+        |      ELSE 0 END) AS BIGINT) AS did_u6 FROM m)
+        |SELECT CAST(treated AS BIGINT) AS treated,
+        |  CAST(post AS BIGINT) AS post, n,
+        |  CAST(mean_u6 AS BIGINT) AS mean_u6, d.did_u6
+        |FROM m, d ORDER BY treated, post""".stripMargin,
+
+    "q285_cuped" ->
+      """WITH w AS (SELECT (CAST(min(epoch(ts)) AS BIGINT)
+        |    + CAST(max(epoch(ts)) AS BIGINT)) // 2 AS cut FROM events),
+        |b AS (SELECT user_id AS unit, user_id % 2 AS treated,
+        |    CASE WHEN CAST(epoch(ts) AS BIGINT) > w.cut
+        |      THEN 1 ELSE 0 END AS post,
+        |    CAST(round(value * 1000, 0) AS BIGINT) AS v
+        |  FROM events, w),
+        |per AS (SELECT unit, treated, post,
+        |    CAST(sum(v) AS BIGINT) // count(*) AS m
+        |  FROM b GROUP BY 1, 2, 3),
+        |u AS MATERIALIZED (SELECT p0.unit, p0.treated, p0.m AS x,
+        |    p1.m AS y
+        |  FROM per p0 JOIN per p1 ON p1.unit = p0.unit
+        |  WHERE p0.post = 0 AND p1.post = 1),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx FROM u),
+        |t AS (SELECT CAST((n * sxy - sx * sy) * 1000000
+        |      // (n * sxx - sx * sx) AS BIGINT) AS theta_u6,
+        |    sx // n AS xbar FROM f)
+        |SELECT CAST(u.treated AS BIGINT) AS treated,
+        |  CAST(count(*) AS BIGINT) AS n_units,
+        |  CAST(CAST(sum(u.y) AS BIGINT) // count(*) AS BIGINT)
+        |    AS mean_y_u3,
+        |  CAST(CAST(sum(u.y - (t.theta_u6 * (u.x - t.xbar)) // 1000000)
+        |    AS BIGINT) // count(*) AS BIGINT) AS mean_yadj_u3,
+        |  t.theta_u6
+        |FROM u, t GROUP BY u.treated, t.theta_u6
+        |ORDER BY treated""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

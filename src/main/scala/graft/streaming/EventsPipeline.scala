@@ -773,6 +773,104 @@ object EventsPipeline {
       .start()
   }
 
+  /** Difference-in-differences estimator — the experiment-analytics
+    * read when assignment wasn't randomized at the metric level:
+    * split the stream at its midpoint into pre/post, average the
+    * metric in the four (treated × period) cells, and report
+    *
+    *   DiD = (T,post − T,pre) − (C,post − C,pre)
+    *
+    * — the parallel-trends-adjusted treatment effect. Exact
+    * discipline: values fix to micro per ROW (one round, order-free),
+    * cell means by truncating division, DiD a pure integer
+    * expression; the midpoint cut (min+max epochs div 2) is one
+    * broadcast scalar. Scale shape: one pass to the 4-cell dimension
+    * (partial-aggregable), a broadcast window row — nothing else
+    * moves. Returns the four cells (treated, post, n, mean_u6) each
+    * carrying the shared did_u6. `treatedCol` must be 0/1. */
+  def diffInDiff(events: DataFrame, treatedCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val w = events.agg(
+      expr(s"CAST((min(unix_timestamp($tsCol)) + " +
+        s"max(unix_timestamp($tsCol))) div 2 AS BIGINT)").as("cut"))
+    val cells = events.crossJoin(broadcast(w))
+      .select(col(treatedCol).cast("long").as("treated"),
+        (unix_timestamp(col(tsCol)) > col("cut")).cast("long").as("post"),
+        round(col(valueCol).cast("double") * 1000000, 0).cast("long")
+          .as("v_u6"))
+      .groupBy("treated", "post")
+      .agg(count(lit(1)).as("n"), sum("v_u6").as("s"))
+      .withColumn("mean_u6", expr("CAST(s div n AS BIGINT)"))
+      .localCheckpoint()
+    val did = cells.groupBy()
+      .agg(sum(when(col("treated") === 1 && col("post") === 1,
+          col("mean_u6")).otherwise(lit(0L))
+        - when(col("treated") === 1 && col("post") === 0,
+          col("mean_u6")).otherwise(lit(0L))
+        - when(col("treated") === 0 && col("post") === 1,
+          col("mean_u6")).otherwise(lit(0L))
+        + when(col("treated") === 0 && col("post") === 0,
+          col("mean_u6")).otherwise(lit(0L))).as("did_u6"))
+    cells.crossJoin(broadcast(did))
+      .select("treated", "post", "n", "mean_u6", "did_u6")
+  }
+
+  /** CUPED variance reduction (Deng et al. KDD 2013) — the standard
+    * pre-experiment-covariate adjustment: per unit, x = pre-period
+    * mean metric, y = post-period mean;
+    *
+    *   θ = cov(x,y)/var(x),   y_adj = y − θ·(x − x̄)
+    *
+    * shrinks metric variance by the pre/post correlation without
+    * biasing the treatment contrast. Exact discipline: per-unit means
+    * fix to MILLI units by truncating division (milli, not micro —
+    * keeps n·Σxy inside 2⁶³), θ micro-fixes through the integer
+    * covariance/variance numerators (n·Σxy − ΣxΣy over n·Σx² − (Σx)²,
+    * one DECIMAL(38) widening for the 10⁶ scale — the heapsLaw move),
+    * and the adjustment is pure integer arithmetic. Units must appear
+    * in BOTH periods (no pre-signal → no adjustment claim; dropped).
+    *
+    * Scale shape: two unit-dimension aggregates, one five-sum scalar
+    * row broadcast back, group means at the end. Returns per treated
+    * arm (treated, n_units, mean_y_u3, mean_yadj_u3, theta_u6). */
+  def cuped(events: DataFrame, unitCol: String, treatedCol: String,
+      tsCol: String, valueCol: String): DataFrame = {
+    val w = events.agg(
+      expr(s"CAST((min(unix_timestamp($tsCol)) + " +
+        s"max(unix_timestamp($tsCol))) div 2 AS BIGINT)").as("cut"))
+    val base = events.crossJoin(broadcast(w))
+      .select(col(unitCol).cast("long").as("unit"),
+        col(treatedCol).cast("long").as("treated"),
+        (unix_timestamp(col(tsCol)) > col("cut")).cast("long").as("post"),
+        round(col(valueCol).cast("double") * 1000, 0).cast("long")
+          .as("v_u3"))
+    val per = base.groupBy("unit", "treated", "post")
+      .agg(expr("CAST(sum(v_u3) div count(1) AS BIGINT)").as("m"))
+    val units = per.filter(col("post") === 0)
+      .select(col("unit"), col("treated"), col("m").as("x"))
+      .join(per.filter(col("post") === 1)
+        .select(col("unit"), col("m").as("y")), "unit")
+      .localCheckpoint()
+    val fit = units.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("theta_u6", expr(
+        "CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0)) * 1000000 " +
+        "div (n * sxx - sx * sx) AS BIGINT)"))
+      .withColumn("xbar_u3", expr("CAST(sx div n AS BIGINT)"))
+      .select("theta_u6", "xbar_u3")
+    units.crossJoin(broadcast(fit))
+      .withColumn("y_adj", col("y") -
+        expr("CAST((theta_u6 * (x - xbar_u3)) div 1000000 AS BIGINT)"))
+      .groupBy("treated", "theta_u6")
+      .agg(count(lit(1)).as("n_units"),
+        expr("CAST(sum(y) div count(1) AS BIGINT)").as("mean_y_u3"),
+        expr("CAST(sum(y_adj) div count(1) AS BIGINT)")
+          .as("mean_yadj_u3"))
+      .select("treated", "n_units", "mean_y_u3", "mean_yadj_u3",
+        "theta_u6")
+  }
+
   /** UCB1 off-policy replay evaluation (Auer et al. 2002 policy;
     * Li et al. WSDM 2011 replay method) — "what would the bandit have
     * earned on our logged traffic": walk each key's event stream in

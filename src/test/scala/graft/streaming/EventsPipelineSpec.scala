@@ -303,6 +303,39 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("diffInDiff: midpoint cut, hand cell means, exact estimator") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // cut = (0+3) div 2 = 1, post = ts > 1. Cells: T,pre 1e6,
+    // T,post 5e6, C,pre 2e6, C,post 3e6 → DiD = (5−1)−(3−2) = 3e6.
+    val df = Seq((1L, ts(0), 1.0), (0L, ts(1), 2.0),
+      (1L, ts(2), 5.0), (0L, ts(3), 3.0)).toDF("treated", "ts", "value")
+    val got = graft.streaming.EventsPipeline
+      .diffInDiff(df, "treated", "ts", "value")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 0L, 1L, 2000000L, 3000000L), (0L, 1L, 1L, 3000000L, 3000000L),
+      (1L, 0L, 1L, 1000000L, 3000000L), (1L, 1L, 1L, 5000000L, 3000000L)),
+      s"got $got")
+  }
+
+  test("cuped: per-unit milli means, hand integer theta, adjusted " +
+      "arm means, pre-only unit dropped") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // cut = 5. units: u1 (t1) x=2000 y=4000; u2 (t0) x=1000 y=2000;
+    // u3 (t1) x=3000 y=5000; u4 pre-only → dropped. theta = 9e6/6e6
+    // → 1500000; xbar 2000; adj: u1 4000, u2 3500, u3 3500.
+    val df = Seq(
+      (1L, 1L, ts(0), 1.0), (1L, 1L, ts(1), 3.0), (1L, 1L, ts(10), 4.0),
+      (2L, 0L, ts(2), 1.0), (2L, 0L, ts(9), 2.0),
+      (3L, 1L, ts(3), 3.0), (3L, 1L, ts(8), 5.0),
+      (4L, 0L, ts(4), 9.0)).toDF("unit", "treated", "ts", "value")
+    val got = graft.streaming.EventsPipeline
+      .cuped(df, "unit", "treated", "ts", "value")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L, 2000L, 3500L, 1500000L),
+      (1L, 2L, 4500L, 3750L, 1500000L)), s"got $got")
+  }
+
   test("ucb1Replay: unpulled-first init, micro exploration bonus " +
       "hand-walked, only matched events update, global arm set can " +
       "strand a key, deterministic") {

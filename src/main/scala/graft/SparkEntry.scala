@@ -4415,7 +4415,35 @@ object SparkEntry {
         t(s, dir, "events")
           .withColumn("treated", (col("user_id") % 2).cast("long")),
         "user_id", "treated", "ts", "value")
-        .orderBy("treated"))
+        .orderBy("treated")),
+
+    // Entity-resolution composite: F-S link pairs (q277's model at the
+    // link threshold) → connected components → canonical min-id +
+    // cluster sizes. DuckDB re-derives the model, the link set, and
+    // the reachability closure.
+    "q286_er_composite" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("bal_b",
+          expr("CAST(floor(c_acctbal / 1000) AS BIGINT)"))
+        .withColumn("name_d", expr("right(c_name, 1)"))
+      val links = graft.ops.Dedup.fellegiSunterPairs(c, "c_custkey",
+          blockCols = Seq("c_mktsegment", "c_nationkey"),
+          compareCols = Seq("bal_b", "name_d"), lowerU6 = 1L)
+        .select("id1", "id2")
+      val cc = graft.ops.Dedup.connectedComponents(links)
+      val sizes = cc.groupBy("comp").agg(count(lit(1)).as("n_members"))
+      cc.join(sizes, "comp")
+        .select(col("id"), col("comp").as("canon"), col("n_members"))
+        .orderBy("id")
+    }),
+
+    // Deterministic half-sample bootstrap CI for the corpus mean
+    // n_chars: 200 hash-derandomized resamples, milli means, count-
+    // based percentile order statistics. DuckDB replays every resample
+    // membership decision and both order statistics.
+    "q287_bootstrap_ci" -> ((s, dir) =>
+      graft.ops.Sampling.bootstrapCi(
+        t(s, dir, "documents"), "doc_id", "n_chars"))
   )
 
   // ---------------------------------------------------------------------
@@ -9429,39 +9457,7 @@ object SparkEntry {
         |FROM cx, fit2 ORDER BY b""".stripMargin,
 
     "q277_fellegi_sunter" ->
-      """WITH c AS MATERIALIZED (SELECT c_custkey, c_mktsegment,
-        |    c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT)
-        |      AS bal_b, right(c_name, 1) AS name_d FROM customer),
-        |u1 AS (SELECT greatest(1, least(999999,
-        |    CAST(sum(nv * nv) AS BIGINT) * 1000000
-        |      // (CAST(sum(nv) AS BIGINT) * CAST(sum(nv) AS BIGINT))))
-        |    AS u
-        |  FROM (SELECT CAST(count(*) AS BIGINT) AS nv FROM c
-        |    GROUP BY bal_b)),
-        |w1 AS (SELECT
-        |    CAST(round(log10(950000.0 / u) * 1000000, 0) AS BIGINT)
-        |      AS wa,
-        |    CAST(round(log10(50000.0 / (1000000 - u)) * 1000000, 0)
-        |      AS BIGINT) AS wd FROM u1),
-        |u2 AS (SELECT greatest(1, least(999999,
-        |    CAST(sum(nv * nv) AS BIGINT) * 1000000
-        |      // (CAST(sum(nv) AS BIGINT) * CAST(sum(nv) AS BIGINT))))
-        |    AS u
-        |  FROM (SELECT CAST(count(*) AS BIGINT) AS nv FROM c
-        |    GROUP BY name_d)),
-        |w2 AS (SELECT
-        |    CAST(round(log10(950000.0 / u) * 1000000, 0) AS BIGINT)
-        |      AS wa,
-        |    CAST(round(log10(50000.0 / (1000000 - u)) * 1000000, 0)
-        |      AS BIGINT) AS wd FROM u2),
-        |p AS (SELECT a.c_custkey AS id1, b.c_custkey AS id2,
-        |    CASE WHEN a.bal_b IS NOT DISTINCT FROM b.bal_b
-        |      THEN 1 ELSE 0 END AS g1,
-        |    CASE WHEN a.name_d IS NOT DISTINCT FROM b.name_d
-        |      THEN 1 ELSE 0 END AS g2
-        |  FROM c a JOIN c b ON a.c_mktsegment = b.c_mktsegment
-        |    AND a.c_nationkey = b.c_nationkey
-        |    AND a.c_custkey < b.c_custkey)
+      s"""WITH $fellegiSunterCtes
         |SELECT id1, id2, CAST(g1 + g2 AS BIGINT) AS n_agree,
         |  CAST(g1 * w1.wa + (1 - g1) * w1.wd
         |    + g2 * w2.wa + (1 - g2) * w2.wd AS BIGINT) AS score_u6,
@@ -9667,7 +9663,47 @@ object SparkEntry {
         |    AS BIGINT) // count(*) AS BIGINT) AS mean_yadj_u3,
         |  t.theta_u6
         |FROM u, t GROUP BY u.treated, t.theta_u6
-        |ORDER BY treated""".stripMargin
+        |ORDER BY treated""".stripMargin,
+
+    "q286_er_composite" ->
+      s"""WITH RECURSIVE $fellegiSunterCtes,
+        |links AS MATERIALIZED (SELECT id1, id2 FROM p, w1, w2
+        |  WHERE g1 * w1.wa + (1 - g1) * w1.wd
+        |    + g2 * w2.wa + (1 - g2) * w2.wd >= 1),
+        |sym AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM links
+        |  UNION SELECT id2, id1 FROM links),
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
+        |walk(id, comp) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.src, w.comp FROM sym s JOIN walk w ON s.dst = w.id),
+        |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+        |sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_members
+        |  FROM cc GROUP BY 1)
+        |SELECT cc.id, cc.comp AS canon, sz.n_members
+        |FROM cc JOIN sz USING (comp) ORDER BY id""".stripMargin,
+
+    "q287_bootstrap_ci" ->
+      """WITH ex AS MATERIALIZED (SELECT r,
+        |    CAST(n_chars AS BIGINT) AS v
+        |  FROM documents, UNNEST(range(200)) t(r)
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':'
+        |    || CAST(r AS VARCHAR)), 1, 1) < '8'),
+        |means AS (SELECT r,
+        |    CAST(sum(v) * 1000 // count(*) AS BIGINT) AS m_u3
+        |  FROM ex GROUP BY 1),
+        |cum AS (SELECT m_u3, CAST(sum(count(*)) OVER (ORDER BY m_u3
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM means GROUP BY m_u3),
+        |lo AS (SELECT min(m_u3) AS ci_lo_u3 FROM cum WHERE cum >= 6),
+        |hi AS (SELECT min(m_u3) AS ci_hi_u3 FROM cum WHERE cum >= 195),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(n_chars AS BIGINT)) * 1000 // count(*)
+        |      AS BIGINT) AS mean_u3 FROM documents)
+        |SELECT f.n_rows, CAST(200 AS BIGINT) AS b, f.mean_u3,
+        |  lo.ci_lo_u3, hi.ci_hi_u3
+        |FROM f, lo, hi""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6
@@ -9928,6 +9964,48 @@ object SparkEntry {
        |    s.h AS fp
        |  FROM ${p}sel s JOIN ${p}n n ON n.doc_id = s.doc_id
        |  WHERE s.rn = 1 AND s.wpos <= greatest(n.ng - 4, 0))"""
+
+  /** The q277 Fellegi–Sunter model (customer blocks, frequency u
+    * estimation, both field weights, blocked agreement pairs) as
+    * DuckDB CTEs ending in `p(id1, id2, g1, g2)` plus the weight rows
+    * `w1(wa, wd)` / `w2(wa, wd)` — shared by the q277 pair-scoring
+    * oracle and q286's entity-resolution composite (which appends the
+    * link filter and the reachability closure). NOT pre-stripped
+    * (embeds in stripMargin outer strings, the winnowingCtes rule). */
+  private def fellegiSunterCtes: String =
+    """c AS MATERIALIZED (SELECT c_custkey, c_mktsegment,
+      |    c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT)
+      |      AS bal_b, right(c_name, 1) AS name_d FROM customer),
+      |u1 AS (SELECT greatest(1, least(999999,
+      |    CAST(sum(nv * nv) AS BIGINT) * 1000000
+      |      // (CAST(sum(nv) AS BIGINT) * CAST(sum(nv) AS BIGINT))))
+      |    AS u
+      |  FROM (SELECT CAST(count(*) AS BIGINT) AS nv FROM c
+      |    GROUP BY bal_b)),
+      |w1 AS MATERIALIZED (SELECT
+      |    CAST(round(log10(950000.0 / u) * 1000000, 0) AS BIGINT)
+      |      AS wa,
+      |    CAST(round(log10(50000.0 / (1000000 - u)) * 1000000, 0)
+      |      AS BIGINT) AS wd FROM u1),
+      |u2 AS (SELECT greatest(1, least(999999,
+      |    CAST(sum(nv * nv) AS BIGINT) * 1000000
+      |      // (CAST(sum(nv) AS BIGINT) * CAST(sum(nv) AS BIGINT))))
+      |    AS u
+      |  FROM (SELECT CAST(count(*) AS BIGINT) AS nv FROM c
+      |    GROUP BY name_d)),
+      |w2 AS MATERIALIZED (SELECT
+      |    CAST(round(log10(950000.0 / u) * 1000000, 0) AS BIGINT)
+      |      AS wa,
+      |    CAST(round(log10(50000.0 / (1000000 - u)) * 1000000, 0)
+      |      AS BIGINT) AS wd FROM u2),
+      |p AS MATERIALIZED (SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+      |    CASE WHEN a.bal_b IS NOT DISTINCT FROM b.bal_b
+      |      THEN 1 ELSE 0 END AS g1,
+      |    CASE WHEN a.name_d IS NOT DISTINCT FROM b.name_d
+      |      THEN 1 ELSE 0 END AS g2
+      |  FROM c a JOIN c b ON a.c_mktsegment = b.c_mktsegment
+      |    AND a.c_nationkey = b.c_nationkey
+      |    AND a.c_custkey < b.c_custkey)""".stripMargin
 
   /** The q278 exact-integer PCA oracle — also q283's verbatim gate:
     * the incremental moment tables are additive integer sums, so the

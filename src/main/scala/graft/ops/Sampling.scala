@@ -488,4 +488,49 @@ object Sampling {
     }.toSeq
       .toDF("domain", "n_rows", "mean_score", "excess", "bucket", "w_ppm")
   }
+
+  /** Deterministic half-sample bootstrap CI for the mean (the
+    * m-out-of-n subsampling bootstrap, Politis–Romano family,
+    * hash-derandomized): resample r keeps row i iff the first hex
+    * digit of md5("i:r") is 0-7 (a fair coin per (row, resample) —
+    * the jlSign construction), the B resample means fix to milli by
+    * truncating division, and the CI is the pair of COUNT-BASED
+    * order statistics at ⌈(B+1)·α/2⌉ from each end — a pure function
+    * of the table any engine replays, where a classic RNG bootstrap
+    * could never be re-checked. The error bar the release-datasheet
+    * tier can attach to every corpus mean it reports.
+    *
+    * Scale shape: the B-fold explode is the bootstrap's stated cost,
+    * but partial aggregation collapses it to B rows per partition
+    * before the exchange; the CI window runs on the (B-sized)
+    * resample-mean dimension. Returns one row
+    * (n_rows, b, mean_u3, ci_lo_u3, ci_hi_u3). */
+  def bootstrapCi(df: DataFrame, idCol: String, valueCol: String,
+      b: Int = 200, alphaPct: Long = 5L): DataFrame = {
+    require(b >= 2, s"b must be >= 2, got $b")
+    val kLo = ((b + 1).toLong * alphaPct + 199L) / 200L
+    val kHi = (b + 1).toLong - kLo
+    require(kLo >= 1L && kLo < kHi,
+      s"b=$b too small for alphaPct=$alphaPct (k_lo=$kLo, k_hi=$kHi)")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(valueCol).cast("long").as("v"))
+    val means = base
+      .withColumn("r", explode(sequence(lit(0), lit(b - 1))))
+      .filter(substring(md5(concat(col("id").cast("string"), lit(":"),
+        col("r").cast("string")).cast("binary")), 1, 1) < "8")
+      .groupBy("r")
+      .agg(expr("CAST(sum(v) * 1000 div count(1) AS BIGINT)").as("m_u3"))
+    val wr = Window.orderBy("m_u3")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = means.groupBy("m_u3").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wr)).localCheckpoint()
+    val lo = cum.filter(col("cum") >= kLo).agg(min("m_u3").as("ci_lo_u3"))
+    val hi = cum.filter(col("cum") >= kHi).agg(min("m_u3").as("ci_hi_u3"))
+    base.agg(count(lit(1)).as("n_rows"),
+        expr("CAST(sum(v) * 1000 div count(1) AS BIGINT)").as("mean_u3"))
+      .withColumn("b", lit(b.toLong))
+      .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select("n_rows", "b", "mean_u3", "ci_lo_u3", "ci_hi_u3")
+  }
 }

@@ -324,4 +324,35 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       Sampling.purgedTimeFolds(df, "id", "at", 1, "INTERVAL 1 DAYS")
     }
   }
+
+  test("bootstrapCi: hash membership replayed locally, milli resample " +
+      "means, count-based CI order statistics, guards") {
+    val rows = (1L to 6L).map(i => (i, i * 10L))
+    val df = rows.toDF("id", "v")
+    val b = 20
+    // kLo = ceil(21·0.1) = 3, kHi = 18 — replay every membership
+    // decision with the same md5 coin and derive the expected CI.
+    def keep(i: Long, r: Int): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$r".getBytes("UTF-8"))
+      ((d(0) >> 4) & 0xf) < 8
+    }
+    val means = (0 until b).flatMap { r =>
+      val sel = rows.filter { case (i, _) => keep(i, r) }
+      if (sel.isEmpty) None
+      else Some(sel.map(_._2).sum * 1000L / sel.size)
+    }.sorted
+    val expLo = means(2)
+    val expHi = means(17)
+    val got = Sampling.bootstrapCi(df, "id", "v", b = b, alphaPct = 20L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((6L, 20L, 35000L, expLo, expHi)),
+      s"got $got expected CI ($expLo, $expHi) from ${means.size} means")
+    intercept[IllegalArgumentException] {
+      Sampling.bootstrapCi(df, "id", "v", b = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.bootstrapCi(df, "id", "v", b = 5, alphaPct = 90L)
+    }
+  }
 }

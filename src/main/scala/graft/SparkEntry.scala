@@ -4443,7 +4443,23 @@ object SparkEntry {
     // membership decision and both order statistics.
     "q287_bootstrap_ci" -> ((s, dir) =>
       graft.ops.Sampling.bootstrapCi(
-        t(s, dir, "documents"), "doc_id", "n_chars"))
+        t(s, dir, "documents"), "doc_id", "n_chars")),
+
+    // Markov next-event baseline: transition argmaxes trained on even
+    // users, per-state held-out accuracy on odd users. DuckDB
+    // re-derives transitions, the model, and every prediction.
+    "q288_markov_accuracy" -> ((s, dir) =>
+      graft.streaming.EventsPipeline.markovAccuracy(t(s, dir, "events"))
+        .orderBy("prev_type")),
+
+    // Hilbert-curve layout key (q124's Z-order with the locality
+    // upgrade — consecutive indices are always grid-adjacent): the
+    // xy2d walk as pure codegen'd column algebra. DuckDB replays all
+    // ten levels of the walk per row.
+    "q289_hilbert" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.Layout.hilbertValue(col("doc_id") % 1024,
+          col("n_chars") % 1024, bits = 10).as("h")))
   )
 
   // ---------------------------------------------------------------------
@@ -9703,7 +9719,36 @@ object SparkEntry {
         |      AS BIGINT) AS mean_u3 FROM documents)
         |SELECT f.n_rows, CAST(200 AS BIGINT) AS b, f.mean_u3,
         |  lo.ci_lo_u3, hi.ci_hi_u3
-        |FROM f, lo, hi""".stripMargin
+        |FROM f, lo, hi""".stripMargin,
+
+    "q288_markov_accuracy" ->
+      """WITH tr AS MATERIALIZED (SELECT user_id AS u, prev_type,
+        |    event_type AS next_type FROM (
+        |    SELECT user_id, event_type, lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY epoch(ts), event_id)
+        |      AS prev_type FROM events)
+        |  WHERE prev_type IS NOT NULL),
+        |md AS (SELECT prev_type, next_type, count(*) AS c FROM tr
+        |  WHERE u % 2 = 0 GROUP BY 1, 2),
+        |pr AS (SELECT prev_type, next_type AS pred FROM (
+        |    SELECT prev_type, next_type, row_number() OVER (
+        |      PARTITION BY prev_type ORDER BY c DESC, next_type) AS rn
+        |    FROM md) WHERE rn = 1)
+        |SELECT tr.prev_type, pr.pred,
+        |  CAST(count(*) AS BIGINT) AS n_trans,
+        |  CAST(sum(CASE WHEN tr.next_type IS NOT DISTINCT FROM pr.pred
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |FROM tr LEFT JOIN pr USING (prev_type)
+        |WHERE tr.u % 2 = 1
+        |GROUP BY 1, 2 ORDER BY prev_type""".stripMargin,
+
+    "q289_hilbert" ->
+      s"""WITH hl0 AS (SELECT doc_id, doc_id % 1024 AS x,
+        |    n_chars % 1024 AS y, CAST(0 AS BIGINT) AS d
+        |  FROM documents),
+        |${(1 to 10).map(k => hilbertLevelCte(k, 1L << (10 - k)))
+            .mkString(",\n")}
+        |SELECT doc_id, CAST(d AS BIGINT) AS h FROM hl10""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6
@@ -10006,6 +10051,24 @@ object SparkEntry {
       |  FROM c a JOIN c b ON a.c_mktsegment = b.c_mktsegment
       |    AND a.c_nationkey = b.c_nationkey
       |    AND a.c_custkey < b.c_custkey)""".stripMargin
+
+  /** One q289 Hilbert xy2d level as a DuckDB CTE `hl<k>` reading
+    * `hl<k-1>(doc_id, x, y, d)`: accumulate the quadrant cost
+    * s²·(3rx ⊕ ry), then flip-and-swap the frame exactly as
+    * [[graft.ops.Layout.hilbertValue]]'s column fold does (all three
+    * outputs read the PREVIOUS level's x/y, so the simultaneous-
+    * assignment semantics match). NOT pre-stripped (embeds in a
+    * stripMargin outer string, the winnowingCtes rule). */
+  private def hilbertLevelCte(k: Int, s: Long): String =
+    s"""hl$k AS (SELECT doc_id,
+       |    CASE WHEN (y & $s) = 0 THEN CASE WHEN (x & $s) > 0
+       |      THEN $s - 1 - y ELSE y END ELSE x END AS x,
+       |    CASE WHEN (y & $s) = 0 THEN CASE WHEN (x & $s) > 0
+       |      THEN $s - 1 - x ELSE x END ELSE y END AS y,
+       |    d + $s * $s * xor(3 * (CASE WHEN (x & $s) > 0
+       |      THEN 1 ELSE 0 END),
+       |      CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d
+       |  FROM hl${k - 1})"""
 
   /** The q278 exact-integer PCA oracle — also q283's verbatim gate:
     * the incremental moment tables are additive integer sums, so the

@@ -144,6 +144,59 @@ object Morton {
   }
 }
 
+object Hilbert {
+  /** The xy2d Hilbert index (top-down level walk with flip-and-swap
+    * frame rotation). Same contract as [[Morton.interleave]]: inputs
+    * non-negative, low `bits` of each; loud reject otherwise. */
+  def index(a: Long, b: Long, bits: Int): Long = {
+    if (a < 0 || b < 0)
+      throw new IllegalArgumentException(
+        s"hilbertValue needs non-negative inputs, got ($a, $b)")
+    var x = a
+    var y = b
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}
+
+/** `hilbert_index(a, b)` — the Hilbert clustering key as a native
+  * codegen'd expression, [[MortonInterleave]]'s locality upgrade:
+  * consecutive indices are always grid-adjacent, so range-partitioned
+  * files span tighter rectangles and min/max pruning cuts deeper. A
+  * Column-algebra fold of the xy2d walk is NOT an option here: each
+  * level reads the previous level's (x, y) several times, so the
+  * expression tree grows ~5^bits and Catalyst OOMs analyzing it
+  * (observed at bits = 10) — the imperative loop belongs in compiled
+  * code riding the codegen span, exactly like Morton. */
+case class HilbertIndex(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "hilbert_index"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Hilbert.index(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Hilbert.index($a, $b, $bits)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `morton_interleave(a, b)` — the Z-order clustering key as a native
   * codegen'd expression. The Z-order WRITE path evaluates this once per
   * row over the whole table being laid out, so it must ride the

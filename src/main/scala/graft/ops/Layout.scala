@@ -40,6 +40,27 @@ object Layout {
       GraftSqlBridge.expression(b.cast("long")), bits))
   }
 
+  /** The Hilbert-curve index of two non-negative integral columns
+    * (the classic xy2d walk, level by level from the top bit) — the
+    * locality upgrade over [[zValue]]: consecutive Hilbert indices are
+    * ALWAYS grid-adjacent (the spec proves it cell-by-cell), where
+    * Z-order jumps across the plane at every power-of-two seam, so
+    * range-partitioned files span tighter (a, b) rectangles and
+    * min/max pruning cuts deeper on both dimensions. A native
+    * codegen'd [[graft.functions.HilbertIndex]] expression — a Column-
+    * algebra fold is a trap here: each xy2d level reads the previous
+    * level's (x, y) several times, the tree grows ~5^bits, and
+    * Catalyst OOMs analyzing it (observed at bits = 10). Inputs must
+    * be non-negative and below 2^bits (the zValue contract); nulls
+    * propagate. */
+  def hilbertValue(a: Column, b: Column, bits: Int = 21): Column = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits outside [1, 31]")
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.functions.HilbertIndex(
+      GraftSqlBridge.expression(a.cast("long")),
+      GraftSqlBridge.expression(b.cast("long")), bits))
+  }
+
   /** Z-order-clustered parquet write: range-partition on the Morton
     * code into `files` output files, sort within each, drop the helper
     * column. Every file then spans a bounded rectangle of (a, b) —

@@ -599,6 +599,45 @@ object EventsPipeline {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Markov next-event baseline accuracy — the sanity bar every
+    * sequence model must beat: train first-order transition argmaxes
+    * on half the users (parity split), predict each held-out
+    * transition's next type from its previous one, and report
+    * per-state accuracy. The number a recommender/prefetcher ships
+    * against. Deterministic: argmax ties break on type ascending;
+    * states never seen in training predict nothing and count as
+    * misses (pred null). Exact integers end to end.
+    *
+    * Scale shape: per-user lag windows ([[eventTransitions]]'s
+    * bounded-stream discipline), counts on the (prev, next) TYPE
+    * dimension, one type-dimension argmax window, one broadcast-sized
+    * model join. Returns (prev_type, pred, n_trans, n_correct). */
+  def markovAccuracy(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val trans = events
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col(userCol).as("u"), col("__prev").as("prev_type"),
+        col(typeCol).as("next_type"))
+    val model = trans.filter(col("u") % 2 === 0)
+      .groupBy("prev_type", "next_type").agg(count(lit(1)).as("c"))
+    val aw = Window.partitionBy("prev_type")
+      .orderBy(desc("c"), col("next_type"))
+    val pred = model.withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .select(col("prev_type"), col("next_type").as("pred"))
+    trans.filter(col("u") % 2 === 1)
+      .join(pred, Seq("prev_type"), "left")
+      .groupBy("prev_type", "pred")
+      .agg(count(lit(1)).as("n_trans"),
+        sum((col("next_type") <=> col("pred")).cast("long"))
+          .as("n_correct"))
+      .select("prev_type", "pred", "n_trans", "n_correct")
+  }
+
   /** Consecutive-duplicate suppression (sensor/CDC debounce): drop an
     * event when the previous event of the SAME key carries the same
     * payload — keeping only value CHANGES, the standard compaction for

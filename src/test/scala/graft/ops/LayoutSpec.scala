@@ -209,4 +209,40 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(vb == Map("e1" -> 1L, "e2" -> 2L, "e3" -> 2L, "e4" -> 3L),
       s"LEB128 thresholds: $vb")
   }
+
+  test("hilbertValue: full 8x8 grid is a permutation, consecutive " +
+      "indices always grid-adjacent (the locality Z-order lacks), " +
+      "matches the reference xy2d walk, bits guard") {
+    def ref(xi: Long, yi: Long, bits: Int): Long = {
+      var x = xi; var y = yi; var d = 0L
+      var s = 1L << (bits - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val cells = for { x <- 0 until 8; y <- 0 until 8 }
+      yield (x.toLong, y.toLong)
+    val got = cells.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.hilbertValue(col("x"), col("y"), bits = 3).as("h"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.forall { case (x, y, h) => h == ref(x, y, 3) },
+      "matches reference walk")
+    val byH = got.sortBy(_._3)
+    assert(byH.map(_._3).toSeq == (0L until 64L), "permutation of 0..63")
+    assert(byH.sliding(2).forall { case Array(a, b) =>
+      (a._1 - b._1).abs + (a._2 - b._2).abs == 1
+    }, "consecutive Hilbert cells are grid-adjacent")
+    intercept[IllegalArgumentException] {
+      Layout.hilbertValue(col("x"), col("y"), bits = 0)
+    }
+  }
 }

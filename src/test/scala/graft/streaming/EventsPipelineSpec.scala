@@ -303,6 +303,24 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("markovAccuracy: argmax model from even users, held-out " +
+      "per-state accuracy, unseen state predicts null miss") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    def seq(u: Long, types: String*) = types.zipWithIndex.map {
+      case (t, i) => (u, ts(i.toLong), u * 100 + i, t)
+    }
+    // train u0: (a→b)×2, (b→a)×2, (a→c) → pred(a)=b, pred(b)=a;
+    // train u2: (c→a) → pred(c)=a. test u1: a→b ✓, b→c ✗, c→a ✓;
+    // test u3: d→a with d unseen → null pred, miss.
+    val df = (seq(0L, "a", "b", "a", "b", "a", "c") ++
+      seq(2L, "c", "a") ++ seq(1L, "a", "b", "c", "a") ++
+      seq(3L, "d", "a")).toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.streaming.EventsPipeline.markovAccuracy(df)
+      .as[(String, Option[String], Long, Long)].collect().toSet
+    assert(got == Set(("a", Some("b"), 1L, 1L), ("b", Some("a"), 1L, 0L),
+      ("c", Some("a"), 1L, 1L), ("d", None, 1L, 0L)), s"got $got")
+  }
+
   test("diffInDiff: midpoint cut, hand cell means, exact estimator") {
     def ts(s: Long) = new Timestamp(s * 1000L)
     // cut = (0+3) div 2 = 1, post = ts > 1. Cells: T,pre 1e6,

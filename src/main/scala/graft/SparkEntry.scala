@@ -4459,7 +4459,37 @@ object SparkEntry {
     "q289_hilbert" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         graft.ops.Layout.hilbertValue(col("doc_id") % 1024,
-          col("n_chars") % 1024, bits = 10).as("h")))
+          col("n_chars") % 1024, bits = 10).as("h"))),
+
+    // WARC round-trip: each partition serializes its documents as a
+    // .warc.gz stream (one gzip member per record, the Common Crawl
+    // convention) and parses it back — the oracle is the ORIGINAL
+    // table, so the gate proves byte-exact container framing.
+    "q290_warc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select("doc_id", "text")
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val rows = it.toArray
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val members = rows.map { case (id, text) =>
+              graft.sources.Warc.gzipRecord(
+                graft.sources.Warc.buildRecord("resource",
+                  s"urn:doc:$id", s"graft-$id",
+                  text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            }
+            graft.sources.Warc.parseGzipMembers(Array.concat(members: _*))
+              .iterator.map { r =>
+                (r.headers("WARC-Target-URI").stripPrefix("urn:doc:")
+                  .toLong,
+                  new String(r.body,
+                    java.nio.charset.StandardCharsets.UTF_8))
+              }
+          }
+        }
+        .toDF("doc_id", "text").orderBy("doc_id")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -9748,7 +9778,10 @@ object SparkEntry {
         |  FROM documents),
         |${(1 to 10).map(k => hilbertLevelCte(k, 1L << (10 - k)))
             .mkString(",\n")}
-        |SELECT doc_id, CAST(d AS BIGINT) AS h FROM hl10""".stripMargin
+        |SELECT doc_id, CAST(d AS BIGINT) AS h FROM hl10""".stripMargin,
+
+    "q290_warc_roundtrip" ->
+      """SELECT doc_id, text FROM documents ORDER BY doc_id""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -4489,7 +4489,44 @@ object SparkEntry {
           }
         }
         .toDF("doc_id", "text").orderBy("doc_id")
-    })
+    }),
+
+    // robots.txt crawl-policy gate (RFC 9309): a robots file derived
+    // from a BOUNDED rule subset (p_partkey < 40 — robots are KB-sized
+    // by contract), longest-prefix decisions with Allow winning ties,
+    // evaluated for every part path. DuckDB re-derives the rules and
+    // every longest-match decision.
+    "q291_robots_policy" -> ((s, dir) => {
+      val ruleParts = t(s, dir, "part")
+        .filter(col("p_partkey") < 40)
+        .select("p_partkey", "p_name").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val robots = "User-agent: *\n" + ruleParts.map { case (k, n) =>
+        val ws = n.split(" ")
+        if (k % 2 == 0) s"Disallow: /${ws(0)}"
+        else s"Allow: /${ws(0)}/${ws(1)}"
+      }.mkString("\n")
+      val rules = graft.sources.RobotsTxt.rulesFor(robots, "graft")
+      val allowedUdf = udf((p: String) =>
+        graft.sources.RobotsTxt.isAllowed(rules, p))
+      t(s, dir, "part").select(col("p_partkey"),
+          concat(lit("/"), regexp_replace(col("p_name"), " ", "/"))
+            .as("path"))
+        .withColumn("allowed", allowedUdf(col("path")).cast("long"))
+        .orderBy("p_partkey")
+    }),
+
+    // COEC position-normalized engagement: ppm position priors from
+    // the whole log (position = event_id % 10, click = value >= 100),
+    // per-item expected-click sums, one truncating ratio. DuckDB
+    // re-derives priors, sums, and every ratio.
+    "q292_coec" -> ((s, dir) =>
+      graft.streaming.EventsPipeline.coec(
+        t(s, dir, "events")
+          .withColumn("pos", col("event_id") % 10)
+          .withColumn("clk", (col("value") >= 100.0).cast("long")),
+        "event_type", "pos", "clk")
+        .orderBy("item"))
   )
 
   // ---------------------------------------------------------------------
@@ -9781,7 +9818,49 @@ object SparkEntry {
         |SELECT doc_id, CAST(d AS BIGINT) AS h FROM hl10""".stripMargin,
 
     "q290_warc_roundtrip" ->
-      """SELECT doc_id, text FROM documents ORDER BY doc_id""".stripMargin
+      """SELECT doc_id, text FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q291_robots_policy" ->
+      """WITH rp AS (SELECT p_partkey AS k,
+        |    string_split(p_name, ' ') AS ws
+        |  FROM part WHERE p_partkey < 40),
+        |rules AS MATERIALIZED (SELECT
+        |    CASE WHEN k % 2 = 0 THEN 0 ELSE 1 END AS allow,
+        |    CASE WHEN k % 2 = 0 THEN '/' || ws[1]
+        |      ELSE '/' || ws[1] || '/' || ws[2] END AS prefix
+        |  FROM rp),
+        |paths AS (SELECT p_partkey,
+        |    '/' || replace(p_name, ' ', '/') AS path FROM part),
+        |hits AS (SELECT p.p_partkey, p.path, r.allow,
+        |    len(r.prefix) AS l
+        |  FROM paths p JOIN rules r ON starts_with(p.path, r.prefix)),
+        |best AS (SELECT p_partkey, path, max(l) AS ml
+        |  FROM hits GROUP BY 1, 2),
+        |dec AS (SELECT b.p_partkey, max(h.allow) AS allowed
+        |  FROM best b JOIN hits h ON h.p_partkey = b.p_partkey
+        |    AND h.path = b.path AND h.l = b.ml
+        |  GROUP BY 1)
+        |SELECT p.p_partkey, p.path,
+        |  CAST(coalesce(d.allowed, 1) AS BIGINT) AS allowed
+        |FROM paths p LEFT JOIN dec d USING (p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q292_coec" ->
+      """WITH b AS (SELECT event_type AS item, event_id % 10 AS pos,
+        |    CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS clk
+        |  FROM events),
+        |pr AS (SELECT pos, CAST(sum(clk) AS BIGINT) * 1000000
+        |    // count(*) AS ctr_ppm
+        |  FROM b GROUP BY 1)
+        |SELECT b.item, CAST(count(*) AS BIGINT) AS n_impr,
+        |  CAST(sum(b.clk) AS BIGINT) AS n_clicks,
+        |  CAST(sum(pr.ctr_ppm) AS BIGINT) AS exp_ppm,
+        |  CASE WHEN sum(pr.ctr_ppm) = 0 THEN NULL
+        |    ELSE CAST(CAST(sum(b.clk) AS BIGINT) * 1000000000
+        |      // CAST(sum(pr.ctr_ppm) AS BIGINT) AS BIGINT)
+        |  END AS coec_u3
+        |FROM b JOIN pr USING (pos)
+        |GROUP BY b.item ORDER BY item""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -599,6 +599,41 @@ object EventsPipeline {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** COEC — clicks over expected clicks (the position-normalized
+    * engagement ratio, Zhang & Jones 2007): raw CTR punishes items
+    * shown in bad slots, so normalize each item's clicks by the
+    * clicks its IMPRESSION POSITIONS would predict:
+    *
+    *   coec(item) = clicks(item) / Σ_impressions ctr(position)
+    *
+    * > 1 means the item out-performs its placement — the de-biased
+    * ranking signal for search/recommendation logs, and the same
+    * correction a retrieval-training pipeline applies before mining
+    * clicks into relevance labels. Exact discipline: position priors
+    * fix to ppm by truncating division, expected clicks stay an exact
+    * ppm SUM, the final ratio is one truncating division — no floats.
+    *
+    * Scale shape: one pass to the position dimension, one to the item
+    * dimension with the ppm prior joined on position (broadcast-sized
+    * — positions are a UI constant). Returns
+    * (item, n_impr, n_clicks, exp_ppm, coec_u3). */
+  def coec(events: DataFrame, itemCol: String, posCol: String,
+      clickCol: String): DataFrame = {
+    val base = events.select(col(itemCol).as("item"),
+      col(posCol).cast("long").as("pos"),
+      col(clickCol).cast("long").as("clk"))
+    val prior = base.groupBy("pos")
+      .agg(expr("CAST(sum(clk) * 1000000 div count(1) AS BIGINT)")
+        .as("ctr_ppm"))
+    base.join(broadcast(prior), "pos")
+      .groupBy("item")
+      .agg(count(lit(1)).as("n_impr"), sum("clk").as("n_clicks"),
+        sum("ctr_ppm").as("exp_ppm"))
+      .withColumn("coec_u3", expr("CASE WHEN exp_ppm = 0 THEN NULL " +
+        "ELSE CAST(n_clicks * 1000000000 div exp_ppm AS BIGINT) END"))
+      .select("item", "n_impr", "n_clicks", "exp_ppm", "coec_u3")
+  }
+
   /** Markov next-event baseline accuracy — the sanity bar every
     * sequence model must beat: train first-order transition argmaxes
     * on half the users (parity split), predict each held-out

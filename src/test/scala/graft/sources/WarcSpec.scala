@@ -58,3 +58,49 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 }
+
+class RobotsTxtSpec extends AnyFunSuite {
+  import RobotsTxt._
+
+  private val file =
+    """User-agent: aragorn
+      |Disallow: /private
+      |
+      |User-agent: *
+      |Disallow: /tmp
+      |Allow: /tmp/ok
+      |# comment line
+      |Crawl-delay: 10
+      |Disallow:
+      |
+      |User-agent: graft
+      |User-agent: other
+      |Disallow: /graft-only
+      |""".stripMargin
+
+  test("group selection: exact agent token beats *, other groups are " +
+      "invisible, multi-agent groups shared") {
+    val g = rulesFor(file, "graft")
+    assert(g == Seq(Rule(allow = false, "/graft-only")), s"got $g")
+    assert(isAllowed(g, "/tmp/anything"),
+      "the * group's Disallow must NOT leak into the graft group")
+    assert(!isAllowed(g, "/graft-only/x"))
+    val o = rulesFor(file, "other")
+    assert(o == g, "multi-agent group applies to every listed token")
+    assert(rulesFor(file, "ARAGORN") ==
+      Seq(Rule(allow = false, "/private")), "agent match case-folds")
+  }
+
+  test("longest-prefix decision: deeper Allow overrides Disallow, " +
+      "length tie goes to Allow, no match allows, empty Disallow and " +
+      "unknown directives ignored") {
+    val r = rulesFor(file, "nobody") // falls to the * group
+    assert(!isAllowed(r, "/tmp/x"), "under /tmp")
+    assert(isAllowed(r, "/tmp/ok"), "longest match is the Allow")
+    assert(isAllowed(r, "/tmp/okay"), "prefix match, not segment match")
+    assert(isAllowed(r, "/elsewhere"), "no rule matches -> allowed")
+    val tie = Seq(Rule(allow = true, "/a"), Rule(allow = false, "/a"))
+    assert(isAllowed(tie, "/a/b"), "length tie goes to Allow")
+    assert(!r.exists(_.prefix.isEmpty), "empty Disallow adds no rule")
+  }
+}

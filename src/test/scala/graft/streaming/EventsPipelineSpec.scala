@@ -303,6 +303,22 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("coec: ppm position priors, per-item expected sums, truncating " +
+      "ratio, zero-expectation null") {
+    // pos 0: 2/4 clicks → 500000 ppm; pos 1: 0/2 → 0 ppm.
+    // item A: 2 impr at pos 0, 2 clicks → exp 1000000 → coec 2.000
+    // item B: 2 impr at pos 0, 0 clicks → exp 1000000 → coec 0
+    // item C: only pos 1 → exp 0 → coec null
+    val df = Seq(("A", 0L, 1L), ("A", 0L, 1L), ("B", 0L, 0L),
+      ("B", 0L, 0L), ("C", 1L, 0L), ("C", 1L, 0L))
+      .toDF("item", "pos", "clk")
+    val got = graft.streaming.EventsPipeline.coec(df, "item", "pos", "clk")
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSet
+    assert(got == Set(("A", 2L, 2L, 1000000L, Some(2000L)),
+      ("B", 2L, 0L, 1000000L, Some(0L)),
+      ("C", 2L, 0L, 0L, None)), s"got $got")
+  }
+
   test("markovAccuracy: argmax model from even users, held-out " +
       "per-state accuracy, unseen state predicts null miss") {
     def ts(s: Long) = new Timestamp(s * 1000L)

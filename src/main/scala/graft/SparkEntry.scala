@@ -4526,7 +4526,18 @@ object SparkEntry {
           .withColumn("pos", col("event_id") % 10)
           .withColumn("clk", (col("value") >= 100.0).cast("long")),
         "event_type", "pos", "clk")
-        .orderBy("item"))
+        .orderBy("item")),
+
+    // Mondrian k-anonymization over (n_chars, doc_id%512): four
+    // deterministic median-split rounds, k=25, release map of
+    // generalized cells. DuckDB replays every round's stats, medians,
+    // and split decisions.
+    "q293_mondrian" -> ((s, dir) =>
+      graft.ops.Curation.mondrian(
+        t(s, dir, "documents")
+          .withColumn("qb", col("doc_id") % 512),
+        "doc_id", "n_chars", "qb", k = 25, rounds = 4)
+        .orderBy("pid"))
   )
 
   // ---------------------------------------------------------------------
@@ -9860,7 +9871,18 @@ object SparkEntry {
         |      // CAST(sum(pr.ctr_ppm) AS BIGINT) AS BIGINT)
         |  END AS coec_u3
         |FROM b JOIN pr USING (pos)
-        |GROUP BY b.item ORDER BY item""".stripMargin
+        |GROUP BY b.item ORDER BY item""".stripMargin,
+
+    "q293_mondrian" ->
+      s"""WITH mr0 AS (SELECT doc_id AS id,
+        |    CAST(n_chars AS BIGINT) AS a,
+        |    CAST(doc_id % 512 AS BIGINT) AS b,
+        |    CAST(1 AS BIGINT) AS pid, FALSE AS fin FROM documents),
+        |${(1 to 4).map(r => mondrianRoundCtes(r, 25)).mkString(",\n")}
+        |SELECT pid, CAST(count(*) AS BIGINT) AS n,
+        |  min(a) AS a_lo, max(a) AS a_hi, min(b) AS b_lo,
+        |  max(b) AS b_hi
+        |FROM mr4 GROUP BY pid ORDER BY pid""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6
@@ -10121,6 +10143,42 @@ object SparkEntry {
        |    s.h AS fp
        |  FROM ${p}sel s JOIN ${p}n n ON n.doc_id = s.doc_id
        |  WHERE s.rn = 1 AND s.wpos <= greatest(n.ng - 4, 0))"""
+
+  /** One q293 Mondrian round as DuckDB CTEs reading
+    * `mr<r-1>(id, a, b, pid, fin)` and ending in `mr<r>` — live-
+    * partition stats + range-argmax dimension (ties to `a`), the
+    * lower-median count-based order statistic, the k-starvation split
+    * decision, and the 2·pid+side relabel, mirroring
+    * [[graft.ops.Curation.mondrian]]'s round body exactly. NOT
+    * pre-stripped (embeds in stripMargin outer strings). */
+  private def mondrianRoundCtes(r: Int, k: Int): String = {
+    val p = s"mr${r - 1}"
+    s"""st$r AS (SELECT pid, CAST(count(*) AS BIGINT) AS n,
+       |    CASE WHEN max(a) - min(a) >= max(b) - min(b)
+       |      THEN 'a' ELSE 'b' END AS dim
+       |  FROM $p WHERE NOT fin GROUP BY pid),
+       |vl$r AS (SELECT m.pid, s.n,
+       |    CASE WHEN s.dim = 'a' THEN m.a ELSE m.b END AS v
+       |  FROM $p m JOIN st$r s USING (pid) WHERE NOT m.fin),
+       |cm$r AS (SELECT pid, n, v, CAST(sum(count(*)) OVER (
+       |      PARTITION BY pid ORDER BY v ROWS BETWEEN UNBOUNDED
+       |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM vl$r GROUP BY pid, n, v),
+       |md$r AS (SELECT pid, n, min(v) AS med FROM cm$r
+       |  WHERE cum >= (n + 1) // 2 GROUP BY pid, n),
+       |sp$r AS (SELECT md.pid, md.med, st.dim,
+       |    (cm.cum >= $k AND md.n - cm.cum >= $k) AS split
+       |  FROM md$r md JOIN cm$r cm ON cm.pid = md.pid
+       |    AND cm.v = md.med
+       |  JOIN st$r st ON st.pid = md.pid),
+       |mr$r AS MATERIALIZED (SELECT m.id, m.a, m.b,
+       |    CASE WHEN coalesce(sp.split, FALSE)
+       |      THEN 2 * m.pid + (CASE WHEN (CASE WHEN sp.dim = 'a'
+       |        THEN m.a ELSE m.b END) > sp.med THEN 1 ELSE 0 END)
+       |      ELSE m.pid END AS pid,
+       |    (m.fin OR coalesce(NOT sp.split, FALSE)) AS fin
+       |  FROM $p m LEFT JOIN sp$r sp USING (pid))"""
+  }
 
   /** The q277 Fellegi–Sunter model (customer blocks, frequency u
     * estimation, both field weights, blocked agreement pairs) as

@@ -734,6 +734,73 @@ object Curation {
     * quasi-identifier value is itself an identifying combination (the
     * groupBy already keys it), so a unique null-keyed row must be
     * flagged, not silently pass. */
+  /** Mondrian k-anonymization (LeFevre et al. ICDE 2006, strict
+    * deterministic variant) — the GENERALIZATION member of the privacy
+    * tier: [[kAnonymityRisk]] tells you which quasi-identifier cells
+    * are unsafe; this one produces the safe cells, recursively
+    * median-splitting the 2-D quasi-identifier space on the wider
+    * dimension until a cut would leave a side below k. Determinism:
+    * the split dimension is range-argmax with ties to `a`, the cut is
+    * the LOWER MEDIAN as a count-based order statistic (min value
+    * whose cumulative count reaches ⌊(n+1)/2⌋ — never a sort), left
+    * takes ≤ median, child ids are 2·pid / 2·pid+1 (the cut path IS
+    * the id). A partition whose cut would starve a side — including
+    * the all-equal-values case, where the right side is empty —
+    * finalizes and stops. `rounds` bounds the tree depth explicitly
+    * (the k-means unrolled-iteration discipline; depth log(n/k)
+    * suffices).
+    *
+    * Scale shape per round: one partition-dimension stats aggregate,
+    * one (partition, VALUE)-dimension cumulative window (value-domain
+    * bounded, the q267 rule), one broadcast-sized split-plan join back
+    * to rows; `localCheckpoint` truncates lineage per round. Returns
+    * the anonymized release map (pid, n, a_lo, a_hi, b_lo, b_hi) —
+    * every cell holds ≥ k rows whenever the root held ≥ k. */
+  def mondrian(df: DataFrame, idCol: String, aCol: String, bCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"bad k/rounds: $k/$rounds")
+    import org.apache.spark.sql.expressions.Window
+    var cur = df.select(col(idCol).cast("long").as("id"),
+        col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .withColumn("pid", lit(1L)).withColumn("fin", lit(false))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val stats = cur.filter(!col("fin")).groupBy("pid")
+        .agg(count(lit(1)).as("n"),
+          min("a").as("amin"), max("a").as("amax"),
+          min("b").as("bmin"), max("b").as("bmax"))
+        .withColumn("dim", when(col("amax") - col("amin") >=
+          col("bmax") - col("bmin"), lit("a")).otherwise(lit("b")))
+      val vals = cur.filter(!col("fin"))
+        .join(stats.select("pid", "dim", "n"), "pid")
+        .withColumn("v",
+          when(col("dim") === "a", col("a")).otherwise(col("b")))
+      val wc = Window.partitionBy("pid").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val plan = vals.groupBy("pid", "n", "v").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(wc))
+        .filter(col("cum") >= expr("CAST((n + 1) div 2 AS BIGINT)"))
+        .groupBy("pid", "n")
+        .agg(min(struct(col("v"), col("cum"))).as("m"))
+        .select(col("pid"), col("m.v").as("med"),
+          (col("m.cum") >= k && col("n") - col("m.cum") >= k)
+            .as("split"))
+        .join(stats.select("pid", "dim"), "pid")
+      cur = cur.join(broadcast(plan), Seq("pid"), "left")
+        .select(col("id"), col("a"), col("b"),
+          when(coalesce(col("split"), lit(false)),
+            lit(2L) * col("pid") +
+              when((when(col("dim") === "a", col("a"))
+                .otherwise(col("b"))) > col("med"), 1L).otherwise(0L))
+            .otherwise(col("pid")).as("pid"),
+          (col("fin") || coalesce(!col("split"), lit(false))).as("fin"))
+        .localCheckpoint()
+    }
+    cur.groupBy("pid").agg(count(lit(1)).as("n"),
+      min("a").as("a_lo"), max("a").as("a_hi"),
+      min("b").as("b_lo"), max("b").as("b_hi"))
+  }
+
   def kAnonymityRisk(df: DataFrame, quasiCols: Seq[String],
       k: Int): DataFrame = {
     require(k >= 2, s"k-anonymity needs k >= 2, got $k")

@@ -2067,6 +2067,29 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("mondrian: hand median splits, k-starvation finalizes, child " +
+      "ids are the cut path, every cell >= k, guards") {
+    // a-values {1,2,3,4,10,20}, b constant 7 → dim is always a.
+    // k=2: root med=3 splits 3/3 → pids 2,3; round 2 medians starve
+    // the right side (2/1) → both finalize.
+    val df = (1L to 6L).zip(Seq(1L, 2L, 3L, 4L, 10L, 20L)).map {
+      case (id, a) => (id, a, 7L)
+    }.toDF("id", "a", "b")
+    val got = graft.ops.Curation.mondrian(df, "id", "a", "b",
+        k = 2, rounds = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((2L, 3L, 1L, 3L, 7L, 7L),
+      (3L, 3L, 4L, 20L, 7L, 7L)), s"got $got")
+    // k=4: the 3/3 root cut would starve both sides → root finalizes
+    val whole = graft.ops.Curation.mondrian(df, "id", "a", "b",
+        k = 4, rounds = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(whole == Set((1L, 6L, 1L, 20L, 7L, 7L)), s"got $whole")
+    intercept[IllegalArgumentException] {
+      graft.ops.Curation.mondrian(df, "id", "a", "b", k = 0, rounds = 1)
+    }
+  }
+
   test("theilSenSlope: hand pairwise micro slopes, lower median odd " +
       "and even, truncating negative slope, equal-x pair excluded, " +
       "group isolation") {

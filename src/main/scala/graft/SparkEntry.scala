@@ -4537,7 +4537,17 @@ object SparkEntry {
         t(s, dir, "documents")
           .withColumn("qb", col("doc_id") % 512),
         "doc_id", "n_chars", "qb", k = 25, rounds = 4)
-        .orderBy("pid"))
+        .orderBy("pid")),
+
+    // 2-D skyline over per-user (activity, milli value): the Pareto
+    // frontier via the a-value-dimension running-max window — no
+    // self-join. DuckDB re-derives the frontier and every survivor.
+    "q294_skyline" -> ((s, dir) => {
+      val u = t(s, dir, "events").groupBy(col("user_id").as("uid"))
+        .agg(count(lit(1)).as("n_ev"),
+          sum(round(col("value") * 1000, 0).cast("long")).as("v_u3"))
+      graft.ops.Joins.skyline2d(u, "uid", "n_ev", "v_u3").orderBy("id")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -9882,7 +9892,22 @@ object SparkEntry {
         |SELECT pid, CAST(count(*) AS BIGINT) AS n,
         |  min(a) AS a_lo, max(a) AS a_hi, min(b) AS b_lo,
         |  max(b) AS b_hi
-        |FROM mr4 GROUP BY pid ORDER BY pid""".stripMargin
+        |FROM mr4 GROUP BY pid ORDER BY pid""".stripMargin,
+
+    "q294_skyline" ->
+      """WITH u AS (SELECT user_id AS id, CAST(count(*) AS BIGINT) AS a,
+        |    CAST(sum(CAST(round(value * 1000, 0) AS BIGINT))
+        |      AS BIGINT) AS b
+        |  FROM events GROUP BY 1),
+        |pa AS (SELECT a, max(b) AS bmax FROM u GROUP BY 1),
+        |fr AS (SELECT a, bmax FROM (
+        |    SELECT a, bmax, max(bmax) OVER (ORDER BY a DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS bprev FROM pa)
+        |  WHERE bprev IS NULL OR bmax > bprev)
+        |SELECT u.id, u.a, u.b FROM u
+        |JOIN fr ON u.a = fr.a AND u.b = fr.bmax
+        |ORDER BY id""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -11,6 +11,40 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** 2-D skyline (Pareto frontier; Börzsönyi et al. ICDE 2001) — the
+    * classic multi-criteria operator: keep every row no other row
+    * DOMINATES (≥ on both dims, > on at least one). "Best tradeoffs"
+    * for maximize-both objectives — quality vs length doc selection,
+    * activity vs value account triage — where any single score would
+    * bury one axis. Exact window formulation, no self-join: reduce to
+    * the a-VALUE dimension (max b per a), take the running max of b
+    * over STRICTLY larger a; a row survives iff its b beats that
+    * running max AND ties the best b at its own a (an equal-b twin at
+    * the same a survives too — equals don't dominate).
+    *
+    * Scale shape: one (a)-dimension aggregate, one a-value-dimension
+    * cumulative window (value-domain bounded, the q267 rule), one
+    * broadcast-sized frontier join back. Nulls in either dim are
+    * excluded (no dominance order). Returns the surviving rows
+    * (id, a, b). */
+  def skyline2d(df: DataFrame, idCol: String, aCol: String,
+      bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("id"),
+        col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val perA = base.groupBy("a").agg(max("b").as("bmax"))
+    val wPrev = Window.orderBy(desc("a"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perA
+      .withColumn("bprev", max("bmax").over(wPrev))
+      .filter(col("bprev").isNull || col("bmax") > col("bprev"))
+      .select(col("a"), col("bmax"))
+    base.join(broadcast(frontier), Seq("a"))
+      .filter(col("b") === col("bmax"))
+      .select("id", "a", "b")
+  }
+
   /** As-of join: for every left row, attach the latest right row with
     * `right.time <= left.time` for the same key (inclusive; left rows
     * before any right row get nulls — ASOF LEFT semantics).

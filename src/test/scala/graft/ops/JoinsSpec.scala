@@ -115,4 +115,21 @@ class JoinsSpec extends AnyFunSuite with SparkTestBase {
       Option(dir.listFiles()).foreach(_.foreach(_.delete())); dir.delete()
     }
   }
+
+  test("skyline2d: dominated rows drop, equal twins both survive, " +
+      "equal-b larger-a dominates, nulls excluded") {
+    val df = Seq(
+      (1L, Some(5L), Some(5L)),  // frontier
+      (2L, Some(5L), Some(3L)),  // dominated by 1 (same a, smaller b)
+      (3L, Some(3L), Some(7L)),  // frontier
+      (4L, Some(6L), Some(2L)),  // frontier (best a)
+      (5L, Some(5L), Some(5L)),  // twin of 1 — equals don't dominate
+      (6L, Some(2L), Some(7L)),  // dominated by 3 (equal b, larger a)
+      (7L, Some(1L), Some(9L)),  // frontier (best b)
+      (8L, None, Some(9L)))      // null dim → excluded
+      .toDF("id", "a", "b")
+    val got = graft.ops.Joins.skyline2d(df, "id", "a", "b")
+      .as[(Long, Long, Long)].collect().map(_._1).toSet
+    assert(got == Set(1L, 3L, 4L, 5L, 7L), s"got $got")
+  }
 }

@@ -4547,6 +4547,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_ev"),
           sum(round(col("value") * 1000, 0).cast("long")).as("v_u3"))
       graft.ops.Joins.skyline2d(u, "uid", "n_ev", "v_u3").orderBy("id")
+    }),
+
+    // Pseudo-relevance-feedback expansion: BM25 top-10 feedback set
+    // for ('table','scan','merge'), score-weighted-tf term weights,
+    // top-20 expansion terms. DuckDB re-runs the retrieval and
+    // re-derives every term weight.
+    "q295_prf_expansion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").as("id"),
+          split(col("text"), " ").as("tokens"))
+      val n = docs.count()
+      val avgLen = docs.select(avg(size(col("tokens"))))
+        .first().getDouble(0)
+      val stats = graft.index.IndexWriter.docFrequencies(docs)
+      HybridSearch.prfExpansion(docs, stats, n, avgLen,
+        Seq("table", "scan", "merge"), fb = 10, topTerms = 20)
+        .orderBy(desc("w_sum"), col("term"))
     })
   )
 
@@ -9907,7 +9924,40 @@ object SparkEntry {
         |  WHERE bprev IS NULL OR bmax > bprev)
         |SELECT u.id, u.a, u.b FROM u
         |JOIN fr ON u.a = fr.a AND u.b = fr.bmax
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+
+    "q295_prf_expansion" ->
+      """WITH d AS MATERIALIZED (SELECT doc_id,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |params AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    avg(len(toks)) AS avgdl FROM d),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf,
+        |    any_value(dl) AS dl FROM (
+        |    SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl
+        |    FROM d) u
+        |  WHERE tok IN ('table', 'scan', 'merge')
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE)
+        |    AS df FROM (
+        |    SELECT doc_id, unnest(toks) AS tok FROM d) u GROUP BY tok),
+        |sc AS (SELECT t.doc_id,
+        |    ln(1 + (p.n - f.df + 0.5) / (f.df + 0.5)) * t.tf * 2.2 /
+        |      (t.tf + 1.2 * (0.25 + 0.75 * t.dl / p.avgdl)) AS s
+        |  FROM tf t, params p JOIN df f ON t.tok = f.tok),
+        |top AS MATERIALIZED (SELECT doc_id,
+        |    CAST(round(round(sum(s), 6) * 1000000, 0) AS BIGINT) AS w
+        |  FROM sc GROUP BY doc_id
+        |  ORDER BY round(sum(s), 6) DESC, doc_id LIMIT 10),
+        |ex AS (SELECT u.doc_id, u.tok, top.w FROM (
+        |    SELECT doc_id, unnest(toks) AS tok FROM d) u
+        |  JOIN top USING (doc_id)
+        |  WHERE u.tok <> ''
+        |    AND u.tok NOT IN ('table', 'scan', 'merge'))
+        |SELECT tok AS term,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df_fb,
+        |  CAST(sum(w) AS BIGINT) AS w_sum
+        |FROM ex GROUP BY 1
+        |ORDER BY w_sum DESC, term LIMIT 20""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

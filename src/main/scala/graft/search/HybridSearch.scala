@@ -295,4 +295,45 @@ object HybridSearch {
     fused.join(index, Seq("id"), "left")
       .orderBy(desc("rrf_score"), col("id"))
   }
+
+  /** Pseudo-relevance-feedback expansion terms (the RM1/RM3 family,
+    * Lavrenko & Croft SIGIR 2001, score-weighted-tf form) — the
+    * recall lever a lexical retriever gets for free: run the original
+    * query, treat the top `fb` documents as relevant, and score every
+    * candidate term by how much feedback mass it sits in:
+    *
+    *   w(t) = Σ_{d ∈ top-fb} tf(t, d) · bm25_u6(d)
+    *
+    * (each occurrence contributes its document's micro-fixed
+    * retrieval score — score-weighted, so the best-matching docs
+    * dominate the expansion, the RM weighting without the float
+    * normalization). Original query terms are excluded; ties break
+    * on the term. Exact after the one score micro-fixing (BM25 is
+    * already rounded to 6dp by contract).
+    *
+    * Scale shape: the feedback set is fb-sized (broadcast); candidate
+    * scoring is one explode + (term)-dimension aggregate over fb
+    * documents only — the corpus is touched once by the retrieval the
+    * caller already paid for. Returns the top `topTerms`
+    * (term, df_fb, w_sum). */
+  def prfExpansion(index: DataFrame, docStats: DataFrame,
+      corpusSize: Long, avgDocLen: Double, queryTerms: Seq[String],
+      fb: Int = 10, topTerms: Int = 20, idCol: String = "id",
+      tokensCol: String = "tokens"): DataFrame = {
+    require(fb >= 1 && topTerms >= 1, s"bad fb/topTerms: $fb/$topTerms")
+    val top = bm25TopK(index, docStats, corpusSize, avgDocLen,
+        queryTerms, fb, idCol, tokensCol)
+      .withColumn("w_u6",
+        round(col("bm25_score") * 1000000, 0).cast("long"))
+      .select(col(idCol), col("w_u6"))
+    index.join(broadcast(top), idCol)
+      .select(col(idCol), col("w_u6"),
+        explode(col(tokensCol)).as("term"))
+      .filter(col("term") =!= "" && !col("term").isin(queryTerms: _*))
+      .groupBy("term")
+      .agg(countDistinct(col(idCol)).as("df_fb"),
+        sum("w_u6").as("w_sum"))
+      .orderBy(desc("w_sum"), col("term"))
+      .limit(topTerms)
+  }
 }

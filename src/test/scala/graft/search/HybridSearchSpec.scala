@@ -201,4 +201,25 @@ class IndexWriterSpec extends AnyFunSuite with SparkTestBase {
       .as[(String, Long)].collect().toMap
     assert(merged == full && merged == Map("x" -> 2L, "y" -> 2L, "z" -> 1L))
   }
+
+  test("prfExpansion: feedback only from matching docs, query terms " +
+      "excluded, tf-weighted by the doc score, non-matching doc's " +
+      "vocabulary invisible, guards") {
+    val docs = Seq(
+      (1L, Seq("scan", "x", "x", "y")),
+      (2L, Seq("nomatch", "z"))).toDF("id", "tokens")
+    val stats = graft.index.IndexWriter.docFrequencies(docs)
+    val got = graft.search.HybridSearch.prfExpansion(docs, stats, 2L,
+        3.0, Seq("scan"), fb = 5, topTerms = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq("x", "y"),
+      s"z (non-matching doc) must be invisible: $got")
+    assert(got(0)._3 == 2 * got(1)._3,
+      s"x occurs twice in the one feedback doc: $got")
+    assert(got.forall(_._2 == 1L), s"df_fb within feedback set: $got")
+    intercept[IllegalArgumentException] {
+      graft.search.HybridSearch.prfExpansion(docs, stats, 2L, 3.0,
+        Seq("scan"), fb = 0)
+    }
+  }
 }

@@ -29,6 +29,56 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"hamming64 project not codegen'd:\n$plan")
   }
 
+  test("q294 guard: skyline has no self-join — no cartesian/NLJ, the " +
+      "frontier comes back as a broadcast hash join") {
+    val df = SparkEntry.queries("q294_skyline")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"skyline must not self-join all pairs:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"frontier join should broadcast:\n$plan")
+  }
+
+  test("hilbert_index and soundex4 ride whole-stage codegen over a " +
+      "parquet scan (no UDF, no eval fallback)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val h = docs.select(graft.ops.Layout.hilbertValue(
+      col("doc_id") % 1024, col("n_chars") % 1024, 10).as("h"))
+    h.collect()
+    val hp = h.queryExecution.executedPlan.toString
+    assert(hp.linesIterator.exists(l => l.contains("*(") &&
+      l.contains("Project")), s"hilbert not codegen'd:\n$hp")
+    val s = docs.select(graft.ops.Dedup.soundex4(col("text")).as("c"))
+    s.collect()
+    val sp = s.queryExecution.executedPlan.toString
+    assert(sp.linesIterator.exists(l => l.contains("*(") &&
+      l.contains("Project")), s"soundex not codegen'd:\n$sp")
+    assert(!sp.contains("BatchEvalPython") && !sp.contains("Invoke"),
+      s"soundex must be native expressions:\n$sp")
+  }
+
+  test("q287 guard: the bootstrap's B-fold explode partial-aggregates " +
+      "map-side — only B rows per partition cross the exchange") {
+    // the op localCheckpoints the mean table, so assert on the hot
+    // path itself (explode → hash filter → per-resample aggregate)
+    val means = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("id"),
+        col("n_chars").cast("long").as("v"))
+      .withColumn("r", explode(sequence(lit(0), lit(199))))
+      .filter(substring(md5(concat(col("id").cast("string"), lit(":"),
+        col("r").cast("string")).cast("binary")), 1, 1) < "8")
+      .groupBy("r")
+      .agg(expr("CAST(sum(v) * 1000 div count(1) AS BIGINT)").as("m_u3"))
+    means.collect()
+    val plan = means.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"),
+      s"resample means must partial-aggregate before the shuffle:\n$plan")
+    assert(plan.contains("Generate"),
+      s"expected the resample explode:\n$plan")
+  }
+
   test("md5SimHash48: identical texts coincide, unrelated texts spread, sig < 2^48") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),

@@ -4564,7 +4564,18 @@ object SparkEntry {
       HybridSearch.prfExpansion(docs, stats, n, avgLen,
         Seq("table", "scan", "merge"), fb = 10, topTerms = 20)
         .orderBy(desc("w_sum"), col("term"))
-    })
+    }),
+
+    // Holt double exponential smoothing over 16 cohort streams
+    // (256-step horizon, alpha 0.3 / beta 0.1 in ppm): exact integer
+    // level/trend recurrences + in-sample SAE. DuckDB replays every
+    // step of every walk in a recursive CTE.
+    "q296_holt_smoothing" -> ((s, dir) =>
+      graft.streaming.EventsPipeline.holtSmoothing(
+        t(s, dir, "events").withColumn("k16", col("user_id") % 16),
+        "k16", "ts", "event_id", "value",
+        alphaPpm = 300000L, betaPpm = 100000L, maxSteps = 256)
+        .orderBy("key"))
   )
 
   // ---------------------------------------------------------------------
@@ -9957,7 +9968,32 @@ object SparkEntry {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df_fb,
         |  CAST(sum(w) AS BIGINT) AS w_sum
         |FROM ex GROUP BY 1
-        |ORDER BY w_sum DESC, term LIMIT 20""".stripMargin
+        |ORDER BY w_sum DESC, term LIMIT 20""".stripMargin,
+
+    "q296_holt_smoothing" ->
+      """WITH RECURSIVE ev AS MATERIALIZED (SELECT * FROM (
+        |  SELECT user_id % 16 AS key, row_number() OVER (
+        |      PARTITION BY user_id % 16
+        |      ORDER BY epoch(ts), event_id) AS rn,
+        |    CAST(round(value * 1000, 0) AS BIGINT) AS y
+        |  FROM events) WHERE rn <= 256),
+        |hw AS (
+        |  SELECT key, CAST(1 AS BIGINT) AS t, y AS l,
+        |    CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS sae
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.key, s.t + 1,
+        |    (300000 * e.y + 700000 * (s.l + s.b)) // 1000000,
+        |    (100000 * (((300000 * e.y + 700000 * (s.l + s.b))
+        |        // 1000000) - s.l) + 900000 * s.b) // 1000000,
+        |    s.sae + abs(e.y - (s.l + s.b))
+        |  FROM hw s JOIN ev e ON e.key = s.key AND e.rn = s.t + 1),
+        |fin AS (SELECT * FROM hw QUALIFY row_number() OVER (
+        |  PARTITION BY key ORDER BY t DESC) = 1)
+        |SELECT key, t AS n, CAST(l AS BIGINT) AS level_u3,
+        |  CAST(b AS BIGINT) AS trend_u3, CAST(sae AS BIGINT) AS sae_u3,
+        |  CAST(l + b AS BIGINT) AS forecast_u3
+        |FROM fin ORDER BY key""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -599,6 +599,56 @@ object EventsPipeline {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Holt double exponential smoothing (Holt 1957) — the forecasting
+    * member of the series tier: [[seasonalDecompose]] explains a
+    * series, [[cusumFlags]] alarms on it, this one projects it
+    * forward (level + trend), per key:
+    *
+    *   l_t = α·y + (1−α)(l+b),   b_t = β(l_t − l_{t−1}) + (1−β)b
+    *
+    * in exact integer arithmetic: values milli-fixed per row, α/β in
+    * ppm, every recurrence step one truncating division (the engine
+    * `//` contract) — any engine replays the walk bit-for-bit. Also
+    * reports the in-sample sum of absolute one-step errors (the
+    * forecastability read: high SAE = don't trust the projection).
+    *
+    * Scale shape: one sorted per-key fold (`flatMapGroups`, the
+    * cusum/UCB1 discipline; `maxSteps` caps the horizon); one row per
+    * key returns. Returns
+    * (key, n, level_u3, trend_u3, sae_u3, forecast_u3). */
+  def holtSmoothing(events: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String, valueCol: String, alphaPpm: Long, betaPpm: Long,
+      maxSteps: Int = Int.MaxValue): DataFrame = {
+    require(alphaPpm >= 0 && alphaPpm <= 1000000L &&
+      betaPpm >= 0 && betaPpm <= 1000000L,
+      s"alpha/beta must be ppm in [0, 1e6]: $alphaPpm/$betaPpm")
+    require(maxSteps >= 1, s"maxSteps must be positive, got $maxSteps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(keyCol).cast("long"),
+        unix_timestamp(col(tsCol)), col(seqCol).cast("long"),
+        round(col(valueCol).cast("double") * 1000, 0).cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        val ys = it.toArray.sortBy(e => (e._2, e._3)).take(maxSteps)
+          .map(_._4)
+        var l = ys.head
+        var b = 0L
+        var sae = 0L
+        ys.drop(1).foreach { y =>
+          val f = l + b
+          sae += math.abs(y - f)
+          val lPrev = l
+          l = (alphaPpm * y + (1000000L - alphaPpm) * f) / 1000000L
+          b = (betaPpm * (l - lPrev) + (1000000L - betaPpm) * b) /
+            1000000L
+        }
+        (k, ys.length.toLong, l, b, sae, l + b)
+      }
+      .toDF("key", "n", "level_u3", "trend_u3", "sae_u3", "forecast_u3")
+  }
+
   /** COEC — clicks over expected clicks (the position-normalized
     * engagement ratio, Zhang & Jones 2007): raw CTR punishes items
     * shown in bad slots, so normalize each item's clicks by the

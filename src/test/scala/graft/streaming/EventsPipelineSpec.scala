@@ -303,6 +303,26 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("holtSmoothing: hand level/trend recurrence, SAE accumulation, " +
+      "per-key isolation, guards") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // alpha = beta = 0.5, series 1.0, 3.0, 2.0 (milli 1000/3000/2000):
+    //   t2: f=1000, sae=2000, l=2000, b=500
+    //   t3: f=2500, sae=2500, l=2250, b=375 → forecast 2625
+    val df = Seq((1L, ts(1), 1L, 1.0), (1L, ts(2), 2L, 3.0),
+      (1L, ts(3), 3L, 2.0), (2L, ts(1), 4L, 7.0))
+      .toDF("k", "ts", "eid", "value")
+    val got = graft.streaming.EventsPipeline.holtSmoothing(
+        df, "k", "ts", "eid", "value", 500000L, 500000L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 2250L, 375L, 2500L, 2625L),
+      (2L, 1L, 7000L, 0L, 0L, 7000L)), s"got $got")
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventsPipeline.holtSmoothing(df, "k", "ts",
+        "eid", "value", 1000001L, 0L)
+    }
+  }
+
   test("coec: ppm position priors, per-item expected sums, truncating " +
       "ratio, zero-expectation null") {
     // pos 0: 2/4 clicks → 500000 ppm; pos 1: 0/2 → 0 ppm.

@@ -4575,7 +4575,21 @@ object SparkEntry {
         t(s, dir, "events").withColumn("k16", col("user_id") % 16),
         "k16", "ts", "event_id", "value",
         alphaPpm = 300000L, betaPpm = 100000L, maxSteps = 256)
-        .orderBy("key"))
+        .orderBy("key")),
+
+    // Sorted-neighborhood blocking over customers keyed by cent
+    // balances (window 3): every record pairs with its two sort
+    // successors. DuckDB re-derives the global rank and both shifts.
+    "q297_sorted_neighborhood" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("cents",
+          expr("CAST(floor(c_acctbal * 100) AS BIGINT)"))
+      graft.ops.Dedup.sortedNeighborhoodPairs(
+          c, "c_custkey", "cents", window = 3)
+        .withColumn("d_cents", col("key2") - col("key1"))
+        .select("id1", "id2", "d_cents")
+        .orderBy("id1", "id2")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -9993,7 +10007,18 @@ object SparkEntry {
         |SELECT key, t AS n, CAST(l AS BIGINT) AS level_u3,
         |  CAST(b AS BIGINT) AS trend_u3, CAST(sae AS BIGINT) AS sae_u3,
         |  CAST(l + b AS BIGINT) AS forecast_u3
-        |FROM fin ORDER BY key""".stripMargin
+        |FROM fin ORDER BY key""".stripMargin,
+
+    "q297_sorted_neighborhood" ->
+      """WITH rk AS (SELECT c_custkey AS id,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS k,
+        |    row_number() OVER (ORDER BY
+        |      CAST(floor(c_acctbal * 100) AS BIGINT), c_custkey) AS rn
+        |  FROM customer)
+        |SELECT a.id AS id1, b.id AS id2,
+        |  CAST(b.k - a.k AS BIGINT) AS d_cents
+        |FROM rk a JOIN rk b ON b.rn - a.rn IN (1, 2)
+        |ORDER BY id1, id2""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

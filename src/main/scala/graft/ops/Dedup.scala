@@ -1194,6 +1194,37 @@ object Dedup {
       .filter(col("inter") * tDen >= col("uni") * tNum)
   }
 
+  /** Sorted-neighborhood blocking (Hernández & Stolfo SIGMOD 1995) —
+    * the third blocking strategy of the linkage tier: hash blocks
+    * ([[fuzzyLinkage]]) split near-boundary matches, phonetic blocks
+    * ([[soundex4]]) only see names; sorting by a fuzzy KEY and pairing
+    * every record with its `window−1` successors catches whatever
+    * lands nearby under the sort — the classic merge/purge move, at a
+    * guaranteed (window−1)·n candidate budget. Ranks come from
+    * [[graft.ops.Layout.globalRowNumber]] (two-pass range ranking —
+    * never a single-partition window), and pairs from window−1 SHIFTED
+    * equi-joins on the rank (the skip-gram/textRank linear-stream
+    * move — never a rank-range self-join). Ties in the key order by
+    * id, so the pairing is a pure function of the table. Returns
+    * (id1, id2, key1, key2) with id2 exactly 1..window−1 positions
+    * after id1. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+      keyCol: String, window: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val ranked = graft.ops.Layout.globalRowNumber(
+        df.select(col(idCol).as("id"), col(keyCol).as("k")),
+        Seq("k", "id"), 0)
+      .select(col("id"), col("k"), col("rn"))
+      .localCheckpoint()
+    val shifted = (1 until window).map { d =>
+      ranked.select(col("id").as("id2"), col("k").as("k2"),
+        (col("rn") - d).as("rn"))
+    }.reduce(_ unionByName _)
+    ranked.join(shifted, "rn")
+      .select(col("id").as("id1"), col("id2"),
+        col("k").as("key1"), col("k2").as("key2"))
+  }
+
   /** Round half away from zero to a Long — the engine-portable tie
     * rule (DuckDB round(); Spark round(); NOT math.round, whose
     * floor(x+0.5) breaks on negative .5 ties). */

@@ -91,6 +91,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(jw("prefXab", "prefYcd") == 0.828571)
   }
 
+  test("sortedNeighborhoodPairs: each record pairs with its window-1 " +
+      "sort successors, deterministic key-then-id order, guards") {
+    val df = Seq((1L, 10L), (2L, 11L), (3L, 13L), (4L, 99L))
+      .toDF("id", "key")
+    val w2 = Dedup.sortedNeighborhoodPairs(df, "id", "key", window = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(w2 == Set((1L, 2L, 10L, 11L), (2L, 3L, 11L, 13L),
+      (3L, 4L, 13L, 99L)), s"got $w2")
+    val w3 = Dedup.sortedNeighborhoodPairs(df, "id", "key", window = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(w3 == w2 ++ Set((1L, 3L, 10L, 13L), (2L, 4L, 11L, 99L)),
+      s"got $w3")
+    intercept[IllegalArgumentException] {
+      Dedup.sortedNeighborhoodPairs(df, "id", "key", window = 1)
+    }
+  }
+
   test("fellegiSunterPairs: frequency-estimated u, hand-computed " +
       "micro-log weights, block isolation, score filter, guards") {
     // N=4; both fields have value frequencies {3,1} → u = 10/16 =

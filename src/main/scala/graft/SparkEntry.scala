@@ -4589,6 +4589,19 @@ object SparkEntry {
         .withColumn("d_cents", col("key2") - col("key1"))
         .select("id1", "id2", "d_cents")
         .orderBy("id1", "id2")
+    }),
+
+    // Instance-based schema matching: customer vs supplier integral
+    // projections, exact value-set Jaccard per cross-table column
+    // pair. DuckDB re-melts both schemas and re-derives every score.
+    "q298_schema_match" -> ((s, dir) => {
+      val a = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal) AS BIGINT)").as("c_bal"))
+      val b = t(s, dir, "supplier").select(col("s_suppkey"),
+        col("s_nationkey"),
+        expr("CAST(floor(s_acctbal) AS BIGINT)").as("s_bal"))
+      graft.ops.Profile.schemaMatch(a, b).orderBy("col_a", "col_b")
     })
   )
 
@@ -10018,7 +10031,39 @@ object SparkEntry {
         |SELECT a.id AS id1, b.id AS id2,
         |  CAST(b.k - a.k AS BIGINT) AS d_cents
         |FROM rk a JOIN rk b ON b.rn - a.rn IN (1, 2)
-        |ORDER BY id1, id2""".stripMargin
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q298_schema_match" ->
+      """WITH va AS MATERIALIZED (
+        |  SELECT 'c_custkey' AS col_a,
+        |    CAST(c_custkey AS VARCHAR) AS v FROM customer
+        |  UNION SELECT 'c_nationkey',
+        |    CAST(c_nationkey AS VARCHAR) FROM customer
+        |  UNION SELECT 'c_mktsegment',
+        |    CAST(c_mktsegment AS VARCHAR) FROM customer
+        |  UNION SELECT 'c_bal',
+        |    CAST(CAST(floor(c_acctbal) AS BIGINT) AS VARCHAR)
+        |    FROM customer),
+        |vb AS MATERIALIZED (
+        |  SELECT 's_suppkey' AS col_b,
+        |    CAST(s_suppkey AS VARCHAR) AS v FROM supplier
+        |  UNION SELECT 's_nationkey',
+        |    CAST(s_nationkey AS VARCHAR) FROM supplier
+        |  UNION SELECT 's_bal',
+        |    CAST(CAST(floor(s_acctbal) AS BIGINT) AS VARCHAR)
+        |    FROM supplier),
+        |na AS (SELECT col_a, CAST(count(*) AS BIGINT) AS n_a
+        |  FROM va GROUP BY 1),
+        |nb AS (SELECT col_b, CAST(count(*) AS BIGINT) AS n_b
+        |  FROM vb GROUP BY 1),
+        |ov AS (SELECT va.col_a, vb.col_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM va JOIN vb USING (v) GROUP BY 1, 2)
+        |SELECT ov.col_a, ov.col_b, na.n_a, nb.n_b, ov.n_common,
+        |  CAST(ov.n_common * 1000000
+        |    // (na.n_a + nb.n_b - ov.n_common) AS BIGINT) AS jaccard_pm
+        |FROM ov JOIN na USING (col_a) JOIN nb USING (col_b)
+        |ORDER BY col_a, col_b""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -427,6 +427,46 @@ object Profile {
       .select("bin", "n_pos", "n_neg", "woe_u6", "iv_u6")
   }
 
+  /** Instance-based schema matching (the value-overlap family,
+    * Rahm & Bernstein VLDB J. 2001 survey) — "which column of feed A
+    * is which column of feed B": score every cross-table column pair
+    * by the exact Jaccard of their DISTINCT value sets (values
+    * compared as strings — pass integral/string projections; float
+    * renderings are not engine-portable). The ingestion-mapping
+    * audit run before a new source joins the pipeline: key columns
+    * light up against key columns, dimension codes against dimension
+    * codes, and a silent schema shift scores to zero.
+    *
+    * Scale shape: each table melts to a (column, value) DISTINCT pair
+    * table (column count is schema-constant, so the melt is a C-way
+    * union of projections); the overlap is one value-keyed equi-join
+    * + a (colA, colB)-dimension count; per-column cardinalities join
+    * broadcast-sized. Swap the distinct sets for KMV sketches (q191)
+    * when columns are high-cardinality at 100 TB — same shape, rank
+    * error bounded. Returns
+    * (col_a, col_b, n_a, n_b, n_common, jaccard_pm). */
+  def schemaMatch(a: DataFrame, b: DataFrame,
+      minJaccardPm: Long = 0L): DataFrame = {
+    def melt(df: DataFrame, side: String): DataFrame =
+      df.columns.map { c =>
+        df.select(lit(c).as(s"col_$side"),
+            col(c).cast("string").as("v"))
+          .filter(col("v").isNotNull).distinct()
+      }.reduce(_ unionByName _)
+    val va = melt(a, "a").localCheckpoint()
+    val vb = melt(b, "b").localCheckpoint()
+    val na = va.groupBy("col_a").agg(count(lit(1)).as("n_a"))
+    val nb = vb.groupBy("col_b").agg(count(lit(1)).as("n_b"))
+    va.join(vb, "v")
+      .groupBy("col_a", "col_b").agg(count(lit(1)).as("n_common"))
+      .join(broadcast(na), "col_a")
+      .join(broadcast(nb), "col_b")
+      .withColumn("jaccard_pm", expr(
+        "CAST(n_common * 1000000 div (n_a + n_b - n_common) AS BIGINT)"))
+      .filter(col("jaccard_pm") >= minJaccardPm)
+      .select("col_a", "col_b", "n_a", "n_b", "n_common", "jaccard_pm")
+  }
+
   /** Theil–Sen robust slope (Theil 1950; Sen 1968): per group, the
     * LOWER MEDIAN of all pairwise slopes — the trend estimate OLS
     * can't give you on dirty pipelines (up to ~29% outliers leave it

@@ -2147,6 +2147,20 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("schemaMatch: per-pair value-set jaccard, disjoint pairs " +
+      "absent, threshold filter") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("ka", "sa")
+    val b = Seq((2L, "x"), (3L, "z")).toDF("kb", "sb")
+    val got = graft.ops.Profile.schemaMatch(a, b)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    // ka∩kb = {"2"} → 1/3; sa∩sb = {"x"} → 1/3; the cross pairs share
+    // nothing and never appear
+    assert(got == Set(("ka", "kb", 2L, 2L, 1L, 333333L),
+      ("sa", "sb", 2L, 2L, 1L, 333333L)), s"got $got")
+    assert(graft.ops.Profile.schemaMatch(a, b, minJaccardPm = 400000L)
+      .count() == 0L)
+  }
+
   test("heapsLaw: cumulative token/type curve from first occurrences, " +
       "empty doc ignored, two-point fit equals the closed-form slope, " +
       "guards") {

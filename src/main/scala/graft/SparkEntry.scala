@@ -4602,6 +4602,34 @@ object SparkEntry {
         col("s_nationkey"),
         expr("CAST(floor(s_acctbal) AS BIGINT)").as("s_bal"))
       graft.ops.Profile.schemaMatch(a, b).orderBy("col_a", "col_b")
+    }),
+
+    // NDCG@10 over the q110 label-relevance fixture: literal micro
+    // position weights, integer DCG, prefix-sum IDCG, truncating
+    // ratio. DuckDB re-derives the ranking, the weight table, and
+    // every quotient.
+    "q299_ndcg" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.vecCosine
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      val c = emb.select(col("vec_id").as("doc_id"),
+        col("embedding").as("cv"), col("label").as("clabel"))
+      val wr = Window.partitionBy("query_id")
+        .orderBy(col("dense_score").desc, col("doc_id"))
+      val ranked = graft.search.HybridSearch.denseTopKAll(
+          c, q, n = 10, idCol = "doc_id", vecCol = "cv",
+          pairFilter = col("doc_id") =!= col("query_id"))
+        .withColumn("rank", row_number().over(wr))
+        .select("query_id", "doc_id", "rank")
+      val relevant = q.select("query_id", "qlabel")
+        .join(c.select(col("doc_id"), col("clabel")),
+          col("qlabel") === col("clabel"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select("query_id", "doc_id")
+      graft.search.Metrics.ndcgAtK(ranked, relevant, k = 10)
+        .orderBy("query_id")
     })
   )
 
@@ -10063,7 +10091,52 @@ object SparkEntry {
         |  CAST(ov.n_common * 1000000
         |    // (na.n_a + nb.n_b - ov.n_common) AS BIGINT) AS jaccard_pm
         |FROM ov JOIN na USING (col_a) JOIN nb USING (col_b)
-        |ORDER BY col_a, col_b""".stripMargin
+        |ORDER BY col_a, col_b""".stripMargin,
+
+    "q299_ndcg" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+        |    label AS qlabel FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS doc_id, embedding AS cv,
+        |    label AS clabel FROM embeddings),
+        |p AS (SELECT query_id, doc_id,
+        |    unnest(cv)::DOUBLE AS x, unnest(qv)::DOUBLE AS y
+        |  FROM q, c WHERE doc_id <> query_id),
+        |cs AS (SELECT query_id, doc_id,
+        |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6)
+        |      AS cos
+        |  FROM p GROUP BY 1, 2),
+        |ranked AS MATERIALIZED (SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
+        |    FROM cs) WHERE rank <= 10),
+        |rel AS MATERIALIZED (SELECT q.query_id, c.doc_id FROM q
+        |  JOIN c ON q.qlabel = c.clabel AND c.doc_id <> q.query_id),
+        |relc AS (SELECT query_id, CAST(count(*) AS BIGINT)
+        |    AS n_relevant FROM rel GROUP BY 1),
+        |w AS (SELECT i + 1 AS rank,
+        |    CAST(round(1000000 / log2(i + 2), 0) AS BIGINT) AS w
+        |  FROM range(10) t(i)),
+        |cw AS (SELECT 0 AS j, CAST(0 AS BIGINT) AS cw
+        |  UNION ALL SELECT rank, CAST(sum(w) OVER (ORDER BY rank
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) FROM w),
+        |d AS (SELECT r.query_id, CAST(sum(CASE WHEN rel.doc_id
+        |      IS NOT NULL THEN w.w ELSE 0 END) AS BIGINT) AS dcg_u6
+        |  FROM ranked r JOIN w ON w.rank = r.rank
+        |  LEFT JOIN rel ON rel.query_id = r.query_id
+        |    AND rel.doc_id = r.doc_id
+        |  GROUP BY 1),
+        |f AS (SELECT qq.query_id,
+        |    coalesce(relc.n_relevant, 0) AS n_relevant,
+        |    coalesce(d.dcg_u6, 0) AS dcg_u6
+        |  FROM (SELECT DISTINCT query_id FROM ranked) qq
+        |  LEFT JOIN relc USING (query_id) LEFT JOIN d USING (query_id))
+        |SELECT f.query_id, f.n_relevant, f.dcg_u6,
+        |  CASE WHEN cw.cw = 0 THEN NULL
+        |    ELSE CAST(f.dcg_u6 * 1000000 // cw.cw AS BIGINT)
+        |  END AS ndcg_ppm
+        |FROM f JOIN cw ON cw.j = least(f.n_relevant, 10)
+        |ORDER BY query_id""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -56,4 +56,49 @@ object Metrics {
       count(lit(1)).as("n_queries"),
       round(avg(col("recall_at_k")), 6).as("mean_recall"),
       round(avg(col("reciprocal_rank")), 6).as("mrr"))
+
+  /** NDCG@k (Järvelin & Kekäläinen TOIS 2002), binary relevance —
+    * the position-sensitive member next to [[perQuery]]'s recall/MRR:
+    * a hit at rank 1 is worth the full weight, a hit at rank k a
+    * fraction, so ranking quality separates systems recall@k calls
+    * equal. Exact-integer discipline: the position weights
+    * w_i = round(10⁶ / log₂(i+1)) enter as a k-row broadcast literal
+    * table (k is a serving constant — any engine derives the same
+    * table from the same formula), DCG is the integer sum of matched
+    * weights, IDCG the weight prefix sum at min(R, k), the ratio one
+    * truncating division. Queries with no relevant docs carry null
+    * ndcg (nothing to normalize by). Inputs dedup defensively like
+    * [[perQuery]]. Returns (query_id, n_relevant, dcg_u6, ndcg_ppm). */
+  def ndcgAtK(ranked: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = ranked.sparkSession
+    val w = (1 to k).map(i =>
+      math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+    val cw = w.scanLeft(0L)(_ + _)
+    val wDf = spark.createDataFrame((1 to k).map(i => (i, w(i - 1))))
+      .toDF("rank", "w")
+    val cwDf = spark.createDataFrame((0 to k).map(j => (j, cw(j))))
+      .toDF("j", "cw")
+    val rel = relevant.select("query_id", "doc_id").distinct()
+    val rk = ranked.filter(col("rank") <= k)
+      .groupBy("query_id", "doc_id").agg(min("rank").as("rank"))
+    val relCounts = rel.groupBy("query_id")
+      .agg(count(lit(1)).as("n_relevant"))
+    val dcg = rk
+      .join(rel.withColumn("hit", lit(1L)),
+        Seq("query_id", "doc_id"), "left")
+      .join(broadcast(wDf), "rank")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L)) * col("w")).as("dcg_u6"))
+    ranked.select("query_id").distinct()
+      .join(relCounts, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_relevant"))
+      .join(dcg, Seq("query_id"), "left")
+      .na.fill(0L, Seq("dcg_u6"))
+      .withColumn("j", least(col("n_relevant"), lit(k)).cast("int"))
+      .join(broadcast(cwDf), "j")
+      .withColumn("ndcg_ppm", when(col("cw") === 0L, lit(null))
+        .otherwise(expr("CAST(dcg_u6 * 1000000 div cw AS BIGINT)")))
+      .select("query_id", "n_relevant", "dcg_u6", "ndcg_ppm")
+  }
 }

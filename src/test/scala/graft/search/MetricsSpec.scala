@@ -50,4 +50,25 @@ class MetricsSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Long, Double, Double)].head()
     assert(m == ((1L, 1L, 1L, 1.0, 1.0)), m.toString)
   }
+
+  test("ndcgAtK: hand micro weights, hit at rank 2 only, prefix-sum " +
+      "IDCG, no-relevant query null, perfect ranking hits 1e6, guard") {
+    val ranked = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 10L, 1), (3L, 20L, 1), (3L, 21L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val relevant = Seq((1L, 11L), (1L, 99L), (3L, 20L), (3L, 21L))
+      .toDF("query_id", "doc_id")
+    val got = graft.search.Metrics.ndcgAtK(ranked, relevant, k = 3)
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    // w = (1000000, 630930, 500000); q1: dcg = w2 = 630930,
+    // idcg = cw(2) = 1630930; q2: nothing relevant → null;
+    // q3: both hits in order → dcg = idcg → exactly 1e6
+    val q1 = 630930L * 1000000L / 1630930L
+    assert(got == Set((1L, 2L, 630930L, Some(q1)),
+      (2L, 0L, 0L, None), (3L, 2L, 1630930L, Some(1000000L))),
+      s"got $got (q1=$q1)")
+    intercept[IllegalArgumentException] {
+      graft.search.Metrics.ndcgAtK(ranked, relevant, k = 0)
+    }
+  }
 }

@@ -4630,6 +4630,41 @@ object SparkEntry {
         .select("query_id", "doc_id")
       graft.search.Metrics.ndcgAtK(ranked, relevant, k = 10)
         .orderBy("query_id")
+    }),
+
+    // Release funnel composite over this round's gates: length →
+    // Flesch readability → token entropy → exact-dedup canonical,
+    // with per-language funnel counts and the survivors' milli mean
+    // length. Every gate rejects documents on this corpus. DuckDB
+    // re-derives all four gates and the funnel.
+    "q300_release_funnel" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val fl = graft.ops.TextAnalysis.fleschReadability(d)
+        .select(col("doc_id"), col("flesch_u3"))
+      val en = graft.ops.TextAnalysis.tokenEntropy(d)
+        .select(col("doc_id"), col("entropy_u6"))
+      val keep = d.groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min("doc_id").as("doc_id"))
+        .select(col("doc_id"), lit(1L).as("g_dedup"))
+      d.join(fl, Seq("doc_id"), "left")
+        .join(en, Seq("doc_id"), "left")
+        .join(keep, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("g_dedup"))
+        .withColumn("g_len", (col("n_chars") >= 100).cast("long"))
+        .withColumn("g_read",
+          (coalesce(col("flesch_u3"), lit(-1L)) >= 0L).cast("long"))
+        .withColumn("g_ent", (coalesce(col("entropy_u6"), lit(-1L))
+          >= 1200000L).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n0"),
+          sum("g_len").as("n_len"),
+          sum(expr("g_len * g_read")).as("n_read"),
+          sum(expr("g_len * g_read * g_ent")).as("n_ent"),
+          sum(expr("g_len * g_read * g_ent * g_dedup")).as("n_final"),
+          expr("CAST(sum(g_len * g_read * g_ent * g_dedup * n_chars) " +
+            "* 1000 div greatest(sum(g_len * g_read * g_ent " +
+            "* g_dedup), 1) AS BIGINT)").as("mean_chars_u3"))
+        .orderBy("lang")
     })
   )
 
@@ -10136,7 +10171,56 @@ object SparkEntry {
         |    ELSE CAST(f.dcg_u6 * 1000000 // cw.cw AS BIGINT)
         |  END AS ndcg_ppm
         |FROM f JOIN cw ON cw.j = least(f.n_relevant, 10)
-        |ORDER BY query_id""".stripMargin
+        |ORDER BY query_id""".stripMargin,
+
+    "q300_release_funnel" ->
+      """WITH tk AS (SELECT doc_id, n_sents, t AS tok FROM (
+        |    SELECT doc_id, greatest(len(regexp_extract_all(text,
+        |      '[.!?]+')), 1) AS n_sents,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |fl AS MATERIALIZED (SELECT doc_id,
+        |    CAST(206835 - (1015 * n_words) // n_sents
+        |      - (84600 * n_syll) // n_words AS BIGINT) AS flesch_u3
+        |  FROM (SELECT doc_id, CAST(n_sents AS BIGINT) AS n_sents,
+        |      CAST(count(*) AS BIGINT) AS n_words,
+        |      CAST(sum(greatest(len(regexp_extract_all(tok,
+        |        '[aeiouy]+')), 1)) AS BIGINT) AS n_syll
+        |    FROM tk GROUP BY 1, 2)),
+        |ec AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY 1, 2),
+        |et AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok
+        |  FROM ec GROUP BY 1),
+        |en AS MATERIALIZED (SELECT ec.doc_id,
+        |    CAST(sum(ec.c * CAST(round(log10(CAST(et.n_tok AS DOUBLE)
+        |      / ec.c) * 1000000, 0) AS BIGINT)) // et.n_tok AS BIGINT)
+        |      AS entropy_u6
+        |  FROM ec JOIN et USING (doc_id)
+        |  GROUP BY ec.doc_id, et.n_tok),
+        |kp AS (SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(text)),
+        |b AS (SELECT d.doc_id, d.lang, d.n_chars,
+        |    CASE WHEN d.n_chars >= 100 THEN 1 ELSE 0 END AS g_len,
+        |    CASE WHEN coalesce(fl.flesch_u3, -1) >= 0
+        |      THEN 1 ELSE 0 END AS g_read,
+        |    CASE WHEN coalesce(en.entropy_u6, -1) >= 1200000
+        |      THEN 1 ELSE 0 END AS g_ent,
+        |    CASE WHEN kp.doc_id IS NOT NULL THEN 1 ELSE 0 END
+        |      AS g_dedup
+        |  FROM documents d LEFT JOIN fl USING (doc_id)
+        |  LEFT JOIN en USING (doc_id)
+        |  LEFT JOIN kp ON kp.doc_id = d.doc_id)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n0,
+        |  CAST(sum(g_len) AS BIGINT) AS n_len,
+        |  CAST(sum(g_len * g_read) AS BIGINT) AS n_read,
+        |  CAST(sum(g_len * g_read * g_ent) AS BIGINT) AS n_ent,
+        |  CAST(sum(g_len * g_read * g_ent * g_dedup) AS BIGINT)
+        |    AS n_final,
+        |  CAST(CAST(sum(g_len * g_read * g_ent * g_dedup * n_chars)
+        |    AS BIGINT) * 1000 // greatest(CAST(sum(g_len * g_read
+        |    * g_ent * g_dedup) AS BIGINT), 1) AS BIGINT)
+        |    AS mean_chars_u3
+        |FROM b GROUP BY lang ORDER BY lang""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

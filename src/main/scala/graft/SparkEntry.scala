@@ -4665,7 +4665,17 @@ object SparkEntry {
             "* 1000 div greatest(sum(g_len * g_read * g_ent " +
             "* g_dedup), 1) AS BIGINT)").as("mean_chars_u3"))
         .orderBy("lang")
-    })
+    }),
+
+    // Leave-one-group-out data valuation: the NB classifier retrained
+    // without each source bucket, held-out accuracy deltas against the
+    // full model. DuckDB retrains all five models from scratch.
+    "q301_logo_valuation" -> ((s, dir) =>
+      graft.ops.TextAnalysis.naiveBayesLogo(
+        t(s, dir, "documents").withColumn("grp",
+          expr("CAST(CAST(substring(source, 4) AS INT) % 4 AS STRING)")),
+        groupCol = "grp")
+        .orderBy("left_out"))
   )
 
   // ---------------------------------------------------------------------
@@ -10220,7 +10230,29 @@ object SparkEntry {
         |    AS BIGINT) * 1000 // greatest(CAST(sum(g_len * g_read
         |    * g_ent * g_dedup) AS BIGINT), 1) AS BIGINT)
         |    AS mean_chars_u3
-        |FROM b GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM b GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q301_logo_valuation" -> {
+      def excl(g: Int) =
+        s" AND CAST(substr(source, 4) AS INT) % 4 <> $g"
+      val branches = Seq(("f", "__full__", "")) ++
+        (0 to 3).map(g => (s"g$g", g.toString, excl(g)))
+      s"""WITH te AS MATERIALIZED (SELECT * FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |tet AS MATERIALIZED (SELECT id, tok,
+        |    CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT doc_id AS id,
+        |      unnest(string_split_regex(lower(trim(text)), '\\s+'))
+        |        AS tok
+        |    FROM te) WHERE tok <> '' GROUP BY 1, 2),
+        |${branches.map { case (p, l, e) => nbLogoBranch(p, l, e) }
+            .mkString(",\n")}
+        |SELECT b.left_out, b.n_test, b.n_correct,
+        |  CAST(f.n_correct - b.n_correct AS BIGINT) AS delta_correct
+        |FROM (${branches.map(b => s"SELECT * FROM ${b._1}sum")
+            .mkString(" UNION ALL ")}) b, fsum f
+        |ORDER BY b.left_out""".stripMargin
+    }
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6
@@ -10481,6 +10513,57 @@ object SparkEntry {
        |    s.h AS fp
        |  FROM ${p}sel s JOIN ${p}n n ON n.doc_id = s.doc_id
        |  WHERE s.rn = 1 AND s.wpos <= greatest(n.ng - 4, 0))"""
+
+  /** One q301 Naive-Bayes retrain branch as DuckDB CTEs (prefixed
+    * `<p>ct/vv/cs/lp/nr/pri/sc/pk/sum`): the q275 model chain with a
+    * branch-specific TRAIN predicate (`excl` appends to the shared
+    * id%5 split) and the shared test CTEs `te`/`tet`, ending in
+    * `<p>sum(left_out, n_test, n_correct)` — the LOGO valuation is
+    * this branch instantiated once per left-out group plus once full.
+    * NOT pre-stripped (embeds in stripMargin outer strings). */
+  private def nbLogoBranch(p: String, label: String,
+      excl: String): String =
+    s"""${p}ct AS MATERIALIZED (SELECT cls, tok,
+       |    CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT CAST(lang AS VARCHAR) AS cls,
+       |      unnest(string_split_regex(lower(trim(text)), '\\s+'))
+       |        AS tok
+       |    FROM documents WHERE doc_id % 5 <> 0$excl)
+       |  WHERE tok <> '' GROUP BY 1, 2),
+       |${p}vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+       |  FROM ${p}ct),
+       |${p}cs AS MATERIALIZED (SELECT cls,
+       |    CAST(sum(c) AS BIGINT) AS tot,
+       |    CAST(round(log10(1.0 / (CAST(sum(c) AS BIGINT) + vv.v))
+       |      * 1000000, 0) AS BIGINT) AS oov_u6
+       |  FROM ${p}ct, ${p}vv vv GROUP BY cls, vv.v),
+       |${p}lp AS MATERIALIZED (SELECT ct.cls, ct.tok,
+       |    CAST(round(log10(CAST(ct.c + 1 AS DOUBLE) / (cs.tot + vv.v))
+       |      * 1000000, 0) AS BIGINT) AS lp_u6
+       |  FROM ${p}ct ct JOIN ${p}cs cs USING (cls), ${p}vv vv),
+       |${p}nr AS (SELECT CAST(count(*) AS BIGINT) AS n_train
+       |  FROM documents WHERE doc_id % 5 <> 0$excl),
+       |${p}pri AS (SELECT CAST(lang AS VARCHAR) AS cls,
+       |    CAST(round(log10(CAST(count(*) AS DOUBLE) / nr.n_train)
+       |      * 1000000, 0) AS BIGINT) AS prior_u6
+       |  FROM documents, ${p}nr nr WHERE doc_id % 5 <> 0$excl
+       |  GROUP BY 1, nr.n_train),
+       |${p}sc AS (SELECT tet.id, cs.cls,
+       |    CAST(sum(tet.n * coalesce(lp.lp_u6, cs.oov_u6)) AS BIGINT)
+       |      AS s
+       |  FROM tet CROSS JOIN ${p}cs cs
+       |  LEFT JOIN ${p}lp lp ON lp.cls = cs.cls AND lp.tok = tet.tok
+       |  GROUP BY 1, 2),
+       |${p}pk AS (SELECT id, cls AS pred FROM (
+       |    SELECT sc.id, sc.cls, row_number() OVER (
+       |      PARTITION BY sc.id
+       |      ORDER BY sc.s + pri.prior_u6 DESC, sc.cls) AS rn
+       |    FROM ${p}sc sc JOIN ${p}pri pri USING (cls)) WHERE rn = 1),
+       |${p}sum AS (SELECT '$label' AS left_out,
+       |    CAST(count(*) AS BIGINT) AS n_test,
+       |    CAST(sum(CASE WHEN pk.pred = CAST(te.lang AS VARCHAR)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       |  FROM ${p}pk pk JOIN te ON te.doc_id = pk.id)"""
 
   /** One q293 Mondrian round as DuckDB CTEs reading
     * `mr<r-1>(id, a, b, pid, fin)` and ending in `mr<r>` — live-

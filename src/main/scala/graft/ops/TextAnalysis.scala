@@ -1467,9 +1467,17 @@ object TextAnalysis {
       classCol: String = "lang", testMod: Long = 5L)
       : org.apache.spark.sql.DataFrame = {
     require(testMod >= 2L, s"testMod must be >= 2, got $testMod")
+    nbCorrect(docs.filter(col(idCol) % testMod =!= 0L),
+      docs.filter(col(idCol) % testMod === 0L), idCol, textCol, classCol)
+  }
+
+  /** Train the [[naiveBayes]] model on `train`, score `test` — the
+    * shared core the LOGO valuation re-runs per left-out group. */
+  private def nbCorrect(train: org.apache.spark.sql.DataFrame,
+      test: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, classCol: String)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val train = docs.filter(col(idCol) % testMod =!= 0L)
-    val test = docs.filter(col(idCol) % testMod === 0L)
     val trTok = train.select(col(classCol).cast("string").as("cls"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
@@ -1513,6 +1521,45 @@ object TextAnalysis {
       .withColumn("correct", (col("cls") === col("actual")).cast("long"))
       .select(col("id").as(idCol), col("cls").as("pred"), col("actual"),
         col("score_u6"), col("correct"))
+  }
+
+  /** Leave-one-group-out data valuation (the group Shapley's cheap,
+    * exact first term — Ghorbani & Zou's "what is my data worth"
+    * question at source granularity): retrain the [[naiveBayes]]
+    * classifier G+1 times — once on the full train split, once
+    * without each source group — and report every group's held-out
+    * accuracy DELTA. Positive delta = the group teaches the model
+    * something; negative = it actively pollutes (mislabeled or
+    * off-distribution ingest — cut it before the next release). The
+    * test split is fixed across runs, so deltas are exactly
+    * attributable. G is a bounded group-dimension driver read (the
+    * F-S weight contract); each retrain is the same partial-
+    * aggregable one-pass training, so the whole valuation is G+1
+    * vocabulary-dimension passes — never G corpus shuffles of
+    * anything wider than (class, token) counts. Returns
+    * (left_out, n_test, n_correct, delta_correct) with the full model
+    * as row `__full__` (delta 0 by construction). */
+  def naiveBayesLogo(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      classCol: String = "lang", groupCol: String = "grp",
+      testMod: Long = 5L): org.apache.spark.sql.DataFrame = {
+    require(testMod >= 2L, s"testMod must be >= 2, got $testMod")
+    val train = docs.filter(col(idCol) % testMod =!= 0L)
+    val test = docs.filter(col(idCol) % testMod === 0L)
+    val groups = train.select(col(groupCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    def acc(tr: org.apache.spark.sql.DataFrame, label: String) =
+      nbCorrect(tr, test, idCol, textCol, classCol)
+        .agg(count(lit(1)).as("n_test"),
+          sum("correct").as("n_correct"))
+        .select(lit(label).as("left_out"), col("n_test"),
+          col("n_correct"))
+    val full = acc(train, "__full__").localCheckpoint()
+    val fullCorrect = full.select("n_correct").first().getLong(0)
+    (full +: groups.map(g =>
+        acc(train.filter(col(groupCol).cast("string") =!= g), g)))
+      .reduce(_ unionByName _)
+      .withColumn("delta_correct", lit(fullCorrect) - col("n_correct"))
   }
 
   /** Flesch reading-ease + Flesch–Kincaid grade (Flesch 1948; Kincaid

@@ -2284,6 +2284,22 @@ class TokenizerSpec extends AnyFunSuite with SparkTestBase {
     assert(first == Seq("aa"), s"score tie must break on term asc: $first")
   }
 
+  test("naiveBayesLogo: dropping the poison group raises held-out " +
+      "accuracy (negative delta), dropping the good group is neutral " +
+      "here, full row has delta 0") {
+    // train: g0 = {(a,"x"), (b,"z")} good; g1 = {(a,"z")} poison.
+    // test: id0 (b,"z") — full model mispredicts a because of g1;
+    //       id5 (a,"x") — always right.
+    val docs = Seq(
+      (1L, "a", "x", "0"), (2L, "b", "z", "0"), (3L, "a", "z", "1"),
+      (0L, "b", "z", "0"), (5L, "a", "x", "0"))
+      .toDF("doc_id", "lang", "text", "grp")
+    val got = TextAnalysis.naiveBayesLogo(docs)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("__full__", 2L, 1L, 0L), ("0", 2L, 1L, 0L),
+      ("1", 2L, 2L, -1L)), s"got $got")
+  }
+
   test("naiveBayes: hand-built Laplace model, OOV fallback, argmax " +
       "with evidence beating prior ties, correctness flags, guards") {
     // train: doc1 (a, "x x y"), doc2 (b, "z z"); V = 3. test: doc0

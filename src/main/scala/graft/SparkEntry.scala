@@ -4675,7 +4675,37 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("grp",
           expr("CAST(CAST(substring(source, 4) AS INT) % 4 AS STRING)")),
         groupCol = "grp")
-        .orderBy("left_out"))
+        .orderBy("left_out")),
+
+    // BERT-style MLM corruption: 15% hash-derandomized selection,
+    // 80/10/10 mask/random/keep by coin residue, vocabulary-rank
+    // replacements. DuckDB replays every coin, branch, and
+    // replacement lookup.
+    "q302_mlm_masking" -> ((s, dir) =>
+      graft.ops.Curation.mlmMasking(t(s, dir, "documents"))
+        .orderBy("id", "pos")),
+
+    // Fleiss' kappa over three synthetic raters (lang + two
+    // hash-perturbed copies): exact rational agreement, one BigInt
+    // fraction, micro kappa. DuckDB re-derives raters, cells, and
+    // the HUGEINT quotient.
+    "q303_fleiss_kappa" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def flip(salt: String, thr: Long) =
+        conv(substring(md5(concat(lit(salt),
+          col("doc_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") * 1000000L < lit(thr)
+      val r1 = d.select(col("doc_id"), lit("r1").as("rater"),
+        col("lang").as("lbl"))
+      val r2 = d.select(col("doc_id"), lit("r2").as("rater"),
+        when(flip("a:", 200000L * 4294967296L), lit("xx"))
+          .otherwise(col("lang")).as("lbl"))
+      val r3 = d.select(col("doc_id"), lit("r3").as("rater"),
+        when(flip("b:", 300000L * 4294967296L), lit("xx"))
+          .otherwise(col("lang")).as("lbl"))
+      graft.ops.Profile.fleissKappa(
+        r1.unionByName(r2).unionByName(r3), "doc_id", "rater", "lbl")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -10252,7 +10282,62 @@ object SparkEntry {
         |FROM (${branches.map(b => s"SELECT * FROM ${b._1}sum")
             .mkString(" UNION ALL ")}) b, fsum f
         |ORDER BY b.left_out""".stripMargin
-    }
+    },
+
+    "q302_mlm_masking" ->
+      """WITH tk AS MATERIALIZED (SELECT doc_id AS id, idx AS pos,
+        |    parts[idx + 1] AS tok FROM (
+        |    SELECT doc_id, parts, unnest(range(len(parts))) AS idx
+        |    FROM (SELECT doc_id,
+        |      string_split_regex(lower(trim(text)), '\s+') AS parts
+        |      FROM documents))
+        |  WHERE parts[idx + 1] <> ''),
+        |sel AS MATERIALIZED (SELECT * FROM (
+        |    SELECT id, pos, tok, CAST('0x' ||
+        |      substr(md5(CAST(id AS VARCHAR) || ':'
+        |        || CAST(pos AS VARCHAR)), 1, 8) AS BIGINT) AS u
+        |    FROM tk)
+        |  WHERE u * 1000000 < 644245094400000),
+        |vocab AS MATERIALIZED (SELECT tok AS repl,
+        |    row_number() OVER (ORDER BY tok) - 1 AS vr
+        |  FROM (SELECT DISTINCT tok FROM tk)),
+        |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab)
+        |SELECT s.id, CAST(s.pos AS BIGINT) AS pos, s.tok,
+        |  CASE WHEN s.u % 10 < 8 THEN 'mask'
+        |    WHEN s.u % 10 = 8 THEN 'random' ELSE 'keep' END AS action,
+        |  CASE WHEN s.u % 10 = 8 THEN vo.repl END AS repl
+        |FROM sel s CROSS JOIN vv
+        |LEFT JOIN vocab vo ON vo.vr = (s.u // 10) % vv.v
+        |ORDER BY id, pos""".stripMargin,
+
+    "q303_fleiss_kappa" ->
+      """WITH r AS MATERIALIZED (
+        |  SELECT doc_id, CAST(lang AS VARCHAR) AS lbl FROM documents
+        |  UNION ALL SELECT doc_id, CASE WHEN CAST('0x' ||
+        |      substr(md5('a:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) * 1000000 < 858993459200000
+        |    THEN 'xx' ELSE CAST(lang AS VARCHAR) END FROM documents
+        |  UNION ALL SELECT doc_id, CASE WHEN CAST('0x' ||
+        |      substr(md5('b:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) * 1000000 < 1288490188800000
+        |    THEN 'xx' ELSE CAST(lang AS VARCHAR) END FROM documents),
+        |cell AS MATERIALIZED (SELECT doc_id, lbl,
+        |    CAST(count(*) AS BIGINT) AS nic FROM r GROUP BY 1, 2),
+        |tt AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(agree) AS HUGEINT) AS sa FROM (
+        |    SELECT doc_id, sum(nic * (nic - 1)) AS agree
+        |    FROM cell GROUP BY 1)),
+        |ss AS (SELECT CAST(sum(tc * tc) AS HUGEINT) AS s2 FROM (
+        |    SELECT lbl, CAST(sum(nic) AS BIGINT) AS tc
+        |    FROM cell GROUP BY 1))
+        |SELECT CAST(tt.n AS BIGINT) AS n_items,
+        |  CAST(3 AS BIGINT) AS n_raters, CAST(tt.sa AS BIGINT) AS sa,
+        |  CAST(ss.s2 AS BIGINT) AS s2,
+        |  CAST((tt.sa * (tt.n * 3) * (tt.n * 3)
+        |      - ss.s2 * (tt.n * 6)) * 1000000
+        |    // ((tt.n * 6) * ((tt.n * 3) * (tt.n * 3) - ss.s2))
+        |    AS BIGINT) AS kappa_u6
+        |FROM tt, ss""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -734,6 +734,56 @@ object Curation {
     * quasi-identifier value is itself an identifying combination (the
     * groupBy already keys it), so a unique null-keyed row must be
     * flagged, not silently pass. */
+  /** BERT-style masked-LM corruption (Devlin et al. 2019 §3.1,
+    * hash-derandomized) — the OTHER pretraining-data recipe next to
+    * the T5 span corruption (q206): select ~15% of token OCCURRENCES
+    * by the md5("doc:pos") coin, then split selections 80/10/10 by
+    * the coin's residue mod 10 (0-7 → [MASK], 8 → replace with a
+    * "random" vocabulary token — the token whose vocabulary rank is
+    * (coin div 10) mod V, a pure function of the corpus — 9 → keep).
+    * Every decision replays on any engine with md5; no RNG anywhere,
+    * so the corruption is retry-safe and auditable (which single
+    * tokens were shown unmasked is re-derivable years later).
+    *
+    * Scale shape: the coin and branch are map-side codegen; the
+    * vocabulary rank table comes from [[graft.ops.Layout
+    * .globalRowNumber]] on the token dimension (vocabulary-sized,
+    * never corpus-sized) and joins back only to the ~1.5% of
+    * positions needing a replacement. Returns selected positions
+    * (id, pos, tok, action, repl); unselected positions are absent
+    * (the training writer keeps them verbatim). */
+  def mlmMasking(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", selPpm: Long = 150000L): DataFrame = {
+    require(selPpm >= 1L && selPpm <= 1000000L,
+      s"selPpm must be ppm in [1, 1e6], got $selPpm")
+    val toks = docs.select(col(idCol).as("id"),
+        posexplode(split(lower(trim(col(textCol))), "\\s+"))
+          .as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("u", conv(substring(md5(concat(
+        col("id").cast("string"), lit(":"), col("pos").cast("string"))
+        .cast("binary")), 1, 8), 16, 10).cast("long"))
+      .filter(col("u") * 1000000L < lit(selPpm * 4294967296L))
+      .localCheckpoint()
+    val vocab = graft.ops.Layout.globalRowNumber(
+        docs.select(explode(split(lower(trim(col(textCol))), "\\s+"))
+          .as("tok")).filter(col("tok") =!= "").distinct(),
+        "tok")
+      .select(col("tok").as("repl"), (col("rn") - 1).as("vr"))
+      .localCheckpoint()
+    val vRow = vocab.agg(count(lit(1)).as("v"))
+    val branched = toks.crossJoin(broadcast(vRow))
+      .withColumn("action", when(col("u") % 10 < 8, lit("mask"))
+        .when(col("u") % 10 === 8, lit("random"))
+        .otherwise(lit("keep")))
+      .withColumn("vr", when(col("action") === "random",
+        expr("(u div 10) % v")))
+    branched.join(vocab, Seq("vr"), "left")
+      .select(col("id"), col("pos").cast("long").as("pos"), col("tok"),
+        col("action"),
+        when(col("action") === "random", col("repl")).as("repl"))
+  }
+
   /** Mondrian k-anonymization (LeFevre et al. ICDE 2006, strict
     * deterministic variant) — the GENERALIZATION member of the privacy
     * tier: [[kAnonymityRisk]] tells you which quasi-identifier cells

@@ -427,6 +427,56 @@ object Profile {
       .select("bin", "n_pos", "n_neg", "woe_u6", "iv_u6")
   }
 
+  /** Fleiss' kappa (1971) — multi-rater chance-corrected agreement,
+    * the N-annotator upgrade over the pairwise Cohen form (q234):
+    * with n raters per item,
+    *
+    *   P̄  = Σ_i Σ_c n_ic(n_ic−1) / (N·n·(n−1)),
+    *   P̄e = Σ_c (Σ_i n_ic)² / (N·n)²,   κ = (P̄ − P̄e)/(1 − P̄e)
+    *
+    * — the labeling-QA gate before annotator majority votes become
+    * training labels. Exact-integer discipline: both probabilities
+    * stay exact rationals, κ computes as ONE BigInt fraction
+    * (sa·(Nn)² − s2·D over D·((Nn)² − s2), D = N·n(n−1)) and
+    * micro-rounds by a single truncating division. Unequal rater
+    * counts per item reject loudly (the Fleiss model assumes constant
+    * n; a missing rating is a pipeline bug, not a statistic).
+    *
+    * Scale shape: one (item, label) cell count, one item-dimension
+    * and one label-dimension aggregate; the fraction is a bounded
+    * one-row driver read (the spearmanSigned contract). Returns one
+    * row (n_items, n_raters, sa, s2, kappa_u6). */
+  def fleissKappa(df: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cell = df.groupBy(col(itemCol).as("item"),
+        col(labelCol).cast("string").as("lbl"))
+      .agg(count(lit(1)).as("nic"))
+      .localCheckpoint()
+    val per = cell.groupBy("item")
+      .agg(sum("nic").as("n_r"),
+        sum(expr("nic * (nic - 1)")).as("agree"))
+    val top = per.agg(count(lit(1)), min("n_r"), max("n_r"),
+      sum("agree")).first()
+    val (nItems, nMin, nMax, sa) = (top.getLong(0), top.getLong(1),
+      top.getLong(2), top.getLong(3))
+    require(nMin == nMax && nMin >= 2,
+      s"Fleiss needs a constant rater count >= 2 per item, " +
+        s"got [$nMin, $nMax]")
+    val s2 = cell.groupBy("lbl").agg(sum("nic").as("tc"))
+      .agg(sum(expr("tc * tc"))).first().getLong(0)
+    val n = nMin
+    val nn2 = BigInt(nItems) * n * (BigInt(nItems) * n)
+    val d1 = BigInt(nItems) * n * (n - 1)
+    val num = BigInt(sa) * nn2 - BigInt(s2) * d1
+    val den = d1 * (nn2 - s2)
+    require(den != 0, "degenerate: a single label covers everything")
+    val kappa = (num * 1000000L / den).toLong
+    Seq((nItems, n, sa, s2, kappa))
+      .toDF("n_items", "n_raters", "sa", "s2", "kappa_u6")
+  }
+
   /** Instance-based schema matching (the value-overlap family,
     * Rahm & Bernstein VLDB J. 2001 survey) — "which column of feed A
     * is which column of feed B": score every cross-table column pair

@@ -2084,6 +2084,34 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("mlmMasking: every coin replayed locally, 80/10/10 residue " +
+      "branches, vocabulary-rank replacement, unselected absent, " +
+      "guards") {
+    val docs = Seq((7L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    def u(id: Long, pos: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$pos".getBytes("UTF-8"))
+      d.take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    }
+    val vocab = "abcdefghij".map(_.toString).sorted
+    val exp = (0 until 10).map { p =>
+      val uu = u(7L, p)
+      val action = if (uu % 10 < 8) "mask"
+        else if (uu % 10 == 8) "random" else "keep"
+      val repl = if (action == "random")
+        Some(vocab(((uu / 10) % 10).toInt)) else None
+      (7L, p.toLong, vocab(p), action, repl)
+    }.toSet
+    // selPpm = 1e6 selects every position — the branch logic is what's
+    // under test; the 15% gate reuses the same coin inequality
+    val got = graft.ops.Curation.mlmMasking(docs, selPpm = 1000000L)
+      .as[(Long, Long, String, String, Option[String])].collect().toSet
+    assert(got == exp, s"got $got\nexp $exp")
+    intercept[IllegalArgumentException] {
+      graft.ops.Curation.mlmMasking(docs, selPpm = 0L)
+    }
+  }
+
   test("mondrian: hand median splits, k-starvation finalizes, child " +
       "ids are the cut path, every cell >= k, guards") {
     // a-values {1,2,3,4,10,20}, b constant 7 → dim is always a.
@@ -2144,6 +2172,28 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(inf == Set(("a", 3L, 3L, None)), s"got $inf")
     intercept[IllegalArgumentException] {
       graft.ops.Profile.splitConformal(df, "id", "g", "v", alphaPct = 0L)
+    }
+  }
+
+  test("fleissKappa: hand 2-item 3-rater kappa exactly 0.25, unequal " +
+      "rater counts reject, degenerate single label rejects") {
+    val df = Seq((1L, "r1", "a"), (1L, "r2", "a"), (1L, "r3", "a"),
+      (2L, "r1", "a"), (2L, "r2", "b"), (2L, "r3", "b"))
+      .toDF("item", "rater", "lbl")
+    // sa = 6 + 2 = 8; tc a=4 b=2 → s2 = 20; P=8/12, Pe=20/36 → 1/4
+    val got = graft.ops.Profile.fleissKappa(df, "item", "rater", "lbl")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got == ((2L, 3L, 8L, 20L, 250000L)), got.toString)
+    intercept[IllegalArgumentException] {
+      graft.ops.Profile.fleissKappa(
+        df.filter(!(col("item") === 2L && col("rater") === "r3")),
+        "item", "rater", "lbl")
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Profile.fleissKappa(
+        Seq((1L, "r1", "a"), (1L, "r2", "a"), (2L, "r1", "a"),
+          (2L, "r2", "a")).toDF("item", "rater", "lbl"),
+        "item", "rater", "lbl")
     }
   }
 

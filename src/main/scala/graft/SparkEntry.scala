@@ -4705,6 +4705,25 @@ object SparkEntry {
           .otherwise(col("lang")).as("lbl"))
       graft.ops.Profile.fleissKappa(
         r1.unionByName(r2).unionByName(r3), "doc_id", "rater", "lbl")
+    }),
+
+    // Consistent-hash ring rebalance audit: the 4-node vs 5-node
+    // assignment matrix (64 vnodes each) — keys only ever move TO the
+    // new node, ~1/5 of them. DuckDB re-derives both rings, every
+    // assignment incl. the wrap, and the movement counts.
+    "q304_consistent_hashing" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val n4 = (0 until 4).map(i => s"node$i")
+      val before = graft.ops.Layout
+        .consistentHashAssign(d, "doc_id", n4)
+        .select(col("id"), col("node").as("node_before"))
+      val after = graft.ops.Layout
+        .consistentHashAssign(d, "doc_id", n4 :+ "node4")
+        .select(col("id"), col("node").as("node_after"))
+      before.join(after, "id")
+        .groupBy("node_before", "node_after")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("node_before", "node_after")
     })
   )
 
@@ -10337,7 +10356,36 @@ object SparkEntry {
         |      - ss.s2 * (tt.n * 6)) * 1000000
         |    // ((tt.n * 6) * ((tt.n * 3) * (tt.n * 3) - ss.s2))
         |    AS BIGINT) AS kappa_u6
-        |FROM tt, ss""".stripMargin
+        |FROM tt, ss""".stripMargin,
+
+    "q304_consistent_hashing" -> {
+      def ring(p: String, n: Int) =
+        s"""${p} AS MATERIALIZED (SELECT node, CAST('0x' ||
+           |    substr(md5(node || ':' || CAST(v AS VARCHAR)), 1, 8)
+           |    AS BIGINT) AS point
+           |  FROM (SELECT 'node' || CAST(i AS VARCHAR) AS node
+           |    FROM range($n) t(i)), range(64) s(v))"""
+      def assign(p: String, r: String, out: String) =
+        s"""${p}a AS (SELECT id, node FROM (
+           |    SELECT k.id, r.node, row_number() OVER (
+           |      PARTITION BY k.id ORDER BY r.point, r.node) AS rn
+           |    FROM keys k JOIN $r r ON r.point >= k.kp)
+           |  WHERE rn = 1),
+           |${p}w AS (SELECT node FROM $r ORDER BY point, node LIMIT 1),
+           |${p}f AS (SELECT k.id, coalesce(a.node, w.node) AS $out
+           |  FROM keys k LEFT JOIN ${p}a a ON a.id = k.id, ${p}w w)"""
+      s"""WITH ${ring("r4", 4)},
+        |${ring("r5", 5)},
+        |keys AS MATERIALIZED (SELECT doc_id AS id, CAST('0x' ||
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |    AS kp FROM documents),
+        |${assign("b", "r4", "node_before")},
+        |${assign("c", "r5", "node_after")}
+        |SELECT bf.node_before, cf.node_after,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM bf JOIN cf USING (id)
+        |GROUP BY 1, 2 ORDER BY node_before, node_after""".stripMargin
+    }
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

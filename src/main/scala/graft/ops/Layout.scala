@@ -61,6 +61,54 @@ object Layout {
       GraftSqlBridge.expression(b.cast("long")), bits))
   }
 
+  /** Consistent-hash ring assignment (Karger et al. STOC 1997, the
+    * memcached/Dynamo routing scheme) — the shard router whose
+    * defining property mod-N hashing lacks: adding a node moves only
+    * ~1/(N+1) of the keys, not all of them. Each node plants `vnodes`
+    * ring points at md5("node:v"); a key routes to the first point
+    * clockwise from md5(key) (smallest point ≥ the key's, wrapping to
+    * the ring's minimum). Pure md5 integers — any engine re-derives
+    * the whole routing table and every assignment.
+    *
+    * Scale shape: the ring is (nodes × vnodes)-sized — broadcast by
+    * construction; assignment is one broadcast candidate join + a
+    * per-key min (a compiled binary-search UDF is the constant-factor
+    * upgrade at serving time; the relational form is the auditable
+    * reference). Returns (id, node, kp). */
+  def consistentHashAssign(df: DataFrame, idCol: String,
+      nodes: Seq[String], vnodes: Int = 64): DataFrame = {
+    require(nodes.nonEmpty && vnodes >= 1,
+      s"need nodes and vnodes >= 1: $nodes/$vnodes")
+    val spark = df.sparkSession
+    def pt(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    }
+    val ring = spark.createDataFrame(for {
+        n <- nodes; v <- 0 until vnodes
+      } yield (n, pt(s"$n:$v")))
+      .toDF("node", "point")
+    val minRow = ring.agg(min(struct(col("point"), col("node")))
+      .as("m")).select(col("m.node").as("wrap_node"))
+    val keys = df.select(col(idCol).as("id"),
+      conv(graft.ops.Sampling.hexKey(col(idCol)), 16, 10)
+        .cast("long").as("kp"))
+    keys.crossJoin(broadcast(ring))
+      .filter(col("point") >= col("kp"))
+      .groupBy("id", "kp")
+      .agg(min(struct(col("point"), col("node"))).as("m"))
+      .select(col("id"), col("m.node").as("node"), col("kp"))
+      .unionByName(
+        keys.join(
+          keys.crossJoin(broadcast(ring))
+            .filter(col("point") >= col("kp"))
+            .select("id").distinct(),
+          Seq("id"), "left_anti")
+          .crossJoin(broadcast(minRow))
+          .select(col("id"), col("wrap_node").as("node"), col("kp")))
+  }
+
   /** Z-order-clustered parquet write: range-partition on the Morton
     * code into `files` output files, sort within each, drop the helper
     * column. Every file then spans a bounded rectangle of (a, b) —

@@ -210,6 +210,37 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
       s"LEB128 thresholds: $vb")
   }
 
+  test("consistentHashAssign: matches a local ring reference incl. " +
+      "the wrap, adding a node only moves keys TO it, deterministic, " +
+      "guards") {
+    val df = (1L to 60L).toDF("id")
+    def md5u32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    }
+    def ref(id: Long, nodes: Seq[String], v: Int): String = {
+      val ring = (for { n <- nodes; i <- 0 until v }
+        yield (md5u32(s"$n:$i"), n)).sorted
+      val kp = md5u32(id.toString)
+      ring.find(_._1 >= kp).getOrElse(ring.head)._2
+    }
+    val two = graft.ops.Layout
+      .consistentHashAssign(df, "id", Seq("a", "b"), vnodes = 2)
+      .as[(Long, String, Long)].collect()
+    assert(two.forall { case (id, n, _) =>
+      n == ref(id, Seq("a", "b"), 2) }, "matches the reference ring")
+    val three = graft.ops.Layout
+      .consistentHashAssign(df, "id", Seq("a", "b", "c"), vnodes = 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    val moved = two.filter { case (id, n, _) => three(id) != n }
+    assert(moved.nonEmpty && moved.forall(m => three(m._1) == "c"),
+      s"moves go only TO the new node: ${moved.toSeq}")
+    intercept[IllegalArgumentException] {
+      graft.ops.Layout.consistentHashAssign(df, "id", Seq.empty)
+    }
+  }
+
   test("hilbertValue: full 8x8 grid is a permutation, consecutive " +
       "indices always grid-adjacent (the locality Z-order lacks), " +
       "matches the reference xy2d walk, bits guard") {

@@ -4724,7 +4724,14 @@ object SparkEntry {
         .groupBy("node_before", "node_after")
         .agg(count(lit(1)).as("n"))
         .orderBy("node_before", "node_after")
-    })
+    }),
+
+    // Active-learning labeling queue: the 20 held-out docs with the
+    // smallest NB top1-top2 score margin. DuckDB re-trains the model,
+    // re-scores every (doc, class), and re-derives the queue.
+    "q305_uncertainty_queue" -> ((s, dir) =>
+      graft.ops.TextAnalysis.uncertaintySamples(t(s, dir, "documents"))
+        .orderBy("margin_u6", "doc_id"))
   )
 
   // ---------------------------------------------------------------------
@@ -10385,7 +10392,27 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM bf JOIN cf USING (id)
         |GROUP BY 1, 2 ORDER BY node_before, node_after""".stripMargin
-    }
+    },
+
+    "q305_uncertainty_queue" ->
+      s"""WITH te AS MATERIALIZED (SELECT * FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |tet AS MATERIALIZED (SELECT id, tok,
+        |    CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT doc_id AS id,
+        |      unnest(string_split_regex(lower(trim(text)), '\\s+'))
+        |        AS tok
+        |    FROM te) WHERE tok <> '' GROUP BY 1, 2),
+        |${nbLogoBranch("f", "__full__", "")},
+        |tot AS (SELECT sc.id, sc.cls,
+        |    CAST(sc.s + pri.prior_u6 AS BIGINT) AS score
+        |  FROM fsc sc JOIN fpri pri USING (cls)),
+        |r2 AS (SELECT id, cls, score, row_number() OVER (
+        |    PARTITION BY id ORDER BY score DESC, cls) AS rn FROM tot)
+        |SELECT a.id AS doc_id, a.cls AS top_cls,
+        |  CAST(a.score - b.score AS BIGINT) AS margin_u6
+        |FROM r2 a JOIN r2 b ON b.id = a.id AND a.rn = 1 AND b.rn = 2
+        |ORDER BY margin_u6, doc_id LIMIT 20""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -1478,6 +1478,24 @@ object TextAnalysis {
       textCol: String, classCol: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val scored = nbScores(train, test, idCol, textCol, classCol)
+    val w = Window.partitionBy("id").orderBy(desc("score_u6"), col("cls"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(test.select(col(idCol).as("id"),
+        col(classCol).cast("string").as("actual")), "id")
+      .withColumn("correct", (col("cls") === col("actual")).cast("long"))
+      .select(col("id").as(idCol), col("cls").as("pred"), col("actual"),
+        col("score_u6"), col("correct"))
+  }
+
+  /** The [[naiveBayes]] per-(doc, class) score table — exposed so
+    * the uncertainty-sampling queue can read margins, not just the
+    * argmax. */
+  private def nbScores(train: org.apache.spark.sql.DataFrame,
+      test: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, classCol: String)
+      : org.apache.spark.sql.DataFrame = {
     val trTok = train.select(col(classCol).cast("string").as("cls"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
@@ -1505,7 +1523,7 @@ object TextAnalysis {
         explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("id", "tok").agg(count(lit(1)).as("n"))
-    val scored = teTok
+    teTok
       .crossJoin(broadcast(cstat.select("cls", "oov_u6")))
       .join(lp, Seq("cls", "tok"), "left")
       .withColumn("contrib",
@@ -1513,14 +1531,42 @@ object TextAnalysis {
       .groupBy("id", "cls").agg(sum("contrib").as("s"))
       .join(pri, "cls")
       .withColumn("score_u6", col("prior_u6") + col("s"))
+      .select("id", "cls", "score_u6")
+  }
+
+  /** Uncertainty sampling (Lewis & Gale SIGIR 1994, margin variant) —
+    * the active-learning labeling queue: train [[naiveBayes]] on the
+    * labeled split, score the UNLABELED split, and surface the k
+    * documents with the smallest top-1 − top-2 score margin — exactly
+    * the examples whose human label buys the most model improvement
+    * per annotation dollar. Margins are pure integer differences of
+    * the micro-fixed scores (ties to id), the queue is a
+    * TakeOrderedAndProject — never a global sort. Requires ≥ 2
+    * classes (no margin otherwise — loud reject). Returns the queue
+    * (idCol, top_cls, margin_u6). */
+  def uncertaintySamples(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      classCol: String = "lang", testMod: Long = 5L,
+      k: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(testMod >= 2L && k >= 1, s"bad testMod/k: $testMod/$k")
+    import org.apache.spark.sql.expressions.Window
+    val train = docs.filter(col(idCol) % testMod =!= 0L)
+    require(train.select(col(classCol)).distinct().count() >= 2L,
+      "uncertainty margins need at least 2 classes")
+    val scored = nbScores(train,
+      docs.filter(col(idCol) % testMod === 0L), idCol, textCol, classCol)
     val w = Window.partitionBy("id").orderBy(desc("score_u6"), col("cls"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .join(test.select(col(idCol).as("id"),
-        col(classCol).cast("string").as("actual")), "id")
-      .withColumn("correct", (col("cls") === col("actual")).cast("long"))
-      .select(col("id").as(idCol), col("cls").as("pred"), col("actual"),
-        col("score_u6"), col("correct"))
+    val top2 = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+    top2.filter(col("rn") === 1)
+      .select(col("id"), col("cls").as("top_cls"),
+        col("score_u6").as("s1"))
+      .join(top2.filter(col("rn") === 2)
+        .select(col("id"), col("score_u6").as("s2")), "id")
+      .withColumn("margin_u6", col("s1") - col("s2"))
+      .orderBy(col("margin_u6"), col("id"))
+      .limit(k)
+      .select(col("id").as(idCol), col("top_cls"), col("margin_u6"))
   }
 
   /** Leave-one-group-out data valuation (the group Shapley's cheap,

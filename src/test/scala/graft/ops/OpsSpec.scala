@@ -2350,6 +2350,27 @@ class TokenizerSpec extends AnyFunSuite with SparkTestBase {
       ("1", 2L, 2L, -1L)), s"got $got")
   }
 
+  test("uncertaintySamples: smallest top1-top2 margins surface first " +
+      "(hand-computed from the naiveBayes fixture), k caps the queue, " +
+      "single-class reject") {
+    val docs = Seq((1L, "a", "x x y"), (2L, "b", "z z"),
+      (0L, "a", "x z q"), (5L, "b", "z z"))
+      .toDF("doc_id", "lang", "text")
+    // doc0 margin = −1920819 − (−2158362) = 237543;
+    // doc5 margin = −744728 − (−1857332) = 1112604
+    val got = TextAnalysis.uncertaintySamples(docs, k = 2)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((0L, "b", 237543L), (5L, "b", 1112604L)),
+      s"got $got")
+    val one = TextAnalysis.uncertaintySamples(docs, k = 1)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(one == Seq((0L, "b", 237543L)), s"got $one")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.uncertaintySamples(
+        docs.filter(col("lang") === "a"))
+    }
+  }
+
   test("naiveBayes: hand-built Laplace model, OOV fallback, argmax " +
       "with evidence beating prior ties, correctness flags, guards") {
     // train: doc1 (a, "x x y"), doc2 (b, "z z"); V = 3. test: doc0

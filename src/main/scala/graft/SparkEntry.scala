@@ -4731,7 +4731,17 @@ object SparkEntry {
     // re-scores every (doc, class), and re-derives the queue.
     "q305_uncertainty_queue" -> ((s, dir) =>
       graft.ops.TextAnalysis.uncertaintySamples(t(s, dir, "documents"))
-        .orderBy("margin_u6", "doc_id"))
+        .orderBy("margin_u6", "doc_id")),
+
+    // df-pruned TF-IDF cosine join over a corpus with planted rare
+    // markers (one per 7-doc group): candidates only from rare-token
+    // postings, exact integer dots over ALL shared tokens, top-20 by
+    // 6dp cosine. DuckDB re-derives weights, candidates, and scores.
+    "q306_tfidf_cosine" -> ((s, dir) =>
+      graft.ops.Dedup.tfidfCosinePairs(
+        t(s, dir, "documents").withColumn("text",
+          expr("concat(text, ' rare', CAST(doc_id div 7 AS STRING))")),
+        maxDf = 20L, k = 20))
   )
 
   // ---------------------------------------------------------------------
@@ -10412,7 +10422,39 @@ object SparkEntry {
         |SELECT a.id AS doc_id, a.cls AS top_cls,
         |  CAST(a.score - b.score AS BIGINT) AS margin_u6
         |FROM r2 a JOIN r2 b ON b.id = a.id AND a.rn = 1 AND b.rn = 2
-        |ORDER BY margin_u6, doc_id LIMIT 20""".stripMargin
+        |ORDER BY margin_u6, doc_id LIMIT 20""".stripMargin,
+
+    "q306_tfidf_cosine" ->
+      """WITH d AS (SELECT doc_id, text || ' rare'
+        |    || CAST(doc_id // 7 AS VARCHAR) AS text FROM documents),
+        |tk AS MATERIALIZED (SELECT doc_id AS id, t AS tok,
+        |    CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+        |      '\s+')) AS t FROM d) WHERE t <> '' GROUP BY 1, 2),
+        |dft AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT)
+        |    AS df FROM tk GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |w AS MATERIALIZED (SELECT tk.id, tk.tok,
+        |    tk.tf * CAST(round(ln(CAST(nn.n AS DOUBLE) / dft.df)
+        |      * 1000000, 0) AS BIGINT) AS w
+        |  FROM tk JOIN dft USING (tok), nn),
+        |nrm AS (SELECT id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm
+        |  FROM w GROUP BY 1),
+        |rare AS (SELECT tok FROM dft WHERE df >= 2 AND df <= 20),
+        |pst AS (SELECT tk.tok, tk.id FROM tk JOIN rare USING (tok)),
+        |cand AS MATERIALIZED (SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM pst a JOIN pst b ON a.tok = b.tok AND a.id < b.id),
+        |dots AS (SELECT c.id1, c.id2,
+        |    CAST(sum(w1.w * w2.w) AS BIGINT) AS dot_w
+        |  FROM cand c
+        |  JOIN w w1 ON w1.id = c.id1
+        |  JOIN w w2 ON w2.id = c.id2 AND w2.tok = w1.tok
+        |  GROUP BY 1, 2)
+        |SELECT dots.id1, dots.id2, dots.dot_w,
+        |  round(CAST(dots.dot_w AS DOUBLE) / (a.nrm * b.nrm), 6) AS cos
+        |FROM dots JOIN nrm a ON a.id = dots.id1
+        |JOIN nrm b ON b.id = dots.id2
+        |ORDER BY cos DESC, id1, id2 LIMIT 20""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

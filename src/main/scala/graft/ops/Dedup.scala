@@ -1194,6 +1194,68 @@ object Dedup {
       .filter(col("inter") * tDen >= col("uni") * tNum)
   }
 
+  /** TF-IDF cosine similarity join with df-pruned candidate
+    * generation (the Bayardo/WWW'07 all-pairs family, lexical form) —
+    * the sparse sibling between [[prefixFilterJoin]]'s set Jaccard and
+    * the embedding cosine: weighted lexical similarity that rewards
+    * rare shared vocabulary. The scale move is CANDIDATES FROM RARE
+    * TOKENS ONLY: a pair enters scoring iff it shares a token with
+    * df ∈ [2, maxDf] (posting lists of common tokens never pair —
+    * the df² blow-up that kills naive all-pairs), but the verified
+    * dot then covers ALL shared tokens of the candidate pair, so
+    * scores are exact for every surfaced pair (recall boundary: pairs
+    * sharing only common tokens are out by design — document maxDf
+    * accordingly). Weights w = tf · round(ln(N/df)·10⁶) stay integer;
+    * the dot is an integer sum; only the final cosine divides by the
+    * float norms and rounds to 6dp (the q26 convention).
+    *
+    * Scale shape: token counts on the (doc, token) dimension,
+    * candidates from rare-token posting-list self-joins (df-bounded),
+    * verification = candidate ⋈ weight tables keyed by (doc, token) —
+    * pair-bounded, never corpus². Returns the top `k` pairs
+    * (id1, id2, dot_w, cos) by cosine (ties id1, id2) via
+    * TakeOrderedAndProject. */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxDf: Long = 20L,
+      k: Int = 20): DataFrame = {
+    require(maxDf >= 2L && k >= 1, s"bad maxDf/k: $maxDf/$k")
+    val toks = docs.select(col(idCol).as("id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dft = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nRow = docs.agg(count(lit(1)).as("n"))
+    val w = toks.join(dft, "tok").crossJoin(broadcast(nRow))
+      .withColumn("w", col("tf") * round(log(
+        col("n").cast("double") / col("df")) * 1000000, 0).cast("long"))
+      .select("id", "tok", "w")
+      .localCheckpoint()
+    val nrm = w.groupBy("id")
+      .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+    val rare = dft.filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("tok")
+    val postings = toks.join(rare, "tok").select("tok", "id")
+    val cand = postings.alias("a").join(postings.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+      .localCheckpoint()
+    val dots = cand
+      .join(w.select(col("id").as("id1"), col("tok"),
+        col("w").as("w1")), Seq("id1"))
+      .join(w.select(col("id").as("id2"), col("tok"),
+        col("w").as("w2")), Seq("id2", "tok"))
+      .groupBy("id1", "id2").agg(sum(col("w1") * col("w2")).as("dot_w"))
+    dots
+      .join(nrm.select(col("id").as("id1"), col("nrm").as("n1")), "id1")
+      .join(nrm.select(col("id").as("id2"), col("nrm").as("n2")), "id2")
+      .withColumn("cos",
+        round(col("dot_w").cast("double") / (col("n1") * col("n2")), 6))
+      .orderBy(desc("cos"), col("id1"), col("id2"))
+      .limit(k)
+      .select("id1", "id2", "dot_w", "cos")
+  }
+
   /** Sorted-neighborhood blocking (Hernández & Stolfo SIGMOD 1995) —
     * the third blocking strategy of the linkage tier: hash blocks
     * ([[fuzzyLinkage]]) split near-boundary matches, phonetic blocks

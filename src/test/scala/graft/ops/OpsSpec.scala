@@ -91,6 +91,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(jw("prefXab", "prefYcd") == 0.828571)
   }
 
+  test("tfidfCosinePairs: only rare-shared-token pairs surface, the " +
+      "dot covers all shared tokens, singleton tokens never generate " +
+      "candidates, guards") {
+    // x has df 2 (rare) → candidate (1,2); a/b/y/c are singletons and
+    // generate nothing, so doc 3 never pairs.
+    val docs = Seq((1L, "x a"), (2L, "x b"), (3L, "y c"))
+      .toDF("doc_id", "text")
+    val got = Dedup.tfidfCosinePairs(docs, maxDf = 20L, k = 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val wx = math.round(math.log(3.0 / 2) * 1e6)
+    val wa = math.round(math.log(3.0) * 1e6)
+    val nrm = math.sqrt((wx * wx + wa * wa).toDouble)
+    val expCos = math.rint(wx * wx / (nrm * nrm) * 1e6) / 1e6
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq((1L, 2L, wx * wx)),
+      s"got $got")
+    assert(math.abs(got.head._4 - expCos) < 1e-9,
+      s"cos ${got.head._4} != $expCos")
+    intercept[IllegalArgumentException] {
+      Dedup.tfidfCosinePairs(docs, maxDf = 1L)
+    }
+  }
+
   test("sortedNeighborhoodPairs: each record pairs with its window-1 " +
       "sort successors, deterministic key-then-id order, guards") {
     val df = Seq((1L, 10L), (2L, 11L), (3L, 13L), (4L, 99L))

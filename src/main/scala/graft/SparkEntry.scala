@@ -4741,7 +4741,15 @@ object SparkEntry {
       graft.ops.Dedup.tfidfCosinePairs(
         t(s, dir, "documents").withColumn("text",
           expr("concat(text, ' rare', CAST(doc_id div 7 AS STRING))")),
-        maxDf = 20L, k = 20))
+        maxDf = 20L, k = 20)),
+
+    // Haar wavelet sketch of the hourly event-count series: 256-hour
+    // zero-filled grid, 8 unnormalized integer levels, the
+    // approximation plus the 16 largest details. DuckDB replays every
+    // level fold and the top-K selection.
+    "q307_haar_sketch" -> ((s, dir) =>
+      graft.streaming.EventsPipeline.haarSketch(
+        t(s, dir, "events"), "ts", gridLen = 256, topK = 16))
   )
 
   // ---------------------------------------------------------------------
@@ -10454,7 +10462,36 @@ object SparkEntry {
         |  round(CAST(dots.dot_w AS DOUBLE) / (a.nrm * b.nrm), 6) AS cos
         |FROM dots JOIN nrm a ON a.id = dots.id1
         |JOIN nrm b ON b.id = dots.id2
-        |ORDER BY cos DESC, id1, id2 LIMIT 20""".stripMargin
+        |ORDER BY cos DESC, id1, id2 LIMIT 20""".stripMargin,
+
+    "q307_haar_sketch" -> {
+      def lvl(k: Int) =
+        s"""lvl$k AS MATERIALIZED (SELECT i // 2 AS i,
+           |    CAST(sum(x) AS BIGINT) AS x,
+           |    CAST(sum(CASE WHEN i % 2 = 0 THEN x ELSE -x END)
+           |      AS BIGINT) AS d
+           |  FROM lvl${k - 1} GROUP BY 1)"""
+      s"""WITH m AS (SELECT CAST(min(epoch(ts)) AS BIGINT) AS t0
+        |  FROM events),
+        |cnt AS (SELECT h, CAST(count(*) AS BIGINT) AS x FROM (
+        |    SELECT (CAST(epoch(ts) AS BIGINT) - m.t0) // 3600 AS h
+        |    FROM events, m)
+        |  WHERE h >= 0 AND h < 256 GROUP BY 1),
+        |lvl0 AS MATERIALIZED (SELECT r.i, coalesce(cnt.x, 0) AS x
+        |  FROM (SELECT unnest(range(256)) AS i) r
+        |  LEFT JOIN cnt ON cnt.h = r.i),
+        |${(1 to 8).map(lvl).mkString(",\n")},
+        |det AS (${(1 to 8).map(k =>
+            s"SELECT CAST(${k - 1} AS BIGINT) AS level, " +
+            s"CAST(i AS BIGINT) AS idx, d AS coef FROM lvl$k")
+            .mkString("\nUNION ALL ")}),
+        |top AS (SELECT level, idx, coef FROM det
+        |  ORDER BY abs(coef) DESC, level, idx LIMIT 16)
+        |SELECT CAST(8 AS BIGINT) AS level, CAST(i AS BIGINT) AS idx,
+        |  CAST(x AS BIGINT) AS coef FROM lvl8
+        |UNION ALL SELECT level, idx, CAST(coef AS BIGINT) FROM top"""
+        .stripMargin
+    }
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -599,6 +599,61 @@ object EventsPipeline {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Haar wavelet series sketch (the Chakrabarti/Garofalakis
+    * surprise-detection family) — compress an event-count series to
+    * its K largest wavelet coefficients: the classic DB answer to
+    * "store the shape of a season in kilobytes". UNNORMALIZED Haar
+    * keeps everything integer-exact: per level, pairs (a, b) fold to
+    * sum a+b (carried up) and detail a−b (emitted); after L levels
+    * one total-sum approximation remains (emitted as level L). The
+    * top-K details by |coefficient| (ties: level, then index) ARE the
+    * sketch — reconstruction error is the energy of what's dropped.
+    * The hour grid zero-fills explicitly: a missing hour is a real
+    * zero, not an absent row.
+    *
+    * Scale shape: one pass to the hour grid (span-bounded), then L
+    * halving aggregates on the COEFFICIENT dimension (≤ gridLen rows
+    * from the first fold on); the top-K is TakeOrderedAndProject.
+    * `gridLen` must be a power of two. Returns the approximation row
+    * (level = L, idx = 0) plus the top-K details (level, idx, coef). */
+  def haarSketch(events: DataFrame, tsCol: String, gridLen: Int = 256,
+      topK: Int = 16): DataFrame = {
+    require(gridLen >= 2 && (gridLen & (gridLen - 1)) == 0,
+      s"gridLen must be a power of two >= 2, got $gridLen")
+    require(topK >= 1, s"topK must be positive, got $topK")
+    val levels = Integer.numberOfTrailingZeros(gridLen)
+    val spark = events.sparkSession
+    val m = events.agg(min(unix_timestamp(col(tsCol))).as("t0"))
+    val counts = events.crossJoin(broadcast(m))
+      .select(expr(s"CAST((unix_timestamp($tsCol) - t0) div 3600 " +
+        "AS BIGINT)").as("h"))
+      .filter(col("h") >= 0 && col("h") < gridLen)
+      .groupBy("h").agg(count(lit(1)).as("x"))
+    val grid = spark.range(gridLen).select(col("id").as("h"))
+      .join(counts, Seq("h"), "left")
+      .select(col("h").as("i"), coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint()
+    var cur = grid
+    var details = Seq.empty[org.apache.spark.sql.DataFrame]
+    for (lvl <- 0 until levels) {
+      val folded = cur
+        .groupBy(expr("CAST(i div 2 AS BIGINT)").as("i"))
+        .agg(sum("x").as("s"),
+          sum(when(col("i") % 2 === 0, col("x"))
+            .otherwise(-col("x"))).as("d"))
+        .localCheckpoint()
+      details :+= folded.select(lit(lvl.toLong).as("level"),
+        col("i").as("idx"), col("d").as("coef"))
+      cur = folded.select(col("i"), col("s").as("x"))
+    }
+    val approx = cur.select(lit(levels.toLong).as("level"),
+      col("i").as("idx"), col("x").as("coef"))
+    val top = details.reduce(_ unionByName _)
+      .orderBy(abs(col("coef")).desc, col("level"), col("idx"))
+      .limit(topK)
+    approx.unionByName(top)
+  }
+
   /** Holt double exponential smoothing (Holt 1957) — the forecasting
     * member of the series tier: [[seasonalDecompose]] explains a
     * series, [[cusumFlags]] alarms on it, this one projects it

@@ -303,6 +303,27 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("haarSketch: hand 4-point series, integer sum/detail folds, " +
+      "approximation carries the total, top-K by |coef| with ties, " +
+      "zero-filled grid, guards") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // hourly counts [3, 1, 4, 4] → level0 details (2, 0),
+    // level1 detail −4, approximation 12
+    val rows = Seq.fill(3)(0L) ++ Seq(1L) ++ Seq.fill(4)(2L) ++
+      Seq.fill(4)(3L)
+    val df = rows.zipWithIndex.map { case (h, i) =>
+      (i.toLong, ts(h * 3600L + 10L))
+    }.toDF("event_id", "ts")
+    val got = graft.streaming.EventsPipeline
+      .haarSketch(df, "ts", gridLen = 4, topK = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((2L, 0L, 12L), (1L, 0L, -4L), (0L, 0L, 2L)),
+      s"got $got")
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventsPipeline.haarSketch(df, "ts", gridLen = 6)
+    }
+  }
+
   test("holtSmoothing: hand level/trend recurrence, SAE accumulation, " +
       "per-key isolation, guards") {
     def ts(s: Long) = new Timestamp(s * 1000L)

@@ -4749,7 +4749,16 @@ object SparkEntry {
     // level fold and the top-K selection.
     "q307_haar_sketch" -> ((s, dir) =>
       graft.streaming.EventsPipeline.haarSketch(
-        t(s, dir, "events"), "ts", gridLen = 256, topK = 16))
+        t(s, dir, "events"), "ts", gridLen = 256, topK = 16)),
+
+    // Derandomized RANSAC line fit over (doc_id, n_chars): 32 md5-
+    // drawn candidate pairs, integer residual consensus at tol=60,
+    // argmax inliers. DuckDB re-draws every candidate and re-counts
+    // every inlier.
+    "q308_ransac_line" -> ((s, dir) =>
+      graft.ops.Profile.ransacLine(
+        t(s, dir, "documents"), "doc_id", "doc_id", "n_chars",
+        b = 32, tol = 60L))
   )
 
   // ---------------------------------------------------------------------
@@ -10491,7 +10500,34 @@ object SparkEntry {
         |  CAST(x AS BIGINT) AS coef FROM lvl8
         |UNION ALL SELECT level, idx, CAST(coef AS BIGINT) FROM top"""
         .stripMargin
-    }
+    },
+
+    "q308_ransac_line" ->
+      """WITH p AS MATERIALIZED (SELECT
+        |    row_number() OVER (ORDER BY doc_id) AS rn,
+        |    CAST(doc_id AS BIGINT) AS x,
+        |    CAST(n_chars AS BIGINT) AS y FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+        |cd AS MATERIALIZED (SELECT r, x1, y1,
+        |    CAST((y2 - y1) * 1000000 // (x2 - x1) AS BIGINT)
+        |      AS slope_u6 FROM (
+        |    SELECT rr.r, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+        |    FROM (SELECT r,
+        |        CAST('0x' || substr(md5('a:' || CAST(r AS VARCHAR)),
+        |          1, 8) AS BIGINT) % nn.n + 1 AS r1,
+        |        CAST('0x' || substr(md5('b:' || CAST(r AS VARCHAR)),
+        |          1, 8) AS BIGINT) % nn.n + 1 AS r2
+        |      FROM (SELECT unnest(range(32)) AS r), nn) rr
+        |    JOIN p a ON a.rn = rr.r1 JOIN p b ON b.rn = rr.r2
+        |    WHERE rr.r1 <> rr.r2 AND a.x <> b.x)),
+        |sc AS (SELECT c.r, c.x1, c.y1, c.slope_u6,
+        |    CAST(count(*) AS BIGINT) AS n_inliers
+        |  FROM p, cd c
+        |  WHERE abs(p.y - (c.y1 + (c.slope_u6 * (p.x - c.x1))
+        |    // 1000000)) <= 60
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(r AS BIGINT) AS r, x1, y1, slope_u6, n_inliers
+        |FROM sc ORDER BY n_inliers DESC, r LIMIT 1""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -427,6 +427,63 @@ object Profile {
       .select("bin", "n_pos", "n_neg", "woe_u6", "iv_u6")
   }
 
+  /** Derandomized RANSAC line fit (Fischler & Bolles 1981, with the
+    * random sampling replaced by md5 coins) — the OTHER robust
+    * estimator next to [[theilSenSlope]]: where Theil–Sen pays O(n²)
+    * pairs for a breakdown point of 29%, RANSAC pays B·n for
+    * tolerance-defined consensus and survives ANY outlier fraction if
+    * one candidate pair lands on the structure. Candidate r picks its
+    * two points by md5("a:r") and md5("b:r") mod n over the
+    * [[graft.ops.Layout.globalRowNumber]] rank (a pure function of
+    * the table — reviewable, retry-safe, engine-replayable, which
+    * textbook RANSAC never is); degenerate draws (same rank, equal x)
+    * drop. Slopes micro-fix by one truncating division, predictions
+    * and residuals stay integer, the winner is argmax inliers with
+    * ties to the candidate index.
+    *
+    * Scale shape: B candidate rows broadcast against the points — a
+    * bounded B× pass, never n²; the argmax is a B-row aggregate.
+    * Returns one row (r, x1, y1, slope_u6, n_inliers). */
+  def ransacLine(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, b: Int = 32, tol: Long = 50L): DataFrame = {
+    require(b >= 1 && tol >= 0, s"bad b/tol: $b/$tol")
+    val spark = df.sparkSession
+    val pts = graft.ops.Layout.globalRowNumber(
+        df.select(col(idCol).as("id"), col(xCol).cast("long").as("x"),
+          col(yCol).cast("long").as("y")), Seq("id"), 0)
+      .select(col("rn"), col("x"), col("y"))
+      .localCheckpoint()
+    val nRow = pts.agg(count(lit(1)).as("n"))
+    def coin(salt: String): Column =
+      conv(substring(md5(concat(lit(salt),
+        col("r").cast("string")).cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+    val cand = spark.range(b).select(col("id").as("r"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("r1", coin("a:") % col("n") + 1)
+      .withColumn("r2", coin("b:") % col("n") + 1)
+      .filter(col("r1") =!= col("r2"))
+      .join(pts.select(col("rn").as("r1"), col("x").as("x1"),
+        col("y").as("y1")), "r1")
+      .join(pts.select(col("rn").as("r2"), col("x").as("x2"),
+        col("y").as("y2")), "r2")
+      .filter(col("x1") =!= col("x2"))
+      .withColumn("slope_u6",
+        expr("CAST((y2 - y1) * 1000000 div (x2 - x1) AS BIGINT)"))
+      .select("r", "x1", "y1", "slope_u6")
+      .localCheckpoint()
+    require(cand.count() > 0, "every candidate draw was degenerate " +
+      "— raise b or check for constant x")
+    pts.crossJoin(broadcast(cand))
+      .withColumn("resid", abs(col("y") - (col("y1") +
+        expr("CAST((slope_u6 * (x - x1)) div 1000000 AS BIGINT)"))))
+      .filter(col("resid") <= tol)
+      .groupBy("r", "x1", "y1", "slope_u6")
+      .agg(count(lit(1)).as("n_inliers"))
+      .orderBy(desc("n_inliers"), col("r"))
+      .limit(1)
+  }
+
   /** Fleiss' kappa (1971) — multi-rater chance-corrected agreement,
     * the N-annotator upgrade over the pairwise Cohen form (q234):
     * with n raters per item,

@@ -2233,6 +2233,43 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
       .count() == 0L)
   }
 
+  test("ransacLine: local md5 replay finds the planted line, outliers " +
+      "never pull the winner, degenerate draws drop, guards") {
+    // 6 points on y = 2x plus two gross outliers; tol 0 → the winner
+    // must be an on-line candidate with 6 inliers.
+    val pts = (1L to 6L).map(x => (x, x, 2 * x)) ++
+      Seq((7L, 7L, 100L), (8L, 8L, 0L))
+    val df = pts.toDF("id", "x", "y")
+    def md5u32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    }
+    val arr = pts.toArray // rank order = id order
+    val cands = (0 until 8).flatMap { r =>
+      val r1 = (md5u32(s"a:$r") % 8 + 1).toInt
+      val r2 = (md5u32(s"b:$r") % 8 + 1).toInt
+      if (r1 == r2 || arr(r1 - 1)._2 == arr(r2 - 1)._2) None
+      else {
+        val (_, x1, y1) = arr(r1 - 1); val (_, x2, y2) = arr(r2 - 1)
+        val slope = (y2 - y1) * 1000000L / (x2 - x1)
+        val inl = arr.count { case (_, x, y) =>
+          math.abs(y - (y1 + slope * (x - x1) / 1000000L)) <= 0L }
+        Some((r.toLong, x1, y1, slope, inl.toLong))
+      }
+    }
+    val exp = cands.maxBy(c => (c._5, -c._1))
+    val got = graft.ops.Profile.ransacLine(df, "id", "x", "y",
+        b = 8, tol = 0L)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got == exp, s"got $got exp $exp")
+    assert(got._4 == 2000000L && got._5 == 6L,
+      s"the planted line must win: $got")
+    intercept[IllegalArgumentException] {
+      graft.ops.Profile.ransacLine(df, "id", "x", "y", b = 0)
+    }
+  }
+
   test("heapsLaw: cumulative token/type curve from first occurrences, " +
       "empty doc ignored, two-point fit equals the closed-form slope, " +
       "guards") {

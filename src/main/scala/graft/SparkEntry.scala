@@ -4758,7 +4758,25 @@ object SparkEntry {
     "q308_ransac_line" -> ((s, dir) =>
       graft.ops.Profile.ransacLine(
         t(s, dir, "documents"), "doc_id", "doc_id", "n_chars",
-        b = 32, tol = 60L))
+        b = 32, tol = 60L)),
+
+    // Rendezvous-hash removal audit (q304's complement): dropping
+    // node4 from the 5-node HRW assignment reassigns EXACTLY its
+    // keys, spread over the survivors. DuckDB re-derives every argmax
+    // and the movement matrix.
+    "q309_rendezvous_hashing" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val n5 = (0 until 5).map(i => s"node$i")
+      val before = graft.ops.Layout.rendezvousAssign(d, "doc_id", n5)
+        .select(col("id"), col("node").as("node_before"))
+      val after = graft.ops.Layout
+        .rendezvousAssign(d, "doc_id", n5.take(4))
+        .select(col("id"), col("node").as("node_after"))
+      before.join(after, "id")
+        .groupBy("node_before", "node_after")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("node_before", "node_after")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -10527,7 +10545,26 @@ object SparkEntry {
         |    // 1000000)) <= 60
         |  GROUP BY 1, 2, 3, 4)
         |SELECT CAST(r AS BIGINT) AS r, x1, y1, slope_u6, n_inliers
-        |FROM sc ORDER BY n_inliers DESC, r LIMIT 1""".stripMargin
+        |FROM sc ORDER BY n_inliers DESC, r LIMIT 1""".stripMargin,
+
+    "q309_rendezvous_hashing" -> {
+      def assign(p: String, n: Int, out: String) =
+        s"""${p} AS MATERIALIZED (SELECT id, node AS $out FROM (
+           |    SELECT d.doc_id AS id, nd.node, row_number() OVER (
+           |      PARTITION BY d.doc_id ORDER BY CAST('0x' ||
+           |        substr(md5(nd.node || ':'
+           |          || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           |        DESC, nd.node) AS rn
+           |    FROM documents d, (SELECT 'node' || CAST(i AS VARCHAR)
+           |      AS node FROM range($n) t(i)) nd)
+           |  WHERE rn = 1)"""
+      s"""WITH ${assign("b5", 5, "node_before")},
+        |${assign("a4", 4, "node_after")}
+        |SELECT b5.node_before, a4.node_after,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM b5 JOIN a4 USING (id)
+        |GROUP BY 1, 2 ORDER BY node_before, node_after""".stripMargin
+    }
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -109,6 +109,37 @@ object Layout {
           .select(col("id"), col("wrap_node").as("node"), col("kp")))
   }
 
+  /** Rendezvous (highest-random-weight) hashing (Thaler & Ravishankar
+    * 1998) — [[consistentHashAssign]]'s sibling scheme with the
+    * complementary property: REMOVING a node reassigns exactly that
+    * node's keys (spread evenly over the survivors), with no ring and
+    * no vnodes — each key simply routes to the node maximizing
+    * md5("node:key"). Pure integer argmax (ties by node name — md5
+    * collisions on 32 bits are possible in principle), a pure
+    * function of (nodes, key) any engine replays.
+    *
+    * Scale shape: an N-node broadcast expansion per key (N is the
+    * cluster size — a constant multiplier) and a per-key argmax; at
+    * serving time the same loop runs in a compiled UDF, this
+    * relational form is the auditable reference. Returns (id, node). */
+  def rendezvousAssign(df: DataFrame, idCol: String,
+      nodes: Seq[String]): DataFrame = {
+    require(nodes.nonEmpty, "need at least one node")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val nd = spark.createDataFrame(nodes.map(Tuple1(_))).toDF("node")
+    val w = Window.partitionBy("id")
+      .orderBy(desc("score"), col("node"))
+    df.select(col(idCol).as("id"))
+      .crossJoin(broadcast(nd))
+      .withColumn("score", conv(substring(md5(concat(col("node"),
+        lit(":"), col("id").cast("string")).cast("binary")), 1, 8),
+        16, 10).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("id", "node")
+  }
+
   /** Z-order-clustered parquet write: range-partition on the Morton
     * code into `files` output files, sort within each, drop the helper
     * column. Every file then spans a bounded rectangle of (a, b) —

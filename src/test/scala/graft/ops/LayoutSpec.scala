@@ -210,6 +210,33 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
       s"LEB128 thresholds: $vb")
   }
 
+  test("rendezvousAssign: matches a local argmax reference, removing " +
+      "a node reassigns exactly its keys, deterministic, guards") {
+    val df = (1L to 60L).toDF("id")
+    def md5u32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    }
+    def ref(id: Long, nodes: Seq[String]): String =
+      nodes.map(n => (md5u32(s"$n:$id"), n))
+        .minBy { case (s, n) => (-s, n) }._2
+    val three = graft.ops.Layout
+      .rendezvousAssign(df, "id", Seq("a", "b", "c"))
+      .as[(Long, String)].collect().toMap
+    assert(three.forall { case (id, n) =>
+      n == ref(id, Seq("a", "b", "c")) }, "matches the reference")
+    val two = graft.ops.Layout
+      .rendezvousAssign(df, "id", Seq("a", "b"))
+      .as[(Long, String)].collect().toMap
+    val moved = three.filter { case (id, n) => two(id) != n }
+    assert(moved.nonEmpty && moved.forall(_._2 == "c"),
+      s"only the removed node's keys move: $moved")
+    intercept[IllegalArgumentException] {
+      graft.ops.Layout.rendezvousAssign(df, "id", Seq.empty)
+    }
+  }
+
   test("consistentHashAssign: matches a local ring reference incl. " +
       "the wrap, adding a node only moves keys TO it, deterministic, " +
       "guards") {

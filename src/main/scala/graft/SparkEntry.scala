@@ -4776,6 +4776,30 @@ object SparkEntry {
         .groupBy("node_before", "node_after")
         .agg(count(lit(1)).as("n"))
         .orderBy("node_before", "node_after")
+    }),
+
+    // TPC-H Q22 shape: customers above the GLOBAL mean balance (exact
+    // integer cents threshold — no float-mean boundary flake) with no
+    // order in the final 90 days, rolled up per nation. Two broadcast
+    // scalars + anti-join + nation-dimension aggregate — the
+    // optimizer shape the plan should pick for free.
+    "q310_dormant_accounts" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("cents",
+          expr("CAST(floor(c_acctbal * 100) AS BIGINT)"))
+      val thr = c.agg(
+        expr("CAST(sum(cents) div count(1) AS BIGINT)").as("thr"))
+      val o = t(s, dir, "orders")
+      val cut = o.agg(date_sub(max(col("o_orderdate")), 90).as("cut"))
+      val recent = o.crossJoin(broadcast(cut))
+        .filter(col("o_orderdate") > col("cut"))
+        .select(col("o_custkey").as("c_custkey"))
+      c.crossJoin(broadcast(thr))
+        .filter(col("cents") > col("thr"))
+        .join(recent, Seq("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"), sum("cents").as("sum_cents"))
+        .orderBy("c_nationkey")
     })
   )
 
@@ -10564,7 +10588,24 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM b5 JOIN a4 USING (id)
         |GROUP BY 1, 2 ORDER BY node_before, node_after""".stripMargin
-    }
+    },
+
+    "q310_dormant_accounts" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) // count(*) AS thr
+        |  FROM c),
+        |cut AS (SELECT max(o_orderdate) - INTERVAL 90 DAY AS cut
+        |  FROM orders)
+        |SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(c.cents) AS BIGINT) AS sum_cents
+        |FROM c, t, cut
+        |WHERE c.cents > t.thr
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate > cut.cut)
+        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -4800,7 +4800,14 @@ object SparkEntry {
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_cust"), sum("cents").as("sum_cents"))
         .orderBy("c_nationkey")
-    })
+    }),
+
+    // LSH (b, r) parameter sweep for 64 minhashes at threshold 0.8:
+    // every banding's S-curve at t and t±0.1, discrimination-argmax
+    // recommendation. DuckDB re-enumerates and re-scores every row.
+    "q311_lsh_param_sweep" -> ((s, dir) =>
+      graft.ops.Dedup.lshParamSweep(s, totalHashes = 64, tPpm = 800000L)
+        .orderBy("b", "r"))
   )
 
   // ---------------------------------------------------------------------
@@ -10605,7 +10612,32 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_orderdate > cut.cut)
-        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin
+        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+
+    "q311_lsh_param_sweep" ->
+      """WITH pr AS (SELECT b, r FROM
+        |    (SELECT unnest(range(1, 65)) AS b),
+        |    (SELECT unnest(range(1, 65)) AS r)
+        |  WHERE b * r <= 64),
+        |sc AS (SELECT b, r,
+        |    CAST(round((1 - pow(1 - pow(800000.0 / 1000000.0,
+        |      CAST(r AS DOUBLE)), CAST(b AS DOUBLE))) * 1000000, 0)
+        |      AS BIGINT) AS p_at_ppm,
+        |    CAST(round((1 - pow(1 - pow(800000.0 / 1000000.0 - 0.1,
+        |      CAST(r AS DOUBLE)), CAST(b AS DOUBLE))) * 1000000, 0)
+        |      AS BIGINT) AS p_lo_ppm,
+        |    CAST(round((1 - pow(1 - pow(800000.0 / 1000000.0 + 0.1,
+        |      CAST(r AS DOUBLE)), CAST(b AS DOUBLE))) * 1000000, 0)
+        |      AS BIGINT) AS p_hi_ppm
+        |  FROM pr),
+        |g AS (SELECT b, r, p_at_ppm, p_lo_ppm, p_hi_ppm,
+        |    p_hi_ppm - p_lo_ppm AS gap_ppm FROM sc)
+        |SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+        |  p_at_ppm, p_lo_ppm, p_hi_ppm, CAST(gap_ppm AS BIGINT)
+        |    AS gap_ppm,
+        |  CAST(CASE WHEN row_number() OVER (ORDER BY gap_ppm DESC,
+        |    b, r) = 1 THEN 1 ELSE 0 END AS BIGINT) AS recommended
+        |FROM g ORDER BY b, r""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

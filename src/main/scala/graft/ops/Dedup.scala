@@ -1194,6 +1194,48 @@ object Dedup {
       .filter(col("inter") * tDen >= col("uni") * tNum)
   }
 
+  /** LSH banding parameter sweep — "which (b, r) should minHashNearDups
+    * run with": enumerate every banding of at most `totalHashes`
+    * minhashes and evaluate the S-curve P(candidate) = 1 − (1 − s^r)^b
+    * at the target similarity and at ±0.1 around it. The RECOMMENDED
+    * row maximizes discrimination (the probability gap across the
+    * threshold — a steep S-curve passes near-dups and starves the
+    * verifier of junk), ties to fewer bands then longer rows. One
+    * micro-rounding per (b, r, point) — the fixed-point log
+    * discipline applied to pow; the table is (Σ divisors)-sized,
+    * trivially broadcastable, and the q199 band-efficiency audit
+    * measures afterwards what this predicts before.
+    *
+    * Returns (b, r, p_at_ppm, p_lo_ppm, p_hi_ppm, gap_ppm,
+    * recommended). */
+  def lshParamSweep(spark: org.apache.spark.sql.SparkSession,
+      totalHashes: Int, tPpm: Long): DataFrame = {
+    require(totalHashes >= 1, s"totalHashes must be >= 1")
+    require(tPpm >= 100000L && tPpm <= 900000L,
+      s"tPpm must leave room for the +/-0.1 probes, got $tPpm")
+    val h = totalHashes.toLong
+    val pairs = spark.range(1, h + 1).select(col("id").as("b"))
+      .crossJoin(spark.range(1, h + 1).select(col("id").as("r")))
+      .filter(col("b") * col("r") <= h)
+    def pAt(s: Column): Column =
+      round((lit(1.0) - pow(lit(1.0) -
+        pow(s, col("r").cast("double")), col("b").cast("double")))
+        * 1000000, 0).cast("long")
+    val t = tPpm.toDouble / 1000000.0
+    val scored = pairs
+      .withColumn("p_at_ppm", pAt(lit(t)))
+      .withColumn("p_lo_ppm", pAt(lit(t - 0.1)))
+      .withColumn("p_hi_ppm", pAt(lit(t + 0.1)))
+      .withColumn("gap_ppm", col("p_hi_ppm") - col("p_lo_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("gap_ppm"), col("b"), col("r"))
+    scored
+      .withColumn("recommended",
+        (row_number().over(w) === 1).cast("long"))
+      .select("b", "r", "p_at_ppm", "p_lo_ppm", "p_hi_ppm", "gap_ppm",
+        "recommended")
+  }
+
   /** TF-IDF cosine similarity join with df-pruned candidate
     * generation (the Bayardo/WWW'07 all-pairs family, lexical form) —
     * the sparse sibling between [[prefixFilterJoin]]'s set Jaccard and

@@ -91,6 +91,35 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(jw("prefXab", "prefYcd") == 0.828571)
   }
 
+  test("lshParamSweep: exact hand S-curve points, budget respected, " +
+      "recommendation matches the local argmax, guards") {
+    val got = Dedup.lshParamSweep(spark, totalHashes = 4, tPpm = 500000L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val byBr = got.map(r => (r._1, r._2) -> r).toMap
+    // p(1,1)=0.5, p(4,1)=1−0.5⁴=0.9375, p(2,2)=1−0.75²=0.4375,
+    // p(1,4)=0.0625 — all exact at t=0.5
+    assert(byBr((1L, 1L))._3 == 500000L)
+    assert(byBr((4L, 1L))._3 == 937500L)
+    assert(byBr((2L, 2L))._3 == 437500L)
+    assert(byBr((1L, 4L))._3 == 62500L)
+    assert(got.forall(r => r._1 * r._2 <= 4), "budget respected")
+    // the recommended row is the local mirror's gap argmax
+    def p(s: Double, b: Long, r: Long): Long =
+      math.round((1 - math.pow(1 - math.pow(s, r.toDouble),
+        b.toDouble)) * 1e6)
+    val t = 500000.0 / 1000000.0
+    val exp = got.map { r =>
+      (p(t + 0.1, r._1, r._2) - p(t - 0.1, r._1, r._2), r._1, r._2)
+    }.minBy { case (g, b, r) => (-g, b, r) }
+    val rec = got.filter(_._7 == 1L)
+    assert(rec.length == 1 &&
+      (rec.head._1, rec.head._2) == ((exp._2, exp._3)),
+      s"recommended ${rec.toSeq} vs local $exp")
+    intercept[IllegalArgumentException] {
+      Dedup.lshParamSweep(spark, 4, tPpm = 50000L)
+    }
+  }
+
   test("tfidfCosinePairs: only rare-shared-token pairs surface, the " +
       "dot covers all shared tokens, singleton tokens never generate " +
       "candidates, guards") {

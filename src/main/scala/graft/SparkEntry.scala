@@ -4807,7 +4807,22 @@ object SparkEntry {
     // recommendation. DuckDB re-enumerates and re-scores every row.
     "q311_lsh_param_sweep" -> ((s, dir) =>
       graft.ops.Dedup.lshParamSweep(s, totalHashes = 64, tPpm = 800000L)
-        .orderBy("b", "r"))
+        .orderBy("b", "r")),
+
+    // Personalized PageRank over the q88 residue graph, teleporting
+    // only to the seed whitelist {0,10,20,30,40} — proximity-to-seeds
+    // scores, not global authority. Same exact-integer recurrence;
+    // DuckDB replays all 5 rounds with the seed-conditional base.
+    "q312_personalized_pagerank" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select((col("doc_id") % 50).as("src"))
+      val e = base.select(col("src"),
+          ((col("src") * col("src") + 3) % 50).as("dst"))
+        .unionByName(base.select(col("src"),
+          ((col("src") * 3 + 7) % 50).as("dst")))
+        .filter(col("src") =!= col("dst"))
+      graft.ops.GraphOps.personalizedPageRank(e,
+        seeds = Seq(0L, 10L, 20L, 30L, 40L), iters = 5).orderBy("id")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -10637,7 +10652,37 @@ object SparkEntry {
         |    AS gap_ppm,
         |  CAST(CASE WHEN row_number() OVER (ORDER BY gap_ppm DESC,
         |    b, r) = 1 THEN 1 ELSE 0 END AS BIGINT) AS recommended
-        |FROM g ORDER BY b, r""".stripMargin
+        |FROM g ORDER BY b, r""".stripMargin,
+
+    "q312_personalized_pagerank" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id % 50 AS src,
+        |      ((doc_id % 50) * (doc_id % 50) + 3) % 50 AS dst
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT doc_id % 50 AS src, ((doc_id % 50) * 3 + 7) % 50 AS dst
+        |    FROM documents) WHERE src <> dst),
+        |nodes AS (SELECT DISTINCT id FROM (
+        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        |e0 AS (SELECT src, dst, 1 AS w FROM e
+        |  UNION ALL SELECT id, id, 0 FROM nodes),
+        |pr(id, rank, iter) AS (
+        |  SELECT id, CAST(CASE WHEN id % 10 = 0 THEN 1000000000
+        |    ELSE 0 END AS BIGINT), 0 FROM nodes
+        |  UNION ALL
+        |  SELECT e0.dst,
+        |    CAST(CASE WHEN e0.dst % 10 = 0 THEN 150000000 ELSE 0 END
+        |      + SUM(e0.w * ((p.rank * 85) // (100 * COALESCE(o.outdeg, 1))))
+        |      AS BIGINT),
+        |    p.iter + 1
+        |  FROM pr p
+        |  JOIN e0 ON e0.src = p.id
+        |  LEFT JOIN outdeg o ON o.src = e0.src
+        |  WHERE p.iter < 5
+        |  GROUP BY e0.dst, p.iter)
+        |SELECT id, rank FROM pr WHERE iter = 5""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

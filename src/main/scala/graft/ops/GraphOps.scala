@@ -62,6 +62,60 @@ object GraphOps {
     ranks
   }
 
+  /** Personalized PageRank (Haveliwala, WWW '02) — the topic-sensitive
+    * variant of [[pageRankFixedPoint]]: the teleport mass lands ONLY on
+    * the seed set, so the stationary measure scores proximity TO THE
+    * SEEDS rather than global authority (crawl curation: "expand from
+    * these trusted domains"; recommendation: "more like these items" —
+    * also the TrustRank spam-demotion primitive, Gyöngyi VLDB '04).
+    * Same exact-integer synchronous recurrence as the uniform variant:
+    *
+    *   rank₀(v)    = scale·[v ∈ S]
+    *   rank_{t+1}(v) = base·[v ∈ S] + Σ_{u→v} rank_t(u)·dNum div (dDen·outdeg(u))
+    *
+    * with base = scale·(dDen−dNum) div dDen. Dangling nodes leak their
+    * mass exactly as in [[pageRankFixedPoint]] (the conserved-mass
+    * variant would re-inject it at the seeds; the leak form keeps both
+    * engines' arithmetic identical). Seeds are a bounded driver-side
+    * list by contract (a topic/trust whitelist, not a data-sized set) —
+    * membership compiles to a codegen'd `isin` literal, never a join.
+    * Scale shape and overflow bound are [[pageRankFixedPoint]]'s:
+    * (id, rank) longs keyed by an endpoint per round, `localCheckpoint`
+    * per round, nodes·scale·dNum < 2⁶³. */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long],
+      iters: Int = 10, scale: Long = 1000000000L,
+      dNum: Long = 85L, dDen: Long = 100L): DataFrame = {
+    require(iters >= 1 && dNum > 0 && dDen > dNum,
+      s"need iters >= 1 and 0 < dNum < dDen, got iters=$iters d=$dNum/$dDen")
+    require(seeds.nonEmpty && seeds.size <= 10000,
+      s"seed set must be a bounded non-empty whitelist, got ${seeds.size}")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val base = scale * (dDen - dNum) / dDen
+    val isSeed = col("id").isin(seeds: _*)
+    var ranks = nodes
+      .withColumn("rank", when(isSeed, lit(scale)).otherwise(lit(0L)))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("id"),
+          expr(s"(rank * $dNum) div ($dDen * outdeg)").as("c"))
+        .groupBy("id").agg(sum("c").as("s"))
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (when(isSeed, lit(base)).otherwise(lit(0L)) +
+            coalesce(col("s"), lit(0L))).as("rank"))
+        .localCheckpoint()
+      i += 1
+    }
+    ranks
+  }
+
   /** HITS hubs & authorities (Kleinberg, JACM '99) — the directional
     * complement of [[pageRankFixedPoint]]: a node is a good HUB when
     * it links to good authorities and a good AUTHORITY when good hubs

@@ -301,6 +301,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long)].collect().toMap == r)
   }
 
+  test("personalizedPageRank: teleport mass lands only on the seed, " +
+      "hand-computed integer ranks, determinism, guards") {
+    // 1→2, 3→2, 2→1; seeds {1}; scale 1000, d=85/100, base=150
+    // r0: (1000, 0, 0)
+    // iter1: r(1)=150+0=150, r(2)=0+850=850, r(3)=0
+    // iter2: r(1)=150+floor(850*85/100)=872,
+    //        r(2)=0+floor(150*85/100)=127, r(3)=0
+    val e = Seq((1L, 2L), (3L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = GraphOps.personalizedPageRank(e, seeds = Seq(1L), iters = 2,
+      scale = 1000L).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 872L, 2L -> 127L, 3L -> 0L), s"got $r")
+    assert(GraphOps.personalizedPageRank(e, seeds = Seq(1L), iters = 2,
+      scale = 1000L).as[(Long, Long)].collect().toMap == r)
+    // a non-seed component reachable only FROM seeds still accumulates;
+    // one unreachable from seeds stays at exactly 0 (3 above)
+    intercept[IllegalArgumentException] {
+      GraphOps.personalizedPageRank(e, seeds = Seq.empty, iters = 1)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.personalizedPageRank(e, seeds = Seq(1L), iters = 0)
+    }
+  }
+
   test("hits: hand-computed truncating max-normalized rounds, pure " +
       "hub and pure authority land at 0/scale, determinism, guards") {
     // 1→2, 1→3, 2→3; scale 1000.

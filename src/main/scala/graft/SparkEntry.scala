@@ -4822,7 +4822,29 @@ object SparkEntry {
         .filter(col("src") =!= col("dst"))
       graft.ops.GraphOps.personalizedPageRank(e,
         seeds = Seq(0L, 10L, 20L, 30L, 40L), iters = 5).orderBy("id")
-    })
+    }),
+
+    // Lag-k autocorrelation of each event type's hourly count series
+    // (lags 1, 2, 24 over a 256-hour grid): exact centered products
+    // with the n² factors cancelled, one DECIMAL(38) widening for the
+    // ppm scale, constant series null. DuckDB re-derives the grid,
+    // centering, and every quotient.
+    "q313_acf" -> ((s, dir) =>
+      graft.streaming.EventsPipeline.acf(t(s, dir, "events"), "ts",
+        "event_type", gridLen = 256, lags = Seq(1, 2, 24))
+        .orderBy("event_type", "lag")),
+
+    // Wald SPRT replay per event type: H0 p=0.4 vs H1 p=0.6 on
+    // P(value >= 100), alpha = beta = 0.05. The four log constants
+    // arrive as pre-fixed micro literals (ln 1.5 = 0.405465,
+    // ln 19 = 2.944439), so the whole walk is exact integer
+    // arithmetic both engines replay identically.
+    "q314_sprt" -> ((s, dir) =>
+      graft.streaming.EventsPipeline.sprtReplay(t(s, dir, "events"),
+        "event_type", "ts", "event_id", col("value") >= 100.0,
+        lnSuccU6 = 405465L, lnFailU6 = -405465L,
+        upperU6 = 2944439L, lowerU6 = -2944439L)
+        .orderBy("event_type"))
   )
 
   // ---------------------------------------------------------------------
@@ -10682,7 +10704,64 @@ object SparkEntry {
         |  LEFT JOIN outdeg o ON o.src = e0.src
         |  WHERE p.iter < 5
         |  GROUP BY e0.dst, p.iter)
-        |SELECT id, rank FROM pr WHERE iter = 5""".stripMargin
+        |SELECT id, rank FROM pr WHERE iter = 5""".stripMargin,
+
+    "q313_acf" ->
+      """WITH m AS (SELECT CAST(min(epoch_us(ts) // 1000000) AS BIGINT)
+        |    AS t0 FROM events),
+        |cnt AS (SELECT k, h, CAST(count(*) AS BIGINT) AS x FROM (
+        |    SELECT event_type AS k,
+        |      (epoch_us(ts) // 1000000 - m.t0) // 3600 AS h
+        |    FROM events, m)
+        |  WHERE h >= 0 AND h < 256 GROUP BY 1, 2),
+        |keys AS (SELECT DISTINCT k FROM cnt),
+        |grid AS (SELECT keys.k, r.h, COALESCE(cnt.x, 0) AS x
+        |  FROM keys CROSS JOIN (SELECT unnest(range(256)) AS h) r
+        |  LEFT JOIN cnt ON cnt.k = keys.k AND cnt.h = r.h),
+        |st AS (SELECT k, CAST(sum(x) AS BIGINT) AS s
+        |  FROM grid GROUP BY 1),
+        |cg AS MATERIALIZED (SELECT g.k, g.h,
+        |    CAST(256 * g.x - st.s AS BIGINT) AS c
+        |  FROM grid g JOIN st ON st.k = g.k),
+        |den AS (SELECT k, CAST(sum(c * c) AS BIGINT) AS den
+        |  FROM cg GROUP BY 1),
+        |num AS (SELECT a.k, l.lag, CAST(sum(a.c * b.c) AS BIGINT)
+        |    AS num
+        |  FROM (SELECT unnest([1, 2, 24]) AS lag) l, cg a, cg b
+        |  WHERE b.k = a.k AND b.h = a.h - l.lag
+        |  GROUP BY 1, 2)
+        |SELECT n.k AS event_type, CAST(n.lag AS BIGINT) AS lag,
+        |  CAST(CAST(n.num AS HUGEINT) * 1000000 // NULLIF(d.den, 0)
+        |    AS BIGINT) AS acf_ppm
+        |FROM num n JOIN den d ON d.k = n.k
+        |ORDER BY event_type, lag""".stripMargin,
+
+    "q314_sprt" ->
+      """WITH obs AS (SELECT event_type AS k, ts, event_id AS seq,
+        |    CASE WHEN value >= 100.0 THEN 405465 ELSE -405465 END
+        |      AS inc
+        |  FROM events),
+        |walk AS (SELECT k,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts, seq) AS n,
+        |    CAST(SUM(inc) OVER (PARTITION BY k ORDER BY ts, seq
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS llr
+        |  FROM obs),
+        |tot AS (SELECT k, CAST(count(*) AS BIGINT) AS total_n,
+        |    CAST(sum(inc) AS BIGINT) AS final_llr
+        |  FROM obs GROUP BY 1),
+        |crs AS (SELECT k, n, llr,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY n) AS rn
+        |  FROM walk WHERE llr >= 2944439 OR llr <= -2944439),
+        |fc AS (SELECT k, n AS n_cross, llr AS llr_cross
+        |  FROM crs WHERE rn = 1)
+        |SELECT t.k AS event_type,
+        |  CASE WHEN f.n_cross IS NULL THEN 'continue'
+        |       WHEN f.llr_cross >= 2944439 THEN 'accept_h1'
+        |       ELSE 'accept_h0' END AS decision,
+        |  CAST(COALESCE(f.n_cross, t.total_n) AS BIGINT) AS n_obs,
+        |  COALESCE(f.llr_cross, t.final_llr) AS llr_u6
+        |FROM tot t LEFT JOIN fc f ON f.k = t.k
+        |ORDER BY event_type""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -652,6 +652,127 @@ object EventsPipeline {
       .orderBy(abs(col("coef")).desc, col("level"), col("idx"))
       .limit(topK)
     approx.unionByName(top)
+  }
+
+  /** Lag-k autocorrelation (ACF) of each key's hourly event-count
+    * series — the seasonality/memory screen of the series tier
+    * ([[seasonalDecompose]] explains a known period, this one FINDS
+    * the period: a daily-rhythm stream shows acf(24) ≫ acf(1), an
+    * i.i.d. one shows all lags ≈ 0; Box–Jenkins model identification).
+    * Exact fixed point, no float means: with n = gridLen, S = Σx the
+    * per-key total, centered values scale by n (cₜ = n·xₜ − S, an
+    * integer), and
+    *
+    *   acf_ppm(k) = (Σ_{t≥k} cₜ·cₜ₋ₖ) · 10⁶ div (Σ cₜ²)
+    *
+    * — the n² factors cancel, one DECIMAL(38) widening guards the 10⁶
+    * scale (the heapsLaw move), constant series (den = 0) yield null.
+    * Grid t0 is the GLOBAL min timestamp so every key's series aligns;
+    * missing hours are real zeros ([[haarSketch]]'s explicit grid).
+    *
+    * Shape: one (key, hour)-dimension count aggregate, the zero-fill
+    * join against keys×range(gridLen), a broadcast |lags| expansion of
+    * the shifted side, one (key, hour) equi-join, and two key-dimension
+    * aggregates — never a per-key collect, never a window over the
+    * whole series. Overflow: |cₜ| ≤ n·S, so den ≤ n³·S² — at the
+    * default 256-hour grid that holds to S ≈ 10⁹ events per key
+    * pre-widening; the num·10⁶ product is where 2⁶³ actually breaks,
+    * hence the DECIMAL widening. */
+  def acf(events: DataFrame, tsCol: String, keyCol: String,
+      gridLen: Int = 256, lags: Seq[Int] = Seq(1, 2, 24)): DataFrame = {
+    require(gridLen >= 2, s"gridLen must be >= 2, got $gridLen")
+    require(lags.nonEmpty && lags.forall(k => k >= 1 && k < gridLen),
+      s"lags must be non-empty, each in [1, gridLen), got $lags")
+    require(lags.distinct.size == lags.size, s"duplicate lags in $lags")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val m = events.agg(min(unix_timestamp(col(tsCol))).as("t0"))
+    val counts = events.crossJoin(broadcast(m))
+      .select(col(keyCol).as("k"),
+        expr(s"CAST((unix_timestamp($tsCol) - t0) div 3600 AS BIGINT)")
+          .as("h"))
+      .filter(col("h") >= 0 && col("h") < gridLen)
+      .groupBy("k", "h").agg(count(lit(1)).as("x"))
+    val keys = counts.select("k").distinct()
+    val grid = keys
+      .crossJoin(spark.range(gridLen).select(col("id").as("h")))
+      .join(counts, Seq("k", "h"), "left")
+      .select(col("k"), col("h"), coalesce(col("x"), lit(0L)).as("x"))
+    val stats = grid.groupBy("k").agg(sum("x").as("s"))
+    val cg = grid.join(stats, "k")
+      .select(col("k"), col("h"),
+        (lit(gridLen.toLong) * col("x") - col("s")).as("c"))
+      .localCheckpoint()
+    val den = cg.groupBy("k")
+      .agg(sum(col("c") * col("c")).as("den"))
+    val lagTbl = lags.map(_.toLong).toDF("lag")
+    val shifted = cg.crossJoin(broadcast(lagTbl))
+      .select(col("k"), (col("h") + col("lag")).as("h"), col("lag"),
+        col("c").as("cprev"))
+    val num = cg.join(shifted, Seq("k", "h"))
+      .groupBy("k", "lag")
+      .agg(sum(col("c") * col("cprev")).as("num"))
+    num.join(den, "k")
+      .select(col("k").as(keyCol), col("lag"),
+        expr("CAST(CAST(num AS DECIMAL(38,0)) * 1000000 " +
+          "div (CASE WHEN den = 0 THEN NULL ELSE den END) AS BIGINT)")
+          .as("acf_ppm"))
+  }
+
+  /** Wald's SPRT (sequential probability ratio test, Wald 1945) —
+    * the always-valid member of the experiment tier ([[diffInDiff]]
+    * and [[cuped]] analyze a FINISHED experiment; this one replays the
+    * stream and answers "when could we have stopped?"). Each
+    * observation moves a per-key log-likelihood-ratio walk by one of
+    * two micro-fixed increments (success: ln(p1/p0), failure:
+    * ln((1−p1)/(1−p0))), and the walk stops at the FIRST crossing of
+    * the Wald boundaries ln((1−β)/α) / ln(β/(1−α)):
+    *
+    *   decision = accept_h1 at llr ≥ upper, accept_h0 at llr ≤ lower,
+    *              continue (with the final llr) if neither ever hits.
+    *
+    * All four constants arrive as PRE-FIXED micro longs — callers
+    * compute them once (driver-side libm) and the oracle replays the
+    * identical literals, so no transcendental function is ever
+    * evaluated in either engine's data path and the whole replay is
+    * exact integer arithmetic.
+    *
+    * Shape: one per-key ordered running-sum window (ts then seq — the
+    * event-time walk, same discipline as [[cusumFlags]]), a key-
+    * dimension total aggregate, and a first-crossing min on the
+    * (key, n) dimension via a struct min — never a driver loop; keys
+    * are independent, so the walk shards per key. */
+  def sprtReplay(events: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String, success: Column, lnSuccU6: Long, lnFailU6: Long,
+      upperU6: Long, lowerU6: Long): DataFrame = {
+    require(lnSuccU6 > 0 && lnFailU6 < 0,
+      s"need lnSuccU6 > 0 > lnFailU6, got $lnSuccU6/$lnFailU6")
+    require(upperU6 > 0 && lowerU6 < 0,
+      s"need upperU6 > 0 > lowerU6, got $upperU6/$lowerU6")
+    import org.apache.spark.sql.expressions.Window
+    val obs = events.select(col(keyCol).as("k"), col(tsCol).as("ts"),
+      col(seqCol).as("seq"),
+      when(success, lit(lnSuccU6)).otherwise(lit(lnFailU6)).as("inc"))
+    val w = Window.partitionBy("k").orderBy(col("ts"), col("seq"))
+    val walk = obs
+      .withColumn("llr", sum("inc").over(w))
+      .withColumn("n", row_number().over(w))
+    val totals = obs.groupBy("k").agg(count(lit(1)).as("total_n"),
+      sum("inc").as("final_llr"))
+    val firstCross = walk
+      .filter(col("llr") >= upperU6 || col("llr") <= lowerU6)
+      .groupBy("k")
+      .agg(min(struct(col("n"), col("llr"))).as("fc"))
+      .select(col("k"), col("fc.n").as("n_cross"),
+        col("fc.llr").as("llr_cross"))
+    totals.join(firstCross, Seq("k"), "left")
+      .select(col("k").as(keyCol),
+        when(col("n_cross").isNull, lit("continue"))
+          .when(col("llr_cross") >= upperU6, lit("accept_h1"))
+          .otherwise(lit("accept_h0")).as("decision"),
+        coalesce(col("n_cross").cast("long"), col("total_n"))
+          .as("n_obs"),
+        coalesce(col("llr_cross"), col("final_llr")).as("llr_u6"))
   }
 
   /** Holt double exponential smoothing (Holt 1957) — the forecasting

@@ -324,6 +324,72 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("acf: hand 4-point series, exact centered products, negative " +
+      "lag-2 anticorrelation, constant series yields null, guards") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // key a hourly counts [1,2,3,4]: n=4, S=10, c = 4x−S = [−6,−2,2,6],
+    // den = 80; lag1 num = 12−4+12 = 20 → 250000 ppm;
+    // lag2 num = −12−12 = −24 → −300000 ppm.
+    // key b constant [1,1,1,1]: den = 0 → null.
+    val rows = (0 until 4).flatMap(h =>
+      Seq.fill(h + 1)(("a", h.toLong))) ++
+      (0 until 4).map(h => ("b", h.toLong))
+    val df = rows.zipWithIndex.map { case ((k, h), i) =>
+      (i.toLong, k, ts(h * 3600L + 5L))
+    }.toDF("event_id", "event_type", "ts")
+    val got = graft.streaming.EventsPipeline
+      .acf(df, "ts", "event_type", gridLen = 4, lags = Seq(1, 2))
+      .as[(String, Long, Option[Long])].collect().toSet
+    assert(got == Set(("a", 1L, Some(250000L)),
+      ("a", 2L, Some(-300000L)), ("b", 1L, None), ("b", 2L, None)),
+      s"got $got")
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventsPipeline.acf(df, "ts", "event_type",
+        gridLen = 4, lags = Seq(4))
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventsPipeline.acf(df, "ts", "event_type",
+        lags = Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventsPipeline.acf(df, "ts", "event_type",
+        lags = Seq(1, 1))
+    }
+  }
+
+  test("sprtReplay: hand walks hit upper/lower at the FIRST crossing, " +
+      "no-crossing continues with the final llr, guards") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // inc: success +3, fail −2; bounds +5 / −4.
+    // key a  S S F S → llr 3, 6 → crosses upper at n=2 (llr 6).
+    // key b  F F F   → llr −2, −4 → crosses lower at n=2 (llr −4).
+    // key c  S F     → llr 3, 1 → never crosses → continue, llr 1.
+    val rows = Seq(
+      ("a", 0L, 0L, true), ("a", 1L, 1L, true), ("a", 2L, 2L, false),
+      ("a", 3L, 3L, true),
+      ("b", 0L, 4L, false), ("b", 1L, 5L, false), ("b", 2L, 6L, false),
+      ("c", 0L, 7L, true), ("c", 1L, 8L, false))
+    val df = rows.map { case (k, s, q, ok) => (k, ts(s), q, ok) }
+      .toDF("k", "ts", "seq", "ok")
+    val got = graft.streaming.EventsPipeline
+      .sprtReplay(df, "k", "ts", "seq", col("ok"),
+        lnSuccU6 = 3L, lnFailU6 = -2L, upperU6 = 5L, lowerU6 = -4L)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(("a", "accept_h1", 2L, 6L),
+      ("b", "accept_h0", 2L, -4L), ("c", "continue", 2L, 1L)),
+      s"got $got")
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventsPipeline.sprtReplay(df, "k", "ts", "seq",
+        col("ok"), lnSuccU6 = -1L, lnFailU6 = -2L, upperU6 = 5L,
+        lowerU6 = -4L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventsPipeline.sprtReplay(df, "k", "ts", "seq",
+        col("ok"), lnSuccU6 = 3L, lnFailU6 = -2L, upperU6 = 5L,
+        lowerU6 = 1L)
+    }
+  }
+
   test("holtSmoothing: hand level/trend recurrence, SAE accumulation, " +
       "per-key isolation, guards") {
     def ts(s: Long) = new Timestamp(s * 1000L)

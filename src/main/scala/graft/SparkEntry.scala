@@ -4844,7 +4844,19 @@ object SparkEntry {
         "event_type", "ts", "event_id", col("value") >= 100.0,
         lnSuccU6 = 405465L, lnFailU6 = -405465L,
         upperU6 = 2944439L, lowerU6 = -2944439L)
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // AMS/Count-Min join-size estimation on the lineitem l_partkey
+    // self-join (Σ cnt² — the second frequency moment a planner wants
+    // before picking broadcast vs shuffle vs salt): per-row cell inner
+    // products, min estimate, exact size, overestimate ppm, all through
+    // DECIMAL(38) widening. DuckDB re-derives the md5 buckets, both
+    // inner products, and the ppm quotient.
+    "q315_join_size_est" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.ops.Profile.joinSizeEstimate(li, "l_partkey", li, "l_partkey",
+        depth = 4, width = 64).orderBy("hash_row")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -10761,7 +10773,37 @@ object SparkEntry {
         |  CAST(COALESCE(f.n_cross, t.total_n) AS BIGINT) AS n_obs,
         |  COALESCE(f.llr_cross, t.final_llr) AS llr_u6
         |FROM tot t LEFT JOIN fc f ON f.k = t.k
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    "q315_join_size_est" ->
+      """WITH va AS (SELECT CAST(l_partkey AS VARCHAR) AS v
+        |  FROM lineitem WHERE l_partkey IS NOT NULL),
+        |cm AS (SELECT row,
+        |    CAST('0x' || substr(md5(CAST(row AS VARCHAR) || '#' || v),
+        |      1, 8) AS BIGINT) % 64 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM va CROSS JOIN (SELECT unnest(range(4)) AS row)
+        |  GROUP BY 1, 2),
+        |inn AS (SELECT a.row,
+        |    CAST(sum(CAST(a.c AS HUGEINT) * COALESCE(b.c, 0))
+        |      AS HUGEINT) AS ih
+        |  FROM cm a LEFT JOIN cm b
+        |    ON b.row = a.row AND b.bucket = a.bucket
+        |  GROUP BY 1),
+        |est AS (SELECT min(ih) AS eh FROM inn),
+        |kc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM va
+        |  GROUP BY 1),
+        |ex AS (SELECT COALESCE(CAST(sum(CAST(c AS HUGEINT) * c)
+        |    AS HUGEINT), 0) AS xh FROM kc)
+        |SELECT CAST(i.row AS BIGINT) AS hash_row,
+        |  CAST(i.ih AS BIGINT) AS "inner",
+        |  CAST(est.eh AS BIGINT) AS est,
+        |  CAST(ex.xh AS BIGINT) AS exact_size,
+        |  CASE WHEN ex.xh = 0 THEN NULL
+        |       ELSE CAST((est.eh - ex.xh) * 1000000 // ex.xh AS BIGINT)
+        |  END AS over_ppm
+        |FROM inn i, est, ex
+        |ORDER BY hash_row""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

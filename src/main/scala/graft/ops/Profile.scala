@@ -970,6 +970,65 @@ object Profile {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Join-size estimation from Count-Min sketches (the AMS inner-product
+    * estimator, Alon–Gibbons–Matias–Szegedy '99 / Cormode–Muthukrishnan
+    * '05 §4.2): |A ⋈ B| on a key = Σ_k cntA(k)·cntB(k), and the sketch
+    * estimate is min over the depth rows of the cell-wise inner product
+    * Σ_j cmA[i][j]·cmB[i][j] — never an underestimate (colliding keys
+    * only ADD cross terms), within ε·‖A‖₁·‖B‖₁ at confidence 1−δ. This
+    * is the cardinality-estimation primitive a planner wants BEFORE
+    * committing to a join strategy (broadcast vs shuffle vs skew-salt):
+    * two O(depth·width) sketches, buildable per-shard and mergeable
+    * ([[countMinMerge]]), answer the question without touching either
+    * table again.
+    *
+    * Returns one row per sketch row i — (hash_row, inner) — plus the
+    * min estimate, the exact size (Σ over the true key-count join), and
+    * est's overestimate in ppm, repeated on every row so the result is
+    * one flat array-free table. All products and sums widen through
+    * DECIMAL(38,0) before the final BIGINT cast: per-cell counts are
+    * table-sized, so a Long inner product dies at ~3·10⁹ rows per side
+    * while DECIMAL(38) holds to 10¹⁹ — and DuckDB's HUGEINT mirrors it.
+    *
+    * Scale shape: each side is one (row, bucket)-keyed count with
+    * map-side partials into ≤ depth·width cells ([[countMinBuild]]);
+    * the inner product joins two ≤ depth·width-row tables (broadcast);
+    * the exact side is one key-dimension count per table and one
+    * equi-join of the two COUNT tables (key-dimension, never the raw
+    * rows). Nothing driver-side. */
+  def joinSizeEstimate(a: DataFrame, aCol: String, b: DataFrame,
+      bCol: String, depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape $depth x $width")
+    val cmA = countMinBuild(a, aCol, depth, width)
+      .withColumnRenamed("cnt", "ca")
+    val cmB = countMinBuild(b, bCol, depth, width)
+      .withColumnRenamed("cnt", "cb")
+    // left join: a depth row whose cells never collide with B's still
+    // reports inner = 0 (missing B cell = zero counter), so the output
+    // always carries exactly `depth` rows for a non-empty A.
+    val inner = cmA.join(broadcast(cmB), Seq("row", "bucket"), "left")
+      .groupBy("row")
+      .agg(sum(col("ca").cast("decimal(38,0)") *
+        coalesce(col("cb"), lit(0L))).as("inner_dec"))
+    val est = inner.agg(min("inner_dec").as("est_dec"))
+    val ka = a.select(col(aCol).cast("string").as("k"))
+      .filter(col("k").isNotNull).groupBy("k").agg(count(lit(1)).as("ca"))
+    val kb = b.select(col(bCol).cast("string").as("k"))
+      .filter(col("k").isNotNull).groupBy("k").agg(count(lit(1)).as("cb"))
+    val exact = ka.join(kb, "k")
+      .agg(coalesce(sum(col("ca").cast("decimal(38,0)") * col("cb")),
+        lit(0).cast("decimal(38,0)")).as("exact_dec"))
+    inner.crossJoin(broadcast(est)).crossJoin(broadcast(exact))
+      .select(col("row").cast("long").as("hash_row"),
+        col("inner_dec").cast("long").as("inner"),
+        col("est_dec").cast("long").as("est"),
+        col("exact_dec").cast("long").as("exact_size"),
+        when(col("exact_dec") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((est_dec - exact_dec) * 1000000 div exact_dec AS BIGINT)"))
+          .as("over_ppm"))
+  }
+
   private def exactCore(vals: DataFrame, valueCol: String, n: Long,
       threshold: Long, sketchSize: Int): DataFrame = {
     require(threshold > n / (sketchSize + 1),

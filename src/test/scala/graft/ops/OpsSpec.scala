@@ -2418,6 +2418,49 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
       Profile.rfmSegments(flat, "e", "ts", "v", buckets = 1)
     }
   }
+
+  test("joinSizeEstimate: local md5-mirror inner products per row, min " +
+      "estimate, exact size, disjoint sides null ppm, guards") {
+    import java.security.MessageDigest
+    def bucket(row: Int, v: String, width: Int): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"$row#$v".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % width
+    }
+    val depth = 4; val width = 8
+    val aKeys = Seq("x", "x", "y"); val bKeys = Seq("x", "y", "y", "z")
+    val ca = aKeys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cb = bKeys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val inners = (0 until depth).map { r =>
+      val cellsA = ca.groupMapReduce { case (k, _) => bucket(r, k, width) }(
+        _._2)(_ + _)
+      val cellsB = cb.groupMapReduce { case (k, _) => bucket(r, k, width) }(
+        _._2)(_ + _)
+      r.toLong ->
+        cellsA.map { case (bk, c) => c * cellsB.getOrElse(bk, 0L) }.sum
+    }.toMap
+    val est = inners.values.min
+    val exact = 2L * 1L + 1L * 2L // x: 2·1, y: 1·2 = 4
+    val got = Profile.joinSizeEstimate(aKeys.toDF("k"), "k",
+        bKeys.toDF("k"), "k", depth = depth, width = width)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSet
+    val want = (0 until depth).map { r =>
+      (r.toLong, inners(r.toLong), est, exact,
+        Some((est - exact) * 1000000L / exact))
+    }.toSet
+    assert(got == want, s"got $got want $want")
+    // disjoint key spaces: exact = 0 → over_ppm null; est still >= 0
+    val dis = Profile.joinSizeEstimate(Seq("p").toDF("k"), "k",
+        Seq("q").toDF("k"), "k", depth = 2, width = 8)
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+    assert(dis.length == 2 && dis.forall(r => r._4 == 0L && r._5.isEmpty),
+      s"got ${dis.toSeq}")
+    intercept[IllegalArgumentException] {
+      Profile.joinSizeEstimate(aKeys.toDF("k"), "k", bKeys.toDF("k"), "k",
+        depth = 0, width = 8)
+    }
+  }
 }
 
 class TokenizerSpec extends AnyFunSuite with SparkTestBase {

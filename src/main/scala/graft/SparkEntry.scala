@@ -4856,7 +4856,43 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
       graft.ops.Profile.joinSizeEstimate(li, "l_partkey", li, "l_partkey",
         depth = 4, width = 64).orderBy("hash_row")
-    })
+    }),
+
+    // Workload-level zone-map pruning audit on orders: linear-by-custkey
+    // vs Z-order(custkey, price) range-sharded into 16 files, scored
+    // against a 4-predicate box workload — files read, rows scanned,
+    // exact matches, prune/amplification ppm. DuckDB re-derives the
+    // Morton keys, the global ranks, every zone, and both quotients.
+    "q316_pruning_audit" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        expr("CAST(round(o_totalprice) AS BIGINT)").as("price_d"))
+      val preds = Seq(
+        (0L, 10L, 25L, 0L, 1000000L),
+        (1L, 0L, 10000000L, 50000L, 100000L),
+        (2L, 10L, 100L, 50000L, 150000L),
+        (3L, 0L, 400L, 0L, 200000L)
+      ).toDF("pred_id", "x_lo", "x_hi", "y_lo", "y_hi")
+      graft.ops.Layout.pruningAudit(o, "o_custkey", "price_d",
+        "o_orderkey",
+        Seq("linear_x" -> col("o_custkey"),
+          "zorder" -> graft.ops.Layout.zValue(col("o_custkey"),
+            col("price_d"), bits = 21)),
+        preds, nFiles = 16)
+        .orderBy("layout", "pred_id")
+    }),
+
+    // Salting planner simulation on the events stream: per-key salt
+    // factors bounding any sub-key at 500 rows, then per-partition
+    // loads before/after over a 16-partition md5-bucketed shuffle —
+    // empty partitions report 0 (they ARE the skew signal). DuckDB
+    // re-derives the histogram, factors, exact share splits, and both
+    // load tables.
+    "q317_salt_plan" -> ((s, dir) =>
+      graft.ops.Skew.saltPlanLoads(t(s, dir, "events"), "event_type",
+        partitions = 16, maxRows = 500L)
+        .orderBy("partition"))
   )
 
   // ---------------------------------------------------------------------
@@ -10803,7 +10839,86 @@ object SparkEntry {
         |       ELSE CAST((est.eh - ex.xh) * 1000000 // ex.xh AS BIGINT)
         |  END AS over_ppm
         |FROM inn i, est, ex
-        |ORDER BY hash_row""".stripMargin
+        |ORDER BY hash_row""".stripMargin,
+
+    "q316_pruning_audit" ->
+      """WITH base AS (SELECT o_orderkey AS id, o_custkey AS x,
+        |    CAST(round(o_totalprice) AS BIGINT) AS y FROM orders),
+        |preds(pred_id, x_lo, x_hi, y_lo, y_hi) AS (VALUES
+        |  (0, 10, 25, 0, 1000000),
+        |  (1, 0, 10000000, 50000, 100000),
+        |  (2, 10, 100, 50000, 150000),
+        |  (3, 0, 400, 0, 200000)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        |lay AS (
+        |  SELECT 'linear_x' AS layout, id, x, y, x AS k FROM base
+        |  UNION ALL
+        |  SELECT 'zorder', id, x, y,
+        |    (SELECT CAST(SUM((((x >> i) & 1) << (2*i)) +
+        |                     (((y >> i) & 1) << (2*i + 1))) AS BIGINT)
+        |     FROM range(21) t(i))
+        |  FROM base),
+        |ranked AS (SELECT layout, x, y,
+        |    ROW_NUMBER() OVER (PARTITION BY layout ORDER BY k, id)
+        |      AS rn
+        |  FROM lay),
+        |zones AS MATERIALIZED (SELECT layout,
+        |    (rn - 1) * 16 // nn.n AS file,
+        |    min(x) AS xmn, max(x) AS xmx, min(y) AS ymn, max(y) AS ymx,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM ranked, nn GROUP BY 1, 2),
+        |ft AS (SELECT layout, CAST(count(*) AS BIGINT) AS files_total
+        |  FROM zones GROUP BY 1),
+        |lp AS (SELECT f.layout, p.pred_id, p.x_lo, p.x_hi, p.y_lo,
+        |    p.y_hi, f.files_total
+        |  FROM ft f CROSS JOIN preds p),
+        |rd AS (SELECT lp.layout, lp.pred_id, lp.files_total,
+        |    CAST(count(z.file) AS BIGINT) AS files_read,
+        |    CAST(COALESCE(sum(z.n_rows), 0) AS BIGINT) AS rows_scanned
+        |  FROM lp LEFT JOIN zones z ON z.layout = lp.layout
+        |    AND z.xmx >= lp.x_lo AND z.xmn <= lp.x_hi
+        |    AND z.ymx >= lp.y_lo AND z.ymn <= lp.y_hi
+        |  GROUP BY 1, 2, 3),
+        |mt AS (SELECT p.pred_id,
+        |    CAST(count(b.id) AS BIGINT) AS rows_matched
+        |  FROM preds p LEFT JOIN base b
+        |    ON b.x BETWEEN p.x_lo AND p.x_hi
+        |    AND b.y BETWEEN p.y_lo AND p.y_hi
+        |  GROUP BY 1)
+        |SELECT rd.layout, CAST(rd.pred_id AS BIGINT) AS pred_id,
+        |  rd.files_total, rd.files_read, rd.rows_scanned,
+        |  mt.rows_matched,
+        |  (rd.files_total - rd.files_read) * 1000000 // rd.files_total
+        |    AS prune_ppm,
+        |  CASE WHEN mt.rows_matched = 0 THEN NULL
+        |       ELSE rd.rows_scanned * 1000000 // mt.rows_matched
+        |  END AS amp_ppm
+        |FROM rd JOIN mt ON mt.pred_id = rd.pred_id
+        |ORDER BY layout, pred_id""".stripMargin,
+
+    "q317_salt_plan" ->
+      """WITH kc AS (SELECT CAST(event_type AS VARCHAR) AS k,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |plan AS (SELECT k, cnt, (cnt + 499) // 500 AS s FROM kc),
+        |bef AS (SELECT
+        |    CAST('0x' || substr(md5(k), 1, 8) AS BIGINT) % 16 AS p,
+        |    CAST(sum(cnt) AS BIGINT) AS lb
+        |  FROM plan GROUP BY 1),
+        |reps AS (SELECT k, cnt, s, unnest(range(s)) AS i FROM plan),
+        |aft AS (SELECT
+        |    CAST('0x' || substr(md5(k || '#' || CAST(i AS VARCHAR)),
+        |      1, 8) AS BIGINT) % 16 AS p,
+        |    CAST(sum(cnt // s +
+        |      CASE WHEN i < cnt % s THEN 1 ELSE 0 END) AS BIGINT) AS la
+        |  FROM reps GROUP BY 1)
+        |SELECT r.p AS partition,
+        |  COALESCE(b.lb, 0) AS load_before,
+        |  COALESCE(a.la, 0) AS load_after
+        |FROM (SELECT unnest(range(16)) AS p) r
+        |LEFT JOIN bef b ON b.p = r.p
+        |LEFT JOIN aft a ON a.p = r.p
+        |ORDER BY partition""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -361,4 +361,92 @@ object Layout {
       .reduceOption(_ + _).getOrElse(lit(0L))
     df.withColumn("shard", shard)
   }
+
+  /** Workload-level zone-map pruning audit — the question a table
+    * OPTIMIZE job actually has to answer: "for THIS predicate workload,
+    * which physical layout prunes more?" [[clusteringDepth]] scores a
+    * layout in the abstract; this one simulates it against real
+    * predicates. For each candidate layout (name, sort key): rows are
+    * range-sharded into `nFiles` files in key order (the write order a
+    * `sortBy(key)` table rewrite would produce), each file's 2-d zone
+    * — min/max of `xCol` and `yCol` — is computed, and each box
+    * predicate in `preds` (pred_id, x_lo, x_hi, y_lo, y_hi, inclusive)
+    * must read exactly the files whose zone overlaps its box. Returns
+    * one row per (layout, pred_id):
+    *
+    *   files_total, files_read, rows_scanned (Σ rows of read files),
+    *   rows_matched (exact — layout-independent),
+    *   prune_ppm  = (files_total − files_read)·10⁶ div files_total,
+    *   amp_ppm    = rows_scanned·10⁶ div rows_matched (null when 0) —
+    *                read amplification, the cost of loose zones.
+    *
+    * A linear layout on x prunes x-slices and nothing else; a
+    * space-filling-curve key ([[zValue]]/[[hilbertValue]]) trades a
+    * little x-tightness for bounded zones on BOTH dimensions — this
+    * audit is how you see that trade in numbers before rewriting 100 TB.
+    *
+    * Scale shape: per layout, one [[globalRowNumber]] pass (range
+    * exchange + one long per partition on the driver — its documented
+    * contract), one file-dimension zone aggregate (≤ nFiles rows), a
+    * broadcast preds × zones overlap join on the MANIFEST (never data
+    * rows), and ONE shared broadcast preds × data pass for the exact
+    * match counts. `idCol` breaks sort ties so file assignment is
+    * run-independent. */
+  def pruningAudit(df: DataFrame, xCol: String, yCol: String,
+      idCol: String, layouts: Seq[(String, Column)], preds: DataFrame,
+      nFiles: Int): DataFrame = {
+    require(nFiles >= 2, s"nFiles must be >= 2, got $nFiles")
+    require(layouts.nonEmpty, "need at least one layout")
+    require(layouts.map(_._1).distinct.size == layouts.size,
+      s"duplicate layout names in ${layouts.map(_._1)}")
+    val base = df.select(col(idCol).as("__id"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val p = broadcast(preds.select(col("pred_id").cast("long").as("pred_id"),
+      col("x_lo").cast("long").as("x_lo"), col("x_hi").cast("long").as("x_hi"),
+      col("y_lo").cast("long").as("y_lo"), col("y_hi").cast("long").as("y_hi")))
+    // inner-join the data against the broadcast preds, then re-attach
+    // zero-match preds from the preds side — a LEFT join from the tiny
+    // side would force a nested-loop build over the DATA table.
+    val hits = base.join(p,
+        col("__x") >= col("x_lo") && col("__x") <= col("x_hi") &&
+        col("__y") >= col("y_lo") && col("__y") <= col("y_hi"))
+      .groupBy("pred_id").agg(count(lit(1)).as("rm"))
+    val matched = p.select("pred_id").join(hits, Seq("pred_id"), "left")
+      .select(col("pred_id"),
+        coalesce(col("rm"), lit(0L)).as("rows_matched"))
+    val n = base.count()
+    require(n > 0, "pruningAudit over an empty table")
+    val perLayout = layouts.map { case (name, key) =>
+      val ranked = globalRowNumber(
+        df.select(col(idCol).as("__id"), col(xCol).cast("long").as("__x"),
+          col(yCol).cast("long").as("__y"), key.as("__k")),
+        Seq("__k", "__id"), 0)
+      val zones = ranked
+        .withColumn("file", expr(s"(rn - 1) * $nFiles div ${n}L"))
+        .groupBy("file")
+        .agg(min("__x").as("xmn"), max("__x").as("xmx"),
+          min("__y").as("ymn"), max("__y").as("ymx"),
+          count(lit(1)).as("n_rows"))
+      val filesTotal = zones.agg(count(lit(1)).as("files_total"))
+      p.join(zones,
+          col("xmx") >= col("x_lo") && col("xmn") <= col("x_hi") &&
+          col("ymx") >= col("y_lo") && col("ymn") <= col("y_hi"), "left")
+        .groupBy("pred_id")
+        .agg(count(col("file")).as("files_read"),
+          coalesce(sum("n_rows"), lit(0L)).as("rows_scanned"))
+        .crossJoin(broadcast(filesTotal))
+        .select(lit(name).as("layout"), col("pred_id"), col("files_total"),
+          col("files_read"), col("rows_scanned"))
+    }
+    perLayout.reduce(_ unionByName _)
+      .join(broadcast(matched), "pred_id")
+      .select(col("layout"), col("pred_id"), col("files_total"),
+        col("files_read"), col("rows_scanned"), col("rows_matched"),
+        expr("CAST((files_total - files_read) * 1000000 div files_total" +
+          " AS BIGINT)").as("prune_ppm"),
+        when(col("rows_matched") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(rows_scanned * 1000000 div rows_matched AS BIGINT)"))
+          .as("amp_ppm"))
+  }
 }

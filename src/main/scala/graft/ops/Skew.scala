@@ -98,4 +98,65 @@ object Skew {
     * spreading — its partial aggregate is one row either way). */
   private def contentSalt(cols: Seq[Column], saltBuckets: Int): Column =
     pmod(xxhash64(cols: _*), lit(saltBuckets.toLong))
+
+  /** Engine-portable partition bucket: first 8 hex chars of md5(v),
+    * mod `partitions` — md5-derived (the [[Profile]] cmBucket
+    * discipline) so Spark, DuckDB, and any planner reading the plan
+    * table place every key in the SAME simulated partition. */
+  private def mdBucket(v: Column, partitions: Int): Column =
+    conv(substring(md5(v.cast("binary")), 1, 8), 16, 10)
+      .cast("long") % partitions
+
+  /** The salting PLANNER the executors above assume someone ran: per
+    * key, its row count and the salt factor that bounds any one
+    * sub-key at `maxRows` rows — `ceil(cnt / maxRows)` (1 = cold, no
+    * split). This is AQE's skewedPartitionFactor decision surfaced as
+    * a queryable table: compute it on yesterday's key histogram, feed
+    * the hot list to [[saltedJoin]]/[[saltedSum]] today. One
+    * key-dimension aggregate; nothing driver-side. */
+  def saltPlan(df: DataFrame, keyCol: String, maxRows: Long): DataFrame = {
+    require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
+    df.select(col(keyCol).cast("string").as("k")).filter(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .withColumn("salt_factor",
+        expr(s"(cnt + ${maxRows - 1}L) div ${maxRows}L"))
+  }
+
+  /** What the [[saltPlan]] buys, in numbers: per simulated shuffle
+    * partition, the row load BEFORE salting (every key hashed whole)
+    * and AFTER (each hot key split into salt_factor sub-keys "k#i",
+    * replica i carrying cnt div s + (i < cnt mod s) rows — the exact
+    * share split, no remainder lost). A planner compares max loads and
+    * decides whether the rewrite pays; the md5 bucketing makes the
+    * whole simulation re-derivable by any engine.
+    *
+    * Scale shape: the key histogram is one aggregate; the replica
+    * expansion is plan-dimension (Σ salt factors rows, bounded by
+    * n/maxRows + #keys); loads are partition-dimension sums against a
+    * broadcast range(partitions) spine — empty partitions report 0,
+    * they are exactly the skew signal. */
+  def saltPlanLoads(df: DataFrame, keyCol: String, partitions: Int,
+      maxRows: Long): DataFrame = {
+    require(partitions >= 2, s"partitions must be >= 2, got $partitions")
+    val spark = df.sparkSession
+    val plan = saltPlan(df, keyCol, maxRows)
+    val before = plan
+      .select(mdBucket(col("k"), partitions).as("partition"), col("cnt"))
+      .groupBy("partition").agg(sum("cnt").as("lb"))
+    val after = plan
+      .select(col("k"), col("cnt"), col("salt_factor"),
+        explode(sequence(lit(0L), col("salt_factor") - 1)).as("i"))
+      .select(
+        mdBucket(concat_ws("#", col("k"), col("i")), partitions)
+          .as("partition"),
+        expr("cnt div salt_factor + " +
+          "CASE WHEN i < cnt % salt_factor THEN 1 ELSE 0 END").as("share"))
+      .groupBy("partition").agg(sum("share").as("la"))
+    spark.range(partitions).select(col("id").as("partition"))
+      .join(before, Seq("partition"), "left")
+      .join(after, Seq("partition"), "left")
+      .select(col("partition"),
+        coalesce(col("lb"), lit(0L)).as("load_before"),
+        coalesce(col("la"), lit(0L)).as("load_after"))
+  }
 }

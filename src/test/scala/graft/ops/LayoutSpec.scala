@@ -303,4 +303,42 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
       Layout.hilbertValue(col("x"), col("y"), bits = 0)
     }
   }
+
+  test("pruningAudit: 4x4 grid — zorder prunes the y-slice linear " +
+      "can't, the x-slice trade is visible, empty box yields null amp, " +
+      "guards") {
+    val rows = for { x <- 0 until 4; y <- 0 until 4 }
+      yield ((x * 4 + y).toLong, x.toLong, y.toLong)
+    val df = rows.toDF("id", "x", "y")
+    val preds = Seq(
+      (0L, 0L, 3L, 0L, 1L),   // y-slice: zorder halves the read set
+      (1L, 1L, 1L, 0L, 3L),   // x-slice: linear's native win
+      (2L, 10L, 20L, 0L, 3L)  // empty box
+    ).toDF("pred_id", "x_lo", "x_hi", "y_lo", "y_hi")
+    val got = Layout.pruningAudit(df, "x", "y", "id",
+        Seq("linear_x" -> col("x"),
+          "zorder" -> Layout.zValue(col("x"), col("y"), bits = 2)),
+        preds, nFiles = 4)
+      .as[(String, Long, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().toSet
+    val want = Set(
+      ("linear_x", 0L, 4L, 4L, 16L, 8L, 0L, Some(2000000L)),
+      ("linear_x", 1L, 4L, 1L, 4L, 4L, 750000L, Some(1000000L)),
+      ("linear_x", 2L, 4L, 0L, 0L, 0L, 1000000L, None),
+      ("zorder", 0L, 4L, 2L, 8L, 8L, 500000L, Some(1000000L)),
+      ("zorder", 1L, 4L, 2L, 8L, 4L, 500000L, Some(2000000L)),
+      ("zorder", 2L, 4L, 0L, 0L, 0L, 1000000L, None))
+    assert(got == want, s"got $got")
+    intercept[IllegalArgumentException] {
+      Layout.pruningAudit(df, "x", "y", "id", Seq("a" -> col("x")),
+        preds, nFiles = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.pruningAudit(df, "x", "y", "id", Seq.empty, preds, 4)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.pruningAudit(df, "x", "y", "id",
+        Seq("a" -> col("x"), "a" -> col("y")), preds, 4)
+    }
+  }
 }

@@ -52,4 +52,38 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
       Skew.joinFanoutAudit(left, "k", right, "k2", 0)
     }
   }
+
+  test("saltPlan/saltPlanLoads: hand factors, exact share split, " +
+      "md5-mirrored partition loads with zero-filled spine, guards") {
+    import java.security.MessageDigest
+    def bucket(v: String, p: Int): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % p
+    }
+    val df = (Seq.fill(7)("a") ++ Seq.fill(2)("b")).toDF("k")
+    val plan = Skew.saltPlan(df, "k", maxRows = 3L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(plan == Set(("a", 7L, 3L), ("b", 2L, 1L)), s"got $plan")
+    // shares: a → [3, 2, 2] (7 div 3 = 2, first 7 mod 3 = 1 replica +1);
+    // b (cold) → one replica "b#0" carrying all 2. Every key re-buckets
+    // under "k#i" — that IS the salted shuffle's hash input.
+    val wantBefore = Seq("a" -> 7L, "b" -> 2L)
+      .groupMapReduce { case (k, _) => bucket(k, 4) }(_._2)(_ + _)
+    val wantAfter = Seq("a#0" -> 3L, "a#1" -> 2L, "a#2" -> 2L, "b#0" -> 2L)
+      .groupMapReduce { case (k, _) => bucket(k, 4) }(_._2)(_ + _)
+    val want = (0 until 4).map(p => (p.toLong,
+      wantBefore.getOrElse(p.toLong, 0L),
+      wantAfter.getOrElse(p.toLong, 0L))).toSet
+    val got = Skew.saltPlanLoads(df, "k", partitions = 4, maxRows = 3L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want, s"got $got want $want")
+    // load conservation: both columns sum to the row count
+    assert(got.toSeq.map(_._2).sum == 9L && got.toSeq.map(_._3).sum == 9L)
+    intercept[IllegalArgumentException] { Skew.saltPlan(df, "k", 0L) }
+    intercept[IllegalArgumentException] {
+      Skew.saltPlanLoads(df, "k", partitions = 1, maxRows = 3L)
+    }
+  }
 }

@@ -4892,7 +4892,22 @@ object SparkEntry {
     "q317_salt_plan" -> ((s, dir) =>
       graft.ops.Skew.saltPlanLoads(t(s, dir, "events"), "event_type",
         partitions = 16, maxRows = 500L)
-        .orderBy("partition"))
+        .orderBy("partition")),
+
+    // High-entropy secret scan over documents, each doc carrying one
+    // planted md5-hex "credential" (32 chars over 16 symbols, entropy
+    // straddling the 2.6-nat threshold — some flag, some don't: the
+    // discrimination is the point). Per doc: candidate/flagged counts
+    // + top flagged token. DuckDB replays the identical lnU6 literals,
+    // every entropy quotient, and the tie-broken top pick.
+    "q318_secret_scan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          md5(col("doc_id").cast("string"))).as("t"))
+      graft.ops.TextAnalysis.secretScan(docs, "doc_id", "t",
+        minLen = 16, maxLen = 256, thresholdU6 = 2600000L)
+        .orderBy("doc_id")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -10918,7 +10933,54 @@ object SparkEntry {
         |FROM (SELECT unnest(range(16)) AS p) r
         |LEFT JOIN bef b ON b.p = r.p
         |LEFT JOIN aft a ON a.p = r.p
-        |ORDER BY partition""".stripMargin
+        |ORDER BY partition""".stripMargin,
+
+    "q318_secret_scan" -> {
+      // The SAME lnU6 literals the Spark side broadcasts (driver-side
+      // libm, rounded once) — no transcendental in either data path.
+      val lnVals = (1 to 256)
+        .map(n => s"($n, ${math.round(math.log(n) * 1e6)})")
+        .mkString(", ")
+      s"""WITH lnt(n, ln_u6) AS (VALUES $lnVals),
+        |docs AS (SELECT doc_id,
+        |    text || ' ' || md5(CAST(doc_id AS VARCHAR)) AS t
+        |  FROM documents),
+        |cand AS (SELECT doc_id, tok FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(t, '\\s+')) AS tok
+        |    FROM docs)
+        |  WHERE len(tok) BETWEEN 16 AND 256
+        |    AND regexp_matches(tok, '^[A-Za-z0-9+/=_-]+$$')),
+        |toks AS (SELECT DISTINCT tok FROM cand),
+        |cc AS (SELECT tok, substr(tok, CAST(i + 1 AS INT), 1) AS ch,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT tok, unnest(range(len(tok))) AS i FROM toks)
+        |  GROUP BY 1, 2),
+        |sums AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS l,
+        |    CAST(sum(cnt * lc.ln_u6) AS BIGINT) AS slc
+        |  FROM cc JOIN lnt lc ON lc.n = cc.cnt GROUP BY 1),
+        |ent AS (SELECT tok,
+        |    CAST((l * ll.ln_u6 - slc) // l AS BIGINT) AS entropy_u6
+        |  FROM sums JOIN lnt ll ON ll.n = sums.l),
+        |j AS (SELECT c.doc_id, c.tok, e.entropy_u6,
+        |    e.entropy_u6 >= 2600000 AS flag
+        |  FROM cand c JOIN ent e ON e.tok = c.tok),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+        |    CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_flagged
+        |  FROM j GROUP BY 1),
+        |top AS (SELECT doc_id, tok AS top_token,
+        |    entropy_u6 AS top_entropy_u6
+        |  FROM (SELECT doc_id, tok, entropy_u6, ROW_NUMBER() OVER (
+        |      PARTITION BY doc_id
+        |      ORDER BY entropy_u6 DESC, tok DESC) AS rn
+        |    FROM j WHERE flag)
+        |  WHERE rn = 1)
+        |SELECT a.doc_id, a.n_candidates, a.n_flagged,
+        |  t.top_token, t.top_entropy_u6
+        |FROM agg a LEFT JOIN top t ON t.doc_id = a.doc_id
+        |ORDER BY a.doc_id""".stripMargin
+    }
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

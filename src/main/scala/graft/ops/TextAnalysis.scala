@@ -1663,4 +1663,70 @@ object TextAnalysis {
         .flatMap(w => wordPieceWord(w, set, maxLen))
     }
   }
+
+  /** High-entropy secret/credential scan — the scrubbing gate a
+    * training corpus passes before release (leaked API keys and tokens
+    * memorize verbatim; the standard screen — detect-secrets,
+    * truffleHog's entropy pass — is exactly this shape): a token is a
+    * CANDIDATE if it is credential-shaped (`[A-Za-z0-9+/=_-]+`, length
+    * in [minLen, maxLen]), and FLAGGED if its character-level Shannon
+    * entropy clears `thresholdU6` micro-nats. Prose and identifiers sit
+    * ≈ 2 nats; random base62/base64 material approaches ln(min(L, 62)).
+    *
+    * Exact fixed point: H·10⁶ = (Σ_c cnt_c·(lnU6(L) − lnU6(cnt_c)))
+    * div L, with lnU6(n) = round(ln n · 10⁶) drawn from a broadcast
+    * 1..maxLen lookup built ONCE driver-side (the [[graft.streaming
+    * .EventsPipeline.sprtReplay]] discipline: no transcendental ever
+    * evaluates in either engine's data path, so the oracle replays the
+    * identical literals). Per doc: candidate/flagged counts and the
+    * top flagged token by (entropy, token) — deterministic.
+    *
+    * Scale shape: entropy computes once per DISTINCT token (the
+    * token-dimension, not the occurrence stream), chars explode only
+    * off that distinct table (≤ maxLen rows per token), and occurrences
+    * join back on the token dimension. Docs with no candidate emit no
+    * row (the table would otherwise be corpus-sized for a gate that
+    * fires rarely). */
+  def secretScan(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 16, maxLen: Int = 256,
+      thresholdU6: Long = 2700000L): DataFrame = {
+    require(minLen >= 2 && maxLen >= minLen,
+      s"need 2 <= minLen <= maxLen, got $minLen/$maxLen")
+    require(thresholdU6 > 0, s"thresholdU6 must be > 0, got $thresholdU6")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lnTbl = broadcast((1 to maxLen)
+      .map(n => (n.toLong, math.round(math.log(n) * 1e6)))
+      .toDF("n", "ln_u6"))
+    val cand = df
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), "\\s+")).as("tok"))
+      .filter(length(col("tok")) >= minLen &&
+        length(col("tok")) <= maxLen &&
+        col("tok").rlike("^[A-Za-z0-9+/=_-]+$"))
+    val toks = cand.select("tok").distinct()
+    val ent = toks
+      .select(col("tok"), explode(split(col("tok"), "")).as("ch"))
+      .groupBy("tok", "ch").agg(count(lit(1)).as("cnt"))
+      .join(lnTbl.withColumnRenamed("ln_u6", "ln_cnt"),
+        col("cnt") === col("n")).drop("n")
+      .groupBy("tok")
+      .agg(sum(col("cnt") * (lit(0L) - col("ln_cnt"))).as("s"),
+        sum("cnt").as("len"))
+      .join(lnTbl.withColumnRenamed("ln_u6", "ln_len"),
+        col("len") === col("n")).drop("n")
+      .select(col("tok"),
+        expr("CAST((s + len * ln_len) div len AS BIGINT)")
+          .as("entropy_u6"))
+    cand.join(ent, "tok")
+      .withColumn("flag", col("entropy_u6") >= thresholdU6)
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("flag"), 1L).otherwise(0L)).as("n_flagged"),
+        max(when(col("flag"),
+          struct(col("entropy_u6"), col("tok")))).as("top"))
+      .select(col(idCol), col("n_candidates"), col("n_flagged"),
+        col("top.tok").as("top_token"),
+        col("top.entropy_u6").as("top_entropy_u6"))
+  }
 }

@@ -3043,4 +3043,32 @@ class TokenizerSpec extends AnyFunSuite with SparkTestBase {
     assert(Similarity.labelConflictAudit(even, "vec_id", "embedding",
       "label", threshold = 0.9).count() == 2L)
   }
+
+  test("secretScan: zero-entropy run unflagged, 17-distinct-char token " +
+      "flagged at exactly lnU6(17), ln2 mixed token, shape/length " +
+      "filters, no-candidate doc absent, guards") {
+    val hi = "bcdefghijklmnopqr"        // 17 distinct chars → H = ln 17
+    val lo = "aaaaaaaaaaaaaaaa"         // 16× 'a' → H = 0
+    val mid = "aabbaabbaabbaabb"        // 8a 8b → H = ln 2
+    val df = Seq(
+      (1L, s"$lo $hi $mid zz short!!!!!!!!!!!!!!!"),
+      (2L, "no secrets here at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.secretScan(df, "doc_id", "text",
+        minLen = 16, maxLen = 256, thresholdU6 = 2600000L)
+      .as[(Long, Long, Long, Option[String], Option[Long])]
+      .collect().toSet
+    val ln17 = math.round(math.log(17) * 1e6)  // 2833213
+    val ln2 = math.round(math.log(16) * 1e6) -
+      math.round(math.log(8) * 1e6)            // 693147
+    assert(ln17 == 2833213L && ln2 == 693147L)
+    // "short!!!!!!!!!!!!!!!" is 20 chars but '!' breaks the shape;
+    // "zz" is under minLen; doc 2 has no candidate → absent.
+    assert(got == Set((1L, 3L, 1L, Some(hi), Some(ln17))), s"got $got")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.secretScan(df, "doc_id", "text", minLen = 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.secretScan(df, "doc_id", "text", thresholdU6 = 0L)
+    }
+  }
 }

@@ -4907,6 +4907,24 @@ object SparkEntry {
       graft.ops.TextAnalysis.secretScan(docs, "doc_id", "t",
         minLen = 16, maxLen = 256, thresholdU6 = 2600000L)
         .orderBy("doc_id")
+    }),
+
+    // Grid-DBSCAN over four planted md5-jittered blobs (+ a sparse
+    // shifted stray strip) derived from part keys: density clustering
+    // with explicit noise, the arbitrary-shape complement of k-means.
+    // Every role and min-label cluster id is re-derived by DuckDB from
+    // the identical point construction.
+    "q319_grid_dbscan" -> ((s, dir) => {
+      def j(tag: String) =
+        conv(substring(md5(concat_ws("#", lit(tag),
+          col("p_partkey").cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 400
+      val pts = t(s, dir, "part").select(col("p_partkey").as("pid"),
+        (expr("(p_partkey % 4) % 2 * 1000") + j("x") +
+          when(col("p_partkey") % 97 === 0, 460L).otherwise(0L)).as("x"),
+        (expr("(p_partkey % 4) div 2 * 1000") + j("y")).as("y"))
+      graft.ops.Similarity.gridDbscan(pts, "pid", "x", "y",
+        eps = 25L, minPts = 4).orderBy("pid")
     })
   )
 
@@ -10980,7 +10998,51 @@ object SparkEntry {
         |  t.top_token, t.top_entropy_u6
         |FROM agg a LEFT JOIN top t ON t.doc_id = a.doc_id
         |ORDER BY a.doc_id""".stripMargin
-    }
+    },
+
+    "q319_grid_dbscan" ->
+      """WITH RECURSIVE pts AS MATERIALIZED (SELECT p_partkey AS pid,
+        |    (p_partkey % 4) % 2 * 1000
+        |      + CAST('0x' || substr(md5('x#' ||
+        |          CAST(p_partkey AS VARCHAR)), 1, 8) AS BIGINT) % 400
+        |      + CASE WHEN p_partkey % 97 = 0 THEN 460 ELSE 0 END AS x,
+        |    (p_partkey % 4) // 2 * 1000
+        |      + CAST('0x' || substr(md5('y#' ||
+        |          CAST(p_partkey AS VARCHAR)), 1, 8) AS BIGINT) % 400
+        |      AS y
+        |  FROM part),
+        |nbrs AS MATERIALIZED (SELECT a.pid AS id1, b.pid AS id2
+        |  FROM pts a JOIN pts b ON b.pid <> a.pid
+        |    AND (a.x - b.x) * (a.x - b.x)
+        |      + (a.y - b.y) * (a.y - b.y) <= 625),
+        |deg AS (SELECT id1 AS id, CAST(count(*) AS BIGINT) AS others
+        |  FROM nbrs GROUP BY 1),
+        |roles AS MATERIALIZED (SELECT p.pid AS id,
+        |    COALESCE(d.others, 0) + 1 >= 4 AS is_core
+        |  FROM pts p LEFT JOIN deg d ON d.id = p.pid),
+        |sym AS MATERIALIZED (SELECT n.id1 AS src, n.id2 AS dst
+        |  FROM nbrs n
+        |  JOIN roles r1 ON r1.id = n.id1 AND r1.is_core
+        |  JOIN roles r2 ON r2.id = n.id2 AND r2.is_core),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |walk(id, comp) AS (SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.src, w.comp FROM sym s JOIN walk w ON s.dst = w.id),
+        |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY 1),
+        |corec AS MATERIALIZED (SELECT r.id,
+        |    COALESCE(c.comp, r.id) AS cluster
+        |  FROM roles r LEFT JOIN cc c ON c.id = r.id WHERE r.is_core),
+        |bord AS (SELECT n.id1 AS id, min(k.cluster) AS bcluster
+        |  FROM nbrs n JOIN corec k ON k.id = n.id2 GROUP BY 1)
+        |SELECT r.id AS pid,
+        |  CASE WHEN r.is_core THEN 'core'
+        |       WHEN b.bcluster IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  CASE WHEN r.is_core THEN k.cluster
+        |       ELSE b.bcluster END AS cluster
+        |FROM roles r LEFT JOIN corec k ON k.id = r.id
+        |LEFT JOIN bord b ON b.id = r.id
+        |ORDER BY r.id""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

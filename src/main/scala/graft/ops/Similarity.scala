@@ -1785,4 +1785,93 @@ object Similarity {
         when(col("dist2") * col("n_c") > lit(factor.toLong) * col("sum_c"),
           1L).otherwise(0L).as("flagged"))
   }
+
+  /** Grid-accelerated DBSCAN (Ester et al. KDD'96) over 2-d integer
+    * points — the DENSITY member of the clustering tier: [[kMeans]]
+    * partitions everything into k Voronoi cells; DBSCAN finds clusters
+    * of arbitrary shape, does not need k, and names NOISE explicitly
+    * (for a data pipeline: blob detection over (feature, feature)
+    * scatter where the stragglers are the finding). Semantics follow
+    * the classic definition with self-inclusive neighborhoods (as
+    * sklearn): core iff |{q : d(p,q) ≤ eps}| ≥ minPts counting p
+    * itself; clusters are connected components of core–core eps-edges;
+    * a border point joins its MINIMUM-id neighboring core's cluster
+    * (deterministic, where the textbook's "first discoverer" is
+    * scan-order-dependent); everything else is noise.
+    *
+    * All-pairs is never formed: each point hashes to an eps-sized grid
+    * cell, candidates come from the 3×3 neighboring cells (a 9-way
+    * broadcast-literal explode + one cell-keyed equi-join), and the
+    * exact dist² ≤ eps² filter runs on candidates only — within a cell
+    * every pair IS eps-close in each axis, so candidate count tracks
+    * true density, not n². Distances stay in Long (coords must be
+    * non-negative and < ~2³⁰ so Δ² sums cannot overflow; cells use
+    * truncating div, which for negative coords would widen the origin
+    * cell — hence the guard, enforced lazily in the plan).
+    *
+    * Components run through [[Dedup.connectedComponents]] (min-label,
+    * localCheckpoint-pinned rounds); a core with no core neighbor
+    * forms its own singleton cluster.
+    *
+    * @return (id, role ∈ core|border|noise, cluster — null for noise)
+    */
+  def gridDbscan(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, eps: Long, minPts: Int): DataFrame = {
+    require(eps >= 1, s"eps must be >= 1, got $eps")
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val pts = points.select(col(idCol).cast("long").as("id"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val offs = broadcast(
+      (for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx.toLong, dy.toLong))
+        .toDF("dx", "dy"))
+    // each point probes its 9 neighbor cells; the other side sits in
+    // its own cell — one equi-join on the cell key, candidates only
+    val probes = pts.crossJoin(offs)
+      .select(col("id").as("id1"), col("x").as("x1"), col("y").as("y1"),
+        (expr(s"x div ${eps}L") + col("dx")).as("cx"),
+        (expr(s"y div ${eps}L") + col("dy")).as("cy"))
+    val homes = pts
+      .select(col("id").as("id2"), col("x").as("x2"), col("y").as("y2"),
+        expr(s"x div ${eps}L").as("cx"), expr(s"y div ${eps}L").as("cy"))
+    val nbrs = probes.join(homes, Seq("cx", "cy"))
+      .filter(col("id1") =!= col("id2") &&
+        (col("x1") - col("x2")) * (col("x1") - col("x2")) +
+        (col("y1") - col("y2")) * (col("y1") - col("y2"))
+          <= lit(eps * eps))
+      .select("id1", "id2").localCheckpoint()
+    val degree = nbrs.groupBy(col("id1").as("id"))
+      .agg(count(lit(1)).as("others"))
+    val roles = pts.join(degree, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("others"), lit(0L)) + 1L >= minPts).as("is_core"))
+      .localCheckpoint()
+    val cores = roles.filter(col("is_core")).select("id")
+    val coreEdges = nbrs
+      .join(cores.withColumnRenamed("id", "id1"), "id1")
+      .join(cores.withColumnRenamed("id", "id2"), "id2")
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+    // LogN (large-star/small-star), not plain min-label: an eps-graph
+    // at percolation density forms long chains, and plain propagation
+    // pays one round per hop of diameter (observed: minutes at sf0.01
+    // on the q319 fixture where LogN converges in ~10 rounds).
+    val comps = Dedup.connectedComponentsLogN(coreEdges)
+    val coreCluster = cores.join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("cluster"))
+    val borderCluster = nbrs
+      .join(coreCluster.withColumnRenamed("id", "id2")
+        .withColumnRenamed("cluster", "c2"), "id2")
+      .groupBy(col("id1").as("id")).agg(min("c2").as("bcluster"))
+    roles
+      .join(coreCluster, Seq("id"), "left")
+      .join(borderCluster, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("is_core"), lit("core"))
+          .when(col("bcluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        when(col("is_core"), col("cluster"))
+          .otherwise(col("bcluster")).as("cluster"))
+  }
 }

@@ -1606,6 +1606,43 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
     assert(c(0L) == c(1L), "empty cluster inherited the (identical) centroid")
   }
+
+  test("gridDbscan: chain fixture — ends are border, middles core, " +
+      "isolated point noise, coincident triple clusters at min id, " +
+      "cross-cell eps-edge found, singleton core at minPts=1, guards") {
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, 10L, 0L), (3L, 20L, 0L), (4L, 30L, 0L),
+      (5L, 100L, 100L),
+      (6L, 200L, 200L), (7L, 200L, 200L), (8L, 200L, 200L))
+      .toDF("id", "x", "y")
+    // eps=10, minPts=3: chain edges 1-2, 2-3, 3-4 (dist exactly eps,
+    // across cell boundaries 0|1|2|3). Self-inclusive counts: ends see
+    // 2 < 3 → border (attached to min core cluster 2); middles see 3 →
+    // core; 5 sees 1 → noise; the coincident triple all core, min id 6.
+    val got = Similarity.gridDbscan(pts, "id", "x", "y",
+        eps = 10L, minPts = 3)
+      .as[(Long, String, Option[Long])].collect().toSet
+    val want = Set(
+      (1L, "border", Some(2L)), (2L, "core", Some(2L)),
+      (3L, "core", Some(2L)), (4L, "border", Some(2L)),
+      (5L, "noise", None),
+      (6L, "core", Some(6L)), (7L, "core", Some(6L)),
+      (8L, "core", Some(6L)))
+    assert(got == want, s"got $got")
+    // minPts=1: everything core; the isolated 5 becomes a singleton
+    // cluster through the no-core-neighbor coalesce path
+    val solo = Similarity.gridDbscan(pts, "id", "x", "y",
+        eps = 10L, minPts = 1)
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(solo.contains((5L, "core", Some(5L))) &&
+      solo.forall(_._2 == "core"), s"got $solo")
+    intercept[IllegalArgumentException] {
+      Similarity.gridDbscan(pts, "id", "x", "y", eps = 0L, minPts = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.gridDbscan(pts, "id", "x", "y", eps = 10L, minPts = 0)
+    }
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite with SparkTestBase {
@@ -3071,4 +3108,5 @@ class TokenizerSpec extends AnyFunSuite with SparkTestBase {
       TextAnalysis.secretScan(df, "doc_id", "text", thresholdU6 = 0L)
     }
   }
+
 }

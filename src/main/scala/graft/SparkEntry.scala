@@ -4925,6 +4925,39 @@ object SparkEntry {
         (expr("(p_partkey % 4) div 2 * 1000") + j("y")).as("y"))
       graft.ops.Similarity.gridDbscan(pts, "pid", "x", "y",
         eps = 25L, minPts = 4).orderBy("pid")
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    // this schema's columns: the sole-blame pattern — a supplier's
+    // line was LATE (shipped > 90 days after the order date) on a
+    // finished multi-supplier order where NO other supplier was late.
+    // The optimizer shape is the point: one fact⋈dim enrichment, then
+    // a semi AND an anti against the SAME enriched fact with different
+    // correlated predicates, then a dim-sized rollup. Exchange reuse
+    // shares the enriched scan across all three branches.
+    "q320_waiting_suppliers" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          (col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"),
+          col("o_orderstatus").as("st"))
+      val l1 = l.filter(col("late") && col("st") === "F")
+      val l2 = l.select(col("ok").as("ok2"), col("sk").as("sk2"))
+      val l3 = l.filter(col("late"))
+        .select(col("ok").as("ok3"), col("sk").as("sk3"))
+      l1.join(l2, col("ok2") === col("ok") && col("sk2") =!= col("sk"),
+          "left_semi")
+        .join(l3, col("ok3") === col("ok") && col("sk3") =!= col("sk"),
+          "left_anti")
+        .join(t(s, dir, "supplier"), col("sk") === col("s_suppkey"))
+        .join(t(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey") &&
+          col("n_nationkey") % 5 === 3, "left_semi")
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_name")).limit(25)
     })
   )
 
@@ -11042,7 +11075,27 @@ object SparkEntry {
         |       ELSE b.bcluster END AS cluster
         |FROM roles r LEFT JOIN corec k ON k.id = r.id
         |LEFT JOIN bord b ON b.id = r.id
-        |ORDER BY r.id""".stripMargin
+        |ORDER BY r.id""".stripMargin,
+
+    "q320_waiting_suppliers" ->
+      """WITH l AS MATERIALIZED (SELECT l.l_orderkey AS ok,
+        |    l.l_suppkey AS sk,
+        |    l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS late,
+        |    o.o_orderstatus AS st
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |l1 AS (SELECT * FROM l WHERE late AND st = 'F'),
+        |cand AS (SELECT l1.ok, l1.sk FROM l1
+        |  WHERE EXISTS (SELECT 1 FROM l l2
+        |      WHERE l2.ok = l1.ok AND l2.sk <> l1.sk)
+        |    AND NOT EXISTS (SELECT 1 FROM l l3
+        |      WHERE l3.ok = l1.ok AND l3.sk <> l1.sk AND l3.late))
+        |SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM cand c
+        |JOIN supplier s ON s.s_suppkey = c.sk
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  AND n.n_nationkey % 5 = 3
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -4958,7 +4958,18 @@ object SparkEntry {
           col("n_nationkey") % 5 === 3, "left_semi")
         .groupBy("s_name").agg(count(lit(1)).as("numwait"))
         .orderBy(desc("numwait"), col("s_name")).limit(25)
-    })
+    }),
+
+    // Kleinberg burst detection per event type (first 600 events per
+    // key, s = 2, ln 2 and γ as pre-fixed micro literals): maximal
+    // state-1 intervals of the 2-state gap automaton with Kleinberg
+    // weights. DuckDB replays the d-recurrence forward, the backward
+    // state walk, and the gaps-and-islands rollup.
+    "q321_kleinberg_bursts" -> ((s, dir) =>
+      graft.streaming.EventsPipeline.kleinbergBursts(t(s, dir, "events"),
+        "event_type", "ts", "event_id", sFactor = 2,
+        lnSU6 = 693147L, gammaU6 = 1000000L, maxSteps = 600)
+        .orderBy("event_type", "start_n"))
   )
 
   // ---------------------------------------------------------------------
@@ -11095,7 +11106,58 @@ object SparkEntry {
         |JOIN supplier s ON s.s_suppkey = c.sk
         |JOIN nation n ON n.n_nationkey = s.s_nationkey
         |  AND n.n_nationkey % 5 = 3
-        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin,
+
+    "q321_kleinberg_bursts" ->
+      """WITH RECURSIVE ev AS MATERIALIZED (
+        |  SELECT k, ts_s, rn FROM (
+        |    SELECT event_type AS k, epoch_us(ts) // 1000000 AS ts_s,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY ts, event_id) AS rn
+        |    FROM events) WHERE rn <= 600),
+        |stats AS MATERIALIZED (SELECT k,
+        |    CAST(count(*) - 1 AS BIGINT) AS n,
+        |    CAST(max(ts_s) - min(ts_s) AS BIGINT) AS tt
+        |  FROM ev GROUP BY 1
+        |  HAVING count(*) >= 2 AND max(ts_s) > min(ts_s)),
+        |gaps AS MATERIALIZED (SELECT a.k, a.rn AS n,
+        |    a.ts_s AS t0, b.ts_s AS t1,
+        |    (st.n * 1000000 // st.tt) * (b.ts_s - a.ts_s) - 693147
+        |      AS dk
+        |  FROM ev a JOIN ev b ON b.k = a.k AND b.rn = a.rn + 1
+        |  JOIN stats st ON st.k = a.k),
+        |mx AS MATERIALIZED (SELECT k, CAST(max(n) AS BIGINT) AS mn
+        |  FROM gaps GROUP BY 1),
+        |fw(k, n, d) AS (
+        |  SELECT k, CAST(0 AS BIGINT), CAST(1000000 AS BIGINT)
+        |  FROM stats
+        |  UNION ALL
+        |  SELECT g.k, g.n, least(1000000, f.d) - least(0, f.d) + g.dk
+        |  FROM fw f JOIN gaps g ON g.k = f.k AND g.n = f.n + 1),
+        |fwm AS MATERIALIZED (SELECT * FROM fw),
+        |bk(k, n, state) AS (
+        |  SELECT f.k, f.n, CASE WHEN f.d < 0 THEN 1 ELSE 0 END
+        |  FROM fwm f JOIN mx ON mx.k = f.k AND mx.mn = f.n
+        |  UNION ALL
+        |  SELECT b.k, b.n - 1,
+        |    CASE WHEN b.state = 1 THEN
+        |        (CASE WHEN f.d >= 1000000 THEN 0 ELSE 1 END)
+        |      ELSE (CASE WHEN f.d >= 0 THEN 0 ELSE 1 END) END
+        |  FROM bk b JOIN fwm f ON f.k = b.k AND f.n = b.n - 1
+        |  WHERE b.n > 1),
+        |burst AS (SELECT b.k, b.n, g.t0, g.t1, g.dk,
+        |    b.n - ROW_NUMBER() OVER (PARTITION BY b.k ORDER BY b.n)
+        |      AS grp
+        |  FROM bk b JOIN gaps g ON g.k = b.k AND g.n = b.n
+        |  WHERE b.state = 1)
+        |SELECT k AS event_type, CAST(min(n) AS BIGINT) AS start_n,
+        |  CAST(max(n) AS BIGINT) AS end_n,
+        |  CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(min(t0) AS BIGINT) AS burst_start_s,
+        |  CAST(max(t1) AS BIGINT) AS burst_end_s,
+        |  CAST(sum(-dk) AS BIGINT) AS weight_u6
+        |FROM burst GROUP BY k, grp
+        |ORDER BY event_type, start_n""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -775,6 +775,102 @@ object EventsPipeline {
         coalesce(col("llr_cross"), col("final_llr")).as("llr_u6"))
   }
 
+  /** Kleinberg burst detection (Kleinberg KDD'02, the 2-state gap
+    * automaton) — the episode FINDER of the series tier: [[acf]] says
+    * a stream has rhythm, [[cusumFlags]] alarms on level shifts, this
+    * one returns the INTERVALS where the arrival rate jumped (the
+    * "bursty and hierarchical structure in streams" model behind
+    * trending-topic detection). State 0 emits gaps at the key's base
+    * rate α₀ = n/T, state 1 at s·α₀; gap cost in state i is
+    * −ln αᵢ + αᵢx, entering the burst state costs γ; the optimal
+    * (Viterbi) labeling minimizes total cost, and maximal runs of
+    * state 1 are the bursts, each with Kleinberg's weight (the cost
+    * SAVED vs staying in state 0 — the burst's prominence for
+    * ranking).
+    *
+    * Exactness: only cost DIFFERENCES matter for a 2-state Viterbi, so
+    * the whole walk reduces to one integer recurrence on
+    * d = c₁ − c₀:  d ← min(γ, d) − min(0, d) + Δk(x), with
+    * Δk(x) = (s−1)·α₀ppm·x − lnSU6 — `lnSU6` (= ln s · 10⁶) arrives as
+    * a PRE-FIXED micro literal (the [[sprtReplay]] discipline: no
+    * transcendental in either engine's data path), α₀ppm is one
+    * truncating division per key, and the backward pass needs only the
+    * stored d sequence (state 1 at step t came from 0 iff
+    * d(t−1) ≥ γ; state 0 iff d(t−1) ≥ 0 — ties prefer the base state,
+    * deterministic). The oracle replays the identical recurrence.
+    *
+    * Shape: per-key sequential DP over the (ts, seq)-sorted gap
+    * sequence — the [[holtSmoothing]] contract: keys shard
+    * independently through `flatMapGroups`, each key's first
+    * `maxSteps` events are a bounded in-memory array by contract, and
+    * NOTHING corpus-sized ever reaches one task. Keys with < 2 events
+    * or zero time span emit nothing (α₀ undefined); keys with no
+    * burst emit nothing.
+    *
+    * @return one row per burst: (key, start_n, end_n, n_gaps,
+    *         burst_start_s, burst_end_s, weight_u6) — gap n sits
+    *         between the key's n-th and (n+1)-th event, 1-based. */
+  def kleinbergBursts(events: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String, sFactor: Int = 2, lnSU6: Long = 693147L,
+      gammaU6: Long = 1000000L, maxSteps: Int = Int.MaxValue): DataFrame = {
+    require(sFactor >= 2, s"sFactor must be >= 2, got $sFactor")
+    require(lnSU6 > 0, s"lnSU6 must be > 0, got $lnSU6")
+    require(gammaU6 >= 0, s"gammaU6 must be >= 0, got $gammaU6")
+    require(maxSteps >= 2, s"maxSteps must be >= 2, got $maxSteps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(keyCol).cast("string"),
+        unix_timestamp(col(tsCol)), col(seqCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val ts = it.toArray.sortBy(e => (e._2, e._3)).take(maxSteps)
+          .map(_._2)
+        val n = ts.length - 1
+        if (n < 1 || ts.last == ts.head) Iterator.empty
+        else {
+          val a0 = n.toLong * 1000000L / (ts.last - ts.head)
+          val dk = Array.tabulate(n)(i =>
+            (sFactor - 1).toLong * a0 * (ts(i + 1) - ts(i)) - lnSU6)
+          val d = new Array[Long](n + 1)
+          d(0) = gammaU6
+          var i = 1
+          while (i <= n) {
+            d(i) = math.min(gammaU6, d(i - 1)) - math.min(0L, d(i - 1)) +
+              dk(i - 1)
+            i += 1
+          }
+          val st = new Array[Int](n + 1)
+          st(n) = if (d(n) < 0) 1 else 0
+          var t = n
+          while (t > 1) {
+            st(t - 1) =
+              if (st(t) == 1) { if (d(t - 1) >= gammaU6) 0 else 1 }
+              else { if (d(t - 1) >= 0) 0 else 1 }
+            t -= 1
+          }
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Long, Long, Long, Long)]
+          var s0 = -1
+          var w = 0L
+          var g = 1
+          while (g <= n) {
+            if (st(g) == 1) { if (s0 < 0) { s0 = g; w = 0L }; w += -dk(g - 1) }
+            if ((st(g) == 0 || g == n) && s0 > 0) {
+              val e0 = if (st(g) == 1) g else g - 1
+              out += ((k, s0.toLong, e0.toLong, (e0 - s0 + 1).toLong,
+                ts(s0 - 1), ts(e0), w))
+              s0 = -1
+            }
+            g += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF(keyCol, "start_n", "end_n", "n_gaps", "burst_start_s",
+        "burst_end_s", "weight_u6")
+  }
+
   /** Holt double exponential smoothing (Holt 1957) — the forecasting
     * member of the series tier: [[seasonalDecompose]] explains a
     * series, [[cusumFlags]] alarms on it, this one projects it

@@ -390,6 +390,42 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("kleinbergBursts: hand d-walk finds the rapid-fire interval, " +
+      "backward tie-breaks to base state, degenerate keys emit " +
+      "nothing, guards") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // key a: events at 0,100,200,201,202,203,300 → gaps
+    // [100,100,1,1,1,97], n=6, T=300, α₀ = 20000 ppm/s;
+    // Δk = 20000·x − 693147 → [1306853, 1306853, −673147×3, 1246853].
+    // d: 1e6 → 2306853, 2306853, 326853, −346294, −673147, 1246853.
+    // Backward from state 0 at gap 6: gaps 3..5 are state 1 — the
+    // 200..203 rapid-fire cluster; weight = 3·673147 = 2019441.
+    // key b: two coincident events (T = 0) → nothing.
+    // key c: one event → nothing.
+    val rows =
+      Seq(0L, 100L, 200L, 201L, 202L, 203L, 300L).zipWithIndex.map {
+        case (t, i) => ("a", ts(t), i.toLong)
+      } ++ Seq(("b", ts(5L), 90L), ("b", ts(5L), 91L), ("c", ts(9L), 92L))
+    val df = rows.toDF("k", "ts", "seq")
+    val got = graft.streaming.EventsPipeline
+      .kleinbergBursts(df, "k", "ts", "seq")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(("a", 3L, 5L, 3L, 200L, 203L, 2019441L)),
+      s"got $got")
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventsPipeline.kleinbergBursts(df, "k", "ts",
+        "seq", sFactor = 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventsPipeline.kleinbergBursts(df, "k", "ts",
+        "seq", lnSU6 = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventsPipeline.kleinbergBursts(df, "k", "ts",
+        "seq", maxSteps = 1)
+    }
+  }
+
   test("holtSmoothing: hand level/trend recurrence, SAE accumulation, " +
       "per-key isolation, guards") {
     def ts(s: Long) = new Timestamp(s * 1000L)

@@ -4969,7 +4969,24 @@ object SparkEntry {
       graft.streaming.EventsPipeline.kleinbergBursts(t(s, dir, "events"),
         "event_type", "ts", "event_id", sFactor = 2,
         lnSU6 = 693147L, gammaU6 = 1000000L, maxSteps = 600)
-        .orderBy("event_type", "start_n"))
+        .orderBy("event_type", "start_n")),
+
+    // Full two-level Louvain on the q273 ring-and-chords graph:
+    // phase-1 moves, contraction to the weighted community graph
+    // (self-loops = 2·E_c, the Q-preserving convention), phase-1
+    // again on the coarse graph, nodes relabeled through their
+    // super-node — with the exact modularity at BOTH levels. DuckDB
+    // replays every round at both levels, the contraction, and both
+    // Q quotients.
+    "q322_louvain_two_level" -> ((s, dir) => {
+      val n = t(s, dir, "documents")
+        .select((col("doc_id") % 40).as("n")).distinct()
+      val raw = n.selectExpr("n AS src", "(n + 1) % 40 AS dst")
+        .unionByName(n.selectExpr("n AS src", "(n + 7) % 40 AS dst"))
+        .unionByName(n.filter(col("n") < 20)
+          .selectExpr("n AS src", "(n + 13) % 40 AS dst"))
+      graft.ops.GraphOps.louvainTwoLevel(raw, iters = 2).orderBy("id")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -11157,7 +11174,72 @@ object SparkEntry {
         |  CAST(max(t1) AS BIGINT) AS burst_end_s,
         |  CAST(sum(-dk) AS BIGINT) AS weight_u6
         |FROM burst GROUP BY k, grp
-        |ORDER BY event_type, start_n""".stripMargin
+        |ORDER BY event_type, start_n""".stripMargin,
+
+    "q322_louvain_two_level" ->
+      s"""WITH nn AS (SELECT DISTINCT doc_id % 40 AS n FROM documents),
+        |raw AS (SELECT n AS src, (n + 1) % 40 AS dst FROM nn
+        |  UNION ALL SELECT n, (n + 7) % 40 FROM nn
+        |  UNION ALL SELECT n, (n + 13) % 40 FROM nn WHERE n < 20),
+        |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)
+        |  WHERE src <> dst),
+        |deg AS MATERIALIZED (SELECT src AS id,
+        |    CAST(count(*) AS BIGINT) AS k FROM sym GROUP BY 1),
+        |mm AS MATERIALIZED (SELECT CAST(count(*) // 2 AS BIGINT) AS m
+        |  FROM sym),
+        |r0 AS (SELECT id, id AS comm FROM deg),
+        |${modularityRoundCtes("r0", 1)},
+        |${modularityRoundCtes("r1", 2)},
+        |ec AS (SELECT a.comm, CAST(count(*) // 2 AS BIGINT) AS ec
+        |  FROM sym s JOIN r2 a ON a.id = s.src
+        |  JOIN r2 b ON b.id = s.dst AND b.comm = a.comm GROUP BY 1),
+        |kct AS (SELECT r.comm, CAST(sum(d.k) AS BIGINT) AS kc
+        |  FROM r2 r JOIN deg d USING (id) GROUP BY 1),
+        |qn AS (SELECT CAST(sum(4 * mm.m * coalesce(ec.ec, 0)
+        |      - kct.kc * kct.kc) AS BIGINT) AS num,
+        |    max(mm.m) AS m
+        |  FROM kct LEFT JOIN ec ON ec.comm = kct.comm CROSS JOIN mm),
+        |qq AS (SELECT CAST(num * 1000000 // (4 * m * m) AS BIGINT)
+        |    AS q_l1_u6 FROM qn),
+        |lab AS MATERIALIZED (SELECT a.comm AS ca, b.comm AS cb
+        |  FROM sym s JOIN r2 a ON a.id = s.src
+        |  JOIN r2 b ON b.id = s.dst),
+        |adj2 AS MATERIALIZED (
+        |  SELECT ca AS src, cb AS dst, CAST(count(*) AS BIGINT) AS w
+        |  FROM lab WHERE ca <> cb GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT ca, ca, CAST(count(*) AS BIGINT)
+        |  FROM lab WHERE ca = cb GROUP BY 1, 2),
+        |sym2 AS MATERIALIZED (SELECT src, dst, w FROM adj2
+        |  WHERE src <> dst),
+        |deg2 AS MATERIALIZED (SELECT src AS id,
+        |    CAST(sum(w) AS BIGINT) AS k FROM adj2 GROUP BY 1),
+        |mm2 AS MATERIALIZED (SELECT CAST(sum(w) // 2 AS BIGINT) AS m
+        |  FROM adj2),
+        |s0 AS (SELECT id, id AS comm FROM deg2),
+        |${modularityWRoundCtes("s0", 1)},
+        |${modularityWRoundCtes("s1", 2)},
+        |iw AS (SELECT a.comm, CAST(sum(s.w) AS BIGINT) AS iw
+        |  FROM sym2 s JOIN s2 a ON a.id = s.src
+        |  JOIN s2 b ON b.id = s.dst AND b.comm = a.comm GROUP BY 1),
+        |sw AS (SELECT c.comm, CAST(sum(a.w) AS BIGINT) AS sw
+        |  FROM adj2 a JOIN s2 c ON c.id = a.src
+        |  WHERE a.src = a.dst GROUP BY 1),
+        |kc2t AS (SELECT r.comm, CAST(sum(d.k) AS BIGINT) AS kc
+        |  FROM s2 r JOIN deg2 d USING (id) GROUP BY 1),
+        |qn2 AS (SELECT CAST(sum(4 * mm2.m * ecv - kc * kc) AS BIGINT)
+        |      AS num, max(mm2.m) AS m
+        |  FROM (SELECT k2.comm, k2.kc,
+        |      (coalesce(iw.iw, 0) + coalesce(sw.sw, 0)) // 2 AS ecv
+        |    FROM kc2t k2 LEFT JOIN iw ON iw.comm = k2.comm
+        |    LEFT JOIN sw ON sw.comm = k2.comm) CROSS JOIN mm2),
+        |qq2 AS (SELECT CAST(num * 1000000 // (4 * m * m) AS BIGINT)
+        |    AS q_l2_u6 FROM qn2)
+        |SELECT r2.id, r2.comm AS comm_l1, sm.comm AS comm_l2,
+        |  qq.q_l1_u6, qq2.q_l2_u6
+        |FROM r2 JOIN s2 sm ON sm.id = r2.comm, qq, qq2
+        |ORDER BY r2.id""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6
@@ -11617,6 +11699,30 @@ object SparkEntry {
     * exactly (own-community candidate at e = 0, score = 2m·e − k·K',
     * ties score desc then community asc). NOT pre-stripped (embeds in
     * a stripMargin outer string, the winnowingCtes rule). */
+  /** Weighted Louvain round CTEs over tables sym2/deg2/mm2 (the q322
+    * coarse graph): [[modularityRoundCtes]] with Σw in place of
+    * counts. Emits s$r as the round's assignment. NOT pre-stripped. */
+  private def modularityWRoundCtes(prev: String, r: Int): String =
+    s"""kcw$r AS MATERIALIZED (SELECT p.comm, CAST(sum(d.k) AS BIGINT)
+       |    AS kc FROM $prev p JOIN deg2 d USING (id) GROUP BY 1),
+       |nbw$r AS (SELECT s.src AS id, c.comm AS ncomm,
+       |    CAST(sum(s.w) AS BIGINT) AS e
+       |  FROM sym2 s JOIN $prev c ON c.id = s.dst GROUP BY 1, 2),
+       |cdw$r AS (SELECT id, ncomm, max(e) AS e FROM (
+       |    SELECT id, ncomm, e FROM nbw$r
+       |    UNION ALL SELECT id, comm AS ncomm, 0 AS e FROM $prev)
+       |  GROUP BY 1, 2),
+       |scw$r AS MATERIALIZED (SELECT c.id, c.ncomm,
+       |    2 * mm2.m * c.e - d.k * (CASE WHEN c.ncomm = p.comm
+       |      THEN kc.kc - d.k ELSE kc.kc END) AS score
+       |  FROM cdw$r c JOIN $prev p ON p.id = c.id
+       |  JOIN deg2 d ON d.id = c.id
+       |  JOIN kcw$r kc ON kc.comm = c.ncomm CROSS JOIN mm2),
+       |s$r AS MATERIALIZED (SELECT id, ncomm AS comm FROM (
+       |    SELECT id, ncomm, row_number() OVER (PARTITION BY id
+       |      ORDER BY score DESC, ncomm) AS rn FROM scw$r)
+       |  WHERE rn = 1)"""
+
   private def modularityRoundCtes(prev: String, r: Int): String =
     s"""kc$r AS MATERIALIZED (SELECT p.comm, CAST(sum(d.k) AS BIGINT)
        |    AS kc FROM $prev p JOIN deg d USING (id) GROUP BY 1),

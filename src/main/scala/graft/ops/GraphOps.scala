@@ -565,23 +565,46 @@ object GraphOps {
     * @return (id, comm, q_u6) after `iters` synchronous rounds */
   def modularityLocalMove(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "modularityLocalMove needs iters >= 1")
-    import org.apache.spark.sql.expressions.Window
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint()
-    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("k"))
-    val mRow = sym.agg(expr("CAST(count(1) div 2 AS BIGINT)").as("m"))
+    moveWeightedCore(sym.withColumn("w", lit(1L)), iters)
+  }
+
+  /** [[modularityLocalMove]] generalized to a WEIGHTED adjacency —
+    * what the Louvain second level runs on. `adj` is (src, dst, w)
+    * with BOTH directions present for src ≠ dst and at most one
+    * (c, c, w) self-loop row per node; degree mass k_i = Σ_j A_ij
+    * includes the self-loop, gain candidates e_ic exclude it (a
+    * self-loop moves with its node, so it is constant across
+    * choices), and E_c = (Σ_{i,j∈c} A_ij) div 2 counts it once —
+    * exactly the convention under which contracting a partition
+    * PRESERVES m, K_c, and Q ([[louvainContract]] asserts it by
+    * construction). With w ≡ 1 and no self rows this is bit-identical
+    * to the unweighted form (which now delegates here). */
+  def modularityMoveWeighted(adj: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "modularityMoveWeighted needs iters >= 1")
+    moveWeightedCore(adj, iters)
+  }
+
+  private def moveWeightedCore(adj: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = adj.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint()
+    val nonSelf = a.filter(col("src") =!= col("dst"))
+    val deg = a.groupBy(col("src").as("id")).agg(sum("w").as("k"))
+    val mRow = a.agg(expr("CAST(sum(w) div 2 AS BIGINT)").as("m"))
     var comm = deg.select(col("id"), col("id").as("comm"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
       val kt = comm.join(deg, "id")
       val kc = kt.groupBy("comm").agg(sum("k").as("kc"))
-      val nbrC = sym
+      val nbrC = nonSelf
         .join(comm.select(col("id").as("dst"), col("comm").as("ncomm")),
           "dst")
         .groupBy(col("src").as("id"), col("ncomm"))
-        .agg(count(lit(1)).as("e"))
+        .agg(sum("w").as("e"))
       val ownC = comm.select(col("id"), col("comm").as("ncomm"),
         lit(0L).as("e"))
       val cand = nbrC.unionByName(ownC)
@@ -599,12 +622,20 @@ object GraphOps {
         .select(col("id"), col("ncomm").as("comm"))
         .localCheckpoint()
     }
-    val ec = sym
+    val intra = nonSelf
       .join(comm.select(col("id").as("src"), col("comm").as("ca")), "src")
       .join(comm.select(col("id").as("dst"), col("comm").as("cb")), "dst")
       .filter(col("ca") === col("cb"))
-      .groupBy(col("ca").as("comm"))
-      .agg(expr("CAST(count(1) div 2 AS BIGINT)").as("ec"))
+      .groupBy(col("ca").as("comm")).agg(sum("w").as("aw"))
+    val selfW = a.filter(col("src") === col("dst"))
+      .join(comm.select(col("id").as("src"), col("comm")), "src")
+      .groupBy("comm").agg(sum("w").as("sw"))
+    val ec = comm.select("comm").distinct()
+      .join(intra, Seq("comm"), "left")
+      .join(selfW, Seq("comm"), "left")
+      .select(col("comm"),
+        expr("CAST((coalesce(aw, 0) + coalesce(sw, 0)) div 2 AS BIGINT)")
+          .as("ec"))
     val qRow = comm.join(deg, "id").groupBy("comm").agg(sum("k").as("kc"))
       .join(ec, Seq("comm"), "left")
       .select(coalesce(col("ec"), lit(0L)).as("ec"), col("kc"))
@@ -614,6 +645,54 @@ object GraphOps {
       .select(expr("CAST(num * 1000000 div (4 * m * m) AS BIGINT)")
         .as("q_u6"))
     comm.crossJoin(broadcast(qRow)).select("id", "comm", "q_u6")
+  }
+
+  /** Louvain phase-2 contraction (Blondel et al. 2008): collapse each
+    * community to a super-node; inter-community edge weights sum, and
+    * each super-node gets a self-loop of weight 2·E_c (both-direction
+    * intra count), the convention under which the coarse graph has
+    * the SAME m, the same per-community degree mass, and the same Q
+    * for the induced partition — so gains measured on the coarse
+    * graph are gains on the original. One edge⋈community join and a
+    * community-pair-dimension count; the coarse table is
+    * |communities|²-bounded and usually tiny. */
+  def louvainContract(edges: DataFrame, comm: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    val lab = sym
+      .join(comm.select(col("id").as("src"), col("comm").as("ca")), "src")
+      .join(comm.select(col("id").as("dst"), col("comm").as("cb")), "dst")
+    val inter = lab.filter(col("ca") =!= col("cb"))
+      .groupBy(col("ca").as("src"), col("cb").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val self = lab.filter(col("ca") === col("cb"))
+      .groupBy(col("ca"))
+      .agg(count(lit(1)).as("w"))
+      .select(col("ca").as("src"), col("ca").as("dst"), col("w"))
+    inter.unionByName(self)
+  }
+
+  /** The full two-level Louvain pass: phase-1 local moves on the raw
+    * graph, [[louvainContract]] to the community graph, phase-1 again
+    * on the WEIGHTED coarse graph ([[modularityMoveWeighted]]), and
+    * every node relabeled through its super-node. Because contraction
+    * preserves Q, `q_l2_u6 ≥ q_l1_u6` whenever level 2 finds any
+    * merge — the monotone-improvement contract the spec asserts.
+    * Scale shape: level 1 is [[modularityLocalMove]]'s per-round
+    * joins; everything at level 2 runs on the community-dimension
+    * coarse graph. */
+  def louvainTwoLevel(edges: DataFrame, iters: Int): DataFrame = {
+    val l1 = modularityLocalMove(edges, iters).localCheckpoint()
+    val comm1 = l1.select("id", "comm")
+    val coarse = louvainContract(edges, comm1)
+    val l2 = modularityMoveWeighted(coarse, iters)
+    comm1
+      .join(l2.select(col("id").as("comm"), col("comm").as("comm_l2"),
+        col("q_u6").as("q_l2_u6")), "comm")
+      .join(l1.select(col("id"), col("q_u6").as("q_l1_u6")), "id")
+      .select(col("id"), col("comm").as("comm_l1"), col("comm_l2"),
+        col("q_l1_u6"), col("q_l2_u6"))
   }
 
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {

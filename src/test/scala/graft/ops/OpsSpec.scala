@@ -558,6 +558,51 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("louvainContract/modularityMoveWeighted/louvainTwoLevel: hand " +
+      "coarse adjacency with 2E self-loops, weighted move with exact " +
+      "micro Q, contraction preserves Q through the full two-level " +
+      "pass") {
+    // Barbell: two triangles bridged 3-4. Level-1 (iters=2) partition
+    // is {1,3}/{2}/{4,5}/{6} (hand-walked in the unweighted spec).
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val comm1 = Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 5L), (5L, 5L),
+      (6L, 6L)).toDF("id", "comm")
+    val adj = GraphOps.louvainContract(edges, comm1)
+      .as[(Long, Long, Long)].collect().toSet
+    // intra {1,3} and {4,5} → self-loops of weight 2; two bridge pairs
+    // of weight 2 (both triangle edges to the singleton) and the 3-4
+    // bridge of weight 1, both directions
+    assert(adj == Set((1L, 1L, 2L), (5L, 5L, 2L),
+      (1L, 2L, 2L), (2L, 1L, 2L), (5L, 6L, 2L), (6L, 5L, 2L),
+      (1L, 5L, 1L), (5L, 1L, 1L)), s"got $adj")
+    // two-level on the barbell: the symmetric coarse graph oscillates
+    // back to singleton super-communities at iters=2, so comm_l2 must
+    // equal comm_l1 and — the contraction-preserves-Q contract —
+    // q_l2 computed on the COARSE graph equals q_l1 exactly
+    val two = GraphOps.louvainTwoLevel(edges, iters = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(two.forall(r => r._3 == r._2) &&
+      two.forall(r => r._4 == -10204L && r._5 == -10204L),
+      s"got ${two.toSeq}")
+    // weighted move with a self-loop: (1,2) w=10 dominates (2,3) w=1,
+    // node 1 carries a self-loop of 4 → k₁ = 14, m = 13; one round
+    // merges {1,3} into community 2's slot... hand scores: node1→c2
+    // (106), node2→c1 (106 vs 15), node3→c2 (15). Q: E_{c2} = 4/2 = 2
+    // (the self-loop), K_{c2} = 15, K_{c1} = 11 →
+    // ((104 − 225) + (0 − 121))·10⁶ div 676 = −357988.
+    val wadj = Seq((1L, 2L, 10L), (2L, 1L, 10L), (2L, 3L, 1L),
+      (3L, 2L, 1L), (1L, 1L, 4L)).toDF("src", "dst", "w")
+    val wres = GraphOps.modularityMoveWeighted(wadj, iters = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(wres.map(r => r._1 -> r._2).toMap ==
+      Map(1L -> 2L, 2L -> 1L, 3L -> 2L), s"got ${wres.toSeq}")
+    assert(wres.forall(_._3 == -357988L), s"q: ${wres.toSeq}")
+    intercept[IllegalArgumentException] {
+      GraphOps.modularityMoveWeighted(wadj, iters = 0)
+    }
+  }
+
   test("triangleCountDegreeOriented equals the id-oriented count on every shape") {
     // a hub graph (node 1 connects to everyone, rim is a cycle): the
     // degree orientation points every hub edge AWAY from the rim nodes,

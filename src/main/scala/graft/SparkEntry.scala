@@ -4986,7 +4986,19 @@ object SparkEntry {
         .unionByName(n.filter(col("n") < 20)
           .selectExpr("n AS src", "(n + 13) % 40 AS dst"))
       graft.ops.GraphOps.louvainTwoLevel(raw, iters = 2).orderBy("id")
-    })
+    }),
+
+    // Markov removal-effect attribution over user event journeys
+    // (conversion = purchase, paths truncated at first conversion):
+    // every channel's credit = conversion probability lost when its
+    // visits redirect to NULL — all scenarios share one ppm transition
+    // matrix, removal is just a clamp. DuckDB replays journey
+    // construction, the matrix, and all 12 value-iteration rounds.
+    "q323_markov_attribution" -> ((s, dir) =>
+      graft.streaming.EventsPipeline.markovAttribution(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        convType = "purchase", iters = 12)
+        .orderBy("channel"))
   )
 
   // ---------------------------------------------------------------------
@@ -11239,7 +11251,54 @@ object SparkEntry {
         |SELECT r2.id, r2.comm AS comm_l1, sm.comm AS comm_l2,
         |  qq.q_l1_u6, qq2.q_l2_u6
         |FROM r2 JOIN s2 sm ON sm.id = r2.comm, qq, qq2
-        |ORDER BY r2.id""".stripMargin
+        |ORDER BY r2.id""".stripMargin,
+
+    "q323_markov_attribution" ->
+      s"""WITH ordered AS MATERIALIZED (SELECT user_id AS u,
+        |    CASE WHEN event_type = 'purchase' THEN '__conv__'
+        |         ELSE event_type END AS st,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |fc AS (SELECT u, min(rn) AS fp FROM ordered
+        |  WHERE st = '__conv__' GROUP BY 1),
+        |kept AS MATERIALIZED (SELECT o.u, o.st, o.rn
+        |  FROM ordered o LEFT JOIN fc ON fc.u = o.u
+        |  WHERE fc.fp IS NULL OR o.rn <= fc.fp),
+        |mxr AS (SELECT u, max(rn) AS mx,
+        |    max(CASE WHEN st = '__conv__' THEN 1 ELSE 0 END) AS conv
+        |  FROM kept GROUP BY 1),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.st AS s, b.st AS t FROM kept a
+        |  JOIN kept b ON b.u = a.u AND b.rn = a.rn + 1
+        |  UNION ALL SELECT '__start__', st FROM kept WHERE rn = 1
+        |  UNION ALL SELECT k.st, '__null__' FROM kept k
+        |  JOIN mxr ON mxr.u = k.u AND mxr.conv = 0 AND k.rn = mxr.mx),
+        |outs AS (SELECT s, CAST(count(*) AS BIGINT) AS n
+        |  FROM pairs GROUP BY 1),
+        |ta AS MATERIALIZED (SELECT p.s, p.t,
+        |    CAST(CAST(count(*) AS BIGINT) * 1000000 // o.n AS BIGINT)
+        |      AS tp
+        |  FROM pairs p JOIN outs o ON o.s = p.s GROUP BY p.s, p.t, o.n),
+        |tt AS MATERIALIZED (SELECT * FROM ta
+        |  WHERE t NOT IN ('__conv__', '__null__')),
+        |bb AS MATERIALIZED (SELECT s, tp AS bp FROM ta
+        |  WHERE t = '__conv__'),
+        |chs AS MATERIALIZED (SELECT DISTINCT s AS ch FROM ta
+        |  WHERE s <> '__start__'),
+        |trans AS (SELECT DISTINCT s FROM ta),
+        |spine AS MATERIALIZED (SELECT sc.scenario, tr.s FROM
+        |  (SELECT ch AS scenario FROM chs UNION ALL SELECT 'FULL') sc
+        |  CROSS JOIN trans tr WHERE tr.s <> sc.scenario),
+        |ap0 AS (SELECT scenario, s, CAST(0 AS BIGINT) AS p FROM spine),
+        |${(1 to 12).map(r => attributionRoundCtes(s"ap${r - 1}", r))
+            .mkString(",\n")},
+        |st AS (SELECT scenario, p FROM ap12 WHERE s = '__start__'),
+        |fl AS (SELECT p AS p_full_ppm FROM st WHERE scenario = 'FULL')
+        |SELECT c.ch AS channel, fl.p_full_ppm, st.p AS p_removed_ppm,
+        |  fl.p_full_ppm - st.p AS effect_ppm
+        |FROM chs c JOIN st ON st.scenario = c.ch, fl
+        |ORDER BY channel""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6
@@ -11699,6 +11758,22 @@ object SparkEntry {
     * exactly (own-community candidate at e = 0, score = 2m·e − k·K',
     * ties score desc then community asc). NOT pre-stripped (embeds in
     * a stripMargin outer string, the winnowingCtes rule). */
+  /** One q323 value-iteration round over tables spine/tt/bb: p'(s) =
+    * (Σ_t tp·p(t) + bp·10⁶) div 10⁶ per (scenario, s); rows for the
+    * removed channel are absent from spine, which IS the clamp. NOT
+    * pre-stripped. */
+  private def attributionRoundCtes(prev: String, r: Int): String =
+    s"""ap$r AS MATERIALIZED (SELECT sp.scenario, sp.s,
+       |    CAST((COALESCE(acc.a, 0) + COALESCE(bb.bp, 0) * 1000000)
+       |      // 1000000 AS BIGINT) AS p
+       |  FROM spine sp
+       |  LEFT JOIN (SELECT p.scenario, t.s,
+       |      CAST(sum(t.tp * p.p) AS BIGINT) AS a
+       |    FROM tt t JOIN $prev p ON p.s = t.t
+       |    GROUP BY 1, 2) acc
+       |    ON acc.scenario = sp.scenario AND acc.s = sp.s
+       |  LEFT JOIN bb ON bb.s = sp.s)"""
+
   /** Weighted Louvain round CTEs over tables sym2/deg2/mm2 (the q322
     * coarse graph): [[modularityRoundCtes]] with Σw in place of
     * counts. Emits s$r as the round's assignment. NOT pre-stripped. */

@@ -775,6 +775,109 @@ object EventsPipeline {
         coalesce(col("llr_cross"), col("final_llr")).as("llr_u6"))
   }
 
+  /** Markov removal-effect attribution (Anderl et al. 2014 — the
+    * data-driven multi-touch model): user journeys become a first-order
+    * Markov chain (START → channels → CONV/NULL, paths truncated at the
+    * first conversion), and a channel's credit is its REMOVAL EFFECT —
+    * how much conversion probability disappears when visits to that
+    * channel are redirected to NULL. Removing channel c never needs a
+    * new transition matrix: it is exactly the same value iteration with
+    * p(c) clamped to 0, so ALL scenarios (FULL + one per channel) run
+    * as one (scenario, state)-keyed table against one broadcast matrix.
+    *
+    * Exact fixed point: transition probabilities fix to ppm ONCE
+    * (count·10⁶ div out-count), and each of the `iters` value-iteration
+    * rounds computes p'(s) = (Σ_t tp(s,t)·p(t) + tp(s,CONV)·10⁶)
+    * div 10⁶ — one truncating division per state per round, identically
+    * replayable. Absorption converges geometrically; `iters` = 12
+    * resolves ppm for any chain without 0.999…-cycles (the replay is
+    * exact regardless).
+    *
+    * Scale shape: journeys need one per-user ordered window (the
+    * sessionize discipline); everything after lives on the
+    * channel-dimension matrix (states² rows, broadcast) and the
+    * (scenarios × states) value table — constant-size rounds,
+    * localCheckpoint-pinned. Returns one row per channel:
+    * (channel, p_full_ppm, p_removed_ppm, effect_ppm). */
+  def markovAttribution(events: DataFrame, userCol: String,
+      tsCol: String, seqCol: String, typeCol: String, convType: String,
+      iters: Int = 12): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(convType.nonEmpty, "convType must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("u").orderBy(col("ts"), col("seq"))
+    val ordered = events.select(col(userCol).as("u"), col(tsCol).as("ts"),
+        col(seqCol).as("seq"),
+        when(col(typeCol) === convType, lit("__conv__"))
+          .otherwise(col(typeCol).cast("string")).as("st"))
+      .withColumn("rn", row_number().over(w))
+    val firstConv = ordered.filter(col("st") === "__conv__")
+      .groupBy("u").agg(min("rn").as("fp"))
+    val kept = ordered.join(firstConv, Seq("u"), "left")
+      .filter(col("fp").isNull || col("rn") <= col("fp"))
+      .localCheckpoint()
+    val maxRn = kept.groupBy("u").agg(max("rn").as("mx"),
+      max(when(col("st") === "__conv__", 1L).otherwise(0L)).as("conv"))
+    val follows = kept.select(col("u"), (col("rn") - 1).as("rn"),
+      col("st").as("t"))
+    val pairs = kept.select(col("u"), col("rn"), col("st").as("s"))
+      .join(follows, Seq("u", "rn")).select("s", "t")
+      .unionByName(kept.filter(col("rn") === 1)
+        .select(lit("__start__").as("s"), col("st").as("t")))
+      .unionByName(kept.join(maxRn, "u")
+        .filter(col("conv") === 0 && col("rn") === col("mx"))
+        .select(col("st").as("s"), lit("__null__").as("t")))
+    val outs = pairs.groupBy("s").agg(count(lit(1)).as("n"))
+    val tAll = pairs.groupBy("s", "t").agg(count(lit(1)).as("c"))
+      .join(outs, "s")
+      .select(col("s"), col("t"),
+        expr("CAST(c * 1000000 div n AS BIGINT)").as("tp"))
+      .localCheckpoint()
+    val tt = broadcast(tAll
+      .filter(col("t") =!= "__conv__" && col("t") =!= "__null__"))
+    val bb = broadcast(tAll.filter(col("t") === "__conv__")
+      .select(col("s"), col("tp").as("bp")))
+    val channels = tAll.select(col("s")).distinct()
+      .filter(col("s") =!= "__start__").select(col("s").as("ch"))
+      .localCheckpoint()
+    require(channels.filter(col("ch") === "FULL").isEmpty,
+      "a channel literally named FULL collides with the base scenario")
+    val trans = tAll.select(col("s")).distinct()
+    val spine = channels.select(col("ch").as("scenario"))
+      .unionByName(Seq("FULL").toDF("scenario"))
+      .crossJoin(trans)
+      .filter(col("s") =!= col("scenario"))
+      .localCheckpoint()
+    var p = spine.withColumn("p", lit(0L))
+    for (_ <- 1 to iters) {
+      val acc = tt.join(p.select(col("scenario"), col("s").as("t"),
+          col("p")), "t")
+        .groupBy("scenario", "s").agg(sum(col("tp") * col("p")).as("a"))
+      // no per-round checkpoint: each round references p exactly ONCE
+      // (unlike the components loop), so the lazy plan grows linearly
+      // and one final job beats `iters` materializations of a 50-row
+      // table (measured 5.9 s → 4.7 s at sf0.1; the floor is the
+      // journey window, not the rounds)
+      p = spine.join(acc, Seq("scenario", "s"), "left")
+        .join(bb, Seq("s"), "left")
+        .select(col("scenario"), col("s"),
+          expr("CAST((coalesce(a, 0) + coalesce(bp, 0) * 1000000) " +
+            "div 1000000 AS BIGINT)").as("p"))
+    }
+    val start = p.filter(col("s") === "__start__")
+      .select(col("scenario"), col("p"))
+    val full = start.filter(col("scenario") === "FULL")
+      .select(col("p").as("p_full_ppm"))
+    channels
+      .join(start.withColumnRenamed("scenario", "ch"), "ch")
+      .crossJoin(broadcast(full))
+      .select(col("ch").as("channel"), col("p_full_ppm"),
+        col("p").as("p_removed_ppm"),
+        (col("p_full_ppm") - col("p")).as("effect_ppm"))
+  }
+
   /** Kleinberg burst detection (Kleinberg KDD'02, the 2-state gap
     * automaton) — the episode FINDER of the series tier: [[acf]] says
     * a stream has rhythm, [[cusumFlags]] alarms on level shifts, this

@@ -390,6 +390,40 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("markovAttribution: hand 4-journey chain — exact ppm matrix, " +
+      "truncated value iteration, removal clamps, path truncation at " +
+      "first conversion, guards") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // u1: A→conv; u2: A→B (no conv); u3: B→conv; u4: A (no conv).
+    // u1 gets a post-conversion event that MUST be truncated away.
+    // Matrix: start→A 750000, start→B 250000; A→B 333333,
+    // bp(A)=333333; bp(B)=500000. Converged: p(B)=500000,
+    // p(A)=499999, p_full(start)=499999. Remove A → 125000;
+    // remove B → 249999.
+    val rows = Seq(
+      (1L, 0L, "A"), (1L, 1L, "purchase"), (1L, 2L, "A"),
+      (2L, 0L, "A"), (2L, 1L, "B"),
+      (3L, 0L, "B"), (3L, 1L, "purchase"),
+      (4L, 0L, "A"))
+    val df = rows.zipWithIndex.map { case ((u, t, e), i) =>
+      (u, ts(t), i.toLong, e)
+    }.toDF("u", "ts", "seq", "etype")
+    val got = graft.streaming.EventsPipeline
+      .markovAttribution(df, "u", "ts", "seq", "etype", "purchase",
+        iters = 12)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("A", 499999L, 125000L, 374999L),
+      ("B", 499999L, 249999L, 250000L)), s"got $got")
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventsPipeline.markovAttribution(df, "u", "ts",
+        "seq", "etype", "purchase", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventsPipeline.markovAttribution(df, "u", "ts",
+        "seq", "etype", "")
+    }
+  }
+
   test("kleinbergBursts: hand d-walk finds the rapid-fire interval, " +
       "backward tie-breaks to base state, degenerate keys emit " +
       "nothing, guards") {

@@ -4998,7 +4998,22 @@ object SparkEntry {
       graft.streaming.EventsPipeline.markovAttribution(
         t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
         convType = "purchase", iters = 12)
-        .orderBy("channel"))
+        .orderBy("channel")),
+
+    // HRU greedy materialized-view selection over the (customer-group,
+    // quarter, priority) cube lattice on orders: all 8 view sizes from
+    // ONE cube() scan, then 3 greedy picks maximizing
+    // Σ max(0, cost(w) − |v|). DuckDB re-derives every lattice size
+    // and replays each greedy round's benefit table and tie-broken
+    // argmax.
+    "q324_view_selection" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(
+        (col("o_custkey") % 10).as("c"),
+        quarter(col("o_orderdate")).as("d"),
+        col("o_orderpriority").as("p"))
+      graft.ops.Layout.viewLatticeGreedy(base, Seq("c", "d", "p"), k = 3)
+        .orderBy("step")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -11298,7 +11313,40 @@ object SparkEntry {
         |SELECT c.ch AS channel, fl.p_full_ppm, st.p AS p_removed_ppm,
         |  fl.p_full_ppm - st.p AS effect_ppm
         |FROM chs c JOIN st ON st.scenario = c.ch, fl
-        |ORDER BY channel""".stripMargin
+        |ORDER BY channel""".stripMargin,
+
+    "q324_view_selection" ->
+      s"""WITH base AS MATERIALIZED (SELECT o_custkey % 10 AS c,
+        |    quarter(o_orderdate) AS d, o_orderpriority AS p
+        |  FROM orders),
+        |sizes(mask, sz) AS MATERIALIZED (
+        |  SELECT 0, CAST(1 AS BIGINT)
+        |  UNION ALL SELECT 1, (SELECT CAST(count(*) AS BIGINT)
+        |    FROM (SELECT DISTINCT c FROM base))
+        |  UNION ALL SELECT 2, (SELECT CAST(count(*) AS BIGINT)
+        |    FROM (SELECT DISTINCT d FROM base))
+        |  UNION ALL SELECT 3, (SELECT CAST(count(*) AS BIGINT)
+        |    FROM (SELECT DISTINCT c, d FROM base))
+        |  UNION ALL SELECT 4, (SELECT CAST(count(*) AS BIGINT)
+        |    FROM (SELECT DISTINCT p FROM base))
+        |  UNION ALL SELECT 5, (SELECT CAST(count(*) AS BIGINT)
+        |    FROM (SELECT DISTINCT c, p FROM base))
+        |  UNION ALL SELECT 6, (SELECT CAST(count(*) AS BIGINT)
+        |    FROM (SELECT DISTINCT d, p FROM base))
+        |  UNION ALL SELECT 7, (SELECT CAST(count(*) AS BIGINT)
+        |    FROM (SELECT DISTINCT c, d, p FROM base))),
+        |sel0 AS (SELECT 7 AS mask),
+        |${(1 to 3).map(viewGreedyRoundCtes).mkString(",\n")}
+        |SELECT CAST(s.step AS BIGINT) AS step,
+        |  CASE s.mask WHEN 0 THEN '()' WHEN 1 THEN 'c' WHEN 2 THEN 'd'
+        |    WHEN 3 THEN 'c,d' WHEN 4 THEN 'p' WHEN 5 THEN 'c,p'
+        |    WHEN 6 THEN 'd,p' ELSE 'c,d,p' END AS view,
+        |  CAST(s.mask AS BIGINT) AS mask, z.sz AS size, s.b AS benefit
+        |FROM (SELECT 1 AS step, mask, b FROM pick1
+        |  UNION ALL SELECT 2, mask, b FROM pick2
+        |  UNION ALL SELECT 3, mask, b FROM pick3) s
+        |JOIN sizes z ON z.mask = s.mask
+        |ORDER BY step""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6
@@ -11758,6 +11806,25 @@ object SparkEntry {
     * exactly (own-community candidate at e = 0, score = 2m·e − k·K',
     * ties score desc then community asc). NOT pre-stripped (embeds in
     * a stripMargin outer string, the winnowingCtes rule). */
+  /** One q324 HRU greedy round over table `sizes`: per-view cost =
+    * min selected-ancestor size, benefit = Σ_{w⊆v} max(0, cost−|v|),
+    * pick = (benefit desc, mask asc) argmax. NOT pre-stripped. */
+  private def viewGreedyRoundCtes(r: Int): String =
+    s"""cst$r AS (SELECT w.mask AS wm, min(s.sz) AS c
+       |  FROM sizes w JOIN sel${r - 1} a ON (w.mask & a.mask) = w.mask
+       |  JOIN sizes s ON s.mask = a.mask GROUP BY 1),
+       |ben$r AS (SELECT v.mask AS vm,
+       |    CAST(sum(CASE WHEN c.c > v.sz THEN c.c - v.sz ELSE 0 END)
+       |      AS BIGINT) AS b
+       |  FROM sizes v JOIN sizes w ON (w.mask & v.mask) = w.mask
+       |  JOIN cst$r c ON c.wm = w.mask
+       |  WHERE v.mask NOT IN (SELECT mask FROM sel${r - 1})
+       |  GROUP BY v.mask, v.sz),
+       |pick$r AS MATERIALIZED (SELECT vm AS mask, b FROM ben$r
+       |  ORDER BY b DESC, vm LIMIT 1),
+       |sel$r AS MATERIALIZED (SELECT mask FROM sel${r - 1}
+       |  UNION ALL SELECT mask FROM pick$r)"""
+
   /** One q323 value-iteration round over tables spine/tt/bb: p'(s) =
     * (Σ_t tp·p(t) + bp·10⁶) div 10⁶ per (scenario, s); rows for the
     * removed channel are absent from spine, which IS the clamp. NOT

@@ -362,6 +362,70 @@ object Layout {
     df.withColumn("shard", shard)
   }
 
+  /** Greedy materialized-view selection over the data-cube lattice
+    * (Harinarayan, Rajaraman & Ullman SIGMOD'96) — the physical-design
+    * decision next to [[zorderWrite]] and [[pruningAudit]]: which k
+    * GROUP BY views to materialize so the whole cube answers fastest.
+    * Every subset of `dims` is a lattice node whose cost-to-answer is
+    * the size of its smallest materialized ancestor; the HRU greedy
+    * picks, k times, the view maximizing total benefit
+    * Σ_{w ⊆ v} max(0, cost(w) − |v|) — provably within (1 − 1/e) of
+    * optimal for this benefit function. Ties break to the smaller
+    * lattice mask (deterministic).
+    *
+    * Scale shape: ALL 2^d view sizes come from ONE cube() scan —
+    * grouping_id partitions the cube output by grouping set, so a
+    * single count per gid is each view's exact row count. The lattice
+    * itself (≤ 2⁶ nodes by the dims guard) is driver-side by
+    * contract — the greedy is pure arithmetic on those counts, the
+    * same bounded-read discipline as the KMV/KLL sketch readers.
+    *
+    * @return one row per greedy step: (step, view, mask, size,
+    *         benefit) — view names the kept dims ("c,d"; "()" for the
+    *         apex), mask has bit i set iff dims(i) is kept. */
+  def viewLatticeGreedy(df: DataFrame, dims: Seq[String],
+      k: Int): DataFrame = {
+    require(dims.size >= 2 && dims.size <= 6,
+      s"dims must have 2..6 columns, got ${dims.size}")
+    require(dims.distinct.size == dims.size, s"duplicate dims in $dims")
+    val d = dims.size
+    val full = (1 << d) - 1
+    require(k >= 1 && k <= full, s"k must be in [1, $full], got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gidRows = df.cube(dims.map(col): _*)
+      .agg(grouping_id().as("gid"))
+      .groupBy("gid").count()
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1))
+    // Spark's grouping_id: leftmost dim = MOST significant bit, set
+    // bit = dim rolled AWAY. Flip to mask bit i = dims(i) KEPT.
+    val sizes: Map[Int, Long] = gidRows.map { case (gid, n) =>
+      val mask = (0 until d)
+        .filter(i => ((gid >> (d - 1 - i)) & 1) == 0)
+        .map(1 << _).sum
+      mask -> n
+    }.toMap
+    def name(m: Int): String =
+      if (m == 0) "()"
+      else (0 until d).filter(i => (m & (1 << i)) != 0)
+        .map(dims).mkString(",")
+    var selected = Set(full)
+    val res = (1 to k).map { step =>
+      val (v, b) = (0 to full).filterNot(selected.contains).map { v =>
+        val bv = (0 to full).filter(w => (w & v) == w).map { w =>
+          val costW = selected.filter(a => (w & a) == w)
+            .map(sizes).min
+          math.max(0L, costW - sizes(v))
+        }.sum
+        (v, bv)
+      }.maxBy { case (m, b) => (b, -m.toLong) }
+      selected += v
+      (step.toLong, name(v), v.toLong, sizes(v), b)
+    }
+    spark.createDataFrame(res)
+      .toDF("step", "view", "mask", "size", "benefit")
+  }
+
   /** Workload-level zone-map pruning audit — the question a table
     * OPTIMIZE job actually has to answer: "for THIS predicate workload,
     * which physical layout prunes more?" [[clusteringDepth]] scores a

@@ -304,6 +304,35 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("viewLatticeGreedy: hand 2-dim lattice — benefits, cost updates " +
+      "after each pick, symmetric tie breaks to the smaller mask, " +
+      "guards") {
+    // 4×2 grid: sizes {}=1, {a}=4, {b}=2, {a,b}=8.
+    // Step 1: B(∅)=7, B(a)=4+4=8, B(b)=6+6=12 → pick b (12).
+    // Step 2 (cost(∅) now 2): B(∅)=1, B(a)=0+4=4 → pick a (4).
+    val df = (for { a <- 0 until 4; b <- 0 until 2 }
+      yield (a.toLong, b.toLong)).toDF("a", "b")
+    val got = Layout.viewLatticeGreedy(df, Seq("a", "b"), k = 2)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "b", 2L, 2L, 12L), (2L, "a", 1L, 4L, 4L)),
+      s"got $got")
+    // symmetric 2×2: B(a) = B(b) = 4 → mask asc picks "a"
+    val sym = (for { a <- 0 until 2; b <- 0 until 2 }
+      yield (a.toLong, b.toLong)).toDF("a", "b")
+    val tie = Layout.viewLatticeGreedy(sym, Seq("a", "b"), k = 1)
+      .as[(Long, String, Long, Long, Long)].head()
+    assert(tie == ((1L, "a", 1L, 2L, 4L)), s"got $tie")
+    intercept[IllegalArgumentException] {
+      Layout.viewLatticeGreedy(df, Seq("a"), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.viewLatticeGreedy(df, Seq("a", "b"), k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.viewLatticeGreedy(df, Seq("a", "a"), k = 1)
+    }
+  }
+
   test("pruningAudit: 4x4 grid — zorder prunes the y-slice linear " +
       "can't, the x-slice trade is visible, empty box yields null amp, " +
       "guards") {

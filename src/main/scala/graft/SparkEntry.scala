@@ -5013,6 +5013,27 @@ object SparkEntry {
         col("o_orderpriority").as("p"))
       graft.ops.Layout.viewLatticeGreedy(base, Seq("c", "d", "p"), k = 3)
         .orderBy("step")
+    }),
+
+    // Incremental view maintenance: a (customer-group, priority)
+    // COUNT/SUM-cents rollup of orders absorbs a synthetic CDC batch
+    // (deletes = orderkey % 7 rows, inserts = shifted % 11 rows)
+    // through delta propagation alone — the base is never re-read.
+    // The oracle RECOMPUTES the view over (base − deletes + inserts),
+    // so the gate is the IVM ≡ recompute contract itself.
+    "q325_ivm_agg_delta" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        (col("o_custkey") % 10).as("g1"), col("o_orderpriority").as("g2"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      val view = base.groupBy("g1", "g2")
+        .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+      val dels = base.filter(col("o_orderkey") % 7 === 0)
+        .select(lit("D").as("op"), col("g1"), col("g2"), col("v"))
+      val ins = base.filter(col("o_orderkey") % 11 === 0)
+        .select(lit("I").as("op"), ((col("g1") + 1) % 10).as("g1"),
+          col("g2"), (col("v") + 500L).as("v"))
+      graft.ops.Scd.ivmAggDelta(view, dels.unionByName(ins),
+        Seq("g1", "g2")).orderBy("g1", "g2")
     })
   )
 
@@ -11346,7 +11367,22 @@ object SparkEntry {
         |  UNION ALL SELECT 2, mask, b FROM pick2
         |  UNION ALL SELECT 3, mask, b FROM pick3) s
         |JOIN sizes z ON z.mask = s.mask
-        |ORDER BY step""".stripMargin
+        |ORDER BY step""".stripMargin,
+
+    "q325_ivm_agg_delta" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey % 10 AS g1,
+        |    o_orderpriority AS g2,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |modified AS (
+        |  SELECT g1, g2, v FROM base WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT (g1 + 1) % 10, g2, v + 500 FROM base
+        |  WHERE o_orderkey % 11 = 0)
+        |SELECT g1, g2, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM modified GROUP BY 1, 2
+        |ORDER BY g1, g2""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -244,4 +244,120 @@ object Joins {
       .digest(parts.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
   }
+
+  /** Selinger dynamic-programming join ordering (Selinger et al.
+    * SIGMOD'79) with the System-R cardinality model and the C_out cost
+    * metric — the planning pass behind every optimizer this library's
+    * queries lean on, surfaced as a queryable table. Per equi-join
+    * edge, |A ⋈ B| = |A|·|B| / max(ndv_A(k), ndv_B(k)); a subset's
+    * estimated size is the row product over its members divided by
+    * each internal edge's max-NDV, evaluated in a FIXED order (members
+    * by index, then edges by list position, truncating each division)
+    * so every engine derives the identical integer; cost(S) =
+    * size(S) + min over removable leaves r of cost(S − r), with
+    * singletons free — the left-deep DP. Cross joins are never
+    * enumerated: only connected subsets appear, and r must join to
+    * S − r by at least one edge.
+    *
+    * Stats gathering is one count + one multi-NDV aggregate per
+    * relation (exact `count_distinct` — the estimates must be
+    * reproducible, not sampled); the DP itself runs on the ≤ 2⁶-node
+    * subset lattice driver-side by contract (the [[Layout
+    * .viewLatticeGreedy]] bounded-read discipline). Intermediates are
+    * BigInt-exact; outputs cap at Long.MaxValue (the oracle mirrors
+    * with HUGEINT + LEAST).
+    *
+    * @param rels  (name, table) per relation, ≤ 6
+    * @param edges (idxA, keyColA, idxB, keyColB) equi-join edges
+    * @return one row per connected subset of size ≥ 2: (mask, rels,
+    *         size_est, best_cost, best_last) — best_last = the
+    *         relation the optimal plan joins LAST (ties: lower cost,
+    *         then lower index), which reconstructs the whole tree */
+  def selingerJoinOrder(rels: Seq[(String, DataFrame)],
+      edges: Seq[(Int, String, Int, String)]): DataFrame = {
+    require(rels.size >= 2 && rels.size <= 6,
+      s"rels must have 2..6 relations, got ${rels.size}")
+    require(edges.nonEmpty, "need at least one join edge")
+    edges.foreach { case (a, _, b, _) =>
+      require(a >= 0 && a < rels.size && b >= 0 && b < rels.size &&
+        a != b, s"bad edge endpoint in $edges")
+    }
+    val spark = rels.head._2.sparkSession
+    import spark.implicits._
+    val n = rels.size
+    val rows: Seq[Long] = rels.map(_._2.count())
+    // one aggregate per relation for all its edge-key NDVs
+    val ndvCols: Map[Int, Seq[String]] = (edges.map(e => e._1 -> e._2)
+      ++ edges.map(e => e._3 -> e._4))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val ndv: Map[(Int, String), Long] = ndvCols.flatMap {
+      case (i, cols) =>
+        val r = rels(i)._2
+          .agg(countDistinct(col(cols.head)).as("c0"),
+            cols.tail.zipWithIndex.map { case (c, j) =>
+              countDistinct(col(c)).as(s"c${j + 1}") }: _*)
+          .head()
+        cols.zipWithIndex.map { case (c, j) => (i, c) -> r.getLong(j) }
+    }
+    val edgeNdv: Seq[(Int, Int, Long)] = edges.map { case (a, ka, b, kb) =>
+      (a, b, math.max(ndv((a, ka)), ndv((b, kb))))
+    }
+    val maxL = BigInt(Long.MaxValue)
+    def size(mask: Int): BigInt = {
+      var s = (0 until n).filter(i => (mask & (1 << i)) != 0)
+        .map(i => BigInt(rows(i))).product
+      edgeNdv.foreach { case (a, b, d) =>
+        if ((mask & (1 << a)) != 0 && (mask & (1 << b)) != 0 && d > 0)
+          s = s / d
+      }
+      s
+    }
+    def connected(mask: Int): Boolean = {
+      if (mask == 0) return false
+      val first = Integer.numberOfTrailingZeros(mask)
+      var reach = 1 << first
+      var grew = true
+      while (grew) {
+        grew = false
+        edgeNdv.foreach { case (a, b, _) =>
+          val ab = (1 << a) | (1 << b)
+          if ((ab & mask) == ab &&
+              ((reach & ab) != 0) && ((reach & ab) != ab)) {
+            reach |= ab; grew = true
+          }
+        }
+      }
+      reach == mask
+    }
+    def joins(r: Int, rest: Int): Boolean = edgeNdv.exists { case (a, b, _) =>
+      (a == r && (rest & (1 << b)) != 0) || (b == r && (rest & (1 << a)) != 0)
+    }
+    val full = (1 << n) - 1
+    val cost = scala.collection.mutable.Map[Int, BigInt]()
+    val last = scala.collection.mutable.Map[Int, Int]()
+    (0 until n).foreach(i => cost(1 << i) = BigInt(0))
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long, String)]
+    for (sz <- 2 to n; mask <- 1 to full
+         if Integer.bitCount(mask) == sz && connected(mask)) {
+      val szEst = size(mask)
+      val (bestR, bestC) = (0 until n)
+        .filter(r => (mask & (1 << r)) != 0)
+        .flatMap { r =>
+          val rest = mask ^ (1 << r)
+          if (connected(rest) && joins(r, rest) && cost.contains(rest))
+            Some(r -> (cost(rest) + szEst))
+          else None
+        }
+        .minBy { case (r, c) => (c, r) }
+      cost(mask) = bestC
+      last(mask) = bestR
+      val names = (0 until n).filter(i => (mask & (1 << i)) != 0)
+        .map(rels(_)._1).mkString(",")
+      out += ((mask.toLong, names, szEst.min(maxL).toLong,
+        bestC.min(maxL).toLong, rels(bestR)._1))
+    }
+    spark.createDataFrame(out.toSeq)
+      .toDF("mask", "rels", "size_est", "best_cost", "best_last")
+  }
 }

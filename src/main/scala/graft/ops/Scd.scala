@@ -108,4 +108,46 @@ object Scd {
         "left")
       .drop(d(keyCol)).drop("effective_from", "effective_to")
   }
+
+  /** Incremental view maintenance for a COUNT/SUM aggregate view — the
+    * delta-propagation rule (Griffin & Libkin SIGMOD'95 / the
+    * Materialize-style IVM core) that lets a 10¹⁰-row base table's
+    * rollup absorb a CDC batch WITHOUT recompute: counts and sums are
+    * self-maintainable, so the new view is
+    *
+    *   cnt' = cnt + Σ(±1),  sum' = sum + Σ(±v)
+    *
+    * per group over the delta alone (op 'I' adds, 'D' subtracts; an
+    * update is D-old + I-new, the [[scd2Apply]] batch convention), with
+    * groups reaching cnt' = 0 dropped — by construction identical to
+    * recomputing over (base − deletes + inserts), which is exactly what
+    * the oracle does. Loud failures: ops outside {I, D} and deletes
+    * that drive any group's count negative (a delta the base never
+    * contained) refuse rather than silently corrupt the view.
+    *
+    * Scale shape: the delta aggregates to its own group set (delta-
+    * sized, with map-side partials), then one group-keyed full-outer
+    * join against the view — the base table is never touched. MIN/MAX
+    * are deliberately absent: they are NOT self-maintainable under
+    * deletes (a deleted max needs the base to find the runner-up). */
+  def ivmAggDelta(view: DataFrame, delta: DataFrame, keyCols: Seq[String],
+      opCol: String = "op", valCol: String = "v",
+      cntCol: String = "cnt", sumCol: String = "sum_v"): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(delta.filter(!col(opCol).isin("I", "D")).isEmpty,
+      s"delta has $opCol values outside {I, D}")
+    val sgn = when(col(opCol) === "I", 1L).otherwise(-1L)
+    val dAgg = delta.groupBy(keyCols.map(col): _*)
+      .agg(sum(sgn).as("__dc"), sum(sgn * col(valCol)).as("__dv"))
+    val merged = view.join(dAgg, keyCols, "full")
+      .select(keyCols.map(col) ++ Seq(
+        (coalesce(col(cntCol), lit(0L)) + coalesce(col("__dc"), lit(0L)))
+          .as(cntCol),
+        (coalesce(col(sumCol), lit(0L)) + coalesce(col("__dv"), lit(0L)))
+          .as(sumCol)): _*)
+      .localCheckpoint()
+    require(merged.filter(col(cntCol) < 0).isEmpty,
+      "delta deletes rows the view never aggregated (count went negative)")
+    merged.filter(col(cntCol) =!= 0)
+  }
 }

@@ -87,4 +87,27 @@ class ScdSpec extends AnyFunSuite with SparkTestBase {
     // disjoint intervals → at-most-1:1, row count preserved
     assert(Scd.pitJoin(fact, dim, "k", "at", Seq("v")).count() == 6L)
   }
+
+  test("ivmAggDelta: delta propagation matches hand recompute, " +
+      "zero-count group dropped, new group appears, negative count " +
+      "and bad op refuse loudly") {
+    val view = Seq(("a", 2L, 10L), ("b", 1L, 5L)).toDF("g", "cnt", "sum_v")
+    val delta = Seq(("D", "a", 4L), ("I", "a", 7L), ("D", "b", 5L),
+      ("I", "c", 3L)).toDF("op", "g", "v")
+    val got = Scd.ivmAggDelta(view, delta, Seq("g"))
+      .as[(String, Long, Long)].collect().toSet
+    // a: 2 rows, 10−4+7 = 13; b deleted to count 0 → dropped; c new
+    assert(got == Set(("a", 2L, 13L), ("c", 1L, 3L)), s"got $got")
+    intercept[IllegalArgumentException] {
+      Scd.ivmAggDelta(view, Seq(("D", "zz", 1L)).toDF("op", "g", "v"),
+        Seq("g"))
+    }
+    intercept[IllegalArgumentException] {
+      Scd.ivmAggDelta(view, Seq(("X", "a", 1L)).toDF("op", "g", "v"),
+        Seq("g"))
+    }
+    intercept[IllegalArgumentException] {
+      Scd.ivmAggDelta(view, delta, Seq.empty)
+    }
+  }
 }

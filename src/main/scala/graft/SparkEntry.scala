@@ -5034,7 +5034,23 @@ object SparkEntry {
           col("g2"), (col("v") + 500L).as("v"))
       graft.ops.Scd.ivmAggDelta(view, dels.unionByName(ins),
         Seq("g1", "g2")).orderBy("g1", "g2")
-    })
+    }),
+
+    // Selinger DP join ordering over the 5-table TPC-H-ish join graph
+    // (L–O, O–C, L–S, L–P): System-R cardinalities from exact NDVs,
+    // C_out cost, connected subsets only, fixed-order truncating
+    // divisions so both engines derive identical integers. DuckDB
+    // re-gathers every stat and replays the subset DP round by round.
+    "q326_selinger_join_order" -> ((s, dir) =>
+      graft.ops.Joins.selingerJoinOrder(
+        Seq("L" -> t(s, dir, "lineitem"), "O" -> t(s, dir, "orders"),
+          "C" -> t(s, dir, "customer"), "S" -> t(s, dir, "supplier"),
+          "P" -> t(s, dir, "part")),
+        Seq((0, "l_orderkey", 1, "o_orderkey"),
+          (1, "o_custkey", 2, "c_custkey"),
+          (0, "l_suppkey", 3, "s_suppkey"),
+          (0, "l_partkey", 4, "p_partkey")))
+        .orderBy("mask"))
   )
 
   // ---------------------------------------------------------------------
@@ -11382,7 +11398,86 @@ object SparkEntry {
         |SELECT g1, g2, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(v) AS BIGINT) AS sum_v
         |FROM modified GROUP BY 1, 2
-        |ORDER BY g1, g2""".stripMargin
+        |ORDER BY g1, g2""".stripMargin,
+
+    "q326_selinger_join_order" ->
+      s"""WITH RECURSIVE st AS MATERIALIZED (SELECT
+        |  (SELECT CAST(count(*) AS HUGEINT) FROM lineitem) AS rl,
+        |  (SELECT CAST(count(*) AS HUGEINT) FROM orders) AS ro,
+        |  (SELECT CAST(count(*) AS HUGEINT) FROM customer) AS rc,
+        |  (SELECT CAST(count(*) AS HUGEINT) FROM supplier) AS rs,
+        |  (SELECT CAST(count(*) AS HUGEINT) FROM part) AS rp,
+        |  (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS n_l_ok,
+        |  (SELECT count(DISTINCT o_orderkey) FROM orders) AS n_o_ok,
+        |  (SELECT count(DISTINCT o_custkey) FROM orders) AS n_o_ck,
+        |  (SELECT count(DISTINCT c_custkey) FROM customer) AS n_c_ck,
+        |  (SELECT count(DISTINCT l_suppkey) FROM lineitem) AS n_l_sk,
+        |  (SELECT count(DISTINCT s_suppkey) FROM supplier) AS n_s_sk,
+        |  (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_l_pk,
+        |  (SELECT count(DISTINCT p_partkey) FROM part) AS n_p_pk),
+        |ed AS MATERIALIZED (
+        |  SELECT 1 AS a, 2 AS b, greatest(n_l_ok, n_o_ok) AS d FROM st
+        |  UNION ALL SELECT 2, 4, greatest(n_o_ck, n_c_ck) FROM st
+        |  UNION ALL SELECT 1, 8, greatest(n_l_sk, n_s_sk) FROM st
+        |  UNION ALL SELECT 1, 16, greatest(n_l_pk, n_p_pk) FROM st),
+        |bits AS (SELECT unnest(range(5)) AS i),
+        |subs AS (SELECT unnest(range(1, 32)) AS mask),
+        |pcs AS MATERIALIZED (SELECT mask,
+        |    CAST((mask & 1) + ((mask >> 1) & 1) + ((mask >> 2) & 1)
+        |      + ((mask >> 3) & 1) + ((mask >> 4) & 1) AS BIGINT) AS pc
+        |  FROM subs),
+        |rch(mask, reach) AS (
+        |  SELECT mask, mask & (-mask) FROM subs
+        |  UNION
+        |  SELECT r.mask, r.reach | (e.a | e.b) FROM rch r JOIN ed e
+        |    ON ((e.a | e.b) & r.mask) = (e.a | e.b)
+        |    AND (r.reach & (e.a | e.b)) <> 0),
+        |conn AS MATERIALIZED (SELECT p.mask, p.pc FROM pcs p
+        |  JOIN (SELECT mask, max(reach) AS f FROM rch GROUP BY 1) r
+        |    ON r.mask = p.mask AND r.f = p.mask),
+        |s0 AS (SELECT c.mask,
+        |    (CASE WHEN c.mask & 1 <> 0 THEN st.rl ELSE 1 END)
+        |  * (CASE WHEN c.mask & 2 <> 0 THEN st.ro ELSE 1 END)
+        |  * (CASE WHEN c.mask & 4 <> 0 THEN st.rc ELSE 1 END)
+        |  * (CASE WHEN c.mask & 8 <> 0 THEN st.rs ELSE 1 END)
+        |  * (CASE WHEN c.mask & 16 <> 0 THEN st.rp ELSE 1 END) AS sz
+        |  FROM conn c, st),
+        |s1 AS (SELECT mask, CASE WHEN mask & 3 = 3 THEN sz //
+        |    (SELECT d FROM ed WHERE a = 1 AND b = 2) ELSE sz END AS sz
+        |  FROM s0),
+        |s2 AS (SELECT mask, CASE WHEN mask & 6 = 6 THEN sz //
+        |    (SELECT d FROM ed WHERE a = 2 AND b = 4) ELSE sz END AS sz
+        |  FROM s1),
+        |s3 AS (SELECT mask, CASE WHEN mask & 9 = 9 THEN sz //
+        |    (SELECT d FROM ed WHERE a = 1 AND b = 8) ELSE sz END AS sz
+        |  FROM s2),
+        |szs AS MATERIALIZED (SELECT mask,
+        |    CASE WHEN mask & 17 = 17 THEN sz //
+        |    (SELECT d FROM ed WHERE a = 1 AND b = 16) ELSE sz END AS sz
+        |  FROM s3),
+        |cstall1 AS (SELECT mask, CAST(0 AS HUGEINT) AS cost FROM pcs
+        |  WHERE pc = 1),
+        |${(2 to 5).map(selingerRoundCtes).mkString(",\n")},
+        |picks AS (SELECT mask, ridx, cost FROM pick2
+        |  UNION ALL SELECT mask, ridx, cost FROM pick3
+        |  UNION ALL SELECT mask, ridx, cost FROM pick4
+        |  UNION ALL SELECT mask, ridx, cost FROM pick5)
+        |SELECT CAST(c.mask AS BIGINT) AS mask,
+        |  concat_ws(',',
+        |    CASE WHEN c.mask & 1 <> 0 THEN 'L' END,
+        |    CASE WHEN c.mask & 2 <> 0 THEN 'O' END,
+        |    CASE WHEN c.mask & 4 <> 0 THEN 'C' END,
+        |    CASE WHEN c.mask & 8 <> 0 THEN 'S' END,
+        |    CASE WHEN c.mask & 16 <> 0 THEN 'P' END) AS rels,
+        |  CAST(LEAST(z.sz, CAST(9223372036854775807 AS HUGEINT))
+        |    AS BIGINT) AS size_est,
+        |  CAST(LEAST(k.cost, CAST(9223372036854775807 AS HUGEINT))
+        |    AS BIGINT) AS best_cost,
+        |  CASE k.ridx WHEN 0 THEN 'L' WHEN 1 THEN 'O' WHEN 2 THEN 'C'
+        |    WHEN 3 THEN 'S' ELSE 'P' END AS best_last
+        |FROM conn c JOIN szs z ON z.mask = c.mask
+        |JOIN picks k ON k.mask = c.mask
+        |WHERE c.pc >= 2 ORDER BY mask""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6
@@ -11842,6 +11937,28 @@ object SparkEntry {
     * exactly (own-community candidate at e = 0, score = 2m·e − k·K',
     * ties score desc then community asc). NOT pre-stripped (embeds in
     * a stripMargin outer string, the winnowingCtes rule). */
+  /** One q326 Selinger DP round for subsets of popcount `k`: best
+    * removable leaf = (cost(rest) + size) argmin with (cost, bit idx)
+    * ties; `call` = cstall${k-1} accumulates all solved subsets. NOT
+    * pre-stripped. */
+  private def selingerRoundCtes(k: Int): String =
+    s"""cand$k AS (SELECT c.mask, b.i AS ridx,
+       |    p.cost + z.sz AS cost
+       |  FROM conn c JOIN bits b ON ((c.mask >> b.i) & 1) = 1
+       |  JOIN cstall${k - 1} p ON p.mask = c.mask - (1 << b.i)
+       |  JOIN szs z ON z.mask = c.mask
+       |  WHERE c.pc = $k AND EXISTS (SELECT 1 FROM ed e
+       |    WHERE (e.a = (1 << b.i)
+       |        AND (e.b & (c.mask - (1 << b.i))) <> 0)
+       |      OR (e.b = (1 << b.i)
+       |        AND (e.a & (c.mask - (1 << b.i))) <> 0))),
+       |pick$k AS MATERIALIZED (SELECT mask, ridx, cost FROM (
+       |    SELECT mask, ridx, cost, row_number() OVER (
+       |      PARTITION BY mask ORDER BY cost, ridx) AS rn
+       |    FROM cand$k) WHERE rn = 1),
+       |cstall$k AS MATERIALIZED (SELECT mask, cost FROM cstall${k - 1}
+       |  UNION ALL SELECT mask, cost FROM pick$k)"""
+
   /** One q324 HRU greedy round over table `sizes`: per-view cost =
     * min selected-ancestor size, benefit = Σ_{w⊆v} max(0, cost−|v|),
     * pick = (benefit desc, mask asc) argmax. NOT pre-stripped. */

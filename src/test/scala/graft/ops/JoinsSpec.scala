@@ -132,4 +132,36 @@ class JoinsSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Long)].collect().map(_._1).toSet
     assert(got == Set(1L, 3L, 4L, 5L, 7L), s"got $got")
   }
+
+  test("selingerJoinOrder: hand chain A-B-C — System-R sizes with " +
+      "fixed division order, disconnected subset absent, DP picks the " +
+      "small side, deterministic ties, guards") {
+    // A: 4 rows, ndv(k1)=2; B: 6 rows, ndv(k1)=3, ndv(k2)=6;
+    // C: 2 rows, ndv(k2)=2. Sizes: AB = 24//3 = 8; BC = 12//6 = 2;
+    // ABC = 48//3//6 = 2. cost(ABC) = 2 + min(cost(BC)=2, cost(AB)=8)
+    // → 4 via removing A last; {A,C} has no edge → absent.
+    val a = Seq(1L, 1L, 2L, 2L).toDF("k1")
+    val b = Seq((1L, 10L), (2L, 11L), (3L, 12L), (1L, 13L), (2L, 14L),
+      (3L, 15L)).toDF("k1", "k2")
+    val c = Seq(10L, 11L).toDF("k2")
+    val got = Joins.selingerJoinOrder(
+        Seq("A" -> a, "B" -> b, "C" -> c),
+        Seq((0, "k1", 1, "k1"), (1, "k2", 2, "k2")))
+      .as[(Long, String, Long, Long, String)].collect().toSet
+    val want = Set(
+      (3L, "A,B", 8L, 8L, "A"),   // pair ties break to the lower index
+      (6L, "B,C", 2L, 2L, "B"),
+      (7L, "A,B,C", 2L, 4L, "A"))
+    assert(got == want, s"got $got")
+    intercept[IllegalArgumentException] {
+      Joins.selingerJoinOrder(Seq("A" -> a), Seq((0, "k1", 0, "k1")))
+    }
+    intercept[IllegalArgumentException] {
+      Joins.selingerJoinOrder(Seq("A" -> a, "B" -> b), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Joins.selingerJoinOrder(Seq("A" -> a, "B" -> b),
+        Seq((0, "k1", 2, "k2")))
+    }
+  }
 }

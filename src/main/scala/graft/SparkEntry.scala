@@ -5050,7 +5050,25 @@ object SparkEntry {
           (1, "o_custkey", 2, "c_custkey"),
           (0, "l_suppkey", 3, "s_suppkey"),
           (0, "l_partkey", 4, "p_partkey")))
-        .orderBy("mask"))
+        .orderBy("mask")),
+
+    // Optimizer-statistics quality audit on order totals (cents):
+    // equi-width vs equi-depth 16-bucket histograms scored on a
+    // 4-predicate range workload via the textbook per-bucket integer
+    // interpolation — the ANALYZE decision in numbers. Boundaries are
+    // exact dyadic percentiles, so DuckDB's quantile_cont re-derives
+    // them bit-equal; every estimate and err_ppm is replayed.
+    "q327_histogram_audit" -> ((s, dir) => {
+      import s.implicits._
+      val preds = Seq((0L, 0L, 5000000L), (1L, 10000000L, 20000000L),
+        (2L, 40000000L, 60000000L), (3L, 0L, 100000000L))
+        .toDF("pred_id", "q_lo", "q_hi")
+      val o = t(s, dir, "orders")
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+          .as("cents"))
+      graft.ops.Cleaning.histogramSelectivityAudit(o, "cents", preds,
+        bins = 16).orderBy("hist", "pred_id")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -11477,7 +11495,66 @@ object SparkEntry {
         |    WHEN 3 THEN 'S' ELSE 'P' END AS best_last
         |FROM conn c JOIN szs z ON z.mask = c.mask
         |JOIN picks k ON k.mask = c.mask
-        |WHERE c.pc >= 2 ORDER BY mask""".stripMargin
+        |WHERE c.pc >= 2 ORDER BY mask""".stripMargin,
+
+    "q327_histogram_audit" ->
+      """WITH v AS MATERIALIZED (SELECT
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |st AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    min(v) AS lo, max(v) AS hi, max(v) - min(v) + 1 AS w
+        |  FROM v),
+        |preds(pred_id, q_lo, q_hi) AS (VALUES
+        |  (0, 0, 5000000), (1, 10000000, 20000000),
+        |  (2, 40000000, 60000000), (3, 0, 100000000)),
+        |wcnt AS (SELECT least(15, (v.v - st.lo) * 16 // st.w) AS b,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM v, st GROUP BY 1),
+        |wb AS (SELECT 'width' AS hist, r.b,
+        |    st.lo + (r.b * st.w + 15) // 16 AS s,
+        |    st.lo + ((r.b + 1) * st.w + 15) // 16 - 1 AS e,
+        |    COALESCE(w.cnt, 0) AS cnt
+        |  FROM (SELECT unnest(range(16)) AS b) r CROSS JOIN st
+        |  LEFT JOIN wcnt w ON w.b = r.b),
+        |qarr AS (SELECT quantile_cont(v, [
+        |    0.0625, 0.125, 0.1875, 0.25, 0.3125, 0.375, 0.4375, 0.5,
+        |    0.5625, 0.625, 0.6875, 0.75, 0.8125, 0.875, 0.9375])
+        |      AS qs FROM v),
+        |bet AS MATERIALIZED (SELECT i,
+        |    CASE WHEN i = 0 THEN (SELECT lo - 1 FROM st)
+        |         WHEN i = 16 THEN (SELECT hi FROM st)
+        |         ELSE CAST(round(qs[CAST(i AS INT)]) AS BIGINT) END
+        |      AS beta
+        |  FROM (SELECT unnest(range(17)) AS i), qarr),
+        |vals AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM v
+        |  GROUP BY 1),
+        |vasg AS (SELECT a.v, a.c, CAST(count(b.i) AS BIGINT) AS bkt
+        |  FROM vals a LEFT JOIN bet b
+        |    ON b.i BETWEEN 1 AND 15 AND a.v > b.beta
+        |  GROUP BY a.v, a.c),
+        |dcnt AS (SELECT bkt AS b, CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM vasg GROUP BY 1),
+        |db AS (SELECT 'depth' AS hist, r.b, b1.beta + 1 AS s,
+        |    b2.beta AS e, COALESCE(d.cnt, 0) AS cnt
+        |  FROM (SELECT unnest(range(16)) AS b) r
+        |  JOIN bet b1 ON b1.i = r.b
+        |  JOIN bet b2 ON b2.i = r.b + 1
+        |  LEFT JOIN dcnt d ON d.b = r.b),
+        |allb AS (SELECT * FROM wb UNION ALL SELECT * FROM db),
+        |est AS (SELECT hist, p.pred_id, CAST(sum(
+        |    CASE WHEN e >= s
+        |        AND least(e, p.q_hi) - greatest(s, p.q_lo) + 1 > 0
+        |      THEN (cnt * (least(e, p.q_hi) - greatest(s, p.q_lo) + 1))
+        |        // greatest(e - s + 1, 1)
+        |      ELSE 0 END) AS BIGINT) AS est_rows
+        |  FROM allb CROSS JOIN preds p GROUP BY 1, 2),
+        |act AS (SELECT p.pred_id, CAST(count(v.v) AS BIGINT) AS ar
+        |  FROM preds p LEFT JOIN v
+        |    ON v.v BETWEEN p.q_lo AND p.q_hi GROUP BY 1)
+        |SELECT e.hist, CAST(e.pred_id AS BIGINT) AS pred_id,
+        |  e.est_rows, a.ar AS actual_rows,
+        |  abs(e.est_rows - a.ar) * 1000000 // st.n AS err_ppm
+        |FROM est e JOIN act a ON a.pred_id = e.pred_id, st
+        |ORDER BY hist, pred_id""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -237,4 +237,29 @@ class CleaningSpec extends AnyFunSuite with SparkTestBase {
         "normalized values must stay monotone in the group rank")
     }
   }
+
+  test("histogramSelectivityAudit: skewed fixture — equi-width lies " +
+      "on the hot point (est 0 of 12), equi-depth nails it, both " +
+      "exact on the covered tail, guards") {
+    // 12 copies of 1, then 97..100: n=16, lo=1, hi=100.
+    // width buckets of 25: the [1,1] predicate interpolates
+    // 12·1 div 25 = 0 (err 750000 ppm); depth boundary β₁ = 1 puts
+    // all twelve in a width-1 bucket → est 12, err 0.
+    val vals = (Seq.fill(12)(1L) ++ Seq(97L, 98L, 99L, 100L)).toDF("x")
+    val preds = Seq((0L, 1L, 1L), (1L, 26L, 100L))
+      .toDF("pred_id", "q_lo", "q_hi")
+    val got = Cleaning.histogramSelectivityAudit(vals, "x", preds,
+        bins = 4)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val want = Set(
+      ("width", 0L, 0L, 12L, 750000L), ("width", 1L, 4L, 4L, 0L),
+      ("depth", 0L, 12L, 12L, 0L), ("depth", 1L, 4L, 4L, 0L))
+    assert(got == want, s"got $got")
+    intercept[IllegalArgumentException] {
+      Cleaning.histogramSelectivityAudit(vals, "x", preds, bins = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Cleaning.histogramSelectivityAudit(vals, "x", preds, bins = 1)
+    }
+  }
 }

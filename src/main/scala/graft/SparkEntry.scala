@@ -5068,6 +5068,22 @@ object SparkEntry {
           .as("cents"))
       graft.ops.Cleaning.histogramSelectivityAudit(o, "cents", preds,
         bins = 16).orderBy("hist", "pred_id")
+    }),
+
+    // Roaring container planning over event postings (per-type doc-id
+    // sets + a '__all__' list that is fully consecutive): each 2¹⁶
+    // chunk picks array / bitmap / run from exact cardinality and run
+    // counts — the dense list plans a 6-byte run container while the
+    // scattered ones go bitmap/array. DuckDB re-derives every chunk's
+    // stats and the tie-broken container choice.
+    "q328_roaring_plan" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val posts = ev.select(col("event_type").as("term"),
+          col("event_id").as("doc"))
+        .unionByName(ev.select(lit("__all__").as("term"),
+          col("event_id").as("doc")))
+      graft.ops.Layout.roaringPlan(posts, "term", "doc")
+        .orderBy("term", "chunk")
     })
   )
 
@@ -11554,7 +11570,34 @@ object SparkEntry {
         |  e.est_rows, a.ar AS actual_rows,
         |  abs(e.est_rows - a.ar) * 1000000 // st.n AS err_ppm
         |FROM est e JOIN act a ON a.pred_id = e.pred_id, st
-        |ORDER BY hist, pred_id""".stripMargin
+        |ORDER BY hist, pred_id""".stripMargin,
+
+    "q328_roaring_plan" ->
+      """WITH posts AS (
+        |  SELECT event_type AS term, event_id AS doc FROM events
+        |  UNION ALL SELECT '__all__', event_id FROM events),
+        |base AS (SELECT DISTINCT term, CAST(doc AS BIGINT) AS doc
+        |  FROM posts),
+        |m AS (SELECT term, doc // 65536 AS chunk, doc % 65536 AS lo,
+        |    lag(doc % 65536) OVER (PARTITION BY term, doc // 65536
+        |      ORDER BY doc % 65536) AS prev
+        |  FROM base),
+        |st AS (SELECT term, chunk,
+        |    CAST(count(*) AS BIGINT) AS cardinality,
+        |    CAST(sum(CASE WHEN prev IS NULL OR lo - prev <> 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        |  FROM m GROUP BY 1, 2),
+        |pl AS (SELECT term, chunk, cardinality, n_runs,
+        |    CASE WHEN cardinality <= 4096 THEN cardinality * 2
+        |         ELSE 9223372036854775807 END AS ab,
+        |    CAST(8192 AS BIGINT) AS bb,
+        |    2 + n_runs * 4 AS rb
+        |  FROM st)
+        |SELECT term, chunk, cardinality, n_runs,
+        |  CASE WHEN ab <= bb AND ab <= rb THEN 'array'
+        |       WHEN bb <= rb THEN 'bitmap' ELSE 'run' END AS container,
+        |  CAST(least(ab, bb, rb) AS BIGINT) AS bytes
+        |FROM pl ORDER BY term, chunk""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -362,6 +362,57 @@ object Layout {
     df.withColumn("shard", shard)
   }
 
+  /** Roaring-bitmap container planning (Chambi, Lemire et al. 2016 —
+    * the postings layout Lucene/Druid/ClickHouse converged on) for a
+    * (term, doc-id) posting table: ids chunk by their high 16 bits,
+    * and each chunk independently picks the cheapest of Roaring's
+    * three containers from exact statistics —
+    *
+    *   array  = 2·c bytes (sorted shorts, only when c ≤ 4096),
+    *   bitmap = 8192 bytes (fixed 2¹⁶-bit vector),
+    *   run    = 2 + 4·r bytes (r = maximal consecutive runs),
+    *
+    * ties array < bitmap < run at equal size (Roaring's own priority).
+    * [[postingsCompressionAudit]] scores ONE encoding (varint gaps);
+    * this is the per-chunk adaptive choice that beats any single one.
+    * Returns one row per (term, chunk): cardinality, n_runs,
+    * container, bytes. Run counting is a lag window per (term, chunk)
+    * partition — bounded at 2¹⁶ rows by construction, the partitioner
+    * IS the chunk key. */
+  def roaringPlan(df: DataFrame, termCol: String,
+      docCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(termCol).as("term"),
+        col(docCol).cast("long").as("doc")).distinct()
+      .select(col("term"), col("doc"),
+        expr("doc div 65536").as("chunk"),
+        (col("doc") % 65536).as("lo"))
+    val w = Window.partitionBy("term", "chunk").orderBy("lo")
+    val marked = base
+      .withColumn("prev", lag(col("lo"), 1).over(w))
+      .withColumn("is_run_start",
+        when(col("prev").isNull || col("lo") - col("prev") =!= 1L, 1L)
+          .otherwise(0L))
+    val stats = marked.groupBy("term", "chunk")
+      .agg(count(lit(1)).as("cardinality"),
+        sum("is_run_start").as("n_runs"))
+    stats
+      .withColumn("array_bytes",
+        when(col("cardinality") <= 4096, col("cardinality") * 2)
+          .otherwise(lit(Long.MaxValue)))
+      .withColumn("bitmap_bytes", lit(8192L))
+      .withColumn("run_bytes", lit(2L) + col("n_runs") * 4)
+      .withColumn("container",
+        when(col("array_bytes") <= col("bitmap_bytes") &&
+          col("array_bytes") <= col("run_bytes"), lit("array"))
+          .when(col("bitmap_bytes") <= col("run_bytes"), lit("bitmap"))
+          .otherwise(lit("run")))
+      .withColumn("bytes",
+        least(col("array_bytes"), col("bitmap_bytes"), col("run_bytes")))
+      .select("term", "chunk", "cardinality", "n_runs", "container",
+        "bytes")
+  }
+
   /** Greedy materialized-view selection over the data-cube lattice
     * (Harinarayan, Rajaraman & Ullman SIGMOD'96) — the physical-design
     * decision next to [[zorderWrite]] and [[pruningAudit]]: which k

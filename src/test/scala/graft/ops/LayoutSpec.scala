@@ -304,6 +304,30 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("roaringPlan: array/run/bitmap chosen per chunk from exact " +
+      "stats, chunk split at the 2^16 seam, 4096-card tie prefers " +
+      "array, duplicates collapse") {
+    val rows =
+      // t/chunk0: {1,2,3,10} → 2 runs, array 8 B; t/chunk1: {70000}
+      Seq("t" -> 1L, "t" -> 2L, "t" -> 3L, "t" -> 10L, "t" -> 10L,
+        "t" -> 70000L) ++
+      // r: 0..4999 consecutive + 6000,6001 → card 5002, 2 runs → run
+      ((0L until 5000L).map("r" -> _) ++ Seq("r" -> 6000L, "r" -> 6001L)) ++
+      // b: evens 0..9998 → card 5000, 5000 runs → bitmap
+      (0L until 5000L).map(i => "b" -> (i * 2)) ++
+      // e: evens 0..8190 → card 4096 exactly: array 8192 = bitmap → array
+      (0L until 4096L).map(i => "e" -> (i * 2))
+    val got = Layout.roaringPlan(rows.toDF("term", "doc"), "term", "doc")
+      .as[(String, Long, Long, Long, String, Long)].collect().toSet
+    val want = Set(
+      ("t", 0L, 4L, 2L, "array", 8L),
+      ("t", 1L, 1L, 1L, "array", 2L),
+      ("r", 0L, 5002L, 2L, "run", 10L),
+      ("b", 0L, 5000L, 5000L, "bitmap", 8192L),
+      ("e", 0L, 4096L, 4096L, "array", 8192L))
+    assert(got == want, s"got $got")
+  }
+
   test("viewLatticeGreedy: hand 2-dim lattice — benefits, cost updates " +
       "after each pick, symmetric tie breaks to the smaller mask, " +
       "guards") {

@@ -5084,7 +5084,16 @@ object SparkEntry {
           col("event_id").as("doc")))
       graft.ops.Layout.roaringPlan(posts, "term", "doc")
         .orderBy("term", "chunk")
-    })
+    }),
+
+    // Pettitt change-point localization per event type over the
+    // 256-hour grid: tie-broken integer ranks, U_m = 2W_m − m(L+1),
+    // earliest argmax |U| — where the level shifted, rank-robustly.
+    // DuckDB re-derives the grid, every rank, and the tie-broken pick.
+    "q329_pettitt_change" -> ((s, dir) =>
+      graft.streaming.EventsPipeline.pettittChangePoint(
+        t(s, dir, "events"), "ts", "event_type", gridLen = 256)
+        .orderBy("event_type"))
   )
 
   // ---------------------------------------------------------------------
@@ -11597,7 +11606,36 @@ object SparkEntry {
         |  CASE WHEN ab <= bb AND ab <= rb THEN 'array'
         |       WHEN bb <= rb THEN 'bitmap' ELSE 'run' END AS container,
         |  CAST(least(ab, bb, rb) AS BIGINT) AS bytes
-        |FROM pl ORDER BY term, chunk""".stripMargin
+        |FROM pl ORDER BY term, chunk""".stripMargin,
+
+    "q329_pettitt_change" ->
+      """WITH m AS (SELECT CAST(min(epoch_us(ts) // 1000000) AS BIGINT)
+        |    AS t0 FROM events),
+        |cnt AS (SELECT k, h, CAST(count(*) AS BIGINT) AS x FROM (
+        |    SELECT event_type AS k,
+        |      (epoch_us(ts) // 1000000 - m.t0) // 3600 AS h
+        |    FROM events, m)
+        |  WHERE h >= 0 AND h < 256 GROUP BY 1, 2),
+        |keys AS (SELECT DISTINCT k FROM cnt),
+        |grid AS (SELECT keys.k, r.h, COALESCE(cnt.x, 0) AS x
+        |  FROM keys CROSS JOIN (SELECT unnest(range(256)) AS h) r
+        |  LEFT JOIN cnt ON cnt.k = keys.k AND cnt.h = r.h),
+        |rk AS (SELECT k, h, CAST(ROW_NUMBER() OVER (PARTITION BY k
+        |      ORDER BY x, h) AS BIGINT) AS r
+        |  FROM grid),
+        |uu AS (SELECT k, h + 1 AS mm,
+        |    2 * CAST(SUM(r) OVER (PARTITION BY k ORDER BY h
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      - (h + 1) * 257 AS u
+        |  FROM rk),
+        |pick AS (SELECT k, mm, u,
+        |    ROW_NUMBER() OVER (PARTITION BY k
+        |      ORDER BY abs(u) DESC, mm) AS rn
+        |  FROM uu WHERE mm < 256)
+        |SELECT k AS event_type, CAST(mm AS BIGINT) AS m_star,
+        |  u AS u_star, abs(u) AS abs_u
+        |FROM pick WHERE rn = 1
+        |ORDER BY event_type""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -719,6 +719,58 @@ object EventsPipeline {
           .as("acf_ppm"))
   }
 
+  /** Pettitt change-point localization (Pettitt 1979, the rank-based
+    * Mann–Whitney change point) on each key's hourly count series —
+    * the OFFLINE complement to [[cusumFlags]]: cusum alarms online as
+    * a shift happens, Pettitt answers "WHERE in this history did the
+    * level change", nonparametrically (ranks, so one outlier hour
+    * cannot fake a shift the way it fools a mean-based split). With
+    * tie-broken ranks r_t (by value then hour — documented variant:
+    * classic midranks are fractional, these stay integer) and prefix
+    * sums W_m, the statistic is U_m = 2·W_m − m·(L+1); the change
+    * point is argmax |U_m| over m = 1..L−1 with ties to the earliest
+    * m. Exact integers end to end; the sign of U* says which way the
+    * level moved (negative = later half higher).
+    *
+    * Shape: the [[acf]] zero-filled global-t0 grid, then per-key
+    * rank/prefix windows over gridLen-bounded partitions — the key IS
+    * the partitioner, nothing corpus-sized hits one task. */
+  def pettittChangePoint(events: DataFrame, tsCol: String,
+      keyCol: String, gridLen: Int = 256): DataFrame = {
+    require(gridLen >= 3, s"gridLen must be >= 3, got $gridLen")
+    import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
+    import spark.implicits._
+    val m = events.agg(min(unix_timestamp(col(tsCol))).as("t0"))
+    val counts = events.crossJoin(broadcast(m))
+      .select(col(keyCol).as("k"),
+        expr(s"CAST((unix_timestamp($tsCol) - t0) div 3600 AS BIGINT)")
+          .as("h"))
+      .filter(col("h") >= 0 && col("h") < gridLen)
+      .groupBy("k", "h").agg(count(lit(1)).as("x"))
+    val keys = counts.select("k").distinct()
+    val grid = keys
+      .crossJoin(spark.range(gridLen).select(col("id").as("h")))
+      .join(counts, Seq("k", "h"), "left")
+      .select(col("k"), col("h"), coalesce(col("x"), lit(0L)).as("x"))
+    val wRank = Window.partitionBy("k").orderBy(col("x"), col("h"))
+    val wPre = Window.partitionBy("k").orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val u = grid
+      .withColumn("r", row_number().over(wRank).cast("long"))
+      .withColumn("w", sum("r").over(wPre))
+      .withColumn("m", col("h") + 1)
+      .filter(col("m") < gridLen)
+      .select(col("k"),
+        (lit(2L) * col("w") - col("m") * (gridLen + 1L)).as("u"),
+        col("m"))
+    val pick = Window.partitionBy("k")
+      .orderBy(abs(col("u")).desc, col("m"))
+    u.withColumn("rn", row_number().over(pick)).filter(col("rn") === 1)
+      .select(col("k").as(keyCol), col("m").as("m_star"),
+        col("u").as("u_star"), abs(col("u")).as("abs_u"))
+  }
+
   /** Wald's SPRT (sequential probability ratio test, Wald 1945) —
     * the always-valid member of the experiment tier ([[diffInDiff]]
     * and [[cuped]] analyze a FINISHED experiment; this one replays the

@@ -390,6 +390,31 @@ class EventsPipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("pettittChangePoint: hand level shift located at the break, " +
+      "signed direction, earliest-m tie-break via constant tail, " +
+      "guards") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // key a, gridLen 6: hourly counts [1,1,1,11,11,11] (h-th hour gets
+    // h∈{0,1,2} → 1 event, h∈{3,4,5} → 11). Ranks (x, h) = 1..6 in
+    // order; W = 1,3,6,10,15,21; U_m = 2W − 7m = [−5,−8,−9,−8,−5] →
+    // argmax |U| at m=3, U = −9 (negative: later half higher).
+    val rows = (0 until 6).flatMap { h =>
+      val n = if (h < 3) 1 else 11
+      Seq.fill(n)(("a", h.toLong))
+    }
+    val df = rows.zipWithIndex.map { case ((k, h), i) =>
+      (i.toLong, k, ts(h * 3600L + 9L))
+    }.toDF("event_id", "event_type", "ts")
+    val got = graft.streaming.EventsPipeline
+      .pettittChangePoint(df, "ts", "event_type", gridLen = 6)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("a", 3L, -9L, 9L)), s"got $got")
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventsPipeline.pettittChangePoint(df, "ts",
+        "event_type", gridLen = 2)
+    }
+  }
+
   test("markovAttribution: hand 4-journey chain — exact ppm matrix, " +
       "truncated value iteration, removal clamps, path truncation at " +
       "first conversion, guards") {

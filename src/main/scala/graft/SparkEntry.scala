@@ -5093,7 +5093,38 @@ object SparkEntry {
     "q329_pettitt_change" -> ((s, dir) =>
       graft.streaming.EventsPipeline.pettittChangePoint(
         t(s, dir, "events"), "ts", "event_type", gridLen = 256)
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Gale–Shapley stable matching: 6 suppliers (proposers) × 6
+    // nations (acceptors) with md5-derived two-sided preferences —
+    // the proposer-optimal stable assignment, synchronously (a pure
+    // function of the inputs where classic GS's visit order isn't).
+    // DuckDB re-derives both preference tables and replays 36
+    // deferred-acceptance rounds (the 6×6 worst-case bound; rounds
+    // past the fixpoint are no-ops).
+    "q330_stable_matching" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def h(tag: String, x: Column, y: Column) =
+        conv(substring(md5(concat_ws("#", lit(tag), x.cast("string"),
+          y.cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 1000000
+      val sup = t(s, dir, "supplier")
+        .filter(col("s_suppkey").between(1, 6))
+        .select(col("s_suppkey").as("p"))
+      val nat = t(s, dir, "nation")
+        .filter(col("n_nationkey").between(0, 5))
+        .select(col("n_nationkey").as("a"))
+      val cross = sup.crossJoin(nat)
+      val pp = cross
+        .withColumn("sc", h("p", col("p"), col("a")))
+        .withColumn("rank", row_number().over(Window.partitionBy("p")
+          .orderBy(desc("sc"), col("a"))).cast("long") - 1)
+        .select("p", "a", "rank")
+      val pa = cross.select(col("a"), col("p"),
+        h("a", col("a"), col("p")).as("score"))
+      graft.ops.Matching.stableMatching(pp, pa, maxRounds = 36)
+        .orderBy("p")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -11635,7 +11666,33 @@ object SparkEntry {
         |SELECT k AS event_type, CAST(mm AS BIGINT) AS m_star,
         |  u AS u_star, abs(u) AS abs_u
         |FROM pick WHERE rn = 1
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    "q330_stable_matching" ->
+      s"""WITH sup AS (SELECT CAST(s_suppkey AS BIGINT) AS p
+        |  FROM supplier WHERE s_suppkey BETWEEN 1 AND 6),
+        |nat AS (SELECT CAST(n_nationkey AS BIGINT) AS a
+        |  FROM nation WHERE n_nationkey BETWEEN 0 AND 5),
+        |ps AS (SELECT p, a,
+        |    CAST('0x' || substr(md5('p#' || CAST(p AS VARCHAR) || '#'
+        |      || CAST(a AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS sc
+        |  FROM sup CROSS JOIN nat),
+        |pp AS MATERIALIZED (SELECT p, a,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY p
+        |      ORDER BY sc DESC, a) - 1 AS BIGINT) AS rank
+        |  FROM ps),
+        |pa AS MATERIALIZED (SELECT a, p,
+        |    CAST('0x' || substr(md5('a#' || CAST(a AS VARCHAR) || '#'
+        |      || CAST(p AS VARCHAR)), 1, 8) AS BIGINT) % 1000000
+        |      AS score
+        |  FROM sup CROSS JOIN nat),
+        |ptr0 AS (SELECT p, CAST(0 AS BIGINT) AS ptr FROM sup),
+        |eng0 AS (SELECT CAST(NULL AS BIGINT) AS p,
+        |    CAST(NULL AS BIGINT) AS a WHERE 1 = 0),
+        |${(1 to 36).map(k => gsRoundCtes(k - 1, k)).mkString(",\n")}
+        |SELECT e.p, e.a, pp.rank AS rank_used
+        |FROM eng36 e JOIN pp ON pp.p = e.p AND pp.a = e.a
+        |ORDER BY e.p""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6
@@ -12116,6 +12173,30 @@ object SparkEntry {
        |    FROM cand$k) WHERE rn = 1),
        |cstall$k AS MATERIALIZED (SELECT mask, cost FROM cstall${k - 1}
        |  UNION ALL SELECT mask, cost FROM pick$k)"""
+
+  /** One q330 synchronous deferred-acceptance round: free proposers
+    * offer at their pointer, each acceptor keeps its best offer ever
+    * (score desc, p asc), every loser — dumped incumbents included —
+    * advances its pointer. Rounds past the fixpoint are no-ops. NOT
+    * pre-stripped. */
+  private def gsRoundCtes(j: Int, k: Int): String =
+    s"""prop$k AS MATERIALIZED (SELECT pt.p, pp.a
+       |  FROM ptr$j pt JOIN pp ON pp.p = pt.p AND pp.rank = pt.ptr
+       |  WHERE pt.p NOT IN (SELECT p FROM eng$j WHERE p IS NOT NULL)),
+       |cand$k AS (SELECT p, a FROM prop$k
+       |  UNION ALL SELECT p, a FROM eng$j WHERE p IS NOT NULL),
+       |win$k AS MATERIALIZED (SELECT p, a FROM (
+       |    SELECT c.p, c.a, ROW_NUMBER() OVER (PARTITION BY c.a
+       |      ORDER BY s.score DESC, c.p) AS rn
+       |    FROM cand$k c JOIN pa s ON s.a = c.a AND s.p = c.p)
+       |  WHERE rn = 1),
+       |lose$k AS (SELECT DISTINCT p FROM (
+       |    SELECT p, a FROM cand$k EXCEPT SELECT p, a FROM win$k)),
+       |ptr$k AS MATERIALIZED (SELECT pt.p, pt.ptr +
+       |    CASE WHEN pt.p IN (SELECT p FROM lose$k) THEN 1 ELSE 0 END
+       |      AS ptr
+       |  FROM ptr$j pt),
+       |eng$k AS MATERIALIZED (SELECT p, a FROM win$k)"""
 
   /** One q324 HRU greedy round over table `sizes`: per-view cost =
     * min selected-ancestor size, benefit = Σ_{w⊆v} max(0, cost−|v|),

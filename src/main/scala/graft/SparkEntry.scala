@@ -5124,7 +5124,17 @@ object SparkEntry {
         h("a", col("a"), col("p")).as("score"))
       graft.ops.Matching.stableMatching(pp, pa, maxRounds = 36)
         .orderBy("p")
-    })
+    }),
+
+    // FD discovery over four orders columns: one exact
+    // multi-count-distinct pass finds every A → B dependency (and the
+    // o_orderkey candidate key pops out — it determines everything).
+    // DuckDB re-derives all 16 distinct counts and every verdict.
+    "q331_fd_discovery" -> ((s, dir) =>
+      graft.ops.Profile.fdDiscover(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority"))
+        .orderBy("a", "b"))
   )
 
   // ---------------------------------------------------------------------
@@ -11692,7 +11702,29 @@ object SparkEntry {
         |${(1 to 36).map(k => gsRoundCtes(k - 1, k)).mkString(",\n")}
         |SELECT e.p, e.a, pp.rank AS rank_used
         |FROM eng36 e JOIN pp ON pp.p = e.p AND pp.a = e.a
-        |ORDER BY e.p""".stripMargin
+        |ORDER BY e.p""".stripMargin,
+
+    "q331_fd_discovery" -> {
+      val cs = Seq("o_orderkey" -> "ok", "o_custkey" -> "ck",
+        "o_orderstatus" -> "st", "o_orderpriority" -> "pr")
+      val prs = for { a <- cs; b <- cs if a._1 != b._1 } yield (a, b)
+      val singles = cs.map { case (c, t) =>
+        s"(SELECT CAST(count(DISTINCT $c) AS BIGINT) FROM orders) AS s_$t"
+      }
+      val pairSel = prs.map { case ((a, ta), (b, tb)) =>
+        s"(SELECT CAST(count(DISTINCT ($a, $b)) AS BIGINT) " +
+          s"FROM orders) AS p_${ta}_$tb"
+      }
+      val rows = prs.map { case ((a, ta), (b, tb)) =>
+        s"SELECT '$a' AS a, '$b' AS b, s_$ta AS ndv_a, " +
+          s"p_${ta}_$tb AS ndv_ab, p_${ta}_$tb = s_$ta AS holds, " +
+          s"p_${ta}_$tb - s_$ta AS violations FROM s"
+      }
+      s"""WITH s AS MATERIALIZED (SELECT
+        |  ${(singles ++ pairSel).mkString(",\n  ")})
+        |${rows.mkString("\nUNION ALL ")}
+        |ORDER BY a, b""".stripMargin
+    }
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

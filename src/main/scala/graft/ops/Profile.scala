@@ -970,6 +970,49 @@ object Profile {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Functional-dependency discovery across a column set — the
+    * profiling pass (TANE/Metanome's single-attribute core) that tells
+    * a warehouse which columns DETERMINE which: A → B holds exactly
+    * when |distinct(A, B)| = |distinct A|, and the violation count
+    * |distinct(A,B)| − |distinct A| is how many extra B-values the
+    * dependency would have to explain away ([[graft.ops]]' q132 checks
+    * DECLARED FDs; this one finds them). Keys pop out for free: a
+    * column that determines every other is a candidate key.
+    *
+    * One aggregation pass computes ALL the exact distinct counts
+    * (singles + ordered pairs) — Spark expands multi-count-distinct
+    * into one Expand of |cols|² streams, which is the honest cost of
+    * exactness at 100 TB (the sketch alternative is one HLL per pair,
+    * [[distinctSketch]]'s tier, at ±2% error); the ≤ 8-column guard
+    * bounds the expand multiplier and the driver-side pair table.
+    * Nulls: columns must be non-null (count-distinct drops null
+    * tuples engine-dependently) — profile nullable columns through a
+    * coalesce first.
+    *
+    * @return one row per ordered pair: (a, b, ndv_a, ndv_ab, holds,
+    *         violations) */
+  def fdDiscover(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"cols must have 2..8 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, s"duplicate cols in $cols")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+    val aggs = cols.map(c => countDistinct(col(c)).as(s"s_$c")) ++
+      pairs.map { case (a, b) =>
+        countDistinct(col(a), col(b)).as(s"p_${a}_$b") }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val single = cols.zipWithIndex
+      .map { case (c, i) => c -> row.getLong(i) }.toMap
+    val out = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val ndvA = single(a)
+      val ndvAB = row.getLong(cols.size + i)
+      (a, b, ndvA, ndvAB, ndvAB == ndvA, ndvAB - ndvA)
+    }
+    spark.createDataFrame(out)
+      .toDF("a", "b", "ndv_a", "ndv_ab", "holds", "violations")
+  }
+
   /** Join-size estimation from Count-Min sketches (the AMS inner-product
     * estimator, Alon–Gibbons–Matias–Szegedy '99 / Cormode–Muthukrishnan
     * '05 §4.2): |A ⋈ B| on a key = Σ_k cntA(k)·cntB(k), and the sketch

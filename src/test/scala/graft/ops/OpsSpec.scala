@@ -2501,6 +2501,26 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("fdDiscover: a key determines everything, inverse FDs fail " +
+      "with exact violation counts, constant column is determined by " +
+      "all, guards") {
+    val df = Seq((1L, 1L, 9L), (2L, 0L, 9L), (3L, 1L, 9L))
+      .toDF("k", "v", "c")
+    val got = Profile.fdDiscover(df, Seq("k", "v", "c"))
+      .as[(String, String, Long, Long, Boolean, Long)].collect().toSet
+    val want = Set(
+      ("k", "v", 3L, 3L, true, 0L), ("k", "c", 3L, 3L, true, 0L),
+      ("v", "k", 2L, 3L, false, 1L), ("v", "c", 2L, 2L, true, 0L),
+      ("c", "k", 1L, 3L, false, 2L), ("c", "v", 1L, 2L, false, 1L))
+    assert(got == want, s"got $got")
+    intercept[IllegalArgumentException] {
+      Profile.fdDiscover(df, Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.fdDiscover(df, Seq("k", "k"))
+    }
+  }
+
   test("joinSizeEstimate: local md5-mirror inner products per row, min " +
       "estimate, exact size, disjoint sides null ppm, guards") {
     import java.security.MessageDigest

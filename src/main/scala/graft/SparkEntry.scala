@@ -5134,7 +5134,37 @@ object SparkEntry {
       graft.ops.Profile.fdDiscover(t(s, dir, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus",
           "o_orderpriority"))
-        .orderBy("a", "b"))
+        .orderBy("a", "b")),
+
+    // Zipf rank-frequency slope of the vocabulary: Theil-Sen median
+    // slope (outlier-robust, exact integer medians via count-based
+    // order statistics) over the top-64 tokens' (log10 rank, log10
+    // freq) micro points — the corpus-health profile next to Heaps'
+    // law (natural text sits near −1; templated/boilerplate corpora
+    // flatten). Top-64 via the TopKPerKey plan, never a global sort.
+    // The window over the 64 survivors ranks them; DuckDB re-derives
+    // ranks, both logs, and the median slope.
+    "q332_zipf_slope" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val freqs = t(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+"))
+          .as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val top = graft.plans.TopK.perKey(
+        freqs.withColumn("__k", lit(1L)), Seq("__k"),
+        Seq(("freq", false), ("tok", true)), k = 64)
+      val w = Window.partitionBy("__k")
+        .orderBy(desc("freq"), col("tok"))
+      val pts = top.withColumn("rank", row_number().over(w))
+        .select(lit(1L).as("grp"),
+          round(log10(col("rank").cast("double")) * 1000000, 0)
+            .cast("long").as("x_u6"),
+          round(log10(col("freq").cast("double")) * 1000000, 0)
+            .cast("long").as("y_u6"))
+      graft.ops.Profile.theilSenSlope(pts, "grp", "x_u6", "y_u6")
+        .orderBy("grp")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -11724,7 +11754,34 @@ object SparkEntry {
         |  ${(singles ++ pairSel).mkString(",\n  ")})
         |${rows.mkString("\nUNION ALL ")}
         |ORDER BY a, b""".stripMargin
-    }
+    },
+
+    "q332_zipf_slope" ->
+      """WITH toks AS (SELECT
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |fr AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks
+        |  WHERE tok <> '' GROUP BY 1),
+        |top AS MATERIALIZED (SELECT tok, freq,
+        |    ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+        |  FROM fr QUALIFY rank <= 64),
+        |pts AS MATERIALIZED (SELECT
+        |    CAST(round(log10(rank) * 1000000) AS BIGINT) AS x,
+        |    CAST(round(log10(freq) * 1000000) AS BIGINT) AS y
+        |  FROM top),
+        |slopes AS MATERIALIZED (SELECT
+        |    CAST((b.y - a.y) * 1000000 // (b.x - a.x) AS BIGINT) AS s
+        |  FROM pts a JOIN pts b ON a.x < b.x),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM slopes),
+        |med AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM slopes
+        |  GROUP BY 1),
+        |cum AS (SELECT s,
+        |    sum(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM med)
+        |SELECT CAST(1 AS BIGINT) AS grp, np.n AS n_pairs,
+        |  CAST(min(s) AS BIGINT) AS slope_med_u6
+        |FROM cum, np WHERE cum >= (np.n + 1) // 2
+        |GROUP BY np.n""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

@@ -5164,7 +5164,17 @@ object SparkEntry {
             .cast("long").as("y_u6"))
       graft.ops.Profile.theilSenSlope(pts, "grp", "x_u6", "y_u6")
         .orderBy("grp")
-    })
+    }),
+
+    // Binary-quantization recall: sign bits packed into 32-bit words
+    // (overflow-free bit_or — a SUM of shifted bits wraps differently
+    // per engine), XOR+popcount Hamming top-10 scored against the
+    // exact float-cosine top-10 — the 1-bit end of the int8 dial.
+    // DuckDB re-packs every code and replays both rankings.
+    "q333_binary_recall" -> ((s, dir) =>
+      graft.ops.VectorOps.binaryRecallAudit(
+        t(s, dir, "embeddings"), queryId = 0L, k = 10)
+        .orderBy("rn"))
   )
 
   // ---------------------------------------------------------------------
@@ -11781,7 +11791,42 @@ object SparkEntry {
         |SELECT CAST(1 AS BIGINT) AS grp, np.n AS n_pairs,
         |  CAST(min(s) AS BIGINT) AS slope_med_u6
         |FROM cum, np WHERE cum >= (np.n + 1) // 2
-        |GROUP BY np.n""".stripMargin
+        |GROUP BY np.n""".stripMargin,
+
+    "q333_binary_recall" ->
+      """WITH pe AS (SELECT vec_id, i - 1 AS i,
+        |    embedding[i]::DOUBLE AS v
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+        |bits AS (SELECT vec_id, i // 32 AS w,
+        |    bit_or(CASE WHEN v > 0 THEN 1::BIGINT << CAST(i % 32 AS INT)
+        |      END) AS code
+        |  FROM pe GROUP BY 1, 2),
+        |codes AS MATERIALIZED (SELECT e.vec_id, r.w,
+        |    COALESCE(b.code, 0) AS code
+        |  FROM (SELECT DISTINCT vec_id FROM embeddings) e
+        |  CROSS JOIN (SELECT unnest(range(2)) AS w) r
+        |  LEFT JOIN bits b ON b.vec_id = e.vec_id AND b.w = r.w),
+        |qc AS (SELECT w, code AS qcode FROM codes WHERE vec_id = 0),
+        |hd AS (SELECT c.vec_id,
+        |    CAST(sum(bit_count(xor(c.code, qc.qcode))) AS BIGINT)
+        |      AS hamming
+        |  FROM codes c JOIN qc ON qc.w = c.w GROUP BY 1),
+        |th AS (SELECT vec_id, hamming, CAST(row_number() OVER (
+        |      ORDER BY hamming, vec_id) AS BIGINT) AS rn
+        |  FROM hd QUALIFY rn <= 10),
+        |p AS (SELECT a.vec_id, unnest(a.embedding)::DOUBLE AS x,
+        |    unnest(q.embedding)::DOUBLE AS y
+        |  FROM embeddings a,
+        |    (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+        |sc AS (SELECT vec_id, round(sum(x*y)
+        |    / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+        |  FROM p GROUP BY 1),
+        |ex10 AS (SELECT vec_id FROM sc ORDER BY cos DESC, vec_id
+        |  LIMIT 10)
+        |SELECT th.rn, th.vec_id, th.hamming,
+        |  CASE WHEN ex10.vec_id IS NULL THEN 0 ELSE 1 END AS in_exact
+        |FROM th LEFT JOIN ex10 ON ex10.vec_id = th.vec_id
+        |ORDER BY rn""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

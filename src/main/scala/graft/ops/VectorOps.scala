@@ -102,6 +102,59 @@ object VectorOps {
         coalesce(col("in_exact"), lit(0L)).as("in_exact"))
   }
 
+  /** Binary (sign-bit) quantization recall audit — the 1-bit extreme
+    * of the quantization dial next to [[int8RecallAudit]] (the move
+    * behind vector-DB "binary quantization": 32× smaller codes, XOR +
+    * popcount distance, rescore survivors with full floats): each
+    * dimension contributes sign(x) as one bit, packed into 32-bit
+    * words (bit 63 is deliberately never used — engines disagree on
+    * 1<<63 overflow), Hamming distance = Σ_w popcount(code_w XOR
+    * query_w), and the audit reports how much of the exact
+    * float-cosine top-k the Hamming top-k keeps. Ties break by id on
+    * both sides.
+    *
+    * Scale shape: packing is one posexplode + (id, word)-keyed bit_or
+    * with map-side combine (bit_or is the overflow-free aggregate —
+    * a SUM of shifted bits would wrap differently per engine); the
+    * query's ≤ d/32 words broadcast; both top-ks are
+    * TakeOrderedAndProject. Returns (rn, vec_id, hamming, in_exact);
+    * Σ in_exact / k is recall@k. */
+  def binaryRecallAudit(emb: DataFrame, queryId: Long, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    val dims = emb.select(size(col(vecCol))).head().getInt(0)
+    val nWords = (dims + 31) / 32
+    val bits = emb
+      .select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol)).as(Seq("i", "v")))
+      .filter(col("v") > 0f)
+      .groupBy(col("vec_id"), expr("i div 32").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, i % 32))").as("code"))
+    val codes = emb.select(col(idCol).as("vec_id"))
+      .crossJoin(broadcast(spark.range(nWords).select(col("id").as("w"))))
+      .join(bits, Seq("vec_id", "w"), "left")
+      .select(col("vec_id"), col("w"),
+        coalesce(col("code"), lit(0L)).as("code"))
+    val qc = broadcast(codes.filter(col("vec_id") === queryId)
+      .select(col("w"), col("code").as("qc")))
+    val topH = codes.join(qc, "w")
+      .groupBy("vec_id")
+      .agg(sum(expr("bit_count(code ^ qc)")).as("hamming"))
+      .orderBy(col("hamming"), col("vec_id")).limit(k)
+    val query = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol)).first().getSeq[Float](0).toArray
+    val exact = graft.ops.Similarity
+      .bruteForceTopK(emb, query, k, vecCol, idCol)
+      .select(col(idCol).as("vec_id"), lit(1L).as("in_exact"))
+    val w = Window.orderBy(col("hamming"), col("vec_id"))
+    topH.withColumn("rn", row_number().over(w).cast("long"))
+      .join(exact, Seq("vec_id"), "left")
+      .select(col("rn"), col("vec_id"), col("hamming"),
+        coalesce(col("in_exact"), lit(0L)).as("in_exact"))
+  }
+
   /** Top principal component by power iteration — EXACT-INTEGER end
     * to end, so any engine replays it bit-for-bit: components enter as
     * micro ints (one per-element round, order-free), the d×d second-

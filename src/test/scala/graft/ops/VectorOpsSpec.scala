@@ -162,4 +162,25 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
       VectorOps.pcaPowerIteration(dead, dim = 2)
     }
   }
+
+  test("binaryRecallAudit: sign packing (all-negative vector → code 0 " +
+      "via the spine), exact Hamming ranks with id tie-breaks, recall " +
+      "against float cosine, guards") {
+    val emb = Seq(
+      (0L, Array(1f, -1f, 1f, -1f)),     // code 0101 = 5
+      (1L, Array(0.1f, -5f, 0.1f, 0.1f)), // code 1101 = 13 → ham 1
+      (2L, Array(-1f, -1f, -1f, -1f)),   // code 0 → ham popcount(5)=2
+      (3L, Array(1f, -1f, 1f, -1f)),     // duplicate of query → ham 0
+      (4L, Array(-1f, 1f, -1f, 1f)))     // code 1010 → ham 4
+      .toDF("vec_id", "embedding")
+    val got = VectorOps.binaryRecallAudit(emb, queryId = 0L, k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // hamming: id0 0, id3 0, id1 1 → ranks (ham, id); exact cosine
+    // top-3 = {0, 3, 1} (cos 1, 1, ≈0.51) → all retained
+    assert(got == Seq((1L, 0L, 0L, 1L), (2L, 3L, 0L, 1L),
+      (3L, 1L, 1L, 1L)), s"got $got")
+    intercept[IllegalArgumentException] {
+      VectorOps.binaryRecallAudit(emb, queryId = 0L, k = 0)
+    }
+  }
 }

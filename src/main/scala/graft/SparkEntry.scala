@@ -5174,7 +5174,29 @@ object SparkEntry {
     "q333_binary_recall" -> ((s, dir) =>
       graft.ops.VectorOps.binaryRecallAudit(
         t(s, dir, "embeddings"), queryId = 0L, k = 10)
-        .orderBy("rn"))
+        .orderBy("rn")),
+
+    // TPC-H Q16 shape (supplier-count by part attributes), adapted:
+    // brand/type/size predicate pushdown on the dim, a NOT-IN-style
+    // anti join against the "complaints" supplier list (negative
+    // balance), then COUNT DISTINCT suppliers per attribute triple —
+    // the distinct-agg-after-anti optimizer pattern.
+    "q334_parts_supplier_cnt" -> ((s, dir) => {
+      val excl = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#13" &&
+            !col("p_type").startsWith("ECONOMY") &&
+            col("p_size").isin(5, 10, 24, 30)),
+          col("l_partkey") === col("p_partkey"))
+        .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"),
+          col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+          col("p_size"))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -11826,7 +11848,20 @@ object SparkEntry {
         |SELECT th.rn, th.vec_id, th.hamming,
         |  CASE WHEN ex10.vec_id IS NULL THEN 0 ELSE 1 END AS in_exact
         |FROM th LEFT JOIN ex10 ON ex10.vec_id = th.vec_id
-        |ORDER BY rn""".stripMargin
+        |ORDER BY rn""".stripMargin,
+
+    "q334_parts_supplier_cnt" ->
+      """SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+        |  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#13'
+        |  AND p.p_type NOT LIKE 'ECONOMY%'
+        |  AND p.p_size IN (5, 10, 24, 30)
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |    WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

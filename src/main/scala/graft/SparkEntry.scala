@@ -5196,6 +5196,47 @@ object SparkEntry {
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
           col("p_size"))
+    }),
+
+    // Densitometric boilerplate classification (Kohlschütter WSDM'10,
+    // boilerpipe's NumWordsRules stumps in integer-exact form): each
+    // block judged in (prev, curr, next) CONTEXT — a short block
+    // sandwiched between real paragraphs survives where q168's
+    // per-block threshold kills it. Features aux-dumped; DuckDB
+    // replays the lag/lead context and every stump.
+    "q335_boilerplate_density" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val html = t(s, dir, "documents").select(col("doc_id"), concat(
+        lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">" +
+          "About</a></nav><div>"),
+        col("text"),
+        lit("</div><p>Share this now</p><aside>Sponsored <a " +
+          "href=\"/buy\">buy</a></aside><footer><a href=\"/t\">Terms" +
+          "</a></footer></body></html>")).as("html"))
+      val feats = html.select(col("doc_id"),
+          explode(graft.text.HtmlExtract.blockDensityUdf(col("html")))
+            .as("b"))
+        .select(col("doc_id"), col("b._1").cast("long").as("block_idx"),
+          col("b._2").cast("long").as("words"),
+          col("b._3").cast("long").as("text_len"),
+          col("b._4").cast("long").as("link_len"),
+          col("b._5").cast("long").as("chrome"))
+      writeAux(feats, dir, "q335_blocks")
+      val w = Window.partitionBy("doc_id").orderBy("block_idx")
+      val ctx = feats
+        .withColumn("pw", coalesce(lag("words", 1).over(w), lit(0L)))
+        .withColumn("pt", coalesce(lag("text_len", 1).over(w), lit(0L)))
+        .withColumn("pl", coalesce(lag("link_len", 1).over(w), lit(0L)))
+        .withColumn("nw", coalesce(lead("words", 1).over(w), lit(0L)))
+        .withColumn("content",
+          graft.text.HtmlExtract.densitometricContent(col("words"),
+            col("text_len"), col("link_len"), col("pw"), col("pt"),
+            col("pl"), col("nw"), col("chrome")))
+      ctx.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("content"), 1L).otherwise(0L)).as("n_content"),
+          sum(when(col("content"), col("words")).otherwise(0L))
+            .as("content_words"))
+        .orderBy("doc_id")
     })
   )
 
@@ -11861,7 +11902,30 @@ object SparkEntry {
         |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
         |    WHERE s_acctbal < 0)
         |GROUP BY 1, 2, 3
-        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q335_boilerplate_density" ->
+      """WITH f AS (SELECT * FROM '__AUX__/q335_blocks/*.parquet'),
+        |c AS (SELECT doc_id, words, text_len, link_len, chrome,
+        |    COALESCE(lag(words) OVER w, 0) AS pw,
+        |    COALESCE(lag(text_len) OVER w, 0) AS pt,
+        |    COALESCE(lag(link_len) OVER w, 0) AS pl,
+        |    COALESCE(lead(words) OVER w, 0) AS nw
+        |  FROM f
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY block_idx)),
+        |d AS (SELECT doc_id, words,
+        |    CASE WHEN chrome = 1 THEN FALSE
+        |         WHEN link_len * 3 > text_len THEN FALSE
+        |         WHEN pl * 9 <= pt * 5
+        |           THEN (words > 16 OR nw > 15 OR pw > 4)
+        |         ELSE (words > 40 OR nw > 17) END AS content
+        |  FROM c)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(sum(CASE WHEN content THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_content,
+        |  CAST(sum(CASE WHEN content THEN words ELSE 0 END) AS BIGINT)
+        |    AS content_words
+        |FROM d GROUP BY 1 ORDER BY doc_id""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

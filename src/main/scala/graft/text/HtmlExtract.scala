@@ -1,7 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.functions.{lit, udf, when}
 
 /** Block-level HTML main-content extraction — the boilerplate-removal
   * pass a web-corpus pipeline runs between crawl and curation (the
@@ -157,4 +157,42 @@ object HtmlExtract {
     val f = udf { html: String => extract(html) }
     f(_)
   }
+
+  /** Per-block densitometric features as (idx, words, text_len,
+    * link_len, chrome) rows — the inputs Kohlschütter's classifier
+    * ([[densitometricContent]]) needs, including the whitespace word
+    * count [[blockFeaturesUdf]] omits. */
+  val blockDensityUdf = udf { html: String =>
+    blocks(html).map { b =>
+      val words = b.text.trim.split("\\s+").count(_.nonEmpty)
+      (b.idx, words, b.textLen, b.linkLen, if (b.chrome) 1 else 0)
+    }
+  }
+
+  /** Kohlschütter et al. WSDM'10 densitometric boilerplate
+    * classification — boilerpipe's NumWordsRulesClassifier, the
+    * published decision stumps over (prev, curr, next) block features,
+    * in INTEGER-EXACT form (link density ≤ 1/3 ⟺ 3·link ≤ text;
+    * ≤ 5/9 ⟺ 9·link ≤ 5·text — no float thresholds to disagree on):
+    *
+    *   chrome block                  → boilerplate (the q168 rule)
+    *   curr link density > 1/3      → boilerplate
+    *   prev link density ≤ 5/9      → content iff curr.words > 16 or
+    *                                   next.words > 15 or prev.words > 4
+    *   otherwise (linky prev)       → content iff curr.words > 40 or
+    *                                   next.words > 17
+    *
+    * The CONTEXT is the point: a short block sandwiched between real
+    * paragraphs survives, the same block inside a link farm dies —
+    * what q168's per-block threshold cannot express. Missing
+    * neighbors enter as zero-word, zero-density blocks (coalesce at
+    * the call site). */
+  def densitometricContent(currWords: Column, currText: Column,
+      currLink: Column, prevWords: Column, prevText: Column,
+      prevLink: Column, nextWords: Column, chrome: Column): Column =
+    when(chrome === 1, lit(false))
+      .when(currLink * 3 > currText, lit(false))
+      .when(prevLink * 9 <= prevText * 5,
+        currWords > 16 || nextWords > 15 || prevWords > 4)
+      .otherwise(currWords > 40 || nextWords > 17)
 }

@@ -5237,6 +5237,22 @@ object SparkEntry {
           sum(when(col("content"), col("words")).otherwise(0L))
             .as("content_words"))
         .orderBy("doc_id")
+    }),
+
+    // SimRank over a planted citation graph (papers 0..5 cite targets
+    // 6..8, targets cite hub 9): "similar because cited by similar" —
+    // the global structural-similarity complement to q254's local
+    // neighbor overlap; 3 truncated-series rounds in exact ppm.
+    // DuckDB replays the in-degree table and every round.
+    "q336_simrank" -> ((s, dir) => {
+      val n = t(s, dir, "documents")
+        .select((col("doc_id") % 6).as("n")).distinct()
+      val raw = n.selectExpr("n AS src", "6 + n % 3 AS dst")
+        .unionByName(n.selectExpr("n AS src", "6 + (n + 1) % 3 AS dst"))
+        .unionByName(n.filter(col("n") < 3)
+          .selectExpr("6 + n AS src", "9 AS dst"))
+      graft.ops.GraphOps.simRank(raw, iters = 3, cPpm = 800000L)
+        .orderBy("a", "b")
     })
   )
 
@@ -11925,7 +11941,23 @@ object SparkEntry {
         |    AS n_content,
         |  CAST(sum(CASE WHEN content THEN words ELSE 0 END) AS BIGINT)
         |    AS content_words
-        |FROM d GROUP BY 1 ORDER BY doc_id""".stripMargin
+        |FROM d GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q336_simrank" ->
+      s"""WITH nn AS (SELECT DISTINCT doc_id % 6 AS n FROM documents),
+        |raw AS (SELECT n AS src, 6 + n % 3 AS dst FROM nn
+        |  UNION ALL SELECT n, 6 + (n + 1) % 3 FROM nn
+        |  UNION ALL SELECT 6 + n, 9 FROM nn WHERE n < 3),
+        |ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
+        |nodes AS (SELECT DISTINCT id FROM (
+        |  SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed)),
+        |ind AS MATERIALIZED (SELECT dst AS id,
+        |    CAST(count(*) AS BIGINT) AS ind FROM ed GROUP BY 1),
+        |sim0 AS (SELECT id AS a, id AS b, CAST(1000000 AS BIGINT) AS s
+        |  FROM nodes),
+        |${(1 to 3).map(k => simRankRoundCtes(k - 1, k)).mkString(",\n")}
+        |SELECT a, b, s AS sim_ppm FROM sim3 WHERE a < b
+        |ORDER BY a, b""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6
@@ -12406,6 +12438,26 @@ object SparkEntry {
        |    FROM cand$k) WHERE rn = 1),
        |cstall$k AS MATERIALIZED (SELECT mask, cost FROM cstall${k - 1}
        |  UNION ALL SELECT mask, cost FROM pick$k)"""
+
+  /** One q336 SimRank round over tables ed/ind/nodes: contributions
+    * from the previous round's pairs through both in-edge joins, then
+    * the cPpm-scaled truncating normalization; the diagonal re-enters
+    * at 10⁶ every round. NOT pre-stripped. */
+  private def simRankRoundCtes(j: Int, k: Int): String =
+    s"""ct$k AS (SELECT e1.dst AS a, e2.dst AS b,
+       |    CAST(sum(s.s) AS BIGINT) AS ssum
+       |  FROM sim$j s JOIN ed e1 ON e1.src = s.a
+       |  JOIN ed e2 ON e2.src = s.b
+       |  WHERE e1.dst <> e2.dst GROUP BY 1, 2),
+       |sim$k AS MATERIALIZED (
+       |  SELECT id AS a, id AS b, CAST(1000000 AS BIGINT) AS s
+       |  FROM nodes
+       |  UNION ALL
+       |  SELECT c.a, c.b, CAST(800000 * c.ssum
+       |      // (ia.ind * ib.ind * 1000000) AS BIGINT) AS s
+       |  FROM ct$k c JOIN ind ia ON ia.id = c.a
+       |  JOIN ind ib ON ib.id = c.b
+       |  WHERE 800000 * c.ssum // (ia.ind * ib.ind * 1000000) > 0)"""
 
   /** One q330 synchronous deferred-acceptance round: free proposers
     * offer at their pointer, each acceptor keeps its best offer ever

@@ -695,6 +695,62 @@ object GraphOps {
         col("q_l1_u6"), col("q_l2_u6"))
   }
 
+  /** SimRank (Jeh & Widom KDD'02) — structural node similarity:
+    * "two objects are similar if they are referenced by similar
+    * objects". [[linkPrediction]] scores LOCAL neighbor overlap; this
+    * one propagates similarity through the whole graph: s(a,a) = 1 and
+    *
+    *   s(a,b) = C / (|I(a)|·|I(b)|) · Σ_{i∈I(a), j∈I(b)} s(i, j)
+    *
+    * iterated `iters` times from the diagonal (the truncated series is
+    * the standard estimator; error decays as C^k). Exact ppm fixed
+    * point: s'(a,b) = cPpm·Σ s(i,j) div (|Ia|·|Ib|·10⁶) — one
+    * truncating division per pair per round, replayable anywhere.
+    * Zero-in-degree nodes have similarity 0 to everything but
+    * themselves, per the paper.
+    *
+    * Scale contract: SimRank is inherently pair-quadratic — the state
+    * is the (a, b) similarity MATRIX. Run it on a bounded subgraph
+    * (an entity-resolution candidate cluster, a citation neighborhood
+    * — the [[personalizedPageRank]] seed-expansion output), not a raw
+    * corpus graph; within that contract every round is two edge joins
+    * and one pair-dimension aggregate, localCheckpoint-pinned.
+    *
+    * @return (a, b, sim_ppm) for a < b with sim_ppm > 0 */
+  def simRank(edges: DataFrame, iters: Int,
+      cPpm: Long = 800000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(cPpm > 0 && cPpm < 1000000L,
+      s"cPpm must be in (0, 1e6), got $cPpm")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint().toDF("id")
+    val indeg = e.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("ind")).localCheckpoint().toDF("id", "ind")
+    val diag = nodes.select(col("id").as("a"), col("id").as("b"),
+      lit(1000000L).as("s"))
+    var sim = diag.localCheckpoint().toDF("a", "b", "s")
+    for (_ <- 1 to iters) {
+      val contrib = sim
+        .join(e.toDF("i", "ea"), col("i") === col("a"))
+        .join(e.toDF("j", "eb"), col("j") === col("b"))
+        .filter(col("ea") =!= col("eb"))
+        .groupBy(col("ea"), col("eb")).agg(sum("s").as("ssum"))
+      val offDiag = contrib
+        .join(indeg.toDF("ea", "ia"), "ea")
+        .join(indeg.toDF("eb", "ib"), "eb")
+        .select(col("ea").as("a"), col("eb").as("b"),
+          expr(s"CAST($cPpm * ssum div (ia * ib * 1000000) AS BIGINT)")
+            .as("s"))
+        .filter(col("s") > 0)
+      sim = diag.unionByName(offDiag).localCheckpoint().toDF("a", "b", "s")
+    }
+    sim.filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("s").as("sim_ppm"))
+  }
+
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sym = edges.select(col("src"), col("dst"))

@@ -558,6 +558,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("simRank: co-cited targets score C/2 and reach the fixpoint, " +
+      "zero-in-degree sources stay at 0, disjoint components never " +
+      "mix, guards") {
+    // component 1: papers 1,2 both cite 3 and 4 → s(3,4) = C·2e6 /
+    // (2·2·1e6) = 400000, stable. component 2: 11→{12,13}, both →14:
+    // s(12,13) = C (shared single parent), s(14, ·) = 0 (its in-pairs
+    // carry s(11-vs-paper) = 0).
+    val edges = Seq((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L),
+      (11L, 12L), (11L, 13L), (12L, 14L), (13L, 14L)).toDF("src", "dst")
+    val got = GraphOps.simRank(edges, iters = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((3L, 4L, 400000L), (12L, 13L, 800000L)),
+      s"got $got")
+    intercept[IllegalArgumentException] {
+      GraphOps.simRank(edges, iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.simRank(edges, iters = 1, cPpm = 1000000L)
+    }
+  }
+
   test("louvainContract/modularityMoveWeighted/louvainTwoLevel: hand " +
       "coarse adjacency with 2E self-loops, weighted move with exact " +
       "micro Q, contraction preserves Q through the full two-level " +

@@ -5253,7 +5253,19 @@ object SparkEntry {
           .selectExpr("6 + n AS src", "9 AS dst"))
       graft.ops.GraphOps.simRank(raw, iters = 3, cPpm = 800000L)
         .orderBy("a", "b")
-    })
+    }),
+
+    // Dictionary-encoding advisor over part attribute columns and the
+    // unique customer name: the Parquet writer decision from exact
+    // column statistics — low-cardinality brands/types go dict, the
+    // key-like name goes plain. DuckDB re-derives every moment, the
+    // integer bit width, and each verdict.
+    "q337_encoding_advisor" -> ((s, dir) =>
+      graft.ops.Layout.encodingAdvisor(t(s, dir, "part"),
+          Seq("p_name", "p_brand", "p_type"))
+        .unionByName(graft.ops.Layout.encodingAdvisor(
+          t(s, dir, "customer"), Seq("c_name")))
+        .orderBy("column_name"))
   )
 
   // ---------------------------------------------------------------------
@@ -11957,7 +11969,33 @@ object SparkEntry {
         |  FROM nodes),
         |${(1 to 3).map(k => simRankRoundCtes(k - 1, k)).mkString(",\n")}
         |SELECT a, b, s AS sim_ppm FROM sim3 WHERE a < b
-        |ORDER BY a, b""".stripMargin
+        |ORDER BY a, b""".stripMargin,
+
+    "q337_encoding_advisor" -> {
+      def colCte(table: String, c: String): String =
+        s"""SELECT '$c' AS column_name, stats.n AS n_rows, stats.ndv,
+           |  stats.slen + 4 * stats.n AS plain_bytes,
+           |  stats.dlen + 4 * stats.ndv
+           |    + (stats.n * bits.b + 7) // 8 AS dict_bytes,
+           |  bits.b AS bits,
+           |  CASE WHEN stats.dlen + 4 * stats.ndv
+           |      + (stats.n * bits.b + 7) // 8
+           |      <= stats.slen + 4 * stats.n
+           |    THEN 'dict' ELSE 'plain' END AS encoding
+           |FROM (SELECT CAST(count(*) AS BIGINT) AS ndv,
+           |    CAST(sum(strlen(v)) AS BIGINT) AS dlen,
+           |    CAST(sum(cnt) AS BIGINT) AS n,
+           |    CAST(sum(strlen(v) * cnt) AS BIGINT) AS slen
+           |  FROM (SELECT $c AS v, count(*) AS cnt FROM $table
+           |    WHERE $c IS NOT NULL GROUP BY 1)) stats,
+           |  LATERAL (SELECT CAST(min(bb.b) AS BIGINT) AS b
+           |    FROM (SELECT unnest(range(1, 63)) AS b) bb
+           |    WHERE (1::BIGINT << CAST(bb.b AS INT)) >= stats.ndv
+           |      OR stats.ndv <= 2 AND bb.b = 1) bits""".stripMargin
+      Seq(colCte("part", "p_name"), colCte("part", "p_brand"),
+        colCte("part", "p_type"), colCte("customer", "c_name"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    }
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

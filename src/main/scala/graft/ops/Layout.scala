@@ -362,6 +362,49 @@ object Layout {
     df.withColumn("shard", shard)
   }
 
+  /** Dictionary-encoding advisor for string columns — the decision a
+    * Parquet/ORC writer makes per column chunk, surfaced as a table:
+    * PLAIN costs 4·n + Σlen(values) (length-prefixed); DICT costs the
+    * dictionary page (Σlen over DISTINCT values + 4·ndv) plus n
+    * bit-packed indices at ceil(log2 ndv) bits (min 1). Ties prefer
+    * DICT (the writers' default — dictionary pages also enable page
+    * skipping). Byte lengths via octet_length (UTF-8 bytes — DuckDB's
+    * strlen), bit width by integer arithmetic (float log2 flips at
+    * powers of two).
+    *
+    * Scale shape: one value-dimension aggregate per column (groupBy
+    * value, then one row of moments — the shuffle carries the distinct
+    * values once); the per-column verdicts are a ≤|cols| driver read
+    * by contract. */
+  def encodingAdvisor(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.size <= 16,
+      s"cols must have 1..16 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, s"duplicate cols in $cols")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = cols.map { c =>
+      val r = df.select(col(c).cast("string").as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("ndv"),
+          sum(octet_length(col("v"))).as("dlen"),
+          sum("cnt").as("n"),
+          sum(octet_length(col("v")) * col("cnt")).as("slen"))
+        .head()
+      val (ndv, dlen, n, slen) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val bits =
+        if (ndv <= 2) 1L
+        else (64 - java.lang.Long.numberOfLeadingZeros(ndv - 1)).toLong
+      val plain = slen + 4 * n
+      val dict = dlen + 4 * ndv + (n * bits + 7) / 8
+      (c, n, ndv, plain, dict, bits,
+        if (dict <= plain) "dict" else "plain")
+    }
+    spark.createDataFrame(rows).toDF("column_name", "n_rows", "ndv",
+      "plain_bytes", "dict_bytes", "bits", "encoding")
+  }
+
   /** Roaring-bitmap container planning (Chambi, Lemire et al. 2016 —
     * the postings layout Lucene/Druid/ClickHouse converged on) for a
     * (term, doc-id) posting table: ids chunk by their high 16 bits,

@@ -304,6 +304,30 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("encodingAdvisor: dict wins on repeats, plain wins on a " +
+      "key-like column, nulls excluded, exact byte math and bit " +
+      "widths, guards") {
+    val df = Seq(
+      (Some("a"), "x1"), (Some("a"), "x2"), (Some("bb"), "x3"),
+      (Some("ccc"), "x4"), (None, "x5"))
+      .toDF("rep", "uniq")
+    val got = Layout.encodingAdvisor(df, Seq("rep", "uniq"))
+      .as[(String, Long, Long, Long, Long, Long, String)]
+      .collect().toSet
+    // rep: n=4 ndv=3 slen=7 dlen=6 bits=2 → plain 23, dict 19 → dict
+    // uniq: n=5 ndv=5 slen=10 dlen=10 bits=3 → plain 30,
+    //   dict 10+20+(15+7)//8=32 → plain
+    val want = Set(("rep", 4L, 3L, 23L, 19L, 2L, "dict"),
+      ("uniq", 5L, 5L, 30L, 32L, 3L, "plain"))
+    assert(got == want, s"got $got")
+    intercept[IllegalArgumentException] {
+      Layout.encodingAdvisor(df, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.encodingAdvisor(df, Seq("rep", "rep"))
+    }
+  }
+
   test("roaringPlan: array/run/bitmap chosen per chunk from exact " +
       "stats, chunk split at the 2^16 seam, 4096-card tie prefers " +
       "array, duplicates collapse") {

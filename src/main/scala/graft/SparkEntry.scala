@@ -5265,7 +5265,26 @@ object SparkEntry {
           Seq("p_name", "p_brand", "p_type"))
         .unionByName(graft.ops.Layout.encodingAdvisor(
           t(s, dir, "customer"), Seq("c_name")))
-        .orderBy("column_name"))
+        .orderBy("column_name")),
+
+    // PSI drift of event values (cents), first time-half = reference,
+    // second = current, over 8 reference-decile-style dyadic bins —
+    // the industry drift score with its 0.1/0.25 rule of thumb, in
+    // exact 10⁻¹² units (one micro-rounded ln per bin). DuckDB
+    // re-derives the midpoint split, the dyadic cuts, every share,
+    // and both PSI columns.
+    "q338_psi_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        unix_timestamp(col("ts")).as("ts_s"))
+      val mid = ev.agg(
+        expr("CAST((min(ts_s) + max(ts_s)) div 2 AS BIGINT)").as("mid"))
+      val flagged = ev.crossJoin(broadcast(mid))
+        .select(col("cents"),
+          when(col("ts_s") > col("mid"), 1L).otherwise(0L).as("period"))
+      graft.ops.Cleaning.psiDrift(flagged, "cents", "period", bins = 8)
+        .orderBy("bin")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -11995,7 +12014,51 @@ object SparkEntry {
       Seq(colCte("part", "p_name"), colCte("part", "p_brand"),
         colCte("part", "p_type"), colCte("customer", "c_name"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
-    }
+    },
+
+    "q338_psi_drift" ->
+      """WITH ev AS MATERIALIZED (SELECT
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    epoch_us(ts) // 1000000 AS ts_s
+        |  FROM events),
+        |mid AS (SELECT (min(ts_s) + max(ts_s)) // 2 AS m FROM ev),
+        |fl AS MATERIALIZED (SELECT cents AS v,
+        |    CASE WHEN ts_s > mid.m THEN 1 ELSE 0 END AS p
+        |  FROM ev, mid),
+        |qarr AS (SELECT quantile_cont(v, [0.125, 0.25, 0.375, 0.5,
+        |    0.625, 0.75, 0.875]) AS qs
+        |  FROM fl WHERE p = 0),
+        |bet AS MATERIALIZED (SELECT i,
+        |    CAST(round(qs[CAST(i AS INT)]) AS BIGINT) AS beta
+        |  FROM (SELECT unnest(range(1, 8)) AS i), qarr),
+        |asg AS (SELECT f.p, f.v,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM bet b
+        |      WHERE f.v > b.beta) AS bin
+        |  FROM fl f),
+        |cnts AS (SELECT p, bin, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM asg GROUP BY 1, 2),
+        |tot AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM fl
+        |  GROUP BY 1),
+        |spn AS (SELECT pr.p, r.bin
+        |  FROM (SELECT unnest(range(8)) AS bin) r
+        |  CROSS JOIN (SELECT unnest([0, 1]) AS p) pr),
+        |sh AS (SELECT s.p, s.bin,
+        |    greatest(CAST(COALESCE(c.cnt, 0) * 1000000 // t.n
+        |      AS BIGINT), 1) AS share
+        |  FROM spn s LEFT JOIN cnts c ON c.p = s.p AND c.bin = s.bin
+        |  JOIN tot t ON t.p = s.p),
+        |wide AS MATERIALIZED (SELECT a.bin, a.share AS ref_ppm,
+        |    b.share AS cur_ppm,
+        |    CAST(round(ln(a.share::DOUBLE / b.share) * 1000000)
+        |      AS BIGINT) AS ln_u6
+        |  FROM sh a JOIN sh b ON b.bin = a.bin AND b.p = 1
+        |  WHERE a.p = 0),
+        |tt AS (SELECT CAST(sum((ref_ppm - cur_ppm) * ln_u6) AS BIGINT)
+        |    AS psi_total_p12 FROM wide)
+        |SELECT w.bin, w.ref_ppm, w.cur_ppm, w.ln_u6,
+        |  (w.ref_ppm - w.cur_ppm) * w.ln_u6 AS psi_contrib_p12,
+        |  tt.psi_total_p12
+        |FROM wide w, tt ORDER BY w.bin""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

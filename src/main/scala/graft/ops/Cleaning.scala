@@ -376,6 +376,71 @@ object Cleaning {
     *
     * @return (hist ∈ width|depth, pred_id, est_rows, actual_rows,
     *         err_ppm) */
+  /** Population Stability Index (the industry drift score next to
+    * [[binnedDrift]]'s raw shares, q247's KS and q236's chi-square):
+    * PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over REFERENCE-quantile bins —
+    * the one with the operational rule of thumb (< 0.1 stable, > 0.25
+    * act). Bin boundaries come from the reference period's dyadic
+    * exact percentiles (the [[histogramSelectivityAudit]] discipline:
+    * i/2^k interpolation is exact in IEEE doubles, so any engine
+    * re-derives identical integer cuts); shares fix to ppm by
+    * truncating division; each bin's ln(p/q) rounds ONCE to micro
+    * (the heapsLaw float rule — a single rounding absorbs engine
+    * ulps); empty bins clamp to 1 ppm (the standard PSI epsilon, made
+    * exact). psi_p12 accumulates in (ppm × micro) = 10⁻¹² units;
+    * Σ/10¹² is the classical PSI.
+    *
+    * Scale shape: one stats pass, one array-fraction percentile on
+    * the reference, two bin-count aggregates whose assignment is a
+    * literal-unrolled codegen fold — rows never join anything.
+    *
+    * @param periodCol 0 = reference, 1 = current (integral)
+    * @return one row per bin: (bin, ref_ppm, cur_ppm, ln_u6,
+    *         psi_contrib_p12, psi_total_p12 — repeated) */
+  def psiDrift(df: DataFrame, valueCol: String, periodCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2 && (bins & (bins - 1)) == 0 && bins <= 64,
+      s"bins must be a power of two in [2, 64], got $bins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(valueCol).cast("long").as("v"),
+      col(periodCol).cast("long").as("p"))
+      .filter(col("v").isNotNull && col("p").isin(0L, 1L))
+      .localCheckpoint()
+    val ref = v.filter(col("p") === 0L)
+    require(!ref.isEmpty, "psiDrift needs a non-empty reference period")
+    val fracs = (1 until bins).map(i => i.toDouble / bins)
+    val cuts = ref
+      .agg(expr(s"percentile(v, array(${fracs.mkString(", ")}))").as("c"))
+      .head().getSeq[Double](0).map(math.round)
+    val assign = cuts.map(b => when(col("v") > b, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val counts = v.select(col("p"), assign.as("bin"))
+      .groupBy("p", "bin").agg(count(lit(1)).as("cnt"))
+    val totals = v.groupBy("p").agg(count(lit(1)).as("n"))
+    val spine = spark.range(bins).select(col("id").as("bin"))
+      .crossJoin(broadcast(Seq(0L, 1L).toDF("p")))
+    val shares = spine
+      .join(counts, Seq("p", "bin"), "left")
+      .join(totals, "p")
+      .select(col("p"), col("bin"),
+        greatest(expr("CAST(coalesce(cnt, 0) * 1000000 div n AS BIGINT)"),
+          lit(1L)).as("share"))
+    val wide = shares.filter(col("p") === 0L)
+      .select(col("bin"), col("share").as("ref_ppm"))
+      .join(shares.filter(col("p") === 1L)
+        .select(col("bin"), col("share").as("cur_ppm")), "bin")
+      .withColumn("ln_u6",
+        round(log(col("ref_ppm").cast("double") / col("cur_ppm")) *
+          1000000, 0).cast("long"))
+      .withColumn("psi_contrib_p12",
+        (col("ref_ppm") - col("cur_ppm")) * col("ln_u6"))
+    val total = wide.agg(sum("psi_contrib_p12").as("psi_total_p12"))
+    wide.crossJoin(broadcast(total))
+      .select("bin", "ref_ppm", "cur_ppm", "ln_u6", "psi_contrib_p12",
+        "psi_total_p12")
+  }
+
   def histogramSelectivityAudit(df: DataFrame, valueCol: String,
       preds: DataFrame, bins: Int): DataFrame = {
     require(bins >= 2 && (bins & (bins - 1)) == 0 && bins <= 256,

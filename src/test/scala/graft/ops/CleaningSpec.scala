@@ -238,6 +238,36 @@ class CleaningSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("psiDrift: hand 2-bin shift — exact shares, one micro-rounded " +
+      "ln per bin, contributions and total in p12 units, empty-bin " +
+      "clamp, guards") {
+    // ref 1..8 → median cut 5 (4.5 rounds up); bins [≤5], [>5]:
+    // ref shares 625000/375000; cur {5,6,7,8,5,6,7,8} → 250000/750000.
+    // ln(2.5)·1e6 → 916291; ln(0.5)·1e6 → −693147.
+    val rows = (1L to 8L).map(v => (v, 0L)) ++
+      Seq(5L, 6L, 7L, 8L, 5L, 6L, 7L, 8L).map(v => (v, 1L))
+    val got = Cleaning.psiDrift(rows.toDF("v", "p"), "v", "p", bins = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val want = Set(
+      (0L, 625000L, 250000L, 916291L, 343609125000L, 603539250000L),
+      (1L, 375000L, 750000L, -693147L, 259930125000L, 603539250000L))
+    assert(got == want, s"got $got")
+    // current period entirely above the cut → bin0 clamps to 1 ppm
+    val rows2 = (1L to 8L).map(v => (v, 0L)) ++
+      Seq(6L, 7L, 8L, 6L).map(v => (v, 1L))
+    val clamped = Cleaning.psiDrift(rows2.toDF("v", "p"), "v", "p",
+        bins = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .find(_._1 == 0L).get
+    assert(clamped._3 == 1L && clamped._2 == 625000L, s"got $clamped")
+    intercept[IllegalArgumentException] {
+      Cleaning.psiDrift(rows.toDF("v", "p"), "v", "p", bins = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Cleaning.psiDrift(Seq((1L, 1L)).toDF("v", "p"), "v", "p", 2)
+    }
+  }
+
   test("histogramSelectivityAudit: skewed fixture — equi-width lies " +
       "on the hot point (est 0 of 12), equi-depth nails it, both " +
       "exact on the covered tail, guards") {

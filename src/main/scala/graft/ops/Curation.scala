@@ -520,16 +520,59 @@ object Curation {
     * are serving-sized by nature, so the eval (id, vector) table rides
     * a BROADCAST into one codegen cosine pass over the train corpus —
     * flagging 100 TB of train is one map-side scan, no shuffle of
-    * train rows at all; at larger eval sets the same contract runs
-    * over an IVF/LSH candidate stream. Cosines round to 6 before the
+    * train rows at all; at larger eval sets `mode = "ivf"` runs the
+    * same contract over an IVF candidate stream
+    * ([[semanticContaminationPruned]]). Cosines round to 6 before the
     * threshold (engine-portable). Returns (doc_id, eval_id, cos) for
     * every flagged (train, eval) pair. */
   def semanticContamination(train: DataFrame, eval: DataFrame,
-      idCol: String, vecCol: String, minCos: Double): DataFrame = {
+      idCol: String, vecCol: String, minCos: Double,
+      mode: String = "broadcast", nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = mode match {
+    case "broadcast" =>
+      import graft.functions.GraftFunctions.vecCosine
+      val ev = eval.select(col(idCol).as("eval_id"), col(vecCol).as("__ev"))
+      train.select(col(idCol).as("doc_id"), col(vecCol).as("__tv"))
+        .crossJoin(broadcast(ev))
+        .withColumn("cos", round(vecCosine(col("__tv"), col("__ev")), 6))
+        .filter(col("cos") >= minCos)
+        .select("doc_id", "eval_id", "cos")
+    case "ivf" =>
+      semanticContaminationPruned(train, eval, idCol, vecCol, minCos,
+        nCentroids, nProbe)
+    case other => throw new IllegalArgumentException(
+      s"semanticContamination mode must be 'broadcast' or 'ivf', got '$other'")
+  }
+
+  /** [[semanticContamination]]'s corpus×corpus path — the candidate
+    * stream the broadcast form can't serve once BOTH sides are
+    * corpus-sized (train×train self-audits, corpus-overlap checks): an
+    * IVF coarse quantizer fit on `train` (frozen centroids — k·d
+    * doubles on the driver, the [[graft.ops.Similarity.IvfIndex]]
+    * discipline) assigns every train row to its nearest cell and every
+    * eval row to its `nProbe` nearest cells, both as map-side passes;
+    * candidate pairs are the rows meeting in a cell — one id-keyed
+    * equi-join on `centroid`, so NOTHING data-proportional broadcasts
+    * and no cross join exists anywhere in the plan (CurationSpec
+    * asserts both). Output contract matches the broadcast path —
+    * (doc_id, eval_id, cos) with cos round6'd before the `minCos`
+    * threshold — restricted to candidate pairs: every emitted pair is
+    * TRUE (its cosine really clears the bar); only misses are possible,
+    * and q339 grades per-eval candidate recall against the brute
+    * contract. Each (train, eval) pair meets in at most one cell (a
+    * train row has exactly one cell, probes are distinct), so no
+    * dedup pass is needed. */
+  def semanticContaminationPruned(train: DataFrame, eval: DataFrame,
+      idCol: String, vecCol: String, minCos: Double,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     import graft.functions.GraftFunctions.vecCosine
-    val ev = eval.select(col(idCol).as("eval_id"), col(vecCol).as("__ev"))
-    train.select(col(idCol).as("doc_id"), col(vecCol).as("__tv"))
-      .crossJoin(broadcast(ev))
+    val ivf = new Similarity.IvfIndex(train, nCentroids, vecCol, idCol)
+    val tr = ivf.assigned.select(col(idCol).as("doc_id"),
+      col(vecCol).as("__tv"), col("centroid"))
+    val ev = ivf.probeAssign(
+        eval.select(col(idCol).as("eval_id"), col(vecCol)), nProbe)
+      .select(col("eval_id"), col(vecCol).as("__ev"), col("centroid"))
+    tr.join(ev, Seq("centroid"))
       .withColumn("cos", round(vecCosine(col("__tv"), col("__ev")), 6))
       .filter(col("cos") >= minCos)
       .select("doc_id", "eval_id", "cos")

@@ -401,6 +401,33 @@ object Similarity {
     def probeCells(queryVec: Array[Float], nProbe: Int = 4): Seq[Int] =
       nearestCentroids(queryVec, nProbe)
 
+    /** Probe cells for a DISTRIBUTED query table — the corpus-scale
+      * analog of [[probeCells]]: each row gains its `nProbe` nearest
+      * frozen centroids, exploded to one row per (query row, probe
+      * cell). The centroid table (nCentroids·dim doubles) rides the UDF
+      * closure — driver-tiny regardless of corpus size — so probing a
+      * corpus-sized query/eval table is one map-side pass: NO shuffle,
+      * NO broadcast of any data-proportional side, NO driver loop over
+      * query rows. Probe ranking replicates [[probeCells]] exactly
+      * (squared L2 ascending, stable centroid-index tie-break), so a
+      * single-query probe and a batched probe of the same vector land
+      * in the same cells. */
+    def probeAssign(queries: DataFrame, nProbe: Int = 4): DataFrame = {
+      val cs = clusterCenters
+      val np = math.max(nProbe, 1)
+      val probeUdf = udf((vec: Seq[Float]) => {
+        val ds = Array.tabulate(cs.length) { i =>
+          val c = cs(i); var d = 0.0; var j = 0
+          while (j < c.length && j < vec.length) {
+            val t = c(j) - vec(j); d += t * t; j += 1
+          }
+          d
+        }
+        cs.indices.sortBy(ds(_)).take(np).toArray
+      })
+      queries.withColumn("centroid", explode(probeUdf(col(vecCol))))
+    }
+
     /** Exact cosine top-k over the nProbe nearest cells only. */
     def query(queryVec: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
       val cells = nearestCentroids(queryVec, nProbe)

@@ -643,6 +643,51 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("Broadcast"), s"eval must broadcast:\n$plan")
   }
 
+  test("semanticContamination mode=ivf: candidate-stream pairs are a " +
+      "subset of brute, planted duplicates are caught, and the plan has " +
+      "no cross join and no data-proportional broadcast hint") {
+    // 12 train vectors in two well-separated cones so a 2-cell IVF fit
+    // separates them; eval = two of the train vectors verbatim (the
+    // contamination planted), which the nearest-probe cell always holds
+    val train = (0 until 12).map { i =>
+      val base = if (i % 2 == 0) Seq(1f, 0.1f * (i / 2), 0f, 0f)
+                 else Seq(0f, 0f, 1f, 0.1f * (i / 2))
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val eval = Seq((100L, Seq(1f, 0f, 0f, 0f)), (101L, Seq(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val pruned = Curation.semanticContamination(train, eval,
+      "vec_id", "embedding", minCos = 0.9, mode = "ivf",
+      nCentroids = 2, nProbe = 1)
+    val brute = Curation.semanticContamination(train, eval,
+        "vec_id", "embedding", minCos = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val got = pruned.as[(Long, Long, Double)].collect().toSet
+    assert(got.subsetOf(brute),
+      s"pruned must never emit a pair brute rejects: ${got -- brute}")
+    // the verbatim duplicates (cos = 1.0) land in the eval row's own
+    // nearest cell, so even nProbe = 1 catches them
+    assert(got.exists(p => p._1 == 0L && p._2 == 100L && p._3 == 1.0), got)
+    assert(got.exists(p => p._1 == 1L && p._2 == 101L && p._3 == 1.0), got)
+    // scale contract: candidates flow through a centroid equi-join —
+    // no cross join, no broadcast HINT on either corpus-sized side
+    // (a runtime size-based broadcast-hash pick by AQE is fine; a
+    // compile-time hint or a cartesian would not survive 100 TB)
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
+    val qe = pruned.queryExecution
+    val hints = qe.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, s"no broadcast hint allowed: $hints")
+    val joins = qe.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty && joins.forall(_.condition.isDefined),
+      "every join must be an equi-join with a condition")
+    val phys = qe.executedPlan.toString
+    assert(!phys.contains("CartesianProduct") &&
+      !phys.contains("BroadcastNestedLoopJoin"),
+      s"corpus x corpus must not plan a cartesian:\n$phys")
+  }
+
   test("spanCorrupt: sentinels number left-to-right, target carries the " +
       "masked tokens, unmasked text survives in order, deterministic") {
     val df = Seq((1L, (0 until 12).map(i => s"t$i").mkString(" ")),

@@ -44,13 +44,30 @@ object Matching {
     *                  per (p, a) pair p is willing to match
     * @param accScores (a, p, score) — acceptor a's integer score for
     *                  proposer p (higher = preferred)
+    * @param maxRounds round cap; the default −1 DERIVES the worst-case
+    *                  bound |propPrefs| + 1 from the input (every
+    *                  non-final round advances at least one pointer and
+    *                  pointers walk each preference row at most once, so
+    *                  the fixpoint arrives within one round per
+    *                  preference-list row — the displacement-chain worst
+    *                  case, where max rank stays tiny but a dump cascade
+    *                  crosses every proposer, actually reaches Θ(|P|)
+    *                  rounds, which is why no fixed constant is safe).
+    *                  An explicit cap tighter than the true bound still
+    *                  fails loudly via the convergence `require`.
     * @return matched pairs (p, a, rank_used) */
   def stableMatching(propPrefs: DataFrame, accScores: DataFrame,
-      maxRounds: Int = 64): DataFrame = {
-    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+      maxRounds: Int = -1): DataFrame = {
+    require(maxRounds >= 1 || maxRounds == -1,
+      s"maxRounds must be >= 1 (or -1 = derive from input), got $maxRounds")
     val pp = propPrefs.select(col("p").cast("long").as("p"),
       col("a").cast("long").as("a"), col("rank").cast("long").as("rank"))
       .localCheckpoint()
+    // the derived bound is one bounded count over the (input-sized)
+    // preference table — the IVF probe-ranking cost class, not a
+    // corpus-sized collect
+    val roundCap: Long =
+      if (maxRounds >= 1) maxRounds.toLong else pp.count() + 1L
     val pa = accScores.select(col("a").cast("long").as("a"),
       col("p").cast("long").as("p"),
       col("score").cast("long").as("score")).localCheckpoint()
@@ -59,13 +76,13 @@ object Matching {
       .withColumn("ptr", lit(0L)).localCheckpoint().toDF("p", "ptr")
     var eng = spark.createDataFrame(Seq.empty[(Long, Long)])
       .toDF("p", "a")
-    var round = 0
+    var round = 0L
     var done = false
     // every per-round table is localCheckpoint-pinned AND re-aliased
     // through toDF: the loop joins each round's output against tables
     // sharing the same ancestry (pp/pa), and without fresh expr-ids
     // Catalyst sees self-join attribute collisions
-    while (!done && round < maxRounds) {
+    while (!done && round < roundCap) {
       val props = ptr.join(eng.select("p"), Seq("p"), "left_anti")
         .join(pp.toDF("pp_p", "pp_a", "pp_rank"),
           col("p") === col("pp_p") && col("ptr") === col("pp_rank"))
@@ -92,7 +109,7 @@ object Matching {
         round += 1
       }
     }
-    require(done, s"stableMatching did not converge in $maxRounds rounds")
+    require(done, s"stableMatching did not converge in $roundCap rounds")
     eng.join(pp.toDF("p", "a", "rank"), Seq("p", "a"))
       .select(col("p"), col("a"), col("rank").as("rank_used"))
   }

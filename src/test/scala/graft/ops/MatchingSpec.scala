@@ -47,4 +47,29 @@ class MatchingSpec extends AnyFunSuite with SparkTestBase {
       Matching.stableMatching(pp, pa, maxRounds = 1)
     }
   }
+
+  test("stableMatching: adversarial displacement chain (max rank 1, " +
+      "Θ(n) rounds) converges under the derived default bound") {
+    // The worst case the old fixed default (64 rounds) could not cover:
+    // acceptors prefer SMALLER proposers, p1 wants only a1, and each
+    // p_i (i ≥ 2) wants a_{i-1} then a_i — so round 1 rejects p2 at a1,
+    // p2 then dumps p3 at a2, p3 dumps p4 at a3, ... one displacement
+    // per round across all n proposers even though no list is longer
+    // than 2. n = 70 > 64 proves a fixed-constant cap is unsafe and the
+    // |propPrefs|+1 derived bound is not.
+    val n = 70
+    val pp = ((1L, 1L, 0L) +: (2 to n).flatMap(i =>
+      Seq((i.toLong, i.toLong - 1, 0L), (i.toLong, i.toLong, 1L))))
+      .toDF("p", "a", "rank")
+    val pa = pp.select(col("a"), col("p"), (lit(1000L) - col("p")).as("score"))
+    val got = Matching.stableMatching(pp, pa)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = ((1L, 1L, 0L) +:
+      (2 to n).map(i => (i.toLong, i.toLong, 1L))).toSet
+    assert(got == want, s"chain must settle p_i -> a_i: ${got -- want}")
+    // an explicit cap below the chain length still fails loudly
+    intercept[IllegalArgumentException] {
+      Matching.stableMatching(pp, pa, maxRounds = 10)
+    }
+  }
 }

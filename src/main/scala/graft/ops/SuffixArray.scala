@@ -1,0 +1,240 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed suffix-array machinery for EXACT repeated-substring
+  * detection — the Lee et al. 2022 ("Deduplicating Training Data Makes
+  * Language Models Better") ExactSubstr construction proper, replacing
+  * the fixed-k window ladder ([[Curation.repeatedSpanStatsMultiK]])
+  * whose k-grid can miss a repeat whose length falls under every
+  * configured k and cannot certify a length-L repeat for L outside the
+  * grid (chained shorter matches from DIFFERENT partners merge into a
+  * span no single L-token substring of which actually repeats).
+  *
+  * Construction is prefix doubling (Manber–Myers 1990), fully
+  * relational: rank_0 = dense rank of the token, and round i re-keys
+  * every position by (rank_{i−1}(pos), rank_{i−1}(pos+2^{i−1})) so
+  * rank_i equality ⟺ the suffixes' first 2^i tokens are equal — the
+  * log-rounds re-keying discipline of the connected-components loop,
+  * one localCheckpoint per round.
+  *
+  * Scale shape:
+  *  - positions are keyed (doc_id, pos) — there is NO global
+  *    concatenated offset, so no corpus-wide cumulative window: a
+  *    unique per-doc sentinel token (" " + doc_id, unproducible by the
+  *    \S+ tokenizer and below every real token in binary order) stops
+  *    every suffix comparison at its doc boundary, which is exactly the
+  *    per-document suffix semantics ExactSubstr wants;
+  *  - each round's dense rank runs as a RANGE-partitioned sort with
+  *    per-partition local ranks plus a partition-count-sized offset
+  *    table ([[denseRankKeys]]) — the TeraSort shape, never a
+  *    single-partition window; rank values are exact integers
+  *    independent of where the sampled range bounds fall, so both
+  *    engines re-derive identical tables;
+  *  - per round, only (doc_id, pos, rank) triples cross the exchanges —
+  *    document text never does.
+  */
+object SuffixArray {
+
+  /** Scalable dense rank over the DISTINCT rows of `keyCols` (1-based,
+    * gap-free, ordered by the key columns ascending): range-repartition
+    * the distinct keys, rank locally per partition, then add each
+    * partition's cumulative predecessor count — the offset table has
+    * one row per partition, so the only unbounded-window is over the
+    * partition DIMENSION. The result is a pure function of the data
+    * (bounds only move rows, never change a rank), which is what lets
+    * the DuckDB oracle replay every round with a plain dense_rank().
+    * Returns (keyCols..., rank). */
+  private[ops] def denseRankKeys(keys: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val cols = keyCols.map(col)
+    val d = keys.select(cols: _*).distinct()
+      .repartitionByRange(cols: _*)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .localCheckpoint() // pin: __pid must not re-derive under reuse
+    val local = d.withColumn("__li", row_number().over(
+      Window.partitionBy("__pid").orderBy(cols: _*)).cast("long"))
+    val offs = d.groupBy("__pid").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum("__c").over(Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offs), Seq("__pid"))
+      .select(cols :+ (col("__off") + col("__li")).as("rank"): _*)
+  }
+
+  /** (doc_id, pos, tok): lowercased \S+ tokens (the gram convention of
+    * [[Curation.repeatedSpanStatsMultiK]]) plus ONE sentinel row per
+    * doc at pos = len whose token (" " + doc_id) is unique per doc and
+    * impossible for the tokenizer to produce — so no suffix of one doc
+    * ever rank-equals past its end into another doc. */
+  private[ops] def positions(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val low = docs.select(col(idCol).cast("long").as("doc_id"),
+      transform(Curation.tokens(col(textCol)), w => lower(w)).as("ws"))
+    val real = low.select(col("doc_id"),
+        posexplode(col("ws")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val sent = low.select(col("doc_id"), size(col("ws")).cast("long").as("pos"),
+      concat(lit(" "), col("doc_id").cast("string")).as("tok"))
+    real.unionByName(sent)
+  }
+
+  /** The doubling tables: `ranks(i)` maps (doc_id, pos) → the dense
+    * equivalence class of the suffix's first 2^i tokens (sentinel
+    * included), i = 0..rounds. */
+  final case class SuffixRanks(positions: DataFrame,
+      ranks: IndexedSeq[DataFrame])
+
+  /** Run `rounds` prefix-doubling rounds. With `requireTotal` the
+    * longest doc (positions incl. sentinel) must fit 2^rounds — the
+    * condition under which the FINAL table is a total order (a true
+    * suffix array permutation), checked by one bounded doc-dimension
+    * aggregate and failed loudly (the house contract rule); threshold
+    * queries that only need prefix classes up to 2^rounds pass
+    * `requireTotal = false` and skip both the check and the wasted
+    * extra rounds. */
+  def suffixRanks(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int, requireTotal: Boolean = false): SuffixRanks = {
+    require(rounds >= 0 && rounds <= 40,
+      s"rounds must be in [0, 40], got $rounds")
+    val pos = positions(docs, idCol, textCol).localCheckpoint()
+    if (requireTotal) {
+      val maxLen = pos.groupBy("doc_id").agg(count(lit(1)).as("c"))
+        .agg(max("c")).first().getLong(0)
+      require((1L << rounds) >= maxLen,
+        s"rounds=$rounds resolves ${1L << rounds}-token prefixes but the " +
+          s"longest doc has $maxLen positions — ranks would not be a " +
+          "total order; raise rounds")
+    }
+    var r = pos.join(denseRankKeys(pos, Seq("tok")), Seq("tok"))
+      .select("doc_id", "pos", "rank").localCheckpoint()
+    val all = scala.collection.mutable.ArrayBuffer(r)
+    for (i <- 1 to rounds) {
+      val h = 1L << (i - 1)
+      val nxt = r.select(col("doc_id"), (col("pos") - h).as("pos"),
+        col("rank").as("__r2"))
+      val pairs = r.join(nxt, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"), col("rank").as("__r1"),
+          coalesce(col("__r2"), lit(0L)).as("__r2"))
+      r = pairs.join(denseRankKeys(pairs, Seq("__r1", "__r2")),
+          Seq("__r1", "__r2"))
+        .select("doc_id", "pos", "rank").localCheckpoint()
+      all += r
+    }
+    SuffixRanks(pos, all.toIndexedSeq)
+  }
+
+  private def floorLog2(n: Long): Int =
+    63 - java.lang.Long.numberOfLeadingZeros(n)
+
+  /** EXACT arbitrary-length repeated-substring accounting — same output
+    * contract as [[Curation.repeatedSpanStats]] (doc_id, n_tokens,
+    * repeated_tokens, n_spans) but with the suffix-array guarantee: a
+    * position is covered iff it lies inside SOME length-≥-minLen
+    * substring occurring in ≥ minDocs distinct docs — any length ≥
+    * minLen, not just lengths on a k-grid.
+    *
+    * Length-L prefix equality needs only rank_k for k = ⌊log2 L⌋ (the
+    * sparse-table trick): suffixes a, b share an L-token prefix ⟺
+    * rank_k(a) = rank_k(b) AND rank_k(a+L−2^k) = rank_k(b+L−2^k) —
+    * two half-overlapping 2^k windows. So the build runs k rounds, not
+    * full resolution; candidates group by the (window1, window2) rank
+    * pair and a group spanning ≥ minDocs docs flags every member
+    * position; [pos, pos+L) intervals merge through the verified
+    * gaps-and-islands primitive. Start positions are pre-filtered to
+    * pos + L ≤ len, so both windows always exist and never touch a
+    * sentinel. */
+  def repeatedSpanStatsExact(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int, minDocs: Int = 2): DataFrame = {
+    require(minLen >= 1 && minDocs >= 2,
+      s"need minLen >= 1 and minDocs >= 2, got $minLen/$minDocs")
+    val k = floorLog2(minLen)
+    val h = 1L << k
+    val sr = suffixRanks(docs, idCol, textCol, k)
+    val rk = sr.ranks(k)
+    val lens = sr.positions.groupBy("doc_id")
+      .agg((count(lit(1)) - 1).as("__len"))
+    val w2 = rk.select(col("doc_id"),
+      (col("pos") - (minLen - h)).as("pos"), col("rank").as("__rb"))
+    val keyed = rk.join(w2, Seq("doc_id", "pos"))
+      .join(lens, Seq("doc_id"))
+      .filter(col("pos") + minLen <= col("__len"))
+      .select(col("doc_id"), col("pos"), col("rank").as("__ra"), col("__rb"))
+      .localCheckpoint()
+    val rep = keyed.groupBy("__ra", "__rb")
+      .agg(countDistinct("doc_id").as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__ra", "__rb")
+    val hits = keyed.join(rep, Seq("__ra", "__rb"), "left_semi")
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + minLen).as("e"))
+    val spans = Cleaning.mergeIntervals(hits, "doc_id", "s", "e")
+      .groupBy("doc_id")
+      .agg(sum(col("e") - col("s")).as("repeated_tokens"),
+        count(lit(1)).as("n_spans"))
+    lens.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__len").cast("long").as("n_tokens"),
+        coalesce(col("repeated_tokens"), lit(0L)).as("repeated_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+  }
+
+  /** Maximal cross-doc repeats by adjacent-rank LCP — the classic
+    * suffix-array read-out: with full resolution the final round's
+    * ranks are a dense total order (the suffix array), every longest
+    * repeat appears as the common prefix of two RANK-ADJACENT suffixes,
+    * and the LCP of an adjacent pair computes in ⌈log⌉ exact steps by
+    * descending the stored doubling tables (if rank_k agrees at the
+    * current offset, the first 2^k tokens match — advance by 2^k; the
+    * sparse-table LCP walk, each step one (doc, pos)-keyed join of the
+    * pair table, pinned per step like the components loop).
+    *
+    * Returns cross-doc adjacent pairs with lcp ≥ minLen:
+    * (doc_a, pos_a, doc_b, pos_b, lcp, left_maximal) — left_maximal = 1
+    * when the match cannot extend left (either side at pos 0 or the
+    * preceding tokens differ), i.e. the repeat is maximal, not the
+    * interior of a longer one. `rounds` must fully resolve the corpus
+    * (checked loudly via `requireTotal`). */
+  def adjacentLcpRepeats(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, rounds: Int): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val sr = suffixRanks(docs, idCol, textCol, rounds, requireTotal = true)
+    val fin = sr.ranks(rounds)
+    val a = fin.select(col("rank"), col("doc_id").as("doc_a"),
+      col("pos").as("pos_a"))
+    val b = fin.select((col("rank") - 1).as("rank"),
+      col("doc_id").as("doc_b"), col("pos").as("pos_b"))
+    var pairs = a.join(b, Seq("rank"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"))
+      .withColumn("lcp", lit(0L))
+      .localCheckpoint()
+    for (k <- rounds to 0 by -1) {
+      val h = 1L << k
+      val ra = sr.ranks(k).toDF("doc_a", "__qa", "__ka")
+      val rb = sr.ranks(k).toDF("doc_b", "__qb", "__kb")
+      pairs = pairs
+        .withColumn("__qa", col("pos_a") + col("lcp"))
+        .withColumn("__qb", col("pos_b") + col("lcp"))
+        .join(ra, Seq("doc_a", "__qa"), "left")
+        .join(rb, Seq("doc_b", "__qb"), "left")
+        .withColumn("lcp", when(col("__ka").isNotNull &&
+            col("__ka") === col("__kb"), col("lcp") + h)
+          .otherwise(col("lcp")))
+        .select("doc_a", "pos_a", "doc_b", "pos_b", "lcp")
+        .localCheckpoint()
+    }
+    val ta = sr.positions.toDF("doc_a", "__ba", "__ta")
+    val tb = sr.positions.toDF("doc_b", "__bb", "__tb")
+    pairs.filter(col("lcp") >= minLen)
+      .withColumn("__ba", col("pos_a") - 1)
+      .withColumn("__bb", col("pos_b") - 1)
+      .join(ta, Seq("doc_a", "__ba"), "left")
+      .join(tb, Seq("doc_b", "__bb"), "left")
+      .withColumn("left_maximal",
+        when(col("pos_a") === 0 || col("pos_b") === 0 ||
+          col("__ta") =!= col("__tb"), 1L).otherwise(0L))
+      .select("doc_a", "pos_a", "doc_b", "pos_b", "lcp", "left_maximal")
+  }
+}

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class SuffixArraySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("suffixRanks: hand corpus — round-0 token classes, doubling " +
+      "resolves to a total order, sentinels stop cross-doc equality") {
+    // doc 1: "a b a b"; doc 2: "b a b c"
+    val docs = Seq((1L, "a b a b"), (2L, "b a b c")).toDF("doc_id", "text")
+    val sr = SuffixArray.suffixRanks(docs, "doc_id", "text",
+      rounds = 3, requireTotal = true)
+    val r0 = sr.ranks(0).as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // token classes: sentinels " 1" < " 2" < "a" < "b" < "c"
+    assert(r0((1L, 4L)) == 1L && r0((2L, 4L)) == 2L, "sentinels rank lowest")
+    assert(r0((1L, 0L)) == r0((1L, 2L)) && r0((1L, 0L)) == r0((2L, 1L)),
+      "all 'a' positions share a class")
+    assert(r0((1L, 1L)) == r0((2L, 0L)), "all 'b' positions share a class")
+    assert(r0((2L, 3L)) > r0((1L, 1L)), "'c' above 'b'")
+    // rank_1: first-2-token classes — "a b" at (1,0), (1,2)... but
+    // (1,2) is followed by "a b<sent>" vs (1,0) "a b a b": rank_1 only
+    // sees 2 tokens, so (1,0), (1,2), (2,1) all match "a b"
+    val r1 = sr.ranks(1).as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(r1((1L, 0L)) == r1((1L, 2L)) && r1((1L, 0L)) == r1((2L, 1L)))
+    assert(r1((1L, 1L)) != r1((2L, 2L)),
+      "(1,1)='b a' and (2,2)='b c' must split at h=2")
+    assert(r1((1L, 1L)) == r1((2L, 0L)), "'b a' at (1,1) and (2,0) match")
+    // final round: every rank distinct (total order over 10 positions)
+    val fin = sr.ranks(3).select("rank").as[Long].collect().sorted
+    assert(fin.toSeq == (1L to 10L), s"dense total order, got ${fin.toSeq}")
+  }
+
+  test("repeatedSpanStatsExact: off-grid 12-token repeat that the " +
+      "k=16 multi-k ladder misses; no false 13-length certificate; " +
+      "same-doc repeats don't count toward minDocs") {
+    val rep = (1 to 12).map(i => s"r$i").mkString(" ") // 12 shared tokens
+    val docs = Seq(
+      (1L, s"alpha beta $rep gamma"),
+      (2L, s"delta $rep epsilon zeta"),
+      (3L, "unrelated words only here"),
+      // doc 4 repeats a 12-gram TWICE within itself but shares it with
+      // no other doc — must not flag (minDocs counts DISTINCT docs)
+      (4L, ((1 to 12).map(i => s"s$i").mkString(" ") + " mid " +
+        (1 to 12).map(i => s"s$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    // the k-grid stand-in with ks = {16} cannot see a 12-token repeat
+    val multik = Curation.repeatedSpanStatsMultiK(docs, "doc_id", "text",
+        ks = Seq(16), minDocs = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(multik.values.forall(_ == 0L),
+      s"k=16 ladder must miss the 12-token repeat: $multik")
+    // the suffix-array pass catches it exactly
+    val got = SuffixArray.repeatedSpanStatsExact(docs, "doc_id", "text",
+        minLen = 12)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((15L, 12L, 1L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((15L, 12L, 1L)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((4L, 0L, 0L)))
+    assert(got(4L) == ((25L, 0L, 0L)), "same-doc repeat must not flag")
+    // and it never certifies a length that does not repeat: minLen=13
+    val none = SuffixArray.repeatedSpanStatsExact(docs, "doc_id", "text",
+        minLen = 13)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(none.values.forall(_ == 0L), s"no 13-token repeat exists: $none")
+  }
+
+  test("repeatedSpanStatsExact: a longer repeat is covered end-to-end " +
+      "(sliding starts merge to one span), guards reject bad params") {
+    // 20-token shared run, minLen = 12: starts 0..8 all flag, spans
+    // merge to exactly the 20 tokens
+    val run = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, s"$run tail1 tail2"), (2L, s"lead $run"))
+      .toDF("doc_id", "text")
+    val got = SuffixArray.repeatedSpanStatsExact(docs, "doc_id", "text",
+        minLen = 12)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((22L, 20L, 1L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((21L, 20L, 1L)), s"doc2: ${got(2L)}")
+    intercept[IllegalArgumentException] {
+      SuffixArray.repeatedSpanStatsExact(docs, "doc_id", "text", 0)
+    }
+    intercept[IllegalArgumentException] {
+      SuffixArray.repeatedSpanStatsExact(docs, "doc_id", "text", 5, 1)
+    }
+  }
+
+  test("adjacentLcpRepeats: cross-doc maximal repeat surfaces with the " +
+      "exact LCP, interior suffixes are non-maximal, rounds guard " +
+      "fires when resolution is short") {
+    val docs = Seq(
+      (1L, "x q1 q2 q3 q4 q5 y"),
+      (2L, "z q1 q2 q3 q4 q5 w"),
+      (3L, "other text")).toDF("doc_id", "text")
+    val got = SuffixArray.adjacentLcpRepeats(docs, "doc_id", "text",
+        minLen = 3, rounds = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // the 5-token repeat: the pair starting at (1,1)/(2,1) has lcp 5
+    // and IS left-maximal (preceding tokens x/z differ)
+    val top = got.filter(r => r._5 == 5L)
+    assert(top.nonEmpty, s"expected an lcp-5 adjacent pair in ${got.toSeq}")
+    assert(top.forall(r => Set(r._1, r._3) == Set(1L, 2L) &&
+      r._2 == 1L && r._4 == 1L && r._6 == 1L), top.toSeq.toString)
+    // interior continuation (q2..q5, lcp 4) is adjacent too but NOT
+    // left-maximal: both predecessors are q1
+    val interior = got.filter(r => r._5 == 4L)
+    assert(interior.forall(r => r._2 == 2L && r._4 == 2L && r._6 == 0L),
+      interior.toSeq.toString)
+    // resolution guard: docs have 8 positions; 2^2 = 4 < 8 must fail
+    intercept[IllegalArgumentException] {
+      SuffixArray.adjacentLcpRepeats(docs, "doc_id", "text",
+        minLen = 3, rounds = 2)
+    }
+  }
+}

@@ -150,7 +150,6 @@ object HybridSearch {
     val prefetch = cfg.k * cfg.prefetchMultiplier
     val emb = embedder
     val embedQueryUdf = udf((q: String) => emb.embedQuery(q))
-    val tokenizeUdf = udf((q: String) => graft.text.Bm25.tokenize(q))
     val qs = queries
       .select(col(queryIdCol).as("query_id"), col(queryCol).as("__qtext"))
       .withColumn("__qvec", embedQueryUdf(col("__qtext")))
@@ -158,6 +157,19 @@ object HybridSearch {
     // dense prefetch: one scored pass + bounded per-query heaps
     val dense = denseTopKAll(index, qs, prefetch,
       queryVecCol = "__qvec")
+    fuseAllWithDense(index, docStats, corpusSize, avgDocLen, qs, dense, cfg)
+  }
+
+  /** The batched sparse branch + per-query fusion shared by
+    * [[searchAll]] (brute dense) and [[searchAllHnsw]] (graph-walk
+    * dense): `qs` is the embedded query table (query_id, __qtext),
+    * `dense` the per-query dense prefetch (query_id, id, dense_score).
+    * Scale shape as documented on [[searchAll]]. */
+  private def fuseAllWithDense(index: DataFrame, docStats: DataFrame,
+      corpusSize: Long, avgDocLen: Double, qs: DataFrame,
+      dense: DataFrame, cfg: Config): DataFrame = {
+    val prefetch = cfg.k * cfg.prefetchMultiplier
+    val tokenizeUdf = udf((q: String) => graft.text.Bm25.tokenize(q))
 
     // sparse prefetch: corpus tokens explode once; (doc, term) scores
     // computed once; fan-out to queries by term
@@ -294,6 +306,36 @@ object HybridSearch {
     val fused = rrfFuse(dense, sparse, cfg)
     fused.join(index, Seq("id"), "left")
       .orderBy(desc("rrf_score"), col("id"))
+  }
+
+  /** BATCHED [[searchHnsw]] — the multi-query graph walk
+    * ([[graft.ops.Similarity.HnswIndex.searchBatch]]: every hop one
+    * (query_id, id)-keyed frontier⋈graph join for the whole query
+    * table) feeding [[searchAll]]'s batched BM25 branch and per-query
+    * RRF fusion. This closes the serving matrix: batched brute
+    * ([[searchAll]]), batched IVF (searchAllAnn family), and now
+    * batched HNSW — a thousand queries pay one plan's worth of Spark
+    * jobs instead of a thousand walks. Per-query results equal
+    * [[searchHnsw]] for the same query string (HybridSearchSpec
+    * asserts it); ordered (query_id, rrf_score desc, id). */
+  def searchAllHnsw(index: DataFrame, hs: HnswServing,
+      docStats: DataFrame, corpusSize: Long, avgDocLen: Double,
+      queries: DataFrame, cfg: Config = Config(), ef: Int = 16,
+      hops: Int = 3, embedder: Embedder = HashingEmbedder.default,
+      queryIdCol: String = "query_id", queryCol: String = "query"):
+      DataFrame = {
+    val prefetch = cfg.k * cfg.prefetchMultiplier
+    val emb = embedder
+    val embedQueryUdf = udf((q: String) => emb.embedQuery(q))
+    val qs = queries
+      .select(col(queryIdCol).as("query_id"), col(queryCol).as("__qtext"))
+      .withColumn("__qvec", embedQueryUdf(col("__qtext")))
+    val dense = hs.hnsw.searchBatch(qs.select("query_id", "__qvec"),
+        prefetch, ef = ef, hops = hops,
+        queryIdCol = "query_id", queryVecCol = "__qvec")
+      .join(hs.idMap, "hid")
+      .select(col("query_id"), col("id"), col("cos").as("dense_score"))
+    fuseAllWithDense(index, docStats, corpusSize, avgDocLen, qs, dense, cfg)
   }
 
   /** Pseudo-relevance-feedback expansion terms (the RM1/RM3 family,

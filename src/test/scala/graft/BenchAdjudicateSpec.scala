@@ -119,4 +119,46 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     assert(merged == Seq("q01" -> 1.0),
       "min-merge also drops queries absent from this run")
   }
+
+  test("split phase records: a serve regression invisible in the total " +
+      "flags via its name:serve entry; build noise alone cannot flag " +
+      "the serving path") {
+    val pb = Map("q215:build" -> 12.0, "q215:serve" -> 0.5,
+      "q215_hybrid_hnsw" -> 12.5)
+    // serve 0.5 → 1.6 s (3.2× and +1.1 s), build steady: the TOTAL
+    // moves 12.5 → 13.6 (1.09×, under both thresholds) — invisible
+    val run1 = Seq("q215_hybrid_hnsw" -> 13.6)
+    assert(Bench.flaggedNames(run1, pb).isEmpty,
+      "the headline total must NOT flag a buried serve regression")
+    val phases1 = Seq("q215:build" -> 12.0, "q215:serve" -> 1.6)
+    assert(Bench.flaggedNames(phases1, pb) == Seq("q215:serve"),
+      "the phase record must flag it")
+    // conversely: build 12 → 30 s flags build, not serve
+    val phases2 = Seq("q215:build" -> 30.0, "q215:serve" -> 0.5)
+    assert(Bench.flaggedNames(phases2, pb) == Seq("q215:build"))
+  }
+
+  test("phaseJson groups name:phase records per query with _s keys; " +
+      "headlineTotal excludes phase entries from the suite total") {
+    val entries = Seq("q215:build" -> 12.0, "q215:serve" -> 0.5,
+      "q203:build" -> 3.0, "q203:serve" -> 0.25)
+    val js = Bench.phaseJson(entries)
+    assert(js ==
+      """{"q203":{"build_s":3.0,"serve_s":0.25},""" +
+      """"q215":{"build_s":12.0,"serve_s":0.5}}""", js)
+    assert(Bench.phaseJson(Seq.empty) == "{}")
+    // the merged baseline holds headline AND phase entries; the file's
+    // total must count each phased query once (its headline sum), not
+    // three times
+    val merged = Seq("q215_hybrid_hnsw" -> 12.5, "q01" -> 1.0) ++ entries
+    assert(Bench.headlineTotal(merged) == 13.5)
+  }
+
+  test("mergeBaseline treats phase keys like any query: per-phase min " +
+      "on reseed, wholesale on force") {
+    val old = Map("q215:serve" -> 0.5, "q215:build" -> 12.0)
+    val fresh = Seq("q215:serve" -> 0.8, "q215:build" -> 10.0)
+    val merged = Bench.mergeBaseline(old, fresh, wholesale = false).toMap
+    assert(merged("q215:serve") == 0.5 && merged("q215:build") == 10.0)
+  }
 }

@@ -1387,6 +1387,35 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](idx.search(qv, k = 0))
   }
 
+  test("HnswIndex.searchBatch: each batch row equals the single-query " +
+      "walk — same visited logic, same tie-breaks — and one plan " +
+      "serves the whole query table") {
+    val n = 200
+    def vecOf(i: Int): Array[Float] = {
+      val r = new java.util.Random(i * 1000003L)
+      Array.fill(8)(r.nextGaussian().toFloat)
+    }
+    val df = (0 until n).map(i => (i.toLong, vecOf(i).toSeq))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val idx = new Similarity.HnswIndex(df, m = 8, maxLevel = 3)
+    val qids = Seq(3, 57, 101)
+    val queries = qids.map(i => (i.toLong, vecOf(i).toSeq))
+      .toDF("query_id", "qv")
+      .select($"query_id", $"qv".cast("array<float>").as("qv"))
+    val batch = idx.searchBatch(queries, k = 10, ef = 16, hops = 3)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (-r._3, r._2)).map(r =>
+        (r._2, r._3)).toSeq).toMap
+    for (q <- qids) {
+      val single = idx.search(vecOf(q), k = 10, ef = 16, hops = 3)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch(q.toLong) == single,
+        s"query $q: batch ${batch(q.toLong)} != single $single")
+    }
+    intercept[IllegalArgumentException](idx.searchBatch(queries, k = 0))
+  }
+
   test("HnswIndex nndescent build: no corpus-sized collect, symmetric " +
       "bounded graph, search recall matches the broadcast build's class") {
     val n = 300

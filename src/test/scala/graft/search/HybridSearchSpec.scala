@@ -76,6 +76,29 @@ class HybridSearchSpec extends AnyFunSuite with SparkTestBase {
       s"query fan-out must broadcast, not cartesian:\n$plan")
   }
 
+  test("searchAllHnsw == per-query searchHnsw loop: the batched graph " +
+      "walk serves every query identically to the single walk") {
+    val cfg = HybridSearch.Config(k = 2)
+    val hs = HybridSearch.buildHnswServing(index, build = "broadcast")
+    val queryTexts = Seq("habeas corpus", "grain shipment contract",
+      "semiconductor patent")
+    val queries = queryTexts.zipWithIndex
+      .map { case (q, i) => (i.toLong, q) }.toDF("query_id", "query")
+    val cols = Seq("query_id", "id", "rrf_score", "dense_score", "bm25_score")
+    val batched = HybridSearch.searchAllHnsw(index, hs, stats, n, avgLen,
+      queries, cfg)
+    val loop = queryTexts.zipWithIndex.map { case (q, i) =>
+      HybridSearch.searchHnsw(index, hs, stats, n, avgLen, q, cfg)
+        .select(lit(i.toLong).as("query_id"), col("id"),
+          col("rrf_score"), col("dense_score"), col("bm25_score"))
+    }.reduce(_ unionByName _)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+          Option(r.get(3)), Option(r.get(4)))).sortBy(t => (t._1, t._2))
+    assert(canon(batched).toSeq == canon(loop).toSeq)
+  }
+
   test("searchAnn with every cell probed equals the exact-dense search; " +
       "fewer probes still fuse and lead with the relevant doc") {
     val ivf = new graft.ops.Similarity.IvfIndex(index, nCentroids = 2,

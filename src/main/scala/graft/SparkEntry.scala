@@ -5478,6 +5478,25 @@ object SparkEntry {
         .select("query_id", "id", "chunk_id", "rrf_score",
           "dense_score", "bm25_score")
         .orderBy("query_id", "id")
+    }),
+
+    // HNSW tombstone repair (r10 judge ask #4): 20% of the corpus is
+    // deleted, and repairHnswGraph sweeps the dangling edges while
+    // re-linking each bereaved survivor to its deleted neighbors'
+    // OTHER neighbors (union-of-neighbors), top-lost(u) by cosine,
+    // closed symmetrically. The original graph dumps as aux; DuckDB
+    // replays the ENTIRE repair — alive split, loss counts, candidate
+    // generation, every replacement cosine, the per-(layer, u)
+    // ranking, and the symmetric closure — and must reproduce the
+    // repaired edge table bit-for-bit.
+    "q343_hnsw_repair" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = new Similarity.HnswIndex(emb, m = 8, maxLevel = 3)
+      val tomb = emb.filter(col("vec_id") % 5 === 0).select("vec_id")
+      writeAux(idx.graph.select("layer", "id", "nbr", "cos"),
+        dir, "q343_graph")
+      Similarity.repairHnswGraph(idx.graph, tomb, emb)
+        .orderBy("layer", "id", "nbr")
     })
   )
 
@@ -12489,7 +12508,44 @@ object SparkEntry {
          |  top.dense_score, top.bm25_score
          |FROM top JOIN idx i ON i.id = top.id
          |ORDER BY top.qid, top.id""".stripMargin
-    }
+    },
+
+    "q343_hnsw_repair" ->
+      """WITH g AS (SELECT * FROM '__AUX__/q343_graph/*.parquet'),
+        |t AS (SELECT vec_id AS tid FROM embeddings WHERE vec_id % 5 = 0),
+        |alive AS MATERIALIZED (SELECT layer, id, nbr, cos FROM g
+        |  WHERE id NOT IN (SELECT tid FROM t)
+        |    AND nbr NOT IN (SELECT tid FROM t)),
+        |lost AS MATERIALIZED (SELECT layer, id AS u, nbr AS d FROM g
+        |  WHERE id NOT IN (SELECT tid FROM t)
+        |    AND nbr IN (SELECT tid FROM t)),
+        |kadd AS (SELECT layer, u, CAST(count(*) AS BIGINT) AS k
+        |  FROM lost GROUP BY 1, 2),
+        |cand AS MATERIALIZED (SELECT layer, u, c FROM (
+        |    SELECT DISTINCT l.layer, l.u, g2.nbr AS c
+        |    FROM lost l JOIN g g2 ON g2.layer = l.layer AND g2.id = l.d
+        |    WHERE g2.nbr NOT IN (SELECT tid FROM t) AND g2.nbr <> l.u) x
+        |  WHERE NOT EXISTS (SELECT 1 FROM alive a
+        |    WHERE a.layer = x.layer AND a.id = x.u AND a.nbr = x.c)),
+        |pairs AS (SELECT cd.layer, cd.u, cd.c,
+        |    unnest(vu.embedding)::DOUBLE AS x,
+        |    unnest(vc.embedding)::DOUBLE AS y
+        |  FROM cand cd JOIN embeddings vu ON vu.vec_id = cd.u
+        |  JOIN embeddings vc ON vc.vec_id = cd.c),
+        |scored AS (SELECT layer, u, c,
+        |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+        |  FROM pairs GROUP BY 1, 2, 3),
+        |adds AS (SELECT layer, u AS id, c AS nbr, cos FROM (
+        |    SELECT s.*, row_number() OVER (PARTITION BY s.layer, s.u
+        |      ORDER BY s.cos DESC, s.c) AS rn, k.k
+        |    FROM scored s JOIN kadd k ON k.layer = s.layer AND k.u = s.u)
+        |  WHERE rn <= k),
+        |rep AS (SELECT layer, id, nbr, cos FROM alive
+        |  UNION ALL SELECT layer, id, nbr, cos FROM adds)
+        |SELECT DISTINCT layer, id, nbr, cos FROM (
+        |  SELECT * FROM rep
+        |  UNION ALL SELECT layer, nbr AS id, id AS nbr, cos FROM rep)
+        |ORDER BY layer, id, nbr""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

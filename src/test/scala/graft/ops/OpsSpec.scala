@@ -1416,6 +1416,68 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](idx.searchBatch(queries, k = 0))
   }
 
+  test("HNSW delete: searchTombstoned filters deletes but walks through " +
+      "them; repairHnswGraph removes every dangling edge, re-links " +
+      "via union-of-neighbors without degree growth, and recall over " +
+      "survivors stays >= 0.8 after deleting 20% of nodes") {
+    val n = 300
+    def vecOf(i: Int): Array[Float] = {
+      val r = new java.util.Random(i * 1000003L)
+      Array.fill(8)(r.nextGaussian().toFloat)
+    }
+    val df = (0 until n).map(i => (i.toLong, vecOf(i).toSeq))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val idx = new Similarity.HnswIndex(df, m = 8, maxLevel = 3)
+    val tomb = df.filter($"vec_id" % 5 === 0).select("vec_id") // 20%
+    val tombSet = tomb.as[Long].collect().toSet
+    val qv = vecOf(7)
+
+    // pre-repair serving: tombstoned ids never surface, but the walk
+    // may route through them (recall vs survivor brute stays healthy)
+    val bruteSurv = Similarity.bruteForceTopK(
+        df.join(tomb, Seq("vec_id"), "left_anti"), qv, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ts = idx.searchTombstoned(qv, k = 10, tomb, ef = 32, hops = 4)
+      .select("vec_id").as[Long].collect()
+    assert(ts.length == 10 && ts.forall(!tombSet(_)),
+      s"tombstoned ids must never surface: ${ts.toSeq}")
+    assert(ts.count(bruteSurv).toDouble / 10 >= 0.8,
+      s"tombstoned-walk recall too low: ${ts.toSeq}")
+
+    // repair: no tombstoned endpoint survives, symmetry holds, no
+    // node's per-layer out-degree exceeds its pre-delete degree
+    val repaired = Similarity.repairHnswGraph(idx.graph, tomb, df)
+      .localCheckpoint()
+    val re = repaired.select("layer", "id", "nbr")
+      .as[(Int, Long, Long)].collect()
+    assert(re.nonEmpty)
+    assert(re.forall { case (_, a, b) => !tombSet(a) && !tombSet(b) },
+      "dangling edges must be swept")
+    val eset = re.toSet
+    assert(eset.forall { case (l, a, b) => eset((l, b, a)) },
+      "repair must close symmetrically")
+    val degBefore = idx.graph.select("layer", "id", "nbr")
+      .as[(Int, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.length).toMap
+    val degAfter = re.groupBy(r => (r._1, r._2)).view.mapValues(_.length)
+    // 1:1 replacement + symmetric closure: a node can gain at most the
+    // reverse edges of other survivors' replacements — bounded by its
+    // pre-delete degree plus the replacement slack, never unbounded
+    assert(degAfter.forall { case (k, d) => d <= degBefore(k) + 8 },
+      "degree must stay in the pre-delete class")
+
+    // serving the repaired graph: survivors-only index, plain search
+    val survivors = df.join(tomb, Seq("vec_id"), "left_anti")
+    val idx2 = new Similarity.HnswIndex(survivors, m = 8, maxLevel = 3,
+      prebuiltGraph = Some(repaired))
+    val got = idx2.search(qv, k = 10, ef = 32, hops = 4)
+      .select("vec_id").as[Long].collect()
+    assert(got.length == 10 && got.forall(!tombSet(_)))
+    val recall = got.count(bruteSurv).toDouble / 10
+    assert(recall >= 0.8, s"post-repair recall $recall < 0.8 (${got.toSeq})")
+  }
+
   test("HnswIndex nndescent build: no corpus-sized collect, symmetric " +
       "bounded graph, search recall matches the broadcast build's class") {
     val n = 300

@@ -5497,6 +5497,65 @@ object SparkEntry {
         dir, "q343_graph")
       Similarity.repairHnswGraph(idx.graph, tomb, emb)
         .orderBy("layer", "id", "nbr")
+    }),
+
+    // STREAMING curation composite (r10 judge ask #2): the q180 gate
+    // chain as continuous admission — three ascending-id micro-batches
+    // flow through foreachBatch, each admitted against STORED
+    // digest/signature state under the online first-wins rule (reject
+    // iff a matching smaller id exists in state ∪ batch — batching-
+    // invariant and replay-idempotent, see CurationStream), language
+    // gated by a FROZEN q213-fixture profile, quality/repetition
+    // stateless, output a versioned snapshot. Plants: %17≡3 reversed
+    // (lang fail), %13≡1 exact copies at +10000 (exact fail), %11≡2
+    // near-dup copies at +20000 (agreement fail). DuckDB re-derives
+    // every gate — normalization, smaller-id digest rule, the full
+    // 16-hash/4-band LSH with SIGNATURE-AGREEMENT verification,
+    // profile training + classification, logit, top-bigram — straight
+    // from the documents table; the batching must be invisible.
+    "q344_curation_stream" -> ((s, dir) => {
+      import graft.streaming.CurationStream
+      val base = t(s, dir, "documents")
+      val varied = base.select(col("doc_id"),
+        when(col("doc_id") % 17 === 3, reverse(col("text")))
+          .otherwise(col("text")).as("text"))
+      val planted = varied
+        .unionByName(varied.filter(col("doc_id") % 13 === 1)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionByName(varied.filter(col("doc_id") % 11 === 2)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" zzappendix")).as("text")))
+      val langLabel = when(col("doc_id") % 3 === 0, "en")
+        .when(col("doc_id") % 3 === 1, "zz").otherwise("qq")
+      val langVariant = when(col("doc_id") % 3 === 0, col("text"))
+        .when(col("doc_id") % 3 === 1,
+          translate(col("text"), "aeiou", "zzzzz"))
+        .otherwise(reverse(col("text")))
+      val profile = TextAnalysis.langIdTrain(
+        base.filter(col("doc_id") < 200)
+          .select(langLabel.as("lang"), langVariant.as("text")),
+        buckets = 1024)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q344").toString
+      val srcDir = s"$tmp/src"
+      planted.filter(col("doc_id") < 250)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      planted.filter(col("doc_id") >= 250 && col("doc_id") < 10000)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      planted.filter(col("doc_id") >= 10000)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = CurationStream.run(s, src, profile,
+        s"$tmp/out", s"$tmp/state", s"$tmp/cp")
+      q.processAllAvailable(); q.stop()
+      graft.index.Snapshots.readVersion(s, s"$tmp/out",
+          graft.index.Snapshots.versions(s, s"$tmp/out").last)
+        .select("id", "n_chars", "pass_exact", "pass_neardup",
+          "pred_lang", "margin6", "logit", "top_cnt", "n_pairs",
+          "pass_lang", "pass_quality", "pass_rep", "admitted")
+        .orderBy("id")
     })
   )
 
@@ -5661,6 +5720,44 @@ object SparkEntry {
        |${hop("d1", 1)},
        |${hop("f1", 2)},
        |${hop("f2", 3)}""".stripMargin
+  }
+
+  /** q344's signature-agreement near-dup replay over an arbitrary
+    * (doc_id, text) SELECT — [[minhashLshCtesOver]]'s construction up
+    * to bands (same 16 md5 minhashes, same 4-band md5 hashing), then
+    * SIGNATURE AGREEMENT verification (≥ 13 of 16 equal components ⟺
+    * round-6 fraction ≥ 0.8 — exact, 16 divides a power of two)
+    * instead of exact Jaccard, ending in `ndrej(doc_id)`: the ids the
+    * online first-wins rule rejects (a qualifying partner with a
+    * smaller id exists among band-collision candidates). */
+  private def minhashAgreementCtes(corpusSelect: String): String = {
+    val hs = (0 until 16).map(i =>
+      s"list_min([md5('${i}_' || x) for x in sh]) AS h$i").mkString(",\n    ")
+    val bandRows = (0 until 4).map { b =>
+      val cat = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM ndsigs"
+    }.mkString("\n  UNION ALL ")
+    val eq = (0 until 16).map(i =>
+      s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""ndd AS ($corpusSelect),
+       |ndshnz AS (SELECT doc_id, sh FROM (
+       |    SELECT doc_id, list_distinct([parts[i+1] || ' ' || parts[i+2] || ' ' || parts[i+3]
+       |        for i in range(len(parts)-2)]) AS sh
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM ndd)
+       |    WHERE len(parts) >= 3)
+       |  WHERE len(sh) > 0),
+       |ndsigs AS MATERIALIZED (SELECT doc_id,
+       |    $hs
+       |  FROM ndshnz),
+       |ndbands AS (
+       |  $bandRows),
+       |ndcand AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM ndbands a JOIN ndbands b ON a.band = b.band AND a.bh = b.bh
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |ndrej AS (SELECT DISTINCT c.id2 AS doc_id FROM ndcand c
+       |  JOIN ndsigs a ON a.doc_id = c.id1
+       |  JOIN ndsigs b ON b.doc_id = c.id2
+       |  WHERE $eq >= 13)""".stripMargin
   }
 
   /** [[minhashLshCtes]] with a caller-chosen planted-copy SELECT (the
@@ -12545,7 +12642,129 @@ object SparkEntry {
         |SELECT DISTINCT layer, id, nbr, cos FROM (
         |  SELECT * FROM rep
         |  UNION ALL SELECT layer, nbr AS id, id AS nbr, cos FROM rep)
-        |ORDER BY layer, id, nbr""".stripMargin
+        |ORDER BY layer, id, nbr""".stripMargin,
+
+    "q344_curation_stream" ->
+      s"""WITH vbase AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 17 = 3 THEN reverse(text) ELSE text END
+         |      AS text
+         |  FROM documents),
+         |pl AS (SELECT doc_id, text FROM vbase
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text FROM vbase WHERE doc_id % 13 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text || ' zzappendix' FROM vbase
+         |  WHERE doc_id % 11 = 2),
+         |nfil AS MATERIALIZED (SELECT doc_id, norm_text FROM (
+         |    SELECT doc_id,
+         |      trim(regexp_replace(lower(strip_accents(text)),
+         |        '\\s+', ' ', 'g')) AS norm_text
+         |    FROM pl)
+         |  WHERE length(norm_text) >= 100),
+         |bd AS (SELECT doc_id, md5(norm_text) AS dg FROM nfil),
+         |exr AS (SELECT DISTINCT a.doc_id FROM bd a
+         |  JOIN bd b ON b.dg = a.dg AND b.doc_id < a.doc_id),
+         |${minhashAgreementCtes("SELECT doc_id, norm_text AS text FROM nfil")},
+         |liv AS (SELECT
+         |    CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'zz'
+         |      ELSE 'qq' END AS lang,
+         |    CASE doc_id % 3 WHEN 0 THEN text
+         |      WHEN 1 THEN translate(text, 'aeiou', 'zzzzz')
+         |      ELSE reverse(text) END AS text
+         |  FROM documents WHERE doc_id < 200),
+         |litb AS (SELECT lang,
+         |    CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 1024 AS bucket
+         |  FROM (SELECT lang, unnest(flatten(list_transform(
+         |      list_filter(string_split(lower(trim(text)), ' '),
+         |        w -> w <> ''),
+         |      w -> list_transform(range(1, length(w) + 2),
+         |        i -> substr('_' || w || '_', CAST(i AS INT), 2))))) AS g
+         |    FROM liv)),
+         |licnt AS (SELECT lang, bucket, count(*) AS c FROM litb GROUP BY 1, 2),
+         |litot AS (SELECT lang, sum(c) AS total FROM licnt GROUP BY 1),
+         |liwts AS (SELECT licnt.lang, bucket,
+         |    CAST(round(log10((c + 1) / (total + 1024)) * 1000000, 0)
+         |      AS BIGINT) AS w6
+         |  FROM licnt JOIN litot USING (lang)),
+         |liflo AS (SELECT lang,
+         |    CAST(round(log10(1 / (total + 1024)) * 1000000, 0) AS BIGINT)
+         |      AS def6
+         |  FROM litot),
+         |ligb AS (SELECT doc_id,
+         |    CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 1024 AS bucket
+         |  FROM (SELECT doc_id, unnest(flatten(list_transform(
+         |      list_filter(string_split(lower(trim(norm_text)), ' '),
+         |        w -> w <> ''),
+         |      w -> list_transform(range(1, length(w) + 2),
+         |        i -> substr('_' || w || '_', CAST(i AS INT), 2))))) AS g
+         |    FROM nfil)),
+         |lisc AS (SELECT g.doc_id, l.lang,
+         |    CAST(SUM(COALESCE(w.w6, f.def6)) AS BIGINT) AS score6
+         |  FROM ligb g CROSS JOIN (SELECT DISTINCT lang FROM litot) l
+         |  LEFT JOIN liwts w ON w.lang = l.lang AND w.bucket = g.bucket
+         |  JOIN liflo f ON f.lang = l.lang
+         |  GROUP BY 1, 2),
+         |lirk AS (SELECT doc_id, lang, score6,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score6 DESC, lang) AS rn,
+         |    lead(score6) OVER (PARTITION BY doc_id
+         |      ORDER BY score6 DESC, lang) AS next6
+         |  FROM lisc),
+         |lipred AS (SELECT doc_id, lang AS pred_lang,
+         |    score6 - COALESCE(next6, score6) AS margin6
+         |  FROM lirk WHERE rn = 1),
+         |f AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(norm_text, '\\S+')) AS BIGINT)
+         |      AS n_words,
+         |    CAST(length(norm_text) AS BIGINT) AS nc,
+         |    CAST(len(regexp_extract_all(norm_text, '!')) AS BIGINT)
+         |      AS n_exclaim,
+         |    CAST(len(regexp_extract_all(norm_text, '[0-9]')) AS BIGINT)
+         |      AS n_digits
+         |  FROM nfil),
+         |lg AS (SELECT doc_id,
+         |    2*n_words + 1*nc - 50*n_exclaim - 10*n_digits - 500 AS logit
+         |  FROM f),
+         |toks AS (SELECT doc_id, idx, parts[idx+1] AS tok FROM (
+         |    SELECT doc_id, parts, unnest(range(len(parts))) AS idx FROM (
+         |      SELECT doc_id, string_split(norm_text, ' ') AS parts
+         |      FROM nfil))),
+         |prs AS (SELECT a.doc_id, a.tok AS prev, b.tok AS next
+         |  FROM toks a JOIN toks b
+         |    ON a.doc_id = b.doc_id AND b.idx = a.idx + 1),
+         |pc AS (SELECT doc_id, prev, next, CAST(count(*) AS BIGINT) AS c
+         |  FROM prs GROUP BY 1, 2, 3),
+         |rep AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt,
+         |    CAST(sum(c) AS BIGINT) AS n_pairs FROM pc GROUP BY 1),
+         |flags AS (SELECT n.doc_id AS id,
+         |    CAST(length(n.norm_text) AS BIGINT) AS n_chars,
+         |    CASE WHEN ex.doc_id IS NULL THEN 1 ELSE 0 END AS pass_exact,
+         |    CASE WHEN nd.doc_id IS NULL THEN 1 ELSE 0 END AS pass_neardup,
+         |    COALESCE(lp.pred_lang, 'und') AS pred_lang,
+         |    CAST(COALESCE(lp.margin6, 0) AS BIGINT) AS margin6,
+         |    CAST(l.logit AS BIGINT) AS logit,
+         |    COALESCE(r.top_cnt, 1) AS top_cnt,
+         |    COALESCE(r.n_pairs, 0) AS n_pairs
+         |  FROM nfil n JOIN lg l ON l.doc_id = n.doc_id
+         |  LEFT JOIN exr ex ON ex.doc_id = n.doc_id
+         |  LEFT JOIN ndrej nd ON nd.doc_id = n.doc_id
+         |  LEFT JOIN lipred lp ON lp.doc_id = n.doc_id
+         |  LEFT JOIN rep r ON r.doc_id = n.doc_id)
+         |SELECT id, n_chars,
+         |  CAST(pass_exact AS BIGINT) AS pass_exact,
+         |  CAST(pass_neardup AS BIGINT) AS pass_neardup,
+         |  pred_lang, margin6, logit, top_cnt, n_pairs,
+         |  CAST(CASE WHEN pred_lang = 'en' AND margin6 >= 1000000
+         |    THEN 1 ELSE 0 END AS BIGINT) AS pass_lang,
+         |  CAST(CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS pass_quality,
+         |  CAST(CASE WHEN top_cnt * 10 <= n_pairs THEN 1 ELSE 0 END
+         |    AS BIGINT) AS pass_rep,
+         |  CAST(CASE WHEN pass_exact = 1 AND pass_neardup = 1
+         |    AND pred_lang = 'en' AND margin6 >= 1000000
+         |    AND logit >= 0 AND top_cnt * 10 <= n_pairs
+         |    THEN 1 ELSE 0 END AS BIGINT) AS admitted
+         |FROM flags ORDER BY id""".stripMargin
   ) ++ Map(
     "q214_unigram_lm" ->
       """WITH RECURSIVE vp AS (SELECT piece, w6

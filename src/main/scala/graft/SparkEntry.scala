@@ -5556,6 +5556,24 @@ object SparkEntry {
           "pred_lang", "margin6", "logit", "top_cnt", "n_pairs",
           "pass_lang", "pass_quality", "pass_rep", "admitted")
         .orderBy("id")
+    }),
+
+    // ExactSubstr REMOVAL via the suffix array — q193's excision with
+    // q340's arbitrary-length guarantee: the planted 12-token
+    // boilerplate (invisible to any k ∈ {8,16}-grid certificate at
+    // L = 12) is excised from EVERY copy; matching is case-folded,
+    // editing preserves the original tokens. DuckDB replays the
+    // doubling rounds, the two-window grouping, the span merge, and
+    // every per-token keep/drop decision, then rebuilds each cleaned
+    // document in position order.
+    "q345_exactsubstr_removal" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 7 === 0,
+          lit(" exact substr pass finds arbitrary length repeats" +
+            " beyond any fixed k grid")).otherwise(lit(""))).as("text"))
+      graft.ops.SuffixArray.removeRepeatedSpansExact(
+          planted, "doc_id", "text", minLen = 12)
+        .orderBy("doc_id")
     })
   )
 
@@ -12515,6 +12533,51 @@ object SparkEntry {
          |  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans
          |FROM lens l LEFT JOIN agg a USING (doc_id)
          |ORDER BY l.doc_id""".stripMargin
+    },
+
+    "q345_exactsubstr_removal" -> {
+      s"""WITH planted AS (SELECT doc_id, text || CASE WHEN doc_id % 7 = 0
+         |    THEN ' exact substr pass finds arbitrary length repeats beyond any fixed k grid'
+         |    ELSE '' END AS text FROM documents),
+         |otoks AS MATERIALIZED (SELECT doc_id,
+         |    regexp_extract_all(text, '\\S+') AS ows FROM planted),
+         |${saRankCtes(3, "SELECT doc_id, text FROM planted")},
+         |lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len FROM toks),
+         |keyed AS MATERIALIZED (SELECT a.doc_id, a.pos, a.rank AS ra,
+         |    b.rank AS rb
+         |  FROM r3 a JOIN r3 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 4
+         |  JOIN lens l ON l.doc_id = a.doc_id
+         |  WHERE a.pos + 12 <= l.len),
+         |rep AS (SELECT ra, rb FROM (SELECT ra, rb,
+         |    count(DISTINCT doc_id) AS nd FROM keyed GROUP BY 1, 2)
+         |  WHERE nd >= 2),
+         |hits AS (SELECT k.doc_id, k.pos AS s, k.pos + 12 AS e
+         |  FROM keyed k JOIN rep USING (ra, rb)),
+         |flagged AS (SELECT doc_id, s, e,
+         |    CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+         |      THEN 1 ELSE 0 END AS new_island
+         |  FROM hits
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY s, e
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |isl AS (SELECT doc_id, s, e,
+         |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM flagged),
+         |sp AS MATERIALIZED (SELECT doc_id, island, min(s) AS s, max(e) AS e
+         |  FROM isl GROUP BY 1, 2),
+         |pos2 AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+         |    ows[CAST(i + 1 AS INT)] AS tok
+         |  FROM otoks, UNNEST(range(len(ows))) t(i)),
+         |keptk AS (SELECT p.doc_id, p.idx, p.tok FROM pos2 p
+         |  WHERE NOT EXISTS (SELECT 1 FROM sp s
+         |    WHERE s.doc_id = p.doc_id AND p.idx >= s.s AND p.idx < s.e)),
+         |res AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text,
+         |    CAST(count(*) AS BIGINT) AS kept FROM keptk GROUP BY 1)
+         |SELECT o.doc_id, COALESCE(r.text, '') AS text,
+         |  CAST(len(o.ows) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(r.kept, 0) AS BIGINT) AS kept_tokens
+         |FROM otoks o LEFT JOIN res r USING (doc_id)
+         |ORDER BY o.doc_id""".stripMargin
     },
 
     "q341_sa_adjacent_lcp" -> {

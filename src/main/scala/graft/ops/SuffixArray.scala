@@ -148,6 +148,22 @@ object SuffixArray {
     * sentinel. */
   def repeatedSpanStatsExact(docs: DataFrame, idCol: String,
       textCol: String, minLen: Int, minDocs: Int = 2): DataFrame = {
+    val (lens, spans) = exactHitSpans(docs, idCol, textCol, minLen, minDocs)
+    val stats = spans.groupBy("doc_id")
+      .agg(sum(col("e") - col("s")).as("repeated_tokens"),
+        count(lit(1)).as("n_spans"))
+    lens.join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__len").cast("long").as("n_tokens"),
+        coalesce(col("repeated_tokens"), lit(0L)).as("repeated_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+  }
+
+  /** Shared core of the stats and removal forms: per-doc token counts
+    * (`(doc_id, __len)`) and the MERGED [s, e) spans covered by some
+    * length-≥-minLen substring repeating across ≥ minDocs docs. */
+  private def exactHitSpans(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int, minDocs: Int)
+      : (DataFrame, DataFrame) = {
     require(minLen >= 1 && minDocs >= 2,
       s"need minLen >= 1 and minDocs >= 2, got $minLen/$minDocs")
     val k = floorLog2(minLen)
@@ -170,14 +186,36 @@ object SuffixArray {
     val hits = keyed.join(rep, Seq("__ra", "__rb"), "left_semi")
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + minLen).as("e"))
-    val spans = Cleaning.mergeIntervals(hits, "doc_id", "s", "e")
-      .groupBy("doc_id")
-      .agg(sum(col("e") - col("s")).as("repeated_tokens"),
-        count(lit(1)).as("n_spans"))
-    lens.join(spans, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("__len").cast("long").as("n_tokens"),
-        coalesce(col("repeated_tokens"), lit(0L)).as("repeated_tokens"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+    (lens, Cleaning.mergeIntervals(hits, "doc_id", "s", "e"))
+  }
+
+  /** Materialized REMOVAL form of [[repeatedSpanStatsExact]] — the
+    * ExactSubstr dedup pass that actually edits the corpus, with the
+    * suffix-array guarantee the k-grid form
+    * ([[Curation.removeRepeatedSpans]]) lacks: every token covered by
+    * SOME length-≥-minLen cross-doc repeat is excised (all copies go —
+    * Lee et al.'s policy), survivors rejoin in position order. Returns
+    * (doc_id, text, n_tokens, kept_tokens), `text` the cleaned doc.
+    * Excision is one higher-order `filter` over the ORIGINAL
+    * (case-preserved) token array — matching is case-folded, editing
+    * is not, and cleaned text never crosses an exchange. */
+  def removeRepeatedSpansExact(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int, minDocs: Int = 2): DataFrame = {
+    val (_, spans) = exactHitSpans(docs, idCol, textCol, minLen, minDocs)
+    val spanLists = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("__spans"))
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      Curation.tokens(col(textCol)).as("ws"))
+    val kept = filter(col("ws"), (_, i) =>
+      !exists(col("__spans"), sp =>
+        i.cast("long") >= sp.getField("s") &&
+          i.cast("long") < sp.getField("e")))
+    toks.join(spanLists, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__spans").isNull, col("ws")).otherwise(kept).as("__kept"),
+        size(col("ws")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), concat_ws(" ", col("__kept")).as("text"),
+        col("n_tokens"), size(col("__kept")).cast("long").as("kept_tokens"))
   }
 
   /** Maximal cross-doc repeats by adjacent-rank LCP — the classic

@@ -93,6 +93,24 @@ class SuffixArraySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("removeRepeatedSpansExact: the off-grid repeat is excised from " +
+      "every copy, matching is case-folded but surviving text keeps " +
+      "its original case, clean docs pass through verbatim") {
+    val repU = (1 to 12).map(i => s"R$i").mkString(" ") // upper copy
+    val repL = (1 to 12).map(i => s"r$i").mkString(" ") // lower copy
+    val docs = Seq(
+      (1L, s"Alpha beta $repU gamma"),
+      (2L, s"delta $repL epsilon zeta"),
+      (3L, "Untouched words only here")).toDF("doc_id", "text")
+    val got = SuffixArray.removeRepeatedSpansExact(docs, "doc_id", "text",
+        minLen = 12)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("Alpha beta gamma", 15L, 3L)), got(1L).toString)
+    assert(got(2L) == (("delta epsilon zeta", 15L, 3L)), got(2L).toString)
+    assert(got(3L) == (("Untouched words only here", 4L, 4L)))
+  }
+
   test("adjacentLcpRepeats: cross-doc maximal repeat surfaces with the " +
       "exact LCP, interior suffixes are non-maximal, rounds guard " +
       "fires when resolution is short") {

@@ -5574,6 +5574,35 @@ object SparkEntry {
       graft.ops.SuffixArray.removeRepeatedSpansExact(
           planted, "doc_id", "text", minLen = 12)
         .orderBy("doc_id")
+    }),
+
+    // BATCHED residual IVF-PQ (the serving-matrix rule applied to the
+    // PQ tier, completing the r10 stretch ask): three queries probe
+    // their nProbe cells map-side, every (query, cell) pair carries a
+    // flattened per-cell residual LUT (broadcast-tiny), candidates
+    // score via array lookups through per-query bounded heaps — ONE
+    // plan, no driver loop. DuckDB re-derives every residual, every
+    // per-(query, cell) LUT entry, and each query's merged top-10 —
+    // the q152 oracle generalized to a query table.
+    "q346_ivfpq_batch" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val idx = new Similarity.IvfPqResidualIndex(emb, nCells = 16,
+        m = 4, k = 16, maxFitSample = 2000)
+      val queries = emb.filter(col("vec_id").isin(2L, 31L, 77L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      writeAux(idx.coarse.assigned.select("vec_id", "centroid"),
+        dir, "q346_assigned")
+      writeAux(idx.coarse.probeAssign(
+          queries.select(col("query_id").as("vec_id"),
+            col("qv").as("embedding")), nProbe = 4)
+        .select(col("vec_id").as("qid"), col("centroid")),
+        dir, "q346_probes")
+      writeAux(idx.coarse.centroidRows(s), dir, "q346_centroids")
+      writeAux(idx.pq.codebookRows(s), dir, "q346_codebooks")
+      writeAux(idx.pq.encodedRows, dir, "q346_codes")
+      idx.queryBatch(queries, topK = 10, nProbe = 4)
+        .orderBy("query_id", "adc_dist", "vec_id")
     })
   )
 
@@ -12579,6 +12608,38 @@ object SparkEntry {
          |FROM otoks o LEFT JOIN res r USING (doc_id)
          |ORDER BY o.doc_id""".stripMargin
     },
+
+    "q346_ivfpq_batch" ->
+      """WITH a AS (SELECT * FROM '__AUX__/q346_assigned/*.parquet'),
+        |p AS (SELECT * FROM '__AUX__/q346_probes/*.parquet'),
+        |cent AS (SELECT * FROM '__AUX__/q346_centroids/*.parquet'),
+        |cb AS (SELECT * FROM '__AUX__/q346_codebooks/*.parquet'),
+        |codes AS (SELECT * FROM '__AUX__/q346_codes/*.parquet'),
+        |qf AS (SELECT vec_id AS qid, CAST(i - 1 AS INT) AS j,
+        |    embedding[i]::DOUBLE AS qv
+        |  FROM embeddings, UNNEST(range(1, 65)) t(i)
+        |  WHERE vec_id IN (2, 31, 77)),
+        |rq AS (SELECT p.qid, p.centroid AS cell,
+        |    CAST(qf.j // 16 AS INT) AS s, CAST(qf.j % 16 AS INT) AS jj,
+        |    qf.qv - cent.val AS rv
+        |  FROM p JOIN cent ON cent.c = p.centroid
+        |  JOIN qf ON qf.j = cent.j AND qf.qid = p.qid),
+        |lut AS MATERIALIZED (SELECT rq.qid, rq.cell, rq.s, cb.c,
+        |    round(sum((rq.rv - cb.val) * (rq.rv - cb.val)), 6) AS d2
+        |  FROM rq JOIN cb ON cb.s = rq.s AND cb.j = rq.jj
+        |  GROUP BY 1, 2, 3, 4),
+        |cand AS (SELECT p.qid, a.vec_id, a.centroid FROM a
+        |  JOIN p ON p.centroid = a.centroid),
+        |dist AS (SELECT cand.qid, cand.vec_id, cand.centroid,
+        |    round(sum(lut.d2), 6) AS adc_dist
+        |  FROM cand JOIN codes USING (vec_id)
+        |  JOIN lut ON lut.qid = cand.qid AND lut.cell = cand.centroid
+        |    AND lut.s = codes.s AND lut.c = codes.code
+        |  GROUP BY 1, 2, 3)
+        |SELECT qid AS query_id, vec_id, centroid, adc_dist FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY adc_dist, vec_id) AS rn FROM dist)
+        |WHERE rn <= 10 ORDER BY query_id, adc_dist, vec_id""".stripMargin,
 
     "q341_sa_adjacent_lcp" -> {
       val levels = (7 to 0 by -1).map { k =>

@@ -922,6 +922,66 @@ object Similarity {
         .orderBy(col("adc_dist").asc, col(idCol).asc)
         .limit(topK)
     }
+
+    /** BATCHED multi-query residual ADC — [[query]] for a whole query
+      * TABLE in one plan (the serving-matrix rule applied to the PQ
+      * tier, like HnswIndex.searchBatch for the graph tier): probe
+      * cells assign map-side per query ([[IvfIndex.probeAssign]]), each
+      * (query, cell) pair carries its per-cell residual LUT as a
+      * flattened m·k array (|queries|·nProbe rows — broadcast-tiny),
+      * and every candidate scores with two array lookups per subspace
+      * through the bounded-heap per-query top-k. Nothing re-fits, no
+      * driver loop; per-query rows equal [[query]] for the same vector
+      * (SimilaritySpec asserts it). Returns
+      * (queryIdCol, idCol, centroid, adc_dist), ascending per query. */
+    def queryBatch(queries: DataFrame, topK: Int, nProbe: Int = 4,
+        queryIdCol: String = "query_id",
+        queryVecCol: String = "qv"): DataFrame = {
+      require(topK >= 1 && nProbe >= 1, s"bad shape k=$topK nProbe=$nProbe")
+      val centers = coarse.clusterCenters
+      val cbs = pq.codebooks
+      val sd = subDim
+      val mm = m
+      val kk = cbs(0).length
+      val lutUdf = udf((qv: Seq[Float], cell: Int) => {
+        val cc = centers(cell)
+        val rq = Array.tabulate(qv.length)(j => qv(j) - cc(j))
+        val out = new Array[Double](mm * kk)
+        var s = 0
+        while (s < mm) {
+          val cb = cbs(s); var ci = 0
+          while (ci < cb.length) {
+            var d = 0.0; var j = 0
+            while (j < sd) {
+              val t = cb(ci)(j) - rq(s * sd + j); d += t * t; j += 1
+            }
+            out(s * kk + ci) = round6(d)
+            ci += 1
+          }
+          s += 1
+        }
+        out
+      })
+      val luts = coarse.probeAssign(
+          queries.select(col(queryIdCol).as("qid"),
+            col(queryVecCol).as(vecCol)), nProbe)
+        .withColumn("__lut", lutUdf(col(vecCol), col("centroid")))
+        .select("qid", "centroid", "__lut")
+      val scoreUdf = udf((codes: Seq[Int], lut: Seq[Double]) => {
+        var acc = 0.0; var s = 0
+        while (s < mm) { acc += lut(s * kk + codes(s)); s += 1 }
+        round6(acc)
+      })
+      val scored = pq.encoded
+        .join(coarse.assigned.select(col(idCol), col("centroid")), Seq(idCol))
+        .join(broadcast(luts), Seq("centroid"))
+        .select(col("qid"), col(idCol), col("centroid"),
+          scoreUdf(col("codes"), col("__lut")).as("adc_dist"))
+      graft.plans.TopK.perKey(scored, Seq("qid"),
+          Seq(("adc_dist", true), (idCol, true)), topK)
+        .select(col("qid").as(queryIdCol), col(idCol), col("centroid"),
+          col("adc_dist"))
+    }
   }
 
   /** Result of [[compactGenerations]]: parquet part-files before/after

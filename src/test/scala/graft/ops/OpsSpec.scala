@@ -1088,6 +1088,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       case Array(x, y) => x <= y; case _ => true }, "ascending distances")
   }
 
+  test("IvfPqResidualIndex.queryBatch: each batch row equals the " +
+      "single-query residual ADC for the same vector") {
+    val idx = new Similarity.IvfPqResidualIndex(emb, nCells = 8,
+      m = 4, k = 16, maxFitSample = 500)
+    val qids = Seq(3L, 7L, 19L)
+    val queries = emb.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val batch = idx.queryBatch(queries, topK = 5, nProbe = 2)
+      .as[(Long, Long, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (r._4, r._2))
+        .map(r => (r._2, r._3, r._4)).toSeq).toMap
+    for (q <- qids) {
+      val qv = emb.filter($"vec_id" === q).select("embedding")
+        .as[Seq[Float]].head().toArray
+      val single = idx.query(qv, topK = 5, nProbe = 2)
+        .as[(Long, Int, Double)].collect().toSeq
+      assert(batch(q) == single, s"query $q: ${batch(q)} != $single")
+    }
+    intercept[IllegalArgumentException](idx.queryBatch(queries, 0))
+  }
+
   test("bruteForceTopK: self is rank 1 with cos 1.0; scores non-increasing") {
     val q = emb.filter($"vec_id" === 7).select("embedding").as[Seq[Float]].head().toArray
     val top = Similarity.bruteForceTopK(emb, q, 5).select("vec_id", "cos")

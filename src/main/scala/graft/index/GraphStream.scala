@@ -68,6 +68,37 @@ object GraphStream {
     Snapshots.replaceVersioned(spark, encodeEdges(idx.graph), edgesPath)
   }
 
+  /** Versioned DELETE for the streaming graph — the takedown story
+    * ([[Snapshots.deleteIdsVersioned]], q194) applied to the graph
+    * tier, completing the tombstone lifecycle around
+    * [[graft.ops.Similarity.repairHnswGraph]]: commit the REPAIRED
+    * edge table (survivor edges kept, bereaved survivors re-linked
+    * through the deleted hubs' neighbors) and the points table minus
+    * `ids`, both as NEW versions via REPLACE commits — dangling
+    * residue must not merge back in. Prior versions stay
+    * pinned-readable: the takedown-latency window serves with
+    * [[graft.ops.Similarity.HnswIndex.searchTombstoned]] over the old
+    * graph plus the delete list, and after this commit a plain walk
+    * over the latest pair pays no per-query tombstone cost. Edges
+    * commit before points (the admission ordering: a crash between the
+    * two leaves a repaired graph whose extra missing-points rows are
+    * unreachable, and the rerun converges). Returns
+    * (pointsVersion, edgesVersion). */
+  def deleteIds(spark: SparkSession, ids: DataFrame,
+      pointsPath: String, edgesPath: String): (Long, Long) = {
+    val points = Snapshots.readVersion(spark, pointsPath)
+    val edges = decodeEdges(Snapshots.readVersion(spark, edgesPath))
+    val t = ids.select(col("id").cast("long").as("id")).distinct()
+      .localCheckpoint()
+    val repaired = graft.ops.Similarity.repairHnswGraph(
+      edges, t, points, idCol = "id", vecCol = "vec")
+    val ev = Snapshots.replaceVersioned(spark, encodeEdges(repaired),
+      edgesPath)
+    val pv = Snapshots.replaceVersioned(spark,
+      points.join(t, Seq("id"), "left_anti"), pointsPath)
+    (pv, ev)
+  }
+
   /** Start the admission stream: `source` rows carry (idCol, vecCol).
     * Checkpointed `AvailableNow` trigger, one snapshot version pair per
     * non-empty micro-batch with genuinely new ids. */

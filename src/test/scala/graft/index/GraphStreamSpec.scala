@@ -109,5 +109,32 @@ class GraphStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(Snapshots.readVersion(spark, edg, 2).select("id")
       .as[String].collect().toSet == edgeKeysBefore,
       "prior edge version untouched by compaction")
+
+    // VERSIONED DELETE: tombstone 20% of ids — the latest pair holds
+    // the repaired graph (no deleted endpoint anywhere) and the
+    // shrunken point set; prior versions still pin the full state
+    val tomb = (0 until 50).map(_.toLong).filter(_ % 5 == 0) ++
+      (100 until 130).map(_.toLong).filter(_ % 5 == 0)
+    val (pv, ev) = GraphStream.deleteIds(spark,
+      tomb.toDF("id"), pts, edg)
+    assert(pv == 3L && ev == 4L, s"new versions committed: $pv/$ev")
+    val pAfter = Snapshots.readVersion(spark, pts).select("id")
+      .as[Long].collect().toSet
+    assert(pAfter == p2 -- tomb, "latest points exclude the deletes")
+    val eAfter = GraphStream.decodeEdges(Snapshots.readVersion(spark, edg))
+      .select("id", "nbr").as[(Long, Long)].collect()
+    assert(eAfter.nonEmpty && eAfter.forall { case (a, b) =>
+      !tomb.contains(a) && !tomb.contains(b) },
+      "repaired edges carry no deleted endpoint")
+    // the repaired pair serves a plain walk with no tombstone filter
+    val (p3, e3) = GraphStream.readVersioned(spark, pts, edg)
+    val idx3 = new graft.ops.Similarity.HnswIndex(p3, m = 4,
+      maxLevel = 3, vecCol = "vec", idCol = "id",
+      prebuiltGraph = Some(e3))
+    val served = idx3.search(vecOf(7).toArray, k = 5, ef = 16, hops = 3)
+      .select("id").as[Long].collect()
+    assert(served.length == 5 && served.forall(!tomb.contains(_)))
+    // history intact: version 2 still holds the pre-delete points
+    assert(Snapshots.readVersion(spark, pts, 2).count() == 80L)
   }
 }

@@ -5603,6 +5603,65 @@ object SparkEntry {
       writeAux(idx.pq.encodedRows, dir, "q346_codes")
       idx.queryBatch(queries, topK = 10, nProbe = 4)
         .orderBy("query_id", "adc_dist", "vec_id")
+    }),
+
+    // Incremental IVF-PQ maintenance (the q153 generations discipline
+    // extended through the PQ stage): coarse centroids AND residual
+    // codebooks fit on the first half, then FREEZE; the second half
+    // admits via one pointwise encode pass into generation 1. Output =
+    // the merged on-disk generations; oracle = a one-pass re-encode of
+    // everything under the same frozen quantizers (aux). Equality
+    // proves the whole encode path — assignment, residual, code
+    // argmin — commutes with batching, the property that lets a
+    // 100 TB code table grow without ever being re-read.
+    "q347_ivfpq_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 2 === 0)
+      val batch = emb.filter(col("vec_id") % 2 === 1)
+      val idx = new Similarity.IvfPqResidualIndex(base, nCells = 16,
+        m = 4, k = 16, maxFitSample = 2000)
+      val path = auxPath(dir) + "/q347_index"
+      graft.ops.Joins.deleteRecursively(new java.io.File(path))
+      idx.appendGeneration(path, base, gen = 0)
+      idx.appendGeneration(path, batch, gen = 1)
+      writeAux(idx.encodeAssign(emb)
+        .select(col("vec_id"), col("centroid"),
+          posexplode(col("codes")).as(Seq("s", "code"))),
+        dir, "q347_rebuild")
+      s.read.parquet(path)
+        .select(col("vec_id"),
+          col("generation").cast("int").as("generation"),
+          col("centroid").cast("int").as("centroid"),
+          posexplode(col("codes")).as(Seq("s", "code")))
+        .select(col("vec_id"), col("generation"), col("centroid"),
+          col("s").cast("int").as("s"), col("code").cast("int").as("code"))
+        .orderBy("vec_id", "s")
+    }),
+
+    // Exact-substring eval contamination via the suffix array — the
+    // fourth decontamination member (exact 5-gram q60, MinHash q178,
+    // embedding q207/q339): eval docs (≡ 0 mod 50) and train docs
+    // ≡ 3 mod 7 share a planted 12-token answer span (off the
+    // {8,16} k-grid); train docs ≡ 5 mod 13 share a DIFFERENT
+    // 12-token train-only boilerplate that must NOT flag — a rank-pair
+    // group contaminates only when it holds BOTH sides. DuckDB replays
+    // the doubling rounds, the eval-marked grouping, and the span
+    // merge per train doc.
+    "q348_exactsubstr_contam" -> ((s, dir) => {
+      val secret = " benchmark answer span leaks verbatim into web" +
+        " crawl training corpora every day"
+      val boiler = " shared internal navigation chrome repeats across" +
+        " many training documents without leaking ever"
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 50 === 0 || col("doc_id") % 7 === 3,
+            lit(secret)).otherwise(lit("")),
+          when(col("doc_id") % 13 === 5 && col("doc_id") % 50 =!= 0,
+            lit(boiler)).otherwise(lit(""))).as("text"))
+      graft.ops.SuffixArray.exactSubstrContamination(planted,
+          "doc_id", "text", isEval = col("doc_id") % 50 === 0,
+          minLen = 12)
+        .orderBy("doc_id")
     })
   )
 
@@ -12640,6 +12699,60 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY qid
         |    ORDER BY adc_dist, vec_id) AS rn FROM dist)
         |WHERE rn <= 10 ORDER BY query_id, adc_dist, vec_id""".stripMargin,
+
+    "q347_ivfpq_append" ->
+      """SELECT vec_id,
+        |  CAST(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END AS INTEGER)
+        |    AS generation,
+        |  CAST(centroid AS INTEGER) AS centroid,
+        |  CAST(s AS INTEGER) AS s, CAST(code AS INTEGER) AS code
+        |FROM '__AUX__/q347_rebuild/*.parquet'
+        |ORDER BY vec_id, s""".stripMargin,
+
+    "q348_exactsubstr_contam" -> {
+      s"""WITH planted AS (SELECT doc_id, text
+         |    || CASE WHEN doc_id % 50 = 0 OR doc_id % 7 = 3
+         |      THEN ' benchmark answer span leaks verbatim into web crawl training corpora every day'
+         |      ELSE '' END
+         |    || CASE WHEN doc_id % 13 = 5 AND doc_id % 50 <> 0
+         |      THEN ' shared internal navigation chrome repeats across many training documents without leaking ever'
+         |      ELSE '' END AS text
+         |  FROM documents),
+         |${saRankCtes(3, "SELECT doc_id, text FROM planted")},
+         |lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len FROM toks),
+         |keyed AS MATERIALIZED (SELECT a.doc_id, a.pos, a.rank AS ra,
+         |    b.rank AS rb,
+         |    CASE WHEN a.doc_id % 50 = 0 THEN 1 ELSE 0 END AS ev
+         |  FROM r3 a JOIN r3 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 4
+         |  JOIN lens l ON l.doc_id = a.doc_id
+         |  WHERE a.pos + 12 <= l.len),
+         |grp AS (SELECT ra, rb FROM keyed GROUP BY ra, rb
+         |  HAVING max(ev) = 1 AND min(ev) = 0),
+         |hits AS (SELECT k.doc_id, k.pos AS s, k.pos + 12 AS e
+         |  FROM keyed k JOIN grp USING (ra, rb) WHERE k.ev = 0),
+         |flagged AS (SELECT doc_id, s, e,
+         |    CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+         |      THEN 1 ELSE 0 END AS new_island
+         |  FROM hits
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY s, e
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |isl AS (SELECT doc_id, s, e,
+         |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM flagged),
+         |sp AS (SELECT doc_id, island, min(s) AS s, max(e) AS e
+         |  FROM isl GROUP BY 1, 2),
+         |agg AS (SELECT doc_id,
+         |    CAST(sum(e - s) AS BIGINT) AS contaminated_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_spans FROM sp GROUP BY 1)
+         |SELECT l.doc_id, l.len AS n_tokens,
+         |  CAST(COALESCE(a.contaminated_tokens, 0) AS BIGINT)
+         |    AS contaminated_tokens,
+         |  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans
+         |FROM lens l LEFT JOIN agg a USING (doc_id)
+         |WHERE l.doc_id % 50 <> 0
+         |ORDER BY l.doc_id""".stripMargin
+    },
 
     "q341_sa_adjacent_lcp" -> {
       val levels = (7 to 0 by -1).map { k =>

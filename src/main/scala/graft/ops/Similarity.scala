@@ -774,7 +774,7 @@ object Similarity {
 
     private val subDim = codebooks(0)(0).length
 
-    private val encodeUdf = {
+    private[ops] val encodeVecUdf = {
       val cbs = codebooks
       val sd = subDim
       udf((vec: Seq[Float]) => {
@@ -800,7 +800,7 @@ object Similarity {
 
     /** (id, codes) — the compressed corpus, one distributed pass. */
     lazy val encoded: DataFrame =
-      df.select(col(idCol), encodeUdf(col(vecCol)).as("codes"))
+      df.select(col(idCol), encodeVecUdf(col(vecCol)).as("codes"))
 
     /** Row form of [[encoded]] — (id, s, code) — the aux/oracle view. */
     lazy val encodedRows: DataFrame =
@@ -982,6 +982,35 @@ object Similarity {
         .select(col("qid").as(queryIdCol), col(idCol), col("centroid"),
           col("adc_dist"))
     }
+
+    /** Pointwise admission of a new batch under the FROZEN quantizers —
+      * the q153 incremental-IVF discipline extended to the PQ stage:
+      * coarse assignment, residual, and code selection are all
+      * per-row functions of (vector, frozen centroids, frozen
+      * codebooks), so append-then-merge equals a full re-encode
+      * bit-for-bit (q347 proves it against a one-pass rebuild), and a
+      * 100 TB corpus admits batches without ever re-reading stored
+      * codes. Returns (idCol, centroid, codes) — one map-side pass. */
+    def encodeAssign(batch: DataFrame): DataFrame = {
+      val assigned = coarse.appendAssign(batch)
+      val centers = coarse.clusterCenters
+      val resUdf = udf((v: Seq[Float], c: Int) => {
+        val cc = centers(c)
+        Array.tabulate(v.length)(j => (v(j) - cc(j)).toFloat)
+      })
+      assigned
+        .withColumn("__residual", resUdf(col(vecCol), col("centroid")))
+        .select(col(idCol), col("centroid"),
+          pq.encodeVecUdf(col("__residual")).as("codes"))
+    }
+
+    /** [[encodeAssign]] + Append-mode write as generation `gen`,
+      * partitioned by `centroid` like [[IvfIndex.writeGeneration]] —
+      * probed-cell pruning is untouched by how many batches arrived. */
+    def appendGeneration(path: String, batch: DataFrame, gen: Int): Unit =
+      encodeAssign(batch).withColumn("generation", lit(gen))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("centroid").parquet(path)
   }
 
   /** Result of [[compactGenerations]]: parquet part-files before/after

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -158,14 +158,15 @@ object SuffixArray {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"))
   }
 
-  /** Shared core of the stats and removal forms: per-doc token counts
-    * (`(doc_id, __len)`) and the MERGED [s, e) spans covered by some
-    * length-≥-minLen substring repeating across ≥ minDocs docs. */
-  private def exactHitSpans(docs: DataFrame, idCol: String,
-      textCol: String, minLen: Int, minDocs: Int)
-      : (DataFrame, DataFrame) = {
-    require(minLen >= 1 && minDocs >= 2,
-      s"need minLen >= 1 and minDocs >= 2, got $minLen/$minDocs")
+  /** The two-window rank-pair key table: per-doc token counts
+    * (`(doc_id, __len)`) and one (doc_id, pos, __ra, __rb) row per
+    * viable length-minLen start — two positions share (__ra, __rb) ⟺
+    * their L-token substrings are equal (the sparse-table test over
+    * ⌊log2 L⌋ doubling rounds). The shared core of the stats, removal,
+    * and contamination forms. */
+  private def rankPairKeys(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int): (DataFrame, DataFrame) = {
+    require(minLen >= 1, s"need minLen >= 1, got $minLen")
     val k = floorLog2(minLen)
     val h = 1L << k
     val sr = suffixRanks(docs, idCol, textCol, k)
@@ -179,6 +180,17 @@ object SuffixArray {
       .filter(col("pos") + minLen <= col("__len"))
       .select(col("doc_id"), col("pos"), col("rank").as("__ra"), col("__rb"))
       .localCheckpoint()
+    (lens, keyed)
+  }
+
+  /** Shared core of the stats and removal forms: per-doc token counts
+    * (`(doc_id, __len)`) and the MERGED [s, e) spans covered by some
+    * length-≥-minLen substring repeating across ≥ minDocs docs. */
+  private def exactHitSpans(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int, minDocs: Int)
+      : (DataFrame, DataFrame) = {
+    require(minDocs >= 2, s"need minDocs >= 2, got $minDocs")
+    val (lens, keyed) = rankPairKeys(docs, idCol, textCol, minLen)
     val rep = keyed.groupBy("__ra", "__rb")
       .agg(countDistinct("doc_id").as("__nd"))
       .filter(col("__nd") >= minDocs)
@@ -187,6 +199,48 @@ object SuffixArray {
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + minLen).as("e"))
     (lens, Cleaning.mergeIntervals(hits, "doc_id", "s", "e"))
+  }
+
+  /** Exact-substring eval-set contamination — the fourth member of the
+    * decontamination family (exact 5-gram [[Curation.contamination]],
+    * MinHash [[Curation.fuzzyContamination]], embedding
+    * [[Curation.semanticContamination]]): flag every TRAIN token span
+    * whose length-≥-minLen substring also appears verbatim in an EVAL
+    * doc — arbitrary lengths, no k-grid, the Lee-et-al. guarantee
+    * applied to benchmark decontamination. A rank-pair group
+    * contaminates iff it holds BOTH sides; train-only repeats
+    * (boilerplate) and eval-only repeats never flag. Returns one row
+    * per NON-eval doc: (doc_id, n_tokens, contaminated_tokens,
+    * n_spans). Scale shape identical to [[repeatedSpanStatsExact]] —
+    * the eval marker rides the same (__ra, __rb)-keyed aggregate. */
+  def exactSubstrContamination(docs: DataFrame, idCol: String,
+      textCol: String, isEval: Column, minLen: Int): DataFrame = {
+    val (lens, keyed) = rankPairKeys(docs, idCol, textCol, minLen)
+    val evalIds = docs.select(col(idCol).cast("long").as("doc_id"),
+        isEval.as("__pred"))
+      .filter(col("__pred")).select("doc_id").distinct()
+      .withColumn("__ev", lit(1L))
+      .localCheckpoint()
+    val keyedE = keyed.join(evalIds, Seq("doc_id"), "left")
+    val groups = keyedE.groupBy("__ra", "__rb")
+      .agg(max(when(col("__ev").isNotNull, 1L).otherwise(0L)).as("__he"),
+        max(when(col("__ev").isNull, 1L).otherwise(0L)).as("__ht"))
+      .filter(col("__he") === 1 && col("__ht") === 1)
+      .select("__ra", "__rb")
+    val hits = keyedE.filter(col("__ev").isNull)
+      .join(groups, Seq("__ra", "__rb"), "left_semi")
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + minLen).as("e"))
+    val spans = Cleaning.mergeIntervals(hits, "doc_id", "s", "e")
+      .groupBy("doc_id")
+      .agg(sum(col("e") - col("s")).as("contaminated_tokens"),
+        count(lit(1)).as("n_spans"))
+    lens.join(evalIds, Seq("doc_id"), "left_anti")
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__len").cast("long").as("n_tokens"),
+        coalesce(col("contaminated_tokens"), lit(0L))
+          .as("contaminated_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
   }
 
   /** Materialized REMOVAL form of [[repeatedSpanStatsExact]] — the

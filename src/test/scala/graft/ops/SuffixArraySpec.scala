@@ -111,6 +111,35 @@ class SuffixArraySpec extends AnyFunSuite with SparkTestBase {
     assert(got(3L) == (("Untouched words only here", 4L, 4L)))
   }
 
+  test("exactSubstrContamination: a train doc sharing an off-grid run " +
+      "with an eval doc flags; train-only and eval-only repeats never " +
+      "flag; eval docs are excluded from the output") {
+    val secret = (1 to 12).map(i => s"ev$i").mkString(" ")
+    val boiler = (1 to 12).map(i => s"tr$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $secret gamma"),       // train, contaminated
+      (2L, s"delta $boiler epsilon"),           // train-only repeat
+      (3L, s"zeta $boiler eta theta"),          // train-only repeat
+      (4L, "clean words with no overlap"),      // clean train
+      (100L, s"intro $secret outro"),           // eval (plants the run)
+      (101L, s"other $secret closing"))         // second eval copy
+      .toDF("doc_id", "text")
+    val got = SuffixArray.exactSubstrContamination(docs, "doc_id", "text",
+        isEval = col("doc_id") >= 100, minLen = 12)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), "eval docs excluded")
+    assert(got(1L) == ((15L, 12L, 1L)), s"contaminated: ${got(1L)}")
+    assert(got(2L) == ((14L, 0L, 0L)), "train-only repeat never flags")
+    assert(got(3L) == ((15L, 0L, 0L)))
+    assert(got(4L) == ((5L, 0L, 0L)))
+    // a 13-token certificate does not exist
+    val none = SuffixArray.exactSubstrContamination(docs, "doc_id", "text",
+        isEval = col("doc_id") >= 100, minLen = 13)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(none.values.forall(_ == 0L), none.toString)
+  }
+
   test("adjacentLcpRepeats: cross-doc maximal repeat surfaces with the " +
       "exact LCP, interior suffixes are non-maximal, rounds guard " +
       "fires when resolution is short") {

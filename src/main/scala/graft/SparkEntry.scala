@@ -5662,6 +5662,26 @@ object SparkEntry {
           "doc_id", "text", isEval = col("doc_id") % 50 === 0,
           minLen = 12)
         .orderBy("doc_id")
+    }),
+
+    // DSIR importance selection (Xie et al. 2023): raw docs ≡ 3 mod 7
+    // arrive vowel-mangled (off the target distribution), the target
+    // exemplars are the clean ≡ 0 mod 10 slice, and the budget keeps
+    // the 200 raw docs whose hashed-bigram likelihood ratio
+    // log p̂_target − log p̂_raw ranks highest. DuckDB retrains BOTH
+    // hashed profiles, recomputes every doc's exact micro-log weight,
+    // and replays the rank cut.
+    "q349_dsir_select" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val raw = base.select(col("doc_id"),
+        when(col("doc_id") % 7 === 3,
+          translate(col("text"), "aeiou", "zzzzz"))
+          .otherwise(col("text")).as("text"))
+      val target = base.filter(col("doc_id") % 10 === 0)
+        .select("doc_id", "text")
+      graft.ops.Curation.dsirSelect(raw, target, "doc_id", "text",
+          budgetDocs = 200)
+        .orderBy("doc_id")
     })
   )
 
@@ -12753,6 +12773,58 @@ object SparkEntry {
          |WHERE l.doc_id % 50 <> 0
          |ORDER BY l.doc_id""".stripMargin
     },
+
+    "q349_dsir_select" ->
+      """WITH rawd AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 3
+        |      THEN translate(text, 'aeiou', 'zzzzz') ELSE text END AS text
+        |  FROM documents),
+        |lv AS (SELECT 'raw' AS lang, text FROM rawd
+        |  UNION ALL
+        |  SELECT 'target', text FROM documents WHERE doc_id % 10 = 0),
+        |tb AS (SELECT lang,
+        |    CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 1024 AS bucket
+        |  FROM (SELECT lang, unnest(flatten(list_transform(
+        |      list_filter(string_split(lower(trim(text)), ' '),
+        |        w -> w <> ''),
+        |      w -> list_transform(range(1, length(w) + 2),
+        |        i -> substr('_' || w || '_', CAST(i AS INT), 2))))) AS g
+        |    FROM lv)),
+        |cnt AS (SELECT lang, bucket, count(*) AS c FROM tb GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(c) AS total FROM cnt GROUP BY 1),
+        |wts AS (SELECT cnt.lang, bucket,
+        |    CAST(round(log10((c + 1) / (total + 1024)) * 1000000, 0)
+        |      AS BIGINT) AS w6
+        |  FROM cnt JOIN tot USING (lang)),
+        |flo AS (SELECT lang,
+        |    CAST(round(log10(1 / (total + 1024)) * 1000000, 0) AS BIGINT)
+        |      AS def6
+        |  FROM tot),
+        |gb AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 1024 AS bucket
+        |  FROM (SELECT doc_id, unnest(flatten(list_transform(
+        |      list_filter(string_split(lower(trim(text)), ' '),
+        |        w -> w <> ''),
+        |      w -> list_transform(range(1, length(w) + 2),
+        |        i -> substr('_' || w || '_', CAST(i AS INT), 2))))) AS g
+        |    FROM rawd)),
+        |sc AS (SELECT g.doc_id, l.lang,
+        |    CAST(SUM(COALESCE(w.w6, f.def6)) AS BIGINT) AS score6,
+        |    CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM gb g CROSS JOIN (SELECT DISTINCT lang FROM tot) l
+        |  LEFT JOIN wts w ON w.lang = l.lang AND w.bucket = g.bucket
+        |  JOIN flo f ON f.lang = l.lang
+        |  GROUP BY 1, 2),
+        |wt AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN lang = 'target' THEN score6
+        |      ELSE -score6 END) AS BIGINT) AS w6,
+        |    CAST(max(n_grams) AS BIGINT) AS n_grams
+        |  FROM sc GROUP BY 1),
+        |rk AS (SELECT doc_id, w6, n_grams,
+        |    row_number() OVER (ORDER BY w6 DESC, doc_id) AS rn FROM wt)
+        |SELECT doc_id, w6, n_grams,
+        |  CAST(CASE WHEN rn <= 200 THEN 1 ELSE 0 END AS BIGINT) AS selected
+        |FROM rk ORDER BY doc_id""".stripMargin,
 
     "q341_sa_adjacent_lcp" -> {
       val levels = (7 to 0 by -1).map { k =>

@@ -578,6 +578,51 @@ object Curation {
       .select("doc_id", "eval_id", "cos")
   }
 
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") — pick the raw
+    * documents whose hashed-n-gram distribution looks most like a
+    * TARGET corpus. The published method fits hashed n-gram bag models
+    * p̂_target and p̂_raw and resamples ∝ the importance weight
+    * log p̂_target(doc) − log p̂_raw(doc); this is the deterministic
+    * top-budget variant (the house derandomization — Gumbel noise adds
+    * nothing an oracle can replay): both profiles are
+    * [[TextAnalysis.langIdTrain]] models over the SAME hashed
+    * char-bigram buckets (additive counts — profiles maintain
+    * incrementally), each raw doc's weight is the exact micro-log
+    * integer score difference from [[TextAnalysis.langIdScores]], and
+    * the budget keeps the top docs by (w6 desc, id).
+    *
+    * Scale shape: profiles broadcast (buckets·2 rows); scoring is one
+    * gram-keyed pass with map-side-combinable sums; the selection is a
+    * TakeOrderedAndProject over (w6, id) — per-partition heaps, never
+    * a global sort. Docs with no grams are absent (they cannot be
+    * scored — the langIdClassify boundary).
+    *
+    * @return one row per scorable raw doc:
+    *         (doc_id, w6, n_grams, selected 0/1) */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, budgetDocs: Int, buckets: Int = 1024): DataFrame = {
+    require(budgetDocs >= 1 && buckets >= 2,
+      s"need budgetDocs >= 1, buckets >= 2, got $budgetDocs/$buckets")
+    val labeled = raw.select(lit("raw").as("lang"), col(textCol).as("text"))
+      .unionByName(
+        target.select(lit("target").as("lang"), col(textCol).as("text")))
+    val profile = TextAnalysis.langIdTrain(labeled, buckets = buckets)
+    val sc = TextAnalysis.langIdScores(
+      raw.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      profile, buckets = buckets)
+    val w = sc.groupBy("id").agg(
+        (sum(when(col("lang") === "target", col("score6"))
+          .otherwise(-col("score6")))).as("w6"),
+        max("n_grams").as("n_grams"))
+      .select(col("id").as("doc_id"), col("w6"), col("n_grams"))
+    val picked = w.orderBy(desc("w6"), col("doc_id")).limit(budgetDocs)
+      .select(col("doc_id")).withColumn("__sel", lit(1L))
+    w.join(picked, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w6"), col("n_grams"),
+        coalesce(col("__sel"), lit(0L)).as("selected"))
+  }
+
   /** Deterministic T5-style span corruption — denoising-pretraining
     * example construction with NO RNG (the house derandomization:
     * masking decisions come from `md5(doc_id || '_' || span_idx)`, the

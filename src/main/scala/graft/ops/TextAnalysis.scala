@@ -148,20 +148,7 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text",
       buckets: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = docs.select(col(idCol).as("id"),
-      langGramBuckets(col(textCol), buckets).as("bucket"))
-    val langs = profile.select("lang").distinct()
-    val defaults = profile.filter(col("bucket") === -1L)
-      .select(col("lang"), col("w6").as("def6"))
-    val scored = grams
-      .crossJoin(broadcast(langs))
-      .join(broadcast(profile.filter(col("bucket") =!= -1L)),
-        Seq("lang", "bucket"), "left")
-      .join(broadcast(defaults), "lang")
-      .select(col("id"), col("lang"),
-        coalesce(col("w6"), col("def6")).as("w6"))
-      .groupBy("id", "lang")
-      .agg(sum("w6").as("score6"), count(lit(1)).as("n_grams"))
+    val scored = langIdScores(docs, profile, idCol, textCol, buckets)
     val w = Window.partitionBy("id").orderBy(desc("score6"), asc("lang"))
     scored.withColumn("rn", row_number().over(w))
       .withColumn("next6", lead("score6", 1).over(w))
@@ -170,6 +157,32 @@ object TextAnalysis {
         col("score6"),
         (col("score6") - coalesce(col("next6"), col("score6"))).as("margin6"),
         col("n_grams"))
+  }
+
+  /** The per-(doc, language) additive micro-log scores behind
+    * [[langIdClassify]] — (id, lang, score6, n_grams), one row per
+    * (doc with ≥ 1 gram) × language. Exposed because the two-profile
+    * LIKELIHOOD-RATIO uses ([[Curation.dsirSelect]]'s importance
+    * weight) need the raw scores, not the argmax. Same scale shape:
+    * broadcast profile, gram-keyed left join, map-side-combinable
+    * (doc, lang) sum. */
+  def langIdScores(docs: DataFrame, profile: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 256): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+      langGramBuckets(col(textCol), buckets).as("bucket"))
+    val langs = profile.select("lang").distinct()
+    val defaults = profile.filter(col("bucket") === -1L)
+      .select(col("lang"), col("w6").as("def6"))
+    grams
+      .crossJoin(broadcast(langs))
+      .join(broadcast(profile.filter(col("bucket") =!= -1L)),
+        Seq("lang", "bucket"), "left")
+      .join(broadcast(defaults), "lang")
+      .select(col("id"), col("lang"),
+        coalesce(col("w6"), col("def6")).as("w6"))
+      .groupBy("id", "lang")
+      .agg(sum("w6").as("score6"), count(lit(1)).as("n_grams"))
   }
 
   // --- Multi-term scan (Aho–Corasick) ---------------------------------

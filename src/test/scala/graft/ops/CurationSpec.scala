@@ -688,6 +688,32 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       s"corpus x corpus must not plan a cartesian:\n$phys")
   }
 
+  test("dsirSelect: raw docs resembling the target corpus win the " +
+      "budget, off-distribution docs score lower and miss it; exactly " +
+      "budget docs select; guards") {
+    def clean(i: Int) = (0 until 30)
+      .map(j => s"word${('a' + (i + j) % 13).toChar}ing").mkString(" ")
+    val raw = ((1 to 10).map(i => (i.toLong, clean(i))) ++
+      (11 to 15).map(i =>
+        (i.toLong, clean(i).replaceAll("[aeiou]", "z"))))
+      .toDF("doc_id", "text")
+    val target = (101 to 103).map(i => (i.toLong, clean(i + 7)))
+      .toDF("doc_id", "text")
+    val got = Curation.dsirSelect(raw, target, "doc_id", "text",
+        budgetDocs = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == 15 && got.count(_._4 == 1L) == 10)
+    val sel = got.filter(_._4 == 1L).map(_._1).toSet
+    assert(sel == (1L to 10L).toSet,
+      s"clean docs must out-rank the mangled: $sel")
+    // every selected weight >= every unselected weight (rank cut)
+    val minSel = got.filter(_._4 == 1L).map(_._2).min
+    assert(got.filter(_._4 == 0L).forall(_._2 <= minSel))
+    intercept[IllegalArgumentException] {
+      Curation.dsirSelect(raw, target, "doc_id", "text", 0)
+    }
+  }
+
   test("spanCorrupt: sentinels number left-to-right, target carries the " +
       "masked tokens, unmasked text survives in order, deterministic") {
     val df = Seq((1L, (0 until 12).map(i => s"t$i").mkString(" ")),

@@ -5682,6 +5682,26 @@ object SparkEntry {
       graft.ops.Curation.dsirSelect(raw, target, "doc_id", "text",
           budgetDocs = 200)
         .orderBy("doc_id")
+    }),
+
+    // Batched + tombstoned HNSW serving — the last cell of the
+    // delete × batching matrix: three queries walk the pre-delete
+    // graph in one plan, deleted nodes (≡ 0 mod 5) stay walkable as
+    // routes but are filtered from every query's top-k (the
+    // takedown-latency window before a repair sweep lands). DuckDB
+    // replays all three walks through the qid-keyed CTEs and applies
+    // the same final anti-filter.
+    "q350_hnsw_batch_tombstoned" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val idx = new Similarity.HnswIndex(emb, m = 8, maxLevel = 3)
+      val tomb = emb.filter(col("vec_id") % 5 === 0).select("vec_id")
+      val queries = emb.filter(col("vec_id").isin(1L, 26L, 52L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      writeAux(idx.levels, dir, "q350_levels")
+      writeAux(idx.graph.select("layer", "id", "nbr"), dir, "q350_graph")
+      idx.searchBatch(queries, k = 10, tombstones = Some(tomb))
+        .orderBy(col("query_id"), desc("cos"), col("vec_id"))
     })
   )
 
@@ -12825,6 +12845,22 @@ object SparkEntry {
         |SELECT doc_id, w6, n_grams,
         |  CAST(CASE WHEN rn <= 200 THEN 1 ELSE 0 END AS BIGINT) AS selected
         |FROM rk ORDER BY doc_id""".stripMargin,
+
+    "q350_hnsw_batch_tombstoned" -> {
+      s"""WITH ${hnswBatchWalkCtes("q350",
+        s"""pp AS (SELECT q.vec_id AS qid, e.vec_id AS id,
+           |    unnest(e.embedding)::DOUBLE AS x, unnest(q.embedding)::DOUBLE AS y
+           |  FROM embeddings e,
+           |       (SELECT vec_id, embedding FROM embeddings
+           |        WHERE vec_id IN (1, 26, 52)) q)""".stripMargin)}
+         |SELECT qid AS query_id, id AS vec_id, cos FROM (
+         |  SELECT qid, id, cos, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, id) AS rn
+         |  FROM (SELECT DISTINCT qid, id, cos FROM v3)
+         |  WHERE id % 5 <> 0)
+         |WHERE rn <= 10
+         |ORDER BY query_id, cos DESC, vec_id""".stripMargin
+    },
 
     "q341_sa_adjacent_lcp" -> {
       val levels = (7 to 0 by -1).map { k =>

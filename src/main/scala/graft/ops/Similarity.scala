@@ -1832,7 +1832,8 @@ object Similarity {
     def searchBatch(queries: DataFrame, k: Int, ef: Int = 16,
         hops: Int = 3, hopsPerLayer: Int = 2,
         queryIdCol: String = "query_id",
-        queryVecCol: String = "qv"): DataFrame = {
+        queryVecCol: String = "qv",
+        tombstones: Option[DataFrame] = None): DataFrame = {
       require(k >= 1 && ef >= 1 && hops >= 1 && hopsPerLayer >= 1,
         s"bad search shape k=$k ef=$ef hops=$hops hopsPerLayer=$hopsPerLayer")
       val g = cachedGraph
@@ -1866,8 +1867,16 @@ object Similarity {
         frontier = graft.plans.TopK.perKey(pool, Seq("qid"),
           Seq(("cos", false), ("id", true)), ef)
       }
-      val visited = pools.reduce(_ unionByName _)
+      val visited0 = pools.reduce(_ unionByName _)
         .groupBy("qid", "id").agg(max("cos").as("cos"))
+      // tombstoned batch serving: deletes stay WALKABLE (the frontier
+      // above never filtered — severing them cuts the routes through
+      // them) and only the returned top-k excludes them — the
+      // [[searchTombstoned]] semantics applied per query
+      val visited = tombstones.fold(visited0) { t =>
+        visited0.join(t.select(col(idCol).cast("long").as("id"))
+          .distinct(), Seq("id"), "left_anti")
+      }
       graft.plans.TopK.perKey(visited, Seq("qid"),
           Seq(("cos", false), ("id", true)), k)
         .select(col("qid").as(queryIdCol), col("id").as(idCol), col("cos"))

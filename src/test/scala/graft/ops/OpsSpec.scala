@@ -1465,6 +1465,14 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       s"tombstoned ids must never surface: ${ts.toSeq}")
     assert(ts.count(bruteSurv).toDouble / 10 >= 0.8,
       s"tombstoned-walk recall too low: ${ts.toSeq}")
+    // the batched walk with the same tombstones returns the same rows
+    val batchTs = idx.searchBatch(
+        Seq((7L, vecOf(7).toSeq)).toDF("query_id", "qv")
+          .select($"query_id", $"qv".cast("array<float>").as("qv")),
+        k = 10, ef = 32, hops = 4, tombstones = Some(tomb))
+      .select("vec_id").as[Long].collect()
+    assert(batchTs.toSeq == ts.toSeq,
+      s"batch+tombstones must equal searchTombstoned: ${batchTs.toSeq}")
 
     // repair: no tombstoned endpoint survives, symmetry holds, no
     // node's per-layer out-degree exceeds its pre-delete degree

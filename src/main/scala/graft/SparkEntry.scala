@@ -5702,6 +5702,34 @@ object SparkEntry {
       writeAux(idx.graph.select("layer", "id", "nbr"), dir, "q350_graph")
       idx.searchBatch(queries, k = 10, tombstones = Some(tomb))
         .orderBy(col("query_id"), desc("cos"), col("vec_id"))
+    }),
+
+    // TPC-H Q17 shape — the correlated scalar-aggregate predicate
+    // (revenue lost to small-quantity orders): rows qualify when their
+    // quantity undercuts 20% of their OWN part's average. The
+    // decorrelated plan: the dim predicate broadcasts into a semi
+    // pruning of the fact table FIRST (per-part stats aggregate only
+    // the filtered slice, never the full fact table), then the exact
+    // integer form of qty < 0.2·avg — 5·qty·cnt < sumq — avoids the
+    // float threshold both engines would have to agree on. Money rides
+    // the cents trick; the yearly average is a truncating div.
+    "q351_small_qty_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#4" && col("p_size") < 20)
+        .select("p_partkey")
+      val lp = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"),
+          expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val stats = lp.groupBy("l_partkey")
+        .agg(sum("qty").as("sumq"), count(lit(1)).as("cnt"))
+      lp.join(stats, "l_partkey")
+        .filter(col("qty") * col("cnt") * 5 < col("sumq"))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum("cents"), lit(0L)).as("sum_cents"))
+        .select(col("n_rows"), col("sum_cents"),
+          expr("sum_cents div 7").as("avg_yearly_cents"))
     })
   )
 
@@ -12861,6 +12889,20 @@ object SparkEntry {
          |WHERE rn <= 10
          |ORDER BY query_id, cos DESC, vec_id""".stripMargin
     },
+
+    "q351_small_qty_revenue" ->
+      """WITH p AS (SELECT p_partkey FROM part
+        |  WHERE p_brand = 'Brand#4' AND p_size < 20),
+        |lp AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem JOIN p ON p_partkey = l_partkey),
+        |st AS (SELECT l_partkey, sum(qty) AS sumq, count(*) AS cnt
+        |  FROM lp GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(COALESCE(sum(cents), 0) AS BIGINT) AS sum_cents,
+        |  CAST(COALESCE(sum(cents), 0) // 7 AS BIGINT) AS avg_yearly_cents
+        |FROM lp JOIN st USING (l_partkey)
+        |WHERE qty * cnt * 5 < sumq""".stripMargin,
 
     "q341_sa_adjacent_lcp" -> {
       val levels = (7 to 0 by -1).map { k =>

@@ -5730,6 +5730,29 @@ object SparkEntry {
           coalesce(sum("cents"), lit(0L)).as("sum_cents"))
         .select(col("n_rows"), col("sum_cents"),
           expr("sum_cents div 7").as("avg_yearly_cents"))
+    }),
+
+    // Materialized-view rewrite routing — the read-side complement of
+    // q324's HRU view SELECTION: three grouping views materialize over
+    // lineitem, and a groupBy(rf) aggregate routes to the CHEAPEST
+    // subsuming one (fewest rows, tie → name) and re-aggregates its
+    // rows instead of the fact table. DuckDB rebuilds every view,
+    // replays the size-based routing decision, and re-derives the
+    // answer from the SAME chosen view.
+    "q352_view_rewrite" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        month(col("l_shipdate")).as("mth"),
+        expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      def view(cols: String*) = cols.toSeq -> l.groupBy(cols.map(col): _*)
+        .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
+      val views = Map(
+        "v_rf_ls" -> view("rf", "ls"),
+        "v_rf_mth" -> view("rf", "mth"),
+        "v_ls_mth" -> view("ls", "mth"))
+      graft.ops.Views.routeAndAnswer(views, Seq("rf"),
+          Seq("cnt", "sum_cents"))
+        .orderBy("rf")
     })
   )
 
@@ -12903,6 +12926,29 @@ object SparkEntry {
         |  CAST(COALESCE(sum(cents), 0) // 7 AS BIGINT) AS avg_yearly_cents
         |FROM lp JOIN st USING (l_partkey)
         |WHERE qty * cnt * 5 < sumq""".stripMargin,
+
+    "q352_view_rewrite" ->
+      """WITH l AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |    month(l_shipdate) AS mth,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |v1 AS MATERIALIZED (SELECT rf, ls, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents FROM l GROUP BY 1, 2),
+        |v2 AS MATERIALIZED (SELECT rf, mth, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents FROM l GROUP BY 1, 2),
+        |sz AS (SELECT 'v_rf_ls' AS name, count(*) AS n FROM v1
+        |  UNION ALL SELECT 'v_rf_mth', count(*) FROM v2),
+        |pick AS (SELECT name FROM sz ORDER BY n, name LIMIT 1),
+        |a1 AS (SELECT rf, CAST(sum(cnt) AS BIGINT) AS cnt,
+        |    CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
+        |    'v_rf_ls' AS served_from FROM v1 GROUP BY 1),
+        |a2 AS (SELECT rf, CAST(sum(cnt) AS BIGINT) AS cnt,
+        |    CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
+        |    'v_rf_mth' AS served_from FROM v2 GROUP BY 1)
+        |SELECT a.rf, a.cnt, a.sum_cents, a.served_from
+        |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2) a
+        |JOIN pick ON pick.name = a.served_from
+        |ORDER BY a.rf""".stripMargin,
 
     "q341_sa_adjacent_lcp" -> {
       val levels = (7 to 0 by -1).map { k =>

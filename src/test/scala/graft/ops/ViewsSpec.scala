@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class ViewsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val base = Seq(
+    ("A", "x", 1, 10L), ("A", "x", 2, 20L), ("A", "y", 1, 30L),
+    ("B", "x", 2, 40L), ("B", "y", 1, 50L), ("B", "y", 2, 60L),
+    ("B", "y", 2, 70L)).toDF("rf", "ls", "mth", "cents")
+
+  private def view(cols: String*) = cols.toSeq ->
+    base.groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
+
+  private lazy val views = Map(
+    "v_rf_ls" -> view("rf", "ls"),      // 4 rows
+    "v_rf_mth" -> view("rf", "mth"),    // 4 rows (tie with v_rf_ls)
+    "v_ls_mth" -> view("ls", "mth"),    // 4 rows
+    "v_all" -> view("rf", "ls", "mth")) // 6 rows
+
+  test("routeAndAnswer: cheapest subsuming view wins (tie breaks to " +
+      "name), answer equals direct base aggregation") {
+    val got = Views.routeAndAnswer(views, Seq("rf"),
+      Seq("cnt", "sum_cents"))
+    // subsuming rf: v_rf_ls (4 rows), v_rf_mth (4 rows), v_all (6) —
+    // tie on 4 rows breaks to the smaller name v_rf_ls
+    assert(got.select("served_from").distinct().as[String].collect()
+      .toSeq == Seq("v_rf_ls"))
+    val direct = base.groupBy("rf")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val gotPairs = got.select("rf", "cnt", "sum_cents")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(gotPairs == direct, s"view answer must equal base: $gotPairs")
+  }
+
+  test("routeAndAnswer: a finer query routes past non-subsuming views; " +
+      "nothing subsuming refuses loudly") {
+    val got = Views.routeAndAnswer(views, Seq("ls", "mth"),
+      Seq("cnt", "sum_cents"))
+    assert(got.select("served_from").distinct().as[String].collect()
+      .toSeq == Seq("v_ls_mth"))
+    intercept[IllegalArgumentException] {
+      Views.routeAndAnswer(
+        views - "v_all" - "v_rf_ls", Seq("rf", "ls"),
+        Seq("cnt", "sum_cents"))
+    }
+    intercept[IllegalArgumentException] {
+      Views.routeAndAnswer(views, Seq.empty, Seq("cnt"))
+    }
+  }
+}

@@ -5753,6 +5753,32 @@ object SparkEntry {
       graft.ops.Views.routeAndAnswer(views, Seq("rf"),
           Seq("cnt", "sum_cents"))
         .orderBy("rf")
+    }),
+
+    // Per-document provenance hash chain — the governance record
+    // (takedown audits, "which pipeline produced this example?"):
+    // genesis → normalize → truncate200 → mask_digits, each entry's
+    // chain committing to the whole history, then the self-verifier's
+    // ok bit. DuckDB recomputes EVERY content digest and chain link
+    // from documents alone — an honest run verifies everywhere, and
+    // any divergence between the engines' transforms would surface as
+    // a hash mismatch rather than a silent drift.
+    "q353_provenance_chain" -> ((s, dir) => {
+      import graft.ops.Provenance
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val normed = d.select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("text"))
+      val trunc = normed.select(col("doc_id"),
+        substring(col("text"), 1, 200).as("text"))
+      val masked = trunc.select(col("doc_id"),
+        regexp_replace(col("text"), "[0-9]+", "#").as("text"))
+      val ledger = Provenance.appendStage(
+        Provenance.appendStage(
+          Provenance.appendStage(Provenance.genesis(d), normed,
+            "normalize"),
+          trunc, "truncate200"),
+        masked, "mask_digits")
+      Provenance.verify(ledger).orderBy("doc_id", "seq")
     })
   )
 
@@ -12949,6 +12975,31 @@ object SparkEntry {
         |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2) a
         |JOIN pick ON pick.name = a.served_from
         |ORDER BY a.rf""".stripMargin,
+
+    "q353_provenance_chain" ->
+      """WITH st AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(strip_accents(text)),
+        |      '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |st2 AS (SELECT doc_id, norm, substr(norm, 1, 200) AS trunc
+        |  FROM st),
+        |st3 AS (SELECT doc_id, norm, trunc,
+        |    regexp_replace(trunc, '[0-9]+', '#', 'g') AS masked
+        |  FROM st2),
+        |ch AS (SELECT doc_id,
+        |    md5('genesis|' || CAST(doc_id AS VARCHAR)) AS c0,
+        |    md5(norm) AS d1, md5(trunc) AS d2, md5(masked) AS d3
+        |  FROM st3),
+        |ch2 AS (SELECT doc_id, c0, d1, d2, d3,
+        |    md5(c0 || '|normalize|' || d1) AS c1 FROM ch),
+        |ch3 AS (SELECT *, md5(c1 || '|truncate200|' || d2) AS c2 FROM ch2),
+        |ch4 AS (SELECT *, md5(c2 || '|mask_digits|' || d3) AS c3 FROM ch3)
+        |SELECT doc_id, CAST(0 AS BIGINT) AS seq, 'genesis' AS stage,
+        |  c0 AS digest, c0 AS chain, CAST(1 AS BIGINT) AS ok FROM ch4
+        |UNION ALL SELECT doc_id, 1, 'normalize', d1, c1, 1 FROM ch4
+        |UNION ALL SELECT doc_id, 2, 'truncate200', d2, c2, 1 FROM ch4
+        |UNION ALL SELECT doc_id, 3, 'mask_digits', d3, c3, 1 FROM ch4
+        |ORDER BY doc_id, seq""".stripMargin,
 
     "q341_sa_adjacent_lcp" -> {
       val levels = (7 to 0 by -1).map { k =>

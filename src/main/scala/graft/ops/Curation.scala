@@ -424,7 +424,9 @@ object Curation {
 
   /** Multi-k composition of [[repeatedSpanStats]], one step closer to
     * the paper's arbitrary-length construction (Lee et al. 2022 use a
-    * suffix array; fixed-k windows are the shuffle-friendly stand-in):
+    * suffix array; fixed-k windows are the cheap screening pass — the
+    * construction proper, with the arbitrary-length guarantee, is
+    * [[SuffixArray.repeatedSpanStatsExact]]):
     * mine cross-doc repeated k-grams at EVERY window size in `ks`, then
     * merge all hit intervals through the one verified gaps-and-islands
     * primitive — so a long verbatim repeat flagged by several window

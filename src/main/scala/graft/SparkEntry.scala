@@ -5779,6 +5779,34 @@ object SparkEntry {
           trunc, "truncate200"),
         masked, "mask_digits")
       Provenance.verify(ledger).orderBy("doc_id", "seq")
+    }),
+
+    // Lattice IVM + routing end-to-end: the views materialize on the
+    // pre-1998 slice only, the post-1998 rows arrive as ONE insert
+    // batch applied through Views.applyDelta (per-view pre-aggregated
+    // deltas — the base table is never rescanned), and the query
+    // routes over the REFRESHED lattice. Additivity makes refresh ≡
+    // recompute, so the oracle is q352's full-table replay verbatim —
+    // any drift in the delta merge shows up as a value mismatch.
+    "q354_view_ivm_route" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        month(col("l_shipdate")).as("mth"),
+        expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        col("l_shipdate").as("sd"))
+      val pre = l.filter(col("sd") < "1998-01-01").drop("sd")
+      val post = l.filter(col("sd") >= "1998-01-01").drop("sd")
+      def view(cols: String*) = cols.toSeq -> pre.groupBy(cols.map(col): _*)
+        .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
+      val views = Map(
+        "v_rf_ls" -> view("rf", "ls"),
+        "v_rf_mth" -> view("rf", "mth"),
+        "v_ls_mth" -> view("ls", "mth"))
+      val refreshed = graft.ops.Views.applyDelta(views, post,
+        Seq(count(lit(1)).as("cnt"), sum("cents").as("sum_cents")))
+      graft.ops.Views.routeAndAnswer(refreshed, Seq("rf"),
+          Seq("cnt", "sum_cents"))
+        .orderBy("rf")
     })
   )
 
@@ -6063,6 +6091,34 @@ object SparkEntry {
     * argmax + margin). q218 reuses it VERBATIM: incremental per-batch
     * count maintenance must be bit-identical to full-corpus training
     * (counts are additive), so the same full replay gates both. */
+  /** q352/q354's shared replay: rebuild the grouping views over the
+    * FULL lineitem table, replay the size-based routing decision, and
+    * re-derive the answer from the same chosen view — shared because
+    * additive IVM refresh (q354) must equal full recompute (q352's
+    * base case) verbatim. */
+  private val viewLatticeOracle: String =
+      """WITH l AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |    month(l_shipdate) AS mth,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |v1 AS MATERIALIZED (SELECT rf, ls, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents FROM l GROUP BY 1, 2),
+        |v2 AS MATERIALIZED (SELECT rf, mth, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents FROM l GROUP BY 1, 2),
+        |sz AS (SELECT 'v_rf_ls' AS name, count(*) AS n FROM v1
+        |  UNION ALL SELECT 'v_rf_mth', count(*) FROM v2),
+        |pick AS (SELECT name FROM sz ORDER BY n, name LIMIT 1),
+        |a1 AS (SELECT rf, CAST(sum(cnt) AS BIGINT) AS cnt,
+        |    CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
+        |    'v_rf_ls' AS served_from FROM v1 GROUP BY 1),
+        |a2 AS (SELECT rf, CAST(sum(cnt) AS BIGINT) AS cnt,
+        |    CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
+        |    'v_rf_mth' AS served_from FROM v2 GROUP BY 1)
+        |SELECT a.rf, a.cnt, a.sum_cents, a.served_from
+        |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2) a
+        |JOIN pick ON pick.name = a.served_from
+        |ORDER BY a.rf""".stripMargin
+
   private val langIdTrainedOracle: String =
     s"""WITH v AS (SELECT doc_id,
        |    CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'zz'
@@ -12953,28 +13009,14 @@ object SparkEntry {
         |FROM lp JOIN st USING (l_partkey)
         |WHERE qty * cnt * 5 < sumq""".stripMargin,
 
-    "q352_view_rewrite" ->
-      """WITH l AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
-        |    month(l_shipdate) AS mth,
-        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
-        |  FROM lineitem),
-        |v1 AS MATERIALIZED (SELECT rf, ls, CAST(count(*) AS BIGINT) AS cnt,
-        |    CAST(sum(cents) AS BIGINT) AS sum_cents FROM l GROUP BY 1, 2),
-        |v2 AS MATERIALIZED (SELECT rf, mth, CAST(count(*) AS BIGINT) AS cnt,
-        |    CAST(sum(cents) AS BIGINT) AS sum_cents FROM l GROUP BY 1, 2),
-        |sz AS (SELECT 'v_rf_ls' AS name, count(*) AS n FROM v1
-        |  UNION ALL SELECT 'v_rf_mth', count(*) FROM v2),
-        |pick AS (SELECT name FROM sz ORDER BY n, name LIMIT 1),
-        |a1 AS (SELECT rf, CAST(sum(cnt) AS BIGINT) AS cnt,
-        |    CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
-        |    'v_rf_ls' AS served_from FROM v1 GROUP BY 1),
-        |a2 AS (SELECT rf, CAST(sum(cnt) AS BIGINT) AS cnt,
-        |    CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
-        |    'v_rf_mth' AS served_from FROM v2 GROUP BY 1)
-        |SELECT a.rf, a.cnt, a.sum_cents, a.served_from
-        |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2) a
-        |JOIN pick ON pick.name = a.served_from
-        |ORDER BY a.rf""".stripMargin,
+    "q352_view_rewrite" -> viewLatticeOracle,
+
+    // IVM refresh == full recompute under additivity, so the routed
+    // answer over the REFRESHED lattice must match the full-table
+    // replay verbatim (the q218 shared-oracle pattern)
+    "q354_view_ivm_route" -> viewLatticeOracle,
+
+    
 
     "q353_provenance_chain" ->
       """WITH st AS (SELECT doc_id,

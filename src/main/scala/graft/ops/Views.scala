@@ -51,4 +51,34 @@ object Views {
         measures.tail.map(m => sum(col(m)).as(m)): _*)
       .withColumn("served_from", lit(name))
   }
+
+  /** Incremental maintenance for the whole lattice — the q325 IVM move
+    * applied to every materialized view at once: an insert batch
+    * pre-aggregates ONCE PER VIEW to its grouping (each delta is
+    * grouping-dimension-sized, with map-side combine) and merges into
+    * the stored view by re-summing the additive measures — the base
+    * table is never rescanned, which is the entire point of keeping
+    * views at 100 TB. Under additivity refresh-then-route equals
+    * recompute-then-route bit-for-bit (q354 proves it against a
+    * full recompute). `aggs` are the views' defining aggregate
+    * expressions (e.g. count(*) as cnt, sum(cents) as sum_cents) —
+    * applied to the raw batch; the merge re-sums by measure NAME, so
+    * every aggregate must be SUM-mergeable (COUNT is; AVG must be
+    * carried as sum+count). */
+  def applyDelta(views: Map[String, (Seq[String], DataFrame)],
+      batch: DataFrame, aggs: Seq[org.apache.spark.sql.Column])
+      : Map[String, (Seq[String], DataFrame)] = {
+    require(aggs.nonEmpty, "need at least one aggregate expression")
+    views.map { case (name, (cols, v)) =>
+      val measureCols = v.columns.filterNot(cols.contains).toSeq
+      val delta = batch.groupBy(cols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(v.columns.map(col).toSeq: _*)
+      val merged = v.unionByName(delta)
+        .groupBy(cols.map(col): _*)
+        .agg(sum(col(measureCols.head)).as(measureCols.head),
+          measureCols.tail.map(m => sum(col(m)).as(m)): _*)
+      name -> (cols, merged)
+    }
+  }
 }

@@ -56,4 +56,26 @@ class ViewsSpec extends AnyFunSuite with SparkTestBase {
       Views.routeAndAnswer(views, Seq.empty, Seq("cnt"))
     }
   }
+
+  test("applyDelta: refreshed lattice equals views rebuilt from the " +
+      "full table — new groups appear, existing groups merge") {
+    val batch = Seq(("A", "y", 2, 100L), ("C", "z", 3, 200L))
+      .toDF("rf", "ls", "mth", "cents")
+    val aggs = Seq(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
+    val refreshed = Views.applyDelta(views, batch, aggs)
+    val full = base.unionByName(batch)
+    for ((name, (cols, got)) <- refreshed) {
+      val want = full.groupBy(cols.map(col): _*)
+        .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
+      val g = got.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+      val w = want.select(got.columns.map(col): _*).collect()
+        .map(_.toSeq).sortBy(_.toString()).toSeq
+      assert(g == w, s"view $name: refresh must equal recompute")
+    }
+    // routing over the refreshed lattice answers the new group too
+    val ans = Views.routeAndAnswer(refreshed, Seq("rf"),
+        Seq("cnt", "sum_cents"))
+      .select("rf", "cnt").as[(String, Long)].collect().toMap
+    assert(ans("C") == 1L && ans("A") == 4L)
+  }
 }

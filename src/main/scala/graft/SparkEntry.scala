@@ -5807,6 +5807,45 @@ object SparkEntry {
       graft.ops.Views.routeAndAnswer(refreshed, Seq("rf"),
           Seq("cnt", "sum_cents"))
         .orderBy("rf")
+    }),
+
+    // BITEMPORAL lookup — valid time × transaction time, the two-axis
+    // question lakehouse history must answer ("what did we BELIEVE at
+    // commit T about the state at time V?"): the SCD2 dimension
+    // commits TWICE into a versioned snapshot — tx 1 from pre-1998
+    // observations only, tx 2 after the remaining orders arrive — and
+    // every probe customer asks for its status as of valid-time
+    // 2000-06-15 under BOTH transaction versions. Where late data
+    // changed the answer, `revised` = 1 — the audit view a governance
+    // review needs when features were trained against tx 1. DuckDB
+    // rebuilds both dimension states and replays both as-of lookups.
+    "q355_bitemporal" -> ((s, dir) => {
+      val log = t(s, dir, "orders").select(
+        col("o_custkey").as("custkey"), col("o_orderdate").as("ts"),
+        col("o_orderkey").as("seq"), col("o_orderstatus").as("status"))
+      def dim(l: DataFrame) = graft.ops.Scd
+        .scd2Build(l, "custkey", "ts", "seq", Seq("status"))
+        .withColumn("id", concat_ws("|", col("custkey"), col("version")))
+      val path = auxPath(dir) + "/q355_dim"
+      graft.ops.Joins.deleteRecursively(new java.io.File(path))
+      graft.index.Snapshots.replaceVersioned(s,
+        dim(log.filter(col("ts") < "1998-01-01")), path)
+      graft.index.Snapshots.replaceVersioned(s, dim(log), path)
+      val probes = t(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"))
+        .filter(col("custkey") % 10 === 7)
+        .withColumn("asof", to_timestamp(lit("2000-06-15 00:00:00")))
+      def lookup(v: Long, out: String) = graft.ops.Scd.pitJoin(probes,
+          graft.index.Snapshots.readVersion(s, path, v),
+          "custkey", "asof", Seq("status"))
+        .select(col("custkey"), col("status").as(out))
+      lookup(1, "status_tx1").join(lookup(2, "status_tx2"), Seq("custkey"))
+        .select(col("custkey"),
+          coalesce(col("status_tx1"), lit("none")).as("status_tx1"),
+          coalesce(col("status_tx2"), lit("none")).as("status_tx2"),
+          when(!(col("status_tx1") <=> col("status_tx2")), 1L)
+            .otherwise(0L).as("revised"))
+        .orderBy("custkey")
     })
   )
 
@@ -13042,6 +13081,42 @@ object SparkEntry {
         |UNION ALL SELECT doc_id, 2, 'truncate200', d2, c2, 1 FROM ch4
         |UNION ALL SELECT doc_id, 3, 'mask_digits', d3, c3, 1 FROM ch4
         |ORDER BY doc_id, seq""".stripMargin,
+
+    "q355_bitemporal" -> {
+      def dimCtes(n: Int, pred: String) =
+        s"""log$n AS (SELECT o_custkey AS custkey, o_orderdate AS ts,
+           |    o_orderkey AS seq, o_orderstatus AS status
+           |  FROM orders $pred),
+           |d$n AS (SELECT *, lag(status) OVER (PARTITION BY custkey
+           |    ORDER BY ts, seq) AS pv FROM log$n),
+           |c$n AS (SELECT custkey, ts, seq, status FROM d$n
+           |  WHERE pv IS NULL OR status <> pv),
+           |sv$n AS (SELECT custkey, status, ts AS f,
+           |    lead(ts) OVER (PARTITION BY custkey ORDER BY ts, seq) AS t
+           |  FROM c$n)""".stripMargin
+      s"""WITH probes AS (SELECT c_custkey AS custkey FROM customer
+         |  WHERE c_custkey % 10 = 7),
+         |${dimCtes(1, "WHERE o_orderdate < TIMESTAMP '1998-01-01'")},
+         |${dimCtes(2, "")},
+         |a1 AS (SELECT p.custkey, s.status FROM probes p
+         |  LEFT JOIN sv1 s ON s.custkey = p.custkey
+         |    AND TIMESTAMP '2000-06-15' >= s.f
+         |    AND (s.t IS NULL OR TIMESTAMP '2000-06-15' < s.t)),
+         |a2 AS (SELECT p.custkey, s.status FROM probes p
+         |  LEFT JOIN sv2 s ON s.custkey = p.custkey
+         |    AND TIMESTAMP '2000-06-15' >= s.f
+         |    AND (s.t IS NULL OR TIMESTAMP '2000-06-15' < s.t))
+         |SELECT p.custkey,
+         |  COALESCE(a1.status, 'none') AS status_tx1,
+         |  COALESCE(a2.status, 'none') AS status_tx2,
+         |  CAST(CASE WHEN COALESCE(a1.status, 'none')
+         |    IS DISTINCT FROM COALESCE(a2.status, 'none')
+         |    THEN 1 ELSE 0 END AS BIGINT) AS revised
+         |FROM probes p
+         |LEFT JOIN a1 ON a1.custkey = p.custkey
+         |LEFT JOIN a2 ON a2.custkey = p.custkey
+         |ORDER BY p.custkey""".stripMargin
+    },
 
     "q341_sa_adjacent_lcp" -> {
       val levels = (7 to 0 by -1).map { k =>

@@ -5538,12 +5538,30 @@ object SparkEntry {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_q344").toString
       val srcDir = s"$tmp/src"
-      planted.filter(col("doc_id") < 250)
-        .coalesce(1).write.mode("append").parquet(srcDir)
-      planted.filter(col("doc_id") >= 250 && col("doc_id") < 10000)
-        .coalesce(1).write.mode("append").parquet(srcDir)
-      planted.filter(col("doc_id") >= 10000)
-        .coalesce(1).write.mode("append").parquet(srcDir)
+      // FileStreamSource(maxFilesPerTrigger = 1) delivers files in
+      // MODIFICATION-TIME order with nondeterministic tie-break; the
+      // online first-wins rule is order-dependent across batches (a
+      // +10000 copy processed before its original would pass both), so
+      // each batch's files are stamped onto a strictly increasing
+      // mtime ladder — an mtime collision between writes can never
+      // reorder the batches.
+      val stamped = scala.collection.mutable.Set[String]()
+      val mtime0 = (System.currentTimeMillis() / 1000L) * 1000L
+      def writeBatch(batchNo: Int, df: DataFrame): Unit = {
+        df.coalesce(1).write.mode("append").parquet(srcDir)
+        new java.io.File(srcDir).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            !stamped.contains(f.getName))
+          .foreach { f =>
+            require(f.setLastModified(mtime0 + batchNo * 60000L),
+              s"q344: could not stamp mtime on ${f.getName}")
+            stamped += f.getName
+          }
+      }
+      writeBatch(1, planted.filter(col("doc_id") < 250))
+      writeBatch(2,
+        planted.filter(col("doc_id") >= 250 && col("doc_id") < 10000))
+      writeBatch(3, planted.filter(col("doc_id") >= 10000))
       val schema = s.read.parquet(srcDir).schema
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
@@ -5624,10 +5642,12 @@ object SparkEntry {
       graft.ops.Joins.deleteRecursively(new java.io.File(path))
       idx.appendGeneration(path, base, gen = 0)
       idx.appendGeneration(path, batch, gen = 1)
-      writeAux(idx.encodeAssign(emb)
-        .select(col("vec_id"), col("centroid"),
-          posexplode(col("codes")).as(Seq("s", "code"))),
-        dir, "q347_rebuild")
+      // dump the FROZEN quantizers, not a Spark-side re-encode: the
+      // oracle re-derives every assignment, residual, and code argmin
+      // from these in SQL, so a bug shared by encodeAssign and
+      // appendGeneration cannot self-certify (r11 advice)
+      writeAux(idx.coarse.centroidRows(s), dir, "q347_centroids")
+      writeAux(idx.pq.codebookRows(s), dir, "q347_codebooks")
       s.read.parquet(path)
         .select(col("vec_id"),
           col("generation").cast("int").as("generation"),
@@ -12913,13 +12933,38 @@ object SparkEntry {
         |WHERE rn <= 10 ORDER BY query_id, adc_dist, vec_id""".stripMargin,
 
     "q347_ivfpq_append" ->
-      """SELECT vec_id,
+      """WITH cent AS (SELECT * FROM '__AUX__/q347_centroids/*.parquet'),
+        |cb AS (SELECT * FROM '__AUX__/q347_codebooks/*.parquet'),
+        |vf AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS INT) AS j,
+        |    embedding[i]::DOUBLE AS v
+        |  FROM embeddings, UNNEST(range(1, 65)) t(i)),
+        |ad AS MATERIALIZED (SELECT vf.vec_id, cent.c,
+        |    sum((cent.val - vf.v) * (cent.val - vf.v)) AS d2
+        |  FROM vf JOIN cent ON cent.j = vf.j GROUP BY 1, 2),
+        |assign AS MATERIALIZED (SELECT vec_id, c AS centroid
+        |  FROM (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d2, c) AS rn FROM ad)
+        |  WHERE rn = 1),
+        |res AS MATERIALIZED (SELECT vf.vec_id, a.centroid, vf.j,
+        |    CAST(CAST(vf.v - cent.val AS REAL) AS DOUBLE) AS rv
+        |  FROM vf JOIN assign a USING (vec_id)
+        |  JOIN cent ON cent.c = a.centroid AND cent.j = vf.j),
+        |cd AS MATERIALIZED (SELECT r.vec_id, r.centroid,
+        |    CAST(r.j // 16 AS INT) AS s, cb.c,
+        |    sum((cb.val - r.rv) * (cb.val - r.rv)) AS d2
+        |  FROM res r JOIN cb ON cb.s = r.j // 16 AND cb.j = r.j % 16
+        |  GROUP BY 1, 2, 3, 4),
+        |codes AS (SELECT vec_id, centroid, s, c AS code
+        |  FROM (SELECT vec_id, centroid, s, c,
+        |      row_number() OVER (PARTITION BY vec_id, s
+        |        ORDER BY d2, c) AS rn FROM cd)
+        |  WHERE rn = 1)
+        |SELECT vec_id,
         |  CAST(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END AS INTEGER)
         |    AS generation,
         |  CAST(centroid AS INTEGER) AS centroid,
         |  CAST(s AS INTEGER) AS s, CAST(code AS INTEGER) AS code
-        |FROM '__AUX__/q347_rebuild/*.parquet'
-        |ORDER BY vec_id, s""".stripMargin,
+        |FROM codes ORDER BY vec_id, s""".stripMargin,
 
     "q348_exactsubstr_contam" -> {
       s"""WITH planted AS (SELECT doc_id, text

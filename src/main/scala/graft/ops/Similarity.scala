@@ -1896,8 +1896,13 @@ object Similarity {
     *     the deleted hub), minus tombstoned nodes, u itself, and edges
     *     u already has;
     *  3. u takes its top-`lost(u)` candidates by (cos desc, id) — a
-    *     1:1 replacement, so no node's degree grows past its pre-delete
-    *     degree — and the additions close symmetrically.
+    *     1:1 replacement, so a BEREAVED node's degree never exceeds its
+    *     pre-delete degree before closure — and the additions close
+    *     symmetrically. The closure can push a popular replacement
+    *     TARGET past its own pre-delete degree (it gains one reverse
+    *     edge per bereaved node that picked it); that growth is bounded
+    *     by the number of bereaved nodes choosing it and is the price
+    *     of keeping the graph undirected.
     *
     * Scale shape: everything is keyed by (layer, id); candidate sets
     * are degree-bounded (≤ deg² per survivor, deg a constant), so the

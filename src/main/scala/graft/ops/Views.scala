@@ -22,15 +22,102 @@ import org.apache.spark.sql.functions._
   * Scale shape: views are grouping-dimension-sized by construction;
   * the routing decision reads one bounded count per candidate (the IVF
   * probe-ranking cost class) and the answer re-aggregates the chosen
-  * view only — the base table is never touched.
+  * view only. CALLER CONTRACT for [[routeAndAnswer]]: every candidate
+  * frame must be MATERIALIZED (persisted / checkpointed / read from
+  * storage) — a lazy frame re-derives from its lineage once per
+  * `count()` here and again for the answer, so passing unpersisted
+  * aggregates multiplies base-table scans by the candidate count.
+  * The serving-grade path is [[Lattice]]: counts are taken ONCE at
+  * materialization, maintained incrementally by [[applyDeltaMaintained]]
+  * (delta-sized work, never a view rescan), and [[routeFromStats]]
+  * reads ONLY the stats map to choose — no candidate's data is touched
+  * until the chosen view answers.
   */
 object Views {
 
+  /** A maintained view lattice: pinned frames + their row counts. The
+    * stats map is the routing input — [[routeFromStats]] never counts
+    * a frame, so adding candidate views never adds routing-time work. */
+  final case class Lattice(views: Map[String, (Seq[String], DataFrame)],
+      stats: Map[String, Long])
+
+  /** Pin every view (localCheckpoint — the house materialization) and
+    * take each row count once. This is the lattice's build step; after
+    * it, routing is stats-only and refresh is delta-sized. */
+  def materialize(views: Map[String, (Seq[String], DataFrame)]): Lattice = {
+    val pinned = views.map { case (n, (cols, df)) =>
+      n -> (cols, df.localCheckpoint())
+    }
+    Lattice(pinned, pinned.map { case (n, (_, df)) => n -> df.count() })
+  }
+
+  /** The routing DECISION alone — cheapest (fewest rows, tie → name)
+    * subsuming view, from stats only. Exposed so specs and oracles can
+    * replay the choice without touching any view. */
+  def chooseView(lat: Lattice, groupCols: Seq[String]): String = {
+    val q = groupCols.toSet
+    val candidates = lat.views.collect {
+      case (name, (cols, _)) if q.subsetOf(cols.toSet) => name
+    }.toSeq
+    require(candidates.nonEmpty,
+      s"no materialized view subsumes groupBy(${groupCols.mkString(", ")})" +
+        s" — candidates were ${lat.views.keys.toSeq.sorted.mkString(", ")}")
+    candidates.minBy(n => (lat.stats(n), n))
+  }
+
+  /** [[routeAndAnswer]] with the decision made from the MAINTAINED
+    * stats: no candidate view's data is read — only the chosen view is
+    * re-aggregated (ViewsSpec proves it by poisoning the losers). */
+  def routeFromStats(lat: Lattice, groupCols: Seq[String],
+      measures: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty && measures.nonEmpty,
+      "need at least one grouping column and one measure")
+    val name = chooseView(lat, groupCols)
+    val chosen = lat.views(name)._2
+    chosen.groupBy(groupCols.map(col): _*)
+      .agg(sum(col(measures.head)).as(measures.head),
+        measures.tail.map(m => sum(col(m)).as(m)): _*)
+      .withColumn("served_from", lit(name))
+  }
+
+  /** [[applyDelta]] for a maintained [[Lattice]]: each view merges its
+    * pre-aggregated delta (pinned), and its ROW COUNT updates
+    * incrementally — rows_after = rows_before + |delta groups absent
+    * from the view|, one view-key × delta-key anti-join per view
+    * (delta-sized output, view-key-sized probe; the base table and the
+    * views' measure data are never rescanned). Routing stays stats-only
+    * across refreshes. */
+  def applyDeltaMaintained(lat: Lattice, batch: DataFrame,
+      aggs: Seq[org.apache.spark.sql.Column]): Lattice = {
+    require(aggs.nonEmpty, "need at least one aggregate expression")
+    val updated = lat.views.map { case (name, (cols, v)) =>
+      val measureCols = v.columns.filterNot(cols.contains).toSeq
+      val delta = batch.groupBy(cols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(v.columns.map(col).toSeq: _*)
+        .localCheckpoint()
+      val newGroups = delta.select(cols.map(col): _*)
+        .join(v.select(cols.map(col): _*), cols, "left_anti")
+        .count()
+      val merged = v.unionByName(delta)
+        .groupBy(cols.map(col): _*)
+        .agg(sum(col(measureCols.head)).as(measureCols.head),
+          measureCols.tail.map(m => sum(col(m)).as(m)): _*)
+        .localCheckpoint()
+      name -> ((cols, merged), lat.stats(name) + newGroups)
+    }
+    Lattice(updated.map { case (n, (v, _)) => n -> v },
+      updated.map { case (n, (_, s)) => n -> s })
+  }
+
   /** Route `groupCols` + additive `measures` to the cheapest subsuming
     * view and answer from it. `views` maps name → (grouping columns,
-    * materialized frame); each frame must carry `measures` as
-    * already-aggregated additive columns. Returns the re-aggregated
-    * answer with a `served_from` column naming the chosen view. */
+    * materialized frame — see the caller contract in the object doc);
+    * each frame must carry `measures` as already-aggregated additive
+    * columns. Returns the re-aggregated answer with a `served_from`
+    * column naming the chosen view. Prefer [[Lattice]] +
+    * [[routeFromStats]] on a serving path: this form COUNTS every
+    * candidate per call. */
   def routeAndAnswer(views: Map[String, (Seq[String], DataFrame)],
       groupCols: Seq[String], measures: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty && measures.nonEmpty,

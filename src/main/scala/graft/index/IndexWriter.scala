@@ -114,6 +114,32 @@ object IndexWriter {
     points.select(col("id"), explode(array_distinct(col("tokens"))).as("term"))
       .groupBy("term").agg(count("*").as("df"))
 
+  /** The INVERTED INDEX as a table — (term, id, tf, dl): one row per
+    * distinct (document, term) with its term frequency and the doc's
+    * token length. This is the serving-side artifact that makes BM25 a
+    * term-keyed LOOKUP instead of a corpus scan
+    * ([[graft.search.HybridSearch.bm25TopKPostings]]): a query joins
+    * its handful of terms against the postings table and touches only
+    * those terms' rows — at 100 TB, the difference between per-request
+    * work proportional to the corpus and work proportional to the
+    * matched postings. Built alongside [[docFrequencies]] (same explode,
+    * one extra groupBy key); maintained incrementally by
+    * [[mergePostings]] — postings rows are per-document facts, so a new
+    * batch APPENDS and a takedown anti-joins, never a corpus rescan. At
+    * scale, persist partitioned/bucketed BY TERM so a query's term set
+    * prunes to its buckets. */
+  def postings(points: DataFrame): DataFrame =
+    points.select(col("id"), size(col("tokens")).as("dl"),
+        explode(col("tokens")).as("term"))
+      .groupBy("term", "id", "dl").agg(count(lit(1)).as("tf"))
+      .select("term", "id", "tf", "dl")
+
+  /** Incremental postings maintenance: disjoint document sets union —
+    * `mergePostings(postings(a), postings(b)) == postings(a ∪ b)` when
+    * a and b share no ids (per-document rows never interact). */
+  def mergePostings(existing: DataFrame, batch: DataFrame): DataFrame =
+    existing.unionByName(batch)
+
   /** Incremental A7: merge an existing (term, df) stats table with a new
     * batch's partial stats — df is additive over disjoint document sets,
     * so maintenance cost is proportional to the BATCH, never a corpus

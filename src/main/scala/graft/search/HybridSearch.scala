@@ -35,12 +35,23 @@ object HybridSearch {
     *   bounded by 2/(rrfK+1) ≈ 0.033 — deliberately NOT named like the
     *   reference's `score_threshold` (default 0.4), which applies to
     *   store-native fused scores; porting that value here would silently
-    *   return zero results, so the ceiling is validated. */
+    *   return zero results, so the ceiling is validated.
+    * @param postings when supplied (an
+    *   [[graft.index.IndexWriter.postings]] table — term, id, tf, dl),
+    *   every sparse branch in this object routes through
+    *   [[bm25TopKPostings]]: the query's terms join the postings table
+    *   and the chunk index's token arrays are NEVER scanned — the
+    *   serving posture, where per-request sparse cost is proportional
+    *   to the matched postings, not the corpus. `None` keeps the
+    *   scan-path (correct for one-shot/oracle plans that would pay the
+    *   postings build anyway). Scores are identical either way
+    *   (HybridSearchSpec asserts bit-equality; q356 oracles it). */
   final case class Config(
       k: Int = 3,
       rrfScoreThreshold: Double = 0.0,
       prefetchMultiplier: Int = 5,  // config.yml:60
-      rrfK: Int = 60) {
+      rrfK: Int = 60,
+      postings: Option[DataFrame] = None) {
     require(rrfScoreThreshold <= 2.0 / (rrfK + 1),
       s"rrfScoreThreshold=$rrfScoreThreshold exceeds the maximum possible " +
         s"RRF score 2/(rrfK+1)=${2.0 / (rrfK + 1)}: every result would be " +
@@ -84,6 +95,49 @@ object HybridSearch {
       .agg(round(sum("term_score"), 6).as("bm25_score"))
       .orderBy(desc("bm25_score"), col(idCol))
       .limit(n)
+  }
+
+  /** T3 SERVED FROM THE INVERTED INDEX — [[bm25TopK]] semantics with
+    * per-request work proportional to the MATCHED POSTINGS, not the
+    * corpus: the query's few terms filter the (term, id, tf, dl)
+    * postings table (at scale term-partitioned/bucketed, so the filter
+    * is partition pruning), doc-frequency stats broadcast, and the same
+    * BM25 arithmetic runs over rows that already carry tf and dl — no
+    * token-array explode, no corpus scan, no per-document aggregation
+    * (tf was aggregated once at index-build time). Scores equal
+    * [[bm25TopK]] bit-for-bit: identical expressions over identical
+    * (tf, dl, df) values, same 6dp rounding. */
+  def bm25TopKPostings(postings: DataFrame, docStats: DataFrame,
+      corpusSize: Long, avgDocLen: Double, queryTerms: Seq[String], n: Int,
+      idCol: String = "id"): DataFrame = {
+    val terms = queryTerms.distinct
+    if (terms.isEmpty) return postings.sparkSession.emptyDataFrame
+      .withColumn(idCol, lit(""))
+      .withColumn("bm25_score", lit(0.0)).limit(0)
+    val idfCol = log(lit(1.0) + (lit(corpusSize.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    postings
+      .filter(col("term").isin(terms: _*))     // partition-prunable at scale
+      .select(col("term"), col("id").as(idCol), col("tf"), col("dl"))
+      .join(broadcast(docStats.filter(col("term").isin(terms: _*))), Seq("term"))
+      .withColumn("term_score",
+        idfCol * col("tf") * lit(Bm25.k1 + 1.0) /
+          (col("tf") + lit(Bm25.k1) * (lit(1.0 - Bm25.b) + lit(Bm25.b) * col("dl") / lit(avgDocLen))))
+      .groupBy(col(idCol))
+      .agg(round(sum("term_score"), 6).as("bm25_score"))
+      .orderBy(desc("bm25_score"), col(idCol))
+      .limit(n)
+  }
+
+  /** The sparse-branch ROUTER every single-query entry point uses:
+    * postings-backed when [[Config.postings]] is supplied, token-scan
+    * otherwise. */
+  private def sparseTopK(index: DataFrame, docStats: DataFrame,
+      corpusSize: Long, avgDocLen: Double, queryTerms: Seq[String], n: Int,
+      cfg: Config): DataFrame = cfg.postings match {
+    case Some(p) =>
+      bm25TopKPostings(p, docStats, corpusSize, avgDocLen, queryTerms, n)
+    case None =>
+      bm25TopK(index, docStats, corpusSize, avgDocLen, queryTerms, n)
   }
 
   /** J4 + A5 + T1 — RRF fusion of the two ranked branches, threshold,
@@ -181,12 +235,22 @@ object HybridSearch {
     val allTerms = qTerms.select("term").distinct()
     val idfCol = log(lit(1.0) +
       (lit(corpusSize.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
-    val termScores = index
-      .select(col("id"), size(col("tokens")).as("dl"),
-        explode(col("tokens")).as("term"))
-      .join(broadcast(allTerms), Seq("term"), "left_semi")
-      .groupBy(col("id"), col("term"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+    // (term, id, tf, dl) rows for the union of all query terms: the
+    // postings table serves them by term lookup (no corpus token scan);
+    // the scan path explodes corpus tokens once
+    val tfRows = cfg.postings match {
+      case Some(p) => p
+        .join(broadcast(allTerms), Seq("term"), "left_semi")
+        .select(col("term"), col("id"), col("tf"), col("dl"))
+      case None => index
+        .select(col("id"), size(col("tokens")).as("dl"),
+          explode(col("tokens")).as("term"))
+        .join(broadcast(allTerms), Seq("term"), "left_semi")
+        .groupBy(col("id"), col("term"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .select(col("term"), col("id"), col("tf"), col("dl"))
+    }
+    val termScores = tfRows
       .join(broadcast(docStats.join(
         broadcast(allTerms), Seq("term"), "left_semi")),
         Seq("term"))
@@ -227,7 +291,7 @@ object HybridSearch {
     val qVec = embedder.embedQuery(query)
     val qTerms = Bm25.tokenize(query)
     val dense = denseTopK(index, qVec, prefetch)
-    val sparse = bm25TopK(index, docStats, corpusSize, avgDocLen, qTerms, prefetch)
+    val sparse = sparseTopK(index, docStats, corpusSize, avgDocLen, qTerms, prefetch, cfg)
     val fused = rrfFuse(dense, sparse, cfg)
     // payload projection (P9): hydrate the top-k ids only
     fused.join(index, Seq("id"), "left")
@@ -254,7 +318,7 @@ object HybridSearch {
     val qTerms = Bm25.tokenize(query)
     val dense = ivf.query(qVec, prefetch, nProbe)
       .select(col("id"), col("cos").as("dense_score"))
-    val sparse = bm25TopK(index, docStats, corpusSize, avgDocLen, qTerms, prefetch)
+    val sparse = sparseTopK(index, docStats, corpusSize, avgDocLen, qTerms, prefetch, cfg)
     val fused = rrfFuse(dense, sparse, cfg)
     fused.join(index, Seq("id"), "left")
       .orderBy(desc("rrf_score"), col("id"))
@@ -302,7 +366,7 @@ object HybridSearch {
     val dense = hs.hnsw.search(qVec, prefetch, ef = ef, hops = hops)
       .join(hs.idMap, "hid")
       .select(col("id"), col("cos").as("dense_score"))
-    val sparse = bm25TopK(index, docStats, corpusSize, avgDocLen, qTerms, prefetch)
+    val sparse = sparseTopK(index, docStats, corpusSize, avgDocLen, qTerms, prefetch, cfg)
     val fused = rrfFuse(dense, sparse, cfg)
     fused.join(index, Seq("id"), "left")
       .orderBy(desc("rrf_score"), col("id"))

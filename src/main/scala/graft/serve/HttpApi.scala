@@ -54,7 +54,11 @@ object HttpApi {
       // with "ann": true | "ivf" ("n_probe" tunes the recall/cost
       // dial) or "ann": "hnsw" ("ef"/"hops" are the graph-walk dials)
       ivf: Option[graft.ops.Similarity.IvfIndex] = None,
-      hnsw: Option[graft.search.HybridSearch.HnswServing] = None)
+      hnsw: Option[graft.search.HybridSearch.HnswServing] = None,
+      // optional prebuilt inverted index (IndexWriter.postings): when
+      // present every sparse branch is a term-keyed postings lookup
+      // instead of a corpus token scan (identical scores)
+      postings: Option[org.apache.spark.sql.DataFrame] = None)
 
   /** Default `/case/fetch` byte fetcher: a real GET (the reference
     * downloads arbitrary slip-opinion URLs, `app.py:580-583`). With no
@@ -209,19 +213,23 @@ object HttpApi {
                   case Some("ivf") => Serve.queryAnn(engine.index,
                     engine.ivf.get, engine.docStats, engine.corpusSize,
                     engine.avgDocLen, q, k = k, nProbe = nProbe,
-                    rrfScoreThreshold = threshold)
+                    rrfScoreThreshold = threshold,
+                    postings = engine.postings)
                   case Some("hnsw") => Serve.queryHnsw(engine.index,
                     engine.hnsw.get, engine.docStats, engine.corpusSize,
                     engine.avgDocLen, q, k = k, ef = ef, hops = hops,
-                    rrfScoreThreshold = threshold)
+                    rrfScoreThreshold = threshold,
+                    postings = engine.postings)
                   case _ =>
                     if (diversify) Serve.queryDiversified(engine.index,
                       engine.docStats, engine.corpusSize, engine.avgDocLen,
                       q, k = k, lambda = lambda,
-                      rrfScoreThreshold = threshold)
+                      rrfScoreThreshold = threshold,
+                      postings = engine.postings)
                     else Serve.query(engine.index, engine.docStats,
                       engine.corpusSize, engine.avgDocLen, q, k = k,
-                      rrfScoreThreshold = threshold)
+                      rrfScoreThreshold = threshold,
+                      postings = engine.postings)
                 }
                 val results = resp.results.map(r => obj(
                   "id" -> r.id, "score" -> r.score, "case_name" -> r.caseName,
@@ -265,7 +273,7 @@ object HttpApi {
         else {
           val resps = Serve.queryBatch(engine.index, engine.docStats,
             engine.corpusSize, engine.avgDocLen, qs, k = k,
-            rrfScoreThreshold = threshold)
+            rrfScoreThreshold = threshold, postings = engine.postings)
           val entries = resps.map { resp =>
             val results = resp.results.map(r => obj(
               "id" -> r.id, "score" -> r.score, "case_name" -> r.caseName,

@@ -120,10 +120,12 @@ object Serve {
     * reference's defaults (`app.py:345-358`). */
   def query(index: DataFrame, docStats: DataFrame, corpusSize: Long,
       avgDocLen: Double, question: String, k: Int = 3,
-      rrfScoreThreshold: Double = 0.0): QueryResponse = {
+      rrfScoreThreshold: Double = 0.0,
+      postings: Option[DataFrame] = None): QueryResponse = {
     val t0 = System.nanoTime()
     val hits = HybridSearch.search(index, docStats, corpusSize, avgDocLen,
-      question, HybridSearch.Config(k = k, rrfScoreThreshold = rrfScoreThreshold))
+      question, HybridSearch.Config(k = k,
+        rrfScoreThreshold = rrfScoreThreshold, postings = postings))
     collectResponse(hits, question, t0)                                 // F13
   }
 
@@ -147,11 +149,13 @@ object Serve {
   def queryAnn(index: DataFrame, ivf: graft.ops.Similarity.IvfIndex,
       docStats: DataFrame, corpusSize: Long, avgDocLen: Double,
       question: String, k: Int = 3, nProbe: Int = 4,
-      rrfScoreThreshold: Double = 0.0): QueryResponse = {
+      rrfScoreThreshold: Double = 0.0,
+      postings: Option[DataFrame] = None): QueryResponse = {
     val t0 = System.nanoTime()
     val hits = HybridSearch.searchAnn(index, ivf, docStats, corpusSize,
       avgDocLen, question,
-      HybridSearch.Config(k = k, rrfScoreThreshold = rrfScoreThreshold),
+      HybridSearch.Config(k = k, rrfScoreThreshold = rrfScoreThreshold,
+        postings = postings),
       nProbe = nProbe)
     collectResponse(hits, question, t0)
   }
@@ -163,11 +167,13 @@ object Serve {
   def queryHnsw(index: DataFrame, hs: HybridSearch.HnswServing,
       docStats: DataFrame, corpusSize: Long, avgDocLen: Double,
       question: String, k: Int = 3, ef: Int = 16, hops: Int = 3,
-      rrfScoreThreshold: Double = 0.0): QueryResponse = {
+      rrfScoreThreshold: Double = 0.0,
+      postings: Option[DataFrame] = None): QueryResponse = {
     val t0 = System.nanoTime()
     val hits = HybridSearch.searchHnsw(index, hs, docStats, corpusSize,
       avgDocLen, question,
-      HybridSearch.Config(k = k, rrfScoreThreshold = rrfScoreThreshold),
+      HybridSearch.Config(k = k, rrfScoreThreshold = rrfScoreThreshold,
+        postings = postings),
       ef = ef, hops = hops)
     collectResponse(hits, question, t0)
   }
@@ -185,11 +191,12 @@ object Serve {
   def queryDiversified(index: DataFrame, docStats: DataFrame,
       corpusSize: Long, avgDocLen: Double, question: String, k: Int = 3,
       lambda: Double = 0.7, candMultiplier: Int = 3,
-      rrfScoreThreshold: Double = 0.0): QueryResponse = {
+      rrfScoreThreshold: Double = 0.0,
+      postings: Option[DataFrame] = None): QueryResponse = {
     val t0 = System.nanoTime()
     val hits = HybridSearch.search(index, docStats, corpusSize, avgDocLen,
       question, HybridSearch.Config(k = k * candMultiplier,
-        rrfScoreThreshold = rrfScoreThreshold))
+        rrfScoreThreshold = rrfScoreThreshold, postings = postings))
     val present = hits.columns.toSet
     val payloadCols = Seq("case_name", "court", "date_filed", "judges").filter(present)
     val rows = hits.select(("id" +: "rrf_score" +: "chunk_text" +: "dense_vec" +:
@@ -236,7 +243,8 @@ object Serve {
     * [[toResult]], identical to the single-query endpoint. */
   def queryBatch(index: DataFrame, docStats: DataFrame, corpusSize: Long,
       avgDocLen: Double, questions: Seq[String], k: Int = 3,
-      rrfScoreThreshold: Double = 0.0): Seq[QueryResponse] = {
+      rrfScoreThreshold: Double = 0.0,
+      postings: Option[DataFrame] = None): Seq[QueryResponse] = {
     if (questions.isEmpty) return Nil
     val t0 = System.nanoTime()
     val spark = index.sparkSession
@@ -244,7 +252,8 @@ object Serve {
     val qdf = questions.zipWithIndex
       .map { case (q, i) => (i.toLong, q) }.toDF("query_id", "query")
     val hits = HybridSearch.searchAll(index, docStats, corpusSize, avgDocLen,
-      qdf, HybridSearch.Config(k = k, rrfScoreThreshold = rrfScoreThreshold))
+      qdf, HybridSearch.Config(k = k, rrfScoreThreshold = rrfScoreThreshold,
+        postings = postings))
     val present = hits.columns.toSet
     val payloadCols = Seq("case_name", "court", "date_filed", "judges").filter(present)
     val rows = hits.select(("query_id" +: "id" +: "rrf_score" +: "chunk_text" +:

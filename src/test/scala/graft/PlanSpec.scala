@@ -115,6 +115,34 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"text column should be pruned from the scan: $scan")
   }
 
+  test("q356 guard: the postings-backed sparse branch never scans the " +
+      "chunk index — no token explode, only the postings/stats tables") {
+    graft.functions.GraftFunctions.register(spark)
+    val base = SparkEntry.ensureHybridIndex(spark, dir)
+    val index = spark.read.parquet(s"$base/chunks")
+    val p = spark.read.parquet(s"$base/params").first()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_postings_plan").toString
+    graft.index.IndexWriter.postings(index)
+      .write.mode("overwrite").parquet(s"$tmp/postings")
+    val postings = spark.read.parquet(s"$tmp/postings")
+    val stats = spark.read.parquet(s"$base/stats")
+    val out = graft.search.HybridSearch.bm25TopKPostings(postings, stats,
+      p.getLong(0), p.getDouble(1), Seq("filter", "scan"), 25)
+    assert(out.count() > 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("chunks"),
+      s"postings path must not scan the chunk index:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"postings path must not explode token arrays:\n$plan")
+    // the term filter reaches the postings scan — at scale this is the
+    // partition-pruning seam
+    val scan = plan.linesIterator.filter(_.contains("FileScan"))
+      .find(_.contains("postings")).getOrElse("")
+    assert(scan.contains("PushedFilters: [") && scan.contains("In(term"),
+      s"term predicate must push into the postings scan: $scan")
+  }
+
   test("q05: the nation dim joins via BroadcastHashJoin, not a shuffle") {
     val df = SparkEntry.queries("q05_star_join")(spark, dir)
     df.collect()

@@ -50,6 +50,39 @@ class HybridSearchSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.head._2 >= rows(1)._2)
   }
 
+  test("postings-backed sparse branch == scan path bit-for-bit " +
+      "(branch, single search, batched searchAll)") {
+    val postings = graft.index.IndexWriter.postings(index)
+    def branchRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "bm25_score").as[(String, Double)].collect().toSeq
+    assert(
+      branchRows(HybridSearch.bm25TopKPostings(postings, stats, n, avgLen,
+        Seq("habeas", "corpus", "grain"), 10)) ==
+      branchRows(HybridSearch.bm25TopK(index, stats, n, avgLen,
+        Seq("habeas", "corpus", "grain"), 10)))
+    val cols = Seq("id", "rrf_score", "dense_score", "bm25_score")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect()
+        .map(r => (r.getString(0), r.getDouble(1),
+          Option(r.get(2)), Option(r.get(3)))).toSeq
+    val viaPostings = HybridSearch.search(index, stats, n, avgLen,
+      "habeas corpus", HybridSearch.Config(k = 3, postings = Some(postings)))
+    val viaScan = HybridSearch.search(index, stats, n, avgLen,
+      "habeas corpus", HybridSearch.Config(k = 3))
+    assert(rows(viaPostings) == rows(viaScan))
+    val queries = Seq((0L, "habeas corpus"), (1L, "grain shipment contract"))
+      .toDF("query_id", "query")
+    def brows(df: org.apache.spark.sql.DataFrame) =
+      df.select(("query_id" +: cols).map(col): _*).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+          Option(r.get(3)), Option(r.get(4)))).sortBy(t => (t._1, t._2)).toSeq
+    val batchedP = HybridSearch.searchAll(index, stats, n, avgLen, queries,
+      HybridSearch.Config(k = 2, postings = Some(postings)))
+    val batchedS = HybridSearch.searchAll(index, stats, n, avgLen, queries,
+      HybridSearch.Config(k = 2))
+    assert(brows(batchedP) == brows(batchedS))
+  }
+
   test("searchAll == per-query search loop, one plan, no per-query jobs") {
     val cfg = HybridSearch.Config(k = 2)
     val queryTexts = Seq("habeas corpus", "grain shipment contract",

@@ -81,6 +81,25 @@ object Skew {
       .limit(topN)
   }
 
+  /** Two-level salted COUNT DISTINCT — `df.groupBy(keyCols)
+    * .agg(countDistinct(distinctCol))` with a skew guarantee: level 1
+    * dedupes on (key, distinct-value), so the exchange hashes on ALL
+    * the columns and a heavy key's rows spread across tasks by value
+    * (the distinct column IS the salt — content-derived, retry-stable,
+    * the [[contentSalt]] rule for free); level 2 counts per key with
+    * map-side partial combine, so the hot key's final task receives at
+    * most one partial row per upstream partition, never the group's
+    * row count. Exactly equal to the unsalted aggregate (SuffixArray's
+    * skew spec plants a worst-case corpus and asserts it) — use it
+    * wherever one group can hold a corpus-scale share of the rows
+    * (e.g. boilerplate rank-pair groups in
+    * [[SuffixArray.repeatedSpanStatsExact]]). */
+  def distinctCountPerKey(df: DataFrame, keyCols: Seq[String],
+      distinctCol: String, outCol: String = "n_distinct"): DataFrame =
+    df.select((keyCols :+ distinctCol).map(col): _*).distinct()
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as(outCol))
+
   /** Deterministic per-row salt derived from the columns the operator
     * actually touches (key + value for [[saltedSum]]; `saltCols` or every
     * non-key column for [[saltedJoin]]) — hashing the full row costs one

@@ -164,7 +164,7 @@ object SuffixArray {
     * their L-token substrings are equal (the sparse-table test over
     * ⌊log2 L⌋ doubling rounds). The shared core of the stats, removal,
     * and contamination forms. */
-  private def rankPairKeys(docs: DataFrame, idCol: String,
+  private[ops] def rankPairKeys(docs: DataFrame, idCol: String,
       textCol: String, minLen: Int): (DataFrame, DataFrame) = {
     require(minLen >= 1, s"need minLen >= 1, got $minLen")
     val k = floorLog2(minLen)
@@ -191,8 +191,14 @@ object SuffixArray {
       : (DataFrame, DataFrame) = {
     require(minDocs >= 2, s"need minDocs >= 2, got $minDocs")
     val (lens, keyed) = rankPairKeys(docs, idCol, textCol, minLen)
-    val rep = keyed.groupBy("__ra", "__rb")
-      .agg(countDistinct("doc_id").as("__nd"))
+    // distinct-doc counting rides the two-level salted-distinct rewrite:
+    // corpus-scale boilerplate puts a corpus-sized share of positions in
+    // ONE (__ra, __rb) group, and a plain countDistinct would hand that
+    // group's rows to one task; level 1 dedupes keyed by
+    // (__ra, __rb, doc_id) — spread by doc — and level 2's per-key count
+    // partial-combines (SuffixArraySpec plants the worst case)
+    val rep = Skew.distinctCountPerKey(keyed, Seq("__ra", "__rb"),
+        "doc_id", "__nd")
       .filter(col("__nd") >= minDocs)
       .select("__ra", "__rb")
     val hits = keyed.join(rep, Seq("__ra", "__rb"), "left_semi")

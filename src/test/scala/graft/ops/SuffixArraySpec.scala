@@ -36,6 +36,38 @@ class SuffixArraySpec extends AnyFunSuite with SparkTestBase {
     assert(fin.toSeq == (1L to 10L), s"dense total order, got ${fin.toSeq}")
   }
 
+  test("heavy-hitter guard: corpus-wide boilerplate (one sentence in " +
+      "EVERY doc) — salted distinct-count equals the unsalted aggregate " +
+      "and the stats cover exactly the boilerplate") {
+    // worst case for the (__ra, __rb) grouping: all 40 docs share the
+    // same 14-token sentence, so its rank-pair groups each hold a
+    // corpus-sized share of the positions
+    val boiler = "please accept all cookies before reading anything " +
+      "on this terrible website today thanks"
+    val docs = (1L to 40L).map(i => (i, s"$boiler unique$i"))
+      .toDF("doc_id", "text")
+    val (_, keyed) = SuffixArray.rankPairKeys(docs, "doc_id", "text",
+      minLen = 12)
+    val salted = Skew.distinctCountPerKey(keyed, Seq("__ra", "__rb"),
+        "doc_id", "__nd")
+      .as[(Long, Long, Long)].collect().toSet
+    val unsalted = keyed.groupBy("__ra", "__rb")
+      .agg(countDistinct("doc_id").as("__nd"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(salted == unsalted)
+    // end-to-end: every doc has 14 tokens (13 boilerplate + 1 unique
+    // tail). L=12 starts need s+12 <= 14 → s ∈ {0,1,2}; start 2's
+    // window includes the per-doc unique token, so it is NOT cross-doc;
+    // starts 0 and 1 are shared by all docs → merged span [0, 13):
+    // 13 covered tokens, 1 span
+    val stats = SuffixArray.repeatedSpanStatsExact(docs, "doc_id",
+        "text", minLen = 12)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(stats.length == 40)
+    assert(stats.forall { case (_, n, rep, spans) =>
+      n == 14 && rep == 13 && spans == 1 })
+  }
+
   test("repeatedSpanStatsExact: off-grid 12-token repeat that the " +
       "k=16 multi-k ladder misses; no false 13-length certificate; " +
       "same-doc repeats don't count toward minDocs") {

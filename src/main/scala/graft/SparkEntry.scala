@@ -5912,6 +5912,42 @@ object SparkEntry {
         cfg.k * cfg.prefetchMultiplier), dir, "q356_dense")
       HybridSearch.search(index, stats, n, avgLen, queryText, cfg)
         .select("id", "chunk_id", "rrf_score", "dense_score", "bm25_score")
+    }),
+
+    // SEGMENT-INCREMENTAL ExactSubstr contamination (r11 judge ask #3):
+    // q348's corpus split into a FROZEN eval segment (its substring key
+    // table built once — content digests, since rank classes don't
+    // compare across segments) and two train batches admitted
+    // independently, each building suffix ranks over the batch alone
+    // and joining its per-group digests against the stored keys — the
+    // eval text is never re-read, batch cost is batch-sized. Output
+    // must equal the full-rebuild q348 semantics on the same corpus;
+    // DuckDB verifies INDEPENDENTLY by direct window equality (train
+    // window ∈ eval windows), not by replaying either construction.
+    "q357_sa_incremental" -> ((s, dir) => {
+      val secret = " benchmark answer span leaks verbatim into web" +
+        " crawl training corpora every day"
+      val boiler = " shared internal navigation chrome repeats across" +
+        " many training documents without leaking ever"
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 50 === 0 || col("doc_id") % 7 === 3,
+            lit(secret)).otherwise(lit("")),
+          when(col("doc_id") % 13 === 5 && col("doc_id") % 50 =!= 0,
+            lit(boiler)).otherwise(lit(""))).as("text"))
+      val evalDocs = planted.filter(col("doc_id") % 50 === 0)
+      val keys = graft.ops.SuffixArray.substrKeyTable(
+        evalDocs, "doc_id", "text", minLen = 12).localCheckpoint()
+      val b1 = planted.filter(col("doc_id") % 50 =!= 0 &&
+        col("doc_id") < 250)
+      val b2 = planted.filter(col("doc_id") % 50 =!= 0 &&
+        col("doc_id") >= 250)
+      graft.ops.SuffixArray.exactSubstrContaminationIncremental(
+          b1, keys, "doc_id", "text", minLen = 12)
+        .unionByName(graft.ops.SuffixArray
+          .exactSubstrContaminationIncremental(
+            b2, keys, "doc_id", "text", minLen = 12))
+        .orderBy("doc_id")
     })
   )
 
@@ -13238,6 +13274,51 @@ object SparkEntry {
         |top AS (SELECT * FROM fused ORDER BY rrf_score DESC, id LIMIT 5)
         |SELECT top.id, idx.chunk_id, top.rrf_score, top.dense_score, top.bm25_score
         |FROM top JOIN idx ON idx.id = top.id""".stripMargin,
+
+    // independent of BOTH constructions: direct 12-token-window equality
+    // (train window ∈ eval windows), no suffix-array replay
+    "q357_sa_incremental" ->
+      s"""WITH planted AS (SELECT doc_id, text
+         |    || CASE WHEN doc_id % 50 = 0 OR doc_id % 7 = 3
+         |      THEN ' benchmark answer span leaks verbatim into web crawl training corpora every day'
+         |      ELSE '' END
+         |    || CASE WHEN doc_id % 13 = 5 AND doc_id % 50 <> 0
+         |      THEN ' shared internal navigation chrome repeats across many training documents without leaking ever'
+         |      ELSE '' END AS text
+         |  FROM documents),
+         |toks AS MATERIALIZED (SELECT doc_id,
+         |    [lower(x) for x in regexp_extract_all(text, '\\S+')] AS ws
+         |  FROM planted),
+         |lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len FROM toks),
+         |wins AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    array_to_string(ws[CAST(i + 1 AS INT):CAST(i + 12 AS INT)], ' ') AS w
+         |  FROM toks, UNNEST(range(len(ws) - 11)) t(i)
+         |  WHERE len(ws) >= 12),
+         |ev AS MATERIALIZED (SELECT DISTINCT w FROM wins WHERE doc_id % 50 = 0),
+         |hits AS (SELECT doc_id, pos AS s, pos + 12 AS e FROM wins
+         |  WHERE doc_id % 50 <> 0 AND w IN (SELECT w FROM ev)),
+         |flagged AS (SELECT doc_id, s, e,
+         |    CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+         |      THEN 1 ELSE 0 END AS new_island
+         |  FROM hits
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY s, e
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |isl AS (SELECT doc_id, s, e,
+         |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM flagged),
+         |sp AS (SELECT doc_id, island, min(s) AS s, max(e) AS e
+         |  FROM isl GROUP BY 1, 2),
+         |agg AS (SELECT doc_id,
+         |    CAST(sum(e - s) AS BIGINT) AS contaminated_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_spans FROM sp GROUP BY 1)
+         |SELECT l.doc_id, l.len AS n_tokens,
+         |  CAST(COALESCE(a.contaminated_tokens, 0) AS BIGINT)
+         |    AS contaminated_tokens,
+         |  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans
+         |FROM lens l LEFT JOIN agg a USING (doc_id)
+         |WHERE l.doc_id % 50 <> 0
+         |ORDER BY l.doc_id""".stripMargin,
 
     "q341_sa_adjacent_lcp" -> {
       val levels = (7 to 0 by -1).map { k =>

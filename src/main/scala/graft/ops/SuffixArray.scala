@@ -166,6 +166,15 @@ object SuffixArray {
     * and contamination forms. */
   private[ops] def rankPairKeys(docs: DataFrame, idCol: String,
       textCol: String, minLen: Int): (DataFrame, DataFrame) = {
+    val (lens, keyed, _) = rankPairKeysPos(docs, idCol, textCol, minLen)
+    (lens, keyed)
+  }
+
+  /** [[rankPairKeys]] plus the positions table (the incremental forms
+    * need the tokens to digest group representatives). */
+  private[ops] def rankPairKeysPos(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(minLen >= 1, s"need minLen >= 1, got $minLen")
     val k = floorLog2(minLen)
     val h = 1L << k
@@ -180,7 +189,92 @@ object SuffixArray {
       .filter(col("pos") + minLen <= col("__len"))
       .select(col("doc_id"), col("pos"), col("rank").as("__ra"), col("__rb"))
       .localCheckpoint()
-    (lens, keyed)
+    (lens, keyed, sr.positions)
+  }
+
+  /** CONTENT digests of each distinct length-minLen substring, derived
+    * through the rank-pair grouping so every distinct substring is
+    * digested ONCE (one representative position per (__ra, __rb)
+    * group), not once per occurrence: the representative explodes to
+    * its minLen (doc_id, pos+i) cells, equi-joins the positions table
+    * for the tokens, and md5-digests the space-joined window (tokens
+    * are \S+, so the join is unambiguous). Returns
+    * (__ra, __rb, key). */
+  private def groupDigests(reps: DataFrame, pos: DataFrame,
+      minLen: Int): DataFrame =
+    reps
+      .withColumn("__i", explode(sequence(lit(0L), lit(minLen - 1L))))
+      .withColumn("__p2", col("pos") + col("__i"))
+      .join(pos.select(col("doc_id"), col("pos").as("__p2"), col("tok")),
+        Seq("doc_id", "__p2"))
+      .groupBy("__ra", "__rb")
+      .agg(md5(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("__i"), col("tok")))),
+          x => x.getField("tok")))).as("key"))
+
+  /** The STORED per-segment artifact of the incremental-admission
+    * discipline (the IVF-generations / q81-incremental-dedup move
+    * applied to ExactSubstr): the distinct content keys of every
+    * length-minLen substring in this segment — rank values are
+    * per-corpus equivalence classes and CANNOT be compared across
+    * segments, so the cross-segment join key is a content digest,
+    * computed once per distinct substring via the group-representative
+    * trick ([[groupDigests]]). Build it when a segment is sealed (the
+    * eval set once; each admitted crawl batch at admission time), store
+    * the one-column table, and [[exactSubstrContaminationIncremental]]
+    * joins future batches against it — the segment's TEXT is never
+    * re-read. Size is bounded by the segment's distinct substrings
+    * (≤ its positions), 16 bytes each. */
+  def substrKeyTable(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    val (_, keyed, pos) = rankPairKeysPos(docs, idCol, textCol, minLen)
+    val reps = keyed.groupBy("__ra", "__rb")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__r"))
+      .select(col("__ra"), col("__rb"),
+        col("__r").getField("doc_id").as("doc_id"),
+        col("__r").getField("pos").as("pos"))
+    groupDigests(reps, pos, minLen).select("key").distinct()
+  }
+
+  /** SEGMENT-INCREMENTAL [[exactSubstrContamination]] — a crawl appends
+    * daily, so the batch admission cost must be a function of the
+    * BATCH, never a corpus rebuild: suffix ranks (⌊log₂ minLen⌋
+    * doubling rounds) build over the new batch alone, each distinct
+    * batch substring digests once through its group representative,
+    * and the digests join the stored segment key table
+    * ([[substrKeyTable]] — e.g. the frozen eval set). A batch position
+    * is contaminated iff its window's digest appears in the stored
+    * keys, which is exactly [[exactSubstrContamination]]'s
+    * both-sides-rule restricted to this batch (window equality ⟺ key
+    * equality) — q357 proves batch-incremental ≡ full rebuild on the
+    * same corpus split, and the spec seals that the stored segment's
+    * text is never touched (the method cannot: it only receives keys).
+    * Returns one row per batch doc:
+    * (doc_id, n_tokens, contaminated_tokens, n_spans). */
+  def exactSubstrContaminationIncremental(batch: DataFrame,
+      storedKeys: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    val (lens, keyed, pos) = rankPairKeysPos(batch, idCol, textCol, minLen)
+    val reps = keyed.groupBy("__ra", "__rb")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__r"))
+      .select(col("__ra"), col("__rb"),
+        col("__r").getField("doc_id").as("doc_id"),
+        col("__r").getField("pos").as("pos"))
+    val hitGroups = groupDigests(reps, pos, minLen)
+      .join(storedKeys.select("key"), Seq("key"), "left_semi")
+      .select("__ra", "__rb")
+    val hits = keyed.join(hitGroups, Seq("__ra", "__rb"), "left_semi")
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + minLen).as("e"))
+    val spans = Cleaning.mergeIntervals(hits, "doc_id", "s", "e")
+      .groupBy("doc_id")
+      .agg(sum(col("e") - col("s")).as("contaminated_tokens"),
+        count(lit(1)).as("n_spans"))
+    lens.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__len").cast("long").as("n_tokens"),
+        coalesce(col("contaminated_tokens"), lit(0L))
+          .as("contaminated_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
   }
 
   /** Shared core of the stats and removal forms: per-doc token counts

@@ -68,6 +68,46 @@ class SuffixArraySpec extends AnyFunSuite with SparkTestBase {
       n == 14 && rep == 13 && spans == 1 })
   }
 
+  test("segment-incremental contamination == full rebuild; the stored " +
+      "segment artifact is digests only (text never re-read)") {
+    val secret = "zero one two three four five six seven eight nine " +
+      "ten eleven"
+    val trainOnly = "shared train navigation boilerplate sentence with " +
+      "twelve whole tokens here now"
+    val docs = Seq(
+      (100L, s"evalpad $secret"),
+      (3L, s"alpha beta $secret gamma"),
+      (10L, s"$secret delta"),
+      (5L, trainOnly),
+      (6L, s"$trainOnly also"),
+      (7L, "completely unrelated text with plenty of tokens to stay " +
+        "above the window size easily"))
+      .toDF("doc_id", "text")
+    val evalDocs = docs.filter($"doc_id" === 100L)
+    val train = docs.filter($"doc_id" =!= 100L)
+    val keys = SuffixArray.substrKeyTable(evalDocs, "doc_id", "text",
+      minLen = 12)
+    // the stored artifact: one digest column, nothing else — the API
+    // cannot re-read segment text because it never receives any
+    assert(keys.columns.toSeq == Seq("key"))
+    val b1 = train.filter($"doc_id" <= 5)
+    val b2 = train.filter($"doc_id" > 5)
+    val inc = SuffixArray.exactSubstrContaminationIncremental(
+        b1, keys, "doc_id", "text", minLen = 12)
+      .unionByName(SuffixArray.exactSubstrContaminationIncremental(
+        b2, keys, "doc_id", "text", minLen = 12))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val full = SuffixArray.exactSubstrContamination(docs, "doc_id",
+        "text", isEval = $"doc_id" === 100L, minLen = 12)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(inc == full)
+    // the secret flags in both its train hosts; the cross-batch
+    // train-only boilerplate (docs 5/6) must NOT flag
+    val byDoc = inc.map(r => r._1 -> r._3).toMap
+    assert(byDoc(3L) == 12 && byDoc(10L) == 12)
+    assert(byDoc(5L) == 0 && byDoc(6L) == 0 && byDoc(7L) == 0)
+  }
+
   test("repeatedSpanStatsExact: off-grid 12-token repeat that the " +
       "k=16 multi-k ladder misses; no false 13-length certificate; " +
       "same-doc repeats don't count toward minDocs") {

@@ -75,6 +75,67 @@ object SparkEntry {
   def prebuiltPath(sfDir: String): String =
     "/tmp/graft_prebuilt/" + new java.io.File(sfDir).getName
 
+  /** The q344/q358 streaming-curation fixture: plant the varied corpus
+    * (%17≡3 reversed → lang fail; %13≡1 exact copies at +10000; %11≡2
+    * near-dup copies at +20000), train the frozen q213-style profile,
+    * write three ascending-id micro-batch files onto a strictly
+    * increasing mtime ladder (FileStreamSource orders by modification
+    * time with nondeterministic tie-break, and the online first-wins
+    * rule is order-dependent across batches — a collision could let a
+    * +10000 copy precede its original), and drain the stream. Returns
+    * the tmp base: snapshot under `<tmp>/out`, dedup state under
+    * `<tmp>/state`. */
+  private def curationStreamFixture(s: SparkSession, dir: String): String = {
+    import graft.streaming.CurationStream
+    val base = t(s, dir, "documents")
+    val varied = base.select(col("doc_id"),
+      when(col("doc_id") % 17 === 3, reverse(col("text")))
+        .otherwise(col("text")).as("text"))
+    val planted = varied
+      .unionByName(varied.filter(col("doc_id") % 13 === 1)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionByName(varied.filter(col("doc_id") % 11 === 2)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" zzappendix")).as("text")))
+    val langLabel = when(col("doc_id") % 3 === 0, "en")
+      .when(col("doc_id") % 3 === 1, "zz").otherwise("qq")
+    val langVariant = when(col("doc_id") % 3 === 0, col("text"))
+      .when(col("doc_id") % 3 === 1,
+        translate(col("text"), "aeiou", "zzzzz"))
+      .otherwise(reverse(col("text")))
+    val profile = TextAnalysis.langIdTrain(
+      base.filter(col("doc_id") < 200)
+        .select(langLabel.as("lang"), langVariant.as("text")),
+      buckets = 1024)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_q344").toString
+    val srcDir = s"$tmp/src"
+    val stamped = scala.collection.mutable.Set[String]()
+    val mtime0 = (System.currentTimeMillis() / 1000L) * 1000L
+    def writeBatch(batchNo: Int, df: DataFrame): Unit = {
+      df.coalesce(1).write.mode("append").parquet(srcDir)
+      new java.io.File(srcDir).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          !stamped.contains(f.getName))
+        .foreach { f =>
+          require(f.setLastModified(mtime0 + batchNo * 60000L),
+            s"curation fixture: could not stamp mtime on ${f.getName}")
+          stamped += f.getName
+        }
+    }
+    writeBatch(1, planted.filter(col("doc_id") < 250))
+    writeBatch(2,
+      planted.filter(col("doc_id") >= 250 && col("doc_id") < 10000))
+    writeBatch(3, planted.filter(col("doc_id") >= 10000))
+    val schema = s.read.parquet(srcDir).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = CurationStream.run(s, src, profile,
+      s"$tmp/out", s"$tmp/state", s"$tmp/cp")
+    q.processAllAvailable(); q.stop()
+    tmp
+  }
+
   def ensureHybridIndex(s: SparkSession, dir: String): String = {
     val base = prebuiltPath(dir)
     val marker = java.nio.file.Paths.get(base, "_BUILT")
@@ -5535,60 +5596,7 @@ object SparkEntry {
     // profile training + classification, logit, top-bigram — straight
     // from the documents table; the batching must be invisible.
     "q344_curation_stream" -> ((s, dir) => {
-      import graft.streaming.CurationStream
-      val base = t(s, dir, "documents")
-      val varied = base.select(col("doc_id"),
-        when(col("doc_id") % 17 === 3, reverse(col("text")))
-          .otherwise(col("text")).as("text"))
-      val planted = varied
-        .unionByName(varied.filter(col("doc_id") % 13 === 1)
-          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-        .unionByName(varied.filter(col("doc_id") % 11 === 2)
-          .select((col("doc_id") + 20000).as("doc_id"),
-            concat(col("text"), lit(" zzappendix")).as("text")))
-      val langLabel = when(col("doc_id") % 3 === 0, "en")
-        .when(col("doc_id") % 3 === 1, "zz").otherwise("qq")
-      val langVariant = when(col("doc_id") % 3 === 0, col("text"))
-        .when(col("doc_id") % 3 === 1,
-          translate(col("text"), "aeiou", "zzzzz"))
-        .otherwise(reverse(col("text")))
-      val profile = TextAnalysis.langIdTrain(
-        base.filter(col("doc_id") < 200)
-          .select(langLabel.as("lang"), langVariant.as("text")),
-        buckets = 1024)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_q344").toString
-      val srcDir = s"$tmp/src"
-      // FileStreamSource(maxFilesPerTrigger = 1) delivers files in
-      // MODIFICATION-TIME order with nondeterministic tie-break; the
-      // online first-wins rule is order-dependent across batches (a
-      // +10000 copy processed before its original would pass both), so
-      // each batch's files are stamped onto a strictly increasing
-      // mtime ladder — an mtime collision between writes can never
-      // reorder the batches.
-      val stamped = scala.collection.mutable.Set[String]()
-      val mtime0 = (System.currentTimeMillis() / 1000L) * 1000L
-      def writeBatch(batchNo: Int, df: DataFrame): Unit = {
-        df.coalesce(1).write.mode("append").parquet(srcDir)
-        new java.io.File(srcDir).listFiles()
-          .filter(f => f.getName.startsWith("part-") &&
-            !stamped.contains(f.getName))
-          .foreach { f =>
-            require(f.setLastModified(mtime0 + batchNo * 60000L),
-              s"q344: could not stamp mtime on ${f.getName}")
-            stamped += f.getName
-          }
-      }
-      writeBatch(1, planted.filter(col("doc_id") < 250))
-      writeBatch(2,
-        planted.filter(col("doc_id") >= 250 && col("doc_id") < 10000))
-      writeBatch(3, planted.filter(col("doc_id") >= 10000))
-      val schema = s.read.parquet(srcDir).schema
-      val src = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(srcDir)
-      val q = CurationStream.run(s, src, profile,
-        s"$tmp/out", s"$tmp/state", s"$tmp/cp")
-      q.processAllAvailable(); q.stop()
+      val tmp = curationStreamFixture(s, dir)
       graft.index.Snapshots.readVersion(s, s"$tmp/out",
           graft.index.Snapshots.versions(s, s"$tmp/out").last)
         .select("id", "n_chars", "pass_exact", "pass_neardup",
@@ -5948,6 +5956,28 @@ object SparkEntry {
           .exactSubstrContaminationIncremental(
             b2, keys, "doc_id", "text", minLen = 12))
         .orderBy("doc_id")
+    }),
+
+    // Streaming curation + COMPACTION EPOCH (r11 judge ask #4): the
+    // q344 stream admits first-wins (the only batching-invariant online
+    // near-dup rule), then CurationStream.reconcile closes the corpus —
+    // clusters rebuild from the accumulated SIGNATURE state (text never
+    // re-read), survivors upgrade to keep-best (longest n_chars, tie →
+    // min id — the q180/q183 rule), and the result commits as the next
+    // snapshot version. The +20000 near-dup plants carry one EXTRA
+    // token, so keep-best must flip each cluster's survivor from the
+    // original (first-wins' choice) to the longer copy. DuckDB replays
+    // the whole chain: gates, banding + signature agreement, the
+    // reachability closure, and the per-cluster argmax.
+    "q358_curation_reconcile" -> ((s, dir) => {
+      val tmp = curationStreamFixture(s, dir)
+      graft.streaming.CurationStream.reconcile(s, s"$tmp/out", s"$tmp/state")
+      graft.index.Snapshots.readVersion(s, s"$tmp/out",
+          graft.index.Snapshots.versions(s, s"$tmp/out").last)
+        .select("id", "n_chars", "pass_exact", "pass_neardup",
+          "pred_lang", "margin6", "logit", "top_cnt", "n_pairs",
+          "pass_lang", "pass_quality", "pass_rep", "admitted")
+        .orderBy("id")
     })
   )
 
@@ -6122,6 +6152,120 @@ object SparkEntry {
     * instead of exact Jaccard, ending in `ndrej(doc_id)`: the ids the
     * online first-wins rule rejects (a qualifying partner with a
     * smaller id exists among band-collision candidates). */
+  /** The q344 gate-chain replay (plants, normalization, smaller-id
+    * digest rule, LSH + signature agreement, frozen-profile language
+    * gate, logit, top-bigram) as CTEs ending in
+    * `flags(id, n_chars, pass_exact, pass_neardup, pred_lang,
+    * margin6, logit, top_cnt, n_pairs)` - shared by the q344 stream
+    * oracle and q358 reconciliation tail (which also reads the
+    * exposed `ndver(id1, id2)` verified pairs). */
+  private def curationGateCtes: String =
+    s"""vbase AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 17 = 3 THEN reverse(text) ELSE text END
+         |      AS text
+         |  FROM documents),
+         |pl AS (SELECT doc_id, text FROM vbase
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text FROM vbase WHERE doc_id % 13 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text || ' zzappendix' FROM vbase
+         |  WHERE doc_id % 11 = 2),
+         |nfil AS MATERIALIZED (SELECT doc_id, norm_text FROM (
+         |    SELECT doc_id,
+         |      trim(regexp_replace(lower(strip_accents(text)),
+         |        '\\s+', ' ', 'g')) AS norm_text
+         |    FROM pl)
+         |  WHERE length(norm_text) >= 100),
+         |bd AS (SELECT doc_id, md5(norm_text) AS dg FROM nfil),
+         |exr AS (SELECT DISTINCT a.doc_id FROM bd a
+         |  JOIN bd b ON b.dg = a.dg AND b.doc_id < a.doc_id),
+         |${minhashAgreementCtes("SELECT doc_id, norm_text AS text FROM nfil")},
+         |liv AS (SELECT
+         |    CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'zz'
+         |      ELSE 'qq' END AS lang,
+         |    CASE doc_id % 3 WHEN 0 THEN text
+         |      WHEN 1 THEN translate(text, 'aeiou', 'zzzzz')
+         |      ELSE reverse(text) END AS text
+         |  FROM documents WHERE doc_id < 200),
+         |litb AS (SELECT lang,
+         |    CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 1024 AS bucket
+         |  FROM (SELECT lang, unnest(flatten(list_transform(
+         |      list_filter(string_split(lower(trim(text)), ' '),
+         |        w -> w <> ''),
+         |      w -> list_transform(range(1, length(w) + 2),
+         |        i -> substr('_' || w || '_', CAST(i AS INT), 2))))) AS g
+         |    FROM liv)),
+         |licnt AS (SELECT lang, bucket, count(*) AS c FROM litb GROUP BY 1, 2),
+         |litot AS (SELECT lang, sum(c) AS total FROM licnt GROUP BY 1),
+         |liwts AS (SELECT licnt.lang, bucket,
+         |    CAST(round(log10((c + 1) / (total + 1024)) * 1000000, 0)
+         |      AS BIGINT) AS w6
+         |  FROM licnt JOIN litot USING (lang)),
+         |liflo AS (SELECT lang,
+         |    CAST(round(log10(1 / (total + 1024)) * 1000000, 0) AS BIGINT)
+         |      AS def6
+         |  FROM litot),
+         |ligb AS (SELECT doc_id,
+         |    CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 1024 AS bucket
+         |  FROM (SELECT doc_id, unnest(flatten(list_transform(
+         |      list_filter(string_split(lower(trim(norm_text)), ' '),
+         |        w -> w <> ''),
+         |      w -> list_transform(range(1, length(w) + 2),
+         |        i -> substr('_' || w || '_', CAST(i AS INT), 2))))) AS g
+         |    FROM nfil)),
+         |lisc AS (SELECT g.doc_id, l.lang,
+         |    CAST(SUM(COALESCE(w.w6, f.def6)) AS BIGINT) AS score6
+         |  FROM ligb g CROSS JOIN (SELECT DISTINCT lang FROM litot) l
+         |  LEFT JOIN liwts w ON w.lang = l.lang AND w.bucket = g.bucket
+         |  JOIN liflo f ON f.lang = l.lang
+         |  GROUP BY 1, 2),
+         |lirk AS (SELECT doc_id, lang, score6,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score6 DESC, lang) AS rn,
+         |    lead(score6) OVER (PARTITION BY doc_id
+         |      ORDER BY score6 DESC, lang) AS next6
+         |  FROM lisc),
+         |lipred AS (SELECT doc_id, lang AS pred_lang,
+         |    score6 - COALESCE(next6, score6) AS margin6
+         |  FROM lirk WHERE rn = 1),
+         |f AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(norm_text, '\\S+')) AS BIGINT)
+         |      AS n_words,
+         |    CAST(length(norm_text) AS BIGINT) AS nc,
+         |    CAST(len(regexp_extract_all(norm_text, '!')) AS BIGINT)
+         |      AS n_exclaim,
+         |    CAST(len(regexp_extract_all(norm_text, '[0-9]')) AS BIGINT)
+         |      AS n_digits
+         |  FROM nfil),
+         |lg AS (SELECT doc_id,
+         |    2*n_words + 1*nc - 50*n_exclaim - 10*n_digits - 500 AS logit
+         |  FROM f),
+         |toks AS (SELECT doc_id, idx, parts[idx+1] AS tok FROM (
+         |    SELECT doc_id, parts, unnest(range(len(parts))) AS idx FROM (
+         |      SELECT doc_id, string_split(norm_text, ' ') AS parts
+         |      FROM nfil))),
+         |prs AS (SELECT a.doc_id, a.tok AS prev, b.tok AS next
+         |  FROM toks a JOIN toks b
+         |    ON a.doc_id = b.doc_id AND b.idx = a.idx + 1),
+         |pc AS (SELECT doc_id, prev, next, CAST(count(*) AS BIGINT) AS c
+         |  FROM prs GROUP BY 1, 2, 3),
+         |rep AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt,
+         |    CAST(sum(c) AS BIGINT) AS n_pairs FROM pc GROUP BY 1),
+         |flags AS (SELECT n.doc_id AS id,
+         |    CAST(length(n.norm_text) AS BIGINT) AS n_chars,
+         |    CASE WHEN ex.doc_id IS NULL THEN 1 ELSE 0 END AS pass_exact,
+         |    CASE WHEN nd.doc_id IS NULL THEN 1 ELSE 0 END AS pass_neardup,
+         |    COALESCE(lp.pred_lang, 'und') AS pred_lang,
+         |    CAST(COALESCE(lp.margin6, 0) AS BIGINT) AS margin6,
+         |    CAST(l.logit AS BIGINT) AS logit,
+         |    COALESCE(r.top_cnt, 1) AS top_cnt,
+         |    COALESCE(r.n_pairs, 0) AS n_pairs
+         |  FROM nfil n JOIN lg l ON l.doc_id = n.doc_id
+         |  LEFT JOIN exr ex ON ex.doc_id = n.doc_id
+         |  LEFT JOIN ndrej nd ON nd.doc_id = n.doc_id
+         |  LEFT JOIN lipred lp ON lp.doc_id = n.doc_id
+         |  LEFT JOIN rep r ON r.doc_id = n.doc_id)""".stripMargin
+
   private def minhashAgreementCtes(corpusSelect: String): String = {
     val hs = (0 until 16).map(i =>
       s"list_min([md5('${i}_' || x) for x in sh]) AS h$i").mkString(",\n    ")
@@ -6146,10 +6290,11 @@ object SparkEntry {
        |ndcand AS (SELECT a.doc_id AS id1, b.doc_id AS id2
        |  FROM ndbands a JOIN ndbands b ON a.band = b.band AND a.bh = b.bh
        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-       |ndrej AS (SELECT DISTINCT c.id2 AS doc_id FROM ndcand c
+       |ndver AS MATERIALIZED (SELECT c.id1, c.id2 FROM ndcand c
        |  JOIN ndsigs a ON a.doc_id = c.id1
        |  JOIN ndsigs b ON b.doc_id = c.id2
-       |  WHERE $eq >= 13)""".stripMargin
+       |  WHERE $eq >= 13),
+       |ndrej AS (SELECT DISTINCT id2 AS doc_id FROM ndver)""".stripMargin
   }
 
   /** [[minhashLshCtes]] with a caller-chosen planted-copy SELECT (the
@@ -13447,112 +13592,52 @@ object SparkEntry {
         |  UNION ALL SELECT layer, nbr AS id, id AS nbr, cos FROM rep)
         |ORDER BY layer, id, nbr""".stripMargin,
 
+    // the streamed gates, then the compaction epoch: keep-best per
+    // near-dup cluster (connected components over the verified pairs
+    // among exact survivors; argmax by n_chars desc, id asc)
+    "q358_curation_reconcile" ->
+      s"""WITH RECURSIVE $curationGateCtes,
+         |exo AS MATERIALIZED (SELECT id, n_chars FROM flags
+         |  WHERE pass_exact = 1),
+         |ndvx AS MATERIALIZED (SELECT v.id1, v.id2 FROM ndver v
+         |  JOIN exo a ON a.id = v.id1 JOIN exo b ON b.id = v.id2),
+         |sym AS (SELECT id1 AS src, id2 AS dst FROM ndvx
+         |  UNION SELECT id2, id1 FROM ndvx),
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |walk(id, comp) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT s.src, w.comp FROM sym s JOIN walk w ON s.dst = w.id),
+         |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+         |rkd AS (SELECT cc.id,
+         |    row_number() OVER (PARTITION BY comp
+         |      ORDER BY e.n_chars DESC, cc.id) AS rn
+         |  FROM cc JOIN exo e ON e.id = cc.id),
+         |losers AS (SELECT id FROM rkd WHERE rn > 1),
+         |upg AS (SELECT f.id, f.n_chars, f.pass_exact,
+         |    CASE WHEN f.pass_exact = 1 THEN
+         |      CASE WHEN l.id IS NULL THEN 1 ELSE 0 END
+         |    ELSE f.pass_neardup END AS pass_neardup,
+         |    f.pred_lang, f.margin6, f.logit, f.top_cnt, f.n_pairs
+         |  FROM flags f LEFT JOIN losers l ON l.id = f.id)
+         |SELECT id, n_chars,
+         |  CAST(pass_exact AS BIGINT) AS pass_exact,
+         |  CAST(pass_neardup AS BIGINT) AS pass_neardup,
+         |  pred_lang, margin6, logit, top_cnt, n_pairs,
+         |  CAST(CASE WHEN pred_lang = 'en' AND margin6 >= 1000000
+         |    THEN 1 ELSE 0 END AS BIGINT) AS pass_lang,
+         |  CAST(CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS pass_quality,
+         |  CAST(CASE WHEN top_cnt * 10 <= n_pairs THEN 1 ELSE 0 END
+         |    AS BIGINT) AS pass_rep,
+         |  CAST(CASE WHEN pass_exact = 1 AND pass_neardup = 1
+         |    AND pred_lang = 'en' AND margin6 >= 1000000
+         |    AND logit >= 0 AND top_cnt * 10 <= n_pairs
+         |    THEN 1 ELSE 0 END AS BIGINT) AS admitted
+         |FROM upg ORDER BY id""".stripMargin,
+
     "q344_curation_stream" ->
-      s"""WITH vbase AS (SELECT doc_id,
-         |    CASE WHEN doc_id % 17 = 3 THEN reverse(text) ELSE text END
-         |      AS text
-         |  FROM documents),
-         |pl AS (SELECT doc_id, text FROM vbase
-         |  UNION ALL
-         |  SELECT doc_id + 10000, text FROM vbase WHERE doc_id % 13 = 1
-         |  UNION ALL
-         |  SELECT doc_id + 20000, text || ' zzappendix' FROM vbase
-         |  WHERE doc_id % 11 = 2),
-         |nfil AS MATERIALIZED (SELECT doc_id, norm_text FROM (
-         |    SELECT doc_id,
-         |      trim(regexp_replace(lower(strip_accents(text)),
-         |        '\\s+', ' ', 'g')) AS norm_text
-         |    FROM pl)
-         |  WHERE length(norm_text) >= 100),
-         |bd AS (SELECT doc_id, md5(norm_text) AS dg FROM nfil),
-         |exr AS (SELECT DISTINCT a.doc_id FROM bd a
-         |  JOIN bd b ON b.dg = a.dg AND b.doc_id < a.doc_id),
-         |${minhashAgreementCtes("SELECT doc_id, norm_text AS text FROM nfil")},
-         |liv AS (SELECT
-         |    CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'zz'
-         |      ELSE 'qq' END AS lang,
-         |    CASE doc_id % 3 WHEN 0 THEN text
-         |      WHEN 1 THEN translate(text, 'aeiou', 'zzzzz')
-         |      ELSE reverse(text) END AS text
-         |  FROM documents WHERE doc_id < 200),
-         |litb AS (SELECT lang,
-         |    CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 1024 AS bucket
-         |  FROM (SELECT lang, unnest(flatten(list_transform(
-         |      list_filter(string_split(lower(trim(text)), ' '),
-         |        w -> w <> ''),
-         |      w -> list_transform(range(1, length(w) + 2),
-         |        i -> substr('_' || w || '_', CAST(i AS INT), 2))))) AS g
-         |    FROM liv)),
-         |licnt AS (SELECT lang, bucket, count(*) AS c FROM litb GROUP BY 1, 2),
-         |litot AS (SELECT lang, sum(c) AS total FROM licnt GROUP BY 1),
-         |liwts AS (SELECT licnt.lang, bucket,
-         |    CAST(round(log10((c + 1) / (total + 1024)) * 1000000, 0)
-         |      AS BIGINT) AS w6
-         |  FROM licnt JOIN litot USING (lang)),
-         |liflo AS (SELECT lang,
-         |    CAST(round(log10(1 / (total + 1024)) * 1000000, 0) AS BIGINT)
-         |      AS def6
-         |  FROM litot),
-         |ligb AS (SELECT doc_id,
-         |    CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 1024 AS bucket
-         |  FROM (SELECT doc_id, unnest(flatten(list_transform(
-         |      list_filter(string_split(lower(trim(norm_text)), ' '),
-         |        w -> w <> ''),
-         |      w -> list_transform(range(1, length(w) + 2),
-         |        i -> substr('_' || w || '_', CAST(i AS INT), 2))))) AS g
-         |    FROM nfil)),
-         |lisc AS (SELECT g.doc_id, l.lang,
-         |    CAST(SUM(COALESCE(w.w6, f.def6)) AS BIGINT) AS score6
-         |  FROM ligb g CROSS JOIN (SELECT DISTINCT lang FROM litot) l
-         |  LEFT JOIN liwts w ON w.lang = l.lang AND w.bucket = g.bucket
-         |  JOIN liflo f ON f.lang = l.lang
-         |  GROUP BY 1, 2),
-         |lirk AS (SELECT doc_id, lang, score6,
-         |    row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY score6 DESC, lang) AS rn,
-         |    lead(score6) OVER (PARTITION BY doc_id
-         |      ORDER BY score6 DESC, lang) AS next6
-         |  FROM lisc),
-         |lipred AS (SELECT doc_id, lang AS pred_lang,
-         |    score6 - COALESCE(next6, score6) AS margin6
-         |  FROM lirk WHERE rn = 1),
-         |f AS (SELECT doc_id,
-         |    CAST(len(regexp_extract_all(norm_text, '\\S+')) AS BIGINT)
-         |      AS n_words,
-         |    CAST(length(norm_text) AS BIGINT) AS nc,
-         |    CAST(len(regexp_extract_all(norm_text, '!')) AS BIGINT)
-         |      AS n_exclaim,
-         |    CAST(len(regexp_extract_all(norm_text, '[0-9]')) AS BIGINT)
-         |      AS n_digits
-         |  FROM nfil),
-         |lg AS (SELECT doc_id,
-         |    2*n_words + 1*nc - 50*n_exclaim - 10*n_digits - 500 AS logit
-         |  FROM f),
-         |toks AS (SELECT doc_id, idx, parts[idx+1] AS tok FROM (
-         |    SELECT doc_id, parts, unnest(range(len(parts))) AS idx FROM (
-         |      SELECT doc_id, string_split(norm_text, ' ') AS parts
-         |      FROM nfil))),
-         |prs AS (SELECT a.doc_id, a.tok AS prev, b.tok AS next
-         |  FROM toks a JOIN toks b
-         |    ON a.doc_id = b.doc_id AND b.idx = a.idx + 1),
-         |pc AS (SELECT doc_id, prev, next, CAST(count(*) AS BIGINT) AS c
-         |  FROM prs GROUP BY 1, 2, 3),
-         |rep AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt,
-         |    CAST(sum(c) AS BIGINT) AS n_pairs FROM pc GROUP BY 1),
-         |flags AS (SELECT n.doc_id AS id,
-         |    CAST(length(n.norm_text) AS BIGINT) AS n_chars,
-         |    CASE WHEN ex.doc_id IS NULL THEN 1 ELSE 0 END AS pass_exact,
-         |    CASE WHEN nd.doc_id IS NULL THEN 1 ELSE 0 END AS pass_neardup,
-         |    COALESCE(lp.pred_lang, 'und') AS pred_lang,
-         |    CAST(COALESCE(lp.margin6, 0) AS BIGINT) AS margin6,
-         |    CAST(l.logit AS BIGINT) AS logit,
-         |    COALESCE(r.top_cnt, 1) AS top_cnt,
-         |    COALESCE(r.n_pairs, 0) AS n_pairs
-         |  FROM nfil n JOIN lg l ON l.doc_id = n.doc_id
-         |  LEFT JOIN exr ex ON ex.doc_id = n.doc_id
-         |  LEFT JOIN ndrej nd ON nd.doc_id = n.doc_id
-         |  LEFT JOIN lipred lp ON lp.doc_id = n.doc_id
-         |  LEFT JOIN rep r ON r.doc_id = n.doc_id)
+      s"""WITH $curationGateCtes
          |SELECT id, n_chars,
          |  CAST(pass_exact AS BIGINT) AS pass_exact,
          |  CAST(pass_neardup AS BIGINT) AS pass_neardup,

@@ -50,18 +50,32 @@ class CurationStreamSpec extends AnyFunSuite with SparkTestBase {
     q.processAllAvailable(); q.stop()
   }
 
+  /** Write the corpus slice as one parquet file stamped onto a strictly
+    * increasing mtime ladder — FileStreamSource orders by modification
+    * time, and the ascending-id batch order must not hinge on write
+    * timing. */
+  private def writeBatch(srcDir: String, batchNo: Int,
+      rows: Seq[(Long, String)]): Unit = {
+    val stampedBefore = Option(new java.io.File(srcDir).listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSet
+    rows.toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val mtime0 = (System.currentTimeMillis() / 1000L) * 1000L
+    new java.io.File(srcDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        !stampedBefore.contains(f.getName))
+      .foreach(f => assert(f.setLastModified(mtime0 + batchNo * 60000L)))
+  }
+
   test("streaming curation: every gate fires on its plant, the stream " +
       "equals the one-batch run, and replay from a fresh checkpoint " +
       "converges") {
     val base = Files.createTempDirectory("graft_cur_stream").toString
     val srcDir = s"$base/src"
     // three ascending-id files → three micro-batches
-    corpus.filter(_._1 <= 10).toDF("doc_id", "text")
-      .coalesce(1).write.mode("append").parquet(srcDir)
-    corpus.filter(r => r._1 > 10 && r._1 <= 20).toDF("doc_id", "text")
-      .coalesce(1).write.mode("append").parquet(srcDir)
-    corpus.filter(_._1 > 20).toDF("doc_id", "text")
-      .coalesce(1).write.mode("append").parquet(srcDir)
+    writeBatch(srcDir, 1, corpus.filter(_._1 <= 10))
+    writeBatch(srcDir, 2, corpus.filter(r => r._1 > 10 && r._1 <= 20))
+    writeBatch(srcDir, 3, corpus.filter(_._1 > 20))
 
     runStream(srcDir, s"$base/out", s"$base/state", s"$base/cp1")
     val got = graft.index.Snapshots.readVersion(spark, s"$base/out",
@@ -100,5 +114,52 @@ class CurationStreamSpec extends AnyFunSuite with SparkTestBase {
       graft.index.Snapshots.versions(spark, s"$base/out").last)
     assert(canon(replayed).toSeq == canon(got).toSeq,
       "replay must converge to the same table")
+  }
+
+  test("compaction epoch: reconcile upgrades first-wins to keep-best " +
+      "(the longer near-dup copy becomes the survivor), commits a new " +
+      "version, and stream-then-reconcile equals the one-batch " +
+      "composite") {
+    val base = Files.createTempDirectory("graft_cur_rec").toString
+    val srcDir = s"$base/src"
+    writeBatch(srcDir, 1, corpus.filter(_._1 <= 10))
+    writeBatch(srcDir, 2, corpus.filter(r => r._1 > 10 && r._1 <= 20))
+    writeBatch(srcDir, 3, corpus.filter(_._1 > 20))
+    runStream(srcDir, s"$base/out", s"$base/state", s"$base/cp")
+    val vBefore = graft.index.Snapshots.versions(spark, s"$base/out").last
+    CurationStream.reconcile(spark, s"$base/out", s"$base/state", cfg)
+    val vAfter = graft.index.Snapshots.versions(spark, s"$base/out").last
+    assert(vAfter == vBefore + 1, "reconcile commits the next version")
+    val got = graft.index.Snapshots.readVersion(spark, s"$base/out", vAfter)
+    val byId = got.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // keep-best flips the near-dup survivor: id 22 = id 2 + one token,
+    // so the ONLINE rule kept 2 and rejected 22; the epoch keeps the
+    // LONGER 22 and rejects 2
+    assert(byId(22L).getAs[Long]("pass_neardup") == 1L &&
+      byId(22L).getAs[Long]("admitted") == 1L, "longer copy survives")
+    assert(byId(2L).getAs[Long]("pass_neardup") == 0L &&
+      byId(2L).getAs[Long]("admitted") == 0L, "shorter original loses")
+    // exact-dup rejection is untouched (min-id IS the batch rule)
+    assert(byId(21L).getAs[Long]("pass_exact") == 0L)
+    assert(byId(1L).getAs[Long]("pass_exact") == 1L)
+    // untouched gates keep their flags
+    assert(byId(23L).getAs[Long]("pass_lang") == 0L)
+    assert(byId(24L).getAs[Long]("pass_quality") == 0L)
+    assert(byId(25L).getAs[Long]("pass_rep") == 0L)
+    // batching invariance THROUGH the epoch: the whole corpus as one
+    // batch, then the same reconcile — identical table (so the stream
+    // split can never leak into the compacted result)
+    val one = s"$base/one"
+    writeBatch(s"$one/src", 1, corpus)
+    runStream(s"$one/src", s"$one/out", s"$one/state", s"$one/cp")
+    CurationStream.reconcile(spark, s"$one/out", s"$one/state", cfg)
+    val oneGot = graft.index.Snapshots.readVersion(spark, s"$one/out",
+      graft.index.Snapshots.versions(spark, s"$one/out").last)
+    val cols = got.columns.sorted.toSeq
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect()
+        .map(_.toSeq).sortBy(_.toString())
+    assert(canon(got).toSeq == canon(oneGot).toSeq,
+      "stream-then-reconcile must equal one-batch-then-reconcile")
   }
 }

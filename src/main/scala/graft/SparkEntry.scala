@@ -5978,6 +5978,45 @@ object SparkEntry {
           "pred_lang", "margin6", "logit", "top_cnt", "n_pairs",
           "pass_lang", "pass_quality", "pass_rep", "admitted")
         .orderBy("id")
+    }),
+
+    // HNSW generation-versioned delete lifecycle (r11 judge ask #5):
+    // the piece tying q343's repair to q350's tombstoned serving —
+    // takedowns RECORD into a versioned tombstone list while serving
+    // pins generation 1 and filters per query; the sweep policy
+    // (integer permille threshold) refuses the 5% wave, then the
+    // cumulative ~24% wave triggers repairHnswGraph into generation 2
+    // and clears the consumed tombstones. Output = BOTH edge
+    // generations (a wrong trigger decision changes the version set);
+    // DuckDB re-derives generation 2 from the dumped generation-1
+    // graph by replaying the full repair rule (q343's oracle shape).
+    "q359_hnsw_generations" -> ((s, dir) => {
+      import graft.index.{GraphStream, Snapshots}
+      val pts = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val base = auxPath(dir) + "/q359_idx"
+      graft.ops.Joins.deleteRecursively(new java.io.File(base))
+      Snapshots.upsertVersioned(s, pts, s"$base/points")
+      GraphStream.compact(s, s"$base/points", s"$base/edges",
+        m = 8, maxLevel = 3, dim = 64)
+      writeAux(GraphStream.decodeEdges(
+        Snapshots.readVersion(s, s"$base/edges", 1)), dir, "q359_graph")
+      GraphStream.tombstone(s, pts.filter(col("id") % 20 === 3)
+        .select("id"), s"$base/tombs")
+      val r1 = GraphStream.sweepIfDue(s, s"$base/points",
+        s"$base/edges", s"$base/tombs", thresholdPermille = 100)
+      require(r1.isEmpty, "wave 1 (5%) must stay below the sweep bar")
+      GraphStream.tombstone(s, pts.filter(col("id") % 5 === 0)
+        .select("id"), s"$base/tombs")
+      val r2 = GraphStream.sweepIfDue(s, s"$base/points",
+        s"$base/edges", s"$base/tombs", thresholdPermille = 100)
+      require(r2.nonEmpty, "wave 2 (~24%) must trigger the sweep")
+      Snapshots.versions(s, s"$base/edges").map { v =>
+        GraphStream.decodeEdges(Snapshots.readVersion(s, s"$base/edges", v))
+          .withColumn("version", lit(v))
+      }.reduce(_ unionByName _)
+        .select("version", "layer", "id", "nbr", "cos")
+        .orderBy("version", "layer", "id", "nbr")
     })
   )
 
@@ -13591,6 +13630,50 @@ object SparkEntry {
         |  SELECT * FROM rep
         |  UNION ALL SELECT layer, nbr AS id, id AS nbr, cos FROM rep)
         |ORDER BY layer, id, nbr""".stripMargin,
+
+    // generation 1 = the dumped pre-sweep graph; generation 2 =
+    // the repair rule replayed over the CUMULATIVE tombstone set
+    // (both waves — wave 1 stayed below the bar and accumulated)
+    "q359_hnsw_generations" ->
+      """WITH g AS (SELECT * FROM '__AUX__/q359_graph/*.parquet'),
+        |t AS (SELECT vec_id AS tid FROM embeddings
+        |  WHERE vec_id % 20 = 3 OR vec_id % 5 = 0),
+        |alive AS MATERIALIZED (SELECT layer, id, nbr, cos FROM g
+        |  WHERE id NOT IN (SELECT tid FROM t)
+        |    AND nbr NOT IN (SELECT tid FROM t)),
+        |lost AS MATERIALIZED (SELECT layer, id AS u, nbr AS d FROM g
+        |  WHERE id NOT IN (SELECT tid FROM t)
+        |    AND nbr IN (SELECT tid FROM t)),
+        |kadd AS (SELECT layer, u, CAST(count(*) AS BIGINT) AS k
+        |  FROM lost GROUP BY 1, 2),
+        |cand AS MATERIALIZED (SELECT layer, u, c FROM (
+        |    SELECT DISTINCT l.layer, l.u, g2.nbr AS c
+        |    FROM lost l JOIN g g2 ON g2.layer = l.layer AND g2.id = l.d
+        |    WHERE g2.nbr NOT IN (SELECT tid FROM t) AND g2.nbr <> l.u) x
+        |  WHERE NOT EXISTS (SELECT 1 FROM alive a
+        |    WHERE a.layer = x.layer AND a.id = x.u AND a.nbr = x.c)),
+        |pairs AS (SELECT cd.layer, cd.u, cd.c,
+        |    unnest(vu.embedding)::DOUBLE AS x,
+        |    unnest(vc.embedding)::DOUBLE AS y
+        |  FROM cand cd JOIN embeddings vu ON vu.vec_id = cd.u
+        |  JOIN embeddings vc ON vc.vec_id = cd.c),
+        |scored AS (SELECT layer, u, c,
+        |    round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+        |  FROM pairs GROUP BY 1, 2, 3),
+        |adds AS (SELECT layer, u AS id, c AS nbr, cos FROM (
+        |    SELECT s.*, row_number() OVER (PARTITION BY s.layer, s.u
+        |      ORDER BY s.cos DESC, s.c) AS rn, k.k
+        |    FROM scored s JOIN kadd k ON k.layer = s.layer AND k.u = s.u)
+        |  WHERE rn <= k),
+        |rep AS (SELECT layer, id, nbr, cos FROM alive
+        |  UNION ALL SELECT layer, id, nbr, cos FROM adds),
+        |rep2 AS (SELECT DISTINCT layer, id, nbr, cos FROM (
+        |  SELECT * FROM rep
+        |  UNION ALL SELECT layer, nbr AS id, id AS nbr, cos FROM rep))
+        |SELECT CAST(1 AS BIGINT) AS version, layer, id, nbr, cos FROM g
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS version, layer, id, nbr, cos FROM rep2
+        |ORDER BY version, layer, id, nbr""".stripMargin,
 
     // the streamed gates, then the compaction epoch: keep-best per
     // near-dup cluster (connected components over the verified pairs

@@ -137,4 +137,73 @@ class GraphStreamSpec extends AnyFunSuite with SparkTestBase {
     // history intact: version 2 still holds the pre-delete points
     assert(Snapshots.readVersion(spark, pts, 2).count() == 80L)
   }
+
+  test("tombstone-threshold lifecycle: below-bar waves accumulate with " +
+      "no new generation, the pinned generation serves unchanged across " +
+      "the cutover, post-sweep recall holds, tombstones clear") {
+    val base = Files.createTempDirectory("graft_graph_gen").toString
+    val (pts, edg, tmb) = (s"$base/points", s"$base/edges", s"$base/tombs")
+    val n = 200
+    val points = (0 until n).map(i => (i.toLong, vecOf(i)))
+      .toDF("id", "vec").select($"id", $"vec".cast("array<float>").as("vec"))
+    Snapshots.upsertVersioned(spark, points, pts)
+    GraphStream.compact(spark, pts, edg, m = 6, maxLevel = 3, dim = 8)
+    val qv = vecOf(7).toArray
+
+    // wave 1: 5% — below the 10% bar; nothing commits
+    GraphStream.tombstone(spark,
+      points.filter($"id" % 20 === 3).select("id"), tmb)
+    assert(GraphStream.sweepIfDue(spark, pts, edg, tmb, 100).isEmpty)
+    assert(Snapshots.versions(spark, edg) == Seq(1L))
+    // pre-sweep serving: pinned generation 1 + tombstone filter
+    def pinnedSearch(): Seq[(Long, Double)] = {
+      val (p1, e1) = GraphStream.readVersioned(spark, pts, edg, 1L, 1L)
+      new graft.ops.Similarity.HnswIndex(p1, m = 6, maxLevel = 3,
+          vecCol = "vec", idCol = "id", prebuiltGraph = Some(e1))
+        .searchTombstoned(qv, k = 10,
+          GraphStream.tombstones(spark, tmb), ef = 32, hops = 4)
+        .select("id", "cos").as[(Long, Double)].collect().toSeq
+    }
+    val before = pinnedSearch()
+    assert(before.size == 10 && before.forall(_._1 % 20 != 3))
+
+    // wave 2: cumulative ~24% — crosses the bar; generation 2 commits
+    GraphStream.tombstone(spark,
+      points.filter($"id" % 5 === 0).select("id"), tmb)
+    val tombSet = (0 until n).map(_.toLong)
+      .filter(i => i % 20 == 3 || i % 5 == 0).toSet
+    val swept = GraphStream.sweepIfDue(spark, pts, edg, tmb, 100)
+    assert(swept.nonEmpty)
+    assert(Snapshots.versions(spark, edg) == Seq(1L, 2L))
+    // tombstones consumed: the list is empty again
+    assert(GraphStream.tombstones(spark, tmb).count() == 0L)
+    // the pinned generation-1 read is BIT-IDENTICAL across the cutover
+    // (reconstructing the pre-wave-2 view needs the wave-1 list back —
+    // pass it explicitly, as a pinned reader holds its own filter)
+    val (p1, e1) = GraphStream.readVersioned(spark, pts, edg, 1L, 1L)
+    val afterPinned = new graft.ops.Similarity.HnswIndex(p1, m = 6,
+        maxLevel = 3, vecCol = "vec", idCol = "id",
+        prebuiltGraph = Some(e1))
+      .searchTombstoned(qv, k = 10,
+        points.filter($"id" % 20 === 3).select("id"),
+        ef = 32, hops = 4)
+      .select("id", "cos").as[(Long, Double)].collect().toSeq
+    assert(afterPinned == before,
+      "the pinned generation must serve unchanged across the sweep")
+    // cutover: plain walk over generation 2, no tombstone filter;
+    // recall vs survivor brute force stays in the served class
+    val (p2g, e2g) = GraphStream.readVersioned(spark, pts, edg)
+    val got = new graft.ops.Similarity.HnswIndex(p2g, m = 6,
+        maxLevel = 3, vecCol = "vec", idCol = "id",
+        prebuiltGraph = Some(e2g))
+      .search(qv, k = 10, ef = 32, hops = 4)
+      .select("id").as[Long].collect()
+    assert(got.length == 10 && got.forall(!tombSet(_)))
+    val brute = graft.ops.Similarity.bruteForceTopK(
+        points.join(tombSet.toSeq.toDF("id"), Seq("id"), "left_anti")
+          .select($"id".as("vec_id"), $"vec".as("embedding")), qv, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = got.count(brute).toDouble / 10
+    assert(recall >= 0.8, s"post-cutover recall $recall < 0.8")
+  }
 }

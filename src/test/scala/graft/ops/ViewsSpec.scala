@@ -78,4 +78,62 @@ class ViewsSpec extends AnyFunSuite with SparkTestBase {
       .select("rf", "cnt").as[(String, Long)].collect().toMap
     assert(ans("C") == 1L && ans("A") == 4L)
   }
+
+  test("routeFromStats: the decision reads ONLY the maintained stats — " +
+      "a poisoned losing candidate is never evaluated, flipping the " +
+      "stats flips the choice; applyDeltaMaintained keeps stats exact") {
+    val boom = udf((x: Long) => {
+      sys.error("poisoned candidate view was evaluated"); x
+    })
+    val poisoned = base.groupBy("rf", "mth")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
+      .withColumn("cnt", boom(col("cnt")))
+    val lat = Views.Lattice(
+      Map("v_rf_ls" -> view("rf", "ls"),
+        "v_rf_mth" -> (Seq("rf", "mth"), poisoned)),
+      Map("v_rf_ls" -> 4L, "v_rf_mth" -> 4L))
+    // tie → name order picks v_rf_ls; the poisoned loser is untouched
+    val got = Views.routeFromStats(lat, Seq("rf"), Seq("cnt", "sum_cents"))
+    val rows = got.select("rf", "cnt", "sum_cents", "served_from")
+      .as[(String, Long, Long, String)].collect()
+    assert(rows.forall(_._4 == "v_rf_ls"))
+    val direct = base.groupBy("rf")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(rows.map(r => (r._1, r._2, r._3)).toSet == direct)
+    // stats DRIVE the decision: make the poisoned view the cheapest and
+    // the route must now evaluate it — which throws
+    val lat2 = lat.copy(stats = Map("v_rf_ls" -> 9L, "v_rf_mth" -> 2L))
+    intercept[Exception] {
+      Views.routeFromStats(lat2, Seq("rf"), Seq("cnt", "sum_cents"))
+        .collect()
+    }
+    // maintained stats stay EXACT through a delta (new + merged groups)
+    val pre = base.filter($"mth" === 1)
+    val post = base.filter($"mth" === 2)
+      .unionByName(Seq(("C", "z", 3, 200L)).toDF("rf", "ls", "mth", "cents"))
+    def preView(cols: String*) = cols.toSeq ->
+      pre.groupBy(cols.map(col): _*)
+        .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
+    val lat0 = Views.materialize(Map(
+      "v_rf_ls" -> preView("rf", "ls"),
+      "v_rf_mth" -> preView("rf", "mth"),
+      "v_ls_mth" -> preView("ls", "mth")))
+    val lat1 = Views.applyDeltaMaintained(lat0, post,
+      Seq(count(lit(1)).as("cnt"), sum("cents").as("sum_cents")))
+    val full = pre.unionByName(post)
+    for ((name, (cols, _)) <- lat1.views) {
+      val want = full.select(cols.map(col): _*).distinct().count()
+      assert(lat1.stats(name) == want,
+        s"$name: maintained rows ${lat1.stats(name)} != true $want")
+    }
+    // stats-routed answer equals the recount-routed answer on the
+    // refreshed lattice
+    val a = Views.routeFromStats(lat1, Seq("rf"), Seq("cnt", "sum_cents"))
+      .collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    val b = Views.routeAndAnswer(lat1.views, Seq("rf"),
+        Seq("cnt", "sum_cents"))
+      .collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    assert(a == b)
+  }
 }

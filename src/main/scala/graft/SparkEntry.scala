@@ -188,6 +188,182 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   def benchPhases:
       Map[String, (SparkSession, String) => Seq[(String, () => Long)]] = Map(
+    // q180's nine-gate composite, split per gate family (r11 ask #7):
+    // a one-gate regression must not hide inside the 15 s headline the
+    // way serve regressions hid under build noise before the r10 split.
+    // Each phase caches what later phases reuse; the headline is the
+    // phase sum (hand-reseeded baseline — the phased plan materializes
+    // intermediates the one-shot plan shared lazily).
+    "q180_curation_full" -> ((s, dir) => {
+      import graft.ops.Sampling
+      val base = t(s, dir, "documents")
+      val varied = base.select(col("doc_id"), col("n_chars"),
+        when(col("doc_id") % 17 === 3, reverse(col("text")))
+          .otherwise(col("text")).as("text"))
+      val planted = varied.unionByName(
+        varied.filter(col("doc_id") % 13 === 1)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            (col("n_chars") + 11).as("n_chars"),
+            concat(col("text"), lit(" zzappendix")).as("text")))
+      var dd: DataFrame = null
+      var lang: DataFrame = null
+      var ndKept: DataFrame = null
+      var flags: DataFrame = null
+      Seq(
+        "dedup" -> (() => {
+          val normed = planted
+            .select(col("doc_id"), col("n_chars"),
+              TextAnalysis.normalizeText(col("text")).as("norm_text"))
+            .filter(col("n_chars") >= 100)
+          val w = Window.partitionBy(md5(col("norm_text").cast("binary")))
+            .orderBy(col("doc_id"))
+          dd = normed.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn").cache()
+          dd.count()
+        }),
+        "langid" -> (() => {
+          val langLabel = when(col("doc_id") % 3 === 0, "en")
+            .when(col("doc_id") % 3 === 1, "zz").otherwise("qq")
+          val langVariant = when(col("doc_id") % 3 === 0, col("text"))
+            .when(col("doc_id") % 3 === 1,
+              translate(col("text"), "aeiou", "zzzzz"))
+            .otherwise(reverse(col("text")))
+          val profile = TextAnalysis.langIdTrain(
+            base.filter(col("doc_id") < 200)
+              .select(langLabel.as("lang"), langVariant.as("text")),
+            buckets = 1024)
+          lang = TextAnalysis.langIdClassify(
+              dd.select(col("doc_id"), col("norm_text").as("text")),
+              profile, buckets = 1024)
+            .select(col("doc_id"), col("pred_lang"), col("margin6"))
+            .cache()
+          lang.count()
+        }),
+        "neardup" -> (() => {
+          val ndInput = dd.select(col("doc_id"),
+            col("norm_text").as("text"),
+            length(col("norm_text")).cast("long").as("qlen"))
+          val ndPairs = Dedup.minHashNearDups(ndInput, numHashes = 16,
+            bands = 4, jaccardThreshold = 0.8,
+            signature = (sh, n) => Dedup.md5MinHashSignatureUdf(n)(sh),
+            bandHash = c => md5(concat_ws("|", c)),
+            persistShingles = true)
+          ndKept = Dedup.keepBest(ndInput, "doc_id", "qlen", ndPairs)
+            .select(col("doc_id"), lit(1L).as("pass_neardup")).cache()
+          ndKept.count()
+        }),
+        "gates" -> (() => {
+          val quality = graft.ops.Curation.linearQualityScore(
+              dd.select(col("doc_id"), col("norm_text")), "doc_id",
+              "norm_text", graft.ops.Curation.QualityWeights(
+                words = 2, chars = 1, exclaim = -50, digits = -10,
+                bias = -500))
+            .select(col("doc_id"), col("logit").cast("long").as("logit"))
+          val rep = TextAnalysis.topBigramStats(dd, "doc_id", "norm_text")
+          val flu = TextAnalysis.bigramFluency(dd, "doc_id", "norm_text")
+            .select(col("doc_id"), col("sum_cnt"))
+          flags = dd.select("doc_id", "n_chars")
+            .join(quality, Seq("doc_id"))
+            .join(rep, Seq("doc_id"), "left")
+            .join(flu, Seq("doc_id"), "left")
+            .join(lang, Seq("doc_id"), "left")
+            .join(ndKept, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("n_chars"), col("logit"),
+              coalesce(col("top_cnt"), lit(1L)).as("top_cnt"),
+              coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+              coalesce(col("sum_cnt"), lit(0L)).as("sum_cnt"),
+              coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+              coalesce(col("margin6"), lit(0L)).as("margin6"),
+              coalesce(col("pass_neardup"), lit(0L)).as("pass_neardup"))
+            .withColumn("pass_lang",
+              when(col("pred_lang") === "en" &&
+                col("margin6") >= 1000000L, 1L).otherwise(0L))
+            .withColumn("pass_quality",
+              when(col("logit") >= 0, 1L).otherwise(0L))
+            .withColumn("pass_rep",
+              when(col("top_cnt") * 10 <= col("n_pairs"), 1L).otherwise(0L))
+            .withColumn("pass_flu",
+              when(col("sum_cnt") >= col("n_pairs") * 28, 1L).otherwise(0L))
+            .cache()
+          flags.count()
+        }),
+        "admit" -> (() => {
+          val split = Sampling.hashSplit(flags, "doc_id",
+              Seq("train" -> 0.8, "holdout" -> 0.2))
+            .withColumn("split_train",
+              when(col("split") === "train", 1L).otherwise(0L))
+            .drop("split")
+          val survivors = split.filter(col("pass_lang") === 1 &&
+            col("pass_neardup") === 1 && col("pass_quality") === 1 &&
+            col("pass_rep") === 1 && col("pass_flu") === 1 &&
+            col("split_train") === 1)
+          val admitted = Sampling.tokenBudgetSample(
+              survivors.select("doc_id", "n_chars"), "doc_id", "n_chars",
+              budget = 50000L)
+            .select(col("doc_id"), col("cum_n_chars"))
+          split.join(admitted, Seq("doc_id"), "left").count()
+        }))
+    }),
+    // q344's streaming composite, split per micro-batch (r11 ask #7):
+    // each phase writes the next mtime-laddered file and drains an
+    // AvailableNow pass over the shared checkpoint, so a regression in
+    // ANY batch's admission (state growth, LSH join, snapshot commit)
+    // surfaces in its own record instead of the headline.
+    "q344_curation_stream" -> ((s, dir) => {
+      import graft.streaming.CurationStream
+      val base = t(s, dir, "documents")
+      val varied = base.select(col("doc_id"),
+        when(col("doc_id") % 17 === 3, reverse(col("text")))
+          .otherwise(col("text")).as("text"))
+      val planted = varied
+        .unionByName(varied.filter(col("doc_id") % 13 === 1)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionByName(varied.filter(col("doc_id") % 11 === 2)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" zzappendix")).as("text")))
+        .localCheckpoint()
+      val langLabel = when(col("doc_id") % 3 === 0, "en")
+        .when(col("doc_id") % 3 === 1, "zz").otherwise("qq")
+      val langVariant = when(col("doc_id") % 3 === 0, col("text"))
+        .when(col("doc_id") % 3 === 1,
+          translate(col("text"), "aeiou", "zzzzz"))
+        .otherwise(reverse(col("text")))
+      val profile = TextAnalysis.langIdTrain(
+        base.filter(col("doc_id") < 200)
+          .select(langLabel.as("lang"), langVariant.as("text")),
+        buckets = 1024).localCheckpoint()
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q344b").toString
+      val srcDir = s"$tmp/src"
+      val stamped = scala.collection.mutable.Set[String]()
+      val mtime0 = (System.currentTimeMillis() / 1000L) * 1000L
+      def admitOne(batchNo: Int, df: DataFrame): Long = {
+        df.coalesce(1).write.mode("append").parquet(srcDir)
+        new java.io.File(srcDir).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            !stamped.contains(f.getName))
+          .foreach { f =>
+            require(f.setLastModified(mtime0 + batchNo * 60000L),
+              s"bench q344: could not stamp ${f.getName}")
+            stamped += f.getName
+          }
+        val schema = s.read.parquet(srcDir).schema
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        val q = CurationStream.run(s, src, profile,
+          s"$tmp/out", s"$tmp/state", s"$tmp/cp")
+        q.processAllAvailable(); q.stop()
+        graft.index.Snapshots.readVersion(s, s"$tmp/out",
+          graft.index.Snapshots.versions(s, s"$tmp/out").last).count()
+      }
+      Seq(
+        "batch1" -> (() => admitOne(1,
+          planted.filter(col("doc_id") < 250))),
+        "batch2" -> (() => admitOne(2,
+          planted.filter(col("doc_id") >= 250 && col("doc_id") < 10000))),
+        "batch3" -> (() => admitOne(3,
+          planted.filter(col("doc_id") >= 10000))))
+    }),
     "q203_hybrid_ann" -> ((s, dir) => {
       GraftFunctions.register(s)
       val index = ChunkPipeline.chunkPoints(s, t(s, dir, "documents")).cache()

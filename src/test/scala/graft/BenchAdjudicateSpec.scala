@@ -154,6 +154,29 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     assert(Bench.headlineTotal(merged) == 13.5)
   }
 
+  test("many-phase composites (q180 gates, q344 batches): one gate's " +
+      "regression flags its own record while the headline and every " +
+      "other gate stay clean") {
+    val pb = Map("q180_curation_full" -> 14.2,
+      "q180:dedup" -> 0.8, "q180:langid" -> 3.7, "q180:neardup" -> 4.8,
+      "q180:gates" -> 2.8, "q180:admit" -> 2.1,
+      "q344:batch1" -> 4.1, "q344:batch2" -> 7.7, "q344:batch3" -> 5.1)
+    // neardup 4.8 → 2.2 s slower: headline 14.2 → 16.4 (1.15×, under
+    // the 2× bar) — only the gate's own record trips
+    val run = Seq("q180_curation_full" -> 16.4)
+    assert(Bench.flaggedNames(run, pb).isEmpty)
+    val phases = Seq("q180:dedup" -> 0.8, "q180:langid" -> 3.7,
+      "q180:neardup" -> 11.0, "q180:gates" -> 2.8, "q180:admit" -> 2.1)
+    assert(Bench.flaggedNames(phases, pb) == Seq("q180:neardup"))
+    // a per-batch record isolates state-growth regressions the same way
+    val batches = Seq("q344:batch1" -> 4.1, "q344:batch2" -> 7.7,
+      "q344:batch3" -> 16.0)
+    assert(Bench.flaggedNames(batches, pb) == Seq("q344:batch3"))
+    // and the five-phase JSON groups under one query key
+    val js = Bench.phaseJson(phases)
+    assert(js.startsWith("""{"q180":{""") && js.contains("\"neardup_s\":11.0"), js)
+  }
+
   test("mergeBaseline treats phase keys like any query: per-phase min " +
       "on reseed, wholesale on force") {
     val old = Map("q215:serve" -> 0.5, "q215:build" -> 12.0)

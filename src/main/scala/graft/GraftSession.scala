@@ -16,6 +16,13 @@ object GraftSession {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    // announce which embedder is live (self-healing ONNX detection —
+    // graft.embed.Embedders): a session with a runtime jar + model
+    // serves real vectors with zero code change, and every session log
+    // states which implementation produced its embeddings
+    val (_, embedderLive) = graft.embed.Embedders.detect(spark)
+    org.slf4j.LoggerFactory.getLogger("graft.embed")
+      .info(s"embedder live: $embedderLive")
     spark
   }
 

@@ -107,6 +107,50 @@ class OnnxEmbedderSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("Embedders.detect selection order: configured fake runtime + " +
+      "model → ONNX live; broken config fails loudly; bare env falls " +
+      "back to hashing with the precise reason") {
+    // 3) bare environment (no conf, no ORT jar in this build): hashing
+    // fallback naming the failed probe
+    val (fallback, why) = Embedders.detect(spark)
+    assert(fallback eq HashingEmbedder.default)
+    assert(why.contains("no ONNX runtime jar on the classpath"), why)
+
+    // 1) configured runtime class + model file: the ONNX slot goes live
+    // and vectors flow through the injected session — the self-heal
+    // path a production jar takes with zero code change
+    FakeOnnxRuntime.reset()
+    val model = java.nio.file.Files.createTempFile("fake-bge", ".onnx")
+    java.nio.file.Files.write(model, "not real weights".getBytes)
+    spark.conf.set(Embedders.RuntimeClassKey,
+      classOf[FakeOnnxRuntime].getName)
+    spark.conf.set("graft.embed.model.path", model.toString)
+    try {
+      val (live, reason) = Embedders.detect(spark)
+      assert(reason.startsWith("onnx (configured)"), reason)
+      assert(live.isInstanceOf[OnnxEmbedder])
+      val vecs = live.embedBatch(Seq("alpha", "beta"))
+      assert(vecs.size == 2 && vecs.forall(_.length == 384))
+      assert(FakeOnnxRuntime.batchSizes().nonEmpty,
+        "vectors must flow through the configured runtime")
+
+      // configured but the MODEL is missing: loud, with the path named
+      spark.conf.set("graft.embed.model.path", "/tmp/nope-model.onnx")
+      val exm = intercept[IllegalStateException](Embedders.detect(spark))
+      assert(exm.getMessage.contains("/tmp/nope-model.onnx"), exm.getMessage)
+
+      // configured but the CLASS is unloadable: loud, with the recipe
+      spark.conf.set(Embedders.RuntimeClassKey, "com.example.NoSuchRuntime")
+      val exc = intercept[IllegalStateException](Embedders.detect(spark))
+      assert(exc.getMessage.contains("could not be loaded") &&
+        exc.getMessage.contains("classpath"), exc.getMessage)
+    } finally {
+      spark.conf.unset(Embedders.RuntimeClassKey)
+      spark.conf.unset("graft.embed.model.path")
+      java.nio.file.Files.deleteIfExists(model)
+    }
+  }
+
   test("pipeline plan shape is identical under HashingEmbedder and OnnxEmbedder") {
     val withHashing = ChunkPipeline.chunkPoints(spark, docs,
       embedder = HashingEmbedder.default)

@@ -6242,6 +6242,59 @@ object SparkEntry {
         .withColumn("chosen",
           when(col("view") === chosen, 1L).otherwise(0L))
         .orderBy("view")
+    }),
+
+    // Incremental inverted-index maintenance: the postings table and
+    // the df stats BOTH admit a disjoint batch without re-reading the
+    // standing corpus (mergePostings = append, mergeDocFrequencies =
+    // per-term re-sum) — the maintenance story behind the q356 serving
+    // path. Two halves build independently and merge; DuckDB derives
+    // both structures from the FULL corpus in one pass, so any merge
+    // drift (lost rows, double-counted df) is a value mismatch.
+    "q361_postings_merge" -> ((s, dir) => {
+      import graft.index.IndexWriter
+      val pts = t(s, dir, "documents").select(
+        col("doc_id").cast("string").as("id"),
+        split(col("text"), " ").as("tokens"))
+      val a = pts.filter(col("id").cast("long") < 250)
+      val b = pts.filter(col("id").cast("long") >= 250)
+      val mergedPostings = IndexWriter.mergePostings(
+        IndexWriter.postings(a), IndexWriter.postings(b))
+      val mergedDf = IndexWriter.mergeDocFrequencies(
+        IndexWriter.docFrequencies(a), IndexWriter.docFrequencies(b))
+      mergedPostings.join(mergedDf, Seq("term"))
+        .select(col("term"), col("id"), col("tf").cast("long").as("tf"),
+          col("dl").cast("long").as("dl"), col("df").cast("long").as("df"))
+        .orderBy("term", "id")
+    }),
+
+    // Segment-incremental repeated-span STATS (the q357 discipline's
+    // stats form): the sealed half ships only its (key, n_docs)
+    // substring statistics — doc-disjoint segments make the counts
+    // ADDITIVE — and the new batch decides "≥ 2 distinct docs
+    // corpus-wide" as batch-count + stored-sum without re-reading the
+    // sealed text. Plants: the %7≡0 boilerplate spans both halves
+    // (cross-segment repeats must flag from the stored counts alone);
+    // %9≡5 batch docs share a batch-only sentence (flags with zero
+    // stored support). DuckDB verifies by direct corpus-wide window
+    // counting — independent of the construction and of the split.
+    "q362_sa_stats_incremental" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" exact substr pass finds arbitrary length repeats" +
+              " beyond any fixed k grid")).otherwise(lit("")),
+          when(col("doc_id") % 9 === 5 && col("doc_id") >= 250,
+            lit(" batch local repeated filler sentence appears many" +
+              " times within this batch only")).otherwise(lit("")))
+          .as("text"))
+      val sealedSeg = planted.filter(col("doc_id") < 250)
+      val batch = planted.filter(col("doc_id") >= 250)
+      val stats = graft.ops.SuffixArray.substrKeyStats(
+        sealedSeg, "doc_id", "text", minLen = 12).localCheckpoint()
+      graft.ops.SuffixArray.repeatedSpanStatsIncremental(
+          batch, stats, "doc_id", "text", minLen = 12)
+        .orderBy("doc_id")
     })
   )
 
@@ -13603,6 +13656,67 @@ object SparkEntry {
         |  CAST(CASE WHEN view = (SELECT view FROM pick)
         |    THEN 1 ELSE 0 END AS BIGINT) AS chosen
         |FROM sz ORDER BY view""".stripMargin,
+
+    // both inverted-index structures derived from the FULL corpus in
+    // one pass — the merged halves must match exactly
+    "q361_postings_merge" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS parts
+        |  FROM documents),
+        |pos AS MATERIALIZED (SELECT CAST(doc_id AS VARCHAR) AS id,
+        |    unnest(parts) AS term, len(parts) AS dl FROM toks),
+        |tf AS (SELECT term, id, CAST(count(*) AS BIGINT) AS tf,
+        |    CAST(any_value(dl) AS BIGINT) AS dl FROM pos GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(DISTINCT id) AS BIGINT) AS df
+        |  FROM pos GROUP BY 1)
+        |SELECT t.term, t.id, t.tf, t.dl, d.df
+        |FROM tf t JOIN df d USING (term)
+        |ORDER BY term, id""".stripMargin,
+
+    // corpus-wide window counting, independent of the segment split
+    "q362_sa_stats_incremental" ->
+      s"""WITH planted AS (SELECT doc_id, text
+         |    || CASE WHEN doc_id % 7 = 0
+         |      THEN ' exact substr pass finds arbitrary length repeats beyond any fixed k grid'
+         |      ELSE '' END
+         |    || CASE WHEN doc_id % 9 = 5 AND doc_id >= 250
+         |      THEN ' batch local repeated filler sentence appears many times within this batch only'
+         |      ELSE '' END AS text
+         |  FROM documents),
+         |toks AS MATERIALIZED (SELECT doc_id,
+         |    [lower(x) for x in regexp_extract_all(text, '\\S+')] AS ws
+         |  FROM planted),
+         |lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len FROM toks),
+         |wins AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    array_to_string(ws[CAST(i + 1 AS INT):CAST(i + 12 AS INT)], ' ') AS w
+         |  FROM toks, UNNEST(range(len(ws) - 11)) t(i)
+         |  WHERE len(ws) >= 12),
+         |cnt AS MATERIALIZED (SELECT w, count(DISTINCT doc_id) AS nd
+         |  FROM wins GROUP BY w),
+         |hits AS (SELECT doc_id, pos AS s, pos + 12 AS e
+         |  FROM wins JOIN cnt USING (w)
+         |  WHERE doc_id >= 250 AND nd >= 2),
+         |flagged AS (SELECT doc_id, s, e,
+         |    CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+         |      THEN 1 ELSE 0 END AS new_island
+         |  FROM hits
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY s, e
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |isl AS (SELECT doc_id, s, e,
+         |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM flagged),
+         |sp AS (SELECT doc_id, island, min(s) AS s, max(e) AS e
+         |  FROM isl GROUP BY 1, 2),
+         |agg AS (SELECT doc_id,
+         |    CAST(sum(e - s) AS BIGINT) AS repeated_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_spans FROM sp GROUP BY 1)
+         |SELECT l.doc_id, l.len AS n_tokens,
+         |  CAST(COALESCE(a.repeated_tokens, 0) AS BIGINT)
+         |    AS repeated_tokens,
+         |  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans
+         |FROM lens l LEFT JOIN agg a USING (doc_id)
+         |WHERE l.doc_id >= 250
+         |ORDER BY l.doc_id""".stripMargin,
 
     // IVM refresh == full recompute under additivity, so the routed
     // answer over the REFRESHED lattice must match the full-table

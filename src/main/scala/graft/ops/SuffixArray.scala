@@ -236,6 +236,75 @@ object SuffixArray {
     groupDigests(reps, pos, minLen).select("key").distinct()
   }
 
+  /** The per-segment artifact for the incremental STATS form:
+    * (key, n_docs) — how many distinct docs in THIS segment contain
+    * each distinct length-minLen substring (content-keyed via
+    * [[groupDigests]], counted skew-safely via
+    * [[Skew.distinctCountPerKey]]). Segments hold disjoint documents,
+    * so the counts are ADDITIVE across segments — the property that
+    * lets [[repeatedSpanStatsIncremental]] decide "≥ minDocs distinct
+    * docs corpus-wide" from stored per-segment sums without re-reading
+    * any sealed segment. Within one segment each distinct substring is
+    * one rank-pair group, so `key` is unique per row. */
+  def substrKeyStats(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    val (_, keyed, pos) = rankPairKeysPos(docs, idCol, textCol, minLen)
+    val reps = keyed.groupBy("__ra", "__rb")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__r"))
+      .select(col("__ra"), col("__rb"),
+        col("__r").getField("doc_id").as("doc_id"),
+        col("__r").getField("pos").as("pos"))
+    val nd = Skew.distinctCountPerKey(keyed, Seq("__ra", "__rb"),
+      "doc_id", "n_docs")
+    groupDigests(reps, pos, minLen)
+      .join(nd, Seq("__ra", "__rb"))
+      .select("key", "n_docs")
+  }
+
+  /** SEGMENT-INCREMENTAL [[repeatedSpanStatsExact]] — the stats form of
+    * the admission discipline: a batch position is covered iff its
+    * substring appears in ≥ minDocs distinct docs across (sealed
+    * segments ∪ batch), decided as `batch-distinct-docs + Σ stored
+    * per-segment n_docs ≥ minDocs` (additive because segments are
+    * doc-disjoint — [[substrKeyStats]]). Reports the BATCH's docs only:
+    * sealed segments' stats are append-only by design, so a batch that
+    * tips an old substring over the bar flags ITS positions now and
+    * leaves the sealed docs' accounting to their next compaction — the
+    * same deferred-sweep trade as the HNSW tombstone ledger. q362
+    * proves output ≡ full rebuild restricted to batch docs; the sealed
+    * segments ship only (key, n_docs). */
+  def repeatedSpanStatsIncremental(batch: DataFrame,
+      storedStats: DataFrame, idCol: String, textCol: String,
+      minLen: Int, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"need minDocs >= 2, got $minDocs")
+    val (lens, keyed, pos) = rankPairKeysPos(batch, idCol, textCol, minLen)
+    val reps = keyed.groupBy("__ra", "__rb")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__r"))
+      .select(col("__ra"), col("__rb"),
+        col("__r").getField("doc_id").as("doc_id"),
+        col("__r").getField("pos").as("pos"))
+    val batchNd = Skew.distinctCountPerKey(keyed, Seq("__ra", "__rb"),
+      "doc_id", "__bn")
+    val storedByKey = storedStats.groupBy("key")
+      .agg(sum("n_docs").as("__sn"))
+    val hitGroups = groupDigests(reps, pos, minLen)
+      .join(storedByKey, Seq("key"), "left")
+      .join(batchNd, Seq("__ra", "__rb"))
+      .filter(col("__bn") + coalesce(col("__sn"), lit(0L)) >= minDocs)
+      .select("__ra", "__rb")
+    val hits = keyed.join(hitGroups, Seq("__ra", "__rb"), "left_semi")
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + minLen).as("e"))
+    val spans = Cleaning.mergeIntervals(hits, "doc_id", "s", "e")
+      .groupBy("doc_id")
+      .agg(sum(col("e") - col("s")).as("repeated_tokens"),
+        count(lit(1)).as("n_spans"))
+    lens.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__len").cast("long").as("n_tokens"),
+        coalesce(col("repeated_tokens"), lit(0L)).as("repeated_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+  }
+
   /** SEGMENT-INCREMENTAL [[exactSubstrContamination]] — a crawl appends
     * daily, so the batch admission cost must be a function of the
     * BATCH, never a corpus rebuild: suffix ranks (⌊log₂ minLen⌋

@@ -108,6 +108,40 @@ class SuffixArraySpec extends AnyFunSuite with SparkTestBase {
     assert(byDoc(5L) == 0 && byDoc(6L) == 0 && byDoc(7L) == 0)
   }
 
+  test("segment-incremental span stats == full rebuild restricted to " +
+      "the batch; cross-segment support comes from stored counts alone") {
+    val secret = "zero one two three four five six seven eight nine " +
+      "ten eleven"
+    val batchOnly = "batch local repeated filler sentence appears many " +
+      "times within this batch yes"
+    val docs = Seq(
+      (1L, s"sealedpad $secret"),
+      (2L, s"$secret sealedtail"),
+      (11L, s"alpha $secret beta"),        // cross-segment: 2 sealed + 1 batch
+      (12L, batchOnly),                    // batch-only pair
+      (13L, s"$batchOnly indeed"),
+      (14L, "entirely unrelated words that never repeat anywhere in " +
+        "this corpus at all today"))
+      .toDF("doc_id", "text")
+    val sealedSeg = docs.filter($"doc_id" < 10)
+    val batch = docs.filter($"doc_id" >= 10)
+    val stats = SuffixArray.substrKeyStats(sealedSeg, "doc_id", "text",
+      minLen = 12)
+    assert(stats.columns.toSeq == Seq("key", "n_docs"))
+    val inc = SuffixArray.repeatedSpanStatsIncremental(batch, stats,
+        "doc_id", "text", minLen = 12)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val full = SuffixArray.repeatedSpanStatsExact(docs, "doc_id",
+        "text", minLen = 12, minDocs = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .filter(_._1 >= 10).toSet
+    assert(inc == full)
+    val byDoc = inc.map(r => r._1 -> r._3).toMap
+    assert(byDoc(11L) == 12, "cross-segment repeat flags via stored counts")
+    assert(byDoc(12L) == 12 && byDoc(13L) == 12, "batch-only pair flags")
+    assert(byDoc(14L) == 0)
+  }
+
   test("repeatedSpanStatsExact: off-grid 12-token repeat that the " +
       "k=16 multi-k ladder misses; no false 13-length certificate; " +
       "same-doc repeats don't count toward minDocs") {

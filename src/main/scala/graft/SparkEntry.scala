@@ -6295,6 +6295,40 @@ object SparkEntry {
       graft.ops.SuffixArray.repeatedSpanStatsIncremental(
           batch, stats, "doc_id", "text", minLen = 12)
         .orderBy("doc_id")
+    }),
+
+    // STREAMING inverted-index maintenance: the q361 merge law run as a
+    // micro-batch stream — each batch APPENDS its postings rows
+    // (term-bucket partitioned) and its partial (term, df) rows;
+    // read-time re-sum is the mergeDocFrequencies fold. Disjoint-id
+    // batches never interact, so stream == one-shot build; the oracle
+    // is q361's full-corpus derivation verbatim (the q218 shared-oracle
+    // pattern) — any append/replay drift is a value mismatch.
+    "q363_postings_stream" -> ((s, dir) => {
+      import graft.index.IndexWriter
+      val pts = t(s, dir, "documents").select(
+        col("doc_id").cast("string").as("id"),
+        split(col("text"), " ").as("tokens"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q363").toString
+      val srcDir = s"$tmp/src"
+      pts.filter(col("id").cast("long") < 150)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      pts.filter(col("id").cast("long") >= 150 &&
+          col("id").cast("long") < 300)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      pts.filter(col("id").cast("long") >= 300)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = IndexWriter.streamPostings(s, src, s"$tmp/idx", s"$tmp/cp")
+      q.processAllAvailable(); q.stop()
+      IndexWriter.readPostings(s, s"$tmp/idx")
+        .join(IndexWriter.readDocFrequencies(s, s"$tmp/idx"), Seq("term"))
+        .select(col("term"), col("id"), col("tf").cast("long").as("tf"),
+          col("dl").cast("long").as("dl"), col("df").cast("long").as("df"))
+        .orderBy("term", "id")
     })
   )
 
@@ -6699,6 +6733,22 @@ object SparkEntry {
     * re-derive the answer from the same chosen view — shared because
     * additive IVM refresh (q354) must equal full recompute (q352's
     * base case) verbatim. */
+  /** q361/q363's shared oracle: both inverted-index structures derived
+    * from the FULL corpus in one DuckDB pass — merged halves (q361) and
+    * the streamed build (q363) must both match it exactly. */
+  private val postingsFullOracle: String =
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS parts
+        |  FROM documents),
+        |pos AS MATERIALIZED (SELECT CAST(doc_id AS VARCHAR) AS id,
+        |    unnest(parts) AS term, len(parts) AS dl FROM toks),
+        |tf AS (SELECT term, id, CAST(count(*) AS BIGINT) AS tf,
+        |    CAST(any_value(dl) AS BIGINT) AS dl FROM pos GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(DISTINCT id) AS BIGINT) AS df
+        |  FROM pos GROUP BY 1)
+        |SELECT t.term, t.id, t.tf, t.dl, d.df
+        |FROM tf t JOIN df d USING (term)
+        |ORDER BY term, id""".stripMargin
+
   private val viewLatticeOracle: String =
       """WITH l AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
         |    month(l_shipdate) AS mth,
@@ -13658,19 +13708,9 @@ object SparkEntry {
         |FROM sz ORDER BY view""".stripMargin,
 
     // both inverted-index structures derived from the FULL corpus in
-    // one pass — the merged halves must match exactly
-    "q361_postings_merge" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS parts
-        |  FROM documents),
-        |pos AS MATERIALIZED (SELECT CAST(doc_id AS VARCHAR) AS id,
-        |    unnest(parts) AS term, len(parts) AS dl FROM toks),
-        |tf AS (SELECT term, id, CAST(count(*) AS BIGINT) AS tf,
-        |    CAST(any_value(dl) AS BIGINT) AS dl FROM pos GROUP BY 1, 2),
-        |df AS (SELECT term, CAST(count(DISTINCT id) AS BIGINT) AS df
-        |  FROM pos GROUP BY 1)
-        |SELECT t.term, t.id, t.tf, t.dl, d.df
-        |FROM tf t JOIN df d USING (term)
-        |ORDER BY term, id""".stripMargin,
+    // one pass — the merged/streamed builds must match exactly
+    "q361_postings_merge" -> postingsFullOracle,
+    "q363_postings_stream" -> postingsFullOracle,
 
     // corpus-wide window counting, independent of the segment split
     "q362_sa_stats_incremental" ->

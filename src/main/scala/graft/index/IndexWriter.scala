@@ -140,6 +140,56 @@ object IndexWriter {
   def mergePostings(existing: DataFrame, batch: DataFrame): DataFrame =
     existing.unionByName(batch)
 
+  /** STREAMING inverted-index maintenance — [[postings]] +
+    * [[docFrequencies]] kept current by a micro-batch stream of index
+    * points: postings rows are per-document facts, so each batch
+    * APPENDS its own rows (no read-modify-write, no corpus rescan —
+    * partitioned by a term hash bucket so a query's term set prunes);
+    * df is additive over disjoint batches, so each batch appends its
+    * PARTIAL (term, df) rows and [[readDocFrequencies]] re-sums at
+    * read (the mergeDocFrequencies fold pushed to read time — compact
+    * periodically when partial-row count warrants). At-least-once
+    * replay is handled by dropping batch ids already present in the
+    * stored postings (one id-projection anti-join per batch). */
+  def streamPostings(spark: SparkSession, source: DataFrame, path: String,
+      checkpoint: String, termBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val pts0 = batch.toDF()
+        if (!pts0.isEmpty) {
+          val fs = fsFor(spark, s"$path/postings")
+          val have = fs.exists(new org.apache.hadoop.fs.Path(s"$path/postings"))
+          val pts = (if (have)
+              pts0.join(spark.read.parquet(s"$path/postings")
+                .select("id").distinct(), Seq("id"), "left_anti")
+            else pts0).localCheckpoint()
+          if (!pts.isEmpty) {
+            postings(pts)
+              .withColumn("term_bucket",
+                pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
+              .write.mode(SaveMode.Append).partitionBy("term_bucket")
+              .parquet(s"$path/postings")
+            docFrequencies(pts)
+              .write.mode(SaveMode.Append).parquet(s"$path/df")
+            ()
+          }
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The streamed postings table in [[postings]]' column contract. */
+  def readPostings(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/postings").select("term", "id", "tf", "dl")
+
+  /** The streamed df stats: appended per-batch partials re-summed —
+    * exactly [[mergeDocFrequencies]] folded over every batch. */
+  def readDocFrequencies(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/df")
+      .groupBy("term").agg(sum("df").as("df"))
+
   /** Incremental A7: merge an existing (term, df) stats table with a new
     * batch's partial stats — df is additive over disjoint document sets,
     * so maintenance cost is proportional to the BATCH, never a corpus

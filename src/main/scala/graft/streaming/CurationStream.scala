@@ -219,6 +219,43 @@ object CurationStream {
     upgraded
   }
 
+  /** STATE COMPACTION for the dedup ledgers: at-least-once replay
+    * appends duplicate (doc_id, digest/sig) rows — harmless for
+    * correctness (the smaller-id rule is insensitive to multiplicity;
+    * the object doc's idempotence argument) but the ledgers grow with
+    * REDELIVERY COUNT, not corpus size, and every batch's anti-join
+    * pays for the bloat. Rewrites each ledger to one row per doc_id
+    * via a staged swap (write `__staged`, retire the old directory
+    * aside, rename in, delete — no crash window leaves the state
+    * missing; a crash between renames leaves it recoverable at
+    * `__old`). Admission and reconciliation afterwards are
+    * bit-identical (CurationStreamSpec proves it). Returns the
+    * compacted (digest rows, sig rows). */
+  def compactState(spark: SparkSession, statePath: String): (Long, Long) = {
+    def compactOne(sub: String): Long = {
+      val path = s"$statePath/$sub"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(path)
+      if (!fs.exists(p)) return 0L
+      val staged = new org.apache.hadoop.fs.Path(path + "__staged")
+      val old = new org.apache.hadoop.fs.Path(path + "__old")
+      val deduped = spark.read.parquet(path)
+        .dropDuplicates("doc_id").localCheckpoint()
+      val n = deduped.count()
+      fs.delete(staged, true)
+      deduped.write.mode("overwrite").parquet(staged.toString)
+      fs.delete(old, true)
+      if (!fs.rename(p, old))
+        sys.error(s"compactState: could not retire $path")
+      if (!fs.rename(staged, p))
+        sys.error(s"compactState: could not swap in ${staged}")
+      fs.delete(old, true)
+      n
+    }
+    (compactOne("digests"), compactOne("sigs"))
+  }
+
   /** Wire a streaming (doc_id, text) source through per-batch admission
     * into a versioned snapshot at `outPath`, with dedup state under
     * `statePath`. AvailableNow trigger (the house micro-batch drain);

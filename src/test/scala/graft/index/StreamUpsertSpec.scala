@@ -116,4 +116,42 @@ class StreamUpsertSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, String)].collect().toMap
     assert(again == out)
   }
+
+  test("streamPostings: batches append postings + df partials; reads " +
+      "equal the one-shot build; replay from a fresh checkpoint " +
+      "converges (stored ids drop)") {
+    val base = Files.createTempDirectory("graft_postings_stream").toString
+    val src = s"$base/src"
+    val pts = Seq(
+      ("d1", Seq("spark", "joins", "spark")),
+      ("d2", Seq("joins", "windows")),
+      ("d3", Seq("spark", "state", "windows", "state")))
+      .toDF("id", "tokens")
+    pts.filter($"id" === "d1").coalesce(1).write.mode("append").parquet(src)
+    pts.filter($"id" =!= "d1").coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run(cp: String): Unit = {
+      val q = IndexWriter.streamPostings(spark,
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        s"$base/idx", cp)
+      q.processAllAvailable(); q.stop()
+    }
+    run(s"$base/cp1")
+    def canonP = IndexWriter.readPostings(spark, s"$base/idx")
+      .as[(String, String, Long, Int)].collect().toSet
+    def canonD = IndexWriter.readDocFrequencies(spark, s"$base/idx")
+      .as[(String, Long)].collect().toSet
+    val wantP = IndexWriter.postings(pts)
+      .as[(String, String, Long, Int)].collect().toSet
+    val wantD = IndexWriter.docFrequencies(pts)
+      .as[(String, Long)].collect().toSet
+    assert(canonP == wantP, s"streamed postings != one-shot: $canonP")
+    assert(canonD == wantD, s"streamed df != one-shot: $canonD")
+    // at-least-once replay: a fresh checkpoint redelivers every file;
+    // the stored-id anti-join must drop them all
+    run(s"$base/cp2")
+    assert(canonP == wantP && canonD == wantD,
+      "replay must not duplicate postings or df partials")
+  }
 }

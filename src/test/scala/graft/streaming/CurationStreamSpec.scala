@@ -162,4 +162,28 @@ class CurationStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(canon(got).toSeq == canon(oneGot).toSeq,
       "stream-then-reconcile must equal one-batch-then-reconcile")
   }
+
+  test("compactState: replay-bloated ledgers shrink to one row per doc; " +
+      "admission against the compacted state is bit-identical") {
+    val base = Files.createTempDirectory("graft_cur_compact").toString
+    val srcDir = s"$base/src"
+    writeBatch(srcDir, 1, corpus.filter(_._1 <= 20))
+    runStream(srcDir, s"$base/out", s"$base/state", s"$base/cp1")
+    // replay from a fresh checkpoint: state rows duplicate
+    runStream(srcDir, s"$base/out", s"$base/state", s"$base/cp2")
+    val (d0, s0) = CurationStream.readState(spark, s"$base/state")
+    assert(d0.count() > d0.select("doc_id").distinct().count(),
+      "replay must have bloated the digest ledger for this test to bite")
+    // the NEXT batch admitted against the bloated state — the reference
+    val next = corpus.filter(_._1 > 20).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    val before = canon(CurationStream.admitBatch(next, d0, s0, profile, cfg))
+    val (nd, ns) = CurationStream.compactState(spark, s"$base/state")
+    val (d1, s1) = CurationStream.readState(spark, s"$base/state")
+    assert(d1.count() == nd && nd == d1.select("doc_id").distinct().count())
+    assert(s1.count() == ns && ns == s1.select("doc_id").distinct().count())
+    assert(canon(CurationStream.admitBatch(next, d1, s1, profile, cfg))
+      == before, "admission must be bit-identical after compaction")
+  }
 }

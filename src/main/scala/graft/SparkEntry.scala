@@ -364,6 +364,23 @@ object SparkEntry {
         "batch3" -> (() => admitOne(3,
           planted.filter(col("doc_id") >= 10000))))
     }),
+    // q358 = q344's stream + the compaction epoch: the epoch's cost
+    // must not hide inside the stream's (or vice versa)
+    "q358_curation_reconcile" -> ((s, dir) => {
+      var tmp: String = null
+      Seq(
+        "stream" -> (() => {
+          tmp = curationStreamFixture(s, dir)
+          graft.index.Snapshots.readVersion(s, s"$tmp/out",
+            graft.index.Snapshots.versions(s, s"$tmp/out").last).count()
+        }),
+        "reconcile" -> (() => {
+          graft.streaming.CurationStream.reconcile(s, s"$tmp/out",
+            s"$tmp/state")
+          graft.index.Snapshots.readVersion(s, s"$tmp/out",
+            graft.index.Snapshots.versions(s, s"$tmp/out").last).count()
+        }))
+    }),
     "q203_hybrid_ann" -> ((s, dir) => {
       GraftFunctions.register(s)
       val index = ChunkPipeline.chunkPoints(s, t(s, dir, "documents")).cache()

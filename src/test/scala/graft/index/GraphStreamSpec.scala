@@ -206,4 +206,56 @@ class GraphStreamSpec extends AnyFunSuite with SparkTestBase {
     val recall = got.count(brute).toDouble / 10
     assert(recall >= 0.8, s"post-cutover recall $recall < 0.8")
   }
+
+  test("full lifecycle loop: stream-admit, tombstone, sweep, then the " +
+      "NEXT admitted batch links into the repaired generation and " +
+      "serving covers old + new survivors") {
+    val base = Files.createTempDirectory("graft_graph_loop").toString
+    val src = s"$base/src"
+    val (pts, edg, tmb) = (s"$base/points", s"$base/edges", s"$base/tombs")
+    def run(cp: String): Unit = {
+      val schema = spark.read.parquet(src).schema
+      val q = GraphStream.streamAdmit(spark,
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        pts, edg, checkpoint = cp, m = 6, maxLevel = 3, dim = 8)
+      q.processAllAvailable(); q.stop()
+    }
+    // batch 1 admits and self-builds
+    (0 until 120).map(i => (i.toLong, vecOf(i))).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .coalesce(1).write.mode("append").parquet(src)
+    run(s"$base/cp1")
+    // tombstone 25% and sweep into the repaired generation
+    GraphStream.tombstone(spark,
+      Snapshots.readVersion(spark, pts).filter($"id" % 4 === 0)
+        .select("id"), tmb)
+    assert(GraphStream.sweepIfDue(spark, pts, edg, tmb, 100).nonEmpty)
+    val sweptEdgeVersion = Snapshots.versions(spark, edg).last
+    // batch 2 arrives AFTER the sweep: streamAdmit reads the repaired
+    // latest pair and links the newcomers into it
+    (200 until 260).map(i => (i.toLong, vecOf(i))).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .coalesce(1).write.mode("append").parquet(src)
+    run(s"$base/cp1")
+    assert(Snapshots.versions(spark, edg).last == sweptEdgeVersion + 1)
+    val tombSet = (0 until 120).map(_.toLong).filter(_ % 4 == 0).toSet
+    val edges = GraphStream.decodeEdges(Snapshots.readVersion(spark, edg))
+      .select("id", "nbr").as[(Long, Long)].collect()
+    assert(edges.forall { case (a, b) => !tombSet(a) && !tombSet(b) },
+      "no post-sweep edge may touch a swept id")
+    assert(edges.exists { case (a, b) => (a >= 200) || (b >= 200) },
+      "the new batch must be linked in")
+    // serving the latest pair finds survivors from BOTH batches
+    val (p2, e2) = GraphStream.readVersioned(spark, pts, edg)
+    val idx = new graft.ops.Similarity.HnswIndex(p2, m = 6, maxLevel = 3,
+      vecCol = "vec", idCol = "id", prebuiltGraph = Some(e2))
+    val gotOld = idx.search(vecOf(7).toArray, k = 10, ef = 32, hops = 4)
+      .select("id").as[Long].collect()
+    val gotNew = idx.search(vecOf(203).toArray, k = 10, ef = 32, hops = 4)
+      .select("id").as[Long].collect()
+    assert(gotOld.length == 10 && gotOld.forall(!tombSet(_)))
+    assert(gotNew.contains(203L),
+      s"a post-sweep admit must be findable: ${gotNew.toSeq}")
+  }
 }

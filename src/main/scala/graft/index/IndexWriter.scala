@@ -184,6 +184,30 @@ object IndexWriter {
   def readPostings(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/postings").select("term", "id", "tf", "dl")
 
+  /** PARTITION-PRUNED postings read for one query's terms — the reason
+    * [[streamPostings]] lays the table out by `term_bucket`: the
+    * query's few terms map to their buckets (same pmod(xxhash64) as
+    * the write side, computed once driver-side), the bucket predicate
+    * prunes to those DIRECTORIES at planning time, and the residual
+    * term filter pushes into the surviving files' scans — so a
+    * request's sparse branch reads terms/termBuckets of the postings
+    * table's files, not all of them (PlanSpec asserts the pruned scan).
+    * Feed the result to [[graft.search.HybridSearch.Config.postings]]. */
+  def readPostingsForTerms(spark: SparkSession, path: String,
+      terms: Seq[String], termBuckets: Int = 64): DataFrame = {
+    val tseq = terms.distinct
+    val base = spark.read.parquet(s"$path/postings")
+    if (tseq.isEmpty) return base.select("term", "id", "tf", "dl").limit(0)
+    val buckets = spark.range(1)
+      .select(array(tseq.map(t =>
+        pmod(xxhash64(lit(t)), lit(termBuckets.toLong))): _*).as("b"))
+      .first().getSeq[Long](0).distinct
+    base
+      .filter(col("term_bucket").isin(buckets: _*) &&
+        col("term").isin(tseq: _*))
+      .select("term", "id", "tf", "dl")
+  }
+
   /** The streamed df stats: appended per-batch partials re-summed —
     * exactly [[mergeDocFrequencies]] folded over every batch. */
   def readDocFrequencies(spark: SparkSession, path: String): DataFrame =

@@ -143,6 +143,35 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"term predicate must push into the postings scan: $scan")
   }
 
+  test("readPostingsForTerms: the term-bucket predicate prunes " +
+      "partitions at plan time; the term filter pushes into the scan") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_postings_prune").toString
+    val pts = (0 until 200).map(i =>
+        (s"d$i", Seq(s"term$i", s"term${i % 7}", "common")))
+      .toDF("id", "tokens")
+    graft.index.IndexWriter.postings(pts)
+      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(64L)))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$base/postings")
+    val out = graft.index.IndexWriter.readPostingsForTerms(spark, base,
+      Seq("term3", "term5"))
+    val got = out.select("term", "id").as[(String, String)].collect()
+    assert(got.nonEmpty && got.forall(r => r._1 == "term3" || r._1 == "term5"))
+    val scan = out.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("term_bucket") &&
+      (scan.contains("PartitionFilters: [") || scan.contains("partition")),
+      s"bucket predicate must prune partitions: $scan")
+    assert(scan.contains("In(term"),
+      s"residual term filter must push into the scan: $scan")
+    // the fixture genuinely spreads buckets, so the pruning is real
+    val dirs = new java.io.File(s"$base/postings").listFiles()
+      .count(_.getName.startsWith("term_bucket="))
+    assert(dirs > 2, s"fixture must spread buckets, got $dirs")
+  }
+
   test("q05: the nation dim joins via BroadcastHashJoin, not a shuffle") {
     val df = SparkEntry.queries("q05_star_join")(spark, dir)
     df.collect()

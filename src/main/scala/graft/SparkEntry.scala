@@ -6346,6 +6346,37 @@ object SparkEntry {
         .select(col("term"), col("id"), col("tf").cast("long").as("tf"),
           col("dl").cast("long").as("dl"), col("df").cast("long").as("df"))
         .orderBy("term", "id")
+    }),
+
+    // ColBERT-style MaxSim late-interaction rerank: BM25 prefetches 50
+    // candidates (the cheap first stage), then each one rescores as
+    // Σ_qt max_dt cos(qt, dt) over PER-TOKEN embeddings — term-level
+    // alignment a pooled vector loses. Token-level embeddings exist
+    // only for the candidate slice's vocabulary (never the corpus);
+    // cosines micro-fix to ×10⁶ integers before max/sum, so the
+    // aggregation is exact. DuckDB re-derives the BM25 prefetch from
+    // scratch and the full MaxSim from the aux-dumped token vectors.
+    "q364_maxsim_rerank" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").as("id"), split(col("text"), " ").as("tokens"))
+      val n = docs.count()
+      val avgLen = docs.select(avg(size(col("tokens")))).first().getDouble(0)
+      val stats = graft.index.IndexWriter.docFrequencies(docs)
+      val qTerms = Seq("table", "scan", "merge", "join", "vector")
+      val cands = HybridSearch.bm25TopK(docs, stats, n, avgLen, qTerms, 50)
+        .select("id").join(docs, Seq("id")).localCheckpoint()
+      val emb = new graft.embed.HashingEmbedder(64)
+      val embUdf = udf((tk: String) => emb.embedBatch(Seq(tk)).head)
+      writeAux(cands
+        .select(explode(array_distinct(col("tokens"))).as("dtok"))
+        .filter(col("dtok") =!= "").distinct()
+        .withColumn("dvec", embUdf(col("dtok"))), dir, "q364_dvecs")
+      writeAux(qTerms.map(tk => (tk, emb.embedBatch(Seq(tk)).head.toSeq))
+        .toDF("qtok", "qvec"), dir, "q364_qvecs")
+      graft.search.LateInteraction.maxsimRerank(cands, qTerms, emb, k = 10)
+        .withColumnRenamed("id", "doc_id")
     })
   )
 
@@ -13728,6 +13759,42 @@ object SparkEntry {
     // one pass — the merged/streamed builds must match exactly
     "q361_postings_merge" -> postingsFullOracle,
     "q363_postings_stream" -> postingsFullOracle,
+
+    // the BM25 prefetch re-derived from scratch (q19's CTEs at k'=50),
+    // the MaxSim stage from the aux token vectors — max/sum over exact
+    // ×10⁶ integers
+    "q364_maxsim_rerank" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |params AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(toks)) AS avgdl FROM d),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl FROM (
+        |    SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl FROM d) u
+        |  WHERE tok IN ('table','scan','merge','join','vector') GROUP BY doc_id, tok),
+        |df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM (
+        |    SELECT doc_id, unnest(toks) AS tok FROM d) u GROUP BY tok),
+        |sc AS (SELECT t.doc_id,
+        |    ln(1 + (p.n - f.df + 0.5) / (f.df + 0.5)) * t.tf * 2.2 /
+        |      (t.tf + 1.2 * (0.25 + 0.75 * t.dl / p.avgdl)) AS s
+        |  FROM tf t, params p JOIN df f ON t.tok = f.tok),
+        |cand AS MATERIALIZED (SELECT doc_id FROM (
+        |  SELECT doc_id, round(sum(s), 6) AS bm25_score FROM sc GROUP BY doc_id
+        |  ORDER BY bm25_score DESC, doc_id LIMIT 50)),
+        |dv AS (SELECT dtok, dvec FROM '__AUX__/q364_dvecs/*.parquet'),
+        |qv AS (SELECT qtok, qvec FROM '__AUX__/q364_qvecs/*.parquet'),
+        |pairs AS (SELECT dv.dtok, qv.qtok,
+        |    unnest(dv.dvec)::DOUBLE AS x, unnest(qv.qvec)::DOUBLE AS y
+        |  FROM dv CROSS JOIN qv),
+        |pc AS MATERIALIZED (SELECT dtok, qtok,
+        |    CAST(round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))
+        |      * 1000000, 0) AS BIGINT) AS cos_u6
+        |  FROM pairs GROUP BY 1, 2),
+        |dt AS (SELECT DISTINCT doc_id, unnest(toks) AS dtok
+        |  FROM d JOIN cand USING (doc_id)),
+        |best AS (SELECT dt.doc_id, pc.qtok, max(pc.cos_u6) AS b
+        |  FROM dt JOIN pc USING (dtok) GROUP BY 1, 2),
+        |sumd AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS maxsim_u6
+        |  FROM best GROUP BY 1)
+        |SELECT doc_id, maxsim_u6 FROM sumd
+        |ORDER BY maxsim_u6 DESC, doc_id LIMIT 10""".stripMargin,
 
     // corpus-wide window counting, independent of the segment split
     "q362_sa_stats_incremental" ->

@@ -6377,6 +6377,43 @@ object SparkEntry {
         .toDF("qtok", "qvec"), dir, "q364_qvecs")
       graft.search.LateInteraction.maxsimRerank(cands, qTerms, emb, k = 10)
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // BATCHED MaxSim — the serving-matrix rule applied to the rerank
+    // tier: three queries rescore their own BM25 prefetches in ONE
+    // plan (shared candidate vocabulary embeds once, query tokens
+    // broadcast, per-query bounded heaps). DuckDB replays every
+    // query's BM25 top-50 and the per-(query, doc, term) max/sum from
+    // the aux token vectors.
+    "q365_maxsim_batch" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").as("id"), split(col("text"), " ").as("tokens"))
+      val n = docs.count()
+      val avgLen = docs.select(avg(size(col("tokens")))).first().getDouble(0)
+      val stats = graft.index.IndexWriter.docFrequencies(docs)
+      val qsets = Seq(
+        0L -> Seq("table", "scan", "merge", "join", "vector"),
+        1L -> Seq("window", "order", "sort"),
+        2L -> Seq("group", "key", "value"))
+      val cands = qsets.map { case (qid, ts) =>
+        HybridSearch.bm25TopK(docs, stats, n, avgLen, ts, 50)
+          .select(lit(qid).as("query_id"), col("id"))
+      }.reduce(_ unionByName _).join(docs, Seq("id")).localCheckpoint()
+      val emb = new graft.embed.HashingEmbedder(64)
+      val embUdf = udf((tk: String) => emb.embedBatch(Seq(tk)).head)
+      writeAux(cands
+        .select(explode(array_distinct(col("tokens"))).as("dtok"))
+        .filter(col("dtok") =!= "").distinct()
+        .withColumn("dvec", embUdf(col("dtok"))), dir, "q365_dvecs")
+      writeAux(qsets.flatMap(_._2).distinct
+        .map(tk => (tk, emb.embedBatch(Seq(tk)).head.toSeq))
+        .toDF("qtok", "qvec"), dir, "q365_qvecs")
+      graft.search.LateInteraction.maxsimRerankAll(cands,
+          qsets.toDF("query_id", "terms"), emb, k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("query_id"), desc("maxsim_u6"), col("doc_id"))
     })
   )
 
@@ -13795,6 +13832,52 @@ object SparkEntry {
         |  FROM best GROUP BY 1)
         |SELECT doc_id, maxsim_u6 FROM sumd
         |ORDER BY maxsim_u6 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q365_maxsim_batch" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |params AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(toks)) AS avgdl FROM d),
+        |qt(query_id, tok) AS (VALUES (0,'table'),(0,'scan'),(0,'merge'),
+        |  (0,'join'),(0,'vector'),(1,'window'),(1,'order'),(1,'sort'),
+        |  (2,'group'),(2,'key'),(2,'value')),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl FROM (
+        |    SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl FROM d) u
+        |  WHERE tok IN (SELECT DISTINCT tok FROM qt) GROUP BY doc_id, tok),
+        |df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM (
+        |    SELECT doc_id, unnest(toks) AS tok FROM d) u GROUP BY tok),
+        |sc AS (SELECT q.query_id, t.doc_id,
+        |    ln(1 + (p.n - f.df + 0.5) / (f.df + 0.5)) * t.tf * 2.2 /
+        |      (t.tf + 1.2 * (0.25 + 0.75 * t.dl / p.avgdl)) AS s
+        |  FROM tf t JOIN qt q ON q.tok = t.tok
+        |  JOIN df f ON f.tok = t.tok CROSS JOIN params p),
+        |bm AS (SELECT query_id, doc_id, round(sum(s), 6) AS b
+        |  FROM sc GROUP BY 1, 2),
+        |cand AS MATERIALIZED (SELECT query_id, doc_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY b DESC, doc_id) AS rn FROM bm) WHERE rn <= 50),
+        |dv AS (SELECT dtok, dvec FROM '__AUX__/q365_dvecs/*.parquet'),
+        |qv AS (SELECT qtok, qvec FROM '__AUX__/q365_qvecs/*.parquet'),
+        |pairs AS (SELECT dv.dtok, qv.qtok,
+        |    unnest(dv.dvec)::DOUBLE AS x, unnest(qv.qvec)::DOUBLE AS y
+        |  FROM dv CROSS JOIN qv),
+        |pc AS MATERIALIZED (SELECT dtok, qtok,
+        |    CAST(round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y)))
+        |      * 1000000, 0) AS BIGINT) AS cos_u6
+        |  FROM pairs GROUP BY 1, 2),
+        |dt AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(toks) AS dtok
+        |  FROM d WHERE doc_id IN (SELECT doc_id FROM cand)),
+        |best AS (SELECT c.query_id, c.doc_id, q.tok AS qtok,
+        |    max(pc.cos_u6) AS bst
+        |  FROM cand c JOIN dt ON dt.doc_id = c.doc_id
+        |  JOIN pc ON pc.dtok = dt.dtok
+        |  JOIN qt q ON q.query_id = c.query_id AND q.tok = pc.qtok
+        |  GROUP BY 1, 2, 3),
+        |sumd AS (SELECT query_id, doc_id,
+        |    CAST(sum(bst) AS BIGINT) AS maxsim_u6 FROM best GROUP BY 1, 2)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, maxsim_u6
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY maxsim_u6 DESC, doc_id) AS rn FROM sumd)
+        |WHERE rn <= 10
+        |ORDER BY query_id, maxsim_u6 DESC, doc_id""".stripMargin,
 
     // corpus-wide window counting, independent of the segment split
     "q362_sa_stats_incremental" ->

@@ -72,4 +72,49 @@ object LateInteraction {
       .orderBy(desc("maxsim_u6"), col(idCol))
       .limit(k)
   }
+
+  /** BATCHED [[maxsimRerank]] — the serving-matrix rule applied to the
+    * rerank tier: a whole query TABLE rescores its per-query candidate
+    * sets in ONE plan. `candidates` carries (queryIdCol, idCol,
+    * tokensCol) — each query's own prefetch rows; `queries` carries
+    * (queryIdCol, termsCol: array<string>). The shared vocabulary of
+    * ALL candidate slices embeds once per distinct token, every
+    * (doc-token, query-token) cosine computes once (query tokens
+    * broadcast — bounded by total query vocabulary), and the max/sum
+    * aggregates key by (query_id, id) with map-side combine; per-query
+    * top-k cuts through bounded heaps ([[graft.plans.TopK]]), so
+    * nothing global sorts. Per-query rows equal [[maxsimRerank]] on
+    * the same slice (LateInteractionSpec asserts it). Returns
+    * (queryIdCol, idCol, maxsim_u6), ordered per query. */
+  def maxsimRerankAll(candidates: DataFrame, queries: DataFrame,
+      embedder: Embedder, k: Int, idCol: String = "id",
+      tokensCol: String = "tokens", queryIdCol: String = "query_id",
+      termsCol: String = "terms"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val emb = embedder
+    val embUdf = udf((t: String) => emb.embedBatch(Seq(t)).head)
+    val qToks = queries
+      .select(col(queryIdCol), explode(col(termsCol)).as("qtok"))
+      .filter(col("qtok") =!= "").distinct()
+    val qVocab = qToks.select("qtok").distinct()
+      .withColumn("qvec", embUdf(col("qtok")))
+    val docToks = candidates.select(col(queryIdCol), col(idCol),
+        explode(array_distinct(col(tokensCol))).as("dtok"))
+      .filter(col("dtok") =!= "")
+    val vocab = docToks.select("dtok").distinct()
+      .withColumn("dvec", embUdf(col("dtok")))
+    val pairCos = vocab.crossJoin(broadcast(qVocab))
+      .select(col("dtok"), col("qtok"),
+        round(vecCosine(col("dvec"), col("qvec")) * 1000000, 0)
+          .cast("long").as("cos_u6"))
+    val scored = docToks
+      .join(pairCos, Seq("dtok"))
+      .join(broadcast(qToks), Seq(queryIdCol, "qtok"), "left_semi")
+      .groupBy(col(queryIdCol), col(idCol), col("qtok"))
+      .agg(max("cos_u6").as("best_u6"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum("best_u6").as("maxsim_u6"))
+    graft.plans.TopK.perKey(scored, Seq(queryIdCol),
+      Seq(("maxsim_u6", false), (idCol, true)), k)
+  }
 }

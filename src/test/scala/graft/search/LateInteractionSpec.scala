@@ -53,6 +53,35 @@ class LateInteractionSpec extends AnyFunSuite with SparkTestBase {
     assert(dup == byId, "a repeated query term must not double-count")
   }
 
+  test("maxsimRerankAll == per-query maxsimRerank loop, one plan") {
+    val docs = Seq(
+      ("d1", Seq("court", "appeal", "motion")),
+      ("d2", Seq("court", "grain", "shipment")),
+      ("d3", Seq("patent", "semiconductor", "lithography")),
+      ("d4", Seq("grain", "contract", "delivery")))
+      .toDF("id", "tokens")
+    val qsets = Seq(0L -> Seq("court", "appeal"),
+      1L -> Seq("grain", "delivery"), 2L -> Seq("patent"))
+    // per-query candidate slices (different subsets per query)
+    val cands = Seq(
+      (0L, Seq("d1", "d2", "d3")),
+      (1L, Seq("d2", "d4")),
+      (2L, Seq("d1", "d3", "d4")))
+      .toDF("query_id", "ids")
+      .select($"query_id", org.apache.spark.sql.functions.explode($"ids").as("id"))
+      .join(docs, Seq("id"))
+    val batched = LateInteraction.maxsimRerankAll(cands,
+        qsets.toDF("query_id", "terms"), emb, k = 2)
+      .select("query_id", "id", "maxsim_u6")
+      .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val loop = qsets.flatMap { case (qid, terms) =>
+      val slice = cands.filter($"query_id" === qid).select("id", "tokens")
+      LateInteraction.maxsimRerank(slice, terms, emb, k = 2)
+        .as[(String, Long)].collect().map(r => (qid, r._1, r._2))
+    }.sortBy(r => (r._1, r._2))
+    assert(batched == loop, s"batched: $batched\nloop: $loop")
+  }
+
   test("maxsimRerank: the vocabulary embeds once per DISTINCT token — " +
       "the plan's embedding input is vocab-sized, not positions-sized") {
     val docs = (1 to 50).map(i => (s"d$i", Seq("alpha", "beta", s"tok$i")))

@@ -6414,6 +6414,39 @@ object SparkEntry {
           qsets.toDF("query_id", "terms"), emb, k = 10)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("query_id"), desc("maxsim_u6"), col("doc_id"))
+    }),
+
+    // Segment-incremental contamination REMOVAL — q357's admission
+    // decision applied as an EDIT: each batch excises every token span
+    // whose 12-token substring appears in the frozen eval segment's
+    // key table (benchmark decontamination at admission time), the
+    // eval text never re-read. DuckDB derives hits by direct window
+    // equality and replays every per-token keep/drop and the
+    // position-order rebuild of each cleaned batch doc.
+    "q366_sa_removal_incremental" -> ((s, dir) => {
+      val secret = " benchmark answer span leaks verbatim into web" +
+        " crawl training corpora every day"
+      val boiler = " shared internal navigation chrome repeats across" +
+        " many training documents without leaking ever"
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 50 === 0 || col("doc_id") % 7 === 3,
+            lit(secret)).otherwise(lit("")),
+          when(col("doc_id") % 13 === 5 && col("doc_id") % 50 =!= 0,
+            lit(boiler)).otherwise(lit(""))).as("text"))
+      val evalDocs = planted.filter(col("doc_id") % 50 === 0)
+      val keys = graft.ops.SuffixArray.substrKeyTable(
+        evalDocs, "doc_id", "text", minLen = 12).localCheckpoint()
+      val b1 = planted.filter(col("doc_id") % 50 =!= 0 &&
+        col("doc_id") < 250)
+      val b2 = planted.filter(col("doc_id") % 50 =!= 0 &&
+        col("doc_id") >= 250)
+      graft.ops.SuffixArray.removeContaminatedSpansIncremental(
+          b1, keys, "doc_id", "text", minLen = 12)
+        .unionByName(graft.ops.SuffixArray
+          .removeContaminatedSpansIncremental(
+            b2, keys, "doc_id", "text", minLen = 12))
+        .orderBy("doc_id")
     })
   )
 
@@ -14067,6 +14100,56 @@ object SparkEntry {
          |FROM lens l LEFT JOIN agg a USING (doc_id)
          |WHERE l.doc_id % 50 <> 0
          |ORDER BY l.doc_id""".stripMargin,
+
+    // q357's window-equality hits + q345's excision replay, restricted
+    // to the batch (non-eval) docs
+    "q366_sa_removal_incremental" ->
+      s"""WITH planted AS (SELECT doc_id, text
+         |    || CASE WHEN doc_id % 50 = 0 OR doc_id % 7 = 3
+         |      THEN ' benchmark answer span leaks verbatim into web crawl training corpora every day'
+         |      ELSE '' END
+         |    || CASE WHEN doc_id % 13 = 5 AND doc_id % 50 <> 0
+         |      THEN ' shared internal navigation chrome repeats across many training documents without leaking ever'
+         |      ELSE '' END AS text
+         |  FROM documents),
+         |toks AS MATERIALIZED (SELECT doc_id,
+         |    [lower(x) for x in regexp_extract_all(text, '\\S+')] AS ws
+         |  FROM planted),
+         |otoks AS MATERIALIZED (SELECT doc_id,
+         |    regexp_extract_all(text, '\\S+') AS ows FROM planted
+         |  WHERE doc_id % 50 <> 0),
+         |wins AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    array_to_string(ws[CAST(i + 1 AS INT):CAST(i + 12 AS INT)], ' ') AS w
+         |  FROM toks, UNNEST(range(len(ws) - 11)) t(i)
+         |  WHERE len(ws) >= 12),
+         |ev AS MATERIALIZED (SELECT DISTINCT w FROM wins WHERE doc_id % 50 = 0),
+         |hits AS (SELECT doc_id, pos AS s, pos + 12 AS e FROM wins
+         |  WHERE doc_id % 50 <> 0 AND w IN (SELECT w FROM ev)),
+         |flagged AS (SELECT doc_id, s, e,
+         |    CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+         |      THEN 1 ELSE 0 END AS new_island
+         |  FROM hits
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY s, e
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |isl AS (SELECT doc_id, s, e,
+         |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM flagged),
+         |sp AS MATERIALIZED (SELECT doc_id, island, min(s) AS s, max(e) AS e
+         |  FROM isl GROUP BY 1, 2),
+         |pos2 AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+         |    ows[CAST(i + 1 AS INT)] AS tok
+         |  FROM otoks, UNNEST(range(len(ows))) t(i)),
+         |keptk AS (SELECT p.doc_id, p.idx, p.tok FROM pos2 p
+         |  WHERE NOT EXISTS (SELECT 1 FROM sp s
+         |    WHERE s.doc_id = p.doc_id AND p.idx >= s.s AND p.idx < s.e)),
+         |res AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text,
+         |    CAST(count(*) AS BIGINT) AS kept FROM keptk GROUP BY 1)
+         |SELECT o.doc_id, COALESCE(r.text, '') AS text,
+         |  CAST(len(o.ows) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(r.kept, 0) AS BIGINT) AS kept_tokens
+         |FROM otoks o LEFT JOIN res r USING (doc_id)
+         |ORDER BY o.doc_id""".stripMargin,
 
     "q341_sa_adjacent_lcp" -> {
       val levels = (7 to 0 by -1).map { k =>

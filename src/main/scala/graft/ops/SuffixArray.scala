@@ -425,6 +425,15 @@ object SuffixArray {
   def removeRepeatedSpansExact(docs: DataFrame, idCol: String,
       textCol: String, minLen: Int, minDocs: Int = 2): DataFrame = {
     val (_, spans) = exactHitSpans(docs, idCol, textCol, minLen, minDocs)
+    exciseSpans(docs, idCol, textCol, spans)
+  }
+
+  /** The shared excision epilogue: drop every token of `docs` covered
+    * by a merged (doc_id, s, e) span, preserving the ORIGINAL
+    * (case-kept) tokens of survivors — matching was case-folded,
+    * editing is not, and cleaned text never crosses an exchange. */
+  private def exciseSpans(docs: DataFrame, idCol: String,
+      textCol: String, spans: DataFrame): DataFrame = {
     val spanLists = spans.groupBy("doc_id")
       .agg(collect_list(struct(col("s"), col("e"))).as("__spans"))
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
@@ -439,6 +448,37 @@ object SuffixArray {
         size(col("ws")).cast("long").as("n_tokens"))
       .select(col("doc_id"), concat_ws(" ", col("__kept")).as("text"),
         col("n_tokens"), size(col("__kept")).cast("long").as("kept_tokens"))
+  }
+
+  /** SEGMENT-INCREMENTAL removal — the third member of the incremental
+    * ExactSubstr family (contamination
+    * [[exactSubstrContaminationIncremental]], stats
+    * [[repeatedSpanStatsIncremental]]): excise from a NEW batch every
+    * token span whose length-minLen substring appears in the stored
+    * segment keys (e.g. the frozen eval set — benchmark
+    * decontamination applied as an EDIT at admission time, not just a
+    * flag). Hits are the contamination form's; the excision is the
+    * [[removeRepeatedSpansExact]] epilogue. Returns (doc_id, text,
+    * n_tokens, kept_tokens) for batch docs; by construction
+    * kept_tokens = n_tokens − contaminated_tokens (the spec pins the
+    * two methods together). */
+  def removeContaminatedSpansIncremental(batch: DataFrame,
+      storedKeys: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    val (_, keyed, pos) = rankPairKeysPos(batch, idCol, textCol, minLen)
+    val reps = keyed.groupBy("__ra", "__rb")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__r"))
+      .select(col("__ra"), col("__rb"),
+        col("__r").getField("doc_id").as("doc_id"),
+        col("__r").getField("pos").as("pos"))
+    val hitGroups = groupDigests(reps, pos, minLen)
+      .join(storedKeys.select("key"), Seq("key"), "left_semi")
+      .select("__ra", "__rb")
+    val hits = keyed.join(hitGroups, Seq("__ra", "__rb"), "left_semi")
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + minLen).as("e"))
+    exciseSpans(batch, idCol, textCol,
+      Cleaning.mergeIntervals(hits, "doc_id", "s", "e"))
   }
 
   /** Maximal cross-doc repeats by adjacent-rank LCP — the classic

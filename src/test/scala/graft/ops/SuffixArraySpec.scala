@@ -108,6 +108,41 @@ class SuffixArraySpec extends AnyFunSuite with SparkTestBase {
     assert(byDoc(5L) == 0 && byDoc(6L) == 0 && byDoc(7L) == 0)
   }
 
+  test("segment-incremental removal: eval-contaminated spans excise " +
+      "from batch docs, kept_tokens == n_tokens - contaminated_tokens, " +
+      "originals preserve case") {
+    val secret = "zero one two three four five six seven eight nine " +
+      "ten eleven"
+    val docs = Seq(
+      (100L, s"evalpad $secret"),
+      (3L, s"Alpha beta $secret gamma"),
+      (7L, "completely unrelated text with plenty of tokens to stay " +
+        "above the window size easily"))
+      .toDF("doc_id", "text")
+    val evalDocs = docs.filter($"doc_id" === 100L)
+    val batch = docs.filter($"doc_id" =!= 100L)
+    val keys = SuffixArray.substrKeyTable(evalDocs, "doc_id", "text",
+      minLen = 12)
+    val removed = SuffixArray.removeContaminatedSpansIncremental(
+        batch, keys, "doc_id", "text", minLen = 12)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 3: the 12 secret tokens excise; survivors rejoin in order
+    // with ORIGINAL case
+    assert(removed(3L)._2 == "Alpha beta gamma")
+    assert(removed(3L)._3 == 15 && removed(3L)._4 == 3)
+    // doc 7: untouched
+    assert(removed(7L)._4 == removed(7L)._3)
+    // accounting pins the two incremental forms together
+    val contam = SuffixArray.exactSubstrContaminationIncremental(
+        batch, keys, "doc_id", "text", minLen = 12)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    for ((id, (_, _, n, kept)) <- removed)
+      assert(kept == n - contam(id)._3,
+        s"doc $id: kept $kept != n $n - contaminated ${contam(id)._3}")
+  }
+
   test("segment-incremental span stats == full rebuild restricted to " +
       "the batch; cross-segment support comes from stored counts alone") {
     val secret = "zero one two three four five six seven eight nine " +

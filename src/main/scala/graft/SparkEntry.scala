@@ -6447,6 +6447,135 @@ object SparkEntry {
           .removeContaminatedSpansIncremental(
             b2, keys, "doc_id", "text", minLen = 12))
         .orderBy("doc_id")
+    }),
+
+    // MAXSCORE-pruned BM25 serving (Turtle & Flood): a rare planted
+    // term makes θ (the 10th-best single-term score of the highest-
+    // bound term) tower over the stopword-grade natural vocabulary's
+    // summed upper bounds, so candidate generation enumerates ONLY the
+    // rare term's postings — n_essential < n_terms, n_candidates ≪
+    // corpus — while results stay EXACTLY the unpruned top-k. DuckDB
+    // verifies the result set INDEPENDENTLY (full unpruned scoring
+    // over all matching docs) and replays the u6 pruning decision for
+    // the audit columns, so a bound bug shows up as either a result
+    // mismatch or an audit mismatch.
+    "q367_bm25_maxscore" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val base = ensureHybridIndex(s, dir)
+      val index = s.read.parquet(s"$base/chunks")
+        .withColumn("tokens",
+          when(col("doc_id") % 20 === 7,
+            concat(col("tokens"), array(lit("zqmaxscore"))))
+            .otherwise(col("tokens")))
+      writeAux(index.select("id", "tokens"), dir, "q367_index")
+      val postings = graft.index.IndexWriter.postings(index)
+        .localCheckpoint()
+      val stats = graft.index.IndexWriter.docFrequencies(index)
+        .localCheckpoint()
+      val bounds = graft.index.IndexWriter.termBounds(postings)
+      val n = index.count()
+      val avgLen = index.select(avg(size(col("tokens")))).first().getDouble(0)
+      val terms = Seq("zqmaxscore", "scan", "filter", "join")
+      val (theta6, flags) = HybridSearch.maxScorePrune(
+        postings, stats, bounds, n, avgLen, terms, 10)
+      val essential = flags.collect { case (t, _, true) => t }
+      val nCand = postings.filter(col("term").isin(essential: _*))
+        .select("id").distinct().count()
+      HybridSearch.bm25TopKMaxScore(
+          postings, stats, bounds, n, avgLen, terms, 10)
+        .withColumn("theta6", lit(theta6))
+        .withColumn("n_terms", lit(flags.size.toLong))
+        .withColumn("n_essential", lit(essential.size.toLong))
+        .withColumn("n_candidates", lit(nCand))
+        .orderBy(desc("bm25_score"), col("id"))
+    }),
+
+    // FORGET propagated through the sparse serving artifacts: a purge
+    // list (doc_id % 9 = 4's chunks) is removed from postings (anti-
+    // join), df (per-term decrement from the purged rows, zero-df terms
+    // leave), termBounds (retighten ONLY the affected vocabulary from
+    // surviving postings — stale bounds would still be SOUND for
+    // MaxScore, this is the eager path), and the (n_docs, total_dl)
+    // scorer stats (subtractable because the SUM is stored, not the
+    // average). Every delta derives from the purged docs' own postings
+    // — cost ∝ purge, never a corpus rescan. DuckDB rebuilds all four
+    // artifacts FROM SCRATCH on the surviving corpus: maintained ≡
+    // rebuilt, bit for bit.
+    "q368_forget_index" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val base = ensureHybridIndex(s, dir)
+      val index = s.read.parquet(s"$base/chunks")
+      writeAux(index.select("id", "doc_id", "tokens"), dir, "q368_index")
+      val W = graft.index.IndexWriter
+      val postings = W.postings(index).localCheckpoint()
+      val df0 = W.docFrequencies(index)
+      val bounds0 = W.termBounds(postings)
+      val n0 = index.count()
+      val totalDl0 = index.agg(sum(size(col("tokens")))).first().getLong(0)
+      val ids = index.filter(col("doc_id") % 9 === 4).select("id")
+      val purged = W.purgedPostings(postings, ids).localCheckpoint()
+      val survivors = W.forgetPostings(postings, ids)
+      val cs = W.forgetCorpusStats(n0, totalDl0, purged).first()
+      survivors
+        .join(W.forgetDocFrequencies(df0, purged), Seq("term"))
+        .join(W.forgetTermBounds(bounds0, survivors, purged), Seq("term"))
+        .select(col("term"), col("id"), col("tf").cast("long").as("tf"),
+          col("dl").cast("long").as("dl"), col("df").cast("long").as("df"),
+          col("max_tf").cast("long").as("max_tf"),
+          col("min_dl").cast("long").as("min_dl"),
+          lit(cs.getLong(0)).as("n_docs"), lit(cs.getLong(1)).as("total_dl"))
+        .orderBy("term", "id")
+    }),
+
+    // BATCHED MaxScore: three queries — two rare+stopword mixes that
+    // must prune (per-query essential set collapses to the planted
+    // term) and one all-common query that cannot (its θ comes from the
+    // common vocabulary itself) — served in ONE plan: per-query θ-terms
+    // by rank window, θs via bounded heaps, essential flags via
+    // per-query cumsum windows, candidates only from essential (query,
+    // term) postings. DuckDB re-derives every query's top-10 by FULL
+    // unpruned scoring (independent of the pruning) and replays the
+    // per-query u6 decisions for the audit columns.
+    "q369_bm25_maxscore_batch" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val sq = s
+      import sq.implicits._
+      val base = ensureHybridIndex(s, dir)
+      val index = s.read.parquet(s"$base/chunks")
+        .withColumn("tokens",
+          when(col("doc_id") % 20 === 7,
+            concat(col("tokens"), array(lit("zqalpha"))))
+          .when(col("doc_id") % 20 === 13,
+            concat(col("tokens"), array(lit("zqbeta"))))
+          .otherwise(col("tokens")))
+      writeAux(index.select("id", "tokens"), dir, "q369_index")
+      val W = graft.index.IndexWriter
+      val postings = W.postings(index).localCheckpoint()
+      val stats = W.docFrequencies(index).localCheckpoint()
+      val bounds = W.termBounds(postings)
+      val n = index.count()
+      val avgLen = index.select(avg(size(col("tokens")))).first().getDouble(0)
+      val qt = Seq((0L, "zqalpha"), (0L, "scan"), (0L, "filter"),
+        (1L, "zqbeta"), (1L, "join"), (1L, "merge"),
+        (2L, "scan"), (2L, "filter"), (2L, "join"))
+        .toDF("query_id", "term")
+      val flags = HybridSearch.maxScorePruneAll(
+        postings, stats, bounds, n, avgLen, qt, 10).localCheckpoint()
+      val audit = flags.groupBy("query_id")
+        .agg(count(lit(1)).as("n_terms"),
+          sum(when(col("essential"), 1L).otherwise(0L)).as("n_essential"))
+      val cand = postings
+        .join(broadcast(flags.filter(col("essential"))
+          .select("query_id", "term")), Seq("term"))
+        .select("query_id", "id").distinct()
+        .groupBy("query_id").agg(count(lit(1)).as("n_candidates"))
+      HybridSearch.bm25TopKMaxScoreAll(
+          postings, stats, bounds, n, avgLen, qt, 10)
+        .join(audit, Seq("query_id"))
+        .join(cand, Seq("query_id"))
+        .select(col("query_id"), col("id"), col("bm25_score"),
+          col("n_terms"), col("n_essential"), col("n_candidates"))
+        .orderBy(col("query_id"), desc("bm25_score"), col("id"))
     })
   )
 
@@ -14029,6 +14158,141 @@ object SparkEntry {
     // the SCAN-PATH arithmetic (token explode → tf → BM25), independent
     // of the postings table Spark served from — equality proves the
     // postings routing changes no score bit
+    // the RESULT rows come from full unpruned scoring (independent of
+    // the pruning), the AUDIT columns from a u6 replay of the MaxScore
+    // decision — a pruning bug fails one or the other
+    "q367_bm25_maxscore" ->
+      """WITH idx AS (SELECT * FROM '__AUX__/q367_index/*.parquet'),
+        |params AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    avg(len(tokens)) AS avgdl FROM idx),
+        |tf AS (SELECT id, tok, CAST(count(*) AS DOUBLE) AS tf,
+        |    any_value(dl) AS dl FROM (
+        |    SELECT id, unnest(tokens) AS tok, len(tokens) AS dl FROM idx) u
+        |  WHERE tok IN ('zqmaxscore', 'scan', 'filter', 'join')
+        |  GROUP BY id, tok),
+        |df AS (SELECT tok, CAST(count(DISTINCT id) AS DOUBLE) AS df FROM (
+        |    SELECT id, unnest(tokens) AS tok FROM idx) u GROUP BY tok),
+        |sc AS (SELECT t.id, t.tok,
+        |    ln(1 + (p.n - f.df + 0.5) / (f.df + 0.5)) * t.tf * 2.2 /
+        |      (t.tf + 1.2 * (0.25 + 0.75 * t.dl / p.avgdl)) AS s
+        |  FROM tf t, params p JOIN df f ON t.tok = f.tok),
+        |bm AS (SELECT id, round(sum(s), 6) AS bm25_score FROM sc
+        |  GROUP BY id ORDER BY bm25_score DESC, id LIMIT 10),
+        |tb AS (SELECT tok, max(tf) AS max_tf, min(dl) AS min_dl
+        |  FROM tf GROUP BY tok),
+        |ub AS (SELECT tb.tok,
+        |    CAST(round(ln(1 + (p.n - f.df + 0.5) / (f.df + 0.5)) *
+        |      tb.max_tf * 2.2 /
+        |      (tb.max_tf + 1.2 * (0.25 + 0.75 * tb.min_dl / p.avgdl)) *
+        |      1000000, 0) AS BIGINT) + 1 AS ub6
+        |  FROM tb, params p JOIN df f ON tb.tok = f.tok),
+        |tt AS (SELECT tok FROM ub ORDER BY ub6 DESC, tok LIMIT 1),
+        |ts AS (SELECT CAST(round(s * 1000000, 0) AS BIGINT) AS s6,
+        |    row_number() OVER (ORDER BY CAST(round(s * 1000000, 0)
+        |      AS BIGINT) DESC, id) AS rn
+        |  FROM sc WHERE tok = (SELECT tok FROM tt)),
+        |theta AS (SELECT CASE WHEN (SELECT count(*) FROM ts) < 10
+        |    THEN CAST(-1 AS BIGINT)
+        |    ELSE (SELECT s6 - 1 FROM ts WHERE rn = 10) END AS theta6),
+        |ess AS (SELECT tok, ub6,
+        |    CASE WHEN SUM(ub6) OVER (ORDER BY ub6, tok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      >= (SELECT theta6 FROM theta) THEN 1 ELSE 0 END AS e
+        |  FROM ub),
+        |cand AS (SELECT DISTINCT id FROM tf
+        |  WHERE tok IN (SELECT tok FROM ess WHERE e = 1))
+        |SELECT bm.id, bm.bm25_score,
+        |  (SELECT theta6 FROM theta) AS theta6,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ub) AS n_terms,
+        |  (SELECT CAST(sum(e) AS BIGINT) FROM ess) AS n_essential,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates
+        |FROM bm ORDER BY bm25_score DESC, id""".stripMargin,
+
+    // per-query results from FULL unpruned scoring; per-query audit
+    // columns from the u6 pruning replay, GROUPed BY query_id
+    "q369_bm25_maxscore_batch" ->
+      """WITH idx AS (SELECT * FROM '__AUX__/q369_index/*.parquet'),
+        |qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, tok
+        |  FROM (VALUES (0, 'zqalpha'), (0, 'scan'), (0, 'filter'),
+        |    (1, 'zqbeta'), (1, 'join'), (1, 'merge'),
+        |    (2, 'scan'), (2, 'filter'), (2, 'join')) t(query_id, tok)),
+        |params AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    avg(len(tokens)) AS avgdl FROM idx),
+        |tf AS (SELECT id, tok, CAST(count(*) AS DOUBLE) AS tf,
+        |    any_value(dl) AS dl FROM (
+        |    SELECT id, unnest(tokens) AS tok, len(tokens) AS dl FROM idx) u
+        |  WHERE tok IN (SELECT DISTINCT tok FROM qt) GROUP BY id, tok),
+        |df AS (SELECT tok, CAST(count(DISTINCT id) AS DOUBLE) AS df FROM (
+        |    SELECT id, unnest(tokens) AS tok FROM idx) u GROUP BY tok),
+        |sc AS (SELECT t.id, t.tok,
+        |    ln(1 + (p.n - f.df + 0.5) / (f.df + 0.5)) * t.tf * 2.2 /
+        |      (t.tf + 1.2 * (0.25 + 0.75 * t.dl / p.avgdl)) AS s
+        |  FROM tf t, params p JOIN df f ON t.tok = f.tok),
+        |bm0 AS (SELECT q.query_id, s.id, round(sum(s.s), 6) AS bm25_score
+        |  FROM sc s JOIN qt q ON q.tok = s.tok GROUP BY 1, 2),
+        |bm AS (SELECT query_id, id, bm25_score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY bm25_score DESC, id) AS rn FROM bm0)
+        |  WHERE rn <= 10),
+        |tb AS (SELECT tok, max(tf) AS max_tf, min(dl) AS min_dl
+        |  FROM tf GROUP BY tok),
+        |ub AS (SELECT q.query_id, q.tok,
+        |    CAST(round(ln(1 + (p.n - f.df + 0.5) / (f.df + 0.5)) *
+        |      tb.max_tf * 2.2 /
+        |      (tb.max_tf + 1.2 * (0.25 + 0.75 * tb.min_dl / p.avgdl)) *
+        |      1000000, 0) AS BIGINT) + 1 AS ub6
+        |  FROM qt q JOIN tb ON tb.tok = q.tok, params p
+        |  JOIN df f ON f.tok = q.tok),
+        |tt AS (SELECT query_id, tok FROM (
+        |    SELECT query_id, tok, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY ub6 DESC, tok) AS rn FROM ub) WHERE rn = 1),
+        |ts AS (SELECT t.query_id,
+        |    CAST(round(s.s * 1000000, 0) AS BIGINT) AS s6,
+        |    row_number() OVER (PARTITION BY t.query_id
+        |      ORDER BY CAST(round(s.s * 1000000, 0) AS BIGINT) DESC, s.id)
+        |      AS rn
+        |  FROM sc s JOIN tt t ON t.tok = s.tok),
+        |theta AS (SELECT query_id,
+        |    CASE WHEN count(*) < 10 THEN CAST(-1 AS BIGINT)
+        |      ELSE max(CASE WHEN rn = 10 THEN s6 END) - 1 END AS theta6
+        |  FROM ts WHERE rn <= 10 GROUP BY query_id),
+        |ess AS (SELECT u.query_id, u.tok,
+        |    CASE WHEN SUM(u.ub6) OVER (PARTITION BY u.query_id
+        |      ORDER BY u.ub6, u.tok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      >= COALESCE(th.theta6, -1) THEN 1 ELSE 0 END AS e
+        |  FROM ub u LEFT JOIN theta th USING (query_id)),
+        |cand AS (SELECT DISTINCT e.query_id, t.id
+        |  FROM tf t JOIN ess e ON e.tok = t.tok AND e.e = 1),
+        |aud AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |    CAST(sum(e) AS BIGINT) AS n_essential FROM ess GROUP BY 1),
+        |cnd AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
+        |  FROM cand GROUP BY 1)
+        |SELECT bm.query_id, bm.id, bm.bm25_score, a.n_terms,
+        |  a.n_essential, c.n_candidates
+        |FROM bm JOIN aud a USING (query_id) JOIN cnd c USING (query_id)
+        |ORDER BY query_id, bm25_score DESC, id""".stripMargin,
+
+    // every maintained artifact rebuilt FROM SCRATCH on the surviving
+    // corpus — the forget deltas must land exactly on this
+    "q368_forget_index" ->
+      """WITH idx AS (SELECT * FROM '__AUX__/q368_index/*.parquet'
+        |  WHERE doc_id % 9 <> 4),
+        |tf AS (SELECT id, tok AS term, CAST(count(*) AS BIGINT) AS tf,
+        |    CAST(any_value(dl) AS BIGINT) AS dl FROM (
+        |    SELECT id, unnest(tokens) AS tok, len(tokens) AS dl FROM idx) u
+        |  GROUP BY id, tok),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY term),
+        |tb AS (SELECT term, max(tf) AS max_tf, min(dl) AS min_dl
+        |  FROM tf GROUP BY term),
+        |cs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(tokens)) AS BIGINT) AS total_dl FROM idx)
+        |SELECT t.term, t.id, t.tf, t.dl, f.df, b.max_tf, b.min_dl,
+        |  cs.n_docs, cs.total_dl
+        |FROM tf t JOIN df f USING (term) JOIN tb b USING (term), cs
+        |ORDER BY term, id""".stripMargin,
+
     "q356_bm25_postings" ->
       """WITH idx AS (SELECT * FROM '__AUX__/q356_index/*.parquet'),
         |dense AS (SELECT * FROM '__AUX__/q356_dense/*.parquet'),

@@ -140,6 +140,109 @@ object IndexWriter {
   def mergePostings(existing: DataFrame, batch: DataFrame): DataFrame =
     existing.unionByName(batch)
 
+  /** Per-term SCORE-BOUND stats for MaxScore pruning — (term, max_tf,
+    * min_dl): the BM25 term score is monotone UP in tf and DOWN in dl,
+    * so `score(t, d) ≤ idf(t) · tfnorm(max_tf, min_dl)` for every doc d
+    * in t's postings. Deliberately stored as the (max_tf, min_dl) PAIR
+    * rather than a precomputed score bound: the score depends on df and
+    * avgdl, which shift as the corpus grows, while max/min are
+    * mergeable over any batch split ([[mergeTermBounds]]) — the same
+    * additive-stats discipline as [[mergeDocFrequencies]], so the
+    * serving tier re-derives current bounds from current (df, avgdl)
+    * at query time for its handful of terms. One groupBy over the
+    * postings table, built/maintained alongside it. */
+  def termBounds(postings: DataFrame): DataFrame =
+    postings.groupBy("term")
+      .agg(max("tf").as("max_tf"), min("dl").as("min_dl"))
+
+  /** Incremental [[termBounds]] maintenance: max/min are mergeable, so
+    * `mergeTermBounds(termBounds(a), termBounds(b)) ==
+    * termBounds(mergePostings(a, b))` for ANY split (no disjointness
+    * needed — max/min are idempotent over overlap). */
+  def mergeTermBounds(existing: DataFrame, batch: DataFrame): DataFrame =
+    existing.unionByName(batch).groupBy("term")
+      .agg(max("max_tf").as("max_tf"), min("min_dl").as("min_dl"))
+
+  // --- forget: takedown propagated through the sparse artifacts -------
+  //
+  // The cross-index right-to-be-forgotten: [[graft.index.Snapshots
+  // .purgeIds]] removes the documents from the chunk store (and its
+  // history); these ops remove their trace from the SERVING artifacts
+  // with cost proportional to the PURGED documents' postings, never a
+  // corpus rescan — every delta below is computed from the purged rows
+  // themselves. (The ANN side has its own disciplines: HNSW tombstone →
+  // repair generations, IVF generation filters.)
+
+  /** The purged documents' own postings rows — the delta every other
+    * forget op derives from (one broadcast semi-join; the purge list is
+    * request-scale). */
+  def purgedPostings(postings: DataFrame, ids: DataFrame,
+      idCol: String = "id"): DataFrame =
+    postings.join(broadcast(ids.select(col(idCol).as("id")).distinct()),
+      Seq("id"), "left_semi")
+      .select("term", "id", "tf", "dl")
+
+  /** Postings minus the purged documents (broadcast anti-join — the
+    * corpus-sized side never shuffles; with the term-bucketed layout
+    * the rewrite is per-bucket and buckets without hits are untouched). */
+  def forgetPostings(postings: DataFrame, ids: DataFrame,
+      idCol: String = "id"): DataFrame =
+    postings.join(broadcast(ids.select(col(idCol).as("id")).distinct()),
+      Seq("id"), "left_anti")
+      .select("term", "id", "tf", "dl")
+
+  /** df maintained under deletion: each purged doc decrements df for
+    * exactly the terms it contained — the per-term delta is a count of
+    * DISTINCT purged docs from [[purgedPostings]] (postings rows are
+    * already (term, id)-distinct, so a plain count), terms that drop
+    * to zero leave the stats table. `forgetDocFrequencies(df(c), pp)`
+    * equals `docFrequencies(c minus ids)` — q368 oracles the equality
+    * against a from-scratch rebuild. */
+  def forgetDocFrequencies(df: DataFrame, purged: DataFrame): DataFrame = {
+    val delta = purged.groupBy("term").agg(count(lit(1)).as("ddf"))
+    df.join(broadcast(delta), Seq("term"), "left")
+      .select(col("term"),
+        (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+  }
+
+  /** [[termBounds]] under deletion. max/min do NOT subtract, but a
+    * deletion can only make the true per-term (max_tf, min_dl)
+    * LOOSER-or-equal versions of the stored ones — and MaxScore
+    * ([[graft.search.HybridSearch.maxScorePrune]]) only needs VALID
+    * upper bounds, so the lazy path (keep the stale stats) stays
+    * CORRECT, just less selective. This op is the eager path: retighten
+    * exactly the terms the purged docs touched, from those terms'
+    * surviving postings only (a term-keyed lookup — the purge list's
+    * vocabulary, never the whole table), and keep every untouched
+    * term's row as-is; equal to a full [[termBounds]] rebuild because
+    * untouched terms' postings are unchanged. */
+  def forgetTermBounds(bounds: DataFrame, survivors: DataFrame,
+      purged: DataFrame): DataFrame = {
+    val affected = purged.select("term").distinct()
+    val retightened = termBounds(
+      survivors.join(broadcast(affected), Seq("term"), "left_semi"))
+    bounds.join(broadcast(affected), Seq("term"), "left_anti")
+      .unionByName(retightened)
+  }
+
+  /** Corpus-level (n_docs, total_dl) maintained under deletion — the
+    * avgdl the scorer divides by is total_dl / n_docs, so storing the
+    * SUM (not the average) is what makes the stat subtractable. The
+    * per-doc (id, dl) pairs come from the purged postings themselves
+    * (distinct over the term fan-out). Returns a one-row
+    * (n_docs, total_dl) frame. */
+  def forgetCorpusStats(nDocs: Long, totalDl: Long,
+      purged: DataFrame): DataFrame = {
+    val spark = purged.sparkSession
+    val d = purged.select("id", "dl").distinct()
+      .agg(count(lit(1)).as("nd"), coalesce(sum("dl"), lit(0L)).as("sd"))
+      .collect()(0)
+    spark.range(1).select(
+      lit(nDocs - d.getLong(0)).as("n_docs"),
+      lit(totalDl - d.getLong(1)).as("total_dl"))
+  }
+
   /** STREAMING inverted-index maintenance — [[postings]] +
     * [[docFrequencies]] kept current by a micro-batch stream of index
     * points: postings rows are per-document facts, so each batch
@@ -165,13 +268,18 @@ object IndexWriter {
                 .select("id").distinct(), Seq("id"), "left_anti")
             else pts0).localCheckpoint()
           if (!pts.isEmpty) {
-            postings(pts)
+            val batchPostings = postings(pts).localCheckpoint()
+            batchPostings
               .withColumn("term_bucket",
                 pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
               .write.mode(SaveMode.Append).partitionBy("term_bucket")
               .parquet(s"$path/postings")
             docFrequencies(pts)
               .write.mode(SaveMode.Append).parquet(s"$path/df")
+            // MaxScore bound stats ride the same append discipline:
+            // max/min partials re-merge at read (vocabulary-sized)
+            termBounds(batchPostings)
+              .write.mode(SaveMode.Append).parquet(s"$path/bounds")
             ()
           }
         }
@@ -213,6 +321,16 @@ object IndexWriter {
   def readDocFrequencies(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/df")
       .groupBy("term").agg(sum("df").as("df"))
+
+  /** The streamed MaxScore bound stats: appended per-batch partials
+    * re-merged — exactly [[mergeTermBounds]] folded over every batch
+    * (max/min are idempotent, so at-least-once appends that slipped a
+    * duplicate batch would still read correctly — unlike df, bounds
+    * don't even need the anti-join guard). */
+  def readTermBounds(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/bounds")
+      .groupBy("term").agg(max("max_tf").as("max_tf"),
+        min("min_dl").as("min_dl"))
 
   /** Incremental A7: merge an existing (term, df) stats table with a new
     * batch's partial stats — df is additive over disjoint document sets,

@@ -45,13 +45,24 @@ object HybridSearch {
     *   to the matched postings, not the corpus. `None` keeps the
     *   scan-path (correct for one-shot/oracle plans that would pay the
     *   postings build anyway). Scores are identical either way
-    *   (HybridSearchSpec asserts bit-equality; q356 oracles it). */
+    *   (HybridSearchSpec asserts bit-equality; q356 oracles it).
+    * @param termBounds when supplied TOGETHER with `postings` (an
+    *   [[graft.index.IndexWriter.termBounds]] table — term, max_tf,
+    *   min_dl), the sparse branch routes through [[bm25TopKMaxScore]]:
+    *   candidate generation enumerates only the ESSENTIAL terms'
+    *   postings (Turtle & Flood's MaxScore), so a query mixing one rare
+    *   term with stopword-frequency terms never materializes the
+    *   stopwords' corpus-sized posting lists as candidates. Results
+    *   stay EXACTLY [[bm25TopKPostings]]'s (the pruning bound is
+    *   conservative in u6 fixed point — HybridSearchSpec asserts
+    *   bit-equality, q367 oracles the pruning replay). */
   final case class Config(
       k: Int = 3,
       rrfScoreThreshold: Double = 0.0,
       prefetchMultiplier: Int = 5,  // config.yml:60
       rrfK: Int = 60,
-      postings: Option[DataFrame] = None) {
+      postings: Option[DataFrame] = None,
+      termBounds: Option[DataFrame] = None) {
     require(rrfScoreThreshold <= 2.0 / (rrfK + 1),
       s"rrfScoreThreshold=$rrfScoreThreshold exceeds the maximum possible " +
         s"RRF score 2/(rrfK+1)=${2.0 / (rrfK + 1)}: every result would be " +
@@ -128,15 +139,222 @@ object HybridSearch {
       .limit(n)
   }
 
+  /** The BM25 term-score expression shared by every sparse path —
+    * identical arithmetic everywhere is what makes the pruned/postings/
+    * scan variants bit-equal. */
+  private def termScoreCol(corpusSize: Long, avgDocLen: Double,
+      tf: Column, dl: Column, df: Column): Column =
+    log(lit(1.0) + (lit(corpusSize.toDouble) - df + 0.5) / (df + 0.5)) *
+      tf * lit(Bm25.k1 + 1.0) /
+      (tf + lit(Bm25.k1) * (lit(1.0 - Bm25.b) + lit(Bm25.b) * dl / lit(avgDocLen)))
+
+  /** The MaxScore pruning decision, exposed so audits/oracles can
+    * replay it: which query terms are ESSENTIAL — i.e. must have their
+    * postings enumerated as candidates — for an exact top-n.
+    *
+    * All bound arithmetic is u6 fixed point (micro-units, the house
+    * rounding convention) so any engine reproduces the identical
+    * decision:
+    *
+    *  - `ub6(t) = round(idf(t) · tfnorm(max_tf, min_dl) · 10⁶) + 1` — a
+    *    STRICT upper bound on every true term score ×10⁶ (tfnorm is
+    *    monotone up in tf, down in dl; the +1 absorbs the rounding
+    *    half-ulp).
+    *  - `θ6 = (n-th largest round(score(tθ, d) · 10⁶)) − 1` over the
+    *    single highest-ub term tθ's postings (tie on term name asc) — a
+    *    STRICT lower bound on the true k-th best full score ×10⁶ (those
+    *    n docs' full scores each dominate their tθ term score; the −1
+    *    absorbs the half-ulp). Fewer than n matches → θ6 = −1 (no
+    *    pruning; ub6 ≥ 1 > 0 keeps every term essential).
+    *  - non-essential = the maximal prefix of terms sorted (ub6 asc,
+    *    term asc) whose running ub6 sum stays < θ6: a doc matching only
+    *    those terms scores strictly under θ6 even after the final 6dp
+    *    round, so it can neither enter the top-n nor tie its boundary.
+    *
+    * tθ itself is always essential (its ub6 ≥ any single-term score +1
+    * > θ6). Driver-side cost is |queryTerms| rows of stats plus one
+    * n-row top list over ONE term's postings — request-scale, never
+    * corpus-scale. */
+  def maxScorePrune(postings: DataFrame, docStats: DataFrame,
+      termBounds: DataFrame, corpusSize: Long, avgDocLen: Double,
+      queryTerms: Seq[String], n: Int): (Long, Seq[(String, Long, Boolean)]) = {
+    val terms = queryTerms.distinct
+    val ubs = termBounds.filter(col("term").isin(terms: _*))
+      .join(broadcast(docStats.filter(col("term").isin(terms: _*))), Seq("term"))
+      .select(col("term"),
+        (round(termScoreCol(corpusSize, avgDocLen,
+            col("max_tf").cast("double"), col("min_dl").cast("double"),
+            col("df")) * 1000000, 0).cast("long") + 1).as("ub6"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, u) => (u, t) }
+    if (ubs.isEmpty) return (-1L, Seq.empty)
+    val thetaTerm = ubs.sortBy { case (t, u) => (-u, t) }.head._1
+    val topTheta = postings.filter(col("term") === thetaTerm)
+      .select((round(termScoreCol(corpusSize, avgDocLen,
+          col("tf").cast("double"), col("dl").cast("double"),
+          lit(docStatsDf(docStats, thetaTerm))) * 1000000, 0).cast("long"))
+        .as("s6"), col("id"))
+      .orderBy(desc("s6"), col("id"))
+      .limit(n)
+      .collect().map(_.getLong(0))
+    val theta6 = if (topTheta.length < n) -1L else topTheta.last - 1L
+    // the running sum is strictly increasing (ub6 ≥ 1), so the
+    // non-essential flags form a prefix by construction; tθ's own ub6
+    // exceeds θ6, so tθ is always essential
+    var run = 0L
+    (theta6, ubs.map { case (t, u) =>
+      run += u
+      (t, u, run >= theta6)
+    })
+  }
+
+  /** df of one term as a driver scalar (θ-term scoring needs it as a
+    * literal so the single-term plan is a pure postings filter). */
+  private def docStatsDf(docStats: DataFrame, term: String): Double =
+    docStats.filter(col("term") === term).select(col("df").cast("double"))
+      .collect().headOption.map(_.getDouble(0)).getOrElse(0.0)
+
+  /** [[bm25TopKPostings]] results with MAXSCORE candidate pruning
+    * (Turtle & Flood 1995): only the essential terms' postings
+    * generate candidate documents; non-essential (stopword-grade)
+    * terms are consulted solely to complete the scores of docs already
+    * admitted — a keyed semi-join lookup, never an enumeration. At
+    * 100 TB the difference is a query like "the supreme court of
+    * nunavut" never materializing "the"/"of"'s corpus-sized posting
+    * lists as candidates while still scoring them for the handful of
+    * docs the rare terms admit. Output is EXACTLY [[bm25TopKPostings]]
+    * — the u6 bounds in [[maxScorePrune]] are conservative, so no
+    * true top-n doc (or boundary tie) is ever pruned. */
+  def bm25TopKMaxScore(postings: DataFrame, docStats: DataFrame,
+      termBounds: DataFrame, corpusSize: Long, avgDocLen: Double,
+      queryTerms: Seq[String], n: Int, idCol: String = "id"): DataFrame = {
+    val terms = queryTerms.distinct
+    val (_, flags) = maxScorePrune(postings, docStats, termBounds,
+      corpusSize, avgDocLen, terms, n)
+    if (flags.isEmpty)
+      return bm25TopKPostings(postings, docStats, corpusSize, avgDocLen,
+        terms, n, idCol)
+    val essential = flags.collect { case (t, _, true) => t }
+    val candidates = postings.filter(col("term").isin(essential: _*))
+      .select(col("id")).distinct()
+    val idfCol = log(lit(1.0) + (lit(corpusSize.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    postings
+      .filter(col("term").isin(terms: _*))
+      .join(candidates, Seq("id"), "left_semi")
+      .select(col("term"), col("id").as(idCol), col("tf"), col("dl"))
+      .join(broadcast(docStats.filter(col("term").isin(terms: _*))), Seq("term"))
+      .withColumn("term_score",
+        idfCol * col("tf") * lit(Bm25.k1 + 1.0) /
+          (col("tf") + lit(Bm25.k1) * (lit(1.0 - Bm25.b) + lit(Bm25.b) * col("dl") / lit(avgDocLen))))
+      .groupBy(col(idCol))
+      .agg(round(sum("term_score"), 6).as("bm25_score"))
+      .orderBy(desc("bm25_score"), col(idCol))
+      .limit(n)
+  }
+
+  /** BATCHED [[maxScorePrune]] — the pruning decision for a whole
+    * query TABLE in one plan, no driver loop: per-(query, term) upper
+    * bounds from broadcast stats joins, each query's θ-term by a
+    * per-query rank window, every θ-term's postings scored in ONE
+    * term-keyed lookup (the θ-terms broadcast — query-vocabulary
+    * scale), per-query θ via [[graft.plans.TopK]] bounded heaps, and
+    * the essential flags via a per-query cumulative-sum window over
+    * the handful of (query, term) rows. Identical u6 arithmetic to
+    * the single-query form, so per-query decisions match it exactly.
+    *
+    * @param qTerms distinct (query_id, term) rows
+    * @return (query_id, term, ub6, theta6, essential) */
+  def maxScorePruneAll(postings: DataFrame, docStats: DataFrame,
+      termBounds: DataFrame, corpusSize: Long, avgDocLen: Double,
+      qTerms: DataFrame, n: Int): DataFrame = {
+    val allTerms = qTerms.select("term").distinct()
+    val stats = broadcast(docStats
+      .join(broadcast(allTerms), Seq("term"), "left_semi"))
+    val ub = qTerms
+      .join(broadcast(termBounds
+        .join(broadcast(allTerms), Seq("term"), "left_semi")), Seq("term"))
+      .join(stats, Seq("term"))
+      .withColumn("ub6",
+        round(termScoreCol(corpusSize, avgDocLen,
+          col("max_tf").cast("double"), col("min_dl").cast("double"),
+          col("df")) * 1000000, 0).cast("long") + lit(1L))
+      .select("query_id", "term", "ub6")
+    val wTheta = Window.partitionBy("query_id").orderBy(desc("ub6"), col("term"))
+    val thetaTerms = ub.withColumn("__rn", row_number().over(wTheta))
+      .filter(col("__rn") === 1).select("query_id", "term")
+    val thetaScores = postings
+      .join(broadcast(thetaTerms), Seq("term"))
+      .join(stats, Seq("term"))
+      .withColumn("s6",
+        round(termScoreCol(corpusSize, avgDocLen,
+          col("tf").cast("double"), col("dl").cast("double"),
+          col("df")) * 1000000, 0).cast("long"))
+      .select("query_id", "id", "s6")
+    val thetas = graft.plans.TopK.perKey(thetaScores, Seq("query_id"),
+        Seq(("s6", false), ("id", true)), n)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("__c"), min("s6").as("__m"))
+      .select(col("query_id"),
+        when(col("__c") < n, lit(-1L)).otherwise(col("__m") - 1)
+          .as("theta6"))
+    val wCum = Window.partitionBy("query_id")
+      .orderBy(col("ub6"), col("term"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ub.withColumn("__run", sum("ub6").over(wCum))
+      .join(broadcast(thetas), Seq("query_id"), "left")
+      .select(col("query_id"), col("term"), col("ub6"),
+        coalesce(col("theta6"), lit(-1L)).as("theta6"),
+        (col("__run") >= coalesce(col("theta6"), lit(-1L))).as("essential"))
+  }
+
+  /** BATCHED [[bm25TopKMaxScore]]: exact per-query top-n for a whole
+    * query table with MaxScore-pruned candidate generation, in ONE
+    * plan. Candidates come only from essential (query, term) postings;
+    * the full-scoring pass first semi-joins postings down to the UNION
+    * of candidate docs (so non-candidate corpus rows leave the plan
+    * before the per-query fan-out), then restricts per (query_id, id).
+    * Per-query results equal [[bm25TopKMaxScore]] for the same terms —
+    * and therefore equal the unpruned batched branch bit-for-bit
+    * (HybridSearchSpec asserts both; q369 oracles the batch). */
+  def bm25TopKMaxScoreAll(postings: DataFrame, docStats: DataFrame,
+      termBounds: DataFrame, corpusSize: Long, avgDocLen: Double,
+      qTerms: DataFrame, n: Int): DataFrame = {
+    val flags = maxScorePruneAll(postings, docStats, termBounds,
+      corpusSize, avgDocLen, qTerms, n)
+    val essential = flags.filter(col("essential"))
+      .select("query_id", "term")
+    val candidates = postings
+      .join(broadcast(essential), Seq("term"))
+      .select("query_id", "id").distinct()
+    val allTerms = qTerms.select("term").distinct()
+    val stats = broadcast(docStats
+      .join(broadcast(allTerms), Seq("term"), "left_semi"))
+    val scored = postings
+      .join(candidates.select("id").distinct(), Seq("id"), "left_semi")
+      .join(broadcast(qTerms), Seq("term"))
+      .join(stats, Seq("term"))
+      .withColumn("term_score",
+        termScoreCol(corpusSize, avgDocLen,
+          col("tf").cast("double"), col("dl").cast("double"), col("df")))
+      .join(candidates, Seq("query_id", "id"), "left_semi")
+      .groupBy("query_id", "id")
+      .agg(round(sum("term_score"), 6).as("bm25_score"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(("bm25_score", false), ("id", true)), n)
+  }
+
   /** The sparse-branch ROUTER every single-query entry point uses:
-    * postings-backed when [[Config.postings]] is supplied, token-scan
-    * otherwise. */
+    * MaxScore-pruned when [[Config.postings]] AND [[Config.termBounds]]
+    * are supplied, postings-backed with postings alone, token-scan
+    * otherwise. All three produce identical scores. */
   private def sparseTopK(index: DataFrame, docStats: DataFrame,
       corpusSize: Long, avgDocLen: Double, queryTerms: Seq[String], n: Int,
-      cfg: Config): DataFrame = cfg.postings match {
-    case Some(p) =>
+      cfg: Config): DataFrame = (cfg.postings, cfg.termBounds) match {
+    case (Some(p), Some(tb)) =>
+      bm25TopKMaxScore(p, docStats, tb, corpusSize, avgDocLen, queryTerms, n)
+    case (Some(p), None) =>
       bm25TopKPostings(p, docStats, corpusSize, avgDocLen, queryTerms, n)
-    case None =>
+    case _ =>
       bm25TopK(index, docStats, corpusSize, avgDocLen, queryTerms, n)
   }
 
@@ -230,6 +448,12 @@ object HybridSearch {
     val qTerms = qs
       .select(col("query_id"), explode(tokenizeUdf(col("__qtext"))).as("term"))
       .distinct()
+    if (cfg.postings.isDefined && cfg.termBounds.isDefined) {
+      // MaxScore route: per-query pruned candidates, identical scores
+      val sparse = bm25TopKMaxScoreAll(cfg.postings.get, docStats,
+        cfg.termBounds.get, corpusSize, avgDocLen, qTerms, prefetch)
+      return fuseRanked(index, dense, sparse, cfg)
+    }
     // hoisted: the same distinct term set prunes both the corpus-token
     // explode and docStats — one aggregation, not two per plan
     val allTerms = qTerms.select("term").distinct()
@@ -264,8 +488,14 @@ object HybridSearch {
       .agg(round(sum("term_score"), 6).as("bm25_score"))
     val sparse = graft.plans.TopK.perKey(sparsePairs, Seq("query_id"),
       Seq(("bm25_score", false), ("id", true)), prefetch)
+    fuseRanked(index, dense, sparse, cfg)
+  }
 
-    // fusion: identical RRF arithmetic to [[rrfFuse]], per query_id
+  /** Per-query RRF fusion of the two batched prefetch branches —
+    * identical arithmetic to [[rrfFuse]], per query_id, shared by the
+    * unpruned and MaxScore sparse routes. */
+  private def fuseRanked(index: DataFrame, dense: DataFrame,
+      sparse: DataFrame, cfg: Config): DataFrame = {
     val dw = Window.partitionBy("query_id").orderBy(desc("dense_score"), col("id"))
     val sw = Window.partitionBy("query_id").orderBy(desc("bm25_score"), col("id"))
     val d = dense.withColumn("dense_rank", row_number().over(dw))

@@ -58,7 +58,11 @@ object HttpApi {
       // optional prebuilt inverted index (IndexWriter.postings): when
       // present every sparse branch is a term-keyed postings lookup
       // instead of a corpus token scan (identical scores)
-      postings: Option[org.apache.spark.sql.DataFrame] = None)
+      postings: Option[org.apache.spark.sql.DataFrame] = None,
+      // optional MaxScore bound stats (IndexWriter.termBounds): with
+      // postings present, candidate generation prunes to essential
+      // terms (identical scores — the Turtle & Flood serving posture)
+      termBounds: Option[org.apache.spark.sql.DataFrame] = None)
 
   /** Default `/case/fetch` byte fetcher: a real GET (the reference
     * downloads arbitrary slip-opinion URLs, `app.py:580-583`). With no
@@ -214,22 +218,26 @@ object HttpApi {
                     engine.ivf.get, engine.docStats, engine.corpusSize,
                     engine.avgDocLen, q, k = k, nProbe = nProbe,
                     rrfScoreThreshold = threshold,
-                    postings = engine.postings)
+                    postings = engine.postings,
+                    termBounds = engine.termBounds)
                   case Some("hnsw") => Serve.queryHnsw(engine.index,
                     engine.hnsw.get, engine.docStats, engine.corpusSize,
                     engine.avgDocLen, q, k = k, ef = ef, hops = hops,
                     rrfScoreThreshold = threshold,
-                    postings = engine.postings)
+                    postings = engine.postings,
+                    termBounds = engine.termBounds)
                   case _ =>
                     if (diversify) Serve.queryDiversified(engine.index,
                       engine.docStats, engine.corpusSize, engine.avgDocLen,
                       q, k = k, lambda = lambda,
                       rrfScoreThreshold = threshold,
-                      postings = engine.postings)
+                      postings = engine.postings,
+                    termBounds = engine.termBounds)
                     else Serve.query(engine.index, engine.docStats,
                       engine.corpusSize, engine.avgDocLen, q, k = k,
                       rrfScoreThreshold = threshold,
-                      postings = engine.postings)
+                      postings = engine.postings,
+                    termBounds = engine.termBounds)
                 }
                 val results = resp.results.map(r => obj(
                   "id" -> r.id, "score" -> r.score, "case_name" -> r.caseName,
@@ -273,7 +281,8 @@ object HttpApi {
         else {
           val resps = Serve.queryBatch(engine.index, engine.docStats,
             engine.corpusSize, engine.avgDocLen, qs, k = k,
-            rrfScoreThreshold = threshold, postings = engine.postings)
+            rrfScoreThreshold = threshold, postings = engine.postings,
+                    termBounds = engine.termBounds)
           val entries = resps.map { resp =>
             val results = resp.results.map(r => obj(
               "id" -> r.id, "score" -> r.score, "case_name" -> r.caseName,

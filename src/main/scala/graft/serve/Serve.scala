@@ -121,11 +121,12 @@ object Serve {
   def query(index: DataFrame, docStats: DataFrame, corpusSize: Long,
       avgDocLen: Double, question: String, k: Int = 3,
       rrfScoreThreshold: Double = 0.0,
-      postings: Option[DataFrame] = None): QueryResponse = {
+      postings: Option[DataFrame] = None,
+      termBounds: Option[DataFrame] = None): QueryResponse = {
     val t0 = System.nanoTime()
     val hits = HybridSearch.search(index, docStats, corpusSize, avgDocLen,
       question, HybridSearch.Config(k = k,
-        rrfScoreThreshold = rrfScoreThreshold, postings = postings))
+        rrfScoreThreshold = rrfScoreThreshold, postings = postings, termBounds = termBounds))
     collectResponse(hits, question, t0)                                 // F13
   }
 
@@ -150,12 +151,13 @@ object Serve {
       docStats: DataFrame, corpusSize: Long, avgDocLen: Double,
       question: String, k: Int = 3, nProbe: Int = 4,
       rrfScoreThreshold: Double = 0.0,
-      postings: Option[DataFrame] = None): QueryResponse = {
+      postings: Option[DataFrame] = None,
+      termBounds: Option[DataFrame] = None): QueryResponse = {
     val t0 = System.nanoTime()
     val hits = HybridSearch.searchAnn(index, ivf, docStats, corpusSize,
       avgDocLen, question,
       HybridSearch.Config(k = k, rrfScoreThreshold = rrfScoreThreshold,
-        postings = postings),
+        postings = postings, termBounds = termBounds),
       nProbe = nProbe)
     collectResponse(hits, question, t0)
   }
@@ -168,12 +170,13 @@ object Serve {
       docStats: DataFrame, corpusSize: Long, avgDocLen: Double,
       question: String, k: Int = 3, ef: Int = 16, hops: Int = 3,
       rrfScoreThreshold: Double = 0.0,
-      postings: Option[DataFrame] = None): QueryResponse = {
+      postings: Option[DataFrame] = None,
+      termBounds: Option[DataFrame] = None): QueryResponse = {
     val t0 = System.nanoTime()
     val hits = HybridSearch.searchHnsw(index, hs, docStats, corpusSize,
       avgDocLen, question,
       HybridSearch.Config(k = k, rrfScoreThreshold = rrfScoreThreshold,
-        postings = postings),
+        postings = postings, termBounds = termBounds),
       ef = ef, hops = hops)
     collectResponse(hits, question, t0)
   }
@@ -192,11 +195,12 @@ object Serve {
       corpusSize: Long, avgDocLen: Double, question: String, k: Int = 3,
       lambda: Double = 0.7, candMultiplier: Int = 3,
       rrfScoreThreshold: Double = 0.0,
-      postings: Option[DataFrame] = None): QueryResponse = {
+      postings: Option[DataFrame] = None,
+      termBounds: Option[DataFrame] = None): QueryResponse = {
     val t0 = System.nanoTime()
     val hits = HybridSearch.search(index, docStats, corpusSize, avgDocLen,
       question, HybridSearch.Config(k = k * candMultiplier,
-        rrfScoreThreshold = rrfScoreThreshold, postings = postings))
+        rrfScoreThreshold = rrfScoreThreshold, postings = postings, termBounds = termBounds))
     val present = hits.columns.toSet
     val payloadCols = Seq("case_name", "court", "date_filed", "judges").filter(present)
     val rows = hits.select(("id" +: "rrf_score" +: "chunk_text" +: "dense_vec" +:
@@ -244,7 +248,8 @@ object Serve {
   def queryBatch(index: DataFrame, docStats: DataFrame, corpusSize: Long,
       avgDocLen: Double, questions: Seq[String], k: Int = 3,
       rrfScoreThreshold: Double = 0.0,
-      postings: Option[DataFrame] = None): Seq[QueryResponse] = {
+      postings: Option[DataFrame] = None,
+      termBounds: Option[DataFrame] = None): Seq[QueryResponse] = {
     if (questions.isEmpty) return Nil
     val t0 = System.nanoTime()
     val spark = index.sparkSession
@@ -253,7 +258,7 @@ object Serve {
       .map { case (q, i) => (i.toLong, q) }.toDF("query_id", "query")
     val hits = HybridSearch.searchAll(index, docStats, corpusSize, avgDocLen,
       qdf, HybridSearch.Config(k = k, rrfScoreThreshold = rrfScoreThreshold,
-        postings = postings))
+        postings = postings, termBounds = termBounds))
     val present = hits.columns.toSet
     val payloadCols = Seq("case_name", "court", "date_filed", "judges").filter(present)
     val rows = hits.select(("query_id" +: "id" +: "rrf_score" +: "chunk_text" +:

@@ -148,10 +148,68 @@ class StreamUpsertSpec extends AnyFunSuite with SparkTestBase {
       .as[(String, Long)].collect().toSet
     assert(canonP == wantP, s"streamed postings != one-shot: $canonP")
     assert(canonD == wantD, s"streamed df != one-shot: $canonD")
+    def canonB = IndexWriter.readTermBounds(spark, s"$base/idx")
+      .as[(String, Long, Int)].collect().toSet
+    val wantB = IndexWriter.termBounds(IndexWriter.postings(pts))
+      .as[(String, Long, Int)].collect().toSet
+    assert(canonB == wantB, s"streamed termBounds != one-shot: $canonB")
     // at-least-once replay: a fresh checkpoint redelivers every file;
     // the stored-id anti-join must drop them all
     run(s"$base/cp2")
-    assert(canonP == wantP && canonD == wantD,
-      "replay must not duplicate postings or df partials")
+    assert(canonP == wantP && canonD == wantD && canonB == wantB,
+      "replay must not duplicate postings/df/bounds partials")
+  }
+
+  test("forget ops: maintained postings/df/bounds/corpus-stats == " +
+      "from-scratch rebuild on survivors; stale bounds stay sound") {
+    // d2 is the only holder of "rare" (df drops to zero), holds the max
+    // tf of "spark" (max_tf must tighten 3 -> 2) and is the shortest
+    // doc carrying "joins" (min_dl must loosen upward on retighten)
+    val pts = Seq(
+      ("d1", Seq("spark", "spark", "joins", "windows", "state", "extra")),
+      ("d2", Seq("spark", "spark", "spark", "rare", "joins")),
+      ("d3", Seq("spark", "windows", "state", "joins", "filler", "pad")),
+      ("d4", Seq("windows", "state")))
+      .toDF("id", "tokens")
+    val survivorsPts = pts.filter($"id" =!= "d2")
+    val ids = Seq("d2").toDF("id")
+    val postings = IndexWriter.postings(pts)
+    val purged = IndexWriter.purgedPostings(postings, ids)
+    val kept = IndexWriter.forgetPostings(postings, ids)
+
+    def pSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String, Long, Int)].collect().toSet
+    assert(pSet(kept) == pSet(IndexWriter.postings(survivorsPts)))
+
+    def dSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"term", $"df".cast("long")).as[(String, Long)]
+        .collect().toSet
+    val dfMaintained = IndexWriter.forgetDocFrequencies(
+      IndexWriter.docFrequencies(pts), purged)
+    assert(dSet(dfMaintained) == dSet(IndexWriter.docFrequencies(survivorsPts)))
+    assert(dfMaintained.filter($"term" === "rare").isEmpty,
+      "a term whose last holder is purged must leave the stats table")
+
+    def bSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Int)].collect().toSet
+    val stale = IndexWriter.termBounds(postings)
+    val tightened = IndexWriter.forgetTermBounds(stale, kept, purged)
+    val rebuilt = IndexWriter.termBounds(IndexWriter.postings(survivorsPts))
+    assert(bSet(tightened) == bSet(rebuilt))
+    assert(tightened.filter($"term" === "spark")
+      .select("max_tf").as[Long].head() == 2L,
+      "purging the max-tf holder must retighten the bound")
+    // the LAZY path (skip retightening) must still dominate the true
+    // bounds — MaxScore stays correct, just less selective
+    val dominance = stale.join(rebuilt.withColumnRenamed("max_tf", "r_tf")
+        .withColumnRenamed("min_dl", "r_dl"), "term")
+      .filter($"max_tf" < $"r_tf" || $"min_dl" > $"r_dl")
+    assert(dominance.isEmpty, "stale bounds must stay valid upper bounds")
+
+    val cs = IndexWriter.forgetCorpusStats(4L,
+      pts.select(explode($"tokens")).count(), purged)
+      .as[(Long, Long)].head()
+    assert(cs == ((3L,
+      survivorsPts.select(explode($"tokens")).count())))
   }
 }

@@ -83,6 +83,126 @@ class HybridSearchSpec extends AnyFunSuite with SparkTestBase {
     assert(brows(batchedP) == brows(batchedS))
   }
 
+  test("MaxScore-pruned sparse branch == postings path bit-for-bit, " +
+      "stopword-grade terms go non-essential, candidates shrink") {
+    // 40 docs all saturated with "common"; 8 also carry "rare" — the
+    // classic rare+stopword query where MaxScore pays off
+    val docs = (0 until 40).map { i =>
+      val rare = if (i % 5 == 0) " rare" else ""
+      (s"d$i", s"common common common filler$i$rare")
+    }.toDF("id", "chunk_text")
+      .withColumn("tokens", GraftFunctions.bm25Tokenize($"chunk_text"))
+    val p = graft.index.IndexWriter.postings(docs)
+    val st = graft.index.IndexWriter.docFrequencies(docs)
+    val tb = graft.index.IndexWriter.termBounds(p)
+    val nn = docs.count()
+    val al = docs.select(avg(size($"tokens"))).head().getDouble(0)
+    val terms = Seq("rare", "common")
+    val (theta6, flags) = HybridSearch.maxScorePrune(p, st, tb, nn, al,
+      terms, 5)
+    assert(theta6 > 0, s"theta must bind with 8 >= 5 rare matches: $theta6")
+    assert(flags.collect { case (t, _, true) => t } == Seq("rare"),
+      s"only the rare term should be essential: $flags")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "bm25_score").as[(String, Double)].collect().toSeq
+    assert(rows(HybridSearch.bm25TopKMaxScore(p, st, tb, nn, al, terms, 5)) ==
+      rows(HybridSearch.bm25TopKPostings(p, st, nn, al, terms, 5)))
+    // n > rare's postings count → theta can't bind → everything
+    // essential, result still exact
+    val (t2, f2) = HybridSearch.maxScorePrune(p, st, tb, nn, al, terms, 20)
+    assert(t2 == -1L && f2.forall(_._3), s"no pruning without theta: $f2")
+    assert(rows(HybridSearch.bm25TopKMaxScore(p, st, tb, nn, al, terms, 20)) ==
+      rows(HybridSearch.bm25TopKPostings(p, st, nn, al, terms, 20)))
+    // terms absent from the corpus: both paths agree (empty)
+    assert(rows(HybridSearch.bm25TopKMaxScore(p, st, tb, nn, al,
+      Seq("zzabsent"), 5)).isEmpty)
+    // the full search() routes through MaxScore when both tables are
+    // supplied and stays bit-equal to the scan config
+    val cols = Seq("id", "rrf_score", "dense_score", "bm25_score")
+    def srows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect()
+        .map(r => (r.getString(0), r.getDouble(1),
+          Option(r.get(2)), Option(r.get(3)))).toSeq
+    val ip = graft.index.IndexWriter.postings(index)
+    val itb = graft.index.IndexWriter.termBounds(ip)
+    assert(srows(HybridSearch.search(index, stats, n, avgLen,
+        "habeas corpus",
+        HybridSearch.Config(k = 3, postings = Some(ip),
+          termBounds = Some(itb)))) ==
+      srows(HybridSearch.search(index, stats, n, avgLen,
+        "habeas corpus", HybridSearch.Config(k = 3))))
+  }
+
+  test("batched MaxScore == per-query MaxScore loop == unpruned batch; " +
+      "searchAll routes through it bit-equal") {
+    val docs = (0 until 40).map { i =>
+      val rare = if (i % 5 == 0) " rare" else ""
+      val scarce = if (i % 4 == 1) " scarce" else ""
+      (s"d$i", s"common common common filler$i$rare$scarce")
+    }.toDF("id", "chunk_text")
+      .withColumn("tokens", GraftFunctions.bm25Tokenize($"chunk_text"))
+      .withColumn("dense_vec", GraftFunctions.embedText($"chunk_text"))
+    val p = graft.index.IndexWriter.postings(docs)
+    val st = graft.index.IndexWriter.docFrequencies(docs)
+    val tb = graft.index.IndexWriter.termBounds(p)
+    val nn = docs.count()
+    val al = docs.select(avg(size($"tokens"))).head().getDouble(0)
+    val qt = Seq((0L, "rare"), (0L, "common"), (1L, "scarce"),
+      (1L, "common"), (2L, "common")).toDF("query_id", "term")
+    val batched = HybridSearch.bm25TopKMaxScoreAll(p, st, tb, nn, al, qt, 5)
+      .select("query_id", "id", "bm25_score")
+      .as[(Long, String, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val loop = Seq(0L -> Seq("rare", "common"), 1L -> Seq("scarce", "common"),
+        2L -> Seq("common")).flatMap { case (q, terms) =>
+      HybridSearch.bm25TopKMaxScore(p, st, tb, nn, al, terms, 5)
+        .select("id", "bm25_score").as[(String, Double)].collect()
+        .map { case (id, s) => (q, id, s) }
+    }.sortBy(t => (t._1, t._2))
+    assert(batched == loop)
+    // per-query decisions differ: rare/scarce queries prune, the
+    // all-common query cannot (its theta comes from "common" itself)
+    val flags = HybridSearch.maxScorePruneAll(p, st, tb, nn, al, qt, 5)
+      .select("query_id", "term", "essential")
+      .as[(Long, String, Boolean)].collect().toSet
+    assert(flags.contains((0L, "common", false)) &&
+      flags.contains((0L, "rare", true)))
+    assert(flags.contains((1L, "common", false)) &&
+      flags.contains((1L, "scarce", true)))
+    assert(flags.contains((2L, "common", true)))
+    // the full batched search routes through MaxScore bit-equal
+    val queries = Seq((0L, "rare common"), (1L, "scarce common"),
+      (2L, "common filler7")).toDF("query_id", "query")
+    val cols = Seq("query_id", "id", "rrf_score", "dense_score", "bm25_score")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+          Option(r.get(3)), Option(r.get(4)))).sortBy(t => (t._1, t._2)).toSeq
+    assert(canon(HybridSearch.searchAll(docs, st, nn, al, queries,
+        HybridSearch.Config(k = 3, postings = Some(p),
+          termBounds = Some(tb)))) ==
+      canon(HybridSearch.searchAll(docs, st, nn, al, queries,
+        HybridSearch.Config(k = 3))))
+  }
+
+  test("termBounds merge law: merged per-batch bounds == full-corpus " +
+      "bounds, for any split") {
+    val docs = (0 until 30).map { i =>
+      (s"d$i", s"alpha beta ${"gamma " * (i % 4)}delta$i")
+    }.toDF("id", "chunk_text")
+      .withColumn("tokens", GraftFunctions.bm25Tokenize($"chunk_text"))
+    val a = docs.filter($"id".substr(2, 10).cast("int") < 11)
+    val b = docs.filter($"id".substr(2, 10).cast("int") >= 11)
+    val full = graft.index.IndexWriter.termBounds(
+      graft.index.IndexWriter.postings(docs))
+    val merged = graft.index.IndexWriter.mergeTermBounds(
+      graft.index.IndexWriter.termBounds(graft.index.IndexWriter.postings(a)),
+      graft.index.IndexWriter.termBounds(graft.index.IndexWriter.postings(b)))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("term", "max_tf", "min_dl").as[(String, Long, Int)]
+        .collect().sortBy(_._1).toSeq
+    assert(canon(merged) == canon(full))
+  }
+
   test("searchAll == per-query search loop, one plan, no per-query jobs") {
     val cfg = HybridSearch.Config(k = 2)
     val queryTexts = Seq("habeas corpus", "grain shipment contract",

@@ -96,6 +96,30 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(sId == "d1")
   }
 
+  test("an engine holding postings + termBounds (the MaxScore serving " +
+      "posture) answers byte-identically to the scan engine") {
+    val p = graft.index.IndexWriter.postings(index)
+    val eng2 = engine.copy(postings = Some(p),
+      termBounds = Some(graft.index.IndexWriter.termBounds(p)))
+    val srv2 = HttpApi.start(eng2, port = 0)
+    try {
+      def post2(path: String, json: String) =
+        client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv2.port}" + path))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      def strip(s: String) =
+        s.replaceAll(""""processing_time":[0-9.eE-]+""", "")
+      val body = """{"query":"habeas corpus","limit":2}"""
+      assert(strip(post2("/search", body).body()) ==
+        strip(post("/search", body).body()))
+      val batch = """{"queries":["habeas corpus","grain shipment"],"limit":2}"""
+      assert(strip(post2("/search/batch", batch).body()) ==
+        strip(post("/search/batch", batch).body()))
+    } finally srv2.stop()
+  }
+
   test("POST /search/batch: one plan, per-query results == /search endpoint") {
     val queries = Seq("habeas corpus", "grain shipment contract",
       "semiconductor patent")

@@ -456,6 +456,31 @@ object SparkEntry {
             HybridSearch.Config(k = 5, postings = Option(postings)))
             .count()))
     }),
+    // same prebuilt index and query text as q356's phases, MaxScore
+    // route: q356:serve vs q367:serve is the direct postings-vs-pruned
+    // serving comparison (identical results by construction)
+    "q367_bm25_maxscore" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val base = ensureHybridIndex(s, dir)
+      val index = s.read.parquet(s"$base/chunks")
+      val stats = s.read.parquet(s"$base/stats")
+      val p = s.read.parquet(s"$base/params").first()
+      val (n, avgLen) = (p.getLong(0), p.getDouble(1))
+      var postings: DataFrame = null
+      var bounds: DataFrame = null
+      Seq(
+        "build" -> (() => {
+          postings = graft.index.IndexWriter.postings(index).cache()
+          bounds = graft.index.IndexWriter.termBounds(postings).cache()
+          postings.count() + bounds.count()
+        }),
+        "serve" -> (() =>
+          HybridSearch.search(index, stats, n, avgLen,
+            "filter predicate pushdown scan",
+            HybridSearch.Config(k = 5, postings = Option(postings),
+              termBounds = Option(bounds)))
+            .count()))
+    }),
     "q342_hybrid_hnsw_batch" -> ((s, dir) => {
       GraftFunctions.register(s)
       val sq = s
@@ -6576,6 +6601,28 @@ object SparkEntry {
         .select(col("query_id"), col("id"), col("bm25_score"),
           col("n_terms"), col("n_essential"), col("n_candidates"))
         .orderBy(col("query_id"), desc("bm25_score"), col("id"))
+    }),
+
+    // QUANTIZED IVF serve: integer-dot candidate ranking over int8
+    // codes within the probed cells, exact float-cosine rerank of the
+    // top-50 survivors — the memory tier of the dense serving path
+    // (the sparse side's postings/MaxScore move, for vectors). DuckDB
+    // replays the whole ladder from raw embeddings: per-vector
+    // symmetric quantization (half-up), the integer dot (exact), the
+    // rerank cut, and the final cosines.
+    "q370_ivf_quantized" -> ((s, dir) => {
+      val sq = s
+      import sq.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 1).select("embedding")
+        .first().getSeq[Float](0).toArray
+      val idx = new Similarity.IvfIndex(e, nCentroids = 8)
+      writeAux(idx.assigned.select("vec_id", "centroid"), dir,
+        "q370_assigned")
+      writeAux(idx.probeCells(q, nProbe = 4).toDF("centroid"), dir,
+        "q370_probes")
+      idx.queryQuantized(q, k = 10, nProbe = 4, rerank = 50)
+        .select("vec_id", "dot_q", "cos")
     })
   )
 
@@ -14207,6 +14254,45 @@ object SparkEntry {
         |  (SELECT CAST(sum(e) AS BIGINT) FROM ess) AS n_essential,
         |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates
         |FROM bm ORDER BY bm25_score DESC, id""".stripMargin,
+
+    // the full quantized ladder replayed from raw embeddings: codes
+    // (half-up symmetric int8), exact integer dots, the rerank-50 cut,
+    // then exact cosines — probe cells and assignment from the aux
+    "q370_ivf_quantized" ->
+      """WITH a AS (SELECT * FROM '__AUX__/q370_assigned/*.parquet'),
+        |p AS (SELECT * FROM '__AUX__/q370_probes/*.parquet'),
+        |cand AS (SELECT e.vec_id, e.embedding FROM embeddings e
+        |  JOIN a USING (vec_id)
+        |  WHERE a.centroid IN (SELECT centroid FROM p)),
+        |ex AS (SELECT vec_id, i, embedding[i]::DOUBLE AS x
+        |  FROM cand, UNNEST(range(1, len(embedding) + 1)) t(i)),
+        |mx AS (SELECT vec_id, max(abs(x)) AS maxabs FROM ex GROUP BY 1),
+        |cd AS MATERIALIZED (SELECT ex.vec_id, i,
+        |    CASE WHEN maxabs = 0 THEN 0
+        |         ELSE CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT)
+        |    END AS q
+        |  FROM ex JOIN mx USING (vec_id)),
+        |qx AS (SELECT i, embedding[i]::DOUBLE AS x
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)
+        |  WHERE vec_id = 1),
+        |qm AS (SELECT max(abs(x)) AS maxabs FROM qx),
+        |qv AS (SELECT i, CASE WHEN qm.maxabs = 0 THEN 0
+        |    ELSE CAST(floor(qx.x * 127.0 / qm.maxabs + 0.5) AS BIGINT)
+        |    END AS qv FROM qx, qm),
+        |dt AS (SELECT cd.vec_id, CAST(sum(cd.q * qv.qv) AS BIGINT)
+        |    AS dot_q FROM cd JOIN qv USING (i) GROUP BY 1),
+        |rr AS (SELECT vec_id, dot_q FROM dt
+        |  ORDER BY dot_q DESC, vec_id LIMIT 50),
+        |pp AS (SELECT c.vec_id, unnest(c.embedding)::DOUBLE AS x,
+        |    unnest(q.embedding)::DOUBLE AS y
+        |  FROM cand c JOIN rr USING (vec_id),
+        |    (SELECT embedding FROM embeddings WHERE vec_id = 1) q),
+        |sc AS (SELECT vec_id, round(sum(x*y)
+        |    / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+        |  FROM pp GROUP BY 1)
+        |SELECT rr.vec_id, rr.dot_q, sc.cos
+        |FROM rr JOIN sc USING (vec_id)
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
     // per-query results from FULL unpruned scoring; per-query audit
     // columns from the u6 pruning replay, GROUPed BY query_id

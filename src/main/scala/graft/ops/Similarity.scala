@@ -438,6 +438,53 @@ object Similarity {
         .limit(k)
     }
 
+    /** QUANTIZED two-stage serve over the probed cells — the memory
+      * tier of the dense path (the postings/MaxScore move, for
+      * vectors): stage A ranks every candidate by the pure-INTEGER dot
+      * product of per-vector symmetric int8 codes (the
+      * [[VectorOps.scalarQuantize]] formula inline in array form —
+      * `floor(x·127/max|x| + 0.5)`, half-up ties, engine-portable; a
+      * serving fleet stores the codes, 4× less scan bandwidth than
+      * floats and SIMD-shaped), stage B reranks ONLY the top `rerank`
+      * survivors with exact float cosine, restoring exact scores for
+      * everything the caller sees. Code-dot ranking orders by
+      * dot/(m_a·m_b) rather than cosine — exactly the distortion
+      * [[VectorOps.int8RecallAudit]] measures; `rerank` is the
+      * recall/bandwidth dial. Both stages are TakeOrderedAndProject
+      * (per-partition heaps, no global sort); the rerank set broadcasts
+      * back onto the cells for its float pass. Returns
+      * (idCol, dot_q, cos) ordered (cos desc, id). */
+    def queryQuantized(queryVec: Array[Float], k: Int, nProbe: Int = 4,
+        rerank: Int = 50): DataFrame = {
+      require(k >= 1 && rerank >= k, s"need rerank >= k >= 1: $rerank/$k")
+      val cells = nearestCentroids(queryVec, nProbe)
+      val qmax = if (queryVec.isEmpty) 0f else queryVec.map(math.abs).max
+      val qCode: Array[Long] = queryVec.map(x =>
+        if (qmax == 0f) 0L
+        else math.floor(x * 127.0 / qmax + 0.5).toLong)
+      val inCells = assigned.filter(col("centroid").isin(cells: _*))
+      val codes = inCells
+        .withColumn("__mx",
+          array_max(transform(col(vecCol), x => abs(x.cast("double")))))
+        .withColumn("__code", transform(col(vecCol), x =>
+          when(col("__mx") === 0.0, lit(0L))
+            .otherwise(floor(x.cast("double") * 127.0 / col("__mx") + 0.5)
+              .cast("long"))))
+      val stageA = codes
+        .withColumn("dot_q",
+          aggregate(zip_with(col("__code"), typedlit(qCode), _ * _),
+            lit(0L), _ + _))
+        .select(col(idCol), col("dot_q"))
+        .orderBy(desc("dot_q"), col(idCol))
+        .limit(rerank)
+      inCells.join(broadcast(stageA), idCol)
+        .withColumn("cos",
+          round(vecCosine(col(vecCol), typedlit(queryVec)), 6))
+        .select(col(idCol), col("dot_q"), col("cos"))
+        .orderBy(desc("cos"), col(idCol))
+        .limit(k)
+    }
+
     /** Materialize the index partitioned by `centroid` — a query reads
       * only nProbe/nCentroids of the corpus directories. */
     def writePartitioned(path: String): Unit =

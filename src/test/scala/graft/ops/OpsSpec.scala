@@ -1134,6 +1134,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(overlap >= 3, s"IVF(4/8 probes) should recover some of brute-force top-10, got $overlap")
   }
 
+  test("queryQuantized: generous rerank == exact probed query; tight " +
+      "rerank returns exact cosines for every row it serves") {
+    val idx = new Similarity.IvfIndex(emb, nCentroids = 8)
+    val q = emb.filter($"vec_id" === 23).select("embedding")
+      .as[Seq[Float]].head().toArray
+    val exact = idx.query(q, k = 10, nProbe = 4)
+      .select("vec_id", "cos").as[(Long, Double)].collect().toSeq
+    // rerank >= candidate-set size: stage A admits everything, so the
+    // two-stage result must equal the exact probed query bit-for-bit
+    val cellCount = idx.assigned
+      .filter($"centroid".isin(idx.probeCells(q, 4): _*)).count().toInt
+    val full = idx.queryQuantized(q, k = 10, nProbe = 4, rerank = cellCount)
+      .select("vec_id", "cos").as[(Long, Double)].collect().toSeq
+    assert(full == exact)
+    // tight rerank: served rows still carry EXACT cosines (stage B is
+    // exact on survivors), self is still rank 1, and each served cosine
+    // matches the exact query's score for that id
+    val tight = idx.queryQuantized(q, k = 10, nProbe = 4, rerank = 15)
+      .select("vec_id", "cos").as[(Long, Double)].collect().toSeq
+    assert(tight.head._1 == 23L && tight.head._2 == 1.0)
+    val exactById = exact.toMap
+    tight.foreach { case (id, c) =>
+      exactById.get(id).foreach(e => assert(e == c,
+        s"served cosine for $id must be exact: $c vs $e"))
+    }
+    // the dial is honest: k must not exceed rerank
+    intercept[IllegalArgumentException](
+      idx.queryQuantized(q, k = 10, nProbe = 4, rerank = 5))
+  }
+
   test("partitioned LSH/IVF index: disk query matches in-memory and prunes partitions") {
     val q = emb.filter($"vec_id" === 11).select("embedding").as[Seq[Float]].head().toArray
     val tmp = java.nio.file.Files.createTempDirectory("graft_ann").toString

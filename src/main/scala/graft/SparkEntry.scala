@@ -6623,6 +6623,35 @@ object SparkEntry {
         "q370_probes")
       idx.queryQuantized(q, k = 10, nProbe = 4, rerank = 50)
         .select("vec_id", "dot_q", "cos")
+    }),
+
+    // PHRASE search from the positional inverted index: consecutive-
+    // token matching as position intersection anchored on the phrase's
+    // rarest term — never a text rescan. Planted: the true phrase on
+    // doc_id % 11 = 3's chunks, a same-words-with-gaps decoy on
+    // doc_id % 11 = 5's (must NOT match). DuckDB verifies with the
+    // INDEPENDENT definition — a direct window-equality scan over the
+    // token arrays, no postings replay.
+    "q371_phrase_search" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val base = ensureHybridIndex(s, dir)
+      val index = s.read.parquet(s"$base/chunks")
+        .withColumn("tokens",
+          when(col("doc_id") % 11 === 3,
+            concat(col("tokens"),
+              array(lit("graft"), lit("phrase"), lit("probe"))))
+          .when(col("doc_id") % 11 === 5,
+            concat(col("tokens"),
+              array(lit("graft"), lit("gap"), lit("phrase"),
+                lit("gap"), lit("probe"))))
+          .otherwise(col("tokens")))
+      writeAux(index.select("id", "tokens"), dir, "q371_index")
+      val pp = graft.index.IndexWriter.positionalPostings(index)
+      val stats = graft.index.IndexWriter.docFrequencies(index)
+      HybridSearch.phraseMatches(pp, stats,
+          Seq("graft", "phrase", "probe"))
+        .select(col("id"), col("pos").cast("long").as("pos"))
+        .orderBy("id", "pos")
     })
   )
 
@@ -14254,6 +14283,16 @@ object SparkEntry {
         |  (SELECT CAST(sum(e) AS BIGINT) FROM ess) AS n_essential,
         |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates
         |FROM bm ORDER BY bm25_score DESC, id""".stripMargin,
+
+    // the INDEPENDENT phrase definition: a direct window-equality scan
+    // over the token arrays — no postings, no join-chain replay
+    "q371_phrase_search" ->
+      """WITH idx AS (SELECT * FROM '__AUX__/q371_index/*.parquet')
+        |SELECT id, CAST(i - 1 AS BIGINT) AS pos
+        |FROM idx, UNNEST(range(1, len(tokens) - 1)) t(i)
+        |WHERE tokens[i] = 'graft' AND tokens[i + 1] = 'phrase'
+        |  AND tokens[i + 2] = 'probe'
+        |ORDER BY id, pos""".stripMargin,
 
     // the full quantized ladder replayed from raw embeddings: codes
     // (half-up symmetric int8), exact integer dots, the rerank-50 cut,

@@ -140,6 +140,21 @@ object IndexWriter {
   def mergePostings(existing: DataFrame, batch: DataFrame): DataFrame =
     existing.unionByName(batch)
 
+  /** POSITIONAL postings — (term, id, pos, dl), one row per token
+    * OCCURRENCE with its 0-based position: the artifact that upgrades
+    * the inverted index from bag-of-words to phrase-capable
+    * ([[graft.search.HybridSearch.phraseMatches]] intersects positions
+    * instead of rescanning text). Same maintenance algebra as
+    * [[postings]] (per-document facts: batches append, takedowns
+    * anti-join, term-bucket layout prunes); ~dl rows per doc instead
+    * of ~distinct-terms, the classic positional-index size trade. The
+    * bag form is a `groupBy(term, id, dl).count()` away, so engines
+    * that need both store only this one. */
+  def positionalPostings(points: DataFrame): DataFrame =
+    points.select(col("id"), size(col("tokens")).as("dl"),
+        posexplode(col("tokens")).as(Seq("pos", "term")))
+      .select("term", "id", "pos", "dl")
+
   /** Per-term SCORE-BOUND stats for MaxScore pruning — (term, max_tf,
     * min_dl): the BM25 term score is monotone UP in tf and DOWN in dl,
     * so `score(t, d) ≤ idf(t) · tfnorm(max_tf, min_dl)` for every doc d

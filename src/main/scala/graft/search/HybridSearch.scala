@@ -632,6 +632,43 @@ object HybridSearch {
     fuseAllWithDense(index, docStats, corpusSize, avgDocLen, qs, dense, cfg)
   }
 
+  /** PHRASE matching from the positional inverted index
+    * ([[graft.index.IndexWriter.positionalPostings]]) — "exact
+    * consecutive-token phrase" served as POSITION INTERSECTION, never a
+    * text rescan. The join chain anchors on the phrase's RAREST term
+    * (min df, tie → earliest phrase slot): its occurrence list is the
+    * smallest, every other slot then verifies by an (id, pos+offset)
+    * equi-join against its own term's occurrences — at scale each join
+    * is keyed by (id, pos), the anchor bound makes the intermediate no
+    * bigger than the rarest term's postings, and the phrase's terms
+    * prune the term-bucketed layout exactly like the BM25 branch. A
+    * duplicated phrase word (offset collisions) is handled naturally:
+    * each slot joins independently.
+    *
+    * Returns one row per phrase OCCURRENCE — (id, pos) with pos the
+    * phrase's start slot — ordered (id, pos); `groupBy(id).count()` is
+    * the per-doc hit count. Empty phrase or any term absent from the
+    * stats ⇒ no rows (a phrase containing an unseen word cannot
+    * match). */
+  def phraseMatches(posPostings: DataFrame, docStats: DataFrame,
+      phrase: Seq[String], idCol: String = "id"): DataFrame = {
+    val empty = posPostings.sparkSession.emptyDataFrame
+      .withColumn(idCol, lit("")).withColumn("pos", lit(0)).limit(0)
+    if (phrase.isEmpty) return empty
+    val dfs = docStats.filter(col("term").isin(phrase.distinct: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (phrase.exists(t => !dfs.contains(t))) return empty
+    val anchor = phrase.indices.minBy(i => (dfs(phrase(i)), i))
+    val anchored = posPostings.filter(col("term") === phrase(anchor))
+      .select(col(idCol), (col("pos") - anchor).as("pos"))
+      .filter(col("pos") >= 0)
+    phrase.indices.filter(_ != anchor).foldLeft(anchored) { (acc, i) =>
+      acc.join(posPostings.filter(col("term") === phrase(i))
+          .select(col(idCol), (col("pos") - i).as("pos")),
+        Seq(idCol, "pos"), "left_semi")
+    }.orderBy(col(idCol), col("pos"))
+  }
+
   /** Pseudo-relevance-feedback expansion terms (the RM1/RM3 family,
     * Lavrenko & Croft SIGIR 2001, score-weighted-tf form) — the
     * recall lever a lexical retriever gets for free: run the original

@@ -184,6 +184,36 @@ class HybridSearchSpec extends AnyFunSuite with SparkTestBase {
         HybridSearch.Config(k = 3))))
   }
 
+  test("phraseMatches: position intersection == naive window scan — " +
+      "overlaps, duplicated words, boundaries, absent terms, decoys") {
+    val docs = Seq(
+      ("d1", "the cat sat on the cat sat mat"),        // overlapping "cat sat"
+      ("d2", "cat sat"),                               // exact at both edges
+      ("d3", "sat cat"),                               // reversed: no match
+      ("d4", "the cat the cat the"),                   // duplicated-word phrase
+      ("d5", "cat x sat"),                             // decoy: gap breaks it
+      ("d6", "prefix words then cat sat suffix"))
+      .toDF("id", "chunk_text")
+      .withColumn("tokens", GraftFunctions.bm25Tokenize($"chunk_text"))
+    val pp = graft.index.IndexWriter.positionalPostings(docs)
+    val st = graft.index.IndexWriter.docFrequencies(docs)
+    def hits(phrase: Seq[String]) =
+      HybridSearch.phraseMatches(pp, st, phrase)
+        .as[(String, Int)].collect().toSeq
+    // naive reference: scan every token window
+    def naive(phrase: Seq[String]) = docs.select("id", "tokens")
+      .as[(String, Seq[String])].collect().flatMap { case (id, ts) =>
+        (0 to ts.length - phrase.length).collect {
+          case p if ts.slice(p, p + phrase.length) == phrase => (id, p)
+        }
+      }.sortBy(t => (t._1, t._2)).toSeq
+    for (phrase <- Seq(Seq("cat", "sat"), Seq("the", "cat", "the"),
+        Seq("cat"), Seq("cat", "sat", "mat")))
+      assert(hits(phrase) == naive(phrase), s"phrase $phrase")
+    assert(hits(Seq("cat", "zzunseen")).isEmpty)
+    assert(hits(Seq.empty).isEmpty)
+  }
+
   test("termBounds merge law: merged per-batch bounds == full-corpus " +
       "bounds, for any split") {
     val docs = (0 until 30).map { i =>

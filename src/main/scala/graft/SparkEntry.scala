@@ -6652,6 +6652,84 @@ object SparkEntry {
           Seq("graft", "phrase", "probe"))
         .select(col("id"), col("pos").cast("long").as("pos"))
         .orderBy("id", "pos")
+    }),
+
+    // ORDERED-PROXIMITY search (SpanNear): three plants — consecutive
+    // (span 2), gapped within the budget (span 4), gapped beyond it
+    // (span 8, must NOT match at maxSpan 6) — served by the greedy
+    // position-chain joins; DuckDB replays the greedy contract from
+    // the raw token arrays (exploded positions, min-next-position per
+    // step), not from the postings construction.
+    "q372_proximity_search" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val base = ensureHybridIndex(s, dir)
+      val index = s.read.parquet(s"$base/chunks")
+        .withColumn("tokens",
+          when(col("doc_id") % 11 === 3,
+            concat(col("tokens"),
+              array(lit("graft"), lit("phrase"), lit("probe"))))
+          .when(col("doc_id") % 11 === 5,
+            concat(col("tokens"),
+              array(lit("graft"), lit("gap"), lit("phrase"),
+                lit("gap"), lit("probe"))))
+          .when(col("doc_id") % 11 === 7,
+            concat(col("tokens"),
+              array(lit("graft"), lit("gap"), lit("gap"), lit("gap"),
+                lit("gap"), lit("gap"), lit("gap"), lit("phrase"),
+                lit("probe"))))
+          .otherwise(col("tokens")))
+      writeAux(index.select("id", "tokens"), dir, "q372_index")
+      val pp = graft.index.IndexWriter.positionalPostings(index)
+      val stats = graft.index.IndexWriter.docFrequencies(index)
+      HybridSearch.proximityMatches(pp, stats,
+          Seq("graft", "phrase", "probe"), maxSpan = 6)
+        .select(col("id"), col("s").cast("long").as("s"),
+          col("e").cast("long").as("e"))
+        .orderBy("id", "s")
+    }),
+
+    // BLOCK-MAX pruning (Ding & Suel BMW): "zqblock" planted in SHORT
+    // chunks (doc_id % 16 = 7, high term score — θ's home) and in
+    // LONG padded chunks (doc_id % 8 = 3, +280 pad tokens dilute the
+    // score), so whole md5-hash blocks of the essential term's
+    // postings holding only diluted residents must prune (8 of 22
+    // survive at sf0.01). Results are
+    // independently re-derived by FULL unpruned DuckDB scoring; the
+    // audit replays term bounds, θ, block bounds, and the surviving-
+    // block rule — md5-derived blocks make the whole ladder
+    // engine-portable.
+    "q373_bm25_blockmax" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val base = ensureHybridIndex(s, dir)
+      val index = s.read.parquet(s"$base/chunks")
+        .withColumn("tokens",
+          when(col("doc_id") % 16 === 7,
+            concat(col("tokens"), array(lit("zqblock"))))
+          .when(col("doc_id") % 8 === 3,
+            concat(col("tokens"), array(lit("zqblock")),
+              array_repeat(lit("zqpad"), 280)))
+          .otherwise(col("tokens")))
+      writeAux(index.select("id", "tokens"), dir, "q373_index")
+      val W = graft.index.IndexWriter
+      val postings = W.postings(index).localCheckpoint()
+      val stats = W.docFrequencies(index).localCheckpoint()
+      val blocks = W.blockBounds(postings, nBlocks = 64)
+      val n = index.count()
+      val avgLen = index.select(avg(size(col("tokens")))).first().getDouble(0)
+      val terms = Seq("zqblock", "scan", "filter")
+      val (theta6, flags, surviving) = HybridSearch.blockMaxPrune(
+        postings, stats, blocks, n, avgLen, terms, 5)
+      val essential = flags.collect { case (t, _, true) => t }
+      val nBlocksTotal = blocks
+        .filter(col("term").isin(essential: _*)).count()
+      val nSurviving = surviving.count()
+      HybridSearch.bm25TopKBlockMax(
+          postings, stats, blocks, n, avgLen, terms, 5, nBlocks = 64)
+        .withColumn("theta6", lit(theta6))
+        .withColumn("n_essential", lit(essential.size.toLong))
+        .withColumn("n_blocks", lit(nBlocksTotal))
+        .withColumn("n_blocks_surviving", lit(nSurviving))
+        .orderBy(desc("bm25_score"), col("id"))
     })
   )
 
@@ -14293,6 +14371,88 @@ object SparkEntry {
         |WHERE tokens[i] = 'graft' AND tokens[i + 1] = 'phrase'
         |  AND tokens[i + 2] = 'probe'
         |ORDER BY id, pos""".stripMargin,
+
+    // q367's replay plus the block layer: md5-derived blocks, per-block
+    // bounds, the survive rule ub6b + (total − ub6(t)) ≥ θ6; result
+    // rows from FULL unpruned scoring, independent of all of it
+    "q373_bm25_blockmax" ->
+      """WITH idx AS (SELECT * FROM '__AUX__/q373_index/*.parquet'),
+        |params AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    avg(len(tokens)) AS avgdl FROM idx),
+        |tf AS (SELECT id, tok, CAST(count(*) AS DOUBLE) AS tf,
+        |    any_value(dl) AS dl FROM (
+        |    SELECT id, unnest(tokens) AS tok, len(tokens) AS dl FROM idx) u
+        |  WHERE tok IN ('zqblock', 'scan', 'filter')
+        |  GROUP BY id, tok),
+        |df AS (SELECT tok, CAST(count(DISTINCT id) AS DOUBLE) AS df FROM (
+        |    SELECT id, unnest(tokens) AS tok FROM idx) u GROUP BY tok),
+        |sc AS (SELECT t.id, t.tok,
+        |    ln(1 + (p.n - f.df + 0.5) / (f.df + 0.5)) * t.tf * 2.2 /
+        |      (t.tf + 1.2 * (0.25 + 0.75 * t.dl / p.avgdl)) AS s
+        |  FROM tf t, params p JOIN df f ON t.tok = f.tok),
+        |bm AS (SELECT id, round(sum(s), 6) AS bm25_score FROM sc
+        |  GROUP BY id ORDER BY bm25_score DESC, id LIMIT 5),
+        |tb AS (SELECT tok, max(tf) AS max_tf, min(dl) AS min_dl
+        |  FROM tf GROUP BY tok),
+        |ub AS (SELECT tb.tok,
+        |    CAST(round(ln(1 + (p.n - f.df + 0.5) / (f.df + 0.5)) *
+        |      tb.max_tf * 2.2 /
+        |      (tb.max_tf + 1.2 * (0.25 + 0.75 * tb.min_dl / p.avgdl)) *
+        |      1000000, 0) AS BIGINT) + 1 AS ub6
+        |  FROM tb, params p JOIN df f ON tb.tok = f.tok),
+        |tt AS (SELECT tok FROM ub ORDER BY ub6 DESC, tok LIMIT 1),
+        |ts AS (SELECT CAST(round(s * 1000000, 0) AS BIGINT) AS s6,
+        |    row_number() OVER (ORDER BY CAST(round(s * 1000000, 0)
+        |      AS BIGINT) DESC, id) AS rn
+        |  FROM sc WHERE tok = (SELECT tok FROM tt)),
+        |theta AS (SELECT CASE WHEN (SELECT count(*) FROM ts) < 5
+        |    THEN CAST(-1 AS BIGINT)
+        |    ELSE (SELECT s6 - 1 FROM ts WHERE rn = 5) END AS theta6),
+        |ess AS (SELECT tok, ub6,
+        |    CASE WHEN SUM(ub6) OVER (ORDER BY ub6, tok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      >= (SELECT theta6 FROM theta) THEN 1 ELSE 0 END AS e
+        |  FROM ub),
+        |tot AS (SELECT CAST(sum(ub6) AS BIGINT) AS total FROM ub),
+        |blk AS (SELECT tok,
+        |    CAST('0x' || substr(md5(id), 1, 15) AS BIGINT) % 64 AS block,
+        |    max(tf) AS max_tf, min(dl) AS min_dl
+        |  FROM tf JOIN ess USING (tok) WHERE ess.e = 1 GROUP BY 1, 2),
+        |ubb AS (SELECT b.tok, b.block,
+        |    CAST(round(ln(1 + (p.n - f.df + 0.5) / (f.df + 0.5)) *
+        |      b.max_tf * 2.2 /
+        |      (b.max_tf + 1.2 * (0.25 + 0.75 * b.min_dl / p.avgdl)) *
+        |      1000000, 0) AS BIGINT) + 1 AS ub6b
+        |  FROM blk b, params p JOIN df f ON b.tok = f.tok),
+        |srv AS (SELECT u2.tok, u2.block FROM ubb u2
+        |  JOIN ub ON ub.tok = u2.tok, tot, theta
+        |  WHERE u2.ub6b + (tot.total - ub.ub6) >= theta.theta6)
+        |SELECT bm.id, bm.bm25_score,
+        |  (SELECT theta6 FROM theta) AS theta6,
+        |  (SELECT CAST(sum(e) AS BIGINT) FROM ess) AS n_essential,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM blk) AS n_blocks,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM srv)
+        |    AS n_blocks_surviving
+        |FROM bm ORDER BY bm25_score DESC, id""".stripMargin,
+
+    // the greedy proximity contract replayed from raw token arrays:
+    // exploded positions, min-next-position per step, final span check
+    "q372_proximity_search" ->
+      """WITH idx AS (SELECT * FROM '__AUX__/q372_index/*.parquet'),
+        |px AS MATERIALIZED (SELECT id, CAST(i - 1 AS BIGINT) AS pos,
+        |    tokens[i] AS tok
+        |  FROM idx, UNNEST(range(1, len(tokens) + 1)) t(i)
+        |  WHERE tokens[i] IN ('graft', 'phrase', 'probe')),
+        |o0 AS (SELECT id, pos AS s, pos AS e FROM px WHERE tok = 'graft'),
+        |s1 AS (SELECT o.id, o.s, min(p.pos) AS e
+        |  FROM o0 o JOIN px p ON p.id = o.id AND p.tok = 'phrase'
+        |    AND p.pos > o.e AND p.pos - o.s <= 6
+        |  GROUP BY 1, 2),
+        |s2 AS (SELECT o.id, o.s, min(p.pos) AS e
+        |  FROM s1 o JOIN px p ON p.id = o.id AND p.tok = 'probe'
+        |    AND p.pos > o.e AND p.pos - o.s <= 6
+        |  GROUP BY 1, 2)
+        |SELECT id, s, e FROM s2 ORDER BY id, s""".stripMargin,
 
     // the full quantized ladder replayed from raw embeddings: codes
     // (half-up symmetric int8), exact integer dots, the rerank-50 cut,

@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** S7/ST3 — idempotent index-table sink + A7 corpus stats.
@@ -178,6 +178,40 @@ object IndexWriter {
     existing.unionByName(batch).groupBy("term")
       .agg(max("max_tf").as("max_tf"), min("min_dl").as("min_dl"))
 
+  /** BLOCK-level score-bound stats — (term, block, max_tf, min_dl),
+    * the block-max refinement of [[termBounds]] (Ding & Suel's
+    * block-max WAND, relationally): each term's postings split into
+    * `nBlocks` hash blocks with their own (max_tf, min_dl), so a query
+    * can skip whole blocks whose bound can't reach the heap threshold
+    * even for an ESSENTIAL term. The hash block stands in for the
+    * physical unit — at scale, persist postings bucketed by
+    * (term_bucket, block) and the surviving blocks become partition
+    * pruning, the row-group min/max discipline applied to scores.
+    * Term-level bounds are one groupBy away (max of max_tf, min of
+    * min_dl over a term's blocks), so a store keeps only this table;
+    * same mergeable max/min algebra as [[termBounds]]. */
+  /** The block of one posting id — the hex60 md5 discipline (any
+    * engine re-derives it, unlike xxhash64), shared by [[blockBounds]]
+    * and the candidate pass so they can never disagree. */
+  private[graft] def blockOf(idCol: String, nBlocks: Int): Column =
+    pmod(expr(s"CAST(conv(substring(md5($idCol), 1, 15), 16, 10) " +
+      "AS BIGINT)"), lit(nBlocks.toLong))
+
+  def blockBounds(postings: DataFrame, nBlocks: Int = 64): DataFrame = {
+    require(nBlocks >= 1, s"nBlocks must be positive, got $nBlocks")
+    postings
+      .withColumn("block", blockOf("id", nBlocks))
+      .groupBy("term", "block")
+      .agg(max("tf").as("max_tf"), min("dl").as("min_dl"))
+  }
+
+  /** Term-level bounds derived from [[blockBounds]] — exactly
+    * [[termBounds]] (max/min compose), so block-level storage serves
+    * both tiers. */
+  def termBoundsFromBlocks(blocks: DataFrame): DataFrame =
+    blocks.groupBy("term")
+      .agg(max("max_tf").as("max_tf"), min("min_dl").as("min_dl"))
+
   // --- forget: takedown propagated through the sparse artifacts -------
   //
   // The cross-index right-to-be-forgotten: [[graft.index.Snapshots
@@ -346,6 +380,35 @@ object IndexWriter {
     spark.read.parquet(s"$path/bounds")
       .groupBy("term").agg(max("max_tf").as("max_tf"),
         min("min_dl").as("min_dl"))
+
+  /** Compact the streamed STATS partials — the maintenance op
+    * [[streamPostings]]'s append discipline defers: df and bounds
+    * accumulate one partial row-set per batch forever, so the
+    * read-time fold ([[readDocFrequencies]]/[[readTermBounds]]) scans
+    * O(batches · vocabulary) rows. This folds each table to ONE row
+    * per term and rewrites it through the same crash-safe staged swap
+    * as [[upsert]] (stage fully, then swap — a crash leaves either the
+    * old partials or the folded table, both correct reads). Read-backs
+    * are identical before and after by the merge laws (df additive,
+    * bounds max/min); postings rows are per-document facts and never
+    * fold — their small-file story is [[compact]]. Idempotent:
+    * compacting a compacted store is a no-op rewrite. Returns
+    * (df rows before, after, bounds rows before, after). */
+  def compactPostingsStats(spark: SparkSession, path: String)
+      : (Long, Long, Long, Long) = {
+    def fold(sub: String, merged: DataFrame): (Long, Long) = {
+      val p = s"$path/$sub"
+      val before = spark.read.parquet(p).count()
+      val folded = merged.localCheckpoint()
+      val after = folded.count()
+      stageAndSwap(fsFor(spark, p), p)(staged =>
+        folded.write.mode(SaveMode.Overwrite).parquet(staged))
+      (before, after)
+    }
+    val (db, da) = fold("df", readDocFrequencies(spark, path))
+    val (bb, ba) = fold("bounds", readTermBounds(spark, path))
+    (db, da, bb, ba)
+  }
 
   /** Incremental A7: merge an existing (term, df) stats table with a new
     * batch's partial stats — df is additive over disjoint document sets,

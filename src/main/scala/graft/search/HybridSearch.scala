@@ -237,6 +237,16 @@ object HybridSearch {
     val essential = flags.collect { case (t, _, true) => t }
     val candidates = postings.filter(col("term").isin(essential: _*))
       .select(col("id")).distinct()
+    scoreCandidates(postings, docStats, corpusSize, avgDocLen, terms,
+      candidates, n, idCol)
+  }
+
+  /** The exact-scoring epilogue every pruned sparse path ends with:
+    * full BM25 over all query terms, restricted to the admitted
+    * candidate ids, top-n. */
+  private def scoreCandidates(postings: DataFrame, docStats: DataFrame,
+      corpusSize: Long, avgDocLen: Double, terms: Seq[String],
+      candidates: DataFrame, n: Int, idCol: String): DataFrame = {
     val idfCol = log(lit(1.0) + (lit(corpusSize.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
     postings
       .filter(col("term").isin(terms: _*))
@@ -250,6 +260,86 @@ object HybridSearch {
       .agg(round(sum("term_score"), 6).as("bm25_score"))
       .orderBy(desc("bm25_score"), col(idCol))
       .limit(n)
+  }
+
+  /** BLOCK-MAX pruning (Ding & Suel's BMW, relationally) — the block
+    * refinement of [[maxScorePrune]]: even an ESSENTIAL term's
+    * postings skip whole hash blocks whose block-level bound cannot
+    * lift any resident into the top-n. Soundness, all in the same u6
+    * fixed point: a true top-n doc d has score·10⁶ ≥ θ6 and, for every
+    * query term t it contains, score(d)·10⁶ < ub6(t, block_t(d)) +
+    * Σ_{t'≠t} ub6(t') — so if that bound sits under θ6 the (t, block)
+    * pair can admit no top-n doc through t, and if ALL of d's essential
+    * (t, block) pairs are pruned the chain of inequalities puts
+    * score(d) under θ6, a contradiction. Blocks therefore survive iff
+    * `ub6(t, b) + (totalUb − ub6(t)) ≥ θ6`. Block bounds never exceed
+    * their term bound (max/min compose monotonically), so this only
+    * tightens [[bm25TopKMaxScore]]'s candidate set; results stay
+    * EXACT.
+    *
+    * Returns (θ6, term flags as in [[maxScorePrune]], the surviving
+    * (term, block, ub6b) frame over essential terms). */
+  def blockMaxPrune(postings: DataFrame, docStats: DataFrame,
+      blocks: DataFrame, corpusSize: Long, avgDocLen: Double,
+      queryTerms: Seq[String], n: Int)
+      : (Long, Seq[(String, Long, Boolean)], DataFrame) = {
+    val terms = queryTerms.distinct
+    val tb = graft.index.IndexWriter.termBoundsFromBlocks(
+      blocks.filter(col("term").isin(terms: _*)))
+    val (theta6, flags) = maxScorePrune(postings, docStats, tb,
+      corpusSize, avgDocLen, terms, n)
+    val essential = flags.collect { case (t, _, true) => t }
+    val totalUb = flags.map(_._2).sum
+    // per-term remainder Σ_{t'≠t} ub6(t') as a literal when-chain —
+    // query-vocabulary-sized, folded into codegen
+    val restCol = flags.foldLeft(lit(0L): Column) {
+      case (acc, (t, u, _)) =>
+        when(col("term") === t, lit(totalUb - u)).otherwise(acc)
+    }
+    val surviving = blocks
+      .filter(col("term").isin(essential: _*))
+      .join(broadcast(docStats.filter(col("term").isin(terms: _*))),
+        Seq("term"))
+      .withColumn("ub6b",
+        round(termScoreCol(corpusSize, avgDocLen,
+          col("max_tf").cast("double"), col("min_dl").cast("double"),
+          col("df")) * 1000000, 0).cast("long") + lit(1L))
+      .filter(col("ub6b") + restCol >= theta6)
+      .select(col("term"), col("block"), col("ub6b"))
+    (theta6, flags, surviving)
+  }
+
+  /** [[bm25TopKMaxScore]] with BLOCK-MAX candidate generation: only
+    * surviving (term, block) pairs of essential terms admit candidates
+    * — with postings persisted bucketed by (term_bucket, block) the
+    * skip is physical partition pruning, the score-aware analog of
+    * row-group min/max. Results are EXACTLY [[bm25TopKPostings]]'s
+    * (q373 oracles the replay; HybridSearchSpec asserts equality).
+    *
+    * @param nBlocks MUST equal the value `blocks` was built with
+    *   ([[graft.index.IndexWriter.blockBounds]]) — the candidate pass
+    *   re-derives each posting's block with the same
+    *   `pmod(xxhash64(id), nBlocks)`; a mismatch would mis-route
+    *   postings past their surviving blocks. */
+  def bm25TopKBlockMax(postings: DataFrame, docStats: DataFrame,
+      blocks: DataFrame, corpusSize: Long, avgDocLen: Double,
+      queryTerms: Seq[String], n: Int, nBlocks: Int = 64,
+      idCol: String = "id"): DataFrame = {
+    val terms = queryTerms.distinct
+    val (_, flags, surviving) = blockMaxPrune(postings, docStats, blocks,
+      corpusSize, avgDocLen, terms, n)
+    if (flags.isEmpty)
+      return bm25TopKPostings(postings, docStats, corpusSize, avgDocLen,
+        terms, n, idCol)
+    val essential = flags.collect { case (t, _, true) => t }
+    val candidates = postings
+      .filter(col("term").isin(essential: _*))
+      .withColumn("block", graft.index.IndexWriter.blockOf("id", nBlocks))
+      .join(broadcast(surviving.select("term", "block")),
+        Seq("term", "block"), "left_semi")
+      .select(col("id")).distinct()
+    scoreCandidates(postings, docStats, corpusSize, avgDocLen, terms,
+      candidates, n, idCol)
   }
 
   /** BATCHED [[maxScorePrune]] — the pruning decision for a whole
@@ -667,6 +757,46 @@ object HybridSearch {
           .select(col(idCol), (col("pos") - i).as("pos")),
         Seq(idCol, "pos"), "left_semi")
     }.orderBy(col(idCol), col("pos"))
+  }
+
+  /** ORDERED-PROXIMITY matching (Lucene's SpanNear/sloppy-phrase
+    * family) from the positional index: documents where the terms
+    * occur IN ORDER within a bounded token window. The contract is the
+    * GREEDY chain — for each occurrence p₀ of the first term, every
+    * later term takes its SMALLEST position after the previous one;
+    * greedy minimizes the end position for a given start, so a start
+    * matches iff its greedy span fits. That makes the result set
+    * deterministic and engine-replayable (no enumeration of all
+    * combinatorial chains): one row per matching start, (id, s, e),
+    * e − s ≤ maxSpan, e the greedy end.
+    *
+    * Scale shape: step i is an id-keyed join of the running
+    * (id, s, prev) frontier against term i's occurrence list followed
+    * by a (id, s)-grouped min — per-document occurrence lists are
+    * short, the frontier never exceeds the FIRST term's occurrence
+    * count, and the phrase's terms prune the term-bucketed layout
+    * like every other lexical path. */
+  def proximityMatches(posPostings: DataFrame, docStats: DataFrame,
+      terms: Seq[String], maxSpan: Int, idCol: String = "id"): DataFrame = {
+    require(maxSpan >= terms.length - 1 || terms.isEmpty,
+      s"maxSpan $maxSpan cannot fit ${terms.length} ordered terms")
+    val empty = posPostings.sparkSession.emptyDataFrame
+      .withColumn(idCol, lit("")).withColumn("s", lit(0))
+      .withColumn("e", lit(0)).limit(0)
+    if (terms.isEmpty) return empty
+    val dfs = docStats.filter(col("term").isin(terms.distinct: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (terms.exists(t => !dfs.contains(t))) return empty
+    def occ(t: String): DataFrame =
+      posPostings.filter(col("term") === t).select(col(idCol), col("pos"))
+    val start = occ(terms.head)
+      .select(col(idCol), col("pos").as("s"), col("pos").as("e"))
+    terms.drop(1).foldLeft(start) { (acc, t) =>
+      acc.join(occ(t), Seq(idCol))
+        .filter(col("pos") > col("e") && col("pos") - col("s") <= maxSpan)
+        .groupBy(col(idCol), col("s"))
+        .agg(min(col("pos")).as("e"))
+    }.orderBy(col(idCol), col("s"))
   }
 
   /** Pseudo-relevance-feedback expansion terms (the RM1/RM3 family,

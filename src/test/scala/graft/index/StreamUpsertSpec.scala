@@ -158,6 +158,19 @@ class StreamUpsertSpec extends AnyFunSuite with SparkTestBase {
     run(s"$base/cp2")
     assert(canonP == wantP && canonD == wantD && canonB == wantB,
       "replay must not duplicate postings/df/bounds partials")
+
+    // stats compaction: per-batch partials fold to one row per term,
+    // read-backs identical, idempotent on a second pass
+    val (db, da, bb, ba) = IndexWriter.compactPostingsStats(spark, s"$base/idx")
+    assert(db > da && da == wantD.size.toLong,
+      s"df partials must fold: $db -> $da (want ${wantD.size})")
+    assert(bb > ba && ba == wantB.size.toLong,
+      s"bounds partials must fold: $bb -> $ba (want ${wantB.size})")
+    assert(canonD == wantD && canonB == wantB && canonP == wantP,
+      "compaction must not change any read-back")
+    val (db2, da2, _, _) = IndexWriter.compactPostingsStats(spark, s"$base/idx")
+    assert(db2 == da && da2 == da, "second compaction is a no-op fold")
+    assert(canonD == wantD && canonB == wantB)
   }
 
   test("forget ops: maintained postings/df/bounds/corpus-stats == " +

@@ -133,6 +133,45 @@ class HybridSearchSpec extends AnyFunSuite with SparkTestBase {
         "habeas corpus", HybridSearch.Config(k = 3))))
   }
 
+  test("block-max pruning: results == unpruned postings path; whole " +
+      "blocks of the essential term are skipped; term bounds compose " +
+      "from block bounds") {
+    // "rare" lives in 5 SHORT docs (high term score) and 5 LONG docs
+    // (score diluted by dl): theta comes from the short five, so hash
+    // blocks holding only long rare-docs must prune
+    val docs = (0 until 40).map { i =>
+      val pad = if (i % 8 == 4) "common " * 300 else "common "
+      val rare = if (i % 8 == 0 || i % 8 == 4) "rare " else ""
+      (s"d$i", s"$rare$pad f$i")
+    }.toDF("id", "chunk_text")
+      .withColumn("tokens", GraftFunctions.bm25Tokenize($"chunk_text"))
+    val p = graft.index.IndexWriter.postings(docs)
+    val st = graft.index.IndexWriter.docFrequencies(docs)
+    val blocks = graft.index.IndexWriter.blockBounds(p, nBlocks = 8)
+    val nn = docs.count()
+    val al = docs.select(avg(size($"tokens"))).head().getDouble(0)
+    val terms = Seq("rare", "common")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "bm25_score").as[(String, Double)].collect().toSeq
+    assert(rows(HybridSearch.bm25TopKBlockMax(p, st, blocks, nn, al,
+        terms, 5, nBlocks = 8)) ==
+      rows(HybridSearch.bm25TopKPostings(p, st, nn, al, terms, 5)))
+    val (theta6, flags, surviving) = HybridSearch.blockMaxPrune(
+      p, st, blocks, nn, al, terms, 5)
+    assert(theta6 > 0)
+    assert(flags.collect { case (t, _, true) => t } == Seq("rare"))
+    val totalRareBlocks = blocks.filter($"term" === "rare").count()
+    val survivingRare = surviving.filter($"term" === "rare").count()
+    assert(survivingRare < totalRareBlocks,
+      s"long-doc-only blocks must prune: $survivingRare of $totalRareBlocks")
+    assert(survivingRare >= 1, "theta's own docs' blocks must survive")
+    // term bounds compose from block bounds exactly
+    def canonB(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Int)].collect().toSet
+    assert(canonB(graft.index.IndexWriter.termBoundsFromBlocks(blocks)) ==
+      canonB(graft.index.IndexWriter.termBounds(p)))
+  }
+
   test("batched MaxScore == per-query MaxScore loop == unpruned batch; " +
       "searchAll routes through it bit-equal") {
     val docs = (0 until 40).map { i =>
@@ -212,6 +251,42 @@ class HybridSearchSpec extends AnyFunSuite with SparkTestBase {
       assert(hits(phrase) == naive(phrase), s"phrase $phrase")
     assert(hits(Seq("cat", "zzunseen")).isEmpty)
     assert(hits(Seq.empty).isEmpty)
+  }
+
+  test("proximityMatches: greedy ordered-window == naive greedy scan — " +
+      "gaps within budget match, beyond it fail, order is required") {
+    val docs = Seq(
+      ("d1", "cat sat"),                       // span 1
+      ("d2", "cat x sat"),                     // span 2
+      ("d3", "cat x y z sat"),                 // span 4: over a budget of 3
+      ("d4", "sat cat"),                       // wrong order
+      ("d5", "cat x sat y sat"),               // greedy takes the FIRST sat
+      ("d6", "cat cat sat"))                   // two starts, both match
+      .toDF("id", "chunk_text")
+      .withColumn("tokens", GraftFunctions.bm25Tokenize($"chunk_text"))
+    val pp = graft.index.IndexWriter.positionalPostings(docs)
+    val st = graft.index.IndexWriter.docFrequencies(docs)
+    def hits(terms: Seq[String], span: Int) =
+      HybridSearch.proximityMatches(pp, st, terms, span)
+        .as[(String, Int, Int)].collect().toSeq
+    def naive(terms: Seq[String], span: Int) = docs.select("id", "tokens")
+      .as[(String, Seq[String])].collect().flatMap { case (id, ts) =>
+        ts.indices.filter(ts(_) == terms.head).flatMap { s =>
+          val e = terms.drop(1).foldLeft(Option(s)) { (prev, t) =>
+            prev.flatMap(p => (p + 1 until ts.length).find(ts(_) == t))
+          }
+          e.collect { case en if en - s <= span => (id, s, en) }
+        }
+      }.sortBy(t => (t._1, t._2)).toSeq
+    for (span <- Seq(1, 2, 3, 4))
+      assert(hits(Seq("cat", "sat"), span) == naive(Seq("cat", "sat"), span),
+        s"span $span")
+    assert(hits(Seq("cat", "sat"), 2).map(_._1).contains("d2"))
+    assert(!hits(Seq("cat", "sat"), 3).map(_._1).contains("d3"))
+    assert(!hits(Seq("cat", "sat"), 4).map(_._1).contains("d4"))
+    assert(hits(Seq("cat", "sat"), 4).count(_._1 == "d6") == 2)
+    intercept[IllegalArgumentException](
+      HybridSearch.proximityMatches(pp, st, Seq("a", "b", "c"), 1))
   }
 
   test("termBounds merge law: merged per-batch bounds == full-corpus " +

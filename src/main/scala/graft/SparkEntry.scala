@@ -6730,6 +6730,32 @@ object SparkEntry {
         .withColumn("n_blocks", lit(nBlocksTotal))
         .withColumn("n_blocks_surviving", lit(nSurviving))
         .orderBy(desc("bm25_score"), col("id"))
+    }),
+
+    // the quantized serve's recall/bandwidth DIAL measured in-oracle
+    // (the q311/q202 param-sweep discipline): recall@10 of
+    // queryQuantized vs the exact probed query at rerank 10/25/50 —
+    // isolating the int8 distortion from IVF probe recall (same
+    // cells both sides). DuckDB replays every dial from one ranked
+    // dot table.
+    "q374_quantized_dial" -> ((s, dir) => {
+      val sq = s
+      import sq.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 1).select("embedding")
+        .first().getSeq[Float](0).toArray
+      val idx = new Similarity.IvfIndex(e, nCentroids = 8)
+      writeAux(idx.assigned.select("vec_id", "centroid"), dir,
+        "q374_assigned")
+      writeAux(idx.probeCells(q, nProbe = 4).toDF("centroid"), dir,
+        "q374_probes")
+      val exact = idx.query(q, 10, 4)
+        .select("vec_id").as[Long].collect().toSet
+      Seq(10, 25, 50).map { rr =>
+        val served = idx.queryQuantized(q, 10, 4, rerank = rr)
+          .select("vec_id").as[Long].collect()
+        (rr.toLong, served.count(exact.contains).toLong)
+      }.toDF("rerank", "hits_in_exact").orderBy("rerank")
     })
   )
 
@@ -14371,6 +14397,53 @@ object SparkEntry {
         |WHERE tokens[i] = 'graft' AND tokens[i + 1] = 'phrase'
         |  AND tokens[i + 2] = 'probe'
         |ORDER BY id, pos""".stripMargin,
+
+    // every dial from ONE ranked dot table: dot-rank <= rerank, then
+    // cos-rank <= 10 within the survivors, hits vs the exact probed
+    // top-10
+    "q374_quantized_dial" ->
+      """WITH a AS (SELECT * FROM '__AUX__/q374_assigned/*.parquet'),
+        |p AS (SELECT * FROM '__AUX__/q374_probes/*.parquet'),
+        |cand AS (SELECT e.vec_id, e.embedding FROM embeddings e
+        |  JOIN a USING (vec_id)
+        |  WHERE a.centroid IN (SELECT centroid FROM p)),
+        |ex AS (SELECT vec_id, i, embedding[i]::DOUBLE AS x
+        |  FROM cand, UNNEST(range(1, len(embedding) + 1)) t(i)),
+        |mx AS (SELECT vec_id, max(abs(x)) AS maxabs FROM ex GROUP BY 1),
+        |cd AS MATERIALIZED (SELECT ex.vec_id, i,
+        |    CASE WHEN maxabs = 0 THEN 0
+        |         ELSE CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT)
+        |    END AS q
+        |  FROM ex JOIN mx USING (vec_id)),
+        |qx AS (SELECT i, embedding[i]::DOUBLE AS x
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)
+        |  WHERE vec_id = 1),
+        |qm AS (SELECT max(abs(x)) AS maxabs FROM qx),
+        |qv AS (SELECT i, CASE WHEN qm.maxabs = 0 THEN 0
+        |    ELSE CAST(floor(qx.x * 127.0 / qm.maxabs + 0.5) AS BIGINT)
+        |    END AS qv FROM qx, qm),
+        |dr AS (SELECT cd.vec_id,
+        |    row_number() OVER (ORDER BY CAST(sum(cd.q * qv.qv) AS BIGINT)
+        |      DESC, cd.vec_id) AS drn
+        |  FROM cd JOIN qv USING (i) GROUP BY cd.vec_id),
+        |pp AS (SELECT c.vec_id, unnest(c.embedding)::DOUBLE AS x,
+        |    unnest(q.embedding)::DOUBLE AS y
+        |  FROM cand c,
+        |    (SELECT embedding FROM embeddings WHERE vec_id = 1) q),
+        |sc AS MATERIALIZED (SELECT vec_id, round(sum(x*y)
+        |    / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cos
+        |  FROM pp GROUP BY 1),
+        |exact AS (SELECT vec_id FROM sc ORDER BY cos DESC, vec_id
+        |  LIMIT 10),
+        |ks AS (SELECT CAST(unnest([10, 25, 50]) AS BIGINT) AS rerank),
+        |sel AS (SELECT ks.rerank, s.vec_id,
+        |    row_number() OVER (PARTITION BY ks.rerank
+        |      ORDER BY s.cos DESC, s.vec_id) AS crn
+        |  FROM ks JOIN dr ON dr.drn <= ks.rerank
+        |  JOIN sc s ON s.vec_id = dr.vec_id)
+        |SELECT rerank, CAST(count(*) FILTER (WHERE vec_id IN
+        |    (SELECT vec_id FROM exact)) AS BIGINT) AS hits_in_exact
+        |FROM sel WHERE crn <= 10 GROUP BY rerank ORDER BY rerank""".stripMargin,
 
     // q367's replay plus the block layer: md5-derived blocks, per-block
     // bounds, the survive rule ub6b + (total − ub6(t)) ≥ θ6; result

@@ -304,7 +304,7 @@ object IndexWriter {
     * replay is handled by dropping batch ids already present in the
     * stored postings (one id-projection anti-join per batch). */
   def streamPostings(spark: SparkSession, source: DataFrame, path: String,
-      checkpoint: String, termBuckets: Int = 64)
+      checkpoint: String, termBuckets: Int = 64, blockCount: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery =
     source.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -329,6 +329,10 @@ object IndexWriter {
             // max/min partials re-merge at read (vocabulary-sized)
             termBounds(batchPostings)
               .write.mode(SaveMode.Append).parquet(s"$path/bounds")
+            // block-max bounds too — same mergeable max/min algebra,
+            // one extra groupBy key
+            blockBounds(batchPostings, blockCount)
+              .write.mode(SaveMode.Append).parquet(s"$path/blocks")
             ()
           }
         }
@@ -381,6 +385,13 @@ object IndexWriter {
       .groupBy("term").agg(max("max_tf").as("max_tf"),
         min("min_dl").as("min_dl"))
 
+  /** The streamed block-max bounds: per-batch partials re-merged —
+    * [[mergeTermBounds]]'s algebra with the block key kept. */
+  def readBlockBounds(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/blocks")
+      .groupBy("term", "block").agg(max("max_tf").as("max_tf"),
+        min("min_dl").as("min_dl"))
+
   /** Compact the streamed STATS partials — the maintenance op
     * [[streamPostings]]'s append discipline defers: df and bounds
     * accumulate one partial row-set per batch forever, so the
@@ -407,6 +418,11 @@ object IndexWriter {
     }
     val (db, da) = fold("df", readDocFrequencies(spark, path))
     val (bb, ba) = fold("bounds", readTermBounds(spark, path))
+    // block bounds fold too when the store has them (older stores
+    // predate the block tier)
+    if (fsFor(spark, s"$path/blocks")
+        .exists(new org.apache.hadoop.fs.Path(s"$path/blocks")))
+      fold("blocks", readBlockBounds(spark, path))
     (db, da, bb, ba)
   }
 

@@ -153,6 +153,11 @@ class StreamUpsertSpec extends AnyFunSuite with SparkTestBase {
     val wantB = IndexWriter.termBounds(IndexWriter.postings(pts))
       .as[(String, Long, Int)].collect().toSet
     assert(canonB == wantB, s"streamed termBounds != one-shot: $canonB")
+    def canonK = IndexWriter.readBlockBounds(spark, s"$base/idx")
+      .as[(String, Long, Long, Int)].collect().toSet
+    val wantK = IndexWriter.blockBounds(IndexWriter.postings(pts))
+      .as[(String, Long, Long, Int)].collect().toSet
+    assert(canonK == wantK, s"streamed blockBounds != one-shot: $canonK")
     // at-least-once replay: a fresh checkpoint redelivers every file;
     // the stored-id anti-join must drop them all
     run(s"$base/cp2")
@@ -166,8 +171,8 @@ class StreamUpsertSpec extends AnyFunSuite with SparkTestBase {
       s"df partials must fold: $db -> $da (want ${wantD.size})")
     assert(bb > ba && ba == wantB.size.toLong,
       s"bounds partials must fold: $bb -> $ba (want ${wantB.size})")
-    assert(canonD == wantD && canonB == wantB && canonP == wantP,
-      "compaction must not change any read-back")
+    assert(canonD == wantD && canonB == wantB && canonP == wantP &&
+      canonK == wantK, "compaction must not change any read-back")
     val (db2, da2, _, _) = IndexWriter.compactPostingsStats(spark, s"$base/idx")
     assert(db2 == da && da2 == da, "second compaction is a no-op fold")
     assert(canonD == wantD && canonB == wantB)

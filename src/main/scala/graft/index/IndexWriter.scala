@@ -275,6 +275,21 @@ object IndexWriter {
       .unionByName(retightened)
   }
 
+  /** [[blockBounds]] under deletion — the block tier of
+    * [[forgetTermBounds]], same lazy/eager split: stale block bounds
+    * stay SOUND for block-max pruning (deletion only loosens), this
+    * eager path retightens the purge list's vocabulary from its
+    * surviving postings and keeps every untouched term's rows.
+    * `nBlocks` MUST match the table's build value. */
+  def forgetBlockBounds(blocks: DataFrame, survivors: DataFrame,
+      purged: DataFrame, nBlocks: Int = 64): DataFrame = {
+    val affected = purged.select("term").distinct()
+    blocks.join(broadcast(affected), Seq("term"), "left_anti")
+      .unionByName(blockBounds(
+        survivors.join(broadcast(affected), Seq("term"), "left_semi"),
+        nBlocks))
+  }
+
   /** Corpus-level (n_docs, total_dl) maintained under deletion — the
     * avgdl the scorer divides by is total_dl / n_docs, so storing the
     * SUM (not the average) is what makes the stat subtractable. The

@@ -55,14 +55,23 @@ object HybridSearch {
     *   stopwords' corpus-sized posting lists as candidates. Results
     *   stay EXACTLY [[bm25TopKPostings]]'s (the pruning bound is
     *   conservative in u6 fixed point — HybridSearchSpec asserts
-    *   bit-equality, q367 oracles the pruning replay). */
+    *   bit-equality, q367 oracles the pruning replay).
+    * @param blockBounds when supplied TOGETHER with `postings` (an
+    *   [[graft.index.IndexWriter.blockBounds]] table, built with
+    *   `nBlocks`), the sparse branch routes through
+    *   [[bm25TopKBlockMax]] — the block-max refinement over MaxScore
+    *   (term bounds derive from the block table, so supplying this
+    *   alone enables both tiers). Results identical to every other
+    *   sparse route. */
   final case class Config(
       k: Int = 3,
       rrfScoreThreshold: Double = 0.0,
       prefetchMultiplier: Int = 5,  // config.yml:60
       rrfK: Int = 60,
       postings: Option[DataFrame] = None,
-      termBounds: Option[DataFrame] = None) {
+      termBounds: Option[DataFrame] = None,
+      blockBounds: Option[DataFrame] = None,
+      nBlocks: Int = 64) {
     require(rrfScoreThreshold <= 2.0 / (rrfK + 1),
       s"rrfScoreThreshold=$rrfScoreThreshold exceeds the maximum possible " +
         s"RRF score 2/(rrfK+1)=${2.0 / (rrfK + 1)}: every result would be " +
@@ -434,19 +443,24 @@ object HybridSearch {
   }
 
   /** The sparse-branch ROUTER every single-query entry point uses:
-    * MaxScore-pruned when [[Config.postings]] AND [[Config.termBounds]]
-    * are supplied, postings-backed with postings alone, token-scan
-    * otherwise. All three produce identical scores. */
+    * block-max when [[Config.postings]] AND [[Config.blockBounds]] are
+    * supplied, MaxScore with postings + [[Config.termBounds]],
+    * postings-backed with postings alone, token-scan otherwise. All
+    * four produce identical scores. */
   private def sparseTopK(index: DataFrame, docStats: DataFrame,
       corpusSize: Long, avgDocLen: Double, queryTerms: Seq[String], n: Int,
-      cfg: Config): DataFrame = (cfg.postings, cfg.termBounds) match {
-    case (Some(p), Some(tb)) =>
-      bm25TopKMaxScore(p, docStats, tb, corpusSize, avgDocLen, queryTerms, n)
-    case (Some(p), None) =>
-      bm25TopKPostings(p, docStats, corpusSize, avgDocLen, queryTerms, n)
-    case _ =>
-      bm25TopK(index, docStats, corpusSize, avgDocLen, queryTerms, n)
-  }
+      cfg: Config): DataFrame =
+    (cfg.postings, cfg.blockBounds, cfg.termBounds) match {
+      case (Some(p), Some(bb), _) =>
+        bm25TopKBlockMax(p, docStats, bb, corpusSize, avgDocLen,
+          queryTerms, n, cfg.nBlocks)
+      case (Some(p), None, Some(tb)) =>
+        bm25TopKMaxScore(p, docStats, tb, corpusSize, avgDocLen, queryTerms, n)
+      case (Some(p), None, None) =>
+        bm25TopKPostings(p, docStats, corpusSize, avgDocLen, queryTerms, n)
+      case _ =>
+        bm25TopK(index, docStats, corpusSize, avgDocLen, queryTerms, n)
+    }
 
   /** J4 + A5 + T1 — RRF fusion of the two ranked branches, threshold,
     * final top-k. */
@@ -538,10 +552,14 @@ object HybridSearch {
     val qTerms = qs
       .select(col("query_id"), explode(tokenizeUdf(col("__qtext"))).as("term"))
       .distinct()
-    if (cfg.postings.isDefined && cfg.termBounds.isDefined) {
-      // MaxScore route: per-query pruned candidates, identical scores
+    // MaxScore route: per-query pruned candidates, identical scores
+    // (a block-bound table serves the batched path at term granularity
+    // — its term bounds are one groupBy away)
+    val tbOpt = cfg.termBounds.orElse(cfg.blockBounds
+      .map(graft.index.IndexWriter.termBoundsFromBlocks))
+    if (cfg.postings.isDefined && tbOpt.isDefined) {
       val sparse = bm25TopKMaxScoreAll(cfg.postings.get, docStats,
-        cfg.termBounds.get, corpusSize, avgDocLen, qTerms, prefetch)
+        tbOpt.get, corpusSize, avgDocLen, qTerms, prefetch)
       return fuseRanked(index, dense, sparse, cfg)
     }
     // hoisted: the same distinct term set prunes both the corpus-token

@@ -62,7 +62,11 @@ object HttpApi {
       // optional MaxScore bound stats (IndexWriter.termBounds): with
       // postings present, candidate generation prunes to essential
       // terms (identical scores — the Turtle & Flood serving posture)
-      termBounds: Option[org.apache.spark.sql.DataFrame] = None)
+      termBounds: Option[org.apache.spark.sql.DataFrame] = None,
+      // optional block-max bound stats (IndexWriter.blockBounds):
+      // with postings present, candidate generation skips whole
+      // hash blocks (identical scores)
+      blockBounds: Option[org.apache.spark.sql.DataFrame] = None)
 
   /** Default `/case/fetch` byte fetcher: a real GET (the reference
     * downloads arbitrary slip-opinion URLs, `app.py:580-583`). With no
@@ -219,25 +223,29 @@ object HttpApi {
                     engine.avgDocLen, q, k = k, nProbe = nProbe,
                     rrfScoreThreshold = threshold,
                     postings = engine.postings,
-                    termBounds = engine.termBounds)
+                    termBounds = engine.termBounds,
+                    blockBounds = engine.blockBounds)
                   case Some("hnsw") => Serve.queryHnsw(engine.index,
                     engine.hnsw.get, engine.docStats, engine.corpusSize,
                     engine.avgDocLen, q, k = k, ef = ef, hops = hops,
                     rrfScoreThreshold = threshold,
                     postings = engine.postings,
-                    termBounds = engine.termBounds)
+                    termBounds = engine.termBounds,
+                    blockBounds = engine.blockBounds)
                   case _ =>
                     if (diversify) Serve.queryDiversified(engine.index,
                       engine.docStats, engine.corpusSize, engine.avgDocLen,
                       q, k = k, lambda = lambda,
                       rrfScoreThreshold = threshold,
                       postings = engine.postings,
-                    termBounds = engine.termBounds)
+                    termBounds = engine.termBounds,
+                    blockBounds = engine.blockBounds)
                     else Serve.query(engine.index, engine.docStats,
                       engine.corpusSize, engine.avgDocLen, q, k = k,
                       rrfScoreThreshold = threshold,
                       postings = engine.postings,
-                    termBounds = engine.termBounds)
+                    termBounds = engine.termBounds,
+                    blockBounds = engine.blockBounds)
                 }
                 val results = resp.results.map(r => obj(
                   "id" -> r.id, "score" -> r.score, "case_name" -> r.caseName,
@@ -282,7 +290,8 @@ object HttpApi {
           val resps = Serve.queryBatch(engine.index, engine.docStats,
             engine.corpusSize, engine.avgDocLen, qs, k = k,
             rrfScoreThreshold = threshold, postings = engine.postings,
-                    termBounds = engine.termBounds)
+                    termBounds = engine.termBounds,
+                    blockBounds = engine.blockBounds)
           val entries = resps.map { resp =>
             val results = resp.results.map(r => obj(
               "id" -> r.id, "score" -> r.score, "case_name" -> r.caseName,

@@ -122,11 +122,13 @@ object Serve {
       avgDocLen: Double, question: String, k: Int = 3,
       rrfScoreThreshold: Double = 0.0,
       postings: Option[DataFrame] = None,
-      termBounds: Option[DataFrame] = None): QueryResponse = {
+      termBounds: Option[DataFrame] = None,
+      blockBounds: Option[DataFrame] = None): QueryResponse = {
     val t0 = System.nanoTime()
     val hits = HybridSearch.search(index, docStats, corpusSize, avgDocLen,
       question, HybridSearch.Config(k = k,
-        rrfScoreThreshold = rrfScoreThreshold, postings = postings, termBounds = termBounds))
+        rrfScoreThreshold = rrfScoreThreshold, postings = postings, termBounds = termBounds,
+        blockBounds = blockBounds))
     collectResponse(hits, question, t0)                                 // F13
   }
 
@@ -152,12 +154,14 @@ object Serve {
       question: String, k: Int = 3, nProbe: Int = 4,
       rrfScoreThreshold: Double = 0.0,
       postings: Option[DataFrame] = None,
-      termBounds: Option[DataFrame] = None): QueryResponse = {
+      termBounds: Option[DataFrame] = None,
+      blockBounds: Option[DataFrame] = None): QueryResponse = {
     val t0 = System.nanoTime()
     val hits = HybridSearch.searchAnn(index, ivf, docStats, corpusSize,
       avgDocLen, question,
       HybridSearch.Config(k = k, rrfScoreThreshold = rrfScoreThreshold,
-        postings = postings, termBounds = termBounds),
+        postings = postings, termBounds = termBounds,
+        blockBounds = blockBounds),
       nProbe = nProbe)
     collectResponse(hits, question, t0)
   }
@@ -171,12 +175,14 @@ object Serve {
       question: String, k: Int = 3, ef: Int = 16, hops: Int = 3,
       rrfScoreThreshold: Double = 0.0,
       postings: Option[DataFrame] = None,
-      termBounds: Option[DataFrame] = None): QueryResponse = {
+      termBounds: Option[DataFrame] = None,
+      blockBounds: Option[DataFrame] = None): QueryResponse = {
     val t0 = System.nanoTime()
     val hits = HybridSearch.searchHnsw(index, hs, docStats, corpusSize,
       avgDocLen, question,
       HybridSearch.Config(k = k, rrfScoreThreshold = rrfScoreThreshold,
-        postings = postings, termBounds = termBounds),
+        postings = postings, termBounds = termBounds,
+        blockBounds = blockBounds),
       ef = ef, hops = hops)
     collectResponse(hits, question, t0)
   }
@@ -196,11 +202,13 @@ object Serve {
       lambda: Double = 0.7, candMultiplier: Int = 3,
       rrfScoreThreshold: Double = 0.0,
       postings: Option[DataFrame] = None,
-      termBounds: Option[DataFrame] = None): QueryResponse = {
+      termBounds: Option[DataFrame] = None,
+      blockBounds: Option[DataFrame] = None): QueryResponse = {
     val t0 = System.nanoTime()
     val hits = HybridSearch.search(index, docStats, corpusSize, avgDocLen,
       question, HybridSearch.Config(k = k * candMultiplier,
-        rrfScoreThreshold = rrfScoreThreshold, postings = postings, termBounds = termBounds))
+        rrfScoreThreshold = rrfScoreThreshold, postings = postings, termBounds = termBounds,
+        blockBounds = blockBounds))
     val present = hits.columns.toSet
     val payloadCols = Seq("case_name", "court", "date_filed", "judges").filter(present)
     val rows = hits.select(("id" +: "rrf_score" +: "chunk_text" +: "dense_vec" +:
@@ -249,7 +257,8 @@ object Serve {
       avgDocLen: Double, questions: Seq[String], k: Int = 3,
       rrfScoreThreshold: Double = 0.0,
       postings: Option[DataFrame] = None,
-      termBounds: Option[DataFrame] = None): Seq[QueryResponse] = {
+      termBounds: Option[DataFrame] = None,
+      blockBounds: Option[DataFrame] = None): Seq[QueryResponse] = {
     if (questions.isEmpty) return Nil
     val t0 = System.nanoTime()
     val spark = index.sparkSession
@@ -258,7 +267,8 @@ object Serve {
       .map { case (q, i) => (i.toLong, q) }.toDF("query_id", "query")
     val hits = HybridSearch.searchAll(index, docStats, corpusSize, avgDocLen,
       qdf, HybridSearch.Config(k = k, rrfScoreThreshold = rrfScoreThreshold,
-        postings = postings, termBounds = termBounds))
+        postings = postings, termBounds = termBounds,
+        blockBounds = blockBounds))
     val present = hits.columns.toSet
     val payloadCols = Seq("case_name", "court", "date_filed", "judges").filter(present)
     val rows = hits.select(("query_id" +: "id" +: "rrf_score" +: "chunk_text" +:

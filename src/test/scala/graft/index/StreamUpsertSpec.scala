@@ -229,5 +229,14 @@ class StreamUpsertSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long)].head()
     assert(cs == ((3L,
       survivorsPts.select(explode($"tokens")).count())))
+
+    // the block tier forgets the same way
+    def kSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long, Int)].collect().toSet
+    val staleBlocks = IndexWriter.blockBounds(postings, nBlocks = 4)
+    assert(kSet(IndexWriter.forgetBlockBounds(staleBlocks, kept, purged,
+        nBlocks = 4)) ==
+      kSet(IndexWriter.blockBounds(IndexWriter.postings(survivorsPts),
+        nBlocks = 4)))
   }
 }

@@ -156,6 +156,31 @@ class HybridSearchSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(HybridSearch.bm25TopKBlockMax(p, st, blocks, nn, al,
         terms, 5, nBlocks = 8)) ==
       rows(HybridSearch.bm25TopKPostings(p, st, nn, al, terms, 5)))
+    // Config routing: a blockBounds config serves search() AND the
+    // batched searchAll bit-equal to the scan config
+    val docsV = docs.withColumn("dense_vec",
+      GraftFunctions.embedText($"chunk_text"))
+    val cols = Seq("id", "rrf_score", "dense_score", "bm25_score")
+    def srows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect()
+        .map(r => (r.getString(0), r.getDouble(1),
+          Option(r.get(2)), Option(r.get(3)))).toSeq
+    val bmCfg = HybridSearch.Config(k = 3, postings = Some(p),
+      blockBounds = Some(blocks), nBlocks = 8)
+    assert(srows(HybridSearch.search(docsV, st, nn, al, "rare common",
+        bmCfg)) ==
+      srows(HybridSearch.search(docsV, st, nn, al, "rare common",
+        HybridSearch.Config(k = 3))))
+    val queries = Seq((0L, "rare common"), (1L, "common f3"))
+      .toDF("query_id", "query")
+    def brows(df: org.apache.spark.sql.DataFrame) =
+      df.select(("query_id" +: cols).map(col): _*).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+          Option(r.get(3)), Option(r.get(4)))).sortBy(t => (t._1, t._2)).toSeq
+    assert(brows(HybridSearch.searchAll(docsV, st, nn, al, queries,
+        bmCfg)) ==
+      brows(HybridSearch.searchAll(docsV, st, nn, al, queries,
+        HybridSearch.Config(k = 3))))
     val (theta6, flags, surviving) = HybridSearch.blockMaxPrune(
       p, st, blocks, nn, al, terms, 5)
     assert(theta6 > 0)

@@ -117,6 +117,22 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
       val batch = """{"queries":["habeas corpus","grain shipment"],"limit":2}"""
       assert(strip(post2("/search/batch", batch).body()) ==
         strip(post("/search/batch", batch).body()))
+      // and the block-max engine (postings + blockBounds) too
+      val eng3 = engine.copy(postings = Some(p),
+        blockBounds = Some(graft.index.IndexWriter.blockBounds(p)))
+      val srv3 = HttpApi.start(eng3, port = 0)
+      try {
+        def post3(path: String, json: String) =
+          client.send(HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${srv3.port}" + path))
+            .header("Content-Type", "application/json")
+            .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
+            HttpResponse.BodyHandlers.ofString())
+        assert(strip(post3("/search", body).body()) ==
+          strip(post("/search", body).body()))
+        assert(strip(post3("/search/batch", batch).body()) ==
+          strip(post("/search/batch", batch).body()))
+      } finally srv3.stop()
     } finally srv2.stop()
   }
 

@@ -6756,6 +6756,43 @@ object SparkEntry {
           .select("vec_id").as[Long].collect()
         (rr.toLong, served.count(exact.contains).toLong)
       }.toDF("rerank", "hits_in_exact").orderBy("rerank")
+    }),
+
+    // BATCHED phrase search: three phrases of different lengths — the
+    // q371 3-gram, its 2-gram prefix, and a REPEATED-WORD phrase
+    // (planted "graft graft phrase") — matched in ONE plan via the
+    // slot-count form (a start matches iff all m slots hit). The
+    // gapped decoy must match none. DuckDB verifies each query with
+    // the independent window-equality definition.
+    "q375_phrase_batch" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val sq = s
+      import sq.implicits._
+      val base = ensureHybridIndex(s, dir)
+      val index = s.read.parquet(s"$base/chunks")
+        .withColumn("tokens",
+          when(col("doc_id") % 11 === 3,
+            concat(col("tokens"),
+              array(lit("graft"), lit("phrase"), lit("probe"))))
+          .when(col("doc_id") % 11 === 5,
+            concat(col("tokens"),
+              array(lit("graft"), lit("gap"), lit("phrase"),
+                lit("gap"), lit("probe"))))
+          .when(col("doc_id") % 11 === 9,
+            concat(col("tokens"),
+              array(lit("graft"), lit("graft"), lit("phrase"))))
+          .otherwise(col("tokens")))
+      writeAux(index.select("id", "tokens"), dir, "q375_index")
+      val pp = graft.index.IndexWriter.positionalPostings(index)
+      val qSlots = Seq(
+        (0L, 0, "graft"), (0L, 1, "phrase"), (0L, 2, "probe"),
+        (1L, 0, "graft"), (1L, 1, "phrase"),
+        (2L, 0, "graft"), (2L, 1, "graft"), (2L, 2, "phrase"))
+        .toDF("query_id", "slot", "term")
+      HybridSearch.phraseMatchesAll(pp, qSlots)
+        .select(col("query_id"), col("id"),
+          col("pos").cast("long").as("pos"))
+        .orderBy("query_id", "id", "pos")
     })
   )
 
@@ -14387,6 +14424,25 @@ object SparkEntry {
         |  (SELECT CAST(sum(e) AS BIGINT) FROM ess) AS n_essential,
         |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates
         |FROM bm ORDER BY bm25_score DESC, id""".stripMargin,
+
+    // each phrase verified with the independent window-equality
+    // definition, unioned per query_id — no slot-count replay
+    "q375_phrase_batch" ->
+      """WITH idx AS (SELECT * FROM '__AUX__/q375_index/*.parquet')
+        |SELECT CAST(0 AS BIGINT) AS query_id, id, CAST(i - 1 AS BIGINT) AS pos
+        |FROM idx, UNNEST(range(1, len(tokens) - 1)) t(i)
+        |WHERE tokens[i] = 'graft' AND tokens[i + 1] = 'phrase'
+        |  AND tokens[i + 2] = 'probe'
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), id, CAST(i - 1 AS BIGINT)
+        |FROM idx, UNNEST(range(1, len(tokens))) t(i)
+        |WHERE tokens[i] = 'graft' AND tokens[i + 1] = 'phrase'
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), id, CAST(i - 1 AS BIGINT)
+        |FROM idx, UNNEST(range(1, len(tokens) - 1)) t(i)
+        |WHERE tokens[i] = 'graft' AND tokens[i + 1] = 'graft'
+        |  AND tokens[i + 2] = 'phrase'
+        |ORDER BY query_id, id, pos""".stripMargin,
 
     // the INDEPENDENT phrase definition: a direct window-equality scan
     // over the token arrays — no postings, no join-chain replay

@@ -777,6 +777,39 @@ object HybridSearch {
     }.orderBy(col(idCol), col("pos"))
   }
 
+  /** BATCHED [[phraseMatches]] — a whole TABLE of phrases against the
+    * positional index in ONE plan, with one join and one aggregate
+    * regardless of phrase lengths: each phrase is (query_id, slot,
+    * term) rows; every posting occurrence joined by term yields a
+    * CANDIDATE START `pos − slot`, and a start is a match iff ALL m of
+    * its phrase's slots appear — `count(DISTINCT slot) = m` per
+    * (query_id, id, start). Duplicated phrase words fall out naturally
+    * (each slot must be hit independently). The per-query anchored
+    * chain ([[phraseMatches]]) reads less IO for one rare+stopword
+    * phrase; this shape amortizes a request batch: postings are read
+    * once for the UNION of all phrases' vocabularies (broadcast), the
+    * only wide exchange is keyed by (query_id, id, start).
+    *
+    * @param qSlots (query_id, slot, term) — slot 0-based and dense per
+    *   query (phrase length = max slot + 1 = distinct slot count)
+    * @return (query_id, id, pos) per phrase occurrence, ordered */
+  def phraseMatchesAll(posPostings: DataFrame, qSlots: DataFrame,
+      idCol: String = "id"): DataFrame = {
+    val lens = qSlots.groupBy("query_id")
+      .agg(countDistinct("slot").as("__m"))
+    val starts = posPostings
+      .join(broadcast(qSlots), Seq("term"))
+      .select(col("query_id"), col(idCol),
+        (col("pos") - col("slot")).as("pos"), col("slot"))
+      .filter(col("pos") >= 0)
+    starts.groupBy(col("query_id"), col(idCol), col("pos"))
+      .agg(countDistinct("slot").as("__hit"))
+      .join(broadcast(lens), Seq("query_id"))
+      .filter(col("__hit") === col("__m"))
+      .select(col("query_id"), col(idCol), col("pos"))
+      .orderBy(col("query_id"), col(idCol), col("pos"))
+  }
+
   /** ORDERED-PROXIMITY matching (Lucene's SpanNear/sloppy-phrase
     * family) from the positional index: documents where the terms
     * occur IN ORDER within a bounded token window. The contract is the

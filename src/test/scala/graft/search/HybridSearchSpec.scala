@@ -278,6 +278,36 @@ class HybridSearchSpec extends AnyFunSuite with SparkTestBase {
     assert(hits(Seq.empty).isEmpty)
   }
 
+  test("phraseMatchesAll: batched slot-count form == per-query " +
+      "anchored-chain loop, across phrase lengths and repeated words") {
+    val docs = Seq(
+      ("d1", "the cat sat on the cat sat mat"),
+      ("d2", "cat sat"),
+      ("d3", "sat cat"),
+      ("d4", "the cat the cat the"),
+      ("d5", "cat x sat"),
+      ("d6", "cat cat sat"))
+      .toDF("id", "chunk_text")
+      .withColumn("tokens", GraftFunctions.bm25Tokenize($"chunk_text"))
+    val pp = graft.index.IndexWriter.positionalPostings(docs)
+    val st = graft.index.IndexWriter.docFrequencies(docs)
+    val phrases = Seq(0L -> Seq("cat", "sat"), 1L -> Seq("the", "cat", "the"),
+      2L -> Seq("cat", "cat", "sat"), 3L -> Seq("cat"),
+      4L -> Seq("cat", "zzunseen"))
+    val qSlots = phrases.flatMap { case (q, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (q, i, t) }
+    }.toDF("query_id", "slot", "term")
+    val batched = HybridSearch.phraseMatchesAll(pp, qSlots)
+      .as[(Long, String, Int)].collect().sortBy(t => (t._1, t._2, t._3)).toSeq
+    val loop = phrases.flatMap { case (q, ts) =>
+      HybridSearch.phraseMatches(pp, st, ts)
+        .as[(String, Int)].collect().map { case (id, p) => (q, id, p) }
+    }.sortBy(t => (t._1, t._2, t._3))
+    assert(batched == loop)
+    assert(batched.exists(_._1 == 2L), "repeated-word phrase must match d6")
+    assert(!batched.exists(_._1 == 4L), "unseen-term phrase matches nothing")
+  }
+
   test("proximityMatches: greedy ordered-window == naive greedy scan — " +
       "gaps within budget match, beyond it fail, order is required") {
     val docs = Seq(

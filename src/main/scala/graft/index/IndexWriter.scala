@@ -319,7 +319,8 @@ object IndexWriter {
     * replay is handled by dropping batch ids already present in the
     * stored postings (one id-projection anti-join per batch). */
   def streamPostings(spark: SparkSession, source: DataFrame, path: String,
-      checkpoint: String, termBuckets: Int = 64, blockCount: Int = 64)
+      checkpoint: String, termBuckets: Int = 64, blockCount: Int = 64,
+      positional: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     source.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -348,6 +349,15 @@ object IndexWriter {
             // one extra groupBy key
             blockBounds(batchPostings, blockCount)
               .write.mode(SaveMode.Append).parquet(s"$path/blocks")
+            // opt-in positional tier: per-occurrence rows are
+            // per-document facts like the bag rows — append, same
+            // term-bucket pruning for phrase/proximity reads
+            if (positional)
+              positionalPostings(pts)
+                .withColumn("term_bucket",
+                  pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
+                .write.mode(SaveMode.Append).partitionBy("term_bucket")
+                .parquet(s"$path/positions")
             ()
           }
         }
@@ -389,6 +399,28 @@ object IndexWriter {
   def readDocFrequencies(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/df")
       .groupBy("term").agg(sum("df").as("df"))
+
+  /** PARTITION-PRUNED positional read for one phrase's terms — the
+    * [[readPostingsForTerms]] discipline on the positional tier: the
+    * phrase's terms map to their write-side buckets, the bucket
+    * predicate prunes directories, and the residual term filter pushes
+    * into the surviving scans. Feed the result to
+    * [[graft.search.HybridSearch.phraseMatches]] /
+    * [[graft.search.HybridSearch.proximityMatches]]. */
+  def readPositionsForTerms(spark: SparkSession, path: String,
+      terms: Seq[String], termBuckets: Int = 64): DataFrame = {
+    val tseq = terms.distinct
+    val base = spark.read.parquet(s"$path/positions")
+    if (tseq.isEmpty) return base.select("term", "id", "pos", "dl").limit(0)
+    val buckets = spark.range(1)
+      .select(array(tseq.map(t =>
+        pmod(xxhash64(lit(t)), lit(termBuckets.toLong))): _*).as("b"))
+      .first().getSeq[Long](0).distinct
+    base
+      .filter(col("term_bucket").isin(buckets: _*) &&
+        col("term").isin(tseq: _*))
+      .select("term", "id", "pos", "dl")
+  }
 
   /** The streamed MaxScore bound stats: appended per-batch partials
     * re-merged — exactly [[mergeTermBounds]] folded over every batch

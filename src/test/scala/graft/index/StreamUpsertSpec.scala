@@ -134,7 +134,7 @@ class StreamUpsertSpec extends AnyFunSuite with SparkTestBase {
       val q = IndexWriter.streamPostings(spark,
         spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(src),
-        s"$base/idx", cp)
+        s"$base/idx", cp, positional = true)
       q.processAllAvailable(); q.stop()
     }
     run(s"$base/cp1")
@@ -158,6 +158,24 @@ class StreamUpsertSpec extends AnyFunSuite with SparkTestBase {
     val wantK = IndexWriter.blockBounds(IndexWriter.postings(pts))
       .as[(String, Long, Long, Int)].collect().toSet
     assert(canonK == wantK, s"streamed blockBounds != one-shot: $canonK")
+    // positional tier: pruned read == one-shot build for the phrase's
+    // terms, and phrase matching over the streamed store agrees
+    val phrase = Seq("spark", "joins")
+    def posSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String, Int, Int)].collect().toSet
+    assert(posSet(IndexWriter.readPositionsForTerms(spark, s"$base/idx",
+        phrase)) ==
+      posSet(IndexWriter.positionalPostings(pts)
+        .filter($"term".isin(phrase: _*))))
+    val st0 = IndexWriter.docFrequencies(pts)
+    def hits(pp: org.apache.spark.sql.DataFrame) =
+      graft.search.HybridSearch.phraseMatches(pp, st0, phrase)
+        .as[(String, Int)].collect().toSeq
+    assert(hits(IndexWriter.readPositionsForTerms(spark, s"$base/idx",
+        phrase)) ==
+      hits(IndexWriter.positionalPostings(pts)))
+    assert(hits(IndexWriter.positionalPostings(pts)) == Seq(("d1", 0)),
+      "the planted 'spark joins' phrase sits at d1 position 0")
     // at-least-once replay: a fresh checkpoint redelivers every file;
     // the stored-id anti-join must drop them all
     run(s"$base/cp2")

@@ -56,7 +56,8 @@ object IndexWriter {
     * into place, delete the retired one. No crash window leaves `path`
     * empty; a crash between the two renames leaves the old generation
     * recoverable at `<path>__old`. */
-  private def stageAndSwap(fs: org.apache.hadoop.fs.FileSystem, path: String)(
+  private[graft] def stageAndSwap(fs: org.apache.hadoop.fs.FileSystem,
+      path: String)(
       write: String => Unit): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val staged = new org.apache.hadoop.fs.Path(path + "__staged")
@@ -192,10 +193,15 @@ object IndexWriter {
     * same mergeable max/min algebra as [[termBounds]]. */
   /** The block of one posting id — the hex60 md5 discipline (any
     * engine re-derives it, unlike xxhash64), shared by [[blockBounds]]
-    * and the candidate pass so they can never disagree. */
+    * and the candidate pass so they can never disagree. The id is
+    * EXPLICITLY cast to its decimal string first — the convention any
+    * engine can replay: Spark's md5(long) would hash the 8 raw bytes
+    * while e.g. DuckDB's md5 hashes the VARCHAR text, so only the
+    * string form keeps block assignments engine-portable for
+    * non-string id columns. */
   private[graft] def blockOf(idCol: String, nBlocks: Int): Column =
-    pmod(expr(s"CAST(conv(substring(md5($idCol), 1, 15), 16, 10) " +
-      "AS BIGINT)"), lit(nBlocks.toLong))
+    pmod(expr(s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 15)" +
+      ", 16, 10) AS BIGINT)"), lit(nBlocks.toLong))
 
   def blockBounds(postings: DataFrame, nBlocks: Int = 64): DataFrame = {
     require(nBlocks >= 1, s"nBlocks must be positive, got $nBlocks")
@@ -239,6 +245,22 @@ object IndexWriter {
     postings.join(broadcast(ids.select(col(idCol).as("id")).distinct()),
       Seq("id"), "left_anti")
       .select("term", "id", "tf", "dl")
+
+  /** [[forgetPostings]] for the POSITIONAL tier
+    * ([[positionalPostings]]): without this, a takedown that scrubbed
+    * the bag postings would leave the purged documents' token
+    * POSITIONS discoverable through phrase/proximity search — the
+    * right-to-be-forgotten hole, not a refinement. Positional rows are
+    * per-document facts like the bag rows, so the same broadcast
+    * anti-join removes exactly the purged docs' occurrences (with the
+    * term-bucketed layout, a per-bucket rewrite; buckets without hits
+    * untouched). Equal to rebuilding the positional index from the
+    * surviving corpus (q376 oracles the equality). */
+  def forgetPositionalPostings(posPostings: DataFrame, ids: DataFrame,
+      idCol: String = "id"): DataFrame =
+    posPostings.join(broadcast(ids.select(col(idCol).as("id")).distinct()),
+      Seq("id"), "left_anti")
+      .select("term", "id", "pos", "dl")
 
   /** df maintained under deletion: each purged doc decrements df for
     * exactly the terms it contained — the per-term delta is a count of
@@ -290,16 +312,33 @@ object IndexWriter {
         nBlocks))
   }
 
+  /** The purged documents' (id, dl) rows derived from the CORPUS —
+    * the input [[forgetCorpusStats]] needs: a doc with an EMPTY token
+    * array has no postings rows, so deriving the delta from
+    * [[purgedPostings]] would never decrement n_docs for it and the
+    * maintained stats would drift from a rebuild. One broadcast
+    * semi-join against the request-scale purge list. */
+  def purgedDocLengths(corpus: DataFrame, ids: DataFrame,
+      idCol: String = "id", tokensCol: String = "tokens"): DataFrame =
+    corpus.join(broadcast(ids.select(col(idCol).as("id")).distinct()),
+        Seq("id"), "left_semi")
+      .select(col("id"), size(col(tokensCol)).as("dl"))
+
   /** Corpus-level (n_docs, total_dl) maintained under deletion — the
     * avgdl the scorer divides by is total_dl / n_docs, so storing the
-    * SUM (not the average) is what makes the stat subtractable. The
-    * per-doc (id, dl) pairs come from the purged postings themselves
-    * (distinct over the term fan-out). Returns a one-row
+    * SUM (not the average) is what makes the stat subtractable.
+    *
+    * `purgedDocs` must carry one (id, dl) row per purged doc THAT IS
+    * IN THE CORPUS — use [[purgedDocLengths]], NOT [[purgedPostings]]:
+    * a token-less purged doc has no postings rows, so the postings-
+    * derived delta would skip its n_docs decrement and break the
+    * maintained ≡ rebuilt contract (duplicate (id, dl) rows are fine —
+    * the distinct below absorbs the term fan-out). Returns a one-row
     * (n_docs, total_dl) frame. */
   def forgetCorpusStats(nDocs: Long, totalDl: Long,
-      purged: DataFrame): DataFrame = {
-    val spark = purged.sparkSession
-    val d = purged.select("id", "dl").distinct()
+      purgedDocs: DataFrame): DataFrame = {
+    val spark = purgedDocs.sparkSession
+    val d = purgedDocs.select("id", "dl").distinct()
       .agg(count(lit(1)).as("nd"), coalesce(sum("dl"), lit(0L)).as("sd"))
       .collect()(0)
     spark.range(1).select(
@@ -310,54 +349,76 @@ object IndexWriter {
   /** STREAMING inverted-index maintenance — [[postings]] +
     * [[docFrequencies]] kept current by a micro-batch stream of index
     * points: postings rows are per-document facts, so each batch
-    * APPENDS its own rows (no read-modify-write, no corpus rescan —
+    * writes its own rows (no read-modify-write, no corpus rescan —
     * partitioned by a term hash bucket so a query's term set prunes);
-    * df is additive over disjoint batches, so each batch appends its
+    * df is additive over disjoint batches, so each batch writes its
     * PARTIAL (term, df) rows and [[readDocFrequencies]] re-sums at
     * read (the mergeDocFrequencies fold pushed to read time — compact
-    * periodically when partial-row count warrants). At-least-once
-    * replay is handled by dropping batch ids already present in the
-    * stored postings (one id-projection anti-join per batch). */
+    * periodically when partial-row count warrants).
+    *
+    * At-least-once correctness, with NO cross-artifact crash window:
+    * every artifact is partitioned by `batch_id` and written with
+    * dynamic partition OVERWRITE of that batch's own partitions — a
+    * replayed batch (same id, same deterministic content) rewrites
+    * exactly what a crashed attempt may have half-written, for ALL
+    * five artifacts, instead of gating replay on the presence of one
+    * of them (which lost the later artifacts' contribution for the
+    * crash window: postings present ⇒ batch skipped ⇒ df/bounds/
+    * blocks/positions never caught up). Cross-batch redelivery of the
+    * same document ids is handled by an id anti-join against the
+    * OTHER batches' stored postings (this batch's own partitions are
+    * deliberately excluded so its replay rewrites rather than skips).
+    * Between a batch's first and last artifact write a reader sees a
+    * transiently newer postings tier than stats tier — the standard
+    * eventual-consistency window of at-least-once maintenance; the
+    * MaxScore path stays CORRECT through it because unbounded terms
+    * are forced essential ([[graft.search.HybridSearch.maxScorePrune]]). */
   def streamPostings(spark: SparkSession, source: DataFrame, path: String,
       checkpoint: String, termBuckets: Int = 64, blockCount: Int = 64,
       positional: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     source.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val pts0 = batch.toDF()
         if (!pts0.isEmpty) {
           val fs = fsFor(spark, s"$path/postings")
           val have = fs.exists(new org.apache.hadoop.fs.Path(s"$path/postings"))
           val pts = (if (have)
               pts0.join(spark.read.parquet(s"$path/postings")
+                .filter(col("batch_id") =!= batchId)
                 .select("id").distinct(), Seq("id"), "left_anti")
             else pts0).localCheckpoint()
           if (!pts.isEmpty) {
             val batchPostings = postings(pts).localCheckpoint()
-            batchPostings
-              .withColumn("term_bucket",
-                pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
-              .write.mode(SaveMode.Append).partitionBy("term_bucket")
-              .parquet(s"$path/postings")
-            docFrequencies(pts)
-              .write.mode(SaveMode.Append).parquet(s"$path/df")
-            // MaxScore bound stats ride the same append discipline:
-            // max/min partials re-merge at read (vocabulary-sized)
-            termBounds(batchPostings)
-              .write.mode(SaveMode.Append).parquet(s"$path/bounds")
+            // per-WRITE dynamic-overwrite option (not session conf — a
+            // foreachBatch frame belongs to the stream's session CLONE,
+            // whose SQLConf snapshot would miss a driver-session set)
+            def overwriteBatch(df: DataFrame, sub: String,
+                parts: String*): Unit =
+              df.withColumn("batch_id", lit(batchId))
+                .write.mode(SaveMode.Overwrite)
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id" +: parts: _*)
+                .parquet(s"$path/$sub")
+            overwriteBatch(batchPostings
+                .withColumn("term_bucket",
+                  pmod(xxhash64(col("term")), lit(termBuckets.toLong))),
+              "postings", "term_bucket")
+            overwriteBatch(docFrequencies(pts), "df")
+            // MaxScore bound stats ride the same discipline: max/min
+            // partials re-merge at read (vocabulary-sized)
+            overwriteBatch(termBounds(batchPostings), "bounds")
             // block-max bounds too — same mergeable max/min algebra,
             // one extra groupBy key
-            blockBounds(batchPostings, blockCount)
-              .write.mode(SaveMode.Append).parquet(s"$path/blocks")
+            overwriteBatch(blockBounds(batchPostings, blockCount), "blocks")
             // opt-in positional tier: per-occurrence rows are
-            // per-document facts like the bag rows — append, same
-            // term-bucket pruning for phrase/proximity reads
+            // per-document facts like the bag rows — same term-bucket
+            // pruning for phrase/proximity reads
             if (positional)
-              positionalPostings(pts)
-                .withColumn("term_bucket",
-                  pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
-                .write.mode(SaveMode.Append).partitionBy("term_bucket")
-                .parquet(s"$path/positions")
+              overwriteBatch(positionalPostings(pts)
+                  .withColumn("term_bucket",
+                    pmod(xxhash64(col("term")), lit(termBuckets.toLong))),
+                "positions", "term_bucket")
             ()
           }
         }
@@ -459,8 +520,14 @@ object IndexWriter {
       val before = spark.read.parquet(p).count()
       val folded = merged.localCheckpoint()
       val after = folded.count()
+      // folded rows land under the sentinel batch_id = -1 so the store
+      // keeps the uniform batch_id=*/ layout the streaming writer
+      // appends into (mixed partitioned/unpartitioned files under one
+      // root would break partition discovery for the next batch)
       stageAndSwap(fsFor(spark, p), p)(staged =>
-        folded.write.mode(SaveMode.Overwrite).parquet(staged))
+        folded.withColumn("batch_id", lit(-1L))
+          .write.mode(SaveMode.Overwrite).partitionBy("batch_id")
+          .parquet(staged))
       (before, after)
     }
     val (db, da) = fold("df", readDocFrequencies(spark, path))

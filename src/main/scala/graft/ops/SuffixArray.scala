@@ -538,4 +538,67 @@ object SuffixArray {
           col("__ta") =!= col("__tb"), 1L).otherwise(0L))
       .select("doc_a", "pos_a", "doc_b", "pos_b", "lcp", "left_maximal")
   }
+
+  // --- segment key-table maintenance ----------------------------------
+
+  /** Pure merge of per-segment [[substrKeyStats]] tables: segments hold
+    * DISJOINT documents, so the per-key counts are additive and the
+    * fold is one groupBy — [[repeatedSpanStatsIncremental]] performs
+    * this same re-sum at read time, which is why merged and unmerged
+    * stores answer identically. */
+  def mergeKeyStats(segments: Seq[DataFrame]): DataFrame = {
+    require(segments.nonEmpty, "mergeKeyStats needs at least one segment")
+    segments.reduce(_ unionByName _)
+      .groupBy("key").agg(sum("n_docs").as("n_docs"))
+  }
+
+  /** Pure merge of per-segment [[substrKeyTable]] tables (key-only):
+    * membership is idempotent, so the fold is a distinct union —
+    * [[exactSubstrContaminationIncremental]]'s semi-join can't tell
+    * merged from unmerged. */
+  def mergeKeyTables(segments: Seq[DataFrame]): DataFrame = {
+    require(segments.nonEmpty, "mergeKeyTables needs at least one segment")
+    segments.reduce(_ unionByName _).select("key").distinct()
+  }
+
+  /** Compact a STORED segment key table — the maintenance op the
+    * incremental admission tier defers: each sealed segment appends one
+    * (key[, n_docs]) partial to `path`, so a daily crawl accumulates
+    * thousands of small files and every admission join degrades to a
+    * many-small-files union scan. This folds the store to ONE row per
+    * key (counts re-summed when `hasCounts`, plain distinct otherwise),
+    * written as `ceil(bytes / targetFileBytes)` files through the same
+    * crash-safe staged swap as the postings-stats compaction
+    * ([[graft.index.IndexWriter.compactPostingsStats]]) — a crash
+    * leaves either the old partials or the folded table, both correct
+    * reads by the merge laws above. Idempotent. Returns
+    * (rows before, rows after, part-files before, part-files after). */
+  def compactKeyTables(spark: org.apache.spark.sql.SparkSession,
+      path: String, hasCounts: Boolean = true,
+      targetFileBytes: Long = 128L << 20): (Long, Long, Long, Long) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def partFiles = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+      val buf = scala.collection.mutable.ArrayBuffer[Long]()
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.startsWith("part-")) buf += s.getLen
+      }
+      buf.toSeq
+    }
+    val before = partFiles
+    val raw = spark.read.parquet(path)
+    val rowsBefore = raw.count()
+    val folded = (if (hasCounts) mergeKeyStats(Seq(raw))
+      else mergeKeyTables(Seq(raw))).localCheckpoint()
+    val rowsAfter = folded.count()
+    val nFiles = math.max(1L,
+      math.ceil(before.sum.toDouble / targetFileBytes).toLong).toInt
+    graft.index.IndexWriter.stageAndSwap(fs, path)(staged =>
+      folded.repartition(nFiles).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged))
+    (rowsBefore, rowsAfter, before.size.toLong, partFiles.size.toLong)
+  }
 }

@@ -139,6 +139,51 @@ object Views {
       .withColumn("served_from", lit(name))
   }
 
+  /** Persist a maintained [[Lattice]]: each view's frame under
+    * `path/views/<name>` and ONE tiny stats table under `path/stats`
+    * holding (view, grouping-column list, rows). The stats row count
+    * is the MAINTAINED value ([[applyDeltaMaintained]]'s incremental
+    * updates), written as data — so a restart never recounts a view:
+    * [[loadLattice]] reads the stats table (lattice-sized, a handful
+    * of rows) and opens the view frames LAZILY. Without this, stats
+    * lived only in session memory and every serving restart paid one
+    * count per view before it could route. */
+  def saveLattice(lat: Lattice, path: String): Unit = {
+    require(lat.views.nonEmpty, "saveLattice needs at least one view")
+    val spark = lat.views.head._2._2.sparkSession
+    import spark.implicits._
+    lat.views.foreach { case (name, (_, df)) =>
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/views/$name")
+    }
+    lat.views.toSeq.sortBy(_._1)
+      .map { case (name, (cols, _)) =>
+        (name, cols.mkString(","), lat.stats(name)) }
+      .toDF("view", "group_cols", "rows")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/stats")
+  }
+
+  /** Rehydrate a persisted lattice — the serving-restart path: the
+    * stats table alone drives routing ([[routeFromStats]] /
+    * [[chooseView]]); no view's data is read until the chosen one
+    * answers (q378 oracles the route across a simulated restart;
+    * ViewsSpec proves the losers stay untouched by poisoning them). */
+  def loadLattice(spark: org.apache.spark.sql.SparkSession,
+      path: String): Lattice = {
+    val stats = spark.read.parquet(s"$path/stats")
+      .select("view", "group_cols", "rows")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    Lattice(
+      stats.map { case (name, cols, _) =>
+        name -> ((cols.split(",").toSeq,
+          spark.read.parquet(s"$path/views/$name")))
+      }.toMap,
+      stats.map { case (name, _, rows) => name -> rows }.toMap)
+  }
+
   /** Incremental maintenance for the whole lattice — the q325 IVM move
     * applied to every materialized view at once: an insert batch
     * pre-aggregates ONCE PER VIEW to its grouping (each delta is

@@ -181,7 +181,13 @@ object HybridSearch {
     *    round, so it can neither enter the top-n nor tie its boundary.
     *
     * tθ itself is always essential (its ub6 ≥ any single-term score +1
-    * > θ6). Driver-side cost is |queryTerms| rows of stats plus one
+    * > θ6). A query term present in the corpus stats but ABSENT from
+    * `termBounds` (add-side bounds lag: bounds built before a postings
+    * merge landed, or a crashed stream batch) has NO valid upper bound
+    * — it is reported unconditionally essential with the sentinel ub6
+    * Long.MaxValue (and never joins the running sum), so stale-add
+    * bounds degrade to LESS pruning, never to silently dropped
+    * documents. Driver-side cost is |queryTerms| rows of stats plus one
     * n-row top list over ONE term's postings — request-scale, never
     * corpus-scale. */
   def maxScorePrune(postings: DataFrame, docStats: DataFrame,
@@ -196,7 +202,14 @@ object HybridSearch {
             col("df")) * 1000000, 0).cast("long") + 1).as("ub6"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (t, u) => (u, t) }
-    if (ubs.isEmpty) return (-1L, Seq.empty)
+    // terms the corpus KNOWS (df exists → postings may exist) but the
+    // bounds table doesn't: no valid upper bound → forced essential
+    val known = ubs.map(_._1).toSet
+    val unbounded = docStats.filter(col("term").isin(terms: _*))
+      .select("term").collect().map(_.getString(0))
+      .filterNot(known).sorted
+      .map(t => (t, Long.MaxValue, true))
+    if (ubs.isEmpty) return (-1L, unbounded.toSeq)
     val thetaTerm = ubs.sortBy { case (t, u) => (-u, t) }.head._1
     val topTheta = postings.filter(col("term") === thetaTerm)
       .select((round(termScoreCol(corpusSize, avgDocLen,
@@ -214,7 +227,7 @@ object HybridSearch {
     (theta6, ubs.map { case (t, u) =>
       run += u
       (t, u, run >= theta6)
-    })
+    } ++ unbounded)
   }
 
   /** df of one term as a driver scalar (θ-term scoring needs it as a
@@ -359,7 +372,10 @@ object HybridSearch {
     * scale), per-query θ via [[graft.plans.TopK]] bounded heaps, and
     * the essential flags via a per-query cumulative-sum window over
     * the handful of (query, term) rows. Identical u6 arithmetic to
-    * the single-query form, so per-query decisions match it exactly.
+    * the single-query form, so per-query decisions match it exactly —
+    * including the stale-add-bounds rule: a (query, term) whose term
+    * the stats know but `termBounds` doesn't carries a NULL ub6, never
+    * joins the running sum, and is unconditionally essential.
     *
     * @param qTerms distinct (query_id, term) rows
     * @return (query_id, term, ub6, theta6, essential) */
@@ -370,13 +386,15 @@ object HybridSearch {
     val stats = broadcast(docStats
       .join(broadcast(allTerms), Seq("term"), "left_semi"))
     val ub = qTerms
-      .join(broadcast(termBounds
-        .join(broadcast(allTerms), Seq("term"), "left_semi")), Seq("term"))
       .join(stats, Seq("term"))
+      .join(broadcast(termBounds
+        .join(broadcast(allTerms), Seq("term"), "left_semi")), Seq("term"),
+        "left")
       .withColumn("ub6",
-        round(termScoreCol(corpusSize, avgDocLen,
-          col("max_tf").cast("double"), col("min_dl").cast("double"),
-          col("df")) * 1000000, 0).cast("long") + lit(1L))
+        when(col("max_tf").isNull, lit(null).cast("long"))
+          .otherwise(round(termScoreCol(corpusSize, avgDocLen,
+            col("max_tf").cast("double"), col("min_dl").cast("double"),
+            col("df")) * 1000000, 0).cast("long") + lit(1L)))
       .select("query_id", "term", "ub6")
     val wTheta = Window.partitionBy("query_id").orderBy(desc("ub6"), col("term"))
     val thetaTerms = ub.withColumn("__rn", row_number().over(wTheta))
@@ -399,11 +417,15 @@ object HybridSearch {
     val wCum = Window.partitionBy("query_id")
       .orderBy(col("ub6"), col("term"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // sum() skips NULL ub6 rows, so unbounded terms never inflate the
+    // running bound of the known terms behind them; they are forced
+    // essential outright
     ub.withColumn("__run", sum("ub6").over(wCum))
       .join(broadcast(thetas), Seq("query_id"), "left")
       .select(col("query_id"), col("term"), col("ub6"),
         coalesce(col("theta6"), lit(-1L)).as("theta6"),
-        (col("__run") >= coalesce(col("theta6"), lit(-1L))).as("essential"))
+        (col("ub6").isNull || coalesce(col("__run"), lit(0L)) >=
+          coalesce(col("theta6"), lit(-1L))).as("essential"))
   }
 
   /** BATCHED [[bm25TopKMaxScore]]: exact per-query top-n for a whole
@@ -662,6 +684,33 @@ object HybridSearch {
       .orderBy(desc("rrf_score"), col("id"))
   }
 
+  /** [[searchAnn]] with the dense branch served from int8-QUANTIZED
+    * codes ([[graft.ops.Similarity.IvfIndex.queryQuantized]]) — the
+    * memory/bandwidth tier of the ANN serving matrix: stage A ranks
+    * the probed cells by pure-integer code dot products (4× less scan
+    * bandwidth than floats), stage B restores exact cosines for the
+    * top `rerankN` survivors only, so everything the fusion sees is an
+    * exact score. `rerankN` is the recall/bandwidth dial q374
+    * measures; it is floored at the prefetch size so the dense branch
+    * can always fill its quota. BM25 branch and RRF fusion
+    * unchanged. */
+  def searchAnnQuantized(index: DataFrame,
+      ivf: graft.ops.Similarity.IvfIndex, docStats: DataFrame,
+      corpusSize: Long, avgDocLen: Double, query: String,
+      cfg: Config = Config(), nProbe: Int = 4, rerankN: Int = 50,
+      embedder: Embedder = HashingEmbedder.default): DataFrame = {
+    val prefetch = cfg.k * cfg.prefetchMultiplier
+    val qVec = embedder.embedQuery(query)
+    val qTerms = Bm25.tokenize(query)
+    val dense = ivf.queryQuantized(qVec, prefetch, nProbe,
+        rerank = math.max(rerankN, prefetch))
+      .select(col("id"), col("cos").as("dense_score"))
+    val sparse = sparseTopK(index, docStats, corpusSize, avgDocLen, qTerms, prefetch, cfg)
+    val fused = rrfFuse(dense, sparse, cfg)
+    fused.join(index, Seq("id"), "left")
+      .orderBy(desc("rrf_score"), col("id"))
+  }
+
   /** Prebuilt HNSW serving bundle over the chunk index's dense vectors.
     * Chunk ids are uuid5 STRINGS while the graph index keys longs, so
     * the graph is built over a deterministic 60-bit md5 surrogate
@@ -760,8 +809,11 @@ object HybridSearch {
     * match). */
   def phraseMatches(posPostings: DataFrame, docStats: DataFrame,
       phrase: Seq[String], idCol: String = "id"): DataFrame = {
-    val empty = posPostings.sparkSession.emptyDataFrame
-      .withColumn(idCol, lit("")).withColumn("pos", lit(0)).limit(0)
+    // empty frame derived from the INDEX so the id/pos types match the
+    // non-empty branch whatever the index id type is (a lit("") id
+    // would flip the schema to string on the empty branch and break
+    // downstream unions/typed reads)
+    val empty = posPostings.select(col(idCol), col("pos")).limit(0)
     if (phrase.isEmpty) return empty
     val dfs = docStats.filter(col("term").isin(phrase.distinct: _*))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -831,9 +883,9 @@ object HybridSearch {
       terms: Seq[String], maxSpan: Int, idCol: String = "id"): DataFrame = {
     require(maxSpan >= terms.length - 1 || terms.isEmpty,
       s"maxSpan $maxSpan cannot fit ${terms.length} ordered terms")
-    val empty = posPostings.sparkSession.emptyDataFrame
-      .withColumn(idCol, lit("")).withColumn("s", lit(0))
-      .withColumn("e", lit(0)).limit(0)
+    // index-derived empty frame — same id/pos types on both branches
+    val empty = posPostings
+      .select(col(idCol), col("pos").as("s"), col("pos").as("e")).limit(0)
     if (terms.isEmpty) return empty
     val dfs = docStats.filter(col("term").isin(terms.distinct: _*))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

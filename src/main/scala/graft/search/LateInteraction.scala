@@ -107,9 +107,15 @@ object LateInteraction {
       .select(col("dtok"), col("qtok"),
         round(vecCosine(col("dvec"), col("qvec")) * 1000000, 0)
           .cast("long").as("cos_u6"))
+    // fan each doc token out to its query's OWN terms FIRST (broadcast
+    // — per-query-vocabulary-sized), and only then attach the cosine:
+    // joining pairCos before the restriction would form one row per
+    // (candidate doc token × EVERY query token in the batch), which at
+    // hundreds of concurrent queries multiplies the intermediate by
+    // the batch's total vocabulary instead of each query's own
     val scored = docToks
-      .join(pairCos, Seq("dtok"))
-      .join(broadcast(qToks), Seq(queryIdCol, "qtok"), "left_semi")
+      .join(broadcast(qToks), Seq(queryIdCol))
+      .join(pairCos, Seq("dtok", "qtok"))
       .groupBy(col(queryIdCol), col(idCol), col("qtok"))
       .agg(max("cos_u6").as("best_u6"))
       .groupBy(col(queryIdCol), col(idCol))

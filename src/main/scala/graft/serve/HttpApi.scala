@@ -66,7 +66,18 @@ object HttpApi {
       // optional block-max bound stats (IndexWriter.blockBounds):
       // with postings present, candidate generation skips whole
       // hash blocks (identical scores)
-      blockBounds: Option[org.apache.spark.sql.DataFrame] = None)
+      blockBounds: Option[org.apache.spark.sql.DataFrame] = None,
+      // optional positional inverted index
+      // (IndexWriter.positionalPostings): when present, /search serves
+      // a "phrase": "..." request mode — consecutive-token matching by
+      // position intersection, never a text rescan
+      posPostings: Option[org.apache.spark.sql.DataFrame] = None,
+      // alternative to posPostings: the root of a streamed postings
+      // store (IndexWriter.streamPostings with positional = true) —
+      // each phrase request then reads ONLY its terms' buckets
+      // (IndexWriter.readPositionsForTerms, the q375 pruned-read
+      // discipline)
+      posStore: Option[String] = None)
 
   /** Default `/case/fetch` byte fetcher: a real GET (the reference
     * downloads arbitrary slip-opinion URLs, `app.py:580-583`). With no
@@ -159,8 +170,35 @@ object HttpApi {
 
   // ---- /query + /search (identical engine call — reference quirk Q6) --
 
+  /** The per-hit JSON objects of a [[Serve.QueryResponse]]. */
+  private def resultsJson(resp: Serve.QueryResponse): Seq[String] =
+    resp.results.map(r => obj(
+      "id" -> r.id, "score" -> r.score, "case_name" -> r.caseName,
+      "court" -> r.court, "date_filed" -> r.dateFiled,
+      "judges" -> r.judges, "snippet" -> r.snippet))
+
   private def searchEndpoint(engine: Engine, body: Option[JsonNode],
-      queryField: String): (Int, String) =
+      queryField: String): (Int, String) = {
+    // "phrase" mode on /search: positional-index phrase matching — a
+    // lexical contract ("these tokens, consecutively"), not a ranked
+    // hybrid query, so it short-circuits the hybrid option surface
+    field(body, "phrase") match {
+      case Some(p) if queryField == "query" =>
+        val k = intField(body, "limit").getOrElse(engine.defaultK)
+        return (
+          if (engine.posPostings.isEmpty && engine.posStore.isEmpty)
+            (400, err("this engine was built without a positional " +
+              "index; start it with posPostings or posStore to serve " +
+              "\"phrase\""))
+          else {
+            val resp = Serve.queryPhrase(engine.index, engine.docStats,
+              p, k, engine.posPostings, engine.posStore)
+            (200, s"""{"query":${str(p)},"results":[${resultsJson(resp).mkString(",")}],""" +
+              s""""search_type":"phrase","processing_time":${resp.processingTimeSec},""" +
+              s""""documents_found":${resp.results.size}}""")
+          })
+      case _ => ()
+    }
     field(body, queryField) match {
       case None => (400, err(s"Missing '$queryField' field in request body"))
       case Some(q) =>
@@ -199,13 +237,37 @@ object HttpApi {
           val nProbe = intField(body, "n_probe").getOrElse(4)
           val ef = intField(body, "ef").getOrElse(16)
           val hops = intField(body, "hops").getOrElse(3)
+          // "rerank": "maxsim" reranks the hybrid prefetch by ColBERT-
+          // style late interaction (q364's path); "rerank": "int8"
+          // serves the IVF dense branch from quantized codes (q370's
+          // path — requires "ann": "ivf"; "rerank_n" is the q374 dial)
+          val rerankMode: Either[String, Option[String]] =
+            body.flatMap(b => Option(b.get("rerank"))).filter(!_.isNull) match {
+              case None => Right(None)
+              case Some(n) if n.isTextual && (n.asText() == "maxsim" ||
+                  n.asText() == "int8") => Right(Some(n.asText()))
+              case Some(n) if n.isTextual =>
+                Left(s"unknown rerank mode '${n.asText()}' " +
+                  "(use \"maxsim\" or \"int8\")")
+              case Some(_) => Left("'rerank' must be \"maxsim\" or \"int8\"")
+            }
+          val rerankN = intField(body, "rerank_n").getOrElse(50)
           if (lambda < 0.0 || lambda > 1.0)
             (400, err(s"mmr_lambda $lambda out of range [0, 1]"))
-          else annMode match {
-            case Left(msg) => (400, err(msg))
-            case Right(ann) =>
+          else (annMode, rerankMode) match {
+            case (Left(msg), _) => (400, err(msg))
+            case (_, Left(msg)) => (400, err(msg))
+            case (Right(ann), Right(rerank)) =>
               if (ann.nonEmpty && diversify)
                 (400, err("ann and diversify cannot combine on one request"))
+              else if (rerank.contains("maxsim") && (ann.nonEmpty || diversify))
+                (400, err("\"rerank\": \"maxsim\" reranks the plain hybrid " +
+                  "prefetch; it cannot combine with ann or diversify"))
+              else if (rerank.contains("int8") && !ann.contains("ivf"))
+                (400, err("\"rerank\": \"int8\" is the quantized IVF serve; " +
+                  "it requires \"ann\": \"ivf\""))
+              else if (rerank.contains("int8") && rerankN < 1)
+                (400, err(s"rerank_n $rerankN must be >= 1"))
               else if (ann.contains("ivf") && engine.ivf.isEmpty)
                 (400, err("this engine was built without an IVF index; " +
                   "start it with an IvfIndex to serve \"ann\": \"ivf\""))
@@ -217,21 +279,36 @@ object HttpApi {
               else if (ann.contains("hnsw") && (ef < 1 || hops < 1))
                 (400, err(s"ef $ef and hops $hops must be >= 1"))
               else {
-                val resp = ann match {
-                  case Some("ivf") => Serve.queryAnn(engine.index,
+                val resp = (ann, rerank) match {
+                  case (Some("ivf"), Some("int8")) =>
+                    Serve.queryAnnQuantized(engine.index, engine.ivf.get,
+                      engine.docStats, engine.corpusSize, engine.avgDocLen,
+                      q, k = k, nProbe = nProbe, rerankN = rerankN,
+                      rrfScoreThreshold = threshold,
+                      postings = engine.postings,
+                      termBounds = engine.termBounds,
+                      blockBounds = engine.blockBounds)
+                  case (Some("ivf"), _) => Serve.queryAnn(engine.index,
                     engine.ivf.get, engine.docStats, engine.corpusSize,
                     engine.avgDocLen, q, k = k, nProbe = nProbe,
                     rrfScoreThreshold = threshold,
                     postings = engine.postings,
                     termBounds = engine.termBounds,
                     blockBounds = engine.blockBounds)
-                  case Some("hnsw") => Serve.queryHnsw(engine.index,
+                  case (Some("hnsw"), _) => Serve.queryHnsw(engine.index,
                     engine.hnsw.get, engine.docStats, engine.corpusSize,
                     engine.avgDocLen, q, k = k, ef = ef, hops = hops,
                     rrfScoreThreshold = threshold,
                     postings = engine.postings,
                     termBounds = engine.termBounds,
                     blockBounds = engine.blockBounds)
+                  case (_, Some("maxsim")) =>
+                    Serve.queryReranked(engine.index, engine.docStats,
+                      engine.corpusSize, engine.avgDocLen, q, k = k,
+                      rrfScoreThreshold = threshold,
+                      postings = engine.postings,
+                      termBounds = engine.termBounds,
+                      blockBounds = engine.blockBounds)
                   case _ =>
                     if (diversify) Serve.queryDiversified(engine.index,
                       engine.docStats, engine.corpusSize, engine.avgDocLen,
@@ -247,23 +324,22 @@ object HttpApi {
                     termBounds = engine.termBounds,
                     blockBounds = engine.blockBounds)
                 }
-                val results = resp.results.map(r => obj(
-                  "id" -> r.id, "score" -> r.score, "case_name" -> r.caseName,
-                  "court" -> r.court, "date_filed" -> r.dateFiled,
-                  "judges" -> r.judges, "snippet" -> r.snippet))
-                val searchType = ann match {
-                  case Some("ivf") => "hybrid_rrf_ivf"
-                  case Some("hnsw") => "hybrid_rrf_hnsw"
+                val searchType = (ann, rerank) match {
+                  case (Some("ivf"), Some("int8")) => "hybrid_rrf_ivf_int8"
+                  case (Some("ivf"), _) => "hybrid_rrf_ivf"
+                  case (Some("hnsw"), _) => "hybrid_rrf_hnsw"
+                  case (_, Some("maxsim")) => "hybrid_rrf_maxsim"
                   case _ =>
                     if (diversify) "hybrid_rrf_mmr" else "hybrid_rrf"
                 }
-                (200, s"""{"query":${str(q)},"results":[${results.mkString(",")}],""" +
+                (200, s"""{"query":${str(q)},"results":[${resultsJson(resp).mkString(",")}],""" +
                   s""""search_type":"$searchType","processing_time":${resp.processingTimeSec},""" +
                   s""""documents_found":${resp.results.size}}""")
               }
           }
         }
     }
+  }
 
   // ---- /search/batch (no reference analog — the q154 batched plan
   // exposed at the transport layer: N queries, ONE Spark job set) ------
@@ -293,12 +369,8 @@ object HttpApi {
                     termBounds = engine.termBounds,
                     blockBounds = engine.blockBounds)
           val entries = resps.map { resp =>
-            val results = resp.results.map(r => obj(
-              "id" -> r.id, "score" -> r.score, "case_name" -> r.caseName,
-              "court" -> r.court, "date_filed" -> r.dateFiled,
-              "judges" -> r.judges, "snippet" -> r.snippet))
             s"""{"query":${str(resp.question)},""" +
-              s""""results":[${results.mkString(",")}],""" +
+              s""""results":[${resultsJson(resp).mkString(",")}],""" +
               s""""documents_found":${resp.results.size}}"""
           }
           val sec = resps.headOption.map(_.processingTimeSec).getOrElse(0.0)

@@ -187,6 +187,99 @@ object Serve {
     collectResponse(hits, question, t0)
   }
 
+  /** [[queryAnn]] with the dense branch served from int8-quantized
+    * codes ([[HybridSearch.searchAnnQuantized]]) — the compression
+    * tier of the serving matrix. `rerankN` is the q374 recall/
+    * bandwidth dial: how many integer-dot survivors get their exact
+    * float cosine back before fusion. */
+  def queryAnnQuantized(index: DataFrame, ivf: graft.ops.Similarity.IvfIndex,
+      docStats: DataFrame, corpusSize: Long, avgDocLen: Double,
+      question: String, k: Int = 3, nProbe: Int = 4, rerankN: Int = 50,
+      rrfScoreThreshold: Double = 0.0,
+      postings: Option[DataFrame] = None,
+      termBounds: Option[DataFrame] = None,
+      blockBounds: Option[DataFrame] = None): QueryResponse = {
+    val t0 = System.nanoTime()
+    val hits = HybridSearch.searchAnnQuantized(index, ivf, docStats,
+      corpusSize, avgDocLen, question,
+      HybridSearch.Config(k = k, rrfScoreThreshold = rrfScoreThreshold,
+        postings = postings, termBounds = termBounds,
+        blockBounds = blockBounds),
+      nProbe = nProbe, rerankN = rerankN)
+    collectResponse(hits, question, t0)
+  }
+
+  /** [[query]] with a ColBERT-style MaxSim RERANK epilogue
+    * ([[graft.search.LateInteraction.maxsimRerank]]): the hybrid
+    * search prefetches `candMultiplier · k` candidates (the cheap
+    * first stage), then ONLY that slice rescores by per-token
+    * late interaction and the top k by MaxSim are returned. Like the
+    * MMR path, result rows keep their ORIGINAL RRF score — only the
+    * order and membership change (the rerank is an ordering contract,
+    * not a new score scale for the API). The candidate slice is
+    * request-scale, so the token-level embedding work never touches
+    * the corpus. */
+  def queryReranked(index: DataFrame, docStats: DataFrame,
+      corpusSize: Long, avgDocLen: Double, question: String, k: Int = 3,
+      candMultiplier: Int = 3, rrfScoreThreshold: Double = 0.0,
+      postings: Option[DataFrame] = None,
+      termBounds: Option[DataFrame] = None,
+      blockBounds: Option[DataFrame] = None,
+      embedder: graft.embed.Embedder =
+        graft.embed.HashingEmbedder.default): QueryResponse = {
+    val t0 = System.nanoTime()
+    val hits = HybridSearch.search(index, docStats, corpusSize, avgDocLen,
+      question, HybridSearch.Config(k = k * candMultiplier,
+        rrfScoreThreshold = rrfScoreThreshold, postings = postings,
+        termBounds = termBounds, blockBounds = blockBounds))
+    val qTerms = graft.text.Bm25.tokenize(question)
+      .distinct.filter(_.nonEmpty)
+    if (qTerms.isEmpty) return collectResponse(hits.limit(k), question, t0)
+    val present = hits.columns.toSet
+    val payloadCols = Seq("case_name", "court", "date_filed", "judges").filter(present)
+    val rows = hits.select(("id" +: "rrf_score" +: "chunk_text" +:
+        payloadCols).map(col): _*).collect().toSeq
+    if (rows.isEmpty)
+      return QueryResponse(question, Seq.empty, (System.nanoTime() - t0) / 1e9)
+    val order = graft.search.LateInteraction
+      .maxsimRerank(hits, qTerms, embedder, k)
+      .select("id").collect().map(_.getString(0)).toSeq
+    val byId = rows.map(r => r.getAs[String]("id") -> r).toMap
+    val results = order.map(id => toResult(byId(id), present))
+    QueryResponse(question, results, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** PHRASE search served from the positional inverted index
+    * ([[HybridSearch.phraseMatches]]) — consecutive-token matching as
+    * position intersection, never a text rescan. Documents rank by
+    * OCCURRENCE COUNT (ties → id); the API `score` field carries that
+    * count. `posPostings` is either an in-memory positional table or,
+    * when `store` is supplied, the bucket-pruned per-request read
+    * ([[graft.index.IndexWriter.readPositionsForTerms]]) — the q375
+    * discipline: the phrase's terms map to their term buckets and the
+    * scan touches only those directories. */
+  def queryPhrase(index: DataFrame, docStats: DataFrame, phrase: String,
+      k: Int = 3, posPostings: Option[DataFrame] = None,
+      store: Option[String] = None): QueryResponse = {
+    require(posPostings.nonEmpty || store.nonEmpty,
+      "queryPhrase needs a positional postings frame or a store path")
+    val t0 = System.nanoTime()
+    val terms = graft.text.Bm25.tokenize(phrase).filter(_.nonEmpty)
+    val spark = index.sparkSession
+    val pp = store match {
+      case Some(path) => graft.index.IndexWriter
+        .readPositionsForTerms(spark, path, terms)
+      case None => posPostings.get
+    }
+    val hits = HybridSearch.phraseMatches(pp, docStats, terms)
+      .groupBy("id").agg(count(lit(1)).cast("double").as("rrf_score"))
+      .orderBy(desc("rrf_score"), col("id"))
+      .limit(k)
+      .join(index, Seq("id"), "left")
+      .orderBy(desc("rrf_score"), col("id"))
+    collectResponse(hits, phrase, t0)
+  }
+
   /** [[query]] with an MMR diversification pass (no reference analog —
     * q164's operator at the serving layer): the hybrid search fetches
     * `candMultiplier · k` candidates, then the shared greedy loop

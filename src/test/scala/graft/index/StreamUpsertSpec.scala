@@ -176,11 +176,26 @@ class StreamUpsertSpec extends AnyFunSuite with SparkTestBase {
       hits(IndexWriter.positionalPostings(pts)))
     assert(hits(IndexWriter.positionalPostings(pts)) == Seq(("d1", 0)),
       "the planted 'spark joins' phrase sits at d1 position 0")
+    // simulated MID-BATCH CRASH: a batch died after its postings write
+    // but before its stats writes (df partial for that batch lost).
+    // Because every artifact write is a dynamic OVERWRITE of the
+    // batch's own batch_id partitions, a fresh-checkpoint replay must
+    // rebuild the lost partial without duplicating anything else —
+    // the non-atomic-window fix (replay used to skip the whole batch
+    // on postings presence, losing df/bounds/positions forever).
+    val lostDf = new java.io.File(s"$base/idx/df")
+      .listFiles().filter(_.getName.startsWith("batch_id="))
+      .maxBy(_.getName)
+    graft.ops.Joins.deleteRecursively(lostDf)
+    assert(canonD != wantD, "sanity: the crash window lost a df partial")
+
     // at-least-once replay: a fresh checkpoint redelivers every file;
-    // the stored-id anti-join must drop them all
+    // per-batch overwrite + the other-batches id anti-join must
+    // converge (no duplicates, lost partial restored)
     run(s"$base/cp2")
     assert(canonP == wantP && canonD == wantD && canonB == wantB,
-      "replay must not duplicate postings/df/bounds partials")
+      "replay must not duplicate postings/df/bounds partials and must " +
+        "restore the crashed batch's lost stats partial")
 
     // stats compaction: per-batch partials fold to one row per term,
     // read-backs identical, idempotent on a second pass
@@ -200,15 +215,18 @@ class StreamUpsertSpec extends AnyFunSuite with SparkTestBase {
       "from-scratch rebuild on survivors; stale bounds stay sound") {
     // d2 is the only holder of "rare" (df drops to zero), holds the max
     // tf of "spark" (max_tf must tighten 3 -> 2) and is the shortest
-    // doc carrying "joins" (min_dl must loosen upward on retighten)
+    // doc carrying "joins" (min_dl must loosen upward on retighten);
+    // d5 is TOKEN-LESS — it has no postings rows, so its n_docs
+    // decrement can only come from the corpus-derived (id, dl) path
     val pts = Seq(
       ("d1", Seq("spark", "spark", "joins", "windows", "state", "extra")),
       ("d2", Seq("spark", "spark", "spark", "rare", "joins")),
       ("d3", Seq("spark", "windows", "state", "joins", "filler", "pad")),
-      ("d4", Seq("windows", "state")))
+      ("d4", Seq("windows", "state")),
+      ("d5", Seq.empty[String]))
       .toDF("id", "tokens")
-    val survivorsPts = pts.filter($"id" =!= "d2")
-    val ids = Seq("d2").toDF("id")
+    val survivorsPts = pts.filter($"id" =!= "d2" && $"id" =!= "d5")
+    val ids = Seq("d2", "d5").toDF("id")
     val postings = IndexWriter.postings(pts)
     val purged = IndexWriter.purgedPostings(postings, ids)
     val kept = IndexWriter.forgetPostings(postings, ids)
@@ -242,11 +260,40 @@ class StreamUpsertSpec extends AnyFunSuite with SparkTestBase {
       .filter($"max_tf" < $"r_tf" || $"min_dl" > $"r_dl")
     assert(dominance.isEmpty, "stale bounds must stay valid upper bounds")
 
-    val cs = IndexWriter.forgetCorpusStats(4L,
-      pts.select(explode($"tokens")).count(), purged)
+    // corpus stats: the delta must come from the corpus-derived
+    // (id, dl) rows — purged postings would miss token-less d5 and
+    // leave n_docs one too high
+    val cs = IndexWriter.forgetCorpusStats(5L,
+      pts.select(explode($"tokens")).count(),
+      IndexWriter.purgedDocLengths(pts, ids))
       .as[(Long, Long)].head()
     assert(cs == ((3L,
       survivorsPts.select(explode($"tokens")).count())))
+    val csFromPostings = IndexWriter.forgetCorpusStats(5L,
+      pts.select(explode($"tokens")).count(), purged)
+      .as[(Long, Long)].head()
+    assert(csFromPostings._1 == 4L,
+      "postings-derived deltas DO miss the token-less doc — the " +
+        "defect purgedDocLengths exists to close")
+
+    // the POSITIONAL tier forgets the same way, and a purged doc's
+    // phrase hits disappear with it (the takedown contract: no token
+    // positions left discoverable via phrase/proximity search)
+    def posSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String, Int, Int)].collect().toSet
+    val posAll = IndexWriter.positionalPostings(pts)
+    val posKept = IndexWriter.forgetPositionalPostings(posAll, ids)
+    assert(posSet(posKept) ==
+      posSet(IndexWriter.positionalPostings(survivorsPts)),
+      "maintained positional postings must equal a survivor rebuild")
+    val phrase = Seq("spark", "rare")  // only d2 holds it
+    val dfAll = IndexWriter.docFrequencies(pts)
+    assert(graft.search.HybridSearch.phraseMatches(posAll, dfAll, phrase)
+      .as[(String, Int)].collect().toSeq == Seq(("d2", 2)),
+      "the planted phrase must hit d2 before the purge")
+    assert(graft.search.HybridSearch.phraseMatches(posKept,
+        IndexWriter.forgetDocFrequencies(dfAll, purged), phrase).isEmpty,
+      "after the purge the phrase must be undiscoverable")
 
     // the block tier forgets the same way
     def kSet(df: org.apache.spark.sql.DataFrame) =

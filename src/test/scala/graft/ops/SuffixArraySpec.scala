@@ -177,6 +177,68 @@ class SuffixArraySpec extends AnyFunSuite with SparkTestBase {
     assert(byDoc(14L) == 0)
   }
 
+  test("compactKeyTables: segment partials fold to one row per key " +
+      "behind a staged swap — file budget shrinks, read-backs and the " +
+      "incremental decisions are IDENTICAL before and after") {
+    val secret = "zero one two three four five six seven eight nine " +
+      "ten eleven"
+    val batchOnly = "batch local repeated filler sentence appears many " +
+      "times within this batch yes"
+    val docs = Seq(
+      (1L, s"sealedpad $secret"),
+      (2L, s"$secret sealedtail"),
+      (3L, s"midpad $secret midtail"),
+      (11L, s"alpha $secret beta"),
+      (12L, batchOnly),
+      (13L, s"$batchOnly indeed"),
+      (14L, "entirely unrelated words that never repeat anywhere in " +
+        "this corpus at all today"))
+      .toDF("doc_id", "text")
+    // three sealed segments (doc-disjoint), appended as three partials
+    val segs = Seq(docs.filter($"doc_id" === 1),
+      docs.filter($"doc_id" === 2), docs.filter($"doc_id" === 3))
+    val batch = docs.filter($"doc_id" >= 10)
+    val store = java.nio.file.Files
+      .createTempDirectory("sa_keystats").toString + "/stats"
+    segs.foreach(seg => SuffixArray.substrKeyStats(seg, "doc_id", "text",
+      minLen = 12).coalesce(1).write.mode("append").parquet(store))
+    def decide(stats: org.apache.spark.sql.DataFrame) =
+      SuffixArray.repeatedSpanStatsIncremental(batch, stats,
+        "doc_id", "text", minLen = 12)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val before = decide(spark.read.parquet(store))
+    val wantMerged = SuffixArray.mergeKeyStats(
+        segs.map(SuffixArray.substrKeyStats(_, "doc_id", "text", 12)))
+      .as[(String, Long)].collect().toSet
+    val (rb, ra, fb, fa) = SuffixArray.compactKeyTables(spark, store)
+    assert(fb == 3 && fa == 1, s"file budget must shrink: $fb -> $fa")
+    assert(ra < rb, "the shared secret's key must fold across segments")
+    assert(spark.read.parquet(store).as[(String, Long)].collect().toSet ==
+      wantMerged, "compacted store == pure merge")
+    // the secret lives in all three segments: its folded count is 3
+    assert(wantMerged.exists(_._2 == 3L),
+      s"cross-segment key must re-sum to 3: $wantMerged")
+    assert(decide(spark.read.parquet(store)) == before,
+      "compaction must not change any admission decision")
+    // idempotent second pass
+    val (rb2, ra2, _, _) = SuffixArray.compactKeyTables(spark, store)
+    assert(rb2 == ra && ra2 == ra)
+    // the key-only form folds by distinct and decides identically too
+    val kstore = java.nio.file.Files
+      .createTempDirectory("sa_keytab").toString + "/keys"
+    segs.foreach(seg => SuffixArray.substrKeyTable(seg, "doc_id", "text",
+      minLen = 12).coalesce(1).write.mode("append").parquet(kstore))
+    def contam(keys: org.apache.spark.sql.DataFrame) =
+      SuffixArray.exactSubstrContaminationIncremental(batch, keys,
+        "doc_id", "text", minLen = 12)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val cBefore = contam(spark.read.parquet(kstore))
+    val (krb, kra, kfb, kfa) =
+      SuffixArray.compactKeyTables(spark, kstore, hasCounts = false)
+    assert(kfb == 3 && kfa == 1 && kra < krb)
+    assert(contam(spark.read.parquet(kstore)) == cBefore)
+  }
+
   test("repeatedSpanStatsExact: off-grid 12-token repeat that the " +
       "k=16 multi-k ladder misses; no false 13-length certificate; " +
       "same-doc repeats don't count toward minDocs") {

@@ -136,4 +136,44 @@ class ViewsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.toSeq).sortBy(_.toString()).toSeq
     assert(a == b)
   }
+
+  test("saveLattice/loadLattice: a restart routes from the STORED stats " +
+      "— no view is recounted, losers' data stays unread, answers match") {
+    val lat0 = Views.materialize(Map(
+      "v_rf_ls" -> view("rf", "ls"),
+      "v_rf_mth" -> view("rf", "mth"),
+      "v_ls_mth" -> view("ls", "mth")))
+    val batch = Seq(("A", "y", 2, 100L), ("C", "z", 3, 200L))
+      .toDF("rf", "ls", "mth", "cents")
+    val lat = Views.applyDeltaMaintained(lat0, batch,
+      Seq(count(lit(1)).as("cnt"), sum("cents").as("sum_cents")))
+    val path = java.nio.file.Files
+      .createTempDirectory("views_lattice").toString
+    Views.saveLattice(lat, path)
+    // "restart": a fresh lattice from disk — stored stats must equal
+    // the maintained ones exactly (no recount happened to fix them up)
+    val reloaded = Views.loadLattice(spark, path)
+    assert(reloaded.stats == lat.stats)
+    assert(reloaded.views.keySet == lat.views.keySet)
+    assert(reloaded.views("v_rf_ls")._1 == Seq("rf", "ls"))
+    // routing reads ONLY the stats + the chosen view's parquet: poison
+    // the losers ON DISK and the route must still answer
+    for (loser <- Seq("v_rf_mth", "v_ls_mth"))
+      graft.ops.Joins.deleteRecursively(
+        new java.io.File(s"$path/views/$loser"))
+    val got = Views.routeFromStats(reloaded, Seq("rf"),
+        Seq("cnt", "sum_cents"))
+      .select("rf", "cnt", "sum_cents", "served_from")
+      .as[(String, Long, Long, String)].collect().toSet
+    val full = base.unionByName(batch)
+    val want = full.groupBy("rf")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
+      .as[(String, Long, Long)].collect()
+      .map(t => (t._1, t._2, t._3, "v_rf_ls")).toSet
+    assert(got == want, s"post-restart routed answer drifted: $got")
+    // a deleted loser really is unreadable — the poisoning is real
+    intercept[Exception] {
+      reloaded.views("v_ls_mth")._2.collect()
+    }
+  }
 }

@@ -248,6 +248,59 @@ class HybridSearchSpec extends AnyFunSuite with SparkTestBase {
         HybridSearch.Config(k = 3))))
   }
 
+  test("MaxScore with ADD-SIDE-LAGGED bounds: a term in the postings " +
+      "but missing from termBounds is unconditionally essential — " +
+      "results stay exact instead of silently dropping its docs") {
+    val docs = (0 until 40).map { i =>
+      val rare = if (i % 5 == 0) " rare" else ""
+      (s"d$i", s"common common common filler$i$rare")
+    }.toDF("id", "chunk_text")
+      .withColumn("tokens", GraftFunctions.bm25Tokenize($"chunk_text"))
+    val p = graft.index.IndexWriter.postings(docs)
+    val st = graft.index.IndexWriter.docFrequencies(docs)
+    // bounds built BEFORE "rare"'s postings merged in — the stale-add
+    // window the streaming writer can expose between artifact writes
+    val lagged = graft.index.IndexWriter.termBounds(p)
+      .filter($"term" =!= "rare")
+    val nn = docs.count()
+    val al = docs.select(avg(size($"tokens"))).head().getDouble(0)
+    val terms = Seq("rare", "common")
+    val (_, flags) = HybridSearch.maxScorePrune(p, st, lagged, nn, al,
+      terms, 5)
+    assert(flags.contains(("rare", Long.MaxValue, true)),
+      s"the unbounded term must be forced essential: $flags")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "bm25_score").as[(String, Double)].collect().toSeq
+    val exact = rows(HybridSearch.bm25TopKPostings(p, st, nn, al, terms, 5))
+    assert(exact.exists(_._1 == "d0"), "sanity: rare docs win the top-5")
+    assert(rows(HybridSearch.bm25TopKMaxScore(p, st, lagged, nn, al,
+      terms, 5)) == exact)
+    // ALL bounds missing → every present term essential, still exact
+    val noneTb = lagged.filter($"term" === "never")
+    val (_, f0) = HybridSearch.maxScorePrune(p, st, noneTb, nn, al, terms, 5)
+    assert(f0.map(_._1).sorted == Seq("common", "rare") && f0.forall(_._3))
+    assert(rows(HybridSearch.bm25TopKMaxScore(p, st, noneTb, nn, al,
+      terms, 5)) == exact)
+    // batched form: NULL ub6, essential, results == unpruned batch
+    val qt = Seq((0L, "rare"), (0L, "common"), (1L, "common"))
+      .toDF("query_id", "term")
+    val bf = HybridSearch.maxScorePruneAll(p, st, lagged, nn, al, qt, 5)
+      .select("query_id", "term", "ub6", "essential")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)), r.getBoolean(3))).toSet
+    assert(bf.contains((0L, "rare", None, true)),
+      s"batched unbounded term must be NULL-ub essential: $bf")
+    assert(bf.exists { case (q, t, u, _) =>
+      q == 0L && t == "common" && u.nonEmpty })
+    def brows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "id", "bm25_score")
+        .as[(Long, String, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(brows(HybridSearch.bm25TopKMaxScoreAll(p, st, lagged, nn, al,
+        qt, 5)) ==
+      brows(HybridSearch.bm25TopKMaxScoreAll(p, st,
+        graft.index.IndexWriter.termBounds(p), nn, al, qt, 5)))
+  }
+
   test("phraseMatches: position intersection == naive window scan — " +
       "overlaps, duplicated words, boundaries, absent terms, decoys") {
     val docs = Seq(

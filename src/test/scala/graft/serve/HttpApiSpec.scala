@@ -342,6 +342,124 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     } finally bare.stop()
   }
 
+  test("POST /search with phrase: positional-index matching round-trips " +
+      "(in-memory frame AND bucket-pruned store read); engine without " +
+      "a positional index refuses") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def results(body: String) = {
+      val rs = mapper.readTree(body).get("results")
+      (0 until rs.size()).map(i =>
+        (rs.get(i).get("id").asText(), rs.get(i).get("score").asDouble()))
+    }
+    val pp = graft.index.IndexWriter.positionalPostings(index)
+    val srv = HttpApi.start(engine.copy(posPostings = Some(pp)), port = 0)
+    try {
+      def p(body: String) =
+        client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.port}/search"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      val hit = p("""{"phrase":"habeas corpus","limit":3}""")
+      assert(hit.statusCode() == 200, hit.body())
+      assert(hit.body().contains("\"search_type\":\"phrase\""))
+      // d1 holds "habeas corpus" TWICE; score = occurrence count
+      assert(results(hit.body()) == Seq(("d1", 2.0)), hit.body())
+      // reversed order is a different phrase: no match
+      assert(results(p("""{"phrase":"corpus habeas"}""").body()).isEmpty)
+      // gapped decoy: "habeas review" never appears consecutively
+      assert(results(p("""{"phrase":"habeas review"}""").body()).isEmpty)
+    } finally srv.stop()
+    // same answers from a term-bucketed STORE read (the q375 pruned
+    // discipline: only the phrase's buckets are scanned per request)
+    val store = java.nio.file.Files.createTempDirectory("httpapi_pos").toString
+    pp.withColumn("term_bucket", pmod(xxhash64($"term"), lit(64L)))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$store/positions")
+    val srv2 = HttpApi.start(engine.copy(posStore = Some(store)), port = 0)
+    try {
+      def p2(body: String) =
+        client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv2.port}/search"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      val hit = p2("""{"phrase":"habeas corpus","limit":3}""")
+      assert(hit.statusCode() == 200, hit.body())
+      assert(results(hit.body()) == Seq(("d1", 2.0)), hit.body())
+    } finally srv2.stop()
+    // the default engine carries no positional index
+    val refused = post("/search", """{"phrase":"habeas corpus"}""")
+    assert(refused.statusCode() == 400 &&
+      refused.body().contains("without a positional index"), refused.body())
+  }
+
+  test("POST /search with rerank=maxsim: late-interaction rerank " +
+      "round-trips; invalid combinations refused") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def hits(body: String) = {
+      val rs = mapper.readTree(body).get("results")
+      (0 until rs.size()).map(i =>
+        (rs.get(i).get("id").asText(), rs.get(i).get("score").asDouble()))
+    }
+    val plain = post("/search", """{"query":"habeas corpus","limit":6}""")
+    val rr = post("/search",
+      """{"query":"habeas corpus","limit":2,"rerank":"maxsim"}""")
+    assert(rr.statusCode() == 200, rr.body())
+    assert(rr.body().contains("\"search_type\":\"hybrid_rrf_maxsim\""))
+    val rrHits = hits(rr.body())
+    assert(rrHits.nonEmpty && rrHits.size <= 2)
+    // membership within the hybrid candidate slice, ORIGINAL rrf
+    // scores preserved (the MMR-style ordering contract)
+    val pool = hits(plain.body()).toMap
+    assert(rrHits.forall { case (id, s) => pool.get(id).contains(s) },
+      s"rerank must keep original scores: $rrHits vs $pool")
+    // the habeas doc dominates its own query terms under MaxSim
+    assert(rrHits.head._1 == "d1", rr.body())
+    val badCombo = post("/search",
+      """{"query":"x","rerank":"maxsim","diversify":true}""")
+    assert(badCombo.statusCode() == 400 &&
+      badCombo.body().contains("cannot combine"), badCombo.body())
+    val noAnn = post("/search", """{"query":"x","rerank":"int8"}""")
+    assert(noAnn.statusCode() == 400 &&
+      noAnn.body().contains("quantized IVF serve"), noAnn.body())
+    val unknown = post("/search", """{"query":"x","rerank":"fp4"}""")
+    assert(unknown.statusCode() == 400 &&
+      unknown.body().contains("unknown rerank mode"), unknown.body())
+  }
+
+  test("POST /search with ann=ivf + rerank=int8: quantized dense serve " +
+      "round-trips and matches the exact engine at a full dial") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def ids(body: String): Seq[String] = {
+      val rs = mapper.readTree(body).get("results")
+      (0 until rs.size()).map(rs.get(_).get("id").asText())
+    }
+    val ivf = new graft.ops.Similarity.IvfIndex(index, nCentroids = 2,
+      vecCol = "dense_vec", idCol = "id")
+    val srv = HttpApi.start(engine.copy(ivf = Some(ivf)), port = 0)
+    try {
+      def p(body: String) =
+        client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.port}/search"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      val plain = p("""{"query":"habeas corpus","limit":2}""")
+      // full probe budget + rerank_n >= corpus: the int8 stage admits
+      // everything into the exact-cosine rerank, so results == exact
+      val q8 = p("""{"query":"habeas corpus","limit":2,"ann":"ivf",""" +
+        """"rerank":"int8","n_probe":2,"rerank_n":50}""")
+      assert(q8.statusCode() == 200, q8.body())
+      assert(q8.body().contains("\"search_type\":\"hybrid_rrf_ivf_int8\""))
+      assert(ids(q8.body()) == ids(plain.body()),
+        "full dial == exact dense branch")
+      val badDial = p("""{"query":"x","ann":"ivf","rerank":"int8","rerank_n":0}""")
+      assert(badDial.statusCode() == 400 &&
+        badDial.body().contains("rerank_n"), badDial.body())
+    } finally srv.stop()
+  }
+
   test("stop() releases the port") {
     val s2 = HttpApi.start(engine)
     val p = s2.port

@@ -132,13 +132,7 @@ object Bench {
       }
 
     var results = selected.map { case (name, fn) =>
-      // Sub-second-baseline queries are the jitter magnets: all four
-      // in-suite false flags across rounds 7-8 (q33/q97/q159/q166) had
-      // baselines at or under ~1.5 s and refuted standalone. min-of-3
-      // for the < 1 s class cuts the odds a throttle window owns every
-      // sample, at negligible suite cost (the queries are sub-second).
-      val runs = if (baseline.get(name).exists(_ < 1.0)) math.max(repeats, 3)
-        else repeats
+      val runs = runsFor(baseline.get(name), repeats)
       phased.get(name) match {
         case Some(mk) =>
           val (total, rows, flaky, pb) = timePhases(name, mk, runs)
@@ -166,23 +160,42 @@ object Bench {
       .map(_.takeWhile(_ != ':')).distinct
       .filterNot(flaggedInSuite0.contains)
     val flaggedInSuite = flaggedInSuite0 ++ phaseFlagged
+    // The rerun loop is WALL-BUDGETED (r12: the 375-query suite plus
+    // unbounded reruns overran the driver's window, rc 124, and the
+    // truncated record was noise exactly when it mattered). Biggest
+    // excess-over-baseline reruns first so the budget spends where the
+    // regression signal is; whatever the budget can't reach is recorded
+    // in `rerun_skipped` — still flagged, explicitly unadjudicated.
+    val rerunBudgetS =
+      sys.env.getOrElse("SPARK_GRAFT_RERUN_BUDGET_S", "300").toDouble
+    var rerunSkipped: Seq[String] = Seq.empty
     if (flaggedInSuite.nonEmpty) {
-      System.err.println(s"[bench] adjudication rerun (${flaggedInSuite.size} " +
-        s"flagged in-suite): ${flaggedInSuite.mkString(", ")}")
-      val rr = flaggedInSuite.map { name =>
-        phased.get(name) match {
+      val inSuite = results.map(r => r._1 -> r._2).toMap
+      val order = rerunOrder(flaggedInSuite, inSuite, baseline)
+      System.err.println(s"[bench] adjudication rerun (${order.size} " +
+        s"flagged in-suite, budget ${rerunBudgetS}s): ${order.mkString(", ")}")
+      val t0 = System.nanoTime()
+      val rr = order.flatMap { name =>
+        if ((System.nanoTime() - t0) / 1e9 > rerunBudgetS) {
+          rerunSkipped = rerunSkipped :+ name
+          None
+        } else phased.get(name) match {
           case Some(mk) =>
             val (b2, r2, _, pb2) = timePhases(name, mk, 2, " [rerun]")
             if (r2 >= 0) mergePhases(name, pb2)
             // keep the headline coherent with the merged phase mins
             val merged = phaseAcc.collect {
               case (k, v) if k.startsWith(name + ":") => v }.sum
-            name -> (math.min(b2, merged), r2)
+            Some(name -> (math.min(b2, merged), r2))
           case None =>
             val (best, rows, _) = timeQuery(name, fnByName(name), 2, " [rerun]")
-            name -> (best, rows)
+            Some(name -> (best, rows))
         }
       }.toMap
+      if (rerunSkipped.nonEmpty)
+        System.err.println(s"[bench] rerun budget exhausted; " +
+          s"${rerunSkipped.size} flags left unadjudicated: " +
+          rerunSkipped.mkString(", "))
       results = results.map { case (name, best, rows, flaky) =>
         rr.get(name) match {
           case Some((b2, r2)) if r2 >= 0 => (name, math.min(best, b2), rows, flaky)
@@ -221,7 +234,7 @@ object Bench {
         "code_regression_suspect"
       else baseVerdict
     def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${strArr(failed)},"flaky":${strArr(flaky)},$baselineJson,"phases":${phaseJson(phaseAcc.toSeq)},"phase_suspects":${strArr(phaseSuspects)},"rerun_flagged":${strArr(flaggedInSuite)},"rerun_refuted":${strArr(rerunRefuted)},"bench_verdict":"$verdict"}"""
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${strArr(failed)},"flaky":${strArr(flaky)},$baselineJson,"phases":${phaseJson(phaseAcc.toSeq)},"phase_suspects":${strArr(phaseSuspects)},"rerun_flagged":${strArr(flaggedInSuite)},"rerun_refuted":${strArr(rerunRefuted)},"rerun_skipped":${strArr(rerunSkipped)},"bench_verdict":"$verdict"}"""
     println(jsonLine)
     // The stdout line is the driver contract, but sbt log prefixes have
     // swallowed it two rounds running ("parsed": null in the committed
@@ -364,6 +377,35 @@ object Bench {
       entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
   }
+
+  /** How many timed runs a query gets, from its baseline (r12 judge
+    * ask: make the 375-query suite fit the driver's wall window):
+    *  - baseline < 0.5 s → ONE run. These queries are never the
+    *    regression signal (the flag needs +0.5 s ABSOLUTE), and at
+    *    ~250 of the suite they were half its samples; a stall that
+    *    inflates one lands in the budgeted adjudication rerun instead.
+    *  - baseline in [0.5, 1.5) s → min-of-3: the rounds-7/8 jitter
+    *    magnets (all four in-suite false flags had baselines ≲1.5 s)
+    *    still get the extra sample that refuted them.
+    *  - otherwise (or no baseline yet) → min-of-`repeats`. */
+  private[graft] def runsFor(baseline: Option[Double], repeats: Int): Int =
+    baseline match {
+      case Some(b) if b < 0.5 => 1
+      case Some(b) if b < 1.5 => math.max(repeats, 3)
+      case _ => repeats
+    }
+
+  /** Adjudication-rerun order: biggest absolute excess over baseline
+    * first, ties by name — so a wall-budgeted rerun loop spends its
+    * budget where the potential regression is largest, and whatever it
+    * can't reach is the SMALLEST signal. Flags without a baseline
+    * (phase-derived) go last. Pure, spec-ed. */
+  private[graft] def rerunOrder(flagged: Seq[String],
+      inSuite: Map[String, Double],
+      baseline: Map[String, Double]): Seq[String] =
+    flagged.distinct.sortBy { n =>
+      (-(inSuite.getOrElse(n, 0.0) - baseline.getOrElse(n, 0.0)), n)
+    }
 
   /** Queries exceeding BOTH flag thresholds vs baseline (ratio AND
     * absolute), in run order — the set the end-of-suite adjudication

@@ -199,6 +199,33 @@ object HttpApi {
           })
       case _ => ()
     }
+    // "near" mode: ordered proximity over the positional index —
+    // terms in order within "max_span" tokens (default: just-fits)
+    stringArrayField(body, "near") match {
+      case Some(terms) if queryField == "query" =>
+        val k = intField(body, "limit").getOrElse(engine.defaultK)
+        val span = intField(body, "max_span")
+          .getOrElse(math.max(terms.length - 1, 0))
+        return (
+          if (engine.posPostings.isEmpty && engine.posStore.isEmpty)
+            (400, err("this engine was built without a positional " +
+              "index; start it with posPostings or posStore to serve " +
+              "\"near\""))
+          else if (terms.isEmpty)
+            (400, err("'near' must be a non-empty array of terms"))
+          else if (span < terms.length - 1)
+            (400, err(s"max_span $span cannot fit ${terms.length} " +
+              "ordered terms"))
+          else {
+            val resp = Serve.queryProximity(engine.index, engine.docStats,
+              terms, span, k, engine.posPostings, engine.posStore)
+            (200, s"""{"query":${str(resp.question)},""" +
+              s""""results":[${resultsJson(resp).mkString(",")}],""" +
+              s""""search_type":"proximity","processing_time":${resp.processingTimeSec},""" +
+              s""""documents_found":${resp.results.size}}""")
+          })
+      case _ => ()
+    }
     field(body, queryField) match {
       case None => (400, err(s"Missing '$queryField' field in request body"))
       case Some(q) =>

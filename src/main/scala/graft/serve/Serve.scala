@@ -280,6 +280,33 @@ object Serve {
     collectResponse(hits, phrase, t0)
   }
 
+  /** ORDERED-PROXIMITY search served from the positional index
+    * ([[HybridSearch.proximityMatches]]) — [[queryPhrase]]'s sibling
+    * for "these terms, in order, within `maxSpan` tokens". Documents
+    * rank by matching-span count (ties → id); same in-memory-frame or
+    * bucket-pruned-store read discipline. */
+  def queryProximity(index: DataFrame, docStats: DataFrame,
+      terms: Seq[String], maxSpan: Int, k: Int = 3,
+      posPostings: Option[DataFrame] = None,
+      store: Option[String] = None): QueryResponse = {
+    require(posPostings.nonEmpty || store.nonEmpty,
+      "queryProximity needs a positional postings frame or a store path")
+    val t0 = System.nanoTime()
+    val spark = index.sparkSession
+    val pp = store match {
+      case Some(path) => graft.index.IndexWriter
+        .readPositionsForTerms(spark, path, terms)
+      case None => posPostings.get
+    }
+    val hits = HybridSearch.proximityMatches(pp, docStats, terms, maxSpan)
+      .groupBy("id").agg(count(lit(1)).cast("double").as("rrf_score"))
+      .orderBy(desc("rrf_score"), col("id"))
+      .limit(k)
+      .join(index, Seq("id"), "left")
+      .orderBy(desc("rrf_score"), col("id"))
+    collectResponse(hits, terms.mkString(" "), t0)
+  }
+
   /** [[query]] with an MMR diversification pass (no reference analog —
     * q164's operator at the serving layer): the hybrid search fetches
     * `candMultiplier · k` candidates, then the shared greedy loop

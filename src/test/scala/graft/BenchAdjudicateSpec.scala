@@ -184,4 +184,43 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     val merged = Bench.mergeBaseline(old, fresh, wholesale = false).toMap
     assert(merged("q215:serve") == 0.5 && merged("q215:build") == 10.0)
   }
+
+  test("runsFor: sub-0.5s baselines run once (they are never the " +
+      "regression signal), the 0.5-1.5s jitter magnets keep min-of-3, " +
+      "everything else keeps the configured repeats") {
+    assert(Bench.runsFor(Some(0.1), 2) == 1)
+    assert(Bench.runsFor(Some(0.49), 2) == 1)
+    assert(Bench.runsFor(Some(0.5), 2) == 3)
+    assert(Bench.runsFor(Some(1.49), 2) == 3)
+    assert(Bench.runsFor(Some(1.5), 2) == 2)
+    assert(Bench.runsFor(Some(20.0), 2) == 2)
+    assert(Bench.runsFor(None, 2) == 2, "new queries keep min-of-N")
+    // a caller asking for more repeats is never cut below it in the
+    // magnet band
+    assert(Bench.runsFor(Some(0.8), 5) == 5)
+  }
+
+  test("rerunOrder: a wall-budgeted rerun spends its budget on the " +
+      "largest absolute excess first; unbaselined flags go last") {
+    val inSuite = Map("qA" -> 10.0, "qB" -> 3.0, "qC" -> 100.0,
+      "qD:serve" -> 2.0)
+    val base = Map("qA" -> 1.0, "qB" -> 0.5, "qC" -> 96.0)
+    // excesses: qA 9, qB 2.5, qC 4 -> qA, qC, qB; qD:serve (no
+    // baseline, excess treated as its in-suite time 2.0) slots by value
+    assert(Bench.rerunOrder(Seq("qB", "qC", "qA"), inSuite, base) ==
+      Seq("qA", "qC", "qB"))
+    assert(Bench.rerunOrder(Seq("qB", "qD:serve"), inSuite, base) ==
+      Seq("qB", "qD:serve"))
+    // duplicates collapse (a query flagged by total AND phase reruns once)
+    assert(Bench.rerunOrder(Seq("qA", "qA"), inSuite, base) == Seq("qA"))
+  }
+
+  test("the sa-incremental trio and the served phrase/quantized paths " +
+      "carry split bench phase records (r12 asks #3/#6/#8)") {
+    val phased = SparkEntry.benchPhases.keySet
+    for (q <- Seq("q357_sa_incremental", "q362_sa_stats_incremental",
+        "q366_sa_removal_incremental", "q371_phrase_search",
+        "q370_ivf_quantized"))
+      assert(phased.contains(q), s"$q must have a bench phase record")
+  }
 }

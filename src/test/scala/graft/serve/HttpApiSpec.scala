@@ -394,6 +394,41 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
       refused.body().contains("without a positional index"), refused.body())
   }
 
+  test("POST /search with near: ordered-proximity matching respects " +
+      "the max_span dial; invalid spans refused") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def results(body: String) = {
+      val rs = mapper.readTree(body).get("results")
+      (0 until rs.size()).map(i =>
+        (rs.get(i).get("id").asText(), rs.get(i).get("score").asDouble()))
+    }
+    val pp = graft.index.IndexWriter.positionalPostings(index)
+    val srv = HttpApi.start(engine.copy(posPostings = Some(pp)), port = 0)
+    try {
+      def p(body: String) =
+        client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.port}/search"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      // d1: "... detainee(6) habeas(7) corpus(8) review(9)" — the
+      // habeas@7→review@9 chain spans 2 tokens
+      val hit = p("""{"near":["habeas","review"],"max_span":3,"limit":3}""")
+      assert(hit.statusCode() == 200, hit.body())
+      assert(hit.body().contains("\"search_type\":\"proximity\""))
+      assert(results(hit.body()) == Seq(("d1", 1.0)), hit.body())
+      // default span (just-fits, 1) is too tight for the 2-token gap
+      assert(results(p("""{"near":["habeas","review"]}""").body()).isEmpty)
+      val bad = p("""{"near":["habeas","review"],"max_span":0}""")
+      assert(bad.statusCode() == 400 && bad.body().contains("max_span"))
+      val empty = p("""{"near":[]}""")
+      assert(empty.statusCode() == 400, empty.body())
+    } finally srv.stop()
+    val refused = post("/search", """{"near":["x","y"]}""")
+    assert(refused.statusCode() == 400 &&
+      refused.body().contains("without a positional index"), refused.body())
+  }
+
   test("POST /search with rerank=maxsim: late-interaction rerank " +
       "round-trips; invalid combinations refused") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -227,12 +227,9 @@ object Bench {
     for (p <- phaseSuspects)
       System.err.println(f"[bench] PHASE REGRESSION SUSPECT: $p " +
         f"${phaseAcc(p)}%.2f s vs baseline ${baseline(p)}%.2f s")
-    val verdict =
-      if (failed.nonEmpty) "failed_queries"
-      else if (flaky.nonEmpty) "flaky_queries"
-      else if (phaseSuspects.nonEmpty && baseVerdict == "clean")
-        "code_regression_suspect"
-      else baseVerdict
+    val stillFlagged = flaggedNames(adjudicated, baseline)
+    val verdict = composeVerdict(failed, flaky, phaseSuspects,
+      baseVerdict, stillFlagged, rerunSkipped)
     def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${strArr(failed)},"flaky":${strArr(flaky)},$baselineJson,"phases":${phaseJson(phaseAcc.toSeq)},"phase_suspects":${strArr(phaseSuspects)},"rerun_flagged":${strArr(flaggedInSuite)},"rerun_refuted":${strArr(rerunRefuted)},"rerun_skipped":${strArr(rerunSkipped)},"bench_verdict":"$verdict"}"""
     println(jsonLine)
@@ -406,6 +403,34 @@ object Bench {
     flagged.distinct.sortBy { n =>
       (-(inSuite.getOrElse(n, 0.0) - baseline.getOrElse(n, 0.0)), n)
     }
+
+  /** The final verdict from its structured parts. Failures dominate,
+    * then flakiness; then the budget distinction: a flag the rerun
+    * loop ADJUDICATED and that survived is a real
+    * `code_regression_suspect`, but when EVERY surviving flag (query
+    * or phase) sat in `rerunSkipped` — the wall budget ran out before
+    * reaching it — the honest verdict is `rerun_budget_exhausted`:
+    * nothing was confirmed, nothing was refuted, the record says so
+    * instead of crying regression (this round's first full run flagged
+    * 111 queries in a degraded window, refuted all 95 it could reach,
+    * and the 16 leftovers were all sub-second small-fry). Pure,
+    * spec-ed. */
+  private[graft] def composeVerdict(failed: Seq[String],
+      flaky: Seq[String], phaseSuspects: Seq[String], baseVerdict: String,
+      stillFlagged: Seq[String], rerunSkipped: Seq[String]): String = {
+    val skipped = rerunSkipped.toSet
+    val livePhase = phaseSuspects
+      .filterNot(p => skipped.contains(p.takeWhile(_ != ':')))
+    if (failed.nonEmpty) "failed_queries"
+    else if (flaky.nonEmpty) "flaky_queries"
+    else if (livePhase.nonEmpty && baseVerdict == "clean")
+      "code_regression_suspect"
+    else if (baseVerdict == "code_regression_suspect" &&
+        stillFlagged.nonEmpty && stillFlagged.forall(skipped.contains) &&
+        livePhase.isEmpty)
+      "rerun_budget_exhausted"
+    else baseVerdict
+  }
 
   /** Queries exceeding BOTH flag thresholds vs baseline (ratio AND
     * absolute), in run order — the set the end-of-suite adjudication

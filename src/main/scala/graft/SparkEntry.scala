@@ -605,6 +605,34 @@ object SparkEntry {
           HybridSearch.phraseMatches(pp, stats,
             Seq("graft", "phrase", "probe")).count()))
     }),
+    // the key-table maintenance composite, split: per-segment artifact
+    // builds vs the store compaction vs the batch admission join
+    "q377_sa_keytable_compaction" -> ((s, dir) => {
+      val planted = saStatsPlantedDocs(s, dir)
+      val segs = Seq(
+        planted.filter(col("doc_id") < 80),
+        planted.filter(col("doc_id") >= 80 && col("doc_id") < 160),
+        planted.filter(col("doc_id") >= 160 && col("doc_id") < 250))
+      val store = auxPath(dir) + "/q377_bench_keys"
+      Seq(
+        "segments" -> (() => {
+          graft.ops.Joins.deleteRecursively(new java.io.File(store))
+          segs.foreach(seg => graft.ops.SuffixArray.substrKeyStats(
+              seg, "doc_id", "text", minLen = 12)
+            .coalesce(1).write.mode("append").parquet(store))
+          s.read.parquet(store).count()
+        }),
+        "compact" -> (() => {
+          val (_, ra, _, _) = graft.ops.SuffixArray.compactKeyTables(
+            s, store, hasCounts = true)
+          ra
+        }),
+        "apply" -> (() =>
+          graft.ops.SuffixArray.repeatedSpanStatsIncremental(
+              planted.filter(col("doc_id") >= 250),
+              s.read.parquet(store), "doc_id", "text", minLen = 12)
+            .count()))
+    }),
     // the QUANTIZED IVF serve (r12 judge ask #6): centroid fit +
     // assignment vs the int8 two-stage query
     "q370_ivf_quantized" -> ((s, dir) => {
@@ -6976,6 +7004,35 @@ object SparkEntry {
       graft.ops.SuffixArray.repeatedSpanStatsIncremental(
           batch, s.read.parquet(store), "doc_id", "text", minLen = 12)
         .orderBy("doc_id")
+    }),
+
+    // The SERVED phrase ranking (Serve.queryPhrase's contract): docs
+    // rank by phrase OCCURRENCE COUNT (ties → id), top-k. Plants: the
+    // %11≡3 docs carry the true phrase once, ONE doc (doc_id = 3's
+    // first chunk) carries it twice — the double-hit doc must rank
+    // first. DuckDB re-derives counts from the independent
+    // window-equality definition, never the postings chain.
+    "q379_phrase_topdocs" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val base = ensureHybridIndex(s, dir)
+      val index = s.read.parquet(s"$base/chunks")
+        .withColumn("tokens",
+          when(col("doc_id") === 3 && col("chunk_index") === 0,
+            concat(col("tokens"),
+              array(lit("graft"), lit("phrase"), lit("probe"),
+                lit("graft"), lit("phrase"), lit("probe"))))
+          .when(col("doc_id") % 11 === 3,
+            concat(col("tokens"),
+              array(lit("graft"), lit("phrase"), lit("probe"))))
+          .otherwise(col("tokens")))
+      writeAux(index.select("id", "tokens"), dir, "q379_index")
+      val pp = graft.index.IndexWriter.positionalPostings(index)
+      val stats = graft.index.IndexWriter.docFrequencies(index)
+      HybridSearch.phraseMatches(pp, stats,
+          Seq("graft", "phrase", "probe"))
+        .groupBy("id").agg(count(lit(1)).as("phrase_hits"))
+        .orderBy(desc("phrase_hits"), col("id"))
+        .limit(5)
     }),
 
     // PERSISTED lattice stats (closing q360's restart gap: stats lived
@@ -14555,6 +14612,18 @@ object SparkEntry {
         |  FROM surv)
         |SELECT pp.term, pp.id, pp.pos, pp.dl, cs.n_docs, cs.total_dl
         |FROM pp, cs ORDER BY term, id, pos""".stripMargin,
+
+    // occurrence counts from the independent window-equality phrase
+    // definition, ranked (hits desc, id), top-5 — the served ranking
+    "q379_phrase_topdocs" ->
+      """WITH idx AS (SELECT * FROM '__AUX__/q379_index/*.parquet'),
+        |occ AS (SELECT id, CAST(count(*) AS BIGINT) AS phrase_hits
+        |  FROM idx, UNNEST(range(1, len(tokens) - 1)) t(i)
+        |  WHERE tokens[i] = 'graft' AND tokens[i + 1] = 'phrase'
+        |    AND tokens[i + 2] = 'probe'
+        |  GROUP BY id)
+        |SELECT id, phrase_hits FROM occ
+        |ORDER BY phrase_hits DESC, id LIMIT 5""".stripMargin,
 
     // true grouping cardinalities + the routed rf aggregate over the
     // FULL table — the reloaded lattice's stored stats, its choice,

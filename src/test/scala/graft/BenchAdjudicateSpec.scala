@@ -220,7 +220,36 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     val phased = SparkEntry.benchPhases.keySet
     for (q <- Seq("q357_sa_incremental", "q362_sa_stats_incremental",
         "q366_sa_removal_incremental", "q371_phrase_search",
-        "q370_ivf_quantized"))
+        "q370_ivf_quantized", "q377_sa_keytable_compaction"))
       assert(phased.contains(q), s"$q must have a bench phase record")
+  }
+
+  test("composeVerdict: budget-starved flags are unadjudicated, not a " +
+      "regression; an adjudicated survivor still cries code") {
+    def v(base: String, still: Seq[String], skipped: Seq[String],
+        phase: Seq[String] = Nil, failed: Seq[String] = Nil,
+        flaky: Seq[String] = Nil) =
+      Bench.composeVerdict(failed, flaky, phase, base, still, skipped)
+    // every surviving flag was skipped → budget exhausted, not code
+    assert(v("code_regression_suspect", Seq("q04", "q13"),
+      Seq("q04", "q13", "q99")) == "rerun_budget_exhausted")
+    // one survivor WAS adjudicated (not in skipped) → real suspect
+    assert(v("code_regression_suspect", Seq("q04", "q77"),
+      Seq("q04")) == "code_regression_suspect")
+    // no skips → verdicts pass through
+    assert(v("clean", Nil, Nil) == "clean")
+    assert(v("vm_stall", Seq("q04"), Nil) == "vm_stall")
+    // a live phase suspect keeps the code verdict even when every
+    // query-level flag was skipped
+    assert(v("code_regression_suspect", Seq("q04"), Seq("q04"),
+      phase = Seq("q215:serve")) == "code_regression_suspect")
+    // but a phase flag whose QUERY was budget-skipped is unadjudicated
+    assert(v("code_regression_suspect", Seq("q04"), Seq("q04", "q215"),
+      phase = Seq("q215:serve")) == "rerun_budget_exhausted")
+    assert(v("clean", Nil, Seq("q215"),
+      phase = Seq("q215:serve")) == "clean")
+    // failures and flakiness still dominate everything
+    assert(v("clean", Nil, Nil, failed = Seq("qX")) == "failed_queries")
+    assert(v("clean", Nil, Nil, flaky = Seq("qX")) == "flaky_queries")
   }
 }

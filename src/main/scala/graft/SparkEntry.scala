@@ -633,6 +633,41 @@ object SparkEntry {
               s.read.parquet(store), "doc_id", "text", minLen = 12)
             .count()))
     }),
+    // store-level takedown, split: the streamed build vs the forget
+    // rewrite (partition-pruned postings/positions + stats fold) —
+    // a forget-cost regression must not hide under the stream's floor
+    "q380_forget_streamed" -> ((s, dir) => {
+      import graft.index.IndexWriter
+      val pts = t(s, dir, "documents").select(
+        col("doc_id").cast("string").as("id"),
+        split(col("text"), " ").as("tokens")).localCheckpoint()
+      var tmp: String = null
+      Seq(
+        "stream" -> (() => {
+          tmp = java.nio.file.Files
+            .createTempDirectory("graft_q380b").toString
+          val srcDir = s"$tmp/src"
+          pts.filter(col("id").cast("long") < 150)
+            .coalesce(1).write.mode("append").parquet(srcDir)
+          pts.filter(col("id").cast("long") >= 150 &&
+              col("id").cast("long") < 300)
+            .coalesce(1).write.mode("append").parquet(srcDir)
+          pts.filter(col("id").cast("long") >= 300)
+            .coalesce(1).write.mode("append").parquet(srcDir)
+          val schema = s.read.parquet(srcDir).schema
+          val q = IndexWriter.streamPostings(s,
+            s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(srcDir),
+            s"$tmp/idx", s"$tmp/cp", positional = true)
+          q.processAllAvailable(); q.stop()
+          IndexWriter.readPostings(s, s"$tmp/idx").count()
+        }),
+        "forget" -> (() => {
+          IndexWriter.forgetStreamedPostings(s, s"$tmp/idx",
+            pts.filter(col("id").cast("long") % 9 === 4).select("id"))
+          IndexWriter.readPostings(s, s"$tmp/idx").count()
+        }))
+    }),
     // the QUANTIZED IVF serve (r12 judge ask #6): centroid fit +
     // assignment vs the int8 two-stage query
     "q370_ivf_quantized" -> ((s, dir) => {
@@ -7033,6 +7068,54 @@ object SparkEntry {
         .groupBy("id").agg(count(lit(1)).as("phrase_hits"))
         .orderBy(desc("phrase_hits"), col("id"))
         .limit(5)
+    }),
+
+    // STORE-LEVEL takedown through a streamed postings store: the q363
+    // stream (3 micro-batches, positional tier on) followed by
+    // forgetStreamedPostings — only the (batch_id, term_bucket)
+    // partitions holding a purged doc's rows rewrite (fully-purged
+    // partitions delete outright), while the vocabulary-sized stats
+    // fold-rewrite with eager retightening. Every read-back joined into
+    // one row per surviving (term, id): postings tf/dl, summed df,
+    // retightened bounds, and the positional occurrence count (which
+    // must equal tf — a positional row the takedown missed, or one it
+    // over-deleted, breaks the equality). DuckDB rebuilds everything
+    // from the surviving corpus.
+    "q380_forget_streamed" -> ((s, dir) => {
+      import graft.index.IndexWriter
+      val pts = t(s, dir, "documents").select(
+        col("doc_id").cast("string").as("id"),
+        split(col("text"), " ").as("tokens"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q380").toString
+      val srcDir = s"$tmp/src"
+      pts.filter(col("id").cast("long") < 150)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      pts.filter(col("id").cast("long") >= 150 &&
+          col("id").cast("long") < 300)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      pts.filter(col("id").cast("long") >= 300)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val q = IndexWriter.streamPostings(s,
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir),
+        s"$tmp/idx", s"$tmp/cp", positional = true)
+      q.processAllAvailable(); q.stop()
+      IndexWriter.forgetStreamedPostings(s, s"$tmp/idx",
+        pts.filter(col("id").cast("long") % 9 === 4).select("id"))
+      val posCnt = s.read.parquet(s"$tmp/idx/positions")
+        .groupBy("term", "id").agg(count(lit(1)).as("pos_cnt"))
+      IndexWriter.readPostings(s, s"$tmp/idx")
+        .join(IndexWriter.readDocFrequencies(s, s"$tmp/idx"), Seq("term"))
+        .join(IndexWriter.readTermBounds(s, s"$tmp/idx"), Seq("term"))
+        .join(posCnt, Seq("term", "id"))
+        .select(col("term"), col("id"), col("tf").cast("long").as("tf"),
+          col("dl").cast("long").as("dl"), col("df").cast("long").as("df"),
+          col("max_tf").cast("long").as("max_tf"),
+          col("min_dl").cast("long").as("min_dl"),
+          col("pos_cnt").cast("long").as("pos_cnt"))
+        .orderBy("term", "id")
     }),
 
     // PERSISTED lattice stats (closing q360's restart gap: stats lived
@@ -14612,6 +14695,25 @@ object SparkEntry {
         |  FROM surv)
         |SELECT pp.term, pp.id, pp.pos, pp.dl, cs.n_docs, cs.total_dl
         |FROM pp, cs ORDER BY term, id, pos""".stripMargin,
+
+    // every artifact rebuilt from the SURVIVING corpus (doc_id % 9 <> 4)
+    // in one DuckDB pass; pos_cnt must equal tf — the positional store
+    // and the bag store can only agree if the takedown scrubbed both
+    "q380_forget_streamed" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS parts
+        |  FROM documents WHERE doc_id % 9 <> 4),
+        |pos AS MATERIALIZED (SELECT CAST(doc_id AS VARCHAR) AS id,
+        |    unnest(parts) AS term, len(parts) AS dl FROM toks),
+        |tf AS (SELECT term, id, CAST(count(*) AS BIGINT) AS tf,
+        |    CAST(any_value(dl) AS BIGINT) AS dl FROM pos GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(DISTINCT id) AS BIGINT) AS df
+        |  FROM pos GROUP BY 1),
+        |tb AS (SELECT term, max(tf) AS max_tf, min(dl) AS min_dl
+        |  FROM tf GROUP BY 1)
+        |SELECT t.term, t.id, t.tf, t.dl, d.df, b.max_tf, b.min_dl,
+        |  t.tf AS pos_cnt
+        |FROM tf t JOIN df d USING (term) JOIN tb b USING (term)
+        |ORDER BY term, id""".stripMargin,
 
     // occurrence counts from the independent window-equality phrase
     // definition, ranked (hits desc, id), top-5 — the served ranking

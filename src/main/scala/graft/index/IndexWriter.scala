@@ -431,6 +431,94 @@ object IndexWriter {
   def readPostings(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/postings").select("term", "id", "tf", "dl")
 
+  /** Takedown propagated through a STREAMED postings store — the
+    * store-level form of the forget family (the frame-level ops assume
+    * the caller re-persists; a [[streamPostings]] store needs its
+    * FILES scrubbed). Cost discipline:
+    *
+    *  - postings/positions (corpus-sized): only the (batch_id,
+    *    term_bucket) partitions that actually CONTAIN a purged doc's
+    *    rows rewrite — one semi-join pass finds them, a dynamic
+    *    partition overwrite replaces exactly those directories, and a
+    *    partition whose every row is purged is deleted outright
+    *    (dynamic overwrite can't write an empty partition, and leaving
+    *    its old files would resurrect the purged rows). Untouched
+    *    directories keep their files byte-for-byte.
+    *  - df/bounds/blocks (vocabulary-sized): fold-rewritten through
+    *    the crash-safe staged swap using the eager forget ops —
+    *    [[forgetDocFrequencies]] decrements, [[forgetTermBounds]] /
+    *    [[forgetBlockBounds]] retighten the purge list's vocabulary
+    *    from the surviving postings. (Stale bounds would stay SOUND —
+    *    deletion only loosens — but the store should read like a
+    *    rebuild.)
+    *
+    * Read-backs afterward equal a from-scratch streamed build over the
+    * surviving corpus (q380 oracles it; StreamUpsertSpec also pins the
+    * untouched partitions' files). `blockCount` MUST match the store's
+    * build value. Returns (postings partitions rewritten, positions
+    * partitions rewritten). */
+  def forgetStreamedPostings(spark: SparkSession, path: String,
+      ids: DataFrame, idCol: String = "id", blockCount: Int = 64)
+      : (Long, Long) = {
+    val purgeIds = ids.select(col(idCol).as("id")).distinct()
+      .localCheckpoint()
+    def rewrite(sub: String): Long = {
+      val p = s"$path/$sub"
+      val fs = fsFor(spark, p)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(p))) return 0L
+      val full = spark.read.parquet(p)
+      val touched = full.join(broadcast(purgeIds), Seq("id"), "left_semi")
+        .select("batch_id", "term_bucket").distinct().localCheckpoint()
+      val n = touched.count()
+      if (n > 0) {
+        // materialize survivors BEFORE overwriting the files they come
+        // from (Spark refuses to overwrite a path it is reading)
+        val rewritten = full
+          .join(broadcast(touched), Seq("batch_id", "term_bucket"),
+            "left_semi")
+          .join(broadcast(purgeIds), Seq("id"), "left_anti")
+          .localCheckpoint()
+        rewritten.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "term_bucket").parquet(p)
+        // fully-purged partitions got no replacement data — delete them
+        val emptied = touched.join(
+            rewritten.select("batch_id", "term_bucket").distinct(),
+            Seq("batch_id", "term_bucket"), "left_anti")
+          .collect()
+        emptied.foreach { r =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$p/batch_id=${r.get(0)}/term_bucket=${r.get(1)}"), true)
+          ()
+        }
+      }
+      n
+    }
+    // the stats deltas need the purged rows BEFORE the postings rewrite
+    val purged = purgedPostings(readPostings(spark, path), purgeIds)
+      .localCheckpoint()
+    val np = rewrite("postings")
+    val npos = rewrite("positions")
+    val survivors = readPostings(spark, path)
+    def swapStats(sub: String, folded: DataFrame): Unit = {
+      val p = s"$path/$sub"
+      if (!fsFor(spark, p).exists(new org.apache.hadoop.fs.Path(p))) return
+      val pinned = folded.localCheckpoint()
+      stageAndSwap(fsFor(spark, p), p)(staged =>
+        pinned.withColumn("batch_id", lit(-1L))
+          .write.mode(SaveMode.Overwrite).partitionBy("batch_id")
+          .parquet(staged))
+    }
+    swapStats("df",
+      forgetDocFrequencies(readDocFrequencies(spark, path), purged))
+    swapStats("bounds",
+      forgetTermBounds(readTermBounds(spark, path), survivors, purged))
+    swapStats("blocks",
+      forgetBlockBounds(readBlockBounds(spark, path), survivors, purged,
+        blockCount))
+    (np, npos)
+  }
+
   /** PARTITION-PRUNED postings read for one query's terms — the reason
     * [[streamPostings]] lays the table out by `term_bucket`: the
     * query's few terms map to their buckets (same pmod(xxhash64) as

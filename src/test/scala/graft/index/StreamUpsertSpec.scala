@@ -211,6 +211,82 @@ class StreamUpsertSpec extends AnyFunSuite with SparkTestBase {
     assert(canonD == wantD && canonB == wantB)
   }
 
+  test("forgetStreamedPostings: store-level takedown — read-backs == " +
+      "a streamed build over survivors, untouched partition files stay " +
+      "byte-stable, purged phrases disappear") {
+    val base = Files.createTempDirectory("graft_forget_store").toString
+    val src = s"$base/src"
+    val pts = Seq(
+      ("d1", Seq("spark", "joins", "spark")),
+      ("d2", Seq("joins", "windows", "zonly", "zonly")),
+      ("d3", Seq("spark", "state", "windows", "state")))
+      .toDF("id", "tokens")
+    pts.filter($"id" === "d1").coalesce(1).write.mode("append").parquet(src)
+    pts.filter($"id" =!= "d1").coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = IndexWriter.streamPostings(spark,
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+      s"$base/idx", s"$base/cp", positional = true)
+    q.processAllAvailable(); q.stop()
+
+    // snapshot batch 0's files (d1's batch — no purged rows live there)
+    def files(dir: java.io.File): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(dir).filter(_.getName.startsWith("part-"))
+        .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+    }
+    val untouchedBefore = files(
+      new java.io.File(s"$base/idx/postings/batch_id=0"))
+    assert(untouchedBefore.nonEmpty)
+
+    val (np, npos) = IndexWriter.forgetStreamedPostings(spark,
+      s"$base/idx", Seq("d2").toDF("id"))
+    assert(np >= 1 && npos >= 1, "d2's partitions must be rewritten")
+
+    val survivors = pts.filter($"id" =!= "d2")
+    assert(IndexWriter.readPostings(spark, s"$base/idx")
+      .as[(String, String, Long, Int)].collect().toSet ==
+      IndexWriter.postings(survivors)
+        .as[(String, String, Long, Int)].collect().toSet)
+    assert(IndexWriter.readDocFrequencies(spark, s"$base/idx")
+      .as[(String, Long)].collect().toSet ==
+      IndexWriter.docFrequencies(survivors)
+        .as[(String, Long)].collect().toSet)
+    assert(IndexWriter.readTermBounds(spark, s"$base/idx")
+      .as[(String, Long, Int)].collect().toSet ==
+      IndexWriter.termBounds(IndexWriter.postings(survivors))
+        .as[(String, Long, Int)].collect().toSet)
+    assert(IndexWriter.readBlockBounds(spark, s"$base/idx")
+      .as[(String, Long, Long, Int)].collect().toSet ==
+      IndexWriter.blockBounds(IndexWriter.postings(survivors))
+        .as[(String, Long, Long, Int)].collect().toSet)
+    assert(spark.read.parquet(s"$base/idx/positions")
+      .select("term", "id", "pos", "dl")
+      .as[(String, String, Int, Int)].collect().toSet ==
+      IndexWriter.positionalPostings(survivors)
+        .as[(String, String, Int, Int)].collect().toSet)
+    // "zonly" lived only in d2 — its stats rows must be gone entirely
+    assert(IndexWriter.readDocFrequencies(spark, s"$base/idx")
+      .filter($"term" === "zonly").isEmpty)
+    // untouched batch-0 partitions kept their exact files
+    assert(files(new java.io.File(s"$base/idx/postings/batch_id=0")) ==
+      untouchedBefore, "partitions without purged rows must not rewrite")
+    // the surviving phrase still serves; d2's phrase is undiscoverable
+    val dfNow = IndexWriter.readDocFrequencies(spark, s"$base/idx")
+    def hits(phrase: Seq[String]) =
+      graft.search.HybridSearch.phraseMatches(
+        IndexWriter.readPositionsForTerms(spark, s"$base/idx", phrase),
+        dfNow, phrase).as[(String, Int)].collect().toSeq
+    assert(hits(Seq("spark", "joins")) == Seq(("d1", 0)))
+    assert(hits(Seq("joins", "windows")).isEmpty,
+      "the purged doc's phrase must be gone from the positional store")
+    // idempotent: forgetting the same ids again touches nothing
+    assert(IndexWriter.forgetStreamedPostings(spark, s"$base/idx",
+      Seq("d2").toDF("id")) == ((0L, 0L)))
+  }
+
   test("forget ops: maintained postings/df/bounds/corpus-stats == " +
       "from-scratch rebuild on survivors; stale bounds stay sound") {
     // d2 is the only holder of "rare" (df drops to zero), holds the max

@@ -220,7 +220,8 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     val phased = SparkEntry.benchPhases.keySet
     for (q <- Seq("q357_sa_incremental", "q362_sa_stats_incremental",
         "q366_sa_removal_incremental", "q371_phrase_search",
-        "q370_ivf_quantized", "q377_sa_keytable_compaction"))
+        "q370_ivf_quantized", "q377_sa_keytable_compaction",
+        "q380_forget_streamed"))
       assert(phased.contains(q), s"$q must have a bench phase record")
   }
 

@@ -376,7 +376,37 @@ object HttpApi {
     * rows is still a small frame, so the cap is generous. */
   private val maxBatch = 256
 
-  private def batchEndpoint(engine: Engine, body: Option[JsonNode]): (Int, String) =
+  private def batchEndpoint(engine: Engine, body: Option[JsonNode]): (Int, String) = {
+    def render(resps: Seq[Serve.QueryResponse], searchType: String)
+        : (Int, String) = {
+      val entries = resps.map { resp =>
+        s"""{"query":${str(resp.question)},""" +
+          s""""results":[${resultsJson(resp).mkString(",")}],""" +
+          s""""documents_found":${resp.results.size}}"""
+      }
+      val sec = resps.headOption.map(_.processingTimeSec).getOrElse(0.0)
+      (200, s"""{"responses":[${entries.mkString(",")}],""" +
+        s""""search_type":"$searchType","processing_time":$sec,""" +
+        s""""queries_count":${resps.size}}""")
+    }
+    // "phrases" mode: N phrase lookups through ONE positional-index
+    // plan (the q375 batched shape at the transport layer)
+    stringArrayField(body, "phrases") match {
+      case Some(ps) =>
+        val k = intField(body, "limit").getOrElse(engine.defaultK)
+        return (
+          if (ps.isEmpty) (400, err("'phrases' must be non-empty"))
+          else if (ps.size > maxBatch)
+            (400, err(s"'phrases' exceeds the batch cap of $maxBatch; " +
+              "chunk the request"))
+          else if (engine.posPostings.isEmpty && engine.posStore.isEmpty)
+            (400, err("this engine was built without a positional " +
+              "index; start it with posPostings or posStore to serve " +
+              "\"phrases\""))
+          else render(Serve.queryPhraseBatch(engine.index, ps, k,
+            engine.posPostings, engine.posStore), "phrase"))
+      case None => ()
+    }
     stringArrayField(body, "queries") match {
       case None => (400, err("Missing 'queries' array in request body"))
       case Some(qs) if qs.isEmpty => (400, err("'queries' must be non-empty"))
@@ -386,26 +416,30 @@ object HttpApi {
         val k = intField(body, "limit").getOrElse(engine.defaultK)
         val threshold = doubleField(body, "score_threshold").getOrElse(0.0)
         val ceiling = 2.0 / (HybridSearch.Config().rrfK + 1)
+        val rerank = body.flatMap(b => Option(b.get("rerank")))
+          .filter(!_.isNull).map(_.asText())
         if (threshold > ceiling)
           (400, err(s"score_threshold $threshold exceeds the maximum RRF " +
             f"score $ceiling%.6f; RRF thresholds are in (0, 2/(rrfK+1)]"))
-        else {
-          val resps = Serve.queryBatch(engine.index, engine.docStats,
+        else if (rerank.exists(_ != "maxsim"))
+          (400, err(s"unknown batch rerank mode '${rerank.get}' " +
+            "(the batch endpoint serves \"maxsim\")"))
+        else if (rerank.contains("maxsim"))
+          // the whole batch's prefetch AND its MaxSim rescoring each
+          // run as ONE plan (searchAll + maxsimRerankAll)
+          render(Serve.queryBatchReranked(engine.index, engine.docStats,
             engine.corpusSize, engine.avgDocLen, qs, k = k,
             rrfScoreThreshold = threshold, postings = engine.postings,
-                    termBounds = engine.termBounds,
-                    blockBounds = engine.blockBounds)
-          val entries = resps.map { resp =>
-            s"""{"query":${str(resp.question)},""" +
-              s""""results":[${resultsJson(resp).mkString(",")}],""" +
-              s""""documents_found":${resp.results.size}}"""
-          }
-          val sec = resps.headOption.map(_.processingTimeSec).getOrElse(0.0)
-          (200, s"""{"responses":[${entries.mkString(",")}],""" +
-            s""""search_type":"hybrid_rrf","processing_time":$sec,""" +
-            s""""queries_count":${resps.size}}""")
-        }
+            termBounds = engine.termBounds,
+            blockBounds = engine.blockBounds), "hybrid_rrf_maxsim")
+        else
+          render(Serve.queryBatch(engine.index, engine.docStats,
+            engine.corpusSize, engine.avgDocLen, qs, k = k,
+            rrfScoreThreshold = threshold, postings = engine.postings,
+            termBounds = engine.termBounds,
+            blockBounds = engine.blockBounds), "hybrid_rrf")
     }
+  }
 
   // ---- SSE (app.py:616-719) -------------------------------------------
 

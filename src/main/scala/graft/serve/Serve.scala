@@ -404,6 +404,109 @@ object Serve {
     }
   }
 
+  /** BATCHED [[queryPhrase]] — N phrases through ONE plan
+    * ([[HybridSearch.phraseMatchesAll]], the q375 slot-count shape):
+    * the positional store is read once for the union of all phrases'
+    * vocabularies (bucket-pruned when `store` is supplied), every
+    * occurrence keys by (query_id, id, start), and per-phrase doc
+    * rankings cut through bounded heaps. Per-phrase results equal
+    * [[queryPhrase]] (HttpApiSpec asserts the round-trip). */
+  def queryPhraseBatch(index: DataFrame, phrases: Seq[String], k: Int = 3,
+      posPostings: Option[DataFrame] = None,
+      store: Option[String] = None): Seq[QueryResponse] = {
+    require(posPostings.nonEmpty || store.nonEmpty,
+      "queryPhraseBatch needs a positional postings frame or a store path")
+    if (phrases.isEmpty) return Nil
+    val t0 = System.nanoTime()
+    val spark = index.sparkSession
+    import spark.implicits._
+    val slots = phrases.zipWithIndex.flatMap { case (p, qi) =>
+      graft.text.Bm25.tokenize(p).filter(_.nonEmpty).zipWithIndex
+        .map { case (t, s) => (qi.toLong, s, t) }
+    }
+    if (slots.isEmpty)
+      return phrases.map(p =>
+        QueryResponse(p, Seq.empty, (System.nanoTime() - t0) / 1e9))
+    val qSlots = slots.toDF("query_id", "slot", "term")
+    val pp = store match {
+      case Some(path) => graft.index.IndexWriter.readPositionsForTerms(
+        spark, path, slots.map(_._3).distinct)
+      case None => posPostings.get
+    }
+    val ranked = graft.plans.TopK.perKey(
+      HybridSearch.phraseMatchesAll(pp, qSlots)
+        .groupBy("query_id", "id")
+        .agg(count(lit(1)).cast("double").as("rrf_score")),
+      Seq("query_id"), Seq(("rrf_score", false), ("id", true)), k)
+    val hits = ranked.join(index, Seq("id"), "left")
+    val present = hits.columns.toSet
+    val payloadCols = Seq("case_name", "court", "date_filed", "judges")
+      .filter(present)
+    val rows = hits.select(("query_id" +: "id" +: "rrf_score" +:
+        "chunk_text" +: payloadCols).map(col): _*).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    val sec = (System.nanoTime() - t0) / 1e9
+    phrases.zipWithIndex.map { case (p, qi) =>
+      val rs = byQuery.getOrElse(qi.toLong, Array.empty[Row]).toSeq
+        .sortBy(r => (-r.getAs[Double]("rrf_score"), r.getAs[String]("id")))
+        .map(toResult(_, present))
+      QueryResponse(p, rs, sec)
+    }
+  }
+
+  /** BATCHED [[queryReranked]] — the whole batch's hybrid prefetch in
+    * one plan ([[HybridSearch.searchAll]]) and the whole batch's
+    * MaxSim rescoring in one plan
+    * ([[graft.search.LateInteraction.maxsimRerankAll]] — candidate
+    * tokens fan out to each query's OWN terms only). Result rows keep
+    * their ORIGINAL RRF scores (the queryReranked/MMR ordering
+    * contract); a query whose text yields no tokens falls back to its
+    * hybrid top-k. */
+  def queryBatchReranked(index: DataFrame, docStats: DataFrame,
+      corpusSize: Long, avgDocLen: Double, questions: Seq[String],
+      k: Int = 3, candMultiplier: Int = 3, rrfScoreThreshold: Double = 0.0,
+      postings: Option[DataFrame] = None,
+      termBounds: Option[DataFrame] = None,
+      blockBounds: Option[DataFrame] = None,
+      embedder: graft.embed.Embedder =
+        graft.embed.HashingEmbedder.default): Seq[QueryResponse] = {
+    if (questions.isEmpty) return Nil
+    val t0 = System.nanoTime()
+    val spark = index.sparkSession
+    import spark.implicits._
+    val qdf = questions.zipWithIndex
+      .map { case (q, i) => (i.toLong, q) }.toDF("query_id", "query")
+    val hits = HybridSearch.searchAll(index, docStats, corpusSize,
+      avgDocLen, qdf, HybridSearch.Config(k = k * candMultiplier,
+        rrfScoreThreshold = rrfScoreThreshold, postings = postings,
+        termBounds = termBounds, blockBounds = blockBounds),
+      embedder = embedder).localCheckpoint()
+    val qTerms = questions.zipWithIndex
+      .map { case (q, i) =>
+        (i.toLong, graft.text.Bm25.tokenize(q).distinct.filter(_.nonEmpty)) }
+      .toDF("query_id", "terms")
+    val order = graft.search.LateInteraction.maxsimRerankAll(
+        hits, qTerms, embedder, k)
+      .select("query_id", "id")
+      .as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val present = hits.columns.toSet
+    val payloadCols = Seq("case_name", "court", "date_filed", "judges")
+      .filter(present)
+    val rows = hits.select(("query_id" +: "id" +: "rrf_score" +:
+        "chunk_text" +: payloadCols).map(col): _*).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    val sec = (System.nanoTime() - t0) / 1e9
+    questions.zipWithIndex.map { case (q, i) =>
+      val mine = byQuery.getOrElse(i.toLong, Array.empty[Row])
+      val byId = mine.map(r => r.getAs[String]("id") -> r).toMap
+      val ids = order.get(i.toLong).filter(_.nonEmpty)
+        // tokenless query (or no scored candidates): hybrid top-k order
+        .getOrElse(mine.toSeq.map(_.getAs[String]("id")).take(k))
+      QueryResponse(q, ids.flatMap(byId.get).map(toResult(_, present)), sec)
+    }
+  }
+
   /** O(1) health from a count cached at engine build (round-6 review:
     * re-reading the index parquet footer per probe makes health O(index
     * files) under probe storms; the serving engine already counted the

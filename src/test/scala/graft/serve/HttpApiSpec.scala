@@ -495,6 +495,75 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     } finally srv.stop()
   }
 
+  test("POST /search/batch with phrases: one positional plan, per-" +
+      "phrase results == the single phrase endpoint; refusals") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def hits(node: com.fasterxml.jackson.databind.JsonNode): Seq[(String, Double)] = {
+      val rs = node.get("results")
+      (0 until rs.size()).map(i =>
+        (rs.get(i).get("id").asText(), rs.get(i).get("score").asDouble()))
+    }
+    val pp = graft.index.IndexWriter.positionalPostings(index)
+    val srv = HttpApi.start(engine.copy(posPostings = Some(pp)), port = 0)
+    try {
+      def p(path: String, body: String) =
+        client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.port}" + path))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      val phrases = Seq("habeas corpus", "corpus habeas", "grain shipment")
+      val b = p("/search/batch",
+        s"""{"phrases":[${phrases.map("\"" + _ + "\"").mkString(",")}],"limit":3}""")
+      assert(b.statusCode() == 200, b.body())
+      assert(b.body().contains("\"search_type\":\"phrase\""))
+      val batch = mapper.readTree(b.body()).get("responses")
+      assert(batch.size() == 3)
+      phrases.zipWithIndex.foreach { case (ph, i) =>
+        val single = p("/search", s"""{"phrase":"$ph","limit":3}""")
+        assert(hits(batch.get(i)) == hits(mapper.readTree(single.body())),
+          s"batch vs single phrase mismatch for '$ph'")
+      }
+      assert(hits(batch.get(0)) == Seq(("d1", 2.0)))
+      assert(hits(batch.get(1)).isEmpty, "reversed phrase matches nothing")
+      assert(hits(batch.get(2)) == Seq(("d2", 1.0)))
+      assert(p("/search/batch", """{"phrases":[]}""").statusCode() == 400)
+    } finally srv.stop()
+    val refused = post("/search/batch", """{"phrases":["x y"]}""")
+    assert(refused.statusCode() == 400 &&
+      refused.body().contains("without a positional index"), refused.body())
+  }
+
+  test("POST /search/batch with rerank=maxsim: one prefetch plan + one " +
+      "rescoring plan, per-query results == the single rerank endpoint") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def hits(node: com.fasterxml.jackson.databind.JsonNode): Seq[(String, Double)] = {
+      val rs = node.get("results")
+      (0 until rs.size()).map(i =>
+        (rs.get(i).get("id").asText(), rs.get(i).get("score").asDouble()))
+    }
+    val queries = Seq("habeas corpus", "grain shipment contract")
+    val b = post("/search/batch",
+      s"""{"queries":[${queries.map("\"" + _ + "\"").mkString(",")}],""" +
+        """"limit":2,"rerank":"maxsim"}""")
+    assert(b.statusCode() == 200, b.body())
+    assert(b.body().contains("\"search_type\":\"hybrid_rrf_maxsim\""))
+    val batch = mapper.readTree(b.body()).get("responses")
+    assert(batch.size() == 2)
+    queries.zipWithIndex.foreach { case (q, i) =>
+      val single = post("/search",
+        s"""{"query":"$q","limit":2,"rerank":"maxsim"}""")
+      assert(hits(batch.get(i)) == hits(mapper.readTree(single.body())),
+        s"batch vs single rerank mismatch for '$q': ${batch.get(i)} " +
+          s"vs ${single.body()}")
+      assert(hits(batch.get(i)).nonEmpty)
+    }
+    val bad = post("/search/batch",
+      """{"queries":["x"],"rerank":"int8"}""")
+    assert(bad.statusCode() == 400 &&
+      bad.body().contains("unknown batch rerank mode"), bad.body())
+  }
+
   test("stop() releases the port") {
     val s2 = HttpApi.start(engine)
     val p = s2.port

@@ -172,6 +172,35 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(dirs > 2, s"fixture must spread buckets, got $dirs")
   }
 
+  test("readPositionsForTerms: the phrase path's positional read prunes " +
+      "partitions by term bucket and pushes the term filter — the " +
+      "served-phrase discipline, proven at the plan level") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_positions_prune").toString
+    val pts = (0 until 200).map(i =>
+        (s"d$i", Seq(s"term$i", s"term${i % 7}", "common")))
+      .toDF("id", "tokens")
+    graft.index.IndexWriter.positionalPostings(pts)
+      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(64L)))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$base/positions")
+    val out = graft.index.IndexWriter.readPositionsForTerms(spark, base,
+      Seq("term3", "term5"))
+    val got = out.select("term", "id").as[(String, String)].collect()
+    assert(got.nonEmpty && got.forall(r => r._1 == "term3" || r._1 == "term5"))
+    val scan = out.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("term_bucket") &&
+      (scan.contains("PartitionFilters: [") || scan.contains("partition")),
+      s"bucket predicate must prune partitions: $scan")
+    assert(scan.contains("In(term"),
+      s"residual term filter must push into the scan: $scan")
+    val dirs = new java.io.File(s"$base/positions").listFiles()
+      .count(_.getName.startsWith("term_bucket="))
+    assert(dirs > 2, s"fixture must spread buckets, got $dirs")
+  }
+
   test("q05: the nation dim joins via BroadcastHashJoin, not a shuffle") {
     val df = SparkEntry.queries("q05_star_join")(spark, dir)
     df.collect()

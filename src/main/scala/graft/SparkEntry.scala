@@ -7070,6 +7070,40 @@ object SparkEntry {
         .limit(5)
     }),
 
+    // The SERVED proximity ranking (Serve.queryProximity's contract):
+    // docs rank by GREEDY-SPAN COUNT (ties → id), top-k. Plants: the
+    // %11≡1 docs carry the triple twice (two spans — must rank first),
+    // %11≡3 once consecutively, %11≡5 once gapped-within-budget (span
+    // 4 ≤ 6 — still one span). DuckDB replays the greedy chain from
+    // raw token arrays and re-ranks independently of the postings
+    // construction.
+    "q381_proximity_topdocs" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val base = ensureHybridIndex(s, dir)
+      val index = s.read.parquet(s"$base/chunks")
+        .withColumn("tokens",
+          when(col("doc_id") % 11 === 1,
+            concat(col("tokens"),
+              array(lit("graft"), lit("phrase"), lit("probe"),
+                lit("graft"), lit("phrase"), lit("probe"))))
+          .when(col("doc_id") % 11 === 3,
+            concat(col("tokens"),
+              array(lit("graft"), lit("phrase"), lit("probe"))))
+          .when(col("doc_id") % 11 === 5,
+            concat(col("tokens"),
+              array(lit("graft"), lit("gap"), lit("phrase"),
+                lit("gap"), lit("probe"))))
+          .otherwise(col("tokens")))
+      writeAux(index.select("id", "tokens"), dir, "q381_index")
+      val pp = graft.index.IndexWriter.positionalPostings(index)
+      val stats = graft.index.IndexWriter.docFrequencies(index)
+      HybridSearch.proximityMatches(pp, stats,
+          Seq("graft", "phrase", "probe"), maxSpan = 6)
+        .groupBy("id").agg(count(lit(1)).as("span_hits"))
+        .orderBy(desc("span_hits"), col("id"))
+        .limit(5)
+    }),
+
     // STORE-LEVEL takedown through a streamed postings store: the q363
     // stream (3 micro-batches, positional tier on) followed by
     // forgetStreamedPostings — only the (batch_id, term_bucket)
@@ -15011,6 +15045,26 @@ object SparkEntry {
         |  (SELECT CAST(count(*) AS BIGINT) FROM srv)
         |    AS n_blocks_surviving
         |FROM bm ORDER BY bm25_score DESC, id""".stripMargin,
+
+    // the greedy chain replayed from raw token arrays, then re-ranked
+    // by span count (ties → id) — the served proximity ranking
+    "q381_proximity_topdocs" ->
+      """WITH idx AS (SELECT * FROM '__AUX__/q381_index/*.parquet'),
+        |px AS MATERIALIZED (SELECT id, CAST(i - 1 AS BIGINT) AS pos,
+        |    tokens[i] AS tok
+        |  FROM idx, UNNEST(range(1, len(tokens) + 1)) t(i)
+        |  WHERE tokens[i] IN ('graft', 'phrase', 'probe')),
+        |o0 AS (SELECT id, pos AS s, pos AS e FROM px WHERE tok = 'graft'),
+        |s1 AS (SELECT o.id, o.s, min(p.pos) AS e
+        |  FROM o0 o JOIN px p ON p.id = o.id AND p.tok = 'phrase'
+        |    AND p.pos > o.e AND p.pos - o.s <= 6
+        |  GROUP BY 1, 2),
+        |s2 AS (SELECT o.id, o.s, min(p.pos) AS e
+        |  FROM s1 o JOIN px p ON p.id = o.id AND p.tok = 'probe'
+        |    AND p.pos > o.e AND p.pos - o.s <= 6
+        |  GROUP BY 1, 2)
+        |SELECT id, CAST(count(*) AS BIGINT) AS span_hits FROM s2
+        |GROUP BY id ORDER BY span_hits DESC, id LIMIT 5""".stripMargin,
 
     // the greedy proximity contract replayed from raw token arrays:
     // exploded positions, min-next-position per step, final span check

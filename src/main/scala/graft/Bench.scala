@@ -131,18 +131,50 @@ object Bench {
         phaseAcc(k) = phaseAcc.get(k).fold(s)(math.min(s, _))
       }
 
-    var results = selected.map { case (name, fn) =>
-      val runs = runsFor(baseline.get(name), repeats)
-      phased.get(name) match {
-        case Some(mk) =>
-          val (total, rows, flaky, pb) = timePhases(name, mk, runs)
-          mergePhases(name, pb)
-          (name, total, rows, flaky)
-        case None =>
-          val (best, rows, flaky) = timeQuery(name, fn, runs)
-          (name, best, rows, flaky)
+    // SUITE-level wall budget (r13 judge ask #1a): the driver's wall
+    // window has SIGKILLed the suite two rounds running, leaving an
+    // rc-124 record with no data. The budget is checked BETWEEN
+    // queries; once exceeded, the remaining queries are recorded as
+    // `not_run` (explicitly unmeasured, not failed), the final JSON
+    // line and sidecar still emit, and the exit stays 0 — a truncated
+    // window now yields a complete, honest record instead of nothing.
+    val suiteBudgetS =
+      sys.env.getOrElse("SPARK_GRAFT_SUITE_BUDGET_S", "900").toDouble
+    val suiteT0 = System.nanoTime()
+    def suiteElapsed: Double = (System.nanoTime() - suiteT0) / 1e9
+    val acc = scala.collection.mutable.ArrayBuffer[(String, Double, Long, Boolean)]()
+    var notRun: Seq[String] = Seq.empty
+    // Incremental sidecar flush (r13 judge ask #1b): rewrite the
+    // sidecar after EVERY completed query, so even a hard SIGKILL
+    // mid-suite leaves per-query data for everything that ran.
+    def flushPartial(): Unit = {
+      val doneQs = acc.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val failedSoFar = acc.collect { case (n, _, r, _) if r < 0 => n }
+      writeJsonRecord(s"""{"metric":"total","value":${acc.map(_._2).sum},"unit":"sec","queries":$doneQs,"sf":"$sfDir","partial":true,"completed":${acc.size},"selected":${selected.size},"failed":${strArr(failedSoFar.toSeq)},"phases":${phaseJson(phaseAcc.toSeq)}}""",
+        quiet = true)
+    }
+    selected.foreach { case (name, fn) =>
+      if (suiteElapsed > suiteBudgetS) notRun = notRun :+ name
+      else {
+        val runs = runsFor(baseline.get(name), repeats)
+        acc += (phased.get(name) match {
+          case Some(mk) =>
+            val (total, rows, flaky, pb) = timePhases(name, mk, runs)
+            mergePhases(name, pb)
+            (name, total, rows, flaky)
+          case None =>
+            val (best, rows, flaky) = timeQuery(name, fn, runs)
+            (name, best, rows, flaky)
+        })
+        flushPartial()
       }
     }
+    if (notRun.nonEmpty)
+      System.err.println(s"[bench] suite budget ${suiteBudgetS}s exhausted " +
+        s"after ${acc.size} queries; ${notRun.size} not run: " +
+        notRun.mkString(", "))
+    var results: Seq[(String, Double, Long, Boolean)] = acc.toSeq
 
     // End-of-suite adjudication rerun — the loop the judge ran by hand in
     // rounds 7-8: every query over the flag thresholds in-suite is
@@ -169,7 +201,15 @@ object Bench {
     val rerunBudgetS =
       sys.env.getOrElse("SPARK_GRAFT_RERUN_BUDGET_S", "300").toDouble
     var rerunSkipped: Seq[String] = Seq.empty
-    if (flaggedInSuite.nonEmpty) {
+    if (notRun.nonEmpty) {
+      // the suite budget is already spent — an adjudication rerun here
+      // is exactly what would push the process into the driver's kill
+      // window; every flag is left explicitly unadjudicated instead
+      rerunSkipped = flaggedInSuite
+      if (flaggedInSuite.nonEmpty)
+        System.err.println(s"[bench] suite budget exhausted — skipping " +
+          s"adjudication rerun for ${flaggedInSuite.size} flags")
+    } else if (flaggedInSuite.nonEmpty) {
       val inSuite = results.map(r => r._1 -> r._2).toMap
       val order = rerunOrder(flaggedInSuite, inSuite, baseline)
       System.err.println(s"[bench] adjudication rerun (${order.size} " +
@@ -229,9 +269,8 @@ object Bench {
         f"${phaseAcc(p)}%.2f s vs baseline ${baseline(p)}%.2f s")
     val stillFlagged = flaggedNames(adjudicated, baseline)
     val verdict = composeVerdict(failed, flaky, phaseSuspects,
-      baseVerdict, stillFlagged, rerunSkipped)
-    def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${strArr(failed)},"flaky":${strArr(flaky)},$baselineJson,"phases":${phaseJson(phaseAcc.toSeq)},"phase_suspects":${strArr(phaseSuspects)},"rerun_flagged":${strArr(flaggedInSuite)},"rerun_refuted":${strArr(rerunRefuted)},"rerun_skipped":${strArr(rerunSkipped)},"bench_verdict":"$verdict"}"""
+      baseVerdict, stillFlagged, rerunSkipped, notRun)
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${strArr(failed)},"flaky":${strArr(flaky)},"not_run":${strArr(notRun)},$baselineJson,"phases":${phaseJson(phaseAcc.toSeq)},"phase_suspects":${strArr(phaseSuspects)},"rerun_flagged":${strArr(flaggedInSuite)},"rerun_refuted":${strArr(rerunRefuted)},"rerun_skipped":${strArr(rerunSkipped)},"bench_verdict":"$verdict"}"""
     println(jsonLine)
     // The stdout line is the driver contract, but sbt log prefixes have
     // swallowed it two rounds running ("parsed": null in the committed
@@ -253,7 +292,14 @@ object Bench {
     // carry a suspect verdict against the STALE baseline; `force`
     // acknowledges that explicitly.
     val writeMode = sys.env.getOrElse("SPARK_GRAFT_WRITE_BASELINE", "")
-    if ((writeMode == "1" || writeMode == "force") && only.nonEmpty) {
+    if ((writeMode == "1" || writeMode == "force") && notRun.nonEmpty) {
+      // same hazard as SPARK_GRAFT_ONLY: mergeBaseline keeps only THIS
+      // run's keys, so a budget-truncated run would silently delete
+      // every not-run query's committed baseline entry
+      System.err.println("[bench] REFUSING baseline write: suite budget " +
+        s"exhausted (${notRun.size} queries not run) — a truncated run " +
+        "cannot seed the full-suite baseline")
+    } else if ((writeMode == "1" || writeMode == "force") && only.nonEmpty) {
       // a SPARK_GRAFT_ONLY subset run must never seed the suite
       // baseline: mergeBaseline keeps only THIS run's query keys (so
       // removed queries drop out), which on a subset run would destroy
@@ -348,15 +394,20 @@ object Bench {
   private[graft] def jsonRecordPath: String =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "target/bench_last.json")
 
+  private[graft] def strArr(xs: Seq[String]): String =
+    xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+
   /** Write the bench JSON line to [[jsonRecordPath]] (creating parent
     * dirs). Never throws — a bench run must not fail on a record-keeping
-    * side channel; stdout still carries the line. */
-  private[graft] def writeJsonRecord(line: String): Unit =
+    * side channel; stdout still carries the line. `quiet` suppresses the
+    * stderr note for the per-query incremental flushes (hundreds per
+    * suite); the final record still announces itself. */
+  private[graft] def writeJsonRecord(line: String, quiet: Boolean = false): Unit =
     try {
       val p = java.nio.file.Paths.get(jsonRecordPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
-      System.err.println(s"[bench] json record written to $p")
+      if (!quiet) System.err.println(s"[bench] json record written to $p")
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] json record write failed: ${e.getMessage}")
@@ -384,19 +435,27 @@ object Bench {
     *  - baseline in [0.5, 1.5) s → min-of-3: the rounds-7/8 jitter
     *    magnets (all four in-suite false flags had baselines ≲1.5 s)
     *    still get the extra sample that refuted them.
+    *  - baseline ≥ 5 s → ONE run (r13 ask #3b): a real 2× regression
+    *    on a 10 s query is unmistakable in a single sample, the
+    *    budgeted adjudication rerun separates it from a stall, and
+    *    dropping the second sample of the ~15 biggest entries cuts
+    *    ~80 s off the suite's worst-case wall.
     *  - otherwise (or no baseline yet) → min-of-`repeats`. */
   private[graft] def runsFor(baseline: Option[Double], repeats: Int): Int =
     baseline match {
       case Some(b) if b < 0.5 => 1
       case Some(b) if b < 1.5 => math.max(repeats, 3)
+      case Some(b) if b >= 5.0 => 1
       case _ => repeats
     }
 
   /** Adjudication-rerun order: biggest absolute excess over baseline
     * first, ties by name — so a wall-budgeted rerun loop spends its
     * budget where the potential regression is largest, and whatever it
-    * can't reach is the SMALLEST signal. Flags without a baseline
-    * (phase-derived) go last. Pure, spec-ed. */
+    * can't reach is the SMALLEST signal. A flag WITHOUT a baseline
+    * slots by its raw in-suite time (excess over an implicit 0): its
+    * whole cost is unadjudicated signal, so a slow unbaselined flag
+    * sorts early. Pure, spec-ed. */
   private[graft] def rerunOrder(flagged: Seq[String],
       inSuite: Map[String, Double],
       baseline: Map[String, Double]): Seq[String] =
@@ -417,12 +476,17 @@ object Bench {
     * spec-ed. */
   private[graft] def composeVerdict(failed: Seq[String],
       flaky: Seq[String], phaseSuspects: Seq[String], baseVerdict: String,
-      stillFlagged: Seq[String], rerunSkipped: Seq[String]): String = {
+      stillFlagged: Seq[String], rerunSkipped: Seq[String],
+      notRun: Seq[String] = Nil): String = {
     val skipped = rerunSkipped.toSet
     val livePhase = phaseSuspects
       .filterNot(p => skipped.contains(p.takeWhile(_ != ':')))
     if (failed.nonEmpty) "failed_queries"
     else if (flaky.nonEmpty) "flaky_queries"
+    // a budget-truncated suite adjudicated NOTHING downstream (the
+    // rerun loop is skipped); any flag verdict would be noise — the
+    // record says exactly what happened and lists `not_run`
+    else if (notRun.nonEmpty) "suite_budget_exhausted"
     else if (livePhase.nonEmpty && baseVerdict == "clean")
       "code_regression_suspect"
     else if (baseVerdict == "code_regression_suspect" &&

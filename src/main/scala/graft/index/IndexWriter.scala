@@ -198,7 +198,15 @@ object IndexWriter {
     * engine can replay: Spark's md5(long) would hash the 8 raw bytes
     * while e.g. DuckDB's md5 hashes the VARCHAR text, so only the
     * string form keeps block assignments engine-portable for
-    * non-string id columns. */
+    * non-string id columns.
+    *
+    * FORMAT BREAK (round 13): before the explicit CAST, md5 over a
+    * non-string id hashed its raw bytes, so a blocks/blockBounds table
+    * persisted by the old expression over a non-string id column
+    * disagrees with the candidate pass's re-derived block — rebuild
+    * stored block-bound artifacts when upgrading across that change
+    * (string-id stores, the shipped default, are unaffected: the cast
+    * is an identity there). */
   private[graft] def blockOf(idCol: String, nBlocks: Int): Column =
     pmod(expr(s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 15)" +
       ", 16, 10) AS BIGINT)"), lit(nBlocks.toLong))
@@ -322,7 +330,11 @@ object IndexWriter {
       idCol: String = "id", tokensCol: String = "tokens"): DataFrame =
     corpus.join(broadcast(ids.select(col(idCol).as("id")).distinct()),
         Seq("id"), "left_semi")
-      .select(col("id"), size(col(tokensCol)).as("dl"))
+      // size(NULL) is -1, which would credit total_dl +1 per
+      // null-token purged doc; a null array is a zero-length doc here
+      .select(col("id"),
+        when(col(tokensCol).isNull, lit(0))
+          .otherwise(size(col(tokensCol))).as("dl"))
 
   /** Corpus-level (n_docs, total_dl) maintained under deletion — the
     * avgdl the scorer divides by is total_dl / n_docs, so storing the

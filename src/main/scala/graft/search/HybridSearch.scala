@@ -98,8 +98,13 @@ object HybridSearch {
       avgDocLen: Double, queryTerms: Seq[String], n: Int,
       idCol: String = "id", tokensCol: String = "tokens"): DataFrame = {
     val terms = queryTerms.distinct
-    if (terms.isEmpty) return index.sparkSession.emptyDataFrame
-      .withColumn(idCol, lit("")).withColumn("bm25_score", lit(0.0)).limit(0)
+    // empty branch derives its schema from the INPUT so the id type
+    // always matches the caller's index (a lit("") id would diverge
+    // for non-string ids — same hazard fixed at phraseMatches :840)
+    if (terms.isEmpty) return index
+      // null-typed literal: the non-empty branch's sum() is nullable,
+      // so the empty frame must be too for schema equality
+      .select(col(idCol), lit(null).cast("double").as("bm25_score")).limit(0)
     val idfCol = log(lit(1.0) + (lit(corpusSize.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
     index
       .select(col(idCol), size(col(tokensCol)).as("dl"),
@@ -131,9 +136,10 @@ object HybridSearch {
       corpusSize: Long, avgDocLen: Double, queryTerms: Seq[String], n: Int,
       idCol: String = "id"): DataFrame = {
     val terms = queryTerms.distinct
-    if (terms.isEmpty) return postings.sparkSession.emptyDataFrame
-      .withColumn(idCol, lit(""))
-      .withColumn("bm25_score", lit(0.0)).limit(0)
+    // schema from the postings frame, not lit("") — see bm25TopK
+    if (terms.isEmpty) return postings
+      .select(col("id").as(idCol),
+        lit(null).cast("double").as("bm25_score")).limit(0)
     val idfCol = log(lit(1.0) + (lit(corpusSize.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
     postings
       .filter(col("term").isin(terms: _*))     // partition-prunable at scale
@@ -310,11 +316,23 @@ object HybridSearch {
       blocks.filter(col("term").isin(terms: _*)))
     val (theta6, flags) = maxScorePrune(postings, docStats, tb,
       corpusSize, avgDocLen, terms, n)
-    val essential = flags.collect { case (t, _, true) => t }
-    val totalUb = flags.map(_._2).sum
+    // Add-side bound lag: a term the stats know but `blocks` doesn't
+    // carries the Long.MaxValue sentinel ub6 from [[maxScorePrune]].
+    // It must stay OUT of totalUb/restCol — summing the sentinel
+    // overflows Long and the garbage restCol would prune every bounded
+    // term's blocks. The bounded-only remainder stays sound: a top-n
+    // doc containing the lagged term is admitted unconditionally
+    // through its postings in [[bm25TopKBlockMax]], and one that
+    // doesn't contain it satisfies the pruning chain over bounded
+    // terms alone, whose true remainder the bounded-only restCol still
+    // over-estimates. (A lagged term also has no rows in `blocks`, so
+    // it contributes no surviving-block rows here either way.)
+    val boundedFlags = flags.filter(_._2 != Long.MaxValue)
+    val essential = boundedFlags.collect { case (t, _, true) => t }
+    val totalUb = boundedFlags.map(_._2).sum
     // per-term remainder Σ_{t'≠t} ub6(t') as a literal when-chain —
     // query-vocabulary-sized, folded into codegen
-    val restCol = flags.foldLeft(lit(0L): Column) {
+    val restCol = boundedFlags.foldLeft(lit(0L): Column) {
       case (acc, (t, u, _)) =>
         when(col("term") === t, lit(totalUb - u)).otherwise(acc)
     }
@@ -353,13 +371,25 @@ object HybridSearch {
     if (flags.isEmpty)
       return bm25TopKPostings(postings, docStats, corpusSize, avgDocLen,
         terms, n, idCol)
-    val essential = flags.collect { case (t, _, true) => t }
-    val candidates = postings
-      .filter(col("term").isin(essential: _*))
+    // A term lagging behind `blocks` (sentinel ub6) has no block rows,
+    // so the surviving-blocks semi-join would silently drop every doc
+    // it admits; its postings enter the candidate set UNCONDITIONALLY —
+    // the block refinement degrades to MaxScore for that term, never
+    // to missing documents.
+    val essentialBounded =
+      flags.collect { case (t, u, true) if u != Long.MaxValue => t }
+    val essentialUnbounded =
+      flags.collect { case (t, u, true) if u == Long.MaxValue => t }
+    val blockCands = postings
+      .filter(col("term").isin(essentialBounded: _*))
       .withColumn("block", graft.index.IndexWriter.blockOf("id", nBlocks))
       .join(broadcast(surviving.select("term", "block")),
         Seq("term", "block"), "left_semi")
-      .select(col("id")).distinct()
+      .select(col("id"))
+    val candidates = (if (essentialUnbounded.isEmpty) blockCands
+      else blockCands.union(postings
+        .filter(col("term").isin(essentialUnbounded: _*))
+        .select(col("id")))).distinct()
     scoreCandidates(postings, docStats, corpusSize, avgDocLen, terms,
       candidates, n, idCol)
   }

@@ -193,7 +193,12 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     assert(Bench.runsFor(Some(0.5), 2) == 3)
     assert(Bench.runsFor(Some(1.49), 2) == 3)
     assert(Bench.runsFor(Some(1.5), 2) == 2)
-    assert(Bench.runsFor(Some(20.0), 2) == 2)
+    // r13 ask #3b: the suite's biggest entries run once — a real 2×
+    // regression on a ≥5 s query is unmistakable in one sample and the
+    // budgeted rerun adjudicates stalls
+    assert(Bench.runsFor(Some(4.99), 2) == 2)
+    assert(Bench.runsFor(Some(5.0), 2) == 1)
+    assert(Bench.runsFor(Some(20.0), 2) == 1)
     assert(Bench.runsFor(None, 2) == 2, "new queries keep min-of-N")
     // a caller asking for more repeats is never cut below it in the
     // magnet band
@@ -252,5 +257,39 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     // failures and flakiness still dominate everything
     assert(v("clean", Nil, Nil, failed = Seq("qX")) == "failed_queries")
     assert(v("clean", Nil, Nil, flaky = Seq("qX")) == "flaky_queries")
+  }
+
+  test("composeVerdict: a suite-budget-truncated run is " +
+      "suite_budget_exhausted — nothing downstream was adjudicated, so " +
+      "no flag verdict may fire; failures among what DID run dominate") {
+    def v(base: String, still: Seq[String], skipped: Seq[String],
+        notRun: Seq[String], phase: Seq[String] = Nil,
+        failed: Seq[String] = Nil, flaky: Seq[String] = Nil) =
+      Bench.composeVerdict(failed, flaky, phase, base, still, skipped,
+        notRun)
+    assert(v("clean", Nil, Nil, notRun = Seq("q370", "q371")) ==
+      "suite_budget_exhausted")
+    // flags existed but the rerun was skipped wholesale: still the
+    // budget verdict, never code_regression_suspect
+    assert(v("code_regression_suspect", Seq("q04"), Seq("q04"),
+      notRun = Seq("q370")) == "suite_budget_exhausted")
+    assert(v("vm_stall", Seq("q04"), Seq("q04"),
+      notRun = Seq("q370")) == "suite_budget_exhausted")
+    // a phase suspect is equally unadjudicated under truncation
+    assert(v("clean", Nil, Seq("q215"), notRun = Seq("q370"),
+      phase = Seq("q215:serve")) == "suite_budget_exhausted")
+    // but a query that FAILED among those that ran still dominates
+    assert(v("clean", Nil, Nil, notRun = Seq("q370"),
+      failed = Seq("q01")) == "failed_queries")
+    assert(v("clean", Nil, Nil, notRun = Seq("q370"),
+      flaky = Seq("q01")) == "flaky_queries")
+    // empty not_run changes nothing
+    assert(v("clean", Nil, Nil, notRun = Nil) == "clean")
+  }
+
+  test("strArr renders a JSON string array (the not_run record shape)") {
+    assert(Bench.strArr(Nil) == "[]")
+    assert(Bench.strArr(Seq("q370_int8_rerank", "q371_phrase_search")) ==
+      """["q370_int8_rerank","q371_phrase_search"]""")
   }
 }

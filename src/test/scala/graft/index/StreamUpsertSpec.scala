@@ -380,4 +380,21 @@ class StreamUpsertSpec extends AnyFunSuite with SparkTestBase {
       kSet(IndexWriter.blockBounds(IndexWriter.postings(survivorsPts),
         nBlocks = 4)))
   }
+
+  test("purgedDocLengths: a NULL token array counts as a zero-length " +
+      "doc (size(NULL) is -1, which would credit total_dl on purge)") {
+    val pts = Seq(
+      ("d1", Option(Seq("a", "b"))),
+      ("d2", Option.empty[Seq[String]]),
+      ("d3", Option(Seq.empty[String])))
+      .toDF("id", "tokens")
+    val ids = Seq("d2", "d3").toDF("id")
+    val dls = IndexWriter.purgedDocLengths(pts, ids)
+      .as[(String, Int)].collect().toMap
+    assert(dls == Map("d2" -> 0, "d3" -> 0), s"$dls")
+    val cs = IndexWriter.forgetCorpusStats(3L, 2L,
+      IndexWriter.purgedDocLengths(pts, ids)).as[(Long, Long)].head()
+    assert(cs == ((1L, 2L)),
+      "null/empty-token purges decrement n_docs only, never total_dl")
+  }
 }

@@ -301,6 +301,73 @@ class HybridSearchSpec extends AnyFunSuite with SparkTestBase {
         graft.index.IndexWriter.termBounds(p), nn, al, qt, 5)))
   }
 
+  test("block-max with ADD-SIDE-LAGGED blocks: a term in the postings " +
+      "but missing from the blocks table neither overflows the rest " +
+      "bound nor drops its documents — results == unpruned postings") {
+    val docs = (0 until 40).map { i =>
+      val pad = if (i % 8 == 4) "common " * 300 else "common "
+      val rare = if (i % 8 == 0 || i % 8 == 4) "rare " else ""
+      (s"d$i", s"$rare$pad f$i")
+    }.toDF("id", "chunk_text")
+      .withColumn("tokens", GraftFunctions.bm25Tokenize($"chunk_text"))
+    val p = graft.index.IndexWriter.postings(docs)
+    val st = graft.index.IndexWriter.docFrequencies(docs)
+    val nn = docs.count()
+    val al = docs.select(avg(size($"tokens"))).head().getDouble(0)
+    val terms = Seq("rare", "common")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "bm25_score").as[(String, Double)].collect().toSeq
+    val exact = rows(HybridSearch.bm25TopKPostings(p, st, nn, al, terms, 5))
+    assert(exact.exists(_._1 == "d0"), "sanity: rare docs win the top-5")
+    // blocks built BEFORE "rare"'s postings merged in — the add-side
+    // window: the lagged term has sentinel ub6 AND no block rows
+    val lagged = graft.index.IndexWriter.blockBounds(p, nBlocks = 8)
+      .filter($"term" =!= "rare")
+    val (theta6L, flagsL, survivingL) = HybridSearch.blockMaxPrune(
+      p, st, lagged, nn, al, terms, 5)
+    assert(flagsL.contains(("rare", Long.MaxValue, true)),
+      s"lagged term must be sentinel-essential: $flagsL")
+    // the sentinel must not poison the bounded term's block pruning:
+    // an overflowed rest bound pruned EVERY block pre-fix; some of
+    // common's blocks (at least theta's own docs') must survive
+    assert(survivingL.filter($"term" === "common").count() >= 1,
+      "an overflowed rest bound would prune every bounded block")
+    assert(theta6L >= -1L)
+    assert(rows(HybridSearch.bm25TopKBlockMax(p, st, lagged, nn, al,
+      terms, 5, nBlocks = 8)) == exact,
+      "lagged-blocks block-max must equal the unpruned postings path")
+    // ALL terms lagged → pure postings-union fallback, still exact
+    val none = lagged.filter($"term" === "never")
+    assert(rows(HybridSearch.bm25TopKBlockMax(p, st, none, nn, al,
+      terms, 5, nBlocks = 8)) == exact)
+    // and the selective case still prunes (regression guard: the fix
+    // must not disable block skipping when nothing lags)
+    val full = graft.index.IndexWriter.blockBounds(p, nBlocks = 8)
+    val (_, _, survF) = HybridSearch.blockMaxPrune(p, st, full, nn, al,
+      terms, 5)
+    assert(survF.filter($"term" === "rare").count() <
+      full.filter($"term" === "rare").count(),
+      "with full blocks the long-doc rare blocks must still prune")
+  }
+
+  test("bm25 empty-query branch: schema derives from the input, so a " +
+      "non-string id column matches the non-empty branch's type") {
+    val longIdx = Seq((1L, Seq("alpha", "beta")), (2L, Seq("beta")))
+      .toDF("id", "tokens")
+    val p = graft.index.IndexWriter.postings(longIdx)
+    val st = graft.index.IndexWriter.docFrequencies(longIdx)
+    val nonEmpty = HybridSearch.bm25TopK(longIdx, st, 2L, 1.5,
+      Seq("alpha"), 5)
+    val empty = HybridSearch.bm25TopK(longIdx, st, 2L, 1.5, Nil, 5)
+    assert(empty.schema == nonEmpty.schema, s"${empty.schema}")
+    assert(empty.isEmpty)
+    val nonEmptyP = HybridSearch.bm25TopKPostings(p, st, 2L, 1.5,
+      Seq("alpha"), 5)
+    val emptyP = HybridSearch.bm25TopKPostings(p, st, 2L, 1.5, Nil, 5)
+    assert(emptyP.schema == nonEmptyP.schema, s"${emptyP.schema}")
+    assert(emptyP.isEmpty)
+  }
+
   test("phraseMatches: position intersection == naive window scan — " +
       "overlaps, duplicated words, boundaries, absent terms, decoys") {
     val docs = Seq(

@@ -755,14 +755,18 @@ object HybridSearch {
     * small-corpus upper bound). Build once at startup; per-request work
     * is then only the beam walk. */
   def buildHnswServing(index: DataFrame, m: Int = 8, maxLevel: Int = 3,
-      build: String = "nndescent", dim: Int = 384): HnswServing = {
+      build: String = "nndescent", dim: Int = 384,
+      prebuiltGraph: Option[DataFrame] = None): HnswServing = {
     val mapped = index.select(
       expr("CAST(conv(substring(md5(id), 1, 15), 16, 10) AS BIGINT)")
         .as("hid"),
       col("id"), col("dense_vec"))
     val hnsw = new graft.ops.Similarity.HnswIndex(
       mapped.select("hid", "dense_vec"), m = m, maxLevel = maxLevel,
-      vecCol = "dense_vec", idCol = "hid", build = build, dim = dim)
+      vecCol = "dense_vec", idCol = "hid", build = build, dim = dim,
+      // warm restart: a persisted graph reopens as a pure read — the
+      // idMap (a projection of the index) is re-derived, never stored
+      prebuiltGraph = prebuiltGraph)
     HnswServing(hnsw, mapped.select("hid", "id"))
   }
 

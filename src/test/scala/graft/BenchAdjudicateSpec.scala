@@ -287,6 +287,21 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     assert(v("clean", Nil, Nil, notRun = Nil) == "clean")
   }
 
+  test("suite arithmetic: the committed baseline's worst-case measured " +
+      "compute (sum of baseline x runsFor over headline entries) stays " +
+      "under the default 900s suite budget with margin for the " +
+      "unbaselined entries and per-query overhead") {
+    val committed = Bench.loadBaseline()
+    assume(committed.nonEmpty, "no committed baseline in this checkout")
+    val headline = committed.filterNot(_._1.contains(":"))
+    val measured = headline.map { case (_, b) =>
+      b * Bench.runsFor(Some(b), 2) }.sum
+    assert(measured < 800.0,
+      f"worst-case measured compute $measured%.0f s leaves no margin " +
+        "under the 900 s default suite budget - retune runsFor or the " +
+        "budget DELIBERATELY (this is the wall-kill guard)")
+  }
+
   test("strArr renders a JSON string array (the not_run record shape)") {
     assert(Bench.strArr(Nil) == "[]")
     assert(Bench.strArr(Seq("q370_int8_rerank", "q371_phrase_search")) ==

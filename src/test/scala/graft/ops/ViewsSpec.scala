@@ -176,4 +176,37 @@ class ViewsSpec extends AnyFunSuite with SparkTestBase {
       reloaded.views("v_ls_mth")._2.collect()
     }
   }
+
+  test("saveLattice dirty tracking: only the named views' frames " +
+      "rewrite, the stats table always does, unknown names refuse") {
+    val lat = Views.materialize(Map(
+      "v_rf_ls" -> view("rf", "ls"),
+      "v_rf_mth" -> view("rf", "mth")))
+    val path = java.nio.file.Files
+      .createTempDirectory("views_dirty").toString
+    Views.saveLattice(lat, path)
+    def mtimes(name: String): Map[String, Long] = {
+      val d = new java.io.File(s"$path/views/$name")
+      d.listFiles().filter(_.getName.startsWith("part-"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val cleanBefore = mtimes("v_rf_mth")
+    Thread.sleep(1100) // mtime resolution
+    // a delta lands; the caller knows only v_rf_ls was refreshed
+    val lat2 = lat.copy(
+      views = lat.views.updated("v_rf_ls", lat.views("v_rf_ls")._1 ->
+        view("rf", "ls")._2),
+      stats = lat.stats.updated("v_rf_ls", lat.stats("v_rf_ls")))
+    Views.saveLattice(lat2, path, dirty = Some(Set("v_rf_ls")))
+    assert(mtimes("v_rf_mth") == cleanBefore,
+      "an undirty view's files must stay byte- and mtime-stable")
+    // the reloaded lattice is consistent and routes
+    val reloaded = Views.loadLattice(spark, path)
+    assert(reloaded.stats == lat2.stats)
+    assert(Views.routeFromStats(reloaded, Seq("rf"),
+      Seq("cnt", "sum_cents")).count() > 0)
+    intercept[IllegalArgumentException] {
+      Views.saveLattice(lat2, path, dirty = Some(Set("nope")))
+    }
+  }
 }

@@ -29,8 +29,9 @@ import graft.index.IndexWriter
 object ServeMain {
 
   /** Bump when any persisted structure's layout changes — a stale
-    * store must rebuild, not mis-serve. */
-  private[serve] val StoreVersion = "warm-v1"
+    * store must rebuild, not mis-serve. (v2: positions partitioned by
+    * term_bucket; phrase/near serve through the pruned store read.) */
+  private[serve] val StoreVersion = "warm-v2"
 
   /** Build (cold) or reopen (`warm = true`, current store present) the
     * full serving engine. Factored out of `main` so the warm path is
@@ -57,7 +58,6 @@ object ServeMain {
       val avgLen = params.getDouble(params.fieldIndex("avgdl"))
       val postings = persisted(spark.read.parquet(s"$store/postings"))
       val blocks = persisted(spark.read.parquet(s"$store/blocks"))
-      val positions = persisted(spark.read.parquet(s"$store/positions"))
       val ivf = new graft.ops.Similarity.IvfIndex(index,
         vecCol = "dense_vec", idCol = "id",
         prebuiltCenters = Some(graft.ops.Similarity.centroidsFromRows(
@@ -71,7 +71,12 @@ object ServeMain {
       HttpApi.Engine(spark, index, stats, corpusSize = n,
         avgDocLen = avgLen, indexPath = indexPath,
         ivf = Some(ivf), hnsw = Some(hnsw), postings = Some(postings),
-        blockBounds = Some(blocks), posPostings = Some(positions))
+        blockBounds = Some(blocks),
+        // phrase/near serve through the PRUNED store read — the
+        // store's positions are term_bucket-partitioned, so each
+        // request scans only its terms' directories (the 100 TB
+        // shape; PlanSpec proves the PartitionFilters)
+        posStore = Some(store))
     } else {
       val docs = GraftSession.table(spark, sfDir, "documents")
       val index = persisted(ChunkPipeline.chunkPoints(spark, docs)
@@ -88,7 +93,6 @@ object ServeMain {
       // indexes (IVF incl. the int8 rerank route, HNSW graph walk)
       val postings = persisted(IndexWriter.postings(index))
       val blocks = persisted(IndexWriter.blockBounds(postings))
-      val positions = persisted(IndexWriter.positionalPostings(index))
       val ivf = new graft.ops.Similarity.IvfIndex(index,
         nCentroids = math.max(2, math.min(64, (n / 256).toInt)),
         vecCol = "dense_vec", idCol = "id")
@@ -105,7 +109,14 @@ object ServeMain {
         .coalesce(1).write.parquet(s"$store/params")
       postings.write.parquet(s"$store/postings")
       blocks.write.parquet(s"$store/blocks")
-      positions.write.parquet(s"$store/positions")
+      // the positional tier goes straight to the store, partitioned by
+      // term_bucket (the streamed layout readPositionsForTerms prunes
+      // on) — phrase/near requests then scan only their terms'
+      // directories instead of holding the whole tier in memory
+      IndexWriter.positionalPostings(index)
+        .withColumn("term_bucket",
+          pmod(xxhash64(col("term")), lit(64L)))
+        .write.partitionBy("term_bucket").parquet(s"$store/positions")
       ivf.centroidRows(spark).coalesce(1).write
         .parquet(s"$store/ivf_centroids")
       ivf.assigned.write.parquet(s"$store/ivf_assigned")
@@ -115,7 +126,7 @@ object ServeMain {
       HttpApi.Engine(spark, index, stats, corpusSize = n,
         avgDocLen = avgLen, indexPath = indexPath,
         ivf = Some(ivf), hnsw = Some(hnsw), postings = Some(postings),
-        blockBounds = Some(blocks), posPostings = Some(positions))
+        blockBounds = Some(blocks), posStore = Some(store))
     }
   }
 

@@ -147,13 +147,11 @@ object Bench {
     // Incremental sidecar flush (r13 judge ask #1b): rewrite the
     // sidecar after EVERY completed query, so even a hard SIGKILL
     // mid-suite leaves per-query data for everything that ran.
-    def flushPartial(): Unit = {
-      val doneQs = acc.map { case (k, v, _, _) => "\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
-      val failedSoFar = acc.collect { case (n, _, r, _) if r < 0 => n }
-      writeJsonRecord(s"""{"metric":"total","value":${acc.map(_._2).sum},"unit":"sec","queries":$doneQs,"sf":"$sfDir","partial":true,"completed":${acc.size},"selected":${selected.size},"failed":${strArr(failedSoFar.toSeq)},"phases":${phaseJson(phaseAcc.toSeq)}}""",
+    def flushPartial(): Unit =
+      writeJsonRecord(partialJson(
+          acc.toSeq.map { case (k, v, r, _) => (k, v, r) },
+          selected.size, sfDir, phaseAcc.toSeq),
         quiet = true)
-    }
     selected.foreach { case (name, fn) =>
       if (suiteElapsed > suiteBudgetS) notRun = notRun :+ name
       else {
@@ -396,6 +394,20 @@ object Bench {
 
   private[graft] def strArr(xs: Seq[String]): String =
     xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+  /** The incremental sidecar record — everything completed so far as
+    * one parseable JSON line with `"partial": true`, so a record cut
+    * short by ANY kill still carries per-query data. `done` rows are
+    * (name, seconds, rows) with rows < 0 marking a failed query. Pure,
+    * spec-ed. */
+  private[graft] def partialJson(done: Seq[(String, Double, Long)],
+      selectedCount: Int, sfDir: String,
+      phases: Seq[(String, Double)]): String = {
+    val qs = done.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val failed = done.collect { case (n, _, r) if r < 0 => n }
+    s"""{"metric":"total","value":${done.map(_._2).sum},"unit":"sec","queries":$qs,"sf":"$sfDir","partial":true,"completed":${done.size},"selected":$selectedCount,"failed":${strArr(failed)},"phases":${phaseJson(phases)}}"""
+  }
 
   /** Write the bench JSON line to [[jsonRecordPath]] (creating parent
     * dirs). Never throws — a bench run must not fail on a record-keeping

@@ -302,6 +302,32 @@ class BenchAdjudicateSpec extends AnyFunSuite {
         "budget DELIBERATELY (this is the wall-kill guard)")
   }
 
+  test("partialJson: the incremental sidecar record is parseable JSON " +
+      "with partial=true, the completed/selected counts, per-query " +
+      "times, failures, and phase records") {
+    val line = Bench.partialJson(
+      Seq(("q01", 0.5, 6L), ("q02", 1.25, -1L), ("q03", 0.25, 10L)),
+      383, "/root/testdata/sf0.1",
+      Seq("q03:build" -> 0.2, "q03:serve" -> 0.05))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(line)
+    assert(node.get("partial").asBoolean())
+    assert(node.get("completed").asInt() == 3)
+    assert(node.get("selected").asInt() == 383)
+    assert(node.get("queries").get("q02").asDouble() == 1.25)
+    assert(node.get("queries").size() == 3)
+    assert(node.get("failed").size() == 1 &&
+      node.get("failed").get(0).asText() == "q02")
+    assert(node.get("phases").get("q03").get("build_s").asDouble() == 0.2)
+    assert(math.abs(node.get("value").asDouble() - 2.0) < 1e-9)
+    // empty prefix (killed before the first query completes) still
+    // yields a parseable record
+    val empty = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Bench.partialJson(Nil, 383, "sf", Nil))
+    assert(empty.get("completed").asInt() == 0 &&
+      empty.get("partial").asBoolean())
+  }
+
   test("strArr renders a JSON string array (the not_run record shape)") {
     assert(Bench.strArr(Nil) == "[]")
     assert(Bench.strArr(Seq("q370_int8_rerank", "q371_phrase_search")) ==

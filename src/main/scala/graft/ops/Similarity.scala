@@ -645,8 +645,13 @@ object Similarity {
         .map(_.getSeq[Float](0).toArray.map(_.toDouble))
       require(sample.nonEmpty, "driftMonitor: empty batch")
       val frozen = clusterCenters
-      val refit = lloydFit(sample, math.min(nCentroids, sample.length),
-        seed, maxIter)
+      // refit with the FROZEN center count, not the constructor param
+      // (r14 driver advisory): a warm-reopened index leaves nCentroids
+      // at its default while the cold build sized it from the corpus —
+      // clusterCenters.length is the truth on both paths, and a refit
+      // with a different k would compare incomparable quantizers
+      val refit = lloydFit(sample,
+        math.min(clusterCenters.length, sample.length), seed, maxIter)
       // map each refit cell to its nearest frozen cell
       val refitToFrozen = refit.map(rc => nearestIdx(rc, frozen))
       var reassigned = 0L

@@ -158,11 +158,24 @@ object Views {
   def saveLattice(lat: Lattice, path: String,
       dirty: Option[Set[String]] = None): Unit = {
     require(lat.views.nonEmpty, "saveLattice needs at least one view")
+    val spark = lat.views.head._2._2.sparkSession
     dirty.foreach { d =>
       val unknown = d.diff(lat.views.keySet)
       require(unknown.isEmpty, s"dirty views not in lattice: $unknown")
+      // the converse guard (r14 driver advisory): a view newly added to
+      // the in-memory lattice but omitted from `dirty` would get its
+      // stats row written with NO frame persisted under path/views —
+      // the next loadLattice would fail or mis-route. Every undirty
+      // view must already have a persisted frame directory.
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val missing = lat.views.keySet.diff(d).filterNot(name =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/views/$name")))
+      require(missing.isEmpty,
+        s"views neither in dirty nor already persisted under " +
+          s"$path/views: $missing — a stats row without a frame would " +
+          "poison the next loadLattice")
     }
-    val spark = lat.views.head._2._2.sparkSession
     import spark.implicits._
     lat.views
       .filter { case (name, _) => dirty.forall(_.contains(name)) }

@@ -186,12 +186,13 @@ class BenchAdjudicateSpec extends AnyFunSuite {
   }
 
   test("runsFor: sub-0.5s baselines run once (they are never the " +
-      "regression signal), the 0.5-1.5s jitter magnets keep min-of-3, " +
-      "everything else keeps the configured repeats") {
+      "regression signal), the 0.5-1.5s band runs min-of-2 (r14 ask " +
+      "#6 - the standalone rerun, not a third sample, adjudicates " +
+      "noise now), everything else keeps the configured repeats") {
     assert(Bench.runsFor(Some(0.1), 2) == 1)
     assert(Bench.runsFor(Some(0.49), 2) == 1)
-    assert(Bench.runsFor(Some(0.5), 2) == 3)
-    assert(Bench.runsFor(Some(1.49), 2) == 3)
+    assert(Bench.runsFor(Some(0.5), 2) == 2)
+    assert(Bench.runsFor(Some(1.49), 2) == 2)
     assert(Bench.runsFor(Some(1.5), 2) == 2)
     // r13 ask #3b: the suite's biggest entries run once — a real 2×
     // regression on a ≥5 s query is unmistakable in one sample and the
@@ -332,5 +333,65 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     assert(Bench.strArr(Nil) == "[]")
     assert(Bench.strArr(Seq("q370_int8_rerank", "q371_phrase_search")) ==
       """["q370_int8_rerank","q371_phrase_search"]""")
+  }
+
+  // --- r14 asks #1a/#1b/#3: degraded windows, anchored budgets, hook ---
+
+  test("driftDegraded: the probe trips only past BOTH the ratio and the " +
+      "absolute margin, and never on a sub-0.1s baseline") {
+    assert(Bench.driftDegraded(0.9, 0.3), "3x and +0.6s trips")
+    assert(!Bench.driftDegraded(0.55, 0.3), "under 2x does not")
+    assert(!Bench.driftDegraded(0.12, 0.05),
+      "a 0.05s baseline is jitter, not a drift probe")
+    assert(!Bench.driftDegraded(0.25, 0.12),
+      "2.1x but only +0.13s absolute - under the margin")
+    assert(Bench.driftDegraded(2.4, 0.9), "r14's 2.7x window trips")
+  }
+
+  test("effectiveRerunBudget: the rerun budget is capped by what " +
+      "remains of the process-anchored suite budget, never negative") {
+    assert(Bench.effectiveRerunBudget(300.0, 900.0, 600.0) == 300.0)
+    assert(Bench.effectiveRerunBudget(300.0, 900.0, 850.0) == 50.0)
+    assert(Bench.effectiveRerunBudget(300.0, 900.0, 950.0) == 0.0)
+    assert(Bench.effectiveRerunBudget(300.0, 900.0, 0.0) == 300.0)
+  }
+
+  test("LastLine.hookLine: prefers the final record over the partial, " +
+      "fires at most once, and yields nothing before any record exists") {
+    Bench.LastLine.reset()
+    assert(Bench.LastLine.hookLine().isEmpty,
+      "no record yet - the hook must stay silent")
+    Bench.LastLine.reset()
+    Bench.LastLine.partialLine = Some("""{"partial":true}""")
+    assert(Bench.LastLine.hookLine().contains("""{"partial":true}"""),
+      "a kill mid-suite emits the freshest partial")
+    assert(Bench.LastLine.hookLine().isEmpty, "at most once")
+    Bench.LastLine.reset()
+    Bench.LastLine.partialLine = Some("""{"partial":true}""")
+    Bench.LastLine.finalLine = Some("""{"metric":"total"}""")
+    assert(Bench.LastLine.hookLine().contains("""{"metric":"total"}"""),
+      "the final record wins over the partial - no duplicate data lines")
+    Bench.LastLine.reset()
+  }
+
+  test("partialJson carries degraded_mode so a killed degraded run's " +
+      "sidecar says its samples were single-run") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val on = mapper.readTree(Bench.partialJson(
+      Seq(("q01", 0.9, 6L)), 383, "sf", Nil, degraded = true))
+    assert(on.get("degraded_mode").asBoolean())
+    val off = mapper.readTree(Bench.partialJson(Nil, 383, "sf", Nil))
+    assert(!off.get("degraded_mode").asBoolean())
+  }
+
+  test("the adjudication rerun invalidates the sa frame memo for " +
+      "exactly the memoized sa family (r14 driver advisory)") {
+    assert(SparkEntry.saMemoQueries == Set("q357_sa_incremental",
+      "q362_sa_stats_incremental", "q366_sa_removal_incremental",
+      "q377_sa_keytable_compaction"))
+    // every memoized query is phased — the invalidation happens before
+    // timePhases, so the build phase re-times cold
+    val phased = SparkEntry.benchPhases.keySet
+    assert(SparkEntry.saMemoQueries.subsetOf(phased))
   }
 }

@@ -209,4 +209,30 @@ class ViewsSpec extends AnyFunSuite with SparkTestBase {
       Views.saveLattice(lat2, path, dirty = Some(Set("nope")))
     }
   }
+
+  test("saveLattice converse guard (r14 driver advisory): a view newly " +
+      "added to the lattice but omitted from dirty refuses — its stats " +
+      "row would have no persisted frame and poison the next load") {
+    val lat = Views.materialize(Map("v_rf_ls" -> view("rf", "ls")))
+    val path = java.nio.file.Files
+      .createTempDirectory("views_converse").toString
+    Views.saveLattice(lat, path)
+    // a new view appears in memory; the caller forgets to mark it dirty
+    val lat2 = Views.materialize(Map(
+      "v_rf_ls" -> view("rf", "ls"),
+      "v_rf_mth" -> view("rf", "mth")))
+    val ex = intercept[IllegalArgumentException] {
+      Views.saveLattice(lat2, path, dirty = Some(Set("v_rf_ls")))
+    }
+    assert(ex.getMessage.contains("v_rf_mth"), ex.getMessage)
+    // naming the new view (or a full save) both work, and the store
+    // then loads consistently
+    Views.saveLattice(lat2, path, dirty = Some(Set("v_rf_ls", "v_rf_mth")))
+    val reloaded = Views.loadLattice(spark, path)
+    assert(reloaded.views.keySet == Set("v_rf_ls", "v_rf_mth"))
+    // with both frames persisted, a later delta may again name only one
+    Views.saveLattice(lat2, path, dirty = Some(Set("v_rf_mth")))
+    assert(Views.loadLattice(spark, path).views.keySet ==
+      Set("v_rf_ls", "v_rf_mth"))
+  }
 }

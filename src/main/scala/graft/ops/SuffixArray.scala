@@ -192,6 +192,43 @@ object SuffixArray {
     (lens, keyed, sr.positions)
   }
 
+  /** Per-doc lengths plus one (doc_id, pos, key) row per viable
+    * length-minLen window start, key = md5 of the space-joined
+    * lowercased window — the SAME content digest [[substrKeyTable]]
+    * stores and the incremental forms join on. Grouping positions by
+    * `key` is equivalent to the rank-pair grouping ((__ra, __rb)
+    * equality ⟺ window equality ⟺ key equality, modulo md5 collisions
+    * the cross-segment store already accepts by design), but the
+    * digest is a codegen expression evaluated INSIDE the scan stage:
+    * only (doc_id, pos, key) rows ever reach an exchange — document
+    * text never does, and the ⌊log₂ minLen⌋+1 prefix-doubling rounds
+    * (each a distinct + range-repartition + window + offset-join plus
+    * a corpus-wide join-back, ~5 exchanges and 2 localCheckpoint jobs
+    * per round) disappear entirely (guide §2.4 "remove shuffles
+    * outright" / §1.2 "fix the distributed algorithm first"). CPU
+    * trades a minLen× token re-concat per position for those rounds —
+    * O(positions · minLen) map-side work with no shuffle amplification,
+    * the cheap side of the trade at every scale. The suffix-array
+    * machinery remains the path for ARBITRARY-length questions
+    * ([[adjacentLcpRepeats]]); every fixed-minLen form routes here. */
+  private[ops] def windowKeys(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int): (DataFrame, DataFrame) = {
+    require(minLen >= 1, s"need minLen >= 1, got $minLen")
+    val low = docs.select(col(idCol).cast("long").as("doc_id"),
+        transform(Curation.tokens(col(textCol)), w => lower(w)).as("ws"))
+      .withColumn("__len",
+        coalesce(size(col("ws")).cast("long"), lit(0L)))
+    val lens = low.select(col("doc_id"), col("__len"))
+    val keyed = low.filter(col("__len") >= minLen)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), (col("__len") - minLen).cast("int")),
+          i => md5(concat_ws(" ", slice(col("ws"), i + 1, lit(minLen))))))
+          .as(Seq("pos", "key")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("key"))
+    (lens, keyed)
+  }
+
   /** CONTENT digests of each distinct length-minLen substring, derived
     * through the rank-pair grouping so every distinct substring is
     * digested ONCE (one representative position per (__ra, __rb)
@@ -200,7 +237,7 @@ object SuffixArray {
     * for the tokens, and md5-digests the space-joined window (tokens
     * are \S+, so the join is unambiguous). Returns
     * (__ra, __rb, key). */
-  private def groupDigests(reps: DataFrame, pos: DataFrame,
+  private[ops] def groupDigests(reps: DataFrame, pos: DataFrame,
       minLen: Int): DataFrame =
     reps
       .withColumn("__i", explode(sequence(lit(0L), lit(minLen - 1L))))
@@ -227,13 +264,8 @@ object SuffixArray {
     * (≤ its positions), 16 bytes each. */
   def substrKeyTable(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame = {
-    val (_, keyed, pos) = rankPairKeysPos(docs, idCol, textCol, minLen)
-    val reps = keyed.groupBy("__ra", "__rb")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("__r"))
-      .select(col("__ra"), col("__rb"),
-        col("__r").getField("doc_id").as("doc_id"),
-        col("__r").getField("pos").as("pos"))
-    groupDigests(reps, pos, minLen).select("key").distinct()
+    val (_, keyed) = windowKeys(docs, idCol, textCol, minLen)
+    keyed.select("key").distinct()
   }
 
   /** The per-segment artifact for the incremental STATS form:
@@ -248,17 +280,8 @@ object SuffixArray {
     * one rank-pair group, so `key` is unique per row. */
   def substrKeyStats(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame = {
-    val (_, keyed, pos) = rankPairKeysPos(docs, idCol, textCol, minLen)
-    val reps = keyed.groupBy("__ra", "__rb")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("__r"))
-      .select(col("__ra"), col("__rb"),
-        col("__r").getField("doc_id").as("doc_id"),
-        col("__r").getField("pos").as("pos"))
-    val nd = Skew.distinctCountPerKey(keyed, Seq("__ra", "__rb"),
-      "doc_id", "n_docs")
-    groupDigests(reps, pos, minLen)
-      .join(nd, Seq("__ra", "__rb"))
-      .select("key", "n_docs")
+    val (_, keyed) = windowKeys(docs, idCol, textCol, minLen)
+    Skew.distinctCountPerKey(keyed, Seq("key"), "doc_id", "n_docs")
   }
 
   /** SEGMENT-INCREMENTAL [[repeatedSpanStatsExact]] — the stats form of
@@ -277,22 +300,16 @@ object SuffixArray {
       storedStats: DataFrame, idCol: String, textCol: String,
       minLen: Int, minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"need minDocs >= 2, got $minDocs")
-    val (lens, keyed, pos) = rankPairKeysPos(batch, idCol, textCol, minLen)
-    val reps = keyed.groupBy("__ra", "__rb")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("__r"))
-      .select(col("__ra"), col("__rb"),
-        col("__r").getField("doc_id").as("doc_id"),
-        col("__r").getField("pos").as("pos"))
-    val batchNd = Skew.distinctCountPerKey(keyed, Seq("__ra", "__rb"),
+    val (lens, keyed) = windowKeys(batch, idCol, textCol, minLen)
+    val batchNd = Skew.distinctCountPerKey(keyed, Seq("key"),
       "doc_id", "__bn")
     val storedByKey = storedStats.groupBy("key")
       .agg(sum("n_docs").as("__sn"))
-    val hitGroups = groupDigests(reps, pos, minLen)
+    val hitKeys = batchNd
       .join(storedByKey, Seq("key"), "left")
-      .join(batchNd, Seq("__ra", "__rb"))
       .filter(col("__bn") + coalesce(col("__sn"), lit(0L)) >= minDocs)
-      .select("__ra", "__rb")
-    val hits = keyed.join(hitGroups, Seq("__ra", "__rb"), "left_semi")
+      .select("key")
+    val hits = keyed.join(hitKeys, Seq("key"), "left_semi")
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + minLen).as("e"))
     val spans = Cleaning.mergeIntervals(hits, "doc_id", "s", "e")
@@ -323,16 +340,9 @@ object SuffixArray {
   def exactSubstrContaminationIncremental(batch: DataFrame,
       storedKeys: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame = {
-    val (lens, keyed, pos) = rankPairKeysPos(batch, idCol, textCol, minLen)
-    val reps = keyed.groupBy("__ra", "__rb")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("__r"))
-      .select(col("__ra"), col("__rb"),
-        col("__r").getField("doc_id").as("doc_id"),
-        col("__r").getField("pos").as("pos"))
-    val hitGroups = groupDigests(reps, pos, minLen)
+    val (lens, keyed) = windowKeys(batch, idCol, textCol, minLen)
+    val hits = keyed
       .join(storedKeys.select("key"), Seq("key"), "left_semi")
-      .select("__ra", "__rb")
-    val hits = keyed.join(hitGroups, Seq("__ra", "__rb"), "left_semi")
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + minLen).as("e"))
     val spans = Cleaning.mergeIntervals(hits, "doc_id", "s", "e")
@@ -353,18 +363,18 @@ object SuffixArray {
       textCol: String, minLen: Int, minDocs: Int)
       : (DataFrame, DataFrame) = {
     require(minDocs >= 2, s"need minDocs >= 2, got $minDocs")
-    val (lens, keyed) = rankPairKeys(docs, idCol, textCol, minLen)
+    val (lens, keyed) = windowKeys(docs, idCol, textCol, minLen)
     // distinct-doc counting rides the two-level salted-distinct rewrite:
     // corpus-scale boilerplate puts a corpus-sized share of positions in
-    // ONE (__ra, __rb) group, and a plain countDistinct would hand that
+    // ONE window-key group, and a plain countDistinct would hand that
     // group's rows to one task; level 1 dedupes keyed by
-    // (__ra, __rb, doc_id) — spread by doc — and level 2's per-key count
+    // (key, doc_id) — spread by doc — and level 2's per-key count
     // partial-combines (SuffixArraySpec plants the worst case)
-    val rep = Skew.distinctCountPerKey(keyed, Seq("__ra", "__rb"),
+    val rep = Skew.distinctCountPerKey(keyed, Seq("key"),
         "doc_id", "__nd")
       .filter(col("__nd") >= minDocs)
-      .select("__ra", "__rb")
-    val hits = keyed.join(rep, Seq("__ra", "__rb"), "left_semi")
+      .select("key")
+    val hits = keyed.join(rep, Seq("key"), "left_semi")
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + minLen).as("e"))
     (lens, Cleaning.mergeIntervals(hits, "doc_id", "s", "e"))
@@ -384,20 +394,20 @@ object SuffixArray {
     * the eval marker rides the same (__ra, __rb)-keyed aggregate. */
   def exactSubstrContamination(docs: DataFrame, idCol: String,
       textCol: String, isEval: Column, minLen: Int): DataFrame = {
-    val (lens, keyed) = rankPairKeys(docs, idCol, textCol, minLen)
+    val (lens, keyed) = windowKeys(docs, idCol, textCol, minLen)
     val evalIds = docs.select(col(idCol).cast("long").as("doc_id"),
         isEval.as("__pred"))
       .filter(col("__pred")).select("doc_id").distinct()
       .withColumn("__ev", lit(1L))
       .localCheckpoint()
     val keyedE = keyed.join(evalIds, Seq("doc_id"), "left")
-    val groups = keyedE.groupBy("__ra", "__rb")
+    val groups = keyedE.groupBy("key")
       .agg(max(when(col("__ev").isNotNull, 1L).otherwise(0L)).as("__he"),
         max(when(col("__ev").isNull, 1L).otherwise(0L)).as("__ht"))
       .filter(col("__he") === 1 && col("__ht") === 1)
-      .select("__ra", "__rb")
+      .select("key")
     val hits = keyedE.filter(col("__ev").isNull)
-      .join(groups, Seq("__ra", "__rb"), "left_semi")
+      .join(groups, Seq("key"), "left_semi")
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + minLen).as("e"))
     val spans = Cleaning.mergeIntervals(hits, "doc_id", "s", "e")
@@ -465,16 +475,9 @@ object SuffixArray {
   def removeContaminatedSpansIncremental(batch: DataFrame,
       storedKeys: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame = {
-    val (_, keyed, pos) = rankPairKeysPos(batch, idCol, textCol, minLen)
-    val reps = keyed.groupBy("__ra", "__rb")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("__r"))
-      .select(col("__ra"), col("__rb"),
-        col("__r").getField("doc_id").as("doc_id"),
-        col("__r").getField("pos").as("pos"))
-    val hitGroups = groupDigests(reps, pos, minLen)
+    val (_, keyed) = windowKeys(batch, idCol, textCol, minLen)
+    val hits = keyed
       .join(storedKeys.select("key"), Seq("key"), "left_semi")
-      .select("__ra", "__rb")
-    val hits = keyed.join(hitGroups, Seq("__ra", "__rb"), "left_semi")
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + minLen).as("e"))
     exciseSpans(batch, idCol, textCol,

@@ -370,4 +370,40 @@ class SuffixArraySpec extends AnyFunSuite with SparkTestBase {
         minLen = 3, rounds = 2)
     }
   }
+
+  test("windowKeys ≡ rank-pair grouping: per-position digests match the " +
+      "representative-digest path row for row, and lens agree") {
+    // mixed shapes: shared boilerplate, a doc shorter than minLen (no
+    // viable starts, lens row only), case folding, repeated tokens
+    val boiler = "please accept all cookies before reading anything " +
+      "on this terrible website today thanks"
+    val docs = Seq(
+      (1L, s"alpha beta $boiler gamma"),
+      (2L, s"$boiler delta delta"),
+      (3L, "too short to window"),
+      (4L, s"ALPHA BETA $boiler gamma")).toDF("doc_id", "text")
+    val minLen = 12
+    val (lensW, keyedW) = SuffixArray.windowKeys(docs, "doc_id", "text",
+      minLen)
+    // reference path: rank pairs → representative per group → digest,
+    // then fan the group key back to every member position
+    val (lensR, keyedR, pos) = SuffixArray.rankPairKeysPos(docs,
+      "doc_id", "text", minLen)
+    val reps = keyedR.groupBy("__ra", "__rb")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__r"))
+      .select(col("__ra"), col("__rb"),
+        col("__r").getField("doc_id").as("doc_id"),
+        col("__r").getField("pos").as("pos"))
+    val refRows = keyedR
+      .join(SuffixArray.groupDigests(reps, pos, minLen),
+        Seq("__ra", "__rb"))
+      .select("doc_id", "pos", "key")
+      .as[(Long, Long, String)].collect().toSet
+    val gotRows = keyedW.select("doc_id", "pos", "key")
+      .as[(Long, Long, String)].collect().toSet
+    assert(gotRows == refRows)
+    assert(lensW.as[(Long, Long)].collect().toSet ==
+      lensR.select(col("doc_id"), col("__len").cast("long"))
+        .as[(Long, Long)].collect().toSet)
+  }
 }

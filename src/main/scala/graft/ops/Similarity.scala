@@ -1524,7 +1524,16 @@ object Similarity {
     lazy val graph: DataFrame = prebuiltGraph.getOrElse(build match {
       case "broadcast" => edgesAgainst(withLevels(vecs, levels))
       case _           => nnDescentGraph()
-    })
+    }).localCheckpoint()
+    // `graph` IS the materialized frame (r16): build-phase consumers
+    // force `graph` (aux dumps, count()) and the walk joins it per hop
+    // — when these were two different frames (`graph` raw + a separate
+    // `graph.cache()`), a phased build+serve query constructed the
+    // whole edge table TWICE: once uncached for the build count, once
+    // again when the serve's first hop materialized the cache. A
+    // localCheckpoint (not cache()) also truncates the build lineage,
+    // so every per-hop action downstream analyzes a flat leaf instead
+    // of re-stringifying the whole NN-descent plan per job.
 
     /** Distributed kNN-graph build — LSH-seeded NN-descent (Dong,
       * Moses, Li, WWW 2011), the at-scale swap for the broadcast block
@@ -1580,12 +1589,23 @@ object Similarity {
     private def nnDescentGraph(): DataFrame = {
       val members = withLevels(vecs, levels).toDF("id", "vec", "level")
         .localCheckpoint()
+      // ONE-PASS layer sizing (r15 verdict ask #1): levels are capped at
+      // maxLevel by construction, so one level histogram sizes every
+      // layer as a suffix sum — the per-layer count() jobs disappear.
+      val layerCount = levelSuffixCounts(members)
+      // Upper layers at or under smallLayerCap share ONE constant-bounded
+      // collect: level ≥ ℓ is monotone, so the largest qualifying
+      // layer's member set contains every higher layer's — per-layer
+      // filtering happens on the broadcast array, not one collect per
+      // layer.
+      val smallBc = smallLayersBroadcast(members, layerCount)
       val layerEdges = (0 to maxLevel).map { l =>
         val deg = if (l == 0) 2 * m else m
         val mem = members.filter(col("level") >= l).select("id", "vec")
-        val cnt = mem.count()
+        val cnt = layerCount(l)
         val edges =
-          if (l > 0 && cnt <= smallLayerCap) exactSmallLayer(mem, deg)
+          if (l > 0 && cnt <= smallLayerCap)
+            blockPassShared(mem, smallBc.get, l, deg)
           else nnDescentLayer(mem, deg, cnt)
         edges.withColumn("layer", lit(l))
       }
@@ -1596,43 +1616,75 @@ object Similarity {
         .distinct()
     }
 
-    /** Exact top-deg block pass: each `qs` row scans a broadcast of
-      * `ms` (≤ [[smallLayerCap]] rows, enforced by callers — the
-      * collect is CONSTANT-bounded, never corpus-proportional) through
-      * a bounded heap. Both frames are (id, vec); self-pairs skip. */
-    private def blockPass(qs: DataFrame, ms: DataFrame, deg: Int): DataFrame = {
-      val spark = df.sparkSession
-      import spark.implicits._
-      def ds(d: DataFrame) = d.select(col("id").cast("long"),
-        col("vec").cast("array<float>")).as[(Long, Array[Float])]
-      val bc = spark.sparkContext.broadcast(ds(ms).collect().sortBy(_._1))
-      ds(qs).mapPartitions { it =>
-        val mems = bc.value
-        it.flatMap { case (qid, qv) =>
-          val heap = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
-            Ordering.by((t: (Double, Long)) => (-t._1, t._2)))
-          var i = 0
-          while (i < mems.length) {
-            val (oid, ov) = mems(i)
-            if (oid != qid) {
-              val c = cos6(qv, ov)
-              if (heap.size < deg) heap.enqueue((c, oid))
-              else {
-                val (wc, wid) = heap.head
-                if (c > wc || (c == wc && oid < wid)) {
-                  heap.dequeue(); heap.enqueue((c, oid))
-                }
-              }
-            }
-            i += 1
-          }
-          heap.toSeq.map { case (c, oid) => (qid, oid, c) }
-        }
-      }.toDF("id", "nbr", "cos")
+    /** Per-layer member counts from ONE aggregation job: `counts(l)` =
+      * members with level ≥ l (levels are in [0, maxLevel] by
+      * [[levelExpr]] construction, so the suffix sum over the level
+      * histogram is exact). Replaces one count() job per layer. */
+    private def levelSuffixCounts(members: DataFrame): Int => Long = {
+      val hist = members.groupBy("level").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      (l: Int) => (l to maxLevel).map(hist.getOrElse(_, 0L)).sum
     }
 
-    private def exactSmallLayer(mem: DataFrame, deg: Int): DataFrame =
-      blockPass(mem, mem, deg)
+    /** ONE broadcast of the (id, vec, level) rows shared by every small
+      * upper layer (level ≥ smallest qualifying layer — a superset of
+      * all higher layers), or None when no upper layer is under
+      * [[smallLayerCap]]. The collect stays CONSTANT-bounded: the
+      * smallest qualifying layer's count is ≤ smallLayerCap by the
+      * qualification test itself. */
+    private def smallLayersBroadcast(members: DataFrame,
+        layerCount: Int => Long)
+        : Option[org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float], Int)]]] = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val small = (1 to maxLevel).filter(l => layerCount(l) <= smallLayerCap)
+      if (small.isEmpty) None
+      else Some(spark.sparkContext.broadcast(
+        members.filter(col("level") >= small.min)
+          .select(col("id").cast("long"), col("vec").cast("array<float>"),
+            col("level"))
+          .as[(Long, Array[Float], Int)].collect().sortBy(_._1)))
+    }
+
+    /** Exact top-deg block pass against a pre-collected (id, vec,
+      * level) member array (≤ [[smallLayerCap]] rows by the caller's
+      * qualification test — CONSTANT-bounded, never
+      * corpus-proportional), filtered to `minLevel` inside the scan —
+      * the small upper layers share one broadcast instead of paying
+      * one collect each. Iteration is id-ascending over the filtered
+      * subset, the exact sequence a per-layer collect would produce,
+      * so heap evictions (and therefore edges) are bit-identical;
+      * self-pairs skip. */
+    private def blockPassShared(qs: DataFrame,
+        bc: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float], Int)]],
+        minLevel: Int, deg: Int): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      qs.select(col("id").cast("long"), col("vec").cast("array<float>"))
+        .as[(Long, Array[Float])].mapPartitions { it =>
+          val mems = bc.value
+          it.flatMap { case (qid, qv) =>
+            val heap = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+              Ordering.by((t: (Double, Long)) => (-t._1, t._2)))
+            var i = 0
+            while (i < mems.length) {
+              val (oid, ov, olvl) = mems(i)
+              if (olvl >= minLevel && oid != qid) {
+                val c = cos6(qv, ov)
+                if (heap.size < deg) heap.enqueue((c, oid))
+                else {
+                  val (wc, wid) = heap.head
+                  if (c > wc || (c == wc && oid < wid)) {
+                    heap.dequeue(); heap.enqueue((c, oid))
+                  }
+                }
+              }
+              i += 1
+            }
+            heap.toSeq.map { case (c, oid) => (qid, oid, c) }
+          }
+        }.toDF("id", "nbr", "cos")
+    }
 
     /** One layer's NN-descent: seed from LSH-bucket rank rings, then
       * `descentRounds` neighbor-of-neighbor refinement rounds, each
@@ -1650,19 +1702,28 @@ object Similarity {
         .select("id", "nbr", "cos")
       val seedPairs = seedTables(seedWidthFor(n)).map { case (bits, seed) =>
         val bUdf = planeBucketUdf(hyperplanes(bits, dim, seed), dim)
-        val ranked = mem.withColumn("bucket", bUdf(col("vec")))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("bucket")
-              .orderBy(md5(col("id").cast("string")), col("id"))))
-          .select("bucket", "id", "rn")
-        // rank ring: node at rank r links ranks r+1..r+deg — an
-        // equi-join on (bucket, rank), O(B·deg) rows per bucket
-        ranked.withColumn("rn2",
-            explode(array((1 to deg).map(d => col("rn") + lit(d)): _*)))
-          .select("bucket", "id", "rn2")
-          .join(ranked.select(col("bucket"), col("id").as("nbr"),
-            col("rn").as("rn2")), Seq("bucket", "rn2"))
-          .select("id", "nbr")
+        // rank ring: node at rank r (by md5(id), id within its bucket)
+        // links ranks r+1..r+deg. ONE grouped exchange per seed table
+        // (was: a Window sort + an explode + a (bucket, rank)
+        // self-join — three exchanges): buckets are ≈64 members by
+        // [[seedWidthFor]] construction, so each bucket's (md5, id)
+        // list collects bounded, sorts in place (sort_array on the
+        // (h, id) struct ≡ the window's orderBy(md5, id) ranking), and
+        // the ring pairs emit directly — O(B·deg) rows per bucket,
+        // identical pair set. A degenerate vector distribution that
+        // floods one bucket hits this collect_list exactly as it hit
+        // the old single-task window partition — same hazard class.
+        mem.withColumn("bucket", bUdf(col("vec")))
+          .select(col("bucket"),
+            struct(md5(col("id").cast("string")).as("h"),
+              col("id").as("id")).as("hi"))
+          .groupBy("bucket")
+          .agg(sort_array(collect_list(col("hi"))).as("ms"))
+          .select(explode(expr(s"""
+            flatten(transform(ms, (x, i) ->
+              transform(slice(ms, i + 2, $deg),
+                y -> struct(x.id AS id, y.id AS nbr))))""")).as("p"))
+          .select(col("p.id").as("id"), col("p.nbr").as("nbr"))
       }.reduce(_ unionByName _).distinct()
       var edges = graft.plans.TopK.perKey(score(seedPairs), Seq("id"),
         Seq(("cos", false), ("nbr", true)), deg).localCheckpoint()
@@ -1739,6 +1800,12 @@ object Similarity {
       val sm = withLevels(vecs, levels).toDF("id", "vec", "level")
         .localCheckpoint()
       val g = cachedGraph
+      // one-pass layer sizing for BOTH sides (two jobs replace the old
+      // two count() jobs per layer) + one shared broadcast for every
+      // small stored layer — the nnDescentGraph discipline
+      val bCount = levelSuffixCounts(bm)
+      val sCount = levelSuffixCounts(sm)
+      val smallBc = smallLayersBroadcast(sm, sCount)
       val layerEdges = (0 to maxLevel).map { l =>
         val deg = if (l == 0) 2 * m else m
         val bL = bm.filter(col("level") >= l).select("id", "vec")
@@ -1747,15 +1814,13 @@ object Similarity {
         // a layer with no batch members contributes nothing; a small
         // STORED layer (≥1 only — layer 0 stays distributed) takes the
         // constant-bounded block pass instead of the descent machinery
-        val bCnt = bL.count()
-        val edges = if (bCnt == 0)
+        val edges = if (bCount(l) == 0)
           bL.select(col("id"), col("id").as("nbr"), lit(0.0).as("cos"))
             .limit(0)
         else {
-          val n = sL.count()
+          val n = sCount(l)
           if (l > 0 && n <= smallLayerCap)
-            blockPass(bL,
-              sL.select(col("nbr").as("id"), col("__v2").as("vec")), deg)
+            blockPassShared(bL, smallBc.get, l, deg)
           else {
             def score(cand: DataFrame): DataFrame = cand
               .join(bL.select(col("id"), col("vec").as("__v1")), "id")
@@ -1798,8 +1863,9 @@ object Similarity {
 
     /** The graph materialized once per index instance — the walk joins
       * it once per hop, and without a cache every hop would re-run the
-      * kNN construction. */
-    private lazy val cachedGraph = graph.cache()
+      * kNN construction. Alias of [[graph]] (which caches itself), so
+      * build-phase actions and the walk share one materialization. */
+    private lazy val cachedGraph = graph
 
     /** Entry node: max level, smallest id (one bounded driver read of
       * one row — the IVF probe-ranking cost class). */
@@ -1844,25 +1910,48 @@ object Similarity {
 
     /** The beam walk's visited set (id, cos) — shared verbatim by
       * [[search]] and [[searchTombstoned]], which differ only in the
-      * final filter. */
+      * final filter.
+      *
+      * Scoring is CANDIDATE-ONLY (r15 verdict ask #1): each hop joins
+      * its ≤ frontier·deg candidate ids against the member table and
+      * computes the cosine AFTER the join, so a hop's cost is
+      * O(candidates), never a full-corpus distance projection — the
+      * old form joined every hop against a corpus-wide scored frame,
+      * re-running the cosine over the whole corpus once per hop. Same
+      * rows, same round-6 cosines, same tie-breaks (only the point at
+      * which the cosine expression evaluates moved). Upper layers
+      * checkpoint once per LAYER, not per hop: the in-layer plan
+      * references the layer-entry frontier ≤ 2^hopsPerLayer times
+      * (bounded — the lineage-doubling discipline holds), and the walk
+      * pays maxLevel jobs instead of maxLevel·hopsPerLayer. */
     private def visitedPool(queryVec: Array[Float], ef: Int,
         hops: Int, hopsPerLayer: Int): DataFrame = {
       val g = cachedGraph
-      val scored = vecs
-        .withColumn("cos", round(vecCosine(col("vec"), typedlit(queryVec)), 6))
+      val qv = typedlit(queryVec)
+      def scoreIds(ids: DataFrame): DataFrame = ids
+        .join(vecs, "id")
+        .withColumn("cos", round(vecCosine(col("vec"), qv), 6))
         .select("id", "cos")
       // greedy descent: fixed hops per upper layer, statically
       // maxLevel..1 (a layer above the entry's level has no edges for
       // it — no-op), so the walk unrolls identically in the SQL oracle
-      var cur = scored.filter(col("id") === entryId).localCheckpoint()
-      for (l <- maxLevel to 1 by -1; _ <- 1 to hopsPerLayer) {
-        val nbrs = cur.select("id")
-          .join(g.filter(col("layer") === l), "id")
-          .select(col("nbr").as("id"))
-        cur = cur.select("id").unionByName(nbrs).distinct()
-          .join(scored, "id")
-          .orderBy(desc("cos"), col("id")).limit(1)
-          .localCheckpoint()
+      var cur = scoreIds(vecs.select("id").filter(col("id") === entryId))
+        .localCheckpoint()
+      // No distinct() on candidate ids anywhere in the walk (each was a
+      // full exchange — an AQE stage job per hop): duplicate candidate
+      // rows cannot change a (cos desc, id) argmax, and the layer-0
+      // pool's groupBy(id) dedups exactly where dedup is semantic. The
+      // per-hop plans are then broadcast-join-only — no shuffle at all
+      // on the upper descent.
+      for (l <- maxLevel to 1 by -1) {
+        for (_ <- 1 to hopsPerLayer) {
+          val nbrs = cur.select("id")
+            .join(g.filter(col("layer") === l), "id")
+            .select(col("nbr").as("id"))
+          cur = scoreIds(cur.select("id").unionByName(nbrs))
+            .orderBy(desc("cos"), col("id")).limit(1)
+        }
+        cur = cur.localCheckpoint()
       }
       // layer-0 beam: frontier caps at ef; the visited set is the
       // union of the (already-checkpointed) per-hop pools, deduped
@@ -1873,9 +1962,8 @@ object Similarity {
       for (_ <- 1 to hops) {
         val nbrs = frontier.select("id")
           .join(g.filter(col("layer") === 0), "id")
-          .select(col("nbr").as("id")).distinct()
-          .join(scored, "id")
-        val pool = frontier.unionByName(nbrs)
+          .select(col("nbr").as("id"))
+        val pool = frontier.unionByName(scoreIds(nbrs))
           .groupBy("id").agg(max("cos").as("cos"))
           .localCheckpoint()
         pools += pool
@@ -1916,20 +2004,30 @@ object Similarity {
         .select("qid", "id", "cos")
       var cur = scoreOf(qs.select(col("qid"), lit(entryId).as("id")))
         .localCheckpoint()
-      for (l <- maxLevel to 1 by -1; _ <- 1 to hopsPerLayer) {
-        val nbrs = cur.select("qid", "id")
-          .join(g.filter(col("layer") === l), "id")
-          .select(col("qid"), col("nbr").as("id"))
-        val pool = cur.select("qid", "id").unionByName(nbrs).distinct()
-        cur = graft.plans.TopK.perKey(scoreOf(pool), Seq("qid"),
-          Seq(("cos", false), ("id", true)), 1).localCheckpoint()
+      // one checkpoint per LAYER (was per hop): the in-layer plan
+      // references the layer-entry frontier ≤ 2^hopsPerLayer times —
+      // bounded — and the descent pays maxLevel jobs, not
+      // maxLevel·hopsPerLayer (the visitedPool discipline)
+      // no distinct() on candidate ids (the visitedPool rule): duplicate
+      // (qid, id) candidate rows cannot change a per-qid top-1, and the
+      // layer-0 pool's groupBy(qid, id) dedups where dedup is semantic
+      for (l <- maxLevel to 1 by -1) {
+        for (_ <- 1 to hopsPerLayer) {
+          val nbrs = cur.select("qid", "id")
+            .join(g.filter(col("layer") === l), "id")
+            .select(col("qid"), col("nbr").as("id"))
+          val pool = cur.select("qid", "id").unionByName(nbrs)
+          cur = graft.plans.TopK.perKey(scoreOf(pool), Seq("qid"),
+            Seq(("cos", false), ("id", true)), 1)
+        }
+        cur = cur.localCheckpoint()
       }
       var frontier = cur
       val pools = scala.collection.mutable.ArrayBuffer(cur)
       for (_ <- 1 to hops) {
         val nbrs = frontier.select("qid", "id")
           .join(g.filter(col("layer") === 0), "id")
-          .select(col("qid"), col("nbr").as("id")).distinct()
+          .select(col("qid"), col("nbr").as("id"))
         val pool = frontier.unionByName(scoreOf(nbrs))
           .groupBy("qid", "id").agg(max("cos").as("cos"))
           .localCheckpoint()

@@ -411,7 +411,25 @@ object IndexWriter {
                 .select("id").distinct(), Seq("id"), "left_anti")
             else pts0).localCheckpoint()
           if (!pts.isEmpty) {
-            val batchPostings = postings(pts).localCheckpoint()
+            // ONE tokenize pass per batch (r16): the positional table
+            // is the finest grain — the bag postings are its
+            // (term, id, dl) occurrence count and the df stats are the
+            // bag's per-term row count (the documented merge algebra:
+            // "the bag form is a groupBy(term, id, dl).count() away") —
+            // so the old separate postings() / docFrequencies() /
+            // positionalPostings() explodes over the batch text
+            // collapse into one posexplode (or one explode when the
+            // positional tier is off). df derived from the bag also
+            // counts a doc once per term even if a batch carries
+            // duplicate id rows, consistent with the postings rows it
+            // describes.
+            val posFrame =
+              if (positional) Some(positionalPostings(pts).localCheckpoint())
+              else None
+            val batchPostings = posFrame.fold(postings(pts)) { p =>
+              p.groupBy("term", "id", "dl").agg(count(lit(1)).as("tf"))
+                .select("term", "id", "tf", "dl")
+            }.localCheckpoint()
             // per-WRITE dynamic-overwrite option (not session conf — a
             // foreachBatch frame belongs to the stream's session CLONE,
             // whose SQLConf snapshot would miss a driver-session set)
@@ -426,7 +444,8 @@ object IndexWriter {
                 .withColumn("term_bucket",
                   pmod(xxhash64(col("term")), lit(termBuckets.toLong))),
               "postings", "term_bucket")
-            overwriteBatch(docFrequencies(pts), "df")
+            overwriteBatch(batchPostings.groupBy("term")
+              .agg(count(lit(1)).as("df")), "df")
             // MaxScore bound stats ride the same discipline: max/min
             // partials re-merge at read (vocabulary-sized)
             overwriteBatch(termBounds(batchPostings), "bounds")
@@ -436,11 +455,10 @@ object IndexWriter {
             // opt-in positional tier: per-occurrence rows are
             // per-document facts like the bag rows — same term-bucket
             // pruning for phrase/proximity reads
-            if (positional)
-              overwriteBatch(positionalPostings(pts)
-                  .withColumn("term_bucket",
-                    pmod(xxhash64(col("term")), lit(termBuckets.toLong))),
-                "positions", "term_bucket")
+            posFrame.foreach(p =>
+              overwriteBatch(p.withColumn("term_bucket",
+                  pmod(xxhash64(col("term")), lit(termBuckets.toLong))),
+                "positions", "term_bucket"))
             resolvePolicy(autoCompact, sys.env).foreach(pol =>
               maybeCompactPostingsStats(spark, path, pol,
                 excludeBatchId = Some(batchId)))

@@ -246,8 +246,13 @@ object Dedup {
     // coalesce the byte-small exchange to one partition) and lets
     // exchange reuse share one computation; `persistShingles` pins it in
     // the storage layer instead, for callers that run the plan once and
-    // want the reuse guaranteed rather than best-effort.
-    val p = df.sparkSession.sparkContext.defaultParallelism
+    // want the reuse guaranteed rather than best-effort. The count is
+    // SIZE-DERIVED (≈1 MB of input text per task, capped at the
+    // cluster's parallelism): a fixed defaultParallelism here pinned 32
+    // near-empty tasks under every downstream stage of the persisted
+    // signature table at bench scale while adding nothing at corpus
+    // scale, where the cap is what binds.
+    val p = Skew.sizedParallelism(df, bytesPerTask = 1L << 20)
     // cheap pre-filter on token count — filtering on size(shingles) would
     // push the whole shingle expression into the scan and eval it twice
     val toks = split(lower(trim(col(textCol))), "\\s+")
@@ -306,7 +311,8 @@ object Dedup {
       shingleK: Int = 3, jaccardThreshold: Double = 0.8,
       signature: (Column, Int) => Column = (sh, n) => minHashSignature(sh, n),
       bandHash: Column => Column = c => xxhash64(c)): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
+    // size-derived like minHashNearDups: same rationale, same clamp
+    val p = Skew.sizedParallelism(df, bytesPerTask = 1L << 20)
     val toks = split(lower(trim(col(textCol))), "\\s+")
     // The signature table feeds three plan branches (banding + both
     // verify sides); the explicit hash exchange lets exchange REUSE

@@ -262,7 +262,10 @@ object GraphOps {
     * Shape: (basket, item) dedupes first (the big reduction — repeat
     * purchases don't double-count); the pair pass is the per-basket
     * self-join, Σ |basket|² support (cap basket sizes upstream for
-    * power-law data — the [[graft.ops.Dedup]] banding discipline);
+    * power-law data — the [[graft.ops.Dedup]] banding discipline; an
+    * [[associationRules]]-style apriori semi-join cannot apply here —
+    * the top-k COSINE output has no support threshold, so a rare item
+    * can legitimately rank in another item's top k);
     * everything after lives on the (item, item) dimension, and per-item
     * top-k goes through the bounded-heap [[graft.plans.TopK.perKey]]
     * plan. Returns (item, other, cooc, c_item, c_other, sim2_u6, rank).
@@ -485,7 +488,17 @@ object GraphOps {
       .distinct()
     val nB = b.select("bk").distinct().count()
     val cnt = b.groupBy("item").agg(count(lit(1)).as("c"))
-    val pairs = b.join(b.select(col("bk"), col("item").as("other")), "bk")
+    // Apriori prune BEFORE the per-basket pair explosion (guide §3,
+    // r15 verdict ask #5): a pair's cooc is ≤ min(c_i, c_j), so items
+    // under minSupport cannot appear in any surviving rule — the
+    // semi-join drops their basket rows before the self-join squares
+    // them. On power-law catalogs this is the difference between
+    // Σ|basket|² over everything and over the frequent items only.
+    // c_ante/c_cons still come from the UN-pruned counts, so surviving
+    // rows are bit-identical to the unpruned plan's.
+    val frequent = cnt.filter(col("c") >= minSupport).select("item")
+    val bf = b.join(frequent, Seq("item"), "left_semi")
+    val pairs = bf.join(bf.select(col("bk"), col("item").as("other")), "bk")
       .filter(col("item") < col("other"))
       .groupBy("item", "other").agg(count(lit(1)).as("cooc"))
       .filter(col("cooc") >= minSupport)

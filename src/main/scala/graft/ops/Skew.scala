@@ -13,6 +13,26 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** SIZE-DERIVED parallelism for explicit repartitions ahead of
+    * CPU-heavy/byte-light work (guide §2.2; r15 verdict ask #3):
+    * partitions = input bytes / `bytesPerTask`, clamped to
+    * [1, defaultParallelism]. The byte estimate is the optimizer's plan
+    * statistic; a plan the optimizer cannot size reports "unknown =
+    * huge", so the clamp lands on defaultParallelism — exactly the old
+    * fixed-count behavior. A constant partition count tuned for one
+    * machine wastes task launches on small inputs (the sf0.1 suite
+    * measured FASTER on 8 cores than 32 — pure per-task overhead on
+    * 32-way exchanges of kilobyte frames) and never exceeds the
+    * cluster's parallelism on big ones; deriving from bytes scales both
+    * directions without a config knob. */
+  def sizedParallelism(df: DataFrame, bytesPerTask: Long = 2L << 20): Int = {
+    val cap = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes <= 0 || bytes > BigInt(Long.MaxValue) / 2) cap
+    else math.max(1L, math.min(cap.toLong,
+      (bytes.toLong + bytesPerTask - 1) / bytesPerTask)).toInt
+  }
+
   /** Two-phase salted aggregation: exactly `df.groupBy(key).agg(sum)`,
     * but the first shuffle distributes each key over `saltBuckets`
     * sub-partitions. Only algebraic aggregates (sum/count/min/max) can

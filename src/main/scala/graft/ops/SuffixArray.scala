@@ -95,8 +95,18 @@ object SuffixArray {
     * queries that only need prefix classes up to 2^rounds pass
     * `requireTotal = false` and skip both the check and the wasted
     * extra rounds. */
+  /** With `earlyExit`, doubling stops at the first round whose rank
+    * table is already a TOTAL order (max rank == position count — the
+    * classic Manber–Myers termination): every later round re-ranks a
+    * table whose first key alone is distinct, which reproduces the
+    * identical permutation and identical dense values, so `ranks` ends
+    * at the exit round and consumers read `ranks.last` as the final
+    * table. One bounded aggregate per round pays for the check; each
+    * skipped round saves a full distinct + range-repartition + rank +
+    * join pass. */
   def suffixRanks(docs: DataFrame, idCol: String, textCol: String,
-      rounds: Int, requireTotal: Boolean = false): SuffixRanks = {
+      rounds: Int, requireTotal: Boolean = false,
+      earlyExit: Boolean = false): SuffixRanks = {
     require(rounds >= 0 && rounds <= 40,
       s"rounds must be in [0, 40], got $rounds")
     val pos = positions(docs, idCol, textCol).localCheckpoint()
@@ -108,10 +118,14 @@ object SuffixArray {
           s"longest doc has $maxLen positions — ranks would not be a " +
           "total order; raise rounds")
     }
+    lazy val nPos = pos.count()
+    def total(r: DataFrame): Boolean = earlyExit &&
+      r.agg(max("rank")).first().getLong(0) == nPos
     var r = pos.join(denseRankKeys(pos, Seq("tok")), Seq("tok"))
       .select("doc_id", "pos", "rank").localCheckpoint()
     val all = scala.collection.mutable.ArrayBuffer(r)
-    for (i <- 1 to rounds) {
+    var done = total(r)
+    for (i <- 1 to rounds if !done) {
       val h = 1L << (i - 1)
       val nxt = r.select(col("doc_id"), (col("pos") - h).as("pos"),
         col("rank").as("__r2"))
@@ -122,6 +136,7 @@ object SuffixArray {
           Seq("__r1", "__r2"))
         .select("doc_id", "pos", "rank").localCheckpoint()
       all += r
+      done = total(r)
     }
     SuffixRanks(pos, all.toIndexedSeq)
   }
@@ -503,8 +518,18 @@ object SuffixArray {
   def adjacentLcpRepeats(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int, rounds: Int): DataFrame = {
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
-    val sr = suffixRanks(docs, idCol, textCol, rounds, requireTotal = true)
-    val fin = sr.ranks(rounds)
+    // earlyExit: doubling stops once the order is total (identical
+    // table values from then on — see suffixRanks); the LCP descent
+    // below then starts at the exit round − 1, which is exact: a total
+    // order at round e means no two distinct suffixes share a 2^e-token
+    // prefix, so every pairwise LCP is < 2^e and the skipped top levels
+    // could never have fired (for cross-doc pairs the very top level
+    // never fires even without the exit — full-suffix equality across
+    // docs is impossible under the per-doc sentinel).
+    val sr = suffixRanks(docs, idCol, textCol, rounds,
+      requireTotal = true, earlyExit = true)
+    val eff = sr.ranks.size - 1
+    val fin = sr.ranks(eff)
     val a = fin.select(col("rank"), col("doc_id").as("doc_a"),
       col("pos").as("pos_a"))
     val b = fin.select((col("rank") - 1).as("rank"),
@@ -514,7 +539,7 @@ object SuffixArray {
       .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"))
       .withColumn("lcp", lit(0L))
       .localCheckpoint()
-    for (k <- rounds to 0 by -1) {
+    for (k <- (eff - 1) to 0 by -1) {
       val h = 1L << k
       val ra = sr.ranks(k).toDF("doc_a", "__qa", "__ka")
       val rb = sr.ranks(k).toDF("doc_b", "__qb", "__kb")
